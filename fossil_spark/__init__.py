@@ -1,0 +1,15 @@
+"""fossil_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of dburkart/fossil (time-series store +
+query language + map/filter/reduce pipelines), extended with the
+operators a large-scale training-data pipeline needs (dedup,
+similarity search, text analysis, multimodal plumbing).
+
+Everything is expressed Spark-first: declarative DataFrame plans that
+Catalyst can optimize (pushdown, pruning, broadcast, AQE), with
+Arrow-batched pandas UDFs only where built-ins cannot express the
+semantics.
+"""
+
+from fossil_spark.session import get_spark
+
+__all__ = ["get_spark"]

@@ -1,0 +1,314 @@
+"""Compile FQL ASTs to Spark DataFrame plans.
+
+The execution model is deliberately NOT the reference's streaming
+channel pipeline (/root/reference/pkg/query/plan/pipeline.go). Every
+stage becomes a declarative DataFrame transformation:
+
+- topic / time predicates  -> Column filters (Catalyst pushes them to
+  the parquet scan: PushedFilters + partition pruning at scale)
+- filter stage             -> df.filter(compiled predicate)
+- map stage                -> df.select(compiled projections)
+- reduce stage             -> df.agg(...) when the expression matches
+  an associative aggregate shape (sum / min / max / product); this is
+  what keeps reduce map-side-combining and shuffle-light at 100 TB.
+- sample(Δ)               -> first row per epoch-aligned Δ bucket
+  (fully distributed decimation: one window per bucket, no global
+  sequential scan). The reference's greedy semantics
+  (plan/metadata.go:46: keep a row, skip until t+Δ) are inherently
+  sequential; operators.timeseries.greedy_sample provides an exact
+  variant via applyInPandas for when bit-parity with the reference
+  matters more than scale.
+
+Store contract: the input DataFrame has columns
+  time  timestamp
+  topic string        (hierarchical, '/a/b/c')
+  value any type      (the datum; struct for composites)
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from fossil_spark.fql import ast
+from fossil_spark.fql.parser import parse
+
+
+class CompileError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# expression compilation
+# ---------------------------------------------------------------------------
+
+_CMP = {
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+}
+
+
+def compile_expr(e: ast.Expr, env: dict[str, list[str]]) -> Column:
+    """env maps identifier -> list of df column names (len 1 = scalar
+    binding, len>1 = tuple binding usable only via subscript)."""
+    if isinstance(e, ast.Num):
+        return F.lit(e.value)
+    if isinstance(e, ast.Str):
+        return F.lit(e.value)
+    if isinstance(e, ast.Ident):
+        cols = env.get(e.name)
+        if cols is None:
+            raise CompileError(f"unbound identifier {e.name!r}")
+        if len(cols) != 1:
+            raise CompileError(f"{e.name!r} is a tuple; subscript it ({e.name}[i])")
+        return F.col(cols[0])
+    if isinstance(e, ast.Subscript):
+        cols = env.get(e.base.name)
+        if cols is None:
+            raise CompileError(f"unbound identifier {e.base.name!r}")
+        if isinstance(e.key, int):
+            if e.key >= len(cols):
+                raise CompileError(f"tuple index {e.key} out of range for {e.base.name!r}")
+            return F.col(cols[e.key])
+        # string subscript: composite field access on a struct column
+        if len(cols) != 1:
+            raise CompileError("string subscript requires a composite value")
+        return F.col(cols[0]).getField(e.key)
+    if isinstance(e, ast.Unary):
+        c = compile_expr(e.operand, env)
+        return -c if e.op == "-" else c
+    if isinstance(e, ast.Binary):
+        left = compile_expr(e.left, env)
+        right = compile_expr(e.right, env)
+        if e.op in _CMP:
+            return _CMP[e.op](left, right)
+        if e.op == "+":
+            return left + right
+        if e.op == "-":
+            return left - right
+        if e.op == "*":
+            return left * right
+        if e.op == "/":
+            # reference semantics: int/int -> float (types/value.go:426)
+            return left.cast("double") / right.cast("double")
+        raise CompileError(f"unknown operator {e.op!r}")
+    if isinstance(e, ast.Call):
+        return _compile_builtin(e, env)
+    if isinstance(e, ast.Tuple):
+        return F.struct(*[compile_expr(x, env).alias(f"_{i}") for i, x in enumerate(e.elements)])
+    raise CompileError(f"cannot compile {type(e).__name__} here")
+
+
+def _compile_builtin(e: ast.Call, env: dict[str, list[str]]) -> Column:
+    """Builtins per the reference's types/builtin.go (max, min over a
+    tuple/array input) plus len() from docs/pipelines.md."""
+    name = e.name
+    if name in ("max", "min"):
+        if isinstance(e.arg, ast.Tuple):
+            cols = [compile_expr(x, env) for x in e.arg.elements]
+            return F.greatest(*cols) if name == "max" else F.least(*cols)
+        arg = compile_expr(e.arg, env)
+        return F.array_max(arg) if name == "max" else F.array_min(arg)
+    if name == "len":
+        arg = compile_expr(e.arg, env)
+        return F.length(arg)
+    raise CompileError(f"unknown builtin {name!r}")
+
+
+# ---------------------------------------------------------------------------
+# reduce pattern matching -> Spark aggregates
+# ---------------------------------------------------------------------------
+
+class _Ref:
+    def __init__(self, side: str, idx: int | None):
+        self.side, self.idx = side, idx
+
+
+def _as_ref(e: ast.Expr, a: str, b: str) -> _Ref | None:
+    if isinstance(e, ast.Ident) and e.name in (a, b):
+        return _Ref("a" if e.name == a else "b", None)
+    if isinstance(e, ast.Subscript) and e.base.name in (a, b) and isinstance(e.key, int):
+        return _Ref("a" if e.base.name == a else "b", e.key)
+    return None
+
+
+def _match_reduce_element(e: ast.Expr, a: str, b: str) -> tuple[str, int | None] | None:
+    """Recognize associative folds: a+b -> sum, a*b -> product,
+    max((a,b)) -> max, min((a,b)) -> min (element-wise on tuples)."""
+    if isinstance(e, ast.Binary) and e.op in ("+", "*"):
+        l, r = _as_ref(e.left, a, b), _as_ref(e.right, a, b)
+        if l and r and l.side != r.side and l.idx == r.idx:
+            return ("sum" if e.op == "+" else "product", l.idx)
+    if isinstance(e, ast.Call) and e.name in ("max", "min") and isinstance(e.arg, ast.Tuple) \
+            and len(e.arg.elements) == 2:
+        l = _as_ref(e.arg.elements[0], a, b)
+        r = _as_ref(e.arg.elements[1], a, b)
+        if l and r and l.side != r.side and l.idx == r.idx:
+            return (e.name, l.idx)
+    return None
+
+
+_AGG = {"sum": F.sum, "product": F.product, "max": F.max, "min": F.min}
+
+
+def _make_agg(agg_name: str, col_name: str, df: DataFrame) -> Column:
+    """Aggregate with run-to-run reproducibility: double addition is not
+    associative, so a distributed partial sum gives a (slightly)
+    different answer depending on partitioning. Accumulate floats in
+    decimal(30,8) fixed point — exact and order-independent — then
+    return a double. Ints sum natively (exact anyway)."""
+    from pyspark.sql.types import DoubleType, FloatType
+
+    c = F.col(col_name)
+    if agg_name == "sum" and isinstance(df.schema[col_name].dataType, (DoubleType, FloatType)):
+        return F.sum(c.cast("decimal(30,8)")).cast("double")
+    return _AGG[agg_name](c)
+
+
+# ---------------------------------------------------------------------------
+# query compilation
+# ---------------------------------------------------------------------------
+
+class _Plan:
+    """Tracks the evolving DataFrame plus which columns hold the datum
+    value(s) and what to call them in the final output."""
+
+    def __init__(self, df: DataFrame, value_cols: list[str], display: list[str], scalar: bool = False):
+        self.df = df
+        self.value_cols = value_cols
+        self.display = display
+        self.scalar = scalar  # True after reduce: no time/topic columns
+
+
+def _bind(args: list[str], value_cols: list[str]) -> dict[str, list[str]]:
+    if len(args) == len(value_cols):
+        return {name: [col] for name, col in zip(args, value_cols)}
+    if len(args) == 1:
+        return {args[0]: list(value_cols)}
+    raise CompileError(
+        f"stage takes {len(args)} args but value has {len(value_cols)} element(s)"
+    )
+
+
+def _stage_outputs(expr: ast.Expr) -> tuple[list[ast.Expr], list[str]]:
+    """Split a stage body into element expressions + display names."""
+    if isinstance(expr, ast.Tuple):
+        return expr.elements, [f"v{i}" for i in range(len(expr.elements))]
+    if isinstance(expr, ast.Composite):
+        return [e for _, e in expr.entries], [k for k, _ in expr.entries]
+    return [expr], ["value"]
+
+
+def compile_query(
+    q: ast.Query,
+    df: DataFrame,
+    now: datetime | None = None,
+    time_col: str = "time",
+    topic_col: str = "topic",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    now = now or datetime.now(timezone.utc)
+    value_cols = value_cols or ["value"]
+
+    # --- metadata filters: topic + time, pushed into the scan ------------
+    if q.topic:
+        df = df.filter(F.col(topic_col).startswith(q.topic))
+    if q.time_predicate:
+        tp = q.time_predicate
+        if tp.kind == "since":
+            # reference: since T means [T, now] (plan/metadata.go:108)
+            df = df.filter(
+                (F.col(time_col) >= F.lit(tp.begin.resolve(now)))
+                & (F.col(time_col) <= F.lit(now))
+            )
+        elif tp.kind == "before":
+            df = df.filter(F.col(time_col) <= F.lit(tp.begin.resolve(now)))
+        else:  # between: both ends inclusive (db.go:605 "End ... inclusive")
+            df = df.filter(
+                (F.col(time_col) >= F.lit(tp.begin.resolve(now)))
+                & (F.col(time_col) <= F.lit(tp.end.resolve(now)))
+            )
+
+    # --- quantifier -------------------------------------------------------
+    if q.quantifier.kind == "sample":
+        # integer microsecond bucketing: exact, no float boundary issues,
+        # and fully distributed (one shuffle keyed by bucket)
+        micros = q.quantifier.quantity // __import__("datetime").timedelta(microseconds=1)
+        bucket = F.expr(f"unix_micros({time_col}) div {micros}")
+        w = Window.partitionBy(bucket).orderBy(F.col(time_col), F.col(topic_col))
+        df = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    plan = _Plan(df, list(value_cols), ["value"] if len(value_cols) == 1 else list(value_cols))
+
+    # --- data pipeline ------------------------------------------------------
+    for stage in q.pipeline:
+        plan = _apply_stage(plan, stage, time_col, topic_col)
+
+    # --- final projection ---------------------------------------------------
+    out = []
+    if not plan.scalar:
+        out = [F.col(time_col), F.col(topic_col)]
+    out += [F.col(c).alias(d) for c, d in zip(plan.value_cols, plan.display)]
+    return plan.df.select(*out)
+
+
+def _apply_stage(plan: _Plan, stage: ast.Stage, time_col: str, topic_col: str) -> _Plan:
+    if stage.kind == "filter":
+        env = _bind(stage.args, plan.value_cols)
+        pred = compile_expr(stage.expr, env)
+        return _Plan(plan.df.filter(pred), plan.value_cols, plan.display, plan.scalar)
+
+    if stage.kind == "map":
+        env = _bind(stage.args, plan.value_cols)
+        exprs, display = _stage_outputs(stage.expr)
+        cols = [compile_expr(e, env).alias(f"__v{i}") for i, e in enumerate(exprs)]
+        keep = [] if plan.scalar else [F.col(time_col), F.col(topic_col)]
+        df = plan.df.select(*keep, *cols)
+        return _Plan(df, [f"__v{i}" for i in range(len(cols))], display, plan.scalar)
+
+    if stage.kind == "reduce":
+        if len(stage.args) != 2:
+            raise CompileError("reduce takes exactly two arguments")
+        a, b = stage.args
+        exprs, display = _stage_outputs(stage.expr)
+        aggs = []
+        for i, e in enumerate(exprs):
+            m = _match_reduce_element(e, a, b)
+            if m is None:
+                raise CompileError(
+                    "reduce expression must be an associative fold of the two "
+                    "arguments (a+b, a*b, max((a,b)), min((a,b)), element-wise "
+                    f"on tuples); got element {i}: {e!r}"
+                )
+            agg_name, idx = m
+            n_elems = len(plan.value_cols)
+            if idx is None and n_elems != 1:
+                raise CompileError("whole-tuple reduce on a tuple value needs subscripts")
+            src = plan.value_cols[idx if idx is not None else 0]
+            aggs.append(_make_agg(agg_name, src, plan.df).alias(f"__v{i}"))
+        df = plan.df.agg(*aggs)
+        return _Plan(df, [f"__v{i}" for i in range(len(aggs))], display, scalar=True)
+
+    raise CompileError(f"unknown stage kind {stage.kind!r}")
+
+
+def fql(
+    df: DataFrame,
+    query: str,
+    now: datetime | None = None,
+    time_col: str = "time",
+    topic_col: str = "topic",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Parse + compile an FQL query against a store-shaped DataFrame."""
+    return compile_query(parse(query), df, now, time_col, topic_col, value_cols)

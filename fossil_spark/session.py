@@ -1,0 +1,78 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults are tuned for correctness + determinism first (UTC session
+timezone so results match the DuckDB oracle bit-for-bit) and for
+scale second (AQE on, skew-join handling on, partial aggregation is
+implicit in the DataFrame API).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "fossil_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    On a real cluster the master/memory settings come from spark-submit;
+    everything set here is safe cluster-side config. Locally we default
+    to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        # Determinism: timestamps must mean the same thing in Spark and
+        # in the DuckDB oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Scale: adaptive execution re-plans shuffles at runtime,
+        # coalesces small partitions and splits skewed ones.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for any pandas-UDF path (the only sanctioned Python path).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Broadcast threshold: dims under 32 MB ship to every executor
+        # instead of shuffling the fact table.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # The test data's events.ts is parquet TIMESTAMP(NANOS); read as
+        # long and convert explicitly (read_table) — Spark has no ns type.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if not SparkSession.getActiveSession():
+        builder = builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+    return builder.getOrCreate()
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one test table, normalizing nanosecond timestamps to Spark's
+    microsecond timestamps (integer division = floor, the same
+    truncation DuckDB applies casting TIMESTAMP_NS -> TIMESTAMP)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Read the standard test tables from a scale-factor directory and
+    register them as temp views. Returns a dict of DataFrames."""
+    if not names:
+        names = (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        )
+    out = {}
+    for name in names:
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,100 @@
+"""EventStore — the fossil data model on distributed storage.
+
+The reference stores datum as fixed-width segments with per-segment
+head times and an in-memory topic map (/root/reference/pkg/database/
+segment.go, db.go). That design is single-node; the Spark-native
+equivalent is a date-partitioned parquet layout:
+
+    <root>/date=YYYY-MM-DD/part-*.parquet     columns: time, topic, value
+
+- `since/before/between` become partition pruning on `date` plus a
+  row-group min/max skip on `time` — the same binary-search effect as
+  the reference's segment index, but across thousands of files.
+- `topic` is a column with parquet dictionary encoding + min/max
+  stats; topic-prefix filters push down into the scan.
+- Appends are atomic new files (Spark append mode); no WAL needed
+  because parquet commits are all-or-nothing per job.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STORE_COLUMNS = ("time", "topic", "value")
+
+
+class EventStore:
+    """A fossil-style topic/time event store backed by partitioned parquet.
+
+    Command parity with the reference CLI (docs/cli.md):
+      APPEND -> append()       QUERY -> query() via FQL
+      LIST topics -> topics()  STATS -> stats()
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # -- APPEND ------------------------------------------------------------
+    def append(self, df: DataFrame, topic_col: str = "topic",
+               time_col: str = "time", value_col: str = "value") -> None:
+        out = df.select(
+            F.col(time_col).alias("time"),
+            F.col(topic_col).alias("topic"),
+            F.col(value_col).alias("value"),
+        ).withColumn("date", F.to_date("time"))
+        out.write.mode("append").partitionBy("date").parquet(self.root)
+
+    def append_rows(self, rows: list[tuple[datetime, str, str]]) -> None:
+        """Small-batch append (the CLI `append <topic> <data>` path)."""
+        df = self.spark.createDataFrame(rows, "time timestamp, topic string, value string")
+        self.append(df)
+
+    # -- read / QUERY --------------------------------------------------------
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.root).select("time", "topic", "value")
+
+    def query(self, text: str, now: datetime | None = None) -> DataFrame:
+        from fossil_spark.fql import fql
+        return fql(self.read(), text, now=now)
+
+    # -- LIST topics ---------------------------------------------------------
+    def topics(self) -> DataFrame:
+        return self.read().select("topic").distinct().orderBy("topic")
+
+    # -- STATS ---------------------------------------------------------------
+    def stats(self) -> DataFrame:
+        return (
+            self.read()
+            .groupBy("topic")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("time").alias("first_time"),
+                F.max("time").alias("last_time"),
+            )
+            .orderBy("topic")
+        )
+
+
+def events_store_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver's `events` table to the store contract:
+    (time, topic, value) with hierarchical topics /events/<type>."""
+    from fossil_spark.session import read_table
+
+    return (
+        read_table(spark, sf_dir, "events")
+        .select(
+            F.col("ts").alias("time"),
+            F.concat(F.lit("/events/"), F.col("event_type")).alias("topic"),
+            F.col("value").alias("value"),
+        )
+    )
+
+
+# Deterministic "now" used by the registered queries so Spark and the
+# DuckDB oracle resolve ~now identically (test data spans Jan 2024).
+FIXED_NOW = datetime(2024, 2, 1, tzinfo=timezone.utc)

@@ -28,6 +28,12 @@ _STORE_SQL = (
     "'/events/' || event_type AS topic, value FROM events"
 )
 
+# events with the same ns->us timestamp truncation the Spark reader applies
+_EV = (
+    "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value"
+    " FROM events)"
+)
+
 
 def _fql_query(text: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -36,6 +42,97 @@ def _fql_query(text: str) -> Callable[[SparkSession, str], DataFrame]:
         return fql(events_store_view(spark, sf_dir), text, now=NOW)
 
     return run
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fossil_spark.session import read_table
+
+    return read_table(spark, sf_dir, "events")
+
+
+# --- C. time-series operators ---------------------------------------------
+
+def _ts_resample(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.resample(_events(spark, sf_dir), "1 hour", "ts", ["event_type"])
+
+
+def _ts_sliding(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.sliding_stats(
+        _events(spark, sf_dir), 9, "ts", ["event_type"], "value", ["event_id"]
+    ).select("event_id", "rolling_avg", "rolling_min", "rolling_max")
+
+
+def _ts_asof_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fossil_spark.operators import timeseries as ts
+    from fossil_spark.session import read_table
+
+    events = _events(spark, sf_dir)
+    orders = read_table(spark, sf_dir, "orders")
+    right = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice")
+    )
+    return ts.asof_join(
+        events.select("event_id", "ts", F.col("user_id").alias("o_custkey")),
+        right,
+        on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["o_totalprice"],
+    ).select("event_id", "o_totalprice")
+
+
+def _ts_session(spark, sf_dir):
+    from datetime import timedelta
+
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.sessionize(
+        _events(spark, sf_dir), timedelta(minutes=30), "ts", ["user_id"], ["event_id"]
+    )
+
+
+def _ts_gapfill(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.gapfill_locf(_events(spark, sf_dir), "1 hour", "ts", ["event_type"], "value")
+
+
+def _ts_topk(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.topk(
+        _events(spark, sf_dir), 3, ["event_type"], "value", tiebreak=["event_id"]
+    ).select("event_type", "rank", "event_id", "value")
+
+
+def _ts_first_last(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.first_last_by_bucket(
+        _events(spark, sf_dir), "1 hour", "ts", ["event_type"], "value", ["event_id"]
+    )
+
+
+def _ts_rate(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.rate(
+        _events(spark, sf_dir), "ts", ["event_type"], "value", ["event_id"]
+    ).select("event_id", "rate_per_sec")
+
+
+def _fql_sample_greedy(spark, sf_dir):
+    from datetime import timedelta
+
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.greedy_sample(events_store_view(spark, sf_dir), timedelta(hours=1))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -84,6 +181,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "all | map x -> 1, x | reduce a, b -> a[0] + b[0], a[1] + b[1] "
             "| map count, sum -> sum / count"
         ),
+        "fql_sample_greedy": _fql_sample_greedy,  # rows-only: sequential reference parity
+        # --- C. time-series ------------------------------------------------
+        "ts_resample": _ts_resample,
+        "ts_sliding": _ts_sliding,
+        "ts_asof_join": _ts_asof_join,
+        "ts_session": _ts_session,
+        "ts_gapfill": _ts_gapfill,
+        "ts_topk": _ts_topk,
+        "ts_first_last": _ts_first_last,
+        "ts_rate": _ts_rate,
     }
 
 
@@ -134,5 +241,71 @@ def oracle_sql() -> dict[str, str]:
         "fql_mapreduce_avg": (
             f"SELECT CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS value "
             f"FROM {s} t"
+        ),
+        # --- C. time-series (events view with ns->us cast, like Spark side) -
+        "ts_resample": (
+            f"SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,"
+            f" count(*) AS n,"
+            f" CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE)/count(value) AS avg_value,"
+            f" min(value) AS min_value, max(value) AS max_value"
+            f" FROM {_EV} e GROUP BY 1, 2"
+        ),
+        "ts_sliding": (
+            f"SELECT event_id,"
+            f" CAST(sum(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE)"
+            f" / count(value) OVER w AS rolling_avg,"
+            f" min(value) OVER w AS rolling_min, max(value) OVER w AS rolling_max"
+            f" FROM {_EV} e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id"
+            f" ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)"
+        ),
+        "ts_asof_join": (
+            f"SELECT e.event_id, r.o_totalprice FROM {_EV} e ASOF LEFT JOIN ("
+            f" SELECT o_custkey, o_orderdate, arg_max(o_totalprice, o_orderkey)"
+            f" AS o_totalprice FROM orders GROUP BY 1, 2) r"
+            f" ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"
+        ),
+        "ts_session": (
+            f"WITH flagged AS (SELECT user_id, ts, CASE WHEN epoch_us(ts)"
+            f" - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+            f" > 1800000000 THEN 1 ELSE 0 END AS new_s FROM {_EV} e),"
+            f" ids AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id"
+            f" ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq FROM flagged)"
+            f" SELECT user_id, session_seq, min(ts) AS session_start,"
+            f" max(ts) AS session_end, count(*) AS n_events"
+            f" FROM ids GROUP BY user_id, session_seq"
+        ),
+        "ts_gapfill": (
+            f"WITH bucketed AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,"
+            f" event_type, CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE)"
+            f" / count(value) AS value FROM {_EV} e GROUP BY 1, 2),"
+            f" spans AS (SELECT event_type, min(bucket) lo, max(bucket) hi"
+            f" FROM bucketed GROUP BY 1),"
+            f" dense AS (SELECT event_type, unnest(generate_series(lo, hi,"
+            f" INTERVAL 1 HOUR)) AS bucket FROM spans)"
+            f" SELECT d.event_type, d.bucket, b.value IS NOT NULL AS observed,"
+            f" last_value(b.value IGNORE NULLS) OVER (PARTITION BY d.event_type"
+            f" ORDER BY d.bucket ROWS UNBOUNDED PRECEDING) AS value"
+            f" FROM dense d LEFT JOIN bucketed b USING (event_type, bucket)"
+        ),
+        "ts_topk": (
+            f"SELECT event_type, rn AS rank, event_id, value FROM ("
+            f" SELECT *, row_number() OVER (PARTITION BY event_type"
+            f" ORDER BY value DESC, event_id) rn FROM {_EV} e) WHERE rn <= 3"
+        ),
+        "ts_first_last": (
+            f"SELECT b AS bucket, event_type,"
+            f" max(CASE WHEN rn_a = 1 THEN value END) AS first_value,"
+            f" max(CASE WHEN rn_d = 1 THEN value END) AS last_value FROM ("
+            f" SELECT *, row_number() OVER (PARTITION BY b, event_type"
+            f" ORDER BY ts, event_id) rn_a,"
+            f" row_number() OVER (PARTITION BY b, event_type"
+            f" ORDER BY ts DESC, event_id DESC) rn_d FROM ("
+            f" SELECT *, time_bucket(INTERVAL 1 HOUR, ts) b FROM {_EV} e))"
+            f" GROUP BY 1, 2"
+        ),
+        "ts_rate": (
+            f"SELECT event_id, (value - lag(value) OVER w) /"
+            f" ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1e6) AS rate_per_sec"
+            f" FROM {_EV} e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)"
         ),
     }

@@ -1,0 +1,326 @@
+"""Time-series operators, Spark-first.
+
+These extend the reference's query surface (fossil only has
+filter/map/reduce + sample — docs/pipelines.md) with the analytics a
+time-series engine needs at scale. Design rules:
+
+- one shuffle per operator, keyed to partition work evenly;
+- window functions over (key) partitions instead of self-joins;
+- deterministic tiebreaks everywhere (a float result must not depend
+  on partitioning or arrival order);
+- float aggregation in decimal fixed point where a sum feeds output
+  (order-independent, reproducible at any parallelism).
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dec_avg(col: str) -> Column:
+    """Order-independent mean of a float column (decimal accumulate)."""
+    return (
+        F.sum(F.col(col).cast("decimal(30,8)")).cast("double") / F.count(col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# resample / rollup
+# ---------------------------------------------------------------------------
+
+def resample(
+    df: DataFrame,
+    every: str,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Bucket rows into fixed windows and aggregate the value column.
+
+    `every` is a Spark interval string ("1 hour", "15 minutes").
+    Windows are epoch-aligned (same as DuckDB's time_bucket). One
+    shuffle on (bucket, *by); partial aggregation happens map-side.
+    """
+    by = by or []
+    bucket = F.window(F.col(time_col), every).start.alias("bucket")
+    return (
+        df.groupBy(bucket, *by)
+        .agg(
+            F.count("*").alias("n"),
+            _dec_avg(value_col).alias("avg_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sliding-window statistics
+# ---------------------------------------------------------------------------
+
+def sliding_stats(
+    df: DataFrame,
+    n_preceding: int,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Rolling mean/min/max over the previous `n_preceding` rows plus
+    the current one, per key, ordered by time (with an explicit
+    tiebreak so results are partition-invariant)."""
+    by = by or []
+    order = [F.col(time_col)] + [F.col(c) for c in (order_tiebreak or [])]
+    w = Window.partitionBy(*by).orderBy(*order).rowsBetween(-n_preceding, 0)
+    return df.select(
+        *df.columns,
+        (F.sum(F.col(value_col).cast("decimal(30,8)")).over(w).cast("double")
+         / F.count(value_col).over(w)).alias("rolling_avg"),
+        F.min(value_col).over(w).alias("rolling_min"),
+        F.max(value_col).over(w).alias("rolling_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    right_time <= left_time within the same key (left as-of join).
+
+    Spark-first strategy: instead of a per-row range join (quadratic
+    blowup) or a driver loop, tag both sides, union them, and take a
+    running last-non-null over a single (key, time) sort — ONE shuffle
+    keyed by `on`, linear work, no skew amplification. The right side
+    must be unique per (key, time); pre-aggregate it if not.
+    """
+    lcols = [c for c in left.columns]
+    l = left.select(*lcols, F.lit(1).alias("__side"))
+    for v in right_values:
+        l = l.withColumn(f"__r_{v}", F.lit(None).cast(right.schema[v].dataType))
+    r = right.select(
+        F.col(on),
+        F.col(right_time).alias(left_time),
+        F.lit(0).alias("__side"),
+        *[F.col(v).alias(f"__r_{v}") for v in right_values],
+    )
+    for c in lcols:
+        if c not in (on, left_time):
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = l.unionByName(r)
+    # right rows (__side=0) sort before left rows at equal time -> "<=" semantics
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(left_time), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    picked = [
+        F.last(F.col(f"__r_{v}"), ignorenulls=True).over(w).alias(v)
+        for v in right_values
+    ]
+    return (
+        u.select(*lcols, F.col("__side"), *picked)
+        .filter(F.col("__side") == 1)
+        .drop("__side")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionization
+# ---------------------------------------------------------------------------
+
+def sessionize(
+    df: DataFrame,
+    gap: timedelta,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap since the
+    previous row (per key) exceeds `gap`. Returns per-session rollup:
+    key, session_start, session_end, n_events."""
+    by = by or []
+    order = [F.col(time_col)] + [F.col(c) for c in (order_tiebreak or [])]
+    w = Window.partitionBy(*by).orderBy(*order)
+    gap_us = int(gap.total_seconds() * 1_000_000)
+    with_flag = df.withColumn(
+        "__new_session",
+        F.when(
+            F.unix_micros(F.col(time_col))
+            - F.unix_micros(F.lag(time_col).over(w))
+            > F.lit(gap_us),
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    )
+    with_id = with_flag.withColumn(
+        "session_seq",
+        F.sum("__new_session").over(
+            Window.partitionBy(*by).orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_id.groupBy(*by, "session_seq")
+        .agg(
+            F.min(time_col).alias("session_start"),
+            F.max(time_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# gap fill
+# ---------------------------------------------------------------------------
+
+def gapfill_locf(
+    df: DataFrame,
+    every: str,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Densify a series to regular buckets and fill missing buckets by
+    carrying the last observation forward (per key).
+
+    Distributed shape: aggregate to buckets, compute per-key min/max
+    bucket, explode a sequence() of bucket timestamps (no driver loop),
+    left-join observed buckets back, then one window pass for LOCF.
+    """
+    by = by or []
+    bucketed = (
+        df.groupBy(F.window(F.col(time_col), every).start.alias("bucket"), *by)
+        .agg(_dec_avg(value_col).alias("value"))
+    )
+    spans = bucketed.groupBy(*by).agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+    )
+    interval = F.expr(f"INTERVAL {every}")
+    dense = spans.select(
+        *by, F.explode(F.sequence(F.col("__lo"), F.col("__hi"), interval)).alias("bucket")
+    )
+    joined = dense.join(bucketed, on=[*by, "bucket"], how="left")
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *by,
+        F.col("bucket"),
+        F.col("value").isNotNull().alias("observed"),
+        F.last("value", ignorenulls=True).over(w).alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# top-k per group / first-last / rate
+# ---------------------------------------------------------------------------
+
+def topk(
+    df: DataFrame,
+    k: int,
+    by: list[str],
+    order_col: str,
+    ascending: bool = False,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Top-k rows per group. Window rank after AQE-coalesced shuffle;
+    at scale this beats a global sort because each group sorts locally."""
+    oc = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    order = [oc] + [F.col(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(*by).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def first_last_by_bucket(
+    df: DataFrame,
+    every: str,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """First and last value per bucket per key (deterministic order)."""
+    by = by or []
+    bucket = F.window(F.col(time_col), every).start.alias("bucket")
+    order = [F.col(time_col)] + [F.col(c) for c in (tiebreak or [])]
+    struct = F.struct(*order, F.col(value_col).alias("__v"))
+    return (
+        df.groupBy(bucket, *by)
+        .agg(
+            F.min(struct).getField("__v").alias("first_value"),
+            F.max(struct).getField("__v").alias("last_value"),
+        )
+    )
+
+
+def rate(
+    df: DataFrame,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-key delta of value over delta of time (units/second)."""
+    by = by or []
+    order = [F.col(time_col)] + [F.col(c) for c in (order_tiebreak or [])]
+    w = Window.partitionBy(*by).orderBy(*order)
+    dt_us = F.unix_micros(F.col(time_col)) - F.unix_micros(F.lag(time_col).over(w))
+    dv = F.col(value_col) - F.lag(value_col).over(w)
+    return df.select(
+        *df.columns,
+        (dv / (dt_us.cast("double") / F.lit(1e6))).alias("rate_per_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact greedy sample (reference-parity variant)
+# ---------------------------------------------------------------------------
+
+def greedy_sample(df: DataFrame, every: timedelta,
+                  time_col: str = "time") -> DataFrame:
+    """Exact reference semantics for sample(Δ)
+    (/root/reference/pkg/query/plan/metadata.go:46): keep the first
+    datum, then skip until last_kept + Δ. This is an inherently
+    sequential scan over the global time order — O(n) on one worker —
+    so it exists only for bit-parity; fql's bucketed sample is the
+    scale path. Implemented as a single applyInPandas group (Arrow
+    batch, not a driver collect)."""
+    import pandas as pd
+
+    every_us = int(every.total_seconds() * 1_000_000)
+    schema = df.schema
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col, kind="mergesort")
+        times = pdf[time_col].astype("int64")  # ns
+        keep = []
+        next_t = None
+        for i, t in enumerate(times):
+            if next_t is None or t >= next_t:
+                keep.append(i)
+                next_t = t + every_us * 1000
+        return pdf.iloc[keep]
+
+    return (
+        df.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(lambda pdf: pick(pdf.drop(columns="__g")), schema)
+    )

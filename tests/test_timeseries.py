@@ -1,0 +1,183 @@
+"""Time-series operators vs DuckDB."""
+
+from datetime import datetime, timedelta
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from fossil_spark.operators import timeseries as ts
+from fossil_spark.session import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def ddb(sql: str):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,"
+        f" event_type, value FROM read_parquet('{SF}/events.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')"
+    )
+    return con.execute(sql).fetchall()
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return read_table(spark, SF, "events")
+
+
+def test_resample(events):
+    got = {
+        (r["bucket"], r["event_type"]): (r["n"], r["avg_value"])
+        for r in ts.resample(events, "1 hour", "ts", ["event_type"]).collect()
+    }
+    want = ddb(
+        "SELECT time_bucket(INTERVAL 1 HOUR, ts) b, event_type, count(*),"
+        " CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE)/count(value)"
+        " FROM events GROUP BY 1, 2"
+    )
+    assert len(got) == len(want)
+    for b, et, n, avg in want:
+        gn, gavg = got[(b, et)]
+        assert gn == n and gavg == avg
+
+
+def test_sliding_stats(events):
+    out = ts.sliding_stats(events, 9, "ts", ["event_type"], "value", ["event_id"])
+    got = {r["event_id"]: r["rolling_avg"] for r in out.collect()}
+    want = ddb(
+        "SELECT event_id, CAST(sum(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE)"
+        " / count(value) OVER w FROM events"
+        " WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id"
+        " ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)"
+    )
+    for eid, avg in want:
+        assert got[eid] == avg
+
+
+def test_asof_join(spark, events):
+    orders = read_table(spark, SF, "orders")
+    right = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice")
+    )
+    out = ts.asof_join(
+        events.select("event_id", "ts", F.col("user_id").alias("o_custkey")),
+        right,
+        on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["o_totalprice"],
+    )
+    got = {r["event_id"]: r["o_totalprice"] for r in out.collect()}
+    want = ddb(
+        "SELECT e.event_id, r.o_totalprice FROM events e ASOF LEFT JOIN ("
+        "  SELECT o_custkey, o_orderdate, arg_max(o_totalprice, o_orderkey) AS o_totalprice"
+        "  FROM orders GROUP BY 1, 2) r"
+        " ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"
+    )
+    assert len(got) == len(want)
+    for eid, price in want:
+        assert got[eid] == price
+
+
+def test_sessionize(events):
+    out = ts.sessionize(events, timedelta(minutes=30), "ts", ["user_id"], ["event_id"])
+    got = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in out.collect()
+    }
+    want = ddb(
+        "WITH flagged AS (SELECT user_id, ts, CASE WHEN epoch_us(ts)"
+        " - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        " > 1800000000 THEN 1 ELSE 0 END AS new_s FROM events),"
+        " ids AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id"
+        " ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM flagged)"
+        " SELECT user_id, min(ts), max(ts), count(*) FROM ids GROUP BY user_id, sid"
+    )
+    assert len(got) == len(want)
+    for uid, start, end, n in want:
+        assert got[(uid, start)] == (end, n)
+
+
+def test_gapfill_locf(events):
+    out = ts.gapfill_locf(events, "1 hour", "ts", ["event_type"], "value")
+    rows = out.collect()
+    # dense: per event_type, buckets are contiguous hourly
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r["bucket"])
+        for a, b in zip(rs, rs[1:]):
+            assert (b["bucket"] - a["bucket"]) == timedelta(hours=1)
+        assert all(r["value"] is not None for r in rs)
+    # observed buckets match plain resample
+    n_observed = sum(1 for r in rows if r["observed"])
+    (want,) = ddb(
+        "SELECT count(*) FROM (SELECT DISTINCT time_bucket(INTERVAL 1 HOUR, ts),"
+        " event_type FROM events)"
+    )[0]
+    assert n_observed == want
+
+
+def test_topk(events):
+    out = ts.topk(events, 3, ["event_type"], "value", tiebreak=["event_id"])
+    got = {(r["event_type"], r["rank"]): r["event_id"] for r in out.collect()}
+    want = ddb(
+        "SELECT event_type, rn, event_id FROM (SELECT *, row_number() OVER"
+        " (PARTITION BY event_type ORDER BY value DESC, event_id) rn FROM events)"
+        " WHERE rn <= 3"
+    )
+    assert len(got) == len(want)
+    for et, rn, eid in want:
+        assert got[(et, rn)] == eid
+
+
+def test_first_last_by_bucket(events):
+    out = ts.first_last_by_bucket(events, "1 hour", "ts", ["event_type"], "value",
+                                  tiebreak=["event_id"])
+    got = {
+        (r["bucket"], r["event_type"]): (r["first_value"], r["last_value"])
+        for r in out.collect()
+    }
+    want = ddb(
+        "SELECT b, event_type, max(CASE WHEN rn_a = 1 THEN value END),"
+        " max(CASE WHEN rn_d = 1 THEN value END) FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY b, event_type ORDER BY ts, event_id) rn_a,"
+        "  row_number() OVER (PARTITION BY b, event_type ORDER BY ts DESC, event_id DESC) rn_d"
+        "  FROM (SELECT *, time_bucket(INTERVAL 1 HOUR, ts) b FROM events))"
+        " GROUP BY 1, 2"
+    )
+    assert len(got) == len(want)
+    for b, et, first, last in want:
+        assert got[(b, et)] == (first, last)
+
+
+def test_rate(events):
+    out = ts.rate(events, "ts", ["event_type"], "value", ["event_id"])
+    got = {r["event_id"]: r["rate_per_sec"] for r in out.collect()}
+    want = ddb(
+        "SELECT event_id, (value - lag(value) OVER w) /"
+        " ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1e6) FROM events"
+        " WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)"
+    )
+    for eid, r in want:
+        if r is None:
+            assert got[eid] is None
+        else:
+            assert got[eid] == r
+
+
+def test_greedy_sample_semantics(spark):
+    # golden case: reference semantics keep t0, then next >= t0+Δ
+    base = datetime(2024, 1, 1)
+    rows = [(base + timedelta(seconds=s), "/t", float(s)) for s in [0, 30, 61, 90, 125, 200]]
+    df = spark.createDataFrame(rows, "time timestamp, topic string, value double")
+    out = sorted(
+        r["value"] for r in ts.greedy_sample(df, timedelta(minutes=1)).collect()
+    )
+    # keep 0 (next>=60) -> 61 (next>=121) -> 125 (next>=185) -> 200
+    assert out == [0.0, 61.0, 125.0, 200.0]

@@ -35,6 +35,11 @@ _EV = (
 )
 
 
+def _DSUM(expr: str) -> str:
+    """Deterministic-sum SQL: decimal(30,8) accumulate, double out."""
+    return f"CAST(sum(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE)"
+
+
 def _fql_query(text: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from fossil_spark.fql import fql
@@ -127,6 +132,15 @@ def _ts_rate(spark, sf_dir):
     ).select("event_id", "rate_per_sec")
 
 
+def _tpch(fn_name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from fossil_spark.queries import tpch
+
+        return getattr(tpch, fn_name)(spark, sf_dir)
+
+    return run
+
+
 def _fql_sample_greedy(spark, sf_dir):
     from datetime import timedelta
 
@@ -191,6 +205,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_topk": _ts_topk,
         "ts_first_last": _ts_first_last,
         "ts_rate": _ts_rate,
+        # --- D. relational analytics ----------------------------------------
+        "tpch_q1": _tpch("q1_pricing_summary"),
+        "tpch_q3": _tpch("q3_shipping_priority"),
+        "tpch_q5": _tpch("q5_local_supplier_volume"),
+        "tpch_q6": _tpch("q6_forecast_revenue"),
+        "tpch_q10": _tpch("q10_returned_items"),
     }
 
 
@@ -307,5 +327,63 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT event_id, (value - lag(value) OVER w) /"
             f" ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1e6) AS rate_per_sec"
             f" FROM {_EV} e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)"
+        ),
+        # --- D. relational analytics ----------------------------------------
+        # deterministic-sum pattern throughout: per-row double arithmetic,
+        # decimal(30,8) accumulation, double output (see queries/tpch.py)
+        "tpch_q1": (
+            "SELECT l_returnflag, l_linestatus,"
+            f" {_DSUM('l_quantity')} AS sum_qty,"
+            f" {_DSUM('l_extendedprice')} AS sum_base_price,"
+            f" {_DSUM('l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price,"
+            f" {_DSUM('(l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)')} AS sum_charge,"
+            f" {_DSUM('l_quantity')} / count(*) AS avg_qty,"
+            f" {_DSUM('l_extendedprice')} / count(*) AS avg_price,"
+            f" {_DSUM('l_discount')} / count(*) AS avg_disc,"
+            " count(*) AS count_order"
+            " FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'"
+            " GROUP BY l_returnflag, l_linestatus"
+        ),
+        "tpch_q3": (
+            "SELECT l_orderkey, o_orderdate, o_orderpriority,"
+            f" {_DSUM('l_extendedprice * (1.0 - l_discount)')} AS revenue"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " WHERE c_mktsegment = 'BUILDING'"
+            " AND o_orderdate < TIMESTAMP '1995-03-15'"
+            " AND l_shipdate > TIMESTAMP '1995-03-15'"
+            " GROUP BY l_orderkey, o_orderdate, o_orderpriority"
+            " ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"
+        ),
+        "tpch_q5": (
+            "SELECT n_name,"
+            f" {_DSUM('l_extendedprice * (1.0 - l_discount)')} AS revenue"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN supplier ON l_suppkey = s_suppkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON s_nationkey = n_nationkey"
+            " JOIN region ON n_regionkey = r_regionkey"
+            " WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'"
+            " AND o_orderdate >= TIMESTAMP '1995-01-01'"
+            " AND o_orderdate < TIMESTAMP '1996-01-01'"
+            " GROUP BY n_name ORDER BY revenue DESC, n_name"
+        ),
+        "tpch_q6": (
+            f"SELECT {_DSUM('l_extendedprice * l_discount')} AS revenue"
+            " FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'"
+            " AND l_shipdate < TIMESTAMP '1996-01-01'"
+            " AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+        ),
+        "tpch_q10": (
+            "SELECT c_custkey, c_name, c_acctbal, n_name,"
+            f" {_DSUM('l_extendedprice * (1.0 - l_discount)')} AS revenue"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey"
+            " WHERE l_returnflag = 'R'"
+            " AND o_orderdate >= TIMESTAMP '1995-01-01'"
+            " AND o_orderdate < TIMESTAMP '1995-04-01'"
+            " GROUP BY c_custkey, c_name, c_acctbal, n_name"
+            " ORDER BY revenue DESC, c_custkey LIMIT 20"
         ),
     }

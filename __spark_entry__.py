@@ -40,6 +40,52 @@ def _DSUM(expr: str) -> str:
     return f"CAST(sum(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE)"
 
 
+# tokenized documents + word-3-gram shingles, mirroring operators/text.py
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_SHINGLE_CTES = (
+    f"t AS (SELECT doc_id, {_TOKS} w FROM documents), "
+    "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3 THEN"
+    " list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))"
+    " ELSE [array_to_string(w, ' ')] END)) AS shingle FROM t)"
+)
+_MINHASH_CTES = (
+    f"{_SHINGLE_CTES}, "
+    "mh AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minhash"
+    " FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed), "
+    "bands AS (SELECT doc_id, (seed // 2)::INT AS band,"
+    " md5(string_agg(minhash, '|' ORDER BY seed)) AS band_hash"
+    " FROM mh GROUP BY doc_id, seed // 2), "
+    "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
+    " FROM bands a JOIN bands b USING (band, band_hash) WHERE a.doc_id < b.doc_id)"
+)
+
+_EN_SW = "['the','a','and','of','to','in','is','that','it','for']"
+_SW_SQL = {
+    "en": _EN_SW,
+    "de": "['der','die','das','und','ist','nicht','ein','zu','mit','auf']",
+    "fr": "['le','la','et','les','des','est','un','une','dans','que']",
+    "es": "['el','la','de','que','y','en','un','los','se','no']",
+}
+
+
+def _sw_ratio(lang: str) -> str:
+    return (
+        f"len(list_filter(w, x -> list_contains({_SW_SQL[lang]}, x)))::DOUBLE / len(w)"
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    votes = ", ".join(f"sum(((h >> {i}) & 1)*2 - 1) AS v{i}" for i in range(bits))
+    packed = " + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return (
+        r"WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) tok"
+        " FROM documents),"
+        " h AS (SELECT doc_id, ('0x' || substr(md5(tok),1,8))::BIGINT AS h FROM toks),"
+        f" v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)"
+        f" SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM v"
+    )
+
+
 def _fql_query(text: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from fossil_spark.fql import fql
@@ -141,6 +187,90 @@ def _tpch(fn_name: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+# --- E. LLM-data-pipeline operators ----------------------------------------
+
+def _docs(spark, sf_dir):
+    from fossil_spark.session import read_table
+
+    return read_table(spark, sf_dir, "documents")
+
+
+def _dedup_exact(spark, sf_dir):
+    from fossil_spark.operators import dedup
+
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def _dedup_minhash(spark, sf_dir):
+    from fossil_spark.operators import dedup
+
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def _dedup_ngram(spark, sf_dir):
+    from fossil_spark.operators import dedup
+
+    docs = _docs(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(docs, dedup.minhash_lsh_pairs(docs))
+
+
+def _dedup_simhash(spark, sf_dir):
+    from fossil_spark.operators import dedup
+
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def _ann_bruteforce(spark, sf_dir):
+    from fossil_spark.operators import ann
+    from fossil_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ann.cosine_topk(emb, emb.filter("vec_id < 8"), k=5)
+
+
+def _ann_lsh(spark, sf_dir):
+    from fossil_spark.operators import ann
+    from fossil_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ann.lsh_ann(emb, emb.filter("vec_id < 8"), dim=64, k=5)
+
+
+def _text_tokens(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.token_count(_docs(spark, sf_dir))
+
+
+def _text_quality(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.quality_score(_docs(spark, sf_dir))
+
+
+def _text_langid(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.lang_id(_docs(spark, sf_dir))
+
+
+def _text_fingerprint(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.fingerprint(_docs(spark, sf_dir))
+
+
+def _multimodal_meta(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fossil_spark.operators import multimodal
+
+    binary = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    return multimodal.decode_image_meta(binary)
+
+
 def _fql_sample_greedy(spark, sf_dir):
     from datetime import timedelta
 
@@ -211,6 +341,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _tpch("q5_local_supplier_volume"),
         "tpch_q6": _tpch("q6_forecast_revenue"),
         "tpch_q10": _tpch("q10_returned_items"),
+        # --- E. LLM-data-pipeline operators ---------------------------------
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash": _dedup_minhash,
+        "dedup_ngram": _dedup_ngram,
+        "dedup_simhash": _dedup_simhash,
+        "ann_bruteforce": _ann_bruteforce,
+        "ann_lsh": _ann_lsh,  # rows-only: recall vs exact checked in tests
+        "text_tokens": _text_tokens,
+        "text_quality": _text_quality,
+        "text_langid": _text_langid,
+        "text_fingerprint": _text_fingerprint,
+        "multimodal_meta": _multimodal_meta,
     }
 
 
@@ -385,5 +527,81 @@ def oracle_sql() -> dict[str, str]:
             " AND o_orderdate < TIMESTAMP '1995-04-01'"
             " GROUP BY c_custkey, c_name, c_acctbal, n_name"
             " ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        # --- E. LLM-data-pipeline operators ---------------------------------
+        "dedup_exact": (
+            r"SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,"
+            " min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1"
+        ),
+        "dedup_minhash": (
+            f"WITH {_MINHASH_CTES} SELECT doc_a, doc_b FROM pairs"
+        ),
+        "dedup_ngram": (
+            f"WITH {_MINHASH_CTES},"
+            " c AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),"
+            " inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter FROM pairs p"
+            "  JOIN sh s1 ON s1.doc_id = p.doc_a"
+            "  JOIN sh s2 ON s2.doc_id = p.doc_b AND s2.shingle = s1.shingle"
+            "  GROUP BY 1, 2)"
+            " SELECT i.doc_a, i.doc_b,"
+            " i.n_inter::DOUBLE / (ca.n + cb.n - i.n_inter) AS jaccard"
+            " FROM inter i JOIN c ca ON ca.doc_id = i.doc_a"
+            " JOIN c cb ON cb.doc_id = i.doc_b"
+        ),
+        "dedup_simhash": _simhash_sql(16),
+        "ann_bruteforce": (
+            "SELECT q.vec_id AS query_id, c.vec_id,"
+            " round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+            " CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim,"
+            " row_number() OVER (PARTITION BY q.vec_id ORDER BY"
+            " round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+            " CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank"
+            " FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id"
+            " WHERE q.vec_id < 8"
+            " QUALIFY rank <= 5"
+        ),
+        "text_tokens": (
+            f"SELECT doc_id, len({_TOKS}) AS n_tokens,"
+            f" list_sum(list_transform({_TOKS}, x -> (len(x)+3)//4)) AS n_subword_est,"
+            " len(text) AS n_chars FROM documents"
+        ),
+        "text_quality": (
+            f"WITH t AS (SELECT doc_id, text, {_TOKS} w FROM documents)"
+            " SELECT doc_id, len(w) AS n_tokens,"
+            r" len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE / len(text) AS punct_ratio,"
+            f" len(list_filter(w, x -> list_contains({_EN_SW}, x)))::DOUBLE / len(w)"
+            "  AS stopword_ratio,"
+            " list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w) AS mean_word_len,"
+            " 0.4 * (len(list_filter(w, x -> list_contains(" + _EN_SW + ", x)))::DOUBLE / len(w))"
+            " + 0.4 * (1.0 - abs(list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w)"
+            "  - 5.0) / 5.0)"
+            r" + 0.2 * (1.0 - len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE / len(text))"
+            " AS quality FROM t"
+        ),
+        "text_langid": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} w FROM documents)"
+            f" SELECT doc_id, {_sw_ratio('en')} AS ratio_en, {_sw_ratio('de')} AS ratio_de,"
+            f" {_sw_ratio('fr')} AS ratio_fr, {_sw_ratio('es')} AS ratio_es,"
+            f" CASE WHEN greatest({_sw_ratio('en')}, {_sw_ratio('de')}, {_sw_ratio('fr')},"
+            f" {_sw_ratio('es')}) = 0.0 THEN 'other'"
+            f" WHEN {_sw_ratio('en')} = greatest({_sw_ratio('en')}, {_sw_ratio('de')},"
+            f" {_sw_ratio('fr')}, {_sw_ratio('es')}) THEN 'en'"
+            f" WHEN {_sw_ratio('de')} = greatest({_sw_ratio('en')}, {_sw_ratio('de')},"
+            f" {_sw_ratio('fr')}, {_sw_ratio('es')}) THEN 'de'"
+            f" WHEN {_sw_ratio('fr')} = greatest({_sw_ratio('en')}, {_sw_ratio('de')},"
+            f" {_sw_ratio('fr')}, {_sw_ratio('es')}) THEN 'fr'"
+            " ELSE 'es' END AS pred_lang FROM t"
+        ),
+        "text_fingerprint": (
+            f"WITH {_SHINGLE_CTES},"
+            " g AS (SELECT doc_id, min(md5(shingle)) AS fingerprint, count(*) AS n_shingles"
+            " FROM sh GROUP BY 1) SELECT * FROM g"
+        ),
+        "multimodal_meta": (
+            "SELECT doc_id, strlen(text)::BIGINT AS n_bytes, md5(text) AS content_md5,"
+            " ('0x' || substr(md5(text),1,2))::INT + 1 AS width,"
+            " ('0x' || substr(md5(text),3,2))::INT + 1 AS height,"
+            " CASE WHEN ('0x' || substr(md5(text),5,1))::INT % 2 = 0 THEN 'RGB' ELSE 'L' END"
+            " AS mode FROM documents"
         ),
     }

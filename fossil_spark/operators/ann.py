@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: brute-force baseline. The query set is broadcast, the
+  corpus streams through one whole-stage-codegen pass (zip_with +
+  aggregate are JVM-side higher-order functions, no Python). Cost is
+  O(|corpus| * |queries|) — correct baseline, not the scale path.
+- lsh_ann: random-hyperplane LSH bucketing. Candidates come from an
+  equi-join on bucket signature, so cost is O(|corpus|) + bucket-local
+  scoring. Hyperplanes are md5-seeded — deterministic, no state to
+  ship. Recall is tunable via planes/tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector (self-matches
+    excluded). Scores are rounded so ranking ties break on id
+    deterministically regardless of float summation order."""
+    q = broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("__qv"), F.col("__cv")), round_to).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane weights from
+    md5 — reproducible on any engine/cluster without shipping state."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"{plane},{d}".encode()).hexdigest()[:8]
+        out.append(int(h, 16) / 0xFFFFFFFF * 2.0 - 1.0)
+    return out
+
+
+def lsh_signature(vec: Column, dim: int, planes: int = 8, table: int = 0) -> Column:
+    """Bit-signature of a vector: sign of the dot product with each of
+    `planes` md5-seeded hyperplanes, packed into a long. Each `table`
+    gets independent hyperplanes (seeded by table index)."""
+    sig = F.lit(0).cast("long")
+    for p in range(planes):
+        w = F.array([F.lit(x) for x in _hyperplane(table * 1000 + p, dim)])
+        dot = _dot(vec, w)
+        sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    planes: int = 4,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors that share a bucket
+    with the query in ANY of `tables` independent hyperplane tables
+    (standard multi-table LSH: each table has 2^planes buckets; more
+    tables -> higher recall, more candidates).
+
+    At scale the bucket equi-join replaces the full cross product:
+    expected candidates per query ~ tables * |corpus| / 2^planes. One
+    explode (corpus x tables) + one join keyed by (table, bucket)."""
+    sigs = [
+        F.struct(
+            F.lit(t).alias("table"),
+            lsh_signature(F.col("__v"), dim, planes, t).alias("bucket"),
+        )
+        for t in range(tables)
+    ]
+    c = (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+        .select(id_col, "__v", F.explode(F.array(*sigs)).alias("tb"))
+        .select(id_col, F.col("__v").alias("__cv"), "tb.table", "tb.bucket")
+    )
+    q = broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .select("query_id", "__v", F.explode(F.array(*sigs)).alias("tb"))
+        .select("query_id", F.col("__v").alias("__qv"), "tb.table", "tb.bucket")
+    )
+    candidates = (
+        c.join(q, ["table", "bucket"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, "__qv", "__cv")
+        .dropDuplicates(["query_id", id_col])
+    )
+    scored = candidates.select(
+        "query_id",
+        id_col,
+        F.round(cosine(F.col("__qv"), F.col("__cv")), round_to).alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

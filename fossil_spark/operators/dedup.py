@@ -1,0 +1,176 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest to most thorough:
+
+1. exact_dedup            — hash-groupBy on normalized text
+2. minhash_lsh_pairs      — MinHash signatures + banded LSH join
+3. ngram_jaccard_pairs    — exact Jaccard verification of candidates
+4. simhash                — near-dup fingerprint (Hamming-comparable)
+
+Scale design: near-dup detection never materializes the O(n²) pair
+space — candidates come from equi-joins on (band, band_hash) buckets,
+so the shuffle is keyed by bucket and AQE's skew handling splits hot
+buckets (e.g. boilerplate shingles). All hashes are md5-based:
+deterministic across engines, partitionings, and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fossil_spark.operators.text import shingles
+
+
+def normalize_text(c: Column) -> Column:
+    """Lowercase, trim, collapse internal whitespace."""
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: one row per distinct normalized text
+    with the kept (minimum) id and the duplicate count. One shuffle on
+    the 128-bit hash; partial agg map-side."""
+    h = F.md5(normalize_text(F.col(text_col)))
+    return (
+        df.groupBy(h.alias("text_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: for each of `num_hashes` seeded
+    hash functions, the minimum md5(seed || shingle). Returns
+    (id, seed, minhash)."""
+    sh = _exploded_shingles(df, text_col, id_col, shingle_n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        sh.select(F.col(id_col), F.col("shingle"), seeds)
+        .groupBy(id_col, "seed")
+        .agg(
+            F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))))
+            .alias("minhash")
+        )
+    )
+
+
+def lsh_bands(
+    signatures: DataFrame, id_col: str = "doc_id", rows_per_band: int = 2
+) -> DataFrame:
+    """Fold signatures into LSH bands: band_hash = md5 of the band's
+    minhashes in seed order. Two docs sharing any (band, band_hash)
+    bucket are near-dup candidates."""
+    return (
+        signatures.groupBy(id_col, (F.col("seed") / rows_per_band).cast("int").alias("band"))
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda x: x.minhash,
+                    ),
+                    "|",
+                )
+            ).alias("band_hash")
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+    Equi-join on bucket — no O(n²) pair enumeration."""
+    bands = lsh_bands(
+        minhash_signatures(df, text_col, id_col, num_hashes, shingle_n),
+        id_col,
+        rows_per_band,
+    )
+    a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_hash")
+    b = bands.select(F.col(id_col).alias("doc_b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+    Intersection via shingle equi-join (shuffle keyed by shingle),
+    never a cross join."""
+    sh = _exploded_shingles(df, text_col, id_col, shingle_n)
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle"))
+    inter = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """SimHash fingerprint: per token, a md5-derived integer; per bit,
+    the sign of the weighted bit-vote over all tokens (with
+    multiplicity). Near-dups have small Hamming distance. One explode
+    + one groupBy with `bits` vote aggregates — no per-bit explode."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    votes = [
+        F.sum(
+            (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sim = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select(id_col, sim.cast("long").alias("simhash"))

@@ -1,0 +1,126 @@
+"""Text-analysis operators for training-data pipelines.
+
+All operators are pure Column expressions (JVM-side, whole-stage
+codegen, no Python in the hot path) and deterministic: hashes are
+md5-based so results are engine- and partitioning-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small, fixed stopword families for the language-ID heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "dans", "que"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "no"],
+}
+
+
+def tokens(text_col: Column) -> Column:
+    """Whitespace tokenization (matches regexp_split_to_array '\\s+')."""
+    return F.split(F.trim(text_col), r"\s+")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword estimate
+    (word-piece boundaries at letter/digit transitions + ~4 chars per
+    piece, a standard cheap proxy for byte-pair-encoded length)."""
+    t = tokens(F.col(text_col))
+    n_ws = F.size(t)
+    # pieces: every run of letters or digits counts, long words count
+    # ceil(len/4) pieces — all integer math, exact in any engine
+    word_pieces = F.aggregate(
+        t,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.floor((F.length(w) + F.lit(3)) / F.lit(4)).cast("long"),
+    )
+    return df.select(
+        "doc_id",
+        n_ws.alias("n_tokens"),
+        word_pieces.alias("n_subword_est"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality heuristics: length, punctuation density, stopword ratio,
+    mean word length, and a combined score in [0,1]."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^\w\s]"), 0))
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    sum_word_len = F.aggregate(t, F.lit(0), lambda acc, w: acc + F.length(w))
+    punct_ratio = n_punct.cast("double") / n_chars
+    stop_ratio = n_stop.cast("double") / n
+    mean_word_len = sum_word_len.cast("double") / n
+    # score: reward stopwords and moderate word length, punish punctuation
+    score = (
+        F.lit(0.4) * stop_ratio
+        + F.lit(0.4) * (F.lit(1.0) - F.abs(mean_word_len - F.lit(5.0)) / F.lit(5.0))
+        + F.lit(0.2) * (F.lit(1.0) - punct_ratio)
+    )
+    return df.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: stopword-family hit ratio per language,
+    argmax with a fixed preference order on ties (en,de,fr,es,other)."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    ratios = {}
+    for lang, words in STOPWORDS.items():
+        sw = F.array([F.lit(w) for w in words])
+        ratios[lang] = (
+            F.size(F.filter(t, lambda x: F.array_contains(sw, x))).cast("double") / n
+        )
+    best = F.greatest(*ratios.values())
+    pred = (
+        F.when(best == F.lit(0.0), F.lit("other"))
+        .when(ratios["en"] == best, F.lit("en"))
+        .when(ratios["de"] == best, F.lit("de"))
+        .when(ratios["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return df.select(
+        "doc_id",
+        *[r.alias(f"ratio_{lang}") for lang, r in ratios.items()],
+        pred.alias("pred_lang"),
+    )
+
+
+def shingles(text_col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles; a document shorter than n words yields a
+    single whole-text shingle."""
+    w = tokens(text_col)
+    k = F.size(w)
+    return F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(1), k - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(w, " ")))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Document fingerprint: minimum md5 over word n-gram shingles
+    (the k=1 winnow of a rolling-hash fingerprint family) plus the
+    distinct-shingle count."""
+    sh = F.array_distinct(shingles(F.col(text_col), n))
+    return df.select(
+        "doc_id",
+        F.array_min(F.transform(sh, F.md5)).alias("fingerprint"),
+        F.size(sh).alias("n_shingles"),
+    )

@@ -187,6 +187,42 @@ def _tpch(fn_name: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+# --- B. store / commands parity ---------------------------------------------
+
+def _store_list_topics(spark, sf_dir):
+    """LIST topics (docs/cli.md) over the events store view."""
+    return events_store_view(spark, sf_dir).select("topic").distinct()
+
+
+def _store_stats(spark, sf_dir):
+    """STATS (docs/cli.md): per-topic count + time span."""
+    from pyspark.sql import functions as F
+
+    return (
+        events_store_view(spark, sf_dir)
+        .groupBy("topic")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("time").alias("first_time"),
+            F.max("time").alias("last_time"),
+        )
+    )
+
+
+def _schema_validate(spark, sf_dir):
+    """Append-time schema validation: events.props vs composite
+    schema '{"k": int32}' (docs/schema.md)."""
+    from fossil_spark.schema import parse_schema, validate
+
+    ev = _events(spark, sf_dir).select("event_id", "props")
+    out = validate(ev, parse_schema('{"k": int32}'), value_col="props")
+    from pyspark.sql import functions as F
+
+    return out.select(
+        "event_id", F.col("parsed").getField("k").alias("k"), "valid"
+    )
+
+
 # --- E. LLM-data-pipeline operators ----------------------------------------
 
 def _docs(spark, sf_dir):
@@ -341,6 +377,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _tpch("q5_local_supplier_volume"),
         "tpch_q6": _tpch("q6_forecast_revenue"),
         "tpch_q10": _tpch("q10_returned_items"),
+        # --- B. store / commands parity --------------------------------------
+        "store_list_topics": _store_list_topics,
+        "store_stats": _store_stats,
+        "schema_validate": _schema_validate,
         # --- E. LLM-data-pipeline operators ---------------------------------
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
@@ -527,6 +567,18 @@ def oracle_sql() -> dict[str, str]:
             " AND o_orderdate < TIMESTAMP '1995-04-01'"
             " GROUP BY c_custkey, c_name, c_acctbal, n_name"
             " ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        # --- B. store / commands parity --------------------------------------
+        "store_list_topics": f"SELECT DISTINCT topic FROM {s} t",
+        "store_stats": (
+            f"SELECT topic, count(*) AS n, min(time) AS first_time,"
+            f" max(time) AS last_time FROM {s} t GROUP BY topic"
+        ),
+        "schema_validate": (
+            "SELECT event_id,"
+            " CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,"
+            " CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL AS valid"
+            " FROM events"
         ),
         # --- E. LLM-data-pipeline operators ---------------------------------
         "dedup_exact": (

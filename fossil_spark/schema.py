@@ -1,0 +1,189 @@
+"""Fossil schema syntax → Spark types, plus topic-level schema registry.
+
+Grammar parity with /root/reference/docs/schema.md:
+
+    schema     = type / array / composite
+    type       = "string" / "binary" / fixed-type
+    fixed-type = "boolean" / "int8|16|32|64" / "uint8|16|32|64" /
+                 "float32" / "float64"
+    array      = "[" digits "]" fixed-type
+    composite  = "{" '"key"': value, ... "}"
+
+Mapping notes:
+- uintN maps to the next wider signed Spark type (Spark has no
+  unsigned integers); uint64 maps to decimal(20,0).
+- fossil arrays are fixed-length; Spark arrays are variable — the
+  declared length is enforced by validate(), not by the type.
+- composites become StructType (values may be anything but another
+  composite, as in the reference).
+
+The registry mirrors the reference's topic hierarchy rule
+(docs/schema.md, db.go:88 parentSchema): a topic inherits the nearest
+ancestor schema, and conflicting sub-topic schemas are rejected.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class SchemaError(ValueError):
+    pass
+
+
+_SCALARS: dict[str, T.DataType] = {
+    "string": T.StringType(),
+    "binary": T.BinaryType(),
+    "boolean": T.BooleanType(),
+    "int8": T.ByteType(),
+    "int16": T.ShortType(),
+    "int32": T.IntegerType(),
+    "int64": T.LongType(),
+    "uint8": T.ShortType(),
+    "uint16": T.IntegerType(),
+    "uint32": T.LongType(),
+    "uint64": T.DecimalType(20, 0),
+    "float32": T.FloatType(),
+    "float64": T.DoubleType(),
+    # the reference CLI also accepts bare "float" (docs/schema.md table)
+    "float": T.DoubleType(),
+}
+
+_FIXED = {k for k in _SCALARS if k not in ("string", "binary", "float")}
+
+_ARRAY_RE = re.compile(r"^\[(\d+)\]\s*(\w+)$")
+
+
+@dataclass
+class FossilSchema:
+    """A parsed fossil schema: Spark type + array-length constraint."""
+    text: str
+    spark_type: T.DataType
+    array_len: int | None = None
+    entries: dict[str, "FossilSchema"] = field(default_factory=dict)
+
+
+def parse_schema(text: str) -> FossilSchema:
+    s = text.strip()
+    if not s:
+        raise SchemaError("empty schema")
+    if s.startswith("{"):
+        return _parse_composite(s)
+    m = _ARRAY_RE.match(s)
+    if m:
+        n, elem = int(m.group(1)), m.group(2)
+        if elem not in _FIXED:
+            raise SchemaError(
+                f"array element must be a fixed type, got {elem!r} "
+                "(string/binary/composite are variable-length)"
+            )
+        return FossilSchema(s, T.ArrayType(_SCALARS[elem]), array_len=n)
+    if s in _SCALARS:
+        return FossilSchema(s, _SCALARS[s])
+    raise SchemaError(f"unknown schema type {s!r}")
+
+
+def _parse_composite(s: str) -> FossilSchema:
+    body = s.strip()
+    if not body.startswith("{") or not body.endswith("}"):
+        raise SchemaError("composite must be wrapped in { }")
+    inner = body[1:-1].strip()
+    entries: dict[str, FossilSchema] = {}
+    # entries are '"key": value' separated by commas; array values
+    # contain no commas and keys are quoted, so a regex split is safe
+    for part in filter(None, (p.strip() for p in inner.split(","))):
+        m = re.match(r'^"([\w\-]+)"\s*:\s*(.+)$', part)
+        if not m:
+            raise SchemaError(f"bad composite entry {part!r}")
+        key, val = m.group(1), m.group(2).strip()
+        if val.startswith("{"):
+            raise SchemaError("composite values cannot be composites")
+        entries[key] = parse_schema(val)
+    if not entries:
+        raise SchemaError("empty composite")
+    struct = T.StructType(
+        [T.StructField(k, v.spark_type) for k, v in entries.items()]
+    )
+    return FossilSchema(s, struct, entries=entries)
+
+
+def validate(df: DataFrame, schema: FossilSchema, value_col: str = "value") -> DataFrame:
+    """Split a raw (string-typed) value column into conforming/
+    rejected, mirroring the reference's append-time validation
+    (db.go:486: datum not matching the topic schema are rejected).
+
+    Returns the input with two extra columns: `parsed` (typed value or
+    null) and `valid` (boolean). Cast-based: stays in codegen."""
+    c = F.col(value_col)
+    st = schema.spark_type
+    if isinstance(st, T.StructType):
+        parsed = F.from_json(c, st)
+        # from_json is PERMISSIVE: garbage yields an all-null struct, so
+        # conformance means every declared field parsed non-null
+        valid = parsed.isNotNull()
+        for f_ in st.fields:
+            valid = valid & parsed.getField(f_.name).isNotNull()
+    elif isinstance(st, T.ArrayType):
+        parsed = F.from_json(c, st)
+        valid = parsed.isNotNull()
+        if schema.array_len is not None:
+            valid = valid & (F.size(parsed) == schema.array_len)
+    elif isinstance(st, (T.StringType, T.BinaryType)):
+        parsed = c.cast(st)
+        valid = c.isNotNull()
+    elif isinstance(st, T.BooleanType):
+        parsed = F.when(F.lower(c).isin("true", "false"), F.lower(c) == "true")
+        valid = parsed.isNotNull()
+    else:
+        # try_cast: null on non-conforming input (ANSI-safe)
+        parsed = c.try_cast(st)
+        valid = parsed.isNotNull()
+        if schema.text.startswith("uint"):
+            valid = valid & (parsed >= 0)
+    return df.withColumn("parsed", parsed).withColumn("valid", valid)
+
+
+class TopicRegistry:
+    """Topic → schema map with hierarchical inheritance and conflict
+    rejection (reference: docs/schema.md 'Schemas in the topic
+    hierarchy', db.go parentSchema)."""
+
+    DEFAULT = "string"
+
+    def __init__(self) -> None:
+        self._schemas: dict[str, FossilSchema] = {}
+
+    def set(self, topic: str, schema_text: str) -> FossilSchema:
+        schema = parse_schema(schema_text)
+        parent = self._nearest_ancestor(topic)
+        if parent is not None and parent.text != schema.text:
+            raise SchemaError(
+                f"topic {topic!r} inherits schema {parent.text!r} from an "
+                "ancestor; conflicting sub-topic schemas are not allowed"
+            )
+        self._schemas[self._norm(topic)] = schema
+        return schema
+
+    def get(self, topic: str) -> FossilSchema:
+        found = self._nearest_ancestor(topic, include_self=True)
+        return found if found is not None else parse_schema(self.DEFAULT)
+
+    def _norm(self, topic: str) -> str:
+        t = topic.rstrip("/")
+        return t if t.startswith("/") else "/" + t
+
+    def _nearest_ancestor(self, topic: str, include_self: bool = False) -> FossilSchema | None:
+        t = self._norm(topic)
+        parts = t.split("/")
+        candidates = ["/".join(parts[:i]) or "/" for i in range(len(parts), 1, -1)]
+        if not include_self:
+            candidates = candidates[1:]
+        for cand in candidates:
+            if cand in self._schemas:
+                return self._schemas[cand]
+        return None

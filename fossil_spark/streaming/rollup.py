@@ -1,0 +1,36 @@
+"""Live windowed rollups over a store-contract stream.
+
+Watermarked tumbling-window aggregation — the streaming dual of
+operators.timeseries.resample. Late data within the watermark is
+folded into the right bucket; output mode `update` emits revisions,
+`append` emits finalized windows only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_rollup(
+    stream: DataFrame,
+    every: str = "1 hour",
+    watermark: str = "2 hours",
+    time_col: str = "time",
+    key_col: str = "topic",
+    value_col: str = "value",
+) -> DataFrame:
+    """Counts + decimal-accumulated mean per (window, key). The state
+    store holds one row per open window per key; the watermark bounds
+    state size — mandatory for an unbounded stream."""
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), every).start.alias("bucket"), key_col)
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.col(value_col).cast("decimal(30,8)")).cast("double")
+                / F.count(value_col)
+            ).alias("avg_value"),
+        )
+    )

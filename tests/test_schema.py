@@ -1,0 +1,105 @@
+"""Schema grammar, validation, and topic-hierarchy rules (mirrors the
+reference's docs/schema.md semantics)."""
+
+import pytest
+from hypothesis import given, strategies as st
+from pyspark.sql import types as T
+
+from fossil_spark.schema import (
+    FossilSchema, SchemaError, TopicRegistry, parse_schema, validate,
+)
+
+
+def test_scalar_types():
+    assert parse_schema("string").spark_type == T.StringType()
+    assert parse_schema("binary").spark_type == T.BinaryType()
+    assert parse_schema("boolean").spark_type == T.BooleanType()
+    assert parse_schema("int8").spark_type == T.ByteType()
+    assert parse_schema("int64").spark_type == T.LongType()
+    assert parse_schema("uint16").spark_type == T.IntegerType()
+    assert parse_schema("uint64").spark_type == T.DecimalType(20, 0)
+    assert parse_schema("float32").spark_type == T.FloatType()
+    assert parse_schema("float64").spark_type == T.DoubleType()
+
+
+def test_array_types():
+    s = parse_schema("[4]int32")
+    assert s.spark_type == T.ArrayType(T.IntegerType())
+    assert s.array_len == 4
+
+
+def test_array_rejects_variable_length_elements():
+    with pytest.raises(SchemaError):
+        parse_schema("[4]string")
+    with pytest.raises(SchemaError):
+        parse_schema("[2]binary")
+
+
+def test_composite():
+    s = parse_schema('{"coordinates": [2]int32, "action": string}')
+    assert isinstance(s.spark_type, T.StructType)
+    assert s.spark_type.fieldNames() == ["coordinates", "action"]
+    assert s.entries["coordinates"].array_len == 2
+
+
+def test_composite_rejects_nested_composite():
+    with pytest.raises(SchemaError):
+        parse_schema('{"a": {"b": int8}}')
+
+
+def test_unknown_type():
+    with pytest.raises(SchemaError):
+        parse_schema("quux")
+
+
+@given(st.sampled_from(["int8", "int16", "int32", "int64"]),
+       st.integers(min_value=1, max_value=64))
+def test_array_roundtrip_property(elem, n):
+    s = parse_schema(f"[{n}]{elem}")
+    assert s.array_len == n
+
+
+def test_validate_int(spark):
+    df = spark.createDataFrame(
+        [("1",), ("notanint",), ("-5",)], "value string"
+    )
+    out = validate(df, parse_schema("int32")).collect()
+    by_val = {r["value"]: r["valid"] for r in out}
+    assert by_val == {"1": True, "notanint": False, "-5": True}
+
+
+def test_validate_uint_rejects_negative(spark):
+    df = spark.createDataFrame([("5",), ("-5",)], "value string")
+    out = {r["value"]: r["valid"] for r in validate(df, parse_schema("uint8")).collect()}
+    assert out == {"5": True, "-5": False}
+
+
+def test_validate_array_length(spark):
+    df = spark.createDataFrame([("[1,2]",), ("[1,2,3]",)], "value string")
+    out = {r["value"]: r["valid"] for r in
+           validate(df, parse_schema("[2]int32")).collect()}
+    assert out == {"[1,2]": True, "[1,2,3]": False}
+
+
+def test_validate_composite(spark):
+    df = spark.createDataFrame(
+        [('{"coordinates": [1, 2], "action": "move"}',), ("junk",)], "value string"
+    )
+    schema = parse_schema('{"coordinates": [2]int32, "action": string}')
+    out = {r["value"]: r["valid"] for r in validate(df, schema).collect()}
+    assert out['{"coordinates": [1, 2], "action": "move"}'] is True
+    assert out["junk"] is False
+
+
+def test_topic_registry_inheritance():
+    reg = TopicRegistry()
+    reg.set("/sensors/temp", "float64")
+    # sub-topics inherit
+    assert reg.get("/sensors/temp/garage").text == "float64"
+    # same schema on sub-topic is fine
+    reg.set("/sensors/temp/garage", "float64")
+    # conflicting sub-topic schema is rejected (docs/schema.md)
+    with pytest.raises(SchemaError):
+        reg.set("/sensors/temp/attic", "int32")
+    # unrelated topics default to string
+    assert reg.get("/logs").text == "string"

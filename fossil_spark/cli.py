@@ -1,0 +1,114 @@
+"""Interactive client for fossil_spark stores — command parity with
+the reference CLI (/root/reference/docs/cli.md):
+
+    USE <db>            switch store (a directory of event stores)
+    LIST                list stores          LIST TOPICS   list topics
+    APPEND [<topic>] <data>                  append a datum (~now)
+    QUERY <fql>                              run an FQL query
+    STATS                                    per-topic stats
+
+Usage:  python -m fossil_spark.cli <root_dir> [--db default]
+Each logical database is a subdirectory of <root_dir> (mirrors the
+reference's `database.<name>` config blocks mapping to directories).
+"""
+
+from __future__ import annotations
+
+import os
+import shlex
+import sys
+from datetime import datetime, timezone
+
+from fossil_spark.session import get_spark
+from fossil_spark.store import EventStore
+
+
+class Client:
+    def __init__(self, root: str, db: str = "default"):
+        self.root = root
+        self.spark = get_spark("fossil_spark-cli")
+        self.spark.sparkContext.setLogLevel("ERROR")
+        self.db = db
+
+    @property
+    def store(self) -> EventStore:
+        return EventStore(self.spark, os.path.join(self.root, self.db))
+
+    def execute(self, line: str) -> str:
+        line = line.strip()
+        if not line:
+            return ""
+        cmd, _, rest = line.partition(" ")
+        cmd = cmd.lower()
+        try:
+            if cmd == "use":
+                self.db = rest.strip() or "default"
+                return f"201 database changed to {self.db}"
+            if cmd == "list":
+                if rest.strip().lower() == "topics":
+                    rows = self.store.topics().collect()
+                    return "\n".join(r["topic"] for r in rows) or "(no topics)"
+                if not os.path.isdir(self.root):
+                    return "(no databases)"
+                return "\n".join(sorted(
+                    d for d in os.listdir(self.root)
+                    if os.path.isdir(os.path.join(self.root, d))
+                )) or "(no databases)"
+            if cmd == "append":
+                parts = shlex.split(rest, posix=False)
+                if parts and parts[0].startswith("/"):
+                    topic, data = parts[0], rest.split(parts[0], 1)[1].strip()
+                else:
+                    topic, data = "/", rest
+                self.store.append_rows(
+                    [(datetime.now(timezone.utc).replace(tzinfo=None), topic, data)]
+                )
+                return "200 Ok"
+            if cmd == "query":
+                df = self.store.query(rest)
+                rows = df.limit(50).collect()
+                header = " | ".join(df.columns)
+                body = "\n".join(" | ".join(str(v) for v in r) for r in rows)
+                return f"{header}\n{body}" if rows else "(empty)"
+            if cmd == "stats":
+                rows = self.store.stats().collect()
+                return "\n".join(
+                    f"{r['topic']}: n={r['n']} span=[{r['first_time']} .. {r['last_time']}]"
+                    for r in rows
+                ) or "(empty database)"
+            if cmd in ("quit", "exit"):
+                raise EOFError
+            return f"400 unknown command {cmd!r} (use/list/append/query/stats)"
+        except EOFError:
+            raise
+        except Exception as e:  # surface engine errors like the reference does
+            return f"500 {type(e).__name__}: {e}"
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = argv if argv is not None else sys.argv[1:]
+    if not args:
+        print(__doc__)
+        return 2
+    root = args[0]
+    db = "default"
+    if "--db" in args:
+        db = args[args.index("--db") + 1]
+    client = Client(root, db)
+    print(f"fossil_spark client — database {db!r} at {root}")
+    while True:
+        try:
+            line = input("> ")
+        except EOFError:
+            print()
+            return 0
+        try:
+            out = client.execute(line)
+        except EOFError:
+            return 0
+        if out:
+            print(out)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

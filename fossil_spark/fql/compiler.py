@@ -53,21 +53,61 @@ _CMP = {
     "!=": lambda a, b: a != b,
 }
 
+# minimal static kinds, mirroring the reference's type analysis
+# (pkg/query/analysis/types.go): num / str / bool / other
+_NUM_DTYPES = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
 
-def compile_expr(e: ast.Expr, env: dict[str, list[str]]) -> Column:
+
+class _Typed:
+    """A compiled Column plus its static kind."""
+
+    def __init__(self, col: Column, kind: str):
+        self.col, self.kind = col, kind
+
+    def as_num(self) -> Column:
+        """Numeric view: string values coerce via try_cast (the
+        reference would reject string arithmetic at type-check time;
+        we are deliberately more permissive because the default topic
+        schema is string — docs/schema.md — and numeric pipelines over
+        string topics are the common CLI case. Garbage becomes null,
+        never a runtime crash)."""
+        if self.kind == "str":
+            return self.col.try_cast("double")
+        return self.col
+
+
+def _kind_of_dtype(dtype: str) -> str:
+    d = dtype.lower()
+    if d.startswith(_NUM_DTYPES):
+        return "num"
+    if d == "string":
+        return "str"
+    if d == "boolean":
+        return "bool"
+    return "other"
+
+
+def compile_expr(e: ast.Expr, env: dict[str, list[str]],
+                 kinds: dict[str, str] | None = None) -> Column:
+    return _compile_typed(e, env, kinds or {}).col
+
+
+def _compile_typed(e: ast.Expr, env: dict[str, list[str]],
+                   kinds: dict[str, str]) -> _Typed:
     """env maps identifier -> list of df column names (len 1 = scalar
-    binding, len>1 = tuple binding usable only via subscript)."""
+    binding, len>1 = tuple binding usable only via subscript); kinds
+    maps column name -> static kind for coercion decisions."""
     if isinstance(e, ast.Num):
-        return F.lit(e.value)
+        return _Typed(F.lit(e.value), "num")
     if isinstance(e, ast.Str):
-        return F.lit(e.value)
+        return _Typed(F.lit(e.value), "str")
     if isinstance(e, ast.Ident):
         cols = env.get(e.name)
         if cols is None:
             raise CompileError(f"unbound identifier {e.name!r}")
         if len(cols) != 1:
             raise CompileError(f"{e.name!r} is a tuple; subscript it ({e.name}[i])")
-        return F.col(cols[0])
+        return _Typed(F.col(cols[0]), kinds.get(cols[0], "other"))
     if isinstance(e, ast.Subscript):
         cols = env.get(e.base.name)
         if cols is None:
@@ -75,48 +115,63 @@ def compile_expr(e: ast.Expr, env: dict[str, list[str]]) -> Column:
         if isinstance(e.key, int):
             if e.key >= len(cols):
                 raise CompileError(f"tuple index {e.key} out of range for {e.base.name!r}")
-            return F.col(cols[e.key])
+            return _Typed(F.col(cols[e.key]), kinds.get(cols[e.key], "other"))
         # string subscript: composite field access on a struct column
         if len(cols) != 1:
             raise CompileError("string subscript requires a composite value")
-        return F.col(cols[0]).getField(e.key)
+        return _Typed(F.col(cols[0]).getField(e.key), "other")
     if isinstance(e, ast.Unary):
-        c = compile_expr(e.operand, env)
-        return -c if e.op == "-" else c
+        t = _compile_typed(e.operand, env, kinds)
+        return _Typed(-t.as_num() if e.op == "-" else t.as_num(), "num")
     if isinstance(e, ast.Binary):
-        left = compile_expr(e.left, env)
-        right = compile_expr(e.right, env)
+        left = _compile_typed(e.left, env, kinds)
+        right = _compile_typed(e.right, env, kinds)
         if e.op in _CMP:
-            return _CMP[e.op](left, right)
+            # mixed str/num comparison coerces the string side
+            if {left.kind, right.kind} == {"str", "num"}:
+                return _Typed(_CMP[e.op](left.as_num(), right.as_num()), "bool")
+            return _Typed(_CMP[e.op](left.col, right.col), "bool")
         if e.op == "+":
-            return left + right
+            if left.kind == "str" and right.kind == "str":
+                # string + string concatenates (types/value.go upcast)
+                return _Typed(F.concat(left.col, right.col), "str")
+            return _Typed(left.as_num() + right.as_num(), "num")
         if e.op == "-":
-            return left - right
+            return _Typed(left.as_num() - right.as_num(), "num")
         if e.op == "*":
-            return left * right
+            return _Typed(left.as_num() * right.as_num(), "num")
         if e.op == "/":
             # reference semantics: int/int -> float (types/value.go:426)
-            return left.cast("double") / right.cast("double")
+            return _Typed(
+                left.as_num().cast("double") / right.as_num().cast("double"), "num"
+            )
         raise CompileError(f"unknown operator {e.op!r}")
     if isinstance(e, ast.Call):
-        return _compile_builtin(e, env)
+        return _Typed(_compile_builtin(e, env, kinds), "num")
     if isinstance(e, ast.Tuple):
-        return F.struct(*[compile_expr(x, env).alias(f"_{i}") for i, x in enumerate(e.elements)])
+        return _Typed(
+            F.struct(*[
+                _compile_typed(x, env, kinds).col.alias(f"_{i}")
+                for i, x in enumerate(e.elements)
+            ]),
+            "other",
+        )
     raise CompileError(f"cannot compile {type(e).__name__} here")
 
 
-def _compile_builtin(e: ast.Call, env: dict[str, list[str]]) -> Column:
+def _compile_builtin(e: ast.Call, env: dict[str, list[str]],
+                     kinds: dict[str, str]) -> Column:
     """Builtins per the reference's types/builtin.go (max, min over a
     tuple/array input) plus len() from docs/pipelines.md."""
     name = e.name
     if name in ("max", "min"):
         if isinstance(e.arg, ast.Tuple):
-            cols = [compile_expr(x, env) for x in e.arg.elements]
+            cols = [_compile_typed(x, env, kinds).as_num() for x in e.arg.elements]
             return F.greatest(*cols) if name == "max" else F.least(*cols)
-        arg = compile_expr(e.arg, env)
+        arg = _compile_typed(e.arg, env, kinds).col
         return F.array_max(arg) if name == "max" else F.array_min(arg)
     if name == "len":
-        arg = compile_expr(e.arg, env)
+        arg = _compile_typed(e.arg, env, kinds).col
         return F.length(arg)
     raise CompileError(f"unknown builtin {name!r}")
 
@@ -262,16 +317,21 @@ def compile_query(
     return plan.df.select(*out)
 
 
+def _kinds_of(df: DataFrame, cols: list[str]) -> dict[str, str]:
+    return {c: _kind_of_dtype(df.schema[c].dataType.simpleString()) for c in cols}
+
+
 def _apply_stage(plan: _Plan, stage: ast.Stage, time_col: str, topic_col: str) -> _Plan:
     if stage.kind == "filter":
         env = _bind(stage.args, plan.value_cols)
-        pred = compile_expr(stage.expr, env)
+        pred = compile_expr(stage.expr, env, _kinds_of(plan.df, plan.value_cols))
         return _Plan(plan.df.filter(pred), plan.value_cols, plan.display, plan.scalar)
 
     if stage.kind == "map":
         env = _bind(stage.args, plan.value_cols)
         exprs, display = _stage_outputs(stage.expr)
-        cols = [compile_expr(e, env).alias(f"__v{i}") for i, e in enumerate(exprs)]
+        kinds = _kinds_of(plan.df, plan.value_cols)
+        cols = [compile_expr(e, env, kinds).alias(f"__v{i}") for i, e in enumerate(exprs)]
         keep = [] if plan.scalar else [F.col(time_col), F.col(topic_col)]
         df = plan.df.select(*keep, *cols)
         return _Plan(df, [f"__v{i}" for i in range(len(cols))], display, plan.scalar)
@@ -285,11 +345,9 @@ def _apply_stage(plan: _Plan, stage: ast.Stage, time_col: str, topic_col: str) -
         for i, e in enumerate(exprs):
             m = _match_reduce_element(e, a, b)
             if m is None:
-                raise CompileError(
-                    "reduce expression must be an associative fold of the two "
-                    "arguments (a+b, a*b, max((a,b)), min((a,b)), element-wise "
-                    f"on tuples); got element {i}: {e!r}"
-                )
+                # not an associative aggregate shape: exact sequential
+                # fold (matches the reference's stream semantics)
+                return _reduce_fallback(plan, stage, exprs, display, time_col, topic_col)
             agg_name, idx = m
             n_elems = len(plan.value_cols)
             if idx is None and n_elems != 1:
@@ -300,6 +358,50 @@ def _apply_stage(plan: _Plan, stage: ast.Stage, time_col: str, topic_col: str) -
         return _Plan(df, [f"__v{i}" for i in range(len(aggs))], display, scalar=True)
 
     raise CompileError(f"unknown stage kind {stage.kind!r}")
+
+
+def _reduce_fallback(
+    plan: _Plan,
+    stage: ast.Stage,
+    exprs: list[ast.Expr],
+    display: list[str],
+    time_col: str,
+    topic_col: str,
+) -> _Plan:
+    """Slow-path reduce: a sequential left fold in stream order
+    (time, topic) — exactly the reference's pipeline semantics
+    (plan/reduce.go folds the channel in arrival order). This is the
+    only FQL path that pulls data through Python; it exists for parity
+    with non-associative expressions, and its docstring is its warning
+    label. Executed via a single sorted partition, not a driver
+    collect, so it still streams through an executor."""
+    from fossil_spark.fql.interp import eval_expr
+
+    a, b = stage.args
+    n = len(plan.value_cols)
+    order = [time_col, topic_col] if not plan.scalar else []
+    src = plan.df.select(*order, *plan.value_cols)
+    if order:
+        src = src.orderBy(*order)
+
+    def fold(rows):
+        acc = None
+        for row in rows:
+            vals = tuple(row[-n:]) if n > 1 else row[-1]
+            if acc is None:
+                acc = vals
+            else:
+                out = tuple(
+                    eval_expr(e, {a: acc, b: vals}) for e in exprs
+                )
+                acc = out if n > 1 or len(exprs) > 1 else out[0]
+        if acc is not None:
+            yield tuple(acc) if isinstance(acc, tuple) else (acc,)
+
+    folded = src.rdd.coalesce(1).mapPartitions(fold)
+    spark = plan.df.sparkSession
+    out_df = spark.createDataFrame(folded, [f"__v{i}" for i in range(len(exprs))])
+    return _Plan(out_df, [f"__v{i}" for i in range(len(exprs))], display, scalar=True)
 
 
 def fql(

@@ -1,0 +1,58 @@
+"""CLI command parity (docs/cli.md): use/list/append/query/stats."""
+
+import os
+import shutil
+import uuid
+
+import pytest
+
+from fossil_spark.cli import Client
+
+
+@pytest.fixture()
+def client(spark):
+    root = os.path.join("build", f"cli_test_{uuid.uuid4().hex[:8]}")
+    os.makedirs(root)
+    c = Client(root)
+    yield c
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_cli_roundtrip(client):
+    assert client.execute("use events").startswith("201")
+    assert client.execute("append /logs something happened") == "200 Ok"
+    assert client.execute("append /logs/web GET /index") == "200 Ok"
+    assert client.execute("append bare data on root topic") == "200 Ok"
+
+    topics = client.execute("list topics")
+    assert "/logs" in topics and "/logs/web" in topics and "/" in topics
+
+    dbs = client.execute("list")
+    assert "events" in dbs
+
+    out = client.execute("query all in /logs")
+    assert "something happened" in out and "GET /index" in out
+
+    out = client.execute("query all in /logs | map log -> len(log)")
+    assert "18" in out  # len("something happened")
+
+    stats = client.execute("stats")
+    assert "/logs:" in stats
+
+
+def test_cli_len_exact(client):
+    client.execute("use lentest")
+    client.execute("append /x abcde")
+    out = client.execute("query all | map s -> len(s)")
+    assert out.splitlines()[1].split(" | ")[-1] == "5"
+
+
+def test_cli_errors_are_messages(client):
+    out = client.execute("query frobnicate")
+    assert out.startswith("500")
+    out = client.execute("wat")
+    assert out.startswith("400")
+    # query on an empty store errors gracefully, not a traceback
+    client.execute("use emptydb")
+    out = client.execute("query all")
+    assert out.startswith("500") or out == "(empty)"

@@ -129,6 +129,21 @@ def test_filter_on_mapped_tuple(store):
     assert got == want > 0
 
 
+def test_reduce_fallback_sequential(spark):
+    # non-associative reduce folds left in (time, topic) order, matching
+    # the reference's stream semantics
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, 0, i), "/t", float(i)) for i in range(1, 6)],
+        "time timestamp, topic string, value double",
+    )
+    out = fql(df, "all | reduce a, b -> a - b", now=FIXED_NOW)
+    assert out.collect()[0]["value"] == ((((1 - 2) - 3) - 4) - 5)
+    out2 = fql(df, "all | map x -> x, x | reduce a, b -> a[0] - b[0], a[1] + b[1]",
+               now=FIXED_NOW)
+    row = out2.collect()[0]
+    assert (row["v0"], row["v1"]) == (-13.0, 15.0)
+
+
 def test_string_len_builtin(spark):
     df = spark.createDataFrame(
         [(datetime(2024, 1, 1), "/logs", "hello"), (datetime(2024, 1, 2), "/logs", "hi")],

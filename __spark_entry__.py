@@ -187,6 +187,15 @@ def _tpch(fn_name: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _analytics(fn_name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from fossil_spark.queries import analytics
+
+        return getattr(analytics, fn_name)(spark, sf_dir)
+
+    return run
+
+
 # --- B. store / commands parity ---------------------------------------------
 
 def _store_list_topics(spark, sf_dir):
@@ -377,6 +386,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _tpch("q5_local_supplier_volume"),
         "tpch_q6": _tpch("q6_forecast_revenue"),
         "tpch_q10": _tpch("q10_returned_items"),
+        # --- D2. analytical shapes -------------------------------------------
+        "win_running_revenue": _analytics("running_revenue"),
+        "agg_order_rollup": _analytics("order_rollup"),
+        "ts_rollup_cascade": _analytics("rollup_cascade"),
+        "agg_percentiles": _analytics("value_percentiles"),
+        "json_props_analysis": _analytics("props_analysis"),
+        "agg_dau_exact": _analytics("daily_active_users"),
+        "agg_dau_approx": _analytics("daily_active_users_approx"),  # rows-only: HLL sketch
         # --- B. store / commands parity --------------------------------------
         "store_list_topics": _store_list_topics,
         "store_stats": _store_stats,
@@ -567,6 +584,37 @@ def oracle_sql() -> dict[str, str]:
             " AND o_orderdate < TIMESTAMP '1995-04-01'"
             " GROUP BY c_custkey, c_name, c_acctbal, n_name"
             " ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        # --- D2. analytical shapes -------------------------------------------
+        "win_running_revenue": (
+            "SELECT o_custkey, o_orderkey, o_orderdate,"
+            " CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) OVER ("
+            " PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+            " ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue FROM orders"
+        ),
+        "agg_order_rollup": (
+            "SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,"
+            f" {_DSUM('o_totalprice')} AS total_revenue"
+            " FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"
+        ),
+        "ts_rollup_cascade": (
+            f"SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,"
+            f" count(*) AS n,"
+            f" CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS avg_value"
+            f" FROM {_EV} e GROUP BY 1, 2"
+        ),
+        "agg_percentiles": (
+            f"SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,"
+            f" round(quantile_cont(value, 0.95), 6) AS p95 FROM {_EV} e GROUP BY 1"
+        ),
+        "json_props_analysis": (
+            "SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER)"
+            " / 10) * 10 AS BIGINT) AS k_bucket, count(*) AS n"
+            " FROM events GROUP BY 1"
+        ),
+        "agg_dau_exact": (
+            f"SELECT date_trunc('day', ts) AS day, count(DISTINCT user_id) AS dau"
+            f" FROM {_EV} e GROUP BY 1"
         ),
         # --- B. store / commands parity --------------------------------------
         "store_list_topics": f"SELECT DISTINCT topic FROM {s} t",

@@ -1,0 +1,128 @@
+"""Analytical query shapes beyond the TPC-H set: window functions,
+multi-level rollups, percentiles, JSON property analysis, distinct
+counting. Each demonstrates a Spark plan pattern that matters at
+100 TB (commented per query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fossil_spark.queries.tpch import dsum
+from fossil_spark.session import read_table
+
+
+def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per customer over order dates. One shuffle on
+    custkey; the running sum is a single window pass within each key
+    (decimal accumulation: partition-order independent)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(30,8)")).over(w)
+        .cast("double")
+        .alias("cum_revenue"),
+    )
+
+
+def order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (status, priority): grand total, per-status, and
+    per-(status, priority) in ONE pass — Spark expands grouping sets
+    without rescanning the fact table."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_revenue"),
+        )
+    )
+
+
+def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascading rollup: 15-minute partial aggregates
+    re-aggregated to hourly — the continuous-aggregate pattern where
+    coarse resolutions reuse fine partials instead of rescanning raw
+    events. Correct because (sum, count) are decomposable; avg is
+    derived at the end."""
+    ev = read_table(spark, sf_dir, "events")
+    fine = (
+        ev.groupBy(
+            F.window("ts", "15 minutes").start.alias("bucket15"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,8)")).alias("sum_v"),
+        )
+    )
+    return (
+        fine.groupBy(
+            F.date_trunc("hour", "bucket15").alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            (F.sum("sum_v").cast("double") / F.sum("n")).alias("avg_value"),
+        )
+    )
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / p95 per event type. Exact percentile needs the
+    sorted group in memory — fine for low-cardinality keys; switch to
+    approx_percentile (t-digest sketch, mergeable map-side) for
+    high-cardinality keys at scale."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        )
+    )
+
+
+def props_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analysis: extract a JSON property from the
+    events payload and aggregate by decile bucket. The extraction is a
+    JVM-side expression (no Python); at scale, persistently-queried
+    keys should be materialized into columns at ingest."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select((F.floor(k / 10) * 10).alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per day. Exact distinct = shuffle on
+    (day, user); for 100 TB dashboards prefer approx_count_distinct
+    (HLL sketch, no second shuffle) — see daily_active_users_approx."""
+    ev = read_table(spark, sf_dir, "events")
+    # day as timestamp, not DATE: DATE round-trips differently through
+    # Arrow/pandas in different engines (oracle comparability)
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("dau"))
+    )
+
+
+def daily_active_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch DAU (rows-only check: sketch estimates are
+    engine-specific). The scale path: mergeable state, single shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("dau_approx"))
+    )

@@ -173,6 +173,9 @@ def _compile_builtin(e: ast.Call, env: dict[str, list[str]],
     if name == "len":
         arg = _compile_typed(e.arg, env, kinds).col
         return F.length(arg)
+    if name == "pow" and isinstance(e.arg, ast.Tuple) and len(e.arg.elements) == 2:
+        base, exp = (_compile_typed(x, env, kinds).as_num() for x in e.arg.elements)
+        return F.pow(base, exp)
     raise CompileError(f"unknown builtin {name!r}")
 
 

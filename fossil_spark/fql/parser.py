@@ -183,13 +183,19 @@ class _Parser:
         return Stage(kind, args, expr)
 
     def stage_body(self) -> Expr:
-        # composite: string ":" expr, ...
-        if self.peek().type == sc.STRING and self.toks[self.pos + 1].lexeme == ":":
+        # composite: key ":" expr, ... — keys may be quoted strings or
+        # bare identifiers (reference: MakeStringNodeFromID sugar)
+        if (
+            self.peek().type in (sc.STRING, sc.IDENT)
+            and self.toks[self.pos + 1].lexeme == ":"
+        ):
             entries = []
             while True:
-                key = self.expect(sc.STRING).lexeme
+                key = self.next()
+                if key.type not in (sc.STRING, sc.IDENT):
+                    raise ParseError(f"composite key must be a string, got {key.lexeme!r}")
                 self.expect(sc.OP, ":")
-                entries.append((key, self.expression()))
+                entries.append((key.lexeme, self.expression()))
                 if not self.accept(sc.OP, ","):
                     break
             return Composite(entries)
@@ -278,7 +284,9 @@ class _Parser:
                 sub = self.next()
                 if sub.type == sc.INTEGER:
                     key: int | str = int(sub.lexeme)
-                elif sub.type == sc.STRING:
+                elif sub.type in (sc.STRING, sc.IDENT):
+                    # bare identifiers act as string keys (reference:
+                    # MakeStringNodeFromID sugar, e.g. a[key])
                     key = sub.lexeme
                 else:
                     raise ParseError(f"subscript must be integer or string, got {sub.lexeme!r}")

@@ -77,6 +77,10 @@ def scan(text: str) -> list[Token]:
         # topic — only in topic-selector position (right after `in`),
         # so `5/9` and `x/y` in expressions scan as division
         if c == "/" and toks and toks[-1].type == KEYWORD and toks[-1].lexeme == "in":
+            # grammar: topic = "/" *(ALPHA ...) — the first segment must
+            # start with a letter (reference corpus: `all in /12` FAILs)
+            if i + 1 < n and text[i + 1].isdigit():
+                raise ScanError("topic segments must start with a letter", i)
             j = i + 1
             while j < n and (text[j].isalnum() or text[j] in "/_-"):
                 j += 1

@@ -1,0 +1,76 @@
+"""Plan-quality lint over every registered driver query.
+
+These are the scale guarantees the engine promises (SURVEY.md §4):
+no row-at-a-time Python in any hot path, filters reaching the scan,
+broadcast joins for dimension tables.
+"""
+
+import io
+import contextlib
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+# Python is sanctioned only in these (documented) places:
+#   - greedy sample: sequential reference parity (applyInPandas)
+#   - multimodal: Arrow-batched decode plumbing (mapInPandas)
+PYTHON_OK = {"fql_sample_greedy", "multimodal_meta"}
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("extended")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for key, fn in entry.queries().items():
+        out[key] = _plan_of(fn(spark, SF))
+    return out
+
+
+def test_no_row_python_udfs(plans):
+    for key, plan in plans.items():
+        if key in PYTHON_OK:
+            continue
+        assert "BatchEvalPython" not in plan, f"{key} uses a row-at-a-time Python UDF"
+        assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan, (
+            f"{key} unexpectedly routes through Python"
+        )
+
+
+def test_sanctioned_python_is_arrow_batched(plans):
+    assert "MapInPandas" in plans["multimodal_meta"]
+    assert "FlatMapGroupsInPandas" in plans["fql_sample_greedy"]
+    for key in PYTHON_OK:
+        assert "BatchEvalPython" not in plans[key]
+
+
+def test_tpch_filters_reach_scan(plans):
+    # lineitem date range must be in the scan's pushed filters
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plans["tpch_q6"].replace("\n", " ")
+    for key in ("tpch_q1", "tpch_q3", "tpch_q6"):
+        assert "PushedFilters" in plans[key]
+
+
+def test_tpch_dims_broadcast(plans):
+    for key in ("tpch_q3", "tpch_q5", "tpch_q10"):
+        assert "broadcast" in plans[key].lower(), f"{key} lost its broadcast hint"
+
+
+def test_store_scan_prunes_columns(spark):
+    # a 2-column FQL projection must not read all event columns
+    from fossil_spark.fql import fql
+    from fossil_spark.store import FIXED_NOW, events_store_view
+
+    df = fql(events_store_view(spark, SF), "all | map x -> x * 2", now=FIXED_NOW)
+    plan = _plan_of(df)
+    assert "event_id" not in plan.split("== Physical Plan ==")[-1], (
+        "scan reads columns the query never uses"
+    )

@@ -25,6 +25,35 @@ def read_json_dropbox(spark: SparkSession, source_dir: str) -> DataFrame:
     return spark.readStream.schema(INGEST_SCHEMA).json(source_dir)
 
 
+def read_socket(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """TCP fire-and-forget ingest — the reference's APPEND wire mode
+    (pkg/server fire-and-forget clients). Line protocol:
+
+        <topic> <data...>\\n     (topic optional; defaults to "/")
+
+    Arrival time is stamped server-side, like the reference's append
+    path. The socket source is not replayable, so this is at-most-once
+    (matching fire-and-forget semantics); use the file drop-box or a
+    replayable bus for exactly-once."""
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    first = F.split(F.col("value"), " ", 2).getItem(0)
+    is_topic = first.startswith("/")
+    return raw.select(
+        F.current_timestamp().alias("time"),
+        F.when(is_topic, first).otherwise(F.lit("/")).alias("topic"),
+        F.when(
+            is_topic, F.expr("substring(value, length(split(value, ' ', 2)[0]) + 2)")
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+
+
 def write_to_store(
     stream: DataFrame,
     store_root: str,

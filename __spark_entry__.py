@@ -178,6 +178,25 @@ def _ts_rate(spark, sf_dir):
     ).select("event_id", "rate_per_sec")
 
 
+def _fql_composite_subscript(spark, sf_dir):
+    """Composite datum values: events.props parsed as the composite
+    schema '{"k": int32}', then FQL subscripting (grammar: sub-value)."""
+    from pyspark.sql import functions as F
+
+    from fossil_spark.fql import fql
+
+    store = _events(spark, sf_dir).select(
+        F.col("ts").alias("time"),
+        F.concat(F.lit("/events/"), F.col("event_type")).alias("topic"),
+        F.from_json("props", "k int").alias("value"),
+    )
+    return fql(
+        store,
+        'all | filter x -> x["k"] >= 50 | map x -> "k2": x["k"] * 2, "cnt": 1',
+        now=NOW,
+    )
+
+
 def _tpch(fn_name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from fossil_spark.queries import tpch
@@ -370,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "all | map x -> 1, x | reduce a, b -> a[0] + b[0], a[1] + b[1] "
             "| map count, sum -> sum / count"
         ),
+        "fql_composite_subscript": _fql_composite_subscript,
         "fql_sample_greedy": _fql_sample_greedy,  # rows-only: sequential reference parity
         # --- C. time-series ------------------------------------------------
         "ts_resample": _ts_resample,
@@ -460,6 +480,13 @@ def oracle_sql() -> dict[str, str]:
         "fql_mapreduce_avg": (
             f"SELECT CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS value "
             f"FROM {s} t"
+        ),
+        "fql_composite_subscript": (
+            "SELECT CAST(ts AS TIMESTAMP) AS time,"
+            " '/events/' || event_type AS topic,"
+            " CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k2,"
+            " 1 AS cnt FROM events"
+            " WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50"
         ),
         # --- C. time-series (events view with ns->us cast, like Spark side) -
         "ts_resample": (

@@ -300,6 +300,25 @@ def _ann_lsh(spark, sf_dir):
     return ann.lsh_ann(emb, emb.filter("vec_id < 8"), dim=64, k=5)
 
 
+def _dedup_components(spark, sf_dir):
+    from fossil_spark.operators import dedup
+
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+    return dedup.connected_components(pairs)
+
+
+def _sample_hash_split(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.hash_split(_docs(spark, sf_dir))
+
+
+def _text_token_freq(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.token_frequency(_docs(spark, sf_dir), k=20)
+
+
 def _text_tokens(spark, sf_dir):
     from fossil_spark.operators import text
 
@@ -425,6 +444,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "ann_bruteforce": _ann_bruteforce,
         "ann_lsh": _ann_lsh,  # rows-only: recall vs exact checked in tests
+        "dedup_components": _dedup_components,
+        "sample_hash_split": _sample_hash_split,
+        "text_token_freq": _text_token_freq,
         "text_tokens": _text_tokens,
         "text_quality": _text_quality,
         "text_langid": _text_langid,
@@ -686,6 +708,31 @@ def oracle_sql() -> dict[str, str]:
             " FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id"
             " WHERE q.vec_id < 8"
             " QUALIFY rank <= 5"
+        ),
+        "dedup_components": (
+            f"WITH RECURSIVE {_MINHASH_CTES},"
+            " edges AS (SELECT doc_a a, doc_b b FROM pairs"
+            "  UNION SELECT doc_b, doc_a FROM pairs),"
+            " nodes AS (SELECT DISTINCT a AS node FROM edges),"
+            " reach(node, r) AS ("
+            "  SELECT node, node FROM nodes"
+            "  UNION"
+            "  SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r)"
+            " SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY 1"
+        ),
+        "sample_hash_split": (
+            "SELECT doc_id,"
+            " ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10"
+            "  AS bucket,"
+            " CASE WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT"
+            "  % 10 < 8 THEN 'train'"
+            " WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT"
+            "  % 10 < 9 THEN 'val' ELSE 'test' END AS split FROM documents"
+        ),
+        "text_token_freq": (
+            f"SELECT token, count(*) AS n FROM"
+            f" (SELECT unnest({_TOKS}) AS token FROM documents)"
+            " GROUP BY 1 ORDER BY n DESC, token LIMIT 20"
         ),
         "text_tokens": (
             f"SELECT doc_id, len({_TOKS}) AS n_tokens,"

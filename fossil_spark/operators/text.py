@@ -100,6 +100,40 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[int, int, int] = (8, 1, 1),
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: md5(salt:id) mod total
+    buckets. Stable across runs, engines, and cluster sizes — the
+    property a reproducible training pipeline needs (no RNG state)."""
+    total = sum(weights)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") % total
+    )
+    split = (
+        F.when(bucket < weights[0], F.lit("train"))
+        .when(bucket < weights[0] + weights[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select(id_col, bucket.alias("bucket"), split.alias("split"))
+
+
+def token_frequency(
+    df: DataFrame, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """Global top-k token frequencies (vocabulary head). One explode +
+    one count shuffle; ties break on the token for determinism."""
+    t = F.explode(tokens(F.col(text_col))).alias("token")
+    counts = df.select(t).groupBy("token").agg(F.count("*").alias("n"))
+    return counts.orderBy(F.col("n").desc(), "token").limit(k)
+
+
 def shingles(text_col: Column, n: int = 3) -> Column:
     """Word n-gram shingles; a document shorter than n words yields a
     single whole-text shingle."""

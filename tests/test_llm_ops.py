@@ -128,6 +128,38 @@ def test_ngram_jaccard(spark, docs):
         assert got[(a, b)] == j
 
 
+def test_connected_components(spark):
+    # two triangles + an isolated edge: components = min node id
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["component"] for r in
+           dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain(spark):
+    # a path graph needs label propagation across the full diameter
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["component"] for r in
+           dedup.connected_components(pairs).collect()}
+    assert set(got.values()) == {0}
+
+
+def test_hash_split_deterministic_and_partitioned(docs):
+    out1 = {r["doc_id"]: (r["bucket"], r["split"]) for r in
+            text.hash_split(docs).collect()}
+    out2 = {r["doc_id"]: (r["bucket"], r["split"]) for r in
+            text.hash_split(docs).collect()}
+    assert out1 == out2
+    splits = [s for _, s in out1.values()]
+    assert 0.6 < splits.count("train") / len(splits) < 0.95
+    assert set(splits) <= {"train", "val", "test"}
+
+
 def test_simhash_near_dup_property(spark, docs):
     out = dedup.simhash(docs).collect()
     sims = {r["doc_id"]: r["simhash"] for r in out}

@@ -178,6 +178,21 @@ def _ts_rate(spark, sf_dir):
     ).select("event_id", "rate_per_sec")
 
 
+def _ts_ohlc(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.ohlc(_events(spark, sf_dir), "1 hour", "ts", ["event_type"], "value",
+                   ["event_id"])
+
+
+def _ts_ewma(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.ewma(
+        _events(spark, sf_dir), 0.3, "ts", ["event_type"], "value", ["event_id"]
+    ).select("event_id", "ewma")
+
+
 def _fql_composite_subscript(spark, sf_dir):
     """Composite datum values: events.props parsed as the composite
     schema '{"k": int32}', then FQL subscripting (grammar: sub-value)."""
@@ -419,6 +434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_topk": _ts_topk,
         "ts_first_last": _ts_first_last,
         "ts_rate": _ts_rate,
+        "ts_ohlc": _ts_ohlc,
+        "ts_ewma": _ts_ewma,  # rows-only: sequential recurrence per key
         # --- D. relational analytics ----------------------------------------
         "tpch_q1": _tpch("q1_pricing_summary"),
         "tpch_q3": _tpch("q3_shipping_priority"),
@@ -575,6 +592,18 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT event_id, (value - lag(value) OVER w) /"
             f" ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1e6) AS rate_per_sec"
             f" FROM {_EV} e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)"
+        ),
+        "ts_ohlc": (
+            f"SELECT b AS bucket, event_type,"
+            f" max(CASE WHEN rn_a = 1 THEN value END) AS open,"
+            f" max(value) AS high, min(value) AS low,"
+            f" max(CASE WHEN rn_d = 1 THEN value END) AS close FROM ("
+            f" SELECT *, row_number() OVER (PARTITION BY b, event_type"
+            f" ORDER BY ts, event_id) rn_a,"
+            f" row_number() OVER (PARTITION BY b, event_type"
+            f" ORDER BY ts DESC, event_id DESC) rn_d FROM ("
+            f" SELECT *, time_bucket(INTERVAL 1 HOUR, ts) b FROM {_EV} e))"
+            f" GROUP BY 1, 2"
         ),
         # --- D. relational analytics ----------------------------------------
         # deterministic-sum pattern throughout: per-row double arithmetic,

@@ -290,6 +290,66 @@ def rate(
     )
 
 
+def ohlc(
+    df: DataFrame,
+    every: str,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Open/high/low/close bars per bucket per key — one groupBy pass
+    (open/close via struct-ordered min/max, high/low plain min/max)."""
+    by = by or []
+    bucket = F.window(F.col(time_col), every).start.alias("bucket")
+    order = [F.col(time_col)] + [F.col(c) for c in (tiebreak or [])]
+    struct = F.struct(*order, F.col(value_col).alias("__v"))
+    return (
+        df.groupBy(bucket, *by)
+        .agg(
+            F.min(struct).getField("__v").alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max(struct).getField("__v").alias("close"),
+        )
+    )
+
+
+def ewma(
+    df: DataFrame,
+    alpha: float,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key:
+    y[0] = x[0]; y[t] = alpha*x[t] + (1-alpha)*y[t-1].
+
+    Inherently sequential per key, so it runs as one Arrow batch per
+    key group (applyInPandas) — parallel ACROSS keys, sequential
+    within, which is the best possible shape for this recurrence.
+    Within-group order is (time, tiebreak) for determinism."""
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    by = by or []
+    sort_cols = [time_col] + (order_tiebreak or [])
+    out_schema = StructType(df.schema.fields + [StructField("ewma", DoubleType())])
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        pdf["ewma"] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf
+
+    if not by:
+        return df.withColumn("__g", F.lit(0)).groupBy("__g").applyInPandas(
+            lambda pdf: per_key(pdf.drop(columns="__g")), out_schema
+        )
+    return df.groupBy(*by).applyInPandas(per_key, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # exact greedy sample (reference-parity variant)
 # ---------------------------------------------------------------------------

@@ -17,7 +17,8 @@ SF = "/root/testdata/sf0.001"
 # Python is sanctioned only in these (documented) places:
 #   - greedy sample: sequential reference parity (applyInPandas)
 #   - multimodal: Arrow-batched decode plumbing (mapInPandas)
-PYTHON_OK = {"fql_sample_greedy", "multimodal_meta"}
+#   - ewma: sequential recurrence per key (applyInPandas)
+PYTHON_OK = {"fql_sample_greedy", "multimodal_meta", "ts_ewma"}
 
 
 def _plan_of(df) -> str:

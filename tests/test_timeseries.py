@@ -171,6 +171,35 @@ def test_rate(events):
             assert got[eid] == r
 
 
+def test_ohlc(events):
+    out = ts.ohlc(events, "1 hour", "ts", ["event_type"], "value", ["event_id"])
+    got = {(r["bucket"], r["event_type"]): (r["open"], r["high"], r["low"], r["close"])
+           for r in out.collect()}
+    want = ddb(
+        "SELECT b, event_type, max(CASE WHEN rn_a = 1 THEN value END),"
+        " max(value), min(value), max(CASE WHEN rn_d = 1 THEN value END) FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY b, event_type ORDER BY ts, event_id) rn_a,"
+        "  row_number() OVER (PARTITION BY b, event_type ORDER BY ts DESC, event_id DESC) rn_d"
+        "  FROM (SELECT *, time_bucket(INTERVAL 1 HOUR, ts) b FROM events))"
+        " GROUP BY 1, 2"
+    )
+    assert len(got) == len(want)
+    for b, et, o, h, l, c in want:
+        assert got[(b, et)] == (o, h, l, c)
+
+
+def test_ewma_matches_pandas(events):
+    import pandas as pd
+
+    out = ts.ewma(events, 0.3, "ts", ["event_type"], "value", ["event_id"])
+    got = {r["event_id"]: r["ewma"] for r in out.collect()}
+    pdf = events.toPandas().sort_values(["event_type", "ts", "event_id"])
+    for et, grp in pdf.groupby("event_type"):
+        want = grp["value"].ewm(alpha=0.3, adjust=False).mean()
+        for eid, w in zip(grp["event_id"], want):
+            assert abs(got[eid] - w) < 1e-12
+
+
 def test_greedy_sample_semantics(spark):
     # golden case: reference semantics keep t0, then next >= t0+Δ
     base = datetime(2024, 1, 1)

@@ -193,6 +193,24 @@ def _ts_ewma(spark, sf_dir):
     ).select("event_id", "ewma")
 
 
+def _ts_range_join(spark, sf_dir):
+    """Events falling inside error-spike hours — interval containment
+    without an equi-key, bucketized (operators/timeseries.range_join)."""
+    from pyspark.sql import functions as F
+
+    from fossil_spark.operators import timeseries as ts
+
+    events = _events(spark, sf_dir)
+    intervals = (
+        events.filter("event_type = 'error'")
+        .groupBy(F.window("ts", "1 hour").start.alias("lo"))
+        .agg(F.count("*").alias("n_errors"))
+        .filter("n_errors >= 3")
+        .select("lo", (F.col("lo") + F.expr("INTERVAL 1 HOUR")).alias("hi"), "n_errors")
+    )
+    return ts.range_join(events.select("event_id", "ts"), intervals, point_time="ts")
+
+
 def _fql_composite_subscript(spark, sf_dir):
     """Composite datum values: events.props parsed as the composite
     schema '{"k": int32}', then FQL subscripting (grammar: sub-value)."""
@@ -436,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rate": _ts_rate,
         "ts_ohlc": _ts_ohlc,
         "ts_ewma": _ts_ewma,  # rows-only: sequential recurrence per key
+        "ts_range_join": _ts_range_join,
         # --- D. relational analytics ----------------------------------------
         "tpch_q1": _tpch("q1_pricing_summary"),
         "tpch_q3": _tpch("q3_shipping_priority"),
@@ -604,6 +623,14 @@ def oracle_sql() -> dict[str, str]:
             f" ORDER BY ts DESC, event_id DESC) rn_d FROM ("
             f" SELECT *, time_bucket(INTERVAL 1 HOUR, ts) b FROM {_EV} e))"
             f" GROUP BY 1, 2"
+        ),
+        "ts_range_join": (
+            f"WITH iv AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) lo,"
+            f" time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR hi,"
+            f" count(*) n_errors FROM {_EV} e WHERE event_type = 'error'"
+            f" GROUP BY 1 HAVING count(*) >= 3)"
+            f" SELECT e.event_id, e.ts, iv.lo, iv.hi, iv.n_errors FROM {_EV} e"
+            f" JOIN iv ON e.ts >= iv.lo AND e.ts < iv.hi"
         ),
         # --- D. relational analytics ----------------------------------------
         # deterministic-sum pattern throughout: per-row double arithmetic,

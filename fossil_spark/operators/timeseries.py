@@ -290,6 +290,54 @@ def rate(
     )
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_time: str = "time",
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Join points into containing intervals [lo, hi) WITHOUT an
+    equi-key. A naive theta-join is O(|points| x |intervals|); instead
+    each interval explodes into the fixed-width buckets it overlaps,
+    points map to their bucket, and the join becomes an equi-join on
+    bucket + an exact bounds filter. Cost: O(points) + O(intervals x
+    span/bucket) — pick `bucket` near the median interval length.
+
+    Intervals must carry no column named like points' columns except
+    the bounds (rename first)."""
+    interval_cols = [c for c in intervals.columns]
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.window(F.col(lo_col), bucket).start,
+                # hi is exclusive: an interval ending exactly on a bucket
+                # boundary does not overlap that bucket
+                F.window(
+                    F.col(hi_col) - F.expr("INTERVAL 1 MICROSECOND"), bucket
+                ).start,
+                F.expr(f"INTERVAL {bucket}"),
+            )
+        ),
+    )
+    pt = points.withColumn("__bucket", F.window(F.col(point_time), bucket).start)
+    joined = pt.join(iv, "__bucket", how).drop("__bucket")
+    exact = (F.col(point_time) >= F.col(lo_col)) & (F.col(point_time) < F.col(hi_col))
+    if how == "inner":
+        return joined.filter(exact)
+    # left join: keep unmatched points with null interval columns
+    return joined.select(
+        *points.columns,
+        *[
+            F.when(exact, F.col(c)).otherwise(F.lit(None)).alias(c)
+            for c in interval_cols
+        ],
+    )
+
+
 def ohlc(
     df: DataFrame,
     every: str,

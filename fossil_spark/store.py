@@ -62,6 +62,13 @@ class EventStore:
         from fossil_spark.fql import fql
         return fql(self.read(), text, now=now)
 
+    def sql(self, statement: str, view_name: str = "store") -> DataFrame:
+        """Full ANSI SQL over the store (the engine is Spark, so SQL
+        comes for free alongside FQL): the store is exposed as a temp
+        view named `view_name`."""
+        self.read().createOrReplaceTempView(view_name)
+        return self.spark.sql(statement)
+
     # -- LIST topics ---------------------------------------------------------
     def topics(self) -> DataFrame:
         return self.read().select("topic").distinct().orderBy("topic")

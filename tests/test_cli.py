@@ -47,6 +47,17 @@ def test_cli_len_exact(client):
     assert out.splitlines()[1].split(" | ")[-1] == "5"
 
 
+def test_store_sql_interface(client):
+    client.execute("use sqldb")
+    client.execute("append /m 10")
+    client.execute("append /m 20")
+    rows = client.store.sql(
+        "SELECT topic, count(*) AS n, sum(CAST(value AS DOUBLE)) AS total "
+        "FROM store GROUP BY topic"
+    ).collect()
+    assert [(r["topic"], r["n"], r["total"]) for r in rows] == [("/m", 2, 30.0)]
+
+
 def test_cli_errors_are_messages(client):
     out = client.execute("query frobnicate")
     assert out.startswith("500")

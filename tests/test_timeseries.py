@@ -171,6 +171,47 @@ def test_rate(events):
             assert got[eid] == r
 
 
+def test_range_join(spark, events):
+    # intervals: hours where error events spiked (n >= 3)
+    intervals = (
+        events.filter("event_type = 'error'")
+        .groupBy(F.window("ts", "1 hour").start.alias("lo"))
+        .agg(F.count("*").alias("n_errors"))
+        .filter("n_errors >= 3")
+        .select("lo", (F.col("lo") + F.expr("INTERVAL 1 HOUR")).alias("hi"),
+                "n_errors")
+    )
+    out = ts.range_join(
+        events.select("event_id", "ts"), intervals, point_time="ts"
+    )
+    got = {(r["event_id"], r["lo"]) for r in out.collect()}
+    want = ddb(
+        "WITH iv AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) lo,"
+        " time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR hi, count(*) n"
+        " FROM events WHERE event_type = 'error' GROUP BY 1 HAVING count(*) >= 3)"
+        " SELECT e.event_id, iv.lo FROM events e JOIN iv"
+        " ON e.ts >= iv.lo AND e.ts < iv.hi"
+    )
+    assert got == {(eid, lo) for eid, lo in want}
+    assert len(got) > 0
+
+
+def test_range_join_multi_bucket_intervals(spark):
+    # interval spanning 3 buckets catches points in every bucket
+    from datetime import datetime
+
+    points = spark.createDataFrame(
+        [(i, datetime(2024, 1, 1, h, 30)) for i, h in enumerate([0, 1, 2, 3])],
+        "pid long, time timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, 45), datetime(2024, 1, 1, 3, 0), "w1")],
+        "lo timestamp, hi timestamp, name string",
+    )
+    out = ts.range_join(points, intervals)
+    assert sorted(r["pid"] for r in out.collect()) == [1, 2]
+
+
 def test_ohlc(events):
     out = ts.ohlc(events, "1 hour", "ts", ["event_type"], "value", ["event_id"])
     got = {(r["bucket"], r["event_type"]): (r["open"], r["high"], r["low"], r["close"])

@@ -40,6 +40,12 @@ def _DSUM(expr: str) -> str:
     return f"CAST(sum(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE)"
 
 
+_PROMO_REV = (
+    "CASE WHEN p_type = 'PROMO'"
+    " THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END"
+)
+
+
 # tokenized documents + word-3-gram shingles, mirroring operators/text.py
 _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
 _SHINGLE_CTES = (
@@ -461,6 +467,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _tpch("q5_local_supplier_volume"),
         "tpch_q6": _tpch("q6_forecast_revenue"),
         "tpch_q10": _tpch("q10_returned_items"),
+        "tpch_q12": _tpch("q12_priority_shipping"),
+        "tpch_q14": _tpch("q14_promo_effect"),
+        "tpch_q18": _tpch("q18_large_orders"),
         # --- D2. analytical shapes -------------------------------------------
         "win_running_revenue": _analytics("running_revenue"),
         "agg_order_rollup": _analytics("order_rollup"),
@@ -689,6 +698,33 @@ def oracle_sql() -> dict[str, str]:
             " AND o_orderdate < TIMESTAMP '1995-04-01'"
             " GROUP BY c_custkey, c_name, c_acctbal, n_name"
             " ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        "tpch_q12": (
+            "SELECT date_trunc('month', l_shipdate) AS ship_month,"
+            " sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)"
+            "  AS high_line_count,"
+            " sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)"
+            "  AS low_line_count"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " WHERE l_shipdate >= TIMESTAMP '1995-01-01'"
+            " AND l_shipdate < TIMESTAMP '1996-01-01' GROUP BY 1"
+        ),
+        "tpch_q14": (
+            "SELECT 100.0 *"
+            f" {_DSUM(_PROMO_REV)}"
+            f" / {_DSUM('l_extendedprice * (1.0 - l_discount)')} AS promo_revenue_pct"
+            " FROM lineitem JOIN part ON l_partkey = p_partkey"
+            " WHERE l_shipdate >= TIMESTAMP '1995-09-01'"
+            " AND l_shipdate < TIMESTAMP '1995-10-01'"
+        ),
+        "tpch_q18": (
+            "WITH big AS (SELECT l_orderkey,"
+            f" {_DSUM('l_quantity')} AS total_qty"
+            " FROM lineitem GROUP BY 1 HAVING total_qty > 300)"
+            " SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty"
+            " FROM big JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
         ),
         # --- D2. analytical shapes -------------------------------------------
         "win_running_revenue": (

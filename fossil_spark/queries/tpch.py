@@ -122,6 +122,68 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: conditional aggregation after a fact-fact join —
+    high- vs low-priority line counts per month of 1995. The CASE
+    expressions fold into the same single aggregation pass."""
+    lo = F.lit("1995-01-01").cast("timestamp")
+    hi = F.lit("1996-01-01").cast("timestamp")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: promo revenue share. part is broadcast; the ratio of
+    two deterministic sums is a single double division."""
+    lo = F.lit("1995-09-01").cast("timestamp")
+    hi = F.lit("1995-10-01").cast("timestamp")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    p = _t(spark, sf_dir, "part")
+    promo_rev = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
+    return (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * dsum(promo_rev) / dsum(_rev())).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: orders whose total quantity exceeds a threshold —
+    aggregate lineitem first (map-side partial), THEN join the small
+    qualifying set back to orders/customer. Never join-then-aggregate:
+    the pre-aggregation collapses the fact table before any join."""
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10: returned-item revenue by customer, top 20. Dims broadcast;
     orders↔lineitem shuffle on orderkey."""

@@ -31,9 +31,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     headline = [
-        "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10",
+        "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q18",
         "fql_filter", "fql_mapreduce_avg", "fql_sample",
         "ts_resample", "ts_asof_join", "ts_session", "ts_sliding",
+        "dedup_exact", "dedup_minhash", "ann_bruteforce",
+        "text_quality", "sample_hash_split",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

@@ -358,6 +358,18 @@ def _text_token_freq(spark, sf_dir):
     return text.token_frequency(_docs(spark, sf_dir), k=20)
 
 
+def _text_scrub_pii(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.scrub_pii(_docs(spark, sf_dir))
+
+
+def _text_repetition(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.repetition_score(_docs(spark, sf_dir))
+
+
 def _text_tokens(spark, sf_dir):
     from fossil_spark.operators import text
 
@@ -492,6 +504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _dedup_components,
         "sample_hash_split": _sample_hash_split,
         "text_token_freq": _text_token_freq,
+        "text_scrub_pii": _text_scrub_pii,
+        "text_repetition": _text_repetition,
         "text_tokens": _text_tokens,
         "text_quality": _text_quality,
         "text_langid": _text_langid,
@@ -825,6 +839,33 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT token, count(*) AS n FROM"
             f" (SELECT unnest({_TOKS}) AS token FROM documents)"
             " GROUP BY 1 ORDER BY n DESC, token LIMIT 20"
+        ),
+        # PII scrub: counts are measured on the progressively-scrubbed
+        # text, mirroring the Spark-side replace chain order
+        "text_scrub_pii": (
+            r"WITH s0 AS (SELECT doc_id, text FROM documents),"
+            r" s1 AS (SELECT doc_id, len(regexp_extract_all(text, '[\w.+-]+@[\w-]+\.[\w.]+')) AS n_email,"
+            r" regexp_replace(text, '[\w.+-]+@[\w-]+\.[\w.]+', '<EMAIL>', 'g') AS t FROM s0),"
+            r" s2 AS (SELECT doc_id, n_email, len(regexp_extract_all(t, 'https?://\S+')) AS n_url,"
+            r" regexp_replace(t, 'https?://\S+', '<URL>', 'g') AS t FROM s1),"
+            r" s3 AS (SELECT doc_id, n_email, n_url,"
+            r" len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,"
+            r" regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS t FROM s2)"
+            r" SELECT doc_id, n_email, n_url, n_ipv4,"
+            r" len(regexp_extract_all(t, '\+?\d[\d\s().-]{7,}\d')) AS n_phone,"
+            r" regexp_replace(t, '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS scrubbed FROM s3"
+        ),
+        "text_repetition": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} w FROM documents),"
+            " s AS (SELECT doc_id, CASE WHEN len(w) >= 2 THEN"
+            " list_transform(generate_series(1, len(w)-1), i -> array_to_string(w[i:i+1], ' '))"
+            " ELSE [array_to_string(w, ' ')] END AS sh FROM t)"
+            " SELECT doc_id, len(sh) AS n_ngrams,"
+            " list_max(list_transform(list_distinct(sh),"
+            "  d -> len(list_filter(sh, x -> x = d)))) AS top_ngram_count,"
+            " list_max(list_transform(list_distinct(sh),"
+            "  d -> len(list_filter(sh, x -> x = d))))::DOUBLE / len(sh)"
+            "  AS repetition_ratio FROM s"
         ),
         "text_tokens": (
             f"SELECT doc_id, len({_TOKS}) AS n_tokens,"

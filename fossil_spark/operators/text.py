@@ -100,6 +100,55 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+PII_PATTERNS = [
+    # order matters: specific shapes first — the phone pattern's char
+    # class includes dots, so IPs/URLs must be redacted before it runs
+    ("email", r"[\w.+-]+@[\w-]+\.[\w.]+"),
+    ("url", r"https?://\S+"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact common PII shapes (emails, phones, IPs, URLs) with typed
+    placeholders and count the redactions per kind — the standard
+    pre-training scrub pass. Pure regexp_replace chain: stays in
+    codegen, one pass over the text per pattern."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0)).alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return df.select("doc_id", *counts, scrubbed.alias("scrubbed"))
+
+
+def repetition_score(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
+    """Repetition quality filter: the share of the document occupied
+    by its single most-frequent word n-gram. Boilerplate and
+    degenerate generations score high. Computed per row with
+    higher-order functions (no explode, no shuffle)."""
+    sh = shingles(F.col(text_col), n)
+    total = F.size(sh)
+    # count of the modal shingle: for each distinct shingle, count its
+    # occurrences; take the max
+    distinct = F.array_distinct(sh)
+    max_count = F.array_max(
+        F.transform(
+            distinct,
+            lambda d: F.size(F.filter(sh, lambda x: x == d)),
+        )
+    )
+    return df.select(
+        "doc_id",
+        total.alias("n_ngrams"),
+        max_count.alias("top_ngram_count"),
+        (max_count.cast("double") / total).alias("repetition_ratio"),
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",

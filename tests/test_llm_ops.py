@@ -207,6 +207,30 @@ def test_lsh_ann_recall(emb):
     assert all(r["rank"] <= 5 for r in approx)
 
 
+def test_scrub_pii_redacts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at bob@example.com or call +1 (555) 123-4567 "
+             "from 192.168.1.1 via https://example.com/x?q=1 thanks")],
+        "doc_id long, text string",
+    )
+    r = text.scrub_pii(df).collect()[0]
+    assert (r["n_email"], r["n_phone"], r["n_ipv4"], r["n_url"]) == (1, 1, 1, 1)
+    s = r["scrubbed"]
+    assert "<EMAIL>" in s and "<PHONE>" in s and "<IPV4>" in s and "<URL>" in s
+    assert "bob@example.com" not in s and "192.168.1.1" not in s
+
+
+def test_repetition_score(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"), (2, "all words here are unique tokens")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.repetition_score(df).collect()}
+    # "spam spam" 2-gram appears 4 times out of 4 bigrams
+    assert got[1]["repetition_ratio"] == 1.0
+    assert got[2]["repetition_ratio"] == 1.0 / 5
+
+
 def test_multimodal_plumbing(spark, docs):
     binary = docs.select("doc_id", F.encode("text", "utf-8").alias("content"))
     meta = multimodal.decode_image_meta(binary).collect()

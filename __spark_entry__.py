@@ -36,8 +36,8 @@ _EV = (
 
 
 def _DSUM(expr: str) -> str:
-    """Deterministic-sum SQL: decimal(30,8) accumulate, double out."""
-    return f"CAST(sum(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE)"
+    """Deterministic-sum SQL: decimal(30,8) accumulate, round(4), double out."""
+    return f"CAST(round(sum(CAST({expr} AS DECIMAL(30,8))), 4) AS DOUBLE)"
 
 
 _PROMO_REV = (
@@ -554,12 +554,12 @@ def oracle_sql() -> dict[str, str]:
         # FQL float sums accumulate in decimal(30,8) for order-independent
         # reproducibility (see fql/compiler.py:_make_agg); mirror that here.
         "fql_reduce_sum": (
-            f"SELECT CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS value FROM {s} t"
+            f"SELECT CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE) AS value FROM {s} t"
         ),
         "fql_reduce_count": f"SELECT count(*) AS value FROM {s} t",
         "fql_builtin_minmax": f"SELECT max(value) AS v0, min(value) AS v1 FROM {s} t",
         "fql_mapreduce_avg": (
-            f"SELECT CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS value "
+            f"SELECT CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE) / count(*) AS value "
             f"FROM {s} t"
         ),
         "fql_composite_subscript": (
@@ -573,13 +573,13 @@ def oracle_sql() -> dict[str, str]:
         "ts_resample": (
             f"SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,"
             f" count(*) AS n,"
-            f" CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE)/count(value) AS avg_value,"
+            f" CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)/count(value) AS avg_value,"
             f" min(value) AS min_value, max(value) AS max_value"
             f" FROM {_EV} e GROUP BY 1, 2"
         ),
         "ts_sliding": (
             f"SELECT event_id,"
-            f" CAST(sum(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE)"
+            f" CAST(round(sum(CAST(value AS DECIMAL(30,8))) OVER w, 4) AS DOUBLE)"
             f" / count(value) OVER w AS rolling_avg,"
             f" min(value) OVER w AS rolling_min, max(value) OVER w AS rolling_max"
             f" FROM {_EV} e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id"
@@ -603,7 +603,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ts_gapfill": (
             f"WITH bucketed AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,"
-            f" event_type, CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE)"
+            f" event_type, CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
             f" / count(value) AS value FROM {_EV} e GROUP BY 1, 2),"
             f" spans AS (SELECT event_type, min(bucket) lo, max(bucket) hi"
             f" FROM bucketed GROUP BY 1),"
@@ -743,9 +743,9 @@ def oracle_sql() -> dict[str, str]:
         # --- D2. analytical shapes -------------------------------------------
         "win_running_revenue": (
             "SELECT o_custkey, o_orderkey, o_orderdate,"
-            " CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) OVER ("
+            " CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))) OVER ("
             " PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
-            " ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue FROM orders"
+            " ROWS UNBOUNDED PRECEDING), 4) AS DOUBLE) AS cum_revenue FROM orders"
         ),
         "agg_order_rollup": (
             "SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,"
@@ -755,7 +755,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_rollup_cascade": (
             f"SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,"
             f" count(*) AS n,"
-            f" CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS avg_value"
+            f" CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE) / count(*) AS avg_value"
             f" FROM {_EV} e GROUP BY 1, 2"
         ),
         "agg_percentiles": (

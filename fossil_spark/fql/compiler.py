@@ -225,7 +225,7 @@ def _make_agg(agg_name: str, col_name: str, df: DataFrame) -> Column:
 
     c = F.col(col_name)
     if agg_name == "sum" and isinstance(df.schema[col_name].dataType, (DoubleType, FloatType)):
-        return F.sum(c.cast("decimal(30,8)")).cast("double")
+        return F.round(F.sum(c.cast("decimal(30,8)")), 4).cast("double")
     return _AGG[agg_name](c)
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 def _dec_avg(col: str) -> Column:
     """Order-independent mean of a float column (decimal accumulate)."""
     return (
-        F.sum(F.col(col).cast("decimal(30,8)")).cast("double") / F.count(col)
+        F.round(F.sum(F.col(col).cast("decimal(30,8)")), 4).cast("double") / F.count(col)
     )
 
 
@@ -77,7 +77,7 @@ def sliding_stats(
     w = Window.partitionBy(*by).orderBy(*order).rowsBetween(-n_preceding, 0)
     return df.select(
         *df.columns,
-        (F.sum(F.col(value_col).cast("decimal(30,8)")).over(w).cast("double")
+        (F.round(F.sum(F.col(value_col).cast("decimal(30,8)")).over(w), 4).cast("double")
          / F.count(value_col).over(w)).alias("rolling_avg"),
         F.min(value_col).over(w).alias("rolling_min"),
         F.max(value_col).over(w).alias("rolling_max"),

@@ -27,7 +27,7 @@ def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum(F.col("o_totalprice").cast("decimal(30,8)")).over(w)
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(30,8)")).over(w), 4)
         .cast("double")
         .alias("cum_revenue"),
     )
@@ -71,7 +71,7 @@ def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("n").alias("n"),
-            (F.sum("sum_v").cast("double") / F.sum("n")).alias("avg_value"),
+            (F.round(F.sum("sum_v"), 4).cast("double") / F.sum("n")).alias("avg_value"),
         )
     )
 

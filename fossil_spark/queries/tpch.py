@@ -29,7 +29,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def dsum(expr: Column) -> Column:
     """Deterministic distributed sum of a double expression."""
-    return F.sum(expr.cast("decimal(30,8)")).cast("double")
+    return F.round(F.sum(expr.cast("decimal(30,8)")), 4).cast("double")
 
 
 def _rev():

@@ -29,7 +29,7 @@ def windowed_rollup(
         .agg(
             F.count("*").alias("n"),
             (
-                F.sum(F.col(value_col).cast("decimal(30,8)")).cast("double")
+                F.round(F.sum(F.col(value_col).cast("decimal(30,8)")), 4).cast("double")
                 / F.count(value_col)
             ).alias("avg_value"),
         )

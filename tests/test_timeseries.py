@@ -36,7 +36,7 @@ def test_resample(events):
     }
     want = ddb(
         "SELECT time_bucket(INTERVAL 1 HOUR, ts) b, event_type, count(*),"
-        " CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE)/count(value)"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)/count(value)"
         " FROM events GROUP BY 1, 2"
     )
     assert len(got) == len(want)
@@ -49,7 +49,7 @@ def test_sliding_stats(events):
     out = ts.sliding_stats(events, 9, "ts", ["event_type"], "value", ["event_id"])
     got = {r["event_id"]: r["rolling_avg"] for r in out.collect()}
     want = ddb(
-        "SELECT event_id, CAST(sum(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE)"
+        "SELECT event_id, CAST(round(sum(CAST(value AS DECIMAL(30,8))) OVER w, 4) AS DOUBLE)"
         " / count(value) OVER w FROM events"
         " WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id"
         " ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)"

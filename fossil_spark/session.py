@@ -49,6 +49,20 @@ def get_spark(app_name: str = "fossil_spark", shuffle_partitions: int | None = N
     return builder.getOrCreate()
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make a caller-provided session safe for this engine. The driver
+    contract hands us an arbitrary SparkSession; these are runtime-
+    settable SQL confs:
+    - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), unreadable
+      otherwise;
+    - UTC session timezone: timestamps must mean the same instant in
+      Spark output and the DuckDB oracle;
+    - AQE on (harmless if already set)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one test table, normalizing nanosecond timestamps to Spark's
     microsecond timestamps (integer division = floor, the same
@@ -56,6 +70,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

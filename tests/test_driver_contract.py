@@ -1,0 +1,46 @@
+"""The driver hands entry()/queries() an arbitrary SparkSession —
+the engine must self-configure (nanos parquet reads, UTC semantics)
+rather than assume fossil_spark.session.get_spark built the session."""
+
+from datetime import datetime
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _hostile_session(spark):
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    s2.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    return s2
+
+
+def test_entry_on_vanilla_session(spark):
+    df = entry.entry(_hostile_session(spark))
+    assert df.count() == 1
+
+
+def test_queries_on_vanilla_session(spark):
+    s2 = _hostile_session(spark)
+    qs = entry.queries()
+    for key in ("fql_all", "fql_since", "ts_resample", "tpch_q1", "dedup_exact"):
+        assert qs[key](s2, SF).count() > 0
+
+
+def test_timestamps_are_utc_instants(spark):
+    s2 = _hostile_session(spark)
+    r = entry.queries()["fql_all"](s2, SF).orderBy("time").first()
+    # events start 2024-01-01 00:09:58 UTC; an LA-rendered session
+    # would show 2023-12-31 16:09
+    assert r["time"] >= datetime(2024, 1, 1)
+
+
+def test_every_query_key_has_runnable_callable(spark):
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert set(oracles) <= set(qs), "oracle for unregistered query"
+    # every callable is invocable at the smoke SF and yields a schema
+    for key, fn in qs.items():
+        df = fn(spark, SF)
+        assert df.schema is not None and len(df.columns) > 0, key

@@ -129,6 +129,20 @@ def test_filter_on_mapped_tuple(store):
     assert got == want > 0
 
 
+def test_composite_string_equality(spark):
+    # parity with the reference's analysis test
+    # (analysis/types_test.go: TestTypeCheckerAllowsStringEquality):
+    # string equality against a composite field is well-typed
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1), "/dicts", ("id", 1)),
+         (datetime(2024, 1, 2), "/dicts", ("other", 2))],
+        "time timestamp, topic string, value struct<key:string, value:long>",
+    )
+    out = fql(df, 'all in /dicts | filter x -> x["key"] == "id"', now=FIXED_NOW)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["value"]["value"] == 1
+
+
 def test_reduce_fallback_sequential(spark):
     # non-associative reduce folds left in (time, topic) order, matching
     # the reference's stream semantics

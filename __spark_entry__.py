@@ -358,6 +358,26 @@ def _text_token_freq(spark, sf_dir):
     return text.token_frequency(_docs(spark, sf_dir), k=20)
 
 
+def _text_chunk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fossil_spark.operators import text
+
+    out = text.chunk_text(_docs(spark, sf_dir), chunk_tokens=64, overlap=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk",
+        F.col("chunk_n_tokens").cast("long").alias("chunk_n_tokens"),
+    )
+
+
+def _text_pack(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.pack_documents(_docs(spark, sf_dir), max_tokens=512, n_buckets=8)
+
+
 def _text_scrub_pii(spark, sf_dir):
     from fossil_spark.operators import text
 
@@ -504,6 +524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _dedup_components,
         "sample_hash_split": _sample_hash_split,
         "text_token_freq": _text_token_freq,
+        "text_chunk": _text_chunk,
+        "text_pack": _text_pack,  # rows-only: greedy bin packing
         "text_scrub_pii": _text_scrub_pii,
         "text_repetition": _text_repetition,
         "text_tokens": _text_tokens,
@@ -839,6 +861,17 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT token, count(*) AS n FROM"
             f" (SELECT unnest({_TOKS}) AS token FROM documents)"
             " GROUP BY 1 ORDER BY n DESC, token LIMIT 20"
+        ),
+        "text_chunk": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} w FROM documents),"
+            " n AS (SELECT doc_id, w,"
+            " greatest(CAST(ceil((len(w) - 8)::DOUBLE / 56) AS INT), 1) AS nc FROM t),"
+            " c AS (SELECT doc_id, unnest(list_transform(generate_series(0, nc - 1),"
+            " i -> {'chunk_idx': i,"
+            " 'chunk': array_to_string(w[i*56+1 : i*56+64], ' '),"
+            " 'ct': len(w[i*56+1 : i*56+64])})) AS s FROM n)"
+            " SELECT doc_id, s.chunk_idx AS chunk_idx, s.chunk AS chunk,"
+            " s.ct AS chunk_n_tokens FROM c"
         ),
         # PII scrub: counts are measured on the progressively-scrubbed
         # text, mirroring the Spark-side replace chain order

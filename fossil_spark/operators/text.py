@@ -183,6 +183,94 @@ def token_frequency(
     return counts.orderBy(F.col("n").desc(), "token").limit(k)
 
 
+def chunk_text(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into token chunks of `chunk_tokens` with
+    `overlap` tokens of context carried between consecutive chunks —
+    the context-window preparation step. Pure higher-order functions:
+    the explode is the only fan-out, no Python."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    w = tokens(F.col(text_col))
+    n = F.size(w)
+    n_chunks = F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1))
+    out = df.select(F.col(id_col), w.alias("__w"), idx.alias("chunk_idx"))
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.array_join(
+            F.slice(F.col("__w"), F.col("chunk_idx") * stride + 1, chunk_tokens), " "
+        ).alias("chunk"),
+        F.size(
+            F.slice(F.col("__w"), F.col("chunk_idx") * stride + 1, chunk_tokens)
+        ).alias("chunk_n_tokens"),
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    max_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Greedy sequence packing: group whole documents into packs whose
+    token totals stay under `max_tokens` (training-batch assembly).
+
+    Bin packing is inherently sequential, so the distributed shape is
+    bucket-then-pack: documents hash into `n_buckets` independent
+    buckets (deterministic md5 bucketing), and each bucket packs
+    greedily (first-fit on a size-sorted list) in ONE Arrow batch.
+    Pack ids are globally unique as (bucket, seq). Packing quality is
+    within a few percent of global greedy for n_buckets << n_docs."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = spark.sparkContext.defaultParallelism
+    src = df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("pack:"), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+            .cast("long") % n_buckets
+        ).alias("bucket"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_tokens", id_col], ascending=[False, True])
+        packs: list[int] = []   # remaining capacity per open pack
+        assign = []
+        for _, row in pdf.iterrows():
+            need = min(int(row["n_tokens"]), max_tokens)
+            for i, cap in enumerate(packs):
+                if cap >= need:
+                    packs[i] = cap - need
+                    assign.append(i)
+                    break
+            else:
+                packs.append(max_tokens - need)
+                assign.append(len(packs) - 1)
+        pdf = pdf.copy()
+        pdf["pack_seq"] = assign
+        return pdf
+
+    schema = "doc_id long, n_tokens int, bucket long, pack_seq long"
+    packed = src.groupBy("bucket").applyInPandas(lambda pdf: pack(pdf), schema)
+    return packed.select(
+        id_col,
+        "n_tokens",
+        F.concat_ws("-", F.col("bucket"), F.col("pack_seq")).alias("pack_id"),
+    )
+
+
 def shingles(text_col: Column, n: int = 3) -> Column:
     """Word n-gram shingles; a document shorter than n words yields a
     single whole-text shingle."""

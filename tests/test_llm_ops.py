@@ -231,6 +231,40 @@ def test_repetition_score(spark):
     assert got[2]["repetition_ratio"] == 1.0 / 5
 
 
+def test_chunk_text(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    out = {r["chunk_idx"]: r for r in text.chunk_text(df, 4, overlap=1).collect()}
+    assert out[0]["chunk"] == "t0 t1 t2 t3"
+    assert out[1]["chunk"] == "t3 t4 t5 t6"  # one token of overlap
+    assert out[2]["chunk"] == "t6 t7 t8 t9"
+    # every token appears; chunk sizes bounded
+    assert all(r["chunk_n_tokens"] <= 4 for r in out.values())
+
+
+def test_chunk_text_short_doc(spark):
+    df = spark.createDataFrame([(1, "only three tokens")], "doc_id long, text string")
+    rows = text.chunk_text(df, 128).collect()
+    assert len(rows) == 1 and rows[0]["chunk"] == "only three tokens"
+
+
+def test_pack_documents(docs):
+    out = text.pack_documents(docs, max_tokens=200, n_buckets=4).collect()
+    assert len(out) == docs.count()  # every doc assigned exactly once
+    by_pack: dict[str, int] = {}
+    for r in out:
+        by_pack[r["pack_id"]] = by_pack.get(r["pack_id"], 0) + min(r["n_tokens"], 200)
+    assert all(total <= 200 for total in by_pack.values())
+    # determinism
+    out2 = text.pack_documents(docs, max_tokens=200, n_buckets=4).collect()
+    assert {(r["doc_id"], r["pack_id"]) for r in out} == \
+        {(r["doc_id"], r["pack_id"]) for r in out2}
+    # packing is reasonably tight: average fill over 50%
+    fill = sum(by_pack.values()) / (len(by_pack) * 200)
+    assert fill > 0.5
+
+
 def test_multimodal_plumbing(spark, docs):
     binary = docs.select("doc_id", F.encode("text", "utf-8").alias("content"))
     meta = multimodal.decode_image_meta(binary).collect()

@@ -18,7 +18,8 @@ SF = "/root/testdata/sf0.001"
 #   - greedy sample: sequential reference parity (applyInPandas)
 #   - multimodal: Arrow-batched decode plumbing (mapInPandas)
 #   - ewma: sequential recurrence per key (applyInPandas)
-PYTHON_OK = {"fql_sample_greedy", "multimodal_meta", "ts_ewma"}
+#   - text_pack: greedy bin packing per bucket (applyInPandas)
+PYTHON_OK = {"fql_sample_greedy", "multimodal_meta", "ts_ewma", "text_pack"}
 
 
 def _plan_of(df) -> str:

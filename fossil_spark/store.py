@@ -47,7 +47,10 @@ class EventStore:
             F.col(topic_col).alias("topic"),
             F.col(value_col).alias("value"),
         ).withColumn("date", F.to_date("time"))
-        out.write.mode("append").partitionBy("date").parquet(self.root)
+        # zstd: ~30-50% smaller than snappy at similar decode speed —
+        # at 100 TB the scan is bandwidth-bound, so ratio wins
+        out.write.mode("append").option("compression", "zstd") \
+            .partitionBy("date").parquet(self.root)
 
     def append_rows(self, rows: list[tuple[datetime, str, str]]) -> None:
         """Small-batch append (the CLI `append <topic> <data>` path)."""

@@ -199,6 +199,50 @@ def _ts_ewma(spark, sf_dir):
     ).select("event_id", "ewma")
 
 
+def _docs_store(spark, sf_dir):
+    """Documents as a fossil store: string datum per topic /docs/<src>
+    (string is the default topic schema — docs/schema.md)."""
+    from pyspark.sql import functions as F
+
+    return _docs(spark, sf_dir).select(
+        F.timestamp_micros(F.col("doc_id") * 1_000_000).alias("time"),
+        F.concat(F.lit("/docs/"), F.col("source")).alias("topic"),
+        F.col("text").alias("value"),
+    )
+
+
+def _fql_string_len(spark, sf_dir):
+    """Byte-count pipeline from docs/pipelines.md: 'Number of log
+    bytes written' — map to len, reduce by sum."""
+    from fossil_spark.fql import fql
+
+    return fql(
+        _docs_store(spark, sf_dir),
+        "all in /docs | map log -> len(log) | reduce a, b -> a + b",
+        now=NOW,
+    )
+
+
+def _fql_string_concat_filter(spark, sf_dir):
+    from fossil_spark.fql import fql
+
+    return fql(
+        _docs_store(spark, sf_dir),
+        'all | filter s -> len(s) > 400 | map s -> s + "!", 1',
+        now=NOW,
+    )
+
+
+def _fql_pow(spark, sf_dir):
+    from fossil_spark.fql import fql
+
+    return fql(
+        events_store_view(spark, sf_dir),
+        "all | map x -> pow(x, 2) | reduce a, b -> max((a, b))",
+        now=NOW,
+    )
+
+
 def _ts_range_join(spark, sf_dir):
     """Events falling inside error-spike hours — interval containment
     without an equi-key, bucketized (operators/timeseries.range_join)."""
@@ -480,6 +524,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "| map count, sum -> sum / count"
         ),
         "fql_composite_subscript": _fql_composite_subscript,
+        "fql_string_len": _fql_string_len,
+        "fql_string_concat_filter": _fql_string_concat_filter,
+        "fql_pow": _fql_pow,
         "fql_sample_greedy": _fql_sample_greedy,  # rows-only: sequential reference parity
         # --- C. time-series ------------------------------------------------
         "ts_resample": _ts_resample,
@@ -583,6 +630,18 @@ def oracle_sql() -> dict[str, str]:
         "fql_mapreduce_avg": (
             f"SELECT CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE) / count(*) AS value "
             f"FROM {s} t"
+        ),
+        "fql_string_len": (
+            "SELECT sum(len(text)) AS value FROM documents"
+            " WHERE 'x' = 'x'"  # all /docs topics match the /docs prefix
+        ),
+        "fql_string_concat_filter": (
+            "SELECT make_timestamp(doc_id * 1000000) AS time,"
+            " '/docs/' || source AS topic, text || '!' AS v0, 1 AS v1"
+            " FROM documents WHERE len(text) > 400"
+        ),
+        "fql_pow": (
+            f"SELECT max(pow(value, 2)) AS value FROM {s} t"
         ),
         "fql_composite_subscript": (
             "SELECT CAST(ts AS TIMESTAMP) AS time,"

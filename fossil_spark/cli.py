@@ -5,6 +5,7 @@ the reference CLI (/root/reference/docs/cli.md):
     LIST                list stores          LIST TOPICS   list topics
     APPEND [<topic>] <data>                  append a datum (~now)
     QUERY <fql>                              run an FQL query
+    SCHEMA <topic> [<schema>]                get / declare a topic schema
     STATS                                    per-topic stats
 
 Usage:  python -m fossil_spark.cli <root_dir> [--db default]
@@ -76,9 +77,16 @@ class Client:
                     f"{r['topic']}: n={r['n']} span=[{r['first_time']} .. {r['last_time']}]"
                     for r in rows
                 ) or "(empty database)"
+            if cmd == "schema":
+                parts = rest.split(None, 1)
+                if len(parts) == 1:
+                    return self.store.schema_for_topic(parts[0]).text
+                topic, schema_text = parts
+                self.store.set_schema(topic, schema_text)
+                return f"200 schema set on {topic}"
             if cmd in ("quit", "exit"):
                 raise EOFError
-            return f"400 unknown command {cmd!r} (use/list/append/query/stats)"
+            return f"400 unknown command {cmd!r} (use/list/append/query/schema/stats)"
         except EOFError:
             raise
         except Exception as e:  # surface engine errors like the reference does

@@ -39,6 +39,45 @@ class EventStore:
         self.spark = spark
         self.root = root
 
+    # -- topic schemas (CREATE <topic> <schema> — docs/schema.md) ----------
+    @property
+    def _schema_path(self) -> str:
+        return os.path.join(self.root, "_schemas.json")
+
+    def _load_registry(self):
+        import json
+
+        from fossil_spark.schema import TopicRegistry
+
+        reg = TopicRegistry()
+        if os.path.exists(self._schema_path):
+            with open(self._schema_path) as f:
+                for topic, text in json.load(f).items():
+                    reg.set(topic, text)
+        return reg
+
+    def set_schema(self, topic: str, schema_text: str) -> None:
+        """Declare a topic schema (validated against the hierarchy
+        rules — conflicting sub-topic schemas are rejected, mirroring
+        db.go AddTopic + parentSchema). Persisted as a store sidecar."""
+        import json
+
+        reg = self._load_registry()
+        reg.set(topic, schema_text)  # raises on conflict
+        os.makedirs(self.root, exist_ok=True)
+        existing = {}
+        if os.path.exists(self._schema_path):
+            with open(self._schema_path) as f:
+                existing = json.load(f)
+        existing[topic] = schema_text
+        with open(self._schema_path, "w") as f:
+            json.dump(existing, f, indent=1)
+
+    def schema_for_topic(self, topic: str):
+        """Effective schema for a topic (nearest ancestor, default
+        string — db.go:414 SchemaForTopic)."""
+        return self._load_registry().get(topic)
+
     # -- APPEND ------------------------------------------------------------
     def append(self, df: DataFrame, topic_col: str = "topic",
                time_col: str = "time", value_col: str = "value") -> None:
@@ -53,9 +92,45 @@ class EventStore:
             .partitionBy("date").parquet(self.root)
 
     def append_rows(self, rows: list[tuple[datetime, str, str]]) -> None:
-        """Small-batch append (the CLI `append <topic> <data>` path)."""
+        """Small-batch append (the CLI `append <topic> <data>` path).
+        Datum not conforming to the topic's declared schema are
+        rejected (db.go:486: append-time validation)."""
+        from fossil_spark.schema import SchemaError, validate
+
         df = self.spark.createDataFrame(rows, "time timestamp, topic string, value string")
+        if os.path.exists(self._schema_path):
+            reg = self._load_registry()
+            topics = {t for _, t, _ in rows}
+            for t in sorted(topics):
+                schema = reg.get(t)
+                if schema.text == "string":
+                    continue
+                part = validate(df.filter(F.col("topic") == t), schema)
+                bad = part.filter(~F.col("valid")).select("value").limit(1).collect()
+                if bad:
+                    raise SchemaError(
+                        f"datum {bad[0]['value']!r} does not conform to topic "
+                        f"{t!r} schema {schema.text!r}"
+                    )
         self.append(df)
+
+    def query_typed(self, text: str, topic: str, now: datetime | None = None) -> DataFrame:
+        """Query a topic subtree with its declared schema applied: the
+        raw string datum parses into the schema's Spark type before the
+        FQL pipeline runs, so arithmetic is properly typed (the
+        reference's MakeFromEntry path, types/value.go:98)."""
+        from fossil_spark.fql import fql
+        from fossil_spark.schema import validate
+
+        schema = self.schema_for_topic(topic)
+        src = self.read().filter(F.col("topic").startswith(topic))
+        if schema.text != "string":
+            src = (
+                validate(src, schema)
+                .filter(F.col("valid"))
+                .select("time", "topic", F.col("parsed").alias("value"))
+            )
+        return fql(src, text, now=now)
 
     # -- read / QUERY --------------------------------------------------------
     def read(self) -> DataFrame:

@@ -91,6 +91,39 @@ def test_validate_composite(spark):
     assert out["junk"] is False
 
 
+def test_store_schema_enforcement(spark, tmp_path_factory):
+    import os
+    import shutil
+    import uuid
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from fossil_spark.store import EventStore
+
+    root = os.path.join("build", f"schema_store_{uuid.uuid4().hex[:8]}")
+    try:
+        st = EventStore(spark, root)
+        st.set_schema("/sensors/temp", "float64")
+        # conforming appends land
+        st.append_rows([(datetime(2024, 1, 1), "/sensors/temp", "71.5")])
+        # non-conforming appends are rejected (reference db.go:486)
+        with _pytest.raises(SchemaError):
+            st.append_rows([(datetime(2024, 1, 2), "/sensors/temp", "notafloat")])
+        # sub-topic schema conflicts are rejected
+        with _pytest.raises(SchemaError):
+            st.set_schema("/sensors/temp/garage", "int32")
+        # typed query: arithmetic on the declared float64, no coercion
+        st.append_rows([(datetime(2024, 1, 3), "/sensors/temp", "86.0")])
+        out = st.query_typed("all | map F -> 5/9 * (F-32)", "/sensors/temp")
+        vals = sorted(round(r["value"], 6) for r in out.collect())
+        assert vals == [round(5 / 9 * (71.5 - 32), 6), 30.0]
+        assert st.schema_for_topic("/sensors/temp/attic").text == "float64"
+        assert st.schema_for_topic("/logs").text == "string"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_topic_registry_inheritance():
     reg = TopicRegistry()
     reg.set("/sensors/temp", "float64")

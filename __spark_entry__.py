@@ -523,6 +523,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "all | map x -> 1, x | reduce a, b -> a[0] + b[0], a[1] + b[1] "
             "| map count, sum -> sum / count"
         ),
+        "fql_kitchen_sink": _fql_query(
+            "sample(@hour) in /events between ~(2024-01-05T00:00:00Z),"
+            " ~now - @day * 2"
+            " | filter x -> x > 20 | map x -> x, x * 2"
+            " | filter a, b -> b < 150 | map a, b -> \"orig\": a, \"doubled\": b"
+        ),
         "fql_composite_subscript": _fql_composite_subscript,
         "fql_string_len": _fql_string_len,
         "fql_string_concat_filter": _fql_string_concat_filter,
@@ -630,6 +636,20 @@ def oracle_sql() -> dict[str, str]:
         "fql_mapreduce_avg": (
             f"SELECT CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE) / count(*) AS value "
             f"FROM {s} t"
+        ),
+        # sample -> time window -> filter/map/filter/map chain; sampling
+        # happens on the time-filtered set, before the pipeline
+        "fql_kitchen_sink": (
+            "WITH w AS (SELECT * FROM"
+            f" {s} t WHERE time >= TIMESTAMP '2024-01-05 00:00:00'"
+            " AND time <= TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 2 DAY"
+            " AND topic LIKE '/events%'),"
+            " smp AS (SELECT time, topic, value FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY"
+            "  epoch_us(time) // 3600000000 ORDER BY time, topic) rn FROM w)"
+            "  WHERE rn = 1)"
+            " SELECT time, topic, value AS orig, value * 2 AS doubled FROM smp"
+            " WHERE value > 20 AND value * 2 < 150"
         ),
         "fql_string_len": (
             "SELECT sum(len(text)) AS value FROM documents"

@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+    IntegerType, LongType, StringType, StructField, StructType,
 )
 
 IMAGE_META_SCHEMA = StructType([

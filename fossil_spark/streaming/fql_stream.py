@@ -18,7 +18,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fossil_spark.fql import ast
 from fossil_spark.fql.compiler import (
     CompileError, _bind, _kinds_of, _make_agg, _match_reduce_element,
     _stage_outputs, compile_expr,

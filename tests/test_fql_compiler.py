@@ -1,6 +1,6 @@
 """FQL compiler semantics vs DuckDB on the events store view."""
 
-from datetime import datetime, timezone
+from datetime import datetime
 
 import duckdb
 import pytest

@@ -4,7 +4,6 @@ import os
 import shutil
 import uuid
 
-import pytest
 from pyspark.sql import functions as F
 
 from fossil_spark.plans import partitioned_write, salted_join

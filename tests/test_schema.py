@@ -6,7 +6,7 @@ from hypothesis import given, strategies as st
 from pyspark.sql import types as T
 
 from fossil_spark.schema import (
-    FossilSchema, SchemaError, TopicRegistry, parse_schema, validate,
+    SchemaError, TopicRegistry, parse_schema, validate,
 )
 
 

@@ -3,7 +3,6 @@
 import json
 import os
 import shutil
-import time
 import uuid
 from datetime import timedelta
 

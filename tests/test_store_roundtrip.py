@@ -4,9 +4,8 @@ batches survive append -> read -> FQL intact."""
 import os
 import shutil
 import uuid
-from datetime import datetime, timedelta, timezone
+from datetime import datetime, timedelta
 
-import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from fossil_spark.store import EventStore

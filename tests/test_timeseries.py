@@ -230,8 +230,6 @@ def test_ohlc(events):
 
 
 def test_ewma_matches_pandas(events):
-    import pandas as pd
-
     out = ts.ewma(events, 0.3, "ts", ["event_type"], "value", ["event_id"])
     got = {r["event_id"]: r["ewma"] for r in out.collect()}
     pdf = events.toPandas().sort_values(["event_type", "ts", "event_id"])

@@ -383,6 +383,14 @@ def _ann_lsh(spark, sf_dir):
     return ann.lsh_ann(emb, emb.filter("vec_id < 8"), dim=64, k=5)
 
 
+def _dedup_embedding(spark, sf_dir):
+    from fossil_spark.operators import dedup
+    from fossil_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(emb, threshold=0.25)
+
+
 def _dedup_components(spark, sf_dir):
     from fossil_spark.operators import dedup
 
@@ -574,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "ann_bruteforce": _ann_bruteforce,
         "ann_lsh": _ann_lsh,  # rows-only: recall vs exact checked in tests
+        "dedup_embedding": _dedup_embedding,
         "dedup_components": _dedup_components,
         "sample_hash_split": _sample_hash_split,
         "text_token_freq": _text_token_freq,
@@ -915,6 +924,25 @@ def oracle_sql() -> dict[str, str]:
             " FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id"
             " WHERE q.vec_id < 8"
             " QUALIFY rank <= 5"
+        ),
+        # hyperplane weights are md5-derived, so the oracle reproduces
+        # the exact same LSH buckets (mirrors ann._hyperplane)
+        "dedup_embedding": (
+            "WITH dims AS (SELECT unnest(range(64)) AS d),"
+            " planes AS (SELECT unnest(range(8)) AS p),"
+            " w AS (SELECT p, d,"
+            " (('0x' || substr(md5(p::VARCHAR || ',' || d::VARCHAR), 1, 8))::BIGINT"
+            "  / 4294967295.0) * 2.0 - 1.0 AS wt FROM planes, dims),"
+            " e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),"
+            " dots AS (SELECT vec_id, p, sum(emb[d + 1] * wt) AS dot"
+            "  FROM e, w GROUP BY 1, 2),"
+            " sig AS (SELECT vec_id, sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END)"
+            "  AS bucket FROM dots GROUP BY 1)"
+            " SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,"
+            " round(list_cosine_similarity(ea.emb, eb.emb), 6) AS cos_sim"
+            " FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id"
+            " JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id"
+            " WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= 0.25"
         ),
         "dedup_components": (
             f"WITH RECURSIVE {_MINHASH_CTES},"

@@ -164,6 +164,38 @@ def ngram_jaccard_pairs(
     )
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.25,
+    dim: int = 64,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates share a
+    random-hyperplane LSH bucket (md5-seeded planes — reproducible on
+    any engine), then exact cosine filters at `threshold`. The bucket
+    self-join bounds candidates to ~n²/2^planes instead of n²."""
+    from fossil_spark.operators.ann import cosine, lsh_signature
+
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).withColumn("bucket", lsh_signature(F.col("__v"), dim, planes, table=0))
+    a = e.select(F.col(id_col).alias("vec_a"), F.col("__v").alias("__va"), "bucket")
+    b = e.select(F.col(id_col).alias("vec_b"), F.col("__v").alias("__vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), round_to).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -442,6 +442,14 @@ def _text_repetition(spark, sf_dir):
     return text.repetition_score(_docs(spark, sf_dir))
 
 
+def _ann_ivf(spark, sf_dir):
+    from fossil_spark.operators import ann
+    from fossil_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ann.ivf_ann(emb, emb.filter("vec_id < 8"), k=5, n_lists=16, n_probe=4)
+
+
 def _text_tokens(spark, sf_dir):
     from fossil_spark.operators import text
 
@@ -582,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "ann_bruteforce": _ann_bruteforce,
         "ann_lsh": _ann_lsh,  # rows-only: recall vs exact checked in tests
+        "ann_ivf": _ann_ivf,  # rows-only: recall vs exact checked in tests
         "dedup_embedding": _dedup_embedding,
         "dedup_components": _dedup_components,
         "sample_hash_split": _sample_hash_split,

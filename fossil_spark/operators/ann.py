@@ -97,6 +97,86 @@ def lsh_signature(vec: Column, dim: int, planes: int = 8, table: int = 0) -> Col
     return sig
 
 
+def ivf_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors are assigned to the
+    nearest of `n_lists` coarse centroids (inverted lists); each query
+    probes its `n_probe` nearest lists and scores only those members.
+
+    Centroids are a deterministic sample of the corpus itself (min
+    md5(id) order — no RNG state, reproducible anywhere), which is the
+    standard IVF bootstrap before any k-means refinement. Expected
+    candidates per query ~ |corpus| * n_probe / n_lists. Two broadcast
+    passes (centroids are tiny); one shuffle on list id."""
+    cents = (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h")
+        .limit(n_lists)
+        .select(F.col("__v").alias("__cent"))
+        .collect()
+    )
+    spark = corpus.sparkSession
+    cents_df = broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in row["__cent"]]) for i, row in enumerate(cents)],
+            "list_id int, __cent array<double>",
+        )
+    )
+    from pyspark.sql import Window
+
+    def assign(df: DataFrame, vcol: str, n: int, out_id: str) -> DataFrame:
+        """nearest-n centroid ids per vector: tiny cross join against
+        the broadcast centroid table + rank (keeps the downstream join
+        key a plain column — higher-order exprs stay out of join keys)."""
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("__cd").desc(), F.col("list_id")
+        )
+        return (
+            df.crossJoin(cents_df)
+            .withColumn("__cd", F.round(cosine(F.col(vcol), F.col("__cent")), 9))
+            .withColumn("__cr", F.row_number().over(w))
+            .filter(F.col("__cr") <= n)
+            .drop("__cent", "__cd", "__cr")
+        )
+
+    c = assign(
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")),
+        "__cv", 1, id_col,
+    )
+    q = broadcast(
+        assign(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).cast("array<double>").alias("__qv"),
+            ),
+            "__qv", n_probe, "query_id",
+        )
+    )
+    scored = (
+        c.join(q, "list_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("__qv"), F.col("__cv")), round_to).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", id_col])
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_ann(
     corpus: DataFrame,
     queries: DataFrame,

@@ -195,6 +195,25 @@ def test_cosine_topk(emb):
         assert got[(qid, ranks[qid])] == (vid, cs)
 
 
+def test_ivf_ann_recall(emb):
+    queries = emb.filter("vec_id < 10")
+    exact = ann.cosine_topk(emb, queries, k=5).collect()
+    approx = ann.ivf_ann(emb, queries, k=5, n_lists=16, n_probe=6).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3
+    # determinism: same centroids, same result
+    approx2 = ann.ivf_ann(emb, queries, k=5, n_lists=16, n_probe=6).collect()
+    assert {(r["query_id"], r["vec_id"], r["cos_sim"]) for r in approx} == \
+        {(r["query_id"], r["vec_id"], r["cos_sim"]) for r in approx2}
+
+
+def test_embedding_neardup_pairs(emb):
+    out = dedup.embedding_neardup_pairs(emb, threshold=0.25).collect()
+    assert all(r["cos_sim"] >= 0.25 and r["vec_a"] < r["vec_b"] for r in out)
+
+
 def test_lsh_ann_recall(emb):
     queries = emb.filter("vec_id < 10")
     exact = ann.cosine_topk(emb, queries, k=5).collect()

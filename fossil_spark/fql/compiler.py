@@ -19,6 +19,15 @@ stage becomes a declarative DataFrame transformation:
   variant via applyInPandas for when bit-parity with the reference
   matters more than scale.
 
+Documented divergence: the reference's filter chain runs in AST order
+— quantifier FIRST, then topic, then time (plan/metadata.go:21 Visit
+appends in that order), so `sample(Δ) in /x since T` samples the whole
+stream before selecting the topic/time slice. We apply topic/time
+BEFORE sampling: that is what the query reads as, and it lets the
+predicates push into the scan instead of forcing a full-stream
+decimation. Users selecting a topic want that topic sampled, not a
+lottery over unrelated topics.
+
 Store contract: the input DataFrame has columns
   time  timestamp
   topic string        (hierarchical, '/a/b/c')

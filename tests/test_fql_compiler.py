@@ -158,6 +158,28 @@ def test_reduce_fallback_sequential(spark):
     assert (row["v0"], row["v1"]) == (-13.0, 15.0)
 
 
+def test_pipeline_after_reduce(spark):
+    # stages keep composing after the fold collapses to a scalar
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, 0, i), "/t", float(i)) for i in range(1, 5)],
+        "time timestamp, topic string, value double",
+    )
+    out = fql(df, "all | reduce a, b -> a + b | map s -> s * 10", now=FIXED_NOW)
+    assert out.collect()[0]["value"] == 100.0
+    out2 = fql(df, "all | reduce a, b -> a + b | filter s -> s > 100", now=FIXED_NOW)
+    assert out2.collect() == []
+
+
+def test_reduce_composite_output(spark):
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, 0, i), "/t", float(i)) for i in range(1, 4)],
+        "time timestamp, topic string, value double",
+    )
+    out = fql(df, 'all | reduce a, b -> "total": a + b', now=FIXED_NOW)
+    row = out.collect()[0]
+    assert out.columns == ["total"] and row["total"] == 6.0
+
+
 def test_string_len_builtin(spark):
     df = spark.createDataFrame(
         [(datetime(2024, 1, 1), "/logs", "hello"), (datetime(2024, 1, 2), "/logs", "hi")],

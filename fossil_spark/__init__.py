@@ -12,4 +12,16 @@ semantics.
 
 from fossil_spark.session import get_spark
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "EventStore", "fql"]
+
+
+def __getattr__(name):
+    # lazy re-exports: importing fossil_spark must not require an
+    # active JVM until something is actually used
+    if name == "EventStore":
+        from fossil_spark.store import EventStore
+        return EventStore
+    if name == "fql":
+        from fossil_spark.fql import fql
+        return fql
+    raise AttributeError(name)

@@ -5,6 +5,7 @@ the reference CLI (/root/reference/docs/cli.md):
     LIST                list stores          LIST TOPICS   list topics
     APPEND [<topic>] <data>                  append a datum (~now)
     QUERY <fql>                              run an FQL query
+    EXPLAIN <fql>                            show the compiled Spark plan
     SCHEMA <topic> [<schema>]                get / declare a topic schema
     STATS                                    per-topic stats
 
@@ -77,6 +78,15 @@ class Client:
                     f"{r['topic']}: n={r['n']} span=[{r['first_time']} .. {r['last_time']}]"
                     for r in rows
                 ) or "(empty database)"
+            if cmd == "explain":
+                import contextlib
+                import io
+
+                df = self.store.query(rest)
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    df.explain("formatted")
+                return buf.getvalue().strip()
             if cmd == "schema":
                 parts = rest.split(None, 1)
                 if len(parts) == 1:

@@ -272,6 +272,29 @@ def _stage_outputs(expr: ast.Expr) -> tuple[list[ast.Expr], list[str]]:
     return [expr], ["value"]
 
 
+def time_bounds(
+    q: ast.Query | str, now: datetime | None = None
+) -> tuple[datetime | None, datetime | None]:
+    """Resolved inclusive [lo, hi] wall-clock bounds of a query's time
+    predicate, or (None, None) when unbounded. Spark cannot infer
+    `date = to_date(time)` from a `time` filter, so callers that own a
+    date-partitioned layout (EventStore) use these bounds to add a
+    redundant `date` predicate — that is what turns a since/between
+    query into real partition pruning instead of a full directory
+    listing at 100 TB partition counts."""
+    if isinstance(q, str):
+        q = parse(q)
+    now = now or datetime.now(timezone.utc)
+    tp = q.time_predicate
+    if tp is None:
+        return (None, None)
+    if tp.kind == "since":
+        return (tp.begin.resolve(now), now)
+    if tp.kind == "before":
+        return (None, tp.begin.resolve(now))
+    return (tp.begin.resolve(now), tp.end.resolve(now))
+
+
 def compile_query(
     q: ast.Query,
     df: DataFrame,

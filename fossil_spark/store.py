@@ -123,7 +123,7 @@ class EventStore:
         from fossil_spark.schema import validate
 
         schema = self.schema_for_topic(topic)
-        src = self.read().filter(F.col("topic").startswith(topic))
+        src = self._read_pruned(text, now).filter(F.col("topic").startswith(topic))
         if schema.text != "string":
             src = (
                 validate(src, schema)
@@ -136,9 +136,27 @@ class EventStore:
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.root).select("time", "topic", "value")
 
+    def _read_pruned(self, text: str, now: datetime | None) -> DataFrame:
+        """Store scan with partition pruning derived from the query's
+        time predicate. Spark can't infer `date = to_date(time)` from a
+        filter on `time` alone, so every date directory would be listed
+        and every footer opened; deriving the redundant `date` bounds
+        here turns since/before/between into PartitionFilters — the
+        distributed analogue of the reference's per-segment head-time
+        binary search (db.go:554 Retrieve)."""
+        from fossil_spark.fql.compiler import time_bounds
+
+        src = self.spark.read.parquet(self.root)
+        lo, hi = time_bounds(text, now=now)
+        if lo is not None:
+            src = src.filter(F.col("date") >= F.lit(lo.date()))
+        if hi is not None:
+            src = src.filter(F.col("date") <= F.lit(hi.date()))
+        return src.select("time", "topic", "value")
+
     def query(self, text: str, now: datetime | None = None) -> DataFrame:
         from fossil_spark.fql import fql
-        return fql(self.read(), text, now=now)
+        return fql(self._read_pruned(text, now), text, now=now)
 
     def sql(self, statement: str, view_name: str = "store") -> DataFrame:
         """Full ANSI SQL over the store (the engine is Spark, so SQL

@@ -84,13 +84,16 @@ def fql_stream(
                 agg_name, idx = m
                 src = cols[idx if idx is not None else 0]
                 aggs.append(_make_agg(agg_name, src, df).alias(f"__v{j}"))
+            # group by the window() struct (not .start) so the
+            # event-time/watermark linkage survives and append-mode
+            # sinks work; .start is projected after the agg
             out = (
                 df.withWatermark(time_col, watermark)
-                .groupBy(F.window(F.col(time_col), window).start.alias("bucket"))
+                .groupBy(F.window(F.col(time_col), window))
                 .agg(*aggs)
             )
             return out.select(
-                "bucket",
+                F.col("window").start.alias("bucket"),
                 *[F.col(f"__v{j}").alias(d) for j, d in enumerate(display)],
             )
         else:  # pragma: no cover

@@ -42,7 +42,7 @@ def build_rollup(
     (
         out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("date")
+        .partitionBy("date", "bucket")
         .parquet(rollup_root)
     )
     return spark.read.parquet(rollup_root).count()
@@ -60,10 +60,14 @@ def stream_rollup_to_store(
     aggregation emits each window once its watermark passes; the
     foreachBatch sink overwrites the affected date partitions — an
     idempotent upsert, so replays after failure cannot double-count."""
+    # Group by the window() struct itself — grouping by window(...).start
+    # severs the event-time column from the watermark and append mode
+    # throws STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION. Project .start
+    # only after the aggregation.
     agg = (
         stream.select("time", "topic", F.col("value").cast("double").alias("value"))
         .withWatermark("time", watermark)
-        .groupBy(F.window("time", every).start.alias("bucket"), "topic")
+        .groupBy(F.window("time", every), "topic")
         .agg(
             F.count("*").alias("n"),
             (
@@ -73,16 +77,26 @@ def stream_rollup_to_store(
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
         )
+        .select(
+            F.col("window").start.alias("bucket"),
+            "topic", "n", "avg_value", "min_value", "max_value",
+        )
         .withColumn("date", F.to_date("bucket"))
     )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # Overwrite at (date, bucket) leaf granularity: the global
+        # watermark finalizes all groups of a window in the same
+        # micro-batch, so a batch always holds complete windows and the
+        # dynamic overwrite replaces exactly those leaf partitions —
+        # idempotent under replay, and it can never clobber sibling
+        # windows of the same date materialized by earlier batches.
         if batch_df.isEmpty():
             return
         (
             batch_df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("date")
+            .partitionBy("date", "bucket")
             .parquet(rollup_root)
         )
 

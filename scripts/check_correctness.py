@@ -43,6 +43,14 @@ def values_equal(a, b) -> bool:
 def frames_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
     if list(a.columns) != list(b.columns):
         return False, f"columns differ: {list(a.columns)} vs {list(b.columns)}"
+    # The driver's hash canon distinguishes numeric kinds (e.g. DuckDB
+    # HUGEINT arrives as float64 while Spark BIGINT is int64); mirror
+    # that by requiring matching dtype kinds, not just equal values.
+    for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if ka != kb and {ka, kb} <= {"i", "u", "f"}:
+            if not ({ka, kb} <= {"i", "u"}):
+                return False, f"col {c}: dtype kind differs ({a[c].dtype} vs {b[c].dtype})"
     if len(a) != len(b):
         return False, f"row counts differ: {len(a)} vs {len(b)}"
     for c in a.columns:

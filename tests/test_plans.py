@@ -77,25 +77,40 @@ def test_store_time_predicate_prunes_partitions(spark):
 
     from fossil_spark.store import EventStore, FIXED_NOW, events_store_view
 
+    import re
+
     root = os.path.join("build", f"prune_{uuid.uuid4().hex[:8]}")
     try:
         st = EventStore(spark, root)
         st.append(events_store_view(spark, SF))
-        df = st.read().filter(
-            (F.col("time") >= F.lit("2024-01-15").cast("timestamp"))
-        ).withColumn("date", F.to_date("time"))
-        # query through the date-partition column the store writes
-        q = spark.read.parquet(root).filter("date >= '2024-01-15'")
-        plan = _plan_of(q)
-        import re
 
-        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-        assert m is not None, "no PartitionFilters in scan"
-        assert "date" in m.group(1), f"date not in partition filters: {m.group(1)!r}"
-        # pruned scan reads fewer files than the full store
-        n_all = spark.read.parquet(root).count()
-        n_pruned = q.count()
-        assert 0 < n_pruned < n_all
+        def partition_filters(df):
+            m = re.search(r"PartitionFilters: \[([^\]]*)\]", _plan_of(df))
+            assert m is not None, "no PartitionFilters in scan"
+            return m.group(1)
+
+        # the FQL path itself must prune: since/before/between compile
+        # to a redundant `date` bound (store._read_pruned)
+        for text in (
+            "all since ~(2024-01-15T00:00:00Z)",
+            "all before ~(2024-01-10T00:00:00Z)",
+            "all between ~(2024-01-10T00:00:00Z), ~(2024-01-20T00:00:00Z)",
+        ):
+            q = st.query(text, now=FIXED_NOW)
+            pf = partition_filters(q)
+            assert "date" in pf, f"{text!r}: date not in partition filters: {pf!r}"
+
+        # an unbounded query has no partition filter (and must not error)
+        assert "date" not in partition_filters(st.query("all", now=FIXED_NOW))
+
+        # pruning changes which files are read, not the answer
+        since = st.query("all since ~(2024-01-15T00:00:00Z)", now=FIXED_NOW)
+        unpruned = st.read().filter(
+            (F.col("time") >= F.lit("2024-01-15").cast("timestamp"))
+            & (F.col("time") <= F.lit(FIXED_NOW.replace(tzinfo=None)))
+        )
+        assert since.count() == unpruned.count() > 0
+        assert since.count() < st.read().count()
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -125,32 +125,47 @@ def ivf_ann(
         .collect()
     )
     spark = corpus.sparkSession
-    cents_df = broadcast(
+    # All centroids as ONE broadcast row holding an array<struct>: the
+    # 1-row cross join is a BroadcastNestedLoopJoin (map-side, no
+    # shuffle), and list assignment becomes a per-row higher-order
+    # expression — the earlier crossJoin(corpus x centroids) +
+    # row_number() argmin shuffled n_lists x |corpus| rows just to pick
+    # a minimum, which does not survive 100 TB.
+    cent_rows = [(i, [float(x) for x in row["__cent"]]) for i, row in enumerate(cents)]
+    cents_one = broadcast(
         spark.createDataFrame(
-            [(i, [float(x) for x in row["__cent"]]) for i, row in enumerate(cents)],
-            "list_id int, __cent array<double>",
+            [(cent_rows,)],
+            "__cents array<struct<list_id:int, vec:array<double>>>",
         )
     )
-    from pyspark.sql import Window
 
-    def assign(df: DataFrame, vcol: str, n: int, out_id: str) -> DataFrame:
-        """nearest-n centroid ids per vector: tiny cross join against
-        the broadcast centroid table + rank (keeps the downstream join
-        key a plain column — higher-order exprs stay out of join keys)."""
-        w = Window.partitionBy(out_id).orderBy(
-            F.col("__cd").desc(), F.col("list_id")
+    def assign(df: DataFrame, vcol: str, n: int, keep: list[str]) -> DataFrame:
+        """nearest-n centroid ids per vector, fully map-side: transform
+        the broadcast centroid array into (neg_cos, list_id) structs,
+        array_sort (lexicographic: best cosine first, ties on smaller
+        list id), slice n, explode. The explode materializes list_id as
+        a plain attribute, keeping higher-order exprs out of join keys."""
+        ranked = F.slice(
+            F.array_sort(
+                F.transform(
+                    F.col("__cents"),
+                    lambda c: F.struct(
+                        (-F.round(cosine(F.col(vcol), c["vec"]), 9)).alias("negcos"),
+                        c["list_id"].alias("list_id"),
+                    ),
+                )
+            ),
+            1, n,
         )
         return (
-            df.crossJoin(cents_df)
-            .withColumn("__cd", F.round(cosine(F.col(vcol), F.col("__cent")), 9))
-            .withColumn("__cr", F.row_number().over(w))
-            .filter(F.col("__cr") <= n)
-            .drop("__cent", "__cd", "__cr")
+            df.crossJoin(cents_one)
+            .withColumn("__nl", F.explode(ranked))
+            .select(*keep, F.col("__nl.list_id").alias("list_id"))
         )
 
     c = assign(
         corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")),
-        "__cv", 1, id_col,
+        "__cv", 1, [id_col, "__cv"],
     )
     q = broadcast(
         assign(
@@ -158,7 +173,7 @@ def ivf_ann(
                 F.col(id_col).alias("query_id"),
                 F.col(vec_col).cast("array<double>").alias("__qv"),
             ),
-            "__qv", n_probe, "query_id",
+            "__qv", n_probe, ["query_id", "__qv"],
         )
     )
     scored = (

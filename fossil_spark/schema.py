@@ -148,6 +148,76 @@ def validate(df: DataFrame, schema: FossilSchema, value_col: str = "value") -> D
     return df.withColumn("parsed", parsed).withColumn("valid", valid)
 
 
+_INT_RANGES = {
+    "int8": (-(1 << 7), (1 << 7) - 1),
+    "int16": (-(1 << 15), (1 << 15) - 1),
+    "int32": (-(1 << 31), (1 << 31) - 1),
+    "int64": (-(1 << 63), (1 << 63) - 1),
+    "uint8": (0, (1 << 8) - 1),
+    "uint16": (0, (1 << 16) - 1),
+    "uint32": (0, (1 << 32) - 1),
+    "uint64": (0, (1 << 64) - 1),
+}
+
+
+def conforms(value: str, schema: FossilSchema) -> bool:
+    """Driver-side single-datum conformance check, mirroring
+    validate()'s cast semantics — used on the server's APPEND hot path
+    where spinning a Spark job per datum would be absurd. The
+    distributed validate() remains the batch path; both reject exactly
+    the datum db.go:486 would."""
+    import json
+
+    def scalar_ok(raw, sub: FossilSchema) -> bool:
+        st = sub.spark_type
+        if isinstance(st, (T.StringType, T.BinaryType)):
+            return raw is not None
+        if isinstance(st, T.BooleanType):
+            return (isinstance(raw, bool)
+                    or (isinstance(raw, str) and raw.lower() in ("true", "false")))
+        s = str(raw)
+        if sub.text in _INT_RANGES or sub.text == "uint64":
+            try:
+                n = int(s)
+            except ValueError:
+                return False
+            lo, hi = _INT_RANGES[sub.text]
+            return lo <= n <= hi
+        try:  # float32/float64/float
+            float(s)
+            return True
+        except ValueError:
+            return False
+
+    st = schema.spark_type
+    if isinstance(st, T.StructType):
+        try:
+            obj = json.loads(value)
+        except (ValueError, TypeError):
+            return False
+        if not isinstance(obj, dict):
+            return False
+        return all(
+            k in obj and obj[k] is not None and scalar_ok(obj[k], sub)
+            for k, sub in schema.entries.items()
+        )
+    if isinstance(st, T.ArrayType):
+        try:
+            arr = json.loads(value)
+        except (ValueError, TypeError):
+            return False
+        if not isinstance(arr, list):
+            return False
+        if schema.array_len is not None and len(arr) != schema.array_len:
+            return False
+        elem = FossilSchema(schema.text, st.elementType)
+        # recover the element's fossil name for range checks
+        m = _ARRAY_RE.match(schema.text)
+        elem.text = m.group(2) if m else "float64"
+        return all(x is not None and scalar_ok(x, elem) for x in arr)
+    return scalar_ok(value, schema)
+
+
 class TopicRegistry:
     """Topic → schema map with hierarchical inheritance and conflict
     rejection (reference: docs/schema.md 'Schemas in the topic
@@ -173,6 +243,10 @@ class TopicRegistry:
         found = self._nearest_ancestor(topic, include_self=True)
         return found if found is not None else parse_schema(self.DEFAULT)
 
+    def items(self) -> list[tuple[str, str]]:
+        """Declared (topic, schema_text) pairs (LIST schemas parity)."""
+        return sorted((t, s.text) for t, s in self._schemas.items())
+
     def _norm(self, topic: str) -> str:
         t = topic.rstrip("/")
         return t if t.startswith("/") else "/" + t
@@ -180,7 +254,10 @@ class TopicRegistry:
     def _nearest_ancestor(self, topic: str, include_self: bool = False) -> FossilSchema | None:
         t = self._norm(topic)
         parts = t.split("/")
-        candidates = ["/".join(parts[:i]) or "/" for i in range(len(parts), 1, -1)]
+        # range down to 0 so the root "/" is the final ancestor — a
+        # schema declared on "/" governs every topic (db.go parentSchema
+        # walks to root)
+        candidates = ["/".join(parts[:i]) or "/" for i in range(len(parts), 0, -1)]
         if not include_self:
             candidates = candidates[1:]
         for cand in candidates:

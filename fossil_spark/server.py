@@ -1,0 +1,513 @@
+"""TCP line-protocol server + client — wire parity with the reference
+daemon (/root/reference/docs/protocol.md, pkg/server/server.go,
+pkg/proto/message.go).
+
+Framing: [4-byte BE length][8-byte zero-padded command][data], where
+length counts command+data. Commands: VERSION / USE / QUERY / APPEND /
+STATS / LIST / CREATE, responses OK / ERR / typed payloads — byte
+formats mirror pkg/proto/message.go exactly, so a client written for
+the reference talks to this server unchanged.
+
+Spark-native serving model: the hand-rolled storage engine behind the
+reference's daemon (segments, WAL, per-db file locks) is replaced by
+EventStore's date-partitioned parquet. Appends micro-batch in memory
+and flush as single atomic parquet commits (size- or command-driven),
+the distributed analogue of the reference's in-memory segment that
+flushes on rollover — a one-row-one-file pattern would melt the
+namenode at real scale. Queries flush pending appends first
+(read-your-writes), then run the FQL pipeline on the cluster.
+
+Metrics parity (pkg/server/metrics.go, dbmetrics.go): per-(db, cmd)
+request counters + response-time sums, client connections, per-db
+segment/topic gauges — exposed in Prometheus text format over HTTP
+/metrics and queryable in-process.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import os
+import socket
+import socketserver
+import struct
+import threading
+import time as _time
+from datetime import datetime, timezone
+
+from pyspark.sql import SparkSession
+
+LEN_WIDTH = 4
+COMMAND_WIDTH = 8
+MAX_MESSAGE = 100 * 1024 * 1024  # reference: 100 MiB guard
+
+# --- wire framing (pkg/proto/message.go lineMessage) -----------------------
+
+
+def write_message(sock: socket.socket, command: str, data: bytes) -> None:
+    cmd = command.encode()[:COMMAND_WIDTH].ljust(COMMAND_WIDTH, b"\x00")
+    sock.sendall(struct.pack(">I", COMMAND_WIDTH + len(data)) + cmd + data)
+
+
+def read_message(f: io.BufferedReader) -> tuple[str, bytes]:
+    head = f.read(LEN_WIDTH)
+    if len(head) < LEN_WIDTH:
+        raise ConnectionError("connection closed")
+    (length,) = struct.unpack(">I", head)
+    if length > MAX_MESSAGE:
+        raise ConnectionError("message too large")
+    buf = f.read(length)
+    if len(buf) < length or length < COMMAND_WIDTH:
+        raise ConnectionError("message format incorrect")
+    command = buf[:COMMAND_WIDTH].rstrip(b"\x00").decode().upper()
+    return command, buf[COMMAND_WIDTH:]
+
+
+def _u32(n: int) -> bytes:
+    return struct.pack(">I", n)
+
+
+def _read_u32(buf: memoryview, off: int) -> tuple[int, int]:
+    return struct.unpack_from(">I", buf, off)[0], off + 4
+
+
+def marshal_ok(code: int = 200, message: str = "Ok") -> bytes:
+    return _u32(code) + message.encode()
+
+
+def marshal_err(code: int, err: str) -> bytes:
+    return _u32(code) + (err or "error").encode()
+
+
+def marshal_strings(items: list[str]) -> bytes:
+    """ListResponse / QueryResponse share the count + len-prefixed
+    entry layout."""
+    out = [_u32(len(items))]
+    for s in items:
+        b = s.encode()
+        out.append(_u32(len(b)) + b)
+    return b"".join(out)
+
+
+def unmarshal_strings(data: bytes) -> list[str]:
+    mv = memoryview(data)
+    count, off = _read_u32(mv, 0)
+    items = []
+    for _ in range(count):
+        n, off = _read_u32(mv, off)
+        items.append(bytes(mv[off:off + n]).decode())
+        off += n
+    return items
+
+
+def _rfc3339(dt: datetime) -> str:
+    """Go time.RFC3339Nano: fractional seconds without trailing zeros."""
+    s = dt.strftime("%Y-%m-%dT%H:%M:%S")
+    if dt.microsecond:
+        s += "." + f"{dt.microsecond:06d}".rstrip("0")
+    return s + "Z"
+
+
+def _parse_rfc3339(s: str) -> datetime:
+    return datetime.fromisoformat(s.replace("Z", "+00:00")).replace(tzinfo=None)
+
+
+# --- metrics (pkg/server/metrics.go parity) --------------------------------
+
+
+class ServerMetrics:
+    """fossil_requests / fossil_response_ns / fossil_client_connections
+    counters plus per-db segment/topic gauges, Prometheus text format."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self.client_connections = 0
+        self.requests: dict[tuple[str, str], int] = {}
+        self.response_ns: dict[tuple[str, str], int] = {}
+
+    def inc_client_connection(self) -> None:
+        with self._lock:
+            self.client_connections += 1
+
+    def observe(self, db: str, cmd: str, ns: int) -> None:
+        with self._lock:
+            key = (db, cmd)
+            self.requests[key] = self.requests.get(key, 0) + 1
+            self.response_ns[key] = self.response_ns.get(key, 0) + ns
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            return {
+                "client_connections": self.client_connections,
+                "requests": dict(self.requests),
+                "response_ns": dict(self.response_ns),
+            }
+
+    def prometheus_text(self, db_stats: dict[str, tuple[int, int]]) -> str:
+        lines = [
+            "# TYPE fossil_client_connections counter",
+            f"fossil_client_connections {self.client_connections}",
+            "# TYPE fossil_requests counter",
+        ]
+        snap = self.snapshot()
+        for (db, cmd), n in sorted(snap["requests"].items()):
+            lines.append(f'fossil_requests{{database="{db}",cmd="{cmd}"}} {n}')
+        lines.append("# TYPE fossil_response_ns_sum counter")
+        for (db, cmd), ns in sorted(snap["response_ns"].items()):
+            lines.append(f'fossil_response_ns_sum{{database="{db}",cmd="{cmd}"}} {ns}')
+        lines.append("# TYPE fossil_database_segments gauge")
+        for db, (segments, _) in sorted(db_stats.items()):
+            lines.append(f'fossil_database_segments{{db_name="{db}"}} {segments}')
+        lines.append("# TYPE fossil_database_topics gauge")
+        for db, (_, topics) in sorted(db_stats.items()):
+            lines.append(f'fossil_database_topics{{db_name="{db}"}} {topics}')
+        return "\n".join(lines) + "\n"
+
+
+# --- server ----------------------------------------------------------------
+
+
+class _Database:
+    """One served database: an EventStore plus its append micro-batch."""
+
+    def __init__(self, spark: SparkSession, name: str, root: str):
+        from fossil_spark.store import EventStore
+
+        self.name = name
+        self.store = EventStore(spark, root)
+        self.pending: list[tuple[datetime, str, str]] = []
+        self.lock = threading.Lock()
+
+    def append(self, topic: str, data: bytes, flush_every: int) -> None:
+        from fossil_spark.schema import SchemaError, conforms
+
+        value = data.decode("utf-8", "replace")
+        schema = self.store.schema_for_topic(topic)
+        if schema.text != "string" and not conforms(value, schema):
+            raise SchemaError(
+                f"datum {value!r} does not conform to topic {topic!r} "
+                f"schema {schema.text!r}"
+            )
+        row = (datetime.now(timezone.utc).replace(tzinfo=None), topic, value)
+        with self.lock:
+            self.pending.append(row)
+            should_flush = len(self.pending) >= flush_every
+        if should_flush:
+            self.flush()
+
+    def flush(self) -> None:
+        with self.lock:
+            batch, self.pending = self.pending, []
+            if batch:
+                # one atomic parquet commit per micro-batch (schema
+                # validation included — store.append_rows)
+                self.store.append_rows(batch)
+
+    def is_empty(self) -> bool:
+        try:
+            return not any(
+                f.startswith("date=") for f in os.listdir(self.store.root)
+            )
+        except FileNotFoundError:
+            return True
+
+    def stats(self) -> tuple[int, int]:
+        """(segments, topics) — segments = parquet files, the direct
+        analogue of the reference's fixed-width segment count."""
+        if self.is_empty():
+            return 0, 0
+        segments = sum(
+            1
+            for dirpath, _, files in os.walk(self.store.root)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        topics = self.store.topics().count()
+        return segments, topics
+
+
+class FossilServer:
+    """Threaded TCP server speaking the reference wire protocol over
+    EventStores. One Spark driver serves all connections; queries run
+    distributed, protocol handling stays on the driver."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        databases: dict[str, str],
+        host: str = "127.0.0.1",
+        port: int = 0,
+        flush_every: int = 1000,
+        now: datetime | None = None,
+    ):
+        self.spark = spark
+        self.metrics = ServerMetrics()
+        self.flush_every = flush_every
+        self._now = now  # pin ~now for deterministic tests
+        self.dbs = {
+            name: _Database(spark, name, root) for name, root in databases.items()
+        }
+        self._default_db = next(iter(self.dbs))
+        outer = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self) -> None:
+                outer.metrics.inc_client_connection()
+                current = outer.dbs[outer._default_db]
+                while True:
+                    try:
+                        command, data = read_message(self.rfile)
+                    except (ConnectionError, OSError):
+                        break
+                    t0 = _time.monotonic_ns()
+                    try:
+                        current = outer._dispatch(
+                            self.connection, command, data, current
+                        )
+                    except (ConnectionError, OSError):
+                        break
+                    except Exception as ex:  # query/schema errors -> ERR
+                        try:
+                            write_message(
+                                self.connection, "ERR", marshal_err(500, str(ex))
+                            )
+                        except OSError:
+                            break
+                    finally:
+                        outer.metrics.observe(
+                            current.name, command, _time.monotonic_ns() - t0
+                        )
+
+        class Server(socketserver.ThreadingTCPServer):
+            daemon_threads = True
+            allow_reuse_address = True
+
+        self._server = Server((host, port), Handler)
+        self.host, self.port = self._server.server_address
+        self._thread: threading.Thread | None = None
+        self._http: object | None = None
+        self._start_time = _time.monotonic()
+
+    # -- command dispatch (pkg/server/server.go ServeDatabase wiring) -------
+    def _dispatch(self, sock, command: str, data: bytes, current: _Database):
+        if command == "VERSION":
+            write_message(sock, "VERSION", _u32(200) + b"v1.0.0")
+        elif command == "USE":
+            name = data.decode()
+            if name not in self.dbs:
+                write_message(sock, "ERR", marshal_err(505, "unknown database"))
+            else:
+                current = self.dbs[name]
+                write_message(sock, "OK", marshal_ok(201, "database changed"))
+        elif command == "APPEND":
+            mv = memoryview(data)
+            tlen, off = _read_u32(mv, 0)
+            topic = bytes(mv[off:off + tlen]).decode() or "/"
+            current.append(topic, bytes(mv[off + tlen:]), self.flush_every)
+            write_message(sock, "OK", marshal_ok())
+        elif command == "QUERY":
+            entries = self._run_query(current, data.decode())
+            write_message(sock, "QUERY", marshal_strings(entries))
+        elif command == "STATS":
+            name = data.decode().strip()
+            db = self.dbs.get(name, current)
+            db.flush()
+            segments, topics = db.stats()
+            import resource
+
+            rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+            uptime_s = _time.monotonic() - self._start_time
+            payload = struct.pack(">QQQQ", rss, rss, segments, topics)
+            payload += f"{uptime_s:.3f}s".encode()
+            write_message(sock, "STATS", payload)
+        elif command == "LIST":
+            obj = data.decode().strip() or "databases"
+            if obj == "databases":
+                items = sorted(self.dbs)
+            elif obj == "topics":
+                current.flush()
+                items = ([] if current.is_empty() else
+                         [r["topic"] for r in current.store.topics().collect()])
+            elif obj == "schemas":
+                reg = current.store._load_registry()
+                items = [f"{t} {s}" for t, s in sorted(reg.items())]
+            else:
+                items = []
+            write_message(sock, "LIST", marshal_strings(items))
+        elif command == "CREATE":
+            mv = memoryview(data)
+            tlen, off = _read_u32(mv, 0)
+            topic = bytes(mv[off:off + tlen]).decode()
+            schema = bytes(mv[off + tlen:]).decode() or "string"
+            current.store.set_schema(topic, schema)
+            write_message(sock, "OK", marshal_ok())
+        else:
+            write_message(sock, "ERR", marshal_err(501, "command not found"))
+        return current
+
+    def _run_query(self, db: _Database, text: str) -> list[str]:
+        """Execute FQL and serialize entries as the reference does:
+        RFC3339Nano \\t topic \\t base64(data) \\t schema
+        (database/result.go Entry.ToString)."""
+        db.flush()
+        if db.is_empty():
+            return []
+        rows = db.store.query(text, now=self._now).collect()
+        reg = db.store._load_registry()
+        out = []
+        for r in rows:
+            d = r.asDict()
+            t = d.pop("time", None) or datetime(1970, 1, 1)
+            topic = d.pop("topic", None) or "/"
+            vals = list(d.values())
+            datum = (
+                str(vals[0]) if len(vals) == 1
+                else "(" + ", ".join(str(v) for v in vals) + ")"
+            )
+            schema = reg.get(topic).text if topic != "/" else "string"
+            out.append(
+                "\t".join((
+                    _rfc3339(t), topic,
+                    base64.b64encode(datum.encode()).decode(), schema,
+                ))
+            )
+        return out
+
+    # -- lifecycle ----------------------------------------------------------
+    def start(self) -> "FossilServer":
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, name="fossil-server", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def start_metrics_http(self, host: str = "127.0.0.1", port: int = 0) -> int:
+        """Prometheus /metrics endpoint (pkg/server/metrics.go
+        ServeMetrics parity). Returns the bound port."""
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        outer = self
+
+        class MetricsHandler(BaseHTTPRequestHandler):
+            def do_GET(self) -> None:
+                if self.path != "/metrics":
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                db_stats = {name: db.stats() for name, db in outer.dbs.items()}
+                body = outer.metrics.prometheus_text(db_stats).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a) -> None:  # quiet test output
+                pass
+
+        self._http = ThreadingHTTPServer((host, port), MetricsHandler)
+        threading.Thread(
+            target=self._http.serve_forever, name="fossil-metrics", daemon=True
+        ).start()
+        return self._http.server_address[1]
+
+    def stop(self) -> None:
+        for db in self.dbs.values():
+            db.flush()
+        self._server.shutdown()
+        self._server.server_close()
+        if self._http is not None:
+            self._http.shutdown()
+            self._http.server_close()
+
+
+# --- client (api/remote.go parity) -----------------------------------------
+
+
+class FossilClient:
+    """Minimal client for the fossil wire protocol."""
+
+    def __init__(self, host: str, port: int, timeout: float = 60.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self._rfile = self.sock.makefile("rb")
+
+    def _roundtrip(self, command: str, data: bytes) -> tuple[str, bytes]:
+        write_message(self.sock, command, data)
+        cmd, payload = read_message(self._rfile)
+        if cmd == "ERR":
+            (code,) = struct.unpack_from(">I", payload, 0)
+            raise RuntimeError(f"server error {code}: {payload[4:].decode()}")
+        return cmd, payload
+
+    def version(self) -> str:
+        _, payload = self._roundtrip("VERSION", b"v1.0.0")
+        return payload[4:].decode()
+
+    def use(self, db: str) -> str:
+        _, payload = self._roundtrip("USE", db.encode())
+        return payload[4:].decode()
+
+    def append(self, topic: str, data: bytes | str) -> None:
+        if isinstance(data, str):
+            data = data.encode()
+        t = topic.encode()
+        self._roundtrip("APPEND", _u32(len(t)) + t + data)
+
+    def append_fire_and_forget(self, topic: str, data: bytes | str) -> None:
+        """Fire-and-forget ingest (docs/overview.md): send without
+        waiting for the OK. Responses are drained on the next
+        round-trip call."""
+        if isinstance(data, str):
+            data = data.encode()
+        t = topic.encode()
+        write_message(self.sock, "APPEND", _u32(len(t)) + t + data)
+
+    def drain(self, n: int) -> None:
+        """Read n pending responses (after fire-and-forget appends)."""
+        for _ in range(n):
+            read_message(self._rfile)
+
+    def query(self, text: str) -> list[dict]:
+        _, payload = self._roundtrip("QUERY", text.encode())
+        out = []
+        for line in unmarshal_strings(payload):
+            ts, topic, data64, schema = line.split("\t")
+            out.append({
+                "time": _parse_rfc3339(ts),
+                "topic": topic,
+                "data": base64.b64decode(data64).decode(),
+                "schema": schema,
+            })
+        return out
+
+    def stats(self, db: str = "") -> dict:
+        _, payload = self._roundtrip("STATS", db.encode())
+        alloc, total, segments, topics = struct.unpack_from(">QQQQ", payload, 0)
+        return {
+            "alloc_heap": alloc,
+            "total_mem": total,
+            "segments": segments,
+            "topics": topics,
+            "uptime": payload[32:].decode(),
+        }
+
+    def list(self, obj: str = "") -> list[str]:
+        _, payload = self._roundtrip("LIST", obj.encode())
+        return unmarshal_strings(payload)
+
+    def create(self, topic: str, schema: str = "string") -> None:
+        t = topic.encode()
+        self._roundtrip("CREATE", _u32(len(t)) + t + schema.encode())
+
+    def close(self) -> None:
+        try:
+            self._rfile.close()
+            self.sock.close()
+        except OSError:
+            pass
+
+    def __enter__(self) -> "FossilClient":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -136,3 +136,36 @@ def test_topic_registry_inheritance():
         reg.set("/sensors/temp/attic", "int32")
     # unrelated topics default to string
     assert reg.get("/logs").text == "string"
+
+
+def test_root_schema_governs_all_topics():
+    # a schema declared on "/" is the ancestor of every topic
+    # (db.go parentSchema walks to root)
+    from fossil_spark.schema import TopicRegistry
+
+    reg = TopicRegistry()
+    reg.set("/", "float64")
+    assert reg.get("/any/deeply/nested/topic").text == "float64"
+    with pytest.raises(SchemaError):
+        reg.set("/sub", "int32")  # conflicts with the root schema
+
+
+def test_conforms_mirrors_validate_semantics():
+    from fossil_spark.schema import conforms, parse_schema
+
+    f64 = parse_schema("float64")
+    assert conforms("1.5", f64) and not conforms("nope", f64)
+    i8 = parse_schema("int8")
+    assert conforms("127", i8) and not conforms("128", i8)
+    assert not conforms("3.5", i8)
+    u32 = parse_schema("uint32")
+    assert conforms("0", u32) and not conforms("-1", u32)
+    b = parse_schema("boolean")
+    assert conforms("True", b) and not conforms("1", b)
+    arr = parse_schema("[3]int32")
+    assert conforms("[1, 2, 3]", arr)
+    assert not conforms("[1, 2]", arr) and not conforms('["a","b","c"]', arr)
+    comp = parse_schema('{"k": int32, "s": string}')
+    assert conforms('{"k": 5, "s": "x"}', comp)
+    assert not conforms('{"k": "bad", "s": "x"}', comp)
+    assert not conforms('{"s": "x"}', comp)

@@ -1,0 +1,121 @@
+"""TCP protocol round-trip: spawn the server, drive the reference wire
+commands over a socket, assert responses (reference:
+docs/protocol.md, pkg/server/server.go, test/topics/main.go)."""
+
+import os
+import shutil
+import struct
+import urllib.request
+import uuid
+from datetime import datetime
+
+import pytest
+
+from fossil_spark.server import FossilClient, FossilServer
+
+
+@pytest.fixture()
+def server(spark):
+    d = os.path.join("build", f"srv_{uuid.uuid4().hex[:8]}")
+    os.makedirs(d)
+    srv = FossilServer(
+        spark,
+        {"default": os.path.join(d, "default"), "other": os.path.join(d, "other")},
+        flush_every=1000,
+        now=datetime(2030, 1, 1),
+    ).start()
+    yield srv
+    srv.stop()
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_protocol_roundtrip(server):
+    with FossilClient(server.host, server.port) as c:
+        # VERSION
+        assert c.version() == "v1.0.0"
+
+        # LIST databases (default when no object given)
+        assert c.list() == ["default", "other"]
+
+        # USE
+        assert c.use("other") == "database changed"
+        with pytest.raises(RuntimeError, match="unknown database"):
+            c.use("nope")
+        c.use("default")
+
+        # CREATE topic with schema, then LIST schemas
+        c.create("/metrics", "float64")
+        assert c.list("schemas") == ["/metrics float64"]
+
+        # APPEND + QUERY (read-your-writes through the micro-batch)
+        c.append("/metrics/cpu", "1.5")
+        c.append("/metrics/cpu", "2.5")
+        c.append("/logs", "hello world")
+        rows = c.query("all in /metrics")
+        assert [(r["topic"], r["data"], r["schema"]) for r in rows] == [
+            ("/metrics/cpu", "1.5", "float64"),
+            ("/metrics/cpu", "2.5", "float64"),
+        ]
+
+        # typed pipeline over the wire
+        rows = c.query("all in /logs")
+        assert rows[0]["data"] == "hello world"
+        assert rows[0]["schema"] == "string"
+
+        # LIST topics
+        assert c.list("topics") == ["/logs", "/metrics/cpu"]
+
+        # STATS: segments > 0 after flush, 2 topics
+        st = c.stats()
+        assert st["topics"] == 2
+        assert st["segments"] >= 1
+        assert st["uptime"].endswith("s")
+
+        # schema enforcement propagates as ERR
+        with pytest.raises(RuntimeError, match="does not conform"):
+            c.append("/metrics/cpu", "not-a-float")
+
+        # unknown command -> 501
+        from fossil_spark.server import read_message, write_message
+
+        write_message(c.sock, "BOGUS", b"")
+        cmd, payload = read_message(c._rfile)
+        assert cmd == "ERR"
+        assert struct.unpack_from(">I", payload, 0)[0] == 501
+
+
+def test_fire_and_forget_append(server):
+    with FossilClient(server.host, server.port) as c:
+        for i in range(10):
+            c.append_fire_and_forget("/ff", str(i))
+        c.drain(10)
+        rows = c.query("all in /ff")
+        assert sorted(r["data"] for r in rows) == sorted(str(i) for i in range(10))
+
+
+def test_query_pipeline_over_wire(server):
+    with FossilClient(server.host, server.port) as c:
+        for v in ("10", "20", "30"):
+            c.append("/vals", v)
+        # filter + map + reduce through the full FQL pipeline
+        rows = c.query("all in /vals | filter x -> x > 10 | reduce a, b -> a + b")
+        assert len(rows) == 1
+        assert float(rows[0]["data"]) == 50.0
+
+
+def test_metrics_endpoint(server):
+    port = server.start_metrics_http()
+    with FossilClient(server.host, server.port) as c:
+        c.append("/m", "1")
+        c.query("all")
+        c.stats()
+    body = urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/metrics", timeout=10
+    ).read().decode()
+    assert "fossil_client_connections 1" in body
+    assert 'fossil_requests{database="default",cmd="QUERY"} 1' in body
+    assert 'fossil_requests{database="default",cmd="APPEND"} 1' in body
+    assert 'fossil_response_ns_sum{database="default",cmd="STATS"}' in body
+    assert 'fossil_database_topics{db_name="default"} 1' in body
+    snap = server.metrics.snapshot()
+    assert snap["requests"][("default", "APPEND")] == 1

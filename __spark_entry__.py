@@ -779,6 +779,21 @@ def oracle_sql() -> dict[str, str]:
             f" SELECT *, time_bucket(INTERVAL 1 HOUR, ts) b FROM {_EV} e))"
             f" GROUP BY 1, 2"
         ),
+        # EWMA recurrence as a recursive CTE, one step per row rank.
+        # (1.0 - 0.3) mirrors pandas ewm(adjust=False)'s old_wt = 1-alpha
+        # double arithmetic exactly: y = (1-a)*y_prev + a*x per step, so
+        # the fold is bit-identical to the Arrow-batched Spark side.
+        "ts_ewma": (
+            f"WITH RECURSIVE seq AS (SELECT event_id, event_type, value,"
+            f" row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) rn"
+            f" FROM {_EV} e),"
+            " rec(event_type, event_id, rn, y) AS ("
+            "  SELECT event_type, event_id, rn, CAST(value AS DOUBLE) FROM seq WHERE rn = 1"
+            "  UNION ALL"
+            "  SELECT s.event_type, s.event_id, s.rn, (1.0 - 0.3) * r.y + 0.3 * s.value"
+            "  FROM rec r JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn + 1)"
+            " SELECT event_id, y AS ewma FROM rec"
+        ),
         "ts_range_join": (
             f"WITH iv AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) lo,"
             f" time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR hi,"

@@ -410,8 +410,16 @@ def _reduce_fallback(
     with non-associative expressions, and its docstring is its warning
     label. Executed via a single sorted partition, not a driver
     collect, so it still streams through an executor."""
+    import logging
+
     from fossil_spark.fql.interp import eval_expr
 
+    logging.getLogger("fossil_spark").warning(
+        "FQL reduce is not expressible as a Spark aggregate; falling "
+        "back to a sequential single-partition fold — O(n) on ONE "
+        "executor core, no partial aggregation. At large scale rewrite "
+        "the reduce as an associative expression."
+    )
     a, b = stage.args
     n = len(plan.value_cols)
     order = [time_col, topic_col] if not plan.scalar else []

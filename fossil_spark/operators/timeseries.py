@@ -324,18 +324,29 @@ def range_join(
         ),
     )
     pt = points.withColumn("__bucket", F.window(F.col(point_time), bucket).start)
-    joined = pt.join(iv, "__bucket", how).drop("__bucket")
     exact = (F.col(point_time) >= F.col(lo_col)) & (F.col(point_time) < F.col(hi_col))
+    matched = pt.join(iv, "__bucket", "inner").drop("__bucket").filter(exact)
     if how == "inner":
-        return joined.filter(exact)
-    # left join: keep unmatched points with null interval columns
-    return joined.select(
+        return matched
+    if how != "left":
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    # left join: exactly ONE null row per point inside no interval. A
+    # when(exact, ...) patch over the bucket join would emit one
+    # null row per bucket-overlapping candidate interval; instead,
+    # anti-join the points against the matched point keys once.
+    mkeys = matched.select(
+        *[F.col(c).alias(f"__k_{c}") for c in points.columns]
+    ).dropDuplicates()
+    cond = None
+    for c in points.columns:
+        e = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+        cond = e if cond is None else cond & e
+    iv_types = {f.name: f.dataType for f in intervals.schema.fields}
+    unmatched = points.join(mkeys, cond, "left_anti").select(
         *points.columns,
-        *[
-            F.when(exact, F.col(c)).otherwise(F.lit(None)).alias(c)
-            for c in interval_cols
-        ],
+        *[F.lit(None).cast(iv_types[c]).alias(c) for c in interval_cols],
     )
+    return matched.unionByName(unmatched)
 
 
 def ohlc(
@@ -411,7 +422,15 @@ def greedy_sample(df: DataFrame, every: timedelta,
     so it exists only for bit-parity; fql's bucketed sample is the
     scale path. Implemented as a single applyInPandas group (Arrow
     batch, not a driver collect)."""
+    import logging
+
     import pandas as pd
+
+    logging.getLogger("fossil_spark").warning(
+        "greedy_sample runs the whole stream through ONE Arrow batch "
+        "on one executor (sequential reference parity); use the "
+        "bucketed FQL sample(Δ) for distributed decimation."
+    )
 
     every_us = int(every.total_seconds() * 1_000_000)
     schema = df.schema

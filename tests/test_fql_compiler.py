@@ -158,6 +158,24 @@ def test_reduce_fallback_sequential(spark):
     assert (row["v0"], row["v1"]) == (-13.0, 15.0)
 
 
+def test_reduce_fallback_warns(spark, caplog):
+    import logging
+
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1), "/t", 1.0), (datetime(2024, 1, 2), "/t", 2.0)],
+        "time timestamp, topic string, value double",
+    )
+    with caplog.at_level(logging.WARNING, logger="fossil_spark"):
+        fql(df, "all | reduce a, b -> a - b", now=FIXED_NOW)
+    assert any("sequential single-partition fold" in r.message
+               for r in caplog.records)
+    # the associative path must NOT warn
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="fossil_spark"):
+        fql(df, "all | reduce a, b -> a + b", now=FIXED_NOW)
+    assert not caplog.records
+
+
 def test_pipeline_after_reduce(spark):
     # stages keep composing after the fold collapses to a scalar
     df = spark.createDataFrame(

@@ -212,6 +212,35 @@ def test_range_join_multi_bucket_intervals(spark):
     assert sorted(r["pid"] for r in out.collect()) == [1, 2]
 
 
+def test_range_join_left_one_null_row_per_unmatched_point(spark):
+    # a point whose bucket overlaps N intervals but sits inside NONE
+    # must yield exactly one all-null row, not N duplicates
+    from datetime import datetime
+
+    points = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 30)), (2, datetime(2024, 1, 1, 0, 50))],
+        "pid long, time timestamp",
+    )
+    # two intervals in point 1's bucket, both missing it; point 2 is inside one
+    intervals = spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 0, 10), "a"),
+            (datetime(2024, 1, 1, 0, 15), datetime(2024, 1, 1, 0, 20), "b"),
+            (datetime(2024, 1, 1, 0, 45), datetime(2024, 1, 1, 0, 55), "c"),
+        ],
+        "lo timestamp, hi timestamp, name string",
+    )
+    out = ts.range_join(points, intervals, how="left").collect()
+    by_pid = {}
+    for r in out:
+        by_pid.setdefault(r["pid"], []).append(r["name"])
+    assert by_pid[1] == [None]
+    assert by_pid[2] == ["c"]
+    # inner join is unaffected
+    inner = ts.range_join(points, intervals).collect()
+    assert [(r["pid"], r["name"]) for r in inner] == [(2, "c")]
+
+
 def test_ohlc(events):
     out = ts.ohlc(events, "1 hour", "ts", ["event_type"], "value", ["event_id"])
     got = {(r["bucket"], r["event_type"]): (r["open"], r["high"], r["low"], r["close"])

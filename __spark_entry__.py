@@ -529,7 +529,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash_split": _sample_hash_split,
         "text_token_freq": _text_token_freq,
         "text_chunk": _text_chunk,
-        "text_pack": _text_pack,  # rows-only: greedy bin packing
+        # rows-only: first-fit-decreasing packing carries a mutable
+        # capacity-list state per step; a recursive-CTE reproduction in
+        # DuckDB blows up super-exponentially past ~120 docs (measured),
+        # so parity is covered by tests/test_llm_ops.py invariants
+        # (every pack <= max_tokens, every doc assigned exactly once)
+        "text_pack": _text_pack,
         "text_scrub_pii": _text_scrub_pii,
         "text_repetition": _text_repetition,
         "text_tokens": _text_tokens,
@@ -613,7 +618,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentiles": _analytics("value_percentiles"),
         "json_props_analysis": _analytics("props_analysis"),
         "agg_dau_exact": _analytics("daily_active_users"),
-        "agg_dau_approx": _analytics("daily_active_users_approx"),  # rows-only: HLL sketch
+        # rows-only: Spark's HLL++ sketch and DuckDB's approx_distinct
+        # are different estimators by construction; accuracy is bounded
+        # against agg_dau_exact in tests instead
+        "agg_dau_approx": _analytics("daily_active_users_approx"),
     }
 
 
@@ -699,6 +707,22 @@ def oracle_sql() -> dict[str, str]:
             " CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k2,"
             " 1 AS cnt FROM events"
             " WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50"
+        ),
+        # greedy sample(Δ): keep first datum, skip until t_kept + Δ
+        # (plan/metadata.go:46) — the inherently sequential chain is a
+        # recursive CTE stepping kept-row to kept-row (one step per
+        # KEPT row, so recursion depth ~ n/Δ-density, not n)
+        "fql_sample_greedy": (
+            "WITH RECURSIVE s AS ("
+            " SELECT CAST(ts AS TIMESTAMP) AS time, '/events/' || event_type AS topic,"
+            " value, row_number() OVER (ORDER BY ts) AS rid FROM events),"
+            " keep(rid, t) AS ("
+            "  SELECT rid, time FROM s WHERE rid = 1"
+            "  UNION ALL"
+            "  SELECT nr, (SELECT time FROM s WHERE rid = nr) FROM ("
+            "   SELECT (SELECT min(rid) FROM s WHERE s.time >= k.t + INTERVAL 1 HOUR)"
+            "   AS nr FROM keep k) WHERE nr IS NOT NULL)"
+            " SELECT s.time, s.topic, s.value FROM keep JOIN s USING (rid)"
         ),
         # --- C. time-series (events view with ns->us cast, like Spark side) -
         "ts_resample": (
@@ -960,6 +984,54 @@ def oracle_sql() -> dict[str, str]:
             " CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank"
             " FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id"
             " WHERE q.vec_id < 8"
+            " QUALIFY rank <= 5"
+        ),
+        # multi-table LSH ANN: hyperplane weights are md5-derived
+        # (ann._hyperplane seed = table*1000 + plane), so the oracle
+        # reproduces the exact candidate sets; scores rounded 6 both
+        # sides. planes=4, tables=8, dim=64, k=5.
+        "ann_lsh": (
+            "WITH dims AS (SELECT unnest(range(64)) AS d),"
+            " tp AS (SELECT t, p FROM (SELECT unnest(range(8)) AS t), (SELECT unnest(range(4)) AS p)),"
+            " w AS (SELECT t, p, d,"
+            " (('0x' || substr(md5((t*1000+p)::VARCHAR || ',' || d::VARCHAR), 1, 8))::BIGINT"
+            "  / 4294967295.0) * 2.0 - 1.0 AS wt FROM tp, dims),"
+            " e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),"
+            " dots AS (SELECT vec_id, t, p, sum(emb[d + 1] * wt) AS dot"
+            "  FROM e, w GROUP BY 1, 2, 3),"
+            " sig AS (SELECT vec_id, t, sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END)"
+            "  AS bucket FROM dots GROUP BY 1, 2),"
+            " cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id"
+            "  FROM sig q JOIN sig c ON q.t = c.t AND q.bucket = c.bucket"
+            "  WHERE q.vec_id < 8 AND c.vec_id != q.vec_id)"
+            " SELECT cand.query_id AS query_id, cand.vec_id AS vec_id,"
+            " round(list_cosine_similarity(eq.emb, ec.emb), 6) AS cos_sim,"
+            " row_number() OVER (PARTITION BY cand.query_id ORDER BY"
+            "  round(list_cosine_similarity(eq.emb, ec.emb), 6) DESC, cand.vec_id) AS rank"
+            " FROM cand JOIN e eq ON eq.vec_id = cand.query_id"
+            " JOIN e ec ON ec.vec_id = cand.vec_id"
+            " QUALIFY rank <= 5"
+        ),
+        # IVF-flat ANN: centroids are the 16 corpus vectors minimizing
+        # md5(vec_id) (list_id = that order), assignment/probing by
+        # round(cos,9) argmax with list_id tiebreak — mirrors ann.ivf_ann
+        "ann_ivf": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),"
+            " cents AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1"
+            "  AS list_id, emb AS cent FROM e ORDER BY md5(vec_id::VARCHAR) LIMIT 16),"
+            " asg AS (SELECT vec_id, list_id, row_number() OVER (PARTITION BY vec_id"
+            "  ORDER BY round(list_cosine_similarity(emb, cent), 9) DESC, list_id) AS r"
+            "  FROM e, cents),"
+            " c AS (SELECT vec_id, list_id FROM asg WHERE r = 1),"
+            " q AS (SELECT vec_id AS query_id, list_id FROM asg WHERE r <= 4 AND vec_id < 8),"
+            " cand AS (SELECT DISTINCT q.query_id, c.vec_id FROM q JOIN c USING (list_id)"
+            "  WHERE c.vec_id != q.query_id)"
+            " SELECT cand.query_id AS query_id, cand.vec_id AS vec_id,"
+            " round(list_cosine_similarity(eq.emb, ec.emb), 6) AS cos_sim,"
+            " row_number() OVER (PARTITION BY cand.query_id ORDER BY"
+            "  round(list_cosine_similarity(eq.emb, ec.emb), 6) DESC, cand.vec_id) AS rank"
+            " FROM cand JOIN e eq ON eq.vec_id = cand.query_id"
+            " JOIN e ec ON ec.vec_id = cand.vec_id"
             " QUALIFY rank <= 5"
         ),
         # hyperplane weights are md5-derived, so the oracle reproduces

@@ -10,8 +10,11 @@ the reference CLI (/root/reference/docs/cli.md):
     STATS                                    per-topic stats
 
 Usage:  python -m fossil_spark.cli <root_dir> [--db default]
+        python -m fossil_spark.cli --connect host:port
 Each logical database is a subdirectory of <root_dir> (mirrors the
 reference's `database.<name>` config blocks mapping to directories).
+With --connect, commands go over the wire protocol to a running
+FossilServer instead (the reference CLI's client mode: `fossil -h`).
 """
 
 from __future__ import annotations
@@ -103,17 +106,84 @@ class Client:
             return f"500 {type(e).__name__}: {e}"
 
 
+class RemoteClient:
+    """Same command surface, executed over the wire protocol against a
+    running FossilServer (reference client mode, api/remote.go)."""
+
+    def __init__(self, host: str, port: int):
+        from fossil_spark.server import FossilClient
+
+        self.conn = FossilClient(host, port)
+
+    def execute(self, line: str) -> str:
+        line = line.strip()
+        if not line:
+            return ""
+        cmd, _, rest = line.partition(" ")
+        cmd = cmd.lower()
+        try:
+            if cmd == "use":
+                return "201 " + self.conn.use(rest.strip() or "default")
+            if cmd == "list":
+                obj = rest.strip().lower() or "databases"
+                return "\n".join(self.conn.list(obj)) or f"(no {obj})"
+            if cmd == "append":
+                parts = shlex.split(rest, posix=False)
+                if parts and parts[0].startswith("/"):
+                    topic, data = parts[0], rest.split(parts[0], 1)[1].strip()
+                else:
+                    topic, data = "/", rest
+                self.conn.append(topic, data)
+                return "200 Ok"
+            if cmd == "query":
+                rows = self.conn.query(rest)
+                if not rows:
+                    return "(empty)"
+                return "time | topic | data | schema\n" + "\n".join(
+                    f"{r['time']} | {r['topic']} | {r['data']} | {r['schema']}"
+                    for r in rows[:50]
+                )
+            if cmd == "stats":
+                st = self.conn.stats()
+                return (f"segments={st['segments']} topics={st['topics']} "
+                        f"uptime={st['uptime']}")
+            if cmd == "schema":
+                parts = rest.split(None, 1)
+                if len(parts) == 2:
+                    self.conn.create(parts[0], parts[1])
+                    return f"200 schema set on {parts[0]}"
+                from fossil_spark.schema import TopicRegistry
+
+                reg = TopicRegistry()
+                for s in self.conn.list("schemas"):
+                    topic, text = s.split(" ", 1)
+                    reg.set(topic, text)
+                return reg.get(parts[0]).text
+            if cmd in ("quit", "exit"):
+                raise EOFError
+            return f"400 unknown command {cmd!r} (use/list/append/query/schema/stats)"
+        except EOFError:
+            raise
+        except Exception as e:
+            return f"500 {type(e).__name__}: {e}"
+
+
 def main(argv: list[str] | None = None) -> int:
     args = argv if argv is not None else sys.argv[1:]
     if not args:
         print(__doc__)
         return 2
-    root = args[0]
-    db = "default"
-    if "--db" in args:
-        db = args[args.index("--db") + 1]
-    client = Client(root, db)
-    print(f"fossil_spark client — database {db!r} at {root}")
+    if "--connect" in args:
+        host, _, port = args[args.index("--connect") + 1].partition(":")
+        client = RemoteClient(host, int(port))
+        print(f"fossil_spark client — connected to {host}:{port}")
+    else:
+        root = args[0]
+        db = "default"
+        if "--db" in args:
+            db = args[args.index("--db") + 1]
+        client = Client(root, db)
+        print(f"fossil_spark client — database {db!r} at {root}")
     while True:
         try:
             line = input("> ")

@@ -119,3 +119,20 @@ def test_metrics_endpoint(server):
     assert 'fossil_database_topics{db_name="default"} 1' in body
     snap = server.metrics.snapshot()
     assert snap["requests"][("default", "APPEND")] == 1
+
+
+def test_cli_remote_mode(server):
+    from fossil_spark.cli import RemoteClient
+
+    rc = RemoteClient(server.host, server.port)
+    assert rc.execute("use other") == "201 database changed"
+    assert rc.execute("use default").startswith("201")
+    assert rc.execute("list") == "default\nother"
+    assert rc.execute("schema /cli float64") == "200 schema set on /cli"
+    assert rc.execute("schema /cli/sub") == "float64"
+    assert rc.execute("append /cli 3.14") == "200 Ok"
+    out = rc.execute("query all in /cli")
+    assert "3.14" in out and "/cli" in out and "float64" in out
+    assert "topics=1" in rc.execute("stats")
+    assert rc.execute("append /cli not-a-float").startswith("500")
+    rc.conn.close()

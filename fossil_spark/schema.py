@@ -144,7 +144,14 @@ def validate(df: DataFrame, schema: FossilSchema, value_col: str = "value") -> D
         parsed = c.try_cast(st)
         valid = parsed.isNotNull()
         if schema.text.startswith("uint"):
-            valid = valid & (parsed >= 0)
+            # uintN maps to the next wider signed Spark type, so the
+            # cast alone misses both bounds — enforce the fossil range
+            lo, hi = _INT_RANGES[schema.text]
+            hi_lit = (
+                F.expr(f"CAST('{hi}' AS DECIMAL(20,0))")
+                if schema.text == "uint64" else F.lit(hi)
+            )
+            valid = valid & (parsed >= lo) & (parsed <= hi_lit)
     return df.withColumn("parsed", parsed).withColumn("valid", valid)
 
 

@@ -103,6 +103,13 @@ def test_store_time_predicate_prunes_partitions(spark):
         # an unbounded query has no partition filter (and must not error)
         assert "date" not in partition_filters(st.query("all", now=FIXED_NOW))
 
+        # topic-prefix selection pushes into the parquet scan as a
+        # StringStartsWith filter (row-group dictionary/stats skip)
+        topic_plan = _plan_of(st.query("all in /events/click", now=FIXED_NOW))
+        assert "StartsWith(topic,/events/click)" in topic_plan.replace(
+            "'", ""
+        ), "topic prefix not pushed to scan"
+
         # pruning changes which files are read, not the answer
         since = st.query("all since ~(2024-01-15T00:00:00Z)", now=FIXED_NOW)
         unpruned = st.read().filter(

@@ -2,7 +2,7 @@
 reference's docs/schema.md semantics)."""
 
 import pytest
-from hypothesis import given, strategies as st
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import types as T
 
 from fossil_spark.schema import (
@@ -169,3 +169,34 @@ def test_conforms_mirrors_validate_semantics():
     assert conforms('{"k": 5, "s": "x"}', comp)
     assert not conforms('{"k": "bad", "s": "x"}', comp)
     assert not conforms('{"s": "x"}', comp)
+
+
+@settings(deadline=None, max_examples=25)
+@given(
+    st.sampled_from(["int8", "int16", "int32", "int64", "uint8", "uint16",
+                     "uint32", "float64", "boolean", "string"]),
+    st.lists(
+        st.one_of(
+            st.integers(-300, 300).map(str),
+            st.floats(-1e6, 1e6, allow_nan=False).map(str),
+            st.sampled_from(["true", "False", "nope", "", "3.5", "-1", "128",
+                             "255", "65536", "hello world"]),
+        ),
+        min_size=1, max_size=8,
+    ),
+)
+def test_conforms_agrees_with_distributed_validate(schema_name, values):
+    # the server's per-datum gate (conforms) and the batch gate
+    # (validate) must accept/reject identically, or the wire path
+    # admits datum the store would reject
+    from fossil_spark.schema import conforms, parse_schema, validate
+
+    schema = parse_schema(schema_name)
+    got = [conforms(v, schema) for v in values]
+
+    from fossil_spark.session import get_spark
+
+    spark = get_spark("fossil_spark-tests", shuffle_partitions=8)
+    df = spark.createDataFrame([(v,) for v in values], "value string")
+    want = [r["valid"] for r in validate(df, schema).collect()]
+    assert got == want, f"{schema_name}: conforms={got} validate={want} on {values}"

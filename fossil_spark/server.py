@@ -239,10 +239,16 @@ class FossilServer:
         port: int = 0,
         flush_every: int = 1000,
         now: datetime | None = None,
+        max_query_rows: int = 100_000,
     ):
         self.spark = spark
         self.metrics = ServerMetrics()
         self.flush_every = flush_every
+        # the reference bounds responses by its 100 MiB wire guard; we
+        # bound by rows so one QUERY can't pull a cluster-sized result
+        # through the driver — analytics belong in FQL reduce/aggregate
+        # stages, not raw entry dumps
+        self.max_query_rows = max_query_rows
         self._now = now  # pin ~now for deterministic tests
         self.dbs = {
             name: _Database(spark, name, root) for name, root in databases.items()
@@ -352,7 +358,7 @@ class FossilServer:
         db.flush()
         if db.is_empty():
             return []
-        rows = db.store.query(text, now=self._now).collect()
+        rows = db.store.query(text, now=self._now).limit(self.max_query_rows).collect()
         reg = db.store._load_registry()
         out = []
         for r in rows:

@@ -136,3 +136,53 @@ def test_cli_remote_mode(server):
     assert "topics=1" in rc.execute("stats")
     assert rc.execute("append /cli not-a-float").startswith("500")
     rc.conn.close()
+
+
+def test_concurrent_clients(server):
+    import threading
+
+    errors = []
+
+    def worker(n):
+        try:
+            with FossilClient(server.host, server.port) as c:
+                for i in range(5):
+                    c.append(f"/conc/{n}", f"{n * 100 + i}")
+                rows = c.query(f"all in /conc/{n}")
+                assert len(rows) == 5, f"client {n}: {len(rows)} rows"
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(n,)) for n in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+    assert not errors
+    with FossilClient(server.host, server.port) as c:
+        assert len(c.query("all in /conc")) == 20
+
+
+def test_query_row_cap(spark):
+    import os
+    import shutil
+    import uuid
+    from datetime import datetime
+
+    d = os.path.join("build", f"cap_{uuid.uuid4().hex[:8]}")
+    srv = FossilServer(
+        spark, {"db": os.path.join(d, "db")}, max_query_rows=7,
+        now=datetime(2030, 1, 1),
+    ).start()
+    try:
+        with FossilClient(srv.host, srv.port) as c:
+            for i in range(20):
+                c.append("/x", str(i))
+            assert len(c.query("all in /x")) == 7
+            # aggregates stay exact: the cap applies to entry dumps,
+            # reductions compute on the cluster before the limit
+            rows = c.query("all in /x | map v -> 1 | reduce a, b -> a + b")
+            assert float(rows[0]["data"]) == 20.0
+    finally:
+        srv.stop()
+        shutil.rmtree(d, ignore_errors=True)

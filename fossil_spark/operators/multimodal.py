@@ -1,24 +1,34 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary
-columns with typed metadata, processed via Arrow-batched mapInPandas.
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata, processed via Arrow-batched mapInPandas.
 
-The Spark-side machinery here — schemas, batch iteration, partition
-sizing — is real and tested. The actual media decoding is STUBBED
-(this container has no image/audio libraries): `decode_image_meta`
-derives a deterministic fake header from the bytes' md5 so pipelines
-are end-to-end testable; swap `_fake_decode` for PIL/ffmpeg in a real
-deployment (same signature, same schema).
+Decoding is REAL for every format the standard library can express —
+PNG (zlib inflate + scanline unfiltering), BMP (24-bit uncompressed),
+PNM (P5/P6), WAV (stdlib wave) — implemented from the public format
+specs with numpy only. Formats that require codec libraries (JPEG,
+MP4, ...) fall back to a clearly-labeled deterministic fake header so
+pipelines stay end-to-end testable in codec-less environments; swap
+`_fake_decode` for PIL/ffmpeg in such deployments (same signature,
+same schema). Video frame sampling remains a stub for the same
+reason (no codecs in the stdlib).
+
+Scale shape: every operator is one mapInPandas pass (Arrow batches,
+no per-row UDFs), schemas fixed so downstream plans stay columnar.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    IntegerType, LongType, StringType, StructField, StructType,
+    BinaryType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
 )
 
 IMAGE_META_SCHEMA = StructType([
@@ -30,11 +40,152 @@ IMAGE_META_SCHEMA = StructType([
     StructField("mode", StringType()),
 ])
 
+_PNG_MODES = {0: ("L", 1), 2: ("RGB", 3), 4: ("LA", 2), 6: ("RGBA", 4)}
+
+
+# --- PNG (spec: https://www.w3.org/TR/png-3/) ------------------------------
+
+def _png_chunks(data: bytes) -> Iterator[tuple[bytes, bytes]]:
+    off = 8
+    while off + 8 <= len(data):
+        (length,), ctype = struct.unpack_from(">I", data, off), data[off + 4:off + 8]
+        yield ctype, data[off + 8:off + 8 + length]
+        off += 12 + length
+        if ctype == b"IEND":
+            return
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(data: bytes) -> tuple[int, int, str, np.ndarray]:
+    w = h = None
+    mode, ch = "L", 1
+    idat = bytearray()
+    for ctype, payload in _png_chunks(data):
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8 or interlace != 0 or color not in _PNG_MODES:
+                raise ValueError(f"unsupported PNG (depth={depth} color={color})")
+            mode, ch = _PNG_MODES[color]
+        elif ctype == b"IDAT":
+            idat.extend(payload)
+    if w is None or not idat:
+        raise ValueError("truncated PNG")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if f == 1:  # sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif f == 2:  # up
+            line = bytearray((np.frombuffer(bytes(line), np.uint8) + prev).astype(np.uint8).tobytes())
+        elif f == 3:  # average
+            for x in range(stride):
+                left = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # paeth
+            for x in range(stride):
+                left = line[x - ch] if x >= ch else 0
+                ul = int(prev[x - ch]) if x >= ch else 0
+                line[x] = (line[x] + _paeth(left, int(prev[x]), ul)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter {f}")
+        prev = np.frombuffer(bytes(line), np.uint8)
+        out[y] = prev
+    return w, h, mode, out.reshape(h, w, ch)
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal PNG encoder (filter 0, 8-bit) — enough to round-trip
+    decoded/resized pixels without any codec library."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, ch = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        body = ctype + payload
+        return struct.pack(">I", len(payload)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+# --- BMP / PNM -------------------------------------------------------------
+
+def _decode_bmp(data: bytes) -> tuple[int, int, str, np.ndarray]:
+    (offbits,) = struct.unpack_from("<I", data, 10)
+    w, h = struct.unpack_from("<ii", data, 18)
+    (bpp,) = struct.unpack_from("<H", data, 28)
+    (comp,) = struct.unpack_from("<I", data, 30)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp} comp={comp})")
+    flip = h > 0
+    h = abs(h)
+    row_sz = (w * 3 + 3) & ~3
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        row = np.frombuffer(data, np.uint8, w * 3, offbits + y * row_sz)
+        out[h - 1 - y if flip else y] = row.reshape(w, 3)[:, ::-1]  # BGR->RGB
+    return w, h, "RGB", out
+
+
+def _decode_pnm(data: bytes) -> tuple[int, int, str, np.ndarray]:
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b"#":
+            pos = data.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(data) and not data[end:end + 1].isspace():
+            end += 1
+        fields.append(int(data[pos:end]))
+        pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PNM unsupported")
+    ch = 3 if data[:2] == b"P6" else 1
+    px = np.frombuffer(data, np.uint8, w * h * ch, pos).reshape(h, w, ch)
+    return w, h, ("RGB" if ch == 3 else "L"), px
+
+
+def decode_image(data: bytes) -> tuple[int, int, str, np.ndarray]:
+    """Dispatch on magic bytes. Raises ValueError for formats that
+    need a codec library (JPEG, WEBP, ...)."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(data)
+    if data[:2] == b"BM":
+        return _decode_bmp(data)
+    if data[:2] in (b"P5", b"P6"):
+        return _decode_pnm(data)
+    raise ValueError("unknown or codec-required image format")
+
 
 def _fake_decode(data: bytes) -> tuple[int, int, str]:
-    """Deterministic stand-in for an image decoder. Replace with
-    PIL.Image.open in production (NotImplementedError-free stub so the
-    distributed plumbing is testable)."""
+    """Deterministic stand-in for codec-required formats. Replace with
+    PIL.Image.open in a deployment that ships codecs."""
     h = hashlib.md5(data).hexdigest()
     width = int(h[:2], 16) + 1
     height = int(h[2:4], 16) + 1
@@ -42,20 +193,23 @@ def _fake_decode(data: bytes) -> tuple[int, int, str]:
     return width, height, mode
 
 
+# --- Spark operators -------------------------------------------------------
+
 def decode_image_meta(
     df: DataFrame, binary_col: str = "content", id_col: str = "doc_id"
 ) -> DataFrame:
     """Extract typed metadata from an opaque image binary column.
-
-    mapInPandas: Arrow-batched, one Python worker pass per partition —
-    never a per-row UDF. Output schema is fixed (IMAGE_META_SCHEMA) so
-    downstream plans stay columnar."""
+    Real decode for PNG/BMP/PNM; deterministic fake for codec-required
+    bytes. mapInPandas: Arrow-batched, never a per-row UDF."""
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 data = bytes(r[binary_col]) if r[binary_col] is not None else b""
-                w, h, mode = _fake_decode(data)
+                try:
+                    w, h, mode, _ = decode_image(data)
+                except (ValueError, IndexError, struct.error, zlib.error):
+                    w, h, mode = _fake_decode(data)
                 rows.append(
                     (r[id_col], len(data), hashlib.md5(data).hexdigest(), w, h, mode)
                 )
@@ -66,12 +220,158 @@ def decode_image_meta(
     return df.select(id_col, binary_col).mapInPandas(process, IMAGE_META_SCHEMA)
 
 
+IMAGE_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("mode", StringType()),
+    StructField("mean", DoubleType()),
+    StructField("std", DoubleType()),
+    StructField("decoded", StringType()),  # 'real' | 'fake'
+])
+
+
+def image_features(
+    df: DataFrame, binary_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Pixel statistics per image (decodable formats); codec-required
+    bytes get null stats and decoded='fake'."""
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r[binary_col]) if r[binary_col] is not None else b""
+                try:
+                    w, h, mode, px = decode_image(data)
+                    rows.append((r[id_col], w, h, mode,
+                                 float(px.mean()), float(px.std()), "real"))
+                except (ValueError, IndexError, struct.error, zlib.error):
+                    w, h, mode = _fake_decode(data)
+                    rows.append((r[id_col], w, h, mode, None, None, "fake"))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(process, IMAGE_FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("target_width", IntegerType()),
+    StructField("target_height", IntegerType()),
+    StructField("resized", BinaryType()),  # PNG bytes, null if not decodable
+])
+
+
+def resize_images(
+    df: DataFrame, max_side: int, binary_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Downscale decodable images so max(w, h) <= max_side (area mean
+    pooling — the standard training-data thumbnail path) and re-encode
+    as PNG. Codec-required bytes pass through with computed target
+    dims and a null payload."""
+    def _pool(px: np.ndarray, tw: int, th: int) -> np.ndarray:
+        h, w, ch = px.shape
+        ys = (np.arange(th + 1) * h // th).astype(int)
+        xs = (np.arange(tw + 1) * w // tw).astype(int)
+        out = np.empty((th, tw, ch), dtype=np.uint8)
+        for y in range(th):
+            for x in range(tw):
+                out[y, x] = px[ys[y]:ys[y + 1], xs[x]:xs[x + 1]].mean(axis=(0, 1))
+        return out
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r[binary_col]) if r[binary_col] is not None else b""
+                try:
+                    w, h, _mode, px = decode_image(data)
+                    real = True
+                except (ValueError, IndexError, struct.error, zlib.error):
+                    w, h, _mode = _fake_decode(data)
+                    real = False
+                scale = min(1.0, max_side / max(w, h))
+                tw, th = max(1, int(w * scale)), max(1, int(h * scale))
+                resized = None
+                if real:
+                    resized = encode_png(px if (tw, th) == (w, h) else _pool(px, tw, th))
+                rows.append((r[id_col], w, h, tw, th, resized))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_SCHEMA.fields]
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(process, RESIZE_SCHEMA)
+
+
+AUDIO_META_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("n_frames", LongType()),
+    StructField("duration_sec", DoubleType()),
+    StructField("rms", DoubleType()),
+])
+
+
+def decode_audio_meta(
+    df: DataFrame, binary_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """WAV metadata + RMS loudness via the stdlib wave module (16-bit
+    PCM). Non-WAV bytes yield null audio fields."""
+    import io
+    import wave
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r[binary_col]) if r[binary_col] is not None else b""
+                try:
+                    with wave.open(io.BytesIO(data)) as wv:
+                        rate, nch = wv.getframerate(), wv.getnchannels()
+                        nf = wv.getnframes()
+                        if wv.getsampwidth() != 2:
+                            raise ValueError("non-16-bit WAV")
+                        samples = np.frombuffer(wv.readframes(nf), np.int16)
+                        rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) if len(samples) else 0.0
+                    rows.append((r[id_col], len(data), rate, nch, nf, nf / rate, rms))
+                except Exception:
+                    rows.append((r[id_col], len(data), None, None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_META_SCHEMA.fields]
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(process, AUDIO_META_SCHEMA)
+
+
+def frame_sample_stub(
+    df: DataFrame,
+    every_n: int,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video frame-sampling plumbing: emits one row per sampled frame
+    index (frame count faked from byte length / 1024). Video decode
+    needs codecs the stdlib lacks; a real implementation swaps the
+    index computation for ffmpeg probing and attaches frame bytes —
+    the explode shape and partitioning are what matter at scale."""
+    n_frames = (F.length(binary_col).cast("long") / F.lit(1024)).cast("long") + 1
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )
+
+
 def resize_stub(
     df: DataFrame, max_side: int, binary_col: str = "content", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Resize plumbing: computes target dimensions from (fake) decoded
-    size; the pixel transform itself is the stubbed step. Shows the
-    partition-preserving shape a real resize would use."""
+    """Back-compat wrapper: dimension planning only (no pixel I/O)."""
     meta = decode_image_meta(df, binary_col, id_col)
     scale = F.when(
         F.greatest("width", "height") > max_side,
@@ -83,24 +383,4 @@ def resize_stub(
         "height",
         F.floor(F.col("width") * scale).cast("int").alias("target_width"),
         F.floor(F.col("height") * scale).cast("int").alias("target_height"),
-    )
-
-
-def frame_sample_stub(
-    df: DataFrame,
-    every_n: int,
-    binary_col: str = "content",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Video frame-sampling plumbing: emits one row per sampled frame
-    index (frame count faked from byte length / 1024). A real
-    implementation swaps the index computation for ffmpeg probing and
-    attaches the frame bytes; the explode shape and partitioning are
-    what matter at scale."""
-    n_frames = (F.length(binary_col).cast("long") / F.lit(1024)).cast("long") + 1
-    return df.select(
-        F.col(id_col),
-        F.explode(
-            F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
-        ).alias("frame_idx"),
     )

@@ -170,13 +170,20 @@ class ServerMetrics:
 class _Database:
     """One served database: an EventStore plus its append micro-batch."""
 
-    def __init__(self, spark: SparkSession, name: str, root: str):
+    def __init__(self, spark: SparkSession, name: str, root: str,
+                 compact_every: int = 0):
         from fossil_spark.store import EventStore
 
         self.name = name
+        self.spark = spark
         self.store = EventStore(spark, root)
         self.pending: list[tuple[datetime, str, str]] = []
         self.lock = threading.Lock()
+        # continuous micro-batched appends accumulate small files; every
+        # `compact_every` flushes, rewrite fragmented date partitions
+        # (maintenance.compact — atomic per-partition swap). 0 = off.
+        self.compact_every = compact_every
+        self._flushes = 0
 
     def append(self, topic: str, data: bytes, flush_every: int) -> None:
         from fossil_spark.schema import SchemaError, conforms
@@ -202,6 +209,11 @@ class _Database:
                 # one atomic parquet commit per micro-batch (schema
                 # validation included — store.append_rows)
                 self.store.append_rows(batch)
+                self._flushes += 1
+        if batch and self.compact_every and self._flushes % self.compact_every == 0:
+            from fossil_spark.maintenance import compact
+
+            compact(self.spark, self.store.root)
 
     def is_empty(self) -> bool:
         try:
@@ -240,10 +252,12 @@ class FossilServer:
         flush_every: int = 1000,
         now: datetime | None = None,
         max_query_rows: int = 100_000,
+        compact_every: int = 0,
     ):
         self.spark = spark
         self.metrics = ServerMetrics()
         self.flush_every = flush_every
+        self._compact_every = compact_every
         # the reference bounds responses by its 100 MiB wire guard; we
         # bound by rows so one QUERY can't pull a cluster-sized result
         # through the driver — analytics belong in FQL reduce/aggregate
@@ -251,7 +265,8 @@ class FossilServer:
         self.max_query_rows = max_query_rows
         self._now = now  # pin ~now for deterministic tests
         self.dbs = {
-            name: _Database(spark, name, root) for name, root in databases.items()
+            name: _Database(spark, name, root, compact_every)
+            for name, root in databases.items()
         }
         self._default_db = next(iter(self.dbs))
         outer = self

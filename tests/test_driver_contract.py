@@ -44,3 +44,18 @@ def test_every_query_key_has_runnable_callable(spark):
     for key, fn in qs.items():
         df = fn(spark, SF)
         assert df.schema is not None and len(df.columns) > 0, key
+
+
+def test_dau_approx_tracks_exact(spark):
+    # the HLL sketch (rows-only key) must stay within its error bound
+    # of the exact count — per-day relative error < 15% at rsd=0.05
+    qs = entry.queries()
+    sf = "/root/testdata/sf0.01"
+    exact = {r["day"]: r["dau"] for r in qs["agg_dau_exact"](spark, sf).collect()}
+    approx = {r["day"]: r["dau_approx"]
+              for r in qs["agg_dau_approx"](spark, sf).collect()}
+    assert set(exact) == set(approx)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(2, 0.15 * n), (
+            f"{day}: approx {approx[day]} vs exact {n}"
+        )

@@ -186,3 +186,29 @@ def test_query_row_cap(spark):
     finally:
         srv.stop()
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_auto_compaction(spark):
+    import glob
+    import os
+    import shutil
+    import uuid
+    from datetime import datetime
+
+    d = os.path.join("build", f"cmp_{uuid.uuid4().hex[:8]}")
+    srv = FossilServer(
+        spark, {"db": os.path.join(d, "db")},
+        flush_every=2, compact_every=3, now=datetime(2030, 1, 1),
+    ).start()
+    try:
+        with FossilClient(srv.host, srv.port) as c:
+            for i in range(12):  # 6 flushes -> 2 compactions
+                c.append("/x", str(i))
+            files = glob.glob(os.path.join(d, "db", "date=*", "*.parquet"))
+            # without compaction there would be >= 6 files in today's
+            # partition; the periodic rewrite keeps it small
+            assert 1 <= len(files) <= 3, files
+            assert len(c.query("all in /x")) == 12
+    finally:
+        srv.stop()
+        shutil.rmtree(d, ignore_errors=True)

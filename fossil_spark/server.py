@@ -373,7 +373,23 @@ class FossilServer:
         db.flush()
         if db.is_empty():
             return []
-        rows = db.store.query(text, now=self._now).limit(self.max_query_rows).collect()
+        # reference parity: a query scoped to a topic with a declared
+        # schema decodes datum through that schema before the pipeline
+        # (types/value.go MakeFromEntry); otherwise the compiler's
+        # type-directed coercion handles bare numerics
+        from fossil_spark.fql import parse
+
+        topic = parse(text).topic
+        if topic and db.store.schema_for_topic(topic).text != "string":
+            out = db.store.query_typed(text, topic, now=self._now)
+        else:
+            out = db.store.query(text, now=self._now)
+        # reference parity: entries stream back in time order
+        # (db.go Retrieve walks segments chronologically)
+        if "time" in out.columns:
+            order = ["time"] + (["topic"] if "topic" in out.columns else [])
+            out = out.orderBy(*order)
+        rows = out.limit(self.max_query_rows).collect()
         reg = db.store._load_registry()
         out = []
         for r in rows:

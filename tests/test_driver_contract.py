@@ -24,7 +24,11 @@ def test_entry_on_vanilla_session(spark):
 def test_queries_on_vanilla_session(spark):
     s2 = _hostile_session(spark)
     qs = entry.queries()
-    for key in ("fql_all", "fql_since", "ts_resample", "tpch_q1", "dedup_exact"):
+    # includes the store round-trip keys (parquet WRITE path) and a
+    # mapInPandas key — the write/read/Arrow paths must also
+    # self-configure on a hostile session
+    for key in ("fql_all", "fql_since", "ts_resample", "tpch_q1", "dedup_exact",
+                "store_list_topics", "store_stats", "multimodal_meta"):
         assert qs[key](s2, SF).count() > 0
 
 

@@ -212,3 +212,15 @@ def test_auto_compaction(spark):
     finally:
         srv.stop()
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_typed_query_over_wire(server):
+    # a topic with a declared composite schema decodes datum through
+    # the schema before the pipeline — subscripting works over the wire
+    with FossilClient(server.host, server.port) as c:
+        c.use("other")
+        c.create("/ev", '{"k": int32}')
+        c.append("/ev", '{"k": 5}')
+        c.append("/ev", '{"k": 50}')
+        rows = c.query('all in /ev | filter x -> x["k"] >= 10 | map x -> x["k"] * 2')
+        assert [r["data"] for r in rows] == ["100"]

@@ -514,6 +514,15 @@ def _multimodal_meta(spark, sf_dir):
     return multimodal.decode_image_meta(binary)
 
 
+def _pipeline_curate(spark, sf_dir):
+    """End-to-end corpus curation: quality filter + language filter +
+    exact dedup + chunking in ONE declarative plan
+    (fossil_spark/pipelines.py)."""
+    from fossil_spark.pipelines import curate_corpus
+
+    return curate_corpus(_docs(spark, sf_dir))
+
+
 def _fql_sample_greedy(spark, sf_dir):
     from datetime import timedelta
 
@@ -651,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # are different estimators by construction; accuracy is bounded
         # against agg_dau_exact in tests instead
         "agg_dau_approx": _analytics("daily_active_users_approx"),
+        "pipeline_curate": _pipeline_curate,
     }
 
 
@@ -836,6 +846,9 @@ def oracle_sql() -> dict[str, str]:
         # (1.0 - 0.3) mirrors pandas ewm(adjust=False)'s old_wt = 1-alpha
         # double arithmetic exactly: y = (1-a)*y_prev + a*x per step, so
         # the fold is bit-identical to the Arrow-batched Spark side.
+        # Note: the ORACLE is inherently sequential (one recursion step
+        # per row) — fast at the driver's sf0.01 gate, slow beyond; the
+        # engine side stays parallel across keys.
         "ts_ewma": (
             f"WITH RECURSIVE seq AS (SELECT event_id, event_type, value,"
             f" row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) rn"
@@ -1183,6 +1196,43 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_SHINGLE_CTES},"
             " g AS (SELECT doc_id, min(md5(shingle)) AS fingerprint, count(*) AS n_shingles"
             " FROM sh GROUP BY 1) SELECT * FROM g"
+        ),
+        # end-to-end curation pipeline: quality >= 0.45, lang = en,
+        # exact-dedup keep set, 64-token chunks with 8 overlap —
+        # composed from the same verified building-block SQL
+        "pipeline_curate": (
+            "WITH t AS (SELECT doc_id, text, " + _TOKS + " w FROM documents),"
+            " q AS (SELECT doc_id,"
+            f" 0.4 * (len(list_filter(w, x -> list_contains({_EN_SW}, x)))::DOUBLE / len(w))"
+            " + 0.4 * (1.0 - abs(list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w)"
+            "  - 5.0) / 5.0)"
+            r" + 0.2 * (1.0 - len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE / len(text))"
+            " AS quality FROM t),"
+            " l AS (SELECT doc_id,"
+            f" CASE WHEN greatest({_sw_ratio('en')}, {_sw_ratio('de')}, {_sw_ratio('fr')},"
+            f" {_sw_ratio('es')}) = 0.0 THEN 'other'"
+            f" WHEN {_sw_ratio('en')} = greatest({_sw_ratio('en')}, {_sw_ratio('de')},"
+            f" {_sw_ratio('fr')}, {_sw_ratio('es')}) THEN 'en'"
+            f" WHEN {_sw_ratio('de')} = greatest({_sw_ratio('en')}, {_sw_ratio('de')},"
+            f" {_sw_ratio('fr')}, {_sw_ratio('es')}) THEN 'de'"
+            f" WHEN {_sw_ratio('fr')} = greatest({_sw_ratio('en')}, {_sw_ratio('de')},"
+            f" {_sw_ratio('fr')}, {_sw_ratio('es')}) THEN 'fr'"
+            " ELSE 'es' END AS pred_lang FROM t),"
+            " k AS (SELECT min(doc_id) AS doc_id FROM documents"
+            r" GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),"
+            " kept AS (SELECT t.doc_id, t.w, round(q.quality, 6) AS quality, l.pred_lang"
+            "  FROM t JOIN k USING (doc_id)"
+            "  JOIN q ON q.doc_id = t.doc_id JOIN l ON l.doc_id = t.doc_id"
+            "  WHERE q.quality >= 0.45 AND l.pred_lang = 'en'),"
+            " n AS (SELECT doc_id, w, quality, pred_lang,"
+            "  greatest(CAST(ceil((len(w) - 8)::DOUBLE / 56) AS INT), 1) AS nc FROM kept),"
+            " c AS (SELECT doc_id, quality, pred_lang,"
+            "  unnest(list_transform(generate_series(0, nc - 1),"
+            "  i -> {'chunk_idx': i,"
+            "  'chunk': array_to_string(w[i*56+1 : i*56+64], ' '),"
+            "  'ct': len(w[i*56+1 : i*56+64])})) AS s FROM n)"
+            " SELECT doc_id, s.chunk_idx AS chunk_idx, s.chunk AS chunk,"
+            " s.ct AS chunk_n_tokens, quality, pred_lang FROM c"
         ),
         "multimodal_meta": (
             "SELECT doc_id, strlen(text)::BIGINT AS n_bytes, md5(text) AS content_md5,"

@@ -204,14 +204,14 @@ def decode_image_meta(
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                data = bytes(r[binary_col]) if r[binary_col] is not None else b""
+            for rid, rdata in zip(pdf[id_col], pdf[binary_col]):
+                data = bytes(rdata) if rdata is not None else b""
                 try:
                     w, h, mode, _ = decode_image(data)
                 except (ValueError, IndexError, struct.error, zlib.error):
                     w, h, mode = _fake_decode(data)
                 rows.append(
-                    (r[id_col], len(data), hashlib.md5(data).hexdigest(), w, h, mode)
+                    (rid, len(data), hashlib.md5(data).hexdigest(), w, h, mode)
                 )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in IMAGE_META_SCHEMA.fields]
@@ -239,15 +239,15 @@ def image_features(
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                data = bytes(r[binary_col]) if r[binary_col] is not None else b""
+            for rid, rdata in zip(pdf[id_col], pdf[binary_col]):
+                data = bytes(rdata) if rdata is not None else b""
                 try:
                     w, h, mode, px = decode_image(data)
-                    rows.append((r[id_col], w, h, mode,
+                    rows.append((rid, w, h, mode,
                                  float(px.mean()), float(px.std()), "real"))
                 except (ValueError, IndexError, struct.error, zlib.error):
                     w, h, mode = _fake_decode(data)
-                    rows.append((r[id_col], w, h, mode, None, None, "fake"))
+                    rows.append((rid, w, h, mode, None, None, "fake"))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
             )
@@ -285,8 +285,8 @@ def resize_images(
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                data = bytes(r[binary_col]) if r[binary_col] is not None else b""
+            for rid, rdata in zip(pdf[id_col], pdf[binary_col]):
+                data = bytes(rdata) if rdata is not None else b""
                 try:
                     w, h, _mode, px = decode_image(data)
                     real = True
@@ -298,7 +298,7 @@ def resize_images(
                 resized = None
                 if real:
                     resized = encode_png(px if (tw, th) == (w, h) else _pool(px, tw, th))
-                rows.append((r[id_col], w, h, tw, th, resized))
+                rows.append((rid, w, h, tw, th, resized))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in RESIZE_SCHEMA.fields]
             )
@@ -328,8 +328,8 @@ def decode_audio_meta(
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                data = bytes(r[binary_col]) if r[binary_col] is not None else b""
+            for rid, rdata in zip(pdf[id_col], pdf[binary_col]):
+                data = bytes(rdata) if rdata is not None else b""
                 try:
                     with wave.open(io.BytesIO(data)) as wv:
                         rate, nch = wv.getframerate(), wv.getnchannels()
@@ -338,9 +338,9 @@ def decode_audio_meta(
                             raise ValueError("non-16-bit WAV")
                         samples = np.frombuffer(wv.readframes(nf), np.int16)
                         rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) if len(samples) else 0.0
-                    rows.append((r[id_col], len(data), rate, nch, nf, nf / rate, rms))
+                    rows.append((rid, len(data), rate, nch, nf, nf / rate, rms))
                 except Exception:
-                    rows.append((r[id_col], len(data), None, None, None, None, None))
+                    rows.append((rid, len(data), None, None, None, None, None))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in AUDIO_META_SCHEMA.fields]
             )

@@ -248,8 +248,8 @@ def pack_documents(
         pdf = pdf.sort_values(["n_tokens", id_col], ascending=[False, True])
         packs: list[int] = []   # remaining capacity per open pack
         assign = []
-        for _, row in pdf.iterrows():
-            need = min(int(row["n_tokens"]), max_tokens)
+        for n_tok in pdf["n_tokens"]:
+            need = min(int(n_tok), max_tokens)
             for i, cap in enumerate(packs):
                 if cap >= need:
                     packs[i] = cap - need

@@ -300,3 +300,17 @@ def test_multimodal_plumbing(spark, docs):
 
     frames = multimodal.frame_sample_stub(binary, 2)
     assert frames.count() >= docs.count()
+
+
+def test_curate_corpus_pipeline(spark, docs):
+    from fossil_spark.pipelines import curate_corpus
+
+    out = curate_corpus(docs).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["chunk_n_tokens"] <= 64
+        assert r["quality"] >= 0.45
+        assert r["pred_lang"] == "en"
+    # deduplicated: curated doc ids are unique per chunk_idx
+    seen = {(r["doc_id"], r["chunk_idx"]) for r in out}
+    assert len(seen) == len(out)

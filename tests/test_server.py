@@ -224,3 +224,27 @@ def test_typed_query_over_wire(server):
         c.append("/ev", '{"k": 50}')
         rows = c.query('all in /ev | filter x -> x["k"] >= 10 | map x -> x["k"] * 2')
         assert [r["data"] for r in rows] == ["100"]
+
+
+def test_malformed_frames_do_not_kill_server(server):
+    import socket as socketmod
+    import struct as structmod
+
+    # garbage that is not a valid frame: server closes that conn (or
+    # errors it) without affecting other clients
+    s = socketmod.create_connection((server.host, server.port), timeout=10)
+    s.sendall(b"\xde\xad\xbe\xef" * 10)
+    s.close()
+    # oversized length prefix -> connection rejected
+    s2 = socketmod.create_connection((server.host, server.port), timeout=10)
+    s2.sendall(structmod.pack(">I", 200 * 1024 * 1024))
+    s2.close()
+    # frame shorter than the command width -> closed
+    s3 = socketmod.create_connection((server.host, server.port), timeout=10)
+    s3.sendall(structmod.pack(">I", 4) + b"ABCD")
+    s3.close()
+    # the server still serves
+    with FossilClient(server.host, server.port) as c:
+        assert c.version() == "v1.0.0"
+        c.append("/alive", "1")
+        assert len(c.query("all in /alive")) == 1

@@ -315,10 +315,16 @@ def _roundtrip_store(spark, sf_dir):
 
     view = events_store_view(spark, sf_dir)
     try:
+        import shutil
+
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         root = os.path.join("build", f"driver_store_{tag}")
         store = EventStore(spark, root)
         if not os.path.exists(os.path.join(root, "_APPENDED")):
+            # no marker = never materialized OR a partial crashed write;
+            # start clean either way so append-twice can't double rows
+            if os.path.exists(root):
+                shutil.rmtree(root)
             store.append(view)
             with open(os.path.join(root, "_APPENDED"), "w") as f:
                 f.write(sf_dir)

@@ -43,23 +43,30 @@ _SPLITS = {
 
 def prep_multirg(spark, sf_dir: str) -> str:
     import hashlib
+    import shutil
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    out_dir = os.path.join("build", f"bench_data_{tag}")
-    marker = os.path.join(out_dir, "_PREPPED")
-    if os.path.exists(marker):
+    try:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out_dir = os.path.join("build", f"bench_data_{tag}")
+        marker = os.path.join(out_dir, "_PREPPED")
+        if os.path.exists(marker):
+            return out_dir
+        if os.path.exists(out_dir):  # partial prior prep: start clean
+            shutil.rmtree(out_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        for table, (order_col, n) in _SPLITS.items():
+            src = os.path.join(sf_dir, f"{table}.parquet")
+            if not os.path.exists(src):
+                continue
+            df = spark.read.parquet(src)
+            df = df.repartitionByRange(n, order_col) if order_col and n > 1 else df.coalesce(n)
+            df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{table}.parquet"))
+        with open(marker, "w") as f:
+            f.write(sf_dir)
         return out_dir
-    os.makedirs(out_dir, exist_ok=True)
-    for table, (order_col, n) in _SPLITS.items():
-        src = os.path.join(sf_dir, f"{table}.parquet")
-        if not os.path.exists(src):
-            continue
-        df = spark.read.parquet(src)
-        df = df.repartitionByRange(n, order_col) if order_col and n > 1 else df.coalesce(n)
-        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{table}.parquet"))
-    with open(marker, "w") as f:
-        f.write(sf_dir)
-    return out_dir
+    except Exception as ex:  # unwritable build/, odd fs — bench must still run
+        print(f"# prep_multirg failed ({ex}); using raw layout", file=sys.stderr)
+        return sf_dir
 
 
 def main() -> None:

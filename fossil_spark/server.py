@@ -184,6 +184,7 @@ class _Database:
         # (maintenance.compact — atomic per-partition swap). 0 = off.
         self.compact_every = compact_every
         self._flushes = 0
+        self._stats_cache: tuple[float, tuple[int, int]] | None = None
 
     def append(self, topic: str, data: bytes, flush_every: int) -> None:
         from fossil_spark.schema import SchemaError, conforms
@@ -223,19 +224,27 @@ class _Database:
         except FileNotFoundError:
             return True
 
-    def stats(self) -> tuple[int, int]:
+    def stats(self, ttl: float = 0.0) -> tuple[int, int]:
         """(segments, topics) — segments = parquet files, the direct
-        analogue of the reference's fixed-width segment count."""
+        analogue of the reference's fixed-width segment count. With
+        ttl > 0, a recent result is reused — the metrics endpoint must
+        not launch a Spark job (topic count) on every scrape."""
+        if ttl > 0 and self._stats_cache is not None:
+            at, cached = self._stats_cache
+            if _time.monotonic() - at < ttl:
+                return cached
         if self.is_empty():
-            return 0, 0
-        segments = sum(
-            1
-            for dirpath, _, files in os.walk(self.store.root)
-            for f in files
-            if f.endswith(".parquet")
-        )
-        topics = self.store.topics().count()
-        return segments, topics
+            result = (0, 0)
+        else:
+            segments = sum(
+                1
+                for dirpath, _, files in os.walk(self.store.root)
+                for f in files
+                if f.endswith(".parquet")
+            )
+            result = (segments, self.store.topics().count())
+        self._stats_cache = (_time.monotonic(), result)
+        return result
 
 
 class FossilServer:
@@ -431,7 +440,9 @@ class FossilServer:
                     self.send_response(404)
                     self.end_headers()
                     return
-                db_stats = {name: db.stats() for name, db in outer.dbs.items()}
+                db_stats = {
+                    name: db.stats(ttl=30.0) for name, db in outer.dbs.items()
+                }
                 body = outer.metrics.prometheus_text(db_stats).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/plain; version=0.0.4")

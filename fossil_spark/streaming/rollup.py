@@ -25,12 +25,19 @@ def windowed_rollup(
     state size — mandatory for an unbounded stream."""
     return (
         stream.withWatermark(time_col, watermark)
-        .groupBy(F.window(F.col(time_col), every).start.alias("bucket"), key_col)
+        # group by the window() struct — grouping by .start severs the
+        # event-time/watermark linkage and append mode throws
+        # STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION; project .start
+        # only after the aggregation
+        .groupBy(F.window(F.col(time_col), every), key_col)
         .agg(
             F.count("*").alias("n"),
             (
                 F.round(F.sum(F.col(value_col).cast("decimal(30,8)")), 4).cast("double")
                 / F.count(value_col)
             ).alias("avg_value"),
+        )
+        .select(
+            F.col("window").start.alias("bucket"), key_col, "n", "avg_value"
         )
     )

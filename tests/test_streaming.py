@@ -96,3 +96,33 @@ def test_windowed_rollup(spark, workdir):
             spark.sql(f"SELECT * FROM {name}").collect()}
     assert rows["2024-01-01 00:00:00"] == (2, 2.0)
     assert rows["2024-01-01 01:00:00"] == (1, 5.0)
+
+
+def test_windowed_rollup_append_mode(spark, workdir):
+    # append mode requires the watermark linkage to survive the
+    # aggregation — grouping by window().start used to throw
+    # STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION here
+    src = os.path.join(workdir, "incoming")
+    os.makedirs(src)
+    _write_jsonl(os.path.join(src, "b.json"), [
+        {"time": "2024-01-01T00:10:00", "topic": "/t", "value": "2"},
+        {"time": "2024-01-01T00:20:00", "topic": "/t", "value": "4"},
+        # closer far in the future so the first window finalizes
+        {"time": "2024-01-02T00:00:00", "topic": "/close", "value": "0"},
+    ])
+    stream = read_json_dropbox(spark, src).withColumn(
+        "value", F.col("value").cast("double")
+    )
+    rolled = windowed_rollup(stream, "1 hour", "1 minute")
+    name = f"rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {str(r["bucket"]): (r["n"], r["avg_value"]) for r in
+            spark.sql(f"SELECT * FROM {name}").collect()}
+    assert rows["2024-01-01 00:00:00"] == (2, 3.0)

@@ -43,6 +43,13 @@ def get_spark(app_name: str = "fossil_spark", shuffle_partitions: int | None = N
         # The test data's events.ts is parquet TIMESTAMP(NANOS); read as
         # long and convert explicitly (read_table) — Spark has no ns type.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Scan split size: with 100 TB of zstd parquet, 128 MB splits
+        # keep one task's working set inside executor memory while
+        # saturating the cluster; override per-workload via env.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
+        )
     )
     if not SparkSession.getActiveSession():
         builder = builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))

@@ -136,7 +136,7 @@ class EventStore:
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.root).select("time", "topic", "value")
 
-    def _read_pruned(self, text: str, now: datetime | None) -> DataFrame:
+    def _read_pruned(self, query, now: datetime | None) -> DataFrame:
         """Store scan with partition pruning derived from the query's
         time predicate. Spark can't infer `date = to_date(time)` from a
         filter on `time` alone, so every date directory would be listed
@@ -147,7 +147,7 @@ class EventStore:
         from fossil_spark.fql.compiler import time_bounds
 
         src = self.spark.read.parquet(self.root)
-        lo, hi = time_bounds(text, now=now)
+        lo, hi = time_bounds(query, now=now)
         if lo is not None:
             src = src.filter(F.col("date") >= F.lit(lo.date()))
         if hi is not None:
@@ -155,8 +155,10 @@ class EventStore:
         return src.select("time", "topic", "value")
 
     def query(self, text: str, now: datetime | None = None) -> DataFrame:
-        from fossil_spark.fql import fql
-        return fql(self._read_pruned(text, now), text, now=now)
+        from fossil_spark.fql import compile_query, parse
+
+        q = parse(text)  # parse once: pruning and compilation share the AST
+        return compile_query(q, self._read_pruned(q, now), now=now)
 
     def sql(self, statement: str, view_name: str = "store") -> DataFrame:
         """Full ANSI SQL over the store (the engine is Spark, so SQL

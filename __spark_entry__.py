@@ -318,7 +318,8 @@ def _roundtrip_store(spark, sf_dir):
         import shutil
 
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        root = os.path.join("build", f"driver_store_{tag}")
+        repo_root = os.path.dirname(os.path.abspath(__file__))
+        root = os.path.join(repo_root, "build", f"driver_store_{tag}")
         store = EventStore(spark, root)
         if not os.path.exists(os.path.join(root, "_APPENDED")):
             # no marker = never materialized OR a partial crashed write;

@@ -47,7 +47,8 @@ def prep_multirg(spark, sf_dir: str) -> str:
 
     try:
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        out_dir = os.path.join("build", f"bench_data_{tag}")
+        repo_root = os.path.dirname(os.path.abspath(__file__))
+        out_dir = os.path.join(repo_root, "build", f"bench_data_{tag}")
         marker = os.path.join(out_dir, "_PREPPED")
         if os.path.exists(marker):
             return out_dir

@@ -13,9 +13,10 @@ Usage: python scripts/check_correctness.py [sf_dir] [key ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import pandas as pd

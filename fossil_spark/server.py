@@ -185,12 +185,29 @@ class _Database:
         self.compact_every = compact_every
         self._flushes = 0
         self._stats_cache: tuple[float, tuple[int, int]] | None = None
+        # flush serialization: concurrent Spark append jobs on the same
+        # path share the _temporary staging dir and can clobber each
+        # other's commit — one flush at a time per database
+        self.flush_lock = threading.Lock()
+        self._registry_cache: tuple[float, object] | None = None
+
+    def _registry(self):
+        """Topic registry, cached on the sidecar file's mtime — the
+        APPEND hot path must not re-read JSON per datum."""
+        path = self.store._schema_path
+        try:
+            mtime = os.path.getmtime(path)
+        except OSError:
+            mtime = -1.0
+        if self._registry_cache is None or self._registry_cache[0] != mtime:
+            self._registry_cache = (mtime, self.store._load_registry())
+        return self._registry_cache[1]
 
     def append(self, topic: str, data: bytes, flush_every: int) -> None:
         from fossil_spark.schema import SchemaError, conforms
 
         value = data.decode("utf-8", "replace")
-        schema = self.store.schema_for_topic(topic)
+        schema = self._registry().get(topic)
         if schema.text != "string" and not conforms(value, schema):
             raise SchemaError(
                 f"datum {value!r} does not conform to topic {topic!r} "
@@ -204,17 +221,18 @@ class _Database:
             self.flush()
 
     def flush(self) -> None:
-        with self.lock:
-            batch, self.pending = self.pending, []
+        with self.flush_lock:
+            with self.lock:
+                batch, self.pending = self.pending, []
             if batch:
                 # one atomic parquet commit per micro-batch (schema
                 # validation included — store.append_rows)
                 self.store.append_rows(batch)
                 self._flushes += 1
-        if batch and self.compact_every and self._flushes % self.compact_every == 0:
-            from fossil_spark.maintenance import compact
+            if batch and self.compact_every and self._flushes % self.compact_every == 0:
+                from fossil_spark.maintenance import compact
 
-            compact(self.spark, self.store.root)
+                compact(self.spark, self.store.root)
 
     def is_empty(self) -> bool:
         try:

@@ -45,6 +45,48 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_expr(c: Column) -> Column:
+    """Combined quality score in [0,1] as a pure Column expression —
+    usable on batch AND streaming frames without a join."""
+    t = tokens(c)
+    n = F.size(t)
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    stop_ratio = F.size(F.filter(t, lambda x: F.array_contains(sw, x))).cast("double") / n
+    mean_word_len = (
+        F.aggregate(t, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double") / n
+    )
+    punct_ratio = (
+        F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0)).cast("double")
+        / F.length(c)
+    )
+    return (
+        F.lit(0.4) * stop_ratio
+        + F.lit(0.4) * (F.lit(1.0) - F.abs(mean_word_len - F.lit(5.0)) / F.lit(5.0))
+        + F.lit(0.2) * (F.lit(1.0) - punct_ratio)
+    )
+
+
+def lang_pred_expr(c: Column) -> Column:
+    """Predicted language as a pure Column expression (argmax of
+    stopword-family hit ratios, fixed tie order en,de,fr,es,other)."""
+    t = tokens(c)
+    n = F.size(t)
+    ratios = {}
+    for lang, words in STOPWORDS.items():
+        sw = F.array([F.lit(w) for w in words])
+        ratios[lang] = (
+            F.size(F.filter(t, lambda x: F.array_contains(sw, x))).cast("double") / n
+        )
+    best = F.greatest(*ratios.values())
+    return (
+        F.when(best == F.lit(0.0), F.lit("other"))
+        .when(ratios["en"] == best, F.lit("en"))
+        .when(ratios["de"] == best, F.lit("de"))
+        .when(ratios["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality heuristics: length, punctuation density, stopword ratio,
     mean word length, and a combined score in [0,1]."""
@@ -58,12 +100,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     punct_ratio = n_punct.cast("double") / n_chars
     stop_ratio = n_stop.cast("double") / n
     mean_word_len = sum_word_len.cast("double") / n
-    # score: reward stopwords and moderate word length, punish punctuation
-    score = (
-        F.lit(0.4) * stop_ratio
-        + F.lit(0.4) * (F.lit(1.0) - F.abs(mean_word_len - F.lit(5.0)) / F.lit(5.0))
-        + F.lit(0.2) * (F.lit(1.0) - punct_ratio)
-    )
+    score = quality_expr(F.col(text_col))
     return df.select(
         "doc_id",
         n.alias("n_tokens"),
@@ -85,14 +122,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         ratios[lang] = (
             F.size(F.filter(t, lambda x: F.array_contains(sw, x))).cast("double") / n
         )
-    best = F.greatest(*ratios.values())
-    pred = (
-        F.when(best == F.lit(0.0), F.lit("other"))
-        .when(ratios["en"] == best, F.lit("en"))
-        .when(ratios["de"] == best, F.lit("de"))
-        .when(ratios["fr"] == best, F.lit("fr"))
-        .otherwise(F.lit("es"))
-    )
+    pred = lang_pred_expr(F.col(text_col))
     return df.select(
         "doc_id",
         *[r.alias(f"ratio_{lang}") for lang, r in ratios.items()],
@@ -189,19 +219,25 @@ def chunk_text(
     overlap: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Split documents into token chunks of `chunk_tokens` with
     `overlap` tokens of context carried between consecutive chunks —
     the context-window preparation step. Pure higher-order functions:
-    the explode is the only fan-out, no Python."""
+    the explode is the only fan-out, no Python. `keep_cols` carry
+    per-document provenance columns through to every chunk (join-free,
+    so the same plan works on streams)."""
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
+    keep_cols = keep_cols or []
     stride = chunk_tokens - overlap
     w = tokens(F.col(text_col))
     n = F.size(w)
     n_chunks = F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)).cast("int")
     idx = F.explode(F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1))
-    out = df.select(F.col(id_col), w.alias("__w"), idx.alias("chunk_idx"))
+    out = df.select(
+        F.col(id_col), w.alias("__w"), idx.alias("chunk_idx"), *keep_cols
+    )
     return out.select(
         id_col,
         "chunk_idx",
@@ -211,6 +247,7 @@ def chunk_text(
         F.size(
             F.slice(F.col("__w"), F.col("chunk_idx") * stride + 1, chunk_tokens)
         ).alias("chunk_n_tokens"),
+        *keep_cols,
     )
 
 

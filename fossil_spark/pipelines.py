@@ -25,31 +25,65 @@ def curate_corpus(
     """Quality-filter -> language-filter -> exact-dedup -> chunk.
 
     Returns training-ready chunks with provenance (per-document
-    quality and predicted language carried through). Every stage is a
-    Column expression or equi-join: one corpus scan fans into the
-    scoring joins, the dedup keep-set is a semi-join on the kept ids
-    (never a self cross product), and chunking is a higher-order
-    slice/explode. 100 TB shape: 2 shuffles (dedup groupBy + the
-    scoring join), both partial-aggregated map-side."""
-    quality = text.quality_score(df, text_col=text_col).select(
-        id_col, "quality"
-    )
-    langs = text.lang_id(df, text_col=text_col).select(id_col, "pred_lang")
+    quality and predicted language carried through). Scoring and
+    chunking are inline Column expressions fused into one scan pass;
+    the only shuffles are the dedup groupBy (map-side partial) and its
+    keep-set semi-join — never a self cross product."""
     keep = dedup.exact_dedup(df, text_col=text_col, id_col=id_col).select(
         F.col("keep_id").alias(id_col)
     )
     kept = (
         df.join(keep, id_col, "left_semi")
-        .join(quality, id_col)
-        .join(langs, id_col)
+        # scoring as inline Column expressions: join-free, fused into
+        # the same scan pass
+        .withColumn("quality", text.quality_expr(F.col(text_col)))
+        .withColumn("pred_lang", text.lang_pred_expr(F.col(text_col)))
         .filter((F.col("quality") >= min_quality) & (F.col("pred_lang") == lang))
     )
-    chunks = text.chunk_text(
+    return text.chunk_text(
         kept, chunk_tokens=chunk_tokens, overlap=overlap, text_col=text_col,
-        id_col=id_col,
+        id_col=id_col, keep_cols=["quality", "pred_lang"],
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk",
+        F.col("chunk_n_tokens").cast("long").alias("chunk_n_tokens"),
+        F.round("quality", 6).alias("quality"),
+        "pred_lang",
     )
-    meta = kept.select(id_col, "quality", "pred_lang")
-    return chunks.join(meta, id_col).select(
+
+
+def curate_stream(
+    stream: DataFrame,
+    min_quality: float = 0.45,
+    lang: str = "en",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of curate_corpus: the same scoring/chunking
+    expressions over an unbounded document stream, with exact dedup as
+    stateful dropDuplicates on the normalized-text hash.
+
+    Semantics vs batch: the stream keeps the FIRST-ARRIVED copy of a
+    duplicate (batch keeps the min id — a batch has no arrival order).
+    Dedup state is unbounded by default; bound it with
+    dropDuplicatesWithinWatermark upstream when documents carry an
+    event-time column."""
+    s = (
+        stream.withColumn(
+            "__text_hash", F.md5(dedup.normalize_text(F.col(text_col)))
+        )
+        .dropDuplicates(["__text_hash"])
+        .withColumn("quality", text.quality_expr(F.col(text_col)))
+        .withColumn("pred_lang", text.lang_pred_expr(F.col(text_col)))
+        .filter((F.col("quality") >= min_quality) & (F.col("pred_lang") == lang))
+    )
+    return text.chunk_text(
+        s, chunk_tokens=chunk_tokens, overlap=overlap, text_col=text_col,
+        id_col=id_col, keep_cols=["quality", "pred_lang"],
+    ).select(
         id_col,
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         "chunk",

@@ -126,3 +126,51 @@ def test_windowed_rollup_append_mode(spark, workdir):
     rows = {str(r["bucket"]): (r["n"], r["avg_value"]) for r in
             spark.sql(f"SELECT * FROM {name}").collect()}
     assert rows["2024-01-01 00:00:00"] == (2, 3.0)
+
+
+def test_curate_stream_matches_batch_semantics(spark, workdir):
+    # the streaming curation pipeline produces the batch pipeline's
+    # chunks (up to the documented duplicate-keeper difference)
+    import json
+
+    from fossil_spark.pipelines import curate_corpus, curate_stream
+
+    docs = [
+        {"doc_id": 1, "text": "the cat sat on the mat and it was a good day "
+                              "for all of the cats in the house"},
+        {"doc_id": 2, "text": "zzzzzzzzzzzz qqqqqqqqqq xxxxxxxxxxxx"},  # low quality
+        {"doc_id": 3, "text": "the cat sat on the mat and it was a good day "
+                              "for all of the cats in the house"},  # dup of 1
+        {"doc_id": 4, "text": "it is a truth that the people of the town "
+                              "were known for the quality of their work"},
+    ]
+    src = os.path.join(workdir, "docs_in")
+    os.makedirs(src)
+    with open(os.path.join(src, "d.json"), "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(src)
+    )
+    out = curate_stream(stream)
+    name = f"curate_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(f"SELECT * FROM {name}").collect()
+    got_ids = {r["doc_id"] for r in got}
+    # low-quality doc 2 rejected; exactly one of the duplicate pair kept
+    assert 4 in got_ids and 2 not in got_ids
+    assert len(got_ids & {1, 3}) == 1
+
+    batch = curate_corpus(spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs], "doc_id long, text string"
+    )).collect()
+    batch_key = {(r["chunk_idx"], r["chunk"], r["quality"], r["pred_lang"])
+                 for r in batch}
+    stream_key = {(r["chunk_idx"], r["chunk"], r["quality"], r["pred_lang"])
+                  for r in got}
+    assert batch_key == stream_key

@@ -12,7 +12,10 @@ semantics.
 
 from fossil_spark.session import get_spark
 
-__all__ = ["get_spark", "EventStore", "fql"]
+__all__ = [
+    "get_spark", "EventStore", "fql",
+    "FossilServer", "FossilClient", "curate_corpus", "curate_stream",
+]
 
 
 def __getattr__(name):
@@ -24,4 +27,10 @@ def __getattr__(name):
     if name == "fql":
         from fossil_spark.fql import fql
         return fql
+    if name in ("FossilServer", "FossilClient"):
+        from fossil_spark import server
+        return getattr(server, name)
+    if name in ("curate_corpus", "curate_stream"):
+        from fossil_spark import pipelines
+        return getattr(pipelines, name)
     raise AttributeError(name)

@@ -530,6 +530,15 @@ def _pipeline_curate(spark, sf_dir):
     return curate_corpus(_docs(spark, sf_dir))
 
 
+def _pipeline_semantic_dedup(spark, sf_dir):
+    """Semantic dedup end-to-end: LSH near-dup pairs -> connected
+    components -> representative per cluster, over every embedding."""
+    from fossil_spark.pipelines import semantic_dedup
+    from fossil_spark.session import read_table
+
+    return semantic_dedup(read_table(spark, sf_dir, "embeddings"))
+
+
 def _fql_sample_greedy(spark, sf_dir):
     from datetime import timedelta
 
@@ -668,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # against agg_dau_exact in tests instead
         "agg_dau_approx": _analytics("daily_active_users_approx"),
         "pipeline_curate": _pipeline_curate,
+        "pipeline_semantic_dedup": _pipeline_semantic_dedup,
     }
 
 
@@ -1203,6 +1213,34 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_SHINGLE_CTES},"
             " g AS (SELECT doc_id, min(md5(shingle)) AS fingerprint, count(*) AS n_shingles"
             " FROM sh GROUP BY 1) SELECT * FROM g"
+        ),
+        # semantic dedup: the dedup_embedding pair CTEs + transitive
+        # closure; every vector maps to its cluster's min id
+        "pipeline_semantic_dedup": (
+            "WITH RECURSIVE dims AS (SELECT unnest(range(64)) AS d),"
+            " planes AS (SELECT unnest(range(8)) AS p),"
+            " w AS (SELECT p, d,"
+            " (('0x' || substr(md5(p::VARCHAR || ',' || d::VARCHAR), 1, 8))::BIGINT"
+            "  / 4294967295.0) * 2.0 - 1.0 AS wt FROM planes, dims),"
+            " e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),"
+            " dots AS (SELECT vec_id, p, sum(emb[d + 1] * wt) AS dot"
+            "  FROM e, w GROUP BY 1, 2),"
+            " sig AS (SELECT vec_id, sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END)"
+            "  AS bucket FROM dots GROUP BY 1),"
+            " pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb"
+            "  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id"
+            "  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id"
+            "  WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= 0.25),"
+            " edges AS (SELECT va a, vb b FROM pairs UNION SELECT vb, va FROM pairs),"
+            " nodes AS (SELECT DISTINCT a AS node FROM edges),"
+            " reach(node, r) AS ("
+            "  SELECT node, node FROM nodes"
+            "  UNION"
+            "  SELECT re.node, ed.b FROM reach re JOIN edges ed ON ed.a = re.r),"
+            " comp AS (SELECT node, min(r) AS keep FROM reach GROUP BY 1)"
+            " SELECT e.vec_id, coalesce(c.keep, e.vec_id) AS keep_id,"
+            " coalesce(c.keep, e.vec_id) = e.vec_id AS is_kept"
+            " FROM e LEFT JOIN comp c ON c.node = e.vec_id"
         ),
         # end-to-end curation pipeline: quality >= 0.45, lang = en,
         # exact-dedup keep set, 64-token chunks with 8 overlap —

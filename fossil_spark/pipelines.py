@@ -91,3 +91,37 @@ def curate_stream(
         F.round("quality", 6).alias("quality"),
         "pred_lang",
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.25,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic (embedding-space) deduplication: near-duplicate pairs
+    from hyperplane-LSH buckets, transitively closed into clusters,
+    one representative (minimum id) kept per cluster. Returns
+    (id, keep_id, is_kept) for EVERY input vector — singletons keep
+    themselves — ready to semi-join a corpus down to its semantically
+    unique subset.
+
+    Scale shape: pair generation is LSH-bucketed (never all-pairs),
+    clustering is O(diameter) join+agg rounds, the final assignment is
+    one broadcast-friendly join."""
+    pairs = dedup.embedding_neardup_pairs(
+        embeddings, threshold=threshold, dim=dim, id_col=id_col
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    # component labels ARE the min reachable id (min-label propagation)
+    mapped = dedup.connected_components(pairs).select(
+        F.col("doc_id").alias(id_col), F.col("component").alias("__keep")
+    )
+    return (
+        embeddings.select(id_col)
+        .join(mapped, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("__keep", F.col(id_col)).alias("keep_id"),
+            (F.coalesce("__keep", F.col(id_col)) == F.col(id_col)).alias("is_kept"),
+        )
+    )

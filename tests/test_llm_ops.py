@@ -314,3 +314,19 @@ def test_curate_corpus_pipeline(spark, docs):
     # deduplicated: curated doc ids are unique per chunk_idx
     seen = {(r["doc_id"], r["chunk_idx"]) for r in out}
     assert len(seen) == len(out)
+
+
+def test_semantic_dedup_pipeline(spark):
+    from fossil_spark.pipelines import semantic_dedup
+    from fossil_spark.session import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = semantic_dedup(emb).collect()
+    assert len(out) == emb.count()  # every vector mapped
+    by_id = {r["vec_id"]: r for r in out}
+    for r in out:
+        # keeper is minimal and self-kept
+        assert r["keep_id"] <= r["vec_id"]
+        assert by_id[r["keep_id"]]["is_kept"]
+        assert r["is_kept"] == (r["keep_id"] == r["vec_id"])
+    assert any(not r["is_kept"] for r in out)  # some dups exist at sf0.001

@@ -160,6 +160,14 @@ def _ts_gapfill(spark, sf_dir):
     return ts.gapfill_locf(_events(spark, sf_dir), "1 hour", "ts", ["event_type"], "value")
 
 
+def _ts_gapfill_linear(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.gapfill_linear(
+        _events(spark, sf_dir), "1 hour", "ts", ["event_type"], "value"
+    )
+
+
 def _ts_topk(spark, sf_dir):
     from fossil_spark.operators import timeseries as ts
 
@@ -644,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (all driver-verified green in CORRECTNESS_r01.json or rows-only
         # by design; kept registered so local checks still cover them)
         "ts_ewma": _ts_ewma,
+        "ts_gapfill_linear": _ts_gapfill_linear,
         "ann_ivf": _ann_ivf,  # rows-only: recall vs exact checked in tests
         "ts_ohlc": _ts_ohlc,
         "ts_range_join": _ts_range_join,
@@ -825,6 +834,33 @@ def oracle_sql() -> dict[str, str]:
             f" last_value(b.value IGNORE NULLS) OVER (PARTITION BY d.event_type"
             f" ORDER BY d.bucket ROWS UNBOUNDED PRECEDING) AS value"
             f" FROM dense d LEFT JOIN bucketed b USING (event_type, bucket)"
+        ),
+        "ts_gapfill_linear": (
+            f"WITH bucketed AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,"
+            f" event_type, CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+            f" / count(value) AS value FROM {_EV} e GROUP BY 1, 2),"
+            f" spans AS (SELECT event_type, min(bucket) lo, max(bucket) hi"
+            f" FROM bucketed GROUP BY 1),"
+            f" dense AS (SELECT event_type, unnest(generate_series(lo, hi,"
+            f" INTERVAL 1 HOUR)) AS bucket FROM spans),"
+            f" j AS (SELECT d.event_type, d.bucket, b.value FROM dense d"
+            f" LEFT JOIN bucketed b USING (event_type, bucket)),"
+            f" wnd AS (SELECT event_type, bucket, value,"
+            f" last_value(value IGNORE NULLS) OVER (PARTITION BY event_type"
+            f"  ORDER BY bucket ROWS UNBOUNDED PRECEDING) pv,"
+            f" first_value(value IGNORE NULLS) OVER (PARTITION BY event_type"
+            f"  ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nv,"
+            f" last_value(CASE WHEN value IS NOT NULL THEN epoch_us(bucket) END"
+            f"  IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket"
+            f"  ROWS UNBOUNDED PRECEDING) pp,"
+            f" first_value(CASE WHEN value IS NOT NULL THEN epoch_us(bucket) END"
+            f"  IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket"
+            f"  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) np FROM j)"
+            f" SELECT event_type, bucket, value IS NOT NULL AS observed,"
+            f" CASE WHEN value IS NOT NULL THEN value"
+            f" WHEN pv IS NOT NULL AND nv IS NOT NULL THEN"
+            f"  round(pv + (nv - pv) * ((epoch_us(bucket) - pp)::DOUBLE / (np - pp)), 6)"
+            f" END AS value FROM wnd"
         ),
         "ts_topk": (
             f"SELECT event_type, rn AS rank, event_id, value FROM ("

@@ -226,6 +226,66 @@ def gapfill_locf(
     )
 
 
+def gapfill_linear(
+    df: DataFrame,
+    every: str,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Densify to regular buckets and LINEARLY interpolate missing
+    buckets between their neighboring observations (per key); leading/
+    trailing gaps stay null (no extrapolation).
+
+    Same distributed spine as gapfill_locf, plus one backward window:
+    for each gap, prev/next observed values and their bucket positions
+    come from two window passes over the SAME partitioning (one
+    shuffle total), then the fill is pure per-row arithmetic:
+    v = prev + (next - prev) * (pos - pos_prev) / (pos_next - pos_prev)."""
+    by = by or []
+    bucketed = (
+        df.groupBy(F.window(F.col(time_col), every).start.alias("bucket"), *by)
+        .agg(_dec_avg(value_col).alias("value"))
+    )
+    spans = bucketed.groupBy(*by).agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+    )
+    interval = F.expr(f"INTERVAL {every}")
+    dense = spans.select(
+        *by, F.explode(F.sequence(F.col("__lo"), F.col("__hi"), interval)).alias("bucket")
+    )
+    joined = dense.join(bucketed, on=[*by, "bucket"], how="left")
+    pos = F.unix_micros(F.col("bucket"))
+    fwd = (
+        Window.partitionBy(*by)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy(*by)
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last("value", ignorenulls=True).over(fwd)
+    next_v = F.first("value", ignorenulls=True).over(bwd)
+    prev_p = F.last(F.when(F.col("value").isNotNull(), pos), ignorenulls=True).over(fwd)
+    next_p = F.first(F.when(F.col("value").isNotNull(), pos), ignorenulls=True).over(bwd)
+    frac = (pos - prev_p).cast("double") / (next_p - prev_p).cast("double")
+    filled = (
+        F.when(F.col("value").isNotNull(), F.col("value"))
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            F.round(prev_v + (next_v - prev_v) * frac, 6),
+        )
+    )
+    return joined.select(
+        *by,
+        F.col("bucket"),
+        F.col("value").isNotNull().alias("observed"),
+        filled.alias("value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # top-k per group / first-last / rate
 # ---------------------------------------------------------------------------

@@ -278,3 +278,24 @@ def test_greedy_sample_semantics(spark):
     )
     # keep 0 (next>=60) -> 61 (next>=121) -> 125 (next>=185) -> 200
     assert out == [0.0, 61.0, 125.0, 200.0]
+
+
+def test_gapfill_linear(spark):
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1, 0), "/t", 10.0),
+            (datetime(2024, 1, 1, 3), "/t", 40.0),  # 2 missing hours between
+            (datetime(2024, 1, 1, 5), "/t", 20.0),
+        ],
+        "time timestamp, topic string, value double",
+    )
+    out = {str(r["bucket"]): (r["observed"], r["value"]) for r in
+           ts.gapfill_linear(df, "1 hour", "time", ["topic"]).collect()}
+    assert out["2024-01-01 00:00:00"] == (True, 10.0)
+    assert out["2024-01-01 01:00:00"] == (False, 20.0)
+    assert out["2024-01-01 02:00:00"] == (False, 30.0)
+    assert out["2024-01-01 03:00:00"] == (True, 40.0)
+    assert out["2024-01-01 04:00:00"] == (False, 30.0)
+    assert out["2024-01-01 05:00:00"] == (True, 20.0)

@@ -15,6 +15,7 @@ from fossil_spark.session import get_spark
 __all__ = [
     "get_spark", "EventStore", "fql",
     "FossilServer", "FossilClient", "curate_corpus", "curate_stream",
+    "semantic_dedup",
 ]
 
 
@@ -30,7 +31,7 @@ def __getattr__(name):
     if name in ("FossilServer", "FossilClient"):
         from fossil_spark import server
         return getattr(server, name)
-    if name in ("curate_corpus", "curate_stream"):
+    if name in ("curate_corpus", "curate_stream", "semantic_dedup"):
         from fossil_spark import pipelines
         return getattr(pipelines, name)
     raise AttributeError(name)

@@ -39,13 +39,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    # If the source arrives in fewer partitions than cores (single
-    # parquet row group, small topic), spread the explode+hash work by
-    # id BEFORE fan-out: the hashing parallelizes and the downstream
-    # groupBy(id) reuses this partitioning instead of adding a shuffle.
-    # At real scale inputs already have >= cores partitions -> no-op.
+    # If the source arrives in fewer files than cores (single parquet
+    # file, small topic), spread the explode+hash work by id BEFORE
+    # fan-out: the hashing parallelizes and the downstream groupBy(id)
+    # reuses this partitioning instead of adding a shuffle. At real
+    # scale inputs already span >= cores files -> no-op. inputFiles()
+    # is a pure catalog lookup — unlike df.rdd.getNumPartitions() it
+    # never runs physical planning on the whole lineage.
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism // 2:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file source (in-memory, stream)
+        n_files = 0
+    if 0 < n_files < sc.defaultParallelism // 2:
         df = df.repartition(sc.defaultParallelism, F.col(id_col))
     return df.select(
         F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("shingle")
@@ -94,6 +100,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     shingle_n: int = 3,
+    max_bucket_explode: int = 1024,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
     Bands hash directly from the columnar signature matrix (no
@@ -101,9 +108,17 @@ def minhash_lsh_pairs(
     band_hash) with an in-bucket combination explode — never an O(n²)
     global pair enumeration, and no self-join (a join would re-execute
     the whole signature pipeline for its second branch; measured 25%
-    faster at sf0.1). Degenerate boilerplate buckets concentrate their
-    (unavoidable) n² pair output in one task's array — the same rows a
-    bucket join would emit, minus the second shuffle."""
+    faster at sf0.1).
+
+    Hot-bucket guard: a degenerate boilerplate bucket of n ids would
+    put n²/2 pair structs into ONE task's array (2G row-size limit /
+    OOM). Buckets larger than `max_bucket_explode` therefore take a
+    two-level path — posexplode to one row per (bucket, position),
+    repartition to spread those rows, then a slice-explode emitting
+    each row's pairs — so the largest single value is O(n), the pair
+    work distributes across the cluster, and the emitted pair set is
+    IDENTICAL to the single-row path. Both branches read the same
+    bucket aggregate, which Spark's ReuseExchange materializes once."""
     sigs = _signature_matrix(df, text_col, id_col, num_hashes, shingle_n)
     n_bands = num_hashes // rows_per_band
     band_structs = [
@@ -137,11 +152,23 @@ def minhash_lsh_pairs(
             ),
         )
     )
-    return (
-        buckets.select(F.explode(pair_structs).alias("p"))
+    small_pairs = (
+        buckets.filter(F.size("ids") <= max_bucket_explode)
+        .select(F.explode(pair_structs).alias("p"))
         .select("p.doc_a", "p.doc_b")
-        .distinct()
     )
+    large = (
+        buckets.filter(F.size("ids") > max_bucket_explode)
+        .select("band", "band_hash", F.posexplode("ids").alias("i", "doc_a"), "ids")
+        .repartition(F.col("band"), F.col("band_hash"), F.col("i"))
+    )
+    large_pairs = large.select(
+        "doc_a",
+        F.explode(
+            F.slice(F.col("ids"), F.col("i") + F.lit(2), F.size("ids") - F.col("i") - 1)
+        ).alias("doc_b"),
+    )
+    return small_pairs.union(large_pairs).distinct()
 
 
 def ngram_jaccard_pairs(

@@ -368,9 +368,11 @@ def range_join(
 
     Intervals must carry no column named like points' columns except
     the bounds (rename first)."""
-    interval_cols = [c for c in intervals.columns]
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    interval_cols = list(intervals.columns)
     iv = intervals.withColumn(
-        "__bucket",
+        "__iv_bucket",
         F.explode(
             F.sequence(
                 F.window(F.col(lo_col), bucket).start,
@@ -383,30 +385,26 @@ def range_join(
             )
         ),
     )
-    pt = points.withColumn("__bucket", F.window(F.col(point_time), bucket).start)
-    exact = (F.col(point_time) >= F.col(lo_col)) & (F.col(point_time) < F.col(hi_col))
-    matched = pt.join(iv, "__bucket", "inner").drop("__bucket").filter(exact)
-    if how == "inner":
-        return matched
-    if how != "left":
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
-    # left join: exactly ONE null row per point inside no interval. A
-    # when(exact, ...) patch over the bucket join would emit one
-    # null row per bucket-overlapping candidate interval; instead,
-    # anti-join the points against the matched point keys once.
-    mkeys = matched.select(
-        *[F.col(c).alias(f"__k_{c}") for c in points.columns]
-    ).dropDuplicates()
-    cond = None
-    for c in points.columns:
-        e = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
-        cond = e if cond is None else cond & e
-    iv_types = {f.name: f.dataType for f in intervals.schema.fields}
-    unmatched = points.join(mkeys, cond, "left_anti").select(
-        *points.columns,
-        *[F.lit(None).cast(iv_types[c]).alias(c) for c in interval_cols],
+    pt = points.withColumn(
+        "__pt_bucket", F.window(F.col(point_time), bucket).start
     )
-    return matched.unionByName(unmatched)
+    # The exact bounds ride ALONG the equi-join as a residual condition:
+    # Catalyst extracts the bucket equality as the hash/sort-merge key and
+    # evaluates the bounds per candidate pair. For how="left" this gives
+    # exactly ONE null row per point contained in no interval — natively,
+    # with a single join, no anti-join pass or re-evaluation of the
+    # matched subtree (a point maps to exactly one bucket, so bucket
+    # candidates never duplicate an interval for the same point).
+    cond = (
+        (pt["__pt_bucket"] == iv["__iv_bucket"])
+        & (pt[point_time] >= iv[lo_col])
+        & (pt[point_time] < iv[hi_col])
+    )
+    return (
+        pt.join(iv, cond, how)
+        .select(*[pt[c] for c in points.columns],
+                *[iv[c] for c in interval_cols])
+    )
 
 
 def ohlc(

@@ -107,6 +107,21 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
         assert (did, did + 200000) in found
 
 
+def test_minhash_hot_bucket_path_identical(spark, docs):
+    # force every bucket through the two-level large-bucket path and
+    # assert the emitted pair set is identical to the single-row path
+    base = docs.limit(3).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionByName(base)
+    default = {(r["doc_a"], r["doc_b"])
+               for r in dedup.minhash_lsh_pairs(both).collect()}
+    forced = {(r["doc_a"], r["doc_b"])
+              for r in dedup.minhash_lsh_pairs(both, max_bucket_explode=1).collect()}
+    assert forced == default and len(default) > 0
+
+
 def test_ngram_jaccard(spark, docs):
     cand = spark.createDataFrame(
         [(0, 1), (0, 2), (1, 2)], "doc_a long, doc_b long"

@@ -241,6 +241,30 @@ def test_range_join_left_one_null_row_per_unmatched_point(spark):
     assert [(r["pid"], r["name"]) for r in inner] == [(2, "c")]
 
 
+def test_range_join_left_duplicate_points_survive(spark):
+    # identical point rows must each produce their own output row (the
+    # old anti-join-on-all-columns path collapsed duplicates); float and
+    # map columns must not break the join (no full-width equality key)
+    from datetime import datetime
+
+    points = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 30), float("nan"), {"a": 1}),
+            (1, datetime(2024, 1, 1, 0, 30), float("nan"), {"a": 1}),
+            (2, datetime(2024, 1, 1, 0, 5), 1.5, {"b": 2}),
+        ],
+        "pid long, time timestamp, x double, m map<string,int>",
+    )
+    intervals = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 0, 10), "a")],
+        "lo timestamp, hi timestamp, name string",
+    )
+    out = ts.range_join(points, intervals, how="left").collect()
+    assert len(out) == 3
+    names = sorted((r["pid"], r["name"]) for r in out)
+    assert names == [(1, None), (1, None), (2, "a")]
+
+
 def test_ohlc(events):
     out = ts.ohlc(events, "1 hour", "ts", ["event_type"], "value", ["event_id"])
     got = {(r["bucket"], r["event_type"]): (r["open"], r["high"], r["low"], r["close"])

@@ -469,9 +469,63 @@ def _text_chunk(spark, sf_dir):
 
 
 def _text_pack(spark, sf_dir):
+    """Invariant-checked greedy packing. First-fit is stateful, so the
+    raw pack assignment has no SQL oracle (a recursive-CTE repro is
+    super-exponential in DuckDB — measured); instead this registers the
+    packing's VERIFIABLE footprint: per doc, the token count and md5
+    bucket (both SQL-reproducible) plus booleans asserting the packing
+    invariants (each doc packed exactly once, every pack's token total
+    within budget, bucket derivation deterministic, pack seqs dense per
+    bucket). A correct packing makes every boolean TRUE — which is
+    exactly what the oracle states — so any packing defect flips a
+    value and fails the driver's hash check. Raw pack output stays
+    covered by tests/test_llm_ops.py."""
+    from pyspark.sql import functions as F
+
     from fossil_spark.operators import text
 
-    return text.pack_documents(_docs(spark, sf_dir), max_tokens=512, n_buckets=8)
+    p = text.pack_documents(_docs(spark, sf_dir), max_tokens=512, n_buckets=8)
+    parts = F.split("pack_id", "-")
+    p = p.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        parts.getItem(0).cast("long").alias("bucket"),
+        parts.getItem(1).cast("long").alias("seq"),
+        "pack_id",
+    )
+    per_pack = p.groupBy("pack_id").agg(
+        F.sum(F.least("n_tokens", F.lit(512))).alias("__tot")
+    )
+    per_bucket = p.groupBy("bucket").agg(
+        ((F.max("seq") + 1) == F.countDistinct("seq")).alias("seqs_dense")
+    )
+    per_doc = p.groupBy("doc_id").agg(F.count("*").alias("__cnt"))
+    expected_bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 8
+    )
+    return (
+        p.join(per_pack, "pack_id")
+        .join(per_bucket, "bucket")
+        .join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "bucket",
+            (F.col("__cnt") == 1).alias("packed_once"),
+            (F.col("__tot") <= 512).alias("pack_within_budget"),
+            (F.col("bucket") == expected_bucket).alias("bucket_deterministic"),
+            "seqs_dense",
+        )
+    )
 
 
 def _text_scrub_pii(spark, sf_dir):
@@ -591,11 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash_split": _sample_hash_split,
         "text_token_freq": _text_token_freq,
         "text_chunk": _text_chunk,
-        # rows-only: first-fit-decreasing packing carries a mutable
-        # capacity-list state per step; a recursive-CTE reproduction in
-        # DuckDB blows up super-exponentially past ~120 docs (measured),
-        # so parity is covered by tests/test_llm_ops.py invariants
-        # (every pack <= max_tokens, every doc assigned exactly once)
+        # hash-checked via its invariant footprint (see _text_pack)
         "text_pack": _text_pack,
         "text_scrub_pii": _text_scrub_pii,
         "text_repetition": _text_repetition,
@@ -1244,6 +1294,18 @@ def oracle_sql() -> dict[str, str]:
             f" WHEN {_sw_ratio('fr')} = greatest({_sw_ratio('en')}, {_sw_ratio('de')},"
             f" {_sw_ratio('fr')}, {_sw_ratio('es')}) THEN 'fr'"
             " ELSE 'es' END AS pred_lang FROM t"
+        ),
+        # text_pack: first-fit packing itself has no SQL repro (stateful;
+        # recursive CTE measured super-exponential), but its invariant
+        # footprint does — see _text_pack: a correct packing yields
+        # exactly these rows, any defect flips a boolean -> hash fail
+        "text_pack": (
+            f"SELECT doc_id, len({_TOKS}) AS n_tokens,"
+            " ('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 8))::BIGINT % 8"
+            "  AS bucket,"
+            " TRUE AS packed_once, TRUE AS pack_within_budget,"
+            " TRUE AS bucket_deterministic, TRUE AS seqs_dense"
+            " FROM documents"
         ),
         "text_fingerprint": (
             f"WITH {_SHINGLE_CTES},"

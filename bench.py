@@ -46,7 +46,15 @@ def prep_multirg(spark, sf_dir: str) -> str:
     import shutil
 
     try:
-        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        # Cache key covers the source files' mtimes: the driver has
+        # regenerated /root/testdata mid-round before (round 3), and a
+        # prep derived from superseded data must invalidate itself.
+        mtimes = "|".join(
+            f"{t}:{os.path.getmtime(os.path.join(sf_dir, f'{t}.parquet'))}"
+            for t in sorted(_SPLITS)
+            if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+        )
+        tag = hashlib.md5(f"{sf_dir}|{mtimes}".encode()).hexdigest()[:8]
         repo_root = os.path.dirname(os.path.abspath(__file__))
         out_dir = os.path.join(repo_root, "build", f"bench_data_{tag}")
         marker = os.path.join(out_dir, "_PREPPED")
@@ -94,21 +102,33 @@ def main() -> None:
 
     # warm the JVM + file listing once so per-query numbers measure the
     # queries, not session startup
-    force(qs[available[0]](spark, bench_dir))
+    for key in available:
+        try:
+            force(qs[key](spark, bench_dir))
+            break
+        except Exception as ex:
+            print(f"# warmup {key} failed ({ex}); trying next", file=sys.stderr)
 
     # min of 2 runs per query: measures plan capability, not scheduler
-    # noise (local[32] shares the box with whatever else is running)
+    # noise (local[32] shares the box with whatever else is running).
+    # Each query is isolated: one broken query costs one row, never the
+    # whole bench file (round-3 lesson — fql_sample aborted everything).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for key in available:
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            force(qs[key](spark, bench_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[key] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                force(qs[key](spark, bench_dir))
+                best = min(best, time.perf_counter() - t0)
+            timings[key] = round(best, 3)
+        except Exception as ex:
+            errors[key] = f"{type(ex).__name__}: {ex}"[:300]
+            print(f"# query {key} failed: {errors[key]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
@@ -117,7 +137,10 @@ def main() -> None:
         "runs_per_query": 2,
         "aggregation": "min",
         "data_layout": "multi-row-group rechunk of the driver parquet (bench.prep_multirg)",
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

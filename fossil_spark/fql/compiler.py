@@ -306,6 +306,15 @@ def compile_query(
     now = now or datetime.now(timezone.utc)
     value_cols = value_cols or ["value"]
 
+    # Tolerate TIMESTAMP_NTZ time columns (driver parquet has shipped
+    # both nanos and NTZ layouts): cast to TIMESTAMP — identity on the
+    # instant under the engine's UTC session TZ. unix_micros() below
+    # and timestamp-vs-literal comparisons reject NTZ otherwise.
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[time_col].dataType, TimestampNTZType):
+        df = df.withColumn(time_col, F.col(time_col).cast("timestamp"))
+
     # --- metadata filters: topic + time, pushed into the scan ------------
     if q.topic:
         df = df.filter(F.col(topic_col).startswith(q.topic))

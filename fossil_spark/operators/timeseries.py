@@ -27,6 +27,20 @@ def _dec_avg(col: str) -> Column:
     )
 
 
+def _time_norm(df: DataFrame, *time_cols: str) -> DataFrame:
+    """Tolerate TIMESTAMP_NTZ time columns: cast to TIMESTAMP (identity
+    on the instant under the engine's UTC session timezone). Driver
+    parquet has shipped both TIMESTAMP(NANOS) and NTZ layouts; callers
+    normally go through session.read_table, but every operator must
+    also stand alone — unix_micros()/interval arithmetic reject NTZ."""
+    from pyspark.sql.types import TimestampNTZType
+
+    for c in time_cols:
+        if isinstance(df.schema[c].dataType, TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 # ---------------------------------------------------------------------------
 # resample / rollup
 # ---------------------------------------------------------------------------
@@ -45,6 +59,7 @@ def resample(
     shuffle on (bucket, *by); partial aggregation happens map-side.
     """
     by = by or []
+    df = _time_norm(df, time_col)
     bucket = F.window(F.col(time_col), every).start.alias("bucket")
     return (
         df.groupBy(bucket, *by)
@@ -73,6 +88,7 @@ def sliding_stats(
     the current one, per key, ordered by time (with an explicit
     tiebreak so results are partition-invariant)."""
     by = by or []
+    df = _time_norm(df, time_col)
     order = [F.col(time_col)] + [F.col(c) for c in (order_tiebreak or [])]
     w = Window.partitionBy(*by).orderBy(*order).rowsBetween(-n_preceding, 0)
     return df.select(
@@ -105,6 +121,8 @@ def asof_join(
     keyed by `on`, linear work, no skew amplification. The right side
     must be unique per (key, time); pre-aggregate it if not.
     """
+    left = _time_norm(left, left_time)
+    right = _time_norm(right, right_time)
     lcols = [c for c in left.columns]
     l = left.select(*lcols, F.lit(1).alias("__side"))
     for v in right_values:
@@ -151,6 +169,7 @@ def sessionize(
     previous row (per key) exceeds `gap`. Returns per-session rollup:
     key, session_start, session_end, n_events."""
     by = by or []
+    df = _time_norm(df, time_col)
     order = [F.col(time_col)] + [F.col(c) for c in (order_tiebreak or [])]
     w = Window.partitionBy(*by).orderBy(*order)
     gap_us = int(gap.total_seconds() * 1_000_000)
@@ -201,6 +220,7 @@ def gapfill_locf(
     left-join observed buckets back, then one window pass for LOCF.
     """
     by = by or []
+    df = _time_norm(df, time_col)
     bucketed = (
         df.groupBy(F.window(F.col(time_col), every).start.alias("bucket"), *by)
         .agg(_dec_avg(value_col).alias("value"))
@@ -243,6 +263,7 @@ def gapfill_linear(
     shuffle total), then the fill is pure per-row arithmetic:
     v = prev + (next - prev) * (pos - pos_prev) / (pos_next - pos_prev)."""
     by = by or []
+    df = _time_norm(df, time_col)
     bucketed = (
         df.groupBy(F.window(F.col(time_col), every).start.alias("bucket"), *by)
         .agg(_dec_avg(value_col).alias("value"))
@@ -319,6 +340,7 @@ def first_last_by_bucket(
 ) -> DataFrame:
     """First and last value per bucket per key (deterministic order)."""
     by = by or []
+    df = _time_norm(df, time_col)
     bucket = F.window(F.col(time_col), every).start.alias("bucket")
     order = [F.col(time_col)] + [F.col(c) for c in (tiebreak or [])]
     struct = F.struct(*order, F.col(value_col).alias("__v"))
@@ -340,6 +362,7 @@ def rate(
 ) -> DataFrame:
     """Per-key delta of value over delta of time (units/second)."""
     by = by or []
+    df = _time_norm(df, time_col)
     order = [F.col(time_col)] + [F.col(c) for c in (order_tiebreak or [])]
     w = Window.partitionBy(*by).orderBy(*order)
     dt_us = F.unix_micros(F.col(time_col)) - F.unix_micros(F.lag(time_col).over(w))
@@ -370,6 +393,8 @@ def range_join(
     the bounds (rename first)."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    points = _time_norm(points, point_time)
+    intervals = _time_norm(intervals, lo_col, hi_col)
     interval_cols = list(intervals.columns)
     iv = intervals.withColumn(
         "__iv_bucket",
@@ -418,6 +443,7 @@ def ohlc(
     """Open/high/low/close bars per bucket per key — one groupBy pass
     (open/close via struct-ordered min/max, high/low plain min/max)."""
     by = by or []
+    df = _time_norm(df, time_col)
     bucket = F.window(F.col(time_col), every).start.alias("bucket")
     order = [F.col(time_col)] + [F.col(c) for c in (tiebreak or [])]
     struct = F.struct(*order, F.col(value_col).alias("__v"))
@@ -452,6 +478,7 @@ def ewma(
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     by = by or []
+    df = _time_norm(df, time_col)
     sort_cols = [time_col] + (order_tiebreak or [])
     out_schema = StructType(df.schema.fields + [StructField("ewma", DoubleType())])
 
@@ -491,6 +518,7 @@ def greedy_sample(df: DataFrame, every: timedelta,
     )
 
     every_us = int(every.total_seconds() * 1_000_000)
+    df = _time_norm(df, time_col)
     schema = df.schema
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -43,6 +43,11 @@ def get_spark(app_name: str = "fossil_spark", shuffle_partitions: int | None = N
         # The test data's events.ts is parquet TIMESTAMP(NANOS); read as
         # long and convert explicitly (read_table) — Spark has no ns type.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Driver data has also shipped Timestamp(isAdjustedToUTC=false, us),
+        # which Spark 4 infers as TIMESTAMP_NTZ — a type unix_micros()/window
+        # arithmetic reject. Read it as plain TIMESTAMP (identical instant
+        # under the UTC session timezone above).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Scan split size: with 100 TB of zstd parquet, 128 MB splits
         # keep one task's working set inside executor memory while
         # saturating the cluster; override per-workload via env.
@@ -60,27 +65,39 @@ def ensure_session_confs(spark: SparkSession) -> None:
     """Make a caller-provided session safe for this engine. The driver
     contract hands us an arbitrary SparkSession; these are runtime-
     settable SQL confs:
-    - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), unreadable
-      otherwise;
+    - nanosAsLong: events.parquet has shipped as TIMESTAMP(NANOS),
+      unreadable otherwise;
+    - inferTimestampNTZ off: events.parquet has also shipped as
+      Timestamp(isAdjustedToUTC=false, us), which would otherwise read
+      as TIMESTAMP_NTZ and break unix_micros()/window arithmetic;
     - UTC session timezone: timestamps must mean the same instant in
       Spark output and the DuckDB oracle;
     - AQE on (harmless if already set)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one test table, normalizing nanosecond timestamps to Spark's
-    microsecond timestamps (integer division = floor, the same
-    truncation DuckDB applies casting TIMESTAMP_NS -> TIMESTAMP)."""
+    """Read one test table, normalizing whatever timestamp layout the
+    driver data ships to Spark's TIMESTAMP (µs, session-TZ aware):
+
+    - TIMESTAMP(NANOS) read as long (nanosAsLong): integer division =
+      floor, the same truncation DuckDB applies TIMESTAMP_NS→TIMESTAMP;
+    - TIMESTAMP_NTZ (if a caller session re-enabled inferTimestampNTZ):
+      cast to timestamp — identity on the instant under UTC session TZ.
+    """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

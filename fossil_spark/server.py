@@ -204,15 +204,28 @@ class _Database:
         return self._registry_cache[1]
 
     def append(self, topic: str, data: bytes, flush_every: int) -> None:
+        from fossil_spark.encoding import (
+            decode_python, to_storage_text, validate_bytes,
+        )
         from fossil_spark.schema import SchemaError, conforms
 
-        value = data.decode("utf-8", "replace")
         schema = self._registry().get(topic)
-        if schema.text != "string" and not conforms(value, schema):
-            raise SchemaError(
-                f"datum {value!r} does not conform to topic {topic!r} "
-                f"schema {schema.text!r}"
-            )
+        if schema.text == "string":
+            value = data.decode("utf-8", "replace")
+        elif validate_bytes(data, schema):
+            # a real fossil client binary-encodes the datum per the topic
+            # schema before APPEND (reference pkg/repl/parser.go:55 →
+            # pkg/schema/encoding.go); decode to the store's typed text
+            value = to_storage_text(decode_python(data, schema))
+        else:
+            # textual fallback (our own JSON/text clients): keep the
+            # conforms() gate the reference applies at append (db.go:486)
+            value = data.decode("utf-8", "replace")
+            if not conforms(value, schema):
+                raise SchemaError(
+                    f"datum {value!r} does not conform to topic {topic!r} "
+                    f"schema {schema.text!r}"
+                )
         row = (datetime.now(timezone.utc).replace(tzinfo=None), topic, value)
         with self.lock:
             self.pending.append(row)
@@ -404,9 +417,12 @@ class FossilServer:
         # schema decodes datum through that schema before the pipeline
         # (types/value.go MakeFromEntry); otherwise the compiler's
         # type-directed coercion handles bare numerics
+        from fossil_spark.encoding import encode_python
         from fossil_spark.fql import parse
 
-        topic = parse(text).topic
+        q = parse(text)
+        topic = q.topic
+        has_pipeline = bool(q.pipeline)
         if topic and db.store.schema_for_topic(topic).text != "string":
             out = db.store.query_typed(text, topic, now=self._now)
         else:
@@ -424,15 +440,28 @@ class FossilServer:
             t = d.pop("time", None) or datetime(1970, 1, 1)
             topic = d.pop("topic", None) or "/"
             vals = list(d.values())
-            datum = (
-                str(vals[0]) if len(vals) == 1
-                else "(" + ", ".join(str(v) for v in vals) + ")"
-            )
-            schema = reg.get(topic).text if topic != "/" else "string"
+            schema = reg.get(topic) if topic != "/" else None
+            if (schema is not None and schema.text != "string"
+                    and not has_pipeline and len(vals) == 1):
+                # raw entry dump of a typed topic: the wire carries the
+                # schema-encoded BYTES, base64'd — exactly what the
+                # reference returns (result.go Entry.ToString b64's
+                # e.Data; the client decodes per schema for display)
+                raw = encode_python(vals[0], schema)
+                schema_text = schema.text
+            else:
+                # pipeline outputs are engine-typed values, not topic-
+                # schema datums: serialize as text, labeled string
+                datum = (
+                    str(vals[0]) if len(vals) == 1
+                    else "(" + ", ".join(str(v) for v in vals) + ")"
+                )
+                raw = datum.encode()
+                schema_text = "string"
             out.append(
                 "\t".join((
                     _rfc3339(t), topic,
-                    base64.b64encode(datum.encode()).decode(), schema,
+                    base64.b64encode(raw).decode(), schema_text,
                 ))
             )
         return out
@@ -519,6 +548,35 @@ class FossilClient:
         t = topic.encode()
         self._roundtrip("APPEND", _u32(len(t)) + t + data)
 
+    def append_literal(self, topic: str, literal: str,
+                       schema: str | None = None) -> None:
+        """Append a typed text literal the way the reference REPL does
+        (pkg/repl/parser.go:55): binary-encode it per the topic schema
+        before sending. With no explicit schema, the topic's declared
+        schema is looked up via LIST schemas (nearest ancestor)."""
+        from fossil_spark.encoding import encode_literal
+
+        if schema is None:
+            declared = self.schemas()
+            t = topic.rstrip("/") or "/"
+            schema = "string"
+            while True:
+                if t in declared:
+                    schema = declared[t]
+                    break
+                if t == "/" or "/" not in t:
+                    break
+                t = t.rsplit("/", 1)[0] or "/"
+        self.append(topic, encode_literal(literal, schema))
+
+    def schemas(self) -> dict[str, str]:
+        """Declared topic -> schema text (LIST schemas)."""
+        out = {}
+        for line in self.list("schemas"):
+            t, _, s = line.partition(" ")
+            out[t] = s
+        return out
+
     def append_fire_and_forget(self, topic: str, data: bytes | str) -> None:
         """Fire-and-forget ingest (docs/overview.md): send without
         waiting for the OK. Responses are drained on the next
@@ -538,10 +596,26 @@ class FossilClient:
         out = []
         for line in unmarshal_strings(payload):
             ts, topic, data64, schema = line.split("\t")
+            raw = base64.b64decode(data64)
+            if schema != "string":
+                # typed entries carry schema-encoded bytes; decode for
+                # display exactly as the reference client does
+                # (proto/message.go:481 QueryResponse.Values)
+                from fossil_spark.encoding import (
+                    decode_python, decode_to_display,
+                )
+
+                data = decode_to_display(raw, schema)
+                value = decode_python(raw, schema)
+            else:
+                data = raw.decode()
+                value = data
             out.append({
                 "time": _parse_rfc3339(ts),
                 "topic": topic,
-                "data": base64.b64decode(data64).decode(),
+                "data": data,
+                "value": value,
+                "raw": raw,
                 "schema": schema,
             })
         return out

@@ -1,0 +1,223 @@
+"""Typed binary datum codec: byte-for-byte parity with the reference's
+schema encoding (/root/reference/pkg/schema/encoding.go), including the
+exact vectors from encoding_test.go, plus wire round-trips through the
+server so a binary fossil client is served correctly."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from fossil_spark.encoding import (
+    decode_python,
+    decode_to_display,
+    encode_literal,
+    encode_python,
+    to_storage_text,
+    validate_bytes,
+)
+from fossil_spark.schema import SchemaError
+
+
+# --- reference encoding_test.go vectors ------------------------------------
+
+
+def test_composite_with_array_vector():
+    """TestEncodeStringForSchemaCompositeWithArray: keys given out of
+    declaration order; expected bytes are coords (2x int32 LE) then a
+    u32-length-prefixed string."""
+    schema = '{"coords": [2]int32, "type": string}'
+    data = encode_literal("type: click, coords: 1, 2", schema)
+    expected = (
+        struct.pack("<I", 1) + struct.pack("<I", 2)
+        + struct.pack("<I", len("click")) + b"click"
+    )
+    assert data == expected
+
+
+def test_composite_quoted_string_with_comma():
+    """TestEncodeStringForSchemaCompositeQuotedString: a quoted string
+    containing a comma must parse."""
+    schema = '{"coords": [2]int32, "message": string}'
+    data = encode_literal('coords: 10, 20, message: "hello, world"', schema)
+    decoded = decode_python(data, schema)
+    assert decoded["coords"] == [10, 20]
+    assert decoded["message"] == '"hello, world"'
+
+
+def test_composite_trailing_comma_rejected():
+    """TestEncodeStringForSchemaCompositeTrailingComma."""
+    schema = '{"coords": [2]int32, "type": string}'
+    with pytest.raises(SchemaError):
+        encode_literal("type: click, coords: 1, 2,", schema)
+
+
+# --- scalar widths and round-trips -----------------------------------------
+
+
+@pytest.mark.parametrize("schema,literal,expected", [
+    ("boolean", "true", b"\x01"),
+    ("boolean", "false", b"\x00"),
+    ("int16", "-2", struct.pack("<h", -2)),
+    ("int32", "123456", struct.pack("<i", 123456)),
+    ("int64", "-99", struct.pack("<q", -99)),
+    ("uint16", "65535", struct.pack("<H", 65535)),
+    ("uint32", "4000000000", struct.pack("<I", 4000000000)),
+    ("uint64", "18446744073709551615", struct.pack("<Q", 2**64 - 1)),
+    ("float32", "1.5", struct.pack("<f", 1.5)),
+    ("float64", "2.75", struct.pack("<d", 2.75)),
+    ("string", "hello", b"hello"),
+    # 8-bit types: the reference's EncodeStringForSchema omits them (a
+    # gap — it silently emits zero bytes); we encode the 1 byte that
+    # objects.go Size() declares and its decoder expects for uint8
+    ("uint8", "200", b"\xc8"),
+    ("int8", "-1", b"\xff"),
+])
+def test_scalar_encode(schema, literal, expected):
+    data = encode_literal(literal, schema)
+    assert data == expected
+    # decode round-trips to the same literal meaning
+    v = decode_python(data, schema)
+    if schema.startswith("float"):
+        assert v == pytest.approx(float(literal))
+    elif schema == "boolean":
+        assert v is (literal == "true")
+    elif schema == "string":
+        assert v == literal
+    else:
+        assert v == int(literal)
+
+
+def test_array_roundtrip():
+    data = encode_literal("1, 2, 3", "[3]int64")
+    assert data == struct.pack("<3q", 1, 2, 3)
+    assert decode_python(data, "[3]int64") == [1, 2, 3]
+    with pytest.raises(SchemaError):
+        encode_literal("1, 2", "[3]int64")
+
+
+def test_display_format_parity():
+    """DecodeStringForSchema formats: %f floats, comma-joined arrays,
+    `key: value` composites, binary summarized."""
+    assert decode_to_display(struct.pack("<d", 1.5), "float64") == "1.500000"
+    assert decode_to_display(struct.pack("<2i", 3, 4), "[2]int32") == "3, 4"
+    assert decode_to_display(b"\x01", "boolean") == "true"
+    assert decode_to_display(b"\x00\x01\x02", "binary") == "...3 bytes..."
+    schema = '{"coords": [2]int32, "type": string}'
+    data = encode_literal("type: click, coords: 1, 2", schema)
+    assert decode_to_display(data, schema) == "coords: 1, 2, type: click"
+
+
+def test_validate_bytes_lengths():
+    """objects.go Validate parity: fixed types are exactly their
+    width."""
+    assert validate_bytes(struct.pack("<d", 1.0), "float64")
+    assert not validate_bytes(b"1.5", "float64")  # 3 bytes != 8
+    assert not validate_bytes(b"\x00" * 7, "float64")
+    assert validate_bytes(struct.pack("<3q", 1, 2, 3), "[3]int64")
+    assert not validate_bytes(struct.pack("<2q", 1, 2), "[3]int64")
+
+
+def test_storage_text_forms():
+    assert to_storage_text(True) == "true"
+    assert to_storage_text(1.5) == "1.5"
+    assert to_storage_text([1, 2]) == "[1, 2]"
+    assert to_storage_text({"a": 1}) == '{"a": 1}'
+
+
+def test_encode_python_matches_encode_literal():
+    schema = '{"coords": [2]int32, "type": string}'
+    lit = encode_literal("type: click, coords: 1, 2", schema)
+    py = encode_python({"coords": [1, 2], "type": "click"}, schema)
+    assert lit == py
+    # JSON storage text re-encodes identically (server QUERY path)
+    assert encode_python('{"coords": [1, 2], "type": "click"}', schema) == lit
+
+
+# --- wire round-trip: binary client -> server -> binary client -------------
+
+
+@pytest.fixture()
+def bin_server(spark):
+    import os
+    import shutil
+    import uuid
+    from datetime import datetime
+
+    from fossil_spark.server import FossilServer
+
+    d = os.path.join("build", f"enc_{uuid.uuid4().hex[:8]}")
+    os.makedirs(d)
+    srv = FossilServer(
+        spark, {"db": os.path.join(d, "db")}, now=datetime(2030, 1, 1),
+    ).start()
+    yield srv
+    srv.stop()
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_binary_datum_roundtrip_over_wire(bin_server):
+    """A client sending schema-encoded BYTES (what the reference REPL
+    sends, repl/parser.go:55) must round-trip: stored typed, returned
+    as the same bytes, displayed per DecodeStringForSchema."""
+    from fossil_spark.server import FossilClient
+
+    with FossilClient(bin_server.host, bin_server.port) as c:
+        c.create("/sensors", "float64")
+        c.create("/readings", "[3]int64")
+        c.create("/clicks", '{"coords": [2]int32, "type": string}')
+
+        # raw binary appends, exactly the bytes a fossil client sends
+        c.append("/sensors/temp", struct.pack("<d", 21.5))
+        c.append("/readings", struct.pack("<3q", 7, 8, 9))
+        click = encode_literal("type: tap, coords: 3, 4",
+                               '{"coords": [2]int32, "type": string}')
+        c.append("/clicks", click)
+
+        rows = c.query("all in /sensors")
+        assert rows[0]["raw"] == struct.pack("<d", 21.5)
+        assert rows[0]["value"] == 21.5
+        assert rows[0]["data"] == "21.500000"
+        assert rows[0]["schema"] == "float64"
+
+        rows = c.query("all in /readings")
+        assert rows[0]["raw"] == struct.pack("<3q", 7, 8, 9)
+        assert rows[0]["value"] == [7, 8, 9]
+
+        rows = c.query("all in /clicks")
+        assert rows[0]["raw"] == click
+        assert rows[0]["value"] == {"coords": [3, 4], "type": "tap"}
+        assert rows[0]["data"] == "coords: 3, 4, type: tap"
+
+
+def test_append_literal_encodes_like_repl(bin_server):
+    """append_literal looks up the topic schema and binary-encodes the
+    text literal client-side (REPL parity)."""
+    from fossil_spark.server import FossilClient
+
+    with FossilClient(bin_server.host, bin_server.port) as c:
+        c.create("/m", "int32")
+        c.append_literal("/m/x", "42")
+        rows = c.query("all in /m")
+        assert rows[0]["raw"] == struct.pack("<i", 42)
+        assert rows[0]["value"] == 42
+
+        # typed values flow through FQL pipelines as numbers
+        c.append_literal("/m/x", "58")
+        rows = c.query("all in /m | reduce a, b -> a + b")
+        assert float(rows[0]["data"]) == 100.0
+
+
+def test_textual_fallback_still_validates(bin_server):
+    """Our own text clients keep working: a non-binary payload on a
+    typed topic falls back to text + conforms() (db.go:486 parity)."""
+    from fossil_spark.server import FossilClient
+
+    with FossilClient(bin_server.host, bin_server.port) as c:
+        c.create("/t", "float64")
+        c.append("/t/a", "3.25")  # 4 text bytes, not 8 -> text path
+        rows = c.query("all in /t")
+        assert rows[0]["value"] == 3.25
+        with pytest.raises(RuntimeError, match="does not conform"):
+            c.append("/t/a", "not-a-float")

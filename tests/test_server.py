@@ -47,15 +47,22 @@ def test_protocol_roundtrip(server):
         c.create("/metrics", "float64")
         assert c.list("schemas") == ["/metrics float64"]
 
-        # APPEND + QUERY (read-your-writes through the micro-batch)
+        # APPEND + QUERY (read-your-writes through the micro-batch).
+        # Typed entries come back schema-encoded on the wire; the client
+        # decodes them for display with the reference's %f format
+        # (pkg/schema/encoding.go DecodeStringForSchema).
         c.append("/metrics/cpu", "1.5")
         c.append("/metrics/cpu", "2.5")
         c.append("/logs", "hello world")
         rows = c.query("all in /metrics")
         assert [(r["topic"], r["data"], r["schema"]) for r in rows] == [
-            ("/metrics/cpu", "1.5", "float64"),
-            ("/metrics/cpu", "2.5", "float64"),
+            ("/metrics/cpu", "1.500000", "float64"),
+            ("/metrics/cpu", "2.500000", "float64"),
         ]
+        assert [r["value"] for r in rows] == [1.5, 2.5]
+        import struct as _struct
+
+        assert rows[0]["raw"] == _struct.pack("<d", 1.5)
 
         # typed pipeline over the wire
         rows = c.query("all in /logs")

@@ -1,15 +1,17 @@
 """Multimodal columns: image/audio/video as opaque binary columns with
 typed metadata, processed via Arrow-batched mapInPandas.
 
-Decoding is REAL for every format the standard library can express —
-PNG (zlib inflate + scanline unfiltering), BMP (24-bit uncompressed),
-PNM (P5/P6), WAV (stdlib wave) — implemented from the public format
-specs with numpy only. Formats that require codec libraries (JPEG,
-MP4, ...) fall back to a clearly-labeled deterministic fake header so
-pipelines stay end-to-end testable in codec-less environments; swap
-`_fake_decode` for PIL/ffmpeg in such deployments (same signature,
-same schema). Video frame sampling remains a stub for the same
-reason (no codecs in the stdlib).
+Decoding is REAL for PNG (zlib inflate + scanline unfiltering), BMP
+(24-bit uncompressed), PNM (P5/P6), WAV (stdlib wave), and baseline
+JPEG (full Huffman + IDCT decoder built from the public ITU-T T.81
+spec in fossil_spark.operators.jpeg) — implemented from the public
+format specs with numpy only. Formats that still require codec
+libraries (WEBP, MP4, progressive JPEG, ...) fall back to a
+clearly-labeled deterministic fake header so pipelines stay
+end-to-end testable in codec-less environments; swap `_fake_decode`
+for PIL/ffmpeg in such deployments (same signature, same schema).
+Video frame sampling remains a stub for the same reason (no
+container/codec parsing in the stdlib).
 
 Scale shape: every operator is one mapInPandas pass (Arrow batches,
 no per-row UDFs), schemas fixed so downstream plans stay columnar.
@@ -173,13 +175,17 @@ def _decode_pnm(data: bytes) -> tuple[int, int, str, np.ndarray]:
 
 def decode_image(data: bytes) -> tuple[int, int, str, np.ndarray]:
     """Dispatch on magic bytes. Raises ValueError for formats that
-    need a codec library (JPEG, WEBP, ...)."""
+    need a codec library (WEBP, AVIF, ...)."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(data)
     if data[:2] == b"BM":
         return _decode_bmp(data)
     if data[:2] in (b"P5", b"P6"):
         return _decode_pnm(data)
+    if data[:2] == b"\xFF\xD8":
+        from fossil_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise ValueError("unknown or codec-required image format")
 
 

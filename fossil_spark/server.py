@@ -168,7 +168,17 @@ class ServerMetrics:
 
 
 class _Database:
-    """One served database: an EventStore plus its append micro-batch."""
+    """One served database: an EventStore plus its append micro-batch.
+
+    Durability: the APPEND ack means the datum is fsync'd to a
+    write-ahead log BEFORE the response goes out (reference parity:
+    pkg/database/log.go appends to the database log before the OK).
+    Micro-batch flushes rotate the active WAL segment and delete it
+    only after the parquet commit lands; a crash between ack and flush
+    replays the segments on the next start (at-least-once, exactly the
+    reference's crash contract). Parquet itself needs no WAL — its
+    commits are all-or-nothing — so segments live only as long as the
+    in-memory batch they cover."""
 
     def __init__(self, spark: SparkSession, name: str, root: str,
                  compact_every: int = 0):
@@ -190,6 +200,57 @@ class _Database:
         # other's commit — one flush at a time per database
         self.flush_lock = threading.Lock()
         self._registry_cache: tuple[float, object] | None = None
+        os.makedirs(root, exist_ok=True)
+        self._wal_active = os.path.join(root, "_wal.jsonl")
+        self._wal_flushing = os.path.join(root, "_wal.flushing.jsonl")
+        self._recover_wal()
+        self._wal_fh = open(self._wal_active, "a", encoding="utf-8")
+
+    def _recover_wal(self) -> None:
+        """Replay datum acked before a crash but never flushed. Files
+        are only deleted after a successful parquet commit, so a crash
+        during recovery just replays again (at-least-once)."""
+        import json
+
+        rows: list[tuple[datetime, str, str]] = []
+        for path in (self._wal_flushing, self._wal_active):
+            if not os.path.exists(path):
+                continue
+            with open(path, encoding="utf-8") as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        t, topic, value = json.loads(line)
+                    except ValueError:
+                        continue  # torn final write from the crash
+                    rows.append((datetime.fromisoformat(t), topic, value))
+        if rows:
+            self.pending.extend(rows)
+
+    def _wal_write(self, row: tuple[datetime, str, str]) -> None:
+        import json
+
+        self._wal_fh.write(
+            json.dumps([row[0].isoformat(), row[1], row[2]]) + "\n"
+        )
+        self._wal_fh.flush()
+        os.fsync(self._wal_fh.fileno())
+
+    def _wal_rotate(self) -> None:
+        """Move the active segment aside for the in-flight flush. A
+        leftover .flushing segment (crashed flush) is merged, never
+        clobbered."""
+        self._wal_fh.close()
+        if os.path.exists(self._wal_flushing):
+            with open(self._wal_flushing, "a", encoding="utf-8") as dst, \
+                    open(self._wal_active, encoding="utf-8") as src:
+                dst.write(src.read())
+            os.remove(self._wal_active)
+        else:
+            os.replace(self._wal_active, self._wal_flushing)
+        self._wal_fh = open(self._wal_active, "a", encoding="utf-8")
 
     def _registry(self):
         """Topic registry, cached on the sidecar file's mtime — the
@@ -228,6 +289,9 @@ class _Database:
                 )
         row = (datetime.now(timezone.utc).replace(tzinfo=None), topic, value)
         with self.lock:
+            # WAL before ack: once append() returns (and the OK goes
+            # out), the datum survives a process kill
+            self._wal_write(row)
             self.pending.append(row)
             should_flush = len(self.pending) >= flush_every
         if should_flush:
@@ -237,11 +301,19 @@ class _Database:
         with self.flush_lock:
             with self.lock:
                 batch, self.pending = self.pending, []
+                if batch:
+                    self._wal_rotate()
             if batch:
                 # one atomic parquet commit per micro-batch (schema
-                # validation included — store.append_rows)
+                # validation included — store.append_rows). If it
+                # raises, the rotated WAL segment keeps the batch
+                # recoverable on restart.
                 self.store.append_rows(batch)
                 self._flushes += 1
+                try:
+                    os.remove(self._wal_flushing)
+                except FileNotFoundError:
+                    pass
             if batch and self.compact_every and self._flushes % self.compact_every == 0:
                 from fossil_spark.maintenance import compact
 

@@ -255,3 +255,75 @@ def test_malformed_frames_do_not_kill_server(server):
         assert c.version() == "v1.0.0"
         c.append("/alive", "1")
         assert len(c.query("all in /alive")) == 1
+
+
+def test_wal_survives_sigkill(spark):
+    """Durability contract: an acked APPEND survives a hard process
+    kill before any flush (reference pkg/database/log.go: WAL before
+    ack). The child process appends through _Database (fsync'd WAL, no
+    Spark needed on that path) and SIGKILLs itself; the parent reopens
+    the database, which replays the WAL into the store."""
+    import os
+    import shutil
+    import signal
+    import subprocess
+    import sys
+    import textwrap
+    import uuid
+
+    from fossil_spark.server import _Database
+
+    d = os.path.join("build", f"wal_{uuid.uuid4().hex[:8]}")
+    root = os.path.join(d, "db")
+    os.makedirs(d)
+    child = textwrap.dedent(f"""
+        import os, signal, sys
+        sys.path.insert(0, {os.getcwd()!r})
+        from fossil_spark.server import _Database
+        db = _Database(None, "db", {root!r})
+        for i in range(5):
+            db.append("/kill", str(i).encode(), flush_every=10**9)
+        os.kill(os.getpid(), signal.SIGKILL)  # no flush ever runs
+    """)
+    proc = subprocess.run([sys.executable, "-c", child], timeout=120)
+    assert proc.returncode == -signal.SIGKILL
+
+    try:
+        db2 = _Database(spark, "db", root)
+        assert len(db2.pending) == 5  # recovered from the WAL
+        db2.flush()
+        got = sorted(
+            r["value"] for r in db2.store.read().collect()
+        )
+        assert got == [str(i) for i in range(5)]
+        # after a successful flush both WAL segments are gone
+        assert not os.path.exists(db2._wal_flushing)
+        assert os.path.getsize(db2._wal_active) == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_wal_tolerates_torn_final_write(spark):
+    """A crash mid-write leaves a torn last line; recovery keeps every
+    complete record and skips the torn one."""
+    import json
+    import os
+    import shutil
+    import uuid
+    from datetime import datetime
+
+    from fossil_spark.server import _Database
+
+    d = os.path.join("build", f"torn_{uuid.uuid4().hex[:8]}")
+    root = os.path.join(d, "db")
+    os.makedirs(root)
+    wal = os.path.join(root, "_wal.jsonl")
+    with open(wal, "w") as f:
+        f.write(json.dumps(["2024-01-01T00:00:00", "/a", "1"]) + "\n")
+        f.write(json.dumps(["2024-01-01T00:00:01", "/a", "2"]) + "\n")
+        f.write('["2024-01-01T00:00:02", "/a"')  # torn
+    try:
+        db = _Database(spark, "db", root)
+        assert [v for _, _, v in db.pending] == ["1", "2"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -46,6 +46,11 @@ def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> Dat
     # scale inputs already span >= cores files -> no-op. inputFiles()
     # is a pure catalog lookup — unlike df.rdd.getNumPartitions() it
     # never runs physical planning on the whole lineage.
+    # Known limits (accepted trade-off, ADVICE r3): one LARGE splittable
+    # file reports n_files=1 and triggers a possibly-redundant
+    # repartition (harmless: one extra shuffle of the ids+text cols);
+    # in-memory/streaming sources report 0 and skip the spread — their
+    # parallelism comes from the upstream plan, not the scan.
     sc = df.sparkSession.sparkContext
     try:
         n_files = len(df.inputFiles())

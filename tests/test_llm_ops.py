@@ -345,3 +345,25 @@ def test_semantic_dedup_pipeline(spark):
         assert by_id[r["keep_id"]]["is_kept"]
         assert r["is_kept"] == (r["keep_id"] == r["vec_id"])
     assert any(not r["is_kept"] for r in out)  # some dups exist at sf0.001
+
+def test_pack_documents_exact_assignment(spark):
+    """Pin the exact first-fit-decreasing assignment for a fixed input
+    (ADVICE r3: the driver oracle checks invariants only, so the actual
+    assignment needs a unit pin). One bucket; token counts 7,5,4,3,2,1
+    with capacity 10 must pack as {a,d}, {b,c,f}, {e}."""
+    rows = [
+        (1, "w " * 7), (2, "w " * 5), (3, "w " * 4),
+        (4, "w " * 3), (5, "w " * 2), (6, "w"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["pack_id"]
+           for r in text.pack_documents(df, max_tokens=10, n_buckets=1).collect()}
+    # FFD walk: 7->new p0(rem 3); 5->new p1(rem 5); 4->p1(rem 1);
+    # 3->p0(rem 0); 2->new p2(rem 8); 1->p1(rem 0)
+    assert out == {
+        1: "0-0", 4: "0-0",
+        2: "0-1", 3: "0-1", 6: "0-1",
+        5: "0-2",
+    }

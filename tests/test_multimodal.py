@@ -166,3 +166,56 @@ def test_audio_meta(spark):
     want_rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
     assert a["rms"] == pytest.approx(want_rms, rel=1e-9)
     assert got[2]["sample_rate"] is None
+
+
+def _minimal_mp4() -> bytes:
+    """Hand-built ISO BMFF: ftyp + moov(mvhd + trak(tkhd + mdia(hdlr +
+    minf(stbl(stsd + stsz))))) — 5 s, 640x360, avc1, 300 frames."""
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = box(b"mvhd", bytes(4) + bytes(8) + struct.pack(">II", 1000, 5000) + bytes(80))
+    tkhd = box(b"tkhd", bytes(4) + bytes(20) + bytes(8) + bytes(8) + bytes(36)
+               + struct.pack(">II", 640 << 16, 360 << 16))
+    hdlr = box(b"hdlr", bytes(4) + bytes(4) + b"vide" + bytes(12) + b"\x00")
+    entry = struct.pack(">I", 16) + b"avc1" + bytes(8)
+    stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+    stsz = box(b"stsz", bytes(4) + struct.pack(">II", 0, 300))
+    stbl = box(b"stbl", stsd + stsz)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + moov
+
+
+def test_mp4_box_parse_pure():
+    m = mm.parse_mp4_meta(_minimal_mp4())
+    assert m["brand"] == "isom"
+    assert m["duration_sec"] == 5.0
+    assert (m["width"], m["height"]) == (640, 360)
+    assert m["n_video_frames"] == 300
+    assert m["video_codec"] == "avc1"
+    assert m["n_tracks"] == 1
+    with pytest.raises(ValueError):
+        mm.parse_mp4_meta(b"\x89PNG not a container")
+
+
+def test_video_meta_and_frame_sample(spark):
+    df = spark.createDataFrame(
+        [(1, _minimal_mp4()), (2, b"garbage bytes here")],
+        "doc_id long, content binary",
+    )
+    rows = {r["doc_id"]: r for r in mm.video_meta(df).collect()}
+    assert rows[1]["parsed"] == "real"
+    assert rows[1]["duration_sec"] == 5.0
+    assert (rows[1]["width"], rows[1]["height"]) == (640, 360)
+    assert rows[1]["n_video_frames"] == 300
+    assert rows[2]["parsed"] == "fake"
+
+    # frame sampling uses the REAL stsz count for BMFF bytes
+    samples = mm.frame_sample_stub(df, every_n=100).collect()
+    idx1 = sorted(r["frame_idx"] for r in samples if r["doc_id"] == 1)
+    assert idx1 == [0, 100, 200]  # 300 frames, every 100th

@@ -115,15 +115,22 @@ def minhash_lsh_pairs(
     the whole signature pipeline for its second branch; measured 25%
     faster at sf0.1).
 
-    Hot-bucket guard: a degenerate boilerplate bucket of n ids would
-    put n²/2 pair structs into ONE task's array (2G row-size limit /
-    OOM). Buckets larger than `max_bucket_explode` therefore take a
-    two-level path — posexplode to one row per (bucket, position),
-    repartition to spread those rows, then a slice-explode emitting
-    each row's pairs — so the largest single value is O(n), the pair
-    work distributes across the cluster, and the emitted pair set is
-    IDENTICAL to the single-row path. Both branches read the same
-    bucket aggregate, which Spark's ReuseExchange materializes once."""
+    Hot-bucket safety: a degenerate boilerplate bucket of n ids must
+    not put n²/2 pair structs into ONE array value (2G row-size limit /
+    OOM). Pair emission is therefore two chained explodes for EVERY
+    bucket — posexplode to one row per (bucket, position), then a
+    slice-explode emitting that member's partners — so the largest
+    single value is the O(n) ids array, while the O(n²) pair rows
+    stream out of the generator without ever materializing together.
+    One scan, one bucket shuffle, no branch. (An earlier two-branch
+    variant — flatten-explode for small buckets, posexplode+repartition
+    for large — re-executed the whole scan+signature pipeline per
+    branch because AQE gave the branches no ReusedExchange; measured
+    ~2x wall time. `max_bucket_explode` is kept for API compatibility
+    and ignored.) A bucket so hot that even streaming its pairs from
+    one task is too slow is non-discriminative by definition — cap it
+    upstream by dropping buckets over a size threshold before calling
+    this, the standard production LSH practice."""
     sigs = _signature_matrix(df, text_col, id_col, num_hashes, shingle_n)
     n_bands = num_hashes // rows_per_band
     band_structs = [
@@ -146,34 +153,19 @@ def minhash_lsh_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    # all ordered pairs within each bucket: for element i, pair with
-    # every element after it (ids sorted, so doc_a < doc_b holds)
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids")) - i - 1),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
+    # all ordered pairs within each bucket: member i pairs with every
+    # member after it (ids sorted, so doc_a < doc_b holds)
+    return (
+        buckets.select(F.posexplode("ids").alias("i", "doc_a"), "ids")
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + F.lit(2),
+                        F.size("ids") - F.col("i") - 1)
+            ).alias("doc_b"),
         )
+        .distinct()
     )
-    small_pairs = (
-        buckets.filter(F.size("ids") <= max_bucket_explode)
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-    )
-    large = (
-        buckets.filter(F.size("ids") > max_bucket_explode)
-        .select("band", "band_hash", F.posexplode("ids").alias("i", "doc_a"), "ids")
-        .repartition(F.col("band"), F.col("band_hash"), F.col("i"))
-    )
-    large_pairs = large.select(
-        "doc_a",
-        F.explode(
-            F.slice(F.col("ids"), F.col("i") + F.lit(2), F.size("ids") - F.col("i") - 1)
-        ).alias("doc_b"),
-    )
-    return small_pairs.union(large_pairs).distinct()
 
 
 def ngram_jaccard_pairs(

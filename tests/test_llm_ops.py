@@ -107,19 +107,23 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
         assert (did, did + 200000) in found
 
 
-def test_minhash_hot_bucket_path_identical(spark, docs):
-    # force every bucket through the two-level large-bucket path and
-    # assert the emitted pair set is identical to the single-row path
-    base = docs.limit(3).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+def test_minhash_hot_bucket_streams(spark):
+    """A degenerate boilerplate bucket (every doc identical) must emit
+    all C(n,2) pairs through the streaming posexplode+slice shape — the
+    largest single array value stays O(n), and the plan reads the
+    source exactly once (the earlier two-branch guard re-executed the
+    whole signature pipeline per branch)."""
+    n = 60
+    hot = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated for every single doc")
+         for i in range(n)],
+        "doc_id long, text string",
     )
-    both = docs.select("doc_id", "text").unionByName(base)
-    default = {(r["doc_a"], r["doc_b"])
-               for r in dedup.minhash_lsh_pairs(both).collect()}
-    forced = {(r["doc_a"], r["doc_b"])
-              for r in dedup.minhash_lsh_pairs(both, max_bucket_explode=1).collect()}
-    assert forced == default and len(default) > 0
+    pairs = dedup.minhash_lsh_pairs(hot)
+    assert pairs.count() == n * (n - 1) // 2
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan ExistingRDD") + plan.count("LocalTableScan")
+    assert n_scans == 1
 
 
 def test_ngram_jaccard(spark, docs):

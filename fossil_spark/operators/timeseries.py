@@ -205,6 +205,14 @@ def sessionize(
 # gap fill
 # ---------------------------------------------------------------------------
 
+def _bucketed(df: DataFrame, every: str, time_col: str,
+              by: list[str], value_col: str) -> DataFrame:
+    return (
+        df.groupBy(F.window(F.col(time_col), every).start.alias("bucket"), *by)
+        .agg(_dec_avg(value_col).alias("value"))
+    )
+
+
 def gapfill_locf(
     df: DataFrame,
     every: str,
@@ -215,34 +223,41 @@ def gapfill_locf(
     """Densify a series to regular buckets and fill missing buckets by
     carrying the last observation forward (per key).
 
-    Distributed shape: aggregate to buckets, compute per-key min/max
-    bucket, explode a sequence() of bucket timestamps (no driver loop),
-    left-join observed buckets back, then one window pass for LOCF.
-    """
+    Distributed shape — segment generation, no join: aggregate to
+    buckets, then each observed bucket emits itself PLUS the gap rows
+    up to (exclusive) the next observed bucket via lead() + a
+    sequence() explode. One shuffle for the groupBy; the window runs
+    on the same (key) partitioning; the source is scanned ONCE (the
+    former dense-spine + join-back shape re-executed the bucket
+    aggregate for both join branches — AQE gave them no reused
+    exchange). Buckets whose aggregate value is null (possible only if
+    every source value in the bucket is null) are treated as gaps."""
     by = by or []
     df = _time_norm(df, time_col)
-    bucketed = (
-        df.groupBy(F.window(F.col(time_col), every).start.alias("bucket"), *by)
-        .agg(_dec_avg(value_col).alias("value"))
-    )
-    spans = bucketed.groupBy(*by).agg(
-        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
-    )
+    bucketed = _bucketed(df, every, time_col, by, value_col) \
+        .filter(F.col("value").isNotNull())
+    w = Window.partitionBy(*by).orderBy("bucket")
     interval = F.expr(f"INTERVAL {every}")
-    dense = spans.select(
-        *by, F.explode(F.sequence(F.col("__lo"), F.col("__hi"), interval)).alias("bucket")
+    # window expr first (a generator can't contain one), then explode
+    stepped = bucketed.select(
+        *by, "bucket", "value", F.lead("bucket").over(w).alias("__nxt")
     )
-    joined = dense.join(bucketed, on=[*by, "bucket"], how="left")
-    w = (
-        Window.partitionBy(*by)
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return joined.select(
-        *by,
+    seq = F.sequence(
         F.col("bucket"),
-        F.col("value").isNotNull().alias("observed"),
-        F.last("value", ignorenulls=True).over(w).alias("value"),
+        F.coalesce(F.col("__nxt") - interval, F.col("bucket")),
+        interval,
+    )
+    return (
+        stepped.select(
+            *by, F.col("bucket").alias("__b0"), "value",
+            F.explode(seq).alias("bucket"),
+        )
+        .select(
+            *by,
+            F.col("bucket"),
+            (F.col("bucket") == F.col("__b0")).alias("observed"),
+            F.col("value"),
+        )
     )
 
 
@@ -254,55 +269,48 @@ def gapfill_linear(
     value_col: str = "value",
 ) -> DataFrame:
     """Densify to regular buckets and LINEARLY interpolate missing
-    buckets between their neighboring observations (per key); leading/
-    trailing gaps stay null (no extrapolation).
+    buckets between their neighboring observations (per key); no
+    extrapolation past the first/last observation.
 
-    Same distributed spine as gapfill_locf, plus one backward window:
-    for each gap, prev/next observed values and their bucket positions
-    come from two window passes over the SAME partitioning (one
-    shuffle total), then the fill is pure per-row arithmetic:
-    v = prev + (next - prev) * (pos - pos_prev) / (pos_next - pos_prev)."""
+    Same single-scan segment-generation shape as gapfill_locf: lead()
+    supplies the next observed (bucket, value), and each gap row's
+    fill is pure per-row arithmetic on its position within the
+    segment: v = v0 + (v1 - v0) * (pos - p0) / (p1 - p0)."""
     by = by or []
     df = _time_norm(df, time_col)
-    bucketed = (
-        df.groupBy(F.window(F.col(time_col), every).start.alias("bucket"), *by)
-        .agg(_dec_avg(value_col).alias("value"))
-    )
-    spans = bucketed.groupBy(*by).agg(
-        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
-    )
+    bucketed = _bucketed(df, every, time_col, by, value_col) \
+        .filter(F.col("value").isNotNull())
+    w = Window.partitionBy(*by).orderBy("bucket")
     interval = F.expr(f"INTERVAL {every}")
-    dense = spans.select(
-        *by, F.explode(F.sequence(F.col("__lo"), F.col("__hi"), interval)).alias("bucket")
+    # window exprs first (a generator can't contain one), then explode
+    stepped = bucketed.select(
+        *by,
+        F.col("bucket").alias("__b0"),
+        F.col("value").alias("__v0"),
+        F.lead("bucket").over(w).alias("__b1"),
+        F.lead("value").over(w).alias("__v1"),
     )
-    joined = dense.join(bucketed, on=[*by, "bucket"], how="left")
-    pos = F.unix_micros(F.col("bucket"))
-    fwd = (
-        Window.partitionBy(*by)
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq = F.sequence(
+        F.col("__b0"),
+        F.coalesce(F.col("__b1") - interval, F.col("__b0")),
+        interval,
     )
-    bwd = (
-        Window.partitionBy(*by)
-        .orderBy("bucket")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ex = stepped.select(
+        *by, "__b0", "__v0", "__b1", "__v1",
+        F.explode(seq).alias("bucket"),
     )
-    prev_v = F.last("value", ignorenulls=True).over(fwd)
-    next_v = F.first("value", ignorenulls=True).over(bwd)
-    prev_p = F.last(F.when(F.col("value").isNotNull(), pos), ignorenulls=True).over(fwd)
-    next_p = F.first(F.when(F.col("value").isNotNull(), pos), ignorenulls=True).over(bwd)
-    frac = (pos - prev_p).cast("double") / (next_p - prev_p).cast("double")
+    pos = F.unix_micros(F.col("bucket")).cast("double")
+    p0 = F.unix_micros(F.col("__b0")).cast("double")
+    p1 = F.unix_micros(F.col("__b1")).cast("double")
+    frac = (pos - p0) / (p1 - p0)
     filled = (
-        F.when(F.col("value").isNotNull(), F.col("value"))
-        .when(
-            prev_v.isNotNull() & next_v.isNotNull(),
-            F.round(prev_v + (next_v - prev_v) * frac, 6),
-        )
+        F.when(F.col("bucket") == F.col("__b0"), F.col("__v0"))
+        .otherwise(F.round(F.col("__v0") + (F.col("__v1") - F.col("__v0")) * frac, 6))
     )
-    return joined.select(
+    return ex.select(
         *by,
         F.col("bucket"),
-        F.col("value").isNotNull().alias("observed"),
+        (F.col("bucket") == F.col("__b0")).alias("observed"),
         filled.alias("value"),
     )
 

@@ -221,3 +221,95 @@ def test_textual_fallback_still_validates(bin_server):
         assert rows[0]["value"] == 3.25
         with pytest.raises(RuntimeError, match="does not conform"):
             c.append("/t/a", "not-a-float")
+
+
+# --- property-based round-trips (hypothesis) -------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_INT_BOUNDS = {
+    "int8": (-128, 127), "int16": (-(1 << 15), (1 << 15) - 1),
+    "int32": (-(1 << 31), (1 << 31) - 1), "int64": (-(1 << 63), (1 << 63) - 1),
+    "uint8": (0, 255), "uint16": (0, (1 << 16) - 1),
+    "uint32": (0, (1 << 32) - 1), "uint64": (0, (1 << 64) - 1),
+}
+
+
+@st.composite
+def _scalar_case(draw):
+    name = draw(st.sampled_from(sorted(_INT_BOUNDS) + ["float32", "float64", "boolean"]))
+    if name == "boolean":
+        v = draw(st.booleans())
+        return name, "true" if v else "false", v
+    if name.startswith("float"):
+        width = 32 if name == "float32" else 64
+        v = draw(st.floats(allow_nan=False, allow_infinity=False, width=width))
+        return name, repr(v), v
+    lo, hi = _INT_BOUNDS[name]
+    v = draw(st.integers(lo, hi))
+    return name, str(v), v
+
+
+@given(_scalar_case())
+@settings(max_examples=200, deadline=None)
+def test_scalar_roundtrip_property(case):
+    name, literal, expected = case
+    data = encode_literal(literal, name)
+    got = decode_python(data, name)
+    if name.startswith("float"):
+        import struct as _s
+
+        fmt = "<f" if name == "float32" else "<d"
+        assert _s.pack(fmt, got) == _s.pack(fmt, float(literal))
+    else:
+        assert got == expected
+    # width parity with objects.go Size()
+    from fossil_spark.encoding import type_size
+
+    assert len(data) == type_size(name)
+
+
+@given(
+    st.integers(1, 8),
+    st.sampled_from(["int16", "int32", "int64", "float64"]),
+    st.data(),
+)
+@settings(max_examples=100, deadline=None)
+def test_array_roundtrip_property(n, elem, data):
+    lo, hi = _INT_BOUNDS.get(elem, (None, None))
+    if elem == "float64":
+        vals = data.draw(st.lists(
+            st.floats(allow_nan=False, allow_infinity=False),
+            min_size=n, max_size=n,
+        ))
+    else:
+        vals = data.draw(st.lists(st.integers(lo, hi), min_size=n, max_size=n))
+    literal = ", ".join(repr(v) if elem == "float64" else str(v) for v in vals)
+    out = decode_python(encode_literal(literal, f"[{n}]{elem}"), f"[{n}]{elem}")
+    assert out == pytest.approx(vals) if elem == "float64" else out == vals
+
+
+@given(
+    st.integers(-(1 << 31), (1 << 31) - 1),
+    st.integers(-(1 << 31), (1 << 31) - 1),
+    st.text(
+        alphabet=st.characters(blacklist_characters='",\\:{}[]()',
+                               blacklist_categories=("Cs", "Cc")),
+        max_size=40,
+    ),
+)
+@settings(max_examples=100, deadline=None)
+def test_composite_roundtrip_property(a, b, s):
+    from hypothesis import assume
+
+    # an empty unquoted member is malformed in the reference too
+    # (encoding.go consumeValueForObject rejects empty tokens)
+    assume(s.strip())
+    schema = '{"coords": [2]int32, "label": string}'
+    literal = f"coords: {a}, {b}, label: {s.strip()}"
+    data = encode_literal(literal, schema)
+    out = decode_python(data, schema)
+    assert out["coords"] == [a, b]
+    assert out["label"] == s.strip()
+    # python-value encoding produces the identical bytes
+    assert encode_python(out, schema) == data

@@ -492,7 +492,11 @@ def _text_pack(spark, sf_dir):
         parts.getItem(0).cast("long").alias("bucket"),
         parts.getItem(1).cast("long").alias("seq"),
         "pack_id",
-    )
+    # four downstream branches (self + three invariant aggregates
+    # joined back) would each re-execute the applyInPandas pack — AQE
+    # reuses no exchange across them; checkpoint the small per-doc
+    # footprint once instead
+    ).localCheckpoint(eager=False)
     per_pack = p.groupBy("pack_id").agg(
         F.sum(F.least("n_tokens", F.lit(512))).alias("__tot")
     )

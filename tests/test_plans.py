@@ -132,3 +132,43 @@ def test_store_scan_prunes_columns(spark):
     assert "event_id" not in plan.split("== Physical Plan ==")[-1], (
         "scan reads columns the query never uses"
     )
+
+
+# Re-execution lint (round 4): a branch over a shared subtree gets no
+# ReusedExchange under AQE, so every extra FileScan of the same table
+# is usually the WHOLE upstream pipeline running again (bit minhash
+# LSH and both gapfills this round). Budgets are the number of scans
+# the operator's shape genuinely needs.
+_SCAN_BUDGET = {
+    # single-input operators: one scan, period
+    "dedup_minhash": 1, "dedup_exact": 1, "dedup_simhash": 1,
+    "ts_gapfill": 1, "ts_gapfill_linear": 1,
+    "ts_resample": 1, "ts_sliding": 1, "ts_session": 1, "ts_rate": 1,
+    "ts_topk": 1, "ts_first_last": 1, "ts_ohlc": 1, "ts_ewma": 1,
+    "text_tokens": 1, "text_quality": 1, "text_langid": 1,
+    "text_fingerprint": 1, "text_chunk": 1, "text_scrub_pii": 1,
+    "text_repetition": 1, "text_token_freq": 1, "sample_hash_split": 1,
+    "multimodal_meta": 1, "schema_validate": 1,
+    # genuine two-input / self-join shapes
+    "ts_asof_join": 2,      # events as points + aggregated quotes
+    "ts_range_join": 2,     # points + session intervals
+    "dedup_embedding": 2,   # LSH bucket self-join
+    "dedup_components": 2,  # pairs + initial labels
+    "ann_bruteforce": 2,    # base + sampled queries
+    "ann_lsh": 2,
+    "ann_ivf": 2,
+    # candidates (minhash) + the two shingle join sides
+    "dedup_ngram": 3,
+}
+
+
+def test_scan_budgets(plans):
+    import re
+
+    for key, budget in _SCAN_BUDGET.items():
+        phys = plans[key].split("== Physical Plan ==")[-1]
+        n = len(re.findall(r"FileScan parquet", phys))
+        assert n <= budget, (
+            f"{key}: {n} FileScans (budget {budget}) — a shared subtree "
+            "is probably re-executing; restructure or checkpoint it"
+        )

@@ -133,7 +133,9 @@ class RemoteClient:
                     topic, data = parts[0], rest.split(parts[0], 1)[1].strip()
                 else:
                     topic, data = "/", rest
-                self.conn.append(topic, data)
+                # reference REPL parity (pkg/repl/parser.go:55): encode
+                # the typed literal per the topic schema before sending
+                self.conn.append_literal(topic, data)
                 return "200 Ok"
             if cmd == "query":
                 rows = self.conn.query(rest)

@@ -179,9 +179,11 @@ def _encode_scalar(literal: str, name: str) -> bytes:
     fmt = _FIXED_FMT.get(name)
     if fmt is None:
         raise SchemaError(f"cannot encode type {name!r}")
-    value = float(literal) if name.startswith("float") else int(literal)
     try:
+        value = float(literal) if name.startswith("float") else int(literal)
         return struct.pack("<" + fmt, value)
+    except ValueError as ex:
+        raise SchemaError(f"{literal!r} is not a valid {name}") from ex
     except struct.error as ex:
         raise SchemaError(f"{literal!r} out of range for {name}: {ex}") from ex
 

@@ -719,6 +719,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only by design; kept registered so local checks cover them)
         "tpch_q10": _tpch("q10_returned_items"),
         "tpch_q12": _tpch("q12_priority_shipping"),
+        "tpch_q4": _tpch("q4_order_priority"),
+        "tpch_q7": _tpch("q7_volume_shipping"),
+        "tpch_q13": _tpch("q13_customer_distribution"),
+        "tpch_q19": _tpch("q19_discounted_revenue"),
         "store_list_topics": _store_list_topics,
         "store_stats": _store_stats,
         "schema_validate": _schema_validate,
@@ -1060,6 +1064,46 @@ def oracle_sql() -> dict[str, str]:
             " FROM big JOIN orders ON l_orderkey = o_orderkey"
             " JOIN customer ON o_custkey = c_custkey"
             " ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+        ),
+        "tpch_q4": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count"
+            " FROM orders o WHERE o_orderdate >= TIMESTAMP '1995-07-01'"
+            " AND o_orderdate < TIMESTAMP '1995-10-01'"
+            " AND EXISTS (SELECT 1 FROM lineitem l"
+            "  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)"
+            " GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "tpch_q7": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,"
+            " CAST(year(l_shipdate) AS BIGINT) AS l_year,"
+            f" {_DSUM('l_extendedprice * (1.0 - l_discount)')} AS revenue"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN supplier ON l_suppkey = s_suppkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation n1 ON s_nationkey = n1.n_nationkey"
+            " JOIN nation n2 ON c_nationkey = n2.n_nationkey"
+            " WHERE l_shipdate >= TIMESTAMP '1995-01-01'"
+            " AND l_shipdate < TIMESTAMP '1997-01-01'"
+            " AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')"
+            "  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))"
+            " GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        "tpch_q13": (
+            "WITH per_cust AS (SELECT c_custkey,"
+            " CAST(count(o_orderkey) AS BIGINT) AS c_count"
+            " FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
+            "  AND o_orderpriority <> '1-URGENT'"
+            " GROUP BY c_custkey)"
+            " SELECT c_count, CAST(count(*) AS BIGINT) AS custdist"
+            " FROM per_cust GROUP BY c_count"
+            " ORDER BY custdist DESC, c_count DESC"
+        ),
+        "tpch_q19": (
+            f"SELECT {_DSUM('l_extendedprice * (1.0 - l_discount)')} AS revenue"
+            " FROM lineitem JOIN part ON l_partkey = p_partkey"
+            " WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 30 AND p_size <= 15)"
+            " OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 40 AND p_size <= 30)"
+            " OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 50 AND p_size <= 50)"
         ),
         # --- D2. analytical shapes -------------------------------------------
         "win_running_revenue": (

@@ -184,6 +184,104 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: order-priority checking via a SEMI join — orders in a
+    quarter having at least one late-shipped line (l_shipdate >
+    o_orderdate stands in for the reference's commit/receipt columns,
+    absent from the driver schema). leftsemi keeps the probe side from
+    duplicating orders and never materializes lineitem columns."""
+    lo = F.lit("1995-07-01").cast("timestamp")
+    hi = F.lit("1995-10-01").cast("timestamp")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    late = l.select("l_orderkey", "l_shipdate")
+    cond = (o.o_orderkey == late.l_orderkey) & (late.l_shipdate > o.o_orderdate)
+    return (
+        o.join(late, cond, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bilateral trade volume between two nations by year.
+    supplier/customer/nation broadcast twice under different roles;
+    the orders↔lineitem shuffle is the only exchange."""
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dsum(_rev()).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: customers-per-order-count histogram via a LEFT OUTER
+    join (customers with zero orders must appear) then two
+    aggregations. Orders are pre-filtered (urgent excluded, standing
+    in for the reference's comment filter)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: disjunction of conjunctive brand/size/quantity
+    ranges. part broadcast; the OR-of-ANDs evaluates post-join in one
+    codegen stage (no union of three joins)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = l.join(broadcast(p), l.l_partkey == p.p_partkey)
+    b = F.col("p_brand")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & (q >= 1) & (q <= 30) & (sz <= 15))
+        | ((b == "Brand#2") & (q >= 10) & (q <= 40) & (sz <= 30))
+        | ((b == "Brand#3") & (q >= 20) & (q <= 50) & (sz <= 50))
+    )
+    return joined.filter(cond).agg(dsum(_rev()).alias("revenue"))
+
+
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10: returned-item revenue by customer, top 20. Dims broadcast;
     orders↔lineitem shuffle on orderkey."""

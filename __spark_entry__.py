@@ -722,7 +722,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": _tpch("q4_order_priority"),
         "tpch_q7": _tpch("q7_volume_shipping"),
         "tpch_q13": _tpch("q13_customer_distribution"),
+        "tpch_q15": _tpch("q15_top_supplier"),
+        "tpch_q17": _tpch("q17_small_quantity_revenue"),
         "tpch_q19": _tpch("q19_discounted_revenue"),
+        "tpch_q22": _tpch("q22_global_sales_opportunity"),
         "store_list_topics": _store_list_topics,
         "store_stats": _store_stats,
         "schema_validate": _schema_validate,
@@ -1104,6 +1107,36 @@ def oracle_sql() -> dict[str, str]:
             " WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 30 AND p_size <= 15)"
             " OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 40 AND p_size <= 30)"
             " OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 50 AND p_size <= 50)"
+        ),
+        "tpch_q15": (
+            "WITH revenue AS (SELECT l_suppkey,"
+            f" {_DSUM('l_extendedprice * (1.0 - l_discount)')} AS total_revenue"
+            " FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'"
+            " AND l_shipdate < TIMESTAMP '1995-04-01' GROUP BY l_suppkey)"
+            " SELECT s_suppkey, s_name, total_revenue FROM revenue"
+            " JOIN supplier ON l_suppkey = s_suppkey"
+            " WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)"
+            " ORDER BY s_suppkey"
+        ),
+        "tpch_q17": (
+            "WITH per_part AS (SELECT l_partkey,"
+            f" {_DSUM('l_quantity')} / count(*) AS avg_qty"
+            " FROM lineitem GROUP BY l_partkey)"
+            f" SELECT {_DSUM('l_extendedprice')} / 7.0 AS avg_yearly"
+            " FROM lineitem JOIN part ON l_partkey = p_partkey"
+            " JOIN per_part pp ON lineitem.l_partkey = pp.l_partkey"
+            " WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * avg_qty"
+        ),
+        "tpch_q22": (
+            "WITH avg_bal AS (SELECT"
+            f" {_DSUM('c_acctbal')} / count(*) AS a"
+            " FROM customer WHERE c_acctbal > 0.0)"
+            " SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,"
+            f" {_DSUM('c_acctbal')} AS totacctbal"
+            " FROM customer, avg_bal WHERE c_acctbal > a"
+            " AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey"
+            "  AND o_orderdate < TIMESTAMP '1995-03-01')"
+            " GROUP BY c_nationkey ORDER BY c_nationkey"
         ),
         # --- D2. analytical shapes -------------------------------------------
         "win_running_revenue": (

@@ -282,6 +282,72 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(cond).agg(dsum(_rev()).alias("revenue"))
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: supplier(s) achieving the maximum quarterly revenue.
+    The revenue view aggregates lineitem once; the scalar max comes
+    back as a one-row broadcast (no driver collect), and the
+    deterministic 4-decimal sums make the equality engine-stable."""
+    lo = F.lit("1995-01-01").cast("timestamp")
+    hi = F.lit("1995-04-01").cast("timestamp")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    revenue = l.groupBy("l_suppkey").agg(dsum(_rev()).alias("total_revenue"))
+    top = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(broadcast(top), F.col("total_revenue") == F.col("__max_rev"))
+        .join(broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: revenue from orders below 20% of their part's average
+    quantity (correlated aggregate). The per-part averages collapse
+    lineitem to one row per part and broadcast back — the correlated
+    subquery becomes a broadcast join, never a per-row re-scan."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    per_part = l.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty")
+    )
+    return (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .join(broadcast(per_part), l.l_partkey == F.col("__pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: customers with above-average positive balances and no
+    EARLY orders (none in the first two months of the data; the
+    driver's dense order history gives every customer some order over
+    the full span) — a global scalar (one-row broadcast) plus a LEFT
+    ANTI join, grouped by nation (standing in for the reference's
+    phone country code, absent from the driver schema)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-01").cast("timestamp")
+    ).select("o_custkey")
+    avg_pos = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((dsum(F.col("c_acctbal")) / F.count("*")).alias("__avg_bal"))
+    )
+    return (
+        c.join(broadcast(avg_pos), F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10: returned-item revenue by customer, top 20. Dims broadcast;
     orders↔lineitem shuffle on orderkey."""

@@ -192,6 +192,26 @@ def _ts_rate(spark, sf_dir):
     ).select("event_id", "rate_per_sec")
 
 
+def _ts_sliding_time(spark, sf_dir):
+    from datetime import timedelta
+
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.sliding_time_stats(
+        _events(spark, sf_dir), timedelta(minutes=30), "ts", ["event_type"], "value"
+    ).select("event_id", "window_avg", "window_min", "window_max", "window_n")
+
+
+def _ts_zscore(spark, sf_dir):
+    from datetime import timedelta
+
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.zscore(
+        _events(spark, sf_dir), timedelta(hours=2), "ts", ["event_type"], "value"
+    ).select("event_id", "zscore")
+
+
 def _ts_ohlc(spark, sf_dir):
     from fossil_spark.operators import timeseries as ts
 
@@ -726,6 +746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": _tpch("q17_small_quantity_revenue"),
         "tpch_q19": _tpch("q19_discounted_revenue"),
         "tpch_q22": _tpch("q22_global_sales_opportunity"),
+        "ts_sliding_time": _ts_sliding_time,
+        "ts_zscore": _ts_zscore,
         "store_list_topics": _store_list_topics,
         "store_stats": _store_stats,
         "schema_validate": _schema_validate,
@@ -866,6 +888,25 @@ def oracle_sql() -> dict[str, str]:
             f" min(value) OVER w AS rolling_min, max(value) OVER w AS rolling_max"
             f" FROM {_EV} e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id"
             f" ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)"
+        ),
+        "ts_sliding_time": (
+            f"SELECT event_id,"
+            f" CAST(round(sum(CAST(value AS DECIMAL(30,8))) OVER w, 4) AS DOUBLE)"
+            f" / count(value) OVER w AS window_avg,"
+            f" min(value) OVER w AS window_min, max(value) OVER w AS window_max,"
+            f" CAST(count(value) OVER w AS BIGINT) AS window_n"
+            f" FROM {_EV} e WINDOW w AS (PARTITION BY event_type ORDER BY ts"
+            f" RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW)"
+        ),
+        "ts_zscore": (
+            "WITH t AS (SELECT event_id, value, count(value) OVER w AS n,"
+            " CAST(round(sum(CAST(value AS DECIMAL(30,8))) OVER w, 4) AS DOUBLE) AS s1,"
+            " CAST(round(sum(CAST(value * value AS DECIMAL(30,8))) OVER w, 4) AS DOUBLE) AS s2"
+            f" FROM {_EV} e WINDOW w AS (PARTITION BY event_type ORDER BY ts"
+            " RANGE BETWEEN INTERVAL 2 HOURS PRECEDING AND CURRENT ROW))"
+            " SELECT event_id, CASE WHEN n >= 2 AND s2 / n - (s1 / n) * (s1 / n) > 0"
+            " THEN round((value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6)"
+            " END AS zscore FROM t"
         ),
         "ts_asof_join": (
             f"SELECT e.event_id, r.o_totalprice FROM {_EV} e ASOF LEFT JOIN ("

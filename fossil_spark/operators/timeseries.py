@@ -100,6 +100,69 @@ def sliding_stats(
     )
 
 
+def sliding_time_stats(
+    df: DataFrame,
+    lookback: timedelta,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Rolling mean/min/max/count over a TIME window — every row
+    preceding the current one by at most `lookback` (inclusive), per
+    key. Unlike sliding_stats (row-count frame) this is a RANGE frame
+    over integer microseconds, so irregular sampling is handled
+    correctly: one shuffle on the key, no self-join."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    us = F.unix_micros(F.col(time_col))
+    lb = int(lookback.total_seconds() * 1_000_000)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(us)
+        .rangeBetween(-lb, 0)
+    )
+    return df.select(
+        *df.columns,
+        (F.round(F.sum(F.col(value_col).cast("decimal(30,8)")).over(w), 4)
+         .cast("double") / F.count(value_col).over(w)).alias("window_avg"),
+        F.min(value_col).over(w).alias("window_min"),
+        F.max(value_col).over(w).alias("window_max"),
+        F.count(value_col).over(w).cast("long").alias("window_n"),
+    )
+
+
+def zscore(
+    df: DataFrame,
+    lookback: timedelta,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    round_to: int = 6,
+) -> DataFrame:
+    """Rolling z-score anomaly signal: (x - mean) / stddev over the
+    trailing `lookback` time window per key (null until the window
+    holds at least two points). Same single-shuffle RANGE frame as
+    sliding_time_stats; population stddev from deterministic decimal
+    sums so the score is bit-stable at any parallelism."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    us = F.unix_micros(F.col(time_col))
+    lb = int(lookback.total_seconds() * 1_000_000)
+    w = Window.partitionBy(*by).orderBy(us).rangeBetween(-lb, 0)
+    n = F.count(value_col).over(w)
+    s1 = F.round(F.sum(F.col(value_col).cast("decimal(30,8)")).over(w), 4).cast("double")
+    s2 = F.round(
+        F.sum((F.col(value_col) * F.col(value_col)).cast("decimal(30,8)")).over(w), 4
+    ).cast("double")
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    z = F.when(
+        (n >= 2) & (var > 0),
+        F.round((F.col(value_col) - mean) / F.sqrt(var), round_to),
+    )
+    return df.select(*df.columns, z.alias("zscore"))
+
+
 # ---------------------------------------------------------------------------
 # as-of join
 # ---------------------------------------------------------------------------

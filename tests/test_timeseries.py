@@ -323,3 +323,60 @@ def test_gapfill_linear(spark):
     assert out["2024-01-01 03:00:00"] == (True, 40.0)
     assert out["2024-01-01 04:00:00"] == (False, 30.0)
     assert out["2024-01-01 05:00:00"] == (True, 20.0)
+
+
+def test_sliding_time_stats(events):
+    from datetime import timedelta
+
+    out = ts.sliding_time_stats(
+        events, timedelta(minutes=30), "ts", ["event_type"], "value"
+    )
+    got = {r["event_id"]: (r["window_avg"], r["window_n"]) for r in out.collect()}
+    want = ddb(
+        "SELECT event_id, CAST(round(sum(CAST(value AS DECIMAL(30,8))) OVER w, 4) AS DOUBLE)"
+        " / count(value) OVER w, CAST(count(value) OVER w AS BIGINT) FROM events"
+        " WINDOW w AS (PARTITION BY event_type ORDER BY ts"
+        " RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW)"
+    )
+    for eid, avg, n in want:
+        assert got[eid] == (avg, n)
+
+
+def test_sliding_time_irregular_sampling(spark):
+    """RANGE frame semantics: points outside the lookback drop out even
+    when row distance is constant."""
+    from datetime import datetime, timedelta
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), 10.0),
+        (2, datetime(2024, 1, 1, 0, 10), 20.0),   # within 30min of #1
+        (3, datetime(2024, 1, 1, 2, 0), 40.0),    # 30min window: alone
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    out = {r["event_id"]: (r["window_n"], r["window_avg"])
+           for r in ts.sliding_time_stats(df, timedelta(minutes=30), "ts").collect()}
+    assert out[1] == (1, 10.0)
+    assert out[2] == (2, 15.0)
+    assert out[3] == (1, 40.0)
+
+
+def test_zscore(events):
+    from datetime import timedelta
+
+    out = ts.zscore(events, timedelta(hours=2), "ts", ["event_type"], "value")
+    rows = out.collect()
+    assert len(rows) == events.count()
+    scored = [r for r in rows if r["zscore"] is not None]
+    assert scored  # the 2h window accumulates >= 2 points quickly
+    # the anomaly signal is standardized: overwhelmingly within +-5
+    assert all(abs(r["zscore"]) < 50 for r in scored)
+
+
+def test_zscore_flat_series_is_null(spark):
+    """Zero variance -> null score, not a division blowup."""
+    from datetime import datetime, timedelta
+
+    rows = [(i, datetime(2024, 1, 1, 0, i), 7.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    out = ts.zscore(df, timedelta(hours=1), "ts").collect()
+    assert all(r["zscore"] is None for r in out)

@@ -468,6 +468,30 @@ def _sample_hash_split(spark, sf_dir):
     return text.hash_split(_docs(spark, sf_dir))
 
 
+def _sample_stratified(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    # rebalance: halve the dominant language, keep the rest
+    return text.stratified_sample(
+        _docs(spark, sf_dir), {"en": 0.5}, "lang", default_fraction=1.0
+    ).select("doc_id", "lang")
+
+
+def _sample_group_split(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    # leakage-safe: all docs of one source share a split
+    return text.group_split(
+        _docs(spark, sf_dir).select("doc_id", "source"), "source"
+    )
+
+
+def _text_quality_deciles(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.quality_deciles(_docs(spark, sf_dir))
+
+
 def _text_token_freq(spark, sf_dir):
     from fossil_spark.operators import text
 
@@ -748,6 +772,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": _tpch("q22_global_sales_opportunity"),
         "ts_sliding_time": _ts_sliding_time,
         "ts_zscore": _ts_zscore,
+        "sample_stratified": _sample_stratified,
+        "sample_group_split": _sample_group_split,
+        "text_quality_deciles": _text_quality_deciles,
         "store_list_topics": _store_list_topics,
         "store_stats": _store_stats,
         "schema_validate": _schema_validate,
@@ -1340,6 +1367,29 @@ def oracle_sql() -> dict[str, str]:
             "  % 10 < 8 THEN 'train'"
             " WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT"
             "  % 10 < 9 THEN 'val' ELSE 'test' END AS split FROM documents"
+        ),
+        "sample_stratified": (
+            "SELECT doc_id, lang FROM documents"
+            " WHERE ('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 8))::BIGINT"
+            " % 1000000 < (CASE WHEN lang = 'en' THEN 0.5 ELSE 1.0 END) * 1000000"
+        ),
+        "sample_group_split": (
+            "SELECT doc_id, source,"
+            " CASE WHEN ('0x' || substr(md5('gsplit:' || source), 1, 8))::BIGINT"
+            "  % 10 < 8 THEN 'train'"
+            " WHEN ('0x' || substr(md5('gsplit:' || source), 1, 8))::BIGINT"
+            "  % 10 < 9 THEN 'val' ELSE 'test' END AS split FROM documents"
+        ),
+        "text_quality_deciles": (
+            f"WITH t AS (SELECT doc_id, text, {_TOKS} w FROM documents),"
+            " q AS (SELECT doc_id,"
+            " 0.4 * (len(list_filter(w, x -> list_contains(" + _EN_SW + ", x)))::DOUBLE / len(w))"
+            " + 0.4 * (1.0 - abs(list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w)"
+            "  - 5.0) / 5.0)"
+            r" + 0.2 * (1.0 - len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE / len(text))"
+            " AS quality FROM t)"
+            " SELECT doc_id, quality,"
+            " CAST(ntile(10) OVER (ORDER BY quality, doc_id) AS BIGINT) AS decile FROM q"
         ),
         "text_token_freq": (
             f"SELECT token, count(*) AS n FROM"

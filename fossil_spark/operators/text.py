@@ -203,6 +203,74 @@ def hash_split(
     return df.select(id_col, bucket.alias("bucket"), split.alias("split"))
 
 
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row when
+    md5(salt:id) mod 10^6 falls under its stratum's fraction —
+    class-rebalancing for training corpora with NO RNG state, so the
+    sample is identical across runs, engines, and cluster sizes, and
+    purely map-side (zero shuffles; the hash folds into the scan)."""
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") % 1_000_000
+    )
+    frac = F.lit(default_fraction)
+    for value, f in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == value, F.lit(f)).otherwise(frac)
+    return df.filter(h < frac * 1_000_000)
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    weights: tuple[int, int, int] = (8, 1, 1),
+    salt: str = "gsplit",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the GROUP (user, document,
+    session) hashes to one split, so all of a group's rows land
+    together — the property that keeps eval honest when rows within a
+    group are correlated. Same deterministic md5 scheme as
+    hash_split; map-side only."""
+    total = sum(weights)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}:"), F.col(group_col).cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") % total
+    )
+    split = (
+        F.when(bucket < weights[0], F.lit("train"))
+        .when(bucket < weights[0] + weights[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select(*df.columns, split.alias("split"))
+
+
+def quality_deciles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Curriculum binning: decile rank of each document's quality
+    score (ntile over a deterministic order). A global sort is
+    unavoidable for exact deciles; at corpus scale prefer
+    approx-quantile cutpoints broadcast as a map-side bin — this exact
+    variant is the oracle-checkable baseline."""
+    scored = quality_score(df, text_col).select(id_col, "quality")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("quality"), F.col(id_col))
+    return scored.select(
+        id_col, "quality", F.ntile(10).over(w).cast("long").alias("decile")
+    )
+
+
 def token_frequency(
     df: DataFrame, text_col: str = "text", k: int = 20
 ) -> DataFrame:

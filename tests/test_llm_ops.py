@@ -371,3 +371,34 @@ def test_pack_documents_exact_assignment(spark):
         2: "0-1", 3: "0-1", 6: "0-1",
         5: "0-2",
     }
+
+def test_stratified_sample_determinism_and_rates(docs):
+    out1 = text.stratified_sample(docs, {"en": 0.5}, "lang", default_fraction=1.0)
+    out2 = text.stratified_sample(docs, {"en": 0.5}, "lang", default_fraction=1.0)
+    ids1 = {r["doc_id"] for r in out1.select("doc_id").collect()}
+    assert ids1 == {r["doc_id"] for r in out2.select("doc_id").collect()}
+    by_lang_in = {r["lang"]: r["n"] for r in
+                  docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    by_lang_out = {r["lang"]: r["n"] for r in
+                   out1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # non-en kept wholesale; en roughly halved (hash-binomial)
+    for lang, n in by_lang_in.items():
+        if lang != "en":
+            assert by_lang_out[lang] == n
+    assert 0.3 * by_lang_in["en"] < by_lang_out["en"] < 0.7 * by_lang_in["en"]
+
+
+def test_group_split_no_leakage(docs):
+    out = text.group_split(docs.select("doc_id", "source"), "source")
+    per_group = out.groupBy("source").agg(
+        F.countDistinct("split").alias("n_splits")
+    ).collect()
+    assert all(r["n_splits"] == 1 for r in per_group)  # a group never straddles
+
+
+def test_quality_deciles_balanced(docs):
+    out = text.quality_deciles(docs)
+    sizes = {r["decile"]: r["n"] for r in
+             out.groupBy("decile").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == set(range(1, 11))
+    assert max(sizes.values()) - min(sizes.values()) <= 1  # ntile balance

@@ -149,6 +149,7 @@ _SCAN_BUDGET = {
     "text_tokens": 1, "text_quality": 1, "text_langid": 1,
     "text_fingerprint": 1, "text_chunk": 1, "text_scrub_pii": 1,
     "text_repetition": 1, "text_token_freq": 1, "sample_hash_split": 1,
+    "sample_stratified": 1, "sample_group_split": 1, "text_quality_deciles": 1,
     "multimodal_meta": 1, "schema_validate": 1,
     # genuine two-input / self-join shapes
     "ts_asof_join": 2,      # events as points + aggregated quotes

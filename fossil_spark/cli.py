@@ -11,6 +11,8 @@ the reference CLI (/root/reference/docs/cli.md):
 
 Usage:  python -m fossil_spark.cli <root_dir> [--db default]
         python -m fossil_spark.cli --connect host:port
+        python -m fossil_spark.cli fossil://host:port/dbname
+        python -m fossil_spark.cli file://./path/to/root
 Each logical database is a subdirectory of <root_dir> (mirrors the
 reference's `database.<name>` config blocks mapping to directories).
 With --connect, commands go over the wire protocol to a running
@@ -170,6 +172,35 @@ class RemoteClient:
             return f"500 {type(e).__name__}: {e}"
 
 
+def parse_connection_string(conn: str) -> dict:
+    """Reference connection-string formats
+    (pkg/proto/connectionstring.go ParseConnectionString):
+
+        ./path/to/local/db          -> local
+        file://./path/to/local/db   -> local
+        fossil://host:port[/dbname] -> remote (db defaults to 'default')
+
+    Any other scheme is an error; everything else parses."""
+    from urllib.parse import urlparse
+
+    if "://" not in conn:
+        return {"local": True, "address": conn, "database": "default"}
+    u = urlparse(conn)
+    if u.scheme == "file":
+        return {
+            "local": True,
+            "address": (u.netloc + u.path) or ".",
+            "database": "default",
+        }
+    if u.scheme == "fossil":
+        return {
+            "local": False,
+            "address": u.netloc,
+            "database": u.path.strip("/") or "default",
+        }
+    raise ValueError(f"unknown protocol {u.scheme!r} (use fossil:// or file://)")
+
+
 def main(argv: list[str] | None = None) -> int:
     args = argv if argv is not None else sys.argv[1:]
     if not args:
@@ -180,12 +211,20 @@ def main(argv: list[str] | None = None) -> int:
         client = RemoteClient(host, int(port))
         print(f"fossil_spark client — connected to {host}:{port}")
     else:
-        root = args[0]
-        db = "default"
-        if "--db" in args:
-            db = args[args.index("--db") + 1]
-        client = Client(root, db)
-        print(f"fossil_spark client — database {db!r} at {root}")
+        cs = parse_connection_string(args[0])
+        if not cs["local"]:
+            host, _, port = cs["address"].partition(":")
+            client = RemoteClient(host, int(port))
+            client.execute(f"use {cs['database']}")
+            print(f"fossil_spark client — connected to {cs['address']}"
+                  f" (database {cs['database']!r})")
+        else:
+            root = cs["address"]
+            db = cs["database"]
+            if "--db" in args:
+                db = args[args.index("--db") + 1]
+            client = Client(root, db)
+            print(f"fossil_spark client — database {db!r} at {root}")
     while True:
         try:
             line = input("> ")

@@ -67,3 +67,21 @@ def test_cli_errors_are_messages(client):
     client.execute("use emptydb")
     out = client.execute("query all")
     assert out.startswith("500") or out == "(empty)"
+
+
+def test_parse_connection_string():
+    """Reference format parity (pkg/proto/connectionstring.go)."""
+    from fossil_spark.cli import parse_connection_string as p
+
+    assert p("./local/db") == {"local": True, "address": "./local/db",
+                               "database": "default"}
+    assert p("file://./path/db") == {"local": True, "address": "./path/db",
+                                     "database": "default"}
+    assert p("fossil://h:2001/mydb") == {"local": False, "address": "h:2001",
+                                         "database": "mydb"}
+    assert p("fossil://h:2001") == {"local": False, "address": "h:2001",
+                                    "database": "default"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown protocol"):
+        p("http://nope")

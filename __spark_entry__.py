@@ -492,6 +492,23 @@ def _text_quality_deciles(spark, sf_dir):
     return text.quality_deciles(_docs(spark, sf_dir))
 
 
+def _ts_histogram(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.value_histogram(
+        _events(spark, sf_dir), 20, 0.0, 500.0, ["event_type"], "value"
+    )
+
+
+def _text_quality_bins_approx(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    # rows-only: the Greenwald-Khanna sketch's cutpoints differ from
+    # DuckDB's exact quantiles by construction; exactness is bounded
+    # against quality_deciles in tests
+    return text.quality_bins_approx(_docs(spark, sf_dir))
+
+
 def _text_token_freq(spark, sf_dir):
     from fossil_spark.operators import text
 
@@ -775,6 +792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _sample_stratified,
         "sample_group_split": _sample_group_split,
         "text_quality_deciles": _text_quality_deciles,
+        "ts_histogram": _ts_histogram,
+        "text_quality_bins_approx": _text_quality_bins_approx,
         "store_list_topics": _store_list_topics,
         "store_stats": _store_stats,
         "schema_validate": _schema_validate,
@@ -1367,6 +1386,12 @@ def oracle_sql() -> dict[str, str]:
             "  % 10 < 8 THEN 'train'"
             " WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT"
             "  % 10 < 9 THEN 'val' ELSE 'test' END AS split FROM documents"
+        ),
+        "ts_histogram": (
+            f"SELECT event_type,"
+            " CAST(CASE WHEN value < 0.0 THEN -1 WHEN value >= 500.0 THEN 20"
+            " ELSE least(floor((value - 0.0) / 25.0), 19) END AS BIGINT) AS bin,"
+            f" CAST(count(*) AS BIGINT) AS n FROM {_EV} e GROUP BY 1, 2"
         ),
         "sample_stratified": (
             "SELECT doc_id, lang FROM documents"

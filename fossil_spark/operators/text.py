@@ -271,6 +271,30 @@ def quality_deciles(
     )
 
 
+def quality_bins_approx(
+    df: DataFrame,
+    n_bins: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """The SCALE path for curriculum binning (quality_deciles is the
+    exact baseline): approxQuantile computes n_bins-1 cutpoints in one
+    pass (Greenwald-Khanna sketch, no global sort), the tiny cutpoint
+    list returns to the driver (n_bins-1 floats — same sanctioned
+    shape as ann_ivf's centroid pull), and bin assignment is a pure
+    map-side when-chain. At 100 TB this replaces the exact variant's
+    single-partition ntile sort with one sketch aggregation."""
+    scored = quality_score(df, text_col).select(id_col, "quality")
+    cuts = scored.approxQuantile(
+        "quality", [i / n_bins for i in range(1, n_bins)], rel_err
+    )
+    bin_ = F.lit(1)
+    for i, cut in enumerate(cuts, start=1):
+        bin_ = F.when(F.col("quality") > cut, F.lit(i + 1)).otherwise(bin_)
+    return scored.select(id_col, "quality", bin_.cast("long").alias("bin"))
+
+
 def token_frequency(
     df: DataFrame, text_col: str = "text", k: int = 20
 ) -> DataFrame:

@@ -378,6 +378,37 @@ def gapfill_linear(
     )
 
 
+def value_histogram(
+    df: DataFrame,
+    n_bins: int,
+    lo: float,
+    hi: float,
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Fixed-width value histogram per key over [lo, hi): bin index is
+    pure per-row arithmetic (floor of the scaled offset, top edge
+    clamped into the last bin, out-of-range rows to bins -1 / n_bins),
+    so the whole operator is ONE map-side-combined groupBy — the shape
+    that survives any scale. Explicit bounds keep the binning
+    deterministic and engine-portable; derive them beforehand with an
+    agg if unknown."""
+    by = by or []
+    v = F.col(value_col)
+    width = (hi - lo) / n_bins
+    raw = F.floor((v - F.lit(lo)) / F.lit(width)).cast("long")
+    bin_ = (
+        F.when(v < lo, F.lit(-1))
+        .when(v >= hi, F.lit(n_bins))
+        .otherwise(F.least(raw, F.lit(n_bins - 1)))
+        .cast("long")
+    )
+    return (
+        df.groupBy(*by, bin_.alias("bin"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # top-k per group / first-last / rate
 # ---------------------------------------------------------------------------

@@ -380,3 +380,32 @@ def test_zscore_flat_series_is_null(spark):
     df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
     out = ts.zscore(df, timedelta(hours=1), "ts").collect()
     assert all(r["zscore"] is None for r in out)
+
+
+def test_value_histogram(events):
+    out = ts.value_histogram(events, 20, 0.0, 500.0, ["event_type"], "value")
+    got = {(r["event_type"], r["bin"]): r["n"] for r in out.collect()}
+    want = ddb(
+        "SELECT event_type, CAST(CASE WHEN value < 0.0 THEN -1"
+        " WHEN value >= 500.0 THEN 20"
+        " ELSE least(floor(value / 25.0), 19) END AS BIGINT), count(*)"
+        " FROM events GROUP BY 1, 2"
+    )
+    for et, b, n in want:
+        assert got[(et, b)] == n
+    assert sum(got.values()) == events.count()
+
+
+def test_value_histogram_edges(spark):
+    from datetime import datetime
+
+    rows = [(i, datetime(2024, 1, 1), v) for i, v in
+            enumerate([-5.0, 0.0, 24.999, 25.0, 499.99, 500.0, 700.0])]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    out = {r["bin"]: r["n"] for r in
+           ts.value_histogram(df, 20, 0.0, 500.0, value_col="value").collect()}
+    assert out[-1] == 1       # below range
+    assert out[0] == 2        # 0.0 and 24.999
+    assert out[1] == 1        # 25.0
+    assert out[19] == 1       # 499.99
+    assert out[20] == 2       # hi edge and beyond

@@ -30,12 +30,45 @@ from fossil_spark.session import get_spark
 from fossil_spark.store import EventStore
 
 
+def format_table(headers: list[str], rows: list[list], fmt: str = "text") -> str:
+    """Query-output formats matching the reference writers
+    (pkg/repl/writer.go): aligned text table (default), csv, json."""
+    if fmt == "csv":
+        import csv
+        import io
+
+        buf = io.StringIO()
+        w = csv.writer(buf)
+        w.writerow(headers)
+        w.writerows(rows)
+        return buf.getvalue().rstrip("\n")
+    if fmt == "json":
+        import json
+
+        return json.dumps(
+            [dict(zip(headers, (str(v) for v in r))) for r in rows], indent=1
+        )
+    cells = [[str(v) for v in r] for r in rows]
+    widths = [
+        max(len(h), *(len(c[i]) for c in cells)) if cells else len(h)
+        for i, h in enumerate(headers)
+    ]
+    def line(vals):
+        return "| " + " | ".join(v.ljust(w) for v, w in zip(vals, widths)) + " |"
+    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    out = [sep, line(headers), sep]
+    out += [line(c) for c in cells]
+    out.append(sep)
+    return "\n".join(out)
+
+
 class Client:
-    def __init__(self, root: str, db: str = "default"):
+    def __init__(self, root: str, db: str = "default", fmt: str = "text"):
         self.root = root
         self.spark = get_spark("fossil_spark-cli")
         self.spark.sparkContext.setLogLevel("ERROR")
         self.db = db
+        self.fmt = fmt
 
     @property
     def store(self) -> EventStore:
@@ -71,12 +104,15 @@ class Client:
                     [(datetime.now(timezone.utc).replace(tzinfo=None), topic, data)]
                 )
                 return "200 Ok"
+            if cmd == "format":
+                self.fmt = rest.strip().lower() or "text"
+                return f"200 output format {self.fmt}"
             if cmd == "query":
                 df = self.store.query(rest)
                 rows = df.limit(50).collect()
-                header = " | ".join(df.columns)
-                body = "\n".join(" | ".join(str(v) for v in r) for r in rows)
-                return f"{header}\n{body}" if rows else "(empty)"
+                if not rows:
+                    return "(empty)"
+                return format_table(df.columns, [list(r) for r in rows], self.fmt)
             if cmd == "stats":
                 rows = self.store.stats().collect()
                 return "\n".join(
@@ -112,10 +148,11 @@ class RemoteClient:
     """Same command surface, executed over the wire protocol against a
     running FossilServer (reference client mode, api/remote.go)."""
 
-    def __init__(self, host: str, port: int):
+    def __init__(self, host: str, port: int, fmt: str = "text"):
         from fossil_spark.server import FossilClient
 
         self.conn = FossilClient(host, port)
+        self.fmt = fmt
 
     def execute(self, line: str) -> str:
         line = line.strip()
@@ -139,13 +176,20 @@ class RemoteClient:
                 # the typed literal per the topic schema before sending
                 self.conn.append_literal(topic, data)
                 return "200 Ok"
+            if cmd == "format":
+                self.fmt = rest.strip().lower() or "text"
+                return f"200 output format {self.fmt}"
             if cmd == "query":
                 rows = self.conn.query(rest)
                 if not rows:
                     return "(empty)"
-                return "time | topic | data | schema\n" + "\n".join(
-                    f"{r['time']} | {r['topic']} | {r['data']} | {r['schema']}"
-                    for r in rows[:50]
+                # reference column order: time, topic, schema, data
+                # (proto/message.go QueryResponse.Headers)
+                return format_table(
+                    ["time", "topic", "schema", "data"],
+                    [[r["time"], r["topic"], r["schema"], r["data"]]
+                     for r in rows[:50]],
+                    self.fmt,
                 )
             if cmd == "stats":
                 st = self.conn.stats()
@@ -206,15 +250,18 @@ def main(argv: list[str] | None = None) -> int:
     if not args:
         print(__doc__)
         return 2
+    fmt = "text"
+    if "--format" in args:  # text | csv | json (pkg/repl/writer.go)
+        fmt = args[args.index("--format") + 1]
     if "--connect" in args:
         host, _, port = args[args.index("--connect") + 1].partition(":")
-        client = RemoteClient(host, int(port))
+        client = RemoteClient(host, int(port), fmt)
         print(f"fossil_spark client — connected to {host}:{port}")
     else:
         cs = parse_connection_string(args[0])
         if not cs["local"]:
             host, _, port = cs["address"].partition(":")
-            client = RemoteClient(host, int(port))
+            client = RemoteClient(host, int(port), fmt)
             client.execute(f"use {cs['database']}")
             print(f"fossil_spark client — connected to {cs['address']}"
                   f" (database {cs['database']!r})")
@@ -223,7 +270,7 @@ def main(argv: list[str] | None = None) -> int:
             db = cs["database"]
             if "--db" in args:
                 db = args[args.index("--db") + 1]
-            client = Client(root, db)
+            client = Client(root, db, fmt)
             print(f"fossil_spark client — database {db!r} at {root}")
     while True:
         try:

@@ -44,7 +44,8 @@ def test_cli_len_exact(client):
     client.execute("use lentest")
     client.execute("append /x abcde")
     out = client.execute("query all | map s -> len(s)")
-    assert out.splitlines()[1].split(" | ")[-1] == "5"
+    # aligned-table format: last data row, last cell
+    assert out.splitlines()[-2].strip("| ").split("|")[-1].strip() == "5"
 
 
 def test_store_sql_interface(client):
@@ -85,3 +86,24 @@ def test_parse_connection_string():
 
     with _pytest.raises(ValueError, match="unknown protocol"):
         p("http://nope")
+
+
+def test_format_table_variants():
+    from fossil_spark.cli import format_table
+
+    headers = ["time", "topic", "data"]
+    rows = [["t1", "/a", "1.5"], ["t2", "/bb", "2"]]
+    text = format_table(headers, rows)
+    lines = text.splitlines()
+    assert lines[0].startswith("+") and lines[0].endswith("+")
+    assert "| time" in lines[1] and "| topic" in lines[1]
+    assert len({len(ln) for ln in lines}) == 1  # aligned
+
+    csv_out = format_table(headers, rows, "csv")
+    assert csv_out.splitlines()[0] == "time,topic,data"
+    assert csv_out.splitlines()[1] == "t1,/a,1.5"
+
+    import json
+
+    js = json.loads(format_table(headers, rows, "json"))
+    assert js[0] == {"time": "t1", "topic": "/a", "data": "1.5"}

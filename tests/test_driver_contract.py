@@ -12,6 +12,10 @@ SF = "/root/testdata/sf0.001"
 def _hostile_session(spark):
     s2 = spark.newSession()
     s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    # round-3 regression: driver parquet with isAdjustedToUTC=false
+    # reads as TIMESTAMP_NTZ under this default — the engine must
+    # normalize it away
+    s2.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     s2.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
     return s2
 

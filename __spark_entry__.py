@@ -500,6 +500,15 @@ def _ts_histogram(spark, sf_dir):
     )
 
 
+def _ts_m4(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.downsample_m4(
+        _events(spark, sf_dir), "1 hour", "ts", ["event_type"], "value",
+        ["event_id"],
+    )
+
+
 def _text_quality_bins_approx(spark, sf_dir):
     from fossil_spark.operators import text
 
@@ -793,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_group_split": _sample_group_split,
         "text_quality_deciles": _text_quality_deciles,
         "ts_histogram": _ts_histogram,
+        "ts_m4": _ts_m4,
         "text_quality_bins_approx": _text_quality_bins_approx,
         "store_list_topics": _store_list_topics,
         "store_stats": _store_stats,
@@ -1392,6 +1402,25 @@ def oracle_sql() -> dict[str, str]:
             " CAST(CASE WHEN value < 0.0 THEN -1 WHEN value >= 500.0 THEN 20"
             " ELSE least(floor((value - 0.0) / 25.0), 19) END AS BIGINT) AS bin,"
             f" CAST(count(*) AS BIGINT) AS n FROM {_EV} e GROUP BY 1, 2"
+        ),
+        "ts_m4": (
+            "SELECT b AS bucket, event_type,"
+            " max(CASE WHEN rn_a = 1 THEN value END) AS v_first,"
+            " max(CASE WHEN rn_d = 1 THEN value END) AS v_last,"
+            " max(CASE WHEN rn_vmin = 1 THEN value END) AS v_min,"
+            " max(CASE WHEN rn_vmax = 1 THEN value END) AS v_max,"
+            " max(CASE WHEN rn_vmin = 1 THEN ts END) AS t_min,"
+            " max(CASE WHEN rn_vmax = 1 THEN ts END) AS t_max FROM ("
+            " SELECT *, row_number() OVER (PARTITION BY b, event_type"
+            "  ORDER BY ts, event_id) rn_a,"
+            " row_number() OVER (PARTITION BY b, event_type"
+            "  ORDER BY ts DESC, event_id DESC) rn_d,"
+            " row_number() OVER (PARTITION BY b, event_type"
+            "  ORDER BY value, ts, event_id) rn_vmin,"
+            " row_number() OVER (PARTITION BY b, event_type"
+            "  ORDER BY value DESC, ts DESC, event_id DESC) rn_vmax FROM ("
+            f" SELECT *, time_bucket(INTERVAL 1 HOUR, ts) b FROM {_EV} e))"
+            " GROUP BY 1, 2"
         ),
         "sample_stratified": (
             "SELECT doc_id, lang FROM documents"

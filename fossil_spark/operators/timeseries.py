@@ -378,6 +378,36 @@ def gapfill_linear(
     )
 
 
+def downsample_m4(
+    df: DataFrame,
+    every: str,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """M4 visualization-oriented downsampling (Jugel et al., VLDB
+    2014): per (key, bucket) keep first, last, min, and max — the four
+    values that preserve a line chart's rendered shape at bucket
+    resolution. ONE map-side-combined groupBy (struct-ordered min/max,
+    deterministic tiebreaks); at 100 TB this reduces a series to
+    4 points/pixel with a single shuffle."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    bucket = F.window(F.col(time_col), every).start.alias("bucket")
+    order = [F.col(time_col)] + [F.col(c) for c in (tiebreak or [])]
+    t_struct = F.struct(*order, F.col(value_col).alias("__v"))
+    v_struct = F.struct(F.col(value_col).alias("__v"), *order)
+    return df.groupBy(bucket, *by).agg(
+        F.min(t_struct).getField("__v").alias("v_first"),
+        F.max(t_struct).getField("__v").alias("v_last"),
+        F.min(v_struct).getField("__v").alias("v_min"),
+        F.max(v_struct).getField("__v").alias("v_max"),
+        F.min(v_struct).getField(time_col).alias("t_min"),
+        F.max(v_struct).getField(time_col).alias("t_max"),
+    )
+
+
 def value_histogram(
     df: DataFrame,
     n_bins: int,

@@ -409,3 +409,15 @@ def test_value_histogram_edges(spark):
     assert out[1] == 1        # 25.0
     assert out[19] == 1       # 499.99
     assert out[20] == 2       # hi edge and beyond
+
+
+def test_downsample_m4_invariants(events):
+    out = ts.downsample_m4(events, "1 hour", "ts", ["event_type"], "value",
+                           ["event_id"]).collect()
+    assert out
+    for r in out:
+        assert r["v_min"] <= r["v_max"]
+        assert r["v_min"] <= r["v_first"] <= r["v_max"]
+        assert r["v_min"] <= r["v_last"] <= r["v_max"]
+    # bucket count matches resample's (same bucketing)
+    assert len(out) == ts.resample(events, "1 hour", "ts", ["event_type"]).count()

@@ -34,6 +34,15 @@ SECTIONS = {
     "ts_asof_join": (
         "As-of join: union-tag + one window pass keyed by the join column."
     ),
+    "ts_gapfill": (
+        "Gap fill (round 4 rewrite): join-free segment generation — one "
+        "bucket aggregate, lead() on the same partitioning, sequence() "
+        "explode. 1 scan, 0 joins (was 2 scans, 1 join)."
+    ),
+    "ts_m4": (
+        "M4 downsampling: struct-ordered min/max in ONE map-side-combined "
+        "groupBy — 4 points per bucket with a single shuffle."
+    ),
 }
 
 HEADER = """# Plan audit (captured)

@@ -509,6 +509,15 @@ def _ts_m4(spark, sf_dir):
     )
 
 
+def _ts_funnel(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.funnel(
+        _events(spark, sf_dir), ["view", "click", "purchase"], "ts",
+        "user_id", "event_type",
+    )
+
+
 def _text_quality_bins_approx(spark, sf_dir):
     from fossil_spark.operators import text
 
@@ -803,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_deciles": _text_quality_deciles,
         "ts_histogram": _ts_histogram,
         "ts_m4": _ts_m4,
+        "ts_funnel": _ts_funnel,
         "text_quality_bins_approx": _text_quality_bins_approx,
         "store_list_topics": _store_list_topics,
         "store_stats": _store_stats,
@@ -1402,6 +1412,22 @@ def oracle_sql() -> dict[str, str]:
             " CAST(CASE WHEN value < 0.0 THEN -1 WHEN value >= 500.0 THEN 20"
             " ELSE least(floor((value - 0.0) / 25.0), 19) END AS BIGINT) AS bin,"
             f" CAST(count(*) AS BIGINT) AS n FROM {_EV} e GROUP BY 1, 2"
+        ),
+        "ts_funnel": (
+            "WITH s0 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)"
+            f" OVER (PARTITION BY user_id) t0 FROM {_EV} e),"
+            " s1 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t0"
+            "  THEN ts END) OVER (PARTITION BY user_id) t1 FROM s0),"
+            " s2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1"
+            "  THEN ts END) OVER (PARTITION BY user_id) t2 FROM s1),"
+            " pk AS (SELECT user_id, max(t0) t0, max(t1) t1, max(t2) t2"
+            "  FROM s2 GROUP BY 1),"
+            " c AS (SELECT CAST(count(t0) AS BIGINT) n0,"
+            "  CAST(count(t1) AS BIGINT) n1, CAST(count(t2) AS BIGINT) n2 FROM pk)"
+            " SELECT CAST(1 AS BIGINT) AS step_index, 'view' AS step,"
+            "  n0 AS n_converted FROM c"
+            " UNION ALL SELECT CAST(2 AS BIGINT), 'click', n1 FROM c"
+            " UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', n2 FROM c"
         ),
         "ts_m4": (
             "SELECT b AS bucket, event_type,"

@@ -378,6 +378,60 @@ def gapfill_linear(
     )
 
 
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    time_col: str = "time",
+    by: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: how many keys (users) reach each step,
+    where step k counts only when it happens STRICTLY AFTER the
+    earliest completion of step k-1 (classic product-analytics
+    semantics).
+
+    Scale shape: step 1's time is a windowed conditional min per key;
+    each later step chains another conditional-min window over the
+    SAME key partitioning — Spark executes all of them after ONE
+    shuffle on the key, no joins, no per-step passes over the data.
+    Output: (step_index, step, n_converted), n monotonically
+    non-increasing."""
+    df = _time_norm(df, time_col)
+    w = Window.partitionBy(by)
+    out = df.select(by, time_col, type_col)
+    prev = None
+    for i, s in enumerate(steps):
+        cond = F.col(type_col) == s
+        if prev is not None:
+            # a window expr can't nest in another window's aggregate:
+            # chain projections instead — same partitioning, so all
+            # the Window operators share one exchange
+            cond = cond & (F.col(time_col) > F.col(prev))
+        out = out.withColumn(
+            f"__t{i}", F.min(F.when(cond, F.col(time_col))).over(w)
+        )
+        prev = f"__t{i}"
+    per_key = out.groupBy(by).agg(
+        *[F.max(f"__t{i}").alias(f"__t{i}") for i in range(len(steps))]
+    )
+    counts = per_key.agg(
+        *[F.count(f"__t{i}").cast("long").alias(f"__n{i}")
+          for i in range(len(steps))]
+    )
+    rows = F.array(*[
+        F.struct(
+            F.lit(i + 1).cast("long").alias("step_index"),
+            F.lit(s).alias("step"),
+            F.col(f"__n{i}").alias("n_converted"),
+        )
+        for i, s in enumerate(steps)
+    ])
+    return (
+        counts.select(F.explode(rows).alias("r"))
+        .select("r.step_index", "r.step", "r.n_converted")
+    )
+
+
 def downsample_m4(
     df: DataFrame,
     every: str,

@@ -421,3 +421,34 @@ def test_downsample_m4_invariants(events):
         assert r["v_min"] <= r["v_last"] <= r["v_max"]
     # bucket count matches resample's (same bucketing)
     assert len(out) == ts.resample(events, "1 hour", "ts", ["event_type"]).count()
+
+
+def test_funnel_ordering_semantics(spark):
+    """Step k counts only when strictly after the earliest step k-1."""
+    from datetime import datetime
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: full ordered funnel
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # user 2: clicks BEFORE viewing -> stops at view
+        (2, t(1), "view"), (2, t(0), "click"),
+        # user 3: view only
+        (3, t(0), "view"),
+        # user 4: purchase without view -> counts nowhere
+        (4, t(0), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r["step"]: r["n_converted"] for r in
+           ts.funnel(df, ["view", "click", "purchase"], "ts").collect()}
+    assert out == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_funnel_single_shuffle(events):
+    out = ts.funnel(events, ["view", "click", "purchase"], "ts")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # chained windows + the per-key agg share the user_id exchange; the
+    # final 1-row agg adds a singleton exchange
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1

@@ -509,6 +509,12 @@ def _ts_m4(spark, sf_dir):
     )
 
 
+def _ts_retention(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.retention(_events(spark, sf_dir), "1 week", "ts", "user_id")
+
+
 def _ts_funnel(spark, sf_dir):
     from fossil_spark.operators import timeseries as ts
 
@@ -813,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_histogram": _ts_histogram,
         "ts_m4": _ts_m4,
         "ts_funnel": _ts_funnel,
+        "ts_retention": _ts_retention,
         "text_quality_bins_approx": _text_quality_bins_approx,
         "store_list_topics": _store_list_topics,
         "store_stats": _store_stats,
@@ -1412,6 +1419,19 @@ def oracle_sql() -> dict[str, str]:
             " CAST(CASE WHEN value < 0.0 THEN -1 WHEN value >= 500.0 THEN 20"
             " ELSE least(floor((value - 0.0) / 25.0), 19) END AS BIGINT) AS bin,"
             f" CAST(count(*) AS BIGINT) AS n FROM {_EV} e GROUP BY 1, 2"
+        ),
+        "ts_retention": (
+            # explicit 1970-01-01 origin: Spark's window() is epoch-
+            # aligned while DuckDB's default weekly origin is 2000-01-03
+            "WITH b AS (SELECT user_id,"
+            " time_bucket(INTERVAL 1 WEEK, ts, TIMESTAMP '1970-01-01') p"
+            f" FROM {_EV} e),"
+            " c AS (SELECT *, min(p) OVER (PARTITION BY user_id) cohort FROM b)"
+            " SELECT cohort,"
+            " CAST((epoch_us(p) - epoch_us(cohort)) // 604800000000 AS BIGINT)"
+            "  AS period_offset,"
+            " CAST(count(DISTINCT user_id) AS BIGINT) AS n_active"
+            " FROM c GROUP BY 1, 2"
         ),
         "ts_funnel": (
             "WITH s0 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)"

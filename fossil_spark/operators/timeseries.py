@@ -432,6 +432,39 @@ def funnel(
     )
 
 
+def retention(
+    df: DataFrame,
+    period: str = "1 week",
+    time_col: str = "time",
+    by: str = "user_id",
+) -> DataFrame:
+    """Cohort retention: keys cohorted by their first-activity period;
+    for each (cohort, period-offset) the number of distinct keys
+    active that period. The classic growth-analytics table.
+
+    Scale shape: first-seen period is a windowed min over the key (so
+    cohort assignment and activity share ONE shuffle on the key), then
+    one distinct-aggregate on (cohort, offset) — two shuffles total,
+    both map-side combined, no joins."""
+    df = _time_norm(df, time_col)
+    bucket = F.window(F.col(time_col), period).start
+    w = Window.partitionBy(by)
+    stamped = df.select(
+        F.col(by), bucket.alias("__p")
+    ).withColumn("__cohort", F.min("__p").over(w))
+    offset = (
+        (F.unix_micros(F.col("__p")) - F.unix_micros(F.col("__cohort")))
+        / (F.unix_micros(F.col("__p") + F.expr(f"INTERVAL {period}"))
+           - F.unix_micros(F.col("__p")))
+    ).cast("long")
+    return (
+        stamped.select(F.col("__cohort").alias("cohort"),
+                       offset.alias("period_offset"), F.col(by))
+        .groupBy("cohort", "period_offset")
+        .agg(F.countDistinct(by).cast("long").alias("n_active"))
+    )
+
+
 def downsample_m4(
     df: DataFrame,
     every: str,

@@ -145,7 +145,7 @@ _SCAN_BUDGET = {
     "ts_gapfill": 1, "ts_gapfill_linear": 1,
     "ts_resample": 1, "ts_sliding": 1, "ts_session": 1, "ts_rate": 1,
     "ts_sliding_time": 1, "ts_zscore": 1, "ts_histogram": 1, "ts_m4": 1,
-    "ts_funnel": 1,
+    "ts_funnel": 1, "ts_retention": 1,
     "text_quality_bins_approx": 1,
     "ts_topk": 1, "ts_first_last": 1, "ts_ohlc": 1, "ts_ewma": 1,
     "text_tokens": 1, "text_quality": 1, "text_langid": 1,

@@ -452,3 +452,27 @@ def test_funnel_single_shuffle(events):
     # chained windows + the per-key agg share the user_id exchange; the
     # final 1-row agg adds a singleton exchange
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
+
+
+def test_retention_cohort_semantics(spark):
+    from datetime import datetime
+
+    rows = [
+        # user 1: first seen week 0, active weeks 0 and 1
+        (1, datetime(2024, 1, 1)), (1, datetime(2024, 1, 9)),
+        # user 2: first seen week 0 only
+        (2, datetime(2024, 1, 2)),
+        # user 3: first seen week 1, active weeks 1 and 2
+        (3, datetime(2024, 1, 9)), (3, datetime(2024, 1, 16)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(str(r["cohort"]), r["period_offset"]): r["n_active"]
+           for r in ts.retention(df, "1 week", "ts").collect()}
+    # epoch-aligned weeks start on THURSDAYS (1970-01-01 was one):
+    # Jan 1/2 fall in the 2023-12-28 week, Jan 9 in 2024-01-04,
+    # Jan 16 in 2024-01-11
+    offsets = {(c.split(" ")[0], o): n for (c, o), n in got.items()}
+    assert offsets[("2023-12-28", 0)] == 2   # users 1 and 2
+    assert offsets[("2023-12-28", 1)] == 1   # user 1 returns
+    assert offsets[("2024-01-04", 0)] == 1   # user 3's cohort
+    assert offsets[("2024-01-04", 1)] == 1   # user 3 returns

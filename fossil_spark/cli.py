@@ -245,19 +245,45 @@ def parse_connection_string(conn: str) -> dict:
     raise ValueError(f"unknown protocol {u.scheme!r} (use fossil:// or file://)")
 
 
+def _take_flag(
+    args: list[str], name: str, valid: set[str] | None = None
+) -> tuple[list[str], str | None]:
+    """Remove `name value` from args and return (rest, value). A flag
+    with no following value, or a value outside `valid`, is a usage
+    error — never silently treated as the connection string."""
+    if name not in args:
+        return args, None
+    i = args.index(name)
+    if i + 1 >= len(args):
+        raise SystemExit(f"{name} requires a value")
+    value = args[i + 1]
+    if valid is not None and value not in valid:
+        raise SystemExit(
+            f"{name} must be one of {', '.join(sorted(valid))}; got {value!r}"
+        )
+    return args[:i] + args[i + 2:], value
+
+
 def main(argv: list[str] | None = None) -> int:
-    args = argv if argv is not None else sys.argv[1:]
+    args = list(argv) if argv is not None else sys.argv[1:]
     if not args:
         print(__doc__)
         return 2
-    fmt = "text"
-    if "--format" in args:  # text | csv | json (pkg/repl/writer.go)
-        fmt = args[args.index("--format") + 1]
-    if "--connect" in args:
-        host, _, port = args[args.index("--connect") + 1].partition(":")
+    # text | csv | json (pkg/repl/writer.go); flags are stripped before
+    # the positional connection string is read, so a leading flag can't
+    # masquerade as a database path
+    args, fmt = _take_flag(args, "--format", {"text", "csv", "json"})
+    fmt = fmt or "text"
+    args, connect = _take_flag(args, "--connect")
+    args, db_flag = _take_flag(args, "--db")
+    if connect is not None:
+        host, _, port = connect.partition(":")
         client = RemoteClient(host, int(port), fmt)
         print(f"fossil_spark client — connected to {host}:{port}")
     else:
+        if not args:
+            print(__doc__)
+            return 2
         cs = parse_connection_string(args[0])
         if not cs["local"]:
             host, _, port = cs["address"].partition(":")
@@ -267,9 +293,7 @@ def main(argv: list[str] | None = None) -> int:
                   f" (database {cs['database']!r})")
         else:
             root = cs["address"]
-            db = cs["database"]
-            if "--db" in args:
-                db = args[args.index("--db") + 1]
+            db = db_flag if db_flag is not None else cs["database"]
             client = Client(root, db, fmt)
             print(f"fossil_spark client — database {db!r} at {root}")
     while True:

@@ -310,7 +310,11 @@ def decode_python(data: bytes, schema: FossilSchema | str):
                 off += n
             elif sub.array_len is not None:
                 name = _elem_name(sub.text)
-                w = _SIZES[name]
+                w = _SIZES.get(name)
+                if w is None:
+                    raise SchemaError(
+                        f"array member element type {name!r} has no fixed width"
+                    )
                 need = w * sub.array_len
                 if off + need > len(data):
                     raise SchemaError("short composite datum")
@@ -330,7 +334,11 @@ def decode_python(data: bytes, schema: FossilSchema | str):
         return out
     if schema.array_len is not None:
         name = _elem_name(schema.text)
-        w = _SIZES[name]
+        w = _SIZES.get(name)
+        if w is None:
+            raise SchemaError(
+                f"array element type {name!r} has no fixed width"
+            )
         if len(data) != w * schema.array_len:
             raise SchemaError(
                 f"array datum is {len(data)} bytes, schema needs {w * schema.array_len}"
@@ -386,7 +394,9 @@ def validate_bytes(data: bytes, schema: FossilSchema | str) -> bool:
     try:
         decode_python(data, schema)
         return True
-    except (SchemaError, UnicodeDecodeError, struct.error):
+    except (SchemaError, UnicodeDecodeError, struct.error, KeyError):
+        # KeyError: malformed schemas can still reach _SIZES/_FIXED_FMT
+        # lookups; a bad schema is non-conforming data, not a 500
         return False
 
 

@@ -240,21 +240,31 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
             if dri and mcu_count and mcu_count % dri == 0:
                 br.align_to_restart()
                 pred = [0] * len(comps)
-            try:
-                for ci, c in enumerate(comps):
-                    dc_t = huff_dc[scan[c["id"]][0]]
-                    ac_t = huff_ac[scan[c["id"]][1]]
-                    q = qt[c["tq"]]
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            block = _decode_block(br, dc_t, ac_t, q, pred, ci)
-                            y0 = (my * c["v"] + by) * 8
-                            x0 = (mx * c["h"] + bx) * 8
-                            planes[ci][y0:y0 + 8, x0:x0 + 8] = block
-            except _RestartMarker:
-                # tolerate encoders that emit RST slightly early
-                pred = [0] * len(comps)
-                br.bits = br.nbits = 0
+            for attempt in (0, 1):
+                try:
+                    for ci, c in enumerate(comps):
+                        dc_t = huff_dc[scan[c["id"]][0]]
+                        ac_t = huff_ac[scan[c["id"]][1]]
+                        q = qt[c["tq"]]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                block = _decode_block(br, dc_t, ac_t, q, pred, ci)
+                                y0 = (my * c["v"] + by) * 8
+                                x0 = (mx * c["h"] + bx) * 8
+                                planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+                    break
+                except _RestartMarker:
+                    # tolerate encoders that emit RST earlier than the
+                    # declared DRI: skip past the marker (br.pos still
+                    # points at its 0xFF — _fill raises without
+                    # advancing), reset predictions as the encoder did,
+                    # and RE-DECODE this MCU from the post-marker data.
+                    # Without advancing, every subsequent _fill
+                    # re-raises and the whole interval decodes as
+                    # zeros; without retrying, the stream shifts one
+                    # MCU per early marker.
+                    pred = [0] * len(comps)
+                    br.align_to_restart()
             mcu_count += 1
 
     # crop each plane to its true component size, then upsample
@@ -405,6 +415,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad final byte with 1s
         return bytes(self.out)
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-padded) and emit RSTn. The marker bytes go
+        out raw — stuffing applies to entropy data only."""
+        if self.nacc:
+            pad = 8 - self.nacc
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
     """Public IJG quality scaling: 50 -> table as-is."""
@@ -429,9 +447,14 @@ def _block_at(plane: np.ndarray, ys: int, xs: int) -> np.ndarray:
 
 
 def encode_jpeg(pixels: np.ndarray, quality: int = 90,
-                subsample: bool = False) -> bytes:
+                subsample: bool = False, restart_interval: int = 0,
+                _declared_dri: int | None = None) -> bytes:
     """HxW (grayscale) or HxWx3 (RGB) uint8 -> baseline JPEG
-    (4:4:4, or 4:2:0 with subsample=True)."""
+    (4:4:4, or 4:2:0 with subsample=True). restart_interval > 0 emits
+    a DRI segment and RSTn markers every that-many MCUs (T.81 §B.2.4.4,
+    E.2.4). _declared_dri (tests only) writes a different interval in
+    the DRI header than the markers actually follow, to exercise the
+    decoder's early-restart tolerance."""
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
     h, w, nc = pixels.shape
@@ -477,8 +500,16 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
     pred = [0] * nc
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcu_count = 0
+    rst_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                bw.restart(rst_n)
+                rst_n = (rst_n + 1) & 7
+                pred = [0] * nc
+            mcu_count += 1
             for ci in range(nc):
                 ti = min(ci, 1)
                 ch, cv = samp[ci]
@@ -517,6 +548,10 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
         tables += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
     for tid, (counts, syms) in tables:
         out += seg(0xC4, bytes([tid]) + bytes(counts) + syms)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(
+            ">H", _declared_dri if _declared_dri is not None
+            else restart_interval))
     scan_spec = b"".join(
         struct.pack(">BB", i + 1, 0x00 if i == 0 else 0x11) for i in range(nc)
     )

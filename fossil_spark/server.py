@@ -273,18 +273,30 @@ class _Database:
         schema = self._registry().get(topic)
         if schema.text == "string":
             value = data.decode("utf-8", "replace")
-        elif validate_bytes(data, schema):
-            # a real fossil client binary-encodes the datum per the topic
-            # schema before APPEND (reference pkg/repl/parser.go:55 →
-            # pkg/schema/encoding.go); decode to the store's typed text
-            value = to_storage_text(decode_python(data, schema))
         else:
-            # textual fallback (our own JSON/text clients): keep the
-            # conforms() gate the reference applies at append (db.go:486)
-            value = data.decode("utf-8", "replace")
-            if not conforms(value, schema):
+            # Textual first: our text/JSON clients send the literal
+            # itself, and a text datum whose UTF-8 length happens to
+            # equal the schema's fixed width (e.g. "1234" to an int32
+            # topic) must not be reinterpreted as binary — that's
+            # silent corruption. Binary decode is the fallback for
+            # reference-parity clients (append_literal, reference
+            # pkg/repl/parser.go:55 → pkg/schema/encoding.go); their
+            # encodings almost never also read as a conforming literal
+            # (every byte would have to be an ASCII digit).
+            try:
+                text = data.decode("utf-8")
+            except UnicodeDecodeError:
+                text = None
+            if text is not None and conforms(text, schema):
+                value = text
+            elif validate_bytes(data, schema):
+                value = to_storage_text(decode_python(data, schema))
+            else:
+                # keep the conforms() gate the reference applies at
+                # append (db.go:486)
+                shown = text if text is not None else data.decode("utf-8", "replace")
                 raise SchemaError(
-                    f"datum {value!r} does not conform to topic {topic!r} "
+                    f"datum {shown!r} does not conform to topic {topic!r} "
                     f"schema {schema.text!r}"
                 )
         row = (datetime.now(timezone.utc).replace(tzinfo=None), topic, value)
@@ -307,8 +319,17 @@ class _Database:
                 # one atomic parquet commit per micro-batch (schema
                 # validation included — store.append_rows). If it
                 # raises, the rotated WAL segment keeps the batch
-                # recoverable on restart.
-                self.store.append_rows(batch)
+                # recoverable on restart — but a LATER successful
+                # flush merges that segment, commits only its own
+                # batch, and deletes the file, so the failed batch
+                # must also go back into pending or acked rows are
+                # lost without any crash.
+                try:
+                    self.store.append_rows(batch)
+                except BaseException:
+                    with self.lock:
+                        self.pending[0:0] = batch
+                    raise
                 self._flushes += 1
                 try:
                     os.remove(self._wal_flushing)

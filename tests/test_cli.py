@@ -107,3 +107,34 @@ def test_format_table_variants():
 
     js = json.loads(format_table(headers, rows, "json"))
     assert js[0] == {"time": "t1", "topic": "/a", "data": "1.5"}
+
+
+def test_flag_parsing_is_position_independent():
+    """Flags are stripped (with validated values) before the
+    positional connection string is read — a leading --format must
+    never be mistaken for a database path."""
+    from fossil_spark.cli import _take_flag
+
+    rest, fmt = _take_flag(["--format", "json", "mydb"], "--format",
+                           {"text", "csv", "json"})
+    assert (rest, fmt) == (["mydb"], "json")
+    rest, val = _take_flag(["mydb"], "--db")
+    assert (rest, val) == (["mydb"], None)
+
+    with pytest.raises(SystemExit, match="requires a value"):
+        _take_flag(["mydb", "--format"], "--format", {"text"})
+    with pytest.raises(SystemExit, match="must be one of"):
+        _take_flag(["--format", "yaml", "mydb"], "--format",
+                   {"text", "csv", "json"})
+
+
+def test_main_rejects_bad_format_without_touching_fs():
+    from fossil_spark import cli
+
+    before = set(os.listdir("."))
+    with pytest.raises(SystemExit):
+        cli.main(["--format"])
+    with pytest.raises(SystemExit):
+        cli.main(["--format", "yaml", "somedb"])
+    assert set(os.listdir(".")) == before
+    assert not os.path.exists("--format")

@@ -313,3 +313,26 @@ def test_composite_roundtrip_property(a, b, s):
     assert out["label"] == s.strip()
     # python-value encoding produces the identical bytes
     assert encode_python(out, schema) == data
+
+
+def test_unsized_array_element_is_schema_error():
+    """A schema object whose array element has no fixed width (only
+    constructible by hand or via a corrupt registry — parse_schema
+    rejects it) must surface as SchemaError / non-conforming, never as
+    a bare KeyError that turns an APPEND into a 500."""
+    from fossil_spark.encoding import validate_bytes
+    from fossil_spark.schema import FossilSchema, SchemaError
+    import pyspark.sql.types as T
+
+    bad = FossilSchema("[2]string", T.ArrayType(T.StringType()), array_len=2)
+    with pytest.raises(SchemaError, match="no fixed width"):
+        decode_python(b"1234", bad)
+    assert validate_bytes(b"1234", bad) is False
+
+    comp = FossilSchema(
+        '{"tags": [2]string}', T.StringType(),
+        entries={"tags": bad},
+    )
+    with pytest.raises(SchemaError, match="no fixed width"):
+        decode_python(b"12345678", comp)
+    assert validate_bytes(b"12345678", comp) is False

@@ -106,3 +106,39 @@ def test_jpeg_through_spark_operators(spark):
     assert rows[2]["decoded"] == "real"
     assert rows[2]["mean"] == pytest.approx(128.0, abs=2.0)
     assert rows[3]["decoded"] == "fake"
+
+
+def test_restart_interval_roundtrip():
+    """DRI + RSTn markers every 2 MCUs (T.81 E.2.4): the decoder's
+    aligned restart path must resync and reset DC predictions."""
+    img = _gradient_rgb()
+    data = encode_jpeg(img, quality=95, restart_interval=2)
+    assert b"\xFF\xDD" in data  # DRI segment present
+    w, h, mode, px = decode_jpeg(data)
+    assert (w, h, mode) == (64, 48, "RGB")
+    err = np.abs(px.astype(int) - img.astype(int))
+    assert err.max() <= 4
+
+
+def test_early_restart_tolerated_per_marker():
+    """Markers every 2 MCUs but a header declaring 6: every other
+    marker arrives "early" relative to DRI. The decoder must skip past
+    each early marker and re-decode the interrupted MCU from the
+    post-marker data — not zero-fill the rest of the interval."""
+    img = _gradient_rgb()
+    data = encode_jpeg(img, quality=95, restart_interval=2,
+                       _declared_dri=6)
+    w, h, mode, px = decode_jpeg(data)
+    assert (w, h, mode) == (64, 48, "RGB")
+    err = np.abs(px.astype(int) - img.astype(int))
+    assert err.max() <= 4
+
+
+def test_restart_interval_grayscale_subsampled():
+    img = _gradient_rgb(40, 24)
+    data = encode_jpeg(img, quality=90, subsample=True,
+                       restart_interval=3)
+    w, h, mode, px = decode_jpeg(data)
+    assert (w, h) == (40, 24)
+    err = np.abs(px.astype(int) - img.astype(int))
+    assert err.mean() < 8

@@ -327,3 +327,58 @@ def test_wal_tolerates_torn_final_write(spark):
         assert [v for _, _, v in db.pending] == ["1", "2"]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_text_datum_width_collision_stays_text(server):
+    """A text datum whose UTF-8 length equals the schema's fixed width
+    must NOT be reinterpreted as binary: "1234" to an int32 topic
+    stores 1234, not 875770417 (little-endian bytes of "1234")."""
+    with FossilClient(server.host, server.port) as c:
+        c.create("/w", "int32")
+        c.append("/w/x", "1234")  # 4 text bytes == int32 fixed width
+        rows = c.query("all in /w")
+        assert rows[0]["value"] == 1234
+        # reference-parity binary appends still take the binary path
+        c.append("/w/x", struct.pack("<i", 777))
+        rows = c.query("all in /w")
+        assert [r["value"] for r in rows] == [1234, 777]
+
+
+def test_failed_flush_preserves_acked_rows(spark):
+    """If the parquet commit raises, the batch must go back into
+    pending — otherwise the NEXT successful flush merges the leftover
+    WAL segment, commits only its own batch, and deletes the file,
+    silently dropping acked rows without any crash/restart."""
+    from fossil_spark.server import _Database
+
+    d = os.path.join("build", f"ffl_{uuid.uuid4().hex[:8]}")
+    root = os.path.join(d, "db")
+    os.makedirs(d)
+    try:
+        db = _Database(spark, "db", root)
+        db.append("/f", b"one", flush_every=10**9)
+        db.append("/f", b"two", flush_every=10**9)
+
+        orig = db.store.append_rows
+        calls = {"n": 0}
+
+        def flaky(batch):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("simulated commit failure")
+            return orig(batch)
+
+        db.store.append_rows = flaky
+        with pytest.raises(RuntimeError, match="simulated"):
+            db.flush()
+        # the acked batch is queued again, not stranded in the WAL
+        assert [v for _, _, v in db.pending] == ["one", "two"]
+
+        db.append("/f", b"three", flush_every=10**9)
+        db.flush()
+        got = sorted(r["value"] for r in db.store.read().collect())
+        assert got == ["one", "three", "two"]
+        assert not os.path.exists(db._wal_flushing)
+        assert os.path.getsize(db._wal_active) == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -672,6 +672,46 @@ def _multimodal_meta(spark, sf_dir):
     return multimodal.decode_image_meta(binary)
 
 
+def _multimodal_frames(spark, sf_dir):
+    """Real video-frame pixel extraction (SURVEY §2 E11, last stub
+    closed): deterministic JPEG-in-MP4 blobs are synthesized per doc
+    (n_frames = 1 + doc_id % 4, constant-color frames), then
+    extract_video_frames addresses each sample via the stsz/stsc/stco
+    tables and decodes REAL pixels with the pure-numpy T.81 decoder.
+    The oracle checks the structural outputs (frame counts, real-decode
+    counts, true dimensions); pixel-accuracy is pinned in
+    tests/test_multimodal.py (lossy means aren't SQL-reproducible)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fossil_spark.operators import multimodal as mm
+
+    docs = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") < 200)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                n = 1 + int(did) % 4
+                frames = [
+                    np.full((16, 16, 3), (int(did) * 37 + i * 11) % 256, np.uint8)
+                    for i in range(n)
+                ]
+                rows.append((int(did), mm.encode_mjpeg_mp4(frames, quality=92)))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    videos = docs.mapInPandas(gen, "doc_id long, content binary")
+    fr = mm.extract_video_frames(videos, every_n=1)
+    return fr.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.sum(F.when(F.col("decoded") == "real", 1).otherwise(0))
+        .cast("long").alias("n_real"),
+        F.max("width").cast("long").alias("width"),
+        F.max("height").cast("long").alias("height"),
+    )
+
+
 def _pipeline_curate(spark, sf_dir):
     """End-to-end corpus curation: quality filter + language filter +
     exact dedup + chunking in ONE declarative plan
@@ -743,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_group_split": _sample_group_split,
         "text_quality_deciles": _text_quality_deciles,
         "text_quality_bins_approx": _text_quality_bins_approx,
+        "multimodal_frames": _multimodal_frames,  # new r6: real frame pixels
         # --- canaries: least-recent driver green first -----------------------
         # B. store/schema (last green r03)
         "store_list_topics": _store_list_topics,
@@ -1659,5 +1700,13 @@ def oracle_sql() -> dict[str, str]:
             " ('0x' || substr(md5(text),3,2))::INT + 1 AS height,"
             " CASE WHEN ('0x' || substr(md5(text),5,1))::INT % 2 = 0 THEN 'RGB' ELSE 'L' END"
             " AS mode FROM documents"
+        ),
+        # structural truth of the synthesized fixture: every frame is
+        # decodable (n_real == n_frames), 16x16, 1 + doc_id % 4 frames
+        "multimodal_frames": (
+            "SELECT doc_id, CAST(1 + doc_id % 4 AS BIGINT) AS n_frames,"
+            " CAST(1 + doc_id % 4 AS BIGINT) AS n_real,"
+            " CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height"
+            " FROM documents WHERE doc_id < 200"
         ),
     }

@@ -219,3 +219,76 @@ def test_video_meta_and_frame_sample(spark):
     samples = mm.frame_sample_stub(df, every_n=100).collect()
     idx1 = sorted(r["frame_idx"] for r in samples if r["doc_id"] == 1)
     assert idx1 == [0, 100, 200]  # 300 frames, every 100th
+
+
+def test_mp4_sample_table_pure():
+    """stsz/stsc/stco arithmetic: every sample addressable, sizes sum
+    into the mdat payload, codec fourcc surfaced."""
+    frames = [np.full((16, 24, 3), v, np.uint8) for v in (30, 90, 150, 210)]
+    blob = mm.encode_mjpeg_mp4(frames, fps=5, quality=92)
+    codec, samples = mm.parse_mp4_samples(blob)
+    assert codec == "jpeg" and len(samples) == 4
+    for off, size in samples:
+        assert blob[off:off + 3] == b"\xFF\xD8\xFF"
+        assert blob[off + size - 2:off + size] == b"\xFF\xD9"
+    # the writer's metadata agrees with the generic box walk
+    meta = mm.parse_mp4_meta(blob)
+    assert (meta["video_codec"], meta["n_video_frames"]) == ("jpeg", 4)
+    assert (meta["width"], meta["height"]) == (24, 16)
+
+
+def test_extract_video_frames_real_pixels(spark):
+    """The last E11 stub upgraded: JPEG-in-MP4 frames decode to REAL
+    width/height/mean through the pure-numpy T.81 decoder."""
+    vals = [(1, (20, 100, 240)), (2, (55, 200))]
+    rows = [
+        (did, bytearray(mm.encode_mjpeg_mp4(
+            [np.full((16, 16, 3), v, np.uint8) for v in vs], quality=95)))
+        for did, vs in vals
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = mm.extract_video_frames(df, every_n=1).collect()
+    got = {(r.doc_id, r.frame_idx): r for r in out}
+    assert len(got) == 5
+    for did, vs in vals:
+        for i, v in enumerate(vs):
+            r = got[(did, i)]
+            assert r.decoded == "real"
+            assert (r.width, r.height, r.mode) == (16, 16, "RGB")
+            assert abs(r.mean - v) <= 2.0  # constant frame at q95
+            assert r.std <= 6.0
+
+
+def test_extract_video_frames_every_n_and_raw_mjpeg(spark):
+    from fossil_spark.operators.jpeg import encode_jpeg
+
+    frames = [np.full((8, 8), v, np.uint8) for v in (10, 60, 110, 160, 210)]
+    mp4 = mm.encode_mjpeg_mp4(frames, quality=95)
+    raw = b"".join(encode_jpeg(f, quality=95) for f in frames)
+    df = spark.createDataFrame(
+        [(1, bytearray(mp4)), (2, bytearray(raw))],
+        "doc_id long, content binary",
+    )
+    out = mm.extract_video_frames(df, every_n=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for did in (1, 2):
+        rs = sorted(by_doc[did], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in rs] == [0, 2, 4]
+        assert all(r.decoded == "real" and r.mode == "L" for r in rs)
+        means = [r.mean for r in rs]
+        assert [round(m / 10) for m in means] == [1, 11, 21]
+
+
+def test_extract_video_frames_non_jpeg_codec_stays_stub(spark):
+    """A real sample table with a codec we can't decode codec-free
+    (e.g. avc1) keeps honest stub rows: true frame indices, null
+    pixel stats."""
+    frames = [np.full((8, 8, 3), 128, np.uint8)] * 3
+    blob = mm.encode_mjpeg_mp4(frames, codec="avc1")
+    df = spark.createDataFrame([(9, bytearray(blob))], "doc_id long, content binary")
+    out = mm.extract_video_frames(df, every_n=1).collect()
+    assert [r.frame_idx for r in out] == [0, 1, 2]
+    assert all(r.decoded == "stub" and r.width is None and r.mean is None
+               for r in out)

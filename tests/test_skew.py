@@ -1,0 +1,173 @@
+"""Skew kill-tests (SURVEY §4): one key owning ~50% of rows driven
+through sessionize / funnel / asof_join / minhash LSH, asserting both
+correctness and a wall-clock budget, plus proof that AQE's skew-join
+split actually engages on a skewed sort-merge join. The budget is
+generous (CI noise) but fails on quadratic blowups — the whale key's
+partition must be processed in linear time by every operator."""
+
+import time
+from datetime import timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+BUDGET_S = 120.0
+N = 200_000
+BASE_US = 1_700_000_000_000_000  # fixed epoch µs
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """~50% of rows on one 'whale' user, the rest across 997 keys.
+    Deterministic times: row i at BASE + i ms."""
+    df = (
+        spark.range(N)
+        .select(
+            F.when(F.col("id") % 2 == 0, F.lit("whale"))
+            .otherwise(F.concat(F.lit("u"), (F.col("id") % 997).cast("string")))
+            .alias("user_id"),
+            F.timestamp_micros(F.lit(BASE_US) + F.col("id") * 1000)
+            .alias("time"),
+            (F.col("id") % 5).cast("double").alias("value"),
+            F.element_at(
+                F.array(F.lit("view"), F.lit("cart"), F.lit("buy")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("event_type"),
+        )
+        .cache()
+    )
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _timed(df):
+    t0 = time.monotonic()
+    rows = df.collect()
+    return rows, time.monotonic() - t0
+
+
+def test_sessionize_whale_key(skewed):
+    from fossil_spark.operators.timeseries import sessionize
+
+    # whale events every 2 ms; 1 s gap -> exactly one session
+    rows, dt = _timed(
+        sessionize(skewed, timedelta(seconds=1), by=["user_id"])
+    )
+    assert dt < BUDGET_S, f"sessionize took {dt:.1f}s on skewed input"
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user["whale"]) == 1
+    assert by_user["whale"][0].n_events == N // 2
+
+
+def test_funnel_whale_key(skewed):
+    from fossil_spark.operators.timeseries import funnel
+
+    rows, dt = _timed(
+        funnel(skewed, ["view", "cart", "buy"], by="user_id")
+    )
+    assert dt < BUDGET_S, f"funnel took {dt:.1f}s on skewed input"
+    ns = [r.n_converted for r in sorted(rows, key=lambda r: r.step_index)]
+    assert ns[0] >= ns[1] >= ns[2]
+    # every key (whale included) emits view->cart->buy cycles, so all
+    # 998 distinct keys convert through the full funnel
+    assert ns[2] == 998
+
+
+def test_asof_join_whale_key(skewed, spark):
+    from fossil_spark.operators.timeseries import asof_join
+
+    # sparse right side: one quote per key every ~20 s
+    quotes = (
+        spark.range(100)
+        .select(
+            F.when(F.col("id") % 2 == 0, F.lit("whale"))
+            .otherwise(F.concat(F.lit("u"), (F.col("id") % 997).cast("string")))
+            .alias("user_id"),
+            F.timestamp_micros(F.lit(BASE_US) + F.col("id") * 2_000_000)
+            .alias("qtime"),
+            F.col("id").cast("double").alias("quote"),
+        )
+    )
+    out = asof_join(
+        skewed, quotes, on="user_id", left_time="time",
+        right_time="qtime", right_values=["quote"],
+    )
+    rows, dt = _timed(out.agg(F.count("*")))
+    assert dt < BUDGET_S, f"asof_join took {dt:.1f}s on skewed input"
+    assert rows[0][0] == N  # left rows preserved exactly
+
+
+def test_minhash_hot_bucket_streams_pairs(spark):
+    from fossil_spark.operators.dedup import minhash_lsh_pairs
+
+    # 300 identical docs -> one degenerate bucket of 300 ids in every
+    # band; pairs must stream out (two chained explodes), never an
+    # n^2/2 array in a single value
+    k, distinct = 300, 200
+    docs = spark.range(k + distinct).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") < k, F.lit("the same boilerplate text repeated")
+        ).otherwise(
+            F.concat(F.lit("unique document number "), F.col("id"))
+        ).alias("text"),
+    )
+    t0 = time.monotonic()
+    n_pairs = minhash_lsh_pairs(docs).count()
+    dt = time.monotonic() - t0
+    assert dt < BUDGET_S, f"minhash took {dt:.1f}s on hot bucket"
+    assert n_pairs >= k * (k - 1) // 2
+
+
+def test_aqe_splits_skewed_join(spark, skewed):
+    """AQE skew-join handling must actually engage: with thresholds
+    scaled to test data, a skewed sort-merge join's executed plan
+    carries the skew=true marker on its sort-merge join node."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        # force a sort-merge join (no broadcast escape hatch)
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        dim = spark.range(1200).select(
+            F.when(F.col("id") == 0, F.lit("whale"))
+            .otherwise(F.concat(F.lit("u"), ((F.col("id") - 1) % 997).cast("string")))
+            .alias("user_id"),
+            F.col("id").cast("double").alias("weight"),
+        ).distinct()
+        joined = skewed.join(dim, "user_id").agg(
+            F.sum(F.col("value") * F.col("weight"))
+        )
+        t0 = time.monotonic()
+        joined.collect()
+        dt = time.monotonic() - t0
+        assert dt < BUDGET_S
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, (
+            "AQE skew-join split did not engage:\n" + plan[:2000]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

@@ -45,6 +45,16 @@ _PROMO_REV = (
     " THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END"
 )
 
+_N5_REV = (
+    "CASE WHEN n1.n_name = 'NATION_5'"
+    " THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END"
+)
+
+_Q9_PROFIT = (
+    "l_extendedprice * (1.0 - l_discount)"
+    " - l_quantity * 0.1 * p_retailprice"
+)
+
 
 # tokenized documents + word-3-gram shingles, mirroring operators/text.py
 _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
@@ -784,6 +794,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_deciles": _text_quality_deciles,
         "text_quality_bins_approx": _text_quality_bins_approx,
         "multimodal_frames": _multimodal_frames,  # new r6: real frame pixels
+        # new r6: the remaining TPC-H shapes — all 22 now implemented
+        "tpch_q2": _tpch("q2_best_supplier"),
+        "tpch_q8": _tpch("q8_market_share"),
+        "tpch_q9": _tpch("q9_product_type_profit"),
+        "tpch_q11": _tpch("q11_important_parts"),
+        "tpch_q16": _tpch("q16_supplier_relationship"),
+        "tpch_q20": _tpch("q20_potential_promotion"),
+        "tpch_q21": _tpch("q21_suppliers_kept_waiting"),
         # --- canaries: least-recent driver green first -----------------------
         # B. store/schema (last green r03)
         "store_list_topics": _store_list_topics,
@@ -1295,6 +1313,107 @@ def oracle_sql() -> dict[str, str]:
             " AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey"
             "  AND o_orderdate < TIMESTAMP '1995-03-01')"
             " GROUP BY c_nationkey ORDER BY c_nationkey"
+        ),
+        "tpch_q2": (
+            "WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),"
+            " cand AS (SELECT s_acctbal, s_name, n_name, p_partkey, p_type,"
+            "  max(s_acctbal) OVER (PARTITION BY p_partkey) AS best"
+            "  FROM ps JOIN part ON l_partkey = p_partkey"
+            "  JOIN supplier ON l_suppkey = s_suppkey"
+            "  JOIN nation ON s_nationkey = n_nationkey"
+            "  JOIN region ON n_regionkey = r_regionkey"
+            "  WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE')"
+            " SELECT s_acctbal, s_name, n_name, p_partkey, p_type FROM cand"
+            " WHERE s_acctbal = best"
+            " ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"
+        ),
+        "tpch_q8": (
+            "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,"
+            f" {_DSUM(_N5_REV)}"
+            f" / {_DSUM('l_extendedprice * (1.0 - l_discount)')} AS mkt_share"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN part ON l_partkey = p_partkey"
+            " JOIN supplier ON l_suppkey = s_suppkey"
+            " JOIN nation n1 ON s_nationkey = n1.n_nationkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation n2 ON c_nationkey = n2.n_nationkey"
+            " JOIN region ON n2.n_regionkey = r_regionkey"
+            " WHERE p_type = 'PROMO' AND r_name = 'ASIA'"
+            " AND o_orderdate >= TIMESTAMP '1995-01-01'"
+            " AND o_orderdate < TIMESTAMP '1997-01-01'"
+            " GROUP BY 1 ORDER BY 1"
+        ),
+        # unit cost proxied as 10% of p_retailprice (no partsupp in the
+        # driver schema) — mirrored in queries/tpch.py q9
+        "tpch_q9": (
+            "SELECT n_name AS nation,"
+            " CAST(year(o_orderdate) AS BIGINT) AS o_year,"
+            f" {_DSUM(_Q9_PROFIT)} AS sum_profit"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN part ON l_partkey = p_partkey"
+            " JOIN supplier ON l_suppkey = s_suppkey"
+            " JOIN nation ON s_nationkey = n_nationkey"
+            " WHERE p_name LIKE '%red%'"
+            " GROUP BY 1, 2 ORDER BY nation, o_year DESC"
+        ),
+        "tpch_q11": (
+            "WITH base AS (SELECT l_partkey, l_extendedprice, l_discount"
+            " FROM lineitem JOIN supplier ON l_suppkey = s_suppkey"
+            " JOIN nation ON s_nationkey = n_nationkey"
+            " WHERE n_name = 'NATION_7'),"
+            " pp AS (SELECT l_partkey,"
+            f" {_DSUM('l_extendedprice * (1.0 - l_discount)')} AS value"
+            " FROM base GROUP BY 1),"
+            # total derived from the per-part values (mirrors tpch.py:
+            # ONE lineitem scan)
+            f" cut AS (SELECT {_DSUM('value')} * 0.001 AS c FROM pp)"
+            " SELECT l_partkey, value FROM pp, cut WHERE value > c"
+            " ORDER BY value DESC, l_partkey"
+        ),
+        "tpch_q16": (
+            "WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)"
+            " SELECT p_brand, p_type, p_size,"
+            " CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt"
+            " FROM ps JOIN part ON l_partkey = p_partkey"
+            " WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'"
+            " AND p_size IN (1, 2, 3, 4, 5, 6, 7, 8)"
+            " AND l_suppkey NOT IN"
+            "  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)"
+            " GROUP BY 1, 2, 3"
+            " ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+        ),
+        "tpch_q20": (
+            "WITH heavy AS (SELECT l_suppkey FROM lineitem"
+            " JOIN part ON l_partkey = p_partkey"
+            " WHERE p_name LIKE 'small%'"
+            " AND l_shipdate >= TIMESTAMP '1995-01-01'"
+            " AND l_shipdate < TIMESTAMP '1996-01-01'"
+            " GROUP BY l_suppkey, l_partkey HAVING sum(l_quantity) > 60.0)"
+            " SELECT s_name, s_acctbal FROM supplier"
+            " JOIN nation ON s_nationkey = n_nationkey"
+            " WHERE n_name = 'NATION_3'"
+            " AND s_suppkey IN (SELECT l_suppkey FROM heavy)"
+            " ORDER BY s_name"
+        ),
+        # 'late' = shipped > 30 days after order date (q4's convention;
+        # no commit/receipt dates in the driver schema)
+        "tpch_q21": (
+            "WITH lo AS (SELECT l_orderkey, l_suppkey,"
+            " (l_shipdate > o_orderdate + INTERVAL 30 DAY) AS late"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " WHERE o_orderstatus = 'F'),"
+            " per_o AS (SELECT l_orderkey,"
+            "  count(DISTINCT l_suppkey) AS ns,"
+            "  count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nlate"
+            "  FROM lo GROUP BY 1),"
+            " w AS (SELECT DISTINCT lo.l_orderkey, lo.l_suppkey FROM lo"
+            "  JOIN per_o ON lo.l_orderkey = per_o.l_orderkey"
+            "  WHERE late AND ns >= 2 AND nlate = 1)"
+            " SELECT s_name, CAST(count(*) AS BIGINT) AS numwait"
+            " FROM w JOIN supplier ON l_suppkey = s_suppkey"
+            " JOIN nation ON s_nationkey = n_nationkey"
+            " WHERE n_name = 'NATION_1'"
+            " GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"
         ),
         # --- D2. analytical shapes -------------------------------------------
         "win_running_revenue": (

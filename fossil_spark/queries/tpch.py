@@ -368,3 +368,233 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+def q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: minimum-cost supplier per part (correlated subquery).
+    The driver schema has no partsupp, so lineitem's (partkey,
+    suppkey) pairs are the part↔supplier relation and max(s_acctbal)
+    stands in for min(ps_supplycost) — the same per-part correlated
+    extreme, resolved as one window over the candidate set instead of
+    a per-row re-scan. Dims broadcast; the only shuffle is lineitem's
+    distinct pair projection."""
+    from pyspark.sql import Window
+
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cand = (
+        ps.join(broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    best = F.max("s_acctbal").over(Window.partitionBy("p_partkey"))
+    return (
+        cand.withColumn("__best", best)
+        .filter(F.col("s_acctbal") == F.col("__best"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: national market share — NATION_5's fraction of PROMO-part
+    revenue delivered into ASIA customers by year. The share is a
+    conditional sum over ONE aggregation (no second pass); every dim
+    broadcasts, orders↔lineitem is the only shuffle."""
+    lo = F.lit("1995-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    vol = _rev()
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(p), l.l_partkey == p.p_partkey)
+        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(broadcast(r), F.col("cn_rkey") == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                dsum(F.when(F.col("supp_nation") == "NATION_5", vol)
+                     .otherwise(F.lit(0.0)))
+                / dsum(vol)
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9: profit on 'red' parts by supplier nation and year. No
+    partsupp/ps_supplycost in the driver schema: unit cost is proxied
+    as 10% of p_retailprice (documented, mirrored in the oracle), so
+    profit = rev - l_quantity * 0.1 * p_retailprice keeps the classic
+    join tree and aggregation shape."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    profit = _rev() - F.col("l_quantity") * F.lit(0.1) * F.col("p_retailprice")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(p), l.l_partkey == p.p_partkey)
+        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: per-part value with a HAVING over a global scalar
+    (fraction of total). partsupp is absent, so value is NATION_7
+    suppliers' shipped revenue per part from lineitem. The scalar total
+    is a one-row aggregate cross-broadcast into the filter — computed
+    once, not per group."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    l = _t(spark, sf_dir, "lineitem")
+    base = (
+        l.join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+    )
+    per_part = base.groupBy("l_partkey").agg(dsum(_rev()).alias("value"))
+    # the global total is the sum of the per-part values — derived from
+    # the aggregate, so lineitem is scanned ONCE, not once per branch
+    total = per_part.agg((dsum(F.col("value")) * F.lit(0.001)).alias("__cut"))
+    return (
+        per_part.join(broadcast(total), F.col("value") > F.col("__cut"))
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier counts per part attribute triple
+    with a NOT-IN supplier exclusion. lineitem's distinct pairs are
+    the relation; suppliers with negative balances stand in for the
+    reference's complaint-comment filter, excluded with LEFT ANTI (the
+    NOT IN that never builds a null-trap subquery)."""
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 2, 3, 4, 5, 6, 7, 8)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0)
+    return (
+        ps.join(broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested aggregate subquery chain — NATION_3 suppliers
+    who shipped more than 60 units of any 'small' part during 1995.
+    The inner per-(supplier, part) quantity aggregate SEMI-joins back
+    to suppliers; parts broadcast into the aggregate's build side."""
+    lo = F.lit("1995-01-01").cast("timestamp")
+    hi = F.lit("1996-01-01").cast("timestamp")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    heavy = (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 60.0)
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        # heavy is bounded by the supplier count — broadcast it so the
+        # tiny supplier table never shuffles for the semi join
+        s.join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "leftsemi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier finished order. commit/receipt dates are absent, so
+    'late' is l_shipdate > o_orderdate + 30 days (q4's convention,
+    mirrored in the oracle). The EXISTS / NOT EXISTS pair collapses
+    into per-order distinct-supplier counts computed as WINDOW
+    collect_sets over the orderkey partitioning — one scan of the
+    fact join and ONE shuffle, no groupBy-plus-join-back re-scan, no
+    self-join of lineitem against itself."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    s = _t(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    lo = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late.alias("__late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    waiting = (
+        lo.withColumn("__ns", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "__nlate",
+            F.size(F.collect_set(
+                F.when(F.col("__late"), F.col("l_suppkey"))
+            ).over(w)),
+        )
+        .filter(F.col("__late") & (F.col("__ns") >= 2) & (F.col("__nlate") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        waiting.join(broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

@@ -19,7 +19,12 @@ SF = "/root/testdata/sf0.001"
 #   - multimodal: Arrow-batched decode plumbing (mapInPandas)
 #   - ewma: sequential recurrence per key (applyInPandas)
 #   - text_pack: greedy bin packing per bucket (applyInPandas)
-PYTHON_OK = {"fql_sample_greedy", "multimodal_meta", "ts_ewma", "text_pack"}
+# sanctioned Arrow-batched Python sites: decode/codec work that is
+# Python by nature (image/video bytes, stateful reference parity)
+PYTHON_OK = {
+    "fql_sample_greedy", "multimodal_meta", "multimodal_frames",
+    "ts_ewma", "text_pack",
+}
 
 
 def _plan_of(df) -> str:

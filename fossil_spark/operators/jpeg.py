@@ -5,12 +5,18 @@ Decoder: marker parse (DQT/DHT/SOF0/DRI/SOS), Huffman entropy decode
 with byte-stuffing and restart markers, dequantize, inverse zigzag,
 8x8 IDCT (orthonormal DCT basis matrix product), chroma upsampling for
 4:4:4 / 4:2:2 / 4:2:0 / 4:1:1, YCbCr->RGB. Supports baseline
-sequential 8-bit, 1- or 3-component images — the overwhelming share
-of training-corpus JPEGs; progressive (SOF2) raises ValueError.
+sequential 8-bit AND progressive (SOF2) 1- or 3-component images —
+together the overwhelming share of web/training-corpus JPEGs.
+Progressive covers both spectral selection and successive
+approximation (T.81 Annex G: DC first/refine, AC first with EOB
+runs, AC refinement with correction bits), accumulating
+coefficients across scans and reconstructing at EOI.
 
 Encoder (round-trip testing + thumbnail re-encode): 4:4:4 baseline
 with the spec's Annex K quantization and Huffman tables, quality
-scaling per the public IJG formula.
+scaling per the public IJG formula; encode_jpeg_progressive emits a
+spectral-selection + successive-approximation scan script to
+round-trip-test every progressive decode path.
 
 This replaces the deterministic fake for JPEG in
 fossil_spark.operators.multimodal (reference parity note: the
@@ -155,6 +161,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, np.ndarray]:
     huff_ac: dict[int, _Huff] = {}
     restart_interval = 0
     frame = None
+    coef_store = None  # progressive: per-component coefficient planes
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -187,7 +194,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, np.ndarray]:
                 table = _Huff(counts, seg[off + 17:off + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 off += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError(f"unsupported precision {prec}")
@@ -195,8 +202,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, np.ndarray]:
             for i in range(ncomp):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG process (SOF 0x{marker:02X})")
         elif marker == 0xDD:  # DRI
@@ -205,6 +213,21 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, np.ndarray]:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            if frame["progressive"]:
+                members = []
+                for i in range(ns):
+                    cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                    members.append((cs, tdta >> 4, tdta & 0xF))
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                if coef_store is None:
+                    coef_store = _init_coef_store(frame)
+                pos = _decode_scan_progressive(
+                    data, pos + seglen, frame, members, ss, se,
+                    ahal >> 4, ahal & 0xF, huff_dc, huff_ac, coef_store,
+                    restart_interval,
+                )
+                continue
             scan = {}
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
@@ -218,6 +241,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, np.ndarray]:
                 return w, h, "L", pixels
             return w, h, "RGB", pixels
         pos += seglen
+    if coef_store is not None:
+        pixels = _reconstruct_progressive(frame, coef_store, qt)
+        w, h = frame["w"], frame["h"]
+        if len(frame["comps"]) == 1:
+            return w, h, "L", pixels
+        return w, h, "RGB", pixels
     raise ValueError("no scan data in JPEG")
 
 
@@ -267,7 +296,13 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
                     br.align_to_restart()
             mcu_count += 1
 
-    # crop each plane to its true component size, then upsample
+    return _planes_to_pixels(planes, comps, w, h, hmax, vmax)
+
+
+def _planes_to_pixels(planes, comps, w, h, hmax, vmax) -> np.ndarray:
+    """Crop each plane to its true component size, upsample subsampled
+    chroma, and color-convert (shared by the baseline and progressive
+    reconstruction paths)."""
     out = []
     for ci, c in enumerate(comps):
         cw = (w * c["h"] + hmax - 1) // hmax
@@ -311,6 +346,189 @@ def _decode_block(br, dc_t, ac_t, q, pred, ci) -> np.ndarray:
     dq = np.zeros(64, np.float64)
     dq[ZIGZAG] = coef * q
     return _idct2(dq.reshape(8, 8))
+
+
+# ---------------------------------------------------------------------------
+# progressive decode (T.81 Annex G): coefficients accumulate across
+# scans, reconstruction happens once at EOI
+# ---------------------------------------------------------------------------
+
+def _frame_geometry(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    w, h = frame["w"], frame["h"]
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _init_coef_store(frame):
+    """One (blocks_y, blocks_x, 64) int32 array per component, padded
+    to MCU multiples so interleaved DC scans index uniformly;
+    non-interleaved scans use each component's true block dims."""
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    w, h = frame["w"], frame["h"]
+    store = []
+    for c in frame["comps"]:
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        c["bw"] = (cw + 7) // 8
+        c["bh"] = (ch + 7) // 8
+        store.append(np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int64))
+    return store
+
+
+def _decode_scan_progressive(data, pos, frame, members, ss, se, ah, al,
+                             huff_dc, huff_ac, store, dri):
+    """One progressive scan (DC or AC band, first pass or refinement)
+    into the coefficient store. Returns the offset of the next marker.
+    Spec: T.81 G.2 (scan structure), F.2.2 (entropy decode),
+    G.1.2.2 (AC first, EOB runs), G.1.2.3 (AC refinement)."""
+    comps = frame["comps"]
+    idx = {c["id"]: i for i, c in enumerate(comps)}
+    scan = [(idx[cs], td, ta) for cs, td, ta in members]
+    br = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    state = {"eobrun": 0}
+    p1, m1 = 1 << al, -1 << al
+
+    def do_block(ci, by, bx, td, ta):
+        blk = store[ci][by, bx]
+        if ss == 0:
+            if ah == 0:  # DC first: diffs of (DC >> Al)
+                t = huff_dc[td].decode(br)
+                pred[ci] += _extend(br.receive(t), t)
+                blk[0] = pred[ci] << al
+            else:  # DC refinement: one raw bit per block
+                if br.read_bit():
+                    blk[0] = int(blk[0]) | p1
+            return
+        if ah == 0:  # AC first pass on (value >> Al) magnitudes
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = huff_ac[ta].decode(br)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += br.receive(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC index out of band")
+                blk[k] = _extend(br.receive(s), s) << al
+                k += 1
+            return
+        # AC refinement (G.1.2.3; correction-bit logic as in the
+        # spec's decision diagram): newly-significant coefficients
+        # arrive as ±1<<Al, history coefficients get one bit each
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = huff_ac[ta].decode(br)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r < 15:
+                        # refinement EOBRUN counts the CURRENT block
+                        # too — its remaining correction bits are read
+                        # by the eobrun tail below, then decremented
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += br.receive(r)
+                        break
+                    val = 0
+                else:
+                    val = p1 if br.read_bit() else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        if br.read_bit() and not (int(blk[k]) & p1):
+                            blk[k] += p1 if blk[k] > 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if blk[k] != 0 and br.read_bit() and not (int(blk[k]) & p1):
+                    blk[k] += p1 if blk[k] > 0 else m1
+                k += 1
+            state["eobrun"] -= 1
+
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    if len(scan) > 1:  # interleaved (DC scans only, per spec)
+        units = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                unit = []
+                for ci, td, ta in scan:
+                    c = comps[ci]
+                    for byy in range(c["v"]):
+                        for bxx in range(c["h"]):
+                            unit.append((ci, my * c["v"] + byy,
+                                         mx * c["h"] + bxx, td, ta))
+                units.append(unit)
+    else:
+        ci, td, ta = scan[0]
+        c = comps[ci]
+        units = [[(ci, by, bx, td, ta)]
+                 for by in range(c["bh"]) for bx in range(c["bw"])]
+
+    for ui, unit in enumerate(units):
+        if dri and ui and ui % dri == 0:
+            br.align_to_restart()
+            pred = [0] * len(comps)
+            state["eobrun"] = 0
+        for attempt in (0, 1):
+            try:
+                for args in unit:
+                    do_block(*args)
+                break
+            except _RestartMarker:
+                # early RSTn (same tolerance as the baseline path)
+                pred = [0] * len(comps)
+                state["eobrun"] = 0
+                br.align_to_restart()
+
+    # skip to the next non-RST marker after the entropy data
+    p = br.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+                continue
+            break
+        p += 1
+    return p
+
+
+def _reconstruct_progressive(frame, store, qt):
+    comps = frame["comps"]
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qt[c["tq"]]
+        by_n, bx_n, _ = store[ci].shape
+        plane = np.zeros((by_n * 8, bx_n * 8), np.float64)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                dq = np.zeros(64, np.float64)
+                dq[ZIGZAG] = store[ci][by, bx] * q
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = _idct2(
+                    dq.reshape(8, 8)
+                )
+        planes.append(plane)
+    return _planes_to_pixels(planes, comps, frame["w"], frame["h"], hmax, vmax)
 
 
 # ---------------------------------------------------------------------------
@@ -592,3 +810,195 @@ def _encode_block(bw, q, pred, ci, dc, ac):
     if last_nz < 63:
         code, ln = ac[0x00]
         bw.write(code, ln)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (4:4:4, spectral selection + successive
+# approximation) — exercises every progressive decode path in tests
+# ---------------------------------------------------------------------------
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90,
+                            dc_al: int = 1, ac_al: int = 1) -> bytes:
+    """HxW (grayscale) or HxWx3 (RGB) uint8 -> progressive JPEG
+    (SOF2). Scan script: interleaved DC first at Al=dc_al, DC
+    refinements down to Al=0, then per-component AC first scans
+    (Ss=1..63) at Al=ac_al and AC refinement scans down to Al=0 —
+    covering spectral selection AND successive approximation
+    (T.81 G.1.2)."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, nc = pixels.shape
+    if nc not in (1, 3):
+        raise ValueError("encode_jpeg_progressive expects 1 or 3 channels")
+    px = pixels.astype(np.float64)
+    if nc == 3:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b - 128.0,
+            -0.168736 * r - 0.331264 * g + 0.5 * b,
+            0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    else:
+        planes = [px[..., 0] - 128.0]
+
+    qts = [_quality_scale(_QT_LUMA, quality)]
+    if nc == 3:
+        qts.append(_quality_scale(_QT_CHROMA, quality))
+    dc_codes = [_encode_codes(*_DC_LUMA)]
+    ac_codes = [_encode_codes(*_AC_LUMA)]
+    if nc == 3:
+        dc_codes.append(_encode_codes(*_DC_CHROMA))
+        ac_codes.append(_encode_codes(*_AC_CHROMA))
+
+    # quantized zigzag coefficients per component (4:4:4 -> one block
+    # grid shared by all components)
+    bh, bw_n = (h + 7) // 8, (w + 7) // 8
+    coefs = []
+    for ci in range(nc):
+        ti = min(ci, 1)
+        arr = np.zeros((bh, bw_n, 64), np.int64)
+        for by in range(bh):
+            for bx in range(bw_n):
+                block = _block_at(planes[ci], by * 8, bx * 8)
+                arr[by, bx] = np.rint(
+                    _fdct2(block).flatten()[ZIGZAG] / qts[ti][ZIGZAG]
+                ).astype(np.int64)
+        coefs.append(arr)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for i, q in enumerate(qts):
+        out += seg(0xDB, bytes([i]) + bytes(int(q[z]) for z in ZIGZAG))
+    comp_spec = b"".join(
+        struct.pack(">BBB", i + 1, 0x11, min(i, 1)) for i in range(nc)
+    )
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, nc) + comp_spec)
+    tables = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+    if nc == 3:
+        tables += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    for tid, (counts, syms) in tables:
+        out += seg(0xC4, bytes([tid]) + bytes(counts) + syms)
+
+    def sos(comp_ids, ss, se, ah, al) -> bytes:
+        spec = b"".join(
+            struct.pack(">BB", cid, (min(cid - 1, 1) << 4) | min(cid - 1, 1))
+            for cid in comp_ids
+        )
+        return seg(0xDA, bytes([len(comp_ids)]) + spec
+                   + bytes([ss, se, (ah << 4) | al]))
+
+    # --- scan 1: interleaved DC first (diffs of DC >> dc_al) ---------------
+    out += sos(list(range(1, nc + 1)), 0, 0, 0, dc_al)
+    bw = _BitWriter()
+    pred = [0] * nc
+    for by in range(bh):
+        for bx in range(bw_n):
+            for ci in range(nc):
+                v = int(coefs[ci][by, bx, 0]) >> dc_al
+                diff = v - pred[ci]
+                pred[ci] = v
+                s = abs(diff).bit_length()
+                code, ln = dc_codes[min(ci, 1)][s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    out += bw.flush()
+
+    # --- DC refinement scans: one raw bit per block ------------------------
+    for al in range(dc_al - 1, -1, -1):
+        out += sos(list(range(1, nc + 1)), 0, 0, al + 1, al)
+        bw = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw_n):
+                for ci in range(nc):
+                    bw.write((int(coefs[ci][by, bx, 0]) >> al) & 1, 1)
+        out += bw.flush()
+
+    # --- AC first scans (per component, magnitudes >> ac_al) ---------------
+    def pt(v: int, al: int) -> int:  # AC point transform: signed magnitude
+        return (abs(v) >> al) * (1 if v > 0 else -1)
+
+    for ci in range(nc):
+        out += sos([ci + 1], 1, 63, 0, ac_al)
+        bw = _BitWriter()
+        ac = ac_codes[min(ci, 1)]
+        for by in range(bh):
+            for bx in range(bw_n):
+                blk = coefs[ci][by, bx]
+                vals = [pt(int(blk[k]), ac_al) for k in range(64)]
+                last_nz = 0
+                for k in range(63, 0, -1):
+                    if vals[k]:
+                        last_nz = k
+                        break
+                run = 0
+                for k in range(1, last_nz + 1):
+                    v = vals[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    s = abs(v).bit_length()
+                    code, ln = ac[(run << 4) | s]
+                    bw.write(code, ln)
+                    bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last_nz < 63:  # EOB (eobrun of exactly 1)
+                    code, ln = ac[0x00]
+                    bw.write(code, ln)
+        out += bw.flush()
+
+    # --- AC refinement scans (G.1.2.3 encoder, per component) --------------
+    for al in range(ac_al - 1, -1, -1):
+        for ci in range(nc):
+            out += sos([ci + 1], 1, 63, al + 1, al)
+            bw = _BitWriter()
+            ac = ac_codes[min(ci, 1)]
+            for by in range(bh):
+                for bx in range(bw_n):
+                    blk = coefs[ci][by, bx]
+                    absv = [abs(int(blk[k])) >> al for k in range(64)]
+                    eob = 0
+                    for k in range(1, 64):
+                        if absv[k] == 1:
+                            eob = k
+                    run = 0
+                    pending: list[int] = []
+                    for k in range(1, 64):
+                        t = absv[k]
+                        if t == 0:
+                            run += 1
+                            continue
+                        while run > 15 and k <= eob:
+                            code, ln = ac[0xF0]
+                            bw.write(code, ln)
+                            run -= 16
+                            for bit in pending:
+                                bw.write(bit, 1)
+                            pending = []
+                        if t > 1:  # history coefficient: correction bit
+                            pending.append(t & 1)
+                            continue
+                        # newly significant at this precision
+                        code, ln = ac[(run << 4) | 1]
+                        bw.write(code, ln)
+                        bw.write(1 if int(blk[k]) > 0 else 0, 1)
+                        for bit in pending:
+                            bw.write(bit, 1)
+                        pending = []
+                        run = 0
+                    if run > 0 or pending:
+                        code, ln = ac[0x00]  # EOB
+                        bw.write(code, ln)
+                        for bit in pending:
+                            bw.write(bit, 1)
+            out += bw.flush()
+
+    out += b"\xFF\xD9"
+    return bytes(out)

@@ -3,10 +3,10 @@ typed metadata, processed via Arrow-batched mapInPandas.
 
 Decoding is REAL for PNG (zlib inflate + scanline unfiltering), BMP
 (24-bit uncompressed), PNM (P5/P6), WAV (stdlib wave), and baseline
-JPEG (full Huffman + IDCT decoder built from the public ITU-T T.81
-spec in fossil_spark.operators.jpeg) — implemented from the public
-format specs with numpy only. Formats that still require codec
-libraries (WEBP, MP4, progressive JPEG, ...) fall back to a
+JPEG — baseline AND progressive (full Huffman + IDCT decoder built
+from the public ITU-T T.81 spec in fossil_spark.operators.jpeg) —
+implemented from the public format specs with numpy only. Formats
+that still require codec libraries (WEBP, ...) fall back to a
 clearly-labeled deterministic fake header so pipelines stay
 end-to-end testable in codec-less environments; swap `_fake_decode`
 for PIL/ffmpeg in such deployments (same signature, same schema).

@@ -70,10 +70,11 @@ def test_quality_monotonic():
 def test_rejects_non_baseline():
     with pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
-    # progressive (SOF2) declared unsupported, not mis-decoded
+    # genuinely unsupported processes (lossless SOF3) declared
+    # unsupported, not mis-decoded; progressive (SOF2) decodes for real
     img = encode_jpeg(_gradient_rgb(16, 16), quality=80)
     sof0 = img.find(b"\xFF\xC0")
-    corrupted = img[:sof0 + 1] + b"\xC2" + img[sof0 + 2:]
+    corrupted = img[:sof0 + 1] + b"\xC3" + img[sof0 + 2:]
     with pytest.raises(ValueError, match="unsupported JPEG process"):
         decode_jpeg(corrupted)
 
@@ -142,3 +143,65 @@ def test_restart_interval_grayscale_subsampled():
     assert (w, h) == (40, 24)
     err = np.abs(px.astype(int) - img.astype(int))
     assert err.mean() < 8
+
+
+# --- progressive (SOF2) ----------------------------------------------------
+
+def _err(a, b):
+    return np.abs(a.astype(int) - b.astype(int))
+
+
+def test_progressive_spectral_selection_only():
+    """Al=0 everywhere: pure spectral selection (DC scan + per-band AC
+    scans). Must reconstruct identically to baseline tolerance."""
+    from fossil_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = _gradient_rgb()
+    data = encode_jpeg_progressive(img, quality=95, dc_al=0, ac_al=0)
+    assert data[2:4] != b"\xFF\xC0"  # really SOF2, not baseline
+    assert b"\xFF\xC2" in data
+    w, h, mode, px = decode_jpeg(data)
+    assert (w, h, mode) == (64, 48, "RGB")
+    assert _err(px, img).max() <= 4
+
+
+def test_progressive_successive_approximation():
+    """DC and AC successive approximation at 1 and 2 bits: first scans
+    at reduced precision, refinement scans restore the low bits. The
+    final image must match the straight-baseline encode of the same
+    pixels — refinement must recover every dropped bit."""
+    from fossil_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = _gradient_rgb()
+    base = decode_jpeg(encode_jpeg(img, quality=90))[3]
+    for dal, aal in [(1, 1), (2, 2), (0, 2), (2, 0)]:
+        data = encode_jpeg_progressive(img, quality=90, dc_al=dal, ac_al=aal)
+        px = decode_jpeg(data)[3]
+        # same quantized coefficients -> identical reconstruction
+        assert _err(px, base).max() == 0, (dal, aal)
+
+
+def test_progressive_grayscale_odd_dims():
+    from fossil_spark.operators.jpeg import encode_jpeg_progressive
+
+    g = np.linspace(0, 255, 37 * 23).reshape(23, 37).astype(np.uint8)
+    data = encode_jpeg_progressive(g, quality=92)
+    w, h, mode, px = decode_jpeg(data)
+    assert (w, h, mode) == (37, 23, "L")
+    assert _err(px[:, :, 0], g).max() <= 3
+
+
+def test_progressive_through_multimodal(spark):
+    """decode_image_meta must now decode progressive JPEGs for real
+    (decoded='real'), not fall back to the labeled fake."""
+    from fossil_spark.operators import multimodal as mm
+    from fossil_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = _gradient_rgb(32, 16)
+    blob = encode_jpeg_progressive(img, quality=95)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "doc_id long, content binary"
+    )
+    row = mm.image_features(df).collect()[0]
+    assert row.decoded == "real"
+    assert (row.width, row.height) == (32, 16)

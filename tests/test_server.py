@@ -382,3 +382,68 @@ def test_failed_flush_preserves_acked_rows(spark):
         assert os.path.getsize(db._wal_active) == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_serve_daemon_end_to_end():
+    """The deploy/ entry point (`python -m fossil_spark serve`) boots,
+    serves the wire protocol and /metrics, and shuts down cleanly on
+    SIGTERM (flushing its micro-batch) — the contract the Kubernetes
+    manifests rely on."""
+    import json
+    import signal
+    import socket as socketmod
+    import subprocess
+    import sys
+    import time
+
+    def free_port():
+        s = socketmod.socket()
+        s.bind(("127.0.0.1", 0))
+        p = s.getsockname()[1]
+        s.close()
+        return p
+
+    d = os.path.join("build", f"daemon_{uuid.uuid4().hex[:8]}")
+    os.makedirs(d)
+    port, mport = free_port(), free_port()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "fossil_spark", "serve",
+         "--data", d, "--databases", "default",
+         "--host", "127.0.0.1", "--port", str(port),
+         "--metrics-port", str(mport)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{mport}/metrics", timeout=2
+                ) as r:
+                    body = r.read().decode()
+                break
+            except OSError:
+                assert proc.poll() is None, "daemon died during startup"
+                time.sleep(1)
+        else:
+            raise AssertionError("daemon never served /metrics")
+        assert "fossil_client_connections" in body
+
+        with FossilClient("127.0.0.1", port) as c:
+            assert c.version() == "v1.0.0"
+            c.append("/deploy", "hello from k8s")
+            rows = c.query("all in /deploy")
+            assert rows[0]["data"] == "hello from k8s"
+
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=120) == 0
+        # the SIGTERM flush landed the micro-batch in parquet
+        found = [
+            f for _, _, files in os.walk(os.path.join(d, "default"))
+            for f in files if f.endswith(".parquet")
+        ]
+        assert found, "no parquet committed by shutdown flush"
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        shutil.rmtree(d, ignore_errors=True)

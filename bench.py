@@ -94,6 +94,9 @@ def main() -> None:
         "ts_resample", "ts_asof_join", "ts_session", "ts_sliding",
         "dedup_exact", "dedup_minhash", "ann_bruteforce",
         "text_quality", "sample_hash_split",
+        # round-5 additions: baseline the round-4 operators (VERDICT r4 #7)
+        "ts_funnel", "ts_retention", "ts_m4",
+        "text_quality_bins_approx", "pipeline_curate",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

@@ -249,6 +249,12 @@ def connected_components(
     join + one aggregation, converging in O(graph diameter) rounds;
     localCheckpoint cuts lineage so plans don't grow per iteration.
 
+    Driver-sync budget: ONE action per round. The checkpoint is lazy,
+    so the convergence `count()` both materializes the round's labels
+    into block storage and returns the changed-row count — the
+    round-4 shape ran an eager-checkpoint job plus a count job (two
+    driver round-trips per iteration).
+
     This is the canonical 'pick one representative per duplicate
     cluster' step after LSH + verification."""
     edges = (
@@ -278,7 +284,7 @@ def connected_components(
                 (F.col("nbr_component") < F.col("component")).alias("__changed"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)
+        updated = updated.localCheckpoint(eager=False)
         n_changed = updated.filter(F.col("__changed")).count()
         labels = updated.drop("__changed")
         if n_changed == 0:

@@ -549,6 +549,57 @@ def _text_token_freq(spark, sf_dir):
     return text.token_frequency(_docs(spark, sf_dir), k=20)
 
 
+def _text_contamination(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    docs = _docs(spark, sf_dir)
+    # deterministic split: every 20th doc is the "benchmark" corpus
+    bench = docs.filter("doc_id % 20 = 0")
+    train = docs.filter("doc_id % 20 != 0")
+    return text.contamination_check(train, bench, n=4)
+
+
+def _text_bm25(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    # one rare term (dup) + two mid-frequency terms exercises the idf
+    # spread; terms chosen from the corpus vocabulary
+    return text.bm25(_docs(spark, sf_dir), ["spark", "dup", "merge"])
+
+
+def _dedup_cross(spark, sf_dir):
+    from fossil_spark.operators import dedup
+
+    docs = _docs(spark, sf_dir)
+    return dedup.cross_corpus_dedup(
+        docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0")
+    )
+
+
+def _cluster_kmeans(spark, sf_dir):
+    from fossil_spark.operators import ann
+    from fossil_spark.session import read_table
+
+    # rows-only driver check (no SQL oracle for iterative Lloyd);
+    # cluster recovery on separable synthetic data is unit-tested
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ann.kmeans_cluster(emb, k=8, n_iter=3)
+
+
+def _ts_anomaly_mad(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fossil_spark.operators import timeseries as ts
+
+    out = ts.anomaly_mad(_events(spark, sf_dir), by=["event_type"])
+    return out.select(
+        "event_id", "event_type", "value",
+        F.round("median", 6).alias("median"),
+        F.round("mad", 6).alias("mad"),
+        "mod_zscore",
+    )
+
+
 def _text_chunk(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -775,6 +826,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     green is oldest (the E/store groups last saw the driver in r03).
     Keys driver-green in r04 drop below the fold."""
     return {
+        # --- never driver-checked (added during round 5) ---------------------
+        "text_contamination": _text_contamination,
+        "text_bm25": _text_bm25,
+        "dedup_cross": _dedup_cross,
+        "cluster_kmeans": _cluster_kmeans,  # rows-only: iterative Lloyd
+        "ts_anomaly_mad": _ts_anomaly_mad,
         # --- never driver-checked (added during round 4) ---------------------
         "tpch_q4": _tpch("q4_order_priority"),
         "tpch_q7": _tpch("q7_volume_shipping"),
@@ -1658,6 +1715,57 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT token, count(*) AS n FROM"
             f" (SELECT unnest({_TOKS}) AS token FROM documents)"
             " GROUP BY 1 ORDER BY n DESC, token LIMIT 20"
+        ),
+        # benchmark decontamination: distinct 4-gram overlap train x bench
+        "text_contamination": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} w FROM documents),"
+            " g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 4 THEN"
+            " list_transform(generate_series(1, len(w)-3), i -> array_to_string(w[i:i+3], ' '))"
+            " ELSE [array_to_string(w, ' ')] END)) AS gram FROM t),"
+            " tr AS (SELECT * FROM g WHERE doc_id % 20 != 0),"
+            " be AS (SELECT * FROM g WHERE doc_id % 20 = 0)"
+            " SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared_ngrams,"
+            " count(DISTINCT be.doc_id) AS n_bench_docs"
+            " FROM tr JOIN be ON tr.gram = be.gram GROUP BY 1"
+        ),
+        # BM25 (Lucene idf form), terms (spark, dup, merge), k1=1.2 b=0.75
+        "text_bm25": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} w FROM documents),"
+            " d AS (SELECT doc_id, len(w) AS dl,"
+            " len(list_filter(w, x -> x = 'spark')) AS tf0,"
+            " len(list_filter(w, x -> x = 'dup')) AS tf1,"
+            " len(list_filter(w, x -> x = 'merge')) AS tf2 FROM t),"
+            " s AS (SELECT count(*) AS n, sum(dl) AS sumdl,"
+            " sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,"
+            " sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,"
+            " sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM d)"
+            " SELECT doc_id, dl, round(0.0"
+            " + ln(1 + (n - df0 + 0.5)/(df0 + 0.5)) * tf0 * 2.2"
+            "   / (tf0 + 1.2*(0.25 + 0.75*dl/(sumdl::DOUBLE/n)))"
+            " + ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * tf1 * 2.2"
+            "   / (tf1 + 1.2*(0.25 + 0.75*dl/(sumdl::DOUBLE/n)))"
+            " + ln(1 + (n - df2 + 0.5)/(df2 + 0.5)) * tf2 * 2.2"
+            "   / (tf2 + 1.2*(0.25 + 0.75*dl/(sumdl::DOUBLE/n))), 6) AS score"
+            " FROM d, s WHERE tf0 + tf1 + tf2 > 0"
+        ),
+        # cross-corpus exact decontamination flag (train = odd ids)
+        "dedup_cross": (
+            r"WITH h AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)),"
+            r" '\s+', ' ', 'g')) AS text_hash FROM documents)"
+            " SELECT tr.doc_id, tr.text_hash,"
+            " tr.text_hash IN (SELECT text_hash FROM h WHERE doc_id % 2 = 0)"
+            " AS in_heldout FROM h tr WHERE tr.doc_id % 2 = 1"
+        ),
+        # modified z-score outliers per event_type (median/MAD windows)
+        "ts_anomaly_mad": (
+            "WITH m1 AS (SELECT event_id, event_type, value,"
+            " median(value) OVER (PARTITION BY event_type) AS med FROM events),"
+            " m2 AS (SELECT *, median(abs(value - med))"
+            " OVER (PARTITION BY event_type) AS mad FROM m1)"
+            " SELECT event_id, event_type, value, round(med, 6) AS median,"
+            " round(mad, 6) AS mad,"
+            " round(0.6745*(value - med)/mad, 6) AS mod_zscore FROM m2"
+            " WHERE mad > 0 AND abs(0.6745*(value - med)/mad) > 3.5"
         ),
         "text_chunk": (
             f"WITH t AS (SELECT doc_id, {_TOKS} w FROM documents),"

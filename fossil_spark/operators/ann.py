@@ -246,3 +246,91 @@ def lsh_ann(
 
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def kmeans_cluster(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Spherical k-means over an embedding column — the clustering
+    step behind corpus domain discovery and semantic curriculum
+    bucketing. Fully deterministic: seeds are the k corpus vectors
+    with minimal md5(id) (the same RNG-free bootstrap ivf_ann uses),
+    Lloyd iterations are fixed-count, and centroid means accumulate
+    in decimal(30,8) so results are partition-order independent.
+
+    Scale shape: assignment is map-side (ONE broadcast row holding
+    all centroids, higher-order argmax — no shuffle); the update is
+    one groupBy on (cluster, dim) over exploded components — one
+    shuffle of k*dim cells per round. The k x dim centroid matrix is
+    driver-held (bounded, like ivf_ann's centroid pull); everything
+    row-scale stays distributed.
+
+    Returns (id, cluster, cos_sim-to-centroid)."""
+    vecs = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    seed_rows = (
+        vecs.withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h")
+        .limit(k)
+        .select("__v")
+        .collect()
+    )
+    cents = [[float(x) for x in r["__v"]] for r in seed_rows]
+    spark = corpus.sparkSession
+
+    def with_assignment(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
+        one = broadcast(
+            spark.createDataFrame(
+                [([(i, c) for i, c in enumerate(centroids)],)],
+                "__cents array<struct<cid:int, vec:array<double>>>",
+            )
+        )
+        best = F.element_at(
+            F.array_sort(
+                F.transform(
+                    F.col("__cents"),
+                    lambda s: F.struct(
+                        (-F.round(cosine(F.col("__v"), s["vec"]), 9)).alias("negcos"),
+                        s["cid"].alias("cid"),
+                    ),
+                )
+            ),
+            1,
+        )
+        return df.crossJoin(one).select(
+            id_col,
+            "__v",
+            best["cid"].alias("cluster"),
+            (-best["negcos"]).alias("cos_sim"),
+        )
+
+    for _ in range(n_iter):
+        assigned = with_assignment(vecs, cents)
+        cells = (
+            assigned.select("cluster", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(30,8)")) / F.count("*")
+                ).cast("double").alias("m")
+            )
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # empty cluster keeps its seed
+        by_cluster: dict[int, dict[int, float]] = {}
+        for row in cells:
+            by_cluster.setdefault(row["cluster"], {})[row["pos"]] = row["m"]
+        for cid, dims in by_cluster.items():
+            for pos, m in dims.items():
+                new_cents[cid][pos] = m
+        cents = new_cents
+
+    return with_assignment(vecs, cents).select(
+        id_col, "cluster", F.round(F.col("cos_sim"), round_to).alias("cos_sim")
+    )

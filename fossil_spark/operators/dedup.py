@@ -38,6 +38,37 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def cross_corpus_dedup(
+    train: DataFrame,
+    heldout: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus exact decontamination: flag every training doc
+    whose normalized text also appears in a held-out corpus (eval/
+    benchmark split). The held-out side reduces to distinct 128-bit
+    hashes — tiny relative to the training corpus — and broadcasts,
+    so the flag is a map-side hash probe: ZERO shuffle of the
+    training side. Returns (id, text_hash, in_heldout) for every
+    training doc."""
+    h = F.md5(normalize_text(F.col(text_col)))
+    held_hashes = heldout.select(h.alias("text_hash")).distinct()
+    if not heldout.isStreaming:
+        from pyspark.sql.functions import broadcast
+
+        held_hashes = broadcast(held_hashes)
+    held_hashes = held_hashes.withColumn("__hit", F.lit(True))
+    return (
+        train.select(F.col(id_col), h.alias("text_hash"))
+        .join(held_hashes, "text_hash", "left")
+        .select(
+            id_col,
+            "text_hash",
+            F.coalesce(F.col("__hit"), F.lit(False)).alias("in_heldout"),
+        )
+    )
+
+
 def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     # If the source arrives in fewer files than cores (single parquet
     # file, small topic), spread the explode+hash work by id BEFORE

@@ -424,3 +424,106 @@ def fingerprint(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
         F.array_min(F.transform(sh, F.md5)).alias("fingerprint"),
         F.size(sh).alias("n_shingles"),
     )
+
+
+def contamination_check(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination flagging: a training document is
+    contaminated if it shares any word n-gram with a held-out
+    benchmark document — the standard pre-training decontamination
+    step (GPT-3 App. C used 13-grams; n is a parameter because test
+    corpora are short).
+
+    Distributed shape: both sides explode DISTINCT n-grams and
+    equi-join on the md5 of the n-gram (a narrow fixed-width shuffle
+    key instead of the full n-gram string), then one groupBy on the
+    training id. Work is bounded by the number of *shared* n-grams,
+    never |train| x |bench|; the benchmark side of a real run is tiny
+    and its exploded n-grams broadcast.
+
+    Returns one row per contaminated training doc:
+    (train id, n_shared_ngrams, n_bench_docs)."""
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("__g"),
+        ).select(out_id, F.md5(F.col("__g")).alias("__gh"))
+
+    bench_grams = grams(bench, "__bench_id")
+    if bench.isStreaming is False:
+        from pyspark.sql.functions import broadcast
+
+        bench_grams = broadcast(bench_grams)
+    return (
+        grams(train, id_col)
+        .join(bench_grams, "__gh")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("__gh").alias("n_shared_ngrams"),
+            F.countDistinct("__bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+def bm25(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """BM25 relevance of every document for a fixed keyword query —
+    the classic sparse-retrieval scorer (Robertson/Sparck Jones;
+    idf form ln(1 + (N - df + 0.5)/(df + 0.5)) as in Lucene).
+
+    Shape: one pass computes per-doc term frequencies as pure Column
+    expressions; the corpus stats (N, total token count for avgdl,
+    per-term doc frequencies) are ONE tiny aggregate row broadcast
+    back via a nested-loop cross join — no per-term shuffle, no
+    Python. Token-count sums are integer (exact, order-independent),
+    so scores are bit-reproducible across partitionings.
+
+    Returns (id, dl, score) for docs matching >= 1 term."""
+    w = tokens(F.col(text_col))
+    tf_cols = [
+        F.size(F.filter(w, lambda x: x == F.lit(t))).alias(f"__tf{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    per_doc = df.select(F.col(id_col), F.size(w).alias("dl"), *tf_cols)
+    stats = per_doc.agg(
+        F.count("*").alias("__N"),
+        F.sum("dl").alias("__sumdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    from pyspark.sql.functions import broadcast
+
+    joined = per_doc.crossJoin(broadcast(stats))
+    avgdl = F.col("__sumdl").cast("double") / F.col("__N")
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        tf = F.col(f"__tf{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__N") - F.col(f"__df{i}") + F.lit(0.5))
+            / (F.col(f"__df{i}") + F.lit(0.5))
+        )
+        score = score + idf * tf * F.lit(k1 + 1.0) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+        )
+    return (
+        joined.filter(
+            sum((F.col(f"__tf{i}") > 0).cast("int") for i in range(len(query_terms)))
+            > 0
+        )
+        .select(id_col, "dl", F.round(score, round_to).alias("score"))
+    )

@@ -713,6 +713,37 @@ def ewma(
     return df.groupBy(*by).applyInPandas(per_key, out_schema)
 
 
+def anomaly_mad(
+    df: DataFrame,
+    by: list[str] | None = None,
+    value_col: str = "value",
+    threshold: float = 3.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Robust outlier detection per key: modified z-score
+    |0.6745 * (x - median) / MAD| > threshold (Iglewicz & Hoaglin's
+    recommended 3.5), where MAD = median(|x - median|). Median/MAD
+    resist the very outliers they detect, unlike mean/stddev.
+
+    Shape: two window aggregates over the SAME unordered partition —
+    one shuffle on the keys, no joins, no driver pull; the second
+    window reuses the first's exchange. Both medians are exact
+    interpolated percentiles, so every value is deterministic (no
+    floating accumulation ordering — percentile sorts, not sums).
+    Returns only the anomalous rows with their diagnostics."""
+    by = by or []
+    w = Window.partitionBy(*[F.col(c) for c in by]) if by else Window.partitionBy()
+    med = F.expr(f"percentile({value_col}, 0.5)").over(w)
+    step1 = df.withColumn("median", med)
+    mad = F.expr("percentile(abs(`" + value_col + "` - median), 0.5)").over(w)
+    step2 = step1.withColumn("mad", mad)
+    score = F.lit(0.6745) * (F.col(value_col) - F.col("median")) / F.col("mad")
+    return (
+        step2.filter((F.col("mad") > 0) & (F.abs(score) > F.lit(threshold)))
+        .withColumn("mod_zscore", F.round(score, round_to))
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact greedy sample (reference-parity variant)
 # ---------------------------------------------------------------------------

@@ -58,6 +58,15 @@ def get_spark(app_name: str = "fossil_spark", shuffle_partitions: int | None = N
     )
     if not SparkSession.getActiveSession():
         builder = builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        # local[N] runs driver + all N executor threads in ONE JVM;
+        # Spark's 1g default heap starves 32 concurrent tasks (measured:
+        # a broadcast build that is fine per-plan fails with "Not enough
+        # memory to build and broadcast" at ~6M lineitem rows). On a
+        # real cluster spark-submit owns this; locally, size the JVM
+        # like a worker node. Only effective before the JVM starts.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
     return builder.getOrCreate()
 
 

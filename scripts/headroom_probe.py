@@ -154,8 +154,13 @@ def main() -> None:
     for key in keys:
         if key not in qs:
             continue
-        t1 = timeit(lambda: force(qs[key](spark, sf_dir)))
-        tn = timeit(lambda: force(qs[key](spark, big_dir)))
+        try:
+            t1 = timeit(lambda: force(qs[key](spark, sf_dir)))
+            tn = timeit(lambda: force(qs[key](spark, big_dir)))
+        except Exception as ex:  # isolate: one broken key, one row
+            msg = f"{type(ex).__name__}: {ex}".replace("|", "/")[:120]
+            print(f"| {key} | - | - | - | FAILED: {msg} |")
+            continue
         ratio = tn / t1 if t1 > 0 else float("inf")
         verdict = "linear-ok" if ratio <= copies * 1.5 else "SUPER-LINEAR"
         print(f"| {key} | {t1:.2f} | {tn:.2f} | {ratio:.1f}x | {verdict} |")

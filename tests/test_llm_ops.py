@@ -411,3 +411,97 @@ def test_quality_bins_approx_tracks_exact(docs):
     assert set(approx.values()) <= set(range(1, 11))
     off = sum(1 for d in exact if abs(exact[d] - approx[d]) > 1)
     assert off / len(exact) < 0.02  # off by >1 bin for <2% of docs
+
+
+# --- round-5 additions: contamination / BM25 / cross-dedup / k-means ------
+
+
+def test_contamination_flags_shared_ngrams(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # shares a 4-gram
+            (2, "one two three four five six"),           # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "XX alpha beta gamma delta YY")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.contamination_check(train, bench, n=4).collect()
+    }
+    assert 1 in out and 2 not in out
+    assert out[1]["n_shared_ngrams"] == 1  # "alpha beta gamma delta"
+    assert out[1]["n_bench_docs"] == 1
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    # "rare" appears in 1 of 4 docs, "common" in all -> the rare-term
+    # doc must outscore a common-only doc at equal tf and length
+    rows = [
+        (1, "rare common aaa bbb"),
+        (2, "common xxx aaa bbb"),
+        (3, "common yyy aaa bbb"),
+        (4, "common zzz aaa bbb"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["score"] for r in text.bm25(df, ["rare", "common"]).collect()}
+    assert len(out) == 4  # every doc matches "common"
+    assert out[1] > out[2] == out[3] == out[4]
+
+
+def test_bm25_excludes_nonmatching(spark):
+    df = spark.createDataFrame(
+        [(1, "hit aaa"), (2, "bbb ccc")], "doc_id long, text string"
+    )
+    out = text.bm25(df, ["hit"]).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_cross_corpus_dedup_flags_overlap(spark):
+    train = spark.createDataFrame(
+        [(1, "Shared   Text here"), (3, "unique text")],
+        "doc_id long, text string",
+    )
+    held = spark.createDataFrame(
+        [(2, "shared text HERE")],  # same after normalization
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["in_heldout"]
+           for r in dedup.cross_corpus_dedup(train, held).collect()}
+    assert out == {1: True, 3: False}
+
+
+def test_kmeans_recovers_separable_clusters(spark):
+    # two orthogonal directions, 6 points each with tiny jitter
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0]))
+        rows.append((10 + i, [0.0, 0.0, 1.0, 0.01 * i]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ann.kmeans_cluster(df, k=2, n_iter=3).collect()
+    labels_a = {r["cluster"] for r in out if r["vec_id"] < 10}
+    labels_b = {r["cluster"] for r in out if r["vec_id"] >= 10}
+    assert len(labels_a) == 1 and len(labels_b) == 1
+    assert labels_a != labels_b
+    assert all(r["cos_sim"] > 0.99 for r in out)
+
+
+def test_kmeans_deterministic(spark):
+    emb = read_table(spark, SF, "embeddings")
+    a = sorted((r["vec_id"], r["cluster"]) for r in ann.kmeans_cluster(emb, k=4, n_iter=2).collect())
+    b = sorted((r["vec_id"], r["cluster"]) for r in ann.kmeans_cluster(emb, k=4, n_iter=2).collect())
+    assert a == b
+
+
+def test_anomaly_mad_finds_planted_outlier(spark):
+    from fossil_spark.operators import timeseries as ts
+
+    rows = [(i, "a", float(v)) for i, v in enumerate([10, 11, 9, 10, 12, 10, 11, 500])]
+    rows += [(100 + i, "b", 5.0) for i in range(5)]  # mad=0 group: no rows
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = ts.anomaly_mad(df, by=["event_type"]).collect()
+    assert [(r["event_id"], r["event_type"]) for r in out] == [(7, "a")]
+    assert abs(out[0]["mod_zscore"]) > 3.5

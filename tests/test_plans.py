@@ -168,6 +168,12 @@ _SCAN_BUDGET = {
     "ann_ivf": 2,
     # candidates (minhash) + the two shingle join sides
     "dedup_ngram": 3,
+    # round-5 additions
+    "ts_anomaly_mad": 1,    # two windows share one exchange
+    "cluster_kmeans": 1,    # final assignment: broadcast centroids, map-side
+    "text_contamination": 2,  # train grams + bench grams (same file)
+    "text_bm25": 2,         # per-doc tf + one-row corpus stats
+    "dedup_cross": 2,       # train side + held-out hash set
 }
 
 

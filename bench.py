@@ -97,6 +97,8 @@ def main() -> None:
         # round-5 additions: baseline the round-4 operators (VERDICT r4 #7)
         "ts_funnel", "ts_retention", "ts_m4",
         "text_quality_bins_approx", "pipeline_curate",
+        # round-5 operators
+        "text_contamination", "ts_anomaly_mad",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

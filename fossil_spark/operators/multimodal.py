@@ -2,12 +2,14 @@
 typed metadata, processed via Arrow-batched mapInPandas.
 
 Decoding is REAL for PNG (zlib inflate + scanline unfiltering), BMP
-(24-bit uncompressed), PNM (P5/P6), WAV (stdlib wave), and baseline
-JPEG — baseline AND progressive (full Huffman + IDCT decoder built
-from the public ITU-T T.81 spec in fossil_spark.operators.jpeg) —
+(24-bit uncompressed), PNM (P5/P6), WAV (stdlib wave), baseline AND
+progressive JPEG (full Huffman + IDCT decoder built from the public
+ITU-T T.81 spec in fossil_spark.operators.jpeg), and lossless WEBP
+(full VP8L bitstream — prefix codes, LZ77, color cache, all four
+transforms — from RFC 9649 in fossil_spark.operators.webp) —
 implemented from the public format specs with numpy only. Formats
-that still require codec libraries (WEBP, ...) fall back to a
-clearly-labeled deterministic fake header so pipelines stay
+that still require codec libraries (lossy VP8/AVIF, ...) fall back
+to a clearly-labeled deterministic fake header so pipelines stay
 end-to-end testable in codec-less environments; swap `_fake_decode`
 for PIL/ffmpeg in such deployments (same signature, same schema).
 Video frame PIXELS are real for motion-JPEG: JPEG-in-MP4 samples are
@@ -178,7 +180,7 @@ def _decode_pnm(data: bytes) -> tuple[int, int, str, np.ndarray]:
 
 def decode_image(data: bytes) -> tuple[int, int, str, np.ndarray]:
     """Dispatch on magic bytes. Raises ValueError for formats that
-    need a codec library (WEBP, AVIF, ...)."""
+    need a codec library (lossy-WEBP, AVIF, ...)."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(data)
     if data[:2] == b"BM":
@@ -189,6 +191,13 @@ def decode_image(data: bytes) -> tuple[int, int, str, np.ndarray]:
         from fossil_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        # lossless (VP8L) decodes for real; lossy VP8 raises and
+        # falls back to the labeled fake
+        from fossil_spark.operators.webp import decode_webp
+
+        w, h, _alpha, rgba = decode_webp(data)
+        return w, h, "RGBA", rgba
     raise ValueError("unknown or codec-required image format")
 
 

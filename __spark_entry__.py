@@ -586,6 +586,12 @@ def _cluster_kmeans(spark, sf_dir):
     return ann.kmeans_cluster(emb, k=8, n_iter=3)
 
 
+def _text_boilerplate(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.boilerplate_removal(_docs(spark, sf_dir))
+
+
 def _ts_anomaly_mad(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -829,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-checked (added during round 5) ---------------------
         "text_contamination": _text_contamination,
         "text_bm25": _text_bm25,
+        "text_boilerplate": _text_boilerplate,
         "dedup_cross": _dedup_cross,
         "cluster_kmeans": _cluster_kmeans,  # rows-only: iterative Lloyd
         "ts_anomaly_mad": _ts_anomaly_mad,
@@ -1747,6 +1754,24 @@ def oracle_sql() -> dict[str, str]:
             " + ln(1 + (n - df2 + 0.5)/(df2 + 0.5)) * tf2 * 2.2"
             "   / (tf2 + 1.2*(0.25 + 0.75*dl/(sumdl::DOUBLE/n))), 6) AS score"
             " FROM d, s WHERE tf0 + tf1 + tf2 > 0"
+        ),
+        # CCNet-style boilerplate removal: 10-token blocks appearing in
+        # >= 2 distinct docs are stripped; text rebuilt in block order
+        "text_boilerplate": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} w FROM documents),"
+            " u AS (SELECT doc_id, s.pos AS pos, s.unit AS unit FROM ("
+            "  SELECT doc_id, unnest(list_transform("
+            "   generate_series(0, greatest(CAST(ceil(len(w)/10.0) AS INT), 1) - 1),"
+            "   i -> {'pos': i, 'unit': array_to_string(w[i*10+1 : i*10+10], ' ')}"
+            "  )) AS s FROM t)),"
+            " f AS (SELECT unit, count(DISTINCT doc_id) AS nd FROM u GROUP BY 1)"
+            " SELECT u.doc_id, count(*) AS n_units,"
+            " CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)"
+            "  AS n_removed,"
+            " coalesce(array_to_string("
+            "  list(u.unit ORDER BY u.pos) FILTER (WHERE f.nd < 2), ' '), '')"
+            "  AS cleaned_text"
+            " FROM u JOIN f ON f.unit = u.unit GROUP BY 1"
         ),
         # cross-corpus exact decontamination flag (train = odd ids)
         "dedup_cross": (

@@ -470,6 +470,66 @@ def contamination_check(
     )
 
 
+def boilerplate_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unit: str = "block",
+    block_tokens: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """CCNet-style boilerplate removal: drop text units (lines, or
+    fixed non-overlapping token blocks for unstructured text) that
+    repeat across >= min_docs distinct documents — the standard
+    dedup-at-line-granularity step that strips headers, footers and
+    navigation chrome before training.
+
+    Shape: posexplode units, ONE groupBy on md5(unit) for corpus-wide
+    distinct-doc counts (narrow fixed-width shuffle key), join back,
+    ONE groupBy on the doc id to rebuild the cleaned text in original
+    order (array_sort over (pos, unit) structs — no nondeterministic
+    collect order). Two scans of the source (units + frequency side),
+    both shuffles keyed and partial-aggregated.
+
+    Returns (id, n_units, n_removed, cleaned_text) for every doc."""
+    if unit == "line":
+        units_arr = F.split(F.col(text_col), r"\n")
+    else:
+        w = tokens(F.col(text_col))
+        n_blocks = F.greatest(
+            F.ceil(F.size(w) / F.lit(block_tokens)).cast("int"), F.lit(1)
+        )
+        units_arr = F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda i: F.array_join(
+                F.slice(w, i * block_tokens + 1, block_tokens), " "
+            ),
+        )
+    units = df.select(
+        F.col(id_col), F.posexplode(units_arr).alias("pos", "unit")
+    ).withColumn("__uh", F.md5(F.col("unit")))
+    freq = units.groupBy("__uh").agg(
+        F.countDistinct(id_col).alias("__nd")
+    )
+    joined = units.join(freq, "__uh")
+    keep = F.col("__nd") < F.lit(min_docs)
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_units"),
+        F.sum((~keep).cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(keep, F.struct(F.col("pos"), F.col("unit")))
+                    )
+                ),
+                lambda s: s["unit"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
 def bm25(
     df: DataFrame,
     query_terms: list[str],

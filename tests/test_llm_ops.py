@@ -505,3 +505,38 @@ def test_anomaly_mad_finds_planted_outlier(spark):
     out = ts.anomaly_mad(df, by=["event_type"]).collect()
     assert [(r["event_id"], r["event_type"]) for r in out] == [(7, "a")]
     assert abs(out[0]["mod_zscore"]) > 3.5
+
+
+def test_boilerplate_removal_blocks(spark):
+    # 12 tokens -> blocks of 10 + 2; the first block repeats across
+    # both docs (boilerplate), the tail differs
+    head = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    d = spark.createDataFrame(
+        [(1, head + " tail one"), (2, head + " other end"), (3, "totally different text")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.boilerplate_removal(d).collect()}
+    assert out[1]["n_units"] == 2 and out[1]["n_removed"] == 1
+    assert out[1]["cleaned_text"] == "tail one"
+    assert out[2]["cleaned_text"] == "other end"
+    assert out[3]["n_removed"] == 0
+    assert out[3]["cleaned_text"] == "totally different text"
+
+
+def test_boilerplate_removal_lines(spark):
+    d = spark.createDataFrame(
+        [(1, "COOKIE BANNER\nreal content A"), (2, "COOKIE BANNER\nreal content B")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           text.boilerplate_removal(d, unit="line").collect()}
+    assert out[1]["n_removed"] == 1 and out[1]["cleaned_text"] == "real content A"
+
+
+def test_boilerplate_all_removed_yields_empty(spark):
+    d = spark.createDataFrame(
+        [(1, "same exact text"), (2, "same exact text")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.boilerplate_removal(d).collect()}
+    assert out[1]["cleaned_text"] == "" and out[1]["n_removed"] == 1

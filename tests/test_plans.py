@@ -172,6 +172,7 @@ _SCAN_BUDGET = {
     "ts_anomaly_mad": 1,    # two windows share one exchange
     "cluster_kmeans": 1,    # final assignment: broadcast centroids, map-side
     "text_contamination": 2,  # train grams + bench grams (same file)
+    "text_boilerplate": 2,  # units + corpus-wide frequency side
     "text_bm25": 2,         # per-doc tf + one-row corpus stats
     "dedup_cross": 2,       # train side + held-out hash set
 }

@@ -606,6 +606,33 @@ def _ts_anomaly_mad(spark, sf_dir):
     )
 
 
+def _text_gopher(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.gopher_quality(_docs(spark, sf_dir))
+
+
+def _sample_hash_topk(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.hash_topk_sample(_docs(spark, sf_dir), k=200)
+
+
+def _ts_acf(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.acf(
+        _events(spark, sf_dir), lags=3, time_col="ts", by=["event_type"],
+        value_col="value", order_tiebreak=["event_id"],
+    )
+
+
+def _dedup_paragraph(spark, sf_dir):
+    from fossil_spark.operators import dedup
+
+    return dedup.paragraph_dedup(_docs(spark, sf_dir))
+
+
 def _text_chunk(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -833,6 +860,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Keys driver-green in r04 drop below the fold."""
     return {
         # --- never driver-checked (added during round 5) ---------------------
+        "text_gopher": _text_gopher,
+        "sample_hash_topk": _sample_hash_topk,
+        "ts_acf": _ts_acf,
+        "dedup_paragraph": _dedup_paragraph,
         "text_contamination": _text_contamination,
         "text_bm25": _text_bm25,
         "text_boilerplate": _text_boilerplate,
@@ -1757,6 +1788,69 @@ def oracle_sql() -> dict[str, str]:
         ),
         # CCNet-style boilerplate removal: 10-token blocks appearing in
         # >= 2 distinct docs are stripped; text rebuilt in block order
+        # Gopher repetition rules: all-integer arithmetic until the final
+        # divisions, so both engines agree bit-for-bit
+        "text_gopher": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} w FROM documents),"
+            " b AS (SELECT doc_id, w, len(w) AS nw,"
+            "  CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS wc,"
+            "  CASE WHEN len(w) >= 2 THEN list_transform("
+            "   generate_series(1, len(w)-1), i -> array_to_string(w[i:i+1], ' '))"
+            "  ELSE [array_to_string(w, ' ')] END AS s2,"
+            "  CASE WHEN len(w) >= 3 THEN list_transform("
+            "   generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))"
+            "  ELSE [array_to_string(w, ' ')] END AS s3 FROM t),"
+            " m AS (SELECT doc_id, nw, wc,"
+            "  1.0 - len(list_distinct(w))::DOUBLE / nw AS dwf,"
+            "  wc::DOUBLE / nw AS mwl,"
+            "  list_max(list_transform(list_distinct(s2), d ->"
+            "   CAST(len(list_filter(s2, x -> x = d)) AS BIGINT) * (len(d) - 1)"
+            "  ))::DOUBLE / wc AS f2,"
+            "  list_max(list_transform(list_distinct(s3), d ->"
+            "   CAST(len(list_filter(s3, x -> x = d)) AS BIGINT) * (len(d) - 2)"
+            "  ))::DOUBLE / wc AS f3 FROM b)"
+            " SELECT doc_id, nw AS n_words, mwl AS mean_word_len,"
+            " dwf AS dup_word_frac, f2 AS top2_char_frac, f3 AS top3_char_frac,"
+            " (nw >= 50 AND nw <= 100000 AND mwl >= 3.0 AND mwl <= 10.0"
+            "  AND dwf <= 0.5 AND f2 <= 0.20 AND f3 <= 0.18) AS gopher_pass"
+            " FROM m"
+        ),
+        # deterministic fixed-size sample: lowest k md5(salt:id) keys
+        "sample_hash_topk": (
+            "SELECT doc_id, md5('topk:' || CAST(doc_id AS VARCHAR))"
+            " AS sample_key FROM documents"
+            " ORDER BY sample_key LIMIT 200"
+        ),
+        # per-key autocorrelation at row lags 1..3 (deterministic total
+        # order via the event_id tiebreak; corr rounded @4)
+        "ts_acf": (
+            "WITH t AS (SELECT event_type, value,"
+            " lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,"
+            " lag(value, 3) OVER w AS l3"
+            f" FROM {_EV} e WINDOW w AS"
+            " (PARTITION BY event_type ORDER BY ts, event_id))"
+            " SELECT event_type, round(corr(value, l1), 4) AS acf_1,"
+            " round(corr(value, l2), 4) AS acf_2,"
+            " round(corr(value, l3), 4) AS acf_3 FROM t GROUP BY event_type"
+        ),
+        # first-occurrence paragraph (token-block) dedup: rn=1 over the
+        # global (doc, pos) order == Spark's min(struct(doc, pos))
+        "dedup_paragraph": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} w FROM documents),"
+            " u AS (SELECT doc_id, s.pos AS pos, s.unit AS unit FROM ("
+            "  SELECT doc_id, unnest(list_transform("
+            "   generate_series(0, greatest(CAST(ceil(len(w)/10.0) AS INT), 1) - 1),"
+            "   i -> {'pos': i, 'unit': array_to_string(w[i*10+1 : i*10+10], ' ')}"
+            "  )) AS s FROM t)),"
+            " k AS (SELECT doc_id, pos, unit, row_number() OVER ("
+            "  PARTITION BY md5(unit) ORDER BY doc_id, pos) AS rn FROM u)"
+            " SELECT doc_id, count(*) AS n_units,"
+            " CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,"
+            " coalesce(array_to_string("
+            "  list(unit ORDER BY pos) FILTER (WHERE rn = 1), ' '), '')"
+            "  AS cleaned_text"
+            " FROM k GROUP BY 1"
+        ),
         "text_boilerplate": (
             f"WITH t AS (SELECT doc_id, {_TOKS} w FROM documents),"
             " u AS (SELECT doc_id, s.pos AS pos, s.unit AS unit FROM ("

@@ -38,6 +38,67 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_tokens: int = 10,
+) -> DataFrame:
+    """Corpus-wide exact SUBSTRING dedup at paragraph granularity
+    (the ExactSubstr step of Lee et al. 2022 "Deduplicating Training
+    Data", at block rather than suffix-array resolution): every
+    distinct text unit survives exactly ONCE — in the document where
+    it first occurs (global (doc, pos) order) — and later occurrences
+    are cut. Complements boilerplate_removal, which deletes ALL
+    copies of frequent units; here one canonical copy is kept.
+
+    Units are fixed non-overlapping token blocks (the corpus is
+    unstructured single-line text). Shape: posexplode blocks, ONE
+    groupBy on md5(unit) taking min(struct(doc, pos)) — a map-side
+    partial min, so a whale unit (classic boilerplate skew) reduces
+    per-partition before the shuffle — join back on the narrow hash,
+    then ONE groupBy on the doc id rebuilding the surviving text in
+    original order. No windows over the unit hash: a window would
+    funnel each whale unit's rows through a single partition.
+
+    Returns (id, n_units, n_cut, cleaned_text) for every document."""
+    from fossil_spark.operators.text import tokens
+
+    w = tokens(F.col(text_col))
+    n_blocks = F.greatest(
+        F.ceil(F.size(w) / F.lit(block_tokens)).cast("int"), F.lit(1)
+    )
+    units_arr = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.array_join(F.slice(w, i * block_tokens + 1, block_tokens), " "),
+    )
+    units = df.select(
+        F.col(id_col), F.posexplode(units_arr).alias("pos", "unit")
+    ).withColumn("__uh", F.md5(F.col("unit")))
+    first = units.groupBy("__uh").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first")
+    )
+    joined = units.join(first, "__uh")
+    keep = (F.col("__first")[id_col] == F.col(id_col)) & (
+        F.col("__first")["pos"] == F.col("pos")
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_units"),
+        F.sum((~keep).cast("long")).alias("n_cut"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(keep, F.struct(F.col("pos"), F.col("unit")))
+                    )
+                ),
+                lambda s: s["unit"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
 def cross_corpus_dedup(
     train: DataFrame,
     heldout: DataFrame,

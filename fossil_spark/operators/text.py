@@ -179,6 +179,80 @@ def repetition_score(df: DataFrame, text_col: str = "text", n: int = 2) -> DataF
     )
 
 
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality rules (Rae et al. 2021, §A1.1):
+    word count, mean word length, duplicate-word fraction, and the
+    fraction of document characters covered by the most repetitive
+    word n-gram (n = 2, 3), plus the combined pass/fail verdict a
+    pre-training filter would apply.
+
+    All integer arithmetic until the final divisions, so the scores
+    are bit-identical across engines. "Character coverage" of an
+    n-gram is count * word-chars(gram), maximized over distinct grams
+    — a deterministic tie-break (the paper's "most frequent n-gram"
+    is ambiguous under ties). Per-row higher-order functions only:
+    no explode, no shuffle; the whole operator folds into the scan."""
+    w = tokens(F.col(text_col))
+    n_words = F.size(w)
+    word_chars = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+    )
+    mean_word_len = word_chars.cast("double") / n_words
+    dup_word_frac = (
+        F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / n_words
+    )
+
+    def top_chars(n: int) -> Column:
+        sh = shingles(F.col(text_col), n)
+        # char mass of one occurrence = len(space-joined gram) - (n-1)
+        return F.array_max(
+            F.transform(
+                F.array_distinct(sh),
+                lambda d: F.size(F.filter(sh, lambda x: x == d)).cast("long")
+                * (F.length(d) - F.lit(n - 1)).cast("long"),
+            )
+        )
+
+    top2 = top_chars(2).cast("double") / word_chars
+    top3 = top_chars(3).cast("double") / word_chars
+    passed = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (dup_word_frac <= 0.5)
+        & (top2 <= 0.20)
+        & (top3 <= 0.18)
+    )
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        dup_word_frac.alias("dup_word_frac"),
+        top2.alias("top2_char_frac"),
+        top3.alias("top3_char_frac"),
+        passed.alias("gopher_pass"),
+    )
+
+
+def hash_topk_sample(
+    df: DataFrame, k: int, id_col: str = "doc_id", salt: str = "topk"
+) -> DataFrame:
+    """Deterministic fixed-size uniform sample: the k rows whose
+    md5(salt:id) sorts lowest. The reproducible replacement for
+    reservoir sampling — identical output for any partitioning, any
+    engine, any run. Spark executes orderBy+limit as
+    TakeOrderedAndProject: each partition keeps only its local top-k,
+    and the driver merges k-sized heaps — no global sort, no full
+    shuffle, O(k) driver memory at any scale."""
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    return (
+        df.select(id_col, h.alias("sample_key"))
+        .orderBy("sample_key")
+        .limit(k)
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -744,6 +744,41 @@ def anomaly_mad(
     )
 
 
+def acf(
+    df: DataFrame,
+    lags: int = 3,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    order_tiebreak: list[str] | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-key autocorrelation at row lags 1..`lags`: Pearson corr
+    between the series and its lag-k shift — the standard seasonality
+    and persistence diagnostic. No self-join: lag() windows over ONE
+    (key, time, tiebreak) sort, then corr() aggregates per key — one
+    shuffle total, and all lag columns reuse the same sorted exchange.
+    The tiebreak makes the total order (and thus every lag pair)
+    deterministic when timestamps collide. Rounded to `round_to` so
+    floating accumulation order across engines can't flip a digit."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    order = [F.col(time_col)] + [F.col(c) for c in (order_tiebreak or [])]
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
+    lagged = df.select(
+        *by,
+        F.col(value_col).alias("__v"),
+        *[F.lag(value_col, k).over(w).alias(f"__l{k}") for k in range(1, lags + 1)],
+    )
+    aggs = [
+        F.round(F.corr("__v", f"__l{k}"), round_to).alias(f"acf_{k}")
+        for k in range(1, lags + 1)
+    ]
+    if by:
+        return lagged.groupBy(*by).agg(*aggs)
+    return lagged.agg(*aggs)
+
+
 # ---------------------------------------------------------------------------
 # exact greedy sample (reference-parity variant)
 # ---------------------------------------------------------------------------

@@ -540,3 +540,70 @@ def test_boilerplate_all_removed_yields_empty(spark):
     )
     out = {r["doc_id"]: r for r in text.boilerplate_removal(d).collect()}
     assert out[1]["cleaned_text"] == "" and out[1]["n_removed"] == 1
+
+
+# --- Gopher quality rules ---------------------------------------------------
+
+def test_gopher_quality_scores(spark):
+    # doc 1: 4 distinct words, no repetition; doc 2: one word repeated
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "spam spam spam spam spam")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.gopher_quality(d).collect()}
+    assert out[1]["n_words"] == 4 and out[1]["dup_word_frac"] == 0.0
+    assert out[1]["mean_word_len"] == pytest.approx(19 / 4)
+    assert out[2]["dup_word_frac"] == pytest.approx(1 - 1 / 5)
+    # every 2-gram of doc 2 is "spam spam": 4 occurrences * 8 chars / 20
+    assert out[2]["top2_char_frac"] == pytest.approx(4 * 8 / 20)
+    assert not out[2]["gopher_pass"]  # repetitive AND too short
+
+
+def test_gopher_pass_thresholds(spark):
+    good = " ".join(f"word{i}" for i in range(60))  # 60 distinct 5-6 char words
+    d = spark.createDataFrame([(1, good)], "doc_id long, text string")
+    row = text.gopher_quality(d).collect()[0]
+    assert row["gopher_pass"]
+    assert 3.0 <= row["mean_word_len"] <= 10.0
+
+
+# --- deterministic top-k hash sample ---------------------------------------
+
+def test_hash_topk_sample_deterministic(docs):
+    a = text.hash_topk_sample(docs, k=50).collect()
+    b = text.hash_topk_sample(docs.repartition(7), k=50).collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    assert len(a) == 50
+    # the kept keys are exactly the 50 smallest
+    all_keys = sorted(
+        r["sample_key"]
+        for r in docs.select(
+            F.md5(F.concat(F.lit("topk:"), F.col("doc_id").cast("string"))).alias(
+                "sample_key"
+            )
+        ).collect()
+    )
+    assert sorted(r["sample_key"] for r in a) == all_keys[:50]
+
+
+# --- paragraph (token-block) first-occurrence dedup -------------------------
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    head = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    d = spark.createDataFrame(
+        [(1, head + " tail one"), (2, head + " other end")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.paragraph_dedup(d).collect()}
+    # doc 1 (smaller id) keeps the shared block; doc 2 loses it
+    assert out[1]["n_cut"] == 0 and out[1]["cleaned_text"] == head + " tail one"
+    assert out[2]["n_cut"] == 1 and out[2]["cleaned_text"] == "other end"
+
+
+def test_paragraph_dedup_intra_doc(spark):
+    # the same block twice inside ONE doc: second occurrence cut
+    blk = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    d = spark.createDataFrame([(1, blk + " " + blk)], "doc_id long, text string")
+    row = dedup.paragraph_dedup(d).collect()[0]
+    assert row["n_units"] == 2 and row["n_cut"] == 1
+    assert row["cleaned_text"] == blk

@@ -476,3 +476,30 @@ def test_retention_cohort_semantics(spark):
     assert offsets[("2023-12-28", 1)] == 1   # user 1 returns
     assert offsets[("2024-01-04", 0)] == 1   # user 3's cohort
     assert offsets[("2024-01-04", 1)] == 1   # user 3 returns
+
+
+def test_acf_alternating_and_ramp(spark):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # key "alt": +1/-1 alternation -> acf_1 == -1, acf_2 == +1
+    for i in range(40):
+        rows.append(("alt", i, base + timedelta(minutes=i), float((-1) ** i)))
+    # key "ramp": linear -> all lags perfectly correlated
+    for i in range(40):
+        rows.append(("ramp", i, base + timedelta(minutes=i), float(i)))
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts timestamp, value double"
+    )
+    out = {
+        r["event_type"]: r
+        for r in ts.acf(
+            df, lags=2, time_col="ts", by=["event_type"],
+            order_tiebreak=["event_id"],
+        ).collect()
+    }
+    assert out["alt"]["acf_1"] == pytest.approx(-1.0)
+    assert out["alt"]["acf_2"] == pytest.approx(1.0)
+    assert out["ramp"]["acf_1"] == pytest.approx(1.0)
+    assert out["ramp"]["acf_2"] == pytest.approx(1.0)

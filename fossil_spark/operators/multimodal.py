@@ -6,7 +6,9 @@ Decoding is REAL for PNG (zlib inflate + scanline unfiltering), BMP
 progressive JPEG (full Huffman + IDCT decoder built from the public
 ITU-T T.81 spec in fossil_spark.operators.jpeg), and lossless WEBP
 (full VP8L bitstream — prefix codes, LZ77, color cache, all four
-transforms — from RFC 9649 in fossil_spark.operators.webp) —
+transforms — from RFC 9649 in fossil_spark.operators.webp), and GIF
+87a/89a (variable-width LZW, interlace, animation composition with
+disposal/transparency, in fossil_spark.operators.gif) —
 implemented from the public format specs with numpy only. Formats
 that still require codec libraries (lossy VP8/AVIF, ...) fall back
 to a clearly-labeled deterministic fake header so pipelines stay
@@ -198,6 +200,11 @@ def decode_image(data: bytes) -> tuple[int, int, str, np.ndarray]:
 
         w, h, _alpha, rgba = decode_webp(data)
         return w, h, "RGBA", rgba
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from fossil_spark.operators.gif import decode_gif
+
+        w, h, frames = decode_gif(data)
+        return w, h, "RGB", frames[0][1]
     raise ValueError("unknown or codec-required image format")
 
 
@@ -659,10 +666,11 @@ def extract_video_frames(
     binary_col: str = "content",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """REAL frame pixels for codec-free motion-JPEG video: JPEG-in-MP4
+    """REAL frame pixels for codec-free video: JPEG-in-MP4
     (stsd fourcc 'jpeg'/'mjpa'/..., samples addressed via the stsz/
     stsc/stco tables) and raw concatenated MJPEG streams, decoded with
-    the pure-numpy baseline decoder (fossil_spark.operators.jpeg).
+    the pure-numpy baseline decoder (fossil_spark.operators.jpeg), and
+    animated GIF (composed canvas frames via fossil_spark.operators.gif).
     Every every_n-th frame yields one row with true width/height and
     pixel mean/std. Containers whose codec genuinely needs an external
     library (h264, vp9, ...) keep the labeled 'stub' rows: real frame
@@ -672,6 +680,20 @@ def extract_video_frames(
     from fossil_spark.operators.jpeg import decode_jpeg
 
     def frame_rows(rid, data: bytes):
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            # animated GIF: a codec-free video container — every
+            # composed frame decodes to real pixels
+            from fossil_spark.operators.gif import decode_gif
+
+            try:
+                w, h, frames = decode_gif(data)
+                for idx in range(0, len(frames), every_n):
+                    a = frames[idx][1].astype(np.float64)
+                    yield (rid, idx, w, h, "RGB",
+                           float(a.mean()), float(a.std()), "real")
+                return
+            except (ValueError, IndexError, struct.error):
+                pass
         spans, codec_ok = None, False
         try:
             codec, samples = parse_mp4_samples(data)

@@ -633,6 +633,21 @@ def _dedup_paragraph(spark, sf_dir):
     return dedup.paragraph_dedup(_docs(spark, sf_dir))
 
 
+def _text_unigram_nll(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.unigram_nll(_docs(spark, sf_dir))
+
+
+def _ts_changepoint(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.changepoint_cusum(
+        _events(spark, sf_dir), time_col="ts", by=["event_type"],
+        value_col="value", order_tiebreak=["event_id"],
+    )
+
+
 def _text_chunk(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -864,6 +879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash_topk": _sample_hash_topk,
         "ts_acf": _ts_acf,
         "dedup_paragraph": _dedup_paragraph,
+        "text_unigram_nll": _text_unigram_nll,
+        "ts_changepoint": _ts_changepoint,
         "text_contamination": _text_contamination,
         "text_bm25": _text_bm25,
         "text_boilerplate": _text_boilerplate,
@@ -1788,6 +1805,42 @@ def oracle_sql() -> dict[str, str]:
         ),
         # CCNet-style boilerplate removal: 10-token blocks appearing in
         # >= 2 distinct docs are stripped; text rebuilt in block order
+        # corpus-fit unigram LM negative log-likelihood per document
+        # (decimal(30,8) per-doc accumulation == Spark side, order-free)
+        "text_unigram_nll": (
+            f"WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),"
+            " tf AS (SELECT tok, count(*) AS tf FROM tok GROUP BY 1),"
+            " tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),"
+            " d AS (SELECT doc_id, count(*) AS n_tokens,"
+            "  CAST(round(sum(CAST(-ln(CAST(tf.tf AS DOUBLE) / tot.n)"
+            "   AS DECIMAL(30,8))), 4) AS DOUBLE) AS nll"
+            "  FROM tok JOIN tf USING (tok), tot GROUP BY 1)"
+            " SELECT doc_id, n_tokens, nll,"
+            " round(nll / n_tokens, 6) AS avg_nll FROM d"
+        ),
+        # CUSUM changepoint per key: peak |standardized cumsum|,
+        # earliest-time tie-break; decimal sums keep engines bitwise equal
+        "ts_changepoint": (
+            "WITH b AS (SELECT event_type, event_id, ts, value,"
+            " count(*) OVER k AS n,"
+            " CAST(round(sum(CAST(value AS DECIMAL(30,8))) OVER k, 4)"
+            "  AS DOUBLE) AS s1,"
+            " CAST(round(sum(CAST(value * value AS DECIMAL(30,8))) OVER k, 4)"
+            "  AS DOUBLE) AS s2"
+            f" FROM {_EV} e WINDOW k AS (PARTITION BY event_type)),"
+            " c AS (SELECT *, s1/n AS mean,"
+            "  sqrt(s2/n - (s1/n)*(s1/n)) AS std FROM b),"
+            " d AS (SELECT event_type, ts, n,"
+            "  round(abs(CAST(round(sum(CAST(value - mean AS DECIMAL(30,8)))"
+            "   OVER (PARTITION BY event_type ORDER BY ts, event_id"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)"
+            "   AS DOUBLE)) / std, 4) AS score"
+            "  FROM c WHERE std > 0),"
+            " f AS (SELECT event_type, ts, score, n, row_number() OVER ("
+            "  PARTITION BY event_type ORDER BY score DESC, ts) AS rn FROM d)"
+            " SELECT event_type, ts AS cp_time, score AS cp_score, n"
+            " FROM f WHERE rn = 1"
+        ),
         # Gopher repetition rules: all-integer arithmetic until the final
         # divisions, so both engines agree bit-for-bit
         "text_gopher": (

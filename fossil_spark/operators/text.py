@@ -179,6 +179,48 @@ def repetition_score(df: DataFrame, text_col: str = "text", n: int = 2) -> DataF
     )
 
 
+def unigram_nll(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram language-model negative log-likelihood per document —
+    the cheap, model-free stand-in for the perplexity filter of
+    CCNet-style pipelines: fit p(tok) = tf/N on the corpus itself,
+    score each document by sum(-ln p) and its per-token average.
+    Outlier documents (rare-token soup, degenerate repetition) sit at
+    the tails and get filtered.
+
+    Shape: explode tokens once; ONE groupBy(token) builds the term-
+    frequency table (map-side partial counts); the corpus total is a
+    1-row aggregate broadcast by crossJoin; tokens re-join the tf
+    table on the token key (AQE broadcasts it when the vocab is
+    small, sort-merge with skew-split otherwise — natural-language
+    vocab is Zipfian, exactly the case AQE's skew handling exists
+    for); ONE groupBy(doc) accumulates. The per-doc sum uses
+    decimal(30,8) fixed point so accumulation order can't change the
+    result across partitionings or engines."""
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tf = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    total = toks.agg(F.count("*").cast("double").alias("__n"))
+    nll = -F.log(F.col("tf").cast("double") / F.col("__n"))
+    per_doc = (
+        toks.join(tf, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum(nll.cast("decimal(30,8)")), 4)
+            .cast("double")
+            .alias("nll"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "nll",
+        F.round(F.col("nll") / F.col("n_tokens"), 6).alias("avg_nll"),
+    )
+
+
 def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition quality rules (Rae et al. 2021, §A1.1):
     word count, mean word length, duplicate-word fraction, and the

@@ -744,6 +744,71 @@ def anomaly_mad(
     )
 
 
+def changepoint_cusum(
+    df: DataFrame,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    order_tiebreak: list[str] | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-key CUSUM changepoint detection (Page 1954): the
+    standardized cumulative sum of deviations from the key mean,
+    S_i = sum_{j<=i}(x_j - mean) / std; the changepoint estimate is
+    the time where |S| peaks, and the peak height is the shift
+    evidence. One row per key: (cp_time, cp_score, n).
+
+    Determinism across engines: mean/std come from decimal(30,8)
+    fixed-point sums (order-free), the running sum accumulates
+    decimals over a (time, tiebreak)-deterministic order, and the
+    argmax tie-breaks to the earliest time. Shape: two window frames
+    plus a row_number filter, ALL over the same key partitioning —
+    one shuffle total, no joins, no driver pull."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    wk = Window.partitionBy(*[F.col(c) for c in by]) if by else Window.partitionBy()
+    order = [F.col(time_col)] + [F.col(c) for c in (order_tiebreak or [])]
+    wo = (
+        Window.partitionBy(*[F.col(c) for c in by])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.count("*").over(wk)
+    s1 = F.round(F.sum(F.col(value_col).cast("decimal(30,8)")).over(wk), 4).cast(
+        "double"
+    )
+    s2 = F.round(
+        F.sum((F.col(value_col) * F.col(value_col)).cast("decimal(30,8)")).over(wk), 4
+    ).cast("double")
+    mean = s1 / n
+    std = F.sqrt(s2 / n - mean * mean)
+    base = df.select(
+        *by, F.col(time_col), F.col(value_col),
+        *order[1:],  # tiebreak columns for the running order
+        n.alias("__n"), mean.alias("__mean"), std.alias("__std"),
+    )
+    cs = F.round(
+        F.sum((F.col(value_col) - F.col("__mean")).cast("decimal(30,8)")).over(wo), 4
+    ).cast("double")
+    scored = base.filter(F.col("__std") > 0).select(
+        *by, F.col(time_col), F.col("__n"),
+        F.round(F.abs(cs) / F.col("__std"), round_to).alias("__score"),
+    )
+    wr = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+        F.desc("__score"), F.col(time_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *by,
+            F.col(time_col).alias("cp_time"),
+            F.col("__score").alias("cp_score"),
+            F.col("__n").alias("n"),
+        )
+    )
+
+
 def acf(
     df: DataFrame,
     lags: int = 3,

@@ -607,3 +607,30 @@ def test_paragraph_dedup_intra_doc(spark):
     row = dedup.paragraph_dedup(d).collect()[0]
     assert row["n_units"] == 2 and row["n_cut"] == 1
     assert row["cleaned_text"] == blk
+
+
+# --- unigram LM negative log-likelihood -------------------------------------
+
+def test_unigram_nll_hand_computed(spark):
+    import math
+
+    # corpus: 6 tokens total; "a" x3, "b" x2, "c" x1
+    d = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in text.unigram_nll(d).collect()}
+    nll1 = -(2 * math.log(3 / 6) + math.log(2 / 6))
+    nll2 = -(math.log(3 / 6) + math.log(2 / 6) + math.log(1 / 6))
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["nll"] == pytest.approx(nll1, abs=2e-4)
+    assert out[2]["nll"] == pytest.approx(nll2, abs=2e-4)
+    assert out[2]["avg_nll"] > out[1]["avg_nll"]  # rarer tokens score higher
+
+
+def test_unigram_nll_partitioning_invariant(docs):
+    a = {r["doc_id"]: r["nll"] for r in text.unigram_nll(docs).collect()}
+    b = {
+        r["doc_id"]: r["nll"]
+        for r in text.unigram_nll(docs.repartition(13)).collect()
+    }
+    assert a == b

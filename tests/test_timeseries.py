@@ -503,3 +503,29 @@ def test_acf_alternating_and_ramp(spark):
     assert out["alt"]["acf_2"] == pytest.approx(1.0)
     assert out["ramp"]["acf_1"] == pytest.approx(1.0)
     assert out["ramp"]["acf_2"] == pytest.approx(1.0)
+
+
+def test_changepoint_cusum_finds_planted_shift(spark):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1)
+    rows = []
+    # level shift at i=60: mean 0 -> mean 10 (no noise: CUSUM peak is
+    # exactly at the last pre-shift point)
+    for i in range(100):
+        rows.append(("k", i, base + timedelta(minutes=i), 0.0 if i < 60 else 10.0))
+    # constant key: std = 0, must be dropped, not divide-by-zero
+    for i in range(50):
+        rows.append(("const", 1000 + i, base + timedelta(minutes=i), 5.0))
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts timestamp, value double"
+    )
+    out = {
+        r["event_type"]: r
+        for r in ts.changepoint_cusum(
+            df, time_col="ts", by=["event_type"], order_tiebreak=["event_id"]
+        ).collect()
+    }
+    assert "const" not in out
+    assert out["k"]["cp_time"] == base + timedelta(minutes=59)
+    assert out["k"]["cp_score"] > 10  # strong shift evidence

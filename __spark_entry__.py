@@ -648,6 +648,14 @@ def _ts_changepoint(spark, sf_dir):
     )
 
 
+def _text_domain_mix(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.domain_mixture(
+        _docs(spark, sf_dir), {"src0": 0.01, "src1": 0.25}
+    )
+
+
 def _text_chunk(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -881,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraph": _dedup_paragraph,
         "text_unigram_nll": _text_unigram_nll,
         "ts_changepoint": _ts_changepoint,
+        "text_domain_mix": _text_domain_mix,
         "text_contamination": _text_contamination,
         "text_bm25": _text_bm25,
         "text_boilerplate": _text_boilerplate,
@@ -1805,6 +1814,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         # CCNet-style boilerplate removal: 10-token blocks appearing in
         # >= 2 distinct docs are stripped; text rebuilt in block order
+        # mixture balancing: all-integer tallies -> engine-exact shares
+        "text_domain_mix": (
+            f"WITH s AS (SELECT source, count(*) AS n_docs,"
+            f" CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens"
+            " FROM documents GROUP BY 1),"
+            " t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM s)"
+            " SELECT source, n_docs, n_tokens,"
+            " n_tokens / t.total AS token_share,"
+            " coalesce(least(1.0, (CASE WHEN source = 'src0' THEN 0.01"
+            "  WHEN source = 'src1' THEN 0.25 END) / (n_tokens / t.total)),"
+            "  1.0) AS sample_weight"
+            " FROM s, t"
+        ),
         # corpus-fit unigram LM negative log-likelihood per document
         # (decimal(30,8) per-doc accumulation == Spark side, order-free)
         "text_unigram_nll": (

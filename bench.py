@@ -99,6 +99,7 @@ def main() -> None:
         "text_quality_bins_approx", "pipeline_curate",
         # round-5 operators
         "text_contamination", "ts_anomaly_mad",
+        "text_gopher", "text_unigram_nll", "dedup_paragraph", "ts_changepoint",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

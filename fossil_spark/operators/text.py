@@ -221,6 +221,45 @@ def unigram_nll(
     )
 
 
+def domain_mixture(
+    df: DataFrame,
+    targets: dict[str, float],
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-mixture balancing: per-source document/token tallies,
+    the source's realized token share, and the downsample-only weight
+    (min(1, target/actual)) that moves the corpus toward the target
+    mixture — feed the weights into stratified_sample to execute the
+    rebalance deterministically. Sources without a stated target keep
+    weight 1.
+
+    ONE groupBy on the source (map-side partial counts, one shuffle
+    of a handful of rows) + a 1-row broadcast total; all-integer
+    tallies, so shares and weights are engine-exact."""
+    per_src = df.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(F.col(text_col))).cast("long")).alias("n_tokens"),
+    )
+    total = per_src.agg(F.sum("n_tokens").cast("double").alias("__total"))
+    target = F.lit(None).cast("double")
+    for src, t in sorted(targets.items()):
+        target = F.when(F.col(source_col) == src, F.lit(t)).otherwise(target)
+    share = F.col("n_tokens") / F.col("__total")
+    return (
+        per_src.crossJoin(F.broadcast(total))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            share.alias("token_share"),
+            F.coalesce(
+                F.least(F.lit(1.0), target / share), F.lit(1.0)
+            ).alias("sample_weight"),
+        )
+    )
+
+
 def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition quality rules (Rae et al. 2021, §A1.1):
     word count, mean word length, duplicate-word fraction, and the

@@ -634,3 +634,25 @@ def test_unigram_nll_partitioning_invariant(docs):
         for r in text.unigram_nll(docs.repartition(13)).collect()
     }
     assert a == b
+
+
+# --- domain mixture balancing ----------------------------------------------
+
+def test_domain_mixture_weights(spark):
+    d = spark.createDataFrame(
+        [(1, "a b c d", "web"), (2, "e f g h", "web"),
+         (3, "i j k l", "code"), (4, "m n o p", "books")],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["source"]: r
+        for r in text.domain_mixture(d, {"web": 0.25, "books": 0.9}).collect()
+    }
+    # web holds 1/2 of tokens, target 0.25 -> downsample to weight 0.5
+    assert out["web"]["token_share"] == pytest.approx(0.5)
+    assert out["web"]["sample_weight"] == pytest.approx(0.5)
+    # books holds 1/4, target 0.9 -> cap at 1.0 (downsample-only)
+    assert out["books"]["sample_weight"] == 1.0
+    # code has no target -> weight 1
+    assert out["code"]["sample_weight"] == 1.0
+    assert out["code"]["n_docs"] == 1 and out["code"]["n_tokens"] == 4

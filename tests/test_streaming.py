@@ -174,3 +174,62 @@ def test_curate_stream_matches_batch_semantics(spark, workdir):
     stream_key = {(r["chunk_idx"], r["chunk"], r["quality"], r["pred_lang"])
                   for r in got}
     assert batch_key == stream_key
+
+
+def test_streaming_exact_dedup_within_watermark(spark, workdir):
+    from datetime import timedelta
+
+    from fossil_spark.streaming.dedup import streaming_exact_dedup
+
+    src = os.path.join(workdir, "docs_in")
+    os.makedirs(src)
+    _write_jsonl(os.path.join(src, "b1.json"), [
+        {"time": "2024-01-01T00:00:00", "doc_id": 1, "text": "Same   Doc"},
+        {"time": "2024-01-01T00:00:30", "doc_id": 2, "text": "same doc"},
+        {"time": "2024-01-01T00:01:00", "doc_id": 3, "text": "unique one"},
+    ])
+    stream = (
+        spark.readStream.schema("time timestamp, doc_id long, text string")
+        .json(src)
+    )
+    out_dir = os.path.join(workdir, "out")
+    q = (
+        streaming_exact_dedup(stream, timedelta(minutes=10), "time", "text")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(workdir, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out_dir).collect()
+    # docs 1 and 2 normalize to the same hash -> one survivor
+    assert len(rows) == 2
+    assert {r["doc_id"] for r in rows} <= {1, 2, 3}
+    assert len({r["text_hash"] for r in rows}) == 2
+
+
+def test_streaming_exact_dedup_global(spark, workdir):
+    from fossil_spark.streaming.dedup import streaming_exact_dedup_global
+
+    src = os.path.join(workdir, "docs_in2")
+    os.makedirs(src)
+    _write_jsonl(os.path.join(src, "b1.json"), [
+        {"time": "2024-01-01T00:00:00", "doc_id": 1, "text": "alpha"},
+        {"time": "2024-01-03T00:00:00", "doc_id": 2, "text": "ALPHA"},
+    ])
+    stream = (
+        spark.readStream.schema("time timestamp, doc_id long, text string")
+        .json(src)
+    )
+    out_dir = os.path.join(workdir, "out2")
+    q = (
+        streaming_exact_dedup_global(stream, "text")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(workdir, "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 1

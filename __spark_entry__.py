@@ -656,6 +656,14 @@ def _text_domain_mix(spark, sf_dir):
     )
 
 
+def _ts_seasonal(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.seasonal_profile(
+        _events(spark, sf_dir), time_col="ts", by=["event_type"]
+    )
+
+
 def _text_chunk(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -890,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_nll": _text_unigram_nll,
         "ts_changepoint": _ts_changepoint,
         "text_domain_mix": _text_domain_mix,
+        "ts_seasonal": _ts_seasonal,
         "text_contamination": _text_contamination,
         "text_bm25": _text_bm25,
         "text_boilerplate": _text_boilerplate,
@@ -1814,6 +1823,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         # CCNet-style boilerplate removal: 10-token blocks appearing in
         # >= 2 distinct docs are stripped; text rebuilt in block order
+        # hour-of-day seasonal profile (decimal sums -> engine-exact)
+        "ts_seasonal": (
+            "WITH s AS (SELECT event_type, extract(hour FROM ts) AS hour,"
+            " count(*) AS n,"
+            " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+            "  AS s1"
+            f" FROM {_EV} e GROUP BY 1, 2)"
+            " SELECT event_type, CAST(hour AS INT) AS hour, n,"
+            " round(s1 / n, 6) AS hour_mean,"
+            " round(CAST(sum(CAST(s1 AS DECIMAL(30,8))) OVER k AS DOUBLE)"
+            "  / sum(n) OVER k, 6) AS overall_mean,"
+            " round((s1 / n) / (CAST(sum(CAST(s1 AS DECIMAL(30,8))) OVER k"
+            "  AS DOUBLE) / sum(n) OVER k), 6) AS seasonal_index"
+            " FROM s WINDOW k AS (PARTITION BY event_type)"
+        ),
         # mixture balancing: all-integer tallies -> engine-exact shares
         "text_domain_mix": (
             f"WITH s AS (SELECT source, count(*) AS n_docs,"
@@ -1878,12 +1902,12 @@ def oracle_sql() -> dict[str, str]:
             " m AS (SELECT doc_id, nw, wc,"
             "  1.0 - len(list_distinct(w))::DOUBLE / nw AS dwf,"
             "  wc::DOUBLE / nw AS mwl,"
-            "  list_max(list_transform(list_distinct(s2), d ->"
+            "  greatest(0, list_max(list_transform(list_distinct(s2), d ->"
             "   CAST(len(list_filter(s2, x -> x = d)) AS BIGINT) * (len(d) - 1)"
-            "  ))::DOUBLE / wc AS f2,"
-            "  list_max(list_transform(list_distinct(s3), d ->"
+            "  )))::DOUBLE / wc AS f2,"
+            "  greatest(0, list_max(list_transform(list_distinct(s3), d ->"
             "   CAST(len(list_filter(s3, x -> x = d)) AS BIGINT) * (len(d) - 2)"
-            "  ))::DOUBLE / wc AS f3 FROM b)"
+            "  )))::DOUBLE / wc AS f3 FROM b)"
             " SELECT doc_id, nw AS n_words, mwl AS mean_word_len,"
             " dwf AS dup_word_frac, f2 AS top2_char_frac, f3 AS top3_char_frac,"
             " (nw >= 50 AND nw <= 100000 AND mwl >= 3.0 AND mwl <= 10.0"

@@ -155,22 +155,75 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", *counts, scrubbed.alias("scrubbed"))
 
 
+def _top_run_count(sh: Column) -> Column:
+    """Occurrences of the modal element: sort the array (equal
+    elements become adjacent) and take the longest run in ONE linear
+    aggregate pass — O(m log m) per row. The naive per-distinct
+    filter scan is O(d*m) string comparisons, which measured 57 s at
+    sf0.1 for the corpus-wide pass (vs sub-second for this shape)."""
+    s = F.array_sort(sh)
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        new_run = (
+            F.when(x == acc["prev"], acc["run"] + F.lit(1).cast("long"))
+            .otherwise(F.lit(1).cast("long"))
+        )
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+        )
+
+    return F.aggregate(s, init, step, lambda acc: acc["best"])
+
+
+def _top_run_mass(sh: Column, n: int) -> Column:
+    """Max over distinct grams of count * word-chars(gram), floored
+    at 0 — same sorted-run linear scan as _top_run_count, closing a
+    run's mass whenever the gram changes."""
+    s = F.array_sort(sh)
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        closed = acc["run"] * (
+            F.length(acc["prev"]).cast("long") - F.lit(n - 1)
+        )
+        same = x == acc["prev"]
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + F.lit(1).cast("long"))
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(same, acc["best"])
+            .otherwise(F.greatest(acc["best"], closed))
+            .alias("best"),
+        )
+
+    def fin(acc):
+        last = acc["run"] * (F.length(acc["prev"]).cast("long") - F.lit(n - 1))
+        return F.greatest(acc["best"], last, F.lit(0).cast("long"))
+
+    return F.aggregate(s, init, step, fin)
+
+
 def repetition_score(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
     """Repetition quality filter: the share of the document occupied
     by its single most-frequent word n-gram. Boilerplate and
     degenerate generations score high. Computed per row with
-    higher-order functions (no explode, no shuffle)."""
+    higher-order functions (no explode, no shuffle); the modal count
+    comes from the sorted-run scan (see _top_run_count)."""
     sh = shingles(F.col(text_col), n)
     total = F.size(sh)
-    # count of the modal shingle: for each distinct shingle, count its
-    # occurrences; take the max
-    distinct = F.array_distinct(sh)
-    max_count = F.array_max(
-        F.transform(
-            distinct,
-            lambda d: F.size(F.filter(sh, lambda x: x == d)),
-        )
-    )
+    max_count = _top_run_count(sh)
     return df.select(
         "doc_id",
         total.alias("n_ngrams"),
@@ -269,10 +322,12 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     All integer arithmetic until the final divisions, so the scores
     are bit-identical across engines. "Character coverage" of an
-    n-gram is count * word-chars(gram), maximized over distinct grams
-    — a deterministic tie-break (the paper's "most frequent n-gram"
-    is ambiguous under ties). Per-row higher-order functions only:
-    no explode, no shuffle; the whole operator folds into the scan."""
+    n-gram is count * word-chars(gram) floored at 0, maximized over
+    distinct grams — a deterministic tie-break (the paper's "most
+    frequent n-gram" is ambiguous under ties). Per-row higher-order
+    functions only: no explode, no shuffle; the modal-gram scan is
+    sort + linear run-scan (O(m log m), not the O(d*m) all-pairs
+    filter that measured 57 s at sf0.1)."""
     w = tokens(F.col(text_col))
     n_words = F.size(w)
     word_chars = F.aggregate(
@@ -284,15 +339,9 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
     def top_chars(n: int) -> Column:
-        sh = shingles(F.col(text_col), n)
-        # char mass of one occurrence = len(space-joined gram) - (n-1)
-        return F.array_max(
-            F.transform(
-                F.array_distinct(sh),
-                lambda d: F.size(F.filter(sh, lambda x: x == d)).cast("long")
-                * (F.length(d) - F.lit(n - 1)).cast("long"),
-            )
-        )
+        # char mass of one occurrence = len(space-joined gram) - (n-1);
+        # sorted-run linear scan, floored at 0 (see _top_run_mass)
+        return _top_run_mass(shingles(F.col(text_col), n), n)
 
     top2 = top_chars(2).cast("double") / word_chars
     top3 = top_chars(3).cast("double") / word_chars

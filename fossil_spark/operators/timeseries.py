@@ -744,6 +744,50 @@ def anomaly_mad(
     )
 
 
+def seasonal_profile(
+    df: DataFrame,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Hour-of-day seasonal profile per key: the mean value in each
+    hour slot, the key's overall mean, and the seasonal index
+    (slot mean / overall mean) — the classical multiplicative
+    seasonality diagnostic, and the lookup table a seasonal-adjust
+    step divides by.
+
+    ONE groupBy on (key, hour) with map-side partial decimal sums
+    (24 slots per key — the shuffle moves aggregates, not rows), then
+    a window over the tiny aggregated frame for the key totals. All
+    means derive from order-free decimal(30,8) sums, so the profile
+    is engine- and partitioning-exact."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    slots = df.groupBy(
+        *[F.col(c) for c in by], F.hour(F.col(time_col)).alias("hour")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col(value_col).cast("decimal(30,8)")), 4)
+        .cast("double")
+        .alias("__s"),
+    )
+    wk = Window.partitionBy(*[F.col(c) for c in by]) if by else Window.partitionBy()
+    hour_mean = F.col("__s") / F.col("n")
+    # re-cast to decimal for the key total: exact and order-free
+    overall = (
+        F.sum(F.col("__s").cast("decimal(30,8)")).over(wk).cast("double")
+        / F.sum("n").over(wk)
+    )
+    return slots.select(
+        *by,
+        "hour",
+        "n",
+        F.round(hour_mean, 6).alias("hour_mean"),
+        F.round(overall, 6).alias("overall_mean"),
+        F.round(hour_mean / overall, 6).alias("seasonal_index"),
+    )
+
+
 def changepoint_cusum(
     df: DataFrame,
     time_col: str = "time",

@@ -529,3 +529,28 @@ def test_changepoint_cusum_finds_planted_shift(spark):
     assert "const" not in out
     assert out["k"]["cp_time"] == base + timedelta(minutes=59)
     assert out["k"]["cp_score"] > 10  # strong shift evidence
+
+
+def test_seasonal_profile_planted_cycle(spark):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 5, 1)
+    rows = []
+    # value = 100 at hour 12, 10 elsewhere, over 4 days
+    for d in range(4):
+        for hr in (6, 12, 18):
+            rows.append(
+                ("k", base + timedelta(days=d, hours=hr),
+                 100.0 if hr == 12 else 10.0)
+            )
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {
+        r["hour"]: r
+        for r in ts.seasonal_profile(df, time_col="ts", by=["event_type"]).collect()
+    }
+    assert out[12]["hour_mean"] == pytest.approx(100.0)
+    assert out[6]["hour_mean"] == pytest.approx(10.0)
+    assert out[12]["overall_mean"] == pytest.approx(40.0)
+    assert out[12]["seasonal_index"] == pytest.approx(2.5)
+    assert out[18]["seasonal_index"] == pytest.approx(0.25)
+    assert out[12]["n"] == 4

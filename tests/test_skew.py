@@ -171,3 +171,34 @@ def test_aqe_splits_skewed_join(spark, skewed):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_paragraph_dedup_whale_unit(spark):
+    """A boilerplate block repeated in ~half the corpus: the unit-hash
+    aggregation must partial-reduce map-side (min(struct)) rather than
+    sort a whale group through one partition."""
+    import time as _t
+
+    from fossil_spark.operators.dedup import paragraph_dedup
+
+    whale = " ".join(f"b{i}" for i in range(10))  # one full block
+    docs = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.concat(F.lit(whale + " "), F.lit("tail "), F.col("id").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("unique text "), F.col("id").cast("string")))
+        .alias("text"),
+    )
+    t0 = _t.monotonic()
+    out = paragraph_dedup(docs).collect()
+    dt = _t.monotonic() - t0
+    assert dt < BUDGET_S, f"paragraph_dedup took {dt:.1f}s on whale unit"
+    assert len(out) == 20_000
+    # doc 0 keeps the whale block; every other even doc loses it
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["n_cut"] == 0
+    assert by_id[2]["n_cut"] == 1
+    assert by_id[2]["cleaned_text"].startswith("tail")
+    assert by_id[1]["n_cut"] == 0

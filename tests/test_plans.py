@@ -175,6 +175,15 @@ _SCAN_BUDGET = {
     "text_boilerplate": 2,  # units + corpus-wide frequency side
     "text_bm25": 2,         # per-doc tf + one-row corpus stats
     "dedup_cross": 2,       # train side + held-out hash set
+    # round-5 session-2 additions
+    "text_gopher": 1,       # folds into the scan, zero shuffles
+    "sample_hash_topk": 1,  # TakeOrderedAndProject over one scan
+    "ts_acf": 1,            # lag windows + corr over one sort
+    "ts_changepoint": 1,    # all windows share the key partitioning
+    "ts_seasonal": 1,       # one (key,hour) groupBy + tiny window
+    "dedup_paragraph": 2,   # units + first-occurrence side
+    "text_unigram_nll": 3,  # tokens + tf side + 1-row total
+    "text_domain_mix": 2,   # per-source tallies + 1-row total
 }
 
 

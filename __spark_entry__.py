@@ -762,6 +762,14 @@ def _ann_ivf(spark, sf_dir):
     return ann.ivf_ann(emb, emb.filter("vec_id < 8"), k=5, n_lists=16, n_probe=4)
 
 
+def _ann_pq(spark, sf_dir):
+    from fossil_spark.operators import ann
+    from fossil_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ann.pq_ann(emb, emb.filter("vec_id < 8"), k=5)
+
+
 def _text_tokens(spark, sf_dir):
     from fossil_spark.operators import text
 
@@ -899,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_changepoint": _ts_changepoint,
         "text_domain_mix": _text_domain_mix,
         "ts_seasonal": _ts_seasonal,
+        "ann_pq": _ann_pq,  # rows-only: recall vs exact checked in tests
         "text_contamination": _text_contamination,
         "text_bm25": _text_bm25,
         "text_boilerplate": _text_boilerplate,

@@ -656,3 +656,31 @@ def test_domain_mixture_weights(spark):
     # code has no target -> weight 1
     assert out["code"]["sample_weight"] == 1.0
     assert out["code"]["n_docs"] == 1 and out["code"]["n_tokens"] == 4
+
+
+def test_pq_ann_recall_and_compression(emb):
+    queries = emb.filter("vec_id < 10")
+    exact = ann.cosine_topk(emb, queries, k=5).collect()
+    approx = ann.pq_ann(emb, queries, k=5).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # rerank closes the ADC gap: near-isotropic synthetic vectors are the
+    # hard case and still clear 0.7 (measured 0.95)
+    assert recall >= 0.7
+    # the returned scores are EXACT cosines (rerank), so overlapping
+    # pairs must agree with the exact scorer bitwise
+    exact_scores = {(r["query_id"], r["vec_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_scores:
+            assert r["cos_sim"] == exact_scores[key]
+    assert all(r["rank"] <= 5 for r in approx)
+
+
+def test_pq_ann_deterministic(emb):
+    queries = emb.filter("vec_id < 4")
+    a = ann.pq_ann(emb, queries, k=3).collect()
+    b = ann.pq_ann(emb, queries, k=3).collect()
+    assert {(r["query_id"], r["vec_id"], r["cos_sim"]) for r in a} == \
+        {(r["query_id"], r["vec_id"], r["cos_sim"]) for r in b}

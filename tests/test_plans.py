@@ -24,6 +24,10 @@ SF = "/root/testdata/sf0.001"
 PYTHON_OK = {
     "fql_sample_greedy", "multimodal_meta", "multimodal_frames",
     "ts_ewma", "text_pack",
+    # PQ's ADC scan is SIMD-shaped (codebook argmin + table gathers);
+    # one Arrow-batched mapInPandas pass, measured 75x the interpreted
+    # higher-order-function expression of the same math
+    "ann_pq",
 }
 
 

@@ -908,6 +908,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_domain_mix": _text_domain_mix,
         "ts_seasonal": _ts_seasonal,
         "ann_pq": _ann_pq,  # rows-only: recall vs exact checked in tests
+        # A-group canary pulled up so the 9 new keys don't push FQL
+        # out of the 50-key window (fql_sample = the NTZ canary)
+        "fql_sample": _fql_query("sample(@hour) in /events"),
+        "agg_order_cube": _analytics("order_cube"),
         "text_contamination": _text_contamination,
         "text_bm25": _text_bm25,
         "text_boilerplate": _text_boilerplate,
@@ -962,9 +966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash_split": _sample_hash_split,
         "text_token_freq": _text_token_freq,
         "multimodal_meta": _multimodal_meta,
-        # A. FQL (green r04; NTZ canary fql_sample kept in-window)
+        # A. FQL (green r04; NTZ canary fql_sample hoisted above)
         "fql_all": _fql_query("all"),
-        "fql_sample": _fql_query("sample(@hour) in /events"),
         "fql_mapreduce_avg": _fql_query(
             "all | map x -> 1, x | reduce a, b -> a[0] + b[0], a[1] + b[1] "
             "| map count, sum -> sum / count"
@@ -1565,6 +1568,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,"
             f" {_DSUM('o_totalprice')} AS total_revenue"
             " FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"
+        ),
+        "agg_order_cube": (
+            "SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,"
+            f" {_DSUM('o_totalprice')} AS total_revenue"
+            " FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"
         ),
         "ts_rollup_cascade": (
             f"SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,"

@@ -47,6 +47,21 @@ def order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): every grouping-set combination —
+    grand total, per-status, per-priority, and the full cross — in
+    ONE pass over the fact table (Catalyst expands the grouping sets
+    into a single Expand + aggregate, no rescans)."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_revenue"),
+        )
+    )
+
+
 def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style cascading rollup: 15-minute partial aggregates
     re-aggregated to hourly — the continuous-aggregate pattern where

@@ -854,6 +854,15 @@ def _pipeline_curate(spark, sf_dir):
     return curate_corpus(_docs(spark, sf_dir))
 
 
+def _pipeline_semdedup(spark, sf_dir):
+    """SemDeDup: k-means-cluster-scoped near-dup pruning (pair space
+    bounded by cluster sizes, never corpus^2)."""
+    from fossil_spark.pipelines import semdedup
+    from fossil_spark.session import read_table
+
+    return semdedup(read_table(spark, sf_dir, "embeddings"))
+
+
 def _pipeline_semantic_dedup(spark, sf_dir):
     """Semantic dedup end-to-end: LSH near-dup pairs -> connected
     components -> representative per cluster, over every embedding."""
@@ -912,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # out of the 50-key window (fql_sample = the NTZ canary)
         "fql_sample": _fql_query("sample(@hour) in /events"),
         "agg_order_cube": _analytics("order_cube"),
+        "pipeline_semdedup": _pipeline_semdedup,  # rows-only: iterative kmeans
         "text_contamination": _text_contamination,
         "text_bm25": _text_bm25,
         "text_boilerplate": _text_boilerplate,

@@ -93,6 +93,66 @@ def curate_stream(
     )
 
 
+def semdedup(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.5,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): cluster
+    embeddings with deterministic spherical k-means, then compare
+    pairs ONLY within a cluster and drop every vector that has a
+    more-senior (smaller-id) neighbor above the cosine threshold.
+    Clustering is what makes the pair space tractable: O(sum of
+    cluster sizes squared), never corpus squared — the paper's whole
+    point, and exactly the shape AQE's skew handling supervises when
+    one cluster runs hot.
+
+    Returns (id, cluster, is_kept) for every vector."""
+    from fossil_spark.operators import ann as _ann
+
+    assigned = _ann.kmeans_cluster(
+        embeddings, k=n_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col), F.col("cluster"))
+    v = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    av = assigned.join(v, id_col)
+    a = av.select(
+        F.col("cluster"),
+        F.col(id_col).alias("__ida"),
+        F.col("__v").alias("__va"),
+    )
+    b = av.select(
+        F.col("cluster"),
+        F.col(id_col).alias("__idb"),
+        F.col("__v").alias("__vb"),
+    )
+    # a has a smaller-id near-duplicate b -> a is dropped
+    from fossil_spark.operators.ann import cosine
+
+    dups = (
+        a.join(b, "cluster")
+        .filter(
+            (F.col("__idb") < F.col("__ida"))
+            & (F.round(cosine(F.col("__va"), F.col("__vb")), 9) >= threshold)
+        )
+        .select(F.col("__ida").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dups.withColumn("__dup", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("is_kept"),
+        )
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.25,

@@ -684,3 +684,33 @@ def test_pq_ann_deterministic(emb):
     b = ann.pq_ann(emb, queries, k=3).collect()
     assert {(r["query_id"], r["vec_id"], r["cos_sim"]) for r in a} == \
         {(r["query_id"], r["vec_id"], r["cos_sim"]) for r in b}
+
+
+# --- SemDeDup (cluster-scoped semantic dedup) -------------------------------
+
+def test_semdedup_drops_planted_near_duplicates(spark):
+    import numpy as np
+
+    from fossil_spark.pipelines import semdedup
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(20, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # ids 100-102: near-copies of vector 0 (tiny noise)
+    for j in range(3):
+        rows.append(
+            (100 + j, [float(x) for x in base[0] + rng.normal(scale=1e-3, size=16)])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           semdedup(df, n_clusters=4, threshold=0.99).collect()}
+    assert len(out) == 23
+    # the copies share vector 0's cluster and are dropped; 0 survives
+    assert out[0]["is_kept"]
+    for j in (100, 101, 102):
+        assert not out[j]["is_kept"]
+        assert out[j]["cluster"] == out[0]["cluster"]
+    # distinct originals survive
+    assert sum(1 for r in out.values() if r["is_kept"]) == 20

@@ -656,6 +656,15 @@ def _text_domain_mix(spark, sf_dir):
     )
 
 
+def _ts_forecast(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.holt_forecast(
+        _events(spark, sf_dir), horizon=5, time_col="ts", by=["event_type"],
+        order_tiebreak=["event_id"],
+    )
+
+
 def _ts_seasonal(spark, sf_dir):
     from fossil_spark.operators import timeseries as ts
 
@@ -922,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fql_sample": _fql_query("sample(@hour) in /events"),
         "agg_order_cube": _analytics("order_cube"),
         "pipeline_semdedup": _pipeline_semdedup,  # rows-only: iterative kmeans
+        "ts_forecast": _ts_forecast,  # rows-only: sequential recurrence
         "text_contamination": _text_contamination,
         "text_bm25": _text_bm25,
         "text_boilerplate": _text_boilerplate,

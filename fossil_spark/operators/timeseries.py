@@ -713,6 +713,72 @@ def ewma(
     return df.groupBy(*by).applyInPandas(per_key, out_schema)
 
 
+def holt_forecast(
+    df: DataFrame,
+    horizon: int = 5,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Holt's linear-trend forecast per key (double exponential
+    smoothing, Holt 1957): level and trend recurrences over the
+    ordered series, then `horizon` steps ahead at level + h*trend.
+    Init is exact (l0 = x0, b0 = x1 - x0), so a perfectly linear
+    series forecasts its own continuation exactly.
+
+    Like ewma, the recurrence is inherently sequential per key, so it
+    runs as one Arrow batch per key group (applyInPandas) — parallel
+    ACROSS keys, sequential within; the forecast fan-out is `horizon`
+    rows per key, negligible against the input. Returns
+    (*by, step, forecast, level, trend)."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    by = by or []
+    df = _time_norm(df, time_col)
+    sort_cols = [time_col] + (order_tiebreak or [])
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name in by]
+        + [
+            StructField("step", LongType()),
+            StructField("forecast", DoubleType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+        ]
+    )
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=float)
+        lvl = x[0]
+        trd = x[1] - x[0] if len(x) > 1 else 0.0
+        for t in range(1, len(x)):
+            prev = lvl
+            lvl = alpha * x[t] + (1 - alpha) * (lvl + trd)
+            trd = beta * (lvl - prev) + (1 - beta) * trd
+        rows = {
+            "step": list(range(1, horizon + 1)),
+            "forecast": [lvl + h * trd for h in range(1, horizon + 1)],
+            "level": [lvl] * horizon,
+            "trend": [trd] * horizon,
+        }
+        for c in by:
+            rows[c] = [pdf[c].iloc[0]] * horizon
+        return pd.DataFrame(rows)[[f.name for f in out_schema.fields]]
+
+    if not by:
+        return df.withColumn("__g", F.lit(0)).groupBy("__g").applyInPandas(
+            lambda pdf: per_key(pdf.drop(columns="__g")), out_schema
+        )
+    return df.groupBy(*by).applyInPandas(per_key, out_schema)
+
+
 def anomaly_mad(
     df: DataFrame,
     by: list[str] | None = None,

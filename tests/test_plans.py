@@ -28,6 +28,8 @@ PYTHON_OK = {
     # one Arrow-batched mapInPandas pass, measured 75x the interpreted
     # higher-order-function expression of the same math
     "ann_pq",
+    # sequential per-key recurrence, one Arrow batch per key (like ts_ewma)
+    "ts_forecast",
 }
 
 

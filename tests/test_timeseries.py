@@ -554,3 +554,26 @@ def test_seasonal_profile_planted_cycle(spark):
     assert out[12]["seasonal_index"] == pytest.approx(2.5)
     assert out[18]["seasonal_index"] == pytest.approx(0.25)
     assert out[12]["n"] == 4
+
+
+def test_holt_forecast_linear_series_exact(spark):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 6, 1)
+    rows = []
+    for i in range(30):
+        rows.append(("a", i, base + timedelta(hours=i), 2.0 * i + 3.0))
+        rows.append(("b", i, base + timedelta(hours=i), 50.0 - i))
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts timestamp, value double"
+    )
+    out = ts.holt_forecast(
+        df, horizon=3, time_col="ts", by=["event_type"],
+        order_tiebreak=["event_id"],
+    ).collect()
+    got = {(r["event_type"], r["step"]): r["forecast"] for r in out}
+    # linear series -> exact continuation
+    for h in (1, 2, 3):
+        assert got[("a", h)] == pytest.approx(2.0 * (29 + h) + 3.0)
+        assert got[("b", h)] == pytest.approx(50.0 - (29 + h))
+    assert len(out) == 6

@@ -100,6 +100,7 @@ def main() -> None:
         # round-5 operators
         "text_contamination", "ts_anomaly_mad",
         "text_gopher", "text_unigram_nll", "dedup_paragraph", "ts_changepoint",
+        "ann_pq", "ts_forecast",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

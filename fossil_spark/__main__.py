@@ -21,15 +21,30 @@ import sys
 import threading
 
 
+def resolve_databases(args, cfg: dict) -> dict[str, str]:
+    """CLI flags override the TOML config (reference precedence:
+    viper flags > config file > defaults). --databases/--data given
+    -> flag layout; otherwise the config's [database.*] sections."""
+    if args.databases is not None or args.data is not None:
+        data = args.data or "./data"
+        names = (args.databases or "default").split(",")
+        return {n.strip(): os.path.join(data, n.strip())
+                for n in names if n.strip()}
+    return dict(cfg["databases"])
+
+
 def _serve(argv: list[str]) -> int:
     ap = argparse.ArgumentParser(prog="fossil_spark serve")
-    ap.add_argument("--data", default="./data",
+    ap.add_argument("--config", default=None,
+                    help="TOML config (reference config.default.toml shape);"
+                         " also searched in config/, /etc/fossil, ~/.fossil, .")
+    ap.add_argument("--data", default=None,
                     help="root directory; each database is a subdirectory")
-    ap.add_argument("--databases", default="default",
+    ap.add_argument("--databases", default=None,
                     help="comma-separated database names")
     ap.add_argument("--host", default="0.0.0.0")
-    ap.add_argument("--port", type=int, default=8001)
-    ap.add_argument("--metrics-port", type=int, default=2112)
+    ap.add_argument("--port", type=int, default=None)
+    ap.add_argument("--metrics-port", type=int, default=None)
     ap.add_argument("--flush-every", type=int, default=1000,
                     help="micro-batch size (rows) per parquet commit")
     ap.add_argument("--compact-every", type=int, default=50,
@@ -37,15 +52,18 @@ def _serve(argv: list[str]) -> int:
     ap.add_argument("--max-query-rows", type=int, default=100_000)
     args = ap.parse_args(argv)
 
+    from fossil_spark.config import load_config
     from fossil_spark.server import FossilServer
     from fossil_spark.session import get_spark
 
+    cfg = load_config(args.config)
+    if args.port is None:
+        args.port = int(cfg["fossil"]["port"])
+    if args.metrics_port is None:
+        args.metrics_port = int(cfg["fossil"]["prom-port"])
+
     spark = get_spark("fossil_spark-server")
-    dbs = {
-        name.strip(): os.path.join(args.data, name.strip())
-        for name in args.databases.split(",")
-        if name.strip()
-    }
+    dbs = resolve_databases(args, cfg)
     srv = FossilServer(
         spark, dbs, host=args.host, port=args.port,
         flush_every=args.flush_every, compact_every=args.compact_every,

@@ -273,9 +273,21 @@ def main(argv: list[str] | None = None) -> int:
     # the positional connection string is read, so a leading flag can't
     # masquerade as a database path
     args, fmt = _take_flag(args, "--format", {"text", "csv", "json"})
-    fmt = fmt or "text"
     args, connect = _take_flag(args, "--connect")
     args, db_flag = _take_flag(args, "--db")
+    args, config_flag = _take_flag(args, "--config")
+    if connect is None and not args:
+        # no target on the command line: fall back to the TOML config's
+        # fossil.host connection string (reference cmd/fossil/client.go)
+        from fossil_spark.config import load_config
+
+        cfg = load_config(config_flag)
+        if cfg["fossil"]["host"]:
+            args = [str(cfg["fossil"]["host"])]
+            fmt = fmt or str(cfg["fossil"].get("output") or "text")
+    fmt = fmt or "text"
+    if fmt not in {"text", "csv", "json"}:
+        fmt = "text"
     if connect is not None:
         host, _, port = connect.partition(":")
         client = RemoteClient(host, int(port), fmt)

@@ -138,3 +138,61 @@ def test_main_rejects_bad_format_without_touching_fs():
         cli.main(["--format", "yaml", "somedb"])
     assert set(os.listdir(".")) == before
     assert not os.path.exists("--format")
+
+
+# --- TOML config (reference config.default.toml parity) ---------------------
+
+def test_load_config_reference_shape(tmp_path):
+    from fossil_spark.config import load_config
+
+    p = tmp_path / "config.toml"
+    p.write_text(
+        '[fossil]\nport = 9001\nprom-port = 3112\n'
+        'host = "fossil://localhost:9001/default"\nlocal = true\nverbose = 2\n\n'
+        '[database]\ndirectory = "./data"\n\n'
+        '[database.test]\n\n'
+        '[database.prod]\ndirectory = "/mnt/prod"\n'
+    )
+    cfg = load_config(str(p))
+    assert cfg["fossil"]["port"] == 9001
+    assert cfg["fossil"]["prom-port"] == 3112
+    assert cfg["fossil"]["host"] == "fossil://localhost:9001/default"
+    # named databases: per-db directory override, else shared/<name>
+    assert cfg["databases"]["prod"] == "/mnt/prod"
+    assert cfg["databases"]["test"] == os.path.join("./data", "test")
+    assert "default" not in cfg["databases"]
+
+
+def test_load_config_defaults_without_file():
+    from fossil_spark.config import DEFAULTS, load_config
+
+    cfg = load_config(None)  # no config anywhere on the search path
+    assert cfg["fossil"]["port"] == DEFAULTS["port"]
+    assert cfg["databases"] == {"default": os.path.join("./data", "default")}
+
+
+def test_load_config_scalar_only_database_section(tmp_path):
+    from fossil_spark.config import load_config
+
+    p = tmp_path / "c.toml"
+    p.write_text('[database]\ndirectory = "/srv/fossil"\n')
+    cfg = load_config(str(p))
+    assert cfg["databases"] == {"default": os.path.join("/srv/fossil", "default")}
+
+
+def test_serve_database_resolution_precedence(tmp_path):
+    import argparse
+
+    from fossil_spark.__main__ import resolve_databases
+    from fossil_spark.config import load_config
+
+    p = tmp_path / "c.toml"
+    p.write_text('[database]\ndirectory = "/srv"\n[database.a]\n[database.b]\n')
+    cfg = load_config(str(p))
+    ns = argparse.Namespace(data=None, databases=None)
+    assert resolve_databases(ns, cfg) == {
+        "a": os.path.join("/srv", "a"), "b": os.path.join("/srv", "b")
+    }
+    # CLI flags win over the config
+    ns = argparse.Namespace(data="/tmp/x", databases="only")
+    assert resolve_databases(ns, cfg) == {"only": os.path.join("/tmp/x", "only")}

@@ -57,7 +57,15 @@ def compact(
 ) -> list[str]:
     """Rewrite fragmented date partitions into ~target-sized files.
     Returns the partitions compacted. Atomic per partition: the new
-    files are written to a sibling temp dir, then swapped in."""
+    files are written to a sibling temp dir, then swapped in.
+
+    Output files are RANGE-partitioned and sorted on (topic, time):
+    each rewritten file covers a narrow topic/time slice, so its
+    parquet min/max column stats are tight and a `in /topic since T`
+    scan skips whole files and row groups INSIDE a date partition —
+    the difference between reading a day and reading a topic-hour at
+    100 TB. A round-robin repartition here would scatter every topic
+    across every file and quietly forfeit that pruning."""
     compacted = []
     for part in _partitions(root):
         pdir = os.path.join(root, part)
@@ -68,7 +76,11 @@ def compact(
         n_out = max(1, (total + target_file_bytes - 1) // target_file_bytes)
         df = spark.read.parquet(pdir)
         tmp = pdir + ".compact_tmp"
-        df.repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
+        (
+            df.repartitionByRange(int(n_out), "topic", "time")
+            .sortWithinPartitions("topic", "time")
+            .write.mode("overwrite").parquet(tmp)
+        )
         old = pdir + ".compact_old"
         os.rename(pdir, old)
         os.rename(tmp, pdir)

@@ -87,8 +87,12 @@ class EventStore:
             F.col(value_col).alias("value"),
         ).withColumn("date", F.to_date("time"))
         # zstd: ~30-50% smaller than snappy at similar decode speed —
-        # at 100 TB the scan is bandwidth-bound, so ratio wins
-        out.write.mode("append").option("compression", "zstd") \
+        # at 100 TB the scan is bandwidth-bound, so ratio wins.
+        # sortWithinPartitions keeps each written file's (topic, time)
+        # min/max stats tight so topic/time scans skip row groups;
+        # compact() preserves the property for merged files.
+        out.sortWithinPartitions("date", "topic", "time") \
+            .write.mode("append").option("compression", "zstd") \
             .partitionBy("date").parquet(self.root)
 
     def append_rows(self, rows: list[tuple[datetime, str, str]]) -> None:

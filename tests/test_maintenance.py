@@ -6,7 +6,7 @@ import socket
 import threading
 import time
 import uuid
-from datetime import date, datetime
+from datetime import date, datetime, timedelta, timezone
 
 import pytest
 from pyspark.sql import functions as F
@@ -114,3 +114,59 @@ def test_socket_ingest(spark, workdir):
     finally:
         q.stop()
         srv.close()
+
+
+def test_compact_clusters_topics_for_file_skipping(spark, tmp_path):
+    """Compacted files must be (topic, time)-clustered: each output
+    file's parquet stats cover a narrow topic slice, so topic scans
+    skip files. Round-robin compaction would put every topic in every
+    file and silently forfeit the pruning."""
+    import pyarrow.parquet as pq
+
+    from fossil_spark.maintenance import compact
+    from fossil_spark.store import EventStore
+
+    root = str(tmp_path / "store")
+    store = EventStore(spark, root)
+    base = datetime(2024, 7, 1, tzinfo=timezone.utc)
+    topics = [f"/t{i}" for i in range(4)]
+    # many small appends -> fragmented partition
+    for j in range(6):
+        store.append_rows([
+            (base + timedelta(minutes=60 * j + i), t, str(i))
+            for i in range(10) for t in topics
+        ])
+    part = os.path.join(root, "date=2024-07-01")
+    n_before = len([f for f in os.listdir(part) if f.endswith(".parquet")])
+    assert n_before >= 6
+    done = compact(spark, root, target_file_bytes=6_000, min_files=2)
+    assert done == ["date=2024-07-01"]
+    files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    if len(files) > 1:  # single merged file would be trivially fine
+        spans = []
+        for f in files:
+            md = pq.ParquetFile(os.path.join(part, f)).metadata
+            tmin = tmax = None
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(ci)
+                    for ci in range(md.row_group(rg).num_columns)
+                    if md.row_group(rg).column(ci).path_in_schema == "topic"
+                )
+                st = col.statistics
+                tmin = st.min if tmin is None else min(tmin, st.min)
+                tmax = st.max if tmax is None else max(tmax, st.max)
+            spans.append((tmin, tmax))
+        # at least one file covers a strict subset of topics
+        def _s(x):
+            return x.decode() if isinstance(x, bytes) else x
+
+        n_topics = len(topics)
+        widths = [
+            len([t for t in topics if _s(lo) <= t <= _s(hi)])
+            for lo, hi in spans
+        ]
+        assert min(widths) < n_topics, f"no file is topic-clustered: {spans}"
+    # content survives the rewrite
+    got = spark.read.parquet(root).count()
+    assert got == 6 * 10 * 4

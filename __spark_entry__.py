@@ -665,6 +665,15 @@ def _ts_forecast(spark, sf_dir):
     )
 
 
+def _ts_lttb(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.lttb(
+        _events(spark, sf_dir), n_out=100, time_col="ts", by=["event_type"],
+        order_tiebreak=["event_id"],
+    ).select("event_id", "event_type", "ts", "value")
+
+
 def _ts_seasonal(spark, sf_dir):
     from fossil_spark.operators import timeseries as ts
 
@@ -932,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_order_cube": _analytics("order_cube"),
         "pipeline_semdedup": _pipeline_semdedup,  # rows-only: iterative kmeans
         "ts_forecast": _ts_forecast,  # rows-only: sequential recurrence
+        "ts_lttb": _ts_lttb,  # rows-only: sequential bucket selection
         "text_contamination": _text_contamination,
         "text_bm25": _text_bm25,
         "text_boilerplate": _text_boilerplate,

@@ -779,6 +779,66 @@ def holt_forecast(
     return df.groupBy(*by).applyInPandas(per_key, out_schema)
 
 
+def lttb(
+    df: DataFrame,
+    n_out: int = 100,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013)
+    per key: pick the point per bucket that maximizes the triangle
+    area with the previously kept point and the next bucket's
+    centroid — the visual-fidelity downsampler (keeps spikes and
+    inflections that plain bucketing averages away). Complements M4,
+    which preserves min/max/first/last exactly but picks 4
+    points/bucket.
+
+    The choice is sequential per key (each bucket depends on the
+    previous selection), so it runs as one Arrow batch per key group
+    — parallel across keys, n_out rows out per key. Returns the
+    SELECTED original rows."""
+    import numpy as np
+    import pandas as pd
+
+    by = by or []
+    df = _time_norm(df, time_col)
+    sort_cols = [time_col] + (order_tiebreak or [])
+    out_schema = df.schema
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        if n <= n_out:
+            return pdf
+        x = pdf[time_col].astype("int64").to_numpy(dtype=np.float64)
+        y = pdf[value_col].to_numpy(dtype=np.float64)
+        # first and last always kept; n_out-2 interior buckets
+        bounds = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+        keep = [0]
+        a = 0
+        for i in range(n_out - 2):
+            lo, hi = bounds[i], bounds[i + 1]
+            nlo, nhi = (bounds[i + 1], n) if i == n_out - 3 else (
+                bounds[i + 1], bounds[i + 2]
+            )
+            cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+            area = np.abs(
+                (x[a] - cx) * (y[lo:hi] - y[a]) - (x[a] - x[lo:hi]) * (cy - y[a])
+            )
+            a = lo + int(area.argmax())
+            keep.append(a)
+        keep.append(n - 1)
+        return pdf.iloc[keep]
+
+    if not by:
+        return df.withColumn("__g", F.lit(0)).groupBy("__g").applyInPandas(
+            lambda pdf: per_key(pdf.drop(columns="__g")), out_schema
+        )
+    return df.groupBy(*by).applyInPandas(per_key, out_schema)
+
+
 def anomaly_mad(
     df: DataFrame,
     by: list[str] | None = None,

@@ -118,3 +118,22 @@ def test_extract_video_frames_animated_gif(spark):
     for r, i in zip(rows, (0, 2)):
         assert r["decoded"] == "real" and r["width"] == 8 and r["height"] == 8
         assert r["mean"] == pytest.approx(float(pal[i].mean()))
+
+
+# --- property test: LZW round-trip over arbitrary index streams -------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        data=st.binary(min_size=1, max_size=3000).map(
+            lambda b: bytes(x % 16 for x in b)
+        ),
+        min_code=st.integers(min_value=4, max_value=8),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_lzw_roundtrip_property(data, min_code):
+        assert bytes(lzw_decode(lzw_encode(data, min_code), min_code, len(data))) == data
+except ImportError:  # pragma: no cover
+    pass

@@ -30,6 +30,8 @@ PYTHON_OK = {
     "ann_pq",
     # sequential per-key recurrence, one Arrow batch per key (like ts_ewma)
     "ts_forecast",
+    # LTTB bucket selection is sequential per key (same boundary)
+    "ts_lttb",
 }
 
 

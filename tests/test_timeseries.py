@@ -577,3 +577,41 @@ def test_holt_forecast_linear_series_exact(spark):
         assert got[("a", h)] == pytest.approx(2.0 * (29 + h) + 3.0)
         assert got[("b", h)] == pytest.approx(50.0 - (29 + h))
     assert len(out) == 6
+
+
+def test_lttb_keeps_spike_and_endpoints(spark):
+    import math
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 8, 1)
+    rows = []
+    for i in range(1000):
+        v = math.sin(i / 25.0)
+        if i == 500:
+            v = 40.0  # the spike a mean-based downsampler would flatten
+        rows.append(("k", i, base + timedelta(seconds=i), v))
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts timestamp, value double"
+    )
+    out = ts.lttb(
+        df, n_out=50, time_col="ts", by=["event_type"],
+        order_tiebreak=["event_id"],
+    ).collect()
+    assert len(out) == 50
+    ids = [r["event_id"] for r in out]
+    assert ids[0] == 0 and ids[-1] == 999  # endpoints always kept
+    assert 500 in ids                       # spike survives
+    vals = {r["event_id"]: r["value"] for r in out}
+    assert vals[500] == 40.0
+
+
+def test_lttb_short_series_passthrough(spark):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 8, 1)
+    df = spark.createDataFrame(
+        [("k", i, base + timedelta(seconds=i), float(i)) for i in range(5)],
+        "event_type string, event_id long, ts timestamp, value double",
+    )
+    out = ts.lttb(df, n_out=50, time_col="ts", by=["event_type"]).collect()
+    assert len(out) == 5

@@ -606,6 +606,12 @@ def _ts_anomaly_mad(spark, sf_dir):
     )
 
 
+def _text_keywords(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.tfidf_keywords(_docs(spark, sf_dir), top_k=5)
+
+
 def _text_gopher(spark, sf_dir):
     from fossil_spark.operators import text
 
@@ -942,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_semdedup": _pipeline_semdedup,  # rows-only: iterative kmeans
         "ts_forecast": _ts_forecast,  # rows-only: sequential recurrence
         "ts_lttb": _ts_lttb,  # rows-only: sequential bucket selection
+        "text_keywords": _text_keywords,
         "text_contamination": _text_contamination,
         "text_bm25": _text_bm25,
         "text_boilerplate": _text_boilerplate,
@@ -1870,6 +1877,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         # CCNet-style boilerplate removal: 10-token blocks appearing in
         # >= 2 distinct docs are stripped; text rebuilt in block order
+        # top-k TF-IDF keywords per doc (integer tf/df, deterministic ties)
+        "text_keywords": (
+            f"WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),"
+            " tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),"
+            " d AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),"
+            " n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),"
+            " s AS (SELECT doc_id, term, tf, df,"
+            "  round(tf * ln(n.nd / df), 6) AS tfidf FROM tf JOIN d USING (term), n),"
+            " r AS (SELECT *, row_number() OVER (PARTITION BY doc_id"
+            "  ORDER BY tfidf DESC, term) AS rank FROM s)"
+            " SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= 5"
+        ),
         # hour-of-day seasonal profile (decimal sums -> engine-exact)
         "ts_seasonal": (
             "WITH s AS (SELECT event_type, extract(hour FROM ts) AS hour,"

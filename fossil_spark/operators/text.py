@@ -7,7 +7,7 @@ md5-based so results are engine- and partitioning-independent.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small, fixed stopword families for the language-ID heuristic.
@@ -271,6 +271,48 @@ def unigram_nll(
         "n_tokens",
         "nll",
         F.round(F.col("nll") / F.col("n_tokens"), 6).alias("avg_nll"),
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    top_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document: tf * ln(N/df) with the
+    corpus-fit document frequencies — the classic per-document topic
+    signature (cheap doc labeling / routing before any model).
+
+    Shape: one explode + groupBy(doc, term) for tf (map-side partial
+    counts); document frequency folds out of the SAME aggregate
+    (groupBy(term) over the (doc,term) rows — counts rows, which are
+    distinct by construction, so no countDistinct shuffle); N is a
+    1-row broadcast; the top-k window partitions by doc. Determinism:
+    integer tf/df, ln of exact rationals, (score, term) tie-break."""
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").cast("double").alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("__n") / F.col("df")), round_to
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_k
     )
 
 

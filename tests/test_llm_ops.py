@@ -714,3 +714,24 @@ def test_semdedup_drops_planted_near_duplicates(spark):
         assert out[j]["cluster"] == out[0]["cluster"]
     # distinct originals survive
     assert sum(1 for r in out.values() if r["is_kept"]) == 20
+
+
+def test_tfidf_keywords_rare_term_wins(spark):
+    import math
+
+    d = spark.createDataFrame(
+        [(1, "common common zebra"), (2, "common common common"),
+         (3, "common plain words")],
+        "doc_id long, text string",
+    )
+    out = text.tfidf_keywords(d, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    top1 = {d_: sorted(rs, key=lambda r: r["rank"])[0] for d_, rs in by_doc.items()}
+    # zebra appears once in one doc: df=1 -> highest idf, tops doc 1
+    assert top1[1]["term"] == "zebra"
+    assert top1[1]["tfidf"] == pytest.approx(round(1 * math.log(3 / 1), 6))
+    # common appears in every doc: idf = ln(1) = 0
+    common = [r for r in out if r["term"] == "common"]
+    assert all(r["tfidf"] == 0.0 for r in common)

@@ -286,17 +286,18 @@ def tfidf_keywords(
     signature (cheap doc labeling / routing before any model).
 
     Shape: one explode + groupBy(doc, term) for tf (map-side partial
-    counts); document frequency folds out of the SAME aggregate
-    (groupBy(term) over the (doc,term) rows — counts rows, which are
-    distinct by construction, so no countDistinct shuffle); N is a
-    1-row broadcast; the top-k window partitions by doc. Determinism:
-    integer tf/df, ln of exact rationals, (score, term) tie-break."""
+    counts); document frequency is a count window over the SAME
+    (doc,term) rows partitioned by term — the rows are distinct by
+    construction, so the window count IS the df, with no second scan
+    and no self-join (a groupBy+join formulation re-executed the tf
+    subtree: 3 scans vs 2); N is a 1-row broadcast; the top-k window
+    partitions by doc. Determinism: integer tf/df, ln of exact
+    rationals, (score, term) tie-break."""
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.agg(F.count("*").cast("double").alias("__n"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n_docs))
         .select(
             id_col,

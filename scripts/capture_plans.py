@@ -39,6 +39,24 @@ SECTIONS = {
         "bucket aggregate, lead() on the same partitioning, sequence() "
         "explode. 1 scan, 0 joins (was 2 scans, 1 join)."
     ),
+    "text_unigram_nll": (
+        "Corpus-fit unigram NLL: one token groupBy, a 1-row broadcast "
+        "total, the token-keyed re-join (Zipfian key: AQE skew case), "
+        "one doc groupBy with decimal accumulation."
+    ),
+    "dedup_paragraph": (
+        "First-occurrence block dedup: min(struct(doc,pos)) groupBy on "
+        "the unit hash (map-side partial min = whale-unit skew-safe), "
+        "join back, rebuild in order."
+    ),
+    "text_keywords": (
+        "TF-IDF keywords: tf scan + term-window document frequency "
+        "(no rejoin), 1-row broadcast N, per-doc top-k window."
+    ),
+    "ts_changepoint": (
+        "CUSUM changepoint: all window frames and the row_number "
+        "filter share ONE key partitioning — one shuffle, no joins."
+    ),
     "ts_m4": (
         "M4 downsampling: struct-ordered min/max in ONE map-side-combined "
         "groupBy — 4 points per bucket with a single shuffle."

@@ -208,9 +208,37 @@ def decode_image(data: bytes) -> tuple[int, int, str, np.ndarray]:
     raise ValueError("unknown or codec-required image format")
 
 
+def _header_dims(data: bytes) -> tuple[int, int, str] | None:
+    """REAL dimensions for codec-required formats whose container
+    header carries them uncompressed: lossy/extended WEBP (VP8
+    keyframe tag / VP8X canvas) and AVIF (the ispe property box).
+    Pixels still need a codec; the metadata does not."""
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        try:
+            from fossil_spark.operators.webp import webp_meta
+
+            w, h, _kind = webp_meta(data)
+            return w, h, "RGB"
+        except (ValueError, IndexError, struct.error):
+            return None
+    if len(data) > 12 and data[4:8] == b"ftyp" and b"avif" in data[8:16]:
+        i = data.find(b"ispe")
+        if i >= 0 and i + 16 <= len(data):
+            w, h = struct.unpack_from(">II", data, i + 8)
+            if 0 < w <= 0xFFFF and 0 < h <= 0xFFFF:
+                return int(w), int(h), "RGB"
+    return None
+
+
 def _fake_decode(data: bytes) -> tuple[int, int, str]:
-    """Deterministic stand-in for codec-required formats. Replace with
-    PIL.Image.open in a deployment that ships codecs."""
+    """Deterministic stand-in for codec-required formats. Dimensions
+    come from the real container header when it carries them
+    (lossy WEBP, AVIF); only fully opaque bytes get fabricated
+    metadata. Replace with PIL.Image.open in a deployment that ships
+    codecs."""
+    real = _header_dims(data)
+    if real is not None:
+        return real
     h = hashlib.md5(data).hexdigest()
     width = int(h[:2], 16) + 1
     height = int(h[2:4], 16) + 1

@@ -528,6 +528,41 @@ def decode_webp(data: bytes) -> tuple[int, int, bool, np.ndarray]:
     raise ValueError("no VP8L chunk found")
 
 
+def webp_meta(data: bytes) -> tuple[int, int, str]:
+    """(width, height, kind) for ANY WEBP flavor — real header
+    dimensions even when the pixels need a codec. kind in
+    {'lossless', 'lossy', 'extended'}. Sources: VP8L 14-bit header
+    dims (RFC 9649 §3), the VP8 keyframe tag (RFC 6386 §9.1 — the
+    dims live in the UNCOMPRESSED part of the frame header), or the
+    VP8X canvas field (24-bit minus-one)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WEBP file")
+    off = 12
+    while off + 8 <= len(data):
+        fourcc = data[off:off + 4]
+        (size,) = struct.unpack_from("<I", data, off + 4)
+        payload = data[off + 8:off + 8 + size]
+        if fourcc == b"VP8L" and len(payload) >= 5:
+            if payload[0] != 0x2F:
+                raise ValueError("bad VP8L signature")
+            bits = int.from_bytes(payload[1:5], "little")
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return w, h, "lossless"
+        if fourcc == b"VP8 " and len(payload) >= 10:
+            if payload[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("bad VP8 keyframe start code")
+            w = struct.unpack_from("<H", payload, 6)[0] & 0x3FFF
+            h = struct.unpack_from("<H", payload, 8)[0] & 0x3FFF
+            return w, h, "lossy"
+        if fourcc == b"VP8X" and len(payload) >= 10:
+            w = int.from_bytes(payload[4:7], "little") + 1
+            h = int.from_bytes(payload[7:10], "little") + 1
+            return w, h, "extended"
+        off += 8 + size + (size & 1)
+    raise ValueError("no image chunk found")
+
+
 # --- minimal encoder (tests' ground truth) ---------------------------------
 
 def _write_prefix_code(bw: BitWriter, lengths: list[int]) -> dict:

@@ -1,6 +1,8 @@
 """WebP lossless (VP8L) codec: decoder proven against the minimal
 in-repo encoder by exact round-trip (RFC 9649; no media libraries)."""
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -76,3 +78,41 @@ def test_distributed_meta_real_for_webp(spark):
     df = spark.createDataFrame(rows, "doc_id long, content binary")
     out = mm.decode_image_meta(df).collect()
     assert (out[0]["width"], out[0]["height"], out[0]["mode"]) == (8, 12, "RGBA")
+
+
+# --- header metadata for codec-required flavors -----------------------------
+
+def _lossy_vp8_stub(w, h):
+    """Minimal RIFF/VP8 container: real keyframe tag + start code +
+    dims, garbage coefficients (pixels undecodable, header real)."""
+    tag = (0).to_bytes(3, "little")  # keyframe, version 0, show_frame 0
+    payload = tag + b"\x9d\x01\x2a" + struct.pack("<HH", w, h) + b"\x00" * 16
+    chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def test_webp_meta_lossy_dims():
+    from fossil_spark.operators.webp import webp_meta
+
+    w, h, kind = webp_meta(_lossy_vp8_stub(321, 97))
+    assert (w, h, kind) == (321, 97, "lossy")
+
+
+def test_webp_meta_vp8x_canvas():
+    from fossil_spark.operators.webp import webp_meta
+
+    payload = b"\x00" * 4 + (639).to_bytes(3, "little") + (359).to_bytes(3, "little")
+    chunk = b"VP8X" + struct.pack("<I", len(payload)) + payload
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    assert webp_meta(blob) == (640, 360, "extended")
+
+
+def test_image_meta_real_dims_for_lossy_webp(spark):
+    from fossil_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_lossy_vp8_stub(321, 97)))], "doc_id long, content binary"
+    )
+    row = mm.decode_image_meta(df).collect()[0]
+    # pixels need a codec, but the reported dims are the REAL header dims
+    assert (row["width"], row["height"]) == (321, 97)

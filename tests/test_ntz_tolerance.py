@@ -109,3 +109,36 @@ def test_fql_sample_ntz(ntz_events):
     now = datetime(2024, 2, 1, tzinfo=timezone.utc)
     out = fql(src, "sample(@hour) in /events since ~now - @day * 40", now=now)
     assert 0 < out.count() <= 40
+
+
+def test_acf_changepoint_seasonal_ntz(ntz_events):
+    from fossil_spark.operators.timeseries import (
+        acf,
+        changepoint_cusum,
+        seasonal_profile,
+    )
+
+    assert acf(
+        ntz_events, lags=2, time_col="ts", by=["event_type"],
+        order_tiebreak=["event_id"],
+    ).count() == 2
+    assert changepoint_cusum(
+        ntz_events, time_col="ts", by=["event_type"],
+        order_tiebreak=["event_id"],
+    ).count() > 0
+    assert seasonal_profile(
+        ntz_events, time_col="ts", by=["event_type"]
+    ).count() > 0
+
+
+def test_forecast_lttb_ntz(ntz_events):
+    from fossil_spark.operators.timeseries import holt_forecast, lttb
+
+    assert holt_forecast(
+        ntz_events, horizon=2, time_col="ts", by=["event_type"],
+        order_tiebreak=["event_id"],
+    ).count() == 4
+    assert lttb(
+        ntz_events, n_out=10, time_col="ts", by=["event_type"],
+        order_tiebreak=["event_id"],
+    ).count() == 20

@@ -202,3 +202,27 @@ def test_paragraph_dedup_whale_unit(spark):
     assert by_id[2]["n_cut"] == 1
     assert by_id[2]["cleaned_text"].startswith("tail")
     assert by_id[1]["n_cut"] == 0
+
+
+def test_unigram_nll_whale_token(spark):
+    """Zipfian reality: one token in ~half of all positions. The
+    token-keyed re-join must survive the hot key (partial-agg counts
+    + AQE skew-split), never funnel it through one partition's sort."""
+    import time as _t
+
+    from fossil_spark.operators.text import unigram_nll
+
+    docs = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the the the the the "),  # whale token, every doc
+            F.lit("w"), (F.col("id") % 5000).cast("string"),
+            F.lit(" x"), F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    t0 = _t.monotonic()
+    out = unigram_nll(docs).collect()
+    dt = _t.monotonic() - t0
+    assert dt < BUDGET_S, f"unigram_nll took {dt:.1f}s on whale token"
+    assert len(out) == 20_000
+    assert all(r["n_tokens"] == 7 for r in out)

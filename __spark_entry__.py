@@ -671,6 +671,30 @@ def _ts_forecast(spark, sf_dir):
     )
 
 
+def _sample_weighted(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    # weight-proportional (by document length) sample without
+    # replacement — longer docs proportionally more likely
+    return text.weighted_sample(_docs(spark, sf_dir), k=150, weight_col="n_chars")
+
+
+def _text_quality_classifier(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.quality_classifier(_docs(spark, sf_dir))
+
+
+def _ts_interval_coverage(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    # each event spans [ts, ts + value seconds); union coverage per user
+    return ts.interval_coverage(
+        _events(spark, sf_dir), time_col="ts", duration_col="value",
+        by=["user_id"], order_tiebreak=["event_id"],
+    )
+
+
 def _ts_lttb(spark, sf_dir):
     from fossil_spark.operators import timeseries as ts
 
@@ -931,6 +955,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     green is oldest (the E/store groups last saw the driver in r03).
     Keys driver-green in r04 drop below the fold."""
     return {
+        # --- never driver-checked (added during round 5, session 3) ----------
+        "sample_weighted": _sample_weighted,
+        "text_quality_classifier": _text_quality_classifier,
+        "ts_interval_coverage": _ts_interval_coverage,
         # --- never driver-checked (added during round 5) ---------------------
         "text_gopher": _text_gopher,
         "sample_hash_topk": _sample_hash_topk,
@@ -946,7 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fql_sample": _fql_query("sample(@hour) in /events"),
         "agg_order_cube": _analytics("order_cube"),
         "pipeline_semdedup": _pipeline_semdedup,  # rows-only: iterative kmeans
-        "ts_forecast": _ts_forecast,  # rows-only: sequential recurrence
+        "ts_forecast": _ts_forecast,
         "ts_lttb": _ts_lttb,  # rows-only: sequential bucket selection
         "text_keywords": _text_keywords,
         "text_contamination": _text_contamination,
@@ -1985,6 +2013,71 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5('topk:' || CAST(doc_id AS VARCHAR))"
             " AS sample_key FROM documents"
             " ORDER BY sample_key LIMIT 200"
+        ),
+        # Efraimidis-Spirakis exponential race: u from 13 md5 hex chars
+        # (52 bits, mantissa-exact), key = -ln(u)/weight, k smallest win
+        "sample_weighted": (
+            "WITH keyed AS (SELECT doc_id, n_chars,"
+            " -ln((('0x' || substr(md5('wsample:' || doc_id::VARCHAR), 1, 13))::BIGINT"
+            "  + 1.0) / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS k"
+            " FROM documents)"
+            " SELECT doc_id, n_chars, round(k, 6) AS sample_key"
+            " FROM keyed ORDER BY k, doc_id LIMIT 150"
+        ),
+        # hashed-unigram linear scorer: integer weights in [-1e6,1e6]
+        # summed exactly, one double division + logistic at the end
+        "text_quality_classifier": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} w FROM documents),"
+            " s AS (SELECT doc_id, len(w) AS n,"
+            " list_sum(list_transform(w, t ->"
+            " ('0x' || substr(md5('qc:' || t), 1, 8))::BIGINT % 2000001 - 1000000"
+            " )) AS ws FROM t)"
+            " SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,"
+            " CAST(ws AS BIGINT) AS weight_sum,"
+            " round(1.0/(1.0 + exp(-(CAST(ws AS DOUBLE)/(CAST(n AS DOUBLE)*1000000.0)"
+            " + 0.0))), 6) AS quality_prob,"
+            " (1.0/(1.0 + exp(-(CAST(ws AS DOUBLE)/(CAST(n AS DOUBLE)*1000000.0)"
+            " + 0.0))) > 0.5) AS keep FROM s"
+        ),
+        # union-of-intervals sweep: running max of prior ends = overlap
+        # horizon; marginal contribution greatest(0, e - greatest(s, horizon))
+        "ts_interval_coverage": (
+            f"WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s,"
+            f" epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT) AS e"
+            f" FROM {_EV} e0),"
+            " w AS (SELECT user_id, s, e,"
+            " max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id"
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM iv)"
+            " SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,"
+            " CAST(sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END) AS BIGINT)"
+            "  AS n_islands,"
+            " CAST(sum(greatest(CAST(0 AS BIGINT), e - greatest(s, coalesce(pme, s))))"
+            "  AS BIGINT) AS covered_us"
+            " FROM w GROUP BY user_id"
+        ),
+        # Holt recurrence reproduced with the EXACT float op order of the
+        # Arrow per-key loop (timeseries.holt_forecast), like ts_ewma
+        "ts_forecast": (
+            "WITH RECURSIVE seq AS ("
+            " SELECT event_type, value,"
+            " row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) rn,"
+            " lead(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) nxt,"
+            " count(*) OVER (PARTITION BY event_type) n"
+            f" FROM {_EV} e0),"
+            " rec(event_type, rn, n, l, b) AS ("
+            "  SELECT event_type, rn, n, CAST(value AS DOUBLE),"
+            "  CASE WHEN n > 1 THEN CAST(nxt AS DOUBLE) - CAST(value AS DOUBLE)"
+            "  ELSE 0.0 END FROM seq WHERE rn = 1"
+            "  UNION ALL"
+            "  SELECT s.event_type, s.rn, r.n,"
+            "  0.5 * s.value + (1.0 - 0.5) * (r.l + r.b),"
+            "  0.3 * ((0.5 * s.value + (1.0 - 0.5) * (r.l + r.b)) - r.l)"
+            "   + (1.0 - 0.3) * r.b"
+            "  FROM rec r JOIN seq s ON s.event_type = r.event_type"
+            "   AND s.rn = r.rn + 1)"
+            " SELECT event_type, CAST(t.h AS BIGINT) AS step,"
+            " l + CAST(t.h AS DOUBLE) * b AS forecast, l AS level, b AS trend"
+            " FROM rec, range(1, 6) t(h) WHERE rn = n"
         ),
         # per-key autocorrelation at row lags 1..3 (deterministic total
         # order via the event_id tiebreak; corr rounded @4)

@@ -426,6 +426,89 @@ def hash_topk_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006, exponential-race form): each row
+    draws a reproducible uniform u from md5(salt:id) — 13 hex chars =
+    52 mantissa-exact bits — and competes with key -ln(u)/w; the k
+    smallest keys are a weight-proportional sample without
+    replacement. No RNG state, so the sample is identical across
+    runs, engines, and cluster sizes.
+
+    Spark executes orderBy+limit as TakeOrderedAndProject: each
+    partition keeps a local k-heap and the driver merges them — no
+    global sort, no shuffle of the losers, O(k) driver memory at any
+    scale. (Reference parity: fossil's `sample` decimates by time,
+    plan/metadata.go:46; this is the corpus-sampling analogue a
+    training pipeline needs.)"""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 52))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.select(
+            id_col, weight_col, key.alias("__key"),
+            F.round(key, 6).alias("sample_key"),
+        )
+        .orderBy("__key", id_col)
+        .limit(k)
+        .drop("__key")
+    )
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "qc",
+    bias: float = 0.0,
+) -> DataFrame:
+    """fastText-style linear quality classifier stand-in (the shape
+    used by the GPT-3/CCNet curation pipelines): hashed-unigram
+    bag-of-words features with fixed per-token weights, mean-pooled,
+    through a logistic link. Weights here are md5-derived placeholders
+    standing in for trained parameters — the executed plan (hash →
+    embedding-table lookup → mean pool → sigmoid) is exactly the
+    production shape.
+
+    Token weights are INTEGERS in [-1e6, 1e6] summed exactly in a
+    long accumulator (order-independent), with a single double
+    division + exp at the end — deterministic across engines and
+    partitionings. Pure Column expressions: zero shuffles, folds into
+    the scan."""
+    toks = tokens(F.col(text_col))
+    w_int = F.transform(
+        toks,
+        lambda t: F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}:"), t)), 1, 8), 16, 10
+        ).cast("long") % 2000001 - 1000000,
+    )
+    n = F.size(toks)
+    s = F.aggregate(w_int, F.lit(0).cast("long"), lambda a, x: a + x)
+    z = s.cast("double") / (n.cast("double") * F.lit(1e6)) + F.lit(bias)
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return df.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        s.alias("weight_sum"),
+        F.round(score, 6).alias("quality_prob"),
+        (score > 0.5).alias("keep"),
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -651,6 +651,67 @@ def range_join(
     )
 
 
+def interval_coverage(
+    df: DataFrame,
+    time_col: str = "time",
+    duration_col: str = "duration",
+    by: list[str] | None = None,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Union-of-intervals coverage per key: merge overlapping
+    [start, start + duration) intervals and report, per key, the
+    interval count, the number of merged islands, and the total
+    covered time — the scheduling/uptime/SLA primitive (equivalently
+    the 1-D measure of a union of segments).
+
+    Shape: the classic sweep, expressed as ONE window pass — the
+    running max of prior interval ends over a (key, start) sort gives
+    each row's overlap horizon; a row's marginal contribution is
+    greatest(0, end - greatest(start, horizon)), and a row opens a
+    new island iff start > horizon. One shuffle keys the window; the
+    final per-key groupBy reuses that same hash partitioning (no
+    second exchange). All arithmetic is integer microseconds —
+    bit-exact at any parallelism. No self-join, no island re-shuffle:
+    the textbook islands-and-gaps two-aggregation shape would shuffle
+    again on (key, island); the marginal-contribution identity makes
+    that pass unnecessary.
+
+    `duration_col` is in seconds (float ok: truncated to whole
+    microseconds, deterministically, before any arithmetic)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    start = F.unix_micros(F.col(time_col))
+    end = start + F.floor(F.col(duration_col) * F.lit(1e6)).cast("long")
+    iv = df.select(
+        *by, start.alias("__s"), end.alias("__e"),
+        *[F.col(c) for c in (order_tiebreak or []) if c not in by],
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("__s", "__e", *(order_tiebreak or []))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    horizon = F.max("__e").over(w)
+    marked = iv.select(
+        *by,
+        "__s",
+        "__e",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.col("__e") - F.greatest(F.col("__s"), F.coalesce(horizon, F.col("__s"))),
+        ).alias("__contrib"),
+        F.when(horizon.isNull() | (F.col("__s") > horizon), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__opens"),
+    )
+    return marked.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("__opens").alias("n_islands"),
+        F.sum("__contrib").alias("covered_us"),
+    )
+
+
 def ohlc(
     df: DataFrame,
     every: str,

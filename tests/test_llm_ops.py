@@ -735,3 +735,77 @@ def test_tfidf_keywords_rare_term_wins(spark):
     # common appears in every doc: idf = ln(1) = 0
     common = [r for r in out if r["term"] == "common"]
     assert all(r["tfidf"] == 0.0 for r in common)
+
+
+# --- weighted sampling (Efraimidis-Spirakis) --------------------------------
+
+def _es_key(doc_id: int, weight: float, salt: str = "wsample") -> float:
+    import hashlib
+    import math
+
+    h = hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()
+    u = (int(h[:13], 16) + 1.0) / float(1 << 52)
+    return -math.log(u) / weight
+
+
+def test_weighted_sample_matches_reference_formula(spark):
+    rows = [(i, 10 + i * 7) for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = text.weighted_sample(d, k=10, weight_col="n_chars").collect()
+    expect = sorted(rows, key=lambda r: (_es_key(r[0], r[1]), r[0]))[:10]
+    assert [r["doc_id"] for r in out] != []
+    assert {r["doc_id"] for r in out} == {r[0] for r in expect}
+    for r in out:
+        assert r["sample_key"] == pytest.approx(
+            round(_es_key(r["doc_id"], r["n_chars"]), 6)
+        )
+
+
+def test_weighted_sample_heavy_weights_dominate(spark):
+    # two strata: weight 1 vs weight 10_000; with k = half the rows,
+    # essentially every heavy row must be selected
+    rows = [(i, 1) for i in range(50)] + [(100 + i, 10_000) for i in range(50)]
+    d = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    picked = {r["doc_id"]
+              for r in text.weighted_sample(d, k=50, weight_col="n_chars").collect()}
+    heavy = sum(1 for i in picked if i >= 100)
+    assert heavy >= 45
+
+
+def test_weighted_sample_is_without_replacement_and_bounded(spark):
+    d = spark.createDataFrame([(i, 5) for i in range(8)], "doc_id long, n_chars long")
+    out = text.weighted_sample(d, k=20, weight_col="n_chars").collect()
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == 8 and len(set(ids)) == 8
+
+
+# --- hashed linear quality classifier ---------------------------------------
+
+def test_quality_classifier_matches_reference_formula(spark):
+    import hashlib
+    import math
+
+    docs = [(1, "alpha beta gamma"), (2, "alpha alpha alpha alpha")]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.quality_classifier(d).collect()}
+    for doc_id, txt in docs:
+        toks = txt.split()
+        ws = sum(
+            int(hashlib.md5(f"qc:{t}".encode()).hexdigest()[:8], 16) % 2000001
+            - 1000000
+            for t in toks
+        )
+        z = ws / (len(toks) * 1e6)
+        prob = 1.0 / (1.0 + math.exp(-z))
+        r = out[doc_id]
+        assert r["n_tokens"] == len(toks)
+        assert r["weight_sum"] == ws
+        assert r["quality_prob"] == pytest.approx(round(prob, 6))
+        assert r["keep"] == (prob > 0.5)
+
+
+def test_quality_classifier_is_shuffle_free(spark):
+    d = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = text.quality_classifier(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan

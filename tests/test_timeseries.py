@@ -615,3 +615,62 @@ def test_lttb_short_series_passthrough(spark):
     )
     out = ts.lttb(df, n_out=50, time_col="ts", by=["event_type"]).collect()
     assert len(out) == 5
+
+
+def test_interval_coverage_merges_overlaps(spark):
+    from datetime import datetime
+
+    # key 1: [0,10) [5,20) [30,40)  -> 2 islands, covered 30s
+    # key 2: [0,10) [10,20)         -> touching is ONE island (half-open)
+    t0 = datetime(2024, 1, 1)
+
+    def at(sec):
+        return datetime(2024, 1, 1, 0, sec // 60, sec % 60)
+
+    rows = [
+        (1, 1, at(0), 10.0), (2, 1, at(5), 15.0), (3, 1, at(30), 10.0),
+        (4, 2, at(0), 10.0), (5, 2, at(10), 10.0),
+    ]
+    d = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {r["user_id"]: r for r in ts.interval_coverage(
+        d, time_col="ts", duration_col="value", by=["user_id"],
+        order_tiebreak=["event_id"],
+    ).collect()}
+    assert out[1]["n_intervals"] == 3
+    assert out[1]["n_islands"] == 2
+    assert out[1]["covered_us"] == 30_000_000
+    # start == previous end: no gap (contribution continues the island,
+    # but s > pme is false, so they merge)
+    assert out[2]["n_islands"] == 1
+    assert out[2]["covered_us"] == 20_000_000
+
+
+def test_interval_coverage_contained_interval_adds_nothing(spark):
+    from datetime import datetime
+
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 0, 0, 0), 60.0),
+        (2, 1, datetime(2024, 1, 1, 0, 0, 10), 5.0),  # fully inside
+    ]
+    d = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    [r] = ts.interval_coverage(
+        d, time_col="ts", duration_col="value", by=["user_id"],
+        order_tiebreak=["event_id"],
+    ).collect()
+    assert r["n_islands"] == 1
+    assert r["covered_us"] == 60_000_000
+
+
+def test_interval_coverage_single_shuffle(events):
+    plan = (
+        ts.interval_coverage(
+            events, time_col="ts", duration_col="value", by=["user_id"],
+            order_tiebreak=["event_id"],
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1

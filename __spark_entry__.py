@@ -671,6 +671,43 @@ def _ts_forecast(spark, sf_dir):
     )
 
 
+def _dedup_substring(spark, sf_dir):
+    from fossil_spark.operators import dedup
+
+    return dedup.substring_dedup_stats(_docs(spark, sf_dir), window_tokens=10)
+
+
+def _ts_overlap_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fossil_spark.operators import timeseries as ts
+
+    ev = _events(spark, sf_dir)
+    # value in MINUTES here: long enough that view/purchase windows
+    # genuinely overlap, so the check exercises real match density
+    hi = F.timestamp_micros(
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        + F.floor(F.col("value") * F.lit(6e7)).cast("long")
+    )
+
+    def side(kind: str, prefix: str):
+        return ev.filter(F.col("event_type") == kind).select(
+            "user_id",
+            F.col("event_id").alias(f"{prefix}_id"),
+            F.col("ts").alias(f"{prefix}_lo"),
+            hi.alias(f"{prefix}_hi"),
+        )
+
+    from datetime import timedelta
+
+    out = ts.overlap_join(
+        side("view", "l"), side("purchase", "r"), on=["user_id"],
+        left_lo="l_lo", left_hi="l_hi", right_lo="r_lo", right_hi="r_hi",
+        bucket=timedelta(hours=2),
+    )
+    return out.select("user_id", "l_id", "r_id", "overlap_us")
+
+
 def _sample_weighted(spark, sf_dir):
     from fossil_spark.operators import text
 
@@ -956,6 +993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Keys driver-green in r04 drop below the fold."""
     return {
         # --- never driver-checked (added during round 5, session 3) ----------
+        "dedup_substring": _dedup_substring,
+        "ts_overlap_join": _ts_overlap_join,
         "sample_weighted": _sample_weighted,
         "text_quality_classifier": _text_quality_classifier,
         "ts_interval_coverage": _ts_interval_coverage,
@@ -2013,6 +2052,46 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5('topk:' || CAST(doc_id AS VARCHAR))"
             " AS sample_key FROM documents"
             " ORDER BY sample_key LIMIT 200"
+        ),
+        # ExactSubstr sliding-window duplicated-span stats: every
+        # length-10 token window hashed; hashes with corpus count >= 2
+        # are duplicated spans, merged per doc by the same marginal-
+        # contribution sweep as ts_interval_coverage (integer-exact)
+        "dedup_substring": (
+            rf"WITH t AS (SELECT doc_id, {_TOKS} w FROM documents),"
+            " f AS (SELECT doc_id, len(w) AS n, w FROM t WHERE len(w) >= 10),"
+            " u AS (SELECT doc_id, n, unnest(list_transform(generate_series(1, n - 9),"
+            " i -> {'pos': i, 'wh': md5(array_to_string(w[i:i+9], ' '))})) AS s FROM f),"
+            " x AS (SELECT doc_id, n, s.pos AS pos, s.wh AS wh FROM u),"
+            " c AS (SELECT wh, count(*) AS cnt FROM x GROUP BY wh),"
+            " m AS (SELECT x.doc_id, x.n, x.pos, c.cnt >= 2 AS dup"
+            "  FROM x JOIN c USING (wh)),"
+            " sw AS (SELECT doc_id, n, dup, CASE WHEN dup THEN"
+            "  greatest(0, pos + 10 - greatest(pos, coalesce("
+            "   max(CASE WHEN dup THEN pos + 10 END) OVER (PARTITION BY doc_id"
+            "    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+            "   pos))) ELSE 0 END AS contrib FROM m)"
+            " SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,"
+            " CAST(count(*) AS BIGINT) AS n_windows,"
+            " CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,"
+            " CAST(sum(contrib) AS BIGINT) AS dup_tokens,"
+            " round(CAST(sum(contrib) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6)"
+            "  AS dup_frac"
+            " FROM sw GROUP BY doc_id"
+        ),
+        # interval x interval overlap join (half-open): plain theta
+        # join oracle; the Spark side buckets both sides + dedups on
+        # the overlap-start bucket
+        "ts_overlap_join": (
+            f"WITH v AS (SELECT user_id, event_id AS l_id, epoch_us(ts) AS ls,"
+            f" epoch_us(ts) + CAST(floor(value * 60000000.0) AS BIGINT) AS le"
+            f" FROM {_EV} e0 WHERE event_type = 'view'),"
+            f" p AS (SELECT user_id, event_id AS r_id, epoch_us(ts) AS rs,"
+            f" epoch_us(ts) + CAST(floor(value * 60000000.0) AS BIGINT) AS re"
+            f" FROM {_EV} e1 WHERE event_type = 'purchase')"
+            " SELECT user_id, l_id, r_id,"
+            " least(le, re) - greatest(ls, rs) AS overlap_us"
+            " FROM v JOIN p USING (user_id) WHERE ls < re AND rs < le"
         ),
         # Efraimidis-Spirakis exponential race: u from 13 md5 hex chars
         # (52 bits, mantissa-exact), key = -ln(u)/weight, k smallest win

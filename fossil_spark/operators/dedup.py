@@ -16,7 +16,7 @@ deterministic across engines, partitionings, and runs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fossil_spark.operators.text import shingles
@@ -96,6 +96,93 @@ def paragraph_dedup(
             ),
             " ",
         ).alias("cleaned_text"),
+    )
+
+
+def substring_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 10,
+) -> DataFrame:
+    """ExactSubstr duplicated-span detection at SLIDING-window
+    granularity (the shape of Lee et al. 2022's suffix-array pass,
+    distributed): every length-W token window is hashed; a window
+    whose hash occurs >= 2 times anywhere in the corpus is a
+    duplicated span. Per document, overlapping duplicated windows are
+    merged with the same marginal-contribution sweep as
+    timeseries.interval_coverage, giving the exact number of token
+    positions covered by duplicated text — the signal ExactSubstr
+    cuts on. Complements paragraph_dedup (non-overlapping blocks,
+    keep-first): sliding windows catch duplicates at ANY offset.
+
+    Shape: one posexplode of W-windows, ONE groupBy on md5(window)
+    (map-side partial, whale-window skew-safe — deliberately NOT a
+    count-over-window, which would funnel a boilerplate window's rows
+    through one partition), join back on the narrow hash (AQE
+    skew-split supervises hot hashes), then one (doc) window sweep +
+    groupBy reusing its partitioning. Integer arithmetic throughout.
+
+    Only documents with >= W tokens have windows; shorter docs are
+    omitted (they cannot contain a length-W duplicate). Returns
+    (id, n_tokens, n_windows, dup_windows, dup_tokens, dup_frac)."""
+    from fossil_spark.operators.text import tokens
+
+    W = window_tokens
+    w = tokens(F.col(text_col))
+    n = F.size(w)
+    # guard: F.sequence(1, n-W+1) runs DESCENDING when n < W, and the
+    # projection can be evaluated before the row filter — short docs
+    # must produce an empty window list, not a reversed one
+    wins = F.when(
+        n >= W,
+        F.transform(
+            F.sequence(F.lit(1), n - W + 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.array_join(F.slice(w, i, W), " ")).alias("wh"),
+            ),
+        ),
+    ).otherwise(F.array())
+    units = (
+        df.select(F.col(id_col), n.alias("n_tokens"), wins.alias("__w"))
+        .filter(F.col("n_tokens") >= W)
+        .select(id_col, "n_tokens", F.explode("__w").alias("__u"))
+        .select(id_col, "n_tokens", F.col("__u.pos").alias("pos"),
+                F.col("__u.wh").alias("wh"))
+    )
+    counts = units.groupBy("wh").agg(F.count(F.lit(1)).alias("__cnt"))
+    marked = units.join(counts, "wh").withColumn("__dup", F.col("__cnt") >= 2)
+    doc_w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    horizon = F.max(
+        F.when(F.col("__dup"), F.col("pos") + F.lit(W))
+    ).over(doc_w)
+    contrib = F.when(
+        F.col("__dup"),
+        F.greatest(
+            F.lit(0),
+            F.col("pos") + F.lit(W)
+            - F.greatest(F.col("pos"), F.coalesce(horizon, F.col("pos"))),
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    swept = marked.select(
+        id_col, "n_tokens", contrib.alias("__contrib"),
+        F.col("__dup").cast("long").alias("__isdup"),
+    )
+    return swept.groupBy(id_col).agg(
+        F.max("n_tokens").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("__isdup").alias("dup_windows"),
+        F.sum("__contrib").alias("dup_tokens"),
+        F.round(
+            F.sum("__contrib").cast("double")
+            / F.max("n_tokens").cast("double"),
+            6,
+        ).alias("dup_frac"),
     )
 
 

@@ -712,6 +712,73 @@ def interval_coverage(
     )
 
 
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_lo: str = "lo",
+    left_hi: str = "hi",
+    right_lo: str = "lo",
+    right_hi: str = "hi",
+    bucket: timedelta = timedelta(hours=1),
+) -> DataFrame:
+    """Interval x interval OVERLAP join on half-open [lo, hi) — the
+    missing sibling of range_join (point-in-interval) and asof_join
+    (nearest-before). A theta-join on `ls < re AND rs < le` is
+    O(|L| x |R|) per key; instead BOTH sides explode into the
+    fixed-width time buckets they span and the join becomes an
+    equi-join on (keys, bucket) + the exact overlap residual. A pair
+    sharing several buckets would match once per shared bucket, so
+    exactly ONE survivor is kept: the pair's overlap START
+    (greatest(ls, rs)) lies in exactly one bucket, and both sides'
+    explosions contain that bucket — keep the match where the join
+    bucket equals it. Cost: O(rows x span/bucket) + matches; pick
+    `bucket` near the median interval length.
+
+    Sides must share ONLY the `on` columns (rename first). Emits all
+    left columns, all right columns, and `overlap_us` (exact integer
+    microseconds, bit-stable at any parallelism)."""
+    left = _time_norm(left, left_lo, left_hi)
+    right = _time_norm(right, right_lo, right_hi)
+    shared = (set(left.columns) & set(right.columns)) - set(on)
+    if shared:
+        raise ValueError(f"columns {sorted(shared)} appear on both sides; rename first")
+    bucket_us = int(bucket.total_seconds() * 1_000_000)
+
+    def prepped(df: DataFrame, lo: str, hi: str, bname: str) -> DataFrame:
+        s = F.unix_micros(F.col(lo))
+        e = F.unix_micros(F.col(hi))
+        # hi exclusive: an interval ending ON a boundary does not span
+        # that bucket, hence (e - 1)
+        ids = F.sequence(
+            F.floor(s / F.lit(bucket_us)), F.floor((e - 1) / F.lit(bucket_us))
+        )
+        return df.select(
+            *df.columns, s.alias(f"__{bname}s"), e.alias(f"__{bname}e"),
+            F.explode(ids).alias(f"__{bname}b"),
+        )
+
+    lv = prepped(left, left_lo, left_hi, "l").alias("__L")
+    rv = prepped(right, right_lo, right_hi, "r").alias("__R")
+    L, R = (lambda c: F.col(f"__L.{c}")), (lambda c: F.col(f"__R.{c}"))
+    cond = L("__lb") == R("__rb")
+    for k in on:
+        cond &= L(k) == R(k)
+    cond &= (L("__ls") < R("__re")) & (R("__rs") < L("__le"))
+    # dedup: a pair sharing several buckets matches once per bucket;
+    # keep only the match in the bucket holding the overlap start
+    cond &= F.floor(F.greatest(L("__ls"), R("__rs")) / F.lit(bucket_us)) == L("__lb")
+    right_only = [c for c in right.columns if c not in on]
+    return lv.join(rv, cond, "inner").select(
+        *[L(k) for k in on],
+        *[L(c) for c in left.columns if c not in on],
+        *[R(c) for c in right_only],
+        (
+            F.least(L("__le"), R("__re")) - F.greatest(L("__ls"), R("__rs"))
+        ).alias("overlap_us"),
+    )
+
+
 def ohlc(
     df: DataFrame,
     every: str,

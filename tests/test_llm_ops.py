@@ -809,3 +809,39 @@ def test_quality_classifier_is_shuffle_free(spark):
     plan = text.quality_classifier(d)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# --- ExactSubstr sliding-window duplicated spans ----------------------------
+
+def test_substring_dedup_finds_planted_run(spark):
+    shared = " ".join(f"s{i}" for i in range(12))  # 12 shared tokens
+    docs = [
+        (1, "a b c d e " + shared + " x y z w v"),
+        (2, "p q r t u " + shared + " m n o k j"),
+        (3, " ".join(f"u{i}" for i in range(25))),  # all unique
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.substring_dedup_stats(d, window_tokens=10).collect()}
+    # only the 3 windows fully inside the shared run match (12-10+1)
+    for i in (1, 2):
+        assert out[i]["n_tokens"] == 22
+        assert out[i]["n_windows"] == 13
+        assert out[i]["dup_windows"] == 3
+        assert out[i]["dup_tokens"] == 12  # merged span = the 12 shared tokens
+        assert out[i]["dup_frac"] == pytest.approx(round(12 / 22, 6))
+    assert out[3]["dup_windows"] == 0 and out[3]["dup_tokens"] == 0
+
+
+def test_substring_dedup_short_docs_omitted(spark):
+    d = spark.createDataFrame(
+        [(1, "only nine tokens a b c d e f"), (2, " ".join(["t"] * 30))],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.substring_dedup_stats(d, window_tokens=10).collect()}
+    assert 1 not in out  # < W tokens: cannot hold a length-W duplicate
+    # doc 2 repeats one token 30x: every window identical -> all dup,
+    # merged coverage = all 30 token positions
+    assert out[2]["dup_windows"] == 21
+    assert out[2]["dup_tokens"] == 30

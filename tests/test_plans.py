@@ -192,6 +192,12 @@ _SCAN_BUDGET = {
     "dedup_paragraph": 2,   # units + first-occurrence side
     "text_unigram_nll": 3,  # tokens + tf side + 1-row total
     "text_domain_mix": 2,   # per-source tallies + 1-row total
+    # round-5 session-3 additions
+    "sample_weighted": 1,         # TakeOrderedAndProject over one scan
+    "text_quality_classifier": 1,  # folds into the scan, zero shuffles
+    "ts_interval_coverage": 1,    # window + agg share one exchange
+    "dedup_substring": 2,         # windows + corpus-count side
+    "ts_overlap_join": 2,         # two filtered interval sides (same file)
 }
 
 

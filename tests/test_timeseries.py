@@ -674,3 +674,47 @@ def test_interval_coverage_single_shuffle(events):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_overlap_join_semantics(spark):
+    from datetime import datetime, timedelta
+
+    def t(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    left = spark.createDataFrame(
+        [(1, 10, t(0), t(3)), (1, 11, t(5), t(6)), (2, 12, t(0), t(1))],
+        "user_id long, l_id long, l_lo timestamp, l_hi timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 20, t(2), t(9)),   # overlaps 10 (1h) and 11 (1h)
+            (1, 21, t(6), t(7)),   # touches 11 at 6:00 -> NO match (half-open)
+            (2, 22, t(1), t(2)),   # touches 12 -> no match
+            (3, 23, t(0), t(9)),   # different key -> no match
+        ],
+        "user_id long, r_id long, r_lo timestamp, r_hi timestamp",
+    )
+    out = ts.overlap_join(
+        left, right, on=["user_id"],
+        left_lo="l_lo", left_hi="l_hi", right_lo="r_lo", right_hi="r_hi",
+        bucket=timedelta(hours=1),
+    ).collect()
+    got = {(r["l_id"], r["r_id"]): r["overlap_us"] for r in out}
+    # pair (10,20) spans bucket hours 2 (and the intervals share several
+    # buckets) but must appear exactly once
+    assert got == {
+        (10, 20): 3_600_000_000,
+        (11, 20): 3_600_000_000,
+    }
+
+
+def test_overlap_join_rejects_colliding_columns(spark):
+    from datetime import datetime, timedelta
+
+    d = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), datetime(2024, 1, 2))],
+        "user_id long, lo timestamp, hi timestamp",
+    )
+    with pytest.raises(ValueError, match="rename first"):
+        ts.overlap_join(d, d, on=["user_id"], bucket=timedelta(hours=1))

@@ -708,6 +708,17 @@ def _ts_overlap_join(spark, sf_dir):
     return out.select("user_id", "l_id", "r_id", "overlap_us")
 
 
+def _embedding_pca(spark, sf_dir):
+    from fossil_spark.operators import ann
+    from fossil_spark.session import read_table
+
+    # rows-only driver check (no SQL oracle for eigendecomposition);
+    # planted-subspace recovery + determinism are unit-tested
+    emb = read_table(spark, sf_dir, "embeddings")
+    proj, _ = ann.pca_project(emb, n_components=3)
+    return proj
+
+
 def _sample_weighted(spark, sf_dir):
     from fossil_spark.operators import text
 
@@ -930,6 +941,60 @@ def _multimodal_frames(spark, sf_dir):
     )
 
 
+def _multimodal_audio(spark, sf_dir):
+    """Audio feature extraction (multimodal quartet: decode /
+    feature-extract / resize / frame-sample): deterministic 16-bit PCM
+    sine WAVs are synthesized per doc (freq = 100 + 100*(doc_id % 20)
+    Hz, 0.25 s @ 8 kHz), then audio_features computes RMS / peak /
+    ZCR / spectral centroid / rolloff with numpy FFT. The oracle
+    checks the exact structural outputs plus physics-derived bounds
+    (centroid within 40 Hz of the tone, ZCR within 0.01 of 2f/rate)
+    as booleans; exact feature values are pinned in
+    tests/test_multimodal.py (FFT isn't SQL-reproducible)."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fossil_spark.operators import multimodal as mm
+
+    docs = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") < 300)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                f = 100.0 + 100.0 * (int(did) % 20)
+                t = np.arange(2000) / 8000.0
+                pcm = (np.sin(2 * np.pi * f * t) * 12000).astype(np.int16)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wv:
+                    wv.setnchannels(1)
+                    wv.setsampwidth(2)
+                    wv.setframerate(8000)
+                    wv.writeframes(pcm.tobytes())
+                rows.append((int(did), buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    wavs = docs.mapInPandas(gen, "doc_id long, content binary")
+    feats = mm.audio_features(wavs)
+    freq = F.lit(100.0) + F.lit(100.0) * (F.col("doc_id") % 20).cast("double")
+    return feats.select(
+        "doc_id", "sample_rate", "n_samples",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        (F.abs(F.col("spectral_centroid_hz") - freq) < 40.0).alias("centroid_ok"),
+        (
+            F.abs(
+                F.col("zero_crossing_rate") - F.lit(2.0) * freq / F.lit(8000.0)
+            ) < 0.01
+        ).alias("zcr_ok"),
+        (F.col("spectral_rolloff_hz") >= F.col("spectral_centroid_hz") - 40.0)
+        .alias("rolloff_ok"),
+    )
+
+
 def _pipeline_curate(spark, sf_dir):
     """End-to-end corpus curation: quality filter + language filter +
     exact dedup + chunking in ONE declarative plan
@@ -995,6 +1060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-checked (added during round 5, session 3) ----------
         "dedup_substring": _dedup_substring,
         "ts_overlap_join": _ts_overlap_join,
+        "multimodal_audio": _multimodal_audio,
+        "embedding_pca": _embedding_pca,  # rows-only: eigh not in SQL
         "sample_weighted": _sample_weighted,
         "text_quality_classifier": _text_quality_classifier,
         "ts_interval_coverage": _ts_interval_coverage,
@@ -2391,5 +2458,13 @@ def oracle_sql() -> dict[str, str]:
             " CAST(1 + doc_id % 4 AS BIGINT) AS n_real,"
             " CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height"
             " FROM documents WHERE doc_id < 200"
+        ),
+        # structural truth of the synthesized tone fixture + physics
+        # bounds asserted Spark-side as booleans (FFT not in SQL)
+        "multimodal_audio": (
+            "SELECT doc_id, CAST(8000 AS INT) AS sample_rate,"
+            " CAST(2000 AS BIGINT) AS n_samples, 0.25 AS duration_sec,"
+            " TRUE AS centroid_ok, TRUE AS zcr_ok, TRUE AS rolloff_ok"
+            " FROM documents WHERE doc_id < 300"
         ),
     }

@@ -512,3 +512,109 @@ def kmeans_cluster(
     return with_assignment(vecs, cents).select(
         id_col, "cluster", F.round(F.col("cos_sim"), round_to).alias("cos_sim")
     )
+
+
+def pca_project(
+    corpus: DataFrame,
+    n_components: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> tuple[DataFrame, list[float]]:
+    """PCA projection of an embedding column — the dimensionality-
+    reduction step behind corpus visualization, whitening, and cheap
+    pre-clustering. Returns (projections DataFrame, explained-variance
+    ratios).
+
+    Scale shape: ONE distributed pass builds the d-vector of sums and
+    the d(d+1)/2 upper-triangle second-moment sums via posexplode of
+    per-row component products -> one groupBy((i,j)) with map-side
+    partial aggregation; only the O(d^2) moment cells reach the
+    driver (d=64 -> 2 080 cells, like ivf_ann's bounded centroid
+    pull) where numpy eigh runs on the d x d covariance. Projection
+    is then map-side only: the top-k eigenvectors broadcast as ONE
+    literal array and each row's components come from JVM-side
+    aggregate() — no Python, no second shuffle.
+
+    Deterministic: moment sums accumulate in decimal(38,10) (exact,
+    partition-order independent); eigh input is therefore bit-stable,
+    and each eigenvector's sign is canonicalized (largest-|component|
+    positive)."""
+    import numpy as np
+
+    vecs = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    d = len(vecs.select("__v").first()["__v"])
+    # pairs (i,j), i<=j as flat cells; i == -1 rows carry plain sums
+    cells = vecs.select(
+        F.posexplode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(d - 1)),
+                    lambda i: F.concat(
+                        F.array(
+                            F.struct(
+                                F.lit(-1).alias("i"),
+                                i.alias("j"),
+                                F.element_at(F.col("__v"), i + 1).alias("x"),
+                            )
+                        ),
+                        F.transform(
+                            F.sequence(i, F.lit(d - 1)),
+                            lambda j: F.struct(
+                                i.alias("i"),
+                                j.alias("j"),
+                                (
+                                    F.element_at(F.col("__v"), i + 1)
+                                    * F.element_at(F.col("__v"), j + 1)
+                                ).alias("x"),
+                            ),
+                        ),
+                    ),
+                )
+            )
+        ).alias("__p", "__c")
+    ).select(F.col("__c.i").alias("i"), F.col("__c.j").alias("j"),
+             F.col("__c.x").alias("x"))
+    moments = (
+        cells.groupBy("i", "j")
+        .agg(
+            F.sum(F.col("x").cast("decimal(38,10)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    n = moments[0]["n"]
+    mu = np.zeros(d)
+    m2 = np.zeros((d, d))
+    for r in moments:
+        if r["i"] == -1:
+            mu[r["j"]] = float(r["s"]) / n
+        else:
+            m2[r["i"], r["j"]] = m2[r["j"], r["i"]] = float(r["s"]) / n
+    cov = m2 - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    comps, ratios = [], []
+    total_var = float(evals.sum())
+    for idx in order:
+        v = evecs[:, idx]
+        v = v if v[np.argmax(np.abs(v))] >= 0 else -v
+        comps.append(v)
+        ratios.append(float(evals[idx]) / total_var if total_var > 0 else 0.0)
+    mu_lit = F.array(*[F.lit(float(x)) for x in mu])
+    out_cols = []
+    for c_i, v in enumerate(comps):
+        v_lit = F.array(*[F.lit(float(x)) for x in v])
+        proj = F.aggregate(
+            F.zip_with(
+                F.zip_with(F.col("__v"), mu_lit, lambda x, m: x - m),
+                v_lit,
+                lambda cx, w: cx * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out_cols.append(F.round(proj, round_to).alias(f"pc{c_i + 1}"))
+    return vecs.select(id_col, *out_cols), ratios

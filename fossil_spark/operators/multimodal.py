@@ -401,6 +401,93 @@ def decode_audio_meta(
     return df.select(id_col, binary_col).mapInPandas(process, AUDIO_META_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("duration_sec", DoubleType()),
+    StructField("rms", DoubleType()),
+    StructField("peak", DoubleType()),
+    StructField("zero_crossing_rate", DoubleType()),
+    StructField("spectral_centroid_hz", DoubleType()),
+    StructField("spectral_rolloff_hz", DoubleType()),
+])
+
+
+def _audio_feature_row(samples: np.ndarray, rate: int,
+                       frame: int = 1024, hop: int = 512) -> tuple:
+    """Classic frame-level DSP features over a mono float signal in
+    [-1, 1]: RMS energy, peak, zero-crossing rate, and Hann-windowed
+    spectral centroid / 85% rolloff averaged over frames (the standard
+    definitions used by audio-analysis toolkits, computed here with
+    plain numpy FFT — no codec or DSP library)."""
+    n = len(samples)
+    if n == 0:
+        return (rate, 0, 0.0, 0.0, 0.0, 0.0, None, None)
+    rms = float(np.sqrt(np.mean(samples**2)))
+    peak = float(np.max(np.abs(samples)))
+    zcr = float(np.mean(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
+    cents, rolls = [], []
+    if n >= frame:
+        win = np.hanning(frame)
+        freqs = np.fft.rfftfreq(frame, d=1.0 / rate)
+        for off in range(0, n - frame + 1, hop):
+            mag = np.abs(np.fft.rfft(samples[off:off + frame] * win))
+            total = mag.sum()
+            if total <= 0:
+                continue
+            cents.append(float((freqs * mag).sum() / total))
+            cum = np.cumsum(mag)
+            rolls.append(float(freqs[int(np.searchsorted(cum, 0.85 * total))]))
+    centroid = float(np.mean(cents)) if cents else None
+    rolloff = float(np.mean(rolls)) if rolls else None
+    return (rate, n, n / rate, rms, peak, zcr, centroid, rolloff)
+
+
+def audio_features(
+    df: DataFrame, binary_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Audio FEATURE EXTRACTION (the training-pipeline step after
+    decode): 16-bit PCM WAV → mono float signal → RMS / peak / ZCR /
+    spectral centroid / spectral rolloff, Arrow-batched via
+    mapInPandas. Completes the multimodal quartet (decode /
+    feature-extract / resize / frame-sample) for audio the way
+    image_features does for images. Non-WAV bytes yield null
+    features. Scale shape: embarrassingly parallel per row; batch
+    size bounds memory (one decoded clip at a time per row)."""
+    import io
+    import wave
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, rdata in zip(pdf[id_col], pdf[binary_col]):
+                data = bytes(rdata) if rdata is not None else b""
+                try:
+                    with wave.open(io.BytesIO(data)) as wv:
+                        if wv.getsampwidth() != 2:
+                            raise ValueError("non-16-bit WAV")
+                        rate, nch = wv.getframerate(), wv.getnchannels()
+                        raw = np.frombuffer(
+                            wv.readframes(wv.getnframes()), np.int16
+                        )
+                    mono = (
+                        raw.astype(np.float64).reshape(-1, nch).mean(axis=1)
+                        if nch > 1 else raw.astype(np.float64)
+                    ) / 32768.0
+                    rows.append((rid, *_audio_feature_row(mono, rate)))
+                except Exception:
+                    rows.append((rid, None, None, None, None, None, None,
+                                 None, None))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        process, AUDIO_FEATURES_SCHEMA
+    )
+
+
 # --- MP4 / ISO BMFF container metadata (public spec: ISO 14496-12) ---------
 # Box structure parse only — REAL duration/dimensions/frame counts
 # without any codec. Frame PIXEL decode still needs a codec library.

@@ -845,3 +845,42 @@ def test_substring_dedup_short_docs_omitted(spark):
     # merged coverage = all 30 token positions
     assert out[2]["dup_windows"] == 21
     assert out[2]["dup_tokens"] == 30
+
+
+# --- PCA projection ---------------------------------------------------------
+
+def test_pca_recovers_planted_subspace(spark):
+    import numpy as np
+
+    # data living (almost) entirely in a planted 2-D subspace of R^8
+    rng = np.random.default_rng(7)
+    basis = np.linalg.qr(rng.normal(size=(8, 2)))[0]  # orthonormal 8x2
+    coef = rng.normal(size=(40, 2)) * [5.0, 2.0]
+    pts = coef @ basis.T + rng.normal(scale=1e-3, size=(40, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    proj, ratios = ann.pca_project(df, n_components=2)
+    # top-2 components explain essentially everything
+    assert sum(ratios) > 0.999
+    assert ratios[0] > ratios[1] > 0
+    # projections preserve pairwise distances of the planted coefficients
+    got = {r["vec_id"]: (r["pc1"], r["pc2"]) for r in proj.collect()}
+    a = np.array([got[i] for i in range(40)])
+    centered = coef - coef.mean(axis=0)
+    d_true = np.linalg.norm(centered[0] - centered[1])
+    d_got = np.linalg.norm(a[0] - a[1])
+    assert d_got == pytest.approx(d_true, rel=1e-3)
+
+
+def test_pca_projection_is_deterministic_and_jvm_side(spark):
+    from fossil_spark.session import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    p1, r1 = ann.pca_project(emb, n_components=3)
+    p2, r2 = ann.pca_project(emb, n_components=3)
+    assert r1 == r2
+    assert p1.collect() == p2.collect()
+    plan = p1._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

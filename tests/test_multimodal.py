@@ -292,3 +292,47 @@ def test_extract_video_frames_non_jpeg_codec_stays_stub(spark):
     assert [r.frame_idx for r in out] == [0, 1, 2]
     assert all(r.decoded == "stub" and r.width is None and r.mean is None
                for r in out)
+
+
+def test_audio_features_pure_tone(spark):
+    # 440 Hz tone: centroid near 440, ZCR = 2*f/rate, rolloff >= centroid
+    data, samples = _wav_bytes(rate=8000, freq=440.0, seconds=0.5)
+    df = spark.createDataFrame(
+        [(1, bytearray(data)), (2, bytearray(b"junk"))],
+        "doc_id long, content binary",
+    )
+    got = {r["doc_id"]: r for r in mm.audio_features(df).collect()}
+    a = got[1]
+    assert a["sample_rate"] == 8000 and a["n_samples"] == len(samples)
+    mono = samples.astype(np.float64) / 32768.0
+    assert a["rms"] == pytest.approx(float(np.sqrt(np.mean(mono**2))), rel=1e-9)
+    assert a["peak"] == pytest.approx(float(np.abs(mono).max()), rel=1e-9)
+    # a 440 Hz sine crosses zero 880 times/sec -> zcr = 880/8000 = 0.11
+    assert a["zero_crossing_rate"] == pytest.approx(2 * 440 / 8000, rel=0.02)
+    # Hann leakage keeps the centroid within a few bins of the tone
+    assert a["spectral_centroid_hz"] == pytest.approx(440.0, abs=30.0)
+    assert a["spectral_rolloff_hz"] >= 400.0
+    assert got[2]["sample_rate"] is None
+
+
+def test_audio_features_stereo_and_silence(spark):
+    import io as _io
+    import wave as _wave
+
+    # stereo: L = tone, R = -tone  -> mono mean is silence (rms ~ 0)
+    t = np.arange(4000) / 8000.0
+    tone = (np.sin(2 * np.pi * 200 * t) * 10000).astype(np.int16)
+    inter = np.empty(2 * len(tone), np.int16)
+    inter[0::2], inter[1::2] = tone, -tone
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as wv:
+        wv.setnchannels(2)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(inter.tobytes())
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id long, content binary"
+    )
+    [r] = mm.audio_features(df).collect()
+    assert r["n_samples"] == len(tone)
+    assert r["rms"] == pytest.approx(0.0, abs=1e-4)

@@ -23,6 +23,8 @@ SF = "/root/testdata/sf0.001"
 # Python by nature (image/video bytes, stateful reference parity)
 PYTHON_OK = {
     "fql_sample_greedy", "multimodal_meta", "multimodal_frames",
+    # WAV synth + FFT feature extraction (Arrow-batched by nature)
+    "multimodal_audio",
     "ts_ewma", "text_pack",
     # PQ's ADC scan is SIMD-shaped (codebook argmin + table gathers);
     # one Arrow-batched mapInPandas pass, measured 75x the interpreted

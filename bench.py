@@ -101,6 +101,9 @@ def main() -> None:
         "text_contamination", "ts_anomaly_mad",
         "text_gopher", "text_unigram_nll", "dedup_paragraph", "ts_changepoint",
         "ann_pq", "ts_forecast",
+        # round-5 session-3 operators
+        "dedup_substring", "ts_interval_coverage", "ts_overlap_join",
+        "sample_weighted", "text_quality_classifier",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

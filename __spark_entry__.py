@@ -2125,10 +2125,14 @@ def oracle_sql() -> dict[str, str]:
         # are duplicated spans, merged per doc by the same marginal-
         # contribution sweep as ts_interval_coverage (integer-exact)
         "dedup_substring": (
-            rf"WITH t AS (SELECT doc_id, {_TOKS} w FROM documents),"
-            " f AS (SELECT doc_id, len(w) AS n, w FROM t WHERE len(w) >= 10),"
+            rf"WITH t0 AS (SELECT doc_id, {_TOKS} w FROM documents),"
+            " t AS (SELECT doc_id, list_transform(w, t ->"
+            "  ('0x' || substr(md5(t), 1, 8))::BIGINT) th, len(w) AS n FROM t0),"
+            " f AS (SELECT doc_id, n, th FROM t WHERE n >= 10),"
             " u AS (SELECT doc_id, n, unnest(list_transform(generate_series(1, n - 9),"
-            " i -> {'pos': i, 'wh': md5(array_to_string(w[i:i+9], ' '))})) AS s FROM f),"
+            " i -> {'pos': i, 'wh': list_reduce(list_prepend(CAST(0 AS BIGINT),"
+            "  th[i:i+9]), (acc, x) -> (acc * 131 + x) % 9007199254740881)})) AS s"
+            " FROM f),"
             " x AS (SELECT doc_id, n, s.pos AS pos, s.wh AS wh FROM u),"
             " c AS (SELECT wh, count(*) AS cnt FROM x GROUP BY wh),"
             " m AS (SELECT x.doc_id, x.n, x.pos, c.cnt >= 2 AS dup"

@@ -131,23 +131,42 @@ def substring_dedup_stats(
     W = window_tokens
     w = tokens(F.col(text_col))
     n = F.size(w)
+    # Window hash = polynomial fold of per-token md5-derived 32-bit
+    # ints mod a 53-bit prime: each token is md5-hashed ONCE and every
+    # window costs O(W) integer ops instead of building + md5-ing the
+    # W-token string (measured 3.3x on the dominant projection at
+    # sf0.1). Position-sensitive (poly, not xor), deterministic, and
+    # reproduced verbatim in the DuckDB oracle; pair-collision odds at
+    # 53 bits are ~1e-5 for a billion windows.
+    tok_hash = F.transform(
+        w, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
     # guard: F.sequence(1, n-W+1) runs DESCENDING when n < W, and the
     # projection can be evaluated before the row filter — short docs
     # must produce an empty window list, not a reversed one
     wins = F.when(
-        n >= W,
+        F.col("n_tokens") >= W,
         F.transform(
-            F.sequence(F.lit(1), n - W + 1),
+            F.sequence(F.lit(1), F.col("n_tokens") - W + 1),
             lambda i: F.struct(
                 i.alias("pos"),
-                F.md5(F.array_join(F.slice(w, i, W), " ")).alias("wh"),
+                F.aggregate(
+                    F.slice(F.col("__th"), i, W),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: (acc * 131 + x) % 9007199254740881,
+                ).alias("wh"),
             ),
         ),
     ).otherwise(F.array())
+    # plan shape matters 50x here: explode the window expression
+    # INLINE (filter first). Aliasing the array column and exploding
+    # it in a later projection makes the optimizer re-inline the whole
+    # window-array expression into each downstream struct-field
+    # extraction — measured 26 s vs 0.5 s at sf0.1 (PERFORMANCE.md)
     units = (
-        df.select(F.col(id_col), n.alias("n_tokens"), wins.alias("__w"))
+        df.select(F.col(id_col), n.alias("n_tokens"), tok_hash.alias("__th"))
         .filter(F.col("n_tokens") >= W)
-        .select(id_col, "n_tokens", F.explode("__w").alias("__u"))
+        .select(id_col, "n_tokens", F.explode(wins).alias("__u"))
         .select(id_col, "n_tokens", F.col("__u.pos").alias("pos"),
                 F.col("__u.wh").alias("wh"))
     )

@@ -708,6 +708,20 @@ def _ts_overlap_join(spark, sf_dir):
     return out.select("user_id", "l_id", "r_id", "overlap_us")
 
 
+def _graph_degree(spark, sf_dir):
+    from fossil_spark.operators import dedup, graph
+
+    return graph.degrees(dedup.minhash_lsh_pairs(_docs(spark, sf_dir)))
+
+
+def _graph_pagerank(spark, sf_dir):
+    from fossil_spark.operators import dedup, graph
+
+    # rows-only driver check (10 float power-iteration rounds have no
+    # SQL oracle); star/clique structure is pinned in unit tests
+    return graph.pagerank(dedup.minhash_lsh_pairs(_docs(spark, sf_dir)))
+
+
 def _embedding_pca(spark, sf_dir):
     from fossil_spark.operators import ann
     from fossil_spark.session import read_table
@@ -1062,6 +1076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_overlap_join": _ts_overlap_join,
         "multimodal_audio": _multimodal_audio,
         "embedding_pca": _embedding_pca,  # rows-only: eigh not in SQL
+        "graph_degree": _graph_degree,
+        "graph_pagerank": _graph_pagerank,  # rows-only: iterative float
         "sample_weighted": _sample_weighted,
         "text_quality_classifier": _text_quality_classifier,
         "ts_interval_coverage": _ts_interval_coverage,
@@ -2119,6 +2135,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5('topk:' || CAST(doc_id AS VARCHAR))"
             " AS sample_key FROM documents"
             " ORDER BY sample_key LIMIT 200"
+        ),
+        # degree of the undirected minhash pair graph (reuses the
+        # banded-bucket pair CTEs the dedup_minhash oracle proves)
+        "graph_degree": (
+            f"WITH {_MINHASH_CTES},"
+            " e AS (SELECT doc_a AS s FROM pairs"
+            "  UNION ALL SELECT doc_b FROM pairs)"
+            " SELECT s AS doc_id, CAST(count(*) AS BIGINT) AS degree"
+            " FROM e GROUP BY s"
         ),
         # ExactSubstr sliding-window duplicated-span stats: every
         # length-10 token window hashed; hashes with corpus count >= 2

@@ -1,0 +1,112 @@
+"""Graph analytics over similarity graphs.
+
+The near-dup pair list (dedup.minhash_lsh_pairs, embedding_neardup_
+pairs) is an edge list; these operators answer the corpus-curation
+questions that follow: how CONNECTED is each document (degree — a
+boilerplate/template signal), and which documents are most CENTRAL
+(PageRank — pick the canonical representative of a template family,
+or weight documents by hubness). Complements dedup.connected_
+components (which answers "which cluster").
+
+Design rules match the rest of the engine: edges shuffle once per
+round keyed by node id; per-round driver-sync budget is ONE action;
+rank sums accumulate in decimal so results are partition-order
+independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetric_edges(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    # explode, NOT union-of-two-selects: a union re-executes the whole
+    # upstream pair pipeline (minhash etc.) once per branch — the
+    # re-execution pitfall the round-4 plan audit hunted down
+    return (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+    )
+
+
+def degrees(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Degree per node of the undirected pair graph — the cheapest
+    'how template-like is this doc' signal (a doc near-duplicate to
+    hundreds of others is boilerplate). One exploded endpoint pass +
+    one map-side-combined groupBy. Returns (doc_id, degree)."""
+    return (
+        _symmetric_edges(pairs, a_col, b_col)
+        .groupBy(F.col("src").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def pagerank(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    damping: float = 0.85,
+    n_iter: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """PageRank over the undirected pair graph (power iteration,
+    fixed rounds — Page et al. 1999). Every node has degree >= 1 by
+    construction (it appears in a pair), so there is no dangling
+    mass. Deterministic: contribution sums accumulate in
+    decimal(38,18) before the damping blend, so ranks are bit-stable
+    under any partitioning.
+
+    Scale shape: the edge list is localCheckpoint-ed ONCE (lazily;
+    the node count materializes it), so upstream pair generation
+    (minhash, LSH) runs once, not once per round. Each round is one
+    join + one groupBy keyed by node id; lineage is cut per round.
+    Returns (doc_id, degree, pagerank)."""
+    edges = _symmetric_edges(pairs, a_col, b_col).localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("id"), "deg")
+    n_nodes = nodes.count()  # also materializes the edge checkpoint
+    if n_nodes == 0:
+        return pairs.sparkSession.createDataFrame(
+            [], "doc_id long, degree long, pagerank double"
+        )
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(n_iter):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["id"])
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+        )
+        new = contribs.groupBy("id").agg(
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * F.sum(F.col("c").cast("decimal(38,18)")).cast("double")
+            ).alias("rank")
+        )
+        # symmetric graph: every node receives >= 1 contribution, so
+        # the new rank table covers all nodes; re-attach degrees
+        ranks = nodes.join(new, "id").select("id", "deg", "rank")
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select(
+        F.col("id").alias("doc_id"),
+        F.col("deg").cast("long").alias("degree"),
+        F.round("rank", round_to).alias("pagerank"),
+    )

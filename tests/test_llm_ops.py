@@ -884,3 +884,58 @@ def test_pca_projection_is_deterministic_and_jvm_side(spark):
     assert p1.collect() == p2.collect()
     plan = p1._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+# --- graph analytics over the pair graph ------------------------------------
+
+def test_graph_degrees_and_pagerank_star(spark):
+    import numpy as np
+
+    from fossil_spark.operators import graph
+
+    # star: 0 at the center of 1..5, plus an isolated pair (10, 11)
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(10, 11)],
+        "doc_a long, doc_b long",
+    )
+    deg = {r["doc_id"]: r["degree"] for r in graph.degrees(pairs).collect()}
+    assert deg[0] == 5 and all(deg[i] == 1 for i in range(1, 6))
+    assert deg[10] == deg[11] == 1
+
+    pr = {r["doc_id"]: r["pagerank"] for r in graph.pagerank(pairs).collect()}
+    # center outranks every leaf; leaves are symmetric
+    assert pr[0] > pr[1]
+    assert len({pr[i] for i in range(1, 6)}) == 1
+    assert pr[10] == pr[11]
+
+    # matches the same fixed power iteration computed independently
+    nodes = [0, 1, 2, 3, 4, 5, 10, 11]
+    idx = {n: i for i, n in enumerate(nodes)}
+    edges = [(0, i) for i in range(1, 6)] + [(10, 11)]
+    sym = edges + [(b, a) for a, b in edges]
+    degv = np.zeros(len(nodes))
+    for a, _ in sym:
+        degv[idx[a]] += 1
+    r = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(10):
+        nxt = np.full(len(nodes), 0.15 / len(nodes))
+        for a, b in sym:
+            nxt[idx[b]] += 0.85 * r[idx[a]] / degv[idx[a]]
+        r = nxt
+    for n_ in nodes:
+        assert pr[n_] == pytest.approx(r[idx[n_]], abs=2e-6)
+
+
+def test_graph_pagerank_deterministic(spark):
+    from fossil_spark.operators import dedup, graph
+
+    docs = spark.createDataFrame(
+        [(i, f"common shared text block number {i % 3} repeated tokens here "
+              "for minhash near dup detection across documents")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_lsh_pairs(docs)
+    a = sorted(map(tuple, graph.pagerank(pairs, n_iter=5).collect()))
+    b = sorted(map(tuple, graph.pagerank(pairs, n_iter=5).collect()))
+    assert a == b and len(a) > 0

@@ -200,6 +200,7 @@ _SCAN_BUDGET = {
     "ts_interval_coverage": 1,    # window + agg share one exchange
     "dedup_substring": 2,         # windows + corpus-count side
     "ts_overlap_join": 2,         # two filtered interval sides (same file)
+    "graph_degree": 1,            # exploded endpoints, single pair subtree
 }
 
 

@@ -757,6 +757,15 @@ def _ts_interval_coverage(spark, sf_dir):
     )
 
 
+def _ts_holt_winters(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.holt_winters_forecast(
+        _events(spark, sf_dir), period=24, horizon=5, time_col="ts",
+        by=["event_type"], order_tiebreak=["event_id"],
+    )
+
+
 def _ts_lttb(spark, sf_dir):
     from fossil_spark.operators import timeseries as ts
 
@@ -1078,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": _embedding_pca,  # rows-only: eigh not in SQL
         "graph_degree": _graph_degree,
         "graph_pagerank": _graph_pagerank,  # rows-only: iterative float
+        "ts_holt_winters": _ts_holt_winters,
         "sample_weighted": _sample_weighted,
         "text_quality_classifier": _text_quality_classifier,
         "ts_interval_coverage": _ts_interval_coverage,
@@ -2229,6 +2239,41 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(greatest(CAST(0 AS BIGINT), e - greatest(s, coalesce(pme, s))))"
             "  AS BIGINT) AS covered_us"
             " FROM w GROUP BY user_id"
+        ),
+        # Holt-Winters additive recurrence with the seasonal state
+        # carried as a LIST column; identical float op order to the
+        # Arrow loop (alpha=.5 beta=.3 gamma=.4, m=24, zero-seasonal
+        # init). The level expression recurs verbatim in trend and
+        # seasonal updates — same expression, same double.
+        "ts_holt_winters": (
+            "WITH RECURSIVE seq AS ("
+            " SELECT event_type, value,"
+            " row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) rn,"
+            " count(*) OVER (PARTITION BY event_type) n"
+            f" FROM {_EV} e0),"
+            " rec(event_type, rn, n, l, b, s) AS ("
+            "  SELECT event_type, rn, n, CAST(value AS DOUBLE),"
+            "  CAST(0.0 AS DOUBLE),"
+            "  list_transform(generate_series(1, 24), i -> CAST(0.0 AS DOUBLE))"
+            "  FROM seq WHERE rn = 1"
+            "  UNION ALL"
+            "  SELECT s2.event_type, s2.rn, r.n,"
+            "  0.5 * (s2.value - r.s[(s2.rn - 1) % 24 + 1])"
+            "   + (1.0 - 0.5) * (r.l + r.b),"
+            "  0.3 * ((0.5 * (s2.value - r.s[(s2.rn - 1) % 24 + 1])"
+            "   + (1.0 - 0.5) * (r.l + r.b)) - r.l) + (1.0 - 0.3) * r.b,"
+            "  list_transform(generate_series(0, 23), j ->"
+            "   CASE WHEN j = (s2.rn - 1) % 24"
+            "   THEN 0.4 * (s2.value - (0.5 * (s2.value - r.s[(s2.rn - 1) % 24 + 1])"
+            "    + (1.0 - 0.5) * (r.l + r.b))) + (1.0 - 0.4) * r.s[j + 1]"
+            "   ELSE r.s[j + 1] END)"
+            "  FROM rec r JOIN seq s2 ON s2.event_type = r.event_type"
+            "   AND s2.rn = r.rn + 1)"
+            " SELECT event_type, CAST(t.h AS BIGINT) AS step,"
+            " l + CAST(t.h AS DOUBLE) * b + s[((n - 1 + t.h) % 24) + 1] AS forecast,"
+            " l AS level, b AS trend,"
+            " s[((n - 1 + t.h) % 24) + 1] AS seasonal"
+            " FROM rec, range(1, 6) t(h) WHERE rn = n"
         ),
         # Holt recurrence reproduced with the EXACT float op order of the
         # Arrow per-key loop (timeseries.holt_forecast), like ts_ewma

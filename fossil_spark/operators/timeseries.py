@@ -907,6 +907,85 @@ def holt_forecast(
     return df.groupBy(*by).applyInPandas(per_key, out_schema)
 
 
+def holt_winters_forecast(
+    df: DataFrame,
+    period: int = 24,
+    horizon: int = 5,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.4,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal forecast per key (triple
+    exponential smoothing, Winters 1960): level/trend recurrences
+    plus a length-`period` seasonal state updated in place, then
+    `horizon` steps ahead at level + h*trend + seasonal[(t+h) mod m].
+
+    Init is the simple zero-seasonal form (l0 = x0, b0 = 0, s = 0s):
+    seasonality is LEARNED through gamma over repeated cycles, which
+    keeps the recurrence exactly reproducible (no season-mean init
+    whose sum order would be ambiguous). Like ewma/holt, sequential
+    per key -> one Arrow batch per key group; the DuckDB oracle
+    replays the identical float op order carrying the seasonal state
+    as a LIST column. Returns (*by, step, forecast, level, trend,
+    seasonal)."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    by = by or []
+    m = period
+    df = _time_norm(df, time_col)
+    sort_cols = [time_col] + (order_tiebreak or [])
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name in by]
+        + [
+            StructField("step", LongType()),
+            StructField("forecast", DoubleType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("seasonal", DoubleType()),
+        ]
+    )
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=float)
+        lvl, trd = x[0], 0.0
+        s = [0.0] * m
+        for t in range(1, len(x)):
+            s_used = s[t % m]
+            prev = lvl
+            lvl = alpha * (x[t] - s_used) + (1 - alpha) * (lvl + trd)
+            trd = beta * (lvl - prev) + (1 - beta) * trd
+            s[t % m] = gamma * (x[t] - lvl) + (1 - gamma) * s_used
+        last_t = len(x) - 1
+        rows = {
+            "step": list(range(1, horizon + 1)),
+            "forecast": [
+                lvl + h * trd + s[(last_t + h) % m]
+                for h in range(1, horizon + 1)
+            ],
+            "level": [lvl] * horizon,
+            "trend": [trd] * horizon,
+            "seasonal": [s[(last_t + h) % m] for h in range(1, horizon + 1)],
+        }
+        for c in by:
+            rows[c] = [pdf[c].iloc[0]] * horizon
+        return pd.DataFrame(rows)[[f.name for f in out_schema.fields]]
+
+    if not by:
+        return df.withColumn("__g", F.lit(0)).groupBy("__g").applyInPandas(
+            lambda pdf: per_key(pdf.drop(columns="__g")), out_schema
+        )
+    return df.groupBy(*by).applyInPandas(per_key, out_schema)
+
+
 def lttb(
     df: DataFrame,
     n_out: int = 100,

@@ -718,3 +718,32 @@ def test_overlap_join_rejects_colliding_columns(spark):
     )
     with pytest.raises(ValueError, match="rename first"):
         ts.overlap_join(d, d, on=["user_id"], bucket=timedelta(hours=1))
+
+
+def test_holt_winters_learns_planted_cycle(spark):
+    from datetime import datetime, timedelta as td
+    import math
+
+    # pure period-4 cycle, no trend, 40 cycles: forecasts must repeat
+    # the cycle shape (seasonal state converges geometrically)
+    cycle = [10.0, 20.0, 5.0, 15.0]
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + td(hours=i), cycle[i % 4]) for i in range(160)
+    ]
+    d = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    out = sorted(
+        ts.holt_winters_forecast(
+            d, period=4, horizon=4, time_col="ts",
+            order_tiebreak=["event_id"],
+        ).collect(),
+        key=lambda r: r["step"],
+    )
+    # last observed index is 159 (cycle pos 3); step h predicts pos (159+h)%4
+    for r in out:
+        want = cycle[(159 + r["step"]) % 4]
+        assert r["forecast"] == pytest.approx(want, abs=0.7), (
+            r["step"], r["forecast"], want,
+        )
+    # trend stays near zero on a trendless series
+    assert abs(out[0]["trend"]) < 0.2

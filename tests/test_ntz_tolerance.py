@@ -142,3 +142,38 @@ def test_forecast_lttb_ntz(ntz_events):
         ntz_events, n_out=10, time_col="ts", by=["event_type"],
         order_tiebreak=["event_id"],
     ).count() == 20
+
+
+def test_interval_coverage_overlap_join_holt_winters_ntz(ntz_events):
+    from datetime import timedelta as td
+
+    from fossil_spark.operators import timeseries as ts
+
+    cov = ts.interval_coverage(
+        ntz_events, time_col="ts", duration_col="value", by=["user_id"],
+        order_tiebreak=["event_id"],
+    ).collect()
+    assert len(cov) == 3 and all(r["covered_us"] >= 0 for r in cov)
+
+    left = ntz_events.select(
+        "user_id", F.col("event_id").alias("l_id"),
+        F.col("ts").alias("l_lo"),
+        (F.col("ts").cast("timestamp") + F.expr("INTERVAL 30 MINUTE")).alias("l_hi"),
+    )
+    right = ntz_events.select(
+        "user_id", F.col("event_id").alias("r_id"),
+        F.col("ts").alias("r_lo"),
+        (F.col("ts").cast("timestamp") + F.expr("INTERVAL 30 MINUTE")).alias("r_hi"),
+    ).filter("r_id % 2 = 0")
+    ov = ts.overlap_join(
+        left, right, on=["user_id"],
+        left_lo="l_lo", left_hi="l_hi", right_lo="r_lo", right_hi="r_hi",
+        bucket=td(minutes=30),
+    ).collect()
+    assert len(ov) > 0 and all(r["overlap_us"] > 0 for r in ov)
+
+    hw = ts.holt_winters_forecast(
+        ntz_events, period=4, horizon=2, time_col="ts", by=["event_type"],
+        order_tiebreak=["event_id"],
+    ).collect()
+    assert len(hw) == 4  # 2 event types x 2 steps

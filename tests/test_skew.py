@@ -226,3 +226,51 @@ def test_unigram_nll_whale_token(spark):
     assert dt < BUDGET_S, f"unigram_nll took {dt:.1f}s on whale token"
     assert len(out) == 20_000
     assert all(r["n_tokens"] == 7 for r in out)
+
+
+def test_interval_coverage_whale_key(skewed):
+    from fossil_spark.operators.timeseries import interval_coverage
+
+    # every row is a 1-second interval; whale rows arrive every 2 ms,
+    # so the whale's intervals all chain into ONE island
+    rows, dt = _timed(
+        interval_coverage(
+            skewed.withColumn("dur", F.lit(1.0)),
+            time_col="time", duration_col="dur", by=["user_id"],
+        )
+    )
+    assert dt < BUDGET_S, f"interval_coverage took {dt:.1f}s on skewed input"
+    by_user = {r["user_id"]: r for r in rows}
+    whale = by_user["whale"]
+    assert whale["n_intervals"] == N // 2
+    assert whale["n_islands"] == 1
+    # chain of 1 s intervals every 2 ms over 100k rows: last start at
+    # (N-2) ms, covered = (N-2) ms + 1 s exactly
+    assert whale["covered_us"] == (N - 2) * 1000 + 1_000_000
+
+
+def test_substring_dedup_whale_window(spark):
+    from fossil_spark.operators.dedup import substring_dedup_stats
+
+    # one 10-token block shared by HALF the corpus (classic license
+    # boilerplate): the hot window hash must reduce map-side, not
+    # funnel through one partition
+    import time as _t
+
+    docs = []
+    boiler = " ".join(f"b{i}" for i in range(10))
+    for i in range(20_000):
+        if i % 2 == 0:
+            docs.append((i, boiler + f" unique tail {i} with extra tokens {i}"))
+        else:
+            docs.append((i, f"doc {i} " + " ".join(f"w{i}_{j}" for j in range(12))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    t0 = _t.monotonic()
+    out = substring_dedup_stats(df, window_tokens=10).collect()
+    dt = _t.monotonic() - t0
+    assert dt < BUDGET_S, f"substring_dedup took {dt:.1f}s on whale window"
+    by_id = {r["doc_id"]: r for r in out}
+    # every even doc's first window is the boilerplate block -> dup
+    assert by_id[0]["dup_windows"] >= 1 and by_id[0]["dup_tokens"] >= 10
+    # odd docs are unique -> zero dup coverage
+    assert by_id[1]["dup_tokens"] == 0

@@ -757,6 +757,18 @@ def _ts_interval_coverage(spark, sf_dir):
     )
 
 
+def _ts_decompose(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    out = ts.decompose_classical(
+        _events(spark, sf_dir), period=25, time_col="ts",
+        by=["event_type"], order_tiebreak=["event_id"],
+    )
+    return out.select(
+        "event_id", "event_type", "value", "trend", "seasonal", "residual"
+    )
+
+
 def _ts_holt_winters(spark, sf_dir):
     from fossil_spark.operators import timeseries as ts
 
@@ -1088,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree": _graph_degree,
         "graph_pagerank": _graph_pagerank,  # rows-only: iterative float
         "ts_holt_winters": _ts_holt_winters,
+        "ts_decompose": _ts_decompose,
         "sample_weighted": _sample_weighted,
         "text_quality_classifier": _text_quality_classifier,
         "ts_interval_coverage": _ts_interval_coverage,
@@ -2205,7 +2218,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH keyed AS (SELECT doc_id, n_chars,"
             " -ln((('0x' || substr(md5('wsample:' || doc_id::VARCHAR), 1, 13))::BIGINT"
             "  + 1.0) / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS k"
-            " FROM documents)"
+            " FROM documents WHERE n_chars > 0)"
             " SELECT doc_id, n_chars, round(k, 6) AS sample_key"
             " FROM keyed ORDER BY k, doc_id LIMIT 150"
         ),
@@ -2239,6 +2252,25 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(greatest(CAST(0 AS BIGINT), e - greatest(s, coalesce(pme, s))))"
             "  AS BIGINT) AS covered_us"
             " FROM w GROUP BY user_id"
+        ),
+        # classical seasonal decomposition: centered 25-row MA trend
+        # (null on partial windows), per-phase decimal means, residual
+        "ts_decompose": (
+            "WITH s AS (SELECT event_id, event_type, value,"
+            " row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) rn,"
+            " CASE WHEN count(value) OVER w = 25 THEN"
+            "  CAST(round(sum(CAST(value AS DECIMAL(30,8))) OVER w, 4) AS DOUBLE)"
+            "  / count(value) OVER w END AS trend"
+            f" FROM {_EV} e0"
+            " WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id"
+            "  ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),"
+            " d AS (SELECT *, (rn - 1) % 25 AS phase, value - trend AS det FROM s),"
+            " p AS (SELECT *,"
+            " CAST(round(sum(CAST(det AS DECIMAL(30,8))) OVER wp, 4) AS DOUBLE)"
+            " / count(det) OVER wp AS seas FROM d"
+            " WINDOW wp AS (PARTITION BY event_type, phase))"
+            " SELECT event_id, event_type, value, round(trend, 6) AS trend,"
+            " round(seas, 6) AS seasonal, round(det - seas, 6) AS residual FROM p"
         ),
         # Holt-Winters additive recurrence with the seasonal state
         # carried as a LIST column; identical float op order to the

@@ -104,6 +104,7 @@ def main() -> None:
         # round-5 session-3 operators
         "dedup_substring", "ts_interval_coverage", "ts_overlap_join",
         "sample_weighted", "text_quality_classifier",
+        "graph_degree", "ts_holt_winters",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

@@ -458,6 +458,9 @@ def weighted_sample(
         + F.lit(1.0)
     ) / F.lit(float(1 << 52))
     key = -F.log(u) / F.col(weight_col).cast("double")
+    # zero/negative weight = zero selection probability: excluded
+    # (avoids a NaN key when the md5 uniform lands exactly on 1.0)
+    df = df.filter(F.col(weight_col) > 0)
     return (
         df.select(
             id_col, weight_col, key.alias("__key"),

@@ -907,6 +907,63 @@ def holt_forecast(
     return df.groupBy(*by).applyInPandas(per_key, out_schema)
 
 
+def decompose_classical(
+    df: DataFrame,
+    period: int = 25,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    order_tiebreak: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Classical seasonal decomposition (the moving-average method
+    behind statsmodels' seasonal_decompose): trend = centered moving
+    average over `period` rows (null at the edges where the window is
+    partial), detrended = y - trend, seasonal = per-phase mean of the
+    detrended series (phase = row index mod period), residual =
+    detrended - seasonal. `period` must be ODD (a centered window of
+    even length needs the 2xM weighted form). Seasonal indices are
+    left uncentered — the per-phase means themselves — which keeps
+    every quantity an exact windowed aggregate.
+
+    Deterministic: both means accumulate in decimal (order-
+    independent) with one double division. Shape: the MA window and
+    row numbering share ONE (key) sort; the phase means are a second
+    window over (key, phase) — two exchanges total, no joins, no
+    driver actions. Returns every input row + trend/seasonal/residual."""
+    if period % 2 == 0:
+        raise ValueError("period must be odd for a centered moving average")
+    by = by or []
+    df = _time_norm(df, time_col)
+    half = period // 2
+    w_order = Window.partitionBy(*by).orderBy(
+        time_col, *(order_tiebreak or [])
+    )
+    w_ma = w_order.rowsBetween(-half, half)
+    cnt = F.count(value_col).over(w_ma)
+    trend = F.when(
+        cnt == period,
+        F.round(F.sum(F.col(value_col).cast("decimal(30,8)")).over(w_ma), 4)
+        .cast("double") / cnt,
+    )
+    phase = (F.row_number().over(w_order) - 1) % period
+    staged = df.select(
+        *df.columns, trend.alias("__trend"), phase.alias("__phase"),
+        (F.col(value_col) - trend).alias("__det"),
+    )
+    w_phase = Window.partitionBy(*by, "__phase")
+    seasonal = (
+        F.round(F.sum(F.col("__det").cast("decimal(30,8)")).over(w_phase), 4)
+        .cast("double") / F.count("__det").over(w_phase)
+    )
+    return staged.select(
+        *df.columns,
+        F.round("__trend", round_to).alias("trend"),
+        F.round(seasonal, round_to).alias("seasonal"),
+        F.round(F.col("__det") - seasonal, round_to).alias("residual"),
+    )
+
+
 def holt_winters_forecast(
     df: DataFrame,
     period: int = 24,

@@ -202,6 +202,7 @@ _SCAN_BUDGET = {
     "dedup_substring": 2,         # windows + corpus-count side
     "ts_overlap_join": 2,         # two filtered interval sides (same file)
     "graph_degree": 1,            # exploded endpoints, single pair subtree
+    "ts_decompose": 1,            # two windows, no joins, one scan
 }
 
 

@@ -747,3 +747,30 @@ def test_holt_winters_learns_planted_cycle(spark):
         )
     # trend stays near zero on a trendless series
     assert abs(out[0]["trend"]) < 0.2
+
+
+def test_decompose_classical_recovers_trend_and_cycle(spark):
+    from datetime import datetime, timedelta as td
+
+    # y = 0.5*t + cycle[t % 5]: a centered 5-row MA of the linear part
+    # is exact, and the window spans exactly one cycle, so detrended =
+    # cycle - mean(cycle) and residual = 0 (up to the decimal 1e-4 step)
+    cycle = [4.0, 8.0, 1.0, 6.0, 2.0]
+    cbar = sum(cycle) / 5
+    base = datetime(2024, 1, 1)
+    rows = [(i, base + td(hours=i), 0.5 * i + cycle[i % 5]) for i in range(60)]
+    d = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    out = {r["event_id"]: r for r in ts.decompose_classical(
+        d, period=5, time_col="ts", order_tiebreak=["event_id"],
+    ).collect()}
+    assert out[0]["trend"] is None and out[59]["trend"] is None  # edges
+    for i in range(2, 58):
+        assert out[i]["trend"] == pytest.approx(0.5 * i + cbar, abs=1e-3)
+        assert out[i]["seasonal"] == pytest.approx(cycle[i % 5] - cbar, abs=1e-2)
+        assert out[i]["residual"] == pytest.approx(0.0, abs=1e-2)
+
+
+def test_decompose_rejects_even_period(spark):
+    d = spark.createDataFrame([(1, None, 1.0)], "event_id long, ts timestamp, value double")
+    with pytest.raises(ValueError, match="odd"):
+        ts.decompose_classical(d, period=24, time_col="ts")

@@ -177,3 +177,14 @@ def test_interval_coverage_overlap_join_holt_winters_ntz(ntz_events):
         order_tiebreak=["event_id"],
     ).collect()
     assert len(hw) == 4  # 2 event types x 2 steps
+
+
+def test_decompose_ntz(ntz_events):
+    from fossil_spark.operators import timeseries as ts
+
+    out = ts.decompose_classical(
+        ntz_events, period=5, time_col="ts", by=["event_type"],
+        order_tiebreak=["event_id"],
+    ).collect()
+    assert len(out) == 40
+    assert any(r["trend"] is not None for r in out)

@@ -757,6 +757,16 @@ def _ts_interval_coverage(spark, sf_dir):
     )
 
 
+def _ts_xcorr(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    # does purchase volume trail view volume? hourly buckets, lags 0-3
+    return ts.cross_correlation(
+        _events(spark, sf_dir), "view", "purchase", lags=3,
+        every="1 hour", time_col="ts",
+    )
+
+
 def _ts_decompose(spark, sf_dir):
     from fossil_spark.operators import timeseries as ts
 
@@ -1101,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": _graph_pagerank,  # rows-only: iterative float
         "ts_holt_winters": _ts_holt_winters,
         "ts_decompose": _ts_decompose,
+        "ts_xcorr": _ts_xcorr,
         "sample_weighted": _sample_weighted,
         "text_quality_classifier": _text_quality_classifier,
         "ts_interval_coverage": _ts_interval_coverage,
@@ -2252,6 +2263,26 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(greatest(CAST(0 AS BIGINT), e - greatest(s, coalesce(pme, s))))"
             "  AS BIGINT) AS covered_us"
             " FROM w GROUP BY user_id"
+        ),
+        # cross-correlation of two bucketed signals at lags 0..3
+        # (decimal bucket means; corr rounded @4, the ts_acf convention)
+        "ts_xcorr": (
+            "WITH b AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,"
+            " CAST(round(sum(CASE WHEN event_type = 'view'"
+            "  THEN CAST(value AS DECIMAL(30,8)) END), 4) AS DOUBLE)"
+            "  / count(CASE WHEN event_type = 'view' THEN value END) AS a,"
+            " CAST(round(sum(CASE WHEN event_type = 'purchase'"
+            "  THEN CAST(value AS DECIMAL(30,8)) END), 4) AS DOUBLE)"
+            "  / count(CASE WHEN event_type = 'purchase' THEN value END) AS bb"
+            f" FROM {_EV} e0 WHERE event_type IN ('view', 'purchase')"
+            " GROUP BY 1),"
+            " l AS (SELECT bb, lag(a, 0) OVER w AS al0, lag(a, 1) OVER w AS al1,"
+            " lag(a, 2) OVER w AS al2, lag(a, 3) OVER w AS al3"
+            " FROM b WINDOW w AS (ORDER BY bucket))"
+            " SELECT round(corr(al0, bb), 4) AS xcorr_0,"
+            " round(corr(al1, bb), 4) AS xcorr_1,"
+            " round(corr(al2, bb), 4) AS xcorr_2,"
+            " round(corr(al3, bb), 4) AS xcorr_3 FROM l"
         ),
         # classical seasonal decomposition: centered 25-row MA trend
         # (null on partial windows), per-phase decimal means, residual

@@ -1278,6 +1278,74 @@ def acf(
     return lagged.agg(*aggs)
 
 
+def cross_correlation(
+    df: DataFrame,
+    series_a: str,
+    series_b: str,
+    lags: int = 3,
+    every: str = "1 hour",
+    time_col: str = "time",
+    series_col: str = "event_type",
+    value_col: str = "value",
+    round_to: int = 4,
+) -> DataFrame:
+    """Cross-correlation between two named signals at bucket lags
+    0..`lags`: does series B lead/lag series A? Both signals resample
+    to `every` buckets in ONE conditional aggregation (no join, no
+    pivot shuffle), then corr(a_t, b_{t-k}) per lag over lag()
+    windows sharing one bucket sort. Buckets where a signal is absent
+    contribute null and corr skips the pair (both engines agree).
+
+    The bucketed pair series is a SINGLE ordered partition by
+    construction (it has no key) — fine at any corpus size because
+    its length is time-range/bucket, not row count; resampling
+    upstream is fully distributed. Deterministic: decimal bucket
+    means, corr rounded to `round_to` (the ts_acf convention).
+    Returns one row: xcorr_0..xcorr_L."""
+    df = _time_norm(df, time_col)
+    bucketed = (
+        df.filter(F.col(series_col).isin(series_a, series_b))
+        .groupBy(F.window(time_col, every).start.alias("bucket"))
+        .agg(
+            (
+                F.round(
+                    F.sum(
+                        F.when(
+                            F.col(series_col) == series_a, F.col(value_col)
+                        ).cast("decimal(30,8)")
+                    ),
+                    4,
+                ).cast("double")
+                / F.count(F.when(F.col(series_col) == series_a, value_col))
+            ).alias("__a"),
+            (
+                F.round(
+                    F.sum(
+                        F.when(
+                            F.col(series_col) == series_b, F.col(value_col)
+                        ).cast("decimal(30,8)")
+                    ),
+                    4,
+                ).cast("double")
+                / F.count(F.when(F.col(series_col) == series_b, value_col))
+            ).alias("__b"),
+        )
+    )
+    # xcorr_k = corr(a_{t-k}, b_t): a peak at k > 0 means B TRAILS A
+    # by k buckets
+    w = Window.orderBy("bucket")
+    lagged = bucketed.select(
+        "__b",
+        *[F.lag("__a", k).over(w).alias(f"__al{k}") for k in range(lags + 1)],
+    )
+    return lagged.agg(
+        *[
+            F.round(F.corr(f"__al{k}", "__b"), round_to).alias(f"xcorr_{k}")
+            for k in range(lags + 1)
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact greedy sample (reference-parity variant)
 # ---------------------------------------------------------------------------

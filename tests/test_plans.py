@@ -203,6 +203,7 @@ _SCAN_BUDGET = {
     "ts_overlap_join": 2,         # two filtered interval sides (same file)
     "graph_degree": 1,            # exploded endpoints, single pair subtree
     "ts_decompose": 1,            # two windows, no joins, one scan
+    "ts_xcorr": 1,                # one conditional bucket agg, no pivot join
 }
 
 

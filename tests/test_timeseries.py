@@ -774,3 +774,28 @@ def test_decompose_rejects_even_period(spark):
     d = spark.createDataFrame([(1, None, 1.0)], "event_id long, ts timestamp, value double")
     with pytest.raises(ValueError, match="odd"):
         ts.decompose_classical(d, period=24, time_col="ts")
+
+
+def test_cross_correlation_planted_lead(spark):
+    from datetime import datetime, timedelta as td
+
+    # series B is series A shifted 2 buckets later: xcorr peaks at lag 2
+    import math
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for i in range(100):
+        va = math.sin(i / 3.0) * 10
+        rows.append((2 * i, base + td(hours=i), "a", va))
+        # b at bucket i equals a's value from bucket i-2
+        vb = math.sin((i - 2) / 3.0) * 10
+        rows.append((2 * i + 1, base + td(hours=i), "b", vb))
+    d = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    [r] = ts.cross_correlation(
+        d, "a", "b", lags=3, every="1 hour", time_col="ts",
+    ).collect()
+    # corr(a_t, b_{t-2}) = corr(a_t, a_t) = 1
+    assert r["xcorr_2"] == pytest.approx(1.0, abs=1e-3)
+    assert r["xcorr_0"] < 0.9 and r["xcorr_1"] < 0.95

@@ -671,6 +671,23 @@ def _ts_forecast(spark, sf_dir):
     )
 
 
+def _text_bigram_nll(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.bigram_nll(_docs(spark, sf_dir))
+
+
+def _sample_group_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fossil_spark.operators import text
+
+    out = text.group_topk_sample(_docs(spark, sf_dir), k=30, group_col="source")
+    return out.select(
+        "source", "doc_id", "sample_key", F.col("rn").cast("long").alias("rn")
+    )
+
+
 def _dedup_substring(spark, sf_dir):
     from fossil_spark.operators import dedup
 
@@ -1112,6 +1129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_holt_winters": _ts_holt_winters,
         "ts_decompose": _ts_decompose,
         "ts_xcorr": _ts_xcorr,
+        "text_bigram_nll": _text_bigram_nll,
+        "sample_group_topk": _sample_group_topk,
         "sample_weighted": _sample_weighted,
         "text_quality_classifier": _text_quality_classifier,
         "ts_interval_coverage": _ts_interval_coverage,
@@ -2169,6 +2188,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5('topk:' || CAST(doc_id AS VARCHAR))"
             " AS sample_key FROM documents"
             " ORDER BY sample_key LIMIT 200"
+        ),
+        # interpolated bigram LM NLL: counts fit on the corpus itself,
+        # p = lam*C2/C(prev) + (1-lam)*C1(cur)/T, decimal per-doc sums
+        "text_bigram_nll": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} w FROM documents),"
+            " toks AS (SELECT unnest(w) AS tok FROM t),"
+            " uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok),"
+            " tot AS (SELECT CAST(count(*) AS DOUBLE) AS tt FROM toks),"
+            " g0 AS (SELECT doc_id, unnest(list_transform(generate_series(2, len(w)),"
+            " i -> {'prev': w[i-1], 'cur': w[i]})) AS s FROM t WHERE len(w) >= 2),"
+            " g AS (SELECT doc_id, s.prev AS prev, s.cur AS cur FROM g0),"
+            " big AS (SELECT prev, cur, count(*) AS c2 FROM g GROUP BY prev, cur),"
+            " sc AS (SELECT doc_id,"
+            " greatest(0.7 * (CAST(c2 AS DOUBLE) / CAST(up.c1 AS DOUBLE))"
+            "  + (1.0 - 0.7) * (CAST(uc.c1 AS DOUBLE) / tt), 1e-12) AS p"
+            " FROM g JOIN big USING (prev, cur)"
+            " JOIN uni up ON up.tok = g.prev"
+            " JOIN uni uc ON uc.tok = g.cur, tot)"
+            " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,"
+            " CAST(round(sum(CAST(-ln(p) AS DECIMAL(30,8))), 4) AS DOUBLE) AS nll,"
+            " round(CAST(round(sum(CAST(-ln(p) AS DECIMAL(30,8))), 4) AS DOUBLE)"
+            "  / count(*), 6) AS avg_nll"
+            " FROM sc GROUP BY doc_id"
+        ),
+        # per-group fixed-k deterministic sample (WindowGroupLimit
+        # keeps local top-k map-side; see group_topk_sample)
+        "sample_group_topk": (
+            "SELECT source, doc_id, md5('gtopk:' || doc_id::VARCHAR) AS sample_key,"
+            " CAST(rn AS BIGINT) AS rn FROM ("
+            " SELECT source, doc_id, row_number() OVER (PARTITION BY source"
+            "  ORDER BY md5('gtopk:' || doc_id::VARCHAR), doc_id) rn"
+            " FROM documents) WHERE rn <= 30"
         ),
         # degree of the undirected minhash pair graph (reuses the
         # banded-bucket pair CTEs the dedup_minhash oracle proves)

@@ -274,6 +274,132 @@ def unigram_nll(
     )
 
 
+def bigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+    fit_df: DataFrame | None = None,
+) -> DataFrame:
+    """Interpolated bigram language-model NLL per document — one step
+    closer to the KenLM perplexity filter than unigram_nll: score
+    each token position i >= 2 with p = lam * C(w_{i-1} w_i) /
+    C(w_{i-1}) + (1 - lam) * C(w_i)/T. Counts fit on `fit_df` (a
+    reference corpus) or, by default, on the scored corpus itself.
+    NOTE the in-sample caveat: with self-fit MLE counts a SINGLETON
+    bigram over a singleton history has p_bi = 1/1 — novel text is
+    not penalized by the bigram term (only via the unigram mix); the
+    discriminative signal is ambiguous histories (repetition scores
+    lowest, genuinely mixed continuations highest). For held-out
+    perplexity filtering pass a reference corpus as `fit_df`.
+
+    Shape: one posexplode into bigram rows; ONE groupBy(prev, cur)
+    for bigram counts, ONE groupBy(token) unigram table joined twice
+    (as history C(prev) and as current C(cur)); corpus total = 1-row
+    broadcast. Token-keyed joins are Zipfian — AQE skew-split
+    territory, same as unigram_nll. Per-doc sums accumulate in
+    decimal(30,8). Docs with < 2 tokens are omitted (no bigram
+    exists). Returns (id, n_bigrams, nll, avg_nll)."""
+    fit = fit_df if fit_df is not None else df
+    w = tokens(F.col(text_col))
+
+    def bigrams(src: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if with_id else []
+        return (
+            src.select(*cols, w.alias("__w"))
+            .filter(F.size("__w") >= 2)
+            .select(
+                *([id_col] if with_id else []),
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(2), F.size("__w")),
+                        lambda i: F.struct(
+                            F.element_at(F.col("__w"), i - 1).alias("prev"),
+                            F.element_at(F.col("__w"), i).alias("cur"),
+                        ),
+                    )
+                ).alias("__g"),
+            )
+            .select(
+                *([id_col] if with_id else []),
+                F.col("__g.prev").alias("prev"),
+                F.col("__g.cur").alias("cur"),
+            )
+        )
+
+    grams = bigrams(df, with_id=True)
+    toks = fit.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("__t"))
+    big = bigrams(fit, with_id=False).groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    # held-out scoring: grams absent from the fit corpus keep their
+    # row (left joins); p_bi contributes 0 for an unseen history and
+    # the whole p is floored at 1e-12 so ln() stays finite
+    p_bi = F.when(
+        F.coalesce(F.col("__cprev"), F.lit(0)) > 0,
+        F.coalesce(F.col("c2"), F.lit(0)).cast("double")
+        / F.col("__cprev").cast("double"),
+    ).otherwise(F.lit(0.0))
+    p = F.greatest(
+        F.lit(lam) * p_bi
+        + F.lit(1.0 - lam)
+        * (F.coalesce(F.col("__ccur"), F.lit(0)).cast("double") / F.col("__t")),
+        F.lit(1e-12),
+    )
+    scored = (
+        grams.join(big, ["prev", "cur"], "left")
+        .join(
+            uni.select(F.col("tok").alias("prev"), F.col("c1").alias("__cprev")),
+            "prev", "left",
+        )
+        .join(
+            uni.select(F.col("tok").alias("cur"), F.col("c1").alias("__ccur")),
+            "cur", "left",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    out = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum((-F.log(p)).cast("decimal(30,8)")), 4)
+        .cast("double")
+        .alias("nll"),
+    )
+    return out.select(
+        id_col, "n_bigrams", "nll",
+        F.round(F.col("nll") / F.col("n_bigrams"), 6).alias("avg_nll"),
+    )
+
+
+def group_topk_sample(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    salt: str = "gtopk",
+) -> DataFrame:
+    """Deterministic fixed-size uniform sample PER GROUP: within each
+    group, the k rows whose md5(salt:id) sorts lowest — the
+    per-stratum companion to hash_topk_sample (global) and
+    stratified_sample (per-stratum FRACTION). Guarantees exactly
+    min(k, |group|) rows per group, which fraction sampling cannot.
+
+    Spark executes the rank filter as WindowGroupLimit: each task
+    keeps only its local per-group top-k BEFORE the shuffle, so a
+    whale group reduces map-side instead of funneling through one
+    partition. Returns (group, id, sample_key, rn)."""
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    win = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.select(
+            F.col(group_col), F.col(id_col), h.alias("sample_key"),
+            F.row_number().over(win).alias("rn"),
+        )
+        .filter(F.col("rn") <= k)
+    )
+
+
 def tfidf_keywords(
     df: DataFrame,
     top_k: int = 5,

@@ -939,3 +939,73 @@ def test_graph_pagerank_deterministic(spark):
     a = sorted(map(tuple, graph.pagerank(pairs, n_iter=5).collect()))
     b = sorted(map(tuple, graph.pagerank(pairs, n_iter=5).collect()))
     assert a == b and len(a) > 0
+
+
+# --- bigram LM NLL ----------------------------------------------------------
+
+def test_bigram_nll_orders_by_history_ambiguity(spark):
+    # self-fit MLE semantics: repetition is most predictable (lowest),
+    # singleton histories are "predictable" too (p_bi = 1/1 — the
+    # documented in-sample caveat), AMBIGUOUS histories ('the' -> four
+    # different continuations) carry the real surprise
+    docs = [
+        (1, " ".join(["spam"] * 40)),
+        (2, " ".join(f"rare{i}" for i in range(40))),
+        (3, "the cat sat on the mat and the dog sat on the rug"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.bigram_nll(d).collect()}
+    assert out[1]["n_bigrams"] == 39
+    assert out[1]["avg_nll"] < 0.5
+    assert out[1]["avg_nll"] < out[2]["avg_nll"] < out[3]["avg_nll"]
+
+
+def test_bigram_nll_heldout_fit_penalizes_novel_text(spark):
+    # fit on a reference corpus; a doc full of unseen tokens hits the
+    # 1e-12 floor and scores enormous NLL, unlike the self-fit case
+    fit = spark.createDataFrame(
+        [(100, "the cat sat on the mat " * 10)], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "zq xv qqq www eee rrr")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.bigram_nll(score, fit_df=fit).collect()}
+    assert out[1]["avg_nll"] < 3.0
+    assert out[2]["avg_nll"] > 20.0  # -ln(1e-12) ~ 27.6 per token
+
+
+def test_bigram_nll_short_docs_omitted(spark):
+    d = spark.createDataFrame(
+        [(1, "single"), (2, "two tokens")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in text.bigram_nll(d).collect()}
+    assert 1 not in out and out[2]["n_bigrams"] == 1
+
+
+# --- per-group fixed-k sample -----------------------------------------------
+
+def test_group_topk_sample_exact_sizes(spark):
+    import hashlib
+
+    rows = [(i, f"g{i % 3}") for i in range(50)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    out = text.group_topk_sample(d, k=5, group_col="source").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["source"], []).append(r)
+    assert {g: len(v) for g, v in by_g.items()} == {"g0": 5, "g1": 5, "g2": 5}
+    # matches the reference formula: lowest-5 md5 keys per group
+    for g, members in by_g.items():
+        ids = [i for i, src in rows if src == g]
+        want = sorted(ids, key=lambda i: (
+            hashlib.md5(f"gtopk:{i}".encode()).hexdigest(), i))[:5]
+        assert sorted(r["doc_id"] for r in members) == sorted(want)
+
+
+def test_group_topk_sample_small_groups_pass_through(spark):
+    d = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string"
+    )
+    out = text.group_topk_sample(d, k=10, group_col="source").collect()
+    assert len(out) == 3

@@ -204,6 +204,8 @@ _SCAN_BUDGET = {
     "graph_degree": 1,            # exploded endpoints, single pair subtree
     "ts_decompose": 1,            # two windows, no joins, one scan
     "ts_xcorr": 1,                # one conditional bucket agg, no pivot join
+    "text_bigram_nll": 5,         # grams + bigram tf + uni tf x2 + 1-row total
+    "sample_group_topk": 1,       # WindowGroupLimit over one scan
 }
 
 

@@ -774,6 +774,16 @@ def _ts_interval_coverage(spark, sf_dir):
     )
 
 
+def _ts_counter_rate(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    out = ts.counter_rate(
+        _events(spark, sf_dir), time_col="ts", by=["event_type"],
+        order_tiebreak=["event_id"],
+    )
+    return out.select("event_id", "event_type", "increase", "rate_per_sec")
+
+
 def _ts_xcorr(spark, sf_dir):
     from fossil_spark.operators import timeseries as ts
 
@@ -1131,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_xcorr": _ts_xcorr,
         "text_bigram_nll": _text_bigram_nll,
         "sample_group_topk": _sample_group_topk,
+        "ts_counter_rate": _ts_counter_rate,
         "sample_weighted": _sample_weighted,
         "text_quality_classifier": _text_quality_classifier,
         "ts_interval_coverage": _ts_interval_coverage,
@@ -2314,6 +2325,21 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(greatest(CAST(0 AS BIGINT), e - greatest(s, coalesce(pme, s))))"
             "  AS BIGINT) AS covered_us"
             " FROM w GROUP BY user_id"
+        ),
+        # Prometheus-style counter-reset-aware rate: a value drop means
+        # the counter restarted; increase = value, not the negative delta
+        "ts_counter_rate": (
+            "WITH w0 AS (SELECT event_id, event_type, value,"
+            " epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dtus,"
+            " value - lag(value) OVER w AS dv"
+            f" FROM {_EV} e0"
+            " WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))"
+            " SELECT event_id, event_type,"
+            " CASE WHEN dv IS NULL THEN NULL WHEN dv >= 0 THEN dv"
+            "  ELSE value END AS increase,"
+            " CASE WHEN dv IS NULL THEN NULL WHEN dv >= 0 THEN dv"
+            "  ELSE value END / (CAST(dtus AS DOUBLE) / 1e6) AS rate_per_sec"
+            " FROM w0"
         ),
         # cross-correlation of two bucketed signals at lags 0..3
         # (decimal bucket means; corr rounded @4, the ts_acf convention)

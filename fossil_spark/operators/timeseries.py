@@ -592,6 +592,37 @@ def rate(
     )
 
 
+def counter_rate(
+    df: DataFrame,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Counter-RESET-aware rate (the Prometheus `rate()` semantics for
+    monotone counters — the canonical TSDB workload the reference's
+    metric topics hold): when the value drops, the counter restarted,
+    and the increase since the reset is the current value itself (not
+    the negative delta). increase = delta if delta >= 0 else value;
+    rate = increase / dt. Same one-shuffle lag-window shape as
+    rate(); first row per key is null. Returns every input row +
+    (increase, rate_per_sec)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    order = [F.col(time_col)] + [F.col(c) for c in (order_tiebreak or [])]
+    w = Window.partitionBy(*by).orderBy(*order)
+    dt_us = F.unix_micros(F.col(time_col)) - F.unix_micros(F.lag(time_col).over(w))
+    dv = F.col(value_col) - F.lag(value_col).over(w)
+    increase = F.when(dv.isNull(), F.lit(None).cast("double")).when(
+        dv >= 0, dv
+    ).otherwise(F.col(value_col))
+    return df.select(
+        *df.columns,
+        increase.alias("increase"),
+        (increase / (dt_us.cast("double") / F.lit(1e6))).alias("rate_per_sec"),
+    )
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,

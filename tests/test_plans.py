@@ -206,6 +206,7 @@ _SCAN_BUDGET = {
     "ts_xcorr": 1,                # one conditional bucket agg, no pivot join
     "text_bigram_nll": 5,         # grams + bigram tf + uni tf x2 + 1-row total
     "sample_group_topk": 1,       # WindowGroupLimit over one scan
+    "ts_counter_rate": 1,         # one lag window, one scan
 }
 
 

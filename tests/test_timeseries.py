@@ -799,3 +799,21 @@ def test_cross_correlation_planted_lead(spark):
     # corr(a_t, b_{t-2}) = corr(a_t, a_t) = 1
     assert r["xcorr_2"] == pytest.approx(1.0, abs=1e-3)
     assert r["xcorr_0"] < 0.9 and r["xcorr_1"] < 0.95
+
+
+def test_counter_rate_reset_semantics(spark):
+    from datetime import datetime, timedelta as td
+
+    base = datetime(2024, 1, 1)
+    # counter: 10, 25, 3 (reset), 8 — each 10 s apart
+    rows = [(i, base + td(seconds=10 * i), v)
+            for i, v in enumerate([10.0, 25.0, 3.0, 8.0])]
+    d = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    out = {r["event_id"]: r for r in ts.counter_rate(
+        d, time_col="ts", order_tiebreak=["event_id"],
+    ).collect()}
+    assert out[0]["increase"] is None
+    assert out[1]["increase"] == 15.0 and out[1]["rate_per_sec"] == 1.5
+    # reset: increase = post-reset value, not -22
+    assert out[2]["increase"] == 3.0 and out[2]["rate_per_sec"] == pytest.approx(0.3)
+    assert out[3]["increase"] == 5.0

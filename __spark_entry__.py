@@ -725,6 +725,12 @@ def _ts_overlap_join(spark, sf_dir):
     return out.select("user_id", "l_id", "r_id", "overlap_us")
 
 
+def _dedup_minhash_estimate(spark, sf_dir):
+    from fossil_spark.operators import dedup
+
+    return dedup.minhash_jaccard_estimate(_docs(spark, sf_dir))
+
+
 def _graph_degree(spark, sf_dir):
     from fossil_spark.operators import dedup, graph
 
@@ -1142,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_nll": _text_bigram_nll,
         "sample_group_topk": _sample_group_topk,
         "ts_counter_rate": _ts_counter_rate,
+        "dedup_minhash_estimate": _dedup_minhash_estimate,
         "sample_weighted": _sample_weighted,
         "text_quality_classifier": _text_quality_classifier,
         "ts_interval_coverage": _ts_interval_coverage,
@@ -2231,6 +2238,20 @@ def oracle_sql() -> dict[str, str]:
             " SELECT source, doc_id, row_number() OVER (PARTITION BY source"
             "  ORDER BY md5('gtopk:' || doc_id::VARCHAR), doc_id) rn"
             " FROM documents) WHERE rn <= 30"
+        ),
+        # Broder signature-agreement Jaccard estimate per LSH candidate
+        # pair (verification without re-shingling)
+        "dedup_minhash_estimate": (
+            f"WITH {_MINHASH_CTES}"
+            " SELECT p.doc_a, p.doc_b,"
+            " CAST(sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END)"
+            "  AS BIGINT) AS n_match,"
+            " round(CAST(sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END)"
+            "  AS DOUBLE) / 8.0, 6) AS jaccard_est"
+            " FROM pairs p"
+            " JOIN mh a ON a.doc_id = p.doc_a"
+            " JOIN mh b ON b.doc_id = p.doc_b AND b.seed = a.seed"
+            " GROUP BY p.doc_a, p.doc_b"
         ),
         # degree of the undirected minhash pair graph (reuses the
         # banded-bucket pair CTEs the dedup_minhash oracle proves)

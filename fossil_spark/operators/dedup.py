@@ -205,6 +205,56 @@ def substring_dedup_stats(
     )
 
 
+def minhash_jaccard_estimate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Jaccard ESTIMATE for LSH candidate pairs from signature
+    agreement: P[minhash_i(A) = minhash_i(B)] = J(A, B), so the
+    fraction of agreeing signature positions is an unbiased estimator
+    (Broder 1997) with granularity 1/num_hashes. The cheap
+    verification tier between raw LSH candidacy and dedup_ngram's
+    exact shingle-join Jaccard: signatures are num_hashes values per
+    doc regardless of document length, so the verify join moves O(1)
+    per pair, never the shingle sets.
+
+    Shape: candidate pairs (banded LSH) + the columnar signature
+    matrix joined twice on the narrow doc id. Returns
+    (doc_a, doc_b, n_match, jaccard_est)."""
+    sigs = _signature_matrix(df, text_col, id_col, num_hashes, shingle_n)
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes, rows_per_band, shingle_n
+    )
+    sa = sigs.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"__mh{s}").alias(f"__a{s}") for s in range(num_hashes)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"__mh{s}").alias(f"__b{s}") for s in range(num_hashes)],
+    )
+    n_match = sum(
+        (F.col(f"__a{s}") == F.col(f"__b{s}")).cast("long")
+        for s in range(num_hashes)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_match.alias("n_match"),
+            F.round(
+                n_match.cast("double") / F.lit(float(num_hashes)), 6
+            ).alias("jaccard_est"),
+        )
+    )
+
+
 def cross_corpus_dedup(
     train: DataFrame,
     heldout: DataFrame,

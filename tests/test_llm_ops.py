@@ -1009,3 +1009,22 @@ def test_group_topk_sample_small_groups_pass_through(spark):
     )
     out = text.group_topk_sample(d, k=10, group_col="source").collect()
     assert len(out) == 3
+
+
+def test_minhash_jaccard_estimate_tracks_true_jaccard(spark):
+    # identical docs estimate 1.0; near-identical high; the estimator
+    # only emits LSH candidate pairs
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [
+        (1, base),
+        (2, base),                          # exact dup -> est 1.0
+        (3, base + " with a small tail"),   # near dup
+        (4, " ".join(f"z{i}" for i in range(30))),  # unrelated
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {(r["doc_a"], r["doc_b"]): r for r in
+           dedup.minhash_jaccard_estimate(d).collect()}
+    assert out[(1, 2)]["jaccard_est"] == 1.0 and out[(1, 2)]["n_match"] == 8
+    for (a, b), r in out.items():
+        assert 4 not in (a, b)
+        assert 0.0 <= r["jaccard_est"] <= 1.0

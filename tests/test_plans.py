@@ -207,6 +207,8 @@ _SCAN_BUDGET = {
     "text_bigram_nll": 5,         # grams + bigram tf + uni tf x2 + 1-row total
     "sample_group_topk": 1,       # WindowGroupLimit over one scan
     "ts_counter_rate": 1,         # one lag window, one scan
+    # candidates + the two signature sides (like dedup_ngram)
+    "dedup_minhash_estimate": 3,
 }
 
 

@@ -1127,13 +1127,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered by verification priority: the driver's correctness gate
     checks keys in dict order (observed cap: 50/round), so the keys
-    with the least prior driver signal come first. Round-6 window: the
-    17 keys added late in round 4 that have never seen a driver row
-    (tpch_q4..q22 shapes, ts_sliding_time/zscore/histogram/m4/funnel/
-    retention, sampling + quality-binning ops), then canaries — one or
-    more per SURVEY §2 group, preferring keys whose most recent driver
-    green is oldest (the E/store groups last saw the driver in r03).
-    Keys driver-green in r04 drop below the fold."""
+    with the least prior driver signal come first. Round-5 window:
+    the 16 session-3 additions (sampling, classifier, interval ops,
+    graph, forecasts, decomposition, bigram LM, jaccard estimate),
+    then the session-1/2 keys that have never seen a driver row, then
+    the NTZ canary (fql_sample). Every key here is local-gate green at
+    sf0.01; keys pushed below the fold (sample_stratified..tpch_q21,
+    all locally green) rotate up next round."""
     return {
         # --- never driver-checked (added during round 5, session 3) ----------
         "dedup_substring": _dedup_substring,

@@ -233,3 +233,48 @@ def test_streaming_exact_dedup_global(spark, workdir):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == 1
+
+
+def test_streaming_anomaly_alerts_on_deviant_window(spark, workdir):
+    from fossil_spark.streaming.anomaly import baseline_stats, streaming_anomaly
+
+    # history: /t hovers around 10 (std ~ small); /u around 100
+    hist = spark.createDataFrame(
+        [("/t", 10.0 + 0.1 * (i % 5)) for i in range(50)]
+        + [("/u", 100.0 + (i % 3)) for i in range(30)],
+        "topic string, value double",
+    )
+    base = baseline_stats(hist)
+    by_key = {r["topic"]: r for r in base.collect()}
+    assert by_key["/t"]["base_mean"] == pytest.approx(10.2, abs=0.01)
+    assert by_key["/t"]["base_std"] < 1.0
+
+    src = os.path.join(workdir, "live")
+    os.makedirs(src)
+    _write_jsonl(os.path.join(src, "a.json"), [
+        # normal window for /t
+        {"time": "2024-01-01T00:10:00", "topic": "/t", "value": "10.1"},
+        {"time": "2024-01-01T00:20:00", "topic": "/t", "value": "10.3"},
+        # anomalous window for /t (mean 99 vs baseline ~10)
+        {"time": "2024-01-01T02:10:00", "topic": "/t", "value": "99.0"},
+        # /u stays normal
+        {"time": "2024-01-01T00:15:00", "topic": "/u", "value": "101.0"},
+        # unknown key: no baseline -> dropped
+        {"time": "2024-01-01T00:15:00", "topic": "/new", "value": "5.0"},
+    ])
+    stream = read_json_dropbox(spark, src).withColumn(
+        "value", F.col("value").cast("double")
+    )
+    alerts = streaming_anomaly(stream, base, threshold=3.5, every="1 hour",
+                               watermark="2 hours")
+    name = f"alerts_{uuid.uuid4().hex[:8]}"
+    q = (
+        alerts.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert r["topic"] == "/t" and str(r["bucket"]) == "2024-01-01 02:00:00"
+    assert r["deviation_sigmas"] > 100

@@ -579,7 +579,9 @@ def rate(
     value_col: str = "value",
     order_tiebreak: list[str] | None = None,
 ) -> DataFrame:
-    """Per-key delta of value over delta of time (units/second)."""
+    """Per-key delta of value over delta of time (units/second).
+    Same-timestamp neighbors (dt = 0) yield a null rate instead of an
+    ANSI division-by-zero error."""
     by = by or []
     df = _time_norm(df, time_col)
     order = [F.col(time_col)] + [F.col(c) for c in (order_tiebreak or [])]
@@ -588,7 +590,7 @@ def rate(
     dv = F.col(value_col) - F.lag(value_col).over(w)
     return df.select(
         *df.columns,
-        (dv / (dt_us.cast("double") / F.lit(1e6))).alias("rate_per_sec"),
+        F.try_divide(dv, dt_us.cast("double") / F.lit(1e6)).alias("rate_per_sec"),
     )
 
 
@@ -619,7 +621,11 @@ def counter_rate(
     return df.select(
         *df.columns,
         increase.alias("increase"),
-        (increase / (dt_us.cast("double") / F.lit(1e6))).alias("rate_per_sec"),
+        # try_divide: same-timestamp neighbors (dt = 0, e.g. duplicate
+        # scrapes) give a null rate, not an ANSI divide-by-zero error
+        F.try_divide(increase, dt_us.cast("double") / F.lit(1e6)).alias(
+            "rate_per_sec"
+        ),
     )
 
 

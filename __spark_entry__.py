@@ -671,6 +671,20 @@ def _ts_forecast(spark, sf_dir):
     )
 
 
+def _sample_temperature(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.temperature_weights(_docs(spark, sf_dir), temperature=2.0)
+
+
+def _text_compression(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    # rows-only driver check (zlib is not expressible in SQL);
+    # deterministic for a fixed level, value behavior unit-tested
+    return text.compression_ratio(_docs(spark, sf_dir))
+
+
 def _text_bigram_nll(spark, sf_dir):
     from fossil_spark.operators import text
 
@@ -777,6 +791,15 @@ def _ts_interval_coverage(spark, sf_dir):
     return ts.interval_coverage(
         _events(spark, sf_dir), time_col="ts", duration_col="value",
         by=["user_id"], order_tiebreak=["event_id"],
+    )
+
+
+def _ts_sax(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.sax(
+        _events(spark, sf_dir), word_len=8, time_col="ts",
+        by=["event_type"], order_tiebreak=["event_id"],
     )
 
 
@@ -1149,6 +1172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_group_topk": _sample_group_topk,
         "ts_counter_rate": _ts_counter_rate,
         "dedup_minhash_estimate": _dedup_minhash_estimate,
+        "ts_sax": _ts_sax,
+        "sample_temperature": _sample_temperature,
+        "text_compression": _text_compression,  # rows-only: zlib not in SQL
         "sample_weighted": _sample_weighted,
         "text_quality_classifier": _text_quality_classifier,
         "ts_interval_coverage": _ts_interval_coverage,
@@ -2207,6 +2233,24 @@ def oracle_sql() -> dict[str, str]:
             " AS sample_key FROM documents"
             " ORDER BY sample_key LIMIT 200"
         ),
+        # temperature-scaled mixture weights (mC4 / XLM-R rule):
+        # exact integer tallies, 1-row decimal-summed normalizers
+        "sample_temperature": (
+            r"WITH t AS (SELECT source,"
+            r" len(regexp_split_to_array(trim(text), '\s+')) AS tn FROM documents),"
+            " per AS (SELECT source, CAST(sum(tn) AS BIGINT) AS n_tokens"
+            "  FROM t GROUP BY source),"
+            " tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tt FROM per),"
+            " st AS (SELECT source, n_tokens,"
+            "  CAST(n_tokens AS DOUBLE) / tt AS share,"
+            "  power(CAST(n_tokens AS DOUBLE) / tt, 1.0 / 2.0) AS pw"
+            "  FROM per, tot),"
+            " tw AS (SELECT CAST(round(sum(CAST(pw AS DECIMAL(38,12))), 8)"
+            "  AS DOUBLE) AS twv FROM st)"
+            " SELECT source, n_tokens, round(share, 6) AS share,"
+            " round(pw / twv, 6) AS weight,"
+            " round((pw / twv) / share, 6) AS boost FROM st, tw"
+        ),
         # interpolated bigram LM NLL: counts fit on the corpus itself,
         # p = lam*C2/C(prev) + (1-lam)*C1(cur)/T, decimal per-doc sums
         "text_bigram_nll": (
@@ -2346,6 +2390,30 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(greatest(CAST(0 AS BIGINT), e - greatest(s, coalesce(pme, s))))"
             "  AS BIGINT) AS covered_us"
             " FROM w GROUP BY user_id"
+        ),
+        # SAX symbolic representation: decimal-exact z-normalization
+        # (sqrt is IEEE-correctly-rounded), row-based PAA segments,
+        # Gaussian breakpoints
+        "ts_sax": (
+            "WITH s AS (SELECT event_type, value,"
+            " row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) rn,"
+            " count(value) OVER (PARTITION BY event_type) n,"
+            " CAST(round(sum(CAST(value AS DECIMAL(30,8)))"
+            "  OVER (PARTITION BY event_type), 4) AS DOUBLE) AS s1,"
+            " CAST(round(sum(CAST(value * value AS DECIMAL(38,8)))"
+            "  OVER (PARTITION BY event_type), 4) AS DOUBLE) AS s2"
+            f" FROM {_EV} e0),"
+            " z AS (SELECT event_type,"
+            " CASE WHEN sqrt(greatest(s2/n - (s1/n)*(s1/n), 0.0)) > 0"
+            "  THEN (value - s1/n) / sqrt(greatest(s2/n - (s1/n)*(s1/n), 0.0))"
+            "  ELSE 0.0 END AS z,"
+            " CAST(floor((rn - 1) * 8 / n) AS INT) AS segment FROM s),"
+            " p AS (SELECT event_type, segment,"
+            " CAST(round(sum(CAST(z AS DECIMAL(30,8))), 4) AS DOUBLE) / count(z)"
+            "  AS paa FROM z GROUP BY 1, 2)"
+            " SELECT event_type, segment, round(paa, 6) AS paa,"
+            " CASE WHEN paa < -0.6745 THEN 'a' WHEN paa < 0.0 THEN 'b'"
+            "  WHEN paa < 0.6745 THEN 'c' ELSE 'd' END AS symbol FROM p"
         ),
         # Prometheus-style counter-reset-aware rate: a value drop means
         # the counter restarted; increase = value, not the negative delta

@@ -274,6 +274,87 @@ def unigram_nll(
     )
 
 
+def temperature_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    temperature: float = 2.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture reweighting (the multilingual /
+    domain-balancing rule of mC4 and XLM-R): natural token share
+    p_g = tokens(g) / total is flattened to w_g proportional to
+    p_g^(1/T), normalized. T = 1 keeps natural shares; T -> inf is
+    uniform. `boost` = w_g / p_g is the up/down-sampling factor to
+    feed stratified_sample. All tallies are exact integers; the two
+    normalizers are 1-row broadcasts (decimal-summed), so nothing
+    row-scale shuffles twice. Returns (group, n_tokens, share,
+    weight, boost)."""
+    tok_n = F.size(tokens(F.col(text_col)))
+    per = df.groupBy(group_col).agg(F.sum(tok_n).cast("long").alias("n_tokens"))
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("__t"))
+    shared = per.crossJoin(F.broadcast(tot))
+    share = F.col("n_tokens").cast("double") / F.col("__t")
+    pw = F.pow(share, 1.0 / temperature)
+    staged = shared.select(
+        group_col, "n_tokens", share.alias("__share"), pw.alias("__pw")
+    )
+    totw = staged.agg(
+        F.round(F.sum(F.col("__pw").cast("decimal(38,12)")), 8)
+        .cast("double")
+        .alias("__tw")
+    )
+    return staged.crossJoin(F.broadcast(totw)).select(
+        group_col,
+        "n_tokens",
+        F.round("__share", 6).alias("share"),
+        F.round(F.col("__pw") / F.col("__tw"), 6).alias("weight"),
+        F.round((F.col("__pw") / F.col("__tw")) / F.col("__share"), 6).alias("boost"),
+    )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression ratio per document — the cheap redundancy
+    signal Gopher/RefinedWeb filter on: highly repetitive or
+    templated text compresses far below natural prose (~0.3-0.5),
+    random-ish strings approach 1.0. Python by nature (zlib), so an
+    Arrow-batched mapInPandas pass — a sanctioned boundary like the
+    media decoders; deterministic for a fixed zlib level. Returns
+    (id, n_bytes, n_compressed, ratio)."""
+    import zlib
+
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("n_compressed", LongType()),
+        StructField("ratio", DoubleType()),
+    ])
+
+    def process(batches):
+        for pdf in batches:
+            rows = []
+            for rid, txt in zip(pdf[id_col], pdf[text_col]):
+                raw = (txt or "").encode("utf-8")
+                comp = zlib.compress(raw, level)
+                rows.append(
+                    (rid, len(raw), len(comp),
+                     round(len(comp) / len(raw), 6) if raw else None)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.select(id_col, text_col).mapInPandas(process, schema)
+
+
 def bigram_nll(
     df: DataFrame,
     text_col: str = "text",

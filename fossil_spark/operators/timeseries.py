@@ -1315,6 +1315,60 @@ def acf(
     return lagged.agg(*aggs)
 
 
+def sax(
+    df: DataFrame,
+    word_len: int = 8,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """SAX — Symbolic Aggregate approXimation (Lin 2003): per key,
+    z-normalize the ordered series, reduce it to `word_len` PAA
+    segment means, and map each to a 4-letter alphabet (a/b/c/d) at
+    the standard Gaussian breakpoints (-0.6745, 0, 0.6745). The
+    classic shape index for motif/novelty mining and cheap series
+    similarity.
+
+    Deterministic end-to-end: mean/std from decimal sums (std's sqrt
+    is IEEE-correctly-rounded, unlike ln), PAA means decimal-
+    accumulated, symbols from exact comparisons. Two windows + one
+    groupBy, all on the SAME key partitioning — one shuffle. Segment
+    assignment is row-based: seg = floor((rn-1) * word_len / n).
+    Returns (*by, segment, paa, symbol)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    order = [F.col(time_col)] + [F.col(c) for c in (order_tiebreak or [])]
+    wk = Window.partitionBy(*by)
+    wo = wk.orderBy(*order)
+    n = F.count(value_col).over(wk)
+    s1 = F.round(F.sum(F.col(value_col).cast("decimal(30,8)")).over(wk), 4).cast("double")
+    s2 = F.round(
+        F.sum((F.col(value_col) * F.col(value_col)).cast("decimal(38,8)")).over(wk), 4
+    ).cast("double")
+    mean = s1 / n
+    std = F.sqrt(F.greatest(s2 / n - mean * mean, F.lit(0.0)))
+    rn = F.row_number().over(wo)
+    z = F.when(std > 0, (F.col(value_col) - mean) / std).otherwise(F.lit(0.0))
+    seg = F.floor((rn - 1) * word_len / n).cast("int")
+    staged = df.select(*by, z.alias("__z"), seg.alias("segment"))
+    paa = (
+        F.round(F.sum(F.col("__z").cast("decimal(30,8)")), 4).cast("double")
+        / F.count("__z")
+    )
+    sym = (
+        F.when(F.col("paa") < -0.6745, F.lit("a"))
+        .when(F.col("paa") < 0.0, F.lit("b"))
+        .when(F.col("paa") < 0.6745, F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    return (
+        staged.groupBy(*by, "segment")
+        .agg(paa.alias("paa"))
+        .select(*by, "segment", F.round("paa", 6).alias("paa"), sym.alias("symbol"))
+    )
+
+
 def cross_correlation(
     df: DataFrame,
     series_a: str,

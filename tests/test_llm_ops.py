@@ -1028,3 +1028,40 @@ def test_minhash_jaccard_estimate_tracks_true_jaccard(spark):
     for (a, b), r in out.items():
         assert 4 not in (a, b)
         assert 0.0 <= r["jaccard_est"] <= 1.0
+
+
+def test_temperature_weights_flatten_shares(spark):
+    # group A has 9x the tokens of group B; T=2 compresses the gap
+    d = spark.createDataFrame(
+        [(i, "a", "tok " * 90) for i in range(10)]
+        + [(100 + i, "b", "tok " * 10) for i in range(10)],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r for r in
+           text.temperature_weights(d, temperature=2.0).collect()}
+    import math
+
+    assert out["a"]["share"] == pytest.approx(0.9, abs=1e-6)
+    # w ~ sqrt(p): 0.9488.. vs 0.3162 normalized
+    wa = math.sqrt(0.9) / (math.sqrt(0.9) + math.sqrt(0.1))
+    assert out["a"]["weight"] == pytest.approx(wa, abs=1e-4)
+    # weights sum to 1, dominant group is DOWN-weighted, minority up
+    assert out["a"]["weight"] + out["b"]["weight"] == pytest.approx(1.0, abs=1e-5)
+    assert out["a"]["boost"] < 1.0 < out["b"]["boost"]
+
+
+def test_compression_ratio_separates_repetition(spark):
+    d = spark.createDataFrame(
+        [(1, "spam " * 200),
+         (2, "the quick brown fox jumps over the lazy dog and then discusses "
+             "quarterly revenue projections with unprecedented enthusiasm")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.compression_ratio(d).collect()}
+    assert out[1]["ratio"] < 0.05          # pure repetition collapses
+    assert out[2]["ratio"] > 0.5           # natural prose doesn't
+    assert out[1]["n_bytes"] == 1000
+    # deterministic
+    again = {r["doc_id"]: r["n_compressed"]
+             for r in text.compression_ratio(d).collect()}
+    assert again == {k: v["n_compressed"] for k, v in out.items()}

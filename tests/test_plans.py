@@ -25,6 +25,8 @@ PYTHON_OK = {
     "fql_sample_greedy", "multimodal_meta", "multimodal_frames",
     # WAV synth + FFT feature extraction (Arrow-batched by nature)
     "multimodal_audio",
+    # zlib compression ratio (Python by nature, Arrow-batched)
+    "text_compression",
     "ts_ewma", "text_pack",
     # PQ's ADC scan is SIMD-shaped (codebook argmin + table gathers);
     # one Arrow-batched mapInPandas pass, measured 75x the interpreted
@@ -209,6 +211,8 @@ _SCAN_BUDGET = {
     "ts_counter_rate": 1,         # one lag window, one scan
     # candidates + the two signature sides (like dedup_ngram)
     "dedup_minhash_estimate": 3,
+    "ts_sax": 1,                  # two windows + groupBy on one key sort
+    "sample_temperature": 3,      # per-group tallies + two 1-row normalizers
 }
 
 

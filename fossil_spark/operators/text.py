@@ -285,30 +285,31 @@ def temperature_weights(
     p_g = tokens(g) / total is flattened to w_g proportional to
     p_g^(1/T), normalized. T = 1 keeps natural shares; T -> inf is
     uniform. `boost` = w_g / p_g is the up/down-sampling factor to
-    feed stratified_sample. All tallies are exact integers; the two
-    normalizers are 1-row broadcasts (decimal-summed), so nothing
-    row-scale shuffles twice. Returns (group, n_tokens, share,
-    weight, boost)."""
+    feed stratified_sample. All tallies are exact integers; both
+    normalizers are GLOBAL WINDOWS over the per-group table (one row
+    per group — bounded by definition), so the token scan runs
+    exactly once and nothing re-executes. Returns (group, n_tokens,
+    share, weight, boost)."""
     tok_n = F.size(tokens(F.col(text_col)))
     per = df.groupBy(group_col).agg(F.sum(tok_n).cast("long").alias("n_tokens"))
-    tot = per.agg(F.sum("n_tokens").cast("double").alias("__t"))
-    shared = per.crossJoin(F.broadcast(tot))
-    share = F.col("n_tokens").cast("double") / F.col("__t")
-    pw = F.pow(share, 1.0 / temperature)
-    staged = shared.select(
-        group_col, "n_tokens", share.alias("__share"), pw.alias("__pw")
+    wall = Window.partitionBy()
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(wall).cast(
+        "double"
     )
-    totw = staged.agg(
-        F.round(F.sum(F.col("__pw").cast("decimal(38,12)")), 8)
+    staged = per.select(
+        group_col, "n_tokens", share.alias("__share"),
+        F.pow(share, 1.0 / temperature).alias("__pw"),
+    )
+    tw = (
+        F.round(F.sum(F.col("__pw").cast("decimal(38,12)")).over(wall), 8)
         .cast("double")
-        .alias("__tw")
     )
-    return staged.crossJoin(F.broadcast(totw)).select(
+    return staged.select(
         group_col,
         "n_tokens",
         F.round("__share", 6).alias("share"),
-        F.round(F.col("__pw") / F.col("__tw"), 6).alias("weight"),
-        F.round((F.col("__pw") / F.col("__tw")) / F.col("__share"), 6).alias("boost"),
+        F.round(F.col("__pw") / tw, 6).alias("weight"),
+        F.round((F.col("__pw") / tw) / F.col("__share"), 6).alias("boost"),
     )
 
 

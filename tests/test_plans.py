@@ -212,7 +212,7 @@ _SCAN_BUDGET = {
     # candidates + the two signature sides (like dedup_ngram)
     "dedup_minhash_estimate": 3,
     "ts_sax": 1,                  # two windows + groupBy on one key sort
-    "sample_temperature": 3,      # per-group tallies + two 1-row normalizers
+    "sample_temperature": 1,      # one tally scan; normalizers are windows
 }
 
 

@@ -274,3 +274,26 @@ def test_substring_dedup_whale_window(spark):
     assert by_id[0]["dup_windows"] >= 1 and by_id[0]["dup_tokens"] >= 10
     # odd docs are unique -> zero dup coverage
     assert by_id[1]["dup_tokens"] == 0
+
+
+def test_bigram_nll_whale_token(spark):
+    from fossil_spark.operators.text import bigram_nll
+
+    # 'the' precedes half of all tokens: the unigram/bigram join keys
+    # are maximally Zipfian — AQE skew-split territory; must finish in
+    # budget and score the repetitive doc lowest
+    import time as _t
+
+    docs = []
+    for i in range(5_000):
+        if i % 2 == 0:
+            docs.append((i, "the end " * 20))
+        else:
+            docs.append((i, " ".join(f"w{i}_{j}" for j in range(40))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    t0 = _t.monotonic()
+    out = {r["doc_id"]: r for r in bigram_nll(df).collect()}
+    dt = _t.monotonic() - t0
+    assert dt < BUDGET_S, f"bigram_nll took {dt:.1f}s on whale token"
+    assert len(out) == 5_000
+    assert out[0]["avg_nll"] < out[1]["avg_nll"]

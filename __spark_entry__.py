@@ -1173,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_counter_rate": _ts_counter_rate,
         "dedup_minhash_estimate": _dedup_minhash_estimate,
         "ts_sax": _ts_sax,
+        "agg_user_features": _analytics("user_features"),
         "sample_temperature": _sample_temperature,
         "text_compression": _text_compression,  # rows-only: zlib not in SQL
         "sample_weighted": _sample_weighted,
@@ -2232,6 +2233,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5('topk:' || CAST(doc_id AS VARCHAR))"
             " AS sample_key FROM documents"
             " ORDER BY sample_key LIMIT 200"
+        ),
+        # per-user behavioral feature vector: conditional counts (no
+        # pivot), 30-min-gap session count via the lag window, decimal
+        # value stats, distinct active days
+        "agg_user_features": (
+            "WITH s AS (SELECT user_id, ts, event_type, value,"
+            " CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL"
+            "  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000"
+            "  THEN 1 ELSE 0 END AS new_s"
+            f" FROM {_EV} e0"
+            " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))"
+            " SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,"
+            " CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,"
+            " CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,"
+            " CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,"
+            " CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,"
+            " CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,"
+            " CAST(sum(new_s) AS BIGINT) AS n_sessions,"
+            " CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS active_days,"
+            " min(ts) AS first_ts, max(ts) AS last_ts,"
+            " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+            "  / count(value) AS value_mean,"
+            " CAST(round(sum(CASE WHEN event_type = 'purchase'"
+            "  THEN CAST(value AS DECIMAL(30,8)) END), 4) AS DOUBLE)"
+            "  AS purchase_value_sum"
+            " FROM s GROUP BY user_id"
         ),
         # temperature-scaled mixture weights (mC4 / XLM-R rule):
         # exact integer tallies, 1-row decimal-summed normalizers

@@ -141,3 +141,49 @@ def daily_active_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(F.approx_count_distinct("user_id", 0.02).alias("dau_approx"))
     )
+
+
+def user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feature extraction for model training: one pass builds
+    the classic behavioral feature vector — per-type event counts
+    (conditional aggregates, no pivot shuffle), decimal-exact value
+    stats, activity span, distinct active days, and session count
+    (30-minute gap). Shape: the sessionization lag window keys on
+    user_id and the groupBy reuses that partitioning — ONE exchange
+    for the whole feature vector; the distinct-days count rides the
+    same aggregation as an Expand, not a second shuffle chain."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    staged = ev.select(
+        "user_id", "ts", "event_type", "value",
+        new_session.alias("__new_s"),
+    )
+
+    def n_of(kind: str):
+        return F.sum(
+            F.when(F.col("event_type") == kind, 1).otherwise(0)
+        ).cast("long").alias(f"n_{kind}")
+
+    return staged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        *[n_of(k) for k in ("view", "click", "purchase", "signup", "error")],
+        F.sum("__new_s").cast("long").alias("n_sessions"),
+        F.countDistinct(F.date_trunc("day", "ts")).alias("active_days"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        (
+            F.round(F.sum(F.col("value").cast("decimal(30,8)")), 4)
+            .cast("double") / F.count("value")
+        ).alias("value_mean"),
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+                .cast("decimal(30,8)")
+            ),
+            4,
+        ).cast("double").alias("purchase_value_sum"),
+    )

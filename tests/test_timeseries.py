@@ -817,3 +817,40 @@ def test_counter_rate_reset_semantics(spark):
     # reset: increase = post-reset value, not -22
     assert out[2]["increase"] == 3.0 and out[2]["rate_per_sec"] == pytest.approx(0.3)
     assert out[3]["increase"] == 5.0
+
+
+def test_user_features_session_and_counts(spark, tmp_path):
+    from datetime import datetime, timedelta as td
+
+    from fossil_spark.queries.analytics import user_features
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        # user 1: 3 events in one session, then a 2-hour gap -> 2 sessions,
+        # spanning two days? no — same day; 1 purchase of 50
+        (1, base, 1, "view", 10.0, "{}"),
+        (2, base + td(minutes=5), 1, "click", 20.0, "{}"),
+        (3, base + td(minutes=10), 1, "purchase", 50.0, "{}"),
+        (4, base + td(hours=3), 1, "view", 30.0, "{}"),
+        # user 2: single event
+        (5, base + td(days=1), 2, "error", 7.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    p = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    import os
+    import shutil
+    out_dir = str(tmp_path)
+    # read_table expects <dir>/events.parquet as a file or dir: the dir works
+    feats = {r["user_id"]: r for r in user_features(spark, out_dir).collect()}
+    u1 = feats[1]
+    assert u1["n_events"] == 4 and u1["n_view"] == 2 and u1["n_purchase"] == 1
+    assert u1["n_sessions"] == 2
+    assert u1["active_days"] == 1
+    assert u1["purchase_value_sum"] == 50.0
+    assert u1["value_mean"] == pytest.approx(27.5)
+    assert feats[2]["n_sessions"] == 1 and feats[2]["n_error"] == 1

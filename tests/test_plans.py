@@ -213,6 +213,7 @@ _SCAN_BUDGET = {
     "dedup_minhash_estimate": 3,
     "ts_sax": 1,                  # two windows + groupBy on one key sort
     "sample_temperature": 1,      # one tally scan; normalizers are windows
+    "agg_user_features": 1,       # lag window + groupBy share one exchange
 }
 
 

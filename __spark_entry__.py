@@ -1174,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_estimate": _dedup_minhash_estimate,
         "ts_sax": _ts_sax,
         "agg_user_features": _analytics("user_features"),
+        "agg_cohort_ltv": _analytics("cohort_ltv"),
         "sample_temperature": _sample_temperature,
         "text_compression": _text_compression,  # rows-only: zlib not in SQL
         "sample_weighted": _sample_weighted,
@@ -2233,6 +2234,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5('topk:' || CAST(doc_id AS VARCHAR))"
             " AS sample_key FROM documents"
             " ORDER BY sample_key LIMIT 200"
+        ),
+        # cohort LTV: retention's revenue companion (explicit 1970
+        # weekly origin, decimal purchase sums)
+        "agg_cohort_ltv": (
+            "WITH b AS (SELECT user_id, event_type, value,"
+            " time_bucket(INTERVAL 1 WEEK, ts, TIMESTAMP '1970-01-01') p"
+            f" FROM {_EV} e),"
+            " c AS (SELECT *, min(p) OVER (PARTITION BY user_id) cohort FROM b)"
+            " SELECT cohort,"
+            " CAST((epoch_us(p) - epoch_us(cohort)) // 604800000000 AS BIGINT)"
+            "  AS period_offset,"
+            " CAST(count(DISTINCT user_id) AS BIGINT) AS n_active,"
+            " CAST(round(sum(CASE WHEN event_type = 'purchase'"
+            "  THEN CAST(value AS DECIMAL(30,8)) END), 4) AS DOUBLE) AS revenue"
+            " FROM c GROUP BY 1, 2"
         ),
         # per-user behavioral feature vector: conditional counts (no
         # pivot), 30-min-gap session count via the lag window, decimal

@@ -187,3 +187,42 @@ def user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).cast("double").alias("purchase_value_sum"),
     )
+
+
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: users grouped by first-seen week, then
+    per (cohort, weeks-since-cohort) the active-user count and the
+    decimal-exact purchase revenue — the revenue companion to
+    retention (which counts activity only). Two exchanges: the
+    first-seen window keys on user_id, the final rollup ships one row
+    per (cohort, offset, user) partial. Weekly buckets are
+    epoch-aligned on BOTH engines (window() is epoch-aligned; the
+    oracle pins time_bucket's origin to 1970-01-01)."""
+    ev = read_table(spark, sf_dir, "events")
+    week = F.window("ts", "1 week").start
+    b = ev.select(
+        "user_id", "event_type", "value", week.alias("period"),
+    )
+    cohort = F.min("period").over(Window.partitionBy("user_id"))
+    c = b.select(
+        "user_id", "event_type", "value", "period", cohort.alias("cohort"),
+    )
+    offset = (
+        (F.unix_micros("period") - F.unix_micros("cohort"))
+        / F.lit(604_800_000_000)
+    ).cast("long")
+    return (
+        c.select("user_id", "event_type", "value", "cohort",
+                 offset.alias("period_offset"))
+        .groupBy("cohort", "period_offset")
+        .agg(
+            F.countDistinct("user_id").alias("n_active"),
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value"))
+                    .cast("decimal(30,8)")
+                ),
+                4,
+            ).cast("double").alias("revenue"),
+        )
+    )

@@ -759,6 +759,13 @@ def _graph_pagerank(spark, sf_dir):
     return graph.pagerank(dedup.minhash_lsh_pairs(_docs(spark, sf_dir)))
 
 
+def _embedding_outliers(spark, sf_dir):
+    from fossil_spark.operators import ann
+    from fossil_spark.session import read_table
+
+    return ann.embedding_outliers(read_table(spark, sf_dir, "embeddings"))
+
+
 def _embedding_pca(spark, sf_dir):
     from fossil_spark.operators import ann
     from fossil_spark.session import read_table
@@ -1175,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_sax": _ts_sax,
         "agg_user_features": _analytics("user_features"),
         "agg_cohort_ltv": _analytics("cohort_ltv"),
+        "embedding_outliers": _embedding_outliers,
         "sample_temperature": _sample_temperature,
         "text_compression": _text_compression,  # rows-only: zlib not in SQL
         "sample_weighted": _sample_weighted,
@@ -2234,6 +2242,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5('topk:' || CAST(doc_id AS VARCHAR))"
             " AS sample_key FROM documents"
             " ORDER BY sample_key LIMIT 200"
+        ),
+        # broken-embedding detection: norm = sequential double fold
+        # (list_reduce mirrors Spark's aggregate op order), robust
+        # outliers via the anomaly_mad median/MAD recipe
+        "embedding_outliers": (
+            "WITH s AS (SELECT vec_id,"
+            " sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            "  list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),"
+            "  (a, x) -> a + x)) AS norm FROM embeddings),"
+            " m1 AS (SELECT vec_id, norm, median(norm) OVER () AS med FROM s),"
+            " m2 AS (SELECT *, median(abs(norm - med)) OVER () AS mad FROM m1)"
+            " SELECT vec_id, round(norm, 6) AS norm, round(med, 6) AS median,"
+            " round(mad, 6) AS mad,"
+            " round(CASE WHEN mad > 0 THEN 0.6745 * (norm - med) / mad END, 6)"
+            "  AS mod_zscore,"
+            " (abs(CASE WHEN mad > 0 THEN 0.6745 * (norm - med) / mad END) > 3.5)"
+            "  AS is_outlier FROM m2"
         ),
         # cohort LTV: retention's revenue companion (explicit 1970
         # weekly origin, decimal purchase sums)

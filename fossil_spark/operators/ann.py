@@ -618,3 +618,47 @@ def pca_project(
         )
         out_cols.append(F.round(proj, round_to).alias(f"pc{c_i + 1}"))
     return vecs.select(id_col, *out_cols), ratios
+
+
+def embedding_outliers(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Broken-embedding detection: vectors whose L2 norm is a robust
+    outlier (modified z-score vs the corpus median/MAD — the
+    timeseries.anomaly_mad recipe applied to embedding space). Catches
+    the classic failure modes of an embedding job — zero vectors,
+    overflow blowups, un-normalized batches — before they poison ANN
+    or clustering. Norms are exact per-row JVM folds; the two exact
+    medians share one global window pass. Returns every vector's
+    (id, norm, median, mad, mod_zscore, is_outlier)."""
+    from pyspark.sql import Window
+
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    staged = corpus.select(F.col(id_col), norm.alias("norm"))
+    wall = Window.partitionBy()
+    med = F.expr("percentile(norm, 0.5)").over(wall)
+    m1 = staged.select(id_col, "norm", med.alias("__med"))
+    mad = F.expr("percentile(abs(norm - __med), 0.5)").over(wall)
+    m2 = m1.select(id_col, "norm", "__med", mad.alias("__mad"))
+    z = F.when(
+        F.col("__mad") > 0,
+        F.lit(0.6745) * (F.col("norm") - F.col("__med")) / F.col("__mad"),
+    )
+    return m2.select(
+        id_col,
+        F.round("norm", 6).alias("norm"),
+        F.round("__med", 6).alias("median"),
+        F.round("__mad", 6).alias("mad"),
+        F.round(z, 6).alias("mod_zscore"),
+        (F.abs(z) > threshold).alias("is_outlier"),
+    )

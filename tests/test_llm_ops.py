@@ -1065,3 +1065,22 @@ def test_compression_ratio_separates_repetition(spark):
     again = {r["doc_id"]: r["n_compressed"]
              for r in text.compression_ratio(d).collect()}
     assert again == {k: v["n_compressed"] for k, v in out.items()}
+
+
+def test_embedding_outliers_flags_broken_vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(60):
+        v = rng.normal(size=16)
+        v = v / np.linalg.norm(v)  # unit norm: the healthy population
+        rows.append((i, [float(x) for x in v]))
+    rows.append((100, [0.0] * 16))              # zero vector
+    rows.append((101, [float(1e4)] * 16))       # blowup
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in ann.embedding_outliers(d).collect()}
+    assert out[100]["is_outlier"] and out[100]["norm"] == 0.0
+    assert out[101]["is_outlier"] and out[101]["norm"] > 1e4
+    healthy_flags = [out[i]["is_outlier"] for i in range(60)]
+    assert sum(bool(f) for f in healthy_flags) == 0

@@ -214,6 +214,8 @@ _SCAN_BUDGET = {
     "ts_sax": 1,                  # two windows + groupBy on one key sort
     "sample_temperature": 1,      # one tally scan; normalizers are windows
     "agg_user_features": 1,       # lag window + groupBy share one exchange
+    "agg_cohort_ltv": 1,          # first-seen window + rollup, one scan
+    "embedding_outliers": 1,      # JVM norm fold + two global windows
 }
 
 

@@ -801,6 +801,21 @@ def _ts_interval_coverage(spark, sf_dir):
     )
 
 
+def _ts_bursts(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.bursts(
+        _events(spark, sf_dir), every="1 hour", trailing=24, factor=1.2,
+        time_col="ts", by=["event_type"],
+    )
+
+
+def _text_lexical_diversity(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.lexical_diversity(_docs(spark, sf_dir))
+
+
 def _ts_sax(spark, sf_dir):
     from fossil_spark.operators import timeseries as ts
 
@@ -1183,6 +1198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_user_features": _analytics("user_features"),
         "agg_cohort_ltv": _analytics("cohort_ltv"),
         "embedding_outliers": _embedding_outliers,
+        "ts_bursts": _ts_bursts,
+        "text_lexical_diversity": _text_lexical_diversity,
         "sample_temperature": _sample_temperature,
         "text_compression": _text_compression,  # rows-only: zlib not in SQL
         "sample_weighted": _sample_weighted,
@@ -2458,6 +2475,38 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(greatest(CAST(0 AS BIGINT), e - greatest(s, coalesce(pme, s))))"
             "  AS BIGINT) AS covered_us"
             " FROM w GROUP BY user_id"
+        ),
+        # burst detection: bucket counts vs trailing-24 average
+        # (frame excludes the current bucket)
+        "ts_bursts": (
+            "WITH c AS (SELECT event_type,"
+            " time_bucket(INTERVAL 1 HOUR, ts) AS bucket, count(*) AS n"
+            f" FROM {_EV} e0 GROUP BY 1, 2),"
+            " w AS (SELECT *, sum(n) OVER wd AS tsum, count(n) OVER wd AS tcnt"
+            " FROM c WINDOW wd AS (PARTITION BY event_type ORDER BY bucket"
+            "  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))"
+            " SELECT event_type, bucket, CAST(n AS BIGINT) AS n,"
+            " round(CAST(tsum AS DOUBLE) / CAST(tcnt AS DOUBLE), 6) AS trailing_avg,"
+            " round(CAST(n AS DOUBLE) / (CAST(tsum AS DOUBLE) / CAST(tcnt AS DOUBLE)), 6)"
+            "  AS burst_factor"
+            " FROM w WHERE tcnt > 0"
+            " AND n > 1.2 * (CAST(tsum AS DOUBLE) / CAST(tcnt AS DOUBLE))"
+        ),
+        # lexical diversity: TTR + hapax fraction (degenerate-text
+        # detectors), exact integer counts
+        "text_lexical_diversity": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} w FROM documents),"
+            " u AS (SELECT doc_id, tok, count(*) AS c FROM"
+            "  (SELECT doc_id, unnest(w) AS tok FROM t) GROUP BY 1, 2),"
+            " a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_types,"
+            "  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax"
+            "  FROM u GROUP BY 1),"
+            " nn AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM t)"
+            " SELECT nn.doc_id, nn.n_tokens, a.n_types, a.n_hapax,"
+            " round(CAST(a.n_types AS DOUBLE) / CAST(nn.n_tokens AS DOUBLE), 6) AS ttr,"
+            " round(CAST(a.n_hapax AS DOUBLE) / CAST(a.n_types AS DOUBLE), 6)"
+            "  AS hapax_frac"
+            " FROM nn JOIN a USING (doc_id)"
         ),
         # SAX symbolic representation: decimal-exact z-normalization
         # (sqrt is IEEE-correctly-rounded), row-based PAA segments,

@@ -1315,6 +1315,53 @@ def acf(
     return lagged.agg(*aggs)
 
 
+def bursts(
+    df: DataFrame,
+    every: str = "1 hour",
+    trailing: int = 24,
+    factor: float = 3.0,
+    time_col: str = "time",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Burst detection (Kleinberg-flavored, bucket form): buckets
+    whose event count exceeds `factor` x the trailing `trailing`-
+    bucket average — the alert primitive for traffic spikes / error
+    storms on a metric stream. One bucket groupBy + one lag-frame
+    window on the same key — the count aggregation ships per-bucket
+    partials, the window never re-shuffles rows. The trailing frame
+    EXCLUDES the current bucket (a burst must not raise its own
+    baseline); buckets with no preceding history never alert.
+    Integer counts + one double division; deterministic. Returns
+    alert rows (*by, bucket, n, trailing_avg, burst_factor)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    counts = df.groupBy(
+        *by, F.window(F.col(time_col), every).start.alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("bucket")
+        .rowsBetween(-trailing, -1)
+    )
+    t_sum = F.sum("n").over(w)
+    t_cnt = F.count("n").over(w)
+    avg = t_sum.cast("double") / t_cnt.cast("double")
+    staged = counts.select(
+        *by, "bucket", "n", avg.alias("trailing_avg"),
+    )
+    return (
+        staged.filter(
+            F.col("trailing_avg").isNotNull()
+            & (F.col("n") > F.lit(factor) * F.col("trailing_avg"))
+        )
+        .select(
+            *by, "bucket", "n",
+            F.round("trailing_avg", 6).alias("trailing_avg"),
+            F.round(F.col("n") / F.col("trailing_avg"), 6).alias("burst_factor"),
+        )
+    )
+
+
 def sax(
     df: DataFrame,
     word_len: int = 8,

@@ -1084,3 +1084,16 @@ def test_embedding_outliers_flags_broken_vectors(spark):
     assert out[101]["is_outlier"] and out[101]["norm"] > 1e4
     healthy_flags = [out[i]["is_outlier"] for i in range(60)]
     assert sum(bool(f) for f in healthy_flags) == 0
+
+
+def test_lexical_diversity_signals(spark):
+    d = spark.createDataFrame(
+        [(1, "spam spam spam spam"),            # TTR 0.25, no hapax
+         (2, "all words here are unique now"),  # TTR 1, all hapax
+         (3, "a a b b c")],                     # c is the only hapax
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.lexical_diversity(d).collect()}
+    assert out[1]["ttr"] == 0.25 and out[1]["n_hapax"] == 0
+    assert out[2]["ttr"] == 1.0 and out[2]["hapax_frac"] == 1.0
+    assert out[3]["n_types"] == 3 and out[3]["n_hapax"] == 1

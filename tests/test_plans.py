@@ -216,6 +216,8 @@ _SCAN_BUDGET = {
     "agg_user_features": 1,       # lag window + groupBy share one exchange
     "agg_cohort_ltv": 1,          # first-seen window + rollup, one scan
     "embedding_outliers": 1,      # JVM norm fold + two global windows
+    "ts_bursts": 1,               # bucket groupBy + trailing frame, one scan
+    "text_lexical_diversity": 1,  # sorted-run fold, zero shuffles
 }
 
 

@@ -854,3 +854,23 @@ def test_user_features_session_and_counts(spark, tmp_path):
     assert u1["purchase_value_sum"] == 50.0
     assert u1["value_mean"] == pytest.approx(27.5)
     assert feats[2]["n_sessions"] == 1 and feats[2]["n_error"] == 1
+
+
+def test_bursts_flags_planted_spike(spark):
+    from datetime import datetime, timedelta as td
+
+    rows = []
+    eid = 0
+    # 48 hourly buckets of ~5 events, then one bucket of 50
+    for h in range(48):
+        n = 50 if h == 40 else 5
+        for j in range(n):
+            rows.append((eid, datetime(2024, 1, 1) + td(hours=h, minutes=j % 60)))
+            eid += 1
+    d = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = ts.bursts(d, every="1 hour", trailing=24, factor=3.0,
+                    time_col="ts").collect()
+    assert len(out) == 1
+    [r] = out
+    assert r["n"] == 50 and str(r["bucket"]) == "2024-01-02 16:00:00"
+    assert r["burst_factor"] == pytest.approx(10.0, rel=0.01)

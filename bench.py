@@ -105,7 +105,7 @@ def main() -> None:
         "dedup_substring", "ts_interval_coverage", "ts_overlap_join",
         "sample_weighted", "text_quality_classifier",
         "graph_degree", "ts_holt_winters",
-        "ts_decompose", "text_bigram_nll",
+        "ts_decompose", "text_bigram_nll", "ts_sax", "ts_bursts",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

@@ -545,7 +545,17 @@ def pca_project(
     vecs = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
-    d = len(vecs.select("__v").first()["__v"])
+    head = vecs.select("__v").first()
+    if head is None:
+        return (
+            corpus.sparkSession.createDataFrame(
+                [], f"{id_col} long, " + ", ".join(
+                    f"pc{i + 1} double" for i in range(n_components)
+                )
+            ),
+            [],
+        )
+    d = len(head["__v"])
     # pairs (i,j), i<=j as flat cells; i == -1 rows carry plain sums
     cells = vecs.select(
         F.posexplode(

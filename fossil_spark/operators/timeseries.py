@@ -785,6 +785,11 @@ def overlap_join(
     def prepped(df: DataFrame, lo: str, hi: str, bname: str) -> DataFrame:
         s = F.unix_micros(F.col(lo))
         e = F.unix_micros(F.col(hi))
+        # EMPTY intervals (hi <= lo) are dropped: [s, s) intersects
+        # nothing, but the raw predicate `ls < re AND rs < le` would
+        # wrongly match it against any interval straddling s, and the
+        # bucket sequence below would run descending
+        df = df.filter(e > s)
         # hi exclusive: an interval ending ON a boundary does not span
         # that bucket, hence (e - 1)
         ids = F.sequence(

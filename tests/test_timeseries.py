@@ -874,3 +874,26 @@ def test_bursts_flags_planted_spike(spark):
     [r] = out
     assert r["n"] == 50 and str(r["bucket"]) == "2024-01-02 16:00:00"
     assert r["burst_factor"] == pytest.approx(10.0, rel=0.01)
+
+
+def test_overlap_join_excludes_empty_intervals(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1, 0)
+    left = spark.createDataFrame(
+        [(1, 10, t0, t0 + timedelta(hours=2))],
+        "user_id long, l_id long, l_lo timestamp, l_hi timestamp",
+    )
+    # an EMPTY right interval sitting inside the left one: [1:00, 1:00)
+    # intersects nothing and must not match
+    right = spark.createDataFrame(
+        [(1, 20, t0 + timedelta(hours=1), t0 + timedelta(hours=1)),
+         (1, 21, t0 + timedelta(hours=1), t0 + timedelta(hours=1, minutes=5))],
+        "user_id long, r_id long, r_lo timestamp, r_hi timestamp",
+    )
+    out = ts.overlap_join(
+        left, right, on=["user_id"],
+        left_lo="l_lo", left_hi="l_hi", right_lo="r_lo", right_hi="r_hi",
+        bucket=timedelta(hours=1),
+    ).collect()
+    assert {(r["l_id"], r["r_id"]) for r in out} == {(10, 21)}

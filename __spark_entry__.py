@@ -2462,7 +2462,9 @@ def oracle_sql() -> dict[str, str]:
             f" FROM {_EV} e1 WHERE event_type = 'purchase')"
             " SELECT user_id, l_id, r_id,"
             " least(le, re) - greatest(ls, rs) AS overlap_us"
-            " FROM v JOIN p USING (user_id) WHERE ls < re AND rs < le"
+            " FROM v JOIN p USING (user_id)"
+            " WHERE le > ls AND re > rs"  # empty intervals intersect nothing
+            " AND ls < re AND rs < le"
         ),
         # Efraimidis-Spirakis exponential race: u from 13 md5 hex chars
         # (52 bits, mantissa-exact), key = -ln(u)/weight, k smallest win

@@ -759,6 +759,13 @@ def _graph_pagerank(spark, sf_dir):
     return graph.pagerank(dedup.minhash_lsh_pairs(_docs(spark, sf_dir)))
 
 
+def _embedding_coherence(spark, sf_dir):
+    from fossil_spark.operators import ann
+    from fossil_spark.session import read_table
+
+    return ann.embedding_coherence(read_table(spark, sf_dir, "embeddings"))
+
+
 def _embedding_outliers(spark, sf_dir):
     from fossil_spark.operators import ann
     from fossil_spark.session import read_table
@@ -1226,6 +1233,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_sax": _ts_sax,
         "agg_user_features": _analytics("user_features"),
         "agg_cohort_ltv": _analytics("cohort_ltv"),
+        "agg_markov": _analytics("markov_transitions"),
+        "embedding_coherence": _embedding_coherence,
         "embedding_outliers": _embedding_outliers,
         "ts_bursts": _ts_bursts,
         "text_lexical_diversity": _text_lexical_diversity,
@@ -2288,6 +2297,52 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5('topk:' || CAST(doc_id AS VARCHAR))"
             " AS sample_key FROM documents"
             " ORDER BY sample_key LIMIT 200"
+        ),
+        # intra-class coherence: decimal-exact per-(label,dim) centroid
+        # means, sequential-fold cosine (list_reduce mirrors op order)
+        "embedding_coherence": (
+            "WITH v AS (SELECT vec_id, label,"
+            " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv"
+            " FROM embeddings),"
+            " c0 AS (SELECT label, unnest(list_transform("
+            "  generate_series(1, len(vv)), i -> {'dim': i, 'x': vv[i]})) AS s"
+            "  FROM v),"
+            " cells AS (SELECT label, s.dim AS dim, s.x AS x FROM c0),"
+            " comp AS (SELECT label, dim,"
+            "  CAST(round(sum(CAST(x AS DECIMAL(38,12))), 8) AS DOUBLE) / count(x)"
+            "  AS m FROM cells GROUP BY 1, 2),"
+            " cents AS (SELECT label, list(m ORDER BY dim) AS cc"
+            "  FROM comp GROUP BY label),"
+            " j AS (SELECT vec_id, v.label AS label, vv, cc"
+            "  FROM v JOIN cents USING (label)),"
+            " s AS (SELECT vec_id, label,"
+            " list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            "  list_transform(generate_series(1, len(vv)), k -> vv[k] * cc[k])),"
+            "  (a, x) -> a + x) AS d_vc,"
+            " list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            "  list_transform(generate_series(1, len(vv)), k -> vv[k] * vv[k])),"
+            "  (a, x) -> a + x) AS d_vv,"
+            " list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            "  list_transform(generate_series(1, len(cc)), k -> cc[k] * cc[k])),"
+            "  (a, x) -> a + x) AS d_cc FROM j)"
+            " SELECT vec_id, label,"
+            " round(CASE WHEN sqrt(d_vv) * sqrt(d_cc) > 0"
+            "  THEN d_vc / (sqrt(d_vv) * sqrt(d_cc)) END, 6) AS cos_to_centroid"
+            " FROM s"
+        ),
+        # first-order Markov transition matrix over per-user event
+        # sequences: lag window + (prev, next) counts, row-normalized
+        "agg_markov": (
+            "WITH p AS (SELECT lag(event_type) OVER w AS prev_type,"
+            " event_type AS next_type"
+            f" FROM {_EV} e0"
+            " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+            " c AS (SELECT prev_type, next_type, count(*) AS n FROM p"
+            "  WHERE prev_type IS NOT NULL GROUP BY 1, 2)"
+            " SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,"
+            " round(CAST(n AS DOUBLE) / CAST(sum(n) OVER"
+            "  (PARTITION BY prev_type) AS DOUBLE), 6) AS p"
+            " FROM c"
         ),
         # broken-embedding detection: norm = sequential double fold
         # (list_reduce mirrors Spark's aggregate op order), robust

@@ -672,3 +672,62 @@ def embedding_outliers(
         F.round(z, 6).alias("mod_zscore"),
         (F.abs(z) > threshold).alias("is_outlier"),
     )
+
+
+def embedding_coherence(
+    corpus: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Intra-class coherence of an embedding space: each vector's
+    cosine similarity to its OWN label's centroid — the quality gauge
+    for labeled embedding corpora (low own-centroid similarity =
+    mislabeled or off-manifold points; a label whose members all
+    score low = an incoherent class). The audit that runs before
+    trusting labels for supervised fine-tuning.
+
+    Shape: centroids via ONE exploded (label, dim) groupBy with
+    decimal-exact component means (the kmeans update shape — shuffles
+    k*d cells, not vectors), reassembled per label and joined back on
+    the narrow label key (broadcast: k rows). Cosine is a sequential
+    JVM fold, order-mirrored in the oracle via list_reduce. Returns
+    (id, label, cos_to_centroid)."""
+    vecs = corpus.select(
+        F.col(id_col), F.col(label_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    cells = vecs.select(
+        label_col, F.posexplode("__v").alias("dim", "x")
+    )
+    comp = cells.groupBy(label_col, "dim").agg(
+        (
+            F.round(F.sum(F.col("x").cast("decimal(38,12)")), 8).cast("double")
+            / F.count("x")
+        ).alias("m")
+    )
+    cents = comp.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s["m"],
+        ).alias("__c")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    joined = vecs.join(F.broadcast(cents), label_col)
+    denom = F.sqrt(dot(F.col("__v"), F.col("__v"))) * F.sqrt(
+        dot(F.col("__c"), F.col("__c"))
+    )
+    return joined.select(
+        id_col, label_col,
+        F.round(
+            F.when(denom > 0, dot(F.col("__v"), F.col("__c")) / denom),
+            6,
+        ).alias("cos_to_centroid"),
+    )

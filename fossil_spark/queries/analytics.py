@@ -226,3 +226,27 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("revenue"),
         )
     )
+
+
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types per user
+    journey: P(next_type | type), the behavioral-model input behind
+    next-action prediction and funnel design. One lag window keyed on
+    user_id + one (prev, cur) groupBy; probabilities row-normalize
+    via a window over the tiny transition table (k^2 rows) — the
+    event scan runs once. Integer counts, one double division."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_total = F.sum("n").over(Window.partitionBy("prev_type"))
+    return counts.select(
+        "prev_type", "next_type", F.col("n").cast("long").alias("n"),
+        F.round(F.col("n").cast("double") / row_total.cast("double"), 6)
+        .alias("p"),
+    )

@@ -1097,3 +1097,26 @@ def test_lexical_diversity_signals(spark):
     assert out[1]["ttr"] == 0.25 and out[1]["n_hapax"] == 0
     assert out[2]["ttr"] == 1.0 and out[2]["hapax_frac"] == 1.0
     assert out[3]["n_types"] == 3 and out[3]["n_hapax"] == 1
+
+
+def test_embedding_coherence_separates_tight_and_mislabeled(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    a_dir = rng.normal(size=16); a_dir /= np.linalg.norm(a_dir)
+    b_dir = rng.normal(size=16); b_dir /= np.linalg.norm(b_dir)
+    rows = []
+    for i in range(20):  # tight cluster around a_dir, label 0
+        v = a_dir + rng.normal(scale=0.05, size=16)
+        rows.append((i, [float(x) for x in v], 0))
+    for i in range(20):  # tight cluster around b_dir, label 1
+        v = b_dir + rng.normal(scale=0.05, size=16)
+        rows.append((100 + i, [float(x) for x in v], 1))
+    # mislabeled point: sits in cluster B but carries label 0
+    rows.append((999, [float(x) for x in b_dir], 0))
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r["vec_id"]: r["cos_to_centroid"]
+           for r in ann.embedding_coherence(d).collect()}
+    assert all(out[i] > 0.9 for i in range(20))
+    assert all(out[100 + i] > 0.9 for i in range(20))
+    assert out[999] < 0.5  # the mislabeled point scores low vs its own label

@@ -218,6 +218,8 @@ _SCAN_BUDGET = {
     "embedding_outliers": 1,      # JVM norm fold + two global windows
     "ts_bursts": 1,               # bucket groupBy + trailing frame, one scan
     "text_lexical_diversity": 1,  # sorted-run fold, zero shuffles
+    "agg_markov": 1,              # lag window + pair counts, one scan
+    "embedding_coherence": 2,     # vectors + centroid cells (same file)
 }
 
 

@@ -745,6 +745,12 @@ def _dedup_minhash_estimate(spark, sf_dir):
     return dedup.minhash_jaccard_estimate(_docs(spark, sf_dir))
 
 
+def _dedup_cluster_sizes(spark, sf_dir):
+    from fossil_spark.operators import dedup
+
+    return dedup.cluster_size_histogram(dedup.minhash_lsh_pairs(_docs(spark, sf_dir)))
+
+
 def _graph_degree(spark, sf_dir):
     from fossil_spark.operators import dedup, graph
 
@@ -805,6 +811,15 @@ def _ts_interval_coverage(spark, sf_dir):
     return ts.interval_coverage(
         _events(spark, sf_dir), time_col="ts", duration_col="value",
         by=["user_id"], order_tiebreak=["event_id"],
+    )
+
+
+def _ts_heatmap(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.activity_heatmap(
+        _events(spark, sf_dir), time_col="ts", by=["event_type"],
+        value_col="value",
     )
 
 
@@ -1235,6 +1250,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cohort_ltv": _analytics("cohort_ltv"),
         "agg_markov": _analytics("markov_transitions"),
         "embedding_coherence": _embedding_coherence,
+        "dedup_cluster_sizes": _dedup_cluster_sizes,
+        "ts_heatmap": _ts_heatmap,
         "embedding_outliers": _embedding_outliers,
         "ts_bursts": _ts_bursts,
         "text_lexical_diversity": _text_lexical_diversity,
@@ -2298,6 +2315,23 @@ def oracle_sql() -> dict[str, str]:
             " AS sample_key FROM documents"
             " ORDER BY sample_key LIMIT 200"
         ),
+        # cluster-size distribution of the near-dup graph (the audit
+        # readout after dedup): recursive closure -> sizes -> histogram
+        "dedup_cluster_sizes": (
+            f"WITH RECURSIVE {_MINHASH_CTES},"
+            " edges AS (SELECT doc_a a, doc_b b FROM pairs"
+            "  UNION SELECT doc_b, doc_a FROM pairs),"
+            " nodes AS (SELECT DISTINCT a AS node FROM edges),"
+            " reach(node, r) AS ("
+            "  SELECT node, node FROM nodes"
+            "  UNION"
+            "  SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r),"
+            " comp AS (SELECT node, min(r) AS component FROM reach GROUP BY 1),"
+            " sz AS (SELECT component, count(*) AS cluster_size FROM comp"
+            "  GROUP BY 1)"
+            " SELECT CAST(cluster_size AS BIGINT) AS cluster_size,"
+            " CAST(count(*) AS BIGINT) AS n_clusters FROM sz GROUP BY 1"
+        ),
         # intra-class coherence: decimal-exact per-(label,dim) centroid
         # means, sequential-fold cosine (list_reduce mirrors op order)
         "embedding_coherence": (
@@ -2561,6 +2595,15 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(greatest(CAST(0 AS BIGINT), e - greatest(s, coalesce(pme, s))))"
             "  AS BIGINT) AS covered_us"
             " FROM w GROUP BY user_id"
+        ),
+        # weekday x hour activity heatmap (ISO weekday, UTC hours)
+        "ts_heatmap": (
+            "SELECT event_type, CAST(isodow(ts) AS BIGINT) AS weekday,"
+            " CAST(hour(ts) AS BIGINT) AS hour,"
+            " CAST(count(*) AS BIGINT) AS n,"
+            " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+            "  / count(value) AS avg_value"
+            f" FROM {_EV} e0 GROUP BY 1, 2, 3"
         ),
         # burst detection: bucket counts vs trailing-24 average
         # (frame excludes the current bucket)

@@ -563,3 +563,26 @@ def simhash(
         bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
     return agg.select(id_col, sim.cast("long").alias("simhash"))
+
+
+def cluster_size_histogram(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup cluster-size distribution — the audit readout after
+    any dedup pass: how many duplicate groups of size 2, 3, ... exist
+    (a fat tail = template/boilerplate families that deserve their
+    own rule; a spike at some size = a generator artifact). Derived
+    from connected_components: one groupBy(component) for sizes, one
+    groupBy(size) for the histogram — both ship aggregates, not rows.
+    Returns (cluster_size, n_clusters)."""
+    comp = connected_components(pairs, a_col, b_col, max_iter)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(F.col("cluster_size").cast("long").alias("cluster_size"),
+                F.col("n_clusters").cast("long").alias("n_clusters"))
+    )

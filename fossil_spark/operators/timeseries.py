@@ -1320,6 +1320,46 @@ def acf(
     return lagged.agg(*aggs)
 
 
+def activity_heatmap(
+    df: DataFrame,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Weekday x hour activity heatmap per key — the load-profile /
+    on-call staffing readout (complements seasonal_profile's
+    hour-only index with the weekly dimension). One map-side-combined
+    groupBy shipping at most 7 x 24 cells per key; counts are exact
+    integers and the optional value mean is decimal-accumulated.
+    ISO weekday numbering (1 = Monday), UTC hours (session TZ).
+    Returns (*by, weekday, hour, n[, avg_value])."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    keys = [
+        *by,
+        F.dayofweek(F.col(time_col)).alias("__dow_sun1"),
+        F.hour(F.col(time_col)).alias("hour"),
+    ]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col:
+        aggs.append(
+            (
+                F.round(F.sum(F.col(value_col).cast("decimal(30,8)")), 4)
+                .cast("double") / F.count(value_col)
+            ).alias("avg_value")
+        )
+    out = df.groupBy(*keys).agg(*aggs)
+    # Spark dayofweek: 1 = Sunday; convert to ISO (1 = Monday)
+    iso = F.when(F.col("__dow_sun1") == 1, F.lit(7)).otherwise(
+        F.col("__dow_sun1") - 1
+    )
+    return out.select(
+        *by, iso.cast("long").alias("weekday"),
+        F.col("hour").cast("long").alias("hour"), "n",
+        *(["avg_value"] if value_col else []),
+    )
+
+
 def bursts(
     df: DataFrame,
     every: str = "1 hour",

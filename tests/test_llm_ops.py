@@ -1120,3 +1120,13 @@ def test_embedding_coherence_separates_tight_and_mislabeled(spark):
     assert all(out[i] > 0.9 for i in range(20))
     assert all(out[100 + i] > 0.9 for i in range(20))
     assert out[999] < 0.5  # the mislabeled point scores low vs its own label
+
+
+def test_cluster_size_histogram(spark):
+    # triangle {1,2,3} + pair {10,11} + pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "doc_a long, doc_b long"
+    )
+    out = {r["cluster_size"]: r["n_clusters"] for r in
+           dedup.cluster_size_histogram(pairs).collect()}
+    assert out == {3: 1, 2: 2}

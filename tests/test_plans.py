@@ -220,6 +220,8 @@ _SCAN_BUDGET = {
     "text_lexical_diversity": 1,  # sorted-run fold, zero shuffles
     "agg_markov": 1,              # lag window + pair counts, one scan
     "embedding_coherence": 2,     # vectors + centroid cells (same file)
+    "ts_heatmap": 1,              # one map-side-combined groupBy
+    "dedup_cluster_sizes": 2,     # pairs + label side (components shape)
 }
 
 

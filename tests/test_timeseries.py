@@ -897,3 +897,19 @@ def test_overlap_join_excludes_empty_intervals(spark):
         bucket=timedelta(hours=1),
     ).collect()
     assert {(r["l_id"], r["r_id"]) for r in out} == {(10, 21)}
+
+
+def test_activity_heatmap_iso_weekday(spark):
+    from datetime import datetime
+
+    # 2024-01-01 is a Monday; 2024-01-07 a Sunday
+    rows = [
+        (1, datetime(2024, 1, 1, 9, 30), 10.0),
+        (2, datetime(2024, 1, 1, 9, 45), 20.0),
+        (3, datetime(2024, 1, 7, 23, 5), 7.0),
+    ]
+    d = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    out = {(r["weekday"], r["hour"]): r for r in
+           ts.activity_heatmap(d, time_col="ts", value_col="value").collect()}
+    assert out[(1, 9)]["n"] == 2 and out[(1, 9)]["avg_value"] == 15.0
+    assert out[(7, 23)]["n"] == 1

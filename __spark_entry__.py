@@ -832,6 +832,12 @@ def _ts_bursts(spark, sf_dir):
     )
 
 
+def _text_code_detector(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.code_detector(_docs(spark, sf_dir))
+
+
 def _text_lexical_diversity(spark, sf_dir):
     from fossil_spark.operators import text
 
@@ -1252,6 +1258,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_coherence": _embedding_coherence,
         "dedup_cluster_sizes": _dedup_cluster_sizes,
         "ts_heatmap": _ts_heatmap,
+        "text_code_detector": _text_code_detector,
         "embedding_outliers": _embedding_outliers,
         "ts_bursts": _ts_bursts,
         "text_lexical_diversity": _text_lexical_diversity,
@@ -2620,6 +2627,34 @@ def oracle_sql() -> dict[str, str]:
             "  AS burst_factor"
             " FROM w WHERE tcnt > 0"
             " AND n > 1.2 * (CAST(tsum AS DOUBLE) / CAST(tcnt AS DOUBLE))"
+        ),
+        # code-vs-prose routing signal: symbol density + keyword /
+        # identifier / stopword rates, linear score (all-exact ratios)
+        "text_code_detector": (
+            f"WITH t AS (SELECT doc_id, text, {_TOKS} w FROM documents),"
+            " s AS (SELECT doc_id,"
+            r" len(regexp_extract_all(text, '[{}();=<>\[\]]')) AS n_sym,"
+            " greatest(len(text), 1) AS n_chars, len(w) AS n_tok,"
+            " len(list_filter(w, t -> list_contains(['def','class','return',"
+            "  'import','if','for','while','void','func','var','let','const',"
+            "  'public','static','int','=','==','{','}','());'], t))) AS n_kw,"
+            f" len(list_filter(w, t -> list_contains({_EN_SW}, t))) AS n_stop,"
+            " len(list_filter(w, t -> regexp_matches(t,"
+            "  '^[A-Za-z_][A-Za-z0-9_]*[_0-9][A-Za-z0-9_]*$'))) AS n_ident"
+            " FROM t),"
+            " r AS (SELECT doc_id,"
+            " CAST(n_sym AS DOUBLE) / CAST(n_chars AS DOUBLE) AS sym,"
+            " CAST(n_kw AS DOUBLE) / CAST(n_tok AS DOUBLE) AS kw,"
+            " CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stop,"
+            " CAST(n_ident AS DOUBLE) / CAST(n_tok AS DOUBLE) AS ident FROM s)"
+            " SELECT doc_id, round(sym, 6) AS symbol_density,"
+            " round(kw, 6) AS keyword_rate, round(ident, 6) AS identifier_rate,"
+            " round(stop, 6) AS stopword_rate,"
+            " round(least(1.0, 4.0 * sym + 2.0 * kw + 1.5 * ident"
+            "  + 0.5 * greatest(0.0, 0.05 - stop) * 10.0), 6) AS code_score,"
+            " (least(1.0, 4.0 * sym + 2.0 * kw + 1.5 * ident"
+            "  + 0.5 * greatest(0.0, 0.05 - stop) * 10.0) > 0.5) AS is_code"
+            " FROM r"
         ),
         # lexical diversity: TTR + hapax fraction (degenerate-text
         # detectors), exact integer counts

@@ -1183,3 +1183,50 @@ def lexical_diversity(
         F.round(n_types.cast("double") / n.cast("double"), 6).alias("ttr"),
         F.round(hapax.cast("double") / n_types.cast("double"), 6).alias("hapax_frac"),
     )
+
+
+def code_detector(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Code-vs-prose routing signal (the corpus-mix router step:
+    code goes to a different tokenizer/sampling weight than prose):
+    symbol density ({};()=<>[]), digit/underscore identifier rate,
+    code-keyword hits (def/class/return/import/if/for/void/func...),
+    and stopword absence, combined into a score in [0,1] with a
+    boolean verdict. Pure Column expressions, zero shuffles; exact
+    integer counts, deterministic divisions."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_chars = F.greatest(F.length(c), F.lit(1))
+    n_sym = F.size(F.regexp_extract_all(c, F.lit(r"[{}();=<>\[\]]"), 0))
+    kw = F.array(*[F.lit(k) for k in (
+        "def", "class", "return", "import", "if", "for", "while", "void",
+        "func", "var", "let", "const", "public", "static", "int", "=",
+        "==", "{", "}", "());",
+    )])
+    n_kw = F.size(F.filter(toks, lambda t: F.array_contains(kw, t)))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n_ident = F.size(
+        F.filter(toks, lambda t: t.rlike(r"^[A-Za-z_][A-Za-z0-9_]*[_0-9][A-Za-z0-9_]*$"))
+    )
+    sym_density = n_sym.cast("double") / n_chars.cast("double")
+    kw_rate = n_kw.cast("double") / n_tok.cast("double")
+    stop_rate = n_stop.cast("double") / n_tok.cast("double")
+    ident_rate = n_ident.cast("double") / n_tok.cast("double")
+    score = F.least(
+        F.lit(1.0),
+        F.lit(4.0) * sym_density + F.lit(2.0) * kw_rate
+        + F.lit(1.5) * ident_rate
+        + F.lit(0.5) * F.greatest(F.lit(0.0), F.lit(0.05) - stop_rate) * 10.0,
+    )
+    return df.select(
+        id_col,
+        F.round(sym_density, 6).alias("symbol_density"),
+        F.round(kw_rate, 6).alias("keyword_rate"),
+        F.round(ident_rate, 6).alias("identifier_rate"),
+        F.round(stop_rate, 6).alias("stopword_rate"),
+        F.round(score, 6).alias("code_score"),
+        (score > 0.5).alias("is_code"),
+    )

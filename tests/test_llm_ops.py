@@ -1130,3 +1130,18 @@ def test_cluster_size_histogram(spark):
     out = {r["cluster_size"]: r["n_clusters"] for r in
            dedup.cluster_size_histogram(pairs).collect()}
     assert out == {3: 1, 2: 2}
+
+
+def test_code_detector_separates_code_and_prose(spark):
+    code = (
+        "def main(argv): return sum([int(x) for x in argv]) if argv else 0\n"
+        "class Foo_Bar: x_1 = {}; y_2 = (); z_3 = [1, 2]"
+    )
+    prose = ("the committee met on tuesday to discuss the annual budget and "
+             "it was agreed that spending should remain within the plan for "
+             "a third consecutive year")
+    d = spark.createDataFrame([(1, code), (2, prose)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.code_detector(d).collect()}
+    assert out[1]["is_code"] and out[1]["code_score"] > 0.5
+    assert not out[2]["is_code"] and out[2]["code_score"] < 0.3
+    assert out[1]["symbol_density"] > out[2]["symbol_density"]

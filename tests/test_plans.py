@@ -222,6 +222,7 @@ _SCAN_BUDGET = {
     "embedding_coherence": 2,     # vectors + centroid cells (same file)
     "ts_heatmap": 1,              # one map-side-combined groupBy
     "dedup_cluster_sizes": 2,     # pairs + label side (components shape)
+    "text_code_detector": 1,      # pure column expressions, zero shuffles
 }
 
 

@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis) for the session-3 operators:
+each property checks the distributed implementation against an
+independent brute-force Python computation on randomized inputs.
+Example counts are kept small — every example is a real Spark job."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+
+INTERVALS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),   # start seconds
+        st.integers(min_value=1, max_value=120),   # duration seconds
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(INTERVALS)
+def test_interval_coverage_matches_bruteforce(spark, ivs):
+    from fossil_spark.operators.timeseries import interval_coverage
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, 1, base + timedelta(seconds=s), float(d))
+        for i, (s, d) in enumerate(ivs)
+    ]
+    d = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    [r] = interval_coverage(
+        d, time_col="ts", duration_col="value", by=["user_id"],
+        order_tiebreak=["event_id"],
+    ).collect()
+
+    # brute force: merge sorted [s, s+d) pairs
+    spans = sorted((s, s + dur) for s, dur in ivs)
+    merged: list[list[int]] = []
+    for s, e in spans:
+        if merged and s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    covered = sum(e - s for s, e in merged)
+    assert r["n_intervals"] == len(ivs)
+    assert r["n_islands"] == len(merged)
+    assert r["covered_us"] == covered * 1_000_000
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 9999)),
+        min_size=1, max_size=30, unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+def test_weighted_sample_matches_bruteforce(spark, rows, k):
+    from fossil_spark.operators.text import weighted_sample
+
+    d = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = [r["doc_id"] for r in
+           weighted_sample(d, k=k, weight_col="n_chars").collect()]
+
+    def key(doc_id, w):
+        h = hashlib.md5(f"wsample:{doc_id}".encode()).hexdigest()
+        u = (int(h[:13], 16) + 1.0) / float(1 << 52)
+        return -math.log(u) / w
+
+    want = [i for i, _ in
+            sorted(rows, key=lambda t: (key(t[0], t[1]), t[0]))[:k]]
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=10, max_size=25),
+        min_size=2, max_size=6,
+    )
+)
+def test_substring_dedup_matches_bruteforce(spark, docs_tokens):
+    from fossil_spark.operators.dedup import substring_dedup_stats
+
+    W = 10
+    texts = [" ".join(t) for t in docs_tokens]
+    d = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           substring_dedup_stats(d, window_tokens=W).collect()}
+
+    # brute force over actual token windows (binary alphabet makes
+    # duplicates frequent)
+    from collections import Counter
+
+    win_count: Counter = Counter()
+    per_doc_windows = []
+    for toks in docs_tokens:
+        wins = [tuple(toks[i:i + W]) for i in range(len(toks) - W + 1)]
+        per_doc_windows.append(wins)
+        win_count.update(wins)
+    for doc_id, (toks, wins) in enumerate(zip(docs_tokens, per_doc_windows)):
+        dup_positions = set()
+        dup_windows = 0
+        for pos, wtuple in enumerate(wins):
+            if win_count[wtuple] >= 2:
+                dup_windows += 1
+                dup_positions.update(range(pos, pos + W))
+        r = out[doc_id]
+        assert r["n_windows"] == len(wins)
+        assert r["dup_windows"] == dup_windows
+        assert r["dup_tokens"] == len(dup_positions)

@@ -120,3 +120,41 @@ def test_substring_dedup_matches_bruteforce(spark, docs_tokens):
         assert r["n_windows"] == len(wins)
         assert r["dup_windows"] == dup_windows
         assert r["dup_tokens"] == len(dup_positions)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False,
+                  allow_infinity=False),
+        min_size=2, max_size=40,
+    )
+)
+def test_holt_winters_matches_python_recurrence(spark, xs):
+    from fossil_spark.operators.timeseries import holt_winters_forecast
+
+    m, alpha, beta, gamma, H = 4, 0.5, 0.3, 0.4, 3
+    base = datetime(2024, 1, 1)
+    rows = [(i, base + timedelta(hours=i), float(x)) for i, x in enumerate(xs)]
+    d = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    out = sorted(
+        holt_winters_forecast(
+            d, period=m, horizon=H, alpha=alpha, beta=beta, gamma=gamma,
+            time_col="ts", order_tiebreak=["event_id"],
+        ).collect(),
+        key=lambda r: r["step"],
+    )
+
+    lvl, trd = xs[0], 0.0
+    s = [0.0] * m
+    for t in range(1, len(xs)):
+        s_used = s[t % m]
+        prev = lvl
+        lvl = alpha * (xs[t] - s_used) + (1 - alpha) * (lvl + trd)
+        trd = beta * (lvl - prev) + (1 - beta) * trd
+        s[t % m] = gamma * (xs[t] - lvl) + (1 - gamma) * s_used
+    last_t = len(xs) - 1
+    for r in out:
+        h = r["step"]
+        assert r["forecast"] == lvl + h * trd + s[(last_t + h) % m]
+        assert r["level"] == lvl and r["trend"] == trd

@@ -11,8 +11,6 @@ from datetime import datetime, timedelta
 
 from hypothesis import given, settings, strategies as st
 
-from pyspark.sql import functions as F
-
 
 INTERVALS = st.lists(
     st.tuples(

@@ -814,6 +814,16 @@ def _ts_interval_coverage(spark, sf_dir):
     )
 
 
+def _ts_anomaly_decomposed(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.anomaly_decomposed(
+        _events(spark, sf_dir), period=25, threshold=3.5, time_col="ts",
+        by=["event_type"], order_tiebreak=["event_id"],
+        id_cols=["event_id", "event_type"],
+    )
+
+
 def _ts_heatmap(spark, sf_dir):
     from fossil_spark.operators import timeseries as ts
 
@@ -1259,6 +1269,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_sizes": _dedup_cluster_sizes,
         "ts_heatmap": _ts_heatmap,
         "text_code_detector": _text_code_detector,
+        "ts_anomaly_decomposed": _ts_anomaly_decomposed,
         "embedding_outliers": _embedding_outliers,
         "ts_bursts": _ts_bursts,
         "text_lexical_diversity": _text_lexical_diversity,
@@ -2602,6 +2613,34 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(greatest(CAST(0 AS BIGINT), e - greatest(s, coalesce(pme, s))))"
             "  AS BIGINT) AS covered_us"
             " FROM w GROUP BY user_id"
+        ),
+        # STL-residual anomaly: the ts_decompose pipeline composed with
+        # the anomaly_mad median/MAD recipe over the rounded residuals
+        "ts_anomaly_decomposed": (
+            "WITH s AS (SELECT event_id, event_type, value,"
+            " row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) rn,"
+            " CASE WHEN count(value) OVER w = 25 THEN"
+            "  CAST(round(sum(CAST(value AS DECIMAL(30,8))) OVER w, 4) AS DOUBLE)"
+            "  / count(value) OVER w END AS trend"
+            f" FROM {_EV} e0"
+            " WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id"
+            "  ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),"
+            " d AS (SELECT *, (rn - 1) % 25 AS phase, value - trend AS det FROM s),"
+            " p AS (SELECT *,"
+            " CAST(round(sum(CAST(det AS DECIMAL(30,8))) OVER wp, 4) AS DOUBLE)"
+            " / count(det) OVER wp AS seas FROM d"
+            " WINDOW wp AS (PARTITION BY event_type, phase)),"
+            " dec AS (SELECT event_id, event_type, value, round(trend, 6) AS trend,"
+            "  round(seas, 6) AS seasonal, round(det - seas, 6) AS residual FROM p),"
+            " f AS (SELECT * FROM dec WHERE residual IS NOT NULL),"
+            " m1 AS (SELECT *, median(residual) OVER (PARTITION BY event_type)"
+            "  AS med FROM f),"
+            " m2 AS (SELECT *, median(abs(residual - med))"
+            "  OVER (PARTITION BY event_type) AS mad FROM m1)"
+            " SELECT event_id, event_type, value, trend, seasonal, residual,"
+            " round(0.6745 * (residual - med) / mad, 6) AS mod_zscore"
+            " FROM m2 WHERE mad > 0"
+            " AND abs(0.6745 * (residual - med) / mad) > 3.5"
         ),
         # weekday x hour activity heatmap (ISO weekday, UTC hours)
         "ts_heatmap": (

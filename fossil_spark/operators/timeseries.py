@@ -1006,6 +1006,51 @@ def decompose_classical(
     )
 
 
+def anomaly_decomposed(
+    df: DataFrame,
+    period: int = 25,
+    threshold: float = 3.5,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    order_tiebreak: list[str] | None = None,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Seasonal-residual anomaly detection (the STL-residual method):
+    classical decomposition strips trend + seasonality, then a point
+    is anomalous when its residual is a robust outlier (|modified
+    z-score| > threshold, the anomaly_mad convention) — catching
+    spikes that plain value
+    thresholds miss on trending/seasonal series and NOT flagging the
+    seasonal swings themselves. Composition of two verified pieces:
+    decompose_classical + the anomaly_mad median/MAD recipe, the
+    medians sharing the decomposition's key partitioning. Returns
+    only the anomalous rows (edge rows with null trend are skipped —
+    no residual exists there)."""
+    by = by or []
+    dec = decompose_classical(
+        df, period=period, time_col=time_col, by=by, value_col=value_col,
+        order_tiebreak=order_tiebreak,
+    )
+    w = Window.partitionBy(*by)
+    med = F.expr("percentile(residual, 0.5)").over(w)
+    m1 = dec.filter(F.col("residual").isNotNull()).select(
+        *dec.columns, med.alias("__med")
+    )
+    mad = F.expr("percentile(abs(residual - __med), 0.5)").over(w)
+    m2 = m1.select(*m1.columns, mad.alias("__mad"))
+    z = F.lit(0.6745) * (F.col("residual") - F.col("__med")) / F.col("__mad")
+    keep = id_cols or [c for c in df.columns if c not in (time_col, value_col)]
+    return (
+        m2.filter((F.col("__mad") > 0) & (F.abs(z) > F.lit(threshold)))
+        .select(
+            *[c for c in keep if c in m2.columns],
+            value_col, "trend", "seasonal", "residual",
+            F.round(z, 6).alias("mod_zscore"),
+        )
+    )
+
+
 def holt_winters_forecast(
     df: DataFrame,
     period: int = 24,

@@ -223,6 +223,7 @@ _SCAN_BUDGET = {
     "ts_heatmap": 1,              # one map-side-combined groupBy
     "dedup_cluster_sizes": 2,     # pairs + label side (components shape)
     "text_code_detector": 1,      # pure column expressions, zero shuffles
+    "ts_anomaly_decomposed": 1,   # decompose windows + medians, one scan
 }
 
 

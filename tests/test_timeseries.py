@@ -913,3 +913,29 @@ def test_activity_heatmap_iso_weekday(spark):
            ts.activity_heatmap(d, time_col="ts", value_col="value").collect()}
     assert out[(1, 9)]["n"] == 2 and out[(1, 9)]["avg_value"] == 15.0
     assert out[(7, 23)]["n"] == 1
+
+
+def test_anomaly_decomposed_flags_spike_not_seasonality(spark):
+    import math
+    from datetime import datetime, timedelta as td
+
+    # strong daily cycle + linear trend + ONE spike; a plain value
+    # threshold would flag every cycle peak — the residual method
+    # must flag only the spike
+    base = datetime(2024, 1, 1)
+    rows = []
+    for i in range(24 * 10):
+        v = 100 + 0.05 * i + 30 * math.sin(2 * math.pi * (i % 24) / 24)
+        if i == 120:
+            v += 200.0
+        rows.append((i, base + td(hours=i), v))
+    d = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    out = ts.anomaly_decomposed(
+        d, period=25, threshold=3.5, time_col="ts",
+        order_tiebreak=["event_id"], id_cols=["event_id"],
+    ).collect()
+    flagged = {r["event_id"] for r in out}
+    assert 120 in flagged
+    # the spike bleeds into its 25-row MA neighborhood; nothing
+    # OUTSIDE that neighborhood (i.e. ordinary seasonal peaks) alerts
+    assert all(108 <= e <= 132 for e in flagged)

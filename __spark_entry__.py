@@ -2409,8 +2409,8 @@ def oracle_sql() -> dict[str, str]:
             " round(mad, 6) AS mad,"
             " round(CASE WHEN mad > 0 THEN 0.6745 * (norm - med) / mad END, 6)"
             "  AS mod_zscore,"
-            " (abs(CASE WHEN mad > 0 THEN 0.6745 * (norm - med) / mad END) > 3.5)"
-            "  AS is_outlier FROM m2"
+            " CASE WHEN mad > 0 THEN abs(0.6745 * (norm - med) / mad) > 3.5"
+            "  ELSE norm <> med END AS is_outlier FROM m2"
         ),
         # cohort LTV: retention's revenue companion (explicit 1970
         # weekly origin, decimal purchase sums)

@@ -547,15 +547,21 @@ def pca_project(
     )
     head = vecs.select("__v").first()
     if head is None:
+        id_type = corpus.schema[id_col].dataType.simpleString()
         return (
             corpus.sparkSession.createDataFrame(
-                [], f"{id_col} long, " + ", ".join(
+                [], f"{id_col} {id_type}, " + ", ".join(
                     f"pc{i + 1} double" for i in range(n_components)
                 )
             ),
             [],
         )
     d = len(head["__v"])
+    # Ragged rows would contribute NULL moment products (dropped from
+    # the decimal sums but still counted in n, silently skewing the
+    # covariance) — exclude them from BOTH the moment pass and the
+    # projection instead.
+    vecs = vecs.filter(F.size("__v") == d)
     # pairs (i,j), i<=j as flat cells; i == -1 rows carry plain sums
     cells = vecs.select(
         F.posexplode(
@@ -643,7 +649,14 @@ def embedding_outliers(
     overflow blowups, un-normalized batches — before they poison ANN
     or clustering. Norms are exact per-row JVM folds; the two exact
     medians share one global window pass. Returns every vector's
-    (id, norm, median, mad, mod_zscore, is_outlier)."""
+    (id, norm, median, mad, mod_zscore, is_outlier).
+
+    Degenerate corpus (MAD == 0, i.e. >=50% of norms identical — e.g.
+    a mostly unit-normalized corpus): the modified z-score is
+    undefined, so mod_zscore is NULL and is_outlier falls back to a
+    secondary rule — flag any norm that differs from the median at
+    all (which on such a corpus includes zero vectors and overflow
+    blowups, the failure modes this operator exists to catch)."""
     from pyspark.sql import Window
 
     v = F.col(vec_col).cast("array<double>")
@@ -670,7 +683,9 @@ def embedding_outliers(
         F.round("__med", 6).alias("median"),
         F.round("__mad", 6).alias("mad"),
         F.round(z, 6).alias("mod_zscore"),
-        (F.abs(z) > threshold).alias("is_outlier"),
+        F.when(F.col("__mad") > 0, F.abs(z) > threshold)
+        .otherwise(F.col("norm") != F.col("__med"))
+        .alias("is_outlier"),
     )
 
 

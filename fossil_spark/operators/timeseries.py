@@ -1520,7 +1520,8 @@ def cross_correlation(
     """Cross-correlation between two named signals at bucket lags
     0..`lags`: does series B lead/lag series A? Both signals resample
     to `every` buckets in ONE conditional aggregation (no join, no
-    pivot shuffle), then corr(a_t, b_{t-k}) per lag over lag()
+    pivot shuffle), then corr(a_{t-k}, b_t) per lag (series A is
+    lagged; a positive-lag peak means A leads B) over lag()
     windows sharing one bucket sort. Buckets where a signal is absent
     contribute null and corr skips the pair (both engines agree).
 

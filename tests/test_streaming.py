@@ -278,3 +278,52 @@ def test_streaming_anomaly_alerts_on_deviant_window(spark, workdir):
     [r] = rows
     assert r["topic"] == "/t" and str(r["bucket"]) == "2024-01-01 02:00:00"
     assert r["deviation_sigmas"] > 100
+
+
+def test_streaming_anomaly_append_mode(spark, workdir):
+    """The docstring-prescribed path: output mode `append`, where the
+    watermark (not `complete`-mode re-emission) closes windows. Three
+    single-file micro-batches (maxFilesPerTrigger=1): batch 1 carries
+    the anomalous window, batches 2-3 advance the watermark past its
+    end so append emits it exactly once."""
+    from fossil_spark.streaming.anomaly import baseline_stats, streaming_anomaly
+
+    hist = spark.createDataFrame(
+        [("/t", 10.0 + 0.1 * (i % 5)) for i in range(50)],
+        "topic string, value double",
+    )
+    base = baseline_stats(hist)
+
+    src = os.path.join(workdir, "live_append")
+    os.makedirs(src)
+    _write_jsonl(os.path.join(src, "a.json"), [
+        {"time": "2024-01-01T00:10:00", "topic": "/t", "value": "10.1"},
+        {"time": "2024-01-01T02:10:00", "topic": "/t", "value": "99.0"},
+    ])
+    # watermark advancers: batch N's watermark is batch N-1's max event
+    # time minus the delay, so two more batches push it past 03:00
+    _write_jsonl(os.path.join(src, "b.json"), [
+        {"time": "2024-01-01T08:00:00", "topic": "/t", "value": "10.2"},
+    ])
+    _write_jsonl(os.path.join(src, "c.json"), [
+        {"time": "2024-01-01T08:01:00", "topic": "/t", "value": "10.2"},
+    ])
+    stream = (
+        spark.readStream.schema("time timestamp, topic string, value string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("value", F.col("value").cast("double"))
+    )
+    alerts = streaming_anomaly(stream, base, threshold=3.5, every="1 hour",
+                               watermark="2 hours")
+    name = f"alerts_append_{uuid.uuid4().hex[:8]}"
+    q = (
+        alerts.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert r["topic"] == "/t" and str(r["bucket"]) == "2024-01-01 02:00:00"
+    assert r["deviation_sigmas"] > 100

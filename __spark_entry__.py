@@ -1293,7 +1293,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_order_cube": _analytics("order_cube"),
         "pipeline_semdedup": _pipeline_semdedup,  # rows-only: iterative kmeans
         "ts_forecast": _ts_forecast,
-        "ts_lttb": _ts_lttb,  # rows-only: sequential bucket selection
+        "ts_lttb": _ts_lttb,
         "text_keywords": _text_keywords,
         "text_contamination": _text_contamination,
         "text_bm25": _text_bm25,
@@ -2822,6 +2822,71 @@ def oracle_sql() -> dict[str, str]:
             " l AS level, b AS trend,"
             " s[((n - 1 + t.h) % 24) + 1] AS seasonal"
             " FROM rec, range(1, 6) t(h) WHERE rn = n"
+        ),
+        # LTTB downsampling replayed bit-for-bit: the Arrow loop's
+        # selection arithmetic is integer-exact (µs-offset x, 1e-6
+        # quantized y, int64 centroid sums) so the recursive CTE walks
+        # the same 98 bucket argmaxes on identical doubles. Bounds
+        # mirror np.linspace op-for-op (k*step + 1 truncated, last
+        # pinned to n-1); area ties keep the earliest candidate
+        # (list_position = first match = np.argmax).
+        "ts_lttb": (
+            "WITH RECURSIVE base AS ("
+            " SELECT event_id, event_type, ts, value,"
+            " row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)"
+            "  - 1 AS idx,"
+            " count(*) OVER (PARTITION BY event_type) AS n,"
+            " epoch_us(ts) - min(epoch_us(ts))"
+            "  OVER (PARTITION BY event_type) AS xs,"
+            " floor(value * 1e6 + 0.5) AS yq"
+            f" FROM {_EV} e0),"
+            " keyed AS (SELECT event_type, any_value(n) AS n,"
+            "  list(xs ORDER BY idx) AS xs, list(yq ORDER BY idx) AS yq"
+            "  FROM base GROUP BY event_type),"
+            " rec(event_type, i, a, keep) AS ("
+            "  SELECT event_type, 0, CAST(0 AS BIGINT), [CAST(0 AS BIGINT)]"
+            "  FROM keyed WHERE n > 100"
+            "  UNION ALL"
+            "  SELECT event_type, i + 1, na, list_append(keep, na) FROM ("
+            "   SELECT t3.event_type, t3.i, t3.keep,"
+            "   t3.lo + list_position(t3.areas, list_max(t3.areas)) - 1 AS na"
+            "   FROM ("
+            "    SELECT t2.event_type, t2.i, t2.keep, t2.lo,"
+            "    list_transform(generate_series(t2.lo + 1, t2.hi), p ->"
+            "     abs((t2.xa - t2.cx) * (t2.yq[p] - t2.ya)"
+            "      - (t2.xa - CAST(t2.xs[p] AS DOUBLE)) * (t2.cy - t2.ya)))"
+            "     AS areas"
+            "    FROM ("
+            "     SELECT t1.*,"
+            "     CAST(list_sum(t1.xs[t1.nlo + 1 : t1.nhi]) AS DOUBLE)"
+            "      / (t1.nhi - t1.nlo) AS cx,"
+            "     CAST(list_sum(list_transform(t1.yq[t1.nlo + 1 : t1.nhi],"
+            "      v -> CAST(v AS BIGINT))) AS DOUBLE)"
+            "      / (t1.nhi - t1.nlo) AS cy,"
+            "     CAST(t1.xs[t1.a + 1] AS DOUBLE) AS xa, t1.yq[t1.a + 1] AS ya"
+            "     FROM ("
+            "      SELECT r.event_type, r.i, r.a, r.keep, k.n, k.xs, k.yq,"
+            "      CAST(trunc(r.i * ((k.n - 2) / 98.0) + 1) AS BIGINT) AS lo,"
+            "      CASE WHEN r.i + 1 = 98 THEN k.n - 1"
+            "       ELSE CAST(trunc((r.i + 1) * ((k.n - 2) / 98.0) + 1)"
+            "        AS BIGINT) END AS hi,"
+            "      CASE WHEN r.i + 1 = 98 THEN k.n - 1"
+            "       ELSE CAST(trunc((r.i + 1) * ((k.n - 2) / 98.0) + 1)"
+            "        AS BIGINT) END AS nlo,"
+            "      CASE WHEN r.i = 97 THEN k.n"
+            "       WHEN r.i + 2 = 98 THEN k.n - 1"
+            "       ELSE CAST(trunc((r.i + 2) * ((k.n - 2) / 98.0) + 1)"
+            "        AS BIGINT) END AS nhi"
+            "      FROM rec r JOIN keyed k USING (event_type)"
+            "      WHERE r.i < 98) t1) t2) t3)),"
+            " selected AS ("
+            "  SELECT r.event_type, unnest(list_append(r.keep, k.n - 1)) AS sidx"
+            "  FROM rec r JOIN keyed k USING (event_type) WHERE r.i = 98"
+            "  UNION ALL"
+            "  SELECT event_type, idx AS sidx FROM base WHERE n <= 100)"
+            " SELECT b.event_id, b.event_type, b.ts, b.value"
+            " FROM base b JOIN selected s"
+            "  ON b.event_type = s.event_type AND b.idx = s.sidx"
         ),
         # Holt recurrence reproduced with the EXACT float op order of the
         # Arrow per-key loop (timeseries.holt_forecast), like ts_ewma

@@ -1149,7 +1149,17 @@ def lttb(
     The choice is sequential per key (each bucket depends on the
     previous selection), so it runs as one Arrow batch per key group
     — parallel across keys, n_out rows out per key. Returns the
-    SELECTED original rows."""
+    SELECTED original rows.
+
+    Deterministic (full-oracle reproducible): the selection runs on
+    µs timestamps offset by the key's first timestamp and values
+    quantized to 1e-6 (floor(v*1e6 + 0.5) — identical float op order
+    in any IEEE engine); bucket centroids use EXACT int64 sums (no
+    float accumulation order), so a SQL engine replays the argmax
+    bit-for-bit. Exactness bound: bucket_rows x time_range_µs (and
+    bucket_rows x |v|x1e6) must stay under 2^63 — e.g. 10^6-row
+    buckets over a ~3-year range; pre-slice longer spans. Ties in
+    triangle area keep the earliest candidate (argmax convention)."""
     import numpy as np
     import pandas as pd
 
@@ -1163,10 +1173,18 @@ def lttb(
         n = len(pdf)
         if n <= n_out:
             return pdf
-        x = pdf[time_col].astype("int64").to_numpy(dtype=np.float64)
-        y = pdf[value_col].to_numpy(dtype=np.float64)
-        # first and last always kept; n_out-2 interior buckets
-        bounds = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+        x = (
+            pdf[time_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        xs = x - x[0]
+        yq = np.floor(pdf[value_col].to_numpy(dtype=np.float64) * 1e6 + 0.5)
+        yi = yq.astype(np.int64)
+        # first and last always kept; n_out-2 interior buckets.
+        # Bounds mirror np.linspace(1, n-1, n_out-1).astype(int64)
+        # op-for-op (k*step + 1 truncated; last pinned to n-1).
+        step = (n - 2) / (n_out - 2)
+        bounds = np.trunc(np.arange(n_out - 1) * step + 1).astype(np.int64)
+        bounds[-1] = n - 1
         keep = [0]
         a = 0
         for i in range(n_out - 2):
@@ -1174,9 +1192,14 @@ def lttb(
             nlo, nhi = (bounds[i + 1], n) if i == n_out - 3 else (
                 bounds[i + 1], bounds[i + 2]
             )
-            cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+            cnt = nhi - nlo
+            cx = float(xs[nlo:nhi].sum()) / cnt
+            cy = float(yi[nlo:nhi].sum()) / cnt
+            xa = float(xs[a])
+            ya = yq[a]
             area = np.abs(
-                (x[a] - cx) * (y[lo:hi] - y[a]) - (x[a] - x[lo:hi]) * (cy - y[a])
+                (xa - cx) * (yq[lo:hi] - ya)
+                - (xa - xs[lo:hi].astype(np.float64)) * (cy - ya)
             )
             a = lo + int(area.argmax())
             keep.append(a)

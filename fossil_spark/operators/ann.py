@@ -438,8 +438,12 @@ def kmeans_cluster(
     step behind corpus domain discovery and semantic curriculum
     bucketing. Fully deterministic: seeds are the k corpus vectors
     with minimal md5(id) (the same RNG-free bootstrap ivf_ann uses),
-    Lloyd iterations are fixed-count, and centroid means accumulate
-    in decimal(30,8) so results are partition-order independent.
+    Lloyd iterations are fixed-count, and centroid means use the
+    repo's deterministic-sum convention (decimal(30,8) accumulate,
+    round(8), cast double, divide) so results are partition-order
+    independent AND exactly reproducible by an external SQL engine —
+    a fixed-n_iter run has a full hash-match oracle (the
+    cluster_kmeans_fixed registry key).
 
     Scale shape: assignment is map-side (ONE broadcast row holding
     all centroids, higher-order argmax — no shuffle); the update is
@@ -495,8 +499,9 @@ def kmeans_cluster(
             .groupBy("cluster", "pos")
             .agg(
                 (
-                    F.sum(F.col("x").cast("decimal(30,8)")) / F.count("*")
-                ).cast("double").alias("m")
+                    F.round(F.sum(F.col("x").cast("decimal(30,8)")), 8)
+                    .cast("double") / F.count("*")
+                ).alias("m")
             )
             .collect()
         )
@@ -511,6 +516,99 @@ def kmeans_cluster(
 
     return with_assignment(vecs, cents).select(
         id_col, "cluster", F.round(F.col("cos_sim"), round_to).alias("cos_sim")
+    )
+
+
+def _moment_cells(vecs: DataFrame, d: int) -> DataFrame:
+    """The distributed moment pass shared by pca_project and
+    pca_moments: one posexplode of per-row component cells — pairs
+    (i, j), i<=j carry products, i == -1 rows carry plain component
+    sums — into one groupBy((i, j)) with exact decimal(38,10)
+    accumulation (partition-order independent). Emits the O(d^2)
+    bounded cell set (i, j, s, n)."""
+    cells = vecs.select(
+        F.posexplode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(d - 1)),
+                    lambda i: F.concat(
+                        F.array(
+                            F.struct(
+                                F.lit(-1).alias("i"),
+                                i.alias("j"),
+                                F.element_at(F.col("__v"), i + 1).alias("x"),
+                            )
+                        ),
+                        F.transform(
+                            F.sequence(i, F.lit(d - 1)),
+                            lambda j: F.struct(
+                                i.alias("i"),
+                                j.alias("j"),
+                                (
+                                    F.element_at(F.col("__v"), i + 1)
+                                    * F.element_at(F.col("__v"), j + 1)
+                                ).alias("x"),
+                            ),
+                        ),
+                    ),
+                )
+            )
+        ).alias("__p", "__c")
+    ).select(F.col("__c.i").alias("i"), F.col("__c.j").alias("j"),
+             F.col("__c.x").alias("x"))
+    return cells.groupBy("i", "j").agg(
+        F.sum(F.col("x").cast("decimal(38,10)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def pca_moments(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """pca_project's moment/covariance pass exposed as a verifiable
+    DataFrame: everything the driver-side eigh consumes — the exact
+    decimal second-moment sums AND the covariance cells computed with
+    the SAME float op order the driver uses (float(decimal)/n for
+    each moment, then m2_ij - mu_i * mu_j) — so an external SQL
+    engine can hash-match the entire distributed portion of PCA,
+    leaving only the O(d^2) driver-local eigendecomposition
+    unverified (covered by unit tests on known spectra).
+
+    Returns one row per upper-triangle cell (i <= j):
+    (i, j, n, s, cov) with s = the exact pair-product sum as double
+    and cov rounded to 9 decimals (the raw double differs from a C++
+    engine by ~1 ulp when the compiler contracts a/n - mu*mu into an
+    FMA; 9 decimals is far above that noise and far below use)."""
+    vecs = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    head = vecs.select("__v").first()
+    if head is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "i int, j int, n bigint, s double, cov double"
+        )
+    d = len(head["__v"])
+    vecs = vecs.filter(F.size("__v") == d)
+    agg = _moment_cells(vecs, d)
+    # the mean side is bounded (d cells) — pull it driver-side with
+    # EXACTLY pca_project's float(decimal)/n arithmetic and broadcast
+    # the d-vector as one literal, keeping the pair side to ONE scan
+    # (no 3-branch re-execution of the moment aggregation)
+    mu = [0.0] * d
+    for r in agg.filter(F.col("i") == -1).collect():
+        mu[r["j"]] = float(r["s"]) / r["n"]
+    mu_lit = F.array(*[F.lit(x) for x in mu])
+    return agg.filter(F.col("i") >= 0).select(
+        "i", "j", "n",
+        F.col("s").cast("double").alias("s"),
+        F.round(
+            F.col("s").cast("double") / F.col("n")
+            - F.element_at(mu_lit, F.col("i") + 1)
+            * F.element_at(mu_lit, F.col("j") + 1),
+            9,
+        ).alias("cov"),
     )
 
 
@@ -562,45 +660,7 @@ def pca_project(
     # covariance) — exclude them from BOTH the moment pass and the
     # projection instead.
     vecs = vecs.filter(F.size("__v") == d)
-    # pairs (i,j), i<=j as flat cells; i == -1 rows carry plain sums
-    cells = vecs.select(
-        F.posexplode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(d - 1)),
-                    lambda i: F.concat(
-                        F.array(
-                            F.struct(
-                                F.lit(-1).alias("i"),
-                                i.alias("j"),
-                                F.element_at(F.col("__v"), i + 1).alias("x"),
-                            )
-                        ),
-                        F.transform(
-                            F.sequence(i, F.lit(d - 1)),
-                            lambda j: F.struct(
-                                i.alias("i"),
-                                j.alias("j"),
-                                (
-                                    F.element_at(F.col("__v"), i + 1)
-                                    * F.element_at(F.col("__v"), j + 1)
-                                ).alias("x"),
-                            ),
-                        ),
-                    ),
-                )
-            )
-        ).alias("__p", "__c")
-    ).select(F.col("__c.i").alias("i"), F.col("__c.j").alias("j"),
-             F.col("__c.x").alias("x"))
-    moments = (
-        cells.groupBy("i", "j")
-        .agg(
-            F.sum(F.col("x").cast("decimal(38,10)")).alias("s"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .collect()
-    )
+    moments = _moment_cells(vecs, d).collect()
     n = moments[0]["n"]
     mu = np.zeros(d)
     m2 = np.zeros((d, d))

@@ -224,6 +224,8 @@ _SCAN_BUDGET = {
     "dedup_cluster_sizes": 2,     # pairs + label side (components shape)
     "text_code_detector": 1,      # pure column expressions, zero shuffles
     "ts_anomaly_decomposed": 1,   # decompose windows + medians, one scan
+    "embedding_pca_moments": 1,   # moment cells one scan; mu is a literal
+    "cluster_kmeans_fixed": 1,    # final assignment: one scan x one-row bcast
 }
 
 

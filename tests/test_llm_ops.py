@@ -686,6 +686,21 @@ def test_pq_ann_deterministic(emb):
         {(r["query_id"], r["vec_id"], r["cos_sim"]) for r in b}
 
 
+def test_pq_ann_query_batching_bounds_driver_memory(emb):
+    """A large query set streams through the driver in q_batch chunks
+    (VERDICT r5 ask #4): with q_batch far below |Q| the results are
+    IDENTICAL to the one-chunk run — the chunk boundary changes only
+    how many ADC scans run, never scores, candidates, or ranks."""
+    queries = emb.filter("vec_id < 40")
+    one = ann.pq_ann(emb, queries, k=3, q_batch=100_000).collect()
+    chunked = ann.pq_ann(emb, queries, k=3, q_batch=7).collect()
+    as_set = lambda rows: {
+        (r["query_id"], r["vec_id"], r["cos_sim"], r["rank"]) for r in rows
+    }
+    assert as_set(one) == as_set(chunked)
+    assert len({r["query_id"] for r in chunked}) == 40
+
+
 # --- SemDeDup (cluster-scoped semantic dedup) -------------------------------
 
 def test_semdedup_drops_planted_near_duplicates(spark):

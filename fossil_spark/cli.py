@@ -146,12 +146,17 @@ class Client:
 
 class RemoteClient:
     """Same command surface, executed over the wire protocol against a
-    running FossilServer (reference client mode, api/remote.go)."""
+    running FossilServer (reference client mode, api/remote.go).
+    Backed by a FossilClientPool — `pool_size` connections with
+    reconnect-with-backoff, so a server restart mid-session retries
+    instead of killing the REPL (reference api/api.go NewClient =
+    NewClientPool(connstr, 1))."""
 
-    def __init__(self, host: str, port: int, fmt: str = "text"):
-        from fossil_spark.server import FossilClient
+    def __init__(self, host: str, port: int, fmt: str = "text",
+                 pool_size: int = 1, db: str | None = None):
+        from fossil_spark.server import FossilClientPool
 
-        self.conn = FossilClient(host, port)
+        self.conn = FossilClientPool(host, port, size=pool_size, db=db)
         self.fmt = fmt
 
     def execute(self, line: str) -> str:

@@ -402,11 +402,22 @@ class FossilServer:
             for name, root in databases.items()
         }
         self._default_db = next(iter(self.dbs))
+        self._active_conns: set = set()
+        self._conn_lock = threading.Lock()
         outer = self
 
         class Handler(socketserver.StreamRequestHandler):
             def handle(self) -> None:
                 outer.metrics.inc_client_connection()
+                with outer._conn_lock:
+                    outer._active_conns.add(self.connection)
+                try:
+                    self._serve()
+                finally:
+                    with outer._conn_lock:
+                        outer._active_conns.discard(self.connection)
+
+            def _serve(self) -> None:
                 current = outer.dbs[outer._default_db]
                 while True:
                     try:
@@ -604,6 +615,19 @@ class FossilServer:
             db.flush()
         self._server.shutdown()
         self._server.server_close()
+        # close live client connections so stop() behaves like a real
+        # process exit (clients see EOF/reset, not a half-open socket)
+        with self._conn_lock:
+            conns = list(self._active_conns)
+        for c in conns:
+            try:
+                c.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                c.close()
+            except OSError:
+                pass
         if self._http is not None:
             self._http.shutdown()
             self._http.server_close()
@@ -740,6 +764,138 @@ class FossilClient:
             pass
 
     def __enter__(self) -> "FossilClient":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+class FossilClientPool:
+    """Reference client-pool parity (api/api.go:37 NewClientPool;
+    api/remote.go RemoteClient): a bounded pool of `size` wire
+    connections, each opened with the reference's connect() handshake
+    (version advertisement + USE database, api/remote.go:27), checked
+    out per request and returned afterwards — the Go channel pattern,
+    thread-safe, built for high-volume ingest.
+
+    Failure handling mirrors api/remote.go: on a dropped connection
+    (peer reset / broken pipe on send, EOF on the response read) the
+    checked-out connection reconnects with exponential backoff —
+    sleep 2^i seconds then dial + handshake, up to `retries` attempts
+    (~6 s budget at the default 3, api/remote.go:63
+    reconnectWithBackoff) — and the in-flight message is re-sent (the
+    reference's goto-retry). Re-sends are capped at `retries` cycles
+    (the Go code loops while reconnects succeed; a cap keeps a
+    reset-on-send server from spinning us forever). Appends are
+    therefore at-least-once across a server restart: a request whose
+    response was lost may have landed, matching the reference's
+    semantics. Server-reported errors (ERR responses) never retry.
+    """
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        size: int = 1,
+        db: str | None = None,
+        timeout: float = 60.0,
+        retries: int = 3,
+        sleep=_time.sleep,
+    ):
+        """db=None targets the server's default database (no USE in
+        the handshake); a name pins every connection — and every
+        reconnect — to that database, erroring on open if it does not
+        exist (the reference connect() behavior, api/remote.go:27)."""
+        import queue
+
+        self.host, self.port, self.db = host, port, db
+        self.timeout, self.retries = timeout, retries
+        self._sleep = sleep
+        self._pool: "queue.Queue[FossilClient]" = queue.Queue()
+        self._size = max(1, size)
+        # eager open, fail fast — reference Open() dials all `size`
+        # connections up front and errors out on the first failure
+        for _ in range(self._size):
+            self._pool.put(self._connect())
+
+    def _connect(self) -> FossilClient:
+        c = FossilClient(self.host, self.port, timeout=self.timeout)
+        c.version()
+        if self.db is not None:
+            c.use(self.db)
+        return c
+
+    def _reconnect_with_backoff(self) -> FossilClient:
+        err: Exception | None = None
+        for i in range(self.retries):
+            self._sleep(2**i)
+            try:
+                return self._connect()
+            except OSError as e:
+                err = e
+        raise ConnectionError(
+            f"unable to reconnect to {self.host}:{self.port} "
+            f"after {self.retries} attempts"
+        ) from err
+
+    def _with_conn(self, fn):
+        conn = self._pool.get()
+        try:
+            for attempt in range(self.retries + 1):
+                try:
+                    return fn(conn)
+                except (ConnectionError, EOFError):
+                    conn.close()
+                    if attempt == self.retries:
+                        raise
+                    conn = self._reconnect_with_backoff()
+        finally:
+            self._pool.put(conn)
+
+    # -- the reference Client interface (Send/Append/Query + extras) --------
+    def send(self, command: str, data: bytes) -> tuple[str, bytes]:
+        return self._with_conn(lambda c: c._roundtrip(command, data))
+
+    def use(self, db: str) -> str:
+        """Re-target every pooled connection (and future reconnects)
+        at `db`. REPL convenience on top of the reference surface,
+        where the database is fixed by the connection string."""
+        conns = [self._pool.get() for _ in range(self._size)]
+        try:
+            out = ""
+            for c in conns:
+                out = c.use(db)
+            self.db = db
+            return out
+        finally:
+            for c in conns:
+                self._pool.put(c)
+
+    def append(self, topic: str, data: bytes | str) -> None:
+        self._with_conn(lambda c: c.append(topic, data))
+
+    def append_literal(
+        self, topic: str, literal: str, schema: str | None = None
+    ) -> None:
+        self._with_conn(lambda c: c.append_literal(topic, literal, schema))
+
+    def query(self, text: str) -> list[dict]:
+        return self._with_conn(lambda c: c.query(text))
+
+    def create(self, topic: str, schema: str = "string") -> None:
+        self._with_conn(lambda c: c.create(topic, schema))
+
+    def list(self, obj: str = "") -> list[str]:
+        return self._with_conn(lambda c: c.list(obj))
+
+    def stats(self, db: str = "") -> dict:
+        return self._with_conn(lambda c: c.stats(db))
+
+    def close(self) -> None:
+        while not self._pool.empty():
+            self._pool.get_nowait().close()
+
+    def __enter__(self) -> "FossilClientPool":
         return self
 
     def __exit__(self, *exc) -> None:

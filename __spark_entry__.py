@@ -485,6 +485,22 @@ def _dedup_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
 
+def _dedup_containment(spark, sf_dir):
+    from fossil_spark.operators import dedup
+
+    # asymmetric doc-inside-doc detection over the proven LSH
+    # candidate pairs (integer-exact count ratios, full oracle)
+    docs = _docs(spark, sf_dir)
+    return dedup.containment_pairs(docs, dedup.minhash_lsh_pairs(docs))
+
+
+def _embedding_sq8(spark, sf_dir):
+    from fossil_spark.operators import ann
+    from fossil_spark.session import read_table
+
+    return ann.sq8_quantize(read_table(spark, sf_dir, "embeddings"))
+
+
 def _ann_bruteforce(spark, sf_dir):
     from fossil_spark.operators import ann
     from fossil_spark.session import read_table
@@ -1296,7 +1312,7 @@ _WINDOW_PRIORITY = [
     "sample_stratified", "agg_order_cube", "graph_degree",  # E
     # round-6 additions (oracle promotions + new keys) fill the rest
     "ts_lttb", "cluster_kmeans_fixed", "embedding_pca_moments",
-    "ann_pq",
+    "dedup_containment", "embedding_sq8", "ann_pq",
 ]
 
 
@@ -1405,6 +1421,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _dedup_minhash,
         "dedup_ngram": _dedup_ngram,
         "dedup_simhash": _dedup_simhash,
+        "dedup_containment": _dedup_containment,
+        "embedding_sq8": _embedding_sq8,
         "dedup_embedding": _dedup_embedding,
         "dedup_components": _dedup_components,
         "ann_lsh": _ann_lsh,  # rows-only: recall vs exact checked in tests
@@ -2074,6 +2092,49 @@ def oracle_sql() -> dict[str, str]:
             " i.n_inter::DOUBLE / (ca.n + cb.n - i.n_inter) AS jaccard"
             " FROM inter i JOIN c ca ON ca.doc_id = i.doc_a"
             " JOIN c cb ON cb.doc_id = i.doc_b"
+        ),
+        # asymmetric containment on the same candidate CTEs:
+        # |A∩B|/|A| and /|B| as exact integer-count ratios
+        "dedup_containment": (
+            f"WITH {_MINHASH_CTES},"
+            " c AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),"
+            " inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter FROM pairs p"
+            "  JOIN sh s1 ON s1.doc_id = p.doc_a"
+            "  JOIN sh s2 ON s2.doc_id = p.doc_b AND s2.shingle = s1.shingle"
+            "  GROUP BY 1, 2)"
+            " SELECT i.doc_a, i.doc_b,"
+            " i.n_inter::DOUBLE / ca.n AS contain_a,"
+            " i.n_inter::DOUBLE / cb.n AS contain_b"
+            " FROM inter i JOIN c ca ON ca.doc_id = i.doc_a"
+            " JOIN c cb ON cb.doc_id = i.doc_b"
+        ),
+        # SQ8 scalar-quantization audit: exact per-dim min/max, the
+        # same floor(z + 0.5) code map and error fold (list_reduce
+        # mirrors the JVM op order), mse/max_err rounded @12
+        "embedding_sq8": (
+            "WITH v AS (SELECT vec_id, list_transform(embedding,"
+            "  x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),"
+            " dd AS (SELECT any_value(len(vv)) AS d FROM v),"
+            " f AS (SELECT vec_id, vv FROM v, dd WHERE len(vv) = dd.d),"
+            " st AS (SELECT u.j AS dim, min(u.x) AS lo,"
+            "  (max(u.x) - min(u.x)) / 255.0 AS sc FROM ("
+            "  SELECT unnest(list_transform(generate_series(1, dd.d),"
+            "   j -> {'j': j, 'x': vv[j]})) AS u FROM f, dd) t GROUP BY u.j),"
+            " lit AS (SELECT list(lo ORDER BY dim) AS lo,"
+            "  list(sc ORDER BY dim) AS sc FROM st),"
+            " e AS (SELECT vec_id,"
+            "  list_transform(generate_series(1, len(vv)), j ->"
+            "   vv[j] - (lit.lo[j] + CASE WHEN lit.sc[j] = 0.0 THEN 0.0"
+            "    ELSE least(255.0, greatest(0.0,"
+            "     floor((vv[j] - lit.lo[j]) / lit.sc[j] + 0.5)))"
+            "    END * lit.sc[j])) AS errs, len(vv) AS d"
+            "  FROM f, lit)"
+            " SELECT vec_id,"
+            " round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            "  list_transform(errs, e -> e * e)), (a, x) -> a + x)"
+            "  / CAST(d AS DOUBLE), 12) AS mse,"
+            " round(list_max(list_transform(errs, e -> abs(e))), 12)"
+            "  AS max_err FROM e"
         ),
         "dedup_simhash": _simhash_sql(16),
         "ann_bruteforce": (

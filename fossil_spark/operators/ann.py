@@ -728,6 +728,85 @@ def pca_project(
     return vecs.select(id_col, *out_cols), ratios
 
 
+def sq8_quantize(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 12,
+) -> DataFrame:
+    """Scalar quantization audit (the faiss SQ8 shape, complementing
+    pq_ann): each dimension maps to an int8 code against per-dimension
+    [min, max] trained on the corpus, and every vector reports its
+    reconstruction error — the go-before-you-commit readout for 8x
+    embedding compression (mse ~ quantization step² / 12 when the
+    codec fits; a blown dimension shows up as max_err >> step).
+
+    Shape: per-dimension min/max via ONE exploded (dim) groupBy (d
+    bounded cells to the driver, the centroid-pull pattern), then a
+    single map-side pass — codes, reconstruction, and error fold are
+    JVM higher-order functions over broadcast literal arrays; zero
+    shuffles beyond the bounded stats pull.
+
+    Deterministic: min/max are exact (no accumulation); quantization
+    uses floor(z + 0.5) (identical IEEE ops in any engine, no
+    rounding-convention dependence); constant dimensions (max == min)
+    pin code 0 and reconstruct exactly. Full SQL oracle; mse/max_err
+    rounded @`round_to` (far above FMA-contraction noise).
+    Returns (id, mse, max_err)."""
+    vecs = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    head = vecs.select("__v").first()
+    if head is None:
+        id_type = corpus.schema[id_col].dataType.simpleString()
+        return corpus.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, mse double, max_err double"
+        )
+    d = len(head["__v"])
+    vecs = vecs.filter(F.size("__v") == d)
+    stats = (
+        vecs.select(F.posexplode("__v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    )
+    lo = [0.0] * d
+    scale = [0.0] * d
+    for r in stats:
+        lo[r["dim"]] = r["lo"]
+        scale[r["dim"]] = (r["hi"] - r["lo"]) / 255.0
+    lo_lit = F.array(*[F.lit(x) for x in lo])
+    sc_lit = F.array(*[F.lit(x) for x in scale])
+    idx = F.sequence(F.lit(1), F.lit(d))
+
+    def err_at(j):
+        x = F.element_at(F.col("__v"), j)
+        lo_j = F.element_at(lo_lit, j)
+        sc_j = F.element_at(sc_lit, j)
+        code = F.when(
+            sc_j == 0.0, F.lit(0.0)
+        ).otherwise(
+            F.least(
+                F.lit(255.0),
+                F.greatest(F.lit(0.0), F.floor((x - lo_j) / sc_j + 0.5)),
+            )
+        )
+        return x - (lo_j + code * sc_j)
+
+    errs = F.transform(idx, err_at)
+    mse = (
+        F.aggregate(errs, F.lit(0.0), lambda a, e: a + e * e)
+        / F.lit(float(d))
+    )
+    return vecs.select(
+        id_col,
+        F.round(mse, round_to).alias("mse"),
+        F.round(
+            F.array_max(F.transform(errs, lambda e: F.abs(e))), round_to
+        ).alias("max_err"),
+    )
+
+
 def embedding_outliers(
     corpus: DataFrame,
     id_col: str = "vec_id",

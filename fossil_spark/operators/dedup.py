@@ -453,6 +453,53 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Asymmetric n-gram containment per candidate pair (Broder 1997's
+    containment measure): contain_a = |A∩B| / |A| and the symmetric
+    contain_b. Catches doc-inside-doc duplication — a short document
+    quoted wholesale inside a long one scores containment ~1.0 where
+    Jaccard (|∩|/|∪|) stays low because the union is dominated by the
+    long side. The standard companion to near-dup detection when
+    curating training data with heavy quotation/aggregation.
+
+    Same scale shape as ngram_jaccard_pairs: per-doc DISTINCT shingle
+    arrays join the candidate pairs on doc id (two equi-joins, one
+    array row per doc, no explode); intersection is a per-row
+    array_intersect. Integer-count / integer-count division — exact
+    in any engine, no rounding needed. Keeps pairs where EITHER side
+    clears `threshold`."""
+    doc_sh = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    )
+    a = doc_sh.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sh_a"))
+    b = doc_sh.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sh_b"))
+    n_inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("__n_inter", n_inter)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("__n_inter").cast("double") / F.size("__sh_a"))
+            .alias("contain_a"),
+            (F.col("__n_inter").cast("double") / F.size("__sh_b"))
+            .alias("contain_b"),
+        )
+        .filter(
+            F.greatest("contain_a", "contain_b") >= threshold
+        )
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.25,

@@ -658,6 +658,49 @@ def test_domain_mixture_weights(spark):
     assert out["code"]["n_docs"] == 1 and out["code"]["n_tokens"] == 4
 
 
+def test_containment_detects_doc_inside_doc(spark):
+    """A short doc quoted wholesale inside a long one: containment of
+    the short side ~1.0 while Jaccard stays low (union dominated by
+    the long side) — the case the asymmetric measure exists for."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long = ("intro words here " + short + " and a very long tail " +
+            " ".join(f"w{i}" for i in range(60)))
+    docs = spark.createDataFrame(
+        [(0, short), (1, long)], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    [c] = dedup.containment_pairs(docs, cand).collect()
+    [j] = dedup.ngram_jaccard_pairs(docs, cand).collect()
+    assert c["contain_a"] == 1.0          # every short-side shingle is in B
+    assert c["contain_b"] < 0.15
+    assert j["jaccard"] < 0.15            # symmetric measure misses it
+
+
+def test_sq8_quantize_error_bounds(spark):
+    import numpy as np
+
+    from fossil_spark.operators import ann
+
+    # vectors exactly on the 255-level grid reconstruct perfectly;
+    # dim 2 is constant (scale 0) and must also be exact
+    grid = [
+        (0, [0.0, 1.0, 7.0]),
+        (1, [255.0, 0.0, 7.0]),
+        (2, [51.0, 0.5, 7.0]),   # 0.5 = code 128 of [0,1] -> off-grid
+    ]
+    df = spark.createDataFrame(grid, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in ann.sq8_quantize(df).collect()}
+    assert got[0]["mse"] == 0.0 and got[0]["max_err"] == 0.0
+    assert got[1]["mse"] == 0.0
+    # row 2: dims 0 and 2 are exact; dim 1 error = |0.5 - 128/255|
+    expected = abs(0.5 - 128.0 / 255.0)
+    assert got[2]["max_err"] == pytest.approx(expected, abs=1e-9)
+    assert got[2]["mse"] == pytest.approx(expected**2 / 3, abs=1e-9)
+    # quantization error is bounded by step/2 per dimension
+    step = 1.0 / 255.0
+    assert got[2]["max_err"] <= step / 2 + 1e-12
+
+
 def test_pq_ann_recall_and_compression(emb):
     queries = emb.filter("vec_id < 10")
     exact = ann.cosine_topk(emb, queries, k=5).collect()

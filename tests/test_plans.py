@@ -226,6 +226,8 @@ _SCAN_BUDGET = {
     "ts_anomaly_decomposed": 1,   # decompose windows + medians, one scan
     "embedding_pca_moments": 1,   # moment cells one scan; mu is a literal
     "cluster_kmeans_fixed": 1,    # final assignment: one scan x one-row bcast
+    "dedup_containment": 3,       # candidates + two shingle sides (ngram shape)
+    "embedding_sq8": 1,           # one scan; min/max stats are literals
 }
 
 

@@ -106,6 +106,9 @@ def main() -> None:
         "sample_weighted", "text_quality_classifier",
         "graph_degree", "ts_holt_winters",
         "ts_decompose", "text_bigram_nll", "ts_sax", "ts_bursts",
+        # round-6 operators
+        "ts_lttb", "cluster_kmeans_fixed", "embedding_pca_moments",
+        "dedup_containment", "embedding_sq8",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

@@ -54,6 +54,16 @@ def _PR_ROUND(prev: str, out: str) -> str:
     )
 
 
+def _FOLD(n_expr: str, term: str) -> str:
+    """Sequential-fold sum over a list expression — mirrors the JVM
+    F.aggregate op order (the cosine-fold convention)."""
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(generate_series(1, {n_expr}), k -> {term})),"
+        " (x, y) -> x + y)"
+    )
+
+
 def _KM_ASSIGN(vsrc: str, csrc: str, out: str) -> str:
     """One spherical-kmeans assignment pass as a CTE: per vector the
     best centroid by (-round(cos, 9), cid) — Spark's array_sort argmin
@@ -1387,7 +1397,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # out of the 50-key window (fql_sample = the NTZ canary)
         "fql_sample": _fql_query("sample(@hour) in /events"),
         "agg_order_cube": _analytics("order_cube"),
-        "pipeline_semdedup": _pipeline_semdedup,  # rows-only: iterative kmeans
+        "pipeline_semdedup": _pipeline_semdedup,
         "ts_forecast": _ts_forecast,
         "ts_lttb": _ts_lttb,
         "text_keywords": _text_keywords,
@@ -2492,6 +2502,38 @@ def oracle_sql() -> dict[str, str]:
             " CAST(count(*) AS BIGINT) AS n_clusters FROM sz GROUP BY 1"
         ),
         # intra-class coherence: decimal-exact per-(label,dim) centroid
+        # SemDeDup replayed end-to-end: the registry call is fully
+        # deterministic (k=8, FIXED 5 Lloyd iterations, md5 seeds,
+        # deterministic-sum updates), so 6 assignment + 5 update CTE
+        # rounds reproduce the clustering and the within-cluster
+        # smaller-id-neighbor drop rule reproduces is_kept bit-for-bit
+        # (VERDICT r5 "rows-only" row retired)
+        "pipeline_semdedup": (
+            "WITH v AS (SELECT vec_id, list_transform(embedding,"
+            "  x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),"
+            " c0 AS (SELECT row_number() OVER"
+            "  (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid, vv AS cv"
+            "  FROM v QUALIFY cid < 8),"
+            + ",".join(
+                part
+                for i in range(1, 6)
+                for part in (
+                    _KM_ASSIGN("v", f"c{i - 1}", f"a{i}"),
+                    _KM_UPDATE(f"a{i}", f"c{i - 1}", f"c{i}"),
+                )
+            )
+            + "," + _KM_ASSIGN("v", "c5", "a6")
+            + ", dup AS (SELECT DISTINCT a.vec_id AS id"
+            "  FROM a6 a JOIN a6 b ON b.cluster = a.cluster"
+            "  AND b.vec_id < a.vec_id WHERE round("
+            + _FOLD("len(a.vv)", "a.vv[k] * b.vv[k]")
+            + " / (sqrt(" + _FOLD("len(a.vv)", "a.vv[k] * a.vv[k]")
+            + ") * sqrt(" + _FOLD("len(b.vv)", "b.vv[k] * b.vv[k]")
+            + ")), 9) >= 0.5)"
+            " SELECT a6.vec_id, CAST(a6.cluster AS INT) AS cluster,"
+            " (dup.id IS NULL) AS is_kept"
+            " FROM a6 LEFT JOIN dup ON dup.id = a6.vec_id"
+        ),
         # fixed-2-iteration spherical kmeans replayed end-to-end:
         # md5-min seeds, 3 assignment passes, 2 deterministic-sum
         # Lloyd updates — the iterative entry point's exact arithmetic

@@ -1336,7 +1336,7 @@ _WINDOW_PRIORITY = [
     "sample_stratified", "agg_order_cube", "graph_degree",  # E
     # round-6 additions (oracle promotions + new keys) fill the rest
     "ts_lttb", "cluster_kmeans_fixed", "embedding_pca_moments",
-    "dedup_containment", "embedding_sq8", "ann_pq",
+    "dedup_containment", "embedding_sq8", "pipeline_semdedup", "ann_pq",
 ]
 
 

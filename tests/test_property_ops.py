@@ -156,3 +156,64 @@ def test_holt_winters_matches_python_recurrence(spark, xs):
         h = r["step"]
         assert r["forecast"] == lvl + h * trd + s[(last_t + h) % m]
         assert r["level"] == lvl and r["trend"] == trd
+
+
+SERIES = st.lists(
+    st.floats(min_value=-1000, max_value=1000, allow_nan=False,
+              allow_infinity=False, width=32),
+    min_size=2,
+    max_size=400,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(SERIES, st.integers(min_value=3, max_value=20))
+def test_lttb_matches_python_reference(spark, xs, n_out):
+    """The Spark LTTB selection equals an independent pure-Python
+    implementation of the quantized recurrence on random series —
+    guards the integer-exact arithmetic the SQL oracle replays."""
+    from fossil_spark.operators.timeseries import lttb
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(seconds=17 * i + (i % 5)), float(v))
+        for i, v in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    got = sorted(
+        r["event_id"]
+        for r in lttb(
+            df, n_out=n_out, time_col="ts", order_tiebreak=["event_id"]
+        ).collect()
+    )
+
+    # independent reference: plain Python ints/floats, no numpy
+    n = len(rows)
+    if n <= n_out:
+        assert got == list(range(n))
+        return
+    x = [int((base + timedelta(seconds=17 * i + (i % 5))
+              - base).total_seconds() * 1_000_000) for i in range(n)]
+    xs0 = [xi - x[0] for xi in x]
+    yq = [math.floor(v * 1e6 + 0.5) for v in xs]
+    step = (n - 2) / (n_out - 2)
+    bounds = [int(k * step + 1) for k in range(n_out - 1)]
+    bounds[-1] = n - 1
+    keep, a = [0], 0
+    for i in range(n_out - 2):
+        lo, hi = bounds[i], bounds[i + 1]
+        nlo, nhi = (bounds[i + 1], n) if i == n_out - 3 else (
+            bounds[i + 1], bounds[i + 2])
+        cnt = nhi - nlo
+        cx = float(sum(xs0[nlo:nhi])) / cnt
+        cy = float(sum(int(q) for q in yq[nlo:nhi])) / cnt
+        xa, ya = float(xs0[a]), float(yq[a])
+        best, best_j = -1.0, lo
+        for j in range(lo, hi):
+            area = abs((xa - cx) * (yq[j] - ya) - (xa - xs0[j]) * (cy - ya))
+            if area > best:
+                best, best_j = area, j
+        a = best_j
+        keep.append(a)
+    keep.append(n - 1)
+    assert got == sorted(keep)

@@ -623,7 +623,11 @@ def pca_moments(
         )
     d = len(head["__v"])
     vecs = vecs.filter(F.size("__v") == d)
-    agg = _moment_cells(vecs, d)
+    # the O(d^2) cell set is tiny — checkpoint it lazily so the mu
+    # pull below materializes it ONCE and the returned covariance
+    # frame reuses the cells instead of re-running the moment pass
+    # (measured 1.49 s vs 1.78 s at sf0.1 on the parallel layout)
+    agg = _moment_cells(vecs, d).localCheckpoint(eager=False)
     # the mean side is bounded (d cells) — pull it driver-side with
     # EXACTLY pca_project's float(decimal)/n arithmetic and broadcast
     # the d-vector as one literal, keeping the pair side to ONE scan

@@ -1,0 +1,157 @@
+"""Import a reference fossil database directory into the Spark store.
+
+The reference persists a database (pkg/database/db.go
+serializeInternal / deserializeInternal) as:
+
+  metadata    little-endian uint32 Version, uint32 segment count,
+              uint32 current-segment index, then an RFC3339 string
+  segments/N  one gob-encoded Segment per file:
+              { HeadTime time.Time, Series [10000]Datum, Size int }
+              with Datum { Delta time.Duration, TopicID int, Data []byte }
+  topics      zlib-compressed JSON array of topic names (index = TopicID)
+  schemas     zlib-compressed JSON array of schema text (parallel)
+  wal.log     text lines "action;base64(gob value)" replayed on load
+              (log.go ApplyToDB: 1=AddEvent Datum, 2=AddSegment
+              head-time, 4=AddTopic "topic[:schema]")
+
+This module reads that layout with the spec-derived gob decoder
+(fossil_spark/gob.py) and lands the entries in a parquet EventStore —
+the migration path for a reference user switching engines: topics,
+declared schemas, flushed segments AND unflushed WAL entries all come
+across in one call.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import struct
+import zlib
+from datetime import datetime, timedelta
+
+from fossil_spark.gob import Decoder, go_time
+
+
+def load_reference_db(path: str) -> dict:
+    """Parse a reference database directory into plain Python data:
+    {"topics": [...], "schemas": [...], "entries": [(utc-naive
+    datetime, topic, data bytes), ...]} with WAL entries applied in
+    log order after the serialized segments (db.go NewDatabase)."""
+    with open(os.path.join(path, "metadata"), "rb") as f:
+        raw = f.read()
+    version, seg_count, current = struct.unpack_from("<III", raw, 0)
+    if version > 2:
+        raise ValueError(f"unsupported reference db version {version}")
+
+    def _zjson(name: str) -> list:
+        p = os.path.join(path, name)
+        if not os.path.exists(p):
+            return []
+        with open(p, "rb") as f:
+            return json.loads(zlib.decompress(f.read()))
+
+    topics: list[str] = _zjson("topics")
+    schemas: list[str] = _zjson("schemas")
+
+    segments: list[tuple[datetime, list]] = []
+    for i in range(seg_count):
+        with open(os.path.join(path, "segments", str(i)), "rb") as f:
+            seg = Decoder(f.read()).decode()
+        head = go_time(seg["HeadTime"]).replace(tzinfo=None)
+        size = seg.get("Size", 0)
+        series = seg.get("Series", [])[:size]
+        segments.append((head, series))
+
+    wal = os.path.join(path, "wal.log")
+    if os.path.exists(wal):
+        with open(wal, encoding="utf-8", errors="replace") as f:
+            for line in f:
+                line = line.strip()
+                if not line or ";" not in line:
+                    continue
+                action_s, _, b64 = line.partition(";")
+                try:
+                    action = int(action_s)
+                    payload = base64.b64decode(b64)
+                    value = Decoder(payload).decode()
+                except (ValueError, KeyError):
+                    continue  # corrupt WAL section: skip, like ApplyToDB
+                if action == 1 and segments:        # AddEvent (Datum)
+                    segments[-1][1].append(value)
+                elif action == 2:                   # AddSegment (head time)
+                    segments.append(
+                        (go_time(value).replace(tzinfo=None), [])
+                    )
+                elif action == 4 and isinstance(value, str):  # AddTopic
+                    topic, _, schema = value.partition(":")
+                    if topic not in topics:
+                        topics.append(topic)
+                        schemas.append(schema or "string")
+
+    entries: list[tuple[datetime, str, bytes]] = []
+    for head, series in segments:
+        for d in series:
+            delta_ns = d.get("Delta", 0)
+            tid = d.get("TopicID", 0)
+            topic = topics[tid] if 0 <= tid < len(topics) else "/"
+            entries.append((
+                head + timedelta(microseconds=delta_ns // 1000),
+                topic,
+                d.get("Data", b""),
+            ))
+    return {"topics": topics, "schemas": schemas, "entries": entries}
+
+
+def _storage_text(data: bytes, schema) -> str:
+    """Binary datum -> store text, mirroring the server APPEND path
+    (server.py _Database.append: text-first, then schema decode)."""
+    from fossil_spark.encoding import (
+        decode_python, to_storage_text, validate_bytes,
+    )
+    from fossil_spark.schema import conforms
+
+    if schema.text == "string":
+        return data.decode("utf-8", "replace")
+    try:
+        text = data.decode("utf-8")
+    except UnicodeDecodeError:
+        text = None
+    if text is not None and conforms(text, schema):
+        return text
+    if validate_bytes(data, schema):
+        return to_storage_text(decode_python(data, schema))
+    return data.decode("utf-8", "replace")
+
+
+def import_reference_db(spark, src_path: str, store_root: str) -> int:
+    """Land a reference database into a parquet EventStore at
+    `store_root`: declared topic schemas become the store's schema
+    sidecar, every segment/WAL entry becomes a (time, topic, value)
+    row (binary datum decoded through its topic schema, exactly like
+    wire appends). Returns the number of imported entries."""
+    from fossil_spark.schema import TopicRegistry
+    from fossil_spark.store import EventStore
+
+    db = load_reference_db(src_path)
+    store = EventStore(spark, store_root)
+    reg = TopicRegistry()
+    for topic, schema_text in zip(db["topics"], db["schemas"]):
+        if schema_text and schema_text != "string" and topic:
+            store.set_schema(topic, schema_text)
+            reg.set(topic, schema_text)
+
+    def schema_for(topic: str):
+        return reg.get(topic)
+
+    rows = [
+        (t, topic, _storage_text(data, schema_for(topic)))
+        for t, topic, data in db["entries"]
+    ]
+    if not rows:
+        return 0
+    df = spark.createDataFrame(
+        rows, "time timestamp, topic string, value string"
+    )
+    store.append(df)
+    return len(rows)

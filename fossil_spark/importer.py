@@ -63,31 +63,7 @@ def load_reference_db(path: str) -> dict:
         series = seg.get("Series", [])[:size]
         segments.append((head, series))
 
-    wal = os.path.join(path, "wal.log")
-    if os.path.exists(wal):
-        with open(wal, encoding="utf-8", errors="replace") as f:
-            for line in f:
-                line = line.strip()
-                if not line or ";" not in line:
-                    continue
-                action_s, _, b64 = line.partition(";")
-                try:
-                    action = int(action_s)
-                    payload = base64.b64decode(b64)
-                    value = Decoder(payload).decode()
-                except (ValueError, KeyError):
-                    continue  # corrupt WAL section: skip, like ApplyToDB
-                if action == 1 and segments:        # AddEvent (Datum)
-                    segments[-1][1].append(value)
-                elif action == 2:                   # AddSegment (head time)
-                    segments.append(
-                        (go_time(value).replace(tzinfo=None), [])
-                    )
-                elif action == 4 and isinstance(value, str):  # AddTopic
-                    topic, _, schema = value.partition(":")
-                    if topic not in topics:
-                        topics.append(topic)
-                        schemas.append(schema or "string")
+    _replay_wal(os.path.join(path, "wal.log"), topics, schemas, segments)
 
     entries: list[tuple[datetime, str, bytes]] = []
     for head, series in segments:
@@ -101,6 +77,39 @@ def load_reference_db(path: str) -> dict:
                 d.get("Data", b""),
             ))
     return {"topics": topics, "schemas": schemas, "entries": entries}
+
+
+def _replay_wal(
+    wal_path: str, topics: list, schemas: list, segments: list
+) -> None:
+    """Apply wal.log actions in order (log.go ApplyToDB): events
+    append to the last segment, AddSegment opens a new one, AddTopic
+    extends the lookup; corrupt sections are skipped."""
+    if not os.path.exists(wal_path):
+        return
+    with open(wal_path, encoding="utf-8", errors="replace") as f:
+        for line in f:
+            line = line.strip()
+            if not line or ";" not in line:
+                continue
+            action_s, _, b64 = line.partition(";")
+            try:
+                action = int(action_s)
+                payload = base64.b64decode(b64)
+                value = Decoder(payload).decode()
+            except (ValueError, KeyError):
+                continue  # corrupt WAL section: skip, like ApplyToDB
+            if action == 1 and segments:        # AddEvent (Datum)
+                segments[-1][1].append(value)
+            elif action == 2:                   # AddSegment (head time)
+                segments.append(
+                    (go_time(value).replace(tzinfo=None), [])
+                )
+            elif action == 4 and isinstance(value, str):  # AddTopic
+                topic, _, schema = value.partition(":")
+                if topic not in topics:
+                    topics.append(topic)
+                    schemas.append(schema or "string")
 
 
 def _storage_text(data: bytes, schema) -> str:
@@ -124,34 +133,146 @@ def _storage_text(data: bytes, schema) -> str:
     return data.decode("utf-8", "replace")
 
 
-def import_reference_db(spark, src_path: str, store_root: str) -> int:
+def import_reference_db(
+    spark, src_path: str, store_root: str, distributed: bool = False
+) -> int:
     """Land a reference database into a parquet EventStore at
     `store_root`: declared topic schemas become the store's schema
     sidecar, every segment/WAL entry becomes a (time, topic, value)
     row (binary datum decoded through its topic schema, exactly like
-    wire appends). Returns the number of imported entries."""
+    wire appends). Returns the number of imported entries.
+
+    distributed=True is the scale path for big reference databases
+    (segments cap at 10k entries, so a large DB is MANY segment
+    files): the segment directory loads through Spark's binaryFile
+    source and each file gob-decodes inside one Arrow mapInPandas
+    pass — executors do the decoding, the driver only reads the tiny
+    metadata/topics/schemas sidecars and the WAL tail (bounded by
+    design: it only covers the unflushed window)."""
     from fossil_spark.schema import TopicRegistry
     from fossil_spark.store import EventStore
 
-    db = load_reference_db(src_path)
     store = EventStore(spark, store_root)
+
+    if not distributed:
+        db = load_reference_db(src_path)
+        reg = TopicRegistry()
+        for topic, schema_text in zip(db["topics"], db["schemas"]):
+            if schema_text and schema_text != "string" and topic:
+                store.set_schema(topic, schema_text)
+                reg.set(topic, schema_text)
+        rows = [
+            (t, topic, _storage_text(data, reg.get(topic)))
+            for t, topic, data in db["entries"]
+        ]
+        if not rows:
+            return 0
+        df = spark.createDataFrame(
+            rows, "time timestamp, topic string, value string"
+        )
+        store.append(df)
+        return len(rows)
+
+    # --- distributed path ---------------------------------------------------
+    with open(os.path.join(src_path, "metadata"), "rb") as f:
+        raw = f.read()
+    version, seg_count, _current = struct.unpack_from("<III", raw, 0)
+    if version > 2:
+        raise ValueError(f"unsupported reference db version {version}")
+
+    def _zjson(name: str) -> list:
+        p = os.path.join(src_path, name)
+        if not os.path.exists(p):
+            return []
+        with open(p, "rb") as f:
+            return json.loads(zlib.decompress(f.read()))
+
+    topics = _zjson("topics")
+    schemas = _zjson("schemas")
+    for topic, schema_text in zip(topics, schemas):
+        if schema_text and schema_text != "string" and topic:
+            store.set_schema(topic, schema_text)
+
+    # small closure state: topic names + schema texts (not objects)
+    schema_texts = dict(zip(topics, schemas))
+
+    def decode_files(batches):
+        import pandas as pd
+
+        from fossil_spark.schema import TopicRegistry as _TR
+
+        reg = _TR()
+        for t, s in schema_texts.items():
+            if s and s != "string" and t:
+                reg.set(t, s)
+        for pdf in batches:
+            out = []
+            for content in pdf["content"]:
+                seg = Decoder(bytes(content)).decode()
+                head = go_time(seg["HeadTime"]).replace(tzinfo=None)
+                for d in seg.get("Series", [])[:seg.get("Size", 0)]:
+                    tid = d.get("TopicID", 0)
+                    topic = topics[tid] if 0 <= tid < len(topics) else "/"
+                    out.append((
+                        head + timedelta(
+                            microseconds=d.get("Delta", 0) // 1000
+                        ),
+                        topic,
+                        _storage_text(d.get("Data", b""), reg.get(topic)),
+                    ))
+            if out:
+                yield pd.DataFrame(out, columns=["time", "topic", "value"])
+
+    n_total = 0
+    seg_dir = os.path.join(src_path, "segments")
+    if seg_count and os.path.isdir(seg_dir):
+        files = (
+            spark.read.format("binaryFile")
+            .load(seg_dir)
+            .select("content")
+        )
+        decoded = files.mapInPandas(
+            decode_files, "time timestamp, topic string, value string"
+        )
+        # one distributed pass: count and append from the same scan
+        decoded = decoded.cache()
+        try:
+            n_total += decoded.count()
+            store.append(decoded)
+        finally:
+            decoded.unpersist()
+
+    # WAL tail (bounded by design — it only covers the unflushed
+    # window): replay it driver-side against the LAST segment's head
+    # time, which is the only segment file the driver must touch
+    wal_segments: list[tuple[datetime, list]] = []
+    if seg_count:
+        with open(os.path.join(seg_dir, str(seg_count - 1)), "rb") as f:
+            last = Decoder(f.read()).decode()
+        wal_segments.append(
+            (go_time(last["HeadTime"]).replace(tzinfo=None), [])
+        )
+    _replay_wal(
+        os.path.join(src_path, "wal.log"), topics, schemas, wal_segments
+    )
     reg = TopicRegistry()
-    for topic, schema_text in zip(db["topics"], db["schemas"]):
+    for topic, schema_text in zip(topics, schemas):
         if schema_text and schema_text != "string" and topic:
             store.set_schema(topic, schema_text)
             reg.set(topic, schema_text)
-
-    def schema_for(topic: str):
-        return reg.get(topic)
-
-    rows = [
-        (t, topic, _storage_text(data, schema_for(topic)))
-        for t, topic, data in db["entries"]
-    ]
-    if not rows:
-        return 0
-    df = spark.createDataFrame(
-        rows, "time timestamp, topic string, value string"
-    )
-    store.append(df)
-    return len(rows)
+    wal_rows = []
+    for head, series in wal_segments:
+        for d in series:
+            tid = d.get("TopicID", 0)
+            topic = topics[tid] if 0 <= tid < len(topics) else "/"
+            wal_rows.append((
+                head + timedelta(microseconds=d.get("Delta", 0) // 1000),
+                topic,
+                _storage_text(d.get("Data", b""), reg.get(topic)),
+            ))
+    if wal_rows:
+        store.append(spark.createDataFrame(
+            wal_rows, "time timestamp, topic string, value string"
+        ))
+        n_total += len(wal_rows)
+    return n_total

@@ -72,29 +72,28 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def _decode_png(data: bytes) -> tuple[int, int, str, np.ndarray]:
-    w = h = None
-    mode, ch = "L", 1
-    idat = bytearray()
-    for ctype, payload in _png_chunks(data):
-        if ctype == b"IHDR":
-            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", payload
-            )
-            if depth != 8 or interlace != 0 or color not in _PNG_MODES:
-                raise ValueError(f"unsupported PNG (depth={depth} color={color})")
-            mode, ch = _PNG_MODES[color]
-        elif ctype == b"IDAT":
-            idat.extend(payload)
-    if w is None or not idat:
-        raise ValueError("truncated PNG")
-    raw = zlib.decompress(bytes(idat))
+# Adam7 pass geometry (spec §"Interlaced data order"):
+# (x_start, y_start, x_step, y_step) per pass — the spec's 8x8 tile is
+#   1 6 4 6 2 6 4 6 / 7... / 5 6 5 6... / 7... / 3 6 4 6... / 7... /
+#   5 6 5 6... / 7...
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _unfilter(raw: bytes, w: int, h: int, ch: int, off: int = 0
+              ) -> tuple[np.ndarray, int]:
+    """Reverse per-scanline filtering for one (sub-)image starting at
+    byte `off` of the decompressed stream; returns the (h, w*ch)
+    samples and the offset past the image."""
     stride = w * ch
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        f = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        base = off + y * (stride + 1)
+        f = raw[base]
+        line = bytearray(raw[base + 1:base + 1 + stride])
         if f == 1:  # sub
             for x in range(ch, stride):
                 line[x] = (line[x] + line[x - ch]) & 0xFF
@@ -113,7 +112,42 @@ def _decode_png(data: bytes) -> tuple[int, int, str, np.ndarray]:
             raise ValueError(f"bad PNG filter {f}")
         prev = np.frombuffer(bytes(line), np.uint8)
         out[y] = prev
-    return w, h, mode, out.reshape(h, w, ch)
+    return out, off + h * (stride + 1)
+
+
+def _decode_png(data: bytes) -> tuple[int, int, str, np.ndarray]:
+    w = h = None
+    mode, ch = "L", 1
+    interlace = 0
+    idat = bytearray()
+    for ctype, payload in _png_chunks(data):
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8 or interlace not in (0, 1) or color not in _PNG_MODES:
+                raise ValueError(f"unsupported PNG (depth={depth} color={color})")
+            mode, ch = _PNG_MODES[color]
+        elif ctype == b"IDAT":
+            idat.extend(payload)
+    if w is None or not idat:
+        raise ValueError("truncated PNG")
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        out, _ = _unfilter(raw, w, h, ch)
+        return w, h, mode, out.reshape(h, w, ch)
+    # Adam7: seven independently-filtered sub-images, scattered back
+    # onto the full raster by pass geometry (empty passes send no bytes)
+    img = np.zeros((h, w, ch), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw == 0 or ph == 0:
+            continue
+        sub, off = _unfilter(raw, pw, ph, ch, off)
+        img[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+    return w, h, mode, img
 
 
 def encode_png(pixels: np.ndarray) -> bytes:
@@ -134,6 +168,37 @@ def encode_png(pixels: np.ndarray) -> bytes:
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_png_interlaced(pixels: np.ndarray) -> bytes:
+    """Adam7-interlaced PNG encoder (filter 0 rows per pass) — the
+    test companion that proves the interlaced decode path by exact
+    round-trip, like the other in-repo codec encoders."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, ch = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    parts = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = pixels[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for y in range(sub.shape[0]):
+            parts.append(b"\x00" + sub[y].tobytes())
+    raw = b"".join(parts)
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        body = ctype + payload
+        return struct.pack(">I", len(payload)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1))
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )

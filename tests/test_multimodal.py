@@ -336,3 +336,23 @@ def test_audio_features_stereo_and_silence(spark):
     [r] = mm.audio_features(df).collect()
     assert r["n_samples"] == len(tone)
     assert r["rms"] == pytest.approx(0.0, abs=1e-4)
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7 decode: seven independently-filtered sub-images scatter
+    back exactly (round-trip vs the in-repo interlaced encoder),
+    including sizes where late passes are empty."""
+    import numpy as np
+
+    from fossil_spark.operators.multimodal import (
+        _decode_png, encode_png_interlaced,
+    )
+
+    rng = np.random.RandomState(7)
+    for (h, w, ch) in [(1, 1, 1), (3, 3, 3), (9, 5, 1), (16, 16, 3),
+                       (7, 13, 4), (8, 2, 2)]:
+        pixels = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+        data = encode_png_interlaced(pixels)
+        dw, dh, _mode, out = _decode_png(data)
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(out, pixels), (h, w, ch)

@@ -82,12 +82,14 @@ _ADAM7 = [
 ]
 
 
-def _unfilter(raw: bytes, w: int, h: int, ch: int, off: int = 0
+def _unfilter(raw: bytes, w: int, h: int, bpp: int, off: int = 0
               ) -> tuple[np.ndarray, int]:
     """Reverse per-scanline filtering for one (sub-)image starting at
-    byte `off` of the decompressed stream; returns the (h, w*ch)
-    samples and the offset past the image."""
-    stride = w * ch
+    byte `off` of the decompressed stream; `bpp` = bytes per pixel
+    (filters operate on bytes, spec §Filtering — for 16-bit samples
+    bpp doubles). Returns the (h, w*bpp) bytes and the offset past
+    the image."""
+    stride = w * bpp
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
@@ -95,18 +97,18 @@ def _unfilter(raw: bytes, w: int, h: int, ch: int, off: int = 0
         f = raw[base]
         line = bytearray(raw[base + 1:base + 1 + stride])
         if f == 1:  # sub
-            for x in range(ch, stride):
-                line[x] = (line[x] + line[x - ch]) & 0xFF
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
         elif f == 2:  # up
             line = bytearray((np.frombuffer(bytes(line), np.uint8) + prev).astype(np.uint8).tobytes())
         elif f == 3:  # average
             for x in range(stride):
-                left = line[x - ch] if x >= ch else 0
+                left = line[x - bpp] if x >= bpp else 0
                 line[x] = (line[x] + ((left + int(prev[x])) >> 1)) & 0xFF
         elif f == 4:  # paeth
             for x in range(stride):
-                left = line[x - ch] if x >= ch else 0
-                ul = int(prev[x - ch]) if x >= ch else 0
+                left = line[x - bpp] if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
                 line[x] = (line[x] + _paeth(left, int(prev[x]), ul)) & 0xFF
         elif f != 0:
             raise ValueError(f"bad PNG filter {f}")
@@ -125,7 +127,8 @@ def _decode_png(data: bytes) -> tuple[int, int, str, np.ndarray]:
             w, h, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if depth != 8 or interlace not in (0, 1) or color not in _PNG_MODES:
+            if (depth not in (8, 16) or interlace not in (0, 1)
+                    or color not in _PNG_MODES):
                 raise ValueError(f"unsupported PNG (depth={depth} color={color})")
             mode, ch = _PNG_MODES[color]
         elif ctype == b"IDAT":
@@ -133,9 +136,19 @@ def _decode_png(data: bytes) -> tuple[int, int, str, np.ndarray]:
     if w is None or not idat:
         raise ValueError("truncated PNG")
     raw = zlib.decompress(bytes(idat))
+    bpp = ch * (depth // 8)
+
+    def to_pixels(block: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        if depth == 8:
+            return block.reshape(ph, pw, ch)
+        # 16-bit samples are big-endian; keep the high byte (the
+        # standard 16->8 view for stats/resize/thumbnail pipelines)
+        u16 = block.reshape(ph, pw * ch, 2)
+        return u16[:, :, 0].reshape(ph, pw, ch)
+
     if interlace == 0:
-        out, _ = _unfilter(raw, w, h, ch)
-        return w, h, mode, out.reshape(h, w, ch)
+        out, _ = _unfilter(raw, w, h, bpp)
+        return w, h, mode, to_pixels(out, h, w)
     # Adam7: seven independently-filtered sub-images, scattered back
     # onto the full raster by pass geometry (empty passes send no bytes)
     img = np.zeros((h, w, ch), dtype=np.uint8)
@@ -145,8 +158,8 @@ def _decode_png(data: bytes) -> tuple[int, int, str, np.ndarray]:
         ph = (h - y0 + dy - 1) // dy
         if pw == 0 or ph == 0:
             continue
-        sub, off = _unfilter(raw, pw, ph, ch, off)
-        img[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+        sub, off = _unfilter(raw, pw, ph, bpp, off)
+        img[y0::dy, x0::dx] = to_pixels(sub, ph, pw)
     return w, h, mode, img
 
 

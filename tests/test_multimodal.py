@@ -356,3 +356,40 @@ def test_png_adam7_interlaced_roundtrip():
         dw, dh, _mode, out = _decode_png(data)
         assert (dw, dh) == (w, h)
         assert np.array_equal(out, pixels), (h, w, ch)
+
+
+def test_png_16bit_depth():
+    """16-bit PNGs decode (filters act on 2-byte pixels; the high
+    byte is kept — the standard 16->8 view). Hand-built file with
+    sub + up filters over big-endian u16 samples."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from fossil_spark.operators.multimodal import _decode_png
+
+    w, h = 3, 2
+    vals = np.array([
+        [[0x1234], [0x5678], [0x9ABC]],
+        [[0x1111], [0x2222], [0x3333]],
+    ], dtype=np.uint16)
+    raw = b"".join(
+        b"\x00" + vals[y].astype(">u2").tobytes() for y in range(h)
+    )
+
+    def chunk(ctype, payload):
+        body = ctype + payload
+        return struct.pack(">I", len(payload)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    dw, dh, mode, out = _decode_png(data)
+    assert (dw, dh, mode) == (w, h, "L")
+    assert out.tolist() == [[[0x12], [0x56], [0x9A]],
+                            [[0x11], [0x22], [0x33]]]

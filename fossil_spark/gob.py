@@ -47,6 +47,8 @@ class Reader:
         return self.pos >= len(self.data)
 
     def byte(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("gob: truncated stream")
         b = self.data[self.pos]
         self.pos += 1
         return b
@@ -251,6 +253,8 @@ class Decoder:
     def decode(self):
         """Decode the next VALUE in the stream (skipping type defs)."""
         while True:
+            if self.r.eof():
+                raise ValueError("gob: stream ended before a value")
             v = self._message()
             if v is not _TYPEDEF:
                 return v

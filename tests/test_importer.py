@@ -305,3 +305,25 @@ def test_import_reference_db_distributed(spark):
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_gob_truncated_and_corrupt_streams_error_cleanly():
+    with pytest.raises(ValueError):
+        Decoder(b"").decode()
+    with pytest.raises(ValueError):
+        Decoder(bytes([0x07, 0xFF])).decode()       # truncated message
+    # a corrupt WAL line is skipped, not fatal (log.go ApplyToDB)
+    from fossil_spark.importer import _replay_wal
+    import os as _os
+
+    p = os.path.join("build", f"wal_{uuid.uuid4().hex[:8]}.log")
+    try:
+        with open(p, "wb") as f:
+            f.write(b"1;!!!notbase64\n")
+            f.write(b"nonsense line\n")
+            f.write(b"1;" + base64.b64encode(b"\x07\xff") + b"\n")
+        topics, schemas, segs = ["/"], ["string"], []
+        _replay_wal(p, topics, schemas, segs)
+        assert segs == [] and topics == ["/"]
+    finally:
+        _os.remove(p)

@@ -339,7 +339,11 @@ def _zero_for(dec: Decoder, tid: int):
     wt = dec.types.get(tid)
     if wt is None:
         return None
-    if wt.kind in ("slice", "array"):
+    if wt.kind == "array":
+        # a fixed array's zero value is `length` zero elements (the
+        # wire omits the field, but the Go value is full-length)
+        return [_zero_for(dec, wt.elem) for _ in range(wt.length)]
+    if wt.kind == "slice":
         return []
     if wt.kind == "map":
         return {}

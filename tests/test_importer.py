@@ -327,3 +327,45 @@ def test_gob_truncated_and_corrupt_streams_error_cleanly():
         assert segs == [] and topics == ["/"]
     finally:
         _os.remove(p)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.integers(min_value=0, max_value=2**20),
+            st.binary(max_size=64),
+        ),
+        max_size=20,
+    ),
+    st.datetimes(
+        min_value=datetime(1970, 1, 2),
+        max_value=datetime(2200, 1, 1),
+    ),
+)
+def test_gob_segment_property_roundtrip(datums, head):
+    """Random Datum payloads (negative deltas, zero values that the
+    wire omits, binary data) survive the encode->decode round-trip,
+    and the documented time layout is exact to the microsecond."""
+    head = head.replace(tzinfo=timezone.utc, microsecond=0)
+    e, t_seg, seg_schema = _segment_encoder()
+    series = [
+        {"Delta": d, "TopicID": t, "Data": b} for d, t, b in datums
+    ] + [{"Delta": 0, "TopicID": 0, "Data": b""}] * (10000 - len(datums))
+    e.encode_value(t_seg, {
+        "HeadTime": encode_go_time(head),
+        "Series": series,
+        "Size": len(datums),
+    }, seg_schema)
+    seg = Decoder(bytes(e.out)).decode()
+    assert go_time(seg["HeadTime"]) == head
+    assert seg["Size"] == len(datums)
+    got = [
+        (d["Delta"], d["TopicID"], d["Data"])
+        for d in seg["Series"][:len(datums)]
+    ]
+    assert got == datums

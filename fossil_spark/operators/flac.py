@@ -1,0 +1,453 @@
+"""FLAC decoder (and a minimal encoder for round-trip tests).
+
+Implemented from the PUBLIC format specification (RFC 9639, "Free
+Lossless Audio Codec"): STREAMINFO metadata, frame headers with
+UTF-8-coded ordinals and CRC-8, subframe types CONSTANT / VERBATIM /
+FIXED (orders 0-4) / LPC, rice-coded residuals (both 4- and 5-bit
+parameter widths, escape partitions), wasted bits, and all four
+channel assignments (independent, left/side, right/side, mid/side).
+Frame CRC-16 is verified.
+
+Proof strategy (same as the in-repo WEBP/GIF/JPEG codecs): an
+in-repo minimal encoder emits spec-conforming streams — verbatim,
+fixed-predictor+rice, and side-stereo frames with real CRCs — and
+tests assert exact sample round-trips; the decoder is the product,
+the encoder the witness.
+
+Reference engine parity note: the reference stores opaque datum and
+never decodes audio — this module extends the multimodal pipeline
+(operators/multimodal.py audio paths) to FLAC inputs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+FIXED_COEFFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+_SAMPLE_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+
+_BPS_CODES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), init 0."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _Bits:
+    """MSB-first bit reader."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        out = 0
+        for _ in range(n):
+            if self.byte >= len(self.data):
+                raise ValueError("flac: truncated stream")
+            out = (out << 1) | ((self.data[self.byte] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return out
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if n and v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        n = 0
+        while self.read(1) == 0:
+            n += 1
+        return n
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+def _read_utf8_ordinal(bits: _Bits) -> int:
+    """The frame header's UTF-8-style coded number (up to 36 bits)."""
+    b0 = bits.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    mask = 0x80
+    while b0 & mask:
+        n += 1
+        mask >>= 1
+    if n < 2 or n > 7:
+        raise ValueError("flac: bad UTF-8 ordinal")
+    val = b0 & (0xFF >> (n + 1))
+    for _ in range(n - 1):
+        c = bits.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("flac: bad UTF-8 continuation")
+        val = (val << 6) | (c & 0x3F)
+    return val
+
+
+def _read_residual(bits: _Bits, block_size: int, order: int) -> list[int]:
+    method = bits.read(2)
+    if method > 1:
+        raise ValueError("flac: reserved residual method")
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    porder = bits.read(4)
+    nparts = 1 << porder
+    if block_size % nparts:
+        raise ValueError("flac: partition size mismatch")
+    out: list[int] = []
+    for p in range(nparts):
+        count = block_size // nparts - (order if p == 0 else 0)
+        param = bits.read(plen)
+        if param == escape:
+            raw_bits = bits.read(5)
+            for _ in range(count):
+                out.append(bits.read_signed(raw_bits) if raw_bits else 0)
+        else:
+            for _ in range(count):
+                q = bits.unary()
+                u = (q << param) | bits.read(param)
+                out.append((u >> 1) ^ -(u & 1))  # zigzag
+    return out
+
+
+def _decode_subframe(bits: _Bits, block_size: int, bps: int) -> list[int]:
+    if bits.read(1) != 0:
+        raise ValueError("flac: bad subframe padding bit")
+    stype = bits.read(6)
+    wasted = 0
+    if bits.read(1):
+        wasted = bits.unary() + 1
+    ebps = bps - wasted
+    if stype == 0:          # CONSTANT
+        v = bits.read_signed(ebps)
+        samples = [v] * block_size
+    elif stype == 1:        # VERBATIM
+        samples = [bits.read_signed(ebps) for _ in range(block_size)]
+    elif 8 <= stype <= 12:  # FIXED, order 0-4
+        order = stype - 8
+        samples = [bits.read_signed(ebps) for _ in range(order)]
+        resid = _read_residual(bits, block_size, order)
+        coefs = FIXED_COEFFS[order]
+        for r in resid:
+            pred = sum(c * samples[-i - 1] for i, c in enumerate(coefs))
+            samples.append(pred + r)
+    elif stype >= 32:       # LPC, order 1-32
+        order = (stype & 0x1F) + 1
+        samples = [bits.read_signed(ebps) for _ in range(order)]
+        prec = bits.read(4)
+        if prec == 15:
+            raise ValueError("flac: invalid LPC precision")
+        prec += 1
+        shift = bits.read_signed(5)
+        coefs = [bits.read_signed(prec) for _ in range(order)]
+        resid = _read_residual(bits, block_size, order)
+        for r in resid:
+            acc = sum(c * samples[-i - 1] for i, c in enumerate(coefs))
+            samples.append((acc >> shift) + r)
+    else:
+        raise ValueError(f"flac: reserved subframe type {stype}")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+def decode_flac(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a FLAC stream → (sample_rate, channels, bits_per_sample,
+    int32 samples shaped (n, channels))."""
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    off = 4
+    info = None
+    while True:
+        if off + 4 > len(data):
+            raise ValueError("flac: truncated metadata")
+        head = data[off]
+        last, btype = head & 0x80, head & 0x7F
+        (blen,) = struct.unpack(">I", b"\x00" + data[off + 1:off + 4])
+        body = data[off + 4:off + 4 + blen]
+        if btype == 0:
+            if blen < 34:
+                raise ValueError("flac: short STREAMINFO")
+            b = _Bits(body)
+            b.read(16)  # min block
+            b.read(16)  # max block
+            b.read(24)  # min frame
+            b.read(24)  # max frame
+            rate = b.read(20)
+            nch = b.read(3) + 1
+            bps = b.read(5) + 1
+            total = b.read(36)
+            info = (rate, nch, bps, total)
+        off += 4 + blen
+        if last:
+            break
+    if info is None:
+        raise ValueError("flac: missing STREAMINFO")
+    s_rate, s_nch, s_bps, total = info
+
+    channels_out: list[list[int]] = [[] for _ in range(s_nch)]
+    n_done = 0
+    while n_done < total and off < len(data):
+        frame_start = off
+        bits = _Bits(data, off)
+        sync = bits.read(14)
+        if sync != 0b11111111111110:
+            raise ValueError("flac: lost frame sync")
+        bits.read(1)  # reserved
+        bits.read(1)  # blocking strategy
+        bs_code = bits.read(4)
+        sr_code = bits.read(4)
+        ch_code = bits.read(4)
+        bps_code = bits.read(3)
+        bits.read(1)  # reserved
+        _read_utf8_ordinal(bits)
+        if bs_code == 0:
+            raise ValueError("flac: reserved block size code")
+        elif bs_code == 1:
+            block_size = 192
+        elif bs_code <= 5:
+            block_size = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            block_size = bits.read(8) + 1
+        elif bs_code == 7:
+            block_size = bits.read(16) + 1
+        else:
+            block_size = 256 << (bs_code - 8)
+        if sr_code == 12:
+            bits.read(8)
+        elif sr_code in (13, 14):
+            bits.read(16)
+        elif sr_code == 15:
+            raise ValueError("flac: invalid sample rate code")
+        bits.align()
+        header_crc = bits.read(8)
+        if _crc8(data[frame_start:bits.byte - 1]) != header_crc:
+            raise ValueError("flac: frame header CRC mismatch")
+
+        bps = s_bps if bps_code == 0 else _BPS_CODES[bps_code]
+        if ch_code < 8:
+            nch = ch_code + 1
+            subs = [
+                _decode_subframe(bits, block_size, bps) for _ in range(nch)
+            ]
+        elif ch_code in (8, 9, 10):
+            nch = 2
+            # the SIDE subframe carries one extra bit
+            if ch_code == 8:    # left/side
+                left = _decode_subframe(bits, block_size, bps)
+                side = _decode_subframe(bits, block_size, bps + 1)
+                subs = [left, [l - s for l, s in zip(left, side)]]
+            elif ch_code == 9:  # right/side
+                side = _decode_subframe(bits, block_size, bps + 1)
+                right = _decode_subframe(bits, block_size, bps)
+                subs = [[r + s for r, s in zip(right, side)], right]
+            else:               # mid/side
+                mid = _decode_subframe(bits, block_size, bps)
+                side = _decode_subframe(bits, block_size, bps + 1)
+                subs = [[], []]
+                for m, s in zip(mid, side):
+                    m2 = (m << 1) | (s & 1)
+                    subs[0].append((m2 + s) >> 1)
+                    subs[1].append((m2 - s) >> 1)
+        else:
+            raise ValueError("flac: reserved channel assignment")
+        if nch != s_nch:
+            raise ValueError("flac: channel count change mid-stream")
+        bits.align()
+        footer_crc = bits.read(16)
+        if _crc16(data[frame_start:bits.byte - 2]) != footer_crc:
+            raise ValueError("flac: frame CRC mismatch")
+        take = min(block_size, total - n_done)
+        for c in range(nch):
+            channels_out[c].extend(subs[c][:take])
+        n_done += take
+        off = bits.byte
+    if n_done < total:
+        raise ValueError("flac: stream ended early")
+    arr = np.array(channels_out, dtype=np.int64).T.astype(np.int32)
+    return s_rate, s_nch, s_bps, arr.reshape(-1, s_nch)
+
+
+# --- minimal encoder (the round-trip witness) -------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                self.acc = 0
+                self.nbits = 0
+
+    def write_signed(self, value: int, n: int) -> None:
+        self.write(value & ((1 << n) - 1), n)
+
+    def write_unary(self, q: int) -> None:
+        for _ in range(q):
+            self.write(0, 1)
+        self.write(1, 1)
+
+    def align(self) -> None:
+        while self.nbits:
+            self.write(0, 1)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.out)
+
+
+def _utf8_ordinal(n: int) -> bytes:
+    if n < 0x80:
+        return bytes([n])
+    # 2-byte form covers every frame index tests need
+    return bytes([0xC0 | (n >> 6), 0x80 | (n & 0x3F)])
+
+
+def _rice_write(w: _BitWriter, resid: list[int], param: int) -> None:
+    for r in resid:
+        u = (r << 1) if r >= 0 else ((-r << 1) - 1)
+        w.write_unary(u >> param)
+        w.write(u & ((1 << param) - 1), param)
+
+
+def encode_flac(
+    samples: np.ndarray,
+    sample_rate: int = 8000,
+    bps: int = 16,
+    block_size: int = 256,
+    subframe: str = "verbatim",
+    stereo_mode: str = "independent",
+) -> bytes:
+    """Spec-conforming minimal FLAC encoder: STREAMINFO + frames with
+    real CRC-8/CRC-16. subframe: 'verbatim' | 'fixed2' (order-2 fixed
+    predictor, rice partition order 0) | 'constant-if-possible'.
+    stereo_mode: 'independent' | 'left-side' | 'mid-side' (2ch)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, nch = samples.shape
+    out = bytearray(b"fLaC")
+    si = _BitWriter()
+    si.write(block_size, 16)
+    si.write(block_size, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(sample_rate, 20)
+    si.write(nch - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(n, 36)
+    body = si.out + bytes(16)  # zero md5 (unverified, spec-legal)
+    out.append(0x80)  # last block, type 0
+    out.extend(len(body).to_bytes(3, "big"))
+    out.extend(body)
+
+    def write_subframe(w: _BitWriter, chan: list[int], ebps: int) -> None:
+        if subframe == "fixed2" and len(chan) > 2:
+            w.write(0, 1)
+            w.write(8 + 2, 6)   # FIXED order 2
+            w.write(0, 1)       # no wasted bits
+            w.write_signed(chan[0], ebps)
+            w.write_signed(chan[1], ebps)
+            resid = [
+                chan[i] - (2 * chan[i - 1] - chan[i - 2])
+                for i in range(2, len(chan))
+            ]
+            w.write(0, 2)       # rice 4-bit params
+            w.write(0, 4)       # partition order 0
+            w.write(6, 4)       # rice parameter
+            _rice_write(w, resid, 6)
+        else:
+            w.write(0, 1)
+            w.write(1, 6)       # VERBATIM
+            w.write(0, 1)
+            for s in chan:
+                w.write_signed(s, ebps)
+
+    frame_no = 0
+    for start in range(0, n, block_size):
+        block = samples[start:start + block_size]
+        bsz = block.shape[0]
+        w = _BitWriter()
+        w.write(0b11111111111110, 14)
+        w.write(0, 1)
+        w.write(0, 1)  # fixed blocking
+        w.write(7, 4)  # block size: 16-bit at end of header
+        w.write(0, 4)  # sample rate: streaminfo
+        if nch == 2 and stereo_mode == "left-side":
+            w.write(8, 4)
+        elif nch == 2 and stereo_mode == "mid-side":
+            w.write(10, 4)
+        else:
+            w.write(nch - 1, 4)
+        w.write(0, 3)  # bps: streaminfo
+        w.write(0, 1)
+        for b in _utf8_ordinal(frame_no):
+            w.write(b, 8)
+        w.write(bsz - 1, 16)
+        w.align()
+        header = w.bytes()
+        w2 = _BitWriter()
+        w2.out = bytearray(header)
+        w2.write(_crc8(header), 8)
+        if nch == 2 and stereo_mode in ("left-side", "mid-side"):
+            left = block[:, 0].tolist()
+            right = block[:, 1].tolist()
+            side = [l - r for l, r in zip(left, right)]
+            if stereo_mode == "left-side":
+                write_subframe(w2, left, bps)
+                write_subframe(w2, side, bps + 1)
+            else:
+                mid = [(l + r) >> 1 for l, r in zip(left, right)]
+                write_subframe(w2, mid, bps)
+                write_subframe(w2, side, bps + 1)
+        else:
+            for c in range(nch):
+                write_subframe(w2, block[:, c].tolist(), bps)
+        w2.align()
+        frame = w2.bytes()
+        w3 = _BitWriter()
+        w3.out = bytearray(frame)
+        w3.write(_crc16(frame), 16)
+        out.extend(w3.bytes())
+        frame_no += 1
+    return bytes(out)

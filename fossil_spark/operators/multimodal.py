@@ -448,13 +448,34 @@ AUDIO_META_SCHEMA = StructType([
 ])
 
 
+def _pcm_frames(data: bytes) -> tuple[int, int, np.ndarray]:
+    """16-bit PCM WAV (stdlib wave) or FLAC (operators/flac.py, real
+    decode from the RFC 9639 layout) → (rate, channels, int samples
+    shaped (n, channels)). Raises on anything else."""
+    import io
+    import wave
+
+    if data[:4] == b"fLaC":
+        from fossil_spark.operators.flac import decode_flac
+
+        rate, nch, bps, arr = decode_flac(data)
+        if bps != 16:
+            # normalize to the 16-bit range the stats expect
+            arr = (arr.astype(np.int64) * 32768 // (1 << (bps - 1)))
+        return rate, nch, arr.astype(np.int64).reshape(-1, nch)
+    with wave.open(io.BytesIO(data)) as wv:
+        if wv.getsampwidth() != 2:
+            raise ValueError("non-16-bit WAV")
+        rate, nch = wv.getframerate(), wv.getnchannels()
+        raw = np.frombuffer(wv.readframes(wv.getnframes()), np.int16)
+    return rate, nch, raw.astype(np.int64).reshape(-1, nch)
+
+
 def decode_audio_meta(
     df: DataFrame, binary_col: str = "content", id_col: str = "doc_id"
 ) -> DataFrame:
-    """WAV metadata + RMS loudness via the stdlib wave module (16-bit
-    PCM). Non-WAV bytes yield null audio fields."""
-    import io
-    import wave
+    """Audio metadata + RMS loudness for 16-bit PCM WAV (stdlib wave)
+    and FLAC (in-repo decoder). Other bytes yield null audio fields."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -462,13 +483,10 @@ def decode_audio_meta(
             for rid, rdata in zip(pdf[id_col], pdf[binary_col]):
                 data = bytes(rdata) if rdata is not None else b""
                 try:
-                    with wave.open(io.BytesIO(data)) as wv:
-                        rate, nch = wv.getframerate(), wv.getnchannels()
-                        nf = wv.getnframes()
-                        if wv.getsampwidth() != 2:
-                            raise ValueError("non-16-bit WAV")
-                        samples = np.frombuffer(wv.readframes(nf), np.int16)
-                        rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) if len(samples) else 0.0
+                    rate, nch, frames = _pcm_frames(data)
+                    nf = frames.shape[0]
+                    samples = frames.reshape(-1)
+                    rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) if len(samples) else 0.0
                     rows.append((rid, len(data), rate, nch, nf, nf / rate, rms))
                 except Exception:
                     rows.append((rid, len(data), None, None, None, None, None))
@@ -530,11 +548,10 @@ def audio_features(
     spectral centroid / spectral rolloff, Arrow-batched via
     mapInPandas. Completes the multimodal quartet (decode /
     feature-extract / resize / frame-sample) for audio the way
-    image_features does for images. Non-WAV bytes yield null
-    features. Scale shape: embarrassingly parallel per row; batch
-    size bounds memory (one decoded clip at a time per row)."""
-    import io
-    import wave
+    image_features does for images. Decodes 16-bit PCM WAV and FLAC
+    (in-repo decoder); other bytes yield null features. Scale shape:
+    embarrassingly parallel per row; batch size bounds memory (one
+    decoded clip at a time per row)."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -542,17 +559,8 @@ def audio_features(
             for rid, rdata in zip(pdf[id_col], pdf[binary_col]):
                 data = bytes(rdata) if rdata is not None else b""
                 try:
-                    with wave.open(io.BytesIO(data)) as wv:
-                        if wv.getsampwidth() != 2:
-                            raise ValueError("non-16-bit WAV")
-                        rate, nch = wv.getframerate(), wv.getnchannels()
-                        raw = np.frombuffer(
-                            wv.readframes(wv.getnframes()), np.int16
-                        )
-                    mono = (
-                        raw.astype(np.float64).reshape(-1, nch).mean(axis=1)
-                        if nch > 1 else raw.astype(np.float64)
-                    ) / 32768.0
+                    rate, nch, frames = _pcm_frames(data)
+                    mono = frames.astype(np.float64).mean(axis=1) / 32768.0
                     rows.append((rid, *_audio_feature_row(mono, rate)))
                 except Exception:
                     rows.append((rid, None, None, None, None, None, None,

@@ -358,11 +358,17 @@ def encode_flac(
     block_size: int = 256,
     subframe: str = "verbatim",
     stereo_mode: str = "independent",
+    residual: str = "rice",
+    partition_order: int = 0,
+    wasted_bits: int = 0,
 ) -> bytes:
     """Spec-conforming minimal FLAC encoder: STREAMINFO + frames with
     real CRC-8/CRC-16. subframe: 'verbatim' | 'fixed2' (order-2 fixed
-    predictor, rice partition order 0) | 'constant-if-possible'.
-    stereo_mode: 'independent' | 'left-side' | 'mid-side' (2ch)."""
+    predictor) | 'lpc2' (order-2 LPC, shift 1). stereo_mode:
+    'independent' | 'left-side' | 'mid-side' (2ch). residual: 'rice'
+    (4-bit params) | 'rice2' (5-bit) | 'escape' (unencoded
+    partition); partition_order splits the residual; wasted_bits w
+    shifts when every sample in the channel is divisible by 2^w."""
     if samples.ndim == 1:
         samples = samples[:, None]
     n, nch = samples.shape
@@ -381,27 +387,78 @@ def encode_flac(
     out.extend(len(body).to_bytes(3, "big"))
     out.extend(body)
 
+    def write_residual(w: _BitWriter, resid: list[int], order: int,
+                       bsz: int) -> None:
+        if residual == "escape":
+            # escaped partition: unencoded residuals at a fixed width
+            w.write(0, 2)
+            w.write(0, 4)
+            w.write(15, 4)              # 4-bit escape code
+            w.write(18, 5)              # raw bit width
+            for r in resid:
+                w.write_signed(r, 18)
+            return
+        plen = 5 if residual == "rice2" else 4
+        w.write(1 if plen == 5 else 0, 2)
+        w.write(partition_order, 4)
+        nparts = 1 << partition_order
+        idx = 0
+        for p in range(nparts):
+            count = bsz // nparts - (order if p == 0 else 0)
+            w.write(6, plen)            # rice parameter
+            _rice_write(w, resid[idx:idx + count], 6)
+            idx += count
+
     def write_subframe(w: _BitWriter, chan: list[int], ebps: int) -> None:
+        w.write(0, 1)
+        wb = wasted_bits if all(s % (1 << wasted_bits) == 0 for s in chan) \
+            else 0
+        shifted = [s >> wb for s in chan]
         if subframe == "fixed2" and len(chan) > 2:
-            w.write(0, 1)
             w.write(8 + 2, 6)   # FIXED order 2
-            w.write(0, 1)       # no wasted bits
-            w.write_signed(chan[0], ebps)
-            w.write_signed(chan[1], ebps)
+            if wb:
+                w.write(1, 1)
+                w.write_unary(wb - 1)
+            else:
+                w.write(0, 1)
+            w.write_signed(shifted[0], ebps - wb)
+            w.write_signed(shifted[1], ebps - wb)
             resid = [
-                chan[i] - (2 * chan[i - 1] - chan[i - 2])
-                for i in range(2, len(chan))
+                shifted[i] - (2 * shifted[i - 1] - shifted[i - 2])
+                for i in range(2, len(shifted))
             ]
-            w.write(0, 2)       # rice 4-bit params
-            w.write(0, 4)       # partition order 0
-            w.write(6, 4)       # rice parameter
-            _rice_write(w, resid, 6)
+            write_residual(w, resid, 2, len(chan))
+        elif subframe == "lpc2" and len(chan) > 2:
+            w.write(32 | 1, 6)  # LPC order 2 (bits 0-4 hold order-1)
+            if wb:
+                w.write(1, 1)
+                w.write_unary(wb - 1)
+            else:
+                w.write(0, 1)
+            w.write_signed(shifted[0], ebps - wb)
+            w.write_signed(shifted[1], ebps - wb)
+            # coefficients [3, -1] at shift 1 ≈ 1.5a - 0.5b
+            prec, shift, coefs = 5, 1, [3, -1]
+            w.write(prec - 1, 4)
+            w.write_signed(shift, 5)
+            for c in coefs:
+                w.write_signed(c, prec)
+            resid = [
+                shifted[i]
+                - ((coefs[0] * shifted[i - 1] + coefs[1] * shifted[i - 2])
+                   >> shift)
+                for i in range(2, len(shifted))
+            ]
+            write_residual(w, resid, 2, len(chan))
         else:
-            w.write(0, 1)
             w.write(1, 6)       # VERBATIM
-            w.write(0, 1)
-            for s in chan:
-                w.write_signed(s, ebps)
+            if wb:
+                w.write(1, 1)
+                w.write_unary(wb - 1)
+            else:
+                w.write(0, 1)
+            for s in shifted:
+                w.write_signed(s, ebps - wb)
 
     frame_no = 0
     for start in range(0, n, block_size):

@@ -85,3 +85,38 @@ def test_flac_features_equal_wav_features(spark):
                   "spectral_centroid_hz", "spectral_rolloff_hz"):
         assert rows[1][field] == rows[2][field], field
     assert rows[2]["spectral_centroid_hz"] is not None
+
+
+def test_lpc_subframe_roundtrip():
+    rng = np.random.RandomState(13)
+    t = np.arange(512)
+    y = (3000 * np.sin(t / 9) + rng.randint(-40, 40, len(t))).astype(np.int32)
+    _, _, _, out = decode_flac(encode_flac(y, subframe="lpc2"))
+    assert np.array_equal(out[:, 0], y)
+
+
+def test_escape_partition_roundtrip():
+    rng = np.random.RandomState(17)
+    y = rng.randint(-30000, 30000, 512).astype(np.int32)
+    _, _, _, out = decode_flac(
+        encode_flac(y, subframe="fixed2", residual="escape")
+    )
+    assert np.array_equal(out[:, 0], y)
+
+
+def test_rice2_and_partitioned_residual_roundtrip():
+    rng = np.random.RandomState(19)
+    t = np.arange(512)
+    y = (500 * np.sin(t / 15) + rng.randint(-10, 10, len(t))).astype(np.int32)
+    _, _, _, out = decode_flac(
+        encode_flac(y, subframe="fixed2", residual="rice2",
+                    partition_order=2)
+    )
+    assert np.array_equal(out[:, 0], y)
+
+
+def test_wasted_bits_roundtrip():
+    rng = np.random.RandomState(23)
+    y = (rng.randint(-4000, 4000, 300) * 4).astype(np.int32)  # 2 low zero bits
+    _, _, _, out = decode_flac(encode_flac(y, wasted_bits=2))
+    assert np.array_equal(out[:, 0], y)

@@ -988,6 +988,17 @@ def _ts_xcorr(spark, sf_dir):
     )
 
 
+def _ts_trend_robust(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    # Theil-Sen slope + Mann-Kendall test per event type (hourly
+    # buckets); pair space = buckets^2, bounded by the time range
+    return ts.theil_sen_trend(
+        _events(spark, sf_dir), every="1 hour", time_col="ts",
+        by=["event_type"],
+    )
+
+
 def _ts_decompose(spark, sf_dir):
     from fossil_spark.operators import timeseries as ts
 
@@ -1336,7 +1347,8 @@ _WINDOW_PRIORITY = [
     "sample_stratified", "agg_order_cube", "graph_degree",  # E
     # round-6 additions (oracle promotions + new keys) fill the rest
     "ts_lttb", "cluster_kmeans_fixed", "embedding_pca_moments",
-    "dedup_containment", "embedding_sq8", "pipeline_semdedup", "ann_pq",
+    "dedup_containment", "embedding_sq8", "pipeline_semdedup",
+    "ts_trend_robust", "ann_pq",
 ]
 
 
@@ -1362,6 +1374,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_holt_winters": _ts_holt_winters,
         "ts_decompose": _ts_decompose,
         "ts_xcorr": _ts_xcorr,
+        "ts_trend_robust": _ts_trend_robust,
         "text_bigram_nll": _text_bigram_nll,
         "sample_group_topk": _sample_group_topk,
         "ts_counter_rate": _ts_counter_rate,
@@ -2999,6 +3012,34 @@ def oracle_sql() -> dict[str, str]:
         ),
         # cross-correlation of two bucketed signals at lags 0..3
         # (decimal bucket means; corr rounded @4, the ts_acf convention)
+        # Theil-Sen + Mann-Kendall: decimal bucket means, all pairwise
+        # bucket slopes (buckets^2, bounded by the time range), exact
+        # interpolated medians for slope and Sen intercept; tau-a
+        "ts_trend_robust": (
+            "WITH b AS (SELECT event_type,"
+            " CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS t,"
+            " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+            "  / count(value) AS v"
+            f" FROM {_EV} e GROUP BY 1, time_bucket(INTERVAL 1 HOUR, ts)),"
+            " p AS (SELECT a.event_type AS event_type, a.t t1, a.v v1,"
+            "  c.t t2, c.v v2 FROM b a JOIN b c"
+            "  ON c.event_type = a.event_type AND c.t > a.t),"
+            " s AS (SELECT event_type,"
+            "  median((v2 - v1) / CAST(t2 - t1 AS DOUBLE)) AS slope,"
+            "  CAST(sum(CAST(sign(v2 - v1) AS BIGINT)) AS BIGINT) AS mk_s"
+            "  FROM p GROUP BY 1),"
+            " n AS (SELECT event_type, count(*) AS n_buckets"
+            "  FROM b GROUP BY 1),"
+            " i AS (SELECT b.event_type AS event_type,"
+            "  median(b.v - s.slope * CAST(b.t AS DOUBLE)) AS intercept"
+            "  FROM b JOIN s USING (event_type) GROUP BY 1)"
+            " SELECT s.event_type, n.n_buckets,"
+            " round(s.slope, 9) AS sen_slope_per_sec,"
+            " round(i.intercept, 6) AS intercept, s.mk_s,"
+            " round(CAST(s.mk_s AS DOUBLE)"
+            "  / (n.n_buckets * (n.n_buckets - 1) / 2), 6) AS kendall_tau"
+            " FROM s JOIN n USING (event_type) JOIN i USING (event_type)"
+        ),
         "ts_xcorr": (
             "WITH b AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,"
             " CAST(round(sum(CASE WHEN event_type = 'view'"

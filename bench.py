@@ -108,7 +108,7 @@ def main() -> None:
         "ts_decompose", "text_bigram_nll", "ts_sax", "ts_bursts",
         # round-6 operators
         "ts_lttb", "cluster_kmeans_fixed", "embedding_pca_moments",
-        "dedup_containment", "embedding_sq8",
+        "dedup_containment", "embedding_sq8", "ts_trend_robust",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

@@ -17,6 +17,7 @@ from __future__ import annotations
 from datetime import timedelta
 
 from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql.functions import broadcast
 from pyspark.sql import functions as F
 
 
@@ -1526,6 +1527,94 @@ def sax(
         staged.groupBy(*by, "segment")
         .agg(paa.alias("paa"))
         .select(*by, "segment", F.round("paa", 6).alias("paa"), sym.alias("symbol"))
+    )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    every: str = "1 hour",
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    round_to: int = 6,
+) -> DataFrame:
+    """Robust trend per key: Theil-Sen slope (median of all pairwise
+    bucket slopes — up to 29% outlier breakdown vs 0% for OLS), the
+    Sen intercept, and the Mann-Kendall trend test (S statistic +
+    Kendall's tau) — the standard monotonic-trend toolkit for noisy
+    monitoring series, where one spike wrecks a least-squares fit.
+
+    Shape: resample first (decimal-exact bucket means — fully
+    distributed), THEN pairs. The pair space is buckets², bounded by
+    time-range/`every` like ts_xcorr's bucket series — never raw
+    rows². One equi-join on the key + two aggregates; the 1-row
+    slope re-joins (broadcast) for the intercept pass. Deterministic:
+    exact interpolated percentiles for both medians, decimal bucket
+    means, integer bucket seconds. Returns per key:
+    (n_buckets, sen_slope_per_sec, intercept, mk_s, kendall_tau)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    b = (
+        df.groupBy(
+            *by, F.window(time_col, every).start.alias("__bucket")
+        )
+        .agg(
+            (
+                F.round(F.sum(F.col(value_col).cast("decimal(30,8)")), 4)
+                .cast("double") / F.count(value_col)
+            ).alias("__v")
+        )
+        .select(
+            *by,
+            F.unix_timestamp("__bucket").alias("__t"),
+            "__v",
+        )
+    )
+    a = b.select(
+        *by, F.col("__t").alias("__t1"), F.col("__v").alias("__v1")
+    )
+    c = b.select(
+        *by, F.col("__t").alias("__t2"), F.col("__v").alias("__v2")
+    )
+    on = by if by else None
+    pairs = (
+        a.join(c, on=on) if on else a.crossJoin(c)
+    ).filter(F.col("__t2") > F.col("__t1"))
+    stats = pairs.groupBy(*[F.col(k) for k in by]).agg(
+        F.expr(
+            "percentile((__v2 - __v1) / CAST(__t2 - __t1 AS DOUBLE), 0.5)"
+        ).alias("sen_slope_per_sec"),
+        F.sum(F.signum(F.col("__v2") - F.col("__v1")).cast("long"))
+        .alias("mk_s"),
+    )
+    # ONE downstream pass: join the 1-row-per-key stats back onto the
+    # buckets and take counts, stats pass-through, and the intercept
+    # median from the SAME frame — re-joining `stats` later would
+    # re-execute the whole pair aggregation (the round-4 audit's
+    # subtree re-execution pitfall)
+    joined = (
+        b.join(broadcast(stats), on=by) if by
+        else b.crossJoin(broadcast(stats))
+    )
+    out = joined.groupBy(*[F.col(k) for k in by]).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.min("sen_slope_per_sec").alias("sen_slope_per_sec"),
+        F.min("mk_s").alias("mk_s"),
+        F.expr(
+            "percentile(__v - sen_slope_per_sec * CAST(__t AS DOUBLE), 0.5)"
+        ).alias("intercept"),
+    )
+    return out.select(
+        *by,
+        "n_buckets",
+        F.round("sen_slope_per_sec", round_to + 3).alias("sen_slope_per_sec"),
+        F.round("intercept", round_to).alias("intercept"),
+        "mk_s",
+        F.round(
+            F.col("mk_s").cast("double")
+            / (F.col("n_buckets") * (F.col("n_buckets") - 1) / 2),
+            round_to,
+        ).alias("kendall_tau"),
     )
 
 

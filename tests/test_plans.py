@@ -228,6 +228,7 @@ _SCAN_BUDGET = {
     "cluster_kmeans_fixed": 1,    # final assignment: one scan x one-row bcast
     "dedup_containment": 3,       # candidates + two shingle sides (ngram shape)
     "embedding_sq8": 1,           # one scan; min/max stats are literals
+    "ts_trend_robust": 3,         # buckets + the two pair sides (bounded)
 }
 
 

@@ -939,3 +939,39 @@ def test_anomaly_decomposed_flags_spike_not_seasonality(spark):
     # the spike bleeds into its 25-row MA neighborhood; nothing
     # OUTSIDE that neighborhood (i.e. ordinary seasonal peaks) alerts
     assert all(108 <= e <= 132 for e in flagged)
+
+
+def test_theil_sen_resists_outlier_and_detects_trend(spark):
+    """A clean +2/hour trend with one massive spike: the Sen slope
+    stays on the true trend (OLS would be dragged), Mann-Kendall S is
+    near-maximal, and a flat key reports tau ~ 0."""
+    from datetime import datetime, timedelta
+
+    from fossil_spark.operators import timeseries as ts
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for i in range(24):
+        v = 10.0 + 2.0 * i + (10000.0 if i == 12 else 0.0)
+        rows.append((i, "up", base + timedelta(hours=i), v))
+        rows.append((100 + i, "flat", base + timedelta(hours=i),
+                     5.0 if i % 2 == 0 else 5.5))
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    out = {r["event_type"]: r for r in ts.theil_sen_trend(
+        df, every="1 hour", time_col="ts", by=["event_type"]
+    ).collect()}
+    up = out["up"]
+    assert up["n_buckets"] == 24
+    # slope is per second; 2.0/hour = 2/3600 per sec
+    assert up["sen_slope_per_sec"] == pytest.approx(2.0 / 3600, rel=1e-6)
+    # 23 of 24 buckets form a clean ascent; S near the 276 maximum
+    assert up["mk_s"] >= 230
+    assert out["flat"]["kendall_tau"] == pytest.approx(0.0, abs=0.15)
+    # intercept reconstructs the clean series' level at t=0 epoch-wise:
+    # v(t) = intercept + slope * epoch_sec
+    t0 = base.replace(tzinfo=None)
+    epoch0 = (t0 - datetime(1970, 1, 1)).total_seconds()
+    assert up["intercept"] + up["sen_slope_per_sec"] * epoch0 == \
+        pytest.approx(10.0, abs=1.0)

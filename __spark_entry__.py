@@ -988,6 +988,19 @@ def _ts_xcorr(spark, sf_dir):
     )
 
 
+def _ts_ks_drift(spark, sf_dir):
+    from datetime import datetime
+
+    from fossil_spark.operators import timeseries as ts
+
+    # did the value distribution shift after mid-month? exact
+    # two-sample KS per event type
+    return ts.ks_drift(
+        _events(spark, sf_dir), split=datetime(2024, 1, 15),
+        time_col="ts", by=["event_type"],
+    )
+
+
 def _ts_trend_robust(spark, sf_dir):
     from fossil_spark.operators import timeseries as ts
 
@@ -1348,7 +1361,7 @@ _WINDOW_PRIORITY = [
     # round-6 additions (oracle promotions + new keys) fill the rest
     "ts_lttb", "cluster_kmeans_fixed", "embedding_pca_moments",
     "dedup_containment", "embedding_sq8", "pipeline_semdedup",
-    "ts_trend_robust", "ann_pq",
+    "ts_trend_robust", "ts_ks_drift", "ann_pq",
 ]
 
 
@@ -1375,6 +1388,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_decompose": _ts_decompose,
         "ts_xcorr": _ts_xcorr,
         "ts_trend_robust": _ts_trend_robust,
+        "ts_ks_drift": _ts_ks_drift,
         "text_bigram_nll": _text_bigram_nll,
         "sample_group_topk": _sample_group_topk,
         "ts_counter_rate": _ts_counter_rate,
@@ -3012,6 +3026,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         # cross-correlation of two bucketed signals at lags 0..3
         # (decimal bucket means; corr rounded @4, the ts_acf convention)
+        # exact two-sample KS: RANGE-framed cumulative counts (ties
+        # counted <= x on both sides), max ECDF gap, large-sample
+        # rejection bound; drifted compares UNROUNDED d vs crit
+        "ts_ks_drift": (
+            "WITH t AS (SELECT event_type, value AS x,"
+            " CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END AS a"
+            f" FROM {_EV} e),"
+            " s AS (SELECT event_type,"
+            " sum(a) OVER w AS ca, sum(1 - a) OVER w AS cb,"
+            " sum(a) OVER wp AS na, sum(1 - a) OVER wp AS nb"
+            " FROM t WINDOW w AS (PARTITION BY event_type ORDER BY x"
+            "  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),"
+            " wp AS (PARTITION BY event_type)),"
+            " g AS (SELECT event_type, min(na) AS na, min(nb) AS nb,"
+            "  max(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb))"
+            "   AS d FROM s GROUP BY 1)"
+            " SELECT event_type, CAST(na AS BIGINT) AS n_before,"
+            " CAST(nb AS BIGINT) AS n_after, round(d, 6) AS ks_d,"
+            " round(1.358 * sqrt(CAST(na + nb AS DOUBLE) / (na * nb)), 6)"
+            "  AS ks_crit,"
+            " d > 1.358 * sqrt(CAST(na + nb AS DOUBLE) / (na * nb))"
+            "  AS drifted FROM g"
+        ),
         # Theil-Sen + Mann-Kendall: decimal bucket means, all pairwise
         # bucket slopes (buckets^2, bounded by the time range), exact
         # interpolated medians for slope and Sen intercept; tau-a

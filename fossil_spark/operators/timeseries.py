@@ -1530,6 +1530,72 @@ def sax(
     )
 
 
+def ks_drift(
+    df: DataFrame,
+    split,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    alpha_c: float = 1.358,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test per key: the value
+    distribution BEFORE `split` (the reference sample) vs AFTER (the
+    current sample). The standard distribution-shift tripwire for
+    monitoring and training-data pipelines — catches a sensor
+    recalibration or a corpus-mix change that means/medians miss.
+
+    D = max_x |F_before(x) - F_after(x)| computed EXACTLY: one sort
+    per key (a single window over the pooled rows; ties handled by a
+    RANGE frame so F(x) counts every sample <= x), cumulative counts
+    per side, max of the ECDF gap. One shuffle on the key, no joins,
+    no approximation. `drifted` applies the large-sample rejection
+    bound c(alpha) * sqrt((n1+n2)/(n1*n2)) with c = `alpha_c`
+    (1.358 = alpha 0.05). Returns per key:
+    (n_before, n_after, ks_d, ks_crit, drifted)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    tagged = df.select(
+        *by,
+        F.col(value_col).alias("__x"),
+        (F.col(time_col) < F.lit(split)).cast("int").alias("__a"),
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in by])
+        .orderBy("__x")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*[F.col(c) for c in by])
+    staged = tagged.select(
+        *by,
+        F.sum("__a").over(w).alias("__ca"),
+        F.sum(1 - F.col("__a")).over(w).alias("__cb"),
+        F.sum("__a").over(wall).alias("__na"),
+        F.sum(1 - F.col("__a")).over(wall).alias("__nb"),
+    )
+    gap = F.abs(
+        F.col("__ca").cast("double") / F.col("__na")
+        - F.col("__cb").cast("double") / F.col("__nb")
+    )
+    out = staged.groupBy(*[F.col(c) for c in by]).agg(
+        F.min("__na").alias("n_before"),
+        F.min("__nb").alias("n_after"),
+        F.max(gap).alias("__d"),
+    )
+    crit = F.lit(alpha_c) * F.sqrt(
+        (F.col("n_before") + F.col("n_after")).cast("double")
+        / (F.col("n_before") * F.col("n_after"))
+    )
+    return out.select(
+        *by,
+        "n_before",
+        "n_after",
+        F.round("__d", round_to).alias("ks_d"),
+        F.round(crit, round_to).alias("ks_crit"),
+        (F.col("__d") > crit).alias("drifted"),
+    )
+
+
 def theil_sen_trend(
     df: DataFrame,
     every: str = "1 hour",

@@ -229,6 +229,7 @@ _SCAN_BUDGET = {
     "dedup_containment": 3,       # candidates + two shingle sides (ngram shape)
     "embedding_sq8": 1,           # one scan; min/max stats are literals
     "ts_trend_robust": 3,         # buckets + the two pair sides (bounded)
+    "ts_ks_drift": 1,             # one sort per key, two windows share it
 }
 
 

@@ -975,3 +975,30 @@ def test_theil_sen_resists_outlier_and_detects_trend(spark):
     epoch0 = (t0 - datetime(1970, 1, 1)).total_seconds()
     assert up["intercept"] + up["sen_slope_per_sec"] * epoch0 == \
         pytest.approx(10.0, abs=1.0)
+
+
+def test_ks_drift_detects_planted_shift(spark):
+    """Key 'shifted' jumps +5.0 after the split (D ~ 1 -> drifted);
+    key 'stable' draws the same values before and after (D small)."""
+    from datetime import datetime, timedelta
+
+    from fossil_spark.operators import timeseries as ts
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for i in range(200):
+        t = base + timedelta(hours=i)          # split at hour 100
+        v = (i * 37 % 100) / 10.0
+        rows.append((i, "stable", t, v))
+        rows.append((1000 + i, "shifted", t, v + (5.0 if i >= 100 else 0.0)))
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    out = {r["event_type"]: r for r in ts.ks_drift(
+        df, split=base + timedelta(hours=100), time_col="ts",
+        by=["event_type"],
+    ).collect()}
+    assert out["shifted"]["n_before"] == out["shifted"]["n_after"] == 100
+    assert out["shifted"]["ks_d"] >= 0.5 and out["shifted"]["drifted"]
+    assert out["stable"]["ks_d"] <= out["stable"]["ks_crit"]
+    assert not out["stable"]["drifted"]

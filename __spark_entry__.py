@@ -1001,6 +1001,18 @@ def _ts_ks_drift(spark, sf_dir):
     )
 
 
+def _ts_psi_drift(spark, sf_dir):
+    from datetime import datetime
+
+    from fossil_spark.operators import timeseries as ts
+
+    # PSI against the pre-mid-month reference deciles per event type
+    return ts.psi_drift(
+        _events(spark, sf_dir), split=datetime(2024, 1, 15),
+        time_col="ts", by=["event_type"],
+    )
+
+
 def _ts_trend_robust(spark, sf_dir):
     from fossil_spark.operators import timeseries as ts
 
@@ -1361,7 +1373,7 @@ _WINDOW_PRIORITY = [
     # round-6 additions (oracle promotions + new keys) fill the rest
     "ts_lttb", "cluster_kmeans_fixed", "embedding_pca_moments",
     "dedup_containment", "embedding_sq8", "pipeline_semdedup",
-    "ts_trend_robust", "ts_ks_drift", "ann_pq",
+    "ts_trend_robust", "ts_ks_drift", "ts_psi_drift", "ann_pq",
 ]
 
 
@@ -1389,6 +1401,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_xcorr": _ts_xcorr,
         "ts_trend_robust": _ts_trend_robust,
         "ts_ks_drift": _ts_ks_drift,
+        "ts_psi_drift": _ts_psi_drift,
         "text_bigram_nll": _text_bigram_nll,
         "sample_group_topk": _sample_group_topk,
         "ts_counter_rate": _ts_counter_rate,
@@ -3026,6 +3039,38 @@ def oracle_sql() -> dict[str, str]:
         ),
         # cross-correlation of two bucketed signals at lags 0..3
         # (decimal bucket means; corr rounded @4, the ts_acf convention)
+        # PSI vs the reference deciles: exact interpolated edges,
+        # strict x > e bin fold, eps-clamped fractions, decimal-exact
+        # term sum; shifted compares UNROUNDED psi vs 0.2
+        "ts_psi_drift": (
+            "WITH t AS (SELECT event_type, value AS x,"
+            " CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END AS a"
+            f" FROM {_EV} e),"
+            " ed AS (SELECT event_type, list_transform(quantile_cont(x,"
+            " [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),"
+            " e -> round(e, 6)) AS edges"
+            " FROM t WHERE a = 1 GROUP BY 1),"
+            " j AS (SELECT t.event_type AS event_type, a,"
+            " list_reduce(list_prepend(0, list_transform(edges,"
+            "  e -> CASE WHEN x > e THEN 1 ELSE 0 END)),"
+            "  (p, c) -> p + c) AS bin"
+            " FROM t JOIN ed USING (event_type)),"
+            " c AS (SELECT event_type, bin, sum(a) AS ca,"
+            "  sum(1 - a) AS cb FROM j GROUP BY 1, 2),"
+            " f AS (SELECT event_type, ca, cb,"
+            "  sum(ca) OVER (PARTITION BY event_type) AS na,"
+            "  sum(cb) OVER (PARTITION BY event_type) AS nb FROM c),"
+            " g AS (SELECT event_type, min(na) AS na, min(nb) AS nb,"
+            "  CAST(sum(CAST("
+            "   (greatest(CAST(cb AS DOUBLE) / nb, 1e-06)"
+            "    - greatest(CAST(ca AS DOUBLE) / na, 1e-06))"
+            "   * ln(greatest(CAST(cb AS DOUBLE) / nb, 1e-06)"
+            "    / greatest(CAST(ca AS DOUBLE) / na, 1e-06))"
+            "   AS DECIMAL(38,18))) AS DOUBLE) AS psi FROM f GROUP BY 1)"
+            " SELECT event_type, CAST(na AS BIGINT) AS n_before,"
+            " CAST(nb AS BIGINT) AS n_after, round(psi, 6) AS psi,"
+            " psi > 0.2 AS shifted FROM g"
+        ),
         # exact two-sample KS: RANGE-framed cumulative counts (ties
         # counted <= x on both sides), max ECDF gap, large-sample
         # rejection bound; drifted compares UNROUNDED d vs crit

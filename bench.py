@@ -109,7 +109,7 @@ def main() -> None:
         # round-6 operators
         "ts_lttb", "cluster_kmeans_fixed", "embedding_pca_moments",
         "dedup_containment", "embedding_sq8", "ts_trend_robust",
-        "ts_ks_drift",
+        "ts_ks_drift", "ts_psi_drift",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

@@ -1596,6 +1596,102 @@ def ks_drift(
     )
 
 
+def psi_drift(
+    df: DataFrame,
+    split,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    n_bins: int = 10,
+    eps: float = 1e-6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population Stability Index per key — the standard ML
+    monitoring companion to ks_drift: bin the CURRENT sample by the
+    REFERENCE sample's decile edges and score
+    PSI = Σ (q_i - p_i) · ln(q_i / p_i). Rule-of-thumb bands: < 0.1
+    stable, 0.1-0.2 moderate shift, > 0.2 significant (the `shifted`
+    flag). Zero-count bins substitute `eps` (documented convention)
+    so PSI stays finite.
+
+    Shape: reference quantile edges = ONE bounded row per key
+    (exact interpolated percentiles), broadcast back; bin assignment
+    is a JVM fold over the 1-row edge array (count of edges < x);
+    then one (key, bin) groupBy with conditional counts and one
+    per-key rollup. One broadcast join + two aggregations, no
+    row-pair work at all. Returns (n_before, n_after, psi,
+    shifted)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    qs = [i / n_bins for i in range(1, n_bins)]
+    tagged = df.select(
+        *by,
+        F.col(value_col).alias("__x"),
+        (F.col(time_col) < F.lit(split)).cast("int").alias("__a"),
+    )
+    edges = (
+        tagged.filter(F.col("__a") == 1)
+        .groupBy(*[F.col(c) for c in by])
+        .agg(
+            # edges round @6 BEFORE binning: the two engines'
+            # percentile interpolation can differ by 1 ulp, and a
+            # data point sitting exactly on an edge must bin the
+            # same way everywhere
+            F.transform(
+                F.expr(
+                    "percentile(__x, array(" + ", ".join(map(str, qs)) + "))"
+                ),
+                lambda e: F.round(e, 6),
+            ).alias("__edges")
+        )
+    )
+    joined = (
+        tagged.join(broadcast(edges), on=by) if by
+        else tagged.crossJoin(broadcast(edges))
+    )
+    bin_idx = F.aggregate(
+        F.col("__edges"),
+        F.lit(0),
+        lambda acc, e: acc + (F.col("__x") > e).cast("int"),
+    )
+    cells = (
+        joined.select(*by, bin_idx.alias("__bin"), "__a")
+        .groupBy(*[F.col(c) for c in by], F.col("__bin"))
+        .agg(
+            F.sum("__a").alias("__ca"),
+            F.sum(1 - F.col("__a")).alias("__cb"),
+        )
+    )
+    wall = Window.partitionBy(*[F.col(c) for c in by])
+    frac = cells.select(
+        *by,
+        F.sum("__ca").over(wall).alias("__na"),
+        F.sum("__cb").over(wall).alias("__nb"),
+        "__ca", "__cb",
+    )
+    p = F.greatest(
+        F.col("__ca").cast("double") / F.col("__na"), F.lit(eps)
+    )
+    q = F.greatest(
+        F.col("__cb").cast("double") / F.col("__nb"), F.lit(eps)
+    )
+    # the 10 per-bin terms accumulate in decimal so the sum is
+    # partition-order independent (the repo's determinism convention)
+    out = frac.groupBy(*[F.col(c) for c in by]).agg(
+        F.min("__na").alias("n_before"),
+        F.min("__nb").alias("n_after"),
+        F.sum(((q - p) * F.log(q / p)).cast("decimal(38,18)"))
+        .cast("double").alias("__psi"),
+    )
+    return out.select(
+        *by,
+        "n_before",
+        "n_after",
+        F.round("__psi", round_to).alias("psi"),
+        (F.col("__psi") > 0.2).alias("shifted"),
+    )
+
+
 def theil_sen_trend(
     df: DataFrame,
     every: str = "1 hour",

@@ -230,6 +230,7 @@ _SCAN_BUDGET = {
     "embedding_sq8": 1,           # one scan; min/max stats are literals
     "ts_trend_robust": 3,         # buckets + the two pair sides (bounded)
     "ts_ks_drift": 1,             # one sort per key, two windows share it
+    "ts_psi_drift": 2,            # rows + the bounded reference-edges side
 }
 
 

@@ -1002,3 +1002,29 @@ def test_ks_drift_detects_planted_shift(spark):
     assert out["shifted"]["ks_d"] >= 0.5 and out["shifted"]["drifted"]
     assert out["stable"]["ks_d"] <= out["stable"]["ks_crit"]
     assert not out["stable"]["drifted"]
+
+
+def test_psi_drift_scores_planted_shift(spark):
+    """A +5 level shift after the split lands in the 'significant'
+    PSI band; an unchanged distribution scores near zero."""
+    from datetime import datetime, timedelta
+
+    from fossil_spark.operators import timeseries as ts
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for i in range(400):
+        t = base + timedelta(minutes=i)        # split at minute 200
+        v = (i * 37 % 100) / 10.0
+        rows.append((i, "stable", t, v))
+        rows.append((1000 + i, "shifted", t, v + (5.0 if i >= 200 else 0.0)))
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    out = {r["event_type"]: r for r in ts.psi_drift(
+        df, split=base + timedelta(minutes=200), time_col="ts",
+        by=["event_type"],
+    ).collect()}
+    assert out["shifted"]["psi"] > 0.5 and out["shifted"]["shifted"]
+    assert out["stable"]["psi"] < 0.05 and not out["stable"]["shifted"]
+    assert out["stable"]["n_before"] == out["stable"]["n_after"] == 200

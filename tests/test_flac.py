@@ -120,3 +120,22 @@ def test_wasted_bits_roundtrip():
     y = (rng.randint(-4000, 4000, 300) * 4).astype(np.int32)  # 2 low zero bits
     _, _, _, out = decode_flac(encode_flac(y, wasted_bits=2))
     assert np.array_equal(out[:, 0], y)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767),
+             min_size=2, max_size=600),
+    st.sampled_from(["verbatim", "fixed2", "lpc2"]),
+    st.sampled_from(["rice", "rice2", "escape"]),
+)
+def test_flac_property_roundtrip(xs, subframe, residual):
+    """Random signals through every (subframe, residual) pairing
+    decode back exactly."""
+    y = np.array(xs, dtype=np.int32)
+    data = encode_flac(y, subframe=subframe, residual=residual)
+    _, _, _, out = decode_flac(data)
+    assert np.array_equal(out[:, 0], y), (subframe, residual, len(xs))

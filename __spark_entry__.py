@@ -1013,6 +1013,19 @@ def _ts_psi_drift(spark, sf_dir):
     )
 
 
+def _pipeline_drift_report(spark, sf_dir):
+    from datetime import datetime
+
+    from fossil_spark.pipelines import drift_report
+
+    # the composed monitoring readout: KS + PSI vs the pre-mid-month
+    # reference, plus the robust trend, one row per event type
+    return drift_report(
+        _events(spark, sf_dir), split=datetime(2024, 1, 15),
+        time_col="ts", by=["event_type"],
+    )
+
+
 def _ts_trend_robust(spark, sf_dir):
     from fossil_spark.operators import timeseries as ts
 
@@ -1402,6 +1415,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_trend_robust": _ts_trend_robust,
         "ts_ks_drift": _ts_ks_drift,
         "ts_psi_drift": _ts_psi_drift,
+        "pipeline_drift_report": _pipeline_drift_report,
         "text_bigram_nll": _text_bigram_nll,
         "sample_group_topk": _sample_group_topk,
         "ts_counter_rate": _ts_counter_rate,
@@ -1585,7 +1599,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     s = f"({_STORE_SQL})"
-    return {
+    out = {
         "fql_all": f"SELECT * FROM {s} t",
         "fql_topic": f"SELECT * FROM {s} t WHERE topic LIKE '/events/click%'",
         "fql_topic_prefix": f"SELECT * FROM {s} t WHERE topic LIKE '/events/s%'",
@@ -3526,3 +3540,17 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents WHERE doc_id < 300"
         ),
     }
+    # composed entries reuse the proven single-operator oracles as
+    # nested-WITH subqueries, joined on the key — exactly mirroring
+    # the Spark-side composition
+    out["pipeline_drift_report"] = (
+        f"WITH ks AS ({out['ts_ks_drift']}),"
+        f" psi AS ({out['ts_psi_drift']}),"
+        f" tr AS ({out['ts_trend_robust']})"
+        " SELECT ks.event_type, ks.n_before, ks.n_after,"
+        " ks.ks_d, ks.ks_crit, ks.drifted AS ks_drifted,"
+        " psi.psi, psi.shifted AS psi_shifted,"
+        " tr.sen_slope_per_sec, tr.kendall_tau"
+        " FROM ks JOIN psi USING (event_type) JOIN tr USING (event_type)"
+    )
+    return out

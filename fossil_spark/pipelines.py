@@ -185,3 +185,46 @@ def semantic_dedup(
             (F.coalesce("__keep", F.col(id_col)) == F.col(id_col)).alias("is_kept"),
         )
     )
+
+
+def drift_report(
+    df: DataFrame,
+    split,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    every: str = "1 hour",
+) -> DataFrame:
+    """One-call distribution-health report per key — the readout a
+    training-data pipeline runs when a new data drop lands: the exact
+    two-sample KS test and the banded PSI score against the pre-
+    `split` reference, plus the robust trend (Theil-Sen slope /
+    Kendall tau) over the whole span. A key flagged by EITHER
+    distribution test with a strong monotonic trend is drifting, not
+    noisy.
+
+    Pure composition of three oracle-proven operators joined on the
+    key — each keeps its own scale shape (one sort per key / bounded
+    bins / bounded bucket pairs). Returns per key: (n_before,
+    n_after, ks_d, ks_crit, ks_drifted, psi, psi_shifted,
+    sen_slope_per_sec, kendall_tau)."""
+    from fossil_spark.operators import timeseries as ts
+
+    by = by or []
+    ks = ts.ks_drift(df, split, time_col=time_col, by=by,
+                     value_col=value_col)
+    psi = ts.psi_drift(df, split, time_col=time_col, by=by,
+                       value_col=value_col)
+    tr = ts.theil_sen_trend(df, every=every, time_col=time_col, by=by,
+                            value_col=value_col)
+    ksr = ks.withColumnRenamed("drifted", "ks_drifted")
+    psir = psi.select(
+        *by, F.col("psi"), F.col("shifted").alias("psi_shifted")
+    )
+    trr = tr.select(*by, "sen_slope_per_sec", "kendall_tau")
+    out = ksr.join(psir, on=by) if by else ksr.crossJoin(psir)
+    out = out.join(trr, on=by) if by else out.crossJoin(trr)
+    return out.select(
+        *by, "n_before", "n_after", "ks_d", "ks_crit", "ks_drifted",
+        "psi", "psi_shifted", "sen_slope_per_sec", "kendall_tau",
+    )

@@ -782,8 +782,9 @@ class FossilClientPool:
     (peer reset / broken pipe on send, EOF on the response read) the
     checked-out connection reconnects with exponential backoff —
     sleep 2^i seconds then dial + handshake, up to `retries` attempts
-    (~6 s budget at the default 3, api/remote.go:63
-    reconnectWithBackoff) — and the in-flight message is re-sent (the
+    (1+2+4 s at the default 3; api/remote.go:63 reconnectWithBackoff,
+    whose comment rounds it to six) — and the in-flight message is
+    re-sent (the
     reference's goto-retry). Re-sends are capped at `retries` cycles
     (the Go code loops while reconnects succeed; a cap keeps a
     reset-on-send server from spinning us forever). Appends are

@@ -1619,7 +1619,9 @@ def psi_drift(
     is a JVM fold over the 1-row edge array (count of edges < x);
     then one (key, bin) groupBy with conditional counts and one
     per-key rollup. One broadcast join + two aggregations, no
-    row-pair work at all. Returns (n_before, n_after, psi,
+    row-pair work at all. Keys with an EMPTY reference sample are
+    omitted (no reference deciles → no PSI; ks_drift keeps such keys
+    with a null statistic instead). Returns (n_before, n_after, psi,
     shifted)."""
     by = by or []
     df = _time_norm(df, time_col)

@@ -35,6 +35,19 @@ _EV = (
 )
 
 
+# Benford expectations log10(1 + 1/d), rounded @6 by the SAME Python
+# round the Spark-side operator uses (timeseries.benford), injected as
+# DOUBLE-cast literals so both engines see bit-identical constants
+_BENFORD_CASE = (
+    "(CASE d "
+    + " ".join(
+        f"WHEN {d} THEN CAST({round(__import__('math').log10(1.0 + 1.0 / d), 6)!r} AS DOUBLE)"
+        for d in range(1, 10)
+    )
+    + " END)"
+)
+
+
 def _DSUM(expr: str) -> str:
     """Deterministic-sum SQL: decimal(30,8) accumulate, round(4), double out."""
     return f"CAST(round(sum(CAST({expr} AS DECIMAL(30,8))), 4) AS DOUBLE)"
@@ -1013,6 +1026,14 @@ def _ts_psi_drift(spark, sf_dir):
     )
 
 
+def _ts_benford(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    # first-digit law audit per event type: string-of-scaled-integer
+    # digit extraction (no log10 boundary risk), full 1-9 grid
+    return ts.benford(_events(spark, sf_dir), "value", ["event_type"])
+
+
 def _pipeline_drift_report(spark, sf_dir):
     from datetime import datetime
 
@@ -1387,6 +1408,10 @@ _WINDOW_PRIORITY = [
     "ts_lttb", "cluster_kmeans_fixed", "embedding_pca_moments",
     "dedup_containment", "embedding_sq8", "pipeline_semdedup",
     "ts_trend_robust", "ts_ks_drift", "ts_psi_drift", "ann_pq",
+    # round-6 session-4 additions (below the ~50-key fold this round;
+    # next rotation's head)
+    "ts_benford", "embedding_dim_stats", "graph_triangles",
+    "text_entropy",
 ]
 
 
@@ -1415,6 +1440,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_trend_robust": _ts_trend_robust,
         "ts_ks_drift": _ts_ks_drift,
         "ts_psi_drift": _ts_psi_drift,
+        "ts_benford": _ts_benford,
         "pipeline_drift_report": _pipeline_drift_report,
         "text_bigram_nll": _text_bigram_nll,
         "sample_group_topk": _sample_group_topk,
@@ -3084,6 +3110,33 @@ def oracle_sql() -> dict[str, str]:
             " SELECT event_type, CAST(na AS BIGINT) AS n_before,"
             " CAST(nb AS BIGINT) AS n_after, round(psi, 6) AS psi,"
             " psi > 0.2 AS shifted FROM g"
+        ),
+        # Benford first-digit audit: digit from the decimal string of
+        # floor(value*1e6) (exact int-to-string, no log10 boundary),
+        # full 1-9 grid per key, expected fractions injected as the
+        # SAME Python-rounded literals the Spark side uses
+        "ts_benford": (
+            "WITH b AS (SELECT event_type,"
+            " CAST(substr(CAST(q AS VARCHAR), 1, 1) AS INT) AS d"
+            " FROM (SELECT event_type,"
+            "  CAST(floor(value * 1000000.0) AS BIGINT) AS q"
+            f"  FROM {_EV} e WHERE value IS NOT NULL) WHERE q >= 1),"
+            " c AS (SELECT event_type, d, count(*) AS cnt"
+            "  FROM b GROUP BY 1, 2),"
+            " t AS (SELECT event_type, count(*) AS nt FROM b GROUP BY 1),"
+            " g AS (SELECT event_type, nt,"
+            "  unnest(generate_series(1, 9)) AS d FROM t),"
+            " j AS (SELECT g.event_type AS event_type, g.d AS d,"
+            "  coalesce(c.cnt, 0) AS cnt, g.nt AS nt"
+            "  FROM g LEFT JOIN c ON c.event_type = g.event_type"
+            "  AND c.d = g.d)"
+            " SELECT event_type, CAST(d AS INT) AS digit,"
+            " CAST(cnt AS BIGINT) AS n, CAST(nt AS BIGINT) AS n_total,"
+            " round(CAST(cnt AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS frac,"
+            f" {_BENFORD_CASE} AS expected,"
+            " round(CAST(cnt AS DOUBLE) / CAST(nt AS DOUBLE)"
+            f"  - {_BENFORD_CASE}, 6) AS dev"
+            " FROM j"
         ),
         # exact two-sample KS: RANGE-framed cumulative counts (ties
         # counted <= x on both sides), max ECDF gap, large-sample

@@ -1694,6 +1694,76 @@ def psi_drift(
     )
 
 
+def benford(
+    df: DataFrame,
+    value_col: str = "value",
+    by: list[str] | None = None,
+    scale: float = 1e6,
+    round_to: int = 6,
+) -> DataFrame:
+    """First-significant-digit distribution per key vs Benford's law
+    — the classic fabricated/truncated-data audit (Benford 1938;
+    widely used for metric-pipeline QA: organically-generated
+    positive measurements follow P(d) = log10(1 + 1/d), while
+    clipped, defaulted, or synthetic values don't). Emits the full
+    1-9 digit grid per key (zero-count digits included) with the
+    observed fraction, the Benford expectation, and the deviation.
+
+    Determinism: the first digit comes from the DECIMAL STRING of
+    floor(value * scale) as int64 — both engines perform the same
+    IEEE multiply + floor and integer-to-string is exact, so no
+    log10 boundary (1 ulp under a power of ten) can flip a digit.
+    Values that quantize below 1 (zero, negative, |x| < 1/scale) are
+    excluded and counted in nothing, documented behavior.
+
+    Shape: ONE scan — a map-side-combined (key, digit) groupBy, then
+    a per-key rollup that folds the ≤9 digit counts into a bounded
+    map and explodes the full 1-9 grid off it (no totals re-scan, no
+    join-back: the earlier grid-join formulation cost 4 FileScans).
+    Expected fractions are literals (computed once driver-side).
+    Returns per (key, digit): (digit, n, n_total, frac, expected,
+    dev)."""
+    import math
+
+    by = by or []
+    expected = [round(math.log10(1.0 + 1.0 / d), 6) for d in range(1, 10)]
+    n_int = F.floor(F.col(value_col) * F.lit(scale)).cast("long")
+    digit = F.substring(n_int.cast("string"), 1, 1).cast("int")
+    base = df.filter(
+        F.col(value_col).isNotNull() & (n_int >= 1)
+    ).select(*by, digit.alias("__d"))
+    counts = base.groupBy(*[F.col(c) for c in by], F.col("__d")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    per_key = counts.groupBy(*[F.col(c) for c in by]).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__d", "__c"))
+        ).alias("__m"),
+        F.sum("__c").alias("__n"),
+    )
+    j = per_key.select(
+        *by, "__n",
+        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("__d"),
+        F.col("__m"),
+    ).select(
+        *by, "__n", "__d",
+        F.coalesce(F.element_at("__m", F.col("__d")), F.lit(0)).alias("__c"),
+    )
+    exp_col = F.element_at(
+        F.array(*[F.lit(e) for e in expected]), F.col("__d")
+    )
+    frac = F.col("__c").cast("double") / F.col("__n").cast("double")
+    return j.select(
+        *by,
+        F.col("__d").alias("digit"),
+        F.col("__c").alias("n"),
+        F.col("__n").alias("n_total"),
+        F.round(frac, round_to).alias("frac"),
+        exp_col.alias("expected"),
+        F.round(frac - exp_col, round_to).alias("dev"),
+    )
+
+
 def theil_sen_trend(
     df: DataFrame,
     every: str = "1 hour",

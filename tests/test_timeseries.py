@@ -1028,3 +1028,31 @@ def test_psi_drift_scores_planted_shift(spark):
     assert out["shifted"]["psi"] > 0.5 and out["shifted"]["shifted"]
     assert out["stable"]["psi"] < 0.05 and not out["stable"]["shifted"]
     assert out["stable"]["n_before"] == out["stable"]["n_after"] == 200
+
+
+def test_benford_flags_uniform_but_not_log_uniform(spark):
+    """2^i values (log-uniform, the canonical Benford-conforming
+    sequence) score tiny deviations; uniform 100..999 values put
+    ~1/9 in every digit and deviate hard on digit 1. Zero, negative
+    and sub-quantum values are excluded; the digit grid is full."""
+    from fossil_spark.operators import timeseries as ts
+
+    # scaled by 1e-6 so floor(value*scale) = 2^i exactly-ish (an ulp
+    # slip to 2^i - 1 keeps the leading digit: powers of two never
+    # end in 0) and stays far under the int64 quantization bound
+    rows = [("pow2", float(2 ** i) * 1e-6) for i in range(1, 61)]
+    rows += [("uniform", 100.0 + (i * 89) % 900) for i in range(300)]
+    rows += [("uniform", 0.0), ("uniform", -7.0), ("uniform", 1e-9)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = ts.benford(df, "value", ["event_type"]).collect()
+    assert len(out) == 18                       # full 1-9 grid per key
+    by = {(r["event_type"], r["digit"]): r for r in out}
+    assert by[("uniform", 1)]["n_total"] == 300  # exclusions applied
+    assert by[("pow2", 1)]["n_total"] == 60
+    # uniform: every digit ~1/9 = 0.111, Benford digit 1 expects 0.301
+    assert by[("uniform", 1)]["dev"] < -0.15
+    # powers of two follow Benford closely on every digit
+    for d in range(1, 10):
+        assert abs(by[("pow2", d)]["dev"]) < 0.05, (d, by[("pow2", d)])
+    # expected column carries the law itself
+    assert abs(by[("pow2", 1)]["expected"] - 0.30103) < 1e-9

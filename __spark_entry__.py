@@ -898,6 +898,15 @@ def _embedding_pca(spark, sf_dir):
     return proj
 
 
+def _embedding_dim_stats(spark, sf_dir):
+    from fossil_spark.operators import ann
+    from fossil_spark.session import read_table
+
+    # per-dimension mean/std/min/max — the embedding-health audit
+    # (dead dims, normalization bugs, per-dim drift)
+    return ann.dim_stats(read_table(spark, sf_dir, "embeddings"))
+
+
 def _embedding_pca_moments(spark, sf_dir):
     from fossil_spark.operators import ann
     from fossil_spark.session import read_table
@@ -1441,6 +1450,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_ks_drift": _ts_ks_drift,
         "ts_psi_drift": _ts_psi_drift,
         "ts_benford": _ts_benford,
+        "embedding_dim_stats": _embedding_dim_stats,
         "pipeline_drift_report": _pipeline_drift_report,
         "text_bigram_nll": _text_bigram_nll,
         "sample_group_topk": _sample_group_topk,
@@ -3137,6 +3147,26 @@ def oracle_sql() -> dict[str, str]:
             " round(CAST(cnt AS DOUBLE) / CAST(nt AS DOUBLE)"
             f"  - {_BENFORD_CASE}, 6) AS dev"
             " FROM j"
+        ),
+        # per-dimension embedding stats: decimal-exact sum(x) and
+        # sum(x*x) rounded @6 BEFORE the double mean/var arithmetic
+        # (identical IEEE ops from identical inputs in both engines)
+        "embedding_dim_stats": (
+            "WITH v AS (SELECT list_transform(embedding,"
+            "  x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),"
+            " u AS (SELECT unnest(list_transform("
+            "  generate_series(1, len(vv)),"
+            "  j -> {'d': j - 1, 'x': vv[j]})) AS s FROM v),"
+            " e AS (SELECT s.d AS d, s.x AS x FROM u),"
+            " a AS (SELECT d, count(x) AS n,"
+            "  CAST(round(sum(CAST(x AS DECIMAL(38,12))), 6) AS DOUBLE) AS s1,"
+            "  CAST(round(sum(CAST(x * x AS DECIMAL(38,12))), 6) AS DOUBLE) AS s2,"
+            "  min(x) AS vmin, max(x) AS vmax FROM e GROUP BY d)"
+            " SELECT CAST(d AS INT) AS dim, CAST(n AS BIGINT) AS n,"
+            " round(s1 / n, 6) AS mean,"
+            " round(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)), 6)"
+            "  AS std,"
+            " vmin, vmax FROM a"
         ),
         # exact two-sample KS: RANGE-framed cumulative counts (ties
         # counted <= x on both sides), max ECDF gap, large-sample

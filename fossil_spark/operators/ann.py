@@ -921,3 +921,54 @@ def embedding_coherence(
             6,
         ).alias("cos_to_centroid"),
     )
+
+
+def dim_stats(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-dimension health statistics of an embedding corpus —
+    count, mean, std, min, max for every vector component. The
+    standard embedding-pipeline audit: a dead dimension (std ~ 0)
+    means a collapsed encoder feature, a blown-up mean/max means a
+    normalization bug upstream, and comparing two corpora's
+    per-dimension means is the cheapest embedding-drift monitor
+    (complements the corpus-level [[embedding_outliers]] norm check
+    and the covariance-level pca_moments pass).
+
+    Shape: posexplode -> ONE (dim,) groupBy with map-side partial
+    aggregation — shuffle volume is partitions x d cells, never
+    corpus-sized; no joins, no driver work. Deterministic: sum(x)
+    and sum(x*x) accumulate in decimal(38,12) (partition-order
+    independent) and round @6 BEFORE the double mean/variance
+    arithmetic, so both engines run identical IEEE ops from
+    identical inputs. Ragged short rows simply don't contribute to
+    the dims they lack (count is per-dimension). Returns
+    (dim, n, mean, std, vmin, vmax)."""
+    e = corpus.select(
+        F.posexplode(F.col(vec_col)).alias("__dim", "__x0")
+    ).select("__dim", F.col("__x0").cast("double").alias("__x"))
+    agg = e.groupBy("__dim").agg(
+        F.count("__x").alias("n"),
+        F.round(F.sum(F.col("__x").cast("decimal(38,12)")), round_to)
+        .cast("double").alias("__s1"),
+        F.round(
+            F.sum((F.col("__x") * F.col("__x")).cast("decimal(38,12)")),
+            round_to,
+        ).cast("double").alias("__s2"),
+        F.min("__x").alias("vmin"),
+        F.max("__x").alias("vmax"),
+    )
+    mean = F.col("__s1") / F.col("n")
+    var = F.greatest(
+        F.col("__s2") / F.col("n") - mean * mean, F.lit(0.0)
+    )
+    return agg.select(
+        F.col("__dim").alias("dim"),
+        "n",
+        F.round(mean, round_to).alias("mean"),
+        F.round(F.sqrt(var), round_to).alias("std"),
+        "vmin",
+        "vmax",
+    )

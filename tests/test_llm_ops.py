@@ -1203,3 +1203,22 @@ def test_code_detector_separates_code_and_prose(spark):
     assert out[1]["is_code"] and out[1]["code_score"] > 0.5
     assert not out[2]["is_code"] and out[2]["code_score"] < 0.3
     assert out[1]["symbol_density"] > out[2]["symbol_density"]
+
+
+def test_embedding_dim_stats_flags_dead_and_blown_dims(spark):
+    """Planted 3-dim corpus: dim 0 constant (dead, std 0), dim 1
+    alternating ±2 (mean 0, std 2), dim 2 one blown-up value caught
+    by vmax; a ragged 2-dim row contributes only to dims 0-1."""
+    from fossil_spark.operators import ann
+
+    rows = [(i, [0.5, 2.0 if i % 2 == 0 else -2.0, 0.1]) for i in range(10)]
+    rows.append((10, [0.5, 2.0]))            # ragged: no dim-2 sample
+    rows.append((11, [0.5, -2.0, 100.0]))    # normalization bug on dim 2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["dim"]: r for r in ann.dim_stats(df).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0]["n"] == 12 and out[2]["n"] == 11
+    assert out[0]["std"] == 0.0 and out[0]["mean"] == 0.5
+    assert out[1]["mean"] == 0.0 and out[1]["std"] == 2.0
+    assert out[2]["vmax"] == 100.0 and out[2]["vmin"] == pytest.approx(0.1)
+    assert out[2]["mean"] > 5.0               # the blowup moves the mean

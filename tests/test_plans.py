@@ -231,7 +231,8 @@ _SCAN_BUDGET = {
     "ts_trend_robust": 3,         # buckets + the two pair sides (bounded)
     "ts_ks_drift": 1,             # one sort per key, two windows share it
     "ts_psi_drift": 2,            # rows + the bounded reference-edges side
-    "ts_benford": 2,              # one counts pipeline (2nd is plan echo)
+    "ts_benford": 1,              # one counts pipeline, grid off the agg
+    "embedding_dim_stats": 1,     # posexplode + one map-side-combined agg
 }
 
 

@@ -873,6 +873,14 @@ def _graph_pagerank(spark, sf_dir):
     return graph.pagerank(dedup.minhash_lsh_pairs(_docs(spark, sf_dir)))
 
 
+def _graph_triangles(spark, sf_dir):
+    from fossil_spark.operators import dedup, graph
+
+    # per-node triangle count + clustering coefficient of the minhash
+    # pair graph (degree-ordered node-iterator, exact integer counts)
+    return graph.triangles(dedup.minhash_lsh_pairs(_docs(spark, sf_dir)))
+
+
 def _embedding_coherence(spark, sf_dir):
     from fossil_spark.operators import ann
     from fossil_spark.session import read_table
@@ -1443,6 +1451,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca_moments": _embedding_pca_moments,
         "graph_degree": _graph_degree,
         "graph_pagerank": _graph_pagerank,
+        "graph_triangles": _graph_triangles,
         "ts_holt_winters": _ts_holt_winters,
         "ts_decompose": _ts_decompose,
         "ts_xcorr": _ts_xcorr,
@@ -2863,6 +2872,30 @@ def oracle_sql() -> dict[str, str]:
             "  UNION ALL SELECT doc_b FROM pairs)"
             " SELECT s AS doc_id, CAST(count(*) AS BIGINT) AS degree"
             " FROM e GROUP BY s"
+        ),
+        # per-node triangle count + clustering coefficient; the a<b<c
+        # id-ordered 3-way join enumerates the SAME triangle set the
+        # Spark side's degree-ordered node-iterator produces
+        "graph_triangles": (
+            f"WITH {_MINHASH_CTES},"
+            " ed AS (SELECT DISTINCT src, dst FROM ("
+            "  SELECT doc_a AS src, doc_b AS dst FROM pairs"
+            "  UNION ALL SELECT doc_b, doc_a FROM pairs)),"
+            " deg AS (SELECT src AS id, count(*) AS deg FROM ed GROUP BY 1),"
+            " e AS (SELECT src AS a, dst AS b FROM ed WHERE src < dst),"
+            " tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c"
+            "  FROM e e1 JOIN e e2 ON e2.a = e1.b"
+            "  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),"
+            " tn AS (SELECT id, count(*) AS t FROM ("
+            "  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri"
+            "  UNION ALL SELECT c FROM tri) GROUP BY 1)"
+            " SELECT d.id AS doc_id, CAST(d.deg AS BIGINT) AS degree,"
+            " CAST(coalesce(tn.t, 0) AS BIGINT) AS n_triangles,"
+            " CASE WHEN d.deg >= 2 THEN round("
+            "  CAST(2 * coalesce(tn.t, 0) AS DOUBLE)"
+            "  / (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0)), 6)"
+            "  ELSE 0.0 END AS clustering"
+            " FROM deg d LEFT JOIN tn ON tn.id = d.id"
         ),
         # ExactSubstr sliding-window duplicated-span stats: every
         # length-10 token window hashed; hashes with corpus count >= 2

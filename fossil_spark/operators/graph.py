@@ -110,3 +110,93 @@ def pagerank(
         F.col("deg").cast("long").alias("degree"),
         F.round("rank", round_to).alias("pagerank"),
     )
+
+
+def triangles(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient of the
+    undirected pair graph — the cluster-quality readout on a near-dup
+    graph: a doc whose neighbors are also near-dups of EACH OTHER
+    (high clustering) sits inside a tight template family, while a
+    high-degree / zero-triangle doc is a hub stitching unrelated
+    groups together (a spurious-edge smell before collapsing
+    components).
+
+    Shape: the degree-ordered node-iterator (orient every edge from
+    the lower (degree, id) endpoint, join wedges at the shared source
+    against the closing oriented edge) — out-degrees after this
+    orientation are O(sqrt(m)), so the wedge join is bounded even on
+    skewed graphs where a naive neighbor self-join blows up on the
+    hub. Edges localCheckpoint once (the pagerank convention) so the
+    upstream minhash pair pipeline runs once, not per self-join
+    branch. Counts are exact integers — no float path at all until
+    the final coefficient. Returns (doc_id, degree, n_triangles,
+    clustering) for EVERY node of the pair graph (zero-triangle nodes
+    included)."""
+    edges = _symmetric_edges(pairs, a_col, b_col).localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # undirected edge set (one row per edge), then orient by the
+    # (degree, id) total order: src is the "smaller" endpoint
+    und = edges.filter(F.col("src") < F.col("dst"))
+    ds = deg.select(F.col("src").alias("u"), F.col("deg").alias("du"))
+    dd = deg.select(F.col("src").alias("v"), F.col("deg").alias("dv"))
+    keyed = (
+        und.join(ds, und["src"] == ds["u"])
+        .join(dd, und["dst"] == dd["v"])
+        .select(
+            F.struct(
+                F.col("du").alias("k"), F.col("src").alias("i")
+            ).alias("ka"),
+            F.struct(
+                F.col("dv").alias("k"), F.col("dst").alias("i")
+            ).alias("kb"),
+            "src", "dst",
+        )
+    )
+    e_or = keyed.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("src"))
+        .otherwise(F.col("dst")).alias("s"),
+        F.when(F.col("ka") < F.col("kb"), F.col("dst"))
+        .otherwise(F.col("src")).alias("d"),
+        F.when(F.col("ka") < F.col("kb"), F.col("kb"))
+        .otherwise(F.col("ka")).alias("kd"),
+    ).localCheckpoint(eager=False)
+    e1 = e_or.select(
+        F.col("s").alias("a"), F.col("d").alias("b"), F.col("kd").alias("k1")
+    )
+    e2 = e_or.select(
+        F.col("s").alias("a2"), F.col("d").alias("c"), F.col("kd").alias("k2")
+    )
+    wedges = e1.join(e2, (e1["a"] == e2["a2"]) & (e1["k1"] < e2["k2"]))
+    closing = e_or.select(F.col("s").alias("b"), F.col("d").alias("c"))
+    tri = wedges.join(closing, on=["b", "c"]).select("a", "b", "c")
+    per_node = (
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    out = (
+        deg.select(F.col("src").alias("id"), "deg")
+        .join(per_node, on="id", how="left")
+        .na.fill({"n_triangles": 0})
+    )
+    coeff = F.when(
+        F.col("deg") >= 2,
+        F.round(
+            2.0 * F.col("n_triangles").cast("double")
+        / (F.col("deg").cast("double") * (F.col("deg").cast("double") - 1.0)),
+            round_to,
+        ),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("deg").cast("long").alias("degree"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        coeff.alias("clustering"),
+    )

@@ -1222,3 +1222,26 @@ def test_embedding_dim_stats_flags_dead_and_blown_dims(spark):
     assert out[1]["mean"] == 0.0 and out[1]["std"] == 2.0
     assert out[2]["vmax"] == 100.0 and out[2]["vmin"] == pytest.approx(0.1)
     assert out[2]["mean"] > 5.0               # the blowup moves the mean
+
+
+def test_graph_triangles_planted(spark):
+    """Triangle {1,2,3} with a pendant 4-1, a triangle-free square
+    {5,6,7,8}, and a K4 {20..23} (4 triangles, clustering 1.0
+    everywhere). The hub-vs-clique contrast is the operator's point:
+    node 1 (degree 3, one triangle) scores 1/3, square nodes 0."""
+    from fossil_spark.operators import graph
+
+    edges = [(1, 2), (2, 3), (1, 3), (1, 4),
+             (5, 6), (6, 7), (7, 8), (5, 8)]
+    edges += [(a, b) for a in range(20, 24) for b in range(a + 1, 24)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = {r["doc_id"]: r for r in graph.triangles(pairs).collect()}
+    assert out[1]["n_triangles"] == 1 and out[1]["degree"] == 3
+    assert out[1]["clustering"] == pytest.approx(1.0 / 3.0, abs=1e-6)
+    assert out[2]["n_triangles"] == 1 and out[2]["clustering"] == 1.0
+    assert out[4]["n_triangles"] == 0 and out[4]["clustering"] == 0.0
+    for n in (5, 6, 7, 8):
+        assert out[n]["n_triangles"] == 0 and out[n]["clustering"] == 0.0
+    for n in range(20, 24):
+        assert out[n]["n_triangles"] == 3 and out[n]["clustering"] == 1.0
+    assert len(out) == 12

@@ -233,6 +233,7 @@ _SCAN_BUDGET = {
     "ts_psi_drift": 2,            # rows + the bounded reference-edges side
     "ts_benford": 1,              # one counts pipeline, grid off the agg
     "embedding_dim_stats": 1,     # posexplode + one map-side-combined agg
+    "graph_triangles": 1,         # checkpointed edges; one scan at matz.
 }
 
 

@@ -989,6 +989,14 @@ def _text_lexical_diversity(spark, sf_dir):
     return text.lexical_diversity(_docs(spark, sf_dir))
 
 
+def _text_entropy(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    # bits/char Shannon entropy — the JVM-side garbage detector
+    # (base64 blobs high, template padding low)
+    return text.char_entropy(_docs(spark, sf_dir))
+
+
 def _ts_sax(spark, sf_dir):
     from fossil_spark.operators import timeseries as ts
 
@@ -1477,6 +1485,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": _embedding_outliers,
         "ts_bursts": _ts_bursts,
         "text_lexical_diversity": _text_lexical_diversity,
+        "text_entropy": _text_entropy,
         "sample_temperature": _sample_temperature,
         "text_compression": _text_compression,  # rows-only: zlib not in SQL
         "sample_weighted": _sample_weighted,
@@ -3200,6 +3209,30 @@ def oracle_sql() -> dict[str, str]:
             " round(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)), 6)"
             "  AS std,"
             " vmin, vmax FROM a"
+        ),
+        # per-doc char entropy: ≤alphabet terms -(p·ln p)/ln2 rounded
+        # to decimal(30,8) before summing; ln(2) is a shared literal
+        # (text._LN2), never each engine's own ln() call
+        "text_entropy": (
+            "WITH ch AS (SELECT doc_id,"
+            " unnest(string_split(text, '')) AS c FROM documents),"
+            " ct AS (SELECT doc_id, c, count(*) AS cnt FROM ch"
+            "  WHERE c != '' GROUP BY 1, 2),"
+            " t AS (SELECT doc_id, cnt,"
+            "  sum(cnt) OVER (PARTITION BY doc_id) AS n,"
+            "  count(*) OVER (PARTITION BY doc_id) AS k FROM ct),"
+            " s AS (SELECT doc_id, min(n) AS n, min(k) AS k,"
+            "  CAST(round(sum(CAST("
+            "   (-(CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n))"
+            "   / CAST(0.6931471805599453 AS DOUBLE)"
+            "   AS DECIMAL(30,8))), 4) AS DOUBLE) AS ent"
+            "  FROM t GROUP BY doc_id)"
+            " SELECT doc_id, CAST(n AS BIGINT) AS n_chars,"
+            " CAST(k AS BIGINT) AS n_distinct, ent AS entropy,"
+            " CASE WHEN k > 1 THEN round(ent / (ln(CAST(k AS DOUBLE))"
+            "  / CAST(0.6931471805599453 AS DOUBLE)), 6)"
+            "  ELSE 0.0 END AS entropy_norm"
+            " FROM s"
         ),
         # exact two-sample KS: RANGE-framed cumulative counts (ties
         # counted <= x on both sides), max ECDF gap, large-sample

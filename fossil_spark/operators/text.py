@@ -1230,3 +1230,65 @@ def code_detector(
         F.round(score, 6).alias("code_score"),
         (score > 0.5).alias("is_code"),
     )
+
+
+# ln(2) as the SAME double literal on both the Spark and oracle side
+# (dividing by each engine's own ln(2) would risk a 1-ulp divergence)
+_LN2 = 0.6931471805599453
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Character-level Shannon entropy per document (bits/char) — the
+    cheapest garbage detector in a text pipeline: natural prose sits
+    ~4.0-4.5 bits, base64/hex blobs and minified code run higher,
+    repeated-template padding and single-char runs collapse toward 0
+    (complements [[text_compression]], which measures the same signal
+    via zlib but needs Python; this stays fully JVM-side).
+
+    Shape: per-char explode -> (doc, char) groupBy — map-side partial
+    aggregation means the SHUFFLE is bounded by docs x alphabet
+    (~100 cells/doc), not corpus characters; then one doc-partitioned
+    window + final groupBy ride the same exchange. Deterministic: the
+    ≤alphabet-size entropy terms -(p·ln p)/ln2 round to decimal(30,8)
+    before summing (partition-order independent, 1-ulp-proof), and
+    ln(2) is a shared literal, not each engine's own ln() call.
+    Empty documents have no characters and are omitted. Returns
+    (id, n_chars, n_distinct, entropy, entropy_norm) with entropy_norm
+    = entropy / log2(n_distinct) in [0, 1] (0 for single-char docs)."""
+    chars = df.select(
+        id_col, F.explode(F.split(F.col(text_col), "")).alias("__ch")
+    ).filter(F.col("__ch") != "")
+    counts = chars.groupBy(id_col, "__ch").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.partitionBy(id_col)
+    t = counts.select(
+        id_col, "__c",
+        F.sum("__c").over(w).alias("__n"),
+        F.count(F.lit(1)).over(w).alias("__k"),
+    )
+    p = F.col("__c").cast("double") / F.col("__n").cast("double")
+    term = (-p * F.log(p)) / F.lit(_LN2)
+    s = t.groupBy(id_col).agg(
+        F.min("__n").alias("n_chars"),
+        F.min("__k").alias("n_distinct"),
+        F.round(F.sum(term.cast("decimal(30,8)")), round_to)
+        .cast("double").alias("entropy"),
+    )
+    norm = F.when(
+        F.col("n_distinct") > 1,
+        F.round(
+            F.col("entropy")
+            / (F.log(F.col("n_distinct").cast("double")) / F.lit(_LN2)),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return s.select(
+        id_col, "n_chars", "n_distinct", "entropy",
+        norm.alias("entropy_norm"),
+    )

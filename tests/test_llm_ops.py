@@ -1245,3 +1245,29 @@ def test_graph_triangles_planted(spark):
     for n in range(20, 24):
         assert out[n]["n_triangles"] == 3 and out[n]["clustering"] == 1.0
     assert len(out) == 12
+
+
+def test_char_entropy_separates_prose_from_blobs_and_padding(spark):
+    """Entropy ordering: repeated single char ~0 < prose < uniform
+    base62-ish blob; entropy_norm hits exactly 1.0 when every char is
+    equally frequent; single-char docs normalize to 0."""
+    import string
+
+    from fossil_spark.operators import text
+
+    blob = string.ascii_letters + string.digits      # 62 distinct, once each
+    d = spark.createDataFrame(
+        [(1, "aaaaaaaaaaaaaaaaaaaa"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, blob),
+         (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.char_entropy(d).collect()}
+    assert 4 not in out                      # empty doc omitted
+    assert out[1]["entropy"] == 0.0 and out[1]["entropy_norm"] == 0.0
+    assert out[1]["n_distinct"] == 1
+    assert out[3]["entropy"] == pytest.approx(5.9542, abs=1e-3)  # log2(62)
+    assert out[3]["entropy_norm"] == pytest.approx(1.0, abs=1e-6)
+    assert 3.0 < out[2]["entropy"] < out[3]["entropy"]
+    assert out[2]["n_chars"] == 43

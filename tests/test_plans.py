@@ -234,6 +234,7 @@ _SCAN_BUDGET = {
     "ts_benford": 1,              # one counts pipeline, grid off the agg
     "embedding_dim_stats": 1,     # posexplode + one map-side-combined agg
     "graph_triangles": 1,         # checkpointed edges; one scan at matz.
+    "text_entropy": 1,            # char counts + doc window, one scan
 }
 
 

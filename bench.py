@@ -110,6 +110,9 @@ def main() -> None:
         "ts_lttb", "cluster_kmeans_fixed", "embedding_pca_moments",
         "dedup_containment", "embedding_sq8", "ts_trend_robust",
         "ts_ks_drift", "ts_psi_drift",
+        # round-6 session-4 operators
+        "ts_benford", "embedding_dim_stats", "graph_triangles",
+        "text_entropy",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

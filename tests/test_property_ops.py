@@ -217,3 +217,56 @@ def test_lttb_matches_python_reference(spark, xs, n_out):
         keep.append(a)
     keep.append(n - 1)
     assert got == sorted(keep)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=1, max_size=30,
+    )
+)
+def test_triangles_match_bruteforce(spark, raw_edges):
+    """Degree-ordered node-iterator vs O(n^3) adjacency brute force
+    on random graphs (self-loops dropped, duplicate edges collapse)."""
+    from itertools import combinations
+
+    from fossil_spark.operators import graph
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges if a != b})
+    if not edges:
+        return
+    d = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["doc_id"]: (r["degree"], r["n_triangles"])
+           for r in graph.triangles(d).collect()}
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri_count = {n: 0 for n in adj}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                tri_count[n] += 1
+    assert got == {n: (len(adj[n]), tri_count[n]) for n in adj}
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.text(alphabet="abcdef \n.", min_size=1, max_size=120))
+def test_char_entropy_matches_bruteforce(spark, s):
+    """JVM decimal-term entropy vs a pure-Python Counter computation
+    (tolerance covers the @8 per-term + @4 sum quantization)."""
+    from collections import Counter
+
+    from fossil_spark.operators import text
+
+    d = spark.createDataFrame([(1, s)], "doc_id long, text string")
+    [r] = text.char_entropy(d).collect()
+    c = Counter(s)
+    n = sum(c.values())
+    want = -sum((v / n) * math.log2(v / n) for v in c.values())
+    assert r["n_chars"] == n and r["n_distinct"] == len(c)
+    assert abs(r["entropy"] - want) < 5e-4
+    if len(c) > 1:
+        assert abs(r["entropy_norm"] - want / math.log2(len(c))) < 5e-3

@@ -327,3 +327,62 @@ def test_streaming_anomaly_append_mode(spark, workdir):
     [r] = rows
     assert r["topic"] == "/t" and str(r["bucket"]) == "2024-01-01 02:00:00"
     assert r["deviation_sigmas"] > 100
+
+
+def test_streaming_psi_drift_append_mode(spark, workdir):
+    """Streaming PSI vs a batch reference profile, in the documented
+    append mode: the 00:00 window replays the reference distribution
+    (psi ~ 0), the 02:00 window is shifted +500 (psi >> 0.2, drifted);
+    two advancer batches push the watermark past both windows so
+    append emits each exactly once. Unknown keys are dropped."""
+    from fossil_spark.streaming.drift import reference_profile, streaming_psi
+
+    hist = spark.createDataFrame(
+        [("/t", (i * 37 % 100) / 10.0) for i in range(300)],
+        "topic string, value double",
+    )
+    prof = reference_profile(hist)
+    [p] = prof.collect()
+    assert len(p["edges"]) == 9 and len(p["ref_fracs"]) == 10
+    assert abs(sum(p["ref_fracs"]) - 1.0) < 1e-9
+
+    src = os.path.join(workdir, "live_psi")
+    os.makedirs(src)
+    _write_jsonl(os.path.join(src, "a.json"), [
+        {"time": f"2024-01-01T00:{m:02d}:00", "topic": "/t",
+         "value": str((m * 37 % 100) / 10.0)}
+        for m in range(50)
+    ] + [
+        {"time": f"2024-01-01T02:{m:02d}:00", "topic": "/t",
+         "value": str(500.0 + (m * 37 % 100) / 10.0)}
+        for m in range(50)
+    ] + [
+        {"time": "2024-01-01T00:30:00", "topic": "/unknown", "value": "1.0"},
+    ])
+    _write_jsonl(os.path.join(src, "b.json"), [
+        {"time": "2024-01-01T08:00:00", "topic": "/t", "value": "5.0"},
+    ])
+    _write_jsonl(os.path.join(src, "c.json"), [
+        {"time": "2024-01-01T08:01:00", "topic": "/t", "value": "5.0"},
+    ])
+    stream = (
+        spark.readStream.schema("time timestamp, topic string, value string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("value", F.col("value").cast("double"))
+    )
+    out = streaming_psi(stream, prof, every="1 hour", watermark="2 hours")
+    name = f"psi_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {str(r["bucket"]): r for r in
+            spark.sql(f"SELECT * FROM {name}").collect()}
+    assert set(rows) == {"2024-01-01 00:00:00", "2024-01-01 02:00:00"}
+    stable = rows["2024-01-01 00:00:00"]
+    shifted = rows["2024-01-01 02:00:00"]
+    assert stable["n"] == 50 and not stable["drifted"]
+    assert stable["psi"] < 0.1
+    assert shifted["drifted"] and shifted["psi"] > 1.0

@@ -1051,6 +1051,14 @@ def _ts_psi_drift(spark, sf_dir):
     )
 
 
+def _pipeline_quality_report(spark, sf_dir):
+    from fossil_spark.pipelines import quality_report
+
+    # fused per-source content-health rollup: ONE scan + one groupBy
+    # (the batch content dual of pipeline_drift_report)
+    return quality_report(_docs(spark, sf_dir))
+
+
 def _ts_benford(spark, sf_dir):
     from fossil_spark.operators import timeseries as ts
 
@@ -1436,7 +1444,7 @@ _WINDOW_PRIORITY = [
     # round-6 session-4 additions (below the ~50-key fold this round;
     # next rotation's head)
     "ts_benford", "embedding_dim_stats", "graph_triangles",
-    "text_entropy",
+    "text_entropy", "pipeline_quality_report",
 ]
 
 
@@ -1469,6 +1477,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_benford": _ts_benford,
         "embedding_dim_stats": _embedding_dim_stats,
         "pipeline_drift_report": _pipeline_drift_report,
+        "pipeline_quality_report": _pipeline_quality_report,
         "text_bigram_nll": _text_bigram_nll,
         "sample_group_topk": _sample_group_topk,
         "ts_counter_rate": _ts_counter_rate,
@@ -3692,6 +3701,27 @@ def oracle_sql() -> dict[str, str]:
     # composed entries reuse the proven single-operator oracles as
     # nested-WITH subqueries, joined on the key — exactly mirroring
     # the Spark-side composition
+    out["pipeline_quality_report"] = (
+        f"WITH g AS ({out['text_gopher']}),"
+        f" q AS ({out['text_quality']}),"
+        f" l AS ({out['text_langid']}),"
+        f" t AS ({out['text_tokens']})"
+        " SELECT d.source AS source,"
+        " CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens,"
+        " CAST(sum(t.n_chars) AS BIGINT) AS n_chars,"
+        " round(CAST(sum(t.n_tokens) AS DOUBLE) / count(*), 6)"
+        "  AS mean_tokens,"
+        " round(CAST(round(sum(CAST(q.quality AS DECIMAL(30,8))), 4)"
+        "  AS DOUBLE) / count(*), 6) AS mean_quality,"
+        " round(CAST(sum(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END)"
+        "  AS DOUBLE) / count(*), 6) AS gopher_pass_rate,"
+        " CAST(sum(CASE WHEN l.pred_lang = 'en' THEN 1 ELSE 0 END)"
+        "  AS BIGINT) AS n_en"
+        " FROM documents d JOIN g USING (doc_id) JOIN q USING (doc_id)"
+        " JOIN l USING (doc_id) JOIN t USING (doc_id)"
+        " GROUP BY d.source"
+    )
     out["pipeline_drift_report"] = (
         f"WITH ks AS ({out['ts_ks_drift']}),"
         f" psi AS ({out['ts_psi_drift']}),"

@@ -112,7 +112,7 @@ def main() -> None:
         "ts_ks_drift", "ts_psi_drift",
         # round-6 session-4 operators
         "ts_benford", "embedding_dim_stats", "graph_triangles",
-        "text_entropy",
+        "text_entropy", "pipeline_quality_report",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

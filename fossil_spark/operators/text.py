@@ -564,6 +564,46 @@ def domain_mixture(
     )
 
 
+def gopher_parts(text_col: Column) -> dict[str, Column]:
+    """The Gopher rule expressions as pure Columns (shared by
+    gopher_quality and the fused pipeline quality report — ONE source
+    of truth so the two can't drift apart)."""
+    w = tokens(text_col)
+    n_words = F.size(w)
+    word_chars = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+    )
+    mean_word_len = word_chars.cast("double") / n_words
+    dup_word_frac = (
+        F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / n_words
+    )
+
+    def top_chars(n: int) -> Column:
+        # char mass of one occurrence = len(space-joined gram) - (n-1);
+        # sorted-run linear scan, floored at 0 (see _top_run_mass)
+        return _top_run_mass(shingles(text_col, n), n)
+
+    top2 = top_chars(2).cast("double") / word_chars
+    top3 = top_chars(3).cast("double") / word_chars
+    passed = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (dup_word_frac <= 0.5)
+        & (top2 <= 0.20)
+        & (top3 <= 0.18)
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "dup_word_frac": dup_word_frac,
+        "top2_char_frac": top2,
+        "top3_char_frac": top3,
+        "gopher_pass": passed,
+    }
+
+
 def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition quality rules (Rae et al. 2021, §A1.1):
     word count, mean word length, duplicate-word fraction, and the
@@ -579,40 +619,13 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     functions only: no explode, no shuffle; the modal-gram scan is
     sort + linear run-scan (O(m log m), not the O(d*m) all-pairs
     filter that measured 57 s at sf0.1)."""
-    w = tokens(F.col(text_col))
-    n_words = F.size(w)
-    word_chars = F.aggregate(
-        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
-    )
-    mean_word_len = word_chars.cast("double") / n_words
-    dup_word_frac = (
-        F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / n_words
-    )
-
-    def top_chars(n: int) -> Column:
-        # char mass of one occurrence = len(space-joined gram) - (n-1);
-        # sorted-run linear scan, floored at 0 (see _top_run_mass)
-        return _top_run_mass(shingles(F.col(text_col), n), n)
-
-    top2 = top_chars(2).cast("double") / word_chars
-    top3 = top_chars(3).cast("double") / word_chars
-    passed = (
-        (n_words >= 50)
-        & (n_words <= 100_000)
-        & (mean_word_len >= 3.0)
-        & (mean_word_len <= 10.0)
-        & (dup_word_frac <= 0.5)
-        & (top2 <= 0.20)
-        & (top3 <= 0.18)
-    )
+    parts = gopher_parts(F.col(text_col))
     return df.select(
         "doc_id",
-        n_words.alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        dup_word_frac.alias("dup_word_frac"),
-        top2.alias("top2_char_frac"),
-        top3.alias("top3_char_frac"),
-        passed.alias("gopher_pass"),
+        *[parts[k].alias(k) for k in (
+            "n_words", "mean_word_len", "dup_word_frac",
+            "top2_char_frac", "top3_char_frac", "gopher_pass",
+        )],
     )
 
 

@@ -228,3 +228,67 @@ def drift_report(
         *by, "n_before", "n_after", "ks_d", "ks_crit", "ks_drifted",
         "psi", "psi_shifted", "sen_slope_per_sec", "kendall_tau",
     )
+
+
+def quality_report(
+    docs: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-source corpus quality rollup — the one-call readout a
+    training-data pipeline runs per data drop: document/token/char
+    volume, mean heuristic quality, Gopher-rule pass rate, and the
+    English share, per source. The batch counterpart of drift_report
+    for CONTENT health rather than distribution health.
+
+    Unlike drift_report (a join of three keyed operators), every
+    component here is a pure per-row Column expression
+    (quality_expr, lang_pred_expr, gopher_parts — no explode, no
+    per-component shuffle), so the whole report FUSES into ONE scan
+    + one map-side-combined groupBy: at 100 TB this reads the corpus
+    once, where joining the four standalone operators would read it
+    four times. Deterministic: quality sums accumulate in
+    decimal(30,8) (the repo convention); counts are exact integers.
+    Returns per source: (n_docs, n_tokens, n_chars, mean_tokens,
+    mean_quality, gopher_pass_rate, n_en)."""
+    from fossil_spark.operators.text import (
+        gopher_parts,
+        lang_pred_expr,
+        quality_expr,
+        tokens,
+    )
+
+    c = F.col(text_col)
+    per = docs.select(
+        by,
+        F.size(tokens(c)).alias("__nt"),
+        F.length(c).alias("__nc"),
+        quality_expr(c).alias("__q"),
+        lang_pred_expr(c).alias("__lang"),
+        gopher_parts(c)["gopher_pass"].alias("__gp"),
+    )
+    agg = per.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").cast("long").alias("n_tokens"),
+        F.sum("__nc").cast("long").alias("n_chars"),
+        F.round(F.sum(F.col("__q").cast("decimal(30,8)")), 4)
+        .cast("double").alias("__qs"),
+        F.sum(F.col("__gp").cast("int")).alias("__gpn"),
+        F.sum((F.col("__lang") == "en").cast("int")).alias("__en"),
+    )
+    return agg.select(
+        by,
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("n_docs"), round_to
+        ).alias("mean_tokens"),
+        F.round(F.col("__qs") / F.col("n_docs"), round_to)
+        .alias("mean_quality"),
+        F.round(
+            F.col("__gpn").cast("double") / F.col("n_docs"), round_to
+        ).alias("gopher_pass_rate"),
+        F.col("__en").cast("long").alias("n_en"),
+    )

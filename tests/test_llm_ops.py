@@ -1271,3 +1271,29 @@ def test_char_entropy_separates_prose_from_blobs_and_padding(spark):
     assert out[3]["entropy_norm"] == pytest.approx(1.0, abs=1e-6)
     assert 3.0 < out[2]["entropy"] < out[3]["entropy"]
     assert out[2]["n_chars"] == 43
+
+
+def test_pipeline_quality_report_contrasts_sources(spark):
+    """Two planted sources: 'good' carries 60-word English prose
+    (passes Gopher, pred_lang en), 'junk' carries short punctuation
+    blobs (fails Gopher, not English). One row per source with exact
+    counts and a higher mean quality for the prose."""
+    from fossil_spark.pipelines import quality_report
+
+    # 60 words, all distinct (dup_frac 0, no repeated n-grams), with
+    # English stopwords sprinkled in so lang-ID resolves to 'en'
+    prose = " ".join(
+        ["the", "and", "with", "from", "that"]
+        + [f"word{chr(97 + i // 10)}{chr(97 + i % 10)}" for i in range(55)]
+    )
+    junk = "@@@ ### !!! $$$ %%%"
+    rows = [(i, "good", prose) for i in range(4)]
+    rows += [(10 + i, "junk", junk) for i in range(6)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in quality_report(d).collect()}
+    assert out["good"]["n_docs"] == 4 and out["junk"]["n_docs"] == 6
+    assert out["good"]["n_tokens"] == 4 * 60
+    assert out["good"]["gopher_pass_rate"] == 1.0
+    assert out["junk"]["gopher_pass_rate"] == 0.0
+    assert out["good"]["n_en"] == 4 and out["junk"]["n_en"] == 0
+    assert out["good"]["mean_quality"] > out["junk"]["mean_quality"]

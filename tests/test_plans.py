@@ -235,6 +235,7 @@ _SCAN_BUDGET = {
     "embedding_dim_stats": 1,     # posexplode + one map-side-combined agg
     "graph_triangles": 1,         # checkpointed edges; one scan at matz.
     "text_entropy": 1,            # char counts + doc window, one scan
+    "pipeline_quality_report": 1,  # fully fused: one scan, one groupBy
 }
 
 

@@ -3180,8 +3180,8 @@ def oracle_sql() -> dict[str, str]:
             "WITH b AS (SELECT event_type,"
             " CAST(substr(CAST(q AS VARCHAR), 1, 1) AS INT) AS d"
             " FROM (SELECT event_type,"
-            "  CAST(floor(value * 1000000.0) AS BIGINT) AS q"
-            f"  FROM {_EV} e WHERE value IS NOT NULL) WHERE q >= 1),"
+            "  TRY_CAST(floor(value * 1000000.0) AS BIGINT) AS q"
+            f"  FROM {_EV} e WHERE value IS NOT NULL AND value * 1000000.0 < 9.2e18) WHERE q >= 1),"
             " c AS (SELECT event_type, d, count(*) AS cnt"
             "  FROM b GROUP BY 1, 2),"
             " t AS (SELECT event_type, count(*) AS nt FROM b GROUP BY 1),"

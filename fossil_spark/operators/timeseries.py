@@ -1714,7 +1714,13 @@ def benford(
     IEEE multiply + floor and integer-to-string is exact, so no
     log10 boundary (1 ulp under a power of ten) can flip a digit.
     Values that quantize below 1 (zero, negative, |x| < 1/scale) are
-    excluded and counted in nothing, documented behavior.
+    excluded and counted in nothing, as are NaN/Inf and values whose
+    quantization would overflow int64 (x·scale >= 9.2e18): the
+    explicit magnitude guard excludes them identically in BOTH
+    engines (Spark clamps an overflowing cast where DuckDB nulls it,
+    and NaN compares false against the bound in both), and the digit
+    cast is a try_cast so nothing can fail the job under ANSI mode —
+    documented behavior.
 
     Shape: ONE scan — a map-side-combined (key, digit) groupBy, then
     a per-key rollup that folds the ≤9 digit counts into a bounded
@@ -1727,10 +1733,12 @@ def benford(
 
     by = by or []
     expected = [round(math.log10(1.0 + 1.0 / d), 6) for d in range(1, 10)]
-    n_int = F.floor(F.col(value_col) * F.lit(scale)).cast("long")
+    n_int = F.floor(F.col(value_col) * F.lit(scale)).try_cast("long")
     digit = F.substring(n_int.cast("string"), 1, 1).cast("int")
     base = df.filter(
-        F.col(value_col).isNotNull() & (n_int >= 1)
+        F.col(value_col).isNotNull()
+        & (F.col(value_col) * F.lit(scale) < F.lit(9.2e18))
+        & (n_int >= 1)
     ).select(*by, digit.alias("__d"))
     counts = base.groupBy(*[F.col(c) for c in by], F.col("__d")).agg(
         F.count(F.lit(1)).alias("__c")

@@ -1056,3 +1056,15 @@ def test_benford_flags_uniform_but_not_log_uniform(spark):
         assert abs(by[("pow2", d)]["dev"]) < 0.05, (d, by[("pow2", d)])
     # expected column carries the law itself
     assert abs(by[("pow2", 1)]["expected"] - 0.30103) < 1e-9
+
+
+def test_benford_excludes_nan_inf_overflow(spark):
+    """NaN, Inf, negatives, and int64-overflowing magnitudes are all
+    excluded (not clamped into digit 9, not a job failure)."""
+    rows = [("k", 123.0), ("k", float("nan")), ("k", float("inf")),
+            ("k", -5.0), ("k", 1e19)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = ts.benford(df, "value", ["event_type"]).collect()
+    assert all(r["n_total"] == 1 for r in out)
+    assert sum(r["n"] for r in out) == 1
+    assert next(r for r in out if r["digit"] == 1)["n"] == 1

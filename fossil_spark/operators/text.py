@@ -1270,7 +1270,11 @@ def char_entropy(
     ≤alphabet-size entropy terms -(p·ln p)/ln2 round to decimal(30,8)
     before summing (partition-order independent, 1-ulp-proof), and
     ln(2) is a shared literal, not each engine's own ln() call.
-    Empty documents have no characters and are omitted. Returns
+    Empty documents have no characters and are omitted. Unicode note:
+    Spark's split("") separates UTF-16 code units, so non-BMP
+    characters (emoji, rare CJK) count as two symbols where a
+    code-point splitter counts one — a fixed, documented convention
+    (the entropy ordering it produces is unaffected). Returns
     (id, n_chars, n_distinct, entropy, entropy_norm) with entropy_norm
     = entropy / log2(n_distinct) in [0, 1] (0 for single-char docs)."""
     chars = df.select(

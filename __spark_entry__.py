@@ -139,6 +139,45 @@ _Q9_PROFIT = (
 
 # tokenized documents + word-3-gram shingles, mirroring operators/text.py
 _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+def _bpe_ctes(n_merges: int) -> str:
+    """Chained CTEs replaying text.bpe_train round-for-round: word
+    frequencies (ASCII-guarded so the char split is engine-identical),
+    per-round weighted pair counts, the (count DESC, lhs, rhs) winner,
+    and the greedy left-to-right merge fold (list_reduce over
+    single-element lists == Spark's F.aggregate from an empty array,
+    because the first symbol can never merge)."""
+    parts = [
+        f"words AS (SELECT word, count(*) AS freq FROM"
+        f" (SELECT unnest({_TOKS}) AS word FROM documents)"
+        r" WHERE regexp_matches(word, '^[\x20-\x7e]+$') GROUP BY 1)",
+        "s0 AS (SELECT word, freq, list_append(list_transform("
+        "generate_series(1, len(word)), i -> word[i:i]), '</w>') AS sym"
+        " FROM words)",
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"p{r} AS (SELECT u.p.a AS lhs, u.p.b AS rhs,"
+            f" CAST(sum(freq) AS BIGINT) AS pair_count"
+            f" FROM (SELECT freq, unnest(list_transform("
+            f"generate_series(1, len(sym)-1),"
+            f" i -> {{'a': sym[i], 'b': sym[i+1]}})) AS p"
+            f" FROM s{r - 1}) u GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"b{r} AS (SELECT lhs, rhs, pair_count FROM p{r}"
+            f" ORDER BY pair_count DESC, lhs, rhs LIMIT 1)"
+        )
+        parts.append(
+            f"s{r} AS (SELECT word, freq,"
+            f" list_reduce(list_transform(sym, x -> [x]), (acc, x) ->"
+            f" CASE WHEN acc[-1] = b{r}.lhs AND x[1] = b{r}.rhs"
+            f" THEN list_append(acc[1:len(acc)-1], b{r}.lhs || b{r}.rhs)"
+            f" ELSE list_append(acc, x[1]) END) AS sym"
+            f" FROM s{r - 1}, b{r})"
+        )
+    return ", ".join(parts)
 _SHINGLE_CTES = (
     f"t AS (SELECT doc_id, {_TOKS} w FROM documents), "
     "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3 THEN"
@@ -1415,6 +1454,41 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def _bpe_train(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.bpe_train(_docs(spark, sf_dir), n_merges=5)
+
+
+def _bpe_encode(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.bpe_encode(_docs(spark, sf_dir), n_merges=5)
+
+
+def _text_kn_bigram(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.kn_bigram_nll(_docs(spark, sf_dir))
+
+
+def _ann_recall_eval(spark, sf_dir):
+    from fossil_spark.operators import ann
+    from fossil_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 8")
+    truth = ann.cosine_topk(emb, q, k=5)
+    return ann.recall_eval(
+        truth,
+        {
+            "ivf": ann.ivf_ann(emb, q, k=5, n_lists=16, n_probe=4),
+            "lsh": ann.lsh_ann(emb, q, dim=64, k=5),
+        },
+        k=5,
+    )
+
+
 # The driver's correctness gate checks the FIRST ~50 keys of
 # queries(). VERDICT r5 ask #1: rotate the 26 keys the driver has
 # never seen (all judge-verified green locally) to the head, keep one
@@ -1445,6 +1519,8 @@ _WINDOW_PRIORITY = [
     # next rotation's head)
     "ts_benford", "embedding_dim_stats", "graph_triangles",
     "text_entropy", "pipeline_quality_report",
+    # round-6 session-5 additions
+    "bpe_train", "bpe_encode", "ann_recall_eval", "text_kn_bigram",
 ]
 
 
@@ -1495,6 +1571,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_bursts": _ts_bursts,
         "text_lexical_diversity": _text_lexical_diversity,
         "text_entropy": _text_entropy,
+        "bpe_train": _bpe_train,
+        "bpe_encode": _bpe_encode,
+        "ann_recall_eval": _ann_recall_eval,
+        "text_kn_bigram": _text_kn_bigram,
         "sample_temperature": _sample_temperature,
         "text_compression": _text_compression,  # rows-only: zlib not in SQL
         "sample_weighted": _sample_weighted,
@@ -1566,8 +1646,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_sq8": _embedding_sq8,
         "dedup_embedding": _dedup_embedding,
         "dedup_components": _dedup_components,
-        "ann_lsh": _ann_lsh,  # rows-only: recall vs exact checked in tests
-        "ann_ivf": _ann_ivf,  # rows-only: recall vs exact checked in tests
+        "ann_lsh": _ann_lsh,
+        "ann_ivf": _ann_ivf,
         "text_tokens": _text_tokens,
         "text_quality": _text_quality,
         "text_langid": _text_langid,
@@ -3731,5 +3811,92 @@ def oracle_sql() -> dict[str, str]:
         " psi.psi, psi.shifted AS psi_shifted,"
         " tr.sen_slope_per_sec, tr.kendall_tau"
         " FROM ks JOIN psi USING (event_type) JOIN tr USING (event_type)"
+    )
+    # BPE training (text.bpe_train): the fixed-5-merge chain replayed
+    # round-for-round by chained CTEs — pair counts from word
+    # frequencies, lexicographic tie-break, and list_reduce mirroring
+    # the Spark fold's greedy left-to-right merge application exactly.
+    out["bpe_train"] = (
+        "WITH " + _bpe_ctes(5) + " "
+        + " UNION ALL ".join(
+            f"SELECT {r} AS merge_round, lhs, rhs, lhs || rhs AS merged,"
+            f" pair_count FROM b{r}"
+            for r in range(1, 6)
+        )
+        + " ORDER BY merge_round"
+    )
+    # BPE encoding: the learned word->symbols table joins the exploded
+    # corpus; out-of-vocab words fall back to chars + 1 ('</w>')
+    out["bpe_encode"] = (
+        "WITH " + _bpe_ctes(5) + ","
+        " pieces AS (SELECT word, CAST(len(sym) AS BIGINT) AS n_pieces"
+        "  FROM s5),"
+        f" w AS (SELECT doc_id, unnest({_TOKS}) AS word FROM documents)"
+        " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,"
+        " CAST(sum(coalesce(n_pieces, len(word) + 1)) AS BIGINT)"
+        "  AS n_bpe_tokens"
+        " FROM w LEFT JOIN pieces USING (word) GROUP BY 1"
+    )
+    # Interpolated Kneser-Ney bigram NLL (text.kn_bigram_nll):
+    # continuation-probability backoff, D=0.75; every KN table is a
+    # groupBy over the bigram-type table; per-position p mirrors the
+    # Spark op order exactly (self-fit, so inner joins == left joins)
+    out["text_kn_bigram"] = (
+        f"WITH t AS (SELECT doc_id, {_TOKS} w FROM documents),"
+        " g0 AS (SELECT doc_id, unnest(list_transform("
+        "generate_series(2, len(w)),"
+        " i -> {'prev': w[i-1], 'cur': w[i]})) AS s FROM t"
+        " WHERE len(w) >= 2),"
+        " g AS (SELECT doc_id, s.prev AS prev, s.cur AS cur FROM g0),"
+        " big AS (SELECT prev, cur, count(*) AS c2 FROM g"
+        "  GROUP BY prev, cur),"
+        " hist AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS hc,"
+        "  count(*) AS n1f FROM big GROUP BY prev),"
+        " cont AS (SELECT cur, count(*) AS n1b FROM big GROUP BY cur),"
+        " ty AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM big),"
+        " sc AS (SELECT doc_id, greatest(CASE WHEN hc > 0 THEN"
+        " (greatest(CAST(c2 AS DOUBLE) - 0.75, 0.0)"
+        "  + 0.75 * CAST(n1f AS DOUBLE) * (CAST(n1b AS DOUBLE) / b))"
+        "  / CAST(hc AS DOUBLE)"
+        " ELSE CAST(n1b AS DOUBLE) / b END, 1e-12) AS p"
+        " FROM g JOIN big USING (prev, cur) JOIN hist USING (prev)"
+        " JOIN cont USING (cur), ty)"
+        " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,"
+        " CAST(round(sum(CAST(-ln(p) AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "  AS nll,"
+        # explicit half-up at 1e-6 (floor on IEEE doubles — cannot
+        # diverge across engines on a tie the way round(x, 6) does)
+        " CAST(floor(CAST(round(sum(CAST(-ln(p) AS DECIMAL(30,8))), 4)"
+        "  AS DOUBLE) / count(*) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+        "  AS avg_nll"
+        " FROM sc GROUP BY doc_id"
+    )
+    # ANN recall@5 evaluation: composes the proven brute-force / LSH /
+    # IVF oracles; integer hit counts, one double division at the end
+    out["ann_recall_eval"] = (
+        f"WITH gt AS ({out['ann_bruteforce']}),"
+        f" lc AS ({out['ann_lsh']}),"
+        f" vc AS ({out['ann_ivf']}),"
+        " t AS (SELECT query_id, vec_id FROM gt WHERE rank <= 5),"
+        " nt AS (SELECT query_id, count(*) AS n_true FROM t GROUP BY 1),"
+        " m AS (SELECT 'lsh' AS method, query_id, vec_id FROM lc"
+        "   WHERE rank <= 5"
+        "  UNION ALL SELECT 'ivf', query_id, vec_id FROM vc"
+        "   WHERE rank <= 5),"
+        " h AS (SELECT m.method, m.query_id, count(*) AS n_hit FROM m"
+        "  JOIN t USING (query_id, vec_id) GROUP BY 1, 2),"
+        " meth AS (SELECT unnest(['ivf', 'lsh']) AS method),"
+        " pq AS (SELECT meth.method, nt.n_true,"
+        "  coalesce(h.n_hit, 0) AS n_hit"
+        "  FROM meth CROSS JOIN nt LEFT JOIN h"
+        "  ON h.method = meth.method AND h.query_id = nt.query_id)"
+        " SELECT method, CAST(count(*) AS BIGINT) AS n_queries,"
+        " CAST(sum(n_true) AS BIGINT) AS n_true,"
+        " CAST(sum(n_hit) AS BIGINT) AS n_hits,"
+        " round(CAST(sum(n_hit) AS DOUBLE) / sum(n_true), 6)"
+        "  AS recall_at_k,"
+        " round(min(CAST(n_hit AS DOUBLE) / n_true), 6)"
+        "  AS min_query_recall"
+        " FROM pq GROUP BY method ORDER BY method"
     )
     return out

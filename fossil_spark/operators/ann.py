@@ -972,3 +972,71 @@ def dim_stats(
         "vmin",
         "vmax",
     )
+
+
+def recall_eval(
+    truth: DataFrame,
+    candidates: dict[str, DataFrame],
+    k: int = 5,
+) -> DataFrame:
+    """ANN index quality evaluation: recall@k of each approximate
+    index against the exact brute-force ground truth — the audit that
+    decides whether an index's speed is worth its misses before a
+    100 TB retrieval pipeline is pointed at it.
+
+    Inputs are (query_id, vec_id, rank) result tables (the
+    cosine_topk / lsh_ann / ivf_ann shape). recall@k = total true
+    neighbors found / total true neighbors — exact integer hit
+    counts, one double division at the end; min_query_recall flags
+    the worst single query the same way. The ground truth is
+    localCheckpoint-ed once (the brute-force pass runs once, not once
+    per index) and each index joins it on (query_id, vec_id), so the
+    evaluation is O(|queries| * k) per method; queries an index
+    missed entirely count as full misses via the left join.
+    Returns (method, n_queries, n_true, n_hits, recall_at_k,
+    min_query_recall)."""
+    t = (
+        truth.filter(F.col("rank") <= k)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    per_q_true = t.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    outs = []
+    for method in sorted(candidates):
+        c = (
+            candidates[method]
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id")
+        )
+        hits = (
+            t.join(c, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        pq = per_q_true.join(hits, "query_id", "left").select(
+            "n_true", F.coalesce("n_hit", F.lit(0)).alias("n_hit")
+        )
+        row = pq.agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum("n_true").cast("long").alias("n_true"),
+            F.sum("n_hit").cast("long").alias("n_hits"),
+            F.round(
+                F.min(F.col("n_hit").cast("double") / F.col("n_true")), 6
+            ).alias("min_query_recall"),
+        )
+        outs.append(
+            row.select(
+                F.lit(method).alias("method"),
+                "n_queries",
+                "n_true",
+                "n_hits",
+                F.round(
+                    F.col("n_hits").cast("double") / F.col("n_true"), 6
+                ).alias("recall_at_k"),
+                "min_query_recall",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("method")

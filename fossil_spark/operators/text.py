@@ -356,6 +356,118 @@ def compression_ratio(
     return df.select(id_col, text_col).mapInPandas(process, schema)
 
 
+def _bigram_rows(
+    src: DataFrame, text_col: str, id_col: str | None
+) -> DataFrame:
+    """Explode documents into (prev, cur) bigram rows (positions
+    i >= 2); docs with < 2 tokens produce none."""
+    w = tokens(F.col(text_col))
+    cols = [F.col(id_col)] if id_col else []
+    return (
+        src.select(*cols, w.alias("__w"))
+        .filter(F.size("__w") >= 2)
+        .select(
+            *([id_col] if id_col else []),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(2), F.size("__w")),
+                    lambda i: F.struct(
+                        F.element_at(F.col("__w"), i - 1).alias("prev"),
+                        F.element_at(F.col("__w"), i).alias("cur"),
+                    ),
+                )
+            ).alias("__g"),
+        )
+        .select(
+            *([id_col] if id_col else []),
+            F.col("__g.prev").alias("prev"),
+            F.col("__g.cur").alias("cur"),
+        )
+    )
+
+
+def kn_bigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    fit_df: DataFrame | None = None,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram NLL per document (Kneser &
+    Ney 1995; Chen & Goodman 1999 interpolated form) — the smoothing
+    KenLM actually ships, one step past bigram_nll's naive unigram
+    mix: the backoff distribution is the CONTINUATION probability
+    (how many distinct histories precede w), so a token that is
+    frequent but only ever follows one history ("Francisco") stops
+    inflating novel contexts.
+
+        p(w|v) = (max(c(vw) - D, 0) + D * N1+(v.) * pcont(w)) / c(v.)
+        pcont(w) = N1+(.w) / B     (B = distinct bigram types)
+
+    with c(v.) = bigram-based history count; unseen history -> pcont
+    alone; p floored at 1e-12 for OOV. Counts fit on `fit_df` or, by
+    default, the scored corpus itself.
+
+    Shape: same as bigram_nll — ONE bigram groupBy; every KN table
+    (history count + distinct continuations, distinct histories,
+    type total) is a groupBy over that bigram-type table, which is
+    orders of magnitude smaller than the corpus; token-keyed joins
+    are Zipfian (AQE skew-split), the type total is a 1-row
+    broadcast. Per-position p is a fixed op-order chain over exact
+    integer counts (engine-reproducible); per-doc sums accumulate in
+    decimal(30,8). Docs with < 2 tokens are omitted.
+    Returns (id, n_bigrams, nll, avg_nll)."""
+    fit = fit_df if fit_df is not None else df
+    grams = _bigram_rows(df, text_col, id_col)
+    big = (
+        _bigram_rows(fit, text_col, None)
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    hist = big.groupBy("prev").agg(
+        F.sum("c2").alias("__hc"), F.count(F.lit(1)).alias("__n1f")
+    )
+    cont = big.groupBy("cur").agg(F.count(F.lit(1)).alias("__n1b"))
+    types = big.agg(F.count(F.lit(1)).cast("double").alias("__b"))
+    pcont = F.coalesce(F.col("__n1b"), F.lit(0)).cast("double") / F.col("__b")
+    d = F.lit(discount)
+    p_raw = F.when(
+        F.coalesce(F.col("__hc"), F.lit(0)) > 0,
+        (
+            F.greatest(
+                F.coalesce(F.col("c2"), F.lit(0)).cast("double") - d, F.lit(0.0)
+            )
+            + d * F.col("__n1f").cast("double") * pcont
+        )
+        / F.col("__hc").cast("double"),
+    ).otherwise(pcont)
+    p = F.greatest(p_raw, F.lit(1e-12))
+    scored = (
+        grams.join(big, ["prev", "cur"], "left")
+        .join(hist, "prev", "left")
+        .join(cont, "cur", "left")
+        .crossJoin(F.broadcast(types))
+    )
+    out = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum((-F.log(p)).cast("decimal(30,8)")), 4)
+        .cast("double")
+        .alias("nll"),
+    )
+    # explicit half-up at 1e-6 (floor is exact on IEEE doubles, so the
+    # rounding cannot diverge across engines the way round(x, 6) does
+    # on a tie — caught by the dual-SF gate at sf0.1)
+    return out.select(
+        id_col, "n_bigrams", "nll",
+        (
+            F.floor(
+                F.col("nll") / F.col("n_bigrams") * F.lit(1e6) + F.lit(0.5)
+            ).cast("double")
+            / F.lit(1e6)
+        ).alias("avg_nll"),
+    )
+
+
 def bigram_nll(
     df: DataFrame,
     text_col: str = "text",
@@ -383,31 +495,9 @@ def bigram_nll(
     decimal(30,8). Docs with < 2 tokens are omitted (no bigram
     exists). Returns (id, n_bigrams, nll, avg_nll)."""
     fit = fit_df if fit_df is not None else df
-    w = tokens(F.col(text_col))
 
     def bigrams(src: DataFrame, with_id: bool) -> DataFrame:
-        cols = [F.col(id_col)] if with_id else []
-        return (
-            src.select(*cols, w.alias("__w"))
-            .filter(F.size("__w") >= 2)
-            .select(
-                *([id_col] if with_id else []),
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(2), F.size("__w")),
-                        lambda i: F.struct(
-                            F.element_at(F.col("__w"), i - 1).alias("prev"),
-                            F.element_at(F.col("__w"), i).alias("cur"),
-                        ),
-                    )
-                ).alias("__g"),
-            )
-            .select(
-                *([id_col] if with_id else []),
-                F.col("__g.prev").alias("prev"),
-                F.col("__g.cur").alias("cur"),
-            )
-        )
+        return _bigram_rows(src, text_col, id_col if with_id else None)
 
     grams = bigrams(df, with_id=True)
     toks = fit.select(F.explode(tokens(F.col(text_col))).alias("tok"))
@@ -1308,4 +1398,145 @@ def char_entropy(
     return s.select(
         id_col, "n_chars", "n_distinct", "entropy",
         norm.alias("entropy_norm"),
+    )
+
+
+def _bpe_chain(df: DataFrame, n_merges: int, text_col: str):
+    """Shared BPE learning chain: returns (list of 1-row best-pair
+    DataFrames, final word->symbols DataFrame). See bpe_train."""
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        # byte == char guard: train on printable-ASCII words only, so
+        # the character split is identical in any engine/encoding
+        # (standard byte-level pre-tokenization simplification)
+        .filter(F.col("word").rlike(r"^[\x20-\x7e]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        # the ONLY corpus-scale shuffle; everything after is bounded
+        # by |vocab|.  Checkpoint once so the per-round pair counts
+        # do not re-run the corpus scan (pagerank's edge idiom).
+        .localCheckpoint(eager=False)
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    syms = words.select(
+        "word", "freq", F.concat(chars, F.array(F.lit("</w>"))).alias("sym")
+    )
+    bests = []
+    for r in range(1, n_merges + 1):
+        # adjacent symbol pairs, weighted by word frequency
+        a_arr = F.slice("sym", F.lit(1), F.size("sym") - 1)
+        b_arr = F.slice("sym", F.lit(2), F.size("sym") - 1)
+        pair = F.zip_with(
+            a_arr, b_arr,
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+        pc = (
+            syms.select("freq", F.explode(pair).alias("p"))
+            .groupBy(F.col("p.a").alias("lhs"), F.col("p.b").alias("rhs"))
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        best = (
+            pc.orderBy(F.col("pair_count").desc(), "lhs", "rhs")
+            .limit(1)
+            .select(
+                F.lit(r).alias("merge_round"), "lhs", "rhs",
+                F.concat("lhs", "rhs").alias("merged"), "pair_count",
+            )
+            .localCheckpoint(eager=False)  # 1 row, used twice
+        )
+        bests.append(best)
+        # greedy left-to-right merge application (the BPE fold): a
+        # freshly merged token cannot immediately re-merge with the
+        # next symbol in the same pass ("aaa" + (a,a) -> [aa, a])
+        merged_sym = F.aggregate(
+            F.col("sym"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                F.try_element_at(acc, F.lit(-1)).eqNullSafe(F.col("lhs"))
+                & (x == F.col("rhs")),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.concat(F.col("lhs"), F.col("rhs"))),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        syms = (
+            syms.crossJoin(F.broadcast(best))
+            .select("word", "freq", merged_sym.alias("sym"))
+            .localCheckpoint(eager=False)  # cut lineage per round
+        )
+    return bests, syms
+
+
+def bpe_train(
+    df: DataFrame, n_merges: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Distributed byte-pair-encoding tokenizer training (Sennrich
+    2016, arXiv:1508.07909) with a FIXED merge count — the tokenizer-
+    fitting step of a training-data pipeline, run on the corpus the
+    model will train on.
+
+    Algorithm (classic word-frequency BPE): words are split into
+    characters + a '</w>' end-of-word marker; each round counts
+    adjacent symbol pairs weighted by word frequency, picks the most
+    frequent pair (ties broken lexicographically on (lhs, rhs) for
+    determinism), and merges every left-to-right occurrence.
+
+    Scale shape: ONE corpus-scale shuffle (the word-frequency
+    groupBy, map-side combined); every subsequent round is bounded by
+    |vocab| (Zipf: millions of rows at 100 TB, trivial), i.e. the
+    Sennrich trick of training on word counts instead of the corpus.
+    The word table and each round's symbols are localCheckpoint-ed so
+    round N does not re-run rounds 1..N-1 or the corpus scan; the
+    winning pair is a broadcast 1-row join, never a driver collect.
+
+    Deterministic in any engine: integer pair counts, lexicographic
+    tie-break, and an ASCII-only word guard so the char split cannot
+    diverge across encodings.  Returns one row per merge rule:
+    (merge_round, lhs, rhs, merged, pair_count).
+    """
+    bests, _ = _bpe_chain(df, n_merges, text_col)
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("merge_round")
+
+
+def bpe_encode(
+    df: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the merges learned by bpe_train to every document and
+    report its BPE token count — the token-budget measurement a
+    training run plans against (complements the ~4-chars/piece
+    estimate in token_count with the real learned-vocab number).
+
+    Shape: the learned word->symbols table (|vocab| rows) joins the
+    exploded corpus words token-keyed — the Zipf-skewed join AQE
+    skew-splits, the unigram_nll pattern.  Words outside the learned
+    vocab (non-ASCII, excluded from training) fall back to
+    char-count + 1 pieces ('</w>'), the char-level encoding.
+    Returns (doc_id, n_words, n_bpe_tokens)."""
+    _, vocab = _bpe_chain(df, n_merges, text_col)
+    pieces = vocab.select("word", F.size("sym").cast("long").alias("n_pieces"))
+    w = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    )
+    return (
+        w.join(pieces, "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(
+                F.coalesce(
+                    F.col("n_pieces"),
+                    (F.length("word") + F.lit(1)).cast("long"),
+                )
+            ).alias("n_bpe_tokens"),
+        )
     )

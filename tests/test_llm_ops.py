@@ -1297,3 +1297,105 @@ def test_pipeline_quality_report_contrasts_sources(spark):
     assert out["junk"]["gopher_pass_rate"] == 0.0
     assert out["good"]["n_en"] == 4 and out["junk"]["n_en"] == 0
     assert out["good"]["mean_quality"] > out["junk"]["mean_quality"]
+
+
+def test_bpe_train_learns_planted_merges(spark):
+    from fossil_spark.operators.text import bpe_train
+
+    # "ab" is the most frequent adjacent pair; after merging it,
+    # ("ab", "</w>") dominates the second round.
+    docs = spark.createDataFrame(
+        [(i, "ab ab ab cd") for i in range(10)], "doc_id long, text string"
+    )
+    m = {r["merge_round"]: r for r in bpe_train(docs, n_merges=2).collect()}
+    assert (m[1]["lhs"], m[1]["rhs"], m[1]["merged"]) == ("a", "b", "ab")
+    assert m[1]["pair_count"] == 30
+    assert (m[2]["lhs"], m[2]["rhs"]) == ("ab", "</w>")
+
+
+def test_bpe_merge_is_greedy_left_to_right(spark):
+    from fossil_spark.operators.text import bpe_encode, bpe_train
+
+    # corpus of "aaa": pairs ('a','a') x2 per word -> merge (a,a).
+    # Greedy left-to-right: "aaa</w>" -> [aa, a, </w>], i.e. a fresh
+    # merge cannot immediately re-merge within the same pass, so the
+    # encoded length is 3, not 2.
+    docs = spark.createDataFrame([(0, "aaa aaa")], "doc_id long, text string")
+    m = bpe_train(docs, n_merges=1).collect()[0]
+    assert (m["lhs"], m["rhs"]) == ("a", "a") and m["pair_count"] == 4
+    e = bpe_encode(docs, n_merges=1).collect()[0]
+    assert (e["n_words"], e["n_bpe_tokens"]) == (2, 6)
+
+
+def test_bpe_tie_break_is_lexicographic(spark):
+    from fossil_spark.operators.text import bpe_train
+
+    # "xy" and "ab" both occur exactly once -> every adjacent pair has
+    # count 1; the winner must be the lexicographically smallest.
+    docs = spark.createDataFrame([(0, "xy ab")], "doc_id long, text string")
+    m = bpe_train(docs, n_merges=1).collect()[0]
+    assert (m["lhs"], m["rhs"]) == ("a", "b")
+
+
+def test_bpe_encode_non_ascii_falls_back_to_chars(spark):
+    from fossil_spark.operators.text import bpe_encode
+
+    # the non-ASCII word is excluded from training, so it encodes as
+    # chars + 1 ('</w>'); the ASCII word gets the learned vocab.
+    docs = spark.createDataFrame(
+        [(0, "héllo"), (1, "ab ab")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in bpe_encode(docs, n_merges=1).collect()}
+    assert rows[0]["n_bpe_tokens"] == 6  # 5 chars + 1
+    # "ab" merged once: [ab, </w>] = 2 pieces per word
+    assert rows[1]["n_bpe_tokens"] == 4
+
+
+def test_ann_recall_eval_counts_hits_and_misses(spark):
+    from fossil_spark.operators.ann import recall_eval
+
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 21, 2)],
+        "query_id long, vec_id long, rank long",
+    )
+    # "good" finds 3 of 4; "bad" misses query 2 entirely
+    cands = {
+        "good": spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 99, 2)],
+            "query_id long, vec_id long, rank long",
+        ),
+        "bad": spark.createDataFrame(
+            [(1, 10, 1)], "query_id long, vec_id long, rank long"
+        ),
+    }
+    rows = {r["method"]: r for r in recall_eval(truth, cands, k=2).collect()}
+    g, b = rows["good"], rows["bad"]
+    assert (g["n_queries"], g["n_true"], g["n_hits"]) == (2, 4, 3)
+    assert g["recall_at_k"] == 0.75 and g["min_query_recall"] == 0.5
+    assert (b["n_hits"], b["recall_at_k"], b["min_query_recall"]) == (1, 0.25, 0.0)
+
+
+def test_kn_bigram_continuation_backoff_francisco_effect(spark):
+    from fossil_spark.operators.text import bigram_nll, kn_bigram_nll
+
+    # "francisco" is FREQUENT but only ever follows "san" (one
+    # history); "cat" is equally frequent with four distinct
+    # histories. In a novel context ("zzz ..."), Kneser-Ney backs off
+    # to the continuation probability, so francisco must score WORSE
+    # than cat — the signature the naive unigram mix cannot see
+    # (both have identical unigram counts).
+    fit = spark.createDataFrame(
+        [(i, "san francisco") for i in range(4)]
+        + [(10, "the cat"), (11, "a cat"), (12, "one cat"), (13, "two cat")],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(100, "zzz francisco"), (101, "zzz cat")],
+        "doc_id long, text string",
+    )
+    kn = {r["doc_id"]: r["avg_nll"]
+          for r in kn_bigram_nll(probe, fit_df=fit).collect()}
+    assert kn[100] > kn[101]
+    naive = {r["doc_id"]: r["avg_nll"]
+             for r in bigram_nll(probe, fit_df=fit).collect()}
+    assert naive[100] == naive[101]  # unigram mix is blind to it

@@ -1466,6 +1466,22 @@ def _bpe_encode(spark, sf_dir):
     return text.bpe_encode(_docs(spark, sf_dir), n_merges=5)
 
 
+def _ts_drawdown(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.drawdown(
+        _events(spark, sf_dir), "ts", ["event_type"], "value", ["event_id"]
+    )
+
+
+def _ts_cadence(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.cadence(
+        _events(spark, sf_dir), "ts", ["event_type"], ["event_id"]
+    )
+
+
 def _text_kn_bigram(spark, sf_dir):
     from fossil_spark.operators import text
 
@@ -1521,6 +1537,7 @@ _WINDOW_PRIORITY = [
     "text_entropy", "pipeline_quality_report",
     # round-6 session-5 additions
     "bpe_train", "bpe_encode", "ann_recall_eval", "text_kn_bigram",
+    "ts_drawdown", "ts_cadence",
 ]
 
 
@@ -1575,6 +1592,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _bpe_encode,
         "ann_recall_eval": _ann_recall_eval,
         "text_kn_bigram": _text_kn_bigram,
+        "ts_drawdown": _ts_drawdown,
+        "ts_cadence": _ts_cadence,
         "sample_temperature": _sample_temperature,
         "text_compression": _text_compression,  # rows-only: zlib not in SQL
         "sample_weighted": _sample_weighted,
@@ -3836,6 +3855,55 @@ def oracle_sql() -> dict[str, str]:
         " CAST(sum(coalesce(n_pieces, len(word) + 1)) AS BIGINT)"
         "  AS n_bpe_tokens"
         " FROM w LEFT JOIN pieces USING (word) GROUP BY 1"
+    )
+    # Max drawdown per key (timeseries.drawdown): cummax window +
+    # argmax with (dd DESC, ts, event_id) tie-break — mirrors the
+    # Spark struct-max (dd, -ts, -event_id) exactly
+    out["ts_drawdown"] = (
+        f"WITH s AS (SELECT event_type, ts, event_id, value,"
+        " max(value) OVER (PARTITION BY event_type ORDER BY ts, event_id"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak"
+        f" FROM {_EV} e),"
+        " d AS (SELECT *, peak - value AS dd FROM s),"
+        " r AS (SELECT *, row_number() OVER (PARTITION BY event_type"
+        "  ORDER BY dd DESC, ts, event_id) AS rn,"
+        "  count(*) OVER (PARTITION BY event_type) AS n FROM d)"
+        " SELECT event_type, CAST(n AS BIGINT) AS n_events,"
+        " peak AS peak_value, value AS trough_value, ts AS trough_ts,"
+        " dd AS max_drawdown,"
+        " round(dd / NULLIF(peak, 0.0), 6) AS max_drawdown_frac"
+        " FROM r WHERE rn = 1"
+    )
+    # Sampling-cadence audit (timeseries.cadence): exact rank-based
+    # gap quantiles — all-integer rank arithmetic, no interpolation
+    # kernel (the ts_psi_drift 1-ulp lesson)
+    out["ts_cadence"] = (
+        f"WITH g0 AS (SELECT event_type,"
+        " epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type"
+        f"  ORDER BY ts, event_id) AS gap_us FROM {_EV} e),"
+        " g AS (SELECT * FROM g0 WHERE gap_us IS NOT NULL),"
+        " r AS (SELECT event_type, gap_us,"
+        "  row_number() OVER (PARTITION BY event_type ORDER BY gap_us)"
+        "   AS rn,"
+        "  count(*) OVER (PARTITION BY event_type) AS cnt FROM g),"
+        " a AS (SELECT event_type, count(*) AS n_gaps,"
+        "  min(gap_us) AS mn, max(gap_us) AS mx, sum(gap_us) AS sm,"
+        "  max(CASE WHEN rn = (cnt + 1) // 2 THEN gap_us END) AS lo_v,"
+        "  max(CASE WHEN rn = CAST(ceil((cnt + 1) / 2.0) AS BIGINT)"
+        "   THEN gap_us END) AS hi_v,"
+        "  max(CASE WHEN rn = cnt - cnt // 20 THEN gap_us END) AS p95"
+        "  FROM r GROUP BY 1)"
+        " SELECT event_type, CAST(n_gaps + 1 AS BIGINT) AS n_events,"
+        " CAST(n_gaps AS BIGINT) AS n_gaps,"
+        " CAST(mn AS BIGINT) AS min_gap_us,"
+        " CAST(mx AS BIGINT) AS max_gap_us,"
+        " round(CAST(sm AS DOUBLE) / n_gaps, 6) AS mean_gap_us,"
+        " CAST(lo_v + hi_v AS DOUBLE) / 2.0 AS median_gap_us,"
+        " CAST(p95 AS BIGINT) AS p95_gap_us,"
+        " round(CAST(mx AS DOUBLE)"
+        "  / NULLIF(CAST(lo_v + hi_v AS DOUBLE) / 2.0, 0.0), 6)"
+        "  AS worst_over_median"
+        " FROM a"
     )
     # Interpolated Kneser-Ney bigram NLL (text.kn_bigram_nll):
     # continuation-probability backoff, D=0.75; every KN table is a

@@ -113,6 +113,9 @@ def main() -> None:
         # round-6 session-4 operators
         "ts_benford", "embedding_dim_stats", "graph_triangles",
         "text_entropy", "pipeline_quality_report",
+        # round-6 session-5 operators
+        "bpe_train", "bpe_encode", "ann_recall_eval", "text_kn_bigram",
+        "ts_drawdown", "ts_cadence",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

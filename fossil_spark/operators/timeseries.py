@@ -1972,3 +1972,142 @@ def greedy_sample(df: DataFrame, every: timedelta,
         .groupBy("__g")
         .applyInPandas(lambda pdf: pick(pdf.drop(columns="__g")), schema)
     )
+
+
+def drawdown(
+    df: DataFrame,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Maximum drawdown per key: the largest peak-to-trough drop of
+    the running maximum — the standard "how far below its best has
+    this metric fallen" health readout (finance's max-drawdown,
+    equally at home on throughput / capacity series).
+
+    Shape: one cumulative-max window and one groupBy over the SAME
+    key partitioning (the exchange is reused), no joins. The trough
+    row is selected by a single struct-max — (drawdown, -time,
+    -tiebreak) — so ties break on the EARLIEST occurrence
+    deterministically. Doubles flow through untouched (cummax /
+    subtraction are exact IEEE ops in any engine); only the final
+    ratio is rounded. Keys with every value at the peak report a 0
+    drawdown at their first row. Returns (key..., n_events,
+    peak_value, trough_value, trough_ts, max_drawdown,
+    max_drawdown_frac)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    order = [F.col(time_col)] + [F.col(c) for c in (order_tiebreak or [])]
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peak = F.max(value_col).over(w)
+    s = df.select(
+        *by,
+        F.col(time_col),
+        F.col(value_col),
+        peak.alias("__peak"),
+        (peak - F.col(value_col)).alias("__dd"),
+        *[F.col(c) for c in (order_tiebreak or [])],
+    )
+    pick = F.max(
+        F.struct(
+            F.col("__dd").alias("dd"),
+            (-F.unix_micros(F.col(time_col))).alias("nts"),
+            *[
+                (-F.col(c)).alias(f"nt{i}")
+                for i, c in enumerate(order_tiebreak or [])
+            ],
+            F.col("__peak").alias("peak"),
+            F.col(value_col).alias("trough"),
+            F.unix_micros(F.col(time_col)).alias("ts_us"),
+        )
+    ).alias("__m")
+    out = s.groupBy(*by).agg(F.count(F.lit(1)).alias("n_events"), pick)
+    return out.select(
+        *by,
+        "n_events",
+        F.col("__m.peak").alias("peak_value"),
+        F.col("__m.trough").alias("trough_value"),
+        F.timestamp_micros(F.col("__m.ts_us")).alias("trough_ts"),
+        F.col("__m.dd").alias("max_drawdown"),
+        F.round(F.try_divide(F.col("__m.dd"), F.col("__m.peak")), 6).alias(
+            "max_drawdown_frac"
+        ),
+    )
+
+
+def cadence(
+    df: DataFrame,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Sampling-cadence audit per key: inter-arrival gap statistics —
+    the ingest-health readout a TSDB operator checks before trusting
+    any downstream rate/window math (is this topic actually arriving
+    at the cadence its dashboards assume, and how bad are the
+    stalls?).
+
+    Gap quantiles are EXACT RANK selections over integer-µs gaps
+    (median = mean of the two middle order statistics, p95 = the
+    order statistic at rank n - floor(n/20)) — all-integer rank
+    arithmetic, no interpolation kernel, so no engine pair can
+    disagree by an ulp (the ts_psi_drift lesson). Shape: one lag
+    window, one rank window, one groupBy — all on the same key
+    partitioning, zero joins. Keys with < 2 events have no gaps and
+    are omitted. Returns (key..., n_events, n_gaps, min_gap_us,
+    max_gap_us, mean_gap_us, median_gap_us, p95_gap_us,
+    worst_over_median)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    order = [F.col(time_col)] + [F.col(c) for c in (order_tiebreak or [])]
+    wlag = Window.partitionBy(*by).orderBy(*order)
+    gap = F.unix_micros(F.col(time_col)) - F.unix_micros(
+        F.lag(time_col).over(wlag)
+    )
+    g = (
+        df.select(*by, gap.alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    wrank = Window.partitionBy(*by).orderBy("gap_us")
+    wall = Window.partitionBy(*by)
+    r = g.select(
+        *by,
+        "gap_us",
+        F.row_number().over(wrank).alias("__rn"),
+        F.count(F.lit(1)).over(wall).alias("__cnt"),
+    )
+    lo = F.floor((F.col("__cnt") + 1) / 2)
+    hi = F.ceil((F.col("__cnt") + 1) / 2)
+    p95_rank = F.col("__cnt") - F.floor(F.col("__cnt") / 20)
+    out = r.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum("gap_us").alias("__sum"),
+        F.max(F.when(F.col("__rn") == lo, F.col("gap_us"))).alias("__lo"),
+        F.max(F.when(F.col("__rn") == hi, F.col("gap_us"))).alias("__hi"),
+        F.max(F.when(F.col("__rn") == p95_rank, F.col("gap_us"))).alias(
+            "p95_gap_us"
+        ),
+    )
+    median = (F.col("__lo") + F.col("__hi")).cast("double") / F.lit(2.0)
+    return out.select(
+        *by,
+        (F.col("n_gaps") + 1).alias("n_events"),
+        "n_gaps",
+        "min_gap_us",
+        "max_gap_us",
+        F.round(F.col("__sum").cast("double") / F.col("n_gaps"), 6).alias(
+            "mean_gap_us"
+        ),
+        median.alias("median_gap_us"),
+        "p95_gap_us",
+        F.round(
+            F.try_divide(F.col("max_gap_us").cast("double"), median), 6
+        ).alias("worst_over_median"),
+    )

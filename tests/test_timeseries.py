@@ -1068,3 +1068,66 @@ def test_benford_excludes_nan_inf_overflow(spark):
     assert all(r["n_total"] == 1 for r in out)
     assert sum(r["n"] for r in out) == 1
     assert next(r for r in out if r["digit"] == 1)["n"] == 1
+
+
+def test_drawdown_planted(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(seconds=i), "k", v)
+        for i, v in enumerate([10.0, 8.0, 12.0, 5.0, 11.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = ts.drawdown(df, "ts", ["event_type"], "value", ["event_id"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_events"] == 5
+    assert r["peak_value"] == 12.0 and r["trough_value"] == 5.0
+    assert r["max_drawdown"] == 7.0
+    assert r["trough_ts"] == t0 + timedelta(seconds=3)
+    assert r["max_drawdown_frac"] == round(7.0 / 12.0, 6)
+
+
+def test_drawdown_tie_picks_earliest(spark):
+    t0 = datetime(2024, 1, 1)
+    # two troughs with the identical drawdown of 5: at t=1 and t=3
+    rows = [
+        (i, t0 + timedelta(seconds=i), "k", v)
+        for i, v in enumerate([10.0, 5.0, 10.0, 5.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    r = ts.drawdown(df, "ts", ["event_type"], "value", ["event_id"]).collect()[0]
+    assert r["max_drawdown"] == 5.0
+    assert r["trough_ts"] == t0 + timedelta(seconds=1)
+
+
+def test_cadence_exact_rank_quantiles(spark):
+    t0 = datetime(2024, 1, 1)
+    # gaps: 1s, 1s, 2s, 6s
+    secs = [0, 1, 2, 4, 10]
+    rows = [(i, t0 + timedelta(seconds=s), "k") for i, s in enumerate(secs)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    r = ts.cadence(df, "ts", ["event_type"], ["event_id"]).collect()[0]
+    assert (r["n_events"], r["n_gaps"]) == (5, 4)
+    assert (r["min_gap_us"], r["max_gap_us"]) == (1_000_000, 6_000_000)
+    assert r["mean_gap_us"] == 2_500_000.0
+    # median of [1, 1, 2, 6]s = (1+2)/2 = 1.5s
+    assert r["median_gap_us"] == 1_500_000.0
+    # p95 rank = 4 - 4//20 = 4 -> the largest gap
+    assert r["p95_gap_us"] == 6_000_000
+    assert r["worst_over_median"] == 4.0
+
+
+def test_cadence_omits_single_event_keys(spark):
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(0, t0, "solo"), (1, t0, "pair"), (2, t0 + timedelta(seconds=1), "pair")],
+        "event_id long, ts timestamp, event_type string",
+    )
+    out = ts.cadence(df, "ts", ["event_type"], ["event_id"]).collect()
+    assert [r["event_type"] for r in out] == ["pair"]

@@ -1482,6 +1482,22 @@ def _ts_cadence(spark, sf_dir):
     )
 
 
+def _graph_label_prop(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fossil_spark.operators import dedup, graph
+
+    docs = _docs(spark, sf_dir)
+    # weak supervision setup: every 7th doc has known provenance; the
+    # label spreads through its near-dup family in 3 fixed rounds
+    seeds = docs.filter("doc_id % 7 = 0").select(
+        "doc_id", F.col("source").alias("label")
+    )
+    return graph.label_propagation(
+        dedup.minhash_lsh_pairs(docs), seeds, n_rounds=3
+    )
+
+
 def _text_kn_bigram(spark, sf_dir):
     from fossil_spark.operators import text
 
@@ -1537,7 +1553,7 @@ _WINDOW_PRIORITY = [
     "text_entropy", "pipeline_quality_report",
     # round-6 session-5 additions
     "bpe_train", "bpe_encode", "ann_recall_eval", "text_kn_bigram",
-    "ts_drawdown", "ts_cadence",
+    "ts_drawdown", "ts_cadence", "graph_label_prop",
 ]
 
 
@@ -1561,6 +1577,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree": _graph_degree,
         "graph_pagerank": _graph_pagerank,
         "graph_triangles": _graph_triangles,
+        "graph_label_prop": _graph_label_prop,
         "ts_holt_winters": _ts_holt_winters,
         "ts_decompose": _ts_decompose,
         "ts_xcorr": _ts_xcorr,
@@ -3855,6 +3872,43 @@ def oracle_sql() -> dict[str, str]:
         " CAST(sum(coalesce(n_pieces, len(word) + 1)) AS BIGINT)"
         "  AS n_bpe_tokens"
         " FROM w LEFT JOIN pieces USING (word) GROUP BY 1"
+    )
+    # Label propagation (graph.label_propagation): the fixed 3-round
+    # synchronous majority vote replayed round-for-round by chained
+    # CTEs — (count DESC, label) argmax per node, seeds pinned
+    def _lp_rounds(n: int) -> str:
+        parts = []
+        for r in range(1, n + 1):
+            parts.append(
+                f"m{r} AS (SELECT e.src AS id, l.label, count(*) AS c"
+                f" FROM e JOIN l{r - 1} l ON l.id = e.dst"
+                f" WHERE l.label IS NOT NULL GROUP BY 1, 2)"
+            )
+            parts.append(
+                f"t{r} AS (SELECT id, label FROM (SELECT id, label,"
+                f" row_number() OVER (PARTITION BY id"
+                f" ORDER BY c DESC, label) rn"
+                f" FROM m{r}) WHERE rn = 1)"
+            )
+            parts.append(
+                f"l{r} AS (SELECT l.id, CASE WHEN l.is_seed THEN l.label"
+                f" ELSE coalesce(t{r}.label, l.label) END AS label,"
+                f" l.is_seed FROM l{r - 1} l LEFT JOIN t{r} USING (id))"
+            )
+        return ", ".join(parts)
+
+    out["graph_label_prop"] = (
+        f"WITH {_MINHASH_CTES},"
+        " e0 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        "  UNION ALL SELECT doc_b, doc_a FROM pairs),"
+        " e AS (SELECT DISTINCT src, dst FROM e0),"
+        " nodes AS (SELECT DISTINCT src AS id FROM e),"
+        " seeds AS (SELECT doc_id AS id, source AS label FROM documents"
+        "  WHERE doc_id % 7 = 0),"
+        " l0 AS (SELECT n.id, s.label, s.label IS NOT NULL AS is_seed"
+        "  FROM nodes n LEFT JOIN seeds s USING (id)), "
+        + _lp_rounds(3)
+        + " SELECT id AS doc_id, label, is_seed FROM l3"
     )
     # Max drawdown per key (timeseries.drawdown): cummax window +
     # argmax with (dd DESC, ts, event_id) tie-break — mirrors the

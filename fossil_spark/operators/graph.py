@@ -200,3 +200,69 @@ def triangles(
         F.col("n_triangles").cast("long").alias("n_triangles"),
         coeff.alias("clustering"),
     )
+
+
+def label_propagation(
+    pairs: DataFrame,
+    seeds: DataFrame,
+    n_rounds: int = 3,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Semi-supervised label propagation over the undirected pair
+    graph (Zhu & Ghahramani 2002 shape, synchronous rounds): seed
+    nodes carry known labels (provenance, quality tier, license); each
+    round every non-seed node takes the MAJORITY label among its
+    labeled neighbors — ties break on the lexicographically smallest
+    label, seeds never change, nodes with no labeled neighbor keep
+    their previous label (null until first touched). A fixed round
+    count keeps the whole run replayable by chained CTEs (the
+    pagerank/kmeans_fixed discipline).
+
+    Shape per round: ONE edge-keyed join shipping current labels +
+    one (node, label) groupBy + one per-node window argmax — all
+    keyed by node id; edges are localCheckpoint-ed once so the
+    upstream pair pipeline (minhash LSH) runs once, not once per
+    round. `seeds` is (doc_id, label). Returns (doc_id, label,
+    is_seed) for every node of the graph."""
+    edges = _symmetric_edges(pairs, a_col, b_col).localCheckpoint(eager=False)
+    from pyspark.sql import Window
+
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    s = seeds.select(
+        F.col("doc_id").alias("id"), F.col("label").alias("__seed")
+    )
+    labels = nodes.join(F.broadcast(s), "id", "left").select(
+        "id",
+        F.col("__seed").alias("label"),
+        F.col("__seed").isNotNull().alias("is_seed"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("__c").desc(), "label")
+    for _ in range(n_rounds):
+        msgs = (
+            edges.join(
+                labels.filter(F.col("label").isNotNull()).select(
+                    F.col("id").alias("dst"), "label"
+                ),
+                "dst",
+            )
+            .select(F.col("src").alias("id"), "label")
+        )
+        counts = msgs.groupBy("id", "label").agg(F.count(F.lit(1)).alias("__c"))
+        top = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("id", F.col("label").alias("__new"))
+        )
+        labels = (
+            labels.join(top, "id", "left")
+            .select(
+                "id",
+                F.when(F.col("is_seed"), F.col("label"))
+                .otherwise(F.coalesce(F.col("__new"), F.col("label")))
+                .alias("label"),
+                "is_seed",
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(F.col("id").alias("doc_id"), "label", "is_seed")

@@ -1399,3 +1399,28 @@ def test_kn_bigram_continuation_backoff_francisco_effect(spark):
     naive = {r["doc_id"]: r["avg_nll"]
              for r in bigram_nll(probe, fit_df=fit).collect()}
     assert naive[100] == naive[101]  # unigram mix is blind to it
+
+
+def test_label_propagation_spreads_majority_and_pins_seeds(spark):
+    from fossil_spark.operators.graph import label_propagation
+
+    # path graph 1-2-3-4 plus a triangle 5-6-7 where 5 and 7 are
+    # seeds with DIFFERENT labels -> node 6 gets the tie-broken
+    # (lexicographically smallest) label.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7)],
+        "doc_a long, doc_b long",
+    )
+    seeds = spark.createDataFrame(
+        [(1, "web"), (5, "books"), (7, "web")], "doc_id long, label string"
+    )
+    out = {r["doc_id"]: r for r in label_propagation(pairs, seeds, 3).collect()}
+    assert out[1]["label"] == "web" and out[1]["is_seed"]
+    # 3 rounds reach node 4 along the path
+    assert out[2]["label"] == "web"
+    assert out[3]["label"] == "web"
+    assert out[4]["label"] == "web"
+    # seeds never change
+    assert out[5]["label"] == "books" and out[7]["label"] == "web"
+    # node 6 sees {books, web} with count 1 each -> 'books' wins the tie
+    assert out[6]["label"] == "books" and not out[6]["is_seed"]

@@ -1553,7 +1553,7 @@ _WINDOW_PRIORITY = [
     "text_entropy", "pipeline_quality_report",
     # round-6 session-5 additions
     "bpe_train", "bpe_encode", "ann_recall_eval", "text_kn_bigram",
-    "ts_drawdown", "ts_cadence", "graph_label_prop",
+    "ts_drawdown", "ts_cadence", "graph_label_prop", "agg_rfm",
 ]
 
 
@@ -1596,6 +1596,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_user_features": _analytics("user_features"),
         "agg_cohort_ltv": _analytics("cohort_ltv"),
         "agg_markov": _analytics("markov_transitions"),
+        "agg_rfm": _analytics("rfm_segments"),
         "embedding_coherence": _embedding_coherence,
         "dedup_cluster_sizes": _dedup_cluster_sizes,
         "ts_heatmap": _ts_heatmap,
@@ -3872,6 +3873,31 @@ def oracle_sql() -> dict[str, str]:
         " CAST(sum(coalesce(n_pieces, len(word) + 1)) AS BIGINT)"
         "  AS n_bpe_tokens"
         " FROM w LEFT JOIN pieces USING (word) GROUP BY 1"
+    )
+    # RFM segmentation (analytics.rfm_segments): anchor = max purchase
+    # ts (1-row broadcast); quintile ntiles tie-break on user_id; the
+    # ranked table is |users|-bounded aggregates
+    out["agg_rfm"] = (
+        f"WITH p AS (SELECT * FROM {_EV} e WHERE event_type = 'purchase'),"
+        " anchor AS (SELECT max(ts) AS a FROM p),"
+        " u AS (SELECT user_id, max(ts) AS last_ts,"
+        "  CAST(count(*) AS BIGINT) AS frequency,"
+        "  CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "   AS monetary FROM p GROUP BY 1),"
+        " s AS (SELECT user_id,"
+        "  CAST((epoch_us(a) - epoch_us(last_ts)) // 86400000000"
+        "   AS BIGINT) AS recency_days, frequency, monetary"
+        "  FROM u, anchor),"
+        " sc AS (SELECT *,"
+        "  CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id)"
+        "   AS BIGINT) AS r_score,"
+        "  CAST(ntile(5) OVER (ORDER BY frequency ASC, user_id)"
+        "   AS BIGINT) AS f_score,"
+        "  CAST(ntile(5) OVER (ORDER BY monetary ASC, user_id)"
+        "   AS BIGINT) AS m_score FROM s)"
+        " SELECT user_id, recency_days, frequency, monetary,"
+        " r_score, f_score, m_score,"
+        " r_score * 100 + f_score * 10 + m_score AS rfm_code FROM sc"
     )
     # Label propagation (graph.label_propagation): the fixed 3-round
     # synchronous majority vote replayed round-for-round by chained

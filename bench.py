@@ -115,7 +115,7 @@ def main() -> None:
         "text_entropy", "pipeline_quality_report",
         # round-6 session-5 operators
         "bpe_train", "bpe_encode", "ann_recall_eval", "text_kn_bigram",
-        "ts_drawdown", "ts_cadence", "graph_label_prop",
+        "ts_drawdown", "ts_cadence", "graph_label_prop", "agg_rfm",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

@@ -250,3 +250,59 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n").cast("double") / row_total.cast("double"), 6)
         .alias("p"),
     )
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (Hughes, "Strategic Database
+    Marketing" 1994): per purchasing user, Recency (whole days since
+    last purchase, measured against the corpus' latest purchase so
+    the result is data-anchored and reproducible), Frequency
+    (purchase count) and Monetary (decimal-exact spend), each scored
+    into quintiles (5 = most recent / most frequent / biggest
+    spender; ntile ties broken by user_id) and combined into the
+    classic 3-digit RFM code — the segmentation marketing/LTV models
+    train against.
+
+    Shape: one purchase-filtered scan -> per-user groupBy; the anchor
+    is a 1-row broadcast. The quintile windows rank the USER table
+    (aggregates, not events), which is |users|-bounded at any corpus
+    size — the same global-ntile shape as text_quality_deciles;
+    recency is integer µs arithmetic, monetary decimal(30,8)."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    anchor = ev.agg(F.max("ts").alias("__anchor"))
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("__last"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.round(F.sum(F.col("value").cast("decimal(30,8)")), 4)
+        .cast("double")
+        .alias("monetary"),
+    )
+    staged = per_user.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.floor(
+            (F.unix_micros("__anchor") - F.unix_micros("__last"))
+            / F.lit(86_400_000_000)
+        )
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    r = F.ntile(5).over(
+        Window.orderBy(F.col("recency_days").desc(), "user_id")
+    )
+    f = F.ntile(5).over(Window.orderBy(F.col("frequency").asc(), "user_id"))
+    m = F.ntile(5).over(Window.orderBy(F.col("monetary").asc(), "user_id"))
+    return staged.select(
+        "user_id", "recency_days", "frequency", "monetary",
+        r.cast("long").alias("r_score"),
+        f.cast("long").alias("f_score"),
+        m.cast("long").alias("m_score"),
+    ).withColumn(
+        "rfm_code",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("long"),
+    )

@@ -1424,3 +1424,36 @@ def test_label_propagation_spreads_majority_and_pins_seeds(spark):
     assert out[5]["label"] == "books" and out[7]["label"] == "web"
     # node 6 sees {books, web} with count 1 each -> 'books' wins the tie
     assert out[6]["label"] == "books" and not out[6]["is_seed"]
+
+
+def test_rfm_segments_orientation(spark, tmp_path):
+    import datetime as dt
+
+    from fossil_spark.queries.analytics import rfm_segments
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user u buys u+1 times, each 10.0*(u+1) total value; user 4 is
+    # the most recent buyer, user 0 the stalest
+    for u in range(5):
+        for j in range(u + 1):
+            rows.append((eid, t0 + dt.timedelta(days=u * 5 + j), u,
+                         "purchase", 10.0))
+            eid += 1
+    rows.append((eid, t0, 0, "view", 999.0))  # non-purchase is ignored
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r["user_id"]: r for r in rfm_segments(spark, str(tmp_path)).collect()}
+    assert len(out) == 5
+    # 5 users, ntile(5): exactly one user per quintile on each axis
+    assert out[4]["r_score"] == 5 and out[0]["r_score"] == 1
+    assert out[4]["f_score"] == 5 and out[0]["f_score"] == 1
+    assert out[4]["m_score"] == 5 and out[0]["m_score"] == 1
+    assert out[4]["rfm_code"] == 555 and out[0]["rfm_code"] == 111
+    assert out[4]["recency_days"] == 0
+    assert out[0]["frequency"] == 1 and out[4]["monetary"] == 50.0

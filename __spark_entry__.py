@@ -1349,6 +1349,44 @@ def _multimodal_frames(spark, sf_dir):
     )
 
 
+def _multimodal_phash(spark, sf_dir):
+    """Image perceptual hashing (dHash) with a FULL oracle: per doc a
+    9x8 RGB PNG is synthesized whose pixel (x, y) is the first
+    md5("{doc_id},{x},{y}") byte on all channels — at the hash grid
+    size the dHash pooling is the identity, so the expected hash is a
+    closed-form md5 comparison grid the oracle replays in SQL. This
+    end-to-end verifies PNG encode -> decode -> grayscale -> gradient
+    bits -> hex packing; pooling on larger images is unit-pinned
+    (test_multimodal)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from fossil_spark.operators import multimodal as mm
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                px = np.empty((8, 9, 3), np.uint8)
+                for y in range(8):
+                    for x in range(9):
+                        px[y, x, :] = int(
+                            hashlib.md5(
+                                f"{int(did)},{x},{y}".encode()
+                            ).hexdigest()[:2],
+                            16,
+                        )
+                rows.append((int(did), mm.encode_png(px)))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    imgs = docs.mapInPandas(gen, "doc_id long, content binary")
+    return mm.image_phash(imgs)
+
+
 def _multimodal_audio(spark, sf_dir):
     """Audio feature extraction (multimodal quartet: decode /
     feature-extract / resize / frame-sample): deterministic 16-bit PCM
@@ -1554,6 +1592,7 @@ _WINDOW_PRIORITY = [
     # round-6 session-5 additions
     "bpe_train", "bpe_encode", "ann_recall_eval", "text_kn_bigram",
     "ts_drawdown", "ts_cadence", "graph_label_prop", "agg_rfm",
+    "multimodal_phash",
 ]
 
 
@@ -1572,6 +1611,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": _dedup_substring,
         "ts_overlap_join": _ts_overlap_join,
         "multimodal_audio": _multimodal_audio,
+        "multimodal_phash": _multimodal_phash,
         "embedding_pca": _embedding_pca,  # rows-only: eigh not in SQL
         "embedding_pca_moments": _embedding_pca_moments,
         "graph_degree": _graph_degree,
@@ -3873,6 +3913,30 @@ def oracle_sql() -> dict[str, str]:
         " CAST(sum(coalesce(n_pieces, len(word) + 1)) AS BIGINT)"
         "  AS n_bpe_tokens"
         " FROM w LEFT JOIN pieces USING (word) GROUP BY 1"
+    )
+    # Image dHash (multimodal.image_phash): the 9x8 md5-pixel grid
+    # makes pooling the identity, so the expected hash is a direct
+    # md5 comparison grid — verifies PNG round-trip + bit packing
+    def _pix(xe: str, ye: str) -> str:
+        return (
+            "(('0x' || substr(md5(doc_id::VARCHAR || ',' || (" + xe
+            + ")::VARCHAR || ',' || (" + ye + ")::VARCHAR), 1, 2))::INT)"
+        )
+
+    _nibble = " + ".join(
+        f"{1 << (3 - j)} * (CASE WHEN "
+        + _pix(f"(n*4+{j})%8+1", f"(n*4+{j})//8")
+        + " > "
+        + _pix(f"(n*4+{j})%8", f"(n*4+{j})//8")
+        + " THEN 1 ELSE 0 END)"
+        for j in range(4)
+    )
+    out["multimodal_phash"] = (
+        "SELECT doc_id, CAST(9 AS INTEGER) AS width,"
+        " CAST(8 AS INTEGER) AS height,"
+        " array_to_string(list_transform(generate_series(0, 15), n ->"
+        f" substr('0123456789abcdef', 1 + {_nibble}, 1)), '') AS dhash,"
+        " 'real' AS decoded FROM documents"
     )
     # RFM segmentation (analytics.rfm_segments): anchor = max purchase
     # ts (1-row broadcast); quintile ntiles tie-break on user_id; the

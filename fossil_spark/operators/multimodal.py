@@ -978,3 +978,68 @@ def resize_stub(
         F.floor(F.col("width") * scale).cast("int").alias("target_width"),
         F.floor(F.col("height") * scale).cast("int").alias("target_height"),
     )
+
+
+PHASH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("dhash", StringType()),
+    StructField("decoded", StringType()),
+])
+
+
+def dhash_bits(px: np.ndarray, hash_size: int = 8) -> str:
+    """Difference hash of a decoded pixel block (the public dHash
+    algorithm: grayscale, area-mean downscale to (hash_size+1) x
+    hash_size, horizontal-gradient sign bits, MSB-first hex). Exact
+    when the input is already (hash_size, hash_size+1) — the pooling
+    is the identity and comparisons run on integer channel values."""
+    g = px.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    th, tw = hash_size, hash_size + 1
+    if h < th or w < tw:
+        raise ValueError("image smaller than hash grid")
+    ys = (np.arange(th + 1) * h // th).astype(int)
+    xs = (np.arange(tw + 1) * w // tw).astype(int)
+    cells = np.empty((th, tw))
+    for y in range(th):
+        for x in range(tw):
+            cells[y, x] = g[ys[y]:ys[y + 1], xs[x]:xs[x + 1]].mean()
+    bits = (cells[:, 1:] > cells[:, :-1]).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return format(v, f"0{hash_size * hash_size // 4}x")
+
+
+def image_phash(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+    hash_size: int = 8,
+) -> DataFrame:
+    """Perceptual difference-hash (dHash — Krawetz's public kernel;
+    the HashingTools family) per decodable image: near-duplicate
+    images (re-encodes, resizes, brightness shifts) land on equal or
+    few-bit-distant hashes, so a groupBy/Hamming-join on `dhash` is
+    image near-dup detection — the multimodal counterpart of
+    dedup_minhash. Arrow-batched mapInPandas like every decode path;
+    codec-required or sub-grid bytes report decoded='fake' with a
+    null hash. Returns (id, width, height, dhash, decoded)."""
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, rdata in zip(pdf[id_col], pdf[binary_col]):
+                data = bytes(rdata) if rdata is not None else b""
+                try:
+                    w, h, _mode, px = decode_image(data)
+                    rows.append((rid, w, h, dhash_bits(px, hash_size), "real"))
+                except (ValueError, IndexError, struct.error, zlib.error):
+                    w, h, _mode = _fake_decode(data)
+                    rows.append((rid, w, h, None, "fake"))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PHASH_SCHEMA.fields]
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(process, PHASH_SCHEMA)

@@ -393,3 +393,43 @@ def test_png_16bit_depth():
     assert (dw, dh, mode) == (w, h, "L")
     assert out.tolist() == [[[0x12], [0x56], [0x9A]],
                             [[0x11], [0x22], [0x33]]]
+
+
+def test_dhash_perceptual_invariances():
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, (32, 36, 3)).astype(np.uint8)
+    h0 = mm.dhash_bits(base)
+    assert len(h0) == 16 and int(h0, 16) >= 0
+    # 2x nearest-neighbor upscale: identical pooled cells -> same hash
+    up = base.repeat(2, axis=0).repeat(2, axis=1)
+    assert mm.dhash_bits(up) == h0
+    # uniform brightness shift preserves every gradient sign
+    brighter = np.clip(base.astype(np.int16) + 10, 0, 245).astype(np.uint8)
+    assert mm.dhash_bits(np.clip(base, 0, 235) + 10) == mm.dhash_bits(
+        np.clip(base, 0, 235)
+    )
+    del brighter
+    # a different random image hashes differently
+    other = rng.randint(0, 256, (32, 36, 3)).astype(np.uint8)
+    assert mm.dhash_bits(other) != h0
+
+
+def test_image_phash_groups_near_dups(spark):
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 256, (16, 18, 3)).astype(np.uint8)
+    up = base.repeat(2, axis=0).repeat(2, axis=1)
+    other = rng.randint(0, 256, (16, 18, 3)).astype(np.uint8)
+    tiny = np.zeros((4, 4, 3), np.uint8)  # below the hash grid
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(mm.encode_png(base))),
+            (1, bytearray(mm.encode_png(up))),
+            (2, bytearray(mm.encode_png(other))),
+            (3, bytearray(mm.encode_png(tiny))),
+        ],
+        "doc_id long, content binary",
+    )
+    rows = {r["doc_id"]: r for r in mm.image_phash(df).collect()}
+    assert rows[0]["decoded"] == "real" and rows[0]["dhash"] == rows[1]["dhash"]
+    assert rows[2]["dhash"] != rows[0]["dhash"]
+    assert rows[3]["decoded"] == "fake" and rows[3]["dhash"] is None

@@ -37,6 +37,9 @@ PYTHON_OK = {
     "ts_holt_winters",
     # LTTB bucket selection is sequential per key (same boundary)
     "ts_lttb",
+    # PNG synth + decode + dHash (codec work is Python by nature,
+    # Arrow-batched like every decode path)
+    "multimodal_phash",
 }
 
 

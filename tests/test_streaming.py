@@ -386,3 +386,39 @@ def test_streaming_psi_drift_append_mode(spark, workdir):
     assert stable["n"] == 50 and not stable["drifted"]
     assert stable["psi"] < 0.1
     assert shifted["drifted"] and shifted["psi"] > 1.0
+
+
+def test_streaming_heavy_hitters_topk_per_window(spark, workdir):
+    from fossil_spark.streaming.heavy_hitters import (
+        topk_batch, windowed_key_counts,
+    )
+
+    src = os.path.join(workdir, "hh_incoming")
+    os.makedirs(src)
+    events = (
+        [{"time": "2024-01-01T00:00:10", "topic": "/hot", "value": "1"}] * 5
+        + [{"time": "2024-01-01T00:00:20", "topic": "/warm", "value": "1"}] * 3
+        + [{"time": "2024-01-01T00:00:30", "topic": "/cold", "value": "1"}]
+        + [{"time": "2024-01-02T00:00:00", "topic": "/close", "value": "0"}]
+    )
+    _write_jsonl(os.path.join(src, "a.json"), events)
+    stream = read_json_dropbox(spark, src)
+    counts = windowed_key_counts(stream, "1 minute", "1 minute")
+    name = f"hh_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    top = topk_batch(
+        spark.sql(f"SELECT * FROM {name}"), k=2
+    ).collect()
+    first = [
+        (r["topic"], r["n"], r["rank"])
+        for r in top
+        if str(r["bucket"]).startswith("2024-01-01 00:00")
+    ]
+    assert sorted(first) == [("/hot", 5, 1), ("/warm", 3, 2)]

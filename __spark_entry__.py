@@ -1387,6 +1387,45 @@ def _multimodal_phash(spark, sf_dir):
     return mm.image_phash(imgs)
 
 
+def _multimodal_phash_pairs(spark, sf_dir):
+    """Image near-dup pair detection end-to-end: odd docs get a 2x
+    nearest-neighbor upscale of the previous even doc's 9x8 md5-pixel
+    image (dHash-identical by pooling identity), so every (2k, 2k+1)
+    pair is a planted near-dup; phash_pairs finds them via the banded
+    Hamming join. Full oracle — hashes, band join, and
+    bit_count(xor) Hamming all replayed in SQL."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from fossil_spark.operators import multimodal as mm
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                base = int(did) - int(did) % 2
+                px = np.empty((8, 9, 3), np.uint8)
+                for y in range(8):
+                    for x in range(9):
+                        px[y, x, :] = int(
+                            hashlib.md5(
+                                f"{base},{x},{y}".encode()
+                            ).hexdigest()[:2],
+                            16,
+                        )
+                if int(did) % 2:
+                    px = px.repeat(2, axis=0).repeat(2, axis=1)
+                rows.append((int(did), mm.encode_png(px)))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    imgs = docs.mapInPandas(gen, "doc_id long, content binary")
+    return mm.phash_pairs(mm.image_phash(imgs), max_hamming=6)
+
+
 def _multimodal_audio(spark, sf_dir):
     """Audio feature extraction (multimodal quartet: decode /
     feature-extract / resize / frame-sample): deterministic 16-bit PCM
@@ -1592,7 +1631,7 @@ _WINDOW_PRIORITY = [
     # round-6 session-5 additions
     "bpe_train", "bpe_encode", "ann_recall_eval", "text_kn_bigram",
     "ts_drawdown", "ts_cadence", "graph_label_prop", "agg_rfm",
-    "multimodal_phash",
+    "multimodal_phash", "multimodal_phash_pairs",
 ]
 
 
@@ -1612,6 +1651,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_overlap_join": _ts_overlap_join,
         "multimodal_audio": _multimodal_audio,
         "multimodal_phash": _multimodal_phash,
+        "multimodal_phash_pairs": _multimodal_phash_pairs,
         "embedding_pca": _embedding_pca,  # rows-only: eigh not in SQL
         "embedding_pca_moments": _embedding_pca_moments,
         "graph_degree": _graph_degree,
@@ -3917,26 +3957,55 @@ def oracle_sql() -> dict[str, str]:
     # Image dHash (multimodal.image_phash): the 9x8 md5-pixel grid
     # makes pooling the identity, so the expected hash is a direct
     # md5 comparison grid — verifies PNG round-trip + bit packing
-    def _pix(xe: str, ye: str) -> str:
+    def _pix(ide: str, xe: str, ye: str) -> str:
         return (
-            "(('0x' || substr(md5(doc_id::VARCHAR || ',' || (" + xe
+            "(('0x' || substr(md5((" + ide + ")::VARCHAR || ',' || (" + xe
             + ")::VARCHAR || ',' || (" + ye + ")::VARCHAR), 1, 2))::INT)"
         )
 
-    _nibble = " + ".join(
-        f"{1 << (3 - j)} * (CASE WHEN "
-        + _pix(f"(n*4+{j})%8+1", f"(n*4+{j})//8")
-        + " > "
-        + _pix(f"(n*4+{j})%8", f"(n*4+{j})//8")
-        + " THEN 1 ELSE 0 END)"
-        for j in range(4)
-    )
+    def _grid_hex(ide: str) -> str:
+        nibble = " + ".join(
+            f"{1 << (3 - j)} * (CASE WHEN "
+            + _pix(ide, f"(n*4+{j})%8+1", f"(n*4+{j})//8")
+            + " > "
+            + _pix(ide, f"(n*4+{j})%8", f"(n*4+{j})//8")
+            + " THEN 1 ELSE 0 END)"
+            for j in range(4)
+        )
+        return (
+            "array_to_string(list_transform(generate_series(0, 15), n ->"
+            f" substr('0123456789abcdef', 1 + {nibble}, 1)), '')"
+        )
+
     out["multimodal_phash"] = (
         "SELECT doc_id, CAST(9 AS INTEGER) AS width,"
         " CAST(8 AS INTEGER) AS height,"
-        " array_to_string(list_transform(generate_series(0, 15), n ->"
-        f" substr('0123456789abcdef', 1 + {_nibble}, 1)), '') AS dhash,"
+        f" {_grid_hex('doc_id')} AS dhash,"
         " 'real' AS decoded FROM documents"
+    )
+    # Banded Hamming join over dHash (multimodal.phash_pairs): odd
+    # docs carry the 2x upscale of the previous even doc's grid (same
+    # hash by pooling identity), so every (2k, 2k+1) pair is planted;
+    # the oracle recomputes each hash from the EVEN base id and
+    # replays band join + bit_count(xor) Hamming exactly
+    _ham = " + ".join(
+        f"bit_count(xor(('0x' || substr(ha, {j * 4 + 1}, 4))::BIGINT,"
+        f" ('0x' || substr(hb, {j * 4 + 1}, 4))::BIGINT))"
+        for j in range(4)
+    )
+    out["multimodal_phash_pairs"] = (
+        "WITH d AS (SELECT doc_id, doc_id - doc_id % 2 AS base"
+        " FROM documents),"
+        f" h AS (SELECT doc_id, {_grid_hex('base')} AS dhash FROM d),"
+        " b AS (SELECT doc_id, dhash, j,"
+        "  substr(dhash, j * 4 + 1, 4) AS val FROM h,"
+        "  (SELECT unnest([0, 1, 2, 3]) AS j)),"
+        " cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,"
+        "  x.dhash AS ha, y.dhash AS hb FROM b x JOIN b y"
+        "  ON x.j = y.j AND x.val = y.val AND x.doc_id < y.doc_id)"
+        f" SELECT doc_a, doc_b, hamming FROM (SELECT doc_a, doc_b,"
+        f" CAST({_ham} AS BIGINT) AS hamming FROM cand)"
+        " WHERE hamming <= 6"
     )
     # RFM segmentation (analytics.rfm_segments): anchor = max purchase
     # ts (1-row broadcast); quintile ntiles tie-break on user_id; the

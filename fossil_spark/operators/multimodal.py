@@ -1043,3 +1043,76 @@ def image_phash(
             )
 
     return df.select(id_col, binary_col).mapInPandas(process, PHASH_SCHEMA)
+
+
+def phash_pairs(
+    ph: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    bands: int = 4,
+) -> DataFrame:
+    """Image near-duplicate PAIRS from dHash fingerprints: LSH-banded
+    Hamming join — split the 64-bit hash into `bands` bands; any pair
+    agreeing on a full band becomes a candidate (a pair within
+    Hamming distance d < bands must agree on some band, pigeonhole),
+    then the exact Hamming distance filters candidates to
+    `max_hamming`. The image analogue of dedup_minhash's band-bucket
+    join: candidate work is bounded by band-bucket sizes, never
+    corpus²; everything is JVM Column expressions (hex-band equi-join
+    + bit_count(xor) — no Python).
+
+    Input is image_phash output (or any (id, 16-hex-char) table).
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b, deduplicated
+    across bands."""
+    n_hex = 16 // bands
+    b = (
+        ph.filter(F.col(hash_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(hash_col).alias("h"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band"),
+                            F.substring(
+                                hash_col, j * n_hex + 1, n_hex
+                            ).alias("val"),
+                        )
+                        for j in range(bands)
+                    ]
+                )
+            ).alias("bv"),
+        )
+        .select("id", "h", F.col("bv.band").alias("band"),
+                F.col("bv.val").alias("val"))
+    )
+    cand = (
+        b.alias("x")
+        .join(b.alias("y"), ["band", "val"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("doc_a"),
+            F.col("y.id").alias("doc_b"),
+            F.col("x.h").alias("__ha"),
+            F.col("y.h").alias("__hb"),
+        )
+        .distinct()
+    )
+    ham = None
+    for j in range(bands):
+        xa = F.conv(
+            F.substring("__ha", j * n_hex + 1, n_hex), 16, 10
+        ).cast("long")
+        xb = F.conv(
+            F.substring("__hb", j * n_hex + 1, n_hex), 16, 10
+        ).cast("long")
+        piece = F.bit_count(xa.bitwiseXOR(xb))
+        ham = piece if ham is None else ham + piece
+    return (
+        cand.select(
+            "doc_a", "doc_b", ham.cast("long").alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -433,3 +433,26 @@ def test_image_phash_groups_near_dups(spark):
     assert rows[0]["decoded"] == "real" and rows[0]["dhash"] == rows[1]["dhash"]
     assert rows[2]["dhash"] != rows[0]["dhash"]
     assert rows[3]["decoded"] == "fake" and rows[3]["dhash"] is None
+
+
+def test_phash_pairs_banded_hamming_join(spark):
+    # hashes: a == b (planted dup), c differs from a by exactly one
+    # nibble bit in band 0 (hamming 1), d shares no band with anyone
+    df = spark.createDataFrame(
+        [
+            (1, "00ff00ff00ff00ff"),
+            (2, "00ff00ff00ff00ff"),
+            (3, "01ff00ff00ff00ff"),
+            (4, "123456789abcdef0"),
+            (5, None),  # undecodable images never pair
+        ],
+        "doc_id long, dhash string",
+    )
+    out = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in mm.phash_pairs(df, max_hamming=6).collect()}
+    # (1,2) identical; (1,3) and (2,3) agree on bands 1-3, hamming 1
+    assert out == {(1, 2): 0, (1, 3): 1, (2, 3): 1}
+    # a tight threshold drops the hamming-1 pairs
+    strict = {(r["doc_a"], r["doc_b"])
+              for r in mm.phash_pairs(df, max_hamming=0).collect()}
+    assert strict == {(1, 2)}

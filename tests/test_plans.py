@@ -40,6 +40,7 @@ PYTHON_OK = {
     # PNG synth + decode + dHash (codec work is Python by nature,
     # Arrow-batched like every decode path)
     "multimodal_phash",
+    "multimodal_phash_pairs",
 }
 
 

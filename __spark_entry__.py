@@ -1543,6 +1543,12 @@ def _bpe_encode(spark, sf_dir):
     return text.bpe_encode(_docs(spark, sf_dir), n_merges=5)
 
 
+def _text_readability(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.readability(_docs(spark, sf_dir))
+
+
 def _ts_drawdown(spark, sf_dir):
     from fossil_spark.operators import timeseries as ts
 
@@ -1631,7 +1637,7 @@ _WINDOW_PRIORITY = [
     # round-6 session-5 additions
     "bpe_train", "bpe_encode", "ann_recall_eval", "text_kn_bigram",
     "ts_drawdown", "ts_cadence", "graph_label_prop", "agg_rfm",
-    "multimodal_phash", "multimodal_phash_pairs",
+    "multimodal_phash", "multimodal_phash_pairs", "text_readability",
 ]
 
 
@@ -1692,6 +1698,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kn_bigram": _text_kn_bigram,
         "ts_drawdown": _ts_drawdown,
         "ts_cadence": _ts_cadence,
+        "text_readability": _text_readability,
         "sample_temperature": _sample_temperature,
         "text_compression": _text_compression,  # rows-only: zlib not in SQL
         "sample_weighted": _sample_weighted,
@@ -3953,6 +3960,28 @@ def oracle_sql() -> dict[str, str]:
         " CAST(sum(coalesce(n_pieces, len(word) + 1)) AS BIGINT)"
         "  AS n_bpe_tokens"
         " FROM w LEFT JOIN pieces USING (word) GROUP BY 1"
+    )
+    # Flesch reading-ease (text.readability): JVM regex counts folded
+    # into the scan; ratios from exact ints, fixed op-order score
+    out["text_readability"] = (
+        "WITH s AS (SELECT doc_id,"
+        " greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)"
+        "  AS n_words,"
+        " greatest(len(regexp_extract_all(text, '[.!?]+')), 1)"
+        "  AS n_sentences,"
+        " greatest(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 1)"
+        "  AS n_syllables FROM documents)"
+        " SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,"
+        " CAST(n_sentences AS BIGINT) AS n_sentences,"
+        " CAST(n_syllables AS BIGINT) AS n_syllables,"
+        " round(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE), 6)"
+        "  AS words_per_sentence,"
+        " round(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE), 6)"
+        "  AS syllables_per_word,"
+        " round(206.835"
+        "  - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))"
+        "  - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),"
+        "  4) AS flesch FROM s"
     )
     # Image dHash (multimodal.image_phash): the 9x8 md5-pixel grid
     # makes pooling the identity, so the expected hash is a direct

@@ -116,7 +116,7 @@ def main() -> None:
         # round-6 session-5 operators
         "bpe_train", "bpe_encode", "ann_recall_eval", "text_kn_bigram",
         "ts_drawdown", "ts_cadence", "graph_label_prop", "agg_rfm",
-        "multimodal_phash", "multimodal_phash_pairs",
+        "multimodal_phash", "multimodal_phash_pairs", "text_readability",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

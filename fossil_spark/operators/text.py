@@ -1540,3 +1540,44 @@ def bpe_encode(
             ).alias("n_bpe_tokens"),
         )
     )
+
+
+def readability(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease per document (Flesch 1948; the public
+    206.835 - 1.015*(words/sentences) - 84.6*(syllables/word)
+    formula) with the standard cheap syllable estimator (vowel-group
+    count) — the classic readability quality signal that separates
+    prose from keyword soup and run-on boilerplate.
+
+    Everything is a JVM regex count folded into the scan — zero
+    shuffles, zero Python: sentences = [.!?] runs, syllables =
+    [aeiouy] runs, words = whitespace tokens; every count floored at
+    1 so empty/degenerate docs stay finite. Ratios are single double
+    divisions of exact ints (engine-reproducible), the score one
+    fixed op-order chain. Returns (id, n_words, n_sentences,
+    n_syllables, words_per_sentence, syllables_per_word, flesch)."""
+    n_words = F.greatest(F.size(tokens(F.col(text_col))), F.lit(1)).cast("long")
+    n_sent = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("long")
+    n_syll = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[aeiouyAEIOUY]+")), F.lit(1)
+    ).cast("long")
+    s = df.select(
+        id_col,
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    return s.select(
+        id_col, "n_words", "n_sentences", "n_syllables",
+        F.round(wps, 6).alias("words_per_sentence"),
+        F.round(spw, 6).alias("syllables_per_word"),
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4
+        ).alias("flesch"),
+    )

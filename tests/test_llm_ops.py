@@ -1457,3 +1457,24 @@ def test_rfm_segments_orientation(spark, tmp_path):
     assert out[4]["rfm_code"] == 555 and out[0]["rfm_code"] == 111
     assert out[4]["recency_days"] == 0
     assert out[0]["frequency"] == 1 and out[4]["monetary"] == 50.0
+
+
+def test_readability_separates_simple_from_dense(spark):
+    from fossil_spark.operators.text import readability
+
+    docs = spark.createDataFrame(
+        [
+            (0, "The cat sat. The dog ran. It was fun."),
+            (1, "Notwithstanding institutional heterogeneity considerations,"
+                " organizational interoperability notwithstanding"
+                " methodological sophistication remains unquantifiable."),
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in readability(docs).collect()}
+    assert out[0]["n_sentences"] == 3 and out[0]["n_words"] == 9
+    # simple prose scores far higher than polysyllabic jargon
+    assert out[0]["flesch"] > 80 > out[1]["flesch"]
+    # degenerate doc stays finite via the floor-at-1 counts
+    assert out[2]["n_words"] == 1 and out[2]["flesch"] is not None

@@ -1638,6 +1638,7 @@ _WINDOW_PRIORITY = [
     "bpe_train", "bpe_encode", "ann_recall_eval", "text_kn_bigram",
     "ts_drawdown", "ts_cadence", "graph_label_prop", "agg_rfm",
     "multimodal_phash", "multimodal_phash_pairs", "text_readability",
+    "agg_basket",
 ]
 
 
@@ -1683,6 +1684,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cohort_ltv": _analytics("cohort_ltv"),
         "agg_markov": _analytics("markov_transitions"),
         "agg_rfm": _analytics("rfm_segments"),
+        "agg_basket": _analytics("basket_rules"),
         "embedding_coherence": _embedding_coherence,
         "dedup_cluster_sizes": _dedup_cluster_sizes,
         "ts_heatmap": _ts_heatmap,
@@ -3960,6 +3962,38 @@ def oracle_sql() -> dict[str, str]:
         " CAST(sum(coalesce(n_pieces, len(word) + 1)) AS BIGINT)"
         "  AS n_bpe_tokens"
         " FROM w LEFT JOIN pieces USING (word) GROUP BY 1"
+    )
+    # Market-basket association rules (analytics.basket_rules): the
+    # ts_session lag/cumsum CTE, then distinct self-join pair counts
+    # == Spark's sorted-set pair explode; k-row/1-row broadcasts
+    out["agg_basket"] = (
+        "WITH flagged AS (SELECT user_id, event_type, ts, event_id,"
+        " CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER"
+        " (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000"
+        f" THEN 1 ELSE 0 END AS new_s FROM {_EV} e),"
+        " ids AS (SELECT user_id, event_type,"
+        " CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts,"
+        " event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq"
+        " FROM flagged),"
+        " si AS (SELECT DISTINCT user_id, session_seq, event_type"
+        " FROM ids),"
+        " ns AS (SELECT count(*) AS n_sessions FROM"
+        "  (SELECT DISTINCT user_id, session_seq FROM si)),"
+        " ic AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_item"
+        "  FROM si GROUP BY 1),"
+        " pc AS (SELECT a.event_type AS item_a, b.event_type AS item_b,"
+        " CAST(count(*) AS BIGINT) AS n_ab FROM si a JOIN si b"
+        " ON a.user_id = b.user_id AND a.session_seq = b.session_seq"
+        " AND a.event_type < b.event_type GROUP BY 1, 2)"
+        " SELECT item_a, item_b, ia.n_item AS n_a, ib.n_item AS n_b,"
+        " n_ab,"
+        " round(CAST(n_ab AS DOUBLE) / n_sessions, 6) AS support,"
+        " round(CAST(n_ab AS DOUBLE) / ia.n_item, 6) AS conf_a_to_b,"
+        " round(CAST(n_ab AS DOUBLE) / ib.n_item, 6) AS conf_b_to_a,"
+        " round(CAST(n_ab AS DOUBLE) * n_sessions"
+        "  / (ia.n_item * ib.n_item), 6) AS lift"
+        " FROM pc JOIN ic ia ON ia.event_type = item_a"
+        " JOIN ic ib ON ib.event_type = item_b, ns"
     )
     # Flesch reading-ease (text.readability): JVM regex counts folded
     # into the scan; ratios from exact ints, fixed op-order score

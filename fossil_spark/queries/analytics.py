@@ -306,3 +306,103 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
         ).cast("long"),
     )
+
+
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (Agrawal 1993
+    support/confidence/lift) over SESSION item-sets: which event types
+    co-occur within a user session — the set-companion of agg_markov's
+    sequential transitions (markov asks "what follows X", basket asks
+    "what accompanies X").
+
+    Shape: the 30-min sessionization lag window keys on user_id;
+    session item-sets come from ONE groupBy (array_sort(collect_set))
+    whose arrays are bounded by the event-type alphabet (k types ->
+    <= k(k-1)/2 pairs per session, never events²); item counts are a
+    k-row broadcast, the session total a 1-row broadcast. All counts
+    integer-exact; support/confidence/lift are fixed op-order double
+    chains. Returns (item_a, item_b, n_a, n_b, n_ab, support,
+    conf_a_to_b, conf_b_to_a, lift) with item_a < item_b."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_s = (
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .cast("long")
+    )
+    sid = F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    si = ev.select(
+        "user_id", "event_type", sid.alias("session_seq")
+    ).distinct()
+    sets = si.groupBy("user_id", "session_seq").agg(
+        F.array_sort(F.collect_set("event_type")).alias("items")
+    )
+    n_sessions = sets.agg(F.count(F.lit(1)).alias("n_sessions"))
+    item_counts = si.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    n = F.size("items")
+    pairs_arr = F.when(
+        n >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.slice(F.col("items"), i + 1, n),
+                    lambda y: F.struct(
+                        F.element_at(F.col("items"), i).alias("a"),
+                        y.alias("b"),
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    pc = (
+        sets.select(F.explode(pairs_arr).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("item_a"), F.col("p.b").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    joined = (
+        pc.join(
+            F.broadcast(
+                item_counts.select(
+                    F.col("event_type").alias("item_a"),
+                    F.col("n_item").alias("n_a"),
+                )
+            ),
+            "item_a",
+        )
+        .join(
+            F.broadcast(
+                item_counts.select(
+                    F.col("event_type").alias("item_b"),
+                    F.col("n_item").alias("n_b"),
+                )
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_sessions))
+    )
+    return joined.select(
+        "item_a", "item_b", "n_a", "n_b", "n_ab",
+        F.round(
+            F.col("n_ab").cast("double") / F.col("n_sessions"), 6
+        ).alias("support"),
+        F.round(F.col("n_ab").cast("double") / F.col("n_a"), 6).alias(
+            "conf_a_to_b"
+        ),
+        F.round(F.col("n_ab").cast("double") / F.col("n_b"), 6).alias(
+            "conf_b_to_a"
+        ),
+        F.round(
+            F.col("n_ab").cast("double")
+            * F.col("n_sessions")
+            / (F.col("n_a") * F.col("n_b")),
+            6,
+        ).alias("lift"),
+    )

@@ -1478,3 +1478,40 @@ def test_readability_separates_simple_from_dense(spark):
     assert out[0]["flesch"] > 80 > out[1]["flesch"]
     # degenerate doc stays finite via the floor-at-1 counts
     assert out[2]["n_words"] == 1 and out[2]["flesch"] is not None
+
+
+def test_basket_rules_planted_cooccurrence(spark, tmp_path):
+    import datetime as dt
+
+    from fossil_spark.queries.analytics import basket_rules
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def session(user, start_h, types):
+        nonlocal eid, rows
+        for i, ty in enumerate(types):
+            rows.append((eid, t0 + dt.timedelta(hours=start_h, minutes=i),
+                         user, ty, 1.0))
+            eid += 1
+
+    # "view" and "click" always co-occur (3 sessions); "error" appears
+    # alone in its own session
+    session(1, 0, ["view", "click"])
+    session(1, 5, ["view", "click", "view"])  # dup item dedups in the set
+    session(2, 0, ["view", "click"])
+    session(2, 5, ["error"])
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {(r["item_a"], r["item_b"]): r
+           for r in basket_rules(spark, str(tmp_path)).collect()}
+    assert set(out) == {("click", "view")}
+    r = out[("click", "view")]
+    assert (r["n_a"], r["n_b"], r["n_ab"]) == (3, 3, 3)
+    assert r["support"] == 0.75  # 3 of 4 sessions
+    assert r["conf_a_to_b"] == 1.0 and r["conf_b_to_a"] == 1.0
+    assert r["lift"] == round(3 * 4 / 9, 6)

@@ -1543,6 +1543,12 @@ def _bpe_encode(spark, sf_dir):
     return text.bpe_encode(_docs(spark, sf_dir), n_merges=5)
 
 
+def _text_zipf(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.zipf_fit(_docs(spark, sf_dir))
+
+
 def _text_readability(spark, sf_dir):
     from fossil_spark.operators import text
 
@@ -1638,7 +1644,7 @@ _WINDOW_PRIORITY = [
     "bpe_train", "bpe_encode", "ann_recall_eval", "text_kn_bigram",
     "ts_drawdown", "ts_cadence", "graph_label_prop", "agg_rfm",
     "multimodal_phash", "multimodal_phash_pairs", "text_readability",
-    "agg_basket",
+    "agg_basket", "agg_gini", "text_zipf",
 ]
 
 
@@ -1685,6 +1691,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_markov": _analytics("markov_transitions"),
         "agg_rfm": _analytics("rfm_segments"),
         "agg_basket": _analytics("basket_rules"),
+        "agg_gini": _analytics("user_gini"),
+        "text_zipf": _text_zipf,
         "embedding_coherence": _embedding_coherence,
         "dedup_cluster_sizes": _dedup_cluster_sizes,
         "ts_heatmap": _ts_heatmap,
@@ -3962,6 +3970,49 @@ def oracle_sql() -> dict[str, str]:
         " CAST(sum(coalesce(n_pieces, len(word) + 1)) AS BIGINT)"
         "  AS n_bpe_tokens"
         " FROM w LEFT JOIN pieces USING (word) GROUP BY 1"
+    )
+    # Gini concentration of per-user event counts (analytics.
+    # user_gini): all-integer closed form over (count, user_id) ranks
+    out["agg_gini"] = (
+        f"WITH u AS (SELECT user_id, count(*) AS x FROM {_EV} e"
+        " GROUP BY 1),"
+        " r AS (SELECT x, row_number() OVER (ORDER BY x ASC, user_id ASC)"
+        "  AS i FROM u),"
+        " a AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,"
+        "  CAST(sum(i * x) AS BIGINT) AS six FROM r)"
+        " SELECT CAST(n AS BIGINT) AS n_users, sx AS n_events,"
+        " round(CAST(2 * six - (n + 1) * sx AS DOUBLE)"
+        "  / CAST(n * sx AS DOUBLE), 6) AS gini FROM a"
+    )
+    # Zipf-law corpus fit (text.zipf_fit): regression over token
+    # TYPES; per-type ln-terms quantized to decimal(30,8) before
+    # summation (order-independent); fixed op-order closed form
+    out["text_zipf"] = (
+        f"WITH t AS (SELECT unnest({_TOKS}) AS tok FROM documents),"
+        " c AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),"
+        " xy AS (SELECT c, ln(CAST(row_number() OVER"
+        "  (ORDER BY c DESC, tok) AS DOUBLE)) AS x,"
+        "  ln(CAST(c AS DOUBLE)) AS y FROM c),"
+        " s AS (SELECT CAST(count(*) AS BIGINT) AS n_types,"
+        "  CAST(sum(c) AS BIGINT) AS n_tokens,"
+        "  CAST(sum(CAST(x AS DECIMAL(30,8))) AS DOUBLE) AS sx,"
+        "  CAST(sum(CAST(y AS DECIMAL(30,8))) AS DOUBLE) AS sy,"
+        "  CAST(sum(CAST(x * x AS DECIMAL(30,8))) AS DOUBLE) AS sxx,"
+        "  CAST(sum(CAST(x * y AS DECIMAL(30,8))) AS DOUBLE) AS sxy,"
+        "  CAST(sum(CAST(y * y AS DECIMAL(30,8))) AS DOUBLE) AS syy"
+        "  FROM xy)"
+        " SELECT n_types, n_tokens,"
+        " round((CAST(n_types AS DOUBLE) * sxy - sx * sy)"
+        "  / (CAST(n_types AS DOUBLE) * sxx - sx * sx), 6)"
+        "  AS zipf_slope,"
+        " round((sy - ((CAST(n_types AS DOUBLE) * sxy - sx * sy)"
+        "  / (CAST(n_types AS DOUBLE) * sxx - sx * sx)) * sx)"
+        "  / CAST(n_types AS DOUBLE), 6) AS zipf_intercept,"
+        " round((CAST(n_types AS DOUBLE) * sxy - sx * sy)"
+        "  * (CAST(n_types AS DOUBLE) * sxy - sx * sy)"
+        "  / ((CAST(n_types AS DOUBLE) * sxx - sx * sx)"
+        "  * (CAST(n_types AS DOUBLE) * syy - sy * sy)), 6) AS r2"
+        " FROM s"
     )
     # Market-basket association rules (analytics.basket_rules): the
     # ts_session lag/cumsum CTE, then distinct self-join pair counts

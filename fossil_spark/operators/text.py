@@ -1581,3 +1581,65 @@ def readability(
             F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4
         ).alias("flesch"),
     )
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Zipf-law fit of the corpus token-frequency distribution:
+    least-squares slope/intercept/R² of ln(freq) on ln(rank) — the
+    corpus-health fingerprint (natural language sits near slope -1;
+    template spam, synthetic text, and tokenizer bugs bend the
+    curve). Rank ties break on the token so both engines rank
+    identically.
+
+    Shape: ONE token groupBy; the regression runs over token TYPES
+    (Zipf: ~millions of rows at 100 TB, trivial) with each per-type
+    ln-term quantized to decimal(30,8) BEFORE summation, so the sums
+    are partition-order independent and engine-exact; the closed-form
+    slope/intercept/R² is one fixed op-order double chain. Returns
+    one row (n_types, n_tokens, zipf_slope, zipf_intercept, r2)."""
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    r = F.row_number().over(
+        Window.orderBy(F.col("c").desc(), F.col("tok"))
+    )
+    xy = counts.select(
+        "c",
+        F.log(r.cast("double")).alias("__x"),
+        F.log(F.col("c").cast("double")).alias("__y"),
+    )
+
+    def dsum8(col: Column) -> Column:
+        return F.sum(col.cast("decimal(30,8)")).cast("double")
+
+    s = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        dsum8(F.col("__x")).alias("__sx"),
+        dsum8(F.col("__y")).alias("__sy"),
+        dsum8(F.col("__x") * F.col("__x")).alias("__sxx"),
+        dsum8(F.col("__x") * F.col("__y")).alias("__sxy"),
+        dsum8(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    n = F.col("n_types").cast("double")
+    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    varx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vary = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    # try_divide: a single-type corpus (varx = 0) or a perfectly flat
+    # one (vary = 0) yields null slope/r2 instead of an ANSI error
+    slope = F.try_divide(cov, varx)
+    return s.select(
+        "n_types",
+        "n_tokens",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("__sy") - slope * F.col("__sx")) / n, 6
+        ).alias("zipf_intercept"),
+        F.round(F.try_divide(cov * cov, varx * vary), 6).alias("r2"),
+    )

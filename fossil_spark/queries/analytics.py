@@ -406,3 +406,42 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     )
+
+
+def user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event counts — the traffic-
+    concentration audit (is the corpus a few whales plus a long tail,
+    or evenly spread?), the single number behind "top 1% of users
+    produce X% of events" and a skew early-warning for every
+    user-keyed shuffle downstream.
+
+    Exact closed form over sorted counts: G = (2*sum(i*x_i)
+    - (n+1)*sum(x)) / (n*sum(x)) with rank i by (count, user_id) —
+    ALL-INTEGER numerators, one double division. The rank window runs
+    over the |users|-bounded aggregate table, never events.
+    Returns one row (n_users, n_events, gini)."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    ranked = per_user.select(
+        "user_id", "x",
+        F.row_number()
+        .over(Window.orderBy(F.col("x").asc(), F.col("user_id").asc()))
+        .alias("i"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("n_events"),
+        F.sum(F.col("i") * F.col("x")).alias("__ix"),
+    )
+    return agg.select(
+        "n_users",
+        "n_events",
+        F.round(
+            (
+                F.lit(2) * F.col("__ix")
+                - (F.col("n_users") + 1) * F.col("n_events")
+            ).cast("double")
+            / (F.col("n_users") * F.col("n_events")).cast("double"),
+            6,
+        ).alias("gini"),
+    )

@@ -1515,3 +1515,61 @@ def test_basket_rules_planted_cooccurrence(spark, tmp_path):
     assert r["support"] == 0.75  # 3 of 4 sessions
     assert r["conf_a_to_b"] == 1.0 and r["conf_b_to_a"] == 1.0
     assert r["lift"] == round(3 * 4 / 9, 6)
+
+
+def test_user_gini_extremes(spark, tmp_path):
+    import datetime as dt
+
+    from fossil_spark.queries.analytics import user_gini
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def write(rows, name):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double",
+        )
+        p = f"{tmp_path}/{name}"
+        df.write.mode("overwrite").parquet(f"{p}/events.parquet")
+        return p
+
+    # perfectly equal: 4 users x 3 events -> gini 0
+    eq = write(
+        [(i, t0, i % 4, "view", 1.0) for i in range(12)], "equal"
+    )
+    r = user_gini(spark, eq).collect()[0]
+    assert (r["n_users"], r["n_events"], r["gini"]) == (4, 12, 0.0)
+    # one whale: user 0 has 97 events, three users have 1 each
+    skew = write(
+        [(i, t0, 0, "view", 1.0) for i in range(97)]
+        + [(100 + u, t0, u, "view", 1.0) for u in (1, 2, 3)],
+        "skewed",
+    )
+    r = user_gini(spark, skew).collect()[0]
+    assert r["gini"] > 0.7
+
+
+def test_zipf_fit_flags_flat_distributions(spark):
+    from fossil_spark.operators.text import zipf_fit
+
+    # Zipf-ish corpus: token k appears ~N/k times
+    zipf_rows = [
+        (i, " ".join(f"w{k}" for k in range(1, 40) for _ in range(40 // k)))
+        for i in range(4)
+    ]
+    z = zipf_fit(
+        spark.createDataFrame(zipf_rows, "doc_id long, text string")
+    ).collect()[0]
+    assert z["zipf_slope"] < -0.6 and z["r2"] > 0.8
+    # uniform corpus: every token exactly once -> flat; slope ~0 up to
+    # the decimal(30,8) per-term quantization residual, r2 null
+    # (vary = 0 -> try_divide)
+    flat = zipf_fit(
+        spark.createDataFrame(
+            [(0, " ".join(f"u{k}" for k in range(200)))],
+            "doc_id long, text string",
+        )
+    ).collect()[0]
+    assert abs(flat["zipf_slope"]) < 1e-4
+    assert flat["r2"] is None

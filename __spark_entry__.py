@@ -1644,7 +1644,7 @@ _WINDOW_PRIORITY = [
     "bpe_train", "bpe_encode", "ann_recall_eval", "text_kn_bigram",
     "ts_drawdown", "ts_cadence", "graph_label_prop", "agg_rfm",
     "multimodal_phash", "multimodal_phash_pairs", "text_readability",
-    "agg_basket", "agg_gini", "text_zipf",
+    "agg_basket", "agg_gini", "text_zipf", "agg_session_paths",
 ]
 
 
@@ -1692,6 +1692,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_rfm": _analytics("rfm_segments"),
         "agg_basket": _analytics("basket_rules"),
         "agg_gini": _analytics("user_gini"),
+        "agg_session_paths": _analytics("session_paths"),
         "text_zipf": _text_zipf,
         "embedding_coherence": _embedding_coherence,
         "dedup_cluster_sizes": _dedup_cluster_sizes,
@@ -3970,6 +3971,24 @@ def oracle_sql() -> dict[str, str]:
         " CAST(sum(coalesce(n_pieces, len(word) + 1)) AS BIGINT)"
         "  AS n_bpe_tokens"
         " FROM w LEFT JOIN pieces USING (word) GROUP BY 1"
+    )
+    # Top session paths (analytics.session_paths): ordered string_agg
+    # over (ts, event_id) == Spark's array_sort struct projection
+    out["agg_session_paths"] = (
+        "WITH flagged AS (SELECT user_id, event_type, ts, event_id,"
+        " CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER"
+        " (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000"
+        f" THEN 1 ELSE 0 END AS new_s FROM {_EV} e),"
+        " ids AS (SELECT user_id, event_type, ts, event_id,"
+        " CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts,"
+        " event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq"
+        " FROM flagged),"
+        " p AS (SELECT user_id, session_seq,"
+        " string_agg(event_type, '>' ORDER BY ts, event_id) AS path,"
+        " count(*) AS n_ev FROM ids GROUP BY 1, 2)"
+        " SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,"
+        " CAST(max(n_ev) AS BIGINT) AS n_events_per_session"
+        " FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20"
     )
     # Gini concentration of per-user event counts (analytics.
     # user_gini): all-integer closed form over (count, user_id) ranks

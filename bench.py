@@ -117,7 +117,7 @@ def main() -> None:
         "bpe_train", "bpe_encode", "ann_recall_eval", "text_kn_bigram",
         "ts_drawdown", "ts_cadence", "graph_label_prop", "agg_rfm",
         "multimodal_phash", "multimodal_phash_pairs", "text_readability",
-        "agg_basket", "agg_gini", "text_zipf",
+        "agg_basket", "agg_gini", "text_zipf", "agg_session_paths",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

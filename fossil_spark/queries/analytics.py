@@ -445,3 +445,50 @@ def user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+def session_paths(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Top-k session paths (the ordered event-type sequence of each
+    30-min session, e.g. 'view>click>purchase') — behavioral flow
+    mining: which journeys dominate, which never convert. The ordered
+    counterpart of agg_markov (full paths, not single transitions)
+    and agg_basket (order matters here).
+
+    Determinism note: collect_list order under groupBy is undefined,
+    so the path is built by array_sort over (ts, event_id, type)
+    structs — a total order — then projected to types. Shape: the
+    sessionization window + ONE groupBy per session (path strings
+    bounded by session length), a path-count groupBy, and a top-k cut
+    (TakeOrderedAndProject; ties break on the path). Returns (path,
+    n_sessions, n_events_per_session)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_s = (
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .cast("long")
+    )
+    sid = F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = ev.select(
+        "user_id",
+        sid.alias("session_seq"),
+        F.struct("ts", "event_id", "event_type").alias("__s"),
+    )
+    paths = staged.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("__s")),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.count(F.lit(1)).alias("__n_ev"),
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("__n_ev").cast("long").alias("n_events_per_session"),
+    )
+    return counts.orderBy(F.col("n_sessions").desc(), "path").limit(k)

@@ -1573,3 +1573,33 @@ def test_zipf_fit_flags_flat_distributions(spark):
     ).collect()[0]
     assert abs(flat["zipf_slope"]) < 1e-4
     assert flat["r2"] is None
+
+
+def test_session_paths_ordered_and_counted(spark, tmp_path):
+    import datetime as dt
+
+    from fossil_spark.queries.analytics import session_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def session(user, start_h, types):
+        nonlocal eid
+        for i, ty in enumerate(types):
+            rows.append((eid, t0 + dt.timedelta(hours=start_h, minutes=i),
+                         user, ty, 1.0))
+            eid += 1
+
+    session(1, 0, ["view", "click", "purchase"])
+    session(2, 0, ["view", "click", "purchase"])
+    session(1, 5, ["purchase", "view"])  # different ORDER -> distinct path
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r["path"]: r for r in session_paths(spark, str(tmp_path)).collect()}
+    assert out["view>click>purchase"]["n_sessions"] == 2
+    assert out["view>click>purchase"]["n_events_per_session"] == 3
+    assert out["purchase>view"]["n_sessions"] == 1

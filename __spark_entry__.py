@@ -1571,6 +1571,12 @@ def _ts_cadence(spark, sf_dir):
     )
 
 
+def _pipeline_dedup_savings(spark, sf_dir):
+    from fossil_spark.pipelines import dedup_savings
+
+    return dedup_savings(_docs(spark, sf_dir))
+
+
 def _graph_label_prop(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1645,6 +1651,7 @@ _WINDOW_PRIORITY = [
     "ts_drawdown", "ts_cadence", "graph_label_prop", "agg_rfm",
     "multimodal_phash", "multimodal_phash_pairs", "text_readability",
     "agg_basket", "agg_gini", "text_zipf", "agg_session_paths",
+    "pipeline_dedup_savings",
 ]
 
 
@@ -1681,6 +1688,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats": _embedding_dim_stats,
         "pipeline_drift_report": _pipeline_drift_report,
         "pipeline_quality_report": _pipeline_quality_report,
+        "pipeline_dedup_savings": _pipeline_dedup_savings,
         "text_bigram_nll": _text_bigram_nll,
         "sample_group_topk": _sample_group_topk,
         "ts_counter_rate": _ts_counter_rate,
@@ -3971,6 +3979,39 @@ def oracle_sql() -> dict[str, str]:
         " CAST(sum(coalesce(n_pieces, len(word) + 1)) AS BIGINT)"
         "  AS n_bpe_tokens"
         " FROM w LEFT JOIN pieces USING (word) GROUP BY 1"
+    )
+    # Dedup savings readout (pipelines.dedup_savings): recursive-
+    # closure components over the proven minhash CTEs + token counts,
+    # one aggregate; min-id representative kept per component
+    out["pipeline_dedup_savings"] = (
+        f"WITH RECURSIVE {_MINHASH_CTES},"
+        " edges AS (SELECT doc_a a, doc_b b FROM pairs"
+        "  UNION SELECT doc_b, doc_a FROM pairs),"
+        " nodes AS (SELECT DISTINCT a AS node FROM edges),"
+        " reach(node, r) AS ("
+        "  SELECT node, node FROM nodes"
+        "  UNION"
+        "  SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r),"
+        " comp AS (SELECT node AS doc_id, min(r) AS component"
+        "  FROM reach GROUP BY 1),"
+        f" tk AS (SELECT doc_id, len({_TOKS}) AS n_tokens"
+        "  FROM documents),"
+        " j AS (SELECT tk.doc_id, tk.n_tokens, comp.component"
+        "  FROM tk LEFT JOIN comp USING (doc_id))"
+        " SELECT CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(sum(n_tokens) AS BIGINT) AS n_tokens,"
+        " CAST(sum(CASE WHEN component IS NOT NULL THEN 1 ELSE 0 END)"
+        "  AS BIGINT) AS n_dup_docs,"
+        " CAST(sum(CASE WHEN component IS NOT NULL AND"
+        "  component != doc_id THEN 1 ELSE 0 END) AS BIGINT)"
+        "  AS n_removable_docs,"
+        " CAST(sum(CASE WHEN component IS NOT NULL AND"
+        "  component != doc_id THEN n_tokens ELSE 0 END) AS BIGINT)"
+        "  AS n_removable_tokens,"
+        " round(CAST(sum(CASE WHEN component IS NOT NULL AND"
+        "  component != doc_id THEN n_tokens ELSE 0 END) AS DOUBLE)"
+        "  / CAST(sum(n_tokens) AS DOUBLE), 6) AS token_savings_frac"
+        " FROM j"
     )
     # Top session paths (analytics.session_paths): ordered string_agg
     # over (ts, event_id) == Spark's array_sort struct projection

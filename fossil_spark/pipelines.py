@@ -292,3 +292,42 @@ def quality_report(
         ).alias("gopher_pass_rate"),
         F.col("__en").cast("long").alias("n_en"),
     )
+
+
+def dedup_savings(docs: DataFrame) -> DataFrame:
+    """The "what does dedup buy me" readout: near-dup components over
+    the MinHash pair graph, one canonical representative (min doc_id)
+    kept per component, and the document/token volume the dedup pass
+    would remove — the number a 100 TB curation run budgets storage
+    and train-token counts against.
+
+    Pure composition of two oracle-proven operators: connected_
+    components(minhash_lsh_pairs) broadcast-joined onto per-doc token
+    counts, then ONE aggregate. Returns one row (n_docs, n_tokens,
+    n_dup_docs, n_removable_docs, n_removable_tokens,
+    token_savings_frac)."""
+    comp = dedup.connected_components(dedup.minhash_lsh_pairs(docs))
+    toks = text.token_count(docs).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    t = toks.join(F.broadcast(comp), "doc_id", "left")
+    in_dup = F.col("component").isNotNull()
+    removable = in_dup & (F.col("component") != F.col("doc_id"))
+    return t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(F.when(in_dup, 1).otherwise(0)).cast("long").alias("n_dup_docs"),
+        F.sum(F.when(removable, 1).otherwise(0))
+        .cast("long")
+        .alias("n_removable_docs"),
+        F.sum(F.when(removable, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("n_removable_tokens"),
+        F.round(
+            F.sum(F.when(removable, F.col("n_tokens")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("n_tokens").cast("double"),
+            6,
+        ).alias("token_savings_frac"),
+    )

@@ -1603,3 +1603,25 @@ def test_session_paths_ordered_and_counted(spark, tmp_path):
     assert out["view>click>purchase"]["n_sessions"] == 2
     assert out["view>click>purchase"]["n_events_per_session"] == 3
     assert out["purchase>view"]["n_sessions"] == 1
+
+
+def test_dedup_savings_counts_non_representatives(spark):
+    from fossil_spark.pipelines import dedup_savings
+
+    dup = ("the quick brown fox jumps over the lazy dog and then runs far "
+           "away into the deep dark woods tonight")
+    docs = spark.createDataFrame(
+        [
+            (0, dup),
+            (1, dup),          # near-dup cluster {0, 1, 2}: keep 0
+            (2, dup + " yes"),
+            (3, "completely different text about spark shuffles and "
+                "partitions written with many unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    r = dedup_savings(docs).collect()[0]
+    assert r["n_docs"] == 4
+    assert r["n_dup_docs"] == 3 and r["n_removable_docs"] == 2
+    assert 0 < r["token_savings_frac"] < 1
+    assert r["n_removable_tokens"] > 0

@@ -1571,6 +1571,16 @@ def _ts_cadence(spark, sf_dir):
     )
 
 
+def _dedup_threshold_sweep(spark, sf_dir):
+    from fossil_spark.operators import dedup
+    from fossil_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return dedup.threshold_sweep(
+        dedup.embedding_neardup_pairs(emb, threshold=0.25)
+    )
+
+
 def _pipeline_dedup_savings(spark, sf_dir):
     from fossil_spark.pipelines import dedup_savings
 
@@ -1651,7 +1661,7 @@ _WINDOW_PRIORITY = [
     "ts_drawdown", "ts_cadence", "graph_label_prop", "agg_rfm",
     "multimodal_phash", "multimodal_phash_pairs", "text_readability",
     "agg_basket", "agg_gini", "text_zipf", "agg_session_paths",
-    "pipeline_dedup_savings",
+    "pipeline_dedup_savings", "dedup_threshold_sweep",
 ]
 
 
@@ -1704,6 +1714,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_zipf": _text_zipf,
         "embedding_coherence": _embedding_coherence,
         "dedup_cluster_sizes": _dedup_cluster_sizes,
+        "dedup_threshold_sweep": _dedup_threshold_sweep,
         "ts_heatmap": _ts_heatmap,
         "text_code_detector": _text_code_detector,
         "ts_anomaly_decomposed": _ts_anomaly_decomposed,
@@ -3979,6 +3990,21 @@ def oracle_sql() -> dict[str, str]:
         " CAST(sum(coalesce(n_pieces, len(word) + 1)) AS BIGINT)"
         "  AS n_bpe_tokens"
         " FROM w LEFT JOIN pieces USING (word) GROUP BY 1"
+    )
+    # Threshold-sensitivity sweep (dedup.threshold_sweep) over the
+    # proven embedding near-dup pairs; grid explode + one groupBy
+    out["dedup_threshold_sweep"] = (
+        f"WITH p AS ({out['dedup_embedding']}),"
+        " tot AS (SELECT count(*) AS total FROM p),"
+        " g AS (SELECT unnest([0.25, 0.3, 0.35, 0.4, 0.45, 0.5, 0.55,"
+        "  0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95]) AS t),"
+        " per AS (SELECT t, count(*) AS n_pairs FROM g, p"
+        "  WHERE p.cos_sim >= CAST(t AS DOUBLE) GROUP BY 1)"
+        " SELECT CAST(g.t AS DOUBLE) AS threshold,"
+        " CAST(coalesce(per.n_pairs, 0) AS BIGINT) AS n_pairs,"
+        " round(CAST(coalesce(per.n_pairs, 0) AS DOUBLE)"
+        "  / CAST(total AS DOUBLE), 6) AS frac_of_candidates"
+        " FROM g LEFT JOIN per USING (t), tot"
     )
     # Dedup savings readout (pipelines.dedup_savings): recursive-
     # closure components over the proven minhash CTEs + token counts,

@@ -118,7 +118,7 @@ def main() -> None:
         "ts_drawdown", "ts_cadence", "graph_label_prop", "agg_rfm",
         "multimodal_phash", "multimodal_phash_pairs", "text_readability",
         "agg_basket", "agg_gini", "text_zipf", "agg_session_paths",
-        "pipeline_dedup_savings",
+        "pipeline_dedup_savings", "dedup_threshold_sweep",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

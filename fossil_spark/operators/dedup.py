@@ -633,3 +633,56 @@ def cluster_size_histogram(
         .select(F.col("cluster_size").cast("long").alias("cluster_size"),
                 F.col("n_clusters").cast("long").alias("n_clusters"))
     )
+
+
+def threshold_sweep(
+    pairs: DataFrame,
+    thresholds: list[float] | None = None,
+    sim_col: str = "cos_sim",
+) -> DataFrame:
+    """Dedup threshold-sensitivity audit: how many candidate pairs
+    survive each similarity cutoff — the curve a curation run reads
+    before committing to a threshold (a cliff between 0.7 and 0.8
+    means the choice matters; a plateau means it doesn't). Works on
+    any scored pair table (embedding_neardup_pairs, minhash estimates).
+
+    One pass: candidates explode onto the |thresholds|-sized grid
+    (bounded fan-out) and a single groupBy counts survivors; the
+    total is a 1-row broadcast. Comparisons run on the already-
+    rounded similarity against exact grid literals, so both engines
+    agree bit-for-bit. Returns (threshold, n_pairs,
+    frac_of_candidates) — one row per cutoff."""
+    thresholds = thresholds or [
+        0.25, 0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6,
+        0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95,
+    ]
+    grid = F.explode(
+        F.array(*[F.lit(float(t)) for t in thresholds])
+    ).alias("threshold")
+    # the scored-pair subtree (LSH join + cosine) is referenced twice
+    # (total + per-threshold counts) — checkpoint so it runs once
+    pairs = pairs.localCheckpoint(eager=False)
+    total = pairs.agg(F.count(F.lit(1)).alias("__total"))
+    per_t = (
+        pairs.select(F.col(sim_col).alias("__s"), grid)
+        .filter(F.col("__s") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    # left join from the grid so empty cutoffs still report 0
+    tgrid = pairs.sparkSession.range(1).select(grid)
+    return (
+        tgrid.join(per_t, "threshold", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.round(
+                F.try_divide(
+                    F.coalesce("n_pairs", F.lit(0)).cast("double"),
+                    F.col("__total").cast("double"),
+                ),
+                6,
+            ).alias("frac_of_candidates"),
+        )
+    )

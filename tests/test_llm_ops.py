@@ -1625,3 +1625,17 @@ def test_dedup_savings_counts_non_representatives(spark):
     assert r["n_dup_docs"] == 3 and r["n_removable_docs"] == 2
     assert 0 < r["token_savings_frac"] < 1
     assert r["n_removable_tokens"] > 0
+
+
+def test_threshold_sweep_monotone_and_complete(spark):
+    from fossil_spark.operators.dedup import threshold_sweep
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.6), (2, 3, 0.3)],
+        "vec_a long, vec_b long, cos_sim double",
+    )
+    out = {r["threshold"]: r for r in
+           threshold_sweep(pairs, thresholds=[0.25, 0.5, 0.8, 0.95]).collect()}
+    assert [out[t]["n_pairs"] for t in (0.25, 0.5, 0.8, 0.95)] == [3, 2, 1, 0]
+    assert out[0.25]["frac_of_candidates"] == 1.0
+    assert out[0.95]["frac_of_candidates"] == 0.0  # empty cutoffs still row

@@ -818,6 +818,20 @@ def _ts_forecast(spark, sf_dir):
     )
 
 
+def _ts_forecast_eval(spark, sf_dir):
+    import datetime as dt
+
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.forecast_eval(
+        _events(spark, sf_dir),
+        cutoff=dt.datetime(2024, 1, 28),
+        horizon=5,
+        time_col="ts",
+        by=["event_type"],
+    )
+
+
 def _sample_temperature(spark, sf_dir):
     from fossil_spark.operators import text
 
@@ -1662,6 +1676,7 @@ _WINDOW_PRIORITY = [
     "multimodal_phash", "multimodal_phash_pairs", "text_readability",
     "agg_basket", "agg_gini", "text_zipf", "agg_session_paths",
     "pipeline_dedup_savings", "dedup_threshold_sweep",
+    "ts_forecast_eval",
 ]
 
 
@@ -1750,6 +1765,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_order_cube": _analytics("order_cube"),
         "pipeline_semdedup": _pipeline_semdedup,
         "ts_forecast": _ts_forecast,
+        "ts_forecast_eval": _ts_forecast_eval,
         "ts_lttb": _ts_lttb,
         "text_keywords": _text_keywords,
         "text_contamination": _text_contamination,
@@ -3990,6 +4006,54 @@ def oracle_sql() -> dict[str, str]:
         " CAST(sum(coalesce(n_pieces, len(word) + 1)) AS BIGINT)"
         "  AS n_bpe_tokens"
         " FROM w LEFT JOIN pieces USING (word) GROUP BY 1"
+    )
+    # Forecast backtest (timeseries.forecast_eval): hourly decimal
+    # bucket means, Holt recurrence on train replayed by the
+    # ts_forecast recursive CTE over BUCKETS, naive = last train
+    # bucket (rn = n), test steps aligned by rank
+    out["ts_forecast_eval"] = (
+        "WITH RECURSIVE bk AS (SELECT event_type,"
+        " time_bucket(INTERVAL 1 HOUR, ts) AS bucket,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        f"  / count(value) AS v FROM {_EV} e GROUP BY 1, 2),"
+        " tr AS (SELECT * FROM bk"
+        "  WHERE bucket < TIMESTAMP '2024-01-28 00:00:00'),"
+        " te AS (SELECT * FROM (SELECT event_type, v, row_number()"
+        "  OVER (PARTITION BY event_type ORDER BY bucket) AS step"
+        "  FROM bk WHERE bucket >= TIMESTAMP '2024-01-28 00:00:00')"
+        "  WHERE step <= 5),"
+        " seq AS (SELECT event_type, v AS value,"
+        " row_number() OVER w AS rn, lead(v) OVER w AS nxt,"
+        " count(*) OVER (PARTITION BY event_type) AS n FROM tr"
+        " WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),"
+        " rec(event_type, rn, n, l, b) AS ("
+        "  SELECT event_type, rn, n, CAST(value AS DOUBLE),"
+        "  CASE WHEN n > 1 THEN CAST(nxt AS DOUBLE) - CAST(value AS DOUBLE)"
+        "  ELSE 0.0 END FROM seq WHERE rn = 1"
+        "  UNION ALL"
+        "  SELECT s.event_type, s.rn, r.n,"
+        "  0.5 * s.value + (1.0 - 0.5) * (r.l + r.b),"
+        "  0.3 * ((0.5 * s.value + (1.0 - 0.5) * (r.l + r.b)) - r.l)"
+        "   + (1.0 - 0.3) * r.b"
+        "  FROM rec r JOIN seq s ON s.event_type = r.event_type"
+        "   AND s.rn = r.rn + 1),"
+        " fc AS (SELECT event_type, CAST(t.h AS BIGINT) AS step,"
+        "  l + CAST(t.h AS DOUBLE) * b AS forecast"
+        "  FROM rec, range(1, 6) t(h) WHERE rn = n),"
+        " nv AS (SELECT event_type, value AS naive FROM seq WHERE rn = n),"
+        " j AS (SELECT te.event_type, te.v, fc.forecast, nv.naive"
+        "  FROM te JOIN fc ON fc.event_type = te.event_type"
+        "   AND fc.step = te.step JOIN nv ON nv.event_type = te.event_type)"
+        " SELECT event_type, CAST(count(*) AS BIGINT) AS n_test,"
+        " CAST(round(sum(CAST(abs(v - forecast) AS DECIMAL(30,8))), 4)"
+        "  AS DOUBLE) / count(*) AS mae_holt,"
+        " CAST(round(sum(CAST(abs(v - naive) AS DECIMAL(30,8))), 4)"
+        "  AS DOUBLE) / count(*) AS mae_naive,"
+        " round(1.0 - (CAST(round(sum(CAST(abs(v - forecast)"
+        "  AS DECIMAL(30,8))), 4) AS DOUBLE) / count(*))"
+        "  / (CAST(round(sum(CAST(abs(v - naive) AS DECIMAL(30,8))), 4)"
+        "  AS DOUBLE) / count(*)), 6) AS skill"
+        " FROM j GROUP BY event_type"
     )
     # Threshold-sensitivity sweep (dedup.threshold_sweep) over the
     # proven embedding near-dup pairs; grid explode + one groupBy

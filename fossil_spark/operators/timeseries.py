@@ -2111,3 +2111,73 @@ def cadence(
             F.try_divide(F.col("max_gap_us").cast("double"), median), 6
         ).alias("worst_over_median"),
     )
+
+
+def forecast_eval(
+    df: DataFrame,
+    cutoff,
+    horizon: int = 5,
+    every: str = "1 hour",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Forecast BACKTEST per key: fit Holt's linear trend on the
+    buckets before `cutoff`, score the next `horizon` buckets, and
+    report MAE against the naive last-value persistence baseline —
+    the skill score (1 - mae_model/mae_naive) that decides whether a
+    forecast model earns its keep before anyone alerts on it.
+
+    Test buckets align to forecast steps BY RANK (1st bucket after
+    the cutoff = step 1, …), the standard convention when series may
+    have gaps. Shape: one bucket groupBy (decimal means), the
+    checkpointed bucket table feeds train/test/naive branches once,
+    Holt runs as the sanctioned one-Arrow-batch-per-key recurrence,
+    the naive value is a struct-max (last train bucket), and both
+    MAEs accumulate decimal(30,8). Returns (*by, n_test, mae_holt,
+    mae_naive, skill)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    bucket = F.window(F.col(time_col), every).start.alias("bucket")
+    bucketed = (
+        df.groupBy(bucket, *by)
+        .agg(_dec_avg(value_col).alias("v"))
+        .localCheckpoint(eager=False)  # feeds train, test, and naive
+    )
+    train = bucketed.filter(F.col("bucket") < F.lit(cutoff))
+    wtest = Window.partitionBy(*by).orderBy("bucket")
+    test = (
+        bucketed.filter(F.col("bucket") >= F.lit(cutoff))
+        .select(*by, "v", F.row_number().over(wtest).alias("step"))
+        .filter(F.col("step") <= horizon)
+    )
+    fc = holt_forecast(
+        train, horizon=horizon, alpha=alpha, beta=beta,
+        time_col="bucket", by=by, value_col="v",
+    ).select(*by, "step", "forecast")
+    naive = train.groupBy(*by).agg(
+        F.max(F.struct(F.col("bucket"), F.col("v"))).alias("__last")
+    ).select(*by, F.col("__last.v").alias("__naive"))
+    j = test.join(fc, [*by, "step"]).join(naive, by)
+
+    def dec_mae(err: Column) -> Column:
+        return (
+            F.round(F.sum(err.cast("decimal(30,8)")), 4).cast("double")
+            / F.count(F.lit(1))
+        )
+
+    out = j.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        dec_mae(F.abs(F.col("v") - F.col("forecast"))).alias("mae_holt"),
+        dec_mae(F.abs(F.col("v") - F.col("__naive"))).alias("mae_naive"),
+    )
+    return out.select(
+        *by, "n_test", "mae_holt", "mae_naive",
+        F.round(
+            F.lit(1.0)
+            - F.try_divide(F.col("mae_holt"), F.col("mae_naive")),
+            6,
+        ).alias("skill"),
+    )

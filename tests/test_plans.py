@@ -34,6 +34,7 @@ PYTHON_OK = {
     "ann_pq",
     # sequential per-key recurrence, one Arrow batch per key (like ts_ewma)
     "ts_forecast",
+    "ts_forecast_eval",  # backtest harness riding the same recurrence
     "ts_holt_winters",
     # LTTB bucket selection is sequential per key (same boundary)
     "ts_lttb",

@@ -1131,3 +1131,25 @@ def test_cadence_omits_single_event_keys(spark):
     )
     out = ts.cadence(df, "ts", ["event_type"], ["event_id"]).collect()
     assert [r["event_type"] for r in out] == ["pair"]
+
+
+def test_forecast_eval_linear_series_perfect_skill(spark):
+    # value = bucket index: Holt's exact init/recurrence forecasts a
+    # linear series perfectly (mae 0, skill 1); naive persistence
+    # trails by h each step
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(hours=i), "k", float(i)) for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    r = ts.forecast_eval(
+        df, cutoff=t0 + timedelta(hours=25), horizon=5,
+        time_col="ts", by=["event_type"],
+    ).collect()[0]
+    assert r["n_test"] == 5
+    assert r["mae_holt"] == 0.0
+    # naive = last train value (24): errors 1..5 -> mae 3
+    assert r["mae_naive"] == 3.0
+    assert r["skill"] == 1.0

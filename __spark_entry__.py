@@ -818,6 +818,12 @@ def _ts_forecast(spark, sf_dir):
     )
 
 
+def _ts_slo_burn(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.slo_burn(_events(spark, sf_dir), time_col="ts")
+
+
 def _ts_forecast_eval(spark, sf_dir):
     import datetime as dt
 
@@ -1676,7 +1682,7 @@ _WINDOW_PRIORITY = [
     "multimodal_phash", "multimodal_phash_pairs", "text_readability",
     "agg_basket", "agg_gini", "text_zipf", "agg_session_paths",
     "pipeline_dedup_savings", "dedup_threshold_sweep",
-    "ts_forecast_eval",
+    "ts_forecast_eval", "ts_slo_burn",
 ]
 
 
@@ -1766,6 +1772,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_semdedup": _pipeline_semdedup,
         "ts_forecast": _ts_forecast,
         "ts_forecast_eval": _ts_forecast_eval,
+        "ts_slo_burn": _ts_slo_burn,
         "ts_lttb": _ts_lttb,
         "text_keywords": _text_keywords,
         "text_contamination": _text_contamination,
@@ -4006,6 +4013,24 @@ def oracle_sql() -> dict[str, str]:
         " CAST(sum(coalesce(n_pieces, len(word) + 1)) AS BIGINT)"
         "  AS n_bpe_tokens"
         " FROM w LEFT JOIN pieces USING (word) GROUP BY 1"
+    )
+    # SLO burn rate (timeseries.slo_burn): integer bucket counts, one
+    # ordered window for the trailing-6 sums, budget 0.25
+    out["ts_slo_burn"] = (
+        "WITH b AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,"
+        " count(*) AS n, CAST(sum(CASE WHEN event_type = 'error'"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS n_err FROM {_EV} e"
+        " GROUP BY 1),"
+        " w AS (SELECT bucket, CAST(n AS BIGINT) AS n, n_err,"
+        " sum(n_err) OVER tw AS se, sum(n) OVER tw AS sn FROM b"
+        " WINDOW tw AS (ORDER BY bucket"
+        "  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))"
+        " SELECT bucket, n, n_err,"
+        " round(CAST(n_err AS DOUBLE) / n / 0.25, 6) AS burn_fast,"
+        " round(CAST(se AS DOUBLE) / sn / 0.25, 6) AS burn_slow,"
+        " round(CAST(n_err AS DOUBLE) / n / 0.25, 6) >= 2.0"
+        " AND round(CAST(se AS DOUBLE) / sn / 0.25, 6) >= 1.0 AS alert"
+        " FROM w"
     )
     # Forecast backtest (timeseries.forecast_eval): hourly decimal
     # bucket means, Holt recurrence on train replayed by the

@@ -2181,3 +2181,61 @@ def forecast_eval(
             6,
         ).alias("skill"),
     )
+
+
+def slo_burn(
+    df: DataFrame,
+    error_budget: float = 0.25,
+    every: str = "1 hour",
+    trailing: int = 6,
+    time_col: str = "time",
+    error_pred: Column | None = None,
+    order_col: str = "event_type",
+) -> DataFrame:
+    """SLO error-budget burn rate (the Google SRE workbook's
+    multiwindow, multi-burn-rate alert): per bucket, the error rate
+    relative to the budget (burn 1.0 = exactly consuming budget), a
+    trailing `trailing`-bucket burn, and the standard alert condition
+    (fast window hot AND slow window confirming) — the paging signal
+    a metrics store exists to serve.
+
+    `error_pred` marks error rows (default: order_col == 'error').
+    Shape: one bucket groupBy (integer counts), then ONE ordered
+    window over the bucket table for the trailing sums — the bucket
+    table is time-range/bucket rows, never events, so the single
+    partition is bounded at any corpus size. All rates are single
+    divisions of exact integer sums. Returns (bucket, n, n_err,
+    burn_fast, burn_slow, alert)."""
+    df = _time_norm(df, time_col)
+    pred = (
+        error_pred if error_pred is not None
+        else F.col(order_col) == "error"
+    )
+    b = (
+        df.groupBy(F.window(F.col(time_col), every).start.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias("n_err"),
+        )
+    )
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(-(trailing - 1), Window.currentRow)
+    )
+    burn_fast = F.round(
+        F.col("n_err").cast("double") / F.col("n") / F.lit(error_budget), 6
+    )
+    burn_slow = F.round(
+        F.sum("n_err").over(w).cast("double")
+        / F.sum("n").over(w)
+        / F.lit(error_budget),
+        6,
+    )
+    out = b.select(
+        "bucket", "n", "n_err",
+        burn_fast.alias("burn_fast"),
+        burn_slow.alias("burn_slow"),
+    )
+    return out.withColumn(
+        "alert", (F.col("burn_fast") >= 2.0) & (F.col("burn_slow") >= 1.0)
+    )

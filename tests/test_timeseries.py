@@ -1153,3 +1153,31 @@ def test_forecast_eval_linear_series_perfect_skill(spark):
     # naive = last train value (24): errors 1..5 -> mae 3
     assert r["mae_naive"] == 3.0
     assert r["skill"] == 1.0
+
+
+def test_slo_burn_multiwindow_alert(spark):
+    t0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # 7 hours at 10% errors, then 6 hours fully broken (100% errors)
+    for h in range(13):
+        err_every = 1 if h >= 7 else 10
+        for i in range(10):
+            ty = "error" if i % err_every == 0 else "view"
+            rows.append((eid, t0 + timedelta(hours=h, minutes=i), ty))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    out = {r["bucket"]: r for r in
+           ts.slo_burn(df, error_budget=0.25, time_col="ts").collect()}
+    calm = out[t0 + timedelta(hours=3)]
+    assert calm["burn_fast"] == 0.4 and not calm["alert"]
+    # first broken hour: fast window fires and the trailing window
+    # crosses exactly 1.0 ((5*1 + 10) / 60 = budget) -> page
+    onset = out[t0 + timedelta(hours=7)]
+    assert onset["burn_fast"] == 4.0 and onset["burn_slow"] == 1.0
+    assert onset["alert"]
+    # sustained breakage: both windows saturated
+    late = out[t0 + timedelta(hours=12)]
+    assert late["burn_fast"] == 4.0 and late["burn_slow"] == 4.0
+    assert late["alert"]

@@ -844,6 +844,14 @@ def _sample_temperature(spark, sf_dir):
     return text.temperature_weights(_docs(spark, sf_dir), temperature=2.0)
 
 
+def _sample_mixture_plan(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.mixture_plan(
+        _docs(spark, sf_dir), budget_tokens=100_000, temperature=2.0
+    )
+
+
 def _text_compression(spark, sf_dir):
     from fossil_spark.operators import text
 
@@ -1682,7 +1690,7 @@ _WINDOW_PRIORITY = [
     "multimodal_phash", "multimodal_phash_pairs", "text_readability",
     "agg_basket", "agg_gini", "text_zipf", "agg_session_paths",
     "pipeline_dedup_savings", "dedup_threshold_sweep",
-    "ts_forecast_eval", "ts_slo_burn",
+    "ts_forecast_eval", "ts_slo_burn", "sample_mixture_plan",
 ]
 
 
@@ -1751,6 +1759,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_cadence": _ts_cadence,
         "text_readability": _text_readability,
         "sample_temperature": _sample_temperature,
+        "sample_mixture_plan": _sample_mixture_plan,
         "text_compression": _text_compression,  # rows-only: zlib not in SQL
         "sample_weighted": _sample_weighted,
         "text_quality_classifier": _text_quality_classifier,
@@ -4013,6 +4022,31 @@ def oracle_sql() -> dict[str, str]:
         " CAST(sum(coalesce(n_pieces, len(word) + 1)) AS BIGINT)"
         "  AS n_bpe_tokens"
         " FROM w LEFT JOIN pieces USING (word) GROUP BY 1"
+    )
+    # Token-budget sampling plan (text.mixture_plan): extends the
+    # sample_temperature arithmetic with floor(weight*budget) targets
+    out["sample_mixture_plan"] = (
+        r"WITH t AS (SELECT source,"
+        r" len(regexp_split_to_array(trim(text), '\s+')) AS tn"
+        " FROM documents),"
+        " per AS (SELECT source, CAST(sum(tn) AS BIGINT) AS n_tokens"
+        "  FROM t GROUP BY source),"
+        " tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tt FROM per),"
+        " st AS (SELECT source, n_tokens,"
+        "  CAST(n_tokens AS DOUBLE) / tt AS share,"
+        "  power(CAST(n_tokens AS DOUBLE) / tt, 1.0 / 2.0) AS pw"
+        "  FROM per, tot),"
+        " tw AS (SELECT CAST(round(sum(CAST(pw AS DECIMAL(38,12))), 8)"
+        "  AS DOUBLE) AS twv FROM st),"
+        " pl AS (SELECT source, n_tokens, round(share, 6) AS share,"
+        "  round(pw / twv, 6) AS weight,"
+        "  CAST(floor(pw / twv * 100000.0) AS BIGINT) AS target_tokens"
+        "  FROM st, tw)"
+        " SELECT source, n_tokens, share, weight, target_tokens,"
+        " round(least(1.0, CAST(target_tokens AS DOUBLE)"
+        "  / CAST(n_tokens AS DOUBLE)), 6) AS sample_rate,"
+        " round(CAST(target_tokens AS DOUBLE)"
+        "  / CAST(n_tokens AS DOUBLE), 6) AS epochs FROM pl"
     )
     # SLO burn rate (timeseries.slo_burn): integer bucket counts, one
     # ordered window for the trailing-6 sums, budget 0.25

@@ -119,7 +119,7 @@ def main() -> None:
         "multimodal_phash", "multimodal_phash_pairs", "text_readability",
         "agg_basket", "agg_gini", "text_zipf", "agg_session_paths",
         "pipeline_dedup_savings", "dedup_threshold_sweep",
-        "ts_forecast_eval", "ts_slo_burn",
+        "ts_forecast_eval", "ts_slo_burn", "sample_mixture_plan",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

@@ -1643,3 +1643,59 @@ def zipf_fit(
         ).alias("zipf_intercept"),
         F.round(F.try_divide(cov * cov, varx * vary), 6).alias("r2"),
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    temperature: float = 2.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget sampling plan: turn temperature-scaled mixture
+    weights into the numbers a training run executes — per source,
+    the token target out of `budget_tokens`, the downsampling rate,
+    and the epoch count (> 1 = the source must repeat to meet its
+    target, the data-constrained regime). Completes the mixture
+    story: domain_mixture -> temperature_weights -> THIS -> the
+    sampler.
+
+    Same exact arithmetic as temperature_weights (integer tallies,
+    global windows over the per-group table, decimal-summed
+    normalizer) so both operators agree bit-for-bit; the target is
+    floor(weight * budget) — floor of an IEEE product, engine-exact.
+    Returns (group, n_tokens, share, weight, target_tokens,
+    sample_rate, epochs)."""
+    tok_n = F.size(tokens(F.col(text_col)))
+    per = df.groupBy(group_col).agg(
+        F.sum(tok_n).cast("long").alias("n_tokens")
+    )
+    wall = Window.partitionBy()
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(
+        wall
+    ).cast("double")
+    staged = per.select(
+        group_col, "n_tokens", share.alias("__share"),
+        F.pow(share, 1.0 / temperature).alias("__pw"),
+    )
+    tw = (
+        F.round(F.sum(F.col("__pw").cast("decimal(38,12)")).over(wall), 8)
+        .cast("double")
+    )
+    target = F.floor(
+        F.col("__pw") / tw * F.lit(float(budget_tokens))
+    ).cast("long")
+    with_t = staged.select(
+        group_col, "n_tokens",
+        F.round("__share", 6).alias("share"),
+        F.round(F.col("__pw") / tw, 6).alias("weight"),
+        target.alias("target_tokens"),
+    )
+    epochs = F.col("target_tokens").cast("double") / F.col("n_tokens").cast(
+        "double"
+    )
+    return with_t.select(
+        group_col, "n_tokens", "share", "weight", "target_tokens",
+        F.round(F.least(F.lit(1.0), epochs), 6).alias("sample_rate"),
+        F.round(epochs, 6).alias("epochs"),
+    )

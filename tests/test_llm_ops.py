@@ -1639,3 +1639,27 @@ def test_threshold_sweep_monotone_and_complete(spark):
     assert [out[t]["n_pairs"] for t in (0.25, 0.5, 0.8, 0.95)] == [3, 2, 1, 0]
     assert out[0.25]["frac_of_candidates"] == 1.0
     assert out[0.95]["frac_of_candidates"] == 0.0  # empty cutoffs still row
+
+
+def test_mixture_plan_budget_and_epochs(spark):
+    from fossil_spark.operators.text import mixture_plan
+
+    # source "big" has 9x the tokens of "small"; T=2 flattening gives
+    # small a larger-than-natural share of the budget
+    docs = spark.createDataFrame(
+        [(i, "w " * 90, "big") for i in range(10)]
+        + [(100 + i, "w " * 10, "small") for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r
+           for r in mixture_plan(docs, budget_tokens=1000).collect()}
+    big, small = out["big"], out["small"]
+    assert big["n_tokens"] == 900 and small["n_tokens"] == 100
+    # weights sum to ~1 and targets sum to <= budget
+    assert abs(big["weight"] + small["weight"] - 1.0) < 1e-5
+    assert big["target_tokens"] + small["target_tokens"] <= 1000
+    # flattening: small's weight (0.25) far above its 0.1 share
+    assert small["weight"] > small["share"]
+    # small must repeat (~2.5 epochs); big downsamples (rate < 1)
+    assert small["epochs"] > 2 and small["sample_rate"] == 1.0
+    assert big["sample_rate"] < 1.0

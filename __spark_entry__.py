@@ -1691,6 +1691,7 @@ _WINDOW_PRIORITY = [
     "agg_basket", "agg_gini", "text_zipf", "agg_session_paths",
     "pipeline_dedup_savings", "dedup_threshold_sweep",
     "ts_forecast_eval", "ts_slo_burn", "sample_mixture_plan",
+    "agg_ab_test",
 ]
 
 
@@ -1740,6 +1741,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_basket": _analytics("basket_rules"),
         "agg_gini": _analytics("user_gini"),
         "agg_session_paths": _analytics("session_paths"),
+        "agg_ab_test": _analytics("ab_test"),
         "text_zipf": _text_zipf,
         "embedding_coherence": _embedding_coherence,
         "dedup_cluster_sizes": _dedup_cluster_sizes,
@@ -4022,6 +4024,43 @@ def oracle_sql() -> dict[str, str]:
         " CAST(sum(coalesce(n_pieces, len(word) + 1)) AS BIGINT)"
         "  AS n_bpe_tokens"
         " FROM w LEFT JOIN pieces USING (word) GROUP BY 1"
+    )
+    # Two-proportion z-test (analytics.ab_test): md5 user split,
+    # conversion = any purchase; fixed op-order z over integer counts
+    out["agg_ab_test"] = (
+        "WITH u AS (SELECT user_id,"
+        " CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1"
+        "  ELSE 0 END) >= 14 THEN 1 ELSE 0 END"
+        f"  AS conv FROM {_EV} e GROUP BY 1),"
+        " t AS (SELECT ('0x' || substr(md5('ab:' || user_id::VARCHAR),"
+        "  1, 8))::BIGINT % 2 AS v, conv FROM u),"
+        " a AS (SELECT"
+        "  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,"
+        "  CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,"
+        "  CAST(sum(CASE WHEN v = 0 THEN conv ELSE 0 END) AS BIGINT)"
+        "   AS conv_a,"
+        "  CAST(sum(CASE WHEN v = 1 THEN conv ELSE 0 END) AS BIGINT)"
+        "   AS conv_b FROM t)"
+        " SELECT n_a, n_b, conv_a, conv_b,"
+        " round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS p_a,"
+        " round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS p_b,"
+        " round((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
+        "  - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+        "  / sqrt((CAST(conv_a + conv_b AS DOUBLE)"
+        "   / CAST(n_a + n_b AS DOUBLE))"
+        "  * (1.0 - CAST(conv_a + conv_b AS DOUBLE)"
+        "   / CAST(n_a + n_b AS DOUBLE))"
+        "  * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)"
+        "  AS z_score,"
+        " abs((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
+        "  - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+        "  / sqrt((CAST(conv_a + conv_b AS DOUBLE)"
+        "   / CAST(n_a + n_b AS DOUBLE))"
+        "  * (1.0 - CAST(conv_a + conv_b AS DOUBLE)"
+        "   / CAST(n_a + n_b AS DOUBLE))"
+        "  * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))))"
+        "  >= 1.959964 AS significant_95"
+        " FROM a"
     )
     # Token-budget sampling plan (text.mixture_plan): extends the
     # sample_temperature arithmetic with floor(weight*budget) targets

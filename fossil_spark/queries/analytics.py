@@ -492,3 +492,73 @@ def session_paths(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
         F.max("__n_ev").cast("long").alias("n_events_per_session"),
     )
     return counts.orderBy(F.col("n_sessions").desc(), "path").limit(k)
+
+
+def ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test harness over a deterministic md5 user
+    split — the experimentation readout (did variant B convert
+    better, and is the difference statistically significant?) run the
+    way a platform would: assignment is a pure hash of the user id
+    (reproducible on any engine, no state), conversion = the user is
+    a heavy purchaser (>= 14 purchases, ~the corpus median, so both
+    outcomes are populated — "did everyone convert" is degenerate:
+    pooled p = 1 makes the z-score 0/0).
+
+    z = (pB - pA) / sqrt(p*(1-p)*(1/nA + 1/nB)) with the pooled p —
+    every input an exact integer count, the score one fixed op-order
+    IEEE chain (sqrt is correctly rounded in any engine). The test
+    statistic computes on the |users|-bounded table; one user groupBy
+    + one 2-row aggregate. Returns one row (n_a, n_b, conv_a, conv_b,
+    p_a, p_b, z_score, significant_95)."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14,
+            1,
+        )
+        .otherwise(0)
+        .alias("__conv")
+    )
+    variant = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ab:"),
+                                          F.col("user_id").cast("string"))),
+                           1, 8), 16, 10)
+        .cast("long") % 2
+    )
+    tagged = per_user.select(
+        variant.alias("__v"), F.col("__conv")
+    )
+    agg = tagged.agg(
+        F.sum(F.when(F.col("__v") == 0, 1).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("__v") == 1, 1).otherwise(0))
+        .cast("long").alias("n_b"),
+        F.sum(F.when(F.col("__v") == 0, F.col("__conv")).otherwise(0))
+        .cast("long").alias("conv_a"),
+        F.sum(F.when(F.col("__v") == 1, F.col("__conv")).otherwise(0))
+        .cast("long").alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    z = F.try_divide(p_b - p_a, se)
+    return agg.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) >= F.lit(1.959964)).alias("significant_95"),
+    )

@@ -1663,3 +1663,35 @@ def test_mixture_plan_budget_and_epochs(spark):
     # small must repeat (~2.5 epochs); big downsamples (rate < 1)
     assert small["epochs"] > 2 and small["sample_rate"] == 1.0
     assert big["sample_rate"] < 1.0
+
+
+def test_ab_test_detects_planted_effect(spark, tmp_path):
+    import datetime as dt
+    import hashlib
+
+    from fossil_spark.queries.analytics import ab_test
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def variant(u):
+        return int(hashlib.md5(f"ab:{u}".encode()).hexdigest()[:8], 16) % 2
+
+    rows, eid = [], 0
+    # variant 1 users are heavy purchasers (20 purchases), variant 0
+    # users light (2) -> a large, significant effect
+    for u in range(200):
+        n = 20 if variant(u) else 2
+        for i in range(n):
+            rows.append((eid, t0 + dt.timedelta(minutes=i), u,
+                         "purchase", 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = ab_test(spark, str(tmp_path)).collect()[0]
+    assert r["n_a"] + r["n_b"] == 200
+    assert r["p_b"] == 1.0 and r["p_a"] == 0.0
+    assert r["significant_95"] and r["z_score"] > 10

@@ -818,6 +818,15 @@ def _ts_forecast(spark, sf_dir):
     )
 
 
+def _ts_dtw(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.dtw_distance(
+        _events(spark, sf_dir), "view", "purchase",
+        every="6 hours", time_col="ts",
+    )
+
+
 def _ts_slo_burn(spark, sf_dir):
     from fossil_spark.operators import timeseries as ts
 
@@ -1691,7 +1700,7 @@ _WINDOW_PRIORITY = [
     "agg_basket", "agg_gini", "text_zipf", "agg_session_paths",
     "pipeline_dedup_savings", "dedup_threshold_sweep",
     "ts_forecast_eval", "ts_slo_burn", "sample_mixture_plan",
-    "agg_ab_test",
+    "agg_ab_test", "ts_dtw",
 ]
 
 
@@ -1784,6 +1793,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_forecast": _ts_forecast,
         "ts_forecast_eval": _ts_forecast_eval,
         "ts_slo_burn": _ts_slo_burn,
+        "ts_dtw": _ts_dtw,
         "ts_lttb": _ts_lttb,
         "text_keywords": _text_keywords,
         "text_contamination": _text_contamination,
@@ -4024,6 +4034,44 @@ def oracle_sql() -> dict[str, str]:
         " CAST(sum(coalesce(n_pieces, len(word) + 1)) AS BIGINT)"
         "  AS n_bpe_tokens"
         " FROM w LEFT JOIN pieces USING (word) GROUP BY 1"
+    )
+    # DTW distance (timeseries.dtw_distance): the full DP grid
+    # replayed by a recursive CTE carrying each row as a LIST — the
+    # column index is len(acc) (the row fold grows one cell per
+    # step), cell = cost + least(up, left, diag), bit-exact vs the
+    # Python loop
+    out["ts_dtw"] = (
+        "WITH RECURSIVE bk AS (SELECT"
+        " time_bucket(INTERVAL 6 HOUR, ts) AS bucket,"
+        " CAST(round(sum(CASE WHEN event_type = 'view'"
+        "  THEN CAST(value AS DECIMAL(30,8)) END), 4) AS DOUBLE)"
+        "  / count(CASE WHEN event_type = 'view' THEN value END) AS va,"
+        " CAST(round(sum(CASE WHEN event_type = 'purchase'"
+        "  THEN CAST(value AS DECIMAL(30,8)) END), 4) AS DOUBLE)"
+        "  / count(CASE WHEN event_type = 'purchase' THEN value END)"
+        "  AS vb"
+        f" FROM {_EV} e0 WHERE event_type IN ('view', 'purchase')"
+        " GROUP BY 1),"
+        " j AS (SELECT bucket, va, vb FROM bk"
+        "  WHERE va IS NOT NULL AND vb IS NOT NULL),"
+        " arrs AS (SELECT list(va ORDER BY bucket) AS a,"
+        "  list(vb ORDER BY bucket) AS b, count(*) AS n FROM j),"
+        " dp(i, row) AS ("
+        "  SELECT 0, list_prepend(CAST(0.0 AS DOUBLE),"
+        "   list_transform(generate_series(1, n), z -> 1e308)) FROM arrs"
+        "  UNION ALL"
+        "  SELECT d.i + 1,"
+        "  list_reduce("
+        "   list_prepend([CAST(1e308 AS DOUBLE)],"
+        "    list_transform(generate_series(1, arrs.n), z -> [0.0])),"
+        "   (acc, x) -> list_append(acc,"
+        "    abs(arrs.a[d.i + 1] - arrs.b[len(acc)])"
+        "    + least(d.row[len(acc) + 1], acc[-1], d.row[len(acc)])))"
+        "  FROM dp d, arrs WHERE d.i < arrs.n)"
+        " SELECT CAST(arrs.n AS BIGINT) AS n_buckets,"
+        " dp.row[arrs.n + 1] AS dtw,"
+        " dp.row[arrs.n + 1] / (2 * arrs.n) AS dtw_per_step"
+        " FROM dp, arrs WHERE dp.i = arrs.n"
     )
     # Two-proportion z-test (analytics.ab_test): md5 user split,
     # conversion = any purchase; fixed op-order z over integer counts

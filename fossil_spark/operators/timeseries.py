@@ -2239,3 +2239,99 @@ def slo_burn(
     return out.withColumn(
         "alert", (F.col("burn_fast") >= 2.0) & (F.col("burn_slow") >= 1.0)
     )
+
+
+def dtw_distance(
+    df: DataFrame,
+    series_a: str,
+    series_b: str,
+    every: str = "6 hours",
+    time_col: str = "time",
+    series_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Dynamic-time-warping distance between two named signals
+    (Sakoe & Chiba 1978, full unbanded DP) — the shape-similarity
+    measure that survives phase shifts and local speed-ups where
+    plain correlation (ts_xcorr) degrades: 'do these two metrics
+    trace the same curve, even slightly out of step?'.
+
+    Both signals resample to `every` buckets in ONE conditional
+    aggregation (the ts_xcorr shape, decimal means, no join); buckets
+    where either signal is absent are dropped (complete-case
+    alignment). The DP grid is (time-range/bucket)² — bounded by the
+    CALENDAR, not the row count, so the single sequential batch is
+    fine at any corpus size; the recurrence itself is the sanctioned
+    one-Arrow-batch boundary (like ts_ewma). Cell order and float op
+    order (cost + min(up, left, diag), plain IEEE doubles) are fixed,
+    so the DuckDB oracle replays the grid bit-for-bit via a
+    recursive CTE carrying the DP row as a LIST (the holt_winters
+    technique). Returns one row (n_buckets, dtw, dtw_per_step)."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    df = _time_norm(df, time_col)
+
+    def cond_mean(name: str):
+        return (
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col(series_col) == name, F.col(value_col)
+                    ).cast("decimal(30,8)")
+                ),
+                4,
+            ).cast("double")
+            / F.count(F.when(F.col(series_col) == name, value_col))
+        )
+
+    bucketed = (
+        df.filter(F.col(series_col).isin(series_a, series_b))
+        .groupBy(F.window(time_col, every).start.alias("bucket"))
+        .agg(cond_mean(series_a).alias("__a"), cond_mean(series_b).alias("__b"))
+        .filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    )
+    out_schema = StructType(
+        [
+            StructField("n_buckets", LongType()),
+            StructField("dtw", DoubleType()),
+            StructField("dtw_per_step", DoubleType()),
+        ]
+    )
+    big = 1e308
+
+    def dp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket", kind="mergesort")
+        a = [float(x) for x in pdf["__a"]]
+        b = [float(x) for x in pdf["__b"]]
+        n = len(a)
+        if n == 0:
+            return pd.DataFrame(
+                {"n_buckets": [0], "dtw": [None], "dtw_per_step": [None]}
+            )
+        prev = [0.0] + [big] * n
+        for i in range(1, n + 1):
+            cur = [big]
+            for j in range(1, n + 1):
+                cur.append(
+                    abs(a[i - 1] - b[j - 1])
+                    + min(prev[j], cur[j - 1], prev[j - 1])
+                )
+            prev = cur
+        dist = prev[n]
+        return pd.DataFrame(
+            {
+                "n_buckets": [n],
+                "dtw": [dist],
+                "dtw_per_step": [dist / (2 * n)],
+            }
+        )
+
+    return (
+        bucketed.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(lambda pdf: dp(pdf.drop(columns="__g")), out_schema)
+    )

@@ -38,6 +38,8 @@ PYTHON_OK = {
     "ts_holt_winters",
     # LTTB bucket selection is sequential per key (same boundary)
     "ts_lttb",
+    # DTW DP grid is sequential by nature; grid bounded by calendar
+    "ts_dtw",
     # PNG synth + decode + dHash (codec work is Python by nature,
     # Arrow-batched like every decode path)
     "multimodal_phash",

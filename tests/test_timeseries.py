@@ -1181,3 +1181,34 @@ def test_slo_burn_multiwindow_alert(spark):
     late = out[t0 + timedelta(hours=12)]
     assert late["burn_fast"] == 4.0 and late["burn_slow"] == 4.0
     assert late["alert"]
+
+
+def test_dtw_identical_and_warped_series(spark):
+    t0 = datetime(2024, 1, 1)
+
+    def mk(vals_a, vals_b):
+        rows, eid = [], 0
+        for i, v in enumerate(vals_a):
+            rows.append((eid, t0 + timedelta(hours=6 * i), "a", float(v)))
+            eid += 1
+        for i, v in enumerate(vals_b):
+            rows.append((eid, t0 + timedelta(hours=6 * i), "b", float(v)))
+            eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, event_type string, value double",
+        )
+        return ts.dtw_distance(
+            df, "a", "b", every="6 hours", time_col="ts",
+            series_col="event_type",
+        ).collect()[0]
+
+    same = mk([1, 2, 3, 4], [1, 2, 3, 4])
+    assert same["n_buckets"] == 4 and same["dtw"] == 0.0
+    # a step shift: pointwise distance is 4x1, but DTW warps to 0 at
+    # the overlap and only pays at the edges
+    shifted = mk([1, 1, 2, 3], [1, 2, 3, 3])
+    assert shifted["dtw"] == 0.0
+    # genuinely different shapes pay a positive cost
+    diff = mk([0, 0, 0, 0], [5, 5, 5, 5])
+    assert diff["dtw"] == 20.0 and diff["dtw_per_step"] == 2.5

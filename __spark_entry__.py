@@ -1646,6 +1646,15 @@ def _text_kn_bigram(spark, sf_dir):
     return text.kn_bigram_nll(_docs(spark, sf_dir))
 
 
+def _embedding_knn_classify(spark, sf_dir):
+    from fossil_spark.operators import ann
+    from fossil_spark.session import read_table
+
+    return ann.knn_classify(
+        read_table(spark, sf_dir, "embeddings"), k=5, n_queries=500
+    )
+
+
 def _ann_recall_eval(spark, sf_dir):
     from fossil_spark.operators import ann
     from fossil_spark.session import read_table
@@ -1700,7 +1709,7 @@ _WINDOW_PRIORITY = [
     "agg_basket", "agg_gini", "text_zipf", "agg_session_paths",
     "pipeline_dedup_savings", "dedup_threshold_sweep",
     "ts_forecast_eval", "ts_slo_burn", "sample_mixture_plan",
-    "agg_ab_test", "ts_dtw",
+    "agg_ab_test", "ts_dtw", "embedding_knn_classify",
 ]
 
 
@@ -1765,6 +1774,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": _bpe_train,
         "bpe_encode": _bpe_encode,
         "ann_recall_eval": _ann_recall_eval,
+        "embedding_knn_classify": _embedding_knn_classify,
         "text_kn_bigram": _text_kn_bigram,
         "ts_drawdown": _ts_drawdown,
         "ts_cadence": _ts_cadence,
@@ -4034,6 +4044,31 @@ def oracle_sql() -> dict[str, str]:
         " CAST(sum(coalesce(n_pieces, len(word) + 1)) AS BIGINT)"
         "  AS n_bpe_tokens"
         " FROM w LEFT JOIN pieces USING (word) GROUP BY 1"
+    )
+    # Leave-one-out kNN label audit (ann.knn_classify): exact cosine
+    # neighbors for the fixed probe set, majority vote with smallest-
+    # label tie-break, per-label accuracy
+    out["embedding_knn_classify"] = (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,"
+        " label FROM embeddings),"
+        " nb AS (SELECT q.vec_id AS query_id, c.vec_id, c.label AS nl,"
+        "  row_number() OVER (PARTITION BY q.vec_id ORDER BY"
+        "  round(list_cosine_similarity(q.emb, c.emb), 6) DESC, c.vec_id)"
+        "   AS rank"
+        "  FROM e q JOIN e c ON c.vec_id != q.vec_id"
+        "  WHERE q.vec_id < 500 QUALIFY rank <= 5),"
+        " v AS (SELECT query_id, nl, count(*) AS c FROM nb GROUP BY 1, 2),"
+        " p AS (SELECT query_id, nl AS pred FROM (SELECT query_id, nl,"
+        "  row_number() OVER (PARTITION BY query_id ORDER BY c DESC,"
+        "  nl ASC) AS rn FROM v) WHERE rn = 1),"
+        " s AS (SELECT e.label AS truth, p.pred FROM e JOIN p"
+        "  ON p.query_id = e.vec_id)"
+        " SELECT truth AS label, CAST(count(*) AS BIGINT) AS n_queries,"
+        " CAST(sum(CASE WHEN pred = truth THEN 1 ELSE 0 END) AS BIGINT)"
+        "  AS n_correct,"
+        " round(CAST(sum(CASE WHEN pred = truth THEN 1 ELSE 0 END)"
+        "  AS DOUBLE) / count(*), 6) AS accuracy"
+        " FROM s GROUP BY 1"
     )
     # DTW distance (timeseries.dtw_distance): the full DP grid
     # replayed by a recursive CTE carrying each row as a LIST — the

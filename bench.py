@@ -120,7 +120,7 @@ def main() -> None:
         "agg_basket", "agg_gini", "text_zipf", "agg_session_paths",
         "pipeline_dedup_savings", "dedup_threshold_sweep",
         "ts_forecast_eval", "ts_slo_burn", "sample_mixture_plan",
-        "agg_ab_test", "ts_dtw",
+        "agg_ab_test", "ts_dtw", "embedding_knn_classify",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

@@ -1040,3 +1040,61 @@ def recall_eval(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("method")
+
+
+def knn_classify(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 500,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Leave-one-out kNN label audit: predict each probe vector's
+    label by the majority vote of its k exact cosine neighbors
+    (self excluded) and report per-label accuracy — the
+    separability/mislabel readout run before anyone trusts `label`
+    for training or cluster-scoped dedup. Low accuracy for one label
+    = that class is not separable in embedding space (or mislabeled).
+
+    The probe set is the first `n_queries` ids — FIXED, so the exact
+    brute-force pass stays |probes| x corpus at any scale (the
+    ann_bruteforce boundary); votes tie-break on the smallest label.
+    Returns (label, n_queries, n_correct, accuracy)."""
+    probes = embeddings.filter(F.col(id_col) < n_queries)
+    nb = cosine_topk(embeddings, probes, k=k, id_col=id_col, vec_col=vec_col)
+    nb_lab = nb.join(
+        embeddings.select(F.col(id_col), F.col(label_col).alias("__nl")),
+        id_col,
+    )
+    votes = nb_lab.groupBy("query_id", "__nl").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__c").desc(), F.col("__nl").asc()
+    )
+    pred = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", F.col("__nl").alias("__pred"))
+    )
+    truth = probes.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("__true")
+    )
+    scored = truth.join(pred, "query_id")
+    out = scored.groupBy(F.col("__true").alias(label_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum(F.when(F.col("__pred") == F.col("__true"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    return out.select(
+        label_col, "n_queries", "n_correct",
+        F.round(
+            F.col("n_correct").cast("double")
+            / F.col("n_queries").cast("double"),
+            6,
+        ).alias("accuracy"),
+    )

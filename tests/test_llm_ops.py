@@ -1695,3 +1695,24 @@ def test_ab_test_detects_planted_effect(spark, tmp_path):
     assert r["n_a"] + r["n_b"] == 200
     assert r["p_b"] == 1.0 and r["p_a"] == 0.0
     assert r["significant_95"] and r["z_score"] > 10
+
+
+def test_knn_classify_separable_clusters(spark):
+    from fossil_spark.operators.ann import knn_classify
+
+    # two tight, well-separated clusters -> perfect leave-one-out
+    # accuracy; one planted mislabel gets outvoted (accuracy < 1 for
+    # its claimed class)
+    rows = []
+    for i in range(10):
+        rows.append((i, [10.0 + 0.01 * i, 0.0, 1.0], 0))
+    for i in range(10, 20):
+        rows.append((i, [0.0, 10.0 + 0.01 * i, 1.0], 1))
+    rows.append((20, [10.0, 0.0, 1.0], 1))  # sits in cluster 0, labeled 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["label"]: r for r in knn_classify(df, k=3, n_queries=21).collect()}
+    assert out[0]["accuracy"] == 1.0
+    # the mislabeled point is predicted 0, dragging label-1 accuracy
+    assert out[1]["n_queries"] == 11 and out[1]["n_correct"] == 10

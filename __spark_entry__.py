@@ -1672,6 +1672,42 @@ def _ann_recall_eval(spark, sf_dir):
     )
 
 
+def _ts_twa(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.time_weighted_avg(
+        _events(spark, sf_dir), every="1 day", time_col="ts",
+        by=["event_type"], value_col="value", order_tiebreak=["event_id"],
+    )
+
+
+def _ts_threshold_episodes(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.threshold_episodes(
+        _events(spark, sf_dir), threshold=80.0, time_col="ts",
+        by=["event_type"], value_col="value", order_tiebreak=["event_id"],
+    )
+
+
+def _ts_rolling_median(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.rolling_median(
+        _events(spark, sf_dir), window_rows=25, time_col="ts",
+        by=["event_type"], value_col="value", order_tiebreak=["event_id"],
+    )
+
+
+def _ts_period_detect(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.period_detect(
+        _events(spark, sf_dir), every="1 hour", time_col="ts",
+        by=["event_type"], value_col="value",
+    )
+
+
 # The driver's correctness gate checks the FIRST ~50 keys of
 # queries(). VERDICT r5 ask #1: rotate the 26 keys the driver has
 # never seen (all judge-verified green locally) to the head, keep one
@@ -1710,6 +1746,9 @@ _WINDOW_PRIORITY = [
     "pipeline_dedup_savings", "dedup_threshold_sweep",
     "ts_forecast_eval", "ts_slo_burn", "sample_mixture_plan",
     "agg_ab_test", "ts_dtw", "embedding_knn_classify",
+    # round-6 session-6 additions
+    "ts_twa", "ts_threshold_episodes", "ts_rolling_median",
+    "ts_period_detect",
 ]
 
 
@@ -1804,6 +1843,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_forecast_eval": _ts_forecast_eval,
         "ts_slo_burn": _ts_slo_burn,
         "ts_dtw": _ts_dtw,
+        "ts_twa": _ts_twa,
+        "ts_threshold_episodes": _ts_threshold_episodes,
+        "ts_rolling_median": _ts_rolling_median,
+        "ts_period_detect": _ts_period_detect,
         "ts_lttb": _ts_lttb,
         "text_keywords": _text_keywords,
         "text_contamination": _text_contamination,
@@ -4624,5 +4667,99 @@ def oracle_sql() -> dict[str, str]:
         " round(min(CAST(n_hit AS DOUBLE) / n_true), 6)"
         "  AS min_query_recall"
         " FROM pq GROUP BY method ORDER BY method"
+    )
+    # time-weighted average (trapezoidal): values quantize to integer
+    # micro-units and each trapezoid area accumulates as exact
+    # integers (HUGEINT here, decimal(38,0) in Spark) — one double
+    # division at the end; buckets need >= 2 distinct timestamps
+    out["ts_twa"] = (
+        "WITH s AS (SELECT event_type,"
+        " time_bucket(INTERVAL 1 DAY, ts) AS bucket,"
+        " epoch_us(ts) AS tus, value,"
+        " CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v6, event_id"
+        f" FROM {_EV} e0),"
+        " l AS (SELECT *, lag(v6) OVER w AS pv6, lag(tus) OVER w AS pt"
+        " FROM s WINDOW w AS (PARTITION BY event_type, bucket"
+        "  ORDER BY tus, event_id)),"
+        " a AS (SELECT event_type, bucket, tus, value,"
+        " CAST(pv6 + v6 AS HUGEINT) * CAST(tus - pt AS HUGEINT) AS area"
+        " FROM l)"
+        " SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n_samples,"
+        " CAST(max(tus) - min(tus) AS BIGINT) AS span_us,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "  / count(*) AS mean_value,"
+        " round(CAST(sum(area) AS DOUBLE)"
+        "  / CAST(max(tus) - min(tus) AS DOUBLE) / 2000000.0, 6) AS twa"
+        " FROM a GROUP BY 1, 2 HAVING max(tus) > min(tus)"
+    )
+    # above-threshold episodes: classic islands (difference of two
+    # row_numbers over the same ordering); integer durations
+    out["ts_threshold_episodes"] = (
+        "WITH s AS (SELECT event_type, ts, value, event_id,"
+        f" value > 80.0 AS hot FROM {_EV} e0),"
+        " r AS (SELECT *,"
+        " row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)"
+        " - row_number() OVER (PARTITION BY event_type, hot"
+        "    ORDER BY ts, event_id) AS island FROM s)"
+        " SELECT event_type, min(ts) AS start_ts, max(ts) AS end_ts,"
+        " CAST(count(*) AS BIGINT) AS n_samples,"
+        " CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT)"
+        "  AS duration_us,"
+        " max(value) AS peak_value"
+        " FROM r WHERE hot GROUP BY event_type, island"
+    )
+    # exact rolling median over a 25-row (odd) frame: the middle order
+    # statistic is an ELEMENT of the frame — rank selection, no
+    # interpolation kernel, so quantile_cont here and array_sort[13]
+    # in Spark pick the same sample bit-for-bit
+    out["ts_rolling_median"] = (
+        "WITH w AS (SELECT event_type, ts, value,"
+        " count(*) OVER fr AS n,"
+        " quantile_cont(value, 0.5) OVER fr AS med"
+        f" FROM {_EV} e0"
+        " WINDOW fr AS (PARTITION BY event_type ORDER BY ts, event_id"
+        "  ROWS BETWEEN 24 PRECEDING AND CURRENT ROW))"
+        " SELECT event_type, ts, value, med AS rolling_median,"
+        " value - med AS deviation FROM w WHERE n = 25"
+    )
+    # dominant-period detection by epoch folding: decimal bucket/phase
+    # means, IEEE subtraction/squaring, per-term decimal quantization
+    # before every float sum (the text_zipf rule) — no trig
+    out["ts_period_detect"] = (
+        "WITH b AS (SELECT event_type,"
+        " CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) // 3600000000"
+        "  AS BIGINT) AS h,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 6) AS DOUBLE)"
+        "  / count(value) AS v"
+        f" FROM {_EV} e0 GROUP BY 1, 2),"
+        " b2 AS (SELECT *,"
+        " CAST(round(sum(CAST(v AS DECIMAL(30,6)))"
+        "   OVER (PARTITION BY event_type), 6) AS DOUBLE)"
+        "  / count(v) OVER (PARTITION BY event_type) AS m,"
+        " count(*) OVER (PARTITION BY event_type) AS nb FROM b),"
+        " b3 AS (SELECT *, CAST(round((v - m) * (v - m), 6)"
+        "  AS DECIMAL(30,6)) AS sst_term FROM b2),"
+        " g AS (SELECT b3.*, p.period, h % p.period AS phase FROM b3,"
+        "  (SELECT unnest(range(2, 49)) AS period) p),"
+        " ph AS (SELECT event_type, period, phase, count(*) AS npp,"
+        " CAST(round(sum(CAST(v AS DECIMAL(30,6))), 6) AS DOUBLE)"
+        "  / count(v) AS pmean,"
+        " any_value(m) AS m, any_value(nb) AS nb,"
+        " sum(sst_term) AS sst_part"
+        " FROM g GROUP BY 1, 2, 3),"
+        " per AS (SELECT event_type, period,"
+        " any_value(nb) AS n_buckets, sum(sst_part) AS sst,"
+        " sum(CAST(npp * round((pmean - m) * (pmean - m), 6)"
+        "  AS DECIMAL(30,6))) AS ssb"
+        " FROM ph GROUP BY 1, 2),"
+        " sc AS (SELECT event_type, CAST(period AS BIGINT) AS period,"
+        " CAST(n_buckets AS BIGINT) AS n_buckets,"
+        " CASE WHEN CAST(sst AS DOUBLE) = 0 THEN NULL"
+        "  ELSE round(CAST(ssb AS DOUBLE) / CAST(sst AS DOUBLE), 6)"
+        "  END AS var_explained FROM per)"
+        " SELECT event_type, period, n_buckets, var_explained,"
+        " row_number() OVER (PARTITION BY event_type"
+        "  ORDER BY var_explained DESC NULLS LAST, period) = 1 AS is_best"
+        " FROM sc"
     )
     return out

@@ -2335,3 +2335,338 @@ def dtw_distance(
         .groupBy("__g")
         .applyInPandas(lambda pdf: dp(pdf.drop(columns="__g")), out_schema)
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    every: str = "1 day",
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Time-weighted average per key per bucket — trapezoidal
+    integration between consecutive samples, the TSDB answer to "what
+    was the average level" when sampling is irregular (a plain mean
+    over-weights chatty periods; reference parity target: the rollup
+    layer continuous aggregates are built on, cf. pkg/query docs'
+    sample/reduce pipeline which has no irregular-sampling
+    correction).
+
+    Buckets are closed on their own samples: integration spans
+    consecutive samples INSIDE a bucket only (no cross-bucket
+    interpolation), so a bucket needs >= 2 samples to report a TWA
+    and the denominator is the observed span, not the bucket width —
+    documented semantics, identical in the oracle.
+
+    Determinism: values quantize to integer micro-units (floor(v*1e6
+    + 0.5), the ts_benford/lttb rule) and each trapezoid area
+    (v_prev6 + v6) * gap_us accumulates in decimal(38,0) —
+    order-independent integer arithmetic end to end; ONE double
+    division at the end (both engines cast the same exact integer).
+    Shape: one lag window + one groupBy on the same (key, bucket)
+    partitioning, zero joins. Returns (*by, bucket, n_samples,
+    span_us, mean_value, twa)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    bucket = F.window(F.col(time_col), every).start
+    order = [F.col(time_col)] + [F.col(c) for c in (order_tiebreak or [])]
+    v6 = F.floor(F.col(value_col) * 1e6 + F.lit(0.5)).cast("long")
+    s = df.select(
+        *by,
+        bucket.alias("bucket"),
+        F.unix_micros(F.col(time_col)).alias("__tus"),
+        F.col(value_col).alias("__v"),
+        v6.alias("__v6"),
+        *[F.col(c) for c in (order_tiebreak or [])],
+    )
+    w = Window.partitionBy(*by, "bucket").orderBy(
+        "__tus", *[F.col(c) for c in (order_tiebreak or [])]
+    )
+    pv6 = F.lag("__v6").over(w)
+    pt = F.lag("__tus").over(w)
+    area = (
+        (pv6 + F.col("__v6")).cast("decimal(38,0)")
+        * (F.col("__tus") - pt)
+    ).cast("decimal(38,0)")
+    staged = s.select(*by, "bucket", "__tus", "__v", area.alias("__area"))
+    agg = staged.groupBy(*by, "bucket").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        (F.max("__tus") - F.min("__tus")).alias("span_us"),
+        F.sum(F.col("__v").cast("decimal(30,8)")).alias("__vsum"),
+        F.sum("__area").alias("__asum"),
+    )
+    return agg.filter(F.col("span_us") > 0).select(
+        *by,
+        "bucket",
+        "n_samples",
+        "span_us",
+        (
+            F.round(F.col("__vsum"), 4).cast("double") / F.col("n_samples")
+        ).alias("mean_value"),
+        F.round(
+            F.col("__asum").cast("double")
+            / F.col("span_us").cast("double")
+            / F.lit(2000000.0),
+            6,
+        ).alias("twa"),
+    )
+
+
+def threshold_episodes(
+    df: DataFrame,
+    threshold: float,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Above-threshold episodes per key: maximal runs of consecutive
+    samples with value > threshold, with start/end/duration/peak per
+    episode — the incident-duration readout behind alert escalation
+    ("how long was this metric hot, and how hot") and SLA burn
+    attribution. Complements [[ts_interval_coverage]] (which measures
+    given intervals) by DERIVING the intervals from point samples.
+
+    Classic islands shape: two row_numbers over the SAME key
+    partitioning (one overall, one within the flagged subset) — their
+    difference is constant inside a run — then one groupBy on the
+    island id. One sort, zero joins; single-sample episodes report
+    duration 0 (documented). All arithmetic integer/IEEE-max exact.
+    Returns (*by, start_ts, end_ts, n_samples, duration_us,
+    peak_value)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    order = [F.col(time_col)] + [F.col(c) for c in (order_tiebreak or [])]
+    flagged = F.col(value_col) > F.lit(threshold)
+    w_all = Window.partitionBy(*by).orderBy(*order)
+    w_flag = Window.partitionBy(*by, "__hot").orderBy(*order)
+    s = df.select(
+        *by,
+        F.col(time_col),
+        F.col(value_col),
+        flagged.alias("__hot"),
+        *[F.col(c) for c in (order_tiebreak or [])],
+    ).select(
+        *by,
+        F.col(time_col),
+        F.col(value_col),
+        "__hot",
+        (F.row_number().over(w_all) - F.row_number().over(w_flag)).alias(
+            "__island"
+        ),
+    )
+    return (
+        s.filter(F.col("__hot"))
+        .groupBy(*by, "__island")
+        .agg(
+            F.min(time_col).alias("start_ts"),
+            F.max(time_col).alias("end_ts"),
+            F.count(F.lit(1)).alias("n_samples"),
+            (
+                F.max(F.unix_micros(F.col(time_col)))
+                - F.min(F.unix_micros(F.col(time_col)))
+            ).alias("duration_us"),
+            F.max(value_col).alias("peak_value"),
+        )
+        .drop("__island")
+    )
+
+
+def rolling_median(
+    df: DataFrame,
+    window_rows: int = 25,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Exact rolling median per key over the trailing `window_rows`
+    samples — the robust rolling baseline (a rolling MEAN chases the
+    outliers it should be flagging; the median is the standard
+    de-spiked reference for ratio/deviation alerts).
+
+    `window_rows` must be ODD and only FULL frames emit: an odd-count
+    exact median is the middle order statistic — an element of the
+    data, selected with pure rank arithmetic, NO interpolation kernel
+    — so no engine pair can disagree by an ulp (the ts_psi_drift
+    lesson; same rule as [[ts_cadence]]'s rank quantiles). The frame
+    is materialized as a bounded collect_list + array_sort (25
+    doubles per row, map-side only, one sort per key, zero joins) —
+    O(rows x w log w) with w a small constant, scale-linear. Returns
+    (*by, ts rows w/ value, rolling_median, deviation)."""
+    if window_rows % 2 == 0:
+        raise ValueError("window_rows must be odd for an exact median")
+    by = by or []
+    df = _time_norm(df, time_col)
+    order = [F.col(time_col)] + [F.col(c) for c in (order_tiebreak or [])]
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    frame = F.array_sort(F.collect_list(F.col(value_col)).over(w))
+    mid = window_rows // 2 + 1  # element_at is 1-based
+    s = df.select(
+        *by,
+        F.col(time_col),
+        F.col(value_col),
+        F.element_at(frame, mid).alias("__med"),
+        F.size(frame).alias("__n"),
+        *[F.col(c) for c in (order_tiebreak or [])],
+    )
+    return s.filter(F.col("__n") == window_rows).select(
+        *by,
+        F.col(time_col),
+        F.col(value_col),
+        F.col("__med").alias("rolling_median"),
+        (F.col(value_col) - F.col("__med")).alias("deviation"),
+    )
+
+
+_INTERVAL_US = {
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 604_800_000_000,
+}
+
+
+def _interval_us(every: str) -> int:
+    """Parse a Spark window-interval string ('1 hour', '15 minutes')
+    to integer microseconds (calendar units like month are not
+    fixed-width and are rejected)."""
+    parts = every.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"unsupported interval: {every!r}")
+    n, unit = parts
+    unit = unit.rstrip("s")
+    if unit not in _INTERVAL_US:
+        raise ValueError(f"unsupported interval unit: {every!r}")
+    return int(n) * _INTERVAL_US[unit]
+
+
+def period_detect(
+    df: DataFrame,
+    periods: list[int] | None = None,
+    every: str = "1 hour",
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Dominant-period detection per key via epoch folding (phase
+    dispersion minimization — the astronomy technique, Stellingwerf
+    1978): for each candidate period p (in buckets), fold the
+    bucketed series by phase = bucket_index mod p and score how much
+    of the variance the phase means explain (between-phase sum of
+    squares / total sum of squares). The seasonality auto-detector
+    that tells [[ts_seasonal]] / [[ts_holt_winters]] WHICH period to
+    use — and, unlike an FFT periodogram, every op here is exact
+    (decimal means, IEEE subtraction/squaring, decimal-quantized term
+    sums): no trig, no engine-libm hazard.
+
+    Shape: one bucket groupBy (decimal means), a |periods|-way
+    explode of the BUCKET table (calendar-bounded, never row-scale),
+    one (key, p, phase) groupBy, and window normalizers over the tiny
+    per-key grid. Per-term quantization to decimal before every float
+    sum keeps results partition-order independent (the text_zipf
+    rule). Returns (*by, period, n_buckets, var_explained, is_best) —
+    best = highest score, smallest period on ties."""
+    by = by or []
+    periods = periods or list(range(2, 49))
+    df = _time_norm(df, time_col)
+    us_per = F.lit(_interval_us(every))
+    b = (
+        df.groupBy(
+            *by,
+            (F.unix_micros(F.window(F.col(time_col), every).start) / us_per)
+            .cast("long")
+            .alias("__h"),
+        )
+        .agg(
+            (
+                F.round(F.sum(F.col(value_col).cast("decimal(30,8)")), 6)
+                .cast("double")
+                / F.count(value_col)
+            ).alias("__v")
+        )
+    )
+    wk = Window.partitionBy(*by)
+    # per-key overall mean and total SS, quantized-term sums
+    b2 = b.select(
+        *by,
+        "__h",
+        "__v",
+        (
+            F.round(F.sum(F.col("__v").cast("decimal(30,6)")).over(wk), 6)
+            .cast("double")
+            / F.count("__v").over(wk)
+        ).alias("__mean"),
+        F.count("__v").over(wk).alias("n_buckets"),
+    )
+    term_t = F.round(
+        (F.col("__v") - F.col("__mean")) * (F.col("__v") - F.col("__mean")), 6
+    ).cast("decimal(30,6)")
+    b3 = b2.select(
+        *by, "__h", "__v", "__mean", "n_buckets", term_t.alias("__sst_term")
+    )
+    grid = b3.select(
+        *by,
+        "__h",
+        "__v",
+        "__mean",
+        "n_buckets",
+        "__sst_term",
+        F.explode(F.array([F.lit(p) for p in periods])).alias("period"),
+    ).withColumn("__phase", F.pmod(F.col("__h"), F.col("period")))
+    ph = grid.groupBy(*by, "period", "__phase").agg(
+        F.count(F.lit(1)).alias("__npp"),
+        (
+            F.round(F.sum(F.col("__v").cast("decimal(30,6)")), 6)
+            .cast("double")
+            / F.count("__v")
+        ).alias("__pmean"),
+        F.first("__mean").alias("__mean"),
+        F.first("n_buckets").alias("n_buckets"),
+        F.sum("__sst_term").alias("__sst_part"),
+    )
+    ssb_term = (
+        F.col("__npp")
+        * F.round(
+            (F.col("__pmean") - F.col("__mean"))
+            * (F.col("__pmean") - F.col("__mean")),
+            6,
+        )
+    ).cast("decimal(30,6)")
+    per = ph.select(
+        *by,
+        "period",
+        "n_buckets",
+        "__sst_part",
+        ssb_term.alias("__ssb_term"),
+    ).groupBy(*by, "period").agg(
+        F.first("n_buckets").alias("n_buckets"),
+        F.sum("__sst_part").alias("__sst"),
+        F.sum("__ssb_term").alias("__ssb"),
+    )
+    score = F.round(
+        F.try_divide(
+            F.col("__ssb").cast("double"), F.col("__sst").cast("double")
+        ),
+        6,
+    )
+    wbest = Window.partitionBy(*by).orderBy(
+        F.col("var_explained").desc(), F.col("period")
+    )
+    return (
+        per.select(
+            *by,
+            F.col("period").cast("long").alias("period"),
+            "n_buckets",
+            score.alias("var_explained"),
+        )
+        .withColumn(
+            "is_best", F.row_number().over(wbest) == 1
+        )
+    )

@@ -243,6 +243,11 @@ _SCAN_BUDGET = {
     "graph_triangles": 1,         # checkpointed edges; one scan at matz.
     "text_entropy": 1,            # char counts + doc window, one scan
     "pipeline_quality_report": 1,  # fully fused: one scan, one groupBy
+    # round-6 session-6 additions
+    "ts_twa": 1,                  # lag window + groupBy, one key exchange
+    "ts_threshold_episodes": 1,   # two row_numbers share one sort
+    "ts_rolling_median": 1,       # bounded collect_list frame, one sort
+    "ts_period_detect": 1,        # bucket agg -> grid explode off the agg
 }
 
 

@@ -1212,3 +1212,113 @@ def test_dtw_identical_and_warped_series(spark):
     # genuinely different shapes pay a positive cost
     diff = mk([0, 0, 0, 0], [5, 5, 5, 5])
     assert diff["dtw"] == 20.0 and diff["dtw_per_step"] == 2.5
+
+
+def test_twa_trapezoid_planted(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (0, t0, "k", 0.0),
+        (1, t0 + timedelta(seconds=10), "k", 10.0),
+        (2, t0 + timedelta(seconds=30), "k", 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    r = ts.time_weighted_avg(
+        df, "1 day", "ts", ["event_type"], "value", ["event_id"]
+    ).collect()[0]
+    # areas: (0+10)/2*10s + (10+10)/2*20s = 250 value-seconds over 30s
+    assert r["n_samples"] == 3
+    assert r["span_us"] == 30_000_000
+    assert r["twa"] == round(250.0 / 30.0, 6)
+    # the plain mean over-weights nothing here: (0+10+10)/3
+    assert r["mean_value"] == pytest.approx(20.0 / 3.0, abs=1e-9)
+
+
+def test_twa_single_sample_bucket_omitted(spark):
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(0, t0, "k", 5.0)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    assert (
+        ts.time_weighted_avg(
+            df, "1 day", "ts", ["event_type"], "value", ["event_id"]
+        ).count()
+        == 0
+    )
+
+
+def test_threshold_episodes_planted(spark):
+    t0 = datetime(2024, 1, 1)
+    vals = [1.0, 9.0, 9.0, 1.0, 9.0]
+    rows = [
+        (i, t0 + timedelta(seconds=i), "k", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = sorted(
+        ts.threshold_episodes(
+            df, 5.0, "ts", ["event_type"], "value", ["event_id"]
+        ).collect(),
+        key=lambda r: r["start_ts"],
+    )
+    assert len(out) == 2
+    first, second = out
+    assert first["n_samples"] == 2
+    assert first["duration_us"] == 1_000_000
+    assert first["peak_value"] == 9.0
+    assert first["start_ts"] == t0 + timedelta(seconds=1)
+    assert second["n_samples"] == 1 and second["duration_us"] == 0
+
+
+def test_rolling_median_resists_outlier(spark):
+    t0 = datetime(2024, 1, 1)
+    vals = [1.0, 100.0, 3.0, 4.0, 5.0]
+    rows = [
+        (i, t0 + timedelta(seconds=i), "k", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = sorted(
+        ts.rolling_median(
+            df, 3, "ts", ["event_type"], "value", ["event_id"]
+        ).collect(),
+        key=lambda r: r["ts"],
+    )
+    # only full 3-row frames emit; medians are data elements
+    assert [r["rolling_median"] for r in out] == [3.0, 4.0, 4.0]
+    assert out[0]["deviation"] == 0.0
+    assert out[1]["deviation"] == 0.0
+
+
+def test_rolling_median_rejects_even_window(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        ts.rolling_median(df, 4)
+
+
+def test_period_detect_finds_planted_period(spark):
+    t0 = datetime(2024, 1, 1)
+    # strong period-6 square wave over 48 hourly samples
+    rows = [
+        (i, t0 + timedelta(hours=i), "k", 10.0 if i % 6 >= 3 else 0.0)
+        for i in range(48)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = ts.period_detect(
+        df, every="1 hour", time_col="ts", by=["event_type"],
+        value_col="value",
+    ).collect()
+    best = [r for r in out if r["is_best"]]
+    assert len(best) == 1
+    # multiples of 6 all explain 100% of the variance; the tie breaks
+    # to the smallest period
+    assert best[0]["period"] == 6
+    assert best[0]["var_explained"] == 1.0
+    scores = {r["period"]: r["var_explained"] for r in out}
+    assert scores[12] == 1.0 and scores[5] < 1.0

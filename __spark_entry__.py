@@ -1708,6 +1708,40 @@ def _ts_period_detect(spark, sf_dir):
     )
 
 
+def _agg_new_returning(spark, sf_dir):
+    from fossil_spark.queries import analytics
+
+    return analytics.new_returning(spark, sf_dir)
+
+
+def _ann_range_search(spark, sf_dir):
+    from fossil_spark.operators import ann
+    from fossil_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ann.range_search(emb, emb.filter("vec_id < 8"), threshold=0.2)
+
+
+def _embedding_centroid_drift(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fossil_spark.operators import ann
+    from fossil_spark.session import read_table
+
+    # vec_id parity as the two pseudo-snapshots (a deterministic
+    # stand-in for "last week's corpus vs this week's")
+    emb = read_table(spark, sf_dir, "embeddings").withColumn(
+        "snap", (F.col("vec_id") % 2).cast("int")
+    )
+    return ann.centroid_drift(emb)
+
+
+def _pipeline_mixture_apply(spark, sf_dir):
+    from fossil_spark.pipelines import mixture_apply
+
+    return mixture_apply(_docs(spark, sf_dir), budget_tokens=100_000)
+
+
 # The driver's correctness gate checks the FIRST ~50 keys of
 # queries(). VERDICT r5 ask #1: rotate the 26 keys the driver has
 # never seen (all judge-verified green locally) to the head, keep one
@@ -1748,7 +1782,8 @@ _WINDOW_PRIORITY = [
     "agg_ab_test", "ts_dtw", "embedding_knn_classify",
     # round-6 session-6 additions
     "ts_twa", "ts_threshold_episodes", "ts_rolling_median",
-    "ts_period_detect",
+    "ts_period_detect", "agg_new_returning", "ann_range_search",
+    "embedding_centroid_drift", "pipeline_mixture_apply",
 ]
 
 
@@ -1847,6 +1882,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_threshold_episodes": _ts_threshold_episodes,
         "ts_rolling_median": _ts_rolling_median,
         "ts_period_detect": _ts_period_detect,
+        "agg_new_returning": _agg_new_returning,
+        "ann_range_search": _ann_range_search,
+        "embedding_centroid_drift": _embedding_centroid_drift,
+        "pipeline_mixture_apply": _pipeline_mixture_apply,
         "ts_lttb": _ts_lttb,
         "text_keywords": _text_keywords,
         "text_contamination": _text_contamination,
@@ -4761,5 +4800,102 @@ def oracle_sql() -> dict[str, str]:
         " row_number() OVER (PARTITION BY event_type"
         "  ORDER BY var_explained DESC NULLS LAST, period) = 1 AS is_best"
         " FROM sc"
+    )
+    # weekly new-vs-returning actives (growth accounting); weekly
+    # buckets pinned to the 1970-01-01 epoch origin on both engines
+    out["agg_new_returning"] = (
+        "WITH uw AS (SELECT user_id,"
+        " time_bucket(INTERVAL 1 WEEK, ts, TIMESTAMP '1970-01-01') AS week"
+        f" FROM {_EV} e0 GROUP BY 1, 2),"
+        " f AS (SELECT *, min(week) OVER (PARTITION BY user_id)"
+        "  AS first_week FROM uw)"
+        " SELECT week, CAST(count(*) AS BIGINT) AS active_users,"
+        " CAST(sum(CASE WHEN week = first_week THEN 1 ELSE 0 END)"
+        "  AS BIGINT) AS new_users,"
+        " CAST(count(*) - sum(CASE WHEN week = first_week THEN 1 ELSE 0 END)"
+        "  AS BIGINT) AS returning_users,"
+        " round(CAST(sum(CASE WHEN week = first_week THEN 1 ELSE 0 END)"
+        "  AS DOUBLE) / count(*), 6) AS new_frac"
+        " FROM f GROUP BY week"
+    )
+    # cosine range query (faiss range_search shape): threshold on the
+    # ROUNDED score so the boundary is engine-reproducible
+    out["ann_range_search"] = (
+        "SELECT q.vec_id AS query_id, c.vec_id,"
+        " round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+        " CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim"
+        " FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id"
+        " WHERE q.vec_id < 8"
+        " AND round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+        " CAST(c.embedding AS DOUBLE[])), 6) >= 0.2"
+    )
+    # per-label centroid drift between the two vec_id-parity
+    # snapshots: decimal component means, list_reduce folds mirroring
+    # the JVM fold order (the embedding_coherence technique)
+    out["embedding_centroid_drift"] = (
+        "WITH v AS (SELECT label, vec_id % 2 AS snap,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv"
+        " FROM embeddings),"
+        " c0 AS (SELECT label, snap, unnest(list_transform("
+        "  generate_series(1, len(vv)), i -> {'dim': i, 'x': vv[i]})) AS s"
+        "  FROM v),"
+        " cells AS (SELECT label, snap, s.dim AS dim, s.x AS x FROM c0),"
+        " comp AS (SELECT label, snap, dim,"
+        "  CAST(round(sum(CAST(x AS DECIMAL(38,12))), 8) AS DOUBLE)"
+        "   / count(x) AS m FROM cells GROUP BY 1, 2, 3),"
+        " cents AS (SELECT label, snap, list(m ORDER BY dim) AS cc"
+        "  FROM comp GROUP BY 1, 2),"
+        " cnts AS (SELECT label, vec_id % 2 AS snap, count(*) AS n"
+        "  FROM embeddings GROUP BY 1, 2),"
+        " a AS (SELECT cents.label, cc AS ca, n AS n_a FROM cents"
+        "  JOIN cnts USING (label, snap) WHERE snap = 0),"
+        " b AS (SELECT cents.label, cc AS cb, n AS n_b FROM cents"
+        "  JOIN cnts USING (label, snap) WHERE snap = 1),"
+        " j AS (SELECT a.label, ca, cb, n_a, n_b FROM a JOIN b USING (label)),"
+        " s AS (SELECT label, n_a, n_b,"
+        " list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        "  list_transform(generate_series(1, len(ca)), k -> ca[k] * cb[k])),"
+        "  (acc, x) -> acc + x) AS d_ab,"
+        " list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        "  list_transform(generate_series(1, len(ca)), k -> ca[k] * ca[k])),"
+        "  (acc, x) -> acc + x) AS d_aa,"
+        " list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        "  list_transform(generate_series(1, len(cb)), k -> cb[k] * cb[k])),"
+        "  (acc, x) -> acc + x) AS d_bb,"
+        " list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        "  list_transform(generate_series(1, len(ca)),"
+        "   k -> (ca[k] - cb[k]) * (ca[k] - cb[k]))),"
+        "  (acc, x) -> acc + x) AS d_l2"
+        " FROM j)"
+        " SELECT label, CAST(n_a AS BIGINT) AS n_a,"
+        " CAST(n_b AS BIGINT) AS n_b,"
+        " round(CASE WHEN sqrt(d_aa) * sqrt(d_bb) > 0"
+        "  THEN d_ab / (sqrt(d_aa) * sqrt(d_bb)) END, 6) AS cos_centroid,"
+        " round(sqrt(d_l2), 6) AS l2_shift"
+        " FROM s"
+    )
+    # executed mixture plan: the sample_mixture_plan oracle as a CTE,
+    # the stratified md5 keep rule, achieved-vs-target readout
+    out["pipeline_mixture_apply"] = (
+        f"WITH plan AS ({out['sample_mixture_plan']}),"
+        r" d AS (SELECT source, doc_id,"
+        r" len(regexp_split_to_array(trim(text), '\s+')) AS tn,"
+        " ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 8))::BIGINT"
+        "  % 1000000 AS h FROM documents),"
+        " j AS (SELECT d.*, plan.sample_rate, plan.target_tokens"
+        "  FROM d JOIN plan USING (source))"
+        " SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(sum(CASE WHEN h < sample_rate * 1000000 THEN 1 ELSE 0 END)"
+        "  AS BIGINT) AS kept_docs,"
+        " CAST(sum(tn) AS BIGINT) AS n_tokens,"
+        " CAST(sum(CASE WHEN h < sample_rate * 1000000 THEN tn ELSE 0 END)"
+        "  AS BIGINT) AS kept_tokens,"
+        " any_value(target_tokens) AS target_tokens,"
+        " any_value(sample_rate) AS sample_rate,"
+        " round(CASE WHEN any_value(target_tokens) != 0 THEN"
+        "  CAST(sum(CASE WHEN h < sample_rate * 1000000 THEN tn ELSE 0 END)"
+        "   AS DOUBLE) / any_value(target_tokens) END, 6)"
+        "  AS achieved_vs_target"
+        " FROM j GROUP BY source"
     )
     return out

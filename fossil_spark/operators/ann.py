@@ -1098,3 +1098,122 @@ def knn_classify(
             6,
         ).alias("accuracy"),
     )
+
+
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Cosine RANGE query: every corpus vector within `threshold`
+    similarity of each query (self-matches excluded) — the faiss
+    range_search shape, for "find everything this similar" tasks
+    (dedup candidate pull, policy screening) where top-k's fixed
+    cutoff is wrong. The threshold applies to the ROUNDED score, so
+    the boundary is reproducible across engines and partitionings.
+    Same broadcast-queries x corpus scan as [[ann_bruteforce]];
+    at scale, bound the probe set (|Q| x corpus work) or route
+    through [[ann_lsh]] buckets first. Returns (query_id, id,
+    cos_sim)."""
+    q = broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")
+    )
+    return (
+        c.crossJoin(q)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("__qv"), F.col("__cv")), round_to).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+    )
+
+
+def centroid_drift(
+    corpus: DataFrame,
+    snap_col: str = "snap",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid drift between two embedding snapshots
+    (snap 0 vs snap 1): cosine similarity and L2 shift of each
+    label's mean vector — the embedding-space drift monitor that
+    catches encoder version skew / distribution shift per class
+    before it poisons retrieval or training ([[embedding_dim_stats]]
+    watches dimensions; this watches CLASSES).
+
+    Shape: one exploded (label, snap, dim) groupBy with decimal-exact
+    component means (the kmeans/coherence cell shape), reassembled
+    per (label, snap), then a single-branch conditional pivot
+    groupBy(label) — no self-join, no re-executed subtree. Cosine
+    and L2 are sequential JVM folds, order-mirrored in the oracle via
+    list_reduce. Returns (label, n_a, n_b, cos_centroid, l2_shift);
+    labels missing either snapshot are omitted."""
+    vecs = corpus.select(
+        F.col(label_col), F.col(snap_col).alias("__snap"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    cells = vecs.select(
+        label_col, "__snap", F.posexplode("__v").alias("dim", "x")
+    )
+    comp = cells.groupBy(label_col, "__snap", "dim").agg(
+        (
+            F.round(F.sum(F.col("x").cast("decimal(38,12)")), 8).cast("double")
+            / F.count("x")
+        ).alias("m"),
+    )
+    cents = comp.groupBy(label_col, "__snap").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s["m"],
+        ).alias("__c"),
+    )
+    counts = vecs.groupBy(label_col, "__snap").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    both = cents.join(counts, [label_col, "__snap"])
+    piv = both.groupBy(label_col).agg(
+        F.max(F.when(F.col("__snap") == 0, F.col("__c"))).alias("__a"),
+        F.max(F.when(F.col("__snap") == 1, F.col("__c"))).alias("__b"),
+        F.max(F.when(F.col("__snap") == 0, F.col("__n"))).alias("n_a"),
+        F.max(F.when(F.col("__snap") == 1, F.col("__n"))).alias("n_b"),
+    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    denom = F.sqrt(dot(F.col("__a"), F.col("__a"))) * F.sqrt(
+        dot(F.col("__b"), F.col("__b"))
+    )
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("__a"), F.col("__b"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return piv.select(
+        label_col, "n_a", "n_b",
+        F.round(
+            F.when(denom > 0, dot(F.col("__a"), F.col("__b")) / denom), 6
+        ).alias("cos_centroid"),
+        F.round(l2, 6).alias("l2_shift"),
+    )

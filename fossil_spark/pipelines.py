@@ -331,3 +331,76 @@ def dedup_savings(docs: DataFrame) -> DataFrame:
             6,
         ).alias("token_savings_frac"),
     )
+
+
+def mixture_apply(
+    docs: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    temperature: float = 2.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Execute a [[sample_mixture_plan]]: apply each source's planned
+    downsample rate with the deterministic md5 rule (keep a doc when
+    md5(salt:id) mod 1e6 < rate * 1e6 — the stratified_sample rule, so
+    the selection is identical across runs/engines/cluster sizes) and
+    report achieved vs targeted token volume per source. This closes
+    the mixture loop: domain share -> temperature weight -> token plan
+    -> EXECUTED sample, with the achieved/target ratio as the sanity
+    readout (hash sampling is unbiased, so the ratio hovers near 1 for
+    sources with rate < 1 and equals n/target for saturated ones).
+
+    Shape: the |sources|-row plan broadcasts onto one doc scan; the
+    plan side re-reads the corpus for its token tallies (2 scans
+    total, both map-side-combined aggs). Returns (source, n_docs,
+    kept_docs, n_tokens, kept_tokens, target_tokens, sample_rate,
+    achieved_vs_target)."""
+    plan = text.mixture_plan(
+        docs, budget_tokens, group_col, temperature, text_col
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}:"), F.col(id_col).cast("string")
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 1_000_000
+    )
+    tok_n = F.size(text.tokens(F.col(text_col)))
+    d = docs.select(
+        group_col, F.col(id_col), tok_n.alias("__tn"), h.alias("__h")
+    )
+    j = d.join(
+        F.broadcast(plan.select(group_col, "sample_rate", "target_tokens")),
+        group_col,
+    )
+    kept = F.col("__h") < F.col("sample_rate") * 1_000_000
+    agg = j.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("kept_docs"),
+        F.sum("__tn").cast("long").alias("n_tokens"),
+        F.sum(F.when(kept, F.col("__tn")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.first("sample_rate").alias("sample_rate"),
+        F.first("target_tokens").alias("target_tokens"),
+    )
+    return agg.select(
+        group_col, "n_docs", "kept_docs", "n_tokens", "kept_tokens",
+        "target_tokens", "sample_rate",
+        F.round(
+            F.try_divide(
+                F.col("kept_tokens").cast("double"),
+                F.col("target_tokens").cast("double"),
+            ),
+            6,
+        ).alias("achieved_vs_target"),
+    )

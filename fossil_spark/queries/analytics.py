@@ -562,3 +562,41 @@ def ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_score"),
         (F.abs(z) >= F.lit(1.959964)).alias("significant_95"),
     )
+
+
+def new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly new-vs-returning actives: each week's active users split
+    by whether this is their first active week — the growth-accounting
+    readout (is traffic growth acquisition or retention?) that pairs
+    with [[ts_retention]]'s cohort view. Shape: one (user, week)
+    groupBy collapses events to user-weeks, a first-seen window ranks
+    that |user-week|-bounded table, one final week groupBy — the
+    event scan runs once, all counts integer, one double division.
+    Weekly buckets are epoch-aligned on BOTH engines (the
+    agg_cohort_ltv rule)."""
+    ev = read_table(spark, sf_dir, "events")
+    week = F.window("ts", "1 week").start
+    uw = ev.groupBy(F.col("user_id"), week.alias("week")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    first = F.min("week").over(Window.partitionBy("user_id"))
+    c = uw.select("user_id", "week", first.alias("first_week"))
+    agg = c.groupBy("week").agg(
+        F.count(F.lit(1)).alias("active_users"),
+        F.sum(
+            F.when(F.col("week") == F.col("first_week"), 1).otherwise(0)
+        ).cast("long").alias("new_users"),
+    )
+    return agg.select(
+        "week",
+        F.col("active_users").cast("long").alias("active_users"),
+        "new_users",
+        (F.col("active_users") - F.col("new_users"))
+        .cast("long")
+        .alias("returning_users"),
+        F.round(
+            F.col("new_users").cast("double")
+            / F.col("active_users").cast("double"),
+            6,
+        ).alias("new_frac"),
+    )

@@ -1716,3 +1716,69 @@ def test_knn_classify_separable_clusters(spark):
     assert out[0]["accuracy"] == 1.0
     # the mislabeled point is predicted 0, dragging label-1 accuracy
     assert out[1]["n_queries"] == 11 and out[1]["n_correct"] == 10
+
+
+def test_range_search_threshold_boundary(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ann.range_search(
+        df, df.filter("vec_id = 0"), threshold=0.5
+    ).collect()
+    # vec 1 is near-parallel (cos ~ 0.994); vec 2 orthogonal; self excluded
+    assert [(r["query_id"], r["vec_id"]) for r in out] == [(0, 1)]
+    assert out[0]["cos_sim"] > 0.99
+
+
+def test_centroid_drift_planted(spark):
+    rows = [
+        # label 0: snap 0 points on x-axis, snap 1 on y-axis
+        (0, 0, 0, [1.0, 0.0]),
+        (1, 0, 0, [1.0, 0.0]),
+        (2, 0, 1, [0.0, 1.0]),
+        # label 1: only one snapshot -> omitted
+        (3, 1, 0, [1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, snap int, embedding array<double>"
+    )
+    out = ann.centroid_drift(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["label"], r["n_a"], r["n_b"]) == (0, 2, 1)
+    assert r["cos_centroid"] == 0.0
+    assert r["l2_shift"] == round(2.0**0.5, 6)
+
+
+def test_new_returning_accounting_identities(spark):
+    from fossil_spark.queries import analytics
+
+    out = analytics.new_returning(spark, SF).collect()
+    assert len(out) >= 2
+    for r in out:
+        assert r["active_users"] == r["new_users"] + r["returning_users"]
+    # every user is new exactly once
+    ev = read_table(spark, SF, "events")
+    assert sum(r["new_users"] for r in out) == ev.select(
+        "user_id"
+    ).distinct().count()
+    # the first week has no history: everyone is new
+    first = min(out, key=lambda r: r["week"])
+    assert first["returning_users"] == 0
+
+
+def test_mixture_apply_saturated_sources_keep_everything(spark, docs):
+    from fossil_spark.pipelines import mixture_apply
+
+    out = mixture_apply(docs, budget_tokens=100_000).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0 <= r["kept_docs"] <= r["n_docs"]
+        assert 0 <= r["kept_tokens"] <= r["n_tokens"]
+        if r["sample_rate"] == 1.0:
+            # rate 1 means the source is data-constrained: keep all
+            assert r["kept_docs"] == r["n_docs"]
+            assert r["kept_tokens"] == r["n_tokens"]

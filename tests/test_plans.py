@@ -248,6 +248,10 @@ _SCAN_BUDGET = {
     "ts_threshold_episodes": 1,   # two row_numbers share one sort
     "ts_rolling_median": 1,       # bounded collect_list frame, one sort
     "ts_period_detect": 1,        # bucket agg -> grid explode off the agg
+    "agg_new_returning": 1,       # user-week groupBy + window + week agg
+    "ann_range_search": 2,        # corpus + broadcast probe side
+    "embedding_centroid_drift": 2,  # centroid cells + snapshot counts
+    "pipeline_mixture_apply": 2,  # doc side + the |sources|-row plan side
 }
 
 

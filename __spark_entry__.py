@@ -1742,6 +1742,35 @@ def _pipeline_mixture_apply(spark, sf_dir):
     return mixture_apply(_docs(spark, sf_dir), budget_tokens=100_000)
 
 
+def _ts_pacf(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.pacf(
+        _events(spark, sf_dir), lags=5, time_col="ts", by=["event_type"],
+        value_col="value", order_tiebreak=["event_id"],
+    )
+
+
+def _ts_session_stats(spark, sf_dir):
+    from datetime import timedelta
+
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.session_stats(
+        _events(spark, sf_dir), timedelta(minutes=30), "ts",
+        ["user_id"], ["event_id"],
+    )
+
+
+def _ts_top_movers(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.top_movers(
+        _events(spark, sf_dir), every="1 day", k=10, time_col="ts",
+        by=["event_type"], value_col="value",
+    )
+
+
 # The driver's correctness gate checks the FIRST ~50 keys of
 # queries(). VERDICT r5 ask #1: rotate the 26 keys the driver has
 # never seen (all judge-verified green locally) to the head, keep one
@@ -1784,6 +1813,7 @@ _WINDOW_PRIORITY = [
     "ts_twa", "ts_threshold_episodes", "ts_rolling_median",
     "ts_period_detect", "agg_new_returning", "ann_range_search",
     "embedding_centroid_drift", "pipeline_mixture_apply",
+    "ts_pacf", "ts_session_stats", "ts_top_movers", "agg_stickiness",
 ]
 
 
@@ -1886,6 +1916,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_range_search": _ann_range_search,
         "embedding_centroid_drift": _embedding_centroid_drift,
         "pipeline_mixture_apply": _pipeline_mixture_apply,
+        "ts_pacf": _ts_pacf,
+        "ts_session_stats": _ts_session_stats,
+        "ts_top_movers": _ts_top_movers,
+        "agg_stickiness": _analytics("stickiness"),
         "ts_lttb": _ts_lttb,
         "text_keywords": _text_keywords,
         "text_contamination": _text_contamination,
@@ -4897,5 +4931,100 @@ def oracle_sql() -> dict[str, str]:
         "   AS DOUBLE) / any_value(target_tokens) END, 6)"
         "  AS achieved_vs_target"
         " FROM j GROUP BY source"
+    )
+    # PACF via Durbin-Levinson over the round@4 acf values; the
+    # recursion's formula TEXT is generated once
+    # (timeseries.durbin_levinson_stages) and evaluated verbatim by
+    # both engines -> bit-identical phis from identical inputs
+    from fossil_spark.operators.timeseries import durbin_levinson_stages
+
+    _pacf_base = (
+        "SELECT event_type,"
+        + ",".join(
+            f" round(corr(value, l{k}), 4) AS acf_{k}" for k in range(1, 6)
+        )
+        + " FROM (SELECT event_type, value,"
+        + ",".join(f" lag(value, {k}) OVER w AS l{k}" for k in range(1, 6))
+        + f" FROM {_EV} e WINDOW w AS"
+        " (PARTITION BY event_type ORDER BY ts, event_id))"
+        " GROUP BY event_type"
+    )
+    _pacf_sql = f"WITH b0 AS ({_pacf_base})"
+    _prev = "b0"
+    for _i, _stage in enumerate(durbin_levinson_stages(5), start=1):
+        cols = ", ".join(f"{expr} AS {alias}" for alias, expr in _stage)
+        _pacf_sql += f", b{_i} AS (SELECT *, {cols} FROM {_prev})"
+        _prev = f"b{_i}"
+    out["ts_pacf"] = (
+        _pacf_sql
+        + " SELECT event_type,"
+        + ", ".join(f"round(p_{k}_{k}, 6) AS pacf_{k}" for k in range(1, 6))
+        + f" FROM {_prev}"
+    )
+    # per-user session-quality rollup over the proven ts_session CTEs;
+    # median duration = exact rank selection (the cadence idiom)
+    out["ts_session_stats"] = (
+        "WITH flagged AS (SELECT user_id, ts, event_id,"
+        " CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER ("
+        "  PARTITION BY user_id ORDER BY ts, event_id) > 1800000000"
+        f" THEN 1 ELSE 0 END AS new_s FROM {_EV} e),"
+        " ids AS (SELECT user_id, ts, sum(new_s) OVER ("
+        "  PARTITION BY user_id ORDER BY ts, event_id"
+        "  ROWS UNBOUNDED PRECEDING) AS session_seq FROM flagged),"
+        " s AS (SELECT user_id,"
+        "  max(epoch_us(ts)) - min(epoch_us(ts)) AS dur,"
+        "  count(*) AS ne FROM ids GROUP BY user_id, session_seq),"
+        " r AS (SELECT *, row_number() OVER ("
+        "  PARTITION BY user_id ORDER BY dur) AS rn,"
+        "  count(*) OVER (PARTITION BY user_id) AS cnt FROM s)"
+        " SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,"
+        " CAST(sum(ne) AS BIGINT) AS n_events,"
+        " floor(CAST(sum(ne) AS DOUBLE) / count(*) * 1000000.0 + 0.5)"
+        "  / 1000000.0 AS mean_events,"
+        " floor(CAST(sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS DOUBLE)"
+        "  / count(*) * 1000000.0 + 0.5) / 1000000.0 AS bounce_rate,"
+        " floor(CAST(sum(dur) AS DOUBLE) / count(*) * 1000000.0 + 0.5)"
+        "  / 1000000.0 AS mean_duration_us,"
+        " CAST(max(CASE WHEN rn = (cnt + 1) // 2 THEN dur END)"
+        "  + max(CASE WHEN rn = CAST(ceil((cnt + 1) / 2.0) AS BIGINT)"
+        "   THEN dur END) AS DOUBLE) / 2.0 AS median_duration_us,"
+        " CAST(max(dur) AS BIGINT) AS max_duration_us"
+        " FROM r GROUP BY user_id"
+    )
+    # top-k day-over-day movers across all keys: decimal bucket means,
+    # per-key lag, one global rank over the calendar-bounded table
+    out["ts_top_movers"] = (
+        "WITH b AS (SELECT event_type,"
+        " time_bucket(INTERVAL 1 DAY, ts) AS bucket,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 6) AS DOUBLE)"
+        "  / count(value) AS value"
+        f" FROM {_EV} e GROUP BY 1, 2),"
+        " l AS (SELECT *, lag(value) OVER (PARTITION BY event_type"
+        "  ORDER BY bucket) AS prev_value FROM b),"
+        " s AS (SELECT * FROM l WHERE prev_value IS NOT NULL),"
+        " rk AS (SELECT event_type, bucket, prev_value, value,"
+        " value - prev_value AS delta,"
+        " round(CASE WHEN abs(prev_value) != 0 THEN"
+        "  (value - prev_value) / abs(prev_value) END, 6) AS pct_change,"
+        " row_number() OVER (ORDER BY abs(value - prev_value) DESC,"
+        "  event_type, bucket) AS rank FROM s)"
+        " SELECT * FROM rk WHERE rank <= 10"
+    )
+    # DAU / 7-day WAU stickiness: user-days explode to the <= 7 report
+    # days they cover; distinct + groupBy, work = |user-days| x 7
+    out["agg_stickiness"] = (
+        "WITH ud AS (SELECT DISTINCT user_id,"
+        f" date_trunc('day', ts) AS day FROM {_EV} e),"
+        " dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),"
+        " cover AS (SELECT DISTINCT user_id, cover_day FROM ("
+        "  SELECT user_id, unnest(generate_series(day,"
+        "   day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS cover_day FROM ud)),"
+        " wau AS (SELECT cover_day, count(*) AS wau FROM cover"
+        "  GROUP BY cover_day)"
+        " SELECT day, CAST(dau AS BIGINT) AS dau,"
+        " CAST(wau AS BIGINT) AS wau,"
+        " round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6)"
+        "  AS stickiness"
+        " FROM dau JOIN wau ON day = cover_day"
     )
     return out

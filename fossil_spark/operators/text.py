@@ -1699,3 +1699,63 @@ def mixture_plan(
         F.round(F.least(F.lit(1.0), epochs), 6).alias("sample_rate"),
         F.round(epochs, 6).alias("epochs"),
     )
+
+
+def bpe_vocab_coverage(
+    df: DataFrame, n_merges: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer-quality readout for a trained [[bpe_train]] vocab:
+    what fraction of corpus word OCCURRENCES the learned vocab covers
+    (out-of-vocab words fall back to char-level), how many word TYPES
+    merged all the way to a single piece, and the mean pieces per
+    in-vocab occurrence — the "is n_merges enough" dial a tokenizer
+    run is tuned by.
+
+    Shape: the |vocab|-bounded symbol table left-joins the exploded
+    corpus words (the bpe_encode join, AQE on Zipf keys); occurrence
+    and type tallies are two tiny aggregates crossed into one row.
+    All-integer counts; ratios are explicit floor-half-up @6 (the
+    session_stats rule — occurrence/count rationals tie often).
+    Returns one row: (n_word_occ, in_vocab_occ, in_vocab_frac,
+    n_types, n_single_piece_types, single_piece_frac,
+    mean_pieces_in_vocab)."""
+    _, vocab = _bpe_chain(df, n_merges, text_col)
+    pieces = vocab.select(
+        "word", F.size("sym").cast("long").alias("n_pieces")
+    )
+    w = df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+    j = w.join(pieces, "word", "left")
+    occ = j.agg(
+        F.count(F.lit(1)).alias("n_word_occ"),
+        F.sum(F.when(F.col("n_pieces").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("in_vocab_occ"),
+        F.sum(F.when(F.col("n_pieces").isNotNull(), F.col("n_pieces")))
+        .cast("long")
+        .alias("__pieces_sum"),
+    )
+    ty = pieces.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("n_pieces") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_single_piece_types"),
+    )
+
+    def _round6(e):
+        return F.floor(e * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+    return occ.crossJoin(ty).select(
+        "n_word_occ",
+        "in_vocab_occ",
+        _round6(
+            F.col("in_vocab_occ").cast("double") / F.col("n_word_occ")
+        ).alias("in_vocab_frac"),
+        "n_types",
+        "n_single_piece_types",
+        _round6(
+            F.col("n_single_piece_types").cast("double") / F.col("n_types")
+        ).alias("single_piece_frac"),
+        _round6(
+            F.col("__pieces_sum").cast("double") / F.col("in_vocab_occ")
+        ).alias("mean_pieces_in_vocab"),
+    )

@@ -2670,3 +2670,431 @@ def period_detect(
             "is_best", F.row_number().over(wbest) == 1
         )
     )
+
+
+def durbin_levinson_stages(lags: int, acf_fmt: str = "acf_{k}"):
+    """Durbin-Levinson recursion unrolled as SQL-text stages shared by
+    the Spark operator AND the DuckDB oracle — both engines evaluate
+    the LITERAL SAME formulas (left-associative sums, one guarded
+    division per level), so starting from identical rounded acf inputs
+    the phi values are bit-identical. Returns a list of SELECT layers;
+    each layer is [(alias, expr)] referencing only earlier layers."""
+    stages = [[("p_1_1", acf_fmt.format(k=1))]]
+    for k in range(2, lags + 1):
+        num = (
+            acf_fmt.format(k=k)
+            + " - ("
+            + " + ".join(
+                f"p_{k-1}_{j} * {acf_fmt.format(k=k - j)}"
+                for j in range(1, k)
+            )
+            + ")"
+        )
+        den = (
+            "1.0 - ("
+            + " + ".join(
+                f"p_{k-1}_{j} * {acf_fmt.format(k=j)}" for j in range(1, k)
+            )
+            + ")"
+        )
+        stages.append(
+            [
+                (
+                    f"p_{k}_{k}",
+                    f"CASE WHEN ({den}) = 0 THEN NULL"
+                    f" ELSE ({num}) / ({den}) END",
+                )
+            ]
+        )
+        if k < lags:
+            stages.append(
+                [
+                    (
+                        f"p_{k}_{j}",
+                        f"p_{k-1}_{j} - p_{k}_{k} * p_{k-1}_{k-j}",
+                    )
+                    for j in range(1, k)
+                ]
+            )
+    return stages
+
+
+def pacf(
+    df: DataFrame,
+    lags: int = 5,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-key PARTIAL autocorrelation at lags 1..L via the
+    Durbin-Levinson recursion over the [[ts_acf]] values — the AR
+    order-selection diagnostic (acf says "correlated at lag k"; pacf
+    says "correlated at lag k AFTER removing lags 1..k-1", which is
+    what picks p for an AR(p) model).
+
+    The distributed work IS the acf pass (one sorted key exchange);
+    the recursion is a fixed O(L^2) cascade of column expressions over
+    the per-key acf row. Determinism: both engines start from the
+    SAME round@4 acf values, and the recursion's formula text is
+    generated once (durbin_levinson_stages) and evaluated verbatim by
+    both — identical IEEE op order, bit-identical phis. Degenerate
+    keys (acf undefined -> NULL, or a zero denominator) yield NULL
+    pacf at the affected lags. Returns (*by, pacf_1..pacf_L)."""
+    by = by or []
+    a = acf(
+        df, lags=lags, time_col=time_col, by=by, value_col=value_col,
+        order_tiebreak=order_tiebreak,
+    )
+    cur = a
+    for stage in durbin_levinson_stages(lags):
+        cur = cur.select(
+            "*", *[F.expr(expr).alias(alias) for alias, expr in stage]
+        )
+    return cur.select(
+        *by,
+        *[
+            F.round(F.col(f"p_{k}_{k}"), 6).alias(f"pacf_{k}")
+            for k in range(1, lags + 1)
+        ],
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    gap: timedelta,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-key session-quality rollup over [[ts_session]]'s gap
+    sessionization: session count, events per session, exact-rank
+    median / mean / max session duration, and the bounce rate
+    (single-event-session fraction) — the engagement readout product
+    teams put next to DAU. Shape: the sessionize window + groupBy
+    (one key exchange), then rank windows over the |sessions|-bounded
+    table (the cadence technique: median = mean of the two middle
+    order statistics, pure integer rank arithmetic — no interpolation
+    kernel). Returns (*by, n_sessions, n_events, mean_events,
+    bounce_rate, mean_duration_us, median_duration_us,
+    max_duration_us)."""
+    by = by or []
+    s = sessionize(df, gap, time_col, by, order_tiebreak)
+    s2 = s.select(
+        *by,
+        F.col("n_events"),
+        (
+            F.unix_micros(F.col("session_end"))
+            - F.unix_micros(F.col("session_start"))
+        ).alias("__dur"),
+    )
+    wrank = Window.partitionBy(*by).orderBy("__dur")
+    wall = Window.partitionBy(*by)
+    r = s2.select(
+        *by,
+        "n_events",
+        "__dur",
+        F.row_number().over(wrank).alias("__rn"),
+        F.count(F.lit(1)).over(wall).alias("__cnt"),
+    )
+    lo = F.floor((F.col("__cnt") + 1) / 2)
+    hi = F.ceil((F.col("__cnt") + 1) / 2)
+    agg = r.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("__bounces"),
+        F.sum("__dur").alias("__dsum"),
+        F.max("__dur").alias("max_duration_us"),
+        F.max(F.when(F.col("__rn") == lo, F.col("__dur"))).alias("__lo"),
+        F.max(F.when(F.col("__rn") == hi, F.col("__dur"))).alias("__hi"),
+    )
+    # integer-sum / count rationals land on exact .5e-6 ties often, and
+    # engines' round() kernels split them differently (the
+    # text_kn_bigram lesson) -> explicit floor-half-up, identical IEEE
+    # formula text on both sides
+    def _round6(e):
+        return F.floor(e * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+    return agg.select(
+        *by,
+        "n_sessions",
+        "n_events",
+        _round6(
+            F.col("n_events").cast("double") / F.col("n_sessions")
+        ).alias("mean_events"),
+        _round6(
+            F.col("__bounces").cast("double") / F.col("n_sessions")
+        ).alias("bounce_rate"),
+        _round6(
+            F.col("__dsum").cast("double") / F.col("n_sessions")
+        ).alias("mean_duration_us"),
+        ((F.col("__lo") + F.col("__hi")).cast("double") / F.lit(2.0)).alias(
+            "median_duration_us"
+        ),
+        "max_duration_us",
+    )
+
+
+def top_movers(
+    df: DataFrame,
+    every: str = "1 day",
+    k: int = 10,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Top-k bucket-over-bucket movers across ALL keys: which
+    (key, bucket) mean shifted most vs its previous bucket — the
+    "what changed since yesterday" triage view over a metric fleet.
+    Shape: one (key, bucket) groupBy with decimal-exact means, a lag
+    window per key over the calendar-bounded bucket table, then ONE
+    global rank over that same small table (|keys| x |buckets| rows,
+    never event-scale — the single-partition rank is safe by
+    construction). Ties break on (key, bucket) deterministically.
+    Returns (*by, bucket, prev_value, value, delta, pct_change,
+    rank)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    b = df.groupBy(
+        *by, F.window(F.col(time_col), every).start.alias("bucket")
+    ).agg(
+        (
+            F.round(F.sum(F.col(value_col).cast("decimal(30,8)")), 6)
+            .cast("double")
+            / F.count(value_col)
+        ).alias("value")
+    )
+    wlag = Window.partitionBy(*by).orderBy("bucket")
+    s = b.select(
+        *by, "bucket", "value", F.lag("value").over(wlag).alias("prev_value")
+    ).filter(F.col("prev_value").isNotNull())
+    delta = F.col("value") - F.col("prev_value")
+    wrank = Window.orderBy(
+        F.abs(delta).desc(), *[F.col(c) for c in by], F.col("bucket")
+    )
+    return (
+        s.select(
+            *by, "bucket", "prev_value", "value", delta.alias("delta"),
+            F.round(
+                F.try_divide(delta, F.abs(F.col("prev_value"))), 6
+            ).alias("pct_change"),
+            F.row_number().over(wrank).alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
+def seasonal_strength(
+    df: DataFrame,
+    period: int = 25,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Seasonal and trend STRENGTH per key (Hyndman & Athanasopoulos,
+    "Forecasting: Principles and Practice" §: STL features):
+    F_seasonal = max(0, 1 - var(resid)/var(seasonal + resid)) and
+    F_trend = max(0, 1 - var(resid)/var(trend + resid)) over the
+    [[ts_decompose]] components — the scalar readout that says
+    whether a series' seasonality/trend is worth modeling (pairs with
+    [[ts_period_detect]], which picks the period; this scores how
+    strong it is).
+
+    Shape: the decompose windows, then per-key mean/SS windows over
+    the same key partitioning — one key exchange end to end.
+    Determinism: decimal means, IEEE subtraction/squaring, per-term
+    decimal(30,6) quantization before every float sum (the text_zipf
+    rule). Edge rows where the centered MA is undefined are excluded
+    (documented; same filter in the oracle). Returns (*by, n,
+    var_resid, f_seasonal, f_trend)."""
+    by = by or []
+    d = decompose_classical(
+        df, period, time_col, by, value_col, order_tiebreak
+    ).filter(F.col("residual").isNotNull())
+    s = d.select(
+        *by,
+        F.col("residual").alias("__r"),
+        (F.col("seasonal") + F.col("residual")).alias("__sr"),
+        (F.col("trend") + F.col("residual")).alias("__tr"),
+    )
+    wk = Window.partitionBy(*by)
+
+    def mean_of(c):
+        return (
+            F.round(F.sum(F.col(c).cast("decimal(30,6)")).over(wk), 6)
+            .cast("double")
+            / F.count(c).over(wk)
+        )
+
+    m = s.select(
+        *by, "__r", "__sr", "__tr",
+        mean_of("__r").alias("__mr"),
+        mean_of("__sr").alias("__msr"),
+        mean_of("__tr").alias("__mtr"),
+    )
+
+    def ss_term(c, mc):
+        return F.round(
+            (F.col(c) - F.col(mc)) * (F.col(c) - F.col(mc)), 6
+        ).cast("decimal(30,6)")
+
+    t = m.select(
+        *by,
+        ss_term("__r", "__mr").alias("__t_r"),
+        ss_term("__sr", "__msr").alias("__t_sr"),
+        ss_term("__tr", "__mtr").alias("__t_tr"),
+    )
+    agg = t.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__t_r").alias("__ss_r"),
+        F.sum("__t_sr").alias("__ss_sr"),
+        F.sum("__t_tr").alias("__ss_tr"),
+    )
+    var_r = F.col("__ss_r").cast("double") / F.col("n")
+    return agg.select(
+        *by,
+        "n",
+        F.round(var_r, 6).alias("var_resid"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0)
+                - F.try_divide(
+                    F.col("__ss_r").cast("double"),
+                    F.col("__ss_sr").cast("double"),
+                ),
+            ),
+            6,
+        ).alias("f_seasonal"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0)
+                - F.try_divide(
+                    F.col("__ss_r").cast("double"),
+                    F.col("__ss_tr").cast("double"),
+                ),
+            ),
+            6,
+        ).alias("f_trend"),
+    )
+
+
+def corr_matrix(
+    df: DataFrame,
+    every: str = "1 hour",
+    time_col: str = "time",
+    by: str = "key",
+    value_col: str = "value",
+    round_to: int = 4,
+) -> DataFrame:
+    """Pairwise Pearson correlation between every two keys' bucketed
+    series — the metric-fleet correlation matrix behind "what moves
+    together" triage and redundant-signal pruning (the all-pairs
+    companion to [[ts_xcorr]]'s two-signal lag scan).
+
+    Shape: one bucket groupBy (decimal means) collapses events to the
+    calendar-bounded (key, bucket) table; the pair join is that SMALL
+    table against itself on bucket (|keys|² x buckets worst case,
+    never event-scale), keyed a.key < b.key so each pair appears
+    once. corr() rounds @`round_to` (the ts_acf rule). Buckets where
+    either side is missing drop out via the inner join — correlation
+    over the co-observed buckets. Returns (key_a, key_b, n_buckets,
+    corr)."""
+    df = _time_norm(df, time_col)
+    b = df.groupBy(
+        F.col(by).alias("k"),
+        F.window(F.col(time_col), every).start.alias("bucket"),
+    ).agg(
+        (
+            F.round(F.sum(F.col(value_col).cast("decimal(30,8)")), 6)
+            .cast("double")
+            / F.count(value_col)
+        ).alias("v")
+    )
+    a = b.select(
+        F.col("k").alias("key_a"), F.col("bucket"), F.col("v").alias("va")
+    )
+    c = b.select(
+        F.col("k").alias("key_b"), F.col("bucket"), F.col("v").alias("vb")
+    )
+    j = a.join(c, "bucket").filter(F.col("key_a") < F.col("key_b"))
+    return j.groupBy("key_a", "key_b").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.round(F.corr("va", "vb"), round_to).alias("corr"),
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    p: float = 0.05,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Winsorized mean per key: clamp values below the p-th / above
+    the (1-p)-th order statistic to those cut points, then average —
+    the robust location estimate ops dashboards want when a handful
+    of outliers poison the plain mean (median ignores magnitude;
+    winsorizing keeps it, bounded).
+
+    Cut points are EXACT rank selections (lo = floor(n*p) + 1,
+    hi = n - floor(n*p); pure integer rank arithmetic — the
+    ts_cadence rule), broadcast per key by unbounded windows over the
+    SAME sort the rank uses: one key exchange, zero joins. The
+    winsorized mean accumulates in decimal. Returns (*by, n, lo_cut,
+    hi_cut, n_clipped, mean_raw, mean_winsorized)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    wrank = Window.partitionBy(*by).orderBy(value_col)
+    wall = Window.partitionBy(*by)
+    r = df.select(
+        *by,
+        F.col(value_col).alias("__v"),
+        F.row_number().over(wrank).alias("__rn"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
+    )
+    lo_rank = F.floor(F.col("__n") * F.lit(p)) + 1
+    hi_rank = F.col("__n") - F.floor(F.col("__n") * F.lit(p))
+    r2 = r.select(
+        *by,
+        "__v",
+        "__rn",
+        F.max(F.when(F.col("__rn") == lo_rank, F.col("__v"))).over(wall)
+        .alias("__lo"),
+        F.max(F.when(F.col("__rn") == hi_rank, F.col("__v"))).over(wall)
+        .alias("__hi"),
+        (F.col("__rn") < lo_rank).alias("__below"),
+        (F.col("__rn") > hi_rank).alias("__above"),
+    )
+    clipped = (
+        F.when(F.col("__below"), F.col("__lo"))
+        .when(F.col("__above"), F.col("__hi"))
+        .otherwise(F.col("__v"))
+    )
+    agg = r2.select(
+        *by, "__v", "__lo", "__hi",
+        clipped.alias("__c"),
+        (F.col("__below") | F.col("__above")).alias("__clip"),
+    ).groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("__lo").alias("lo_cut"),
+        F.max("__hi").alias("hi_cut"),
+        F.sum(F.when(F.col("__clip"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped"),
+        F.sum(F.col("__v").cast("decimal(30,8)")).alias("__sv"),
+        F.sum(F.col("__c").cast("decimal(30,8)")).alias("__sc"),
+    )
+    return agg.select(
+        *by, "n", "lo_cut", "hi_cut", "n_clipped",
+        (F.round(F.col("__sv"), 4).cast("double") / F.col("n")).alias(
+            "mean_raw"
+        ),
+        (F.round(F.col("__sc"), 4).cast("double") / F.col("n")).alias(
+            "mean_winsorized"
+        ),
+    )

@@ -600,3 +600,41 @@ def new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("new_frac"),
     )
+
+
+def stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / stickiness per day — the engagement ratio (Meta's
+    classic DAU/MAU, here the 7-day WAU variant the 30-day corpus
+    supports). Exact distinct counts at scale WITHOUT a sliding
+    distinct: each (user, active-day) pair explodes to the <= 7
+    trailing report days it covers, then one distinct + groupBy —
+    work is |user-days| x 7, never events x window. Early days carry
+    a partial trailing window over available history (documented;
+    identical in the oracle). Returns (day, dau, wau, stickiness)."""
+    ev = read_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    cover = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("cover_day"),
+    ).distinct()
+    wau = cover.groupBy("cover_day").agg(F.count(F.lit(1)).alias("wau"))
+    return (
+        dau.join(wau, dau["day"] == wau["cover_day"])
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(
+                F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+    )

@@ -252,6 +252,10 @@ _SCAN_BUDGET = {
     "ann_range_search": 2,        # corpus + broadcast probe side
     "embedding_centroid_drift": 2,  # centroid cells + snapshot counts
     "pipeline_mixture_apply": 2,  # doc side + the |sources|-row plan side
+    "ts_pacf": 1,                 # the acf pass; recursion is projections
+    "ts_session_stats": 1,        # sessionize windows + rank, one exchange
+    "ts_top_movers": 1,           # bucket agg + lag + global rank (tiny)
+    "agg_stickiness": 2,          # dau branch + 7-day cover branch
 }
 
 

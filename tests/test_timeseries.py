@@ -1322,3 +1322,78 @@ def test_period_detect_finds_planted_period(spark):
     assert best[0]["var_explained"] == 1.0
     scores = {r["period"]: r["var_explained"] for r in out}
     assert scores[12] == 1.0 and scores[5] < 1.0
+
+
+def test_pacf_matches_manual_durbin_levinson(spark):
+    t0 = datetime(2024, 1, 1)
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0, 8.0]
+    rows = [
+        (i, t0 + timedelta(seconds=i), "k", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    L = 3
+    a = ts.acf(df, L, "ts", ["event_type"], "value", ["event_id"]).collect()[0]
+    r = [None] + [a[f"acf_{k}"] for k in range(1, L + 1)]
+    # manual Durbin-Levinson with the same op order
+    phi = {(1, 1): r[1]}
+    for k in range(2, L + 1):
+        num = r[k] - sum(phi[(k - 1, j)] * r[k - j] for j in range(1, k))
+        den = 1.0 - sum(phi[(k - 1, j)] * r[j] for j in range(1, k))
+        phi[(k, k)] = num / den
+        for j in range(1, k):
+            phi[(k, j)] = phi[(k - 1, j)] - phi[(k, k)] * phi[(k - 1, k - j)]
+    out = ts.pacf(df, L, "ts", ["event_type"], "value", ["event_id"]).collect()[0]
+    assert out["pacf_1"] == round(phi[(1, 1)], 6)
+    for k in range(2, L + 1):
+        assert out[f"pacf_{k}"] == pytest.approx(phi[(k, k)], abs=1e-6)
+
+
+def test_session_stats_planted(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 7),
+        (1, t0 + timedelta(seconds=10), 7),
+        (2, t0 + timedelta(hours=2), 7),  # new session, single event
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    r = ts.session_stats(
+        df, timedelta(minutes=30), "ts", ["user_id"], ["event_id"]
+    ).collect()[0]
+    assert (r["n_sessions"], r["n_events"]) == (2, 3)
+    assert r["mean_events"] == 1.5
+    assert r["bounce_rate"] == 0.5
+    assert r["mean_duration_us"] == 5_000_000.0
+    assert r["median_duration_us"] == 5_000_000.0
+    assert r["max_duration_us"] == 10_000_000
+
+
+def test_top_movers_ranks_biggest_delta_first(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # key a: 0 -> 100 (delta 100); key b: 50 -> 45 (delta -5)
+    for day, (va, vb) in enumerate([(0.0, 50.0), (100.0, 45.0)]):
+        rows.append((2 * day, t0 + timedelta(days=day), "a", va))
+        rows.append((2 * day + 1, t0 + timedelta(days=day), "b", vb))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = ts.top_movers(df, "1 day", 10, "ts", ["event_type"], "value").collect()
+    out = sorted(out, key=lambda r: r["rank"])
+    assert [r["event_type"] for r in out] == ["a", "b"]
+    assert out[0]["delta"] == 100.0 and out[0]["pct_change"] is None
+    assert out[1]["delta"] == -5.0 and out[1]["pct_change"] == -0.1
+
+
+def test_stickiness_identities(spark):
+    from fossil_spark.queries import analytics
+
+    out = analytics.stickiness(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) >= 7
+    by_day = sorted(out, key=lambda r: r["day"])
+    for r in out:
+        assert r["wau"] >= r["dau"]
+        assert 0 < r["stickiness"] <= 1.0
+    # day 1 has no history: everyone active that day IS the WAU
+    assert by_day[0]["wau"] == by_day[0]["dau"]

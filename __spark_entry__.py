@@ -1771,6 +1771,39 @@ def _ts_top_movers(spark, sf_dir):
     )
 
 
+def _ts_seasonal_strength(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.seasonal_strength(
+        _events(spark, sf_dir), period=25, time_col="ts",
+        by=["event_type"], value_col="value", order_tiebreak=["event_id"],
+    )
+
+
+def _ts_corr_matrix(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.corr_matrix(
+        _events(spark, sf_dir), every="1 hour", time_col="ts",
+        by="event_type", value_col="value",
+    )
+
+
+def _ts_winsorized(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.winsorized_stats(
+        _events(spark, sf_dir), p=0.05, time_col="ts",
+        by=["event_type"], value_col="value",
+    )
+
+
+def _bpe_vocab_coverage(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.bpe_vocab_coverage(_docs(spark, sf_dir), n_merges=5)
+
+
 # The driver's correctness gate checks the FIRST ~50 keys of
 # queries(). VERDICT r5 ask #1: rotate the 26 keys the driver has
 # never seen (all judge-verified green locally) to the head, keep one
@@ -1814,6 +1847,8 @@ _WINDOW_PRIORITY = [
     "ts_period_detect", "agg_new_returning", "ann_range_search",
     "embedding_centroid_drift", "pipeline_mixture_apply",
     "ts_pacf", "ts_session_stats", "ts_top_movers", "agg_stickiness",
+    "ts_seasonal_strength", "ts_corr_matrix", "ts_winsorized",
+    "bpe_vocab_coverage",
 ]
 
 
@@ -1920,6 +1955,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_session_stats": _ts_session_stats,
         "ts_top_movers": _ts_top_movers,
         "agg_stickiness": _analytics("stickiness"),
+        "ts_seasonal_strength": _ts_seasonal_strength,
+        "ts_corr_matrix": _ts_corr_matrix,
+        "ts_winsorized": _ts_winsorized,
+        "bpe_vocab_coverage": _bpe_vocab_coverage,
         "ts_lttb": _ts_lttb,
         "text_keywords": _text_keywords,
         "text_contamination": _text_contamination,
@@ -5026,5 +5065,106 @@ def oracle_sql() -> dict[str, str]:
         " round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6)"
         "  AS stickiness"
         " FROM dau JOIN wau ON day = cover_day"
+    )
+    # seasonal/trend strength over the proven ts_decompose CTEs:
+    # decimal means, quantized SS terms (the text_zipf rule)
+    out["ts_seasonal_strength"] = (
+        f"WITH d AS ({out['ts_decompose']}),"
+        " e AS (SELECT event_type, residual AS r,"
+        "  seasonal + residual AS sr, trend + residual AS tr FROM d"
+        "  WHERE residual IS NOT NULL),"
+        " m AS (SELECT *,"
+        "  CAST(round(sum(CAST(r AS DECIMAL(30,6))) OVER wk, 6) AS DOUBLE)"
+        "   / count(r) OVER wk AS mr,"
+        "  CAST(round(sum(CAST(sr AS DECIMAL(30,6))) OVER wk, 6) AS DOUBLE)"
+        "   / count(sr) OVER wk AS msr,"
+        "  CAST(round(sum(CAST(tr AS DECIMAL(30,6))) OVER wk, 6) AS DOUBLE)"
+        "   / count(tr) OVER wk AS mtr"
+        "  FROM e WINDOW wk AS (PARTITION BY event_type)),"
+        " t AS (SELECT event_type,"
+        "  CAST(round((r - mr) * (r - mr), 6) AS DECIMAL(30,6)) AS t_r,"
+        "  CAST(round((sr - msr) * (sr - msr), 6) AS DECIMAL(30,6)) AS t_sr,"
+        "  CAST(round((tr - mtr) * (tr - mtr), 6) AS DECIMAL(30,6)) AS t_tr"
+        "  FROM m),"
+        " a AS (SELECT event_type, count(*) AS n, sum(t_r) AS ss_r,"
+        "  sum(t_sr) AS ss_sr, sum(t_tr) AS ss_tr FROM t GROUP BY 1)"
+        " SELECT event_type, CAST(n AS BIGINT) AS n,"
+        " round(CAST(ss_r AS DOUBLE) / n, 6) AS var_resid,"
+        " round(greatest(0.0, 1.0 - CASE WHEN CAST(ss_sr AS DOUBLE) != 0"
+        "  THEN CAST(ss_r AS DOUBLE) / CAST(ss_sr AS DOUBLE) END), 6)"
+        "  AS f_seasonal,"
+        " round(greatest(0.0, 1.0 - CASE WHEN CAST(ss_tr AS DOUBLE) != 0"
+        "  THEN CAST(ss_r AS DOUBLE) / CAST(ss_tr AS DOUBLE) END), 6)"
+        "  AS f_trend"
+        " FROM a"
+    )
+    # pairwise key correlation over the calendar-bounded bucket table
+    out["ts_corr_matrix"] = (
+        "WITH b AS (SELECT event_type AS k,"
+        " time_bucket(INTERVAL 1 HOUR, ts) AS bucket,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 6) AS DOUBLE)"
+        "  / count(value) AS v"
+        f" FROM {_EV} e GROUP BY 1, 2)"
+        " SELECT a.k AS key_a, c.k AS key_b,"
+        " CAST(count(*) AS BIGINT) AS n_buckets,"
+        " round(corr(a.v, c.v), 4) AS corr"
+        " FROM b a JOIN b c ON a.bucket = c.bucket AND a.k < c.k"
+        " GROUP BY 1, 2"
+    )
+    # winsorized mean: exact-rank cut points (the cadence rule),
+    # rank-position clip counts, decimal means
+    out["ts_winsorized"] = (
+        "WITH r AS (SELECT event_type, value AS v,"
+        " row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,"
+        " count(*) OVER (PARTITION BY event_type) AS n"
+        f" FROM {_EV} e),"
+        " m AS (SELECT *, floor(n * 0.05) + 1 AS lo_rank,"
+        "  n - floor(n * 0.05) AS hi_rank FROM r),"
+        " w AS (SELECT *,"
+        "  max(CASE WHEN rn = lo_rank THEN v END)"
+        "   OVER (PARTITION BY event_type) AS lo,"
+        "  max(CASE WHEN rn = hi_rank THEN v END)"
+        "   OVER (PARTITION BY event_type) AS hi FROM m),"
+        " c AS (SELECT event_type, v, lo, hi,"
+        "  CASE WHEN rn < lo_rank THEN lo WHEN rn > hi_rank THEN hi"
+        "   ELSE v END AS cv,"
+        "  (rn < lo_rank OR rn > hi_rank) AS clip FROM w)"
+        " SELECT event_type, CAST(count(*) AS BIGINT) AS n,"
+        " max(lo) AS lo_cut, max(hi) AS hi_cut,"
+        " CAST(sum(CASE WHEN clip THEN 1 ELSE 0 END) AS BIGINT)"
+        "  AS n_clipped,"
+        " CAST(round(sum(CAST(v AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "  / count(*) AS mean_raw,"
+        " CAST(round(sum(CAST(cv AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "  / count(*) AS mean_winsorized"
+        " FROM c GROUP BY 1"
+    )
+    # tokenizer coverage over the proven BPE chain (s5 = the learned
+    # word->symbols table); all-integer tallies, floor-half-up ratios
+    out["bpe_vocab_coverage"] = (
+        "WITH " + _bpe_ctes(5) + ","
+        " pieces AS (SELECT word, CAST(len(sym) AS BIGINT) AS n_pieces"
+        "  FROM s5),"
+        f" w AS (SELECT unnest({_TOKS}) AS word FROM documents),"
+        " j AS (SELECT w.word, p.n_pieces FROM w LEFT JOIN pieces p"
+        "  USING (word)),"
+        " occ AS (SELECT count(*) AS n_word_occ,"
+        "  sum(CASE WHEN n_pieces IS NOT NULL THEN 1 ELSE 0 END) AS ivo,"
+        "  sum(CASE WHEN n_pieces IS NOT NULL THEN n_pieces END) AS ps"
+        "  FROM j),"
+        " ty AS (SELECT count(*) AS n_types,"
+        "  sum(CASE WHEN n_pieces = 1 THEN 1 ELSE 0 END) AS nsp"
+        "  FROM pieces)"
+        " SELECT CAST(n_word_occ AS BIGINT) AS n_word_occ,"
+        " CAST(ivo AS BIGINT) AS in_vocab_occ,"
+        " floor(CAST(ivo AS DOUBLE) / n_word_occ * 1000000.0 + 0.5)"
+        "  / 1000000.0 AS in_vocab_frac,"
+        " CAST(n_types AS BIGINT) AS n_types,"
+        " CAST(nsp AS BIGINT) AS n_single_piece_types,"
+        " floor(CAST(nsp AS DOUBLE) / n_types * 1000000.0 + 0.5)"
+        "  / 1000000.0 AS single_piece_frac,"
+        " floor(CAST(ps AS DOUBLE) / ivo * 1000000.0 + 0.5)"
+        "  / 1000000.0 AS mean_pieces_in_vocab"
+        " FROM occ, ty"
     )
     return out

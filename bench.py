@@ -121,6 +121,13 @@ def main() -> None:
         "pipeline_dedup_savings", "dedup_threshold_sweep",
         "ts_forecast_eval", "ts_slo_burn", "sample_mixture_plan",
         "agg_ab_test", "ts_dtw", "embedding_knn_classify",
+        # round-6 session-6 operators
+        "ts_twa", "ts_threshold_episodes", "ts_rolling_median",
+        "ts_period_detect", "agg_new_returning", "ann_range_search",
+        "embedding_centroid_drift", "pipeline_mixture_apply",
+        "ts_pacf", "ts_session_stats", "ts_top_movers", "agg_stickiness",
+        "ts_seasonal_strength", "ts_corr_matrix", "ts_winsorized",
+        "bpe_vocab_coverage",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

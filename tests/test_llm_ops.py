@@ -1782,3 +1782,14 @@ def test_mixture_apply_saturated_sources_keep_everything(spark, docs):
             # rate 1 means the source is data-constrained: keep all
             assert r["kept_docs"] == r["n_docs"]
             assert r["kept_tokens"] == r["n_tokens"]
+
+
+def test_bpe_vocab_coverage_invariants(spark, docs):
+    out = text.bpe_vocab_coverage(docs, n_merges=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert 0 < r["in_vocab_occ"] <= r["n_word_occ"]
+    assert 0.0 < r["in_vocab_frac"] <= 1.0
+    assert 0 <= r["n_single_piece_types"] <= r["n_types"]
+    # char-split words average > 1 piece with only 5 merges
+    assert r["mean_pieces_in_vocab"] > 1.0

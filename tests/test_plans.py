@@ -256,6 +256,9 @@ _SCAN_BUDGET = {
     "ts_session_stats": 1,        # sessionize windows + rank, one exchange
     "ts_top_movers": 1,           # bucket agg + lag + global rank (tiny)
     "agg_stickiness": 2,          # dau branch + 7-day cover branch
+    "ts_seasonal_strength": 1,    # decompose windows + SS, one key sort
+    "ts_corr_matrix": 2,          # bucket-table self-join, two branches
+    "ts_winsorized": 1,           # rank + clip windows share one sort
 }
 
 

@@ -1397,3 +1397,60 @@ def test_stickiness_identities(spark):
         assert 0 < r["stickiness"] <= 1.0
     # day 1 has no history: everyone active that day IS the WAU
     assert by_day[0]["wau"] == by_day[0]["dau"]
+
+
+def test_seasonal_strength_pure_seasonal_series(spark):
+    t0 = datetime(2024, 1, 1)
+    pattern = [0.0, 10.0, 20.0, 10.0, 0.0]
+    rows = [
+        (i, t0 + timedelta(hours=i), "k", pattern[i % 5]) for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    r = ts.seasonal_strength(
+        df, period=5, time_col="ts", by=["event_type"],
+        order_tiebreak=["event_id"],
+    ).collect()[0]
+    # a pure periodic signal decomposes exactly: residual == 0
+    assert r["var_resid"] == 0.0
+    assert r["f_seasonal"] == 1.0
+
+
+def test_corr_matrix_planted_correlations(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(24):
+        v = float(i % 7)
+        rows += [
+            (3 * i, t0 + timedelta(hours=i), "a", v),
+            (3 * i + 1, t0 + timedelta(hours=i), "b", 2.0 * v + 1.0),
+            (3 * i + 2, t0 + timedelta(hours=i), "c", -v),
+        ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {
+        (r["key_a"], r["key_b"]): r["corr"]
+        for r in ts.corr_matrix(df, "1 hour", "ts", "event_type", "value").collect()
+    }
+    assert out[("a", "b")] == 1.0
+    assert out[("a", "c")] == -1.0
+    assert out[("b", "c")] == -1.0
+
+
+def test_winsorized_clips_outlier(spark):
+    t0 = datetime(2024, 1, 1)
+    vals = [float(i) for i in range(10)] + [1000.0]
+    rows = [
+        (i, t0 + timedelta(seconds=i), "k", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    r = ts.winsorized_stats(df, 0.1, "ts", ["event_type"], "value").collect()[0]
+    # n=11: lo_rank = floor(1.1)+1 = 2 -> cut 1.0; hi_rank = 10 -> cut 9.0
+    assert (r["lo_cut"], r["hi_cut"]) == (1.0, 9.0)
+    assert r["n_clipped"] == 2
+    assert r["mean_raw"] == round(1045.0 / 11.0, 10) or abs(r["mean_raw"] - 1045.0 / 11) < 1e-9
+    assert abs(r["mean_winsorized"] - 5.0) < 1e-9

@@ -1804,6 +1804,53 @@ def _bpe_vocab_coverage(spark, sf_dir):
     return text.bpe_vocab_coverage(_docs(spark, sf_dir), n_merges=5)
 
 
+def _ts_apdex(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.apdex(
+        _events(spark, sf_dir), threshold=100.0, every="1 hour",
+        time_col="ts", by=["event_type"], value_col="value",
+    )
+
+
+def _ts_profile_drift(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.profile_drift(
+        _events(spark, sf_dir), time_col="ts", by=["event_type"]
+    )
+
+
+def _ts_completeness(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.completeness(
+        _events(spark, sf_dir), every="1 hour", time_col="ts",
+        by=["event_type"],
+    )
+
+
+def _agg_user_outliers(spark, sf_dir):
+    from fossil_spark.queries import analytics
+
+    # the 30-day fixture's per-user counts are tight (max |z| ~ 2), so
+    # the entry runs at a 1.5 cut to exercise real flagged rows
+    return analytics.user_outliers(spark, sf_dir, z_cut=1.5)
+
+
+def _dedup_quality_rep(spark, sf_dir):
+    from fossil_spark.operators import dedup
+
+    return dedup.quality_representative(_docs(spark, sf_dir))
+
+
+def _embedding_dup_audit(spark, sf_dir):
+    from fossil_spark.operators import ann
+    from fossil_spark.session import read_table
+
+    return ann.dup_audit(read_table(spark, sf_dir, "embeddings"))
+
+
 # The driver's correctness gate checks the FIRST ~50 keys of
 # queries(). VERDICT r5 ask #1: rotate the 26 keys the driver has
 # never seen (all judge-verified green locally) to the head, keep one
@@ -1848,7 +1895,9 @@ _WINDOW_PRIORITY = [
     "embedding_centroid_drift", "pipeline_mixture_apply",
     "ts_pacf", "ts_session_stats", "ts_top_movers", "agg_stickiness",
     "ts_seasonal_strength", "ts_corr_matrix", "ts_winsorized",
-    "bpe_vocab_coverage",
+    "bpe_vocab_coverage", "ts_apdex", "ts_profile_drift",
+    "ts_completeness", "agg_user_outliers", "agg_attribution",
+    "dedup_quality_rep", "embedding_dup_audit",
 ]
 
 
@@ -1959,6 +2008,13 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_corr_matrix": _ts_corr_matrix,
         "ts_winsorized": _ts_winsorized,
         "bpe_vocab_coverage": _bpe_vocab_coverage,
+        "ts_apdex": _ts_apdex,
+        "ts_profile_drift": _ts_profile_drift,
+        "ts_completeness": _ts_completeness,
+        "agg_user_outliers": _agg_user_outliers,
+        "agg_attribution": _analytics("attribution"),
+        "dedup_quality_rep": _dedup_quality_rep,
+        "embedding_dup_audit": _embedding_dup_audit,
         "ts_lttb": _ts_lttb,
         "text_keywords": _text_keywords,
         "text_contamination": _text_contamination,
@@ -5166,5 +5222,156 @@ def oracle_sql() -> dict[str, str]:
         " floor(CAST(ps AS DOUBLE) / ivo * 1000000.0 + 0.5)"
         "  / 1000000.0 AS mean_pieces_in_vocab"
         " FROM occ, ty"
+    )
+    # Apdex (satisfied <= 100, tolerating <= 400): integer counts,
+    # floor-half-up score
+    out["ts_apdex"] = (
+        "WITH a AS (SELECT event_type,"
+        " time_bucket(INTERVAL 1 HOUR, ts) AS bucket, count(*) AS n,"
+        " sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) AS ns,"
+        " sum(CASE WHEN value > 100.0 AND value <= 400.0 THEN 1 ELSE 0 END)"
+        "  AS nt"
+        f" FROM {_EV} e GROUP BY 1, 2)"
+        " SELECT event_type, bucket, CAST(n AS BIGINT) AS n,"
+        " CAST(ns AS BIGINT) AS n_satisfied,"
+        " CAST(nt AS BIGINT) AS n_tolerating,"
+        " CAST(n - ns - nt AS BIGINT) AS n_frustrated,"
+        " floor((CAST(ns AS DOUBLE) + CAST(nt AS DOUBLE) / 2.0)"
+        "  / CAST(n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS apdex"
+        " FROM a"
+    )
+    # hour-of-day profile drift between the two halves of the global
+    # range; data-anchored integer midpoint (floor division both
+    # engines), floor-half-up shares, quantized L1 terms
+    out["ts_profile_drift"] = (
+        "WITH bounds AS (SELECT min(epoch_us(ts)) AS lo,"
+        f" max(epoch_us(ts)) AS hi FROM {_EV} e0),"
+        " t AS (SELECT e.*, lo + (hi - lo) // 2 AS mid"
+        f" FROM {_EV} e, bounds),"
+        " g AS (SELECT event_type, hour(ts) AS h,"
+        " sum(CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END) AS na,"
+        " sum(CASE WHEN epoch_us(ts) >= mid THEN 1 ELSE 0 END) AS nb"
+        " FROM t GROUP BY 1, 2),"
+        " s AS (SELECT *, sum(na) OVER wk AS ta, sum(nb) OVER wk AS tb"
+        "  FROM g WINDOW wk AS (PARTITION BY event_type)),"
+        " u AS (SELECT event_type, ta, tb, CAST(round(abs("
+        "  floor(CAST(na AS DOUBLE) / CAST(ta AS DOUBLE) * 1000000.0 + 0.5)"
+        "   / 1000000.0"
+        "  - floor(CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE) * 1000000.0"
+        "   + 0.5) / 1000000.0), 6) AS DECIMAL(30,6)) AS term FROM s)"
+        " SELECT event_type, CAST(max(ta) AS BIGINT) AS n_first,"
+        " CAST(max(tb) AS BIGINT) AS n_second,"
+        " CAST(sum(term) AS DOUBLE) AS profile_l1"
+        " FROM u GROUP BY 1"
+    )
+    # bucket-grid completeness: integer bucket indices, longest
+    # missing run from one lag, floor-half-up coverage
+    out["ts_completeness"] = (
+        "WITH b AS (SELECT event_type,"
+        " CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS bkt,"
+        " min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi"
+        f" FROM {_EV} e GROUP BY 1, 2),"
+        " s AS (SELECT *, bkt - lag(bkt) OVER (PARTITION BY event_type"
+        "  ORDER BY bkt) - 1 AS miss FROM b),"
+        " a AS (SELECT event_type, count(*) AS obs, min(bkt) AS b0,"
+        "  max(bkt) AS b1, min(lo) AS t0, max(hi) AS t1,"
+        "  max(miss) AS mm FROM s GROUP BY 1)"
+        " SELECT event_type, make_timestamp(t0) AS first_ts,"
+        " make_timestamp(t1) AS last_ts,"
+        " CAST(b1 - b0 + 1 AS BIGINT) AS expected_buckets,"
+        " CAST(obs AS BIGINT) AS observed_buckets,"
+        " floor(CAST(obs AS DOUBLE) / CAST(b1 - b0 + 1 AS DOUBLE)"
+        "  * 1000000.0 + 0.5) / 1000000.0 AS coverage,"
+        " CAST(greatest(coalesce(mm, 0), 0) AS BIGINT)"
+        "  AS max_missing_run"
+        " FROM a"
+    )
+    # modified-z outlier users over the |users|-bounded count table;
+    # exact-rank median and MAD (the ts_anomaly_mad shape on users)
+    out["agg_user_outliers"] = (
+        "WITH c AS (SELECT user_id, count(*) AS n_events"
+        f" FROM {_EV} e GROUP BY 1),"
+        " r AS (SELECT *, row_number() OVER (ORDER BY n_events, user_id)"
+        "  AS rn, count(*) OVER () AS cnt FROM c),"
+        " m AS (SELECT *, CAST("
+        "  max(CASE WHEN rn = (cnt + 1) // 2 THEN n_events END) OVER ()"
+        "  + max(CASE WHEN rn = CAST(ceil((cnt + 1) / 2.0) AS BIGINT)"
+        "    THEN n_events END) OVER () AS DOUBLE) / 2.0 AS med FROM r),"
+        " d AS (SELECT user_id, n_events, med,"
+        "  abs(CAST(n_events AS DOUBLE) - med) AS ad FROM m),"
+        " r2 AS (SELECT *, row_number() OVER (ORDER BY ad, user_id)"
+        "  AS rn2, count(*) OVER () AS cnt2 FROM d),"
+        " m2 AS (SELECT *,"
+        "  (max(CASE WHEN rn2 = (cnt2 + 1) // 2 THEN ad END) OVER ()"
+        "  + max(CASE WHEN rn2 = CAST(ceil((cnt2 + 1) / 2.0) AS BIGINT)"
+        "    THEN ad END) OVER ()) / 2.0 AS mad FROM r2)"
+        " SELECT user_id, CAST(n_events AS BIGINT) AS n_events,"
+        " round(0.6745 * (CAST(n_events AS DOUBLE) - med) / mad, 6)"
+        "  AS mod_zscore"
+        " FROM m2 WHERE mad > 0"
+        " AND abs(round(0.6745 * (CAST(n_events AS DOUBLE) - med) / mad,"
+        "  6)) > 1.5"
+    )
+    # last-touch attribution: struct max over preceding rows carries
+    # the latest non-purchase (struct comparison is lexicographic in
+    # both engines; event_id breaks timestamp ties)
+    out["agg_attribution"] = (
+        "WITH p AS (SELECT event_type, value, epoch_us(ts) AS t,"
+        " max(CASE WHEN event_type != 'purchase' THEN"
+        "  {'t': epoch_us(ts), 'e': event_id, 'ty': event_type} END)"
+        "  OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev"
+        f" FROM {_EV} e),"
+        " a AS (SELECT CASE WHEN prev IS NOT NULL"
+        "  AND t - prev.t <= 3600000000 THEN prev.ty"
+        "  ELSE 'direct' END AS attributed_type, value"
+        "  FROM p WHERE event_type = 'purchase'),"
+        " g AS (SELECT attributed_type, count(*) AS n_purchases,"
+        "  CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "   AS revenue FROM a GROUP BY 1)"
+        " SELECT attributed_type,"
+        " CAST(n_purchases AS BIGINT) AS n_purchases, revenue,"
+        " floor(CAST(n_purchases AS DOUBLE)"
+        "  / CAST(sum(n_purchases) OVER () AS DOUBLE) * 1000000.0 + 0.5)"
+        "  / 1000000.0 AS share"
+        " FROM g"
+    )
+    # quality-aware dedup representative: the proven minhash component
+    # closure + the text_quality oracle, ranked per component
+    out["dedup_quality_rep"] = (
+        f"WITH RECURSIVE {_MINHASH_CTES},"
+        " edges AS (SELECT doc_a a, doc_b b FROM pairs"
+        "  UNION SELECT doc_b, doc_a FROM pairs),"
+        " nodes AS (SELECT DISTINCT a AS node FROM edges),"
+        " reach(node, r) AS ("
+        "  SELECT node, node FROM nodes"
+        "  UNION"
+        "  SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r),"
+        " comp AS (SELECT node, min(r) AS component FROM reach GROUP BY 1),"
+        f" q AS ({out['text_quality']}),"
+        " j AS (SELECT q.doc_id AS doc_id,"
+        "  coalesce(c.component, q.doc_id) AS component,"
+        "  round(q.quality, 6) AS quality"
+        "  FROM q LEFT JOIN comp c ON c.node = q.doc_id)"
+        " SELECT doc_id, component, quality,"
+        " row_number() OVER (PARTITION BY component"
+        "  ORDER BY quality DESC, doc_id) = 1 AS is_representative"
+        " FROM j"
+    )
+    # duplicate-vector audit: md5 over integer-quantized components
+    # (int64 strings — no float formatting), one hash groupBy
+    out["embedding_dup_audit"] = (
+        "WITH k AS (SELECT md5(array_to_string(list_transform("
+        " CAST(embedding AS DOUBLE[]),"
+        " x -> CAST(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)"
+        "  AS VARCHAR)), ',')) AS kk FROM embeddings),"
+        " g AS (SELECT kk, count(*) AS n FROM k GROUP BY 1)"
+        " SELECT CAST(sum(n) AS BIGINT) AS n_vectors,"
+        " CAST(count(*) AS BIGINT) AS n_distinct,"
+        " CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        "  AS n_dup_groups,"
+        " CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)"
+        "  AS n_dup_vectors,"
+        " CAST(max(n) AS BIGINT) AS max_group_size FROM g"
     )
     return out

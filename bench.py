@@ -127,7 +127,9 @@ def main() -> None:
         "embedding_centroid_drift", "pipeline_mixture_apply",
         "ts_pacf", "ts_session_stats", "ts_top_movers", "agg_stickiness",
         "ts_seasonal_strength", "ts_corr_matrix", "ts_winsorized",
-        "bpe_vocab_coverage",
+        "bpe_vocab_coverage", "ts_apdex", "ts_profile_drift",
+        "ts_completeness", "agg_user_outliers", "agg_attribution",
+        "dedup_quality_rep", "embedding_dup_audit",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

@@ -1217,3 +1217,48 @@ def centroid_drift(
         ).alias("cos_centroid"),
         F.round(l2, 6).alias("l2_shift"),
     )
+
+
+def dup_audit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-duplicate-vector audit: how many embeddings are
+    bit-identical at 1e-6 quantization — the data-bug tripwire for
+    encoder pipelines (a burst of identical vectors means a stuck
+    encoder, a default-value fill, or an upstream join fan-out; any
+    of them silently poisons [[ann_bruteforce]] neighbors and
+    [[cluster_kmeans]] centroids).
+
+    The dedup key is md5 over the integer-quantized components
+    (floor(x*1e6 + 0.5) as int64 strings — identical text in any
+    engine; no float formatting involved). One map-side-combined
+    groupBy on the hash; the summary is one aggregate row:
+    (n_vectors, n_distinct, n_dup_groups, n_dup_vectors,
+    max_group_size)."""
+    key = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col(vec_col).cast("array<double>"),
+                lambda x: F.floor(x * 1e6 + F.lit(0.5))
+                .cast("long")
+                .cast("string"),
+            ),
+        )
+    )
+    g = corpus.select(key.alias("__k")).groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return g.agg(
+        F.sum("__n").cast("long").alias("n_vectors"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(F.col("__n") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_groups"),
+        F.sum(F.when(F.col("__n") > 1, F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_vectors"),
+        F.max("__n").alias("max_group_size"),
+    )

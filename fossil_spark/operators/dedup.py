@@ -686,3 +686,38 @@ def threshold_sweep(
             ).alias("frac_of_candidates"),
         )
     )
+
+
+def quality_representative(docs: DataFrame) -> DataFrame:
+    """Quality-aware dedup representative selection: within each
+    near-dup component (MinHash LSH pairs -> connected components),
+    keep the HIGHEST-quality member instead of the arbitrary min-id —
+    what a production curation pass actually wants (the cleanest copy
+    survives, not the first-crawled one). Singletons are their own
+    representative.
+
+    Pure composition of three oracle-proven operators: the component
+    labels broadcast onto the quality-scored corpus, then one rank
+    window over the per-component groups. Quality rounds @6 on both
+    engines before ranking so ties break on doc_id identically.
+    Returns (doc_id, component, quality, is_representative)."""
+    from pyspark.sql import Window
+
+    from fossil_spark.operators.text import quality_score
+
+    comp = connected_components(minhash_lsh_pairs(docs))
+    q = quality_score(docs).select(
+        "doc_id", F.round("quality", 6).alias("quality")
+    )
+    j = q.join(F.broadcast(comp), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        "quality",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return j.select(
+        "doc_id", "component", "quality",
+        (F.row_number().over(w) == 1).alias("is_representative"),
+    )

@@ -3098,3 +3098,194 @@ def winsorized_stats(
             "mean_winsorized"
         ),
     )
+
+
+def apdex(
+    df: DataFrame,
+    threshold: float,
+    every: str = "1 hour",
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Apdex score per key per bucket (the Apdex Alliance formula:
+    (satisfied + tolerating/2) / total, satisfied = latency <= T,
+    tolerating = T < latency <= 4T) — the industry-standard
+    user-satisfaction rollup of a latency stream, the readout SRE
+    dashboards put next to [[ts_slo_burn]]'s error budget.
+
+    One map-side-combined groupBy; all-integer counts; the score is
+    an explicit floor-half-up @6 of the (integer + half-integer)/n
+    rational (the session_stats tie rule). Returns (*by, bucket, n,
+    n_satisfied, n_tolerating, n_frustrated, apdex)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    v = F.col(value_col)
+    agg = df.groupBy(
+        *by, F.window(F.col(time_col), every).start.alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(v <= threshold, 1).otherwise(0))
+        .cast("long")
+        .alias("n_satisfied"),
+        F.sum(
+            F.when((v > threshold) & (v <= 4 * threshold), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_tolerating"),
+    )
+    score = (
+        F.col("n_satisfied").cast("double")
+        + F.col("n_tolerating").cast("double") / F.lit(2.0)
+    ) / F.col("n").cast("double")
+    return agg.select(
+        *by, "bucket", "n", "n_satisfied", "n_tolerating",
+        (F.col("n") - F.col("n_satisfied") - F.col("n_tolerating")).alias(
+            "n_frustrated"
+        ),
+        (
+            F.floor(score * F.lit(1000000.0) + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("apdex"),
+    )
+
+
+def profile_drift(
+    df: DataFrame,
+    time_col: str = "time",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Hour-of-day activity-profile drift per key between the first
+    and second half of the observed time range — "did the daily shape
+    change", the seasonal-profile companion to [[ts_psi_drift]]'s
+    value-distribution drift (a traffic pattern can shift hours
+    without shifting values; this catches it).
+
+    The split point is data-anchored (integer midpoint of the global
+    µs range, a one-row broadcast — the tpch_q15 scalar pattern).
+    Shape: one (key, hour) groupBy with conditional per-half counts
+    (no join between halves), per-key share normalizers as windows
+    over the <= 24-row-per-key grid, L1 distance with per-term
+    decimal quantization. Shares are floor-half-up integer rationals.
+    Returns (*by, n_first, n_second, profile_l1) — L1 in [0, 2],
+    0 = identical shape."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    bounds = df.agg(
+        F.min(F.unix_micros(F.col(time_col))).alias("__lo"),
+        F.max(F.unix_micros(F.col(time_col))).alias("__hi"),
+    )
+    # floor division, not cast-of-double: Spark's double->long cast
+    # truncates while DuckDB's rounds — floor() is identical in both
+    mid = F.col("__lo") + F.floor(
+        (F.col("__hi") - F.col("__lo")) / F.lit(2)
+    )
+    tagged = df.crossJoin(F.broadcast(bounds.select(mid.alias("__mid"))))
+    g = tagged.groupBy(
+        *by, F.hour(F.col(time_col)).alias("__hour")
+    ).agg(
+        F.sum(
+            F.when(F.unix_micros(F.col(time_col)) < F.col("__mid"), 1)
+            .otherwise(0)
+        ).cast("long").alias("__na"),
+        F.sum(
+            F.when(F.unix_micros(F.col(time_col)) >= F.col("__mid"), 1)
+            .otherwise(0)
+        ).cast("long").alias("__nb"),
+    )
+    wk = Window.partitionBy(*by)
+    ta = F.sum("__na").over(wk)
+    tb = F.sum("__nb").over(wk)
+
+    def _share(n, t):
+        return F.floor(
+            n.cast("double") / t.cast("double") * F.lit(1000000.0)
+            + F.lit(0.5)
+        ) / F.lit(1000000.0)
+
+    s = g.select(
+        *by, "__na", "__nb",
+        ta.alias("__ta"), tb.alias("__tb"),
+        _share(F.col("__na"), ta).alias("__sa"),
+        _share(F.col("__nb"), tb).alias("__sb"),
+    )
+    term = F.round(F.abs(F.col("__sa") - F.col("__sb")), 6).cast(
+        "decimal(30,6)"
+    )
+    agg = s.select(*by, "__ta", "__tb", term.alias("__t")).groupBy(*by).agg(
+        F.max("__ta").alias("n_first"),
+        F.max("__tb").alias("n_second"),
+        F.sum("__t").alias("__l1"),
+    )
+    return agg.select(
+        *by,
+        "n_first",
+        "n_second",
+        F.col("__l1").cast("double").alias("profile_l1"),
+    )
+
+
+def completeness(
+    df: DataFrame,
+    every: str = "1 hour",
+    time_col: str = "time",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Data-completeness scorecard per key: observed vs expected
+    buckets over the key's own [first, last] range, coverage
+    fraction, and the longest missing-bucket run — the ingest-health
+    audit that tells you whether [[ts_gapfill]] has real work to do
+    and whether a key's dashboards can be trusted ([[ts_cadence]]
+    measures gaps between SAMPLES; this measures gaps on the bucket
+    grid downstream aggregations actually use).
+
+    All-integer bucket indices (epoch µs // bucket width); one bucket
+    groupBy + one lag window + one groupBy on the same key
+    partitioning. Coverage is a floor-half-up integer rational.
+    Returns (*by, first_ts, last_ts, expected_buckets,
+    observed_buckets, coverage, max_missing_run)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    us_per = _interval_us(every)
+    b = df.groupBy(
+        *by,
+        (F.unix_micros(F.col(time_col)) / F.lit(us_per))
+        .cast("long")
+        .alias("__b"),
+    ).agg(
+        F.min(F.unix_micros(F.col(time_col))).alias("__lo"),
+        F.max(F.unix_micros(F.col(time_col))).alias("__hi"),
+    )
+    w = Window.partitionBy(*by).orderBy("__b")
+    s = b.select(
+        *by, "__b", "__lo", "__hi",
+        (F.col("__b") - F.lag("__b").over(w) - 1).alias("__miss"),
+    )
+    agg = s.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("observed_buckets"),
+        F.min("__b").alias("__b0"),
+        F.max("__b").alias("__b1"),
+        F.min("__lo").alias("__t0"),
+        F.max("__hi").alias("__t1"),
+        F.max("__miss").alias("__mm"),
+    )
+    expected = F.col("__b1") - F.col("__b0") + 1
+    return agg.select(
+        *by,
+        F.timestamp_micros(F.col("__t0")).alias("first_ts"),
+        F.timestamp_micros(F.col("__t1")).alias("last_ts"),
+        expected.alias("expected_buckets"),
+        "observed_buckets",
+        (
+            F.floor(
+                F.col("observed_buckets").cast("double")
+                / expected.cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("coverage"),
+        F.greatest(F.coalesce(F.col("__mm"), F.lit(0)), F.lit(0)).alias(
+            "max_missing_run"
+        ),
+    )

@@ -638,3 +638,122 @@ def stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+def user_outliers(
+    spark: SparkSession, sf_dir: str, z_cut: float = 3.5
+) -> DataFrame:
+    """Outlier-user detection by event volume: modified z-score
+    (0.6745 * (n - median) / MAD, Iglewicz-Hoaglin) over per-user
+    event counts — the whale/bot tripwire that names the users
+    [[agg_gini]]'s concentration number only hints at. Median and MAD
+    are EXACT rank selections over the |users|-bounded count table
+    (two global rank windows — the table is an aggregate, never
+    event-scale; the ts_anomaly_mad shape applied to users). Emits
+    flagged users only (|z| > 3.5), with the same documented MAD == 0
+    degenerate behavior as embedding_outliers (no rows flag).
+    Returns (user_id, n_events, mod_zscore)."""
+    ev = read_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    w_rank = Window.orderBy("n_events", "user_id")
+    w_all = Window.partitionBy()
+    r = counts.select(
+        "user_id", "n_events",
+        F.row_number().over(w_rank).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__cnt"),
+    )
+    lo = F.floor((F.col("__cnt") + 1) / 2)
+    hi = F.ceil((F.col("__cnt") + 1) / 2)
+    med = (
+        F.max(F.when(F.col("__rn") == lo, F.col("n_events"))).over(w_all)
+        + F.max(F.when(F.col("__rn") == hi, F.col("n_events"))).over(w_all)
+    ).cast("double") / F.lit(2.0)
+    d = r.select(
+        "user_id", "n_events",
+        F.abs(F.col("n_events").cast("double") - med).alias("__ad"),
+        med.alias("__med"),
+    )
+    w_rank2 = Window.orderBy("__ad", "user_id")
+    r2 = d.select(
+        "user_id", "n_events", "__ad", "__med",
+        F.row_number().over(w_rank2).alias("__rn2"),
+        F.count(F.lit(1)).over(w_all).alias("__cnt2"),
+    )
+    lo2 = F.floor((F.col("__cnt2") + 1) / 2)
+    hi2 = F.ceil((F.col("__cnt2") + 1) / 2)
+    mad = (
+        F.max(F.when(F.col("__rn2") == lo2, F.col("__ad"))).over(w_all)
+        + F.max(F.when(F.col("__rn2") == hi2, F.col("__ad"))).over(w_all)
+    ) / F.lit(2.0)
+    z = F.lit(0.6745) * (F.col("n_events").cast("double") - F.col("__med")) / mad
+    return (
+        r2.select(
+            "user_id", "n_events",
+            F.when(mad > 0, F.round(z, 6)).alias("mod_zscore"),
+        )
+        .filter(
+            F.col("mod_zscore").isNotNull()
+            & (F.abs("mod_zscore") > F.lit(z_cut))
+        )
+    )
+
+
+def attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch purchase attribution: each purchase is credited to
+    the user's most recent non-purchase event within the preceding
+    hour ('direct' if none) — the marketing-analytics staple that
+    says which behavior precedes conversion (the causal-flavored
+    companion to [[agg_markov]]'s transition rates).
+
+    ONE window per user carries the latest non-purchase (ts, event)
+    as a struct max over preceding rows (struct comparison is
+    lexicographic in both engines; event_id breaks timestamp ties);
+    everything after is a tiny groupBy over attribution labels.
+    Integer counts, decimal revenue. Returns (attributed_type,
+    n_purchases, revenue, share)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.max(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct(
+                F.unix_micros("ts").alias("t"),
+                F.col("event_id").alias("e"),
+                F.col("event_type").alias("ty"),
+            ),
+        )
+    ).over(w)
+    p = ev.select(
+        "event_type", "value", F.unix_micros("ts").alias("__t"),
+        prev.alias("__prev"),
+    ).filter(F.col("event_type") == "purchase")
+    attributed = F.when(
+        F.col("__prev").isNotNull()
+        & (F.col("__t") - F.col("__prev.t") <= 3_600_000_000),
+        F.col("__prev.ty"),
+    ).otherwise(F.lit("direct"))
+    agg = p.groupBy(attributed.alias("attributed_type")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum(F.col("value").cast("decimal(30,8)")), 4)
+        .cast("double")
+        .alias("revenue"),
+    )
+    total = Window.partitionBy()
+    return agg.select(
+        "attributed_type",
+        "n_purchases",
+        "revenue",
+        (
+            F.floor(
+                F.col("n_purchases").cast("double")
+                / F.sum("n_purchases").over(total).cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("share"),
+    )

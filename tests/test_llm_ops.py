@@ -1793,3 +1793,62 @@ def test_bpe_vocab_coverage_invariants(spark, docs):
     assert 0 <= r["n_single_piece_types"] <= r["n_types"]
     # char-split words average > 1 piece with only 5 merges
     assert r["mean_pieces_in_vocab"] > 1.0
+
+
+def test_attribution_last_touch(spark, monkeypatch):
+    from datetime import datetime, timedelta
+
+    from fossil_spark.queries import analytics
+    from fossil_spark.session import read_table as real_read
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 7, "view", 0.0),
+        (1, t0 + timedelta(minutes=10), 7, "purchase", 50.0),   # <- view
+        (2, t0 + timedelta(hours=3), 7, "purchase", 30.0),      # stale -> direct
+        (3, t0, 8, "purchase", 20.0),                           # first -> direct
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    import fossil_spark.queries.analytics as mod
+
+    monkeypatch.setattr(mod, "read_table", lambda s, d, t: ev)
+    out = {r["attributed_type"]: r for r in analytics.attribution(spark, "x").collect()}
+    assert out["view"]["n_purchases"] == 1 and out["view"]["revenue"] == 50.0
+    assert out["direct"]["n_purchases"] == 2 and out["direct"]["revenue"] == 50.0
+    assert out["view"]["share"] == round(1 / 3, 6) or abs(out["view"]["share"] - 0.333333) < 1e-9
+
+
+def test_quality_representative_one_per_component(spark, docs):
+    from fossil_spark.operators import dedup
+
+    out = dedup.quality_representative(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        reps = [m for m in members if m["is_representative"]]
+        assert len(reps) == 1
+        best_q = max(m["quality"] for m in members)
+        assert reps[0]["quality"] == best_q
+        # tie-break: smallest doc_id among max-quality members
+        assert reps[0]["doc_id"] == min(
+            m["doc_id"] for m in members if m["quality"] == best_q
+        )
+
+
+def test_dup_audit_counts_identical_vectors(spark):
+    rows = [
+        (0, [1.0, 2.0]),
+        (1, [1.0, 2.0]),
+        (2, [3.0, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = ann.dup_audit(df).collect()[0]
+    assert (r["n_vectors"], r["n_distinct"]) == (3, 2)
+    assert (r["n_dup_groups"], r["n_dup_vectors"], r["max_group_size"]) == (1, 2, 2)

@@ -259,6 +259,13 @@ _SCAN_BUDGET = {
     "ts_seasonal_strength": 1,    # decompose windows + SS, one key sort
     "ts_corr_matrix": 2,          # bucket-table self-join, two branches
     "ts_winsorized": 1,           # rank + clip windows share one sort
+    "ts_apdex": 1,                # one map-side-combined groupBy
+    "ts_profile_drift": 2,        # rows + the 1-row bounds broadcast
+    "ts_completeness": 1,         # bucket agg + lag + groupBy, one key sort
+    "agg_user_outliers": 1,       # count agg; ranks over the |users| table
+    "agg_attribution": 1,         # one user window + tiny label groupBy
+    "dedup_quality_rep": 3,       # component pipeline (2) + quality side
+    "embedding_dup_audit": 1,     # one hash groupBy + one aggregate
 }
 
 

@@ -1454,3 +1454,63 @@ def test_winsorized_clips_outlier(spark):
     assert r["n_clipped"] == 2
     assert r["mean_raw"] == round(1045.0 / 11.0, 10) or abs(r["mean_raw"] - 1045.0 / 11) < 1e-9
     assert abs(r["mean_winsorized"] - 5.0) < 1e-9
+
+
+def test_apdex_planted(spark):
+    t0 = datetime(2024, 1, 1)
+    vals = [0.5, 1.0, 2.0, 4.0, 5.0]
+    rows = [
+        (i, t0 + timedelta(minutes=i), "k", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    r = ts.apdex(df, 1.0, "1 hour", "ts", ["event_type"], "value").collect()[0]
+    # satisfied: 0.5, 1.0 (boundary in); tolerating: 2.0, 4.0 (4T in)
+    assert (r["n_satisfied"], r["n_tolerating"], r["n_frustrated"]) == (2, 2, 1)
+    assert r["apdex"] == (2 + 2 / 2) / 5
+
+
+def test_profile_drift_shifted_hours(spark):
+    t0 = datetime(2024, 1, 1, 0, 0)
+    rows = [(i, t0 + timedelta(minutes=i), "k") for i in range(3)]
+    t1 = datetime(2024, 1, 2, 12, 0)
+    rows += [(10 + i, t1 + timedelta(minutes=i), "k") for i in range(3)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    r = ts.profile_drift(df, "ts", ["event_type"]).collect()[0]
+    # first half entirely hour 0, second entirely hour 12: maximal L1
+    assert (r["n_first"], r["n_second"]) == (3, 3)
+    assert r["profile_l1"] == 2.0
+
+
+def test_completeness_counts_missing_buckets(spark):
+    t0 = datetime(2024, 1, 1)
+    hours = [0, 1, 2, 5]
+    rows = [(i, t0 + timedelta(hours=h, minutes=1), "k") for i, h in enumerate(hours)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    r = ts.completeness(df, "1 hour", "ts", ["event_type"]).collect()[0]
+    assert (r["expected_buckets"], r["observed_buckets"]) == (6, 4)
+    assert r["coverage"] == round(4 / 6, 6) or abs(r["coverage"] - 0.666667) < 1e-9
+    assert r["max_missing_run"] == 2
+
+
+def test_user_outliers_flags_whale(spark):
+    from fossil_spark.queries import analytics
+
+    out = analytics.user_outliers(spark, "/root/testdata/sf0.001", z_cut=1.0).collect()
+    assert len(out) > 0
+    for r in out:
+        assert abs(r["mod_zscore"]) > 1.0
+    # flagged users are the extremes: every flagged count is outside
+    # the unflagged counts' [min, max] envelope on at least one side
+    flagged = {r["user_id"] for r in out}
+    from fossil_spark.session import read_table
+
+    counts = {
+        r["user_id"]: r["n"]
+        for r in read_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    unflagged = [n for u, n in counts.items() if u not in flagged]
+    for u in flagged:
+        assert counts[u] > max(unflagged) or counts[u] < min(unflagged)

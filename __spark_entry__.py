@@ -1851,6 +1851,37 @@ def _embedding_dup_audit(spark, sf_dir):
     return ann.dup_audit(read_table(spark, sf_dir, "embeddings"))
 
 
+def _ts_hampel(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.hampel(
+        _events(spark, sf_dir), window_rows=25, k=3.0, time_col="ts",
+        by=["event_type"], value_col="value", order_tiebreak=["event_id"],
+    )
+
+
+def _ts_flatline(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fossil_spark.operators import timeseries as ts
+
+    # the raw float stream has no exact repeats; a real gauge would —
+    # the decade-bucketed value stands in for a quantized sensor
+    ev = _events(spark, sf_dir).withColumn(
+        "v10", F.floor(F.col("value") / 10)
+    )
+    return ts.flatline(
+        ev, min_run=3, time_col="ts", by=["event_type"],
+        value_col="v10", order_tiebreak=["event_id"],
+    )
+
+
+def _text_encoding_audit(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.encoding_audit(_docs(spark, sf_dir))
+
+
 # The driver's correctness gate checks the FIRST ~50 keys of
 # queries(). VERDICT r5 ask #1: rotate the 26 keys the driver has
 # never seen (all judge-verified green locally) to the head, keep one
@@ -1897,7 +1928,8 @@ _WINDOW_PRIORITY = [
     "ts_seasonal_strength", "ts_corr_matrix", "ts_winsorized",
     "bpe_vocab_coverage", "ts_apdex", "ts_profile_drift",
     "ts_completeness", "agg_user_outliers", "agg_attribution",
-    "dedup_quality_rep", "embedding_dup_audit",
+    "dedup_quality_rep", "embedding_dup_audit", "ts_hampel",
+    "ts_flatline", "text_encoding_audit", "agg_purchase_cadence",
 ]
 
 
@@ -2015,6 +2047,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_attribution": _analytics("attribution"),
         "dedup_quality_rep": _dedup_quality_rep,
         "embedding_dup_audit": _embedding_dup_audit,
+        "ts_hampel": _ts_hampel,
+        "ts_flatline": _ts_flatline,
+        "text_encoding_audit": _text_encoding_audit,
+        "agg_purchase_cadence": _analytics("purchase_cadence"),
         "ts_lttb": _ts_lttb,
         "text_keywords": _text_keywords,
         "text_contamination": _text_contamination,
@@ -5373,5 +5409,93 @@ def oracle_sql() -> dict[str, str]:
         " CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)"
         "  AS n_dup_vectors,"
         " CAST(max(n) AS BIGINT) AS max_group_size FROM g"
+    )
+    # Hampel filter: trailing-25 exact median/MAD (rank selections over
+    # the frame list — same element both engines), flagged rows only
+    out["ts_hampel"] = (
+        "WITH f AS (SELECT event_type, ts, value,"
+        " list(value) OVER fr AS l, count(*) OVER fr AS n"
+        f" FROM {_EV} e WINDOW fr AS (PARTITION BY event_type"
+        "  ORDER BY ts, event_id"
+        "  ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)),"
+        " g AS (SELECT event_type, ts, value, list_sort(l)[13] AS med, l"
+        "  FROM f WHERE n = 25),"
+        " h AS (SELECT event_type, ts, value, med,"
+        "  list_sort(list_transform(l, x -> abs(x - med)))[13] AS mad"
+        "  FROM g),"
+        " s AS (SELECT event_type, ts, value, med, mad,"
+        "  CASE WHEN mad > 0 THEN"
+        "   round(0.6745 * (value - med) / mad, 6) END AS score FROM h)"
+        " SELECT event_type, ts, value, med AS local_median,"
+        " mad AS local_mad, score FROM s"
+        " WHERE score IS NOT NULL AND abs(score) > 3.0"
+    )
+    # flatline runs over the decade-bucketed value (islands on value
+    # equality; the sessionize running-sum trick)
+    out["ts_flatline"] = (
+        "WITH s AS (SELECT event_type, ts, event_id,"
+        f" floor(value / 10) AS v10 FROM {_EV} e),"
+        " l AS (SELECT *, CASE WHEN lag(v10) OVER w IS NULL"
+        "  OR lag(v10) OVER w != v10 THEN 1 ELSE 0 END AS ch"
+        "  FROM s WINDOW w AS (PARTITION BY event_type"
+        "   ORDER BY ts, event_id)),"
+        " r AS (SELECT *, sum(ch) OVER (PARTITION BY event_type"
+        "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run FROM l)"
+        " SELECT event_type, CAST(v10 AS BIGINT) AS value, min(ts) AS start_ts,"
+        " max(ts) AS end_ts, CAST(count(*) AS BIGINT) AS n_samples,"
+        " CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT)"
+        "  AS duration_us"
+        " FROM r GROUP BY event_type, v10, run HAVING count(*) >= 3"
+    )
+    # encoding health: pure regex counts (RE2 and Java agree on these
+    # byte-range classes); all-exact ints, one double ratio
+    out["text_encoding_audit"] = (
+        "SELECT doc_id,"
+        " CAST(greatest(len(text), 1) AS BIGINT) AS n_chars,"
+        r" CAST(len(regexp_extract_all(text, '[^\x00-\x7F]')) AS BIGINT)"
+        "  AS n_non_ascii,"
+        r" round(CAST(len(regexp_extract_all(text, '[^\x00-\x7F]'))"
+        "  AS DOUBLE) / greatest(len(text), 1), 6) AS non_ascii_ratio,"
+        r" CAST(len(regexp_extract_all(text,"
+        r" '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_control,"
+        " CAST(len(regexp_extract_all(text, '\ufffd')) AS BIGINT)"
+        "  AS n_replacement,"
+        r" len(regexp_extract_all(text, '�')) > 0"
+        r" OR len(regexp_extract_all(text,"
+        r" '[\x00-\x08\x0B\x0C\x0E-\x1F]')) > 0"
+        r" OR round(CAST(len(regexp_extract_all(text, '[^\x00-\x7F]'))"
+        "  AS DOUBLE) / greatest(len(text), 1), 6) > 0.3"
+        "  AS encoding_suspect"
+        " FROM documents"
+    )
+    # repeat-purchase cadence: exact-rank pooled gap quantiles,
+    # floor-half-up hour conversion (µs/3.6e9 rationals tie at .5e-6)
+    out["agg_purchase_cadence"] = (
+        "WITH p AS (SELECT user_id, ts, event_id"
+        f" FROM {_EV} e WHERE event_type = 'purchase'),"
+        " g0 AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER ("
+        "  PARTITION BY user_id ORDER BY ts, event_id) AS gap_us FROM p),"
+        " g AS (SELECT * FROM g0 WHERE gap_us IS NOT NULL),"
+        " r AS (SELECT user_id, gap_us,"
+        "  row_number() OVER (ORDER BY gap_us) AS rn,"
+        "  count(*) OVER () AS cnt FROM g),"
+        " a AS (SELECT count(DISTINCT user_id) AS nru, count(*) AS ng,"
+        "  min(gap_us) AS mn, max(gap_us) AS mx,"
+        "  max(CASE WHEN rn = (cnt + 1) // 2 THEN gap_us END) AS lo_v,"
+        "  max(CASE WHEN rn = CAST(ceil((cnt + 1) / 2.0) AS BIGINT)"
+        "   THEN gap_us END) AS hi_v,"
+        "  max(CASE WHEN rn = cnt - cnt // 10 THEN gap_us END) AS p90"
+        "  FROM r)"
+        " SELECT CAST(nru AS BIGINT) AS n_repeat_users,"
+        " CAST(ng AS BIGINT) AS n_gaps,"
+        " floor(CAST(mn AS DOUBLE) / 3600000000.0 * 1000000.0 + 0.5)"
+        "  / 1000000.0 AS min_gap_hours,"
+        " floor(CAST((lo_v + hi_v) / 2.0 AS DOUBLE) / 3600000000.0"
+        "  * 1000000.0 + 0.5) / 1000000.0 AS median_gap_hours,"
+        " floor(CAST(p90 AS DOUBLE) / 3600000000.0 * 1000000.0 + 0.5)"
+        "  / 1000000.0 AS p90_gap_hours,"
+        " floor(CAST(mx AS DOUBLE) / 3600000000.0 * 1000000.0 + 0.5)"
+        "  / 1000000.0 AS max_gap_hours"
+        " FROM a"
     )
     return out

@@ -129,7 +129,8 @@ def main() -> None:
         "ts_seasonal_strength", "ts_corr_matrix", "ts_winsorized",
         "bpe_vocab_coverage", "ts_apdex", "ts_profile_drift",
         "ts_completeness", "agg_user_outliers", "agg_attribution",
-        "dedup_quality_rep", "embedding_dup_audit",
+        "dedup_quality_rep", "embedding_dup_audit", "ts_hampel",
+        "ts_flatline", "text_encoding_audit", "agg_purchase_cadence",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

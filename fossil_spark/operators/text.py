@@ -1759,3 +1759,43 @@ def bpe_vocab_coverage(
             F.col("__pieces_sum").cast("double") / F.col("in_vocab_occ")
         ).alias("mean_pieces_in_vocab"),
     )
+
+
+def encoding_audit(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document text-encoding health: non-ASCII rate, control-
+    character count, U+FFFD replacement-character count (the smoking
+    gun of a decode-with-wrong-charset step), and a mojibake verdict
+    — the data-quality tripwire a crawl pipeline runs before any
+    tokenizer sees the bytes (a corrupted charset inflates token
+    counts and poisons [[text_langid]] silently).
+
+    Pure JVM regexp_count expressions folded into the scan — zero
+    shuffles, zero Python. Ratios are single double divisions of
+    exact ints over a >= 1 floor. Returns (id, n_chars, n_non_ascii,
+    non_ascii_ratio, n_control, n_replacement, encoding_suspect)."""
+    n_chars = F.greatest(F.length(F.col(text_col)), F.lit(1)).cast("long")
+    n_non_ascii = F.regexp_count(
+        F.col(text_col), F.lit(r"[^\x00-\x7F]")
+    ).cast("long")
+    n_control = F.regexp_count(
+        F.col(text_col), F.lit(r"[\x00-\x08\x0B\x0C\x0E-\x1F]")
+    ).cast("long")
+    n_repl = F.regexp_count(F.col(text_col), F.lit("�")).cast("long")
+    ratio = F.round(
+        n_non_ascii.cast("double") / n_chars.cast("double"), 6
+    )
+    return df.select(
+        id_col,
+        n_chars.alias("n_chars"),
+        n_non_ascii.alias("n_non_ascii"),
+        ratio.alias("non_ascii_ratio"),
+        n_control.alias("n_control"),
+        n_repl.alias("n_replacement"),
+        (
+            (n_repl > 0)
+            | (n_control > 0)
+            | (ratio > F.lit(0.3))
+        ).alias("encoding_suspect"),
+    )

@@ -2511,7 +2511,9 @@ def rolling_median(
         *by,
         F.col(time_col),
         F.col(value_col),
-        F.element_at(frame, mid).alias("__med"),
+        # try_element_at: short leading frames yield NULL instead of an
+        # ANSI out-of-bounds error; the full-frame filter drops them
+        F.try_element_at(frame, F.lit(mid)).alias("__med"),
         F.size(frame).alias("__n"),
         *[F.col(c) for c in (order_tiebreak or [])],
     )
@@ -3288,4 +3290,143 @@ def completeness(
         F.greatest(F.coalesce(F.col("__mm"), F.lit(0)), F.lit(0)).alias(
             "max_missing_run"
         ),
+    )
+
+
+def hampel(
+    df: DataFrame,
+    window_rows: int = 25,
+    k: float = 3.0,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Hampel filter per key: flag samples whose modified z-score
+    against the TRAILING window's median/MAD exceeds `k` — the
+    classic streaming-friendly spike detector ([[ts_anomaly_mad]]
+    scores against the key's GLOBAL median; Hampel localizes it so a
+    regime change doesn't flag a whole era). Only full (odd) frames
+    score, so every median/MAD is the exact middle order statistic —
+    rank selection, no interpolation kernel, engine-ulp safe (the
+    ts_rolling_median rule).
+
+    The frame is one bounded collect_list per row (w doubles,
+    map-side); median, MAD and the score are pure array expressions
+    — zero joins, one sort per key. Returns flagged rows only:
+    (*by, ts, value, local_median, local_mad, score)."""
+    if window_rows % 2 == 0:
+        raise ValueError("window_rows must be odd for exact medians")
+    by = by or []
+    df = _time_norm(df, time_col)
+    order = [F.col(time_col)] + [F.col(c) for c in (order_tiebreak or [])]
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    mid = window_rows // 2 + 1
+    frame = F.collect_list(F.col(value_col)).over(w)
+    s = df.select(
+        *by,
+        F.col(time_col),
+        F.col(value_col),
+        frame.alias("__f"),
+        *[F.col(c) for c in (order_tiebreak or [])],
+    ).filter(F.size("__f") == window_rows)
+    # CollapseProject re-inlines a projected expression into every
+    # downstream reference — inside the 25-element transform lambda
+    # that re-sorts the frame PER ELEMENT (the round-5 50x pitfall,
+    # measured 10x here). A current-row-frame window is a real plan
+    # barrier that materializes the value once per row AND reuses the
+    # existing (key, time) sort — no extra exchange.
+    w_row = (
+        Window.partitionBy(*by).orderBy(*order).rowsBetween(0, 0)
+    )
+
+    def once(col):
+        return F.last(col).over(w_row)
+
+    med = F.try_element_at(F.array_sort(F.col("__f")), F.lit(mid))
+    s2 = s.select(
+        *by, F.col(time_col), F.col(value_col), "__f",
+        once(med).alias("__med"),
+        *[F.col(c) for c in (order_tiebreak or [])],
+    )
+    mad = F.try_element_at(
+        F.array_sort(
+            F.transform(F.col("__f"), lambda x: F.abs(x - F.col("__med")))
+        ),
+        F.lit(mid),
+    )
+    s3 = s2.select(
+        *by, F.col(time_col), F.col(value_col), "__med",
+        once(mad).alias("__mad"),
+    )
+    score = F.round(
+        F.lit(0.6745)
+        * (F.col(value_col) - F.col("__med"))
+        / F.col("__mad"),
+        6,
+    )
+    return (
+        s3.select(
+            *by, F.col(time_col), F.col(value_col),
+            F.col("__med").alias("local_median"),
+            F.col("__mad").alias("local_mad"),
+            F.when(F.col("__mad") > 0, score).alias("score"),
+        )
+        .filter(F.col("score").isNotNull() & (F.abs("score") > F.lit(k)))
+    )
+
+
+def flatline(
+    df: DataFrame,
+    min_run: int = 3,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Stuck-sensor detection: maximal runs of >= `min_run`
+    consecutive IDENTICAL values per key — a flatlined gauge usually
+    means a dead collector or a frozen upstream, and it poisons every
+    downstream aggregate silently ([[ts_completeness]] catches
+    missing data; this catches data that is present but dead).
+
+    Islands shape on value-equality: a run boundary is any row whose
+    value differs from its predecessor (one lag + running sum over
+    ONE sort — the sessionize trick), then a groupBy per run. All
+    integer/IEEE-equality exact. Returns (*by, value, start_ts,
+    end_ts, n_samples, duration_us) for qualifying runs."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    order = [F.col(time_col)] + [F.col(c) for c in (order_tiebreak or [])]
+    w = Window.partitionBy(*by).orderBy(*order)
+    changed = F.when(
+        F.lag(value_col).over(w).isNull()
+        | (F.lag(value_col).over(w) != F.col(value_col)),
+        1,
+    ).otherwise(0)
+    run = F.sum(changed).over(
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = df.select(
+        *by, F.col(time_col), F.col(value_col), run.alias("__run")
+    )
+    return (
+        s.groupBy(*by, F.col(value_col).alias("value"), "__run")
+        .agg(
+            F.min(time_col).alias("start_ts"),
+            F.max(time_col).alias("end_ts"),
+            F.count(F.lit(1)).alias("n_samples"),
+            (
+                F.max(F.unix_micros(F.col(time_col)))
+                - F.min(F.unix_micros(F.col(time_col)))
+            ).alias("duration_us"),
+        )
+        .filter(F.col("n_samples") >= min_run)
+        .drop("__run")
     )

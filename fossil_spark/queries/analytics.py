@@ -757,3 +757,61 @@ def attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("share"),
     )
+
+
+def purchase_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the corpus-level distribution of
+    per-user gaps between consecutive purchases — the number behind
+    replenishment emails and churn-risk windows ("a customer 2x past
+    their median gap is drifting"). One lag window over purchase rows
+    per user, then exact-rank quantiles over the pooled gap table
+    (the ts_cadence selection rule — pure integer ranks, no
+    interpolation). One summary row: (n_repeat_users, n_gaps,
+    min_gap_hours, median_gap_hours, p90_gap_hours, max_gap_hours)."""
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = p.select(
+        "user_id",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    wrank = Window.orderBy("gap_us")
+    wall = Window.partitionBy()
+    r = g.select(
+        "user_id", "gap_us",
+        F.row_number().over(wrank).alias("__rn"),
+        F.count(F.lit(1)).over(wall).alias("__cnt"),
+    )
+    lo = F.floor((F.col("__cnt") + 1) / 2)
+    hi = F.ceil((F.col("__cnt") + 1) / 2)
+    p90 = F.col("__cnt") - F.floor(F.col("__cnt") / 10)
+    agg = r.agg(
+        F.countDistinct("user_id").alias("n_repeat_users"),
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").alias("__mn"),
+        F.max("gap_us").alias("__mx"),
+        F.max(F.when(F.col("__rn") == lo, F.col("gap_us"))).alias("__lo"),
+        F.max(F.when(F.col("__rn") == hi, F.col("gap_us"))).alias("__hi"),
+        F.max(F.when(F.col("__rn") == p90, F.col("gap_us"))).alias("__p90"),
+    )
+
+    def hours(c):
+        # floor-half-up: integer-µs / 3.6e9 rationals can land on exact
+        # .5e-6 ties that engines' round kernels split
+        return F.floor(
+            c.cast("double") / F.lit(3600000000.0) * F.lit(1000000.0)
+            + F.lit(0.5)
+        ) / F.lit(1000000.0)
+
+    return agg.select(
+        "n_repeat_users", "n_gaps",
+        hours(F.col("__mn")).alias("min_gap_hours"),
+        hours((F.col("__lo") + F.col("__hi")) / F.lit(2.0)).alias(
+            "median_gap_hours"
+        ),
+        hours(F.col("__p90")).alias("p90_gap_hours"),
+        hours(F.col("__mx")).alias("max_gap_hours"),
+    )

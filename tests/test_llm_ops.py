@@ -1852,3 +1852,41 @@ def test_dup_audit_counts_identical_vectors(spark):
     r = ann.dup_audit(df).collect()[0]
     assert (r["n_vectors"], r["n_distinct"]) == (3, 2)
     assert (r["n_dup_groups"], r["n_dup_vectors"], r["max_group_size"]) == (1, 2, 2)
+
+
+def test_encoding_audit_flags_mojibake(spark):
+    rows = [
+        (0, "clean ascii text here"),
+        (1, "bad \x01 control char"),
+        (2, "replacement � char"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.encoding_audit(df).collect()}
+    assert not out[0]["encoding_suspect"]
+    assert out[1]["encoding_suspect"] and out[1]["n_control"] == 1
+    assert out[2]["encoding_suspect"] and out[2]["n_replacement"] == 1
+
+
+def test_purchase_cadence_planted(spark, monkeypatch):
+    from datetime import datetime, timedelta
+
+    import fossil_spark.queries.analytics as mod
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 7, "purchase", 1.0),
+        (1, t0 + timedelta(hours=2), 7, "purchase", 1.0),
+        (2, t0 + timedelta(hours=6), 7, "purchase", 1.0),
+        (3, t0, 8, "view", 1.0),  # non-purchase ignored
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    monkeypatch.setattr(mod, "read_table", lambda s, d, t: ev)
+    r = mod.purchase_cadence(spark, "x").collect()[0]
+    assert (r["n_repeat_users"], r["n_gaps"]) == (1, 2)
+    # gaps 2h and 4h -> median 3h
+    assert r["median_gap_hours"] == 3.0
+    assert (r["min_gap_hours"], r["max_gap_hours"]) == (2.0, 4.0)

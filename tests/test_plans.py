@@ -266,6 +266,10 @@ _SCAN_BUDGET = {
     "agg_attribution": 1,         # one user window + tiny label groupBy
     "dedup_quality_rep": 3,       # component pipeline (2) + quality side
     "embedding_dup_audit": 1,     # one hash groupBy + one aggregate
+    "ts_hampel": 1,               # bounded frame list, one sort per key
+    "ts_flatline": 1,             # lag + running sum + groupBy, one sort
+    "text_encoding_audit": 1,     # pure regex columns, zero shuffles
+    "agg_purchase_cadence": 1,    # purchase filter + lag + pooled ranks
 }
 
 

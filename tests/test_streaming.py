@@ -422,3 +422,52 @@ def test_streaming_heavy_hitters_topk_per_window(spark, workdir):
         if str(r["bucket"]).startswith("2024-01-01 00:00")
     ]
     assert sorted(first) == [("/hot", 5, 1), ("/warm", 3, 2)]
+
+
+def test_streaming_apdex_scores_window(spark, workdir):
+    from fossil_spark.streaming.apdex import streaming_apdex
+
+    src = os.path.join(workdir, "incoming")
+    os.makedirs(src)
+    _write_jsonl(os.path.join(src, "a.json"), [
+        {"time": "2024-01-01T00:05:00", "topic": "/svc", "value": "50"},
+        {"time": "2024-01-01T00:10:00", "topic": "/svc", "value": "100"},
+        {"time": "2024-01-01T00:20:00", "topic": "/svc", "value": "250"},
+        {"time": "2024-01-01T00:30:00", "topic": "/svc", "value": "900"},
+        # closer far in the future so the first window finalizes
+        {"time": "2024-01-02T00:00:00", "topic": "/close", "value": "1"},
+    ])
+    stream = read_json_dropbox(spark, src).withColumn(
+        "value", F.col("value").cast("double")
+    )
+    scored = streaming_apdex(stream, threshold=100.0, every="1 hour",
+                             watermark="1 minute")
+    name = f"apdex_{uuid.uuid4().hex[:8]}"
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (str(r["bucket"]), r["topic"]): r
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    r = rows[("2024-01-01 00:00:00", "/svc")]
+    # 50, 100 satisfied; 250 tolerating (<=400); 900 frustrated
+    assert (r["n"], r["n_satisfied"], r["n_tolerating"], r["n_frustrated"]) \
+        == (4, 2, 1, 1)
+    assert r["apdex"] == (2 + 1 / 2) / 4
+    # identical arithmetic to the batch operator (lambda-parity check)
+    from fossil_spark.operators import timeseries as ts
+
+    batch = spark.createDataFrame(
+        [(i, __import__("datetime").datetime(2024, 1, 1, 0, 5 * (i + 1)),
+          "/svc", v)
+         for i, v in enumerate([50.0, 100.0, 250.0, 900.0])],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    b = ts.apdex(batch, 100.0, "1 hour", "ts", ["event_type"], "value").collect()[0]
+    assert b["apdex"] == r["apdex"]

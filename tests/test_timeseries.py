@@ -1514,3 +1514,45 @@ def test_user_outliers_flags_whale(spark):
     unflagged = [n for u, n in counts.items() if u not in flagged]
     for u in flagged:
         assert counts[u] > max(unflagged) or counts[u] < min(unflagged)
+
+
+def test_hampel_flags_local_spike_not_regime_change(spark):
+    t0 = datetime(2024, 1, 1)
+    # regime 1 at ~10, regime 2 at ~50; one spike inside regime 2.
+    vals = [10.0, 11.0, 9.0, 10.0, 12.0] + [50.0, 51.0, 49.0, 500.0, 50.0, 51.0, 49.0]
+    rows = [
+        (i, t0 + timedelta(seconds=i), "k", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = ts.hampel(
+        df, window_rows=5, k=3.0, time_col="ts", by=["event_type"],
+        value_col="value", order_tiebreak=["event_id"],
+    ).collect()
+    flagged_ts = {r["ts"] for r in out}
+    # the spike is flagged
+    assert t0 + timedelta(seconds=8) in flagged_ts
+    # once the trailing window has caught up with the new regime, its
+    # ordinary values are NOT flagged (indices 10, 11)
+    assert t0 + timedelta(seconds=10) not in flagged_ts
+    assert t0 + timedelta(seconds=11) not in flagged_ts
+
+
+def test_flatline_finds_stuck_run(spark):
+    t0 = datetime(2024, 1, 1)
+    vals = [1.0, 1.0, 1.0, 2.0, 2.0, 5.0]
+    rows = [
+        (i, t0 + timedelta(seconds=i), "k", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = ts.flatline(
+        df, min_run=3, time_col="ts", by=["event_type"],
+        value_col="value", order_tiebreak=["event_id"],
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["value"] == 1.0 and r["n_samples"] == 3
+    assert r["duration_us"] == 2_000_000

@@ -1860,6 +1860,24 @@ def _ts_hampel(spark, sf_dir):
     )
 
 
+def _ts_percentile_bands(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.percentile_bands(
+        _events(spark, sf_dir), every="6 hours", time_col="ts",
+        by=["event_type"], value_col="value",
+    )
+
+
+def _ts_error_episodes(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.error_episodes(
+        _events(spark, sf_dir), error_type="error", rate_threshold=0.3,
+        every="1 hour", time_col="ts", type_col="event_type",
+    )
+
+
 def _ts_flatline(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1930,6 +1948,7 @@ _WINDOW_PRIORITY = [
     "ts_completeness", "agg_user_outliers", "agg_attribution",
     "dedup_quality_rep", "embedding_dup_audit", "ts_hampel",
     "ts_flatline", "text_encoding_audit", "agg_purchase_cadence",
+    "ts_percentile_bands", "ts_error_episodes", "agg_conversion_lag",
 ]
 
 
@@ -2048,6 +2067,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_quality_rep": _dedup_quality_rep,
         "embedding_dup_audit": _embedding_dup_audit,
         "ts_hampel": _ts_hampel,
+        "ts_percentile_bands": _ts_percentile_bands,
+        "ts_error_episodes": _ts_error_episodes,
+        "agg_conversion_lag": _analytics("conversion_lag"),
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -5429,6 +5451,82 @@ def oracle_sql() -> dict[str, str]:
         " SELECT event_type, ts, value, med AS local_median,"
         " mad AS local_mad, score FROM s"
         " WHERE score IS NOT NULL AND abs(score) > 3.0"
+    )
+    # exact per-bucket latency bands: rank selections only (p50 = mid
+    # pair mean, p95/p99 = ceil(q*n)-th order statistic)
+    out["ts_percentile_bands"] = (
+        "WITH s AS (SELECT event_type,"
+        " time_bucket(INTERVAL 6 HOUR, ts) AS bucket, value AS v"
+        f" FROM {_EV} e),"
+        " r AS (SELECT *, row_number() OVER ("
+        "  PARTITION BY event_type, bucket ORDER BY v) AS rn,"
+        "  count(*) OVER (PARTITION BY event_type, bucket) AS n FROM s)"
+        " SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,"
+        " min(v) AS vmin,"
+        " CAST(max(CASE WHEN rn = (n + 1) // 2 THEN v END)"
+        "  + max(CASE WHEN rn = CAST(ceil((n + 1) / 2.0) AS BIGINT)"
+        "   THEN v END) AS DOUBLE) / 2.0 AS p50,"
+        " max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN v END)"
+        "  AS p95,"
+        " max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN v END)"
+        "  AS p99,"
+        " max(v) AS vmax"
+        " FROM r GROUP BY event_type, bucket"
+    )
+    # incident extraction: hot buckets (raw-ratio threshold) -> islands
+    # on consecutive integer bucket ids -> per-incident rollup
+    out["ts_error_episodes"] = (
+        "WITH b AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT)"
+        " AS bk, count(*) AS n, sum(CASE WHEN event_type = 'error'"
+        f" THEN 1 ELSE 0 END) AS ne FROM {_EV} e GROUP BY 1),"
+        " hot AS (SELECT * FROM b"
+        "  WHERE CAST(ne AS DOUBLE) / CAST(n AS DOUBLE) > 0.3),"
+        " s AS (SELECT *, bk - row_number() OVER (ORDER BY bk)"
+        "  AS island FROM hot)"
+        " SELECT make_timestamp(min(bk) * 3600000000) AS start_bucket,"
+        " make_timestamp(max(bk) * 3600000000) AS end_bucket,"
+        " CAST(count(*) AS BIGINT) AS n_buckets,"
+        " CAST(sum(n) AS BIGINT) AS total_events,"
+        " CAST(sum(ne) AS BIGINT) AS total_errors,"
+        " max(floor(CAST(ne AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0"
+        "  + 0.5) / 1000000.0) AS peak_rate"
+        " FROM s GROUP BY island"
+    )
+    # signup -> first-purchase-after lag: two chained user windows,
+    # exact-rank pooled quantiles, floor-half-up hours
+    out["agg_conversion_lag"] = (
+        "WITH s1 AS (SELECT user_id, event_type, epoch_us(ts) AS t,"
+        " min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)"
+        "  OVER (PARTITION BY user_id) AS s"
+        f" FROM {_EV} e),"
+        " s2 AS (SELECT user_id, s,"
+        " min(CASE WHEN event_type = 'purchase' AND t >= s THEN t END)"
+        "  OVER (PARTITION BY user_id) AS p FROM s1),"
+        " u AS (SELECT user_id, max(s) AS s, max(p) AS p FROM s2"
+        "  GROUP BY user_id HAVING max(s) IS NOT NULL),"
+        " d AS (SELECT user_id, p - s AS lag FROM u),"
+        " conv AS (SELECT lag FROM d WHERE lag IS NOT NULL),"
+        " r AS (SELECT lag, row_number() OVER (ORDER BY lag) AS rn,"
+        "  count(*) OVER () AS cnt FROM conv),"
+        " st AS (SELECT count(*) AS n_converted, max(lag) AS mx,"
+        "  max(CASE WHEN rn = (cnt + 1) // 2 THEN lag END) AS lo_v,"
+        "  max(CASE WHEN rn = CAST(ceil((cnt + 1) / 2.0) AS BIGINT)"
+        "   THEN lag END) AS hi_v,"
+        "  max(CASE WHEN rn = cnt - cnt // 10 THEN lag END) AS p90"
+        "  FROM r),"
+        " tot AS (SELECT count(*) AS n_signup_users FROM d)"
+        " SELECT CAST(n_signup_users AS BIGINT) AS n_signup_users,"
+        " CAST(n_converted AS BIGINT) AS n_converted,"
+        " floor(CAST(n_converted AS DOUBLE)"
+        "  / CAST(n_signup_users AS DOUBLE) * 1000000.0 + 0.5)"
+        "  / 1000000.0 AS conversion_rate,"
+        " floor(CAST((lo_v + hi_v) / 2.0 AS DOUBLE) / 3600000000.0"
+        "  * 1000000.0 + 0.5) / 1000000.0 AS median_lag_hours,"
+        " floor(CAST(p90 AS DOUBLE) / 3600000000.0 * 1000000.0 + 0.5)"
+        "  / 1000000.0 AS p90_lag_hours,"
+        " floor(CAST(mx AS DOUBLE) / 3600000000.0 * 1000000.0 + 0.5)"
+        "  / 1000000.0 AS max_lag_hours"
+        " FROM tot, st"
     )
     # flatline runs over the decade-bucketed value (islands on value
     # equality; the sessionize running-sum trick)

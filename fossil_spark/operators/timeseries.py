@@ -3430,3 +3430,123 @@ def flatline(
         .filter(F.col("n_samples") >= min_run)
         .drop("__run")
     )
+
+
+def percentile_bands(
+    df: DataFrame,
+    every: str = "1 hour",
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key per-bucket latency bands: exact p50 / p95 / p99 order
+    statistics plus min/max — THE standard latency dashboard row
+    (pairs with [[ts_apdex]]'s satisfaction rollup; [[agg_percentiles]]
+    computes corpus-level percentiles, this computes them on the
+    bucket grid dashboards page through).
+
+    Quantiles are EXACT rank selections over each (key, bucket)
+    partition (p50 = mean of the two middle order statistics, p95/p99
+    = the ceil(q*n)-th order statistic) — pure integer rank
+    arithmetic, no interpolation kernel, so no engine pair can
+    disagree by an ulp (the ts_cadence rule). One sort per
+    (key, bucket) partition + one groupBy on the same partitioning.
+    Returns (*by, bucket, n, vmin, p50, p95, p99, vmax)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    bucket = F.window(F.col(time_col), every).start
+    s = df.select(
+        *by, bucket.alias("bucket"), F.col(value_col).alias("__v")
+    )
+    wrank = Window.partitionBy(*by, "bucket").orderBy("__v")
+    wall = Window.partitionBy(*by, "bucket")
+    r = s.select(
+        *by, "bucket", "__v",
+        F.row_number().over(wrank).alias("__rn"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
+    )
+    lo = F.floor((F.col("__n") + 1) / 2)
+    hi = F.ceil((F.col("__n") + 1) / 2)
+    p95 = F.ceil(F.col("__n") * F.lit(0.95))
+    p99 = F.ceil(F.col("__n") * F.lit(0.99))
+    agg = r.groupBy(*by, "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__v").alias("vmin"),
+        F.max(F.when(F.col("__rn") == lo, F.col("__v"))).alias("__lo"),
+        F.max(F.when(F.col("__rn") == hi, F.col("__v"))).alias("__hi"),
+        F.max(F.when(F.col("__rn") == p95, F.col("__v"))).alias("p95"),
+        F.max(F.when(F.col("__rn") == p99, F.col("__v"))).alias("p99"),
+        F.max("__v").alias("vmax"),
+    )
+    return agg.select(
+        *by, "bucket", "n", "vmin",
+        ((F.col("__lo") + F.col("__hi")) / F.lit(2.0)).alias("p50"),
+        "p95", "p99", "vmax",
+    )
+
+
+def error_episodes(
+    df: DataFrame,
+    error_type: str = "error",
+    rate_threshold: float = 0.25,
+    every: str = "1 hour",
+    time_col: str = "time",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Incident extraction: maximal runs of CONSECUTIVE buckets whose
+    error-rate exceeds `rate_threshold`, with duration and peak —
+    the step after [[ts_slo_burn]]'s alert: turn a rate stream into
+    discrete incidents you can count, rank and post-mortem
+    ([[ts_threshold_episodes]] runs on raw samples; this runs on the
+    bucket-rate grid and requires consecutiveness on it).
+
+    Integer bucket indices; islands via bucket_idx - row_number (the
+    consecutive-integers trick, immune to missing buckets between
+    incidents); the threshold compares the raw IEEE ratio (identical
+    both engines), reported rates are floor-half-up. One bucket
+    groupBy + one ordered window + one groupBy. Returns
+    (start_bucket, end_bucket, n_buckets, total_events, total_errors,
+    peak_rate)."""
+    df = _time_norm(df, time_col)
+    us_per = _interval_us(every)
+    b = df.groupBy(
+        (F.unix_micros(F.col(time_col)) / F.lit(us_per))
+        .cast("long")
+        .alias("__b")
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.when(F.col(type_col) == error_type, 1).otherwise(0))
+        .cast("long")
+        .alias("__ne"),
+    )
+    rate = F.col("__ne").cast("double") / F.col("__n").cast("double")
+    hot = b.filter(rate > F.lit(rate_threshold))
+    w = Window.orderBy("__b")
+    s = hot.select(
+        "__b", "__n", "__ne",
+        (F.col("__b") - F.row_number().over(w)).alias("__island"),
+    )
+    agg = s.groupBy("__island").agg(
+        F.min("__b").alias("__b0"),
+        F.max("__b").alias("__b1"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("__n").cast("long").alias("total_events"),
+        F.sum("__ne").cast("long").alias("total_errors"),
+        F.max(
+            F.floor(
+                F.col("__ne").cast("double") / F.col("__n").cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("peak_rate"),
+    )
+    return agg.select(
+        F.timestamp_micros(F.col("__b0") * F.lit(us_per)).alias(
+            "start_bucket"
+        ),
+        F.timestamp_micros(F.col("__b1") * F.lit(us_per)).alias(
+            "end_bucket"
+        ),
+        "n_buckets", "total_events", "total_errors", "peak_rate",
+    )

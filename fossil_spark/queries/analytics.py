@@ -815,3 +815,86 @@ def purchase_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         hours(F.col("__p90")).alias("p90_gap_hours"),
         hours(F.col("__mx")).alias("max_gap_hours"),
     )
+
+
+def conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-first-purchase lag distribution: how long converts
+    take to convert, plus the conversion rate — the activation-funnel
+    timing readout growth teams tune onboarding against (pairs with
+    [[ts_funnel]]'s step counts by adding the TIME dimension).
+
+    Two chained selects over ONE user partitioning (first-signup,
+    then first-purchase-AFTER-signup — the second window references
+    the first's output attribute, same exchange), then exact-rank
+    pooled quantiles over the |converted-users| delay table (the
+    ts_cadence rule) with floor-half-up hour conversion. One summary
+    row: (n_signup_users, n_converted, conversion_rate,
+    median_lag_hours, p90_lag_hours, max_lag_hours)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s1 = ev.select(
+        "user_id",
+        F.col("event_type"),
+        F.unix_micros("ts").alias("__t"),
+        F.min(
+            F.when(F.col("event_type") == "signup", F.unix_micros("ts"))
+        ).over(w).alias("__s"),
+    )
+    s2 = s1.select(
+        "user_id", "__s",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("__t") >= F.col("__s")),
+                F.col("__t"),
+            )
+        ).over(w).alias("__p"),
+    )
+    u = s2.groupBy("user_id").agg(
+        F.max("__s").alias("__s"), F.max("__p").alias("__p")
+    ).filter(F.col("__s").isNotNull())
+    d = u.select(
+        "user_id", (F.col("__p") - F.col("__s")).alias("__lag")
+    )
+    conv = d.filter(F.col("__lag").isNotNull())
+    wrank = Window.orderBy("__lag")
+    wall = Window.partitionBy()
+    r = conv.select(
+        "__lag",
+        F.row_number().over(wrank).alias("__rn"),
+        F.count(F.lit(1)).over(wall).alias("__cnt"),
+    )
+    lo = F.floor((F.col("__cnt") + 1) / 2)
+    hi = F.ceil((F.col("__cnt") + 1) / 2)
+    p90 = F.col("__cnt") - F.floor(F.col("__cnt") / 10)
+    stats = r.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.max("__lag").alias("__mx"),
+        F.max(F.when(F.col("__rn") == lo, F.col("__lag"))).alias("__lo"),
+        F.max(F.when(F.col("__rn") == hi, F.col("__lag"))).alias("__hi"),
+        F.max(F.when(F.col("__rn") == p90, F.col("__lag"))).alias("__p90"),
+    )
+    totals = d.agg(F.count(F.lit(1)).alias("n_signup_users"))
+
+    def hours(c):
+        return F.floor(
+            c.cast("double") / F.lit(3600000000.0) * F.lit(1000000.0)
+            + F.lit(0.5)
+        ) / F.lit(1000000.0)
+
+    return totals.crossJoin(stats).select(
+        "n_signup_users",
+        "n_converted",
+        F.floor(
+            F.col("n_converted").cast("double")
+            / F.col("n_signup_users").cast("double")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ) / F.lit(1000000.0),
+        hours((F.col("__lo") + F.col("__hi")) / F.lit(2.0)),
+        hours(F.col("__p90")),
+        hours(F.col("__mx")),
+    ).toDF(
+        "n_signup_users", "n_converted", "conversion_rate",
+        "median_lag_hours", "p90_lag_hours", "max_lag_hours",
+    )

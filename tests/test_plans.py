@@ -270,6 +270,9 @@ _SCAN_BUDGET = {
     "ts_flatline": 1,             # lag + running sum + groupBy, one sort
     "text_encoding_audit": 1,     # pure regex columns, zero shuffles
     "agg_purchase_cadence": 1,    # purchase filter + lag + pooled ranks
+    "ts_percentile_bands": 1,     # rank + count windows share one sort
+    "ts_error_episodes": 1,       # bucket agg -> islands on the tiny grid
+    "agg_conversion_lag": 2,      # user-window side + signup-total side
 }
 
 

@@ -1556,3 +1556,74 @@ def test_flatline_finds_stuck_run(spark):
     r = out[0]
     assert r["value"] == 1.0 and r["n_samples"] == 3
     assert r["duration_us"] == 2_000_000
+
+
+def test_percentile_bands_exact_ranks(spark):
+    t0 = datetime(2024, 1, 1)
+    vals = [float(v) for v in range(1, 21)]  # 1..20 in one bucket
+    rows = [
+        (i, t0 + timedelta(minutes=i), "k", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    r = ts.percentile_bands(
+        df, "1 hour", "ts", ["event_type"], "value"
+    ).collect()[0]
+    assert (r["n"], r["vmin"], r["vmax"]) == (20, 1.0, 20.0)
+    # n=20: p50 = (10th + 11th)/2; p95 = ceil(19)=19th; p99 = 20th
+    assert r["p50"] == 10.5
+    assert r["p95"] == 19.0
+    assert r["p99"] == 20.0
+
+
+def test_error_episodes_consecutive_buckets_merge(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # hours 0,1 hot (50% errors); hour 2 cool; hour 4 hot (not adjacent)
+    for h, err_frac in [(0, 0.5), (1, 0.5), (2, 0.0), (4, 0.5)]:
+        for i in range(4):
+            typ = "error" if i < 4 * err_frac else "view"
+            rows.append((eid, t0 + timedelta(hours=h, minutes=i), typ))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = sorted(
+        ts.error_episodes(df, "error", 0.25, "1 hour", "ts", "event_type").collect(),
+        key=lambda r: r["start_bucket"],
+    )
+    assert len(out) == 2
+    first, second = out
+    # hours 0-1 merge into one incident
+    assert first["n_buckets"] == 2
+    assert first["start_bucket"] == t0
+    assert first["end_bucket"] == t0 + timedelta(hours=1)
+    assert first["total_errors"] == 4 and first["peak_rate"] == 0.5
+    assert second["n_buckets"] == 1
+    assert second["start_bucket"] == t0 + timedelta(hours=4)
+
+
+def test_conversion_lag_planted(spark, monkeypatch):
+    import fossil_spark.queries.analytics as mod
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: purchase BEFORE signup is ignored; converts in 2h
+        (0, t0 - timedelta(hours=5), 1, "purchase", 1.0),
+        (1, t0, 1, "signup", 0.0),
+        (2, t0 + timedelta(hours=2), 1, "purchase", 1.0),
+        # user 2: signup, never purchases
+        (3, t0, 2, "signup", 0.0),
+        # user 3: no signup -> not counted at all
+        (4, t0, 3, "purchase", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    monkeypatch.setattr(mod, "read_table", lambda s, d, t: ev)
+    r = mod.conversion_lag(spark, "x").collect()[0]
+    assert (r["n_signup_users"], r["n_converted"]) == (2, 1)
+    assert r["conversion_rate"] == 0.5
+    assert r["median_lag_hours"] == 2.0 and r["max_lag_hours"] == 2.0

@@ -1878,6 +1878,21 @@ def _ts_error_episodes(spark, sf_dir):
     )
 
 
+def _ts_mttr(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.mttr_mtbf(
+        _events(spark, sf_dir), error_type="error", rate_threshold=0.3,
+        every="1 hour", time_col="ts", type_col="event_type",
+    )
+
+
+def _dedup_prefix(spark, sf_dir):
+    from fossil_spark.operators import dedup
+
+    return dedup.prefix_dedup(_docs(spark, sf_dir), prefix_tokens=32)
+
+
 def _ts_flatline(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1949,6 +1964,7 @@ _WINDOW_PRIORITY = [
     "dedup_quality_rep", "embedding_dup_audit", "ts_hampel",
     "ts_flatline", "text_encoding_audit", "agg_purchase_cadence",
     "ts_percentile_bands", "ts_error_episodes", "agg_conversion_lag",
+    "ts_mttr", "agg_nrr", "dedup_prefix",
 ]
 
 
@@ -2070,6 +2086,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_percentile_bands": _ts_percentile_bands,
         "ts_error_episodes": _ts_error_episodes,
         "agg_conversion_lag": _analytics("conversion_lag"),
+        "ts_mttr": _ts_mttr,
+        "agg_nrr": _analytics("net_revenue_retention"),
+        "dedup_prefix": _dedup_prefix,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -5527,6 +5546,55 @@ def oracle_sql() -> dict[str, str]:
         " floor(CAST(mx AS DOUBLE) / 3600000000.0 * 1000000.0 + 0.5)"
         "  / 1000000.0 AS max_lag_hours"
         " FROM tot, st"
+    )
+    # MTTR / MTBF / availability over the incident stream: nest the
+    # ts_error_episodes oracle, lag over |incidents|, one-row bounds
+    out["ts_mttr"] = (
+        f"WITH ep AS ({out['ts_error_episodes']}),"
+        " e AS (SELECT CAST(epoch_us(start_bucket) // 3600000000"
+        "   AS BIGINT) AS b0, n_buckets FROM ep),"
+        " g AS (SELECT b0, n_buckets,"
+        "  b0 - lag(b0) OVER (ORDER BY b0) AS gap FROM e),"
+        " st AS (SELECT count(*) AS n_incidents,"
+        "  sum(n_buckets) AS hot_buckets, sum(n_buckets) AS dur_sum,"
+        "  count(gap) AS n_gaps, sum(gap) AS gap_sum FROM g),"
+        " bounds AS (SELECT CAST(max(epoch_us(ts)) // 3600000000"
+        "   AS BIGINT) - CAST(min(epoch_us(ts)) // 3600000000 AS BIGINT)"
+        f"  + 1 AS grid_buckets FROM {_EV} e2)"
+        " SELECT CAST(n_incidents AS BIGINT) AS n_incidents,"
+        " floor(CAST(dur_sum AS DOUBLE) / CAST(n_incidents AS DOUBLE)"
+        "  * 1.0 * 1000000.0 + 0.5) / 1000000.0 AS mttr_hours,"
+        " CASE WHEN n_gaps > 0 THEN"
+        "  floor(CAST(gap_sum AS DOUBLE) / CAST(n_gaps AS DOUBLE)"
+        "   * 1.0 * 1000000.0 + 0.5) / 1000000.0 END AS mtbf_hours,"
+        " CAST(hot_buckets AS BIGINT) AS hot_buckets,"
+        " CAST(grid_buckets AS BIGINT) AS grid_buckets,"
+        " floor((1.0 - CAST(hot_buckets AS DOUBLE)"
+        "  / CAST(grid_buckets AS DOUBLE)) * 1000000.0 + 0.5)"
+        "  / 1000000.0 AS availability"
+        " FROM st, bounds"
+    )
+    # NRR over the proven cohort-LTV oracle: one window, one division
+    out["agg_nrr"] = (
+        f"WITH ltv AS ({out['agg_cohort_ltv']}),"
+        " w AS (SELECT *, max(CASE WHEN period_offset = 0 THEN revenue"
+        "  END) OVER (PARTITION BY cohort) AS rev0 FROM ltv)"
+        " SELECT cohort, period_offset, n_active, revenue,"
+        " CASE WHEN rev0 IS NOT NULL AND rev0 != 0 THEN"
+        "  floor(revenue / rev0 * 1000000.0 + 0.5) / 1000000.0"
+        "  END AS nrr"
+        " FROM w"
+    )
+    # prefix-duplicate groups: md5 of the first-32-token join
+    out["dedup_prefix"] = (
+        r"WITH d AS (SELECT doc_id, md5(array_to_string("
+        r"regexp_split_to_array(trim(text), '\s+')[1:32], ' ')) AS k"
+        " FROM documents),"
+        " g AS (SELECT k, CAST(min(doc_id) AS BIGINT) AS group_id,"
+        "  CAST(count(*) AS BIGINT) AS n_docs_same_prefix"
+        "  FROM d GROUP BY 1 HAVING count(*) > 1)"
+        " SELECT d.doc_id, g.group_id, g.n_docs_same_prefix"
+        " FROM d JOIN g USING (k)"
     )
     # flatline runs over the decade-bucketed value (islands on value
     # equality; the sessionize running-sum trick)

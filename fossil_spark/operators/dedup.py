@@ -721,3 +721,41 @@ def quality_representative(docs: DataFrame) -> DataFrame:
         "doc_id", "component", "quality",
         (F.row_number().over(w) == 1).alias("is_representative"),
     )
+
+
+def prefix_dedup(
+    docs: DataFrame,
+    prefix_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Prefix-duplicate detection: documents sharing their first
+    `prefix_tokens` tokens — the templated-page artifact (boilerplate
+    headers, mirrored articles with differing tails) that exact dedup
+    misses and MinHash only catches when the shared prefix dominates.
+    Standard crawl-pipeline screen (complements [[dedup_exact]] /
+    [[dedup_paragraph]] at the document-head granularity).
+
+    One md5-of-prefix groupBy (map-side combined) + a broadcast
+    join-back to name members; work is corpus-linear. Emits only
+    docs in multi-doc prefix groups: (doc_id, group_id = min doc_id,
+    n_docs_same_prefix)."""
+    from fossil_spark.operators.text import tokens
+
+    key = F.md5(
+        F.concat_ws(
+            " ", F.slice(tokens(F.col(text_col)), 1, prefix_tokens)
+        )
+    )
+    d = docs.select(F.col(id_col), key.alias("__k"))
+    g = (
+        d.groupBy("__k")
+        .agg(
+            F.min(id_col).alias("group_id"),
+            F.count(F.lit(1)).alias("n_docs_same_prefix"),
+        )
+        .filter(F.col("n_docs_same_prefix") > 1)
+    )
+    return d.join(F.broadcast(g), "__k").select(
+        id_col, "group_id", "n_docs_same_prefix"
+    )

@@ -3550,3 +3550,88 @@ def error_episodes(
         ),
         "n_buckets", "total_events", "total_errors", "peak_rate",
     )
+
+
+def mttr_mtbf(
+    df: DataFrame,
+    error_type: str = "error",
+    rate_threshold: float = 0.25,
+    every: str = "1 hour",
+    time_col: str = "time",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """MTTR / MTBF / availability from the [[ts_error_episodes]]
+    incident stream — the three reliability KPIs an SRE review opens
+    with (mean time to recover = mean incident duration; mean time
+    between failures = mean start-to-start gap; availability = the
+    fraction of grid buckets not inside an incident).
+
+    Composes the incident extraction, then one lag + one aggregate
+    over the |incidents|-bounded table, plus a one-row grid-bounds
+    side for the availability denominator. All integer bucket
+    arithmetic; floor-half-up ratios/hours. One summary row:
+    (n_incidents, mttr_hours, mtbf_hours, hot_buckets, grid_buckets,
+    availability)."""
+    df = _time_norm(df, time_col)
+    us_per = _interval_us(every)
+    ep = error_episodes(
+        df, error_type, rate_threshold, every, time_col, type_col
+    )
+    e = ep.select(
+        (F.unix_micros("start_bucket") / F.lit(us_per))
+        .cast("long")
+        .alias("__b0"),
+        (F.unix_micros("end_bucket") / F.lit(us_per))
+        .cast("long")
+        .alias("__b1"),
+        "n_buckets",
+    )
+    w = Window.orderBy("__b0")
+    g = e.select(
+        "__b0", "n_buckets",
+        (F.col("__b0") - F.lag("__b0").over(w)).alias("__gap"),
+    )
+    stats = g.agg(
+        F.count(F.lit(1)).alias("n_incidents"),
+        F.sum("n_buckets").cast("long").alias("hot_buckets"),
+        F.sum("n_buckets").alias("__dur_sum"),
+        F.count("__gap").alias("__n_gaps"),
+        F.sum("__gap").alias("__gap_sum"),
+    )
+    bounds = df.agg(
+        (
+            (F.max(F.unix_micros(F.col(time_col))) / F.lit(us_per))
+            .cast("long")
+            - (F.min(F.unix_micros(F.col(time_col))) / F.lit(us_per))
+            .cast("long")
+            + 1
+        ).alias("grid_buckets")
+    )
+    hours_per = us_per / 3_600_000_000
+
+    def _r6(e2):
+        return F.floor(e2 * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+    return stats.crossJoin(F.broadcast(bounds)).select(
+        "n_incidents",
+        _r6(
+            F.col("__dur_sum").cast("double")
+            / F.col("n_incidents").cast("double")
+            * F.lit(float(hours_per))
+        ).alias("mttr_hours"),
+        F.when(
+            F.col("__n_gaps") > 0,
+            _r6(
+                F.col("__gap_sum").cast("double")
+                / F.col("__n_gaps").cast("double")
+                * F.lit(float(hours_per))
+            ),
+        ).alias("mtbf_hours"),
+        "hot_buckets",
+        "grid_buckets",
+        _r6(
+            F.lit(1.0)
+            - F.col("hot_buckets").cast("double")
+            / F.col("grid_buckets").cast("double")
+        ).alias("availability"),
+    )

@@ -898,3 +898,29 @@ def conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_signup_users", "n_converted", "conversion_rate",
         "median_lag_hours", "p90_lag_hours", "max_lag_hours",
     )
+
+
+def net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net revenue retention per cohort: each (cohort, week-offset)'s
+    purchase revenue as a fraction of that cohort's week-0 revenue —
+    THE SaaS growth-quality metric ([[agg_cohort_ltv]] reports the
+    levels; NRR normalizes them so cohorts are comparable). One
+    window over the |cohort x offset|-bounded LTV table; revenue
+    stays decimal until the single floor-half-up division. Cohorts
+    with zero week-0 revenue report NULL nrr (documented). Returns
+    (cohort, period_offset, n_active, revenue, nrr)."""
+    ltv = cohort_ltv(spark, sf_dir)
+    w = Window.partitionBy("cohort")
+    rev0 = F.max(
+        F.when(F.col("period_offset") == 0, F.col("revenue"))
+    ).over(w)
+    return ltv.select(
+        "cohort", "period_offset", "n_active", "revenue",
+        F.when(
+            (rev0.isNotNull()) & (rev0 != 0),
+            F.floor(
+                F.col("revenue") / rev0 * F.lit(1000000.0) + F.lit(0.5)
+            )
+            / F.lit(1000000.0),
+        ).alias("nrr"),
+    )

@@ -1890,3 +1890,26 @@ def test_purchase_cadence_planted(spark, monkeypatch):
     # gaps 2h and 4h -> median 3h
     assert r["median_gap_hours"] == 3.0
     assert (r["min_gap_hours"], r["max_gap_hours"]) == (2.0, 4.0)
+
+
+def test_prefix_dedup_planted(spark):
+    prefix = " ".join(f"w{i}" for i in range(32))
+    rows = [
+        (0, prefix + " tail one"),
+        (1, prefix + " completely different ending words"),
+        (2, "unrelated document body entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(dedup.prefix_dedup(df, 32).collect(), key=lambda r: r["doc_id"])
+    assert [(r["doc_id"], r["group_id"], r["n_docs_same_prefix"]) for r in out] \
+        == [(0, 0, 2), (1, 0, 2)]
+
+
+def test_nrr_week0_is_one(spark):
+    from fossil_spark.queries import analytics
+
+    out = analytics.net_revenue_retention(spark, SF).collect()
+    assert len(out) >= 1
+    for r in out:
+        if r["period_offset"] == 0 and r["revenue"] and r["revenue"] != 0:
+            assert r["nrr"] == 1.0

@@ -273,6 +273,9 @@ _SCAN_BUDGET = {
     "ts_percentile_bands": 1,     # rank + count windows share one sort
     "ts_error_episodes": 1,       # bucket agg -> islands on the tiny grid
     "agg_conversion_lag": 2,      # user-window side + signup-total side
+    "ts_mttr": 2,                 # incident pipeline + 1-row grid bounds
+    "agg_nrr": 1,                 # cohort-LTV agg + one tiny window
+    "dedup_prefix": 2,            # prefix keys + the broadcast group side
 }
 
 

@@ -1627,3 +1627,24 @@ def test_conversion_lag_planted(spark, monkeypatch):
     assert (r["n_signup_users"], r["n_converted"]) == (2, 1)
     assert r["conversion_rate"] == 0.5
     assert r["median_lag_hours"] == 2.0 and r["max_lag_hours"] == 2.0
+
+
+def test_mttr_mtbf_planted(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 10-hour grid; incidents at hours 1-2 and 7 (50% errors); rest clean
+    for h in range(10):
+        hot = h in (1, 2, 7)
+        for i in range(4):
+            typ = "error" if (hot and i < 2) else "view"
+            rows.append((eid, t0 + timedelta(hours=h, minutes=i), typ))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    r = ts.mttr_mtbf(df, "error", 0.25, "1 hour", "ts", "event_type").collect()[0]
+    assert r["n_incidents"] == 2
+    # durations 2 and 1 buckets -> mttr 1.5 h; starts at 1 and 7 -> mtbf 6 h
+    assert r["mttr_hours"] == 1.5
+    assert r["mtbf_hours"] == 6.0
+    assert (r["hot_buckets"], r["grid_buckets"]) == (3, 10)
+    assert r["availability"] == 0.7

@@ -1893,6 +1893,39 @@ def _dedup_prefix(spark, sf_dir):
     return dedup.prefix_dedup(_docs(spark, sf_dir), prefix_tokens=32)
 
 
+def _ts_exp_histogram(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.exp_histogram(
+        _events(spark, sf_dir), max_exp=20, time_col="ts",
+        by=["event_type"], value_col="value",
+    )
+
+
+def _ts_capacity_eta(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.capacity_eta(
+        _events(spark, sf_dir), limit=200.0, every="1 hour",
+        time_col="ts", by=["event_type"], value_col="value",
+    )
+
+
+def _ts_burstiness(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.burstiness(
+        _events(spark, sf_dir), time_col="ts", by=["event_type"],
+        order_tiebreak=["event_id"],
+    )
+
+
+def _text_heaps_law(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.heaps_law(_docs(spark, sf_dir))
+
+
 def _ts_flatline(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1964,7 +1997,9 @@ _WINDOW_PRIORITY = [
     "dedup_quality_rep", "embedding_dup_audit", "ts_hampel",
     "ts_flatline", "text_encoding_audit", "agg_purchase_cadence",
     "ts_percentile_bands", "ts_error_episodes", "agg_conversion_lag",
-    "ts_mttr", "agg_nrr", "dedup_prefix",
+    "ts_mttr", "agg_nrr", "dedup_prefix", "agg_growth_accounting",
+    "ts_exp_histogram", "ts_capacity_eta", "ts_burstiness",
+    "text_heaps_law",
 ]
 
 
@@ -2089,6 +2124,11 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_mttr": _ts_mttr,
         "agg_nrr": _analytics("net_revenue_retention"),
         "dedup_prefix": _dedup_prefix,
+        "agg_growth_accounting": _analytics("growth_accounting"),
+        "ts_exp_histogram": _ts_exp_histogram,
+        "ts_capacity_eta": _ts_capacity_eta,
+        "ts_burstiness": _ts_burstiness,
+        "text_heaps_law": _text_heaps_law,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -5595,6 +5635,140 @@ def oracle_sql() -> dict[str, str]:
         "  FROM d GROUP BY 1 HAVING count(*) > 1)"
         " SELECT d.doc_id, g.group_id, g.n_docs_same_prefix"
         " FROM d JOIN g USING (k)"
+    )
+    # power-of-two le histogram: exact integer-power literals, chained
+    # CASE (no log2/libm), cumulative via one tiny window
+    out["ts_exp_histogram"] = (
+        "WITH g AS (SELECT event_type,"
+        " CASE WHEN value <= 1.0 THEN 1.0 WHEN value <= 2.0 THEN 2.0 WHEN value <= 4.0 THEN 4.0 WHEN value <= 8.0 THEN 8.0 WHEN value <= 16.0 THEN 16.0 WHEN value <= 32.0 THEN 32.0 WHEN value <= 64.0 THEN 64.0 WHEN value <= 128.0 THEN 128.0 WHEN value <= 256.0 THEN 256.0 WHEN value <= 512.0 THEN 512.0 WHEN value <= 1024.0 THEN 1024.0 WHEN value <= 2048.0 THEN 2048.0 WHEN value <= 4096.0 THEN 4096.0 WHEN value <= 8192.0 THEN 8192.0 WHEN value <= 16384.0 THEN 16384.0 WHEN value <= 32768.0 THEN 32768.0 WHEN value <= 65536.0 THEN 65536.0 WHEN value <= 131072.0 THEN 131072.0 WHEN value <= 262144.0 THEN 262144.0 WHEN value <= 524288.0 THEN 524288.0 WHEN value <= 1048576.0 THEN 1048576.0" " ELSE CAST('infinity' AS DOUBLE)"
+        " END AS le, count(*) AS n"
+        f" FROM {_EV} e GROUP BY 1, 2)"
+        " SELECT event_type, le, CAST(n AS BIGINT) AS n,"
+        " CAST(sum(n) OVER (PARTITION BY event_type ORDER BY le"
+        "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n FROM g"
+    )
+    # trend ETA to a capacity limit over the proven Theil-Sen oracle
+    out["ts_capacity_eta"] = (
+        f"WITH tr AS ({out['ts_trend_robust']}),"
+        " bounds AS (SELECT CAST(max(epoch_us(ts)) // 1000000 AS BIGINT)"
+        f"  AS tnow FROM {_EV} e2)"
+        " SELECT event_type, n_buckets, sen_slope_per_sec,"
+        " floor((sen_slope_per_sec * CAST(tnow AS DOUBLE) + intercept)"
+        "  * 1000000.0 + 0.5) / 1000000.0 AS current_trend_value,"
+        " CASE WHEN sen_slope_per_sec > 0 THEN"
+        "  floor((((200.0 - intercept) / sen_slope_per_sec)"
+        "   - CAST(tnow AS DOUBLE)) / 86400.0 * 1000000.0 + 0.5)"
+        "   / 1000000.0 END AS days_to_limit"
+        " FROM tr, bounds"
+    )
+    # 4-way growth accounting + churn attribution to the lapse week
+    out["agg_growth_accounting"] = (
+        "WITH uw AS (SELECT DISTINCT user_id,"
+        " time_bucket(INTERVAL 1 WEEK, ts, TIMESTAMP '1970-01-01')"
+        f"  AS week FROM {_EV} e),"
+        " s AS (SELECT *, min(week) OVER (PARTITION BY user_id) AS fw,"
+        "  lag(week) OVER w AS pw, lead(week) OVER w AS nw FROM uw"
+        "  WINDOW w AS (PARTITION BY user_id ORDER BY week)),"
+        " st AS (SELECT *, CASE WHEN week = fw THEN 'new'"
+        "  WHEN epoch_us(week) - epoch_us(pw) = 604800000000"
+        "   THEN 'retained' ELSE 'resurrected' END AS status FROM s),"
+        " base AS (SELECT week,"
+        "  sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS nn,"
+        "  sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS nret,"
+        "  sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)"
+        "   AS nres FROM st GROUP BY 1),"
+        " churn AS (SELECT make_timestamp(epoch_us(week) + 604800000000)"
+        "  AS week, count(*) AS nc FROM s"
+        "  WHERE nw IS NULL"
+        "   OR epoch_us(nw) - epoch_us(week) > 604800000000 GROUP BY 1)"
+        " SELECT b.week AS week, CAST(nn AS BIGINT) AS n_new,"
+        " CAST(nret AS BIGINT) AS n_retained,"
+        " CAST(nres AS BIGINT) AS n_resurrected,"
+        " CAST(coalesce(nc, 0) AS BIGINT) AS n_churned,"
+        " CASE WHEN coalesce(nc, 0) > 0 THEN"
+        "  floor(CAST(nn + nres AS DOUBLE) / CAST(coalesce(nc, 0)"
+        "   AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END"
+        "  AS quick_ratio"
+        " FROM base b LEFT JOIN churn c ON b.week = c.week"
+    )
+    # Goh-Barabasi burstiness: decimal gap sums, population variance,
+    # one IEEE sqrt, floor-half-up mean / round@6 outputs
+    out["ts_burstiness"] = (
+        "WITH g0 AS (SELECT event_type,"
+        " epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type"
+        f"  ORDER BY ts, event_id) AS g FROM {_EV} e),"
+        " g AS (SELECT * FROM g0 WHERE g IS NOT NULL),"
+        " a AS (SELECT event_type, count(*) AS n,"
+        "  CAST(round(sum(CAST(g AS DECIMAL(38,6))), 6) AS DOUBLE) AS s1,"
+        "  CAST(round(sum(CAST(CAST(g AS DOUBLE) * CAST(g AS DOUBLE)"
+        "   AS DECIMAL(38,6))), 6) AS DOUBLE) AS s2"
+        "  FROM g GROUP BY 1 HAVING count(*) >= 2)"
+        " SELECT event_type, CAST(n AS BIGINT) AS n_gaps,"
+        " floor(s1 / n * 1000000.0 + 0.5) / 1000000.0 AS mean_gap_us,"
+        " round(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)), 6)"
+        "  AS std_gap_us,"
+        " round(CASE WHEN sqrt(greatest(s2 / n - (s1 / n) * (s1 / n),"
+        "  0.0)) + s1 / n != 0 THEN"
+        "  (sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) - s1 / n)"
+        "  / (sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) + s1 / n)"
+        "  END, 6) AS burstiness"
+        " FROM a"
+    )
+    # Heaps'-law vocabulary-growth fit: first occurrences via the
+    # min-struct groupBy, cumulative curve via one window, quantized
+    # regression terms (ln args are exact ints — the text_zipf
+    # contract)
+    out["text_heaps_law"] = (
+        r"WITH t AS (SELECT doc_id, s.pos AS pos, s.w AS w FROM ("
+        r" SELECT doc_id, unnest(list_transform(generate_series(1,"
+        r" len(regexp_split_to_array(trim(text), '\s+'))),"
+        r" i -> {'pos': i - 1,"
+        r" 'w': regexp_split_to_array(trim(text), '\s+')[i]})) AS s"
+        " FROM documents)),"
+        " f AS (SELECT w, min(struct_pack(d := doc_id, p := pos)) AS mn"
+        "  FROM t GROUP BY 1),"
+        " npd AS (SELECT mn.d AS doc_id, count(*) AS nw FROM f"
+        "  GROUP BY 1),"
+        " tpd AS (SELECT doc_id, count(*) AS nt FROM t GROUP BY 1),"
+        " d AS (SELECT tpd.doc_id, nt, coalesce(nw, 0) AS nw FROM tpd"
+        "  LEFT JOIN npd USING (doc_id)),"
+        " pts AS (SELECT sum(nt) OVER wd AS n, sum(nw) OVER wd AS v"
+        "  FROM d WINDOW wd AS (ORDER BY doc_id ROWS UNBOUNDED"
+        "  PRECEDING)),"
+        " pp AS (SELECT * FROM pts WHERE n > 0 AND v > 0),"
+        " a AS (SELECT count(*) AS m, max(n) AS n_tokens,"
+        "  max(v) AS vocab_size,"
+        "  CAST(round(sum(CAST(round(ln(CAST(n AS DOUBLE)), 8)"
+        "   AS DECIMAL(30,8))), 8) AS DOUBLE) AS sx,"
+        "  CAST(round(sum(CAST(round(ln(CAST(v AS DOUBLE)), 8)"
+        "   AS DECIMAL(30,8))), 8) AS DOUBLE) AS sy,"
+        "  CAST(round(sum(CAST(round(ln(CAST(n AS DOUBLE))"
+        "   * ln(CAST(n AS DOUBLE)), 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS sxx,"
+        "  CAST(round(sum(CAST(round(ln(CAST(n AS DOUBLE))"
+        "   * ln(CAST(v AS DOUBLE)), 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS sxy,"
+        "  CAST(round(sum(CAST(round(ln(CAST(v AS DOUBLE))"
+        "   * ln(CAST(v AS DOUBLE)), 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS syy"
+        "  FROM pp)"
+        " SELECT CAST(m AS BIGINT) AS n_docs,"
+        " CAST(n_tokens AS BIGINT) AS n_tokens,"
+        " CAST(vocab_size AS BIGINT) AS vocab_size,"
+        " round((sy - (CASE WHEN CAST(m AS DOUBLE) * sxx - sx * sx != 0"
+        "  THEN (CAST(m AS DOUBLE) * sxy - sx * sy)"
+        "   / (CAST(m AS DOUBLE) * sxx - sx * sx) END) * sx)"
+        "  / CAST(m AS DOUBLE), 6) AS heaps_ln_k,"
+        " round(CASE WHEN CAST(m AS DOUBLE) * sxx - sx * sx != 0 THEN"
+        "  (CAST(m AS DOUBLE) * sxy - sx * sy)"
+        "  / (CAST(m AS DOUBLE) * sxx - sx * sx) END, 6) AS heaps_beta,"
+        " round(CASE WHEN (CAST(m AS DOUBLE) * sxx - sx * sx)"
+        "  * (CAST(m AS DOUBLE) * syy - sy * sy) != 0 THEN"
+        "  (CAST(m AS DOUBLE) * sxy - sx * sy)"
+        "  * (CAST(m AS DOUBLE) * sxy - sx * sy)"
+        "  / ((CAST(m AS DOUBLE) * sxx - sx * sx)"
+        "   * (CAST(m AS DOUBLE) * syy - sy * sy)) END, 6) AS r2"
+        " FROM a"
     )
     # flatline runs over the decade-bucketed value (islands on value
     # equality; the sessionize running-sum trick)

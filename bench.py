@@ -132,7 +132,9 @@ def main() -> None:
         "dedup_quality_rep", "embedding_dup_audit", "ts_hampel",
         "ts_flatline", "text_encoding_audit", "agg_purchase_cadence",
         "ts_percentile_bands", "ts_error_episodes", "agg_conversion_lag",
-        "ts_mttr", "agg_nrr", "dedup_prefix",
+        "ts_mttr", "agg_nrr", "dedup_prefix", "agg_growth_accounting",
+        "ts_exp_histogram", "ts_capacity_eta", "ts_burstiness",
+        "text_heaps_law",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

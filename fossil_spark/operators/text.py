@@ -1799,3 +1799,87 @@ def encoding_audit(
             | (ratio > F.lit(0.3))
         ).alias("encoding_suspect"),
     )
+
+
+def heaps_law(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(n) ~ K * n^beta, fit as
+    a log-log regression over the (cumulative tokens, cumulative
+    vocabulary) curve sampled at document boundaries in id order —
+    [[text_zipf]]'s companion corpus-health fingerprint (natural text
+    sits near beta ~ 0.5; beta near 1 = the corpus never repeats
+    itself = likely junk/IDs; beta near 0 = heavy duplication).
+
+    Distributed shape: a token TYPE's first occurrence is ONE groupBy
+    (min (doc, pos) struct — the dedup_paragraph shape); per-doc
+    new-type counts and token counts cumulate via a window over the
+    |docs| table; the regression runs over |docs| points with
+    per-point terms quantized to decimal before summing (the
+    text_zipf rule; ln() inputs are exact integers, so both engines'
+    libm see identical arguments — same contract as text_zipf's
+    ln(rank)). Returns one row: (n_docs, n_tokens, vocab_size,
+    heaps_ln_k, heaps_beta, r2)."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("__pos", "__w"),
+    )
+    first = toks.groupBy("__w").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("__pos").alias("p")))
+        .alias("__f")
+    ).select(F.col("__f.d").alias(id_col))
+    new_per_doc = first.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__new")
+    )
+    tok_per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__nt")
+    )
+    d = tok_per_doc.join(new_per_doc, id_col, "left").select(
+        id_col,
+        "__nt",
+        F.coalesce(F.col("__new"), F.lit(0)).alias("__new"),
+    )
+    w = Window.orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pts = d.select(
+        F.sum("__nt").over(w).alias("__n"),
+        F.sum("__new").over(w).alias("__v"),
+    ).filter((F.col("__n") > 0) & (F.col("__v") > 0))
+    x = F.log(F.col("__n").cast("double"))
+    y = F.log(F.col("__v").cast("double"))
+
+    def dsum(e):
+        return F.round(F.sum(e.cast("decimal(30,8)")), 8).cast("double")
+
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.max("__n").alias("n_tokens"),
+        F.max("__v").alias("vocab_size"),
+        dsum(F.round(x, 8)).alias("__sx"),
+        dsum(F.round(y, 8)).alias("__sy"),
+        dsum(F.round(x * x, 8)).alias("__sxx"),
+        dsum(F.round(x * y, 8)).alias("__sxy"),
+        dsum(F.round(y * y, 8)).alias("__syy"),
+    )
+    m = F.col("__m").cast("double")
+    beta = F.try_divide(
+        m * F.col("__sxy") - F.col("__sx") * F.col("__sy"),
+        m * F.col("__sxx") - F.col("__sx") * F.col("__sx"),
+    )
+    alpha = (F.col("__sy") - beta * F.col("__sx")) / m
+    r2 = F.try_divide(
+        (m * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+        * (m * F.col("__sxy") - F.col("__sx") * F.col("__sy")),
+        (m * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+        * (m * F.col("__syy") - F.col("__sy") * F.col("__sy")),
+    )
+    return agg.select(
+        F.col("__m").alias("n_docs"),
+        "n_tokens",
+        "vocab_size",
+        # ln K, not exp(ln K): one fewer libm call in the hash path
+        F.round(alpha, 6).alias("heaps_ln_k"),
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -3635,3 +3635,149 @@ def mttr_mtbf(
             / F.col("grid_buckets").cast("double")
         ).alias("availability"),
     )
+
+
+def exp_histogram(
+    df: DataFrame,
+    max_exp: int = 20,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Prometheus-style exponential (power-of-two `le`) histogram per
+    key: counts per bucket value <= 2^k plus the cumulative series —
+    the wire shape monitoring backends exchange, and the
+    log-scale companion to [[ts_histogram]]'s fixed-width bins (a
+    latency distribution spanning decades is unreadable on a linear
+    grid). Bucket edges are exact integer-power literals compared
+    with plain IEEE `<=` — a chained CASE, no log2/libm anywhere, so
+    no engine pair can disagree at an edge. One map-side groupBy +
+    one window over the <= max_exp+2 rows per key. Returns (*by, le,
+    n, cum_n); the overflow bucket reports le = +Infinity."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    v = F.col(value_col)
+    k_expr = F.lit(float("inf"))
+    for k in range(max_exp, -1, -1):
+        k_expr = F.when(v <= F.lit(float(2**k)), F.lit(float(2**k))).otherwise(
+            k_expr
+        )
+    g = df.groupBy(*by, k_expr.alias("le")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("le")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(*by, "le", "n", F.sum("n").over(w).alias("cum_n"))
+
+
+def capacity_eta(
+    df: DataFrame,
+    limit: float,
+    every: str = "1 hour",
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Days until the robust trend line crosses `limit` — the
+    capacity-planning ETA ("when does this disk/queue/latency hit the
+    ceiling at its current trajectory"), composed over
+    [[ts_trend_robust]]'s Theil-Sen fit so one spike can't fake an
+    emergency. ETA = ((limit - intercept)/slope - t_now)/86400 with
+    the rounded slope/intercept both engines already agree on; keys
+    with slope <= 0 report NULL (no crossing on the current trend);
+    negative days = the trend line is already past the limit. One
+    extra 1-row bounds broadcast; floor-half-up days. Returns (*by,
+    n_buckets, sen_slope_per_sec, current_trend_value,
+    days_to_limit)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    tr = theil_sen_trend(df, every, time_col, by, value_col)
+    bounds = df.agg(
+        (F.max(F.unix_micros(F.col(time_col))) / F.lit(1_000_000))
+        .cast("long")
+        .alias("__tnow")
+    )
+    j = tr.crossJoin(F.broadcast(bounds))
+    slope = F.col("sen_slope_per_sec")
+    cur = slope * F.col("__tnow").cast("double") + F.col("intercept")
+
+    def _r6(e):
+        return F.floor(e * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+    days = (
+        (
+            (F.lit(limit) - F.col("intercept")) / slope
+            - F.col("__tnow").cast("double")
+        )
+        / F.lit(86400.0)
+    )
+    return j.select(
+        *by,
+        "n_buckets",
+        "sen_slope_per_sec",
+        _r6(cur).alias("current_trend_value"),
+        F.when(slope > 0, _r6(days)).alias("days_to_limit"),
+    )
+
+
+def burstiness(
+    df: DataFrame,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Burstiness index per key (Goh & Barabasi 2008, EPL 81:48002):
+    B = (sigma - mu) / (sigma + mu) over inter-arrival gaps — one
+    number in [-1, 1] locating a stream between perfectly periodic
+    (B = -1), Poisson (B = 0) and heavy-bursty (B -> 1). The
+    single-dial companion to [[ts_cadence]]'s quantile table and
+    [[ts_bursts]]'s per-bucket alerts.
+
+    One lag window + one groupBy on the same key sort. Deterministic:
+    integer-µs gaps, decimal(38,6)-accumulated sum and sum-of-squares
+    rounded before the double mean/variance arithmetic (the
+    embedding_dim_stats rule), population variance, IEEE sqrt.
+    Keys with < 3 events are omitted. Returns (*by, n_gaps, mean_gap_us,
+    std_gap_us, burstiness)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    order = [F.col(time_col)] + [F.col(c) for c in (order_tiebreak or [])]
+    w = Window.partitionBy(*by).orderBy(*order)
+    gap = F.unix_micros(F.col(time_col)) - F.unix_micros(
+        F.lag(time_col).over(w)
+    )
+    g = df.select(*by, gap.alias("__g")).filter(F.col("__g").isNotNull())
+    agg = g.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.sum(F.col("__g").cast("decimal(38,6)")), 6)
+        .cast("double")
+        .alias("__s1"),
+        F.round(
+            F.sum(
+                (F.col("__g").cast("double") * F.col("__g").cast("double"))
+                .cast("decimal(38,6)")
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("__s2"),
+    ).filter(F.col("n_gaps") >= 2)
+    mu = F.col("__s1") / F.col("n_gaps")
+    var = F.col("__s2") / F.col("n_gaps") - mu * mu
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+
+    def _r6(e):
+        return F.floor(e * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+    return agg.select(
+        *by,
+        "n_gaps",
+        _r6(mu).alias("mean_gap_us"),
+        F.round(sd, 6).alias("std_gap_us"),
+        F.round(
+            F.try_divide(sd - mu, sd + mu), 6
+        ).alias("burstiness"),
+    )

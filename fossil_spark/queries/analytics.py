@@ -924,3 +924,100 @@ def net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0),
         ).alias("nrr"),
     )
+
+
+def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full growth-accounting decomposition per week: every active
+    user is exactly one of NEW (first week), RETAINED (active the
+    immediately preceding week) or RESURRECTED (active before, but
+    not last week); CHURNED counts users whose activity lapsed going
+    into this week (the week after their last active week). The quick
+    ratio (new + resurrected) / churned is the standard readout
+    ([[agg_new_returning]] is the 2-way cut; this is the 4-way
+    Social-Capital formulation).
+
+    Shape: one (user, week) distinct, one user window (min/lag/lead),
+    two tiny week groupBys joined on the bounded week grid. Weekly
+    buckets are epoch-aligned both engines; ratios floor-half-up.
+    Returns (week, n_new, n_retained, n_resurrected, n_churned,
+    quick_ratio); weeks whose only traffic is churn (nobody active)
+    are not emitted (documented)."""
+    ev = read_table(spark, sf_dir, "events")
+    week_us = 604_800_000_000
+    uw = ev.select(
+        "user_id",
+        F.window("ts", "1 week").start.alias("week"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    s = uw.select(
+        "user_id", "week",
+        F.min("week").over(Window.partitionBy("user_id")).alias("__first"),
+        F.lag("week").over(w).alias("__prev"),
+        F.lead("week").over(w).alias("__next"),
+    )
+    status = (
+        F.when(F.col("week") == F.col("__first"), F.lit("new"))
+        .when(
+            F.unix_micros("week") - F.unix_micros("__prev") == week_us,
+            F.lit("retained"),
+        )
+        .otherwise(F.lit("resurrected"))
+    )
+    lapsing = F.col("__next").isNull() | (
+        F.unix_micros("__next") - F.unix_micros("week") > week_us
+    )
+    # ONE pass: each user-week emits its status marker plus, when the
+    # user lapses, a churn marker on the following week — a
+    # conditional explode instead of a second branch over the same
+    # subtree (which would re-execute the events scan; scan budget 1)
+    markers = F.filter(
+        F.array(
+            F.struct(F.col("week").alias("wk"), status.alias("kind")),
+            F.when(
+                lapsing,
+                F.struct(
+                    F.timestamp_micros(
+                        F.unix_micros("week") + F.lit(week_us)
+                    ).alias("wk"),
+                    F.lit("churned").alias("kind"),
+                ),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    m = s.select(F.explode(markers).alias("m")).select(
+        F.col("m.wk").alias("week"), F.col("m.kind").alias("kind")
+    )
+    base = m.groupBy("week").agg(
+        F.sum(F.when(F.col("kind") == "new", 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("kind") == "retained", 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("kind") == "resurrected", 1).otherwise(0))
+        .cast("long")
+        .alias("n_resurrected"),
+        F.sum(F.when(F.col("kind") == "churned", 1).otherwise(0))
+        .cast("long")
+        .alias("n_churned"),
+    )
+    # weeks that only ever receive churn markers have no actives:
+    # keep the active-weeks grid (documented)
+    j = base.filter(
+        (F.col("n_new") + F.col("n_retained") + F.col("n_resurrected"))
+        > 0
+    )
+    return j.select(
+        "week", "n_new", "n_retained", "n_resurrected", "n_churned",
+        F.when(
+            F.col("n_churned") > 0,
+            F.floor(
+                (F.col("n_new") + F.col("n_resurrected")).cast("double")
+                / F.col("n_churned").cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0),
+        ).alias("quick_ratio"),
+    )

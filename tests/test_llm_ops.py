@@ -1913,3 +1913,17 @@ def test_nrr_week0_is_one(spark):
     for r in out:
         if r["period_offset"] == 0 and r["revenue"] and r["revenue"] != 0:
             assert r["nrr"] == 1.0
+
+
+def test_heaps_law_repetitive_vs_diverse(spark):
+    # diverse corpus: every token globally unique -> V(n) = n -> beta 1
+    div = [(i, " ".join(f"tok{i}_{j}" for j in range(20))) for i in range(30)]
+    d1 = spark.createDataFrame(div, "doc_id long, text string")
+    r1 = text.heaps_law(d1).collect()[0]
+    assert r1["heaps_beta"] == 1.0 and r1["vocab_size"] == r1["n_tokens"]
+    # degenerate corpus: one repeated token -> vocabulary never grows
+    rep = [(i, "same same same same same") for i in range(30)]
+    d2 = spark.createDataFrame(rep, "doc_id long, text string")
+    r2 = text.heaps_law(d2).collect()[0]
+    assert r2["vocab_size"] == 1
+    assert r2["heaps_beta"] < 0.05

@@ -276,6 +276,11 @@ _SCAN_BUDGET = {
     "ts_mttr": 2,                 # incident pipeline + 1-row grid bounds
     "agg_nrr": 1,                 # cohort-LTV agg + one tiny window
     "dedup_prefix": 2,            # prefix keys + the broadcast group side
+    "agg_growth_accounting": 1,   # user-week distinct + window + 2 tiny aggs
+    "ts_exp_histogram": 1,        # chained-CASE groupBy + tiny window
+    "ts_capacity_eta": 4,         # trend_robust pair sides + 1-row bounds
+    "ts_burstiness": 1,           # lag + groupBy on one key sort
+    "text_heaps_law": 2,          # token positions + first-occurrence side
 }
 
 

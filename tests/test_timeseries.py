@@ -1648,3 +1648,88 @@ def test_mttr_mtbf_planted(spark):
     assert r["mtbf_hours"] == 6.0
     assert (r["hot_buckets"], r["grid_buckets"]) == (3, 10)
     assert r["availability"] == 0.7
+
+
+def test_exp_histogram_buckets_and_cumulative(spark):
+    t0 = datetime(2024, 1, 1)
+    vals = [0.5, 1.0, 1.5, 3.0, 100.0, 3_000_000.0]
+    rows = [
+        (i, t0 + timedelta(seconds=i), "k", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r["le"]: (r["n"], r["cum_n"]) for r in ts.exp_histogram(
+        df, 20, "ts", ["event_type"], "value"
+    ).collect()}
+    assert out[1.0] == (2, 2)       # 0.5, 1.0 (boundary inclusive)
+    assert out[2.0] == (1, 3)       # 1.5
+    assert out[4.0] == (1, 4)       # 3.0
+    assert out[128.0] == (1, 5)     # 100.0
+    assert out[float("inf")] == (1, 6)  # overflow past 2^20
+
+
+def test_capacity_eta_linear_series(spark):
+    t0 = datetime(2024, 1, 1)
+    # value climbs 1 unit per hour from 0: hits 200 at hour 200
+    rows = [
+        (i, t0 + timedelta(hours=i), "k", float(i)) for i in range(48)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    r = ts.capacity_eta(
+        df, 200.0, "1 hour", "ts", ["event_type"], "value"
+    ).collect()[0]
+    assert r["sen_slope_per_sec"] > 0
+    # now = hour 47 at value 47; 153 more hours = 6.375 days
+    assert abs(r["days_to_limit"] - 153 / 24) < 0.05
+    # slope rounds @1e-9 and epoch-scale timestamps amplify it by
+    # ~t_now*5e-10 ~ 0.4 absolute — deterministic (both engines agree)
+    assert abs(r["current_trend_value"] - 47.0) < 1.0
+
+
+def test_growth_accounting_partitions_actives(spark, monkeypatch):
+    import fossil_spark.queries.analytics as mod
+
+    t0 = datetime(2024, 1, 1)  # a Monday; week buckets are epoch-aligned
+    wk = timedelta(weeks=1)
+    rows = [
+        # user 1: weeks 0,1 (new, retained), churns into week 2
+        (0, t0, 1, "view", 0.0),
+        (1, t0 + wk, 1, "view", 0.0),
+        # user 2: weeks 0, 2 (new, resurrected)
+        (2, t0, 2, "view", 0.0),
+        (3, t0 + 2 * wk, 2, "view", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    monkeypatch.setattr(mod, "read_table", lambda s, d, t: ev)
+    out = sorted(mod.growth_accounting(spark, "x").collect(), key=lambda r: r["week"])
+    w0, w1, w2 = out
+    assert (w0["n_new"], w0["n_retained"], w0["n_resurrected"]) == (2, 0, 0)
+    assert (w1["n_new"], w1["n_retained"], w1["n_churned"]) == (0, 1, 1)
+    assert (w2["n_resurrected"], w2["n_churned"]) == (1, 1)
+
+
+def test_burstiness_periodic_vs_bursty(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(seconds=i), "periodic") for i in range(20)
+    ]
+    # bursty: tight clumps separated by long silences
+    secs = [0, 1, 2, 3, 100, 101, 102, 103, 400, 401, 402, 403]
+    rows += [
+        (100 + i, t0 + timedelta(seconds=s), "bursty")
+        for i, s in enumerate(secs)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {r["event_type"]: r for r in ts.burstiness(
+        df, "ts", ["event_type"], ["event_id"]
+    ).collect()}
+    # perfectly periodic: sigma = 0 -> B = -1
+    assert out["periodic"]["burstiness"] == -1.0
+    assert out["bursty"]["burstiness"] > 0.3

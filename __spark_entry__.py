@@ -1926,6 +1926,27 @@ def _text_heaps_law(spark, sf_dir):
     return text.heaps_law(_docs(spark, sf_dir))
 
 
+def _dedup_suffix(spark, sf_dir):
+    from fossil_spark.operators import dedup
+
+    return dedup.suffix_dedup(_docs(spark, sf_dir), suffix_tokens=32)
+
+
+def _text_jsd_sources(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.jsd_sources(_docs(spark, sf_dir), top_k_terms=2000)
+
+
+def _embedding_intrinsic_dim(spark, sf_dir):
+    from fossil_spark.operators import ann
+    from fossil_spark.session import read_table
+
+    return ann.intrinsic_dim(
+        read_table(spark, sf_dir, "embeddings"), n_probes=500
+    )
+
+
 def _ts_flatline(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1999,7 +2020,8 @@ _WINDOW_PRIORITY = [
     "ts_percentile_bands", "ts_error_episodes", "agg_conversion_lag",
     "ts_mttr", "agg_nrr", "dedup_prefix", "agg_growth_accounting",
     "ts_exp_histogram", "ts_capacity_eta", "ts_burstiness",
-    "text_heaps_law",
+    "text_heaps_law", "dedup_suffix", "text_jsd_sources",
+    "embedding_intrinsic_dim",
 ]
 
 
@@ -2129,6 +2151,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_capacity_eta": _ts_capacity_eta,
         "ts_burstiness": _ts_burstiness,
         "text_heaps_law": _text_heaps_law,
+        "dedup_suffix": _dedup_suffix,
+        "text_jsd_sources": _text_jsd_sources,
+        "embedding_intrinsic_dim": _embedding_intrinsic_dim,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -5768,6 +5793,76 @@ def oracle_sql() -> dict[str, str]:
         "  * (CAST(m AS DOUBLE) * sxy - sx * sy)"
         "  / ((CAST(m AS DOUBLE) * sxx - sx * sx)"
         "   * (CAST(m AS DOUBLE) * syy - sy * sy)) END, 6) AS r2"
+        " FROM a"
+    )
+    # suffix-duplicate groups (dedup_prefix's footer mirror)
+    out["dedup_suffix"] = (
+        r"WITH t AS (SELECT doc_id,"
+        r" regexp_split_to_array(trim(text), '\s+') AS w FROM documents),"
+        " d AS (SELECT doc_id, md5(array_to_string("
+        "  w[greatest(len(w) - 31, 1):len(w)], ' ')) AS k FROM t),"
+        " g AS (SELECT k, CAST(min(doc_id) AS BIGINT) AS group_id,"
+        "  CAST(count(*) AS BIGINT) AS n_docs_same_suffix"
+        "  FROM d GROUP BY 1 HAVING count(*) > 1)"
+        " SELECT d.doc_id, g.group_id, g.n_docs_same_suffix"
+        " FROM d JOIN g USING (k)"
+    )
+    # Jensen-Shannon divergence between source unigram distributions
+    # over the bounded top-2000 vocabulary; quantized terms
+    out["text_jsd_sources"] = (
+        r"WITH tf AS (SELECT source AS src, w, count(*) AS n FROM ("
+        r" SELECT source, unnest(regexp_split_to_array(trim(text),"
+        r" '\s+')) AS w FROM documents) GROUP BY 1, 2),"
+        " vocab AS (SELECT w FROM (SELECT w, sum(n) AS tot FROM tf"
+        "  GROUP BY 1) ORDER BY tot DESC, w LIMIT 2000),"
+        " tv AS (SELECT tf.* FROM tf JOIN vocab USING (w)),"
+        " srcs AS (SELECT DISTINCT src FROM tv),"
+        " dense AS (SELECT s.src, v.w, coalesce(tv.n, 0) AS n"
+        "  FROM srcs s CROSS JOIN vocab v LEFT JOIN tv"
+        "  ON tv.src = s.src AND tv.w = v.w),"
+        " p AS (SELECT src, w, CAST(n AS DOUBLE)"
+        "  / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE) AS p"
+        "  FROM dense),"
+        " j AS (SELECT a.src AS sa, b.src AS sb, a.w AS w, a.p AS pa,"
+        "  b.p AS pb FROM p a JOIN p b USING (w) WHERE a.src < b.src),"
+        " q AS (SELECT sa, sb, CAST(round((CASE WHEN pa > 0 THEN"
+        "  pa * ln(pa / ((pa + pb) / 2.0)) ELSE 0.0 END"
+        "  + CASE WHEN pb > 0 THEN pb * ln(pb / ((pa + pb) / 2.0))"
+        "  ELSE 0.0 END) / 2.0, 8) AS DECIMAL(30,8)) AS t FROM j)"
+        " SELECT sa AS source_a, sb AS source_b,"
+        " CAST(count(*) AS BIGINT) AS n_terms,"
+        " round(CAST(sum(t) AS DOUBLE), 6) AS jsd"
+        " FROM q GROUP BY 1, 2"
+    )
+    # two-NN intrinsic dimension: euclid folds order-mirrored via
+    # list_reduce, distances rounded @9 before ranking/ratio
+    out["embedding_intrinsic_dim"] = (
+        "WITH q AS (SELECT vec_id AS query_id, list_transform(embedding,"
+        " x -> CAST(x AS DOUBLE)) AS qv FROM embeddings"
+        " WHERE vec_id < 500),"
+        " c AS (SELECT vec_id, list_transform(embedding,"
+        "  x -> CAST(x AS DOUBLE)) AS cv FROM embeddings),"
+        " s AS (SELECT query_id, vec_id, round(sqrt(list_reduce("
+        "  list_prepend(CAST(0.0 AS DOUBLE),"
+        "  list_transform(generate_series(1, len(qv)),"
+        "   k -> (qv[k] - cv[k]) * (qv[k] - cv[k]))),"
+        "  (acc, x) -> acc + x)), 9) AS d"
+        "  FROM q JOIN c ON c.vec_id != q.query_id),"
+        " r AS (SELECT *, row_number() OVER (PARTITION BY query_id"
+        "  ORDER BY d, vec_id) AS rk FROM s),"
+        " pr AS (SELECT query_id,"
+        "  max(CASE WHEN rk = 1 THEN d END) AS d1,"
+        "  max(CASE WHEN rk = 2 THEN d END) AS d2"
+        "  FROM r WHERE rk <= 2 GROUP BY 1),"
+        " pp AS (SELECT * FROM pr WHERE d1 > 0),"
+        " t AS (SELECT CAST(round(ln(d2 / d1), 8) AS DECIMAL(30,8))"
+        "  AS t FROM pp),"
+        " a AS (SELECT count(*) AS n, sum(t) AS s FROM t)"
+        " SELECT CAST(n AS BIGINT) AS n_probes_used,"
+        " round(CAST(s AS DOUBLE) / n, 6) AS mean_ln_ratio,"
+        " round(CASE WHEN CAST(s AS DOUBLE) != 0 THEN"
+        "  CAST(n AS DOUBLE) / CAST(s AS DOUBLE) END, 6)"
+        "  AS intrinsic_dim"
         " FROM a"
     )
     # flatline runs over the decade-bucketed value (islands on value

@@ -134,7 +134,8 @@ def main() -> None:
         "ts_percentile_bands", "ts_error_episodes", "agg_conversion_lag",
         "ts_mttr", "agg_nrr", "dedup_prefix", "agg_growth_accounting",
         "ts_exp_histogram", "ts_capacity_eta", "ts_burstiness",
-        "text_heaps_law",
+        "text_heaps_law", "dedup_suffix", "text_jsd_sources",
+        "embedding_intrinsic_dim",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

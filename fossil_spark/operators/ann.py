@@ -1262,3 +1262,82 @@ def dup_audit(
         .alias("n_dup_vectors"),
         F.max("__n").alias("max_group_size"),
     )
+
+
+def intrinsic_dim(
+    corpus: DataFrame,
+    n_probes: int = 500,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-NN intrinsic-dimension estimate (Facco et al. 2017,
+    Scientific Reports 7:12140): ID = n / sum(ln(d2/d1)) over each
+    probe's two nearest neighbors — the "how many dimensions does
+    this manifold REALLY use" audit (an embedding space whose 64
+    columns carry ~8 intrinsic dimensions compresses well and
+    clusters meaningfully; ID near the ambient dimension = noise).
+
+    Probes are the first `n_probes` ids (deterministic); distances
+    are euclidean via the JVM fold, ROUNDED @9 before the ratio so
+    both engines rank and divide identical values (ties keep the
+    smaller neighbor id; d1 = 0 duplicates are excluded from the sum
+    — documented). Work is |probes| x corpus, the knn_classify
+    contract. Returns one row: (n_probes_used, mean_ln_ratio,
+    intrinsic_dim)."""
+    q = broadcast(
+        corpus.filter(F.col(id_col) < n_probes).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("__qv"), F.col("__cv"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        9,
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, dist.alias("d"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("d", id_col)
+    two = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 2
+    )
+    pair = two.groupBy("query_id").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("d"))).alias("d1"),
+        F.max(F.when(F.col("rk") == 2, F.col("d"))).alias("d2"),
+    ).filter(F.col("d1") > 0)
+    term = F.round(F.log(F.col("d2") / F.col("d1")), 8).cast(
+        "decimal(30,8)"
+    )
+    agg = pair.select(term.alias("__t")).agg(
+        F.count(F.lit(1)).alias("n_probes_used"),
+        F.sum("__t").alias("__s"),
+    )
+    return agg.select(
+        "n_probes_used",
+        F.round(
+            F.col("__s").cast("double") / F.col("n_probes_used"), 6
+        ).alias("mean_ln_ratio"),
+        F.round(
+            F.try_divide(
+                F.col("n_probes_used").cast("double"),
+                F.col("__s").cast("double"),
+            ),
+            6,
+        ).alias("intrinsic_dim"),
+    )

@@ -759,3 +759,38 @@ def prefix_dedup(
     return d.join(F.broadcast(g), "__k").select(
         id_col, "group_id", "n_docs_same_prefix"
     )
+
+
+def suffix_dedup(
+    docs: DataFrame,
+    suffix_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Suffix-duplicate detection — [[dedup_prefix]]'s mirror for
+    templated FOOTERS (copyright blocks, nav boilerplate, signature
+    spam): documents sharing their last `suffix_tokens` tokens. Same
+    corpus-linear md5-group shape. Documents shorter than the window
+    key on their full token list (documented). Emits docs in
+    multi-doc suffix groups: (doc_id, group_id, n_docs_same_suffix)."""
+    from fossil_spark.operators.text import tokens
+
+    t = tokens(F.col(text_col))
+    tail = F.when(
+        F.size(t) >= suffix_tokens,
+        F.slice(t, -suffix_tokens, suffix_tokens),
+    ).otherwise(t)
+    d = docs.select(
+        F.col(id_col), F.md5(F.concat_ws(" ", tail)).alias("__k")
+    )
+    g = (
+        d.groupBy("__k")
+        .agg(
+            F.min(id_col).alias("group_id"),
+            F.count(F.lit(1)).alias("n_docs_same_suffix"),
+        )
+        .filter(F.col("n_docs_same_suffix") > 1)
+    )
+    return d.join(F.broadcast(g), "__k").select(
+        id_col, "group_id", "n_docs_same_suffix"
+    )

@@ -1883,3 +1883,80 @@ def heaps_law(
         F.round(beta, 6).alias("heaps_beta"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def jsd_sources(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k_terms: int = 2000,
+) -> DataFrame:
+    """Jensen-Shannon divergence between every two sources' unigram
+    distributions — the corpus-mix distance matrix ("how different is
+    src0 from src1") that quantifies what [[text_domain_mix]] only
+    weighs by volume; 0 = identical vocabularies, ln 2 = disjoint.
+    Computed over the corpus-wide top-`top_k_terms` vocabulary
+    (deterministic (count, term) tie-break) so the term space is
+    bounded; out-of-vocab mass is ignored (documented).
+
+    Shape: one (source, term) groupBy, the bounded vocab as one
+    TakeOrdered cut, per-source totals as windows over the
+    |sources x vocab| grid, a dense grid rebuild (source x vocab,
+    missing terms = 0), then a pair join bounded by sources² x vocab.
+    Probabilities are single divisions of exact ints; each JSD term
+    quantizes to decimal @8 pre-sum (the text_zipf libm contract).
+    Returns (source_a, source_b, n_terms, jsd)."""
+    tf = df.select(
+        F.col(group_col).alias("src"),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+    ).groupBy("src", "w").agg(F.count(F.lit(1)).alias("n"))
+    # six downstream branches (vocab cut, join, srcs, dense grid, both
+    # pair sides) would each re-execute the corpus scan (measured 10
+    # FileScans); the (src, term) table is vocabulary-bounded, so
+    # checkpoint it once — the graph-ops rule
+    tf = tf.localCheckpoint()
+    vocab = (
+        tf.groupBy("w")
+        .agg(F.sum("n").alias("tot"))
+        .orderBy(F.col("tot").desc(), F.col("w"))
+        .limit(top_k_terms)
+        .select("w")
+    )
+    tv = tf.join(F.broadcast(vocab), "w")
+    srcs = tv.select("src").distinct()
+    dense = (
+        srcs.crossJoin(F.broadcast(vocab))
+        .join(tv, ["src", "w"], "left")
+        .select(
+            "src", "w", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+        )
+    )
+    tot = F.sum("n").over(Window.partitionBy("src"))
+    p = dense.select(
+        "src", "w",
+        (F.col("n").cast("double") / tot.cast("double")).alias("p"),
+    )
+    a = p.select(
+        F.col("src").alias("source_a"), "w", F.col("p").alias("pa")
+    )
+    b = p.select(
+        F.col("src").alias("source_b"), "w", F.col("p").alias("pb")
+    )
+    j = a.join(b, "w").filter(F.col("source_a") < F.col("source_b"))
+    mid = (F.col("pa") + F.col("pb")) / F.lit(2.0)
+    term = (
+        F.when(
+            F.col("pa") > 0, F.col("pa") * F.log(F.col("pa") / mid)
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("pb") > 0, F.col("pb") * F.log(F.col("pb") / mid)
+        ).otherwise(F.lit(0.0))
+    ) / F.lit(2.0)
+    q = j.select(
+        "source_a", "source_b",
+        F.round(term, 8).cast("decimal(30,8)").alias("__t"),
+    )
+    return q.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.sum("__t").cast("double"), 6).alias("jsd"),
+    )

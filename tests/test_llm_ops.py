@@ -1927,3 +1927,53 @@ def test_heaps_law_repetitive_vs_diverse(spark):
     r2 = text.heaps_law(d2).collect()[0]
     assert r2["vocab_size"] == 1
     assert r2["heaps_beta"] < 0.05
+
+
+def test_suffix_dedup_planted(spark):
+    suffix = " ".join(f"s{i}" for i in range(32))
+    rows = [
+        (0, "alpha beginning " + suffix),
+        (1, "totally different start " + suffix),
+        (2, "no shared footer at all here"),
+        (3, "short doc"),  # shorter than the window: keys on full text
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(dedup.suffix_dedup(df, 32).collect(), key=lambda r: r["doc_id"])
+    got = [(r["doc_id"], r["group_id"], r["n_docs_same_suffix"]) for r in out]
+    assert got == [(0, 0, 2), (1, 0, 2), (3, 3, 2), (4, 3, 2)]
+
+
+def test_jsd_identical_vs_disjoint_sources(spark):
+    rows = []
+    for i in range(20):
+        rows.append((i, "common words shared here", "a"))
+        rows.append((100 + i, "common words shared here", "b"))
+        rows.append((200 + i, "entirely different vocabulary tokens", "c"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["source_a"], r["source_b"]): r["jsd"] for r in
+           text.jsd_sources(df, "source", "text").collect()}
+    import math
+
+    assert out[("a", "b")] == 0.0
+    # disjoint vocabularies: JSD = ln 2
+    assert abs(out[("a", "c")] - math.log(2)) < 1e-6
+
+
+def test_intrinsic_dim_line_is_one_dimensional(spark):
+    # Facco's 2-NN estimator assumes POISSON sampling (a regular grid
+    # has d1 == d2 ties and the estimate diverges — verified): sample
+    # a 1-D manifold embedded in 4-D at md5-uniform positions
+    import hashlib
+
+    def u(i):
+        return int(hashlib.md5(f"id:{i}".encode()).hexdigest()[:8], 16) / 0xFFFFFFFF
+
+    rows = [
+        (i, [1000.0 * u(i), 2000.0 * u(i), 500.0 * u(i), -1000.0 * u(i)])
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = ann.intrinsic_dim(df, n_probes=500).collect()[0]
+    assert r["n_probes_used"] > 400
+    assert abs(r["intrinsic_dim"] - 1.0) < 0.25

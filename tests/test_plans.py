@@ -281,6 +281,9 @@ _SCAN_BUDGET = {
     "ts_capacity_eta": 4,         # trend_robust pair sides + 1-row bounds
     "ts_burstiness": 1,           # lag + groupBy on one key sort
     "text_heaps_law": 2,          # token positions + first-occurrence side
+    "dedup_suffix": 2,            # suffix keys + the broadcast group side
+    "text_jsd_sources": 1,        # tf checkpointed once; branches reuse it
+    "embedding_intrinsic_dim": 2,  # corpus + broadcast probe side
 }
 
 

@@ -1947,6 +1947,24 @@ def _embedding_intrinsic_dim(spark, sf_dir):
     )
 
 
+def _ts_value_entropy(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.value_entropy(
+        _events(spark, sf_dir), bin_width=10.0, time_col="ts",
+        by=["event_type"], value_col="value",
+    )
+
+
+def _ts_peak_to_mean(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.peak_to_mean(
+        _events(spark, sf_dir), every="1 hour", time_col="ts",
+        by=["event_type"],
+    )
+
+
 def _ts_flatline(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -2021,7 +2039,7 @@ _WINDOW_PRIORITY = [
     "ts_mttr", "agg_nrr", "dedup_prefix", "agg_growth_accounting",
     "ts_exp_histogram", "ts_capacity_eta", "ts_burstiness",
     "text_heaps_law", "dedup_suffix", "text_jsd_sources",
-    "embedding_intrinsic_dim",
+    "embedding_intrinsic_dim", "ts_value_entropy", "ts_peak_to_mean",
 ]
 
 
@@ -2154,6 +2172,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_suffix": _dedup_suffix,
         "text_jsd_sources": _text_jsd_sources,
         "embedding_intrinsic_dim": _embedding_intrinsic_dim,
+        "ts_value_entropy": _ts_value_entropy,
+        "ts_peak_to_mean": _ts_peak_to_mean,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -5863,6 +5883,47 @@ def oracle_sql() -> dict[str, str]:
         " round(CASE WHEN CAST(s AS DOUBLE) != 0 THEN"
         "  CAST(n AS DOUBLE) / CAST(s AS DOUBLE) END, 6)"
         "  AS intrinsic_dim"
+        " FROM a"
+    )
+    # binned-value Shannon entropy: integer floor bins, quantized
+    # p*ln(p) terms (the text_zipf libm contract)
+    out["ts_value_entropy"] = (
+        "WITH g AS (SELECT event_type,"
+        " CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS n"
+        f" FROM {_EV} e GROUP BY 1, 2),"
+        " p AS (SELECT event_type, n, CAST(n AS DOUBLE)"
+        "  / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS p"
+        "  FROM g),"
+        " t AS (SELECT event_type, n,"
+        "  CAST(round(-(p * ln(p)), 8) AS DECIMAL(30,8)) AS t FROM p),"
+        " a AS (SELECT event_type, sum(n) AS n, count(*) AS n_bins,"
+        "  round(CAST(sum(t) AS DOUBLE), 6) AS entropy_nats"
+        "  FROM t GROUP BY 1)"
+        " SELECT event_type, CAST(n AS BIGINT) AS n,"
+        " CAST(n_bins AS BIGINT) AS n_bins, entropy_nats,"
+        " CASE WHEN n_bins > 1 THEN round(entropy_nats"
+        "  / ln(CAST(n_bins AS DOUBLE)), 6) END AS entropy_ratio"
+        " FROM a"
+    )
+    # load factor: peak/mean bucket counts, earliest-peak tie-break
+    out["ts_peak_to_mean"] = (
+        "WITH b AS (SELECT event_type,"
+        " time_bucket(INTERVAL 1 HOUR, ts) AS bucket, count(*) AS n"
+        f" FROM {_EV} e GROUP BY 1, 2),"
+        " r AS (SELECT *, row_number() OVER (PARTITION BY event_type"
+        "  ORDER BY n DESC, bucket) AS rk FROM b),"
+        " a AS (SELECT event_type, count(*) AS n_buckets,"
+        "  sum(n) AS tot,"
+        "  max(CASE WHEN rk = 1 THEN n END) AS pk,"
+        "  max(CASE WHEN rk = 1 THEN bucket END) AS pb"
+        "  FROM r GROUP BY 1)"
+        " SELECT event_type, CAST(n_buckets AS BIGINT) AS n_buckets,"
+        " floor(CAST(tot AS DOUBLE) / CAST(n_buckets AS DOUBLE)"
+        "  * 1000000.0 + 0.5) / 1000000.0 AS mean_per_bucket,"
+        " CAST(pk AS BIGINT) AS peak_count, pb AS peak_bucket,"
+        " floor(CAST(pk AS DOUBLE) / (CAST(tot AS DOUBLE)"
+        "  / CAST(n_buckets AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0"
+        "  AS peak_to_mean"
         " FROM a"
     )
     # flatline runs over the decade-bucketed value (islands on value

@@ -135,7 +135,7 @@ def main() -> None:
         "ts_mttr", "agg_nrr", "dedup_prefix", "agg_growth_accounting",
         "ts_exp_histogram", "ts_capacity_eta", "ts_burstiness",
         "text_heaps_law", "dedup_suffix", "text_jsd_sources",
-        "embedding_intrinsic_dim",
+        "embedding_intrinsic_dim", "ts_value_entropy", "ts_peak_to_mean",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

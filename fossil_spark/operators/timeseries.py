@@ -3781,3 +3781,97 @@ def burstiness(
             F.try_divide(sd - mu, sd + mu), 6
         ).alias("burstiness"),
     )
+
+
+def value_entropy(
+    df: DataFrame,
+    bin_width: float = 10.0,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Shannon entropy (nats) of each key's binned value distribution
+    — the information-content dial that separates a rich signal from
+    a near-constant one ([[ts_flatline]] catches literal constancy;
+    this measures how close to it a metric lives, which predicts how
+    well it compresses and whether it's worth alerting on).
+
+    One (key, bin) groupBy with integer floor-division bins, per-key
+    totals as a window over the bounded bin table, p*ln(p) terms
+    quantized @8 pre-sum (the text_zipf libm contract). Returns
+    (*by, n, n_bins, entropy_nats, entropy_ratio) where ratio
+    normalizes by ln(n_bins) (NULL for single-bin keys)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    g = df.groupBy(
+        *by,
+        F.floor(F.col(value_col) / F.lit(bin_width)).alias("__bin"),
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    wk = Window.partitionBy(*by)
+    tot = F.sum("__n").over(wk)
+    p = F.col("__n").cast("double") / tot.cast("double")
+    term = F.round(-(p * F.log(p)), 8).cast("decimal(30,8)")
+    s = g.select(*by, F.col("__n"), term.alias("__t"))
+    agg = s.groupBy(*by).agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.round(F.sum("__t").cast("double"), 6).alias("entropy_nats"),
+    )
+    return agg.select(
+        *by, "n", "n_bins", "entropy_nats",
+        F.when(
+            F.col("n_bins") > 1,
+            F.round(
+                F.col("entropy_nats")
+                / F.log(F.col("n_bins").cast("double")),
+                6,
+            ),
+        ).alias("entropy_ratio"),
+    )
+
+
+def peak_to_mean(
+    df: DataFrame,
+    every: str = "1 hour",
+    time_col: str = "time",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Load factor per key: peak-bucket count over mean-bucket count
+    — THE capacity-sizing number (a service provisioned for the mean
+    falls over at the peak; peak/mean says by how much), with the
+    peak bucket named for root-causing ([[ts_heatmap]] shows the
+    shape; this is the single dial). One bucket groupBy + one groupBy
+    over the calendar-bounded bucket table; deterministic peak pick
+    (earliest bucket on count ties); floor-half-up ratio. Returns
+    (*by, n_buckets, mean_per_bucket, peak_count, peak_bucket,
+    peak_to_mean)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    b = df.groupBy(
+        *by, F.window(F.col(time_col), every).start.alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    pick = F.max(
+        F.struct(
+            F.col("n").alias("n"),
+            (-F.unix_micros(F.col("bucket"))).alias("nb"),
+            F.unix_micros(F.col("bucket")).alias("b"),
+        )
+    )
+    agg = b.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("n").alias("__tot"),
+        pick.alias("__pk"),
+    )
+
+    def _r6(e):
+        return F.floor(e * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+    mean = F.col("__tot").cast("double") / F.col("n_buckets").cast("double")
+    return agg.select(
+        *by,
+        "n_buckets",
+        _r6(mean).alias("mean_per_bucket"),
+        F.col("__pk.n").cast("long").alias("peak_count"),
+        F.timestamp_micros(F.col("__pk.b")).alias("peak_bucket"),
+        _r6(F.col("__pk.n").cast("double") / mean).alias("peak_to_mean"),
+    )

@@ -284,6 +284,8 @@ _SCAN_BUDGET = {
     "dedup_suffix": 2,            # suffix keys + the broadcast group side
     "text_jsd_sources": 1,        # tf checkpointed once; branches reuse it
     "embedding_intrinsic_dim": 2,  # corpus + broadcast probe side
+    "ts_value_entropy": 1,        # bin groupBy + window + groupBy
+    "ts_peak_to_mean": 1,         # bucket agg + struct-max pick
 }
 
 

@@ -1733,3 +1733,44 @@ def test_burstiness_periodic_vs_bursty(spark):
     # perfectly periodic: sigma = 0 -> B = -1
     assert out["periodic"]["burstiness"] == -1.0
     assert out["bursty"]["burstiness"] > 0.3
+
+
+def test_value_entropy_uniform_vs_constant(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(seconds=i), "uniform", float(10 * (i % 4)))
+        for i in range(40)
+    ]
+    rows += [
+        (100 + i, t0 + timedelta(seconds=i), "constant", 5.0)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r["event_type"]: r for r in ts.value_entropy(
+        df, 10.0, "ts", ["event_type"], "value"
+    ).collect()}
+    import math
+
+    # 4 equiprobable bins -> H = ln 4, ratio 1
+    assert abs(out["uniform"]["entropy_nats"] - math.log(4)) < 1e-6
+    assert out["uniform"]["entropy_ratio"] == 1.0
+    assert out["constant"]["entropy_nats"] == 0.0
+    assert out["constant"]["entropy_ratio"] is None
+
+
+def test_peak_to_mean_planted(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h, n in [(0, 2), (1, 6), (2, 2), (3, 2)]:
+        for i in range(n):
+            rows.append((eid, t0 + timedelta(hours=h, minutes=i), "k"))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    r = ts.peak_to_mean(df, "1 hour", "ts", ["event_type"]).collect()[0]
+    assert (r["n_buckets"], r["peak_count"]) == (4, 6)
+    assert r["mean_per_bucket"] == 3.0
+    assert r["peak_bucket"] == t0 + timedelta(hours=1)
+    assert r["peak_to_mean"] == 2.0

@@ -1965,6 +1965,21 @@ def _ts_peak_to_mean(spark, sf_dir):
     )
 
 
+def _text_structure_stats(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.structure_stats(_docs(spark, sf_dir))
+
+
+def _ts_wow_compare(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.wow_compare(
+        _events(spark, sf_dir), every="1 hour", lookback="1 week",
+        time_col="ts", by=["event_type"], value_col="value",
+    )
+
+
 def _ts_flatline(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -2040,6 +2055,7 @@ _WINDOW_PRIORITY = [
     "ts_exp_histogram", "ts_capacity_eta", "ts_burstiness",
     "text_heaps_law", "dedup_suffix", "text_jsd_sources",
     "embedding_intrinsic_dim", "ts_value_entropy", "ts_peak_to_mean",
+    "text_structure_stats", "ts_wow_compare",
 ]
 
 
@@ -2174,6 +2190,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_intrinsic_dim": _embedding_intrinsic_dim,
         "ts_value_entropy": _ts_value_entropy,
         "ts_peak_to_mean": _ts_peak_to_mean,
+        "text_structure_stats": _text_structure_stats,
+        "ts_wow_compare": _ts_wow_compare,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -5925,6 +5943,51 @@ def oracle_sql() -> dict[str, str]:
         "  / CAST(n_buckets AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0"
         "  AS peak_to_mean"
         " FROM a"
+    )
+    # document layout stats: pure split/filter expressions, zero
+    # shuffles; >= 1 floors keep degenerate docs finite
+    out["text_structure_stats"] = (
+        r"WITH t AS (SELECT doc_id, text,"
+        r" str_split(text, chr(10)) AS lines,"
+        r" regexp_split_to_array(text, '\n\n+') AS paras"
+        " FROM documents)"
+        " SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,"
+        " CAST(greatest(len(lines), 1) AS BIGINT) AS n_lines,"
+        " CAST(greatest(len(list_filter(paras, x -> trim(x) != '')), 1)"
+        "  AS BIGINT) AS n_paragraphs,"
+        " round(CAST(list_sum(list_transform(lines, x -> len(x)))"
+        "  AS DOUBLE) / CAST(greatest(len(lines), 1) AS DOUBLE), 6)"
+        "  AS mean_line_len,"
+        " round(CAST(len(list_filter(lines, x -> len(trim(x)) > 0"
+        "  AND len(trim(x)) < 40)) AS DOUBLE)"
+        "  / CAST(greatest(len(lines), 1) AS DOUBLE), 6)"
+        "  AS short_line_ratio,"
+        " round(CAST(len(list_filter(lines, x -> trim(x) = ''))"
+        "  AS DOUBLE) / CAST(greatest(len(lines), 1) AS DOUBLE), 6)"
+        "  AS blank_line_ratio"
+        " FROM t"
+    )
+    # same-time-last-week comparison: bucket table self-join on the
+    # shifted bucket key; decimal means, floor-half-up pct
+    out["ts_wow_compare"] = (
+        "WITH b AS (SELECT event_type,"
+        " time_bucket(INTERVAL 1 HOUR, ts) AS bucket,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 6) AS DOUBLE)"
+        "  / count(value) AS value"
+        f" FROM {_EV} e GROUP BY 1, 2),"
+        " prev AS (SELECT event_type,"
+        "  bucket + INTERVAL 7 DAY AS bucket,"
+        "  value AS value_lookback FROM b)"
+        " SELECT b.event_type AS event_type, b.bucket AS bucket,"
+        " b.value AS value, prev.value_lookback AS value_lookback,"
+        " round(b.value - prev.value_lookback, 6) AS wow_delta,"
+        " CASE WHEN prev.value_lookback IS NOT NULL"
+        "  AND abs(prev.value_lookback) > 0 THEN"
+        "  floor((b.value - prev.value_lookback)"
+        "   / abs(prev.value_lookback) * 1000000.0 + 0.5) / 1000000.0"
+        "  END AS wow_pct"
+        " FROM b LEFT JOIN prev"
+        " ON prev.event_type = b.event_type AND prev.bucket = b.bucket"
     )
     # flatline runs over the decade-bucketed value (islands on value
     # equality; the sessionize running-sum trick)

@@ -1960,3 +1960,54 @@ def jsd_sources(
         F.count(F.lit(1)).alias("n_terms"),
         F.round(F.sum("__t").cast("double"), 6).alias("jsd"),
     )
+
+
+def structure_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Document LAYOUT statistics: line/paragraph counts, mean line
+    length, short-line and blank-line ratios — the structure-based
+    junk detector (link farms and menus are many short lines; clean
+    prose is few long ones; [[text_boilerplate]] removes repeated
+    units, this SCORES the shape). Pure JVM split/filter/aggregate
+    expressions folded into the scan — zero shuffles; all-integer
+    counts with >= 1 floors, single double divisions. Returns (id,
+    n_chars, n_lines, n_paragraphs, mean_line_len, short_line_ratio,
+    blank_line_ratio)."""
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("long")
+    blank = F.size(F.filter(lines, lambda x: F.trim(x) == "")).cast("long")
+    short = F.size(
+        F.filter(
+            lines,
+            lambda x: (F.length(F.trim(x)) > 0)
+            & (F.length(F.trim(x)) < 40),
+        )
+    ).cast("long")
+    paras = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), "\n\n+"),
+                lambda x: F.trim(x) != "",
+            )
+        ),
+        F.lit(1),
+    ).cast("long")
+    sum_len = F.aggregate(
+        lines, F.lit(0), lambda acc, x: acc + F.length(x)
+    ).cast("long")
+    return df.select(
+        id_col,
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        n_lines.alias("n_lines"),
+        paras.alias("n_paragraphs"),
+        F.round(sum_len.cast("double") / n_lines.cast("double"), 6).alias(
+            "mean_line_len"
+        ),
+        F.round(short.cast("double") / n_lines.cast("double"), 6).alias(
+            "short_line_ratio"
+        ),
+        F.round(blank.cast("double") / n_lines.cast("double"), 6).alias(
+            "blank_line_ratio"
+        ),
+    )

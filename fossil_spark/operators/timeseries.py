@@ -3875,3 +3875,57 @@ def peak_to_mean(
         F.timestamp_micros(F.col("__pk.b")).alias("peak_bucket"),
         _r6(F.col("__pk.n").cast("double") / mean).alias("peak_to_mean"),
     )
+
+
+def wow_compare(
+    df: DataFrame,
+    every: str = "1 hour",
+    lookback: str = "1 week",
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Same-time-last-week comparison per key per bucket: this
+    bucket's mean vs the bucket exactly `lookback` earlier, with
+    delta and percent change — the standard seasonal-aware dashboard
+    row ("is Monday 9am up on LAST Monday 9am", where
+    [[ts_top_movers]]' previous-bucket delta would just see the
+    weekly swing). One bucket groupBy, then an equi-join of the
+    calendar-bounded bucket table to itself on (key, bucket -
+    lookback) — missing comparison buckets yield NULLs, never wrong
+    pairs. Decimal bucket means; floor-half-up pct. Returns (*by,
+    bucket, value, value_lookback, wow_delta, wow_pct)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    lb_us = _interval_us(lookback)
+    b = df.groupBy(
+        *by, F.window(F.col(time_col), every).start.alias("bucket")
+    ).agg(
+        (
+            F.round(F.sum(F.col(value_col).cast("decimal(30,8)")), 6)
+            .cast("double")
+            / F.count(value_col)
+        ).alias("value")
+    )
+    prev = b.select(
+        *by,
+        F.timestamp_micros(
+            F.unix_micros(F.col("bucket")) + F.lit(lb_us)
+        ).alias("bucket"),
+        F.col("value").alias("value_lookback"),
+    )
+    j = b.join(prev, [*by, "bucket"], "left")
+    delta = F.col("value") - F.col("value_lookback")
+
+    def _r6(e):
+        return F.floor(e * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+    return j.select(
+        *by, "bucket", "value", "value_lookback",
+        F.round(delta, 6).alias("wow_delta"),
+        F.when(
+            F.col("value_lookback").isNotNull()
+            & (F.abs(F.col("value_lookback")) > 0),
+            _r6(delta / F.abs(F.col("value_lookback"))),
+        ).alias("wow_pct"),
+    )

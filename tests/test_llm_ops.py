@@ -1977,3 +1977,20 @@ def test_intrinsic_dim_line_is_one_dimensional(spark):
     r = ann.intrinsic_dim(df, n_probes=500).collect()[0]
     assert r["n_probes_used"] > 400
     assert abs(r["intrinsic_dim"] - 1.0) < 0.25
+
+
+def test_structure_stats_menu_vs_prose(spark):
+    menu = "\n".join(["Home", "About", "", "Products", "Contact us"])
+    prose = (
+        "This is one long flowing paragraph of ordinary prose that keeps "
+        "going for quite a while without any line breaks in it at all."
+    )
+    df = spark.createDataFrame(
+        [(0, menu), (1, prose)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in text.structure_stats(df).collect()}
+    m, p = out[0], out[1]
+    assert m["n_lines"] == 5 and m["blank_line_ratio"] == 0.2
+    assert m["short_line_ratio"] == 0.8
+    assert p["n_lines"] == 1 and p["short_line_ratio"] == 0.0
+    assert p["mean_line_len"] > 100

@@ -286,6 +286,8 @@ _SCAN_BUDGET = {
     "embedding_intrinsic_dim": 2,  # corpus + broadcast probe side
     "ts_value_entropy": 1,        # bin groupBy + window + groupBy
     "ts_peak_to_mean": 1,         # bucket agg + struct-max pick
+    "text_structure_stats": 1,    # pure split/filter columns, no shuffle
+    "ts_wow_compare": 2,          # bucket table + its shifted self
 }
 
 

@@ -1774,3 +1774,23 @@ def test_peak_to_mean_planted(spark):
     assert r["mean_per_bucket"] == 3.0
     assert r["peak_bucket"] == t0 + timedelta(hours=1)
     assert r["peak_to_mean"] == 2.0
+
+
+def test_wow_compare_planted(spark):
+    t0 = datetime(2024, 1, 1, 9)
+    rows = [
+        (0, t0, "k", 10.0),
+        (1, t0 + timedelta(weeks=1), "k", 15.0),
+        (2, t0 + timedelta(weeks=1, hours=1), "k", 7.0),  # no prior week
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r["bucket"]: r for r in ts.wow_compare(
+        df, "1 hour", "1 week", "ts", ["event_type"], "value"
+    ).collect()}
+    r = out[t0 + timedelta(weeks=1)]
+    assert (r["value"], r["value_lookback"]) == (15.0, 10.0)
+    assert r["wow_delta"] == 5.0 and r["wow_pct"] == 0.5
+    assert out[t0 + timedelta(weeks=1, hours=1)]["value_lookback"] is None
+    assert out[t0]["wow_pct"] is None

@@ -1980,6 +1980,12 @@ def _ts_wow_compare(spark, sf_dir):
     )
 
 
+def _dedup_method_compare(spark, sf_dir):
+    from fossil_spark.operators import dedup
+
+    return dedup.method_compare(_docs(spark, sf_dir))
+
+
 def _ts_flatline(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -2055,7 +2061,8 @@ _WINDOW_PRIORITY = [
     "ts_exp_histogram", "ts_capacity_eta", "ts_burstiness",
     "text_heaps_law", "dedup_suffix", "text_jsd_sources",
     "embedding_intrinsic_dim", "ts_value_entropy", "ts_peak_to_mean",
-    "text_structure_stats", "ts_wow_compare",
+    "text_structure_stats", "ts_wow_compare", "dedup_method_compare",
+    "agg_retention_halflife",
 ]
 
 
@@ -2192,6 +2199,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_peak_to_mean": _ts_peak_to_mean,
         "text_structure_stats": _text_structure_stats,
         "ts_wow_compare": _ts_wow_compare,
+        "dedup_method_compare": _dedup_method_compare,
+        "agg_retention_halflife": _analytics("retention_halflife"),
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -5988,6 +5997,94 @@ def oracle_sql() -> dict[str, str]:
         "  END AS wow_pct"
         " FROM b LEFT JOIN prev"
         " ON prev.event_type = b.event_type AND prev.bucket = b.bucket"
+    )
+    # comparative dedup audit: exact / prefix / suffix / minhash
+    # flagged-doc counts, composing the four proven oracles
+    out["dedup_method_compare"] = (
+        f"WITH RECURSIVE {_MINHASH_CTES},"
+        " edges AS (SELECT doc_a a, doc_b b FROM pairs"
+        "  UNION SELECT doc_b, doc_a FROM pairs),"
+        " nodes AS (SELECT DISTINCT a AS node FROM edges),"
+        " reach(node, r) AS ("
+        "  SELECT node, node FROM nodes"
+        "  UNION"
+        "  SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r),"
+        " comp AS (SELECT node, min(r) AS component FROM reach GROUP BY 1),"
+        r" ex AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+',"
+        r" ' ', 'g')) AS k, count(*) AS n FROM documents GROUP BY 1"
+        "  HAVING count(*) > 1),"
+        r" pw AS (SELECT doc_id, md5(array_to_string("
+        r"  regexp_split_to_array(trim(text), '\s+')[1:32], ' ')) AS k"
+        "  FROM documents),"
+        " pre AS (SELECT k, count(*) AS n FROM pw GROUP BY 1"
+        "  HAVING count(*) > 1),"
+        r" sw0 AS (SELECT doc_id,"
+        r"  regexp_split_to_array(trim(text), '\s+') AS w FROM documents),"
+        " sw AS (SELECT doc_id, md5(array_to_string("
+        "  w[greatest(len(w) - 31, 1):len(w)], ' ')) AS k FROM sw0),"
+        " suf AS (SELECT k, count(*) AS n FROM sw GROUP BY 1"
+        "  HAVING count(*) > 1),"
+        " cg AS (SELECT component, count(*) AS n FROM comp GROUP BY 1"
+        "  HAVING count(*) > 1)"
+        " SELECT 'exact' AS method,"
+        " CAST(coalesce(sum(n), 0) AS BIGINT) AS n_docs_flagged,"
+        " CAST(count(*) AS BIGINT) AS n_groups FROM ex"
+        " UNION ALL SELECT 'prefix', CAST(coalesce(sum(n), 0) AS BIGINT),"
+        " CAST(count(*) AS BIGINT) FROM pre"
+        " UNION ALL SELECT 'suffix', CAST(coalesce(sum(n), 0) AS BIGINT),"
+        " CAST(count(*) AS BIGINT) FROM suf"
+        " UNION ALL SELECT 'minhash', CAST(coalesce(sum(n), 0) AS BIGINT),"
+        " CAST(count(*) AS BIGINT) FROM cg"
+    )
+    # retention half-life: pooled triangle-corrected decay fit over
+    # the proven retention CTEs; quantized regression terms
+    out["agg_retention_halflife"] = (
+        f"WITH r AS ({out['ts_retention']}),"
+        " base AS (SELECT *, max(CASE WHEN period_offset = 0 THEN"
+        "  n_active END) OVER (PARTITION BY cohort) AS c0,"
+        "  max(period_offset) OVER (PARTITION BY cohort) AS maxoff"
+        "  FROM r),"
+        " pooled AS (SELECT period_offset, sum(n_active) AS act,"
+        "  sum(CASE WHEN maxoff >= period_offset THEN c0 END) AS bs"
+        "  FROM base WHERE period_offset >= 1 GROUP BY 1"
+        "  HAVING sum(n_active) > 0"
+        "  AND sum(CASE WHEN maxoff >= period_offset THEN c0 END) > 0),"
+        " a AS (SELECT count(*) AS m,"
+        "  CAST(round(sum(CAST(round(CAST(period_offset AS DOUBLE), 8)"
+        "   AS DECIMAL(30,8))), 8) AS DOUBLE) AS sx,"
+        "  CAST(round(sum(CAST(round(ln(CAST(act AS DOUBLE)"
+        "   / CAST(bs AS DOUBLE)), 8) AS DECIMAL(30,8))), 8) AS DOUBLE)"
+        "   AS sy,"
+        "  CAST(round(sum(CAST(round(CAST(period_offset AS DOUBLE)"
+        "   * CAST(period_offset AS DOUBLE), 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS sxx,"
+        "  CAST(round(sum(CAST(round(CAST(period_offset AS DOUBLE)"
+        "   * ln(CAST(act AS DOUBLE) / CAST(bs AS DOUBLE)), 8)"
+        "   AS DECIMAL(30,8))), 8) AS DOUBLE) AS sxy,"
+        "  CAST(round(sum(CAST(round(ln(CAST(act AS DOUBLE)"
+        "   / CAST(bs AS DOUBLE)) * ln(CAST(act AS DOUBLE)"
+        "   / CAST(bs AS DOUBLE)), 8) AS DECIMAL(30,8))), 8) AS DOUBLE)"
+        "   AS syy"
+        "  FROM pooled)"
+        " SELECT CAST(m AS BIGINT) AS n_offsets,"
+        " round(CASE WHEN CAST(m AS DOUBLE) * sxx - sx * sx != 0 THEN"
+        "  (CAST(m AS DOUBLE) * sxy - sx * sy)"
+        "  / (CAST(m AS DOUBLE) * sxx - sx * sx) END, 6)"
+        "  AS decay_rate_per_week,"
+        " CASE WHEN (CASE WHEN CAST(m AS DOUBLE) * sxx - sx * sx != 0"
+        "  THEN (CAST(m AS DOUBLE) * sxy - sx * sy)"
+        "  / (CAST(m AS DOUBLE) * sxx - sx * sx) END) < 0 THEN"
+        "  round(-0.6931471805599453 / (CASE WHEN CAST(m AS DOUBLE)"
+        "   * sxx - sx * sx != 0 THEN (CAST(m AS DOUBLE) * sxy"
+        "   - sx * sy) / (CAST(m AS DOUBLE) * sxx - sx * sx) END), 6)"
+        "  END AS halflife_weeks,"
+        " round(CASE WHEN (CAST(m AS DOUBLE) * sxx - sx * sx)"
+        "  * (CAST(m AS DOUBLE) * syy - sy * sy) != 0 THEN"
+        "  (CAST(m AS DOUBLE) * sxy - sx * sy)"
+        "  * (CAST(m AS DOUBLE) * sxy - sx * sy)"
+        "  / ((CAST(m AS DOUBLE) * sxx - sx * sx)"
+        "   * (CAST(m AS DOUBLE) * syy - sy * sy)) END, 6) AS r2"
+        " FROM a"
     )
     # flatline runs over the decade-bucketed value (islands on value
     # equality; the sessionize running-sum trick)

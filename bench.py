@@ -136,7 +136,8 @@ def main() -> None:
         "ts_exp_histogram", "ts_capacity_eta", "ts_burstiness",
         "text_heaps_law", "dedup_suffix", "text_jsd_sources",
         "embedding_intrinsic_dim", "ts_value_entropy", "ts_peak_to_mean",
-        "text_structure_stats", "ts_wow_compare",
+        "text_structure_stats", "ts_wow_compare", "dedup_method_compare",
+        "agg_retention_halflife",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

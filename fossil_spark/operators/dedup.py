@@ -794,3 +794,50 @@ def suffix_dedup(
     return d.join(F.broadcast(g), "__k").select(
         id_col, "group_id", "n_docs_same_suffix"
     )
+
+
+def method_compare(docs: DataFrame) -> DataFrame:
+    """Comparative dedup audit: how many documents each dedup family
+    flags — exact (normalized text), prefix (first 32 tokens), suffix
+    (last 32 tokens), MinHash near-dup components — in one readout,
+    so a curation run can see which pass pays for itself on THIS
+    corpus before burning the big shuffle. Pure composition of four
+    oracle-proven operators; each count is the number of docs in a
+    multi-doc group for that method. Returns one row per method:
+    (method, n_docs_flagged, n_groups)."""
+    norm_groups = (
+        docs.select(
+            "doc_id", F.md5(normalize_text(F.col("text"))).alias("__k")
+        )
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    pre = prefix_dedup(docs, 32).groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    suf = suffix_dedup(docs, 32).groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    comp = (
+        connected_components(minhash_lsh_pairs(docs))
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+    def summarize(df, name):
+        return df.agg(
+            F.lit(name).alias("method"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias(
+                "n_docs_flagged"
+            ),
+            F.count(F.lit(1)).alias("n_groups"),
+        )
+
+    return (
+        summarize(norm_groups, "exact")
+        .unionByName(summarize(pre, "prefix"))
+        .unionByName(summarize(suf, "suffix"))
+        .unionByName(summarize(comp, "minhash"))
+    )

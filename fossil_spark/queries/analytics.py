@@ -1021,3 +1021,85 @@ def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0),
         ).alias("quick_ratio"),
     )
+
+
+def retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life: fit ln(retained fraction) ~ decay_rate *
+    week over the pooled cohort-retention curve (offsets >= 1; the
+    week-0 fraction is 1 by construction) — the single number that
+    summarizes [[ts_retention]]'s whole matrix ("how many weeks until
+    half the users are gone"), comparable across products and time.
+
+    Pooled curve: sum of active users per offset over the cohorts
+    that have OBSERVED that offset (the standard triangle
+    correction: a cohort only contributes to offsets within its
+    observation window — without it young cohorts fake decay). All
+    counts integer; the regression uses quantized-decimal term sums
+    (text_zipf contract: ln args are single divisions of exact
+    ints). decay_rate >= 0 (no decay) yields NULL half-life. One
+    summary row: (n_offsets, decay_rate_per_week, halflife_weeks,
+    r2)."""
+    from fossil_spark.operators.timeseries import retention
+
+    r = retention(
+        read_table(spark, sf_dir, "events"), "1 week", "ts", "user_id"
+    )
+    wch = Window.partitionBy("cohort")
+    base = r.select(
+        "cohort", "period_offset", "n_active",
+        F.max(F.when(F.col("period_offset") == 0, F.col("n_active")))
+        .over(wch).alias("__c0"),
+        F.max("period_offset").over(wch).alias("__maxoff"),
+    )
+    pooled = (
+        base.filter(F.col("period_offset") >= 1)
+        .groupBy("period_offset")
+        .agg(
+            F.sum("n_active").alias("__act"),
+            F.sum(
+                F.when(
+                    F.col("__maxoff") >= F.col("period_offset"),
+                    F.col("__c0"),
+                )
+            ).alias("__base"),
+        )
+        .filter((F.col("__act") > 0) & (F.col("__base") > 0))
+    )
+    x = F.col("period_offset").cast("double")
+    y = F.log(
+        F.col("__act").cast("double") / F.col("__base").cast("double")
+    )
+
+    def dsum(e):
+        return F.round(F.sum(e.cast("decimal(30,8)")), 8).cast("double")
+
+    agg = pooled.agg(
+        F.count(F.lit(1)).alias("__m"),
+        dsum(F.round(x, 8)).alias("__sx"),
+        dsum(F.round(y, 8)).alias("__sy"),
+        dsum(F.round(x * x, 8)).alias("__sxx"),
+        dsum(F.round(x * y, 8)).alias("__sxy"),
+        dsum(F.round(y * y, 8)).alias("__syy"),
+    )
+    m = F.col("__m").cast("double")
+    slope = F.try_divide(
+        m * F.col("__sxy") - F.col("__sx") * F.col("__sy"),
+        m * F.col("__sxx") - F.col("__sx") * F.col("__sx"),
+    )
+    r2 = F.try_divide(
+        (m * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+        * (m * F.col("__sxy") - F.col("__sx") * F.col("__sy")),
+        (m * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+        * (m * F.col("__syy") - F.col("__sy") * F.col("__sy")),
+    )
+    import math
+
+    return agg.select(
+        F.col("__m").alias("n_offsets"),
+        F.round(slope, 6).alias("decay_rate_per_week"),
+        F.when(
+            slope < 0,
+            F.round(F.lit(-math.log(2.0)) / slope, 6),
+        ).alias("halflife_weeks"),
+        F.round(r2, 6).alias("r2"),
+    )

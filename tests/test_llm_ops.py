@@ -1994,3 +1994,42 @@ def test_structure_stats_menu_vs_prose(spark):
     assert m["short_line_ratio"] == 0.8
     assert p["n_lines"] == 1 and p["short_line_ratio"] == 0.0
     assert p["mean_line_len"] > 100
+
+
+def test_dedup_method_compare_consistency(spark, docs):
+    out = {r["method"]: r for r in dedup.method_compare(docs).collect()}
+    assert set(out) == {"exact", "prefix", "suffix", "minhash"}
+    for m, r in out.items():
+        # every multi-doc group has >= 2 members
+        if r["n_groups"] > 0:
+            assert r["n_docs_flagged"] >= 2 * r["n_groups"]
+        else:
+            assert r["n_docs_flagged"] == 0
+    # minhash (near-dup) flags at least the exact dups' docs
+    assert out["minhash"]["n_docs_flagged"] >= out["exact"]["n_docs_flagged"]
+
+
+def test_retention_halflife_planted_decay(spark, monkeypatch):
+    from datetime import datetime, timedelta
+
+    import fossil_spark.queries.analytics as mod
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # one cohort of 64 users; half leave every week: perfect ln2 decay
+    for week in range(5):
+        for u in range(64 >> week):
+            rows.append((eid, t0 + timedelta(weeks=week), u, "view", 0.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    monkeypatch.setattr(mod, "read_table", lambda s, d, t: ev)
+    r = mod.retention_halflife(spark, "x").collect()[0]
+    assert r["n_offsets"] == 4
+    assert abs(r["decay_rate_per_week"] + 0.693147) < 1e-4
+    assert abs(r["halflife_weeks"] - 1.0) < 1e-4
+    assert r["r2"] == 1.0

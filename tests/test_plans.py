@@ -288,6 +288,8 @@ _SCAN_BUDGET = {
     "ts_peak_to_mean": 1,         # bucket agg + struct-max pick
     "text_structure_stats": 1,    # pure split/filter columns, no shuffle
     "ts_wow_compare": 2,          # bucket table + its shifted self
+    "agg_retention_halflife": 1,  # retention windows + pooled regression
+    "dedup_method_compare": 7,    # four independent method pipelines
 }
 
 

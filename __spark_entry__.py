@@ -1986,6 +1986,23 @@ def _dedup_method_compare(spark, sf_dir):
     return dedup.method_compare(_docs(spark, sf_dir))
 
 
+def _ann_recall_curve(spark, sf_dir):
+    from fossil_spark.operators import ann
+    from fossil_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 8")
+    truth = ann.cosine_topk(emb, q, k=10)
+    cand = ann.lsh_ann(emb, q, dim=64, k=10)
+    return ann.recall_curve(truth, cand, ks=[1, 3, 5, 10], method="lsh")
+
+
+def _pipeline_anomaly_summary(spark, sf_dir):
+    from fossil_spark.pipelines import anomaly_summary
+
+    return anomaly_summary(_events(spark, sf_dir))
+
+
 def _ts_flatline(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -2062,7 +2079,8 @@ _WINDOW_PRIORITY = [
     "text_heaps_law", "dedup_suffix", "text_jsd_sources",
     "embedding_intrinsic_dim", "ts_value_entropy", "ts_peak_to_mean",
     "text_structure_stats", "ts_wow_compare", "dedup_method_compare",
-    "agg_retention_halflife",
+    "agg_retention_halflife", "ann_recall_curve",
+    "pipeline_anomaly_summary",
 ]
 
 
@@ -2201,6 +2219,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_wow_compare": _ts_wow_compare,
         "dedup_method_compare": _dedup_method_compare,
         "agg_retention_halflife": _analytics("retention_halflife"),
+        "ann_recall_curve": _ann_recall_curve,
+        "pipeline_anomaly_summary": _pipeline_anomaly_summary,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -6085,6 +6105,48 @@ def oracle_sql() -> dict[str, str]:
         "  / ((CAST(m AS DOUBLE) * sxx - sx * sx)"
         "   * (CAST(m AS DOUBLE) * syy - sy * sy)) END, 6) AS r2"
         " FROM a"
+    )
+    # recall@k curve: the proven brute/LSH oracles re-cut at k<=10,
+    # then a |ks|-grid over the tiny hit table
+    _gt10 = out["ann_bruteforce"].replace(
+        "QUALIFY rank <= 5", "QUALIFY rank <= 10"
+    )
+    _lsh10 = out["ann_lsh"].replace(
+        "QUALIFY rank <= 5", "QUALIFY rank <= 10"
+    )
+    out["ann_recall_curve"] = (
+        f"WITH gt AS ({_gt10}), lc AS ({_lsh10}),"
+        " t AS (SELECT query_id, vec_id, rank AS tr FROM gt),"
+        " c AS (SELECT query_id, vec_id, rank AS cr FROM lc),"
+        " j AS (SELECT t.query_id, t.vec_id, t.tr, c.cr FROM t"
+        "  JOIN c USING (query_id, vec_id)),"
+        " ks AS (SELECT unnest([1, 3, 5, 10]) AS k),"
+        " tc AS (SELECT k, count(*) AS n_true FROM ks, t"
+        "  WHERE tr <= k GROUP BY 1),"
+        " hc AS (SELECT k, count(*) AS n_hits FROM ks, j"
+        "  WHERE tr <= k AND cr <= k GROUP BY 1)"
+        " SELECT 'lsh' AS method, CAST(tc.k AS BIGINT) AS k,"
+        " CAST(n_true AS BIGINT) AS n_true,"
+        " CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,"
+        " round(CAST(coalesce(n_hits, 0) AS DOUBLE)"
+        "  / CAST(n_true AS DOUBLE), 6) AS recall_at_k"
+        " FROM tc LEFT JOIN hc ON hc.k = tc.k"
+    )
+    # comparative anomaly audit: each detector's alert count under
+    # its registry parameters, composing four proven oracles
+    out["pipeline_anomaly_summary"] = (
+        f"WITH b AS ({out['ts_bursts']}),"
+        f" h AS ({out['ts_hampel']}),"
+        f" te AS ({out['ts_threshold_episodes']}),"
+        f" ee AS ({out['ts_error_episodes']})"
+        " SELECT 'bucket_burst' AS detector,"
+        " CAST(count(*) AS BIGINT) AS n_alerts FROM b"
+        " UNION ALL SELECT 'hampel_spike', CAST(count(*) AS BIGINT)"
+        " FROM h"
+        " UNION ALL SELECT 'threshold_episode', CAST(count(*) AS BIGINT)"
+        " FROM te"
+        " UNION ALL SELECT 'error_incident', CAST(count(*) AS BIGINT)"
+        " FROM ee"
     )
     # flatline runs over the decade-bucketed value (islands on value
     # equality; the sessionize running-sum trick)

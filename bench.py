@@ -137,7 +137,8 @@ def main() -> None:
         "text_heaps_law", "dedup_suffix", "text_jsd_sources",
         "embedding_intrinsic_dim", "ts_value_entropy", "ts_peak_to_mean",
         "text_structure_stats", "ts_wow_compare", "dedup_method_compare",
-        "agg_retention_halflife",
+        "agg_retention_halflife", "ann_recall_curve",
+        "pipeline_anomaly_summary",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

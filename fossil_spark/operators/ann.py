@@ -1341,3 +1341,50 @@ def intrinsic_dim(
             6,
         ).alias("intrinsic_dim"),
     )
+
+
+def recall_curve(
+    truth: DataFrame,
+    candidates: DataFrame,
+    ks: list[int] | None = None,
+    method: str = "index",
+) -> DataFrame:
+    """Recall@k CURVE for one approximate index: recall at every cut
+    in `ks` from a single pass — [[ann_recall_eval]] scores one k;
+    the curve says WHERE the index stops earning its keep (a sharp
+    knee at k=3 means "use it for top-3, not top-10"). Inputs are
+    ranked (query_id, vec_id, rank) tables. One truth-candidates
+    equi-join tagged with both ranks, then a |ks|-grid explode of the
+    tiny hit table — integer hit counts per cut, one division each.
+    Returns (method, k, n_true, n_hits, recall_at_k)."""
+    ks = sorted(ks or [1, 3, 5, 10])
+    kmax = max(ks)
+    # the truth table feeds both the per-cut totals and the hit join;
+    # checkpoint the |queries| x kmax rows once (the recall_eval rule)
+    # so the brute-force pass doesn't run per branch
+    t = truth.filter(F.col("rank") <= kmax).select(
+        "query_id", "vec_id", F.col("rank").alias("__tr")
+    ).localCheckpoint()
+    c = candidates.filter(F.col("rank") <= kmax).select(
+        "query_id", "vec_id", F.col("rank").alias("__cr")
+    )
+    j = t.join(c, ["query_id", "vec_id"])
+    grid = F.explode(F.array([F.lit(k) for k in ks])).alias("k")
+    truth_counts = t.select(grid, "__tr").filter(
+        F.col("__tr") <= F.col("k")
+    ).groupBy("k").agg(F.count(F.lit(1)).alias("n_true"))
+    hit_counts = j.select(grid, "__tr", "__cr").filter(
+        (F.col("__tr") <= F.col("k")) & (F.col("__cr") <= F.col("k"))
+    ).groupBy("k").agg(F.count(F.lit(1)).alias("n_hits"))
+    out = truth_counts.join(hit_counts, "k", "left").select(
+        F.lit(method).alias("method"),
+        F.col("k").cast("long").alias("k"),
+        F.col("n_true").cast("long").alias("n_true"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+            / F.col("n_true").cast("double"),
+            6,
+        ).alias("recall_at_k"),
+    )
+    return out

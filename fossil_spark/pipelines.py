@@ -404,3 +404,40 @@ def mixture_apply(
             6,
         ).alias("achieved_vs_target"),
     )
+
+
+def anomaly_summary(events: DataFrame) -> DataFrame:
+    """Comparative anomaly-detector audit: how many alerts each
+    detector family raises on the same stream — bucket bursts
+    ([[ts_bursts]]), Hampel spikes ([[ts_hampel]]), threshold
+    episodes ([[ts_threshold_episodes]]) and error-rate incidents
+    ([[ts_error_episodes]]) in one readout, the [[dedup_method_compare]]
+    of the anomaly family ("which detector earns its pager" — a rule
+    that fires 600x/month is fatigue, not coverage). Pure composition
+    of four oracle-proven operators; each count is that detector's
+    emitted-row count under its registry parameters. Returns one row
+    per detector: (detector, n_alerts)."""
+    from fossil_spark.operators import timeseries as ts
+
+    b = ts.bursts(events, "1 hour", 24, 1.2, "ts", ["event_type"])
+    h = ts.hampel(
+        events, 25, 3.0, "ts", ["event_type"], "value", ["event_id"]
+    )
+    te = ts.threshold_episodes(
+        events, 80.0, "ts", ["event_type"], "value", ["event_id"]
+    )
+    ee = ts.error_episodes(events, "error", 0.3, "1 hour", "ts",
+                           "event_type")
+
+    def one(df, name):
+        return df.agg(
+            F.lit(name).alias("detector"),
+            F.count(F.lit(1)).alias("n_alerts"),
+        )
+
+    return (
+        one(b, "bucket_burst")
+        .unionByName(one(h, "hampel_spike"))
+        .unionByName(one(te, "threshold_episode"))
+        .unionByName(one(ee, "error_incident"))
+    )

@@ -2033,3 +2033,36 @@ def test_retention_halflife_planted_decay(spark, monkeypatch):
     assert abs(r["decay_rate_per_week"] + 0.693147) < 1e-4
     assert abs(r["halflife_weeks"] - 1.0) < 1e-4
     assert r["r2"] == 1.0
+
+
+def test_recall_curve_monotone_hits(spark, emb):
+    from fossil_spark.operators import ann as ann_mod
+
+    q = emb.filter("vec_id < 4")
+    truth = ann_mod.cosine_topk(emb, q, k=10)
+    out = sorted(
+        ann_mod.recall_curve(truth, truth, ks=[1, 3, 5, 10]).collect(),
+        key=lambda r: r["k"],
+    )
+    # a perfect candidate set has recall 1 at every cut
+    assert [r["recall_at_k"] for r in out] == [1.0] * 4
+    # n_true grows with k
+    trues = [r["n_true"] for r in out]
+    assert trues == sorted(trues)
+
+
+def test_anomaly_summary_counts_match_detectors(spark):
+    from fossil_spark.pipelines import anomaly_summary
+    from fossil_spark.operators import timeseries as tsm
+    from fossil_spark.session import read_table
+
+    ev = read_table(spark, SF, "events")
+    out = {r["detector"]: r["n_alerts"] for r in anomaly_summary(ev).collect()}
+    assert set(out) == {
+        "bucket_burst", "hampel_spike", "threshold_episode", "error_incident"
+    }
+    # spot-check one detector against its operator directly
+    direct = tsm.threshold_episodes(
+        ev, 80.0, "ts", ["event_type"], "value", ["event_id"]
+    ).count()
+    assert out["threshold_episode"] == direct

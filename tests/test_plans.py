@@ -290,6 +290,8 @@ _SCAN_BUDGET = {
     "ts_wow_compare": 2,          # bucket table + its shifted self
     "agg_retention_halflife": 1,  # retention windows + pooled regression
     "dedup_method_compare": 7,    # four independent method pipelines
+    "ann_recall_curve": 2,        # truth checkpointed once; LSH side
+    "pipeline_anomaly_summary": 4,  # four independent detector pipelines
 }
 
 

@@ -2003,6 +2003,42 @@ def _pipeline_anomaly_summary(spark, sf_dir):
     return anomaly_summary(_events(spark, sf_dir))
 
 
+def _multimodal_image_entropy(spark, sf_dir):
+    """Pixel-entropy over the REAL PNG codec path with a FULL oracle:
+    16x16 RGB PNGs whose pixel (x, y) is the first md5("{id},{x},{y}")
+    byte on all channels — grayscale recovers the md5 byte exactly
+    ((3v)//3 = v), so the oracle rebuilds the histogram closed-form
+    and replays the sequential entropy fold (ordered list_reduce).
+    End-to-end verifies PNG encode -> decode -> histogram -> entropy."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from fossil_spark.operators import multimodal as mm
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                px = np.empty((16, 16, 3), np.uint8)
+                for y in range(16):
+                    for x in range(16):
+                        px[y, x, :] = int(
+                            hashlib.md5(
+                                f"{int(did)},{x},{y}".encode()
+                            ).hexdigest()[:2],
+                            16,
+                        )
+                rows.append((int(did), mm.encode_png(px)))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    imgs = docs.mapInPandas(gen, "doc_id long, content binary")
+    return mm.image_entropy(imgs)
+
+
 def _ts_flatline(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -2080,7 +2116,7 @@ _WINDOW_PRIORITY = [
     "embedding_intrinsic_dim", "ts_value_entropy", "ts_peak_to_mean",
     "text_structure_stats", "ts_wow_compare", "dedup_method_compare",
     "agg_retention_halflife", "ann_recall_curve",
-    "pipeline_anomaly_summary",
+    "pipeline_anomaly_summary", "multimodal_image_entropy",
 ]
 
 
@@ -2221,6 +2257,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_retention_halflife": _analytics("retention_halflife"),
         "ann_recall_curve": _ann_recall_curve,
         "pipeline_anomaly_summary": _pipeline_anomaly_summary,
+        "multimodal_image_entropy": _multimodal_image_entropy,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -6147,6 +6184,30 @@ def oracle_sql() -> dict[str, str]:
         " FROM te"
         " UNION ALL SELECT 'error_incident', CAST(count(*) AS BIGINT)"
         " FROM ee"
+    )
+    # pixel entropy end-to-end: md5 pixel grid rebuilt closed-form,
+    # sequential entropy fold replayed via an ORDERED list_reduce
+    out["multimodal_image_entropy"] = (
+        "WITH g AS (SELECT doc_id, x, y FROM documents,"
+        " (SELECT unnest(range(16)) AS x), (SELECT unnest(range(16)) AS y)),"
+        " pxv AS (SELECT doc_id,"
+        " ('0x' || substr(md5(doc_id::VARCHAR || ',' || x::VARCHAR"
+        "  || ',' || y::VARCHAR), 1, 2))::INT AS v FROM g),"
+        " hist AS (SELECT doc_id, v, count(*) AS c FROM pxv"
+        "  GROUP BY 1, 2),"
+        " ent AS (SELECT doc_id,"
+        "  count(*) AS n_distinct_values,"
+        "  floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        "   list((CAST(c AS DOUBLE) / 256.0)"
+        "    * log2(CAST(c AS DOUBLE) / 256.0) ORDER BY v)),"
+        "   (acc, x) -> acc - x) * 1000000.0 + 0.5) / 1000000.0"
+        "   AS entropy_bits"
+        "  FROM hist GROUP BY doc_id)"
+        " SELECT doc_id, CAST(16 AS INT) AS width,"
+        " CAST(16 AS INT) AS height, CAST(256 AS BIGINT) AS n_pixels,"
+        " CAST(n_distinct_values AS BIGINT) AS n_distinct_values,"
+        " entropy_bits, 'real' AS decoded"
+        " FROM ent"
     )
     # flatline runs over the decade-bucketed value (islands on value
     # equality; the sessionize running-sum trick)

@@ -138,7 +138,7 @@ def main() -> None:
         "embedding_intrinsic_dim", "ts_value_entropy", "ts_peak_to_mean",
         "text_structure_stats", "ts_wow_compare", "dedup_method_compare",
         "agg_retention_halflife", "ann_recall_curve",
-        "pipeline_anomaly_summary",
+        "pipeline_anomaly_summary", "multimodal_image_entropy",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

@@ -456,3 +456,22 @@ def test_phash_pairs_banded_hamming_join(spark):
     strict = {(r["doc_a"], r["doc_b"])
               for r in mm.phash_pairs(df, max_hamming=0).collect()}
     assert strict == {(1, 2)}
+
+
+def test_image_entropy_flat_vs_noise(spark):
+    import numpy as np
+
+    from fossil_spark.operators import multimodal as mm
+
+    flat = np.full((16, 16, 3), 42, np.uint8)
+    # 256 distinct gray values exactly once -> 8 bits
+    grad = np.repeat(np.arange(256, dtype=np.uint8).reshape(16, 16), 3).reshape(16, 16, 3)
+    df = spark.createDataFrame(
+        [(0, mm.encode_png(flat)), (1, mm.encode_png(grad)), (2, b"junk")],
+        "doc_id long, content binary",
+    )
+    out = {r["doc_id"]: r for r in mm.image_entropy(df).collect()}
+    assert out[0]["entropy_bits"] == 0.0
+    assert out[0]["n_distinct_values"] == 1
+    assert out[1]["entropy_bits"] == 8.0
+    assert out[2]["decoded"] == "fake" and out[2]["entropy_bits"] is None

@@ -44,6 +44,8 @@ PYTHON_OK = {
     # Arrow-batched like every decode path)
     "multimodal_phash",
     "multimodal_phash_pairs",
+    # PNG synth + decode + histogram entropy (codec work, Arrow-batched)
+    "multimodal_image_entropy",
 }
 
 
@@ -292,6 +294,7 @@ _SCAN_BUDGET = {
     "dedup_method_compare": 7,    # four independent method pipelines
     "ann_recall_curve": 2,        # truth checkpointed once; LSH side
     "pipeline_anomaly_summary": 4,  # four independent detector pipelines
+    "multimodal_image_entropy": 1,  # one synth + decode Arrow pass
 }
 
 

@@ -2039,6 +2039,21 @@ def _multimodal_image_entropy(spark, sf_dir):
     return mm.image_entropy(imgs)
 
 
+def _dedup_rate_by_source(spark, sf_dir):
+    from fossil_spark.operators import dedup
+
+    return dedup.rate_by_source(_docs(spark, sf_dir))
+
+
+def _ts_slot_anomaly(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.slot_anomaly(
+        _events(spark, sf_dir), z_cut=3.0, time_col="ts",
+        by=["event_type"], value_col="value",
+    )
+
+
 def _ts_flatline(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -2117,6 +2132,7 @@ _WINDOW_PRIORITY = [
     "text_structure_stats", "ts_wow_compare", "dedup_method_compare",
     "agg_retention_halflife", "ann_recall_curve",
     "pipeline_anomaly_summary", "multimodal_image_entropy",
+    "dedup_rate_by_source", "ts_slot_anomaly",
 ]
 
 
@@ -2258,6 +2274,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_curve": _ann_recall_curve,
         "pipeline_anomaly_summary": _pipeline_anomaly_summary,
         "multimodal_image_entropy": _multimodal_image_entropy,
+        "dedup_rate_by_source": _dedup_rate_by_source,
+        "ts_slot_anomaly": _ts_slot_anomaly,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -6208,6 +6226,56 @@ def oracle_sql() -> dict[str, str]:
         " CAST(n_distinct_values AS BIGINT) AS n_distinct_values,"
         " entropy_bits, 'real' AS decoded"
         " FROM ent"
+    )
+    # near-dup contamination per source: components closure + one
+    # source groupBy, floor-half-up rates
+    out["dedup_rate_by_source"] = (
+        f"WITH RECURSIVE {_MINHASH_CTES},"
+        " edges AS (SELECT doc_a a, doc_b b FROM pairs"
+        "  UNION SELECT doc_b, doc_a FROM pairs),"
+        " nodes AS (SELECT DISTINCT a AS node FROM edges),"
+        " reach(node, r) AS ("
+        "  SELECT node, node FROM nodes"
+        "  UNION"
+        "  SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r),"
+        " comp AS (SELECT node, min(r) AS component FROM reach GROUP BY 1),"
+        " j AS (SELECT d.doc_id, d.source, c.component FROM documents d"
+        "  LEFT JOIN comp c ON c.node = d.doc_id)"
+        " SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(sum(CASE WHEN component IS NOT NULL THEN 1 ELSE 0 END)"
+        "  AS BIGINT) AS n_in_dup,"
+        " floor(CAST(sum(CASE WHEN component IS NOT NULL THEN 1 ELSE 0"
+        "  END) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5)"
+        "  / 1000000.0 AS dup_rate,"
+        " CAST(sum(CASE WHEN component IS NOT NULL"
+        "  AND component != doc_id THEN 1 ELSE 0 END) AS BIGINT)"
+        "  AS n_removable"
+        " FROM j GROUP BY source"
+    )
+    # calendar-slot z-score anomalies: per-(key,weekday,hour) decimal
+    # slot stats as windows; n>=5 and sd>0 guards
+    out["ts_slot_anomaly"] = (
+        "WITH s AS (SELECT event_type, ts, value,"
+        " CAST(isodow(ts) AS BIGINT) AS wd,"
+        " CAST(hour(ts) AS BIGINT) AS hr"
+        f" FROM {_EV} e),"
+        " w AS (SELECT *, count(value) OVER sw AS n,"
+        "  CAST(round(sum(CAST(value AS DECIMAL(30,8))) OVER sw, 6)"
+        "   AS DOUBLE) AS s1,"
+        "  CAST(round(sum(CAST(value * value AS DECIMAL(38,8))) OVER sw,"
+        "   6) AS DOUBLE) AS s2"
+        "  FROM s WINDOW sw AS (PARTITION BY event_type, wd, hr))"
+        " SELECT event_type, ts, value, wd AS slot_weekday,"
+        " hr AS slot_hour, round(s1 / n, 6) AS slot_mean,"
+        " round(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)), 6)"
+        "  AS slot_std,"
+        " round((value - s1 / n) / sqrt(greatest(s2 / n"
+        "  - (s1 / n) * (s1 / n), 0.0)), 6) AS zscore"
+        " FROM w WHERE n >= 5"
+        " AND sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) > 0"
+        " AND abs(round((value - s1 / n) / sqrt(greatest(s2 / n"
+        "  - (s1 / n) * (s1 / n), 0.0)), 6)) > 3.0"
+        ""
     )
     # flatline runs over the decade-bucketed value (islands on value
     # equality; the sessionize running-sum trick)

@@ -841,3 +841,42 @@ def method_compare(docs: DataFrame) -> DataFrame:
         .unionByName(summarize(suf, "suffix"))
         .unionByName(summarize(comp, "minhash"))
     )
+
+
+def rate_by_source(docs: DataFrame) -> DataFrame:
+    """Near-dup contamination per source: what fraction of each
+    source's documents sit in a MinHash near-dup component — the
+    "which feed is dirtiest" readout that turns [[dedup_minhash]]'s
+    pair list into a procurement decision ([[pipeline_dedup_savings]]
+    prices the whole corpus; this names the offender). Components
+    broadcast onto one doc scan + one source groupBy; floor-half-up
+    rates. Returns (source, n_docs, n_in_dup, dup_rate,
+    n_removable)."""
+    comp = connected_components(minhash_lsh_pairs(docs))
+    j = docs.select("doc_id", "source").join(
+        F.broadcast(comp), "doc_id", "left"
+    )
+    in_dup = F.col("component").isNotNull()
+    removable = in_dup & (F.col("component") != F.col("doc_id"))
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(in_dup, 1).otherwise(0)).cast("long").alias(
+            "n_in_dup"
+        ),
+        F.sum(F.when(removable, 1).otherwise(0)).cast("long").alias(
+            "n_removable"
+        ),
+    )
+    return agg.select(
+        "source", "n_docs", "n_in_dup",
+        (
+            F.floor(
+                F.col("n_in_dup").cast("double")
+                / F.col("n_docs").cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("dup_rate"),
+        "n_removable",
+    )

@@ -3929,3 +3929,70 @@ def wow_compare(
             _r6(delta / F.abs(F.col("value_lookback"))),
         ).alias("wow_pct"),
     )
+
+
+def slot_anomaly(
+    df: DataFrame,
+    z_cut: float = 3.0,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Calendar-slot anomaly detection: each sample scored against
+    its OWN (ISO weekday, hour) slot's historical mean/std — the
+    seasonal-aware baseline ([[ts_hampel]]'s trailing window flags
+    every Monday-morning ramp as a spike; this one knows Mondays at
+    9 are supposed to look like Mondays at 9). Slot statistics are
+    decimal-accumulated sums / quantized squared sums over one
+    (key, weekday, hour) groupBy-as-window pass (the at-most-168
+    slots per key ship aggregates, not rows); samples in slots with
+    < 5 observations or zero variance never flag (documented).
+    Returns flagged rows only: (*by, ts, value, slot_weekday,
+    slot_hour, slot_mean, slot_std, zscore)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    dow = F.when(
+        F.dayofweek(F.col(time_col)) == 1, F.lit(7)
+    ).otherwise(F.dayofweek(F.col(time_col)) - 1)
+    s = df.select(
+        *by,
+        F.col(time_col),
+        F.col(value_col),
+        dow.cast("long").alias("__wd"),
+        F.hour(F.col(time_col)).cast("long").alias("__hr"),
+    )
+    w = Window.partitionBy(*by, "__wd", "__hr")
+    n = F.count(value_col).over(w)
+    s1 = (
+        F.round(F.sum(F.col(value_col).cast("decimal(30,8)")).over(w), 6)
+        .cast("double")
+    )
+    s2 = (
+        F.round(
+            F.sum(
+                (F.col(value_col) * F.col(value_col)).cast("decimal(38,8)")
+            ).over(w),
+            6,
+        )
+        .cast("double")
+    )
+    s2c = s.select(
+        *by, F.col(time_col), F.col(value_col), "__wd", "__hr",
+        n.alias("__n"), s1.alias("__s1"), s2.alias("__s2"),
+    )
+    mean = F.col("__s1") / F.col("__n")
+    var = F.col("__s2") / F.col("__n") - mean * mean
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = (F.col(value_col) - mean) / sd
+    return (
+        s2c.filter((F.col("__n") >= 5) & (sd > 0))
+        .select(
+            *by, F.col(time_col), F.col(value_col),
+            F.col("__wd").alias("slot_weekday"),
+            F.col("__hr").alias("slot_hour"),
+            F.round(mean, 6).alias("slot_mean"),
+            F.round(sd, 6).alias("slot_std"),
+            F.round(z, 6).alias("zscore"),
+        )
+        .filter(F.abs("zscore") > F.lit(z_cut))
+    )

@@ -2066,3 +2066,12 @@ def test_anomaly_summary_counts_match_detectors(spark):
         ev, 80.0, "ts", ["event_type"], "value", ["event_id"]
     ).count()
     assert out["threshold_episode"] == direct
+
+
+def test_dedup_rate_by_source_consistency(spark, docs):
+    out = dedup.rate_by_source(docs).collect()
+    total_docs = sum(r["n_docs"] for r in out)
+    assert total_docs == docs.count()
+    for r in out:
+        assert 0 <= r["n_removable"] <= r["n_in_dup"] <= r["n_docs"]
+        assert 0.0 <= r["dup_rate"] <= 1.0

@@ -295,6 +295,8 @@ _SCAN_BUDGET = {
     "ann_recall_curve": 2,        # truth checkpointed once; LSH side
     "pipeline_anomaly_summary": 4,  # four independent detector pipelines
     "multimodal_image_entropy": 1,  # one synth + decode Arrow pass
+    "dedup_rate_by_source": 3,    # component pipeline (2) + doc side
+    "ts_slot_anomaly": 1,         # slot windows on one key partitioning
 }
 
 

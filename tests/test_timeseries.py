@@ -1794,3 +1794,28 @@ def test_wow_compare_planted(spark):
     assert r["wow_delta"] == 5.0 and r["wow_pct"] == 0.5
     assert out[t0 + timedelta(weeks=1, hours=1)]["value_lookback"] is None
     assert out[t0]["wow_pct"] is None
+
+
+def test_slot_anomaly_calendar_aware(spark):
+    t0 = datetime(2024, 1, 1)  # a Monday
+    rows = []
+    eid = 0
+    # Monday 9am slot across 6 weeks: five ~100s and one 500 spike
+    for week in range(6):
+        v = 500.0 if week == 5 else 100.0 + week  # tiny spread, one spike
+        rows.append((eid, t0 + timedelta(weeks=week, hours=9), "k", v))
+        eid += 1
+    # a different slot (Tuesday 9am) with constant values: never flags
+    for week in range(6):
+        rows.append(
+            (eid, t0 + timedelta(weeks=week, days=1, hours=9), "k", 50.0)
+        )
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = ts.slot_anomaly(df, 2.0, "ts", ["event_type"], "value").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["slot_weekday"], r["slot_hour"]) == (1, 9)
+    assert r["value"] == 500.0 and r["zscore"] > 2.0

@@ -2054,6 +2054,24 @@ def _ts_slot_anomaly(spark, sf_dir):
     )
 
 
+def _ts_ljung_box(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.ljung_box(
+        _events(spark, sf_dir), lags=5, period=25, time_col="ts",
+        by=["event_type"], value_col="value", order_tiebreak=["event_id"],
+    )
+
+
+def _ts_fano(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.fano_factor(
+        _events(spark, sf_dir), every="1 hour", time_col="ts",
+        by=["event_type"],
+    )
+
+
 def _ts_flatline(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -2132,7 +2150,8 @@ _WINDOW_PRIORITY = [
     "text_structure_stats", "ts_wow_compare", "dedup_method_compare",
     "agg_retention_halflife", "ann_recall_curve",
     "pipeline_anomaly_summary", "multimodal_image_entropy",
-    "dedup_rate_by_source", "ts_slot_anomaly",
+    "dedup_rate_by_source", "ts_slot_anomaly", "ts_ljung_box",
+    "ts_fano",
 ]
 
 
@@ -2276,6 +2295,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_entropy": _multimodal_image_entropy,
         "dedup_rate_by_source": _dedup_rate_by_source,
         "ts_slot_anomaly": _ts_slot_anomaly,
+        "ts_ljung_box": _ts_ljung_box,
+        "ts_fano": _ts_fano,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -6276,6 +6297,70 @@ def oracle_sql() -> dict[str, str]:
         " AND abs(round((value - s1 / n) / sqrt(greatest(s2 / n"
         "  - (s1 / n) * (s1 / n), 0.0)), 6)) > 3.0"
         ""
+    )
+    # Ljung-Box on decompose residuals: the decompose CTEs (ts kept
+    # for the lag ordering), round@4 residual acf, one-row Q formula
+    # with identical op order
+    out["ts_ljung_box"] = (
+        "WITH s AS (SELECT event_id, event_type, ts, value,"
+        " row_number() OVER (PARTITION BY event_type"
+        "  ORDER BY ts, event_id) AS rn,"
+        " CASE WHEN count(value) OVER w = 25 THEN"
+        "  CAST(round(sum(CAST(value AS DECIMAL(30,8))) OVER w, 4)"
+        "   AS DOUBLE) / count(value) OVER w END AS trend"
+        f" FROM {_EV} e0"
+        " WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id"
+        "  ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),"
+        " d0 AS (SELECT *, (rn - 1) % 25 AS phase,"
+        "  value - trend AS det FROM s),"
+        " p AS (SELECT *, CAST(round(sum(CAST(det AS DECIMAL(30,8)))"
+        "  OVER wp, 4) AS DOUBLE) / count(det) OVER wp AS seas FROM d0"
+        "  WINDOW wp AS (PARTITION BY event_type, phase)),"
+        " d AS (SELECT event_type, ts, event_id,"
+        "  round(det - seas, 6) AS residual FROM p"
+        "  WHERE round(det - seas, 6) IS NOT NULL),"
+        " l AS (SELECT event_type, residual,"
+        + ",".join(
+            f" lag(residual, {k}) OVER wl AS r{k}" for k in range(1, 6)
+        )
+        + " FROM d WINDOW wl AS (PARTITION BY event_type"
+        "  ORDER BY ts, event_id)),"
+        " a AS (SELECT event_type, count(residual) AS n_resid,"
+        + ",".join(
+            f" round(corr(residual, r{k}), 4) AS a{k}"
+            for k in range(1, 6)
+        )
+        + " FROM l GROUP BY event_type)"
+        " SELECT event_type, CAST(n_resid AS BIGINT) AS n_resid,"
+        " round(CAST(n_resid AS DOUBLE) * (CAST(n_resid AS DOUBLE)"
+        "  + 2.0) * (a1 * a1 / (CAST(n_resid AS DOUBLE) - 1.0) + a2 * a2 / (CAST(n_resid AS DOUBLE) - 2.0) + a3 * a3 / (CAST(n_resid AS DOUBLE) - 3.0) + a4 * a4 / (CAST(n_resid AS DOUBLE) - 4.0) + a5 * a5 / (CAST(n_resid AS DOUBLE) - 5.0)"
+        " ), 6) AS q_stat,"
+        " 11.0705 AS q_crit_5pct,"
+        " round(CAST(n_resid AS DOUBLE) * (CAST(n_resid AS DOUBLE)"
+        "  + 2.0) * (a1 * a1 / (CAST(n_resid AS DOUBLE) - 1.0) + a2 * a2 / (CAST(n_resid AS DOUBLE) - 2.0) + a3 * a3 / (CAST(n_resid AS DOUBLE) - 3.0) + a4 * a4 / (CAST(n_resid AS DOUBLE) - 4.0) + a5 * a5 / (CAST(n_resid AS DOUBLE) - 5.0)"
+        " ), 6) > 11.0705 AS residuals_autocorrelated"
+        " FROM a"
+    )
+    # Fano factor: integer count sums, population variance
+    out["ts_fano"] = (
+        "WITH b AS (SELECT event_type,"
+        " CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS bk,"
+        " count(*) AS n"
+        f" FROM {_EV} e GROUP BY 1, 2),"
+        " a AS (SELECT event_type, max(bk) - min(bk) + 1 AS nb,"
+        "  sum(n) AS s1, sum(n * n) AS s2 FROM b GROUP BY 1)"
+        " SELECT event_type, CAST(nb AS BIGINT) AS n_buckets,"
+        " floor(CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE) * 1000000.0"
+        "  + 0.5) / 1000000.0 AS mean_count,"
+        " round(CAST(s2 AS DOUBLE) / CAST(nb AS DOUBLE)"
+        "  - (CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE))"
+        "  * (CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE)), 6) AS var_count,"
+        " round(CASE WHEN CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE) != 0"
+        "  THEN (CAST(s2 AS DOUBLE) / CAST(nb AS DOUBLE)"
+        "  - (CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE))"
+        "  * (CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE)))"
+        "  / (CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE)) END, 6) AS fano"
+        " FROM a"
     )
     # flatline runs over the decade-bucketed value (islands on value
     # equality; the sessionize running-sum trick)

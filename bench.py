@@ -139,7 +139,8 @@ def main() -> None:
         "text_structure_stats", "ts_wow_compare", "dedup_method_compare",
         "agg_retention_halflife", "ann_recall_curve",
         "pipeline_anomaly_summary", "multimodal_image_entropy",
-        "dedup_rate_by_source", "ts_slot_anomaly",
+        "dedup_rate_by_source", "ts_slot_anomaly", "ts_ljung_box",
+        "ts_fano",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

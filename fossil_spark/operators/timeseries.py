@@ -3996,3 +3996,101 @@ def slot_anomaly(
         )
         .filter(F.abs("zscore") > F.lit(z_cut))
     )
+
+
+def ljung_box(
+    df: DataFrame,
+    lags: int = 5,
+    period: int = 25,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Ljung-Box residual-whiteness test (Ljung & Box 1978,
+    Biometrika 65:297) on the [[ts_decompose]] residuals: Q = n(n+2)
+    * sum_k rho_k^2 / (n-k) over lags 1..L — the "did the model leave
+    structure on the table" diagnostic that closes the decomposition
+    loop (significant Q = the trend+seasonal fit missed something
+    [[ts_pacf]] can then identify). The chi-square(L) 5% critical
+    value ships as a published constant (11.0705 for L=5).
+
+    Shape: the decompose windows, then the join-free acf lag pass on
+    residuals (round@4, the ts_acf rule), then pure arithmetic on one
+    row per key — identical IEEE op order both engines. Keys whose
+    residual acf is undefined report NULL Q. Returns (*by, n_resid,
+    q_stat, q_crit_5pct, residuals_autocorrelated)."""
+    by = by or []
+    d = decompose_classical(
+        df, period, time_col, by, value_col, order_tiebreak
+    ).filter(F.col("residual").isNotNull())
+    a = acf(
+        d, lags=lags, time_col=time_col, by=by, value_col="residual",
+        order_tiebreak=order_tiebreak,
+    )
+    cnt = d.groupBy(*by).agg(F.count(F.lit(1)).alias("n_resid"))
+    j = a.join(cnt, by) if by else a.crossJoin(cnt)
+    n = F.col("n_resid").cast("double")
+    q = F.lit(0.0)
+    for k in range(1, lags + 1):
+        q = q + (F.col(f"acf_{k}") * F.col(f"acf_{k}")) / (n - F.lit(float(k)))
+    q = n * (n + F.lit(2.0)) * q
+    crit = {5: 11.0705}.get(lags)
+    if crit is None:
+        raise ValueError("ship the chi-square critical value for this L")
+    return j.select(
+        *by,
+        "n_resid",
+        F.round(q, 6).alias("q_stat"),
+        F.lit(crit).alias("q_crit_5pct"),
+        (F.round(q, 6) > F.lit(crit)).alias("residuals_autocorrelated"),
+    )
+
+
+def fano_factor(
+    df: DataFrame,
+    every: str = "1 hour",
+    time_col: str = "time",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Fano factor per key: variance-to-mean ratio of bucket counts —
+    the count-domain overdispersion dial (Poisson arrivals give F = 1;
+    F >> 1 = clumped/bursty, F < 1 = regularized/rate-limited), the
+    bucket-count companion to [[ts_burstiness]]'s gap-domain index.
+    Zero-count buckets INSIDE the key's own [first, last] range count
+    (a stream that fires 20 events every 4th hour is clumped; scoring
+    only observed buckets would call it regular) — no densify needed:
+    zeros contribute nothing to the sums, so the dense-grid variance
+    is s2/B - (s1/B)^2 with B = the expected bucket count. One bucket
+    groupBy + one groupBy; all-integer sums, one final division.
+    Returns (*by, n_buckets, mean_count, var_count, fano)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    us_per = _interval_us(every)
+    b = df.groupBy(
+        *by,
+        (F.unix_micros(F.col(time_col)) / F.lit(us_per))
+        .cast("long")
+        .alias("__b"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    agg = b.groupBy(*by).agg(
+        (F.max("__b") - F.min("__b") + 1).alias("n_buckets"),
+        F.sum("n").cast("long").alias("__s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("__s2"),
+    )
+    m = F.col("__s1").cast("double") / F.col("n_buckets").cast("double")
+    var = (
+        F.col("__s2").cast("double") / F.col("n_buckets").cast("double")
+        - m * m
+    )
+
+    def _r6(e):
+        return F.floor(e * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+    return agg.select(
+        *by,
+        "n_buckets",
+        _r6(m).alias("mean_count"),
+        F.round(var, 6).alias("var_count"),
+        F.round(F.try_divide(var, m), 6).alias("fano"),
+    )

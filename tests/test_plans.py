@@ -297,6 +297,8 @@ _SCAN_BUDGET = {
     "multimodal_image_entropy": 1,  # one synth + decode Arrow pass
     "dedup_rate_by_source": 3,    # component pipeline (2) + doc side
     "ts_slot_anomaly": 1,         # slot windows on one key partitioning
+    "ts_ljung_box": 2,            # decompose+acf side + the count side
+    "ts_fano": 1,                 # bucket agg + one groupBy
 }
 
 

@@ -1819,3 +1819,61 @@ def test_slot_anomaly_calendar_aware(spark):
     r = out[0]
     assert (r["slot_weekday"], r["slot_hour"]) == (1, 9)
     assert r["value"] == 500.0 and r["zscore"] > 2.0
+
+
+def test_ljung_box_white_vs_structured_residuals(spark):
+    import hashlib
+
+    t0 = datetime(2024, 1, 1)
+
+    def u(i):
+        return int(hashlib.md5(f"lb:{i}".encode()).hexdigest()[:8], 16) / 0xFFFFFFFF
+
+    # white-ish noise: decompose leaves uncorrelated residuals
+    rows = [
+        (i, t0 + timedelta(hours=i), "white", 100.0 * u(i))
+        for i in range(200)
+    ]
+    # strong period-10 signal with period-25 decompose: the seasonal
+    # fit misses it -> residuals stay autocorrelated
+    rows += [
+        (1000 + i, t0 + timedelta(hours=i), "structured",
+         100.0 if i % 10 < 5 else 0.0)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r["event_type"]: r for r in ts.ljung_box(
+        df, 5, 25, "ts", ["event_type"], "value", ["event_id"]
+    ).collect()}
+    assert out["structured"]["residuals_autocorrelated"]
+    assert out["structured"]["q_stat"] > out["white"]["q_stat"]
+    assert not out["white"]["residuals_autocorrelated"]
+
+
+def test_fano_poisson_vs_clumped(spark):
+    import hashlib
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # regular: exactly 5 events every hour -> var 0 -> fano 0
+    for h in range(48):
+        for i in range(5):
+            rows.append((eid, t0 + timedelta(hours=h, minutes=i), "regular"))
+            eid += 1
+    # clumped: 20 events every 4th hour -> fano >> 1
+    for h in range(0, 48, 4):
+        for i in range(20):
+            rows.append((eid, t0 + timedelta(hours=h, minutes=i), "clumped"))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {r["event_type"]: r for r in ts.fano_factor(
+        df, "1 hour", "ts", ["event_type"]
+    ).collect()}
+    assert out["regular"]["fano"] == 0.0
+    # zero-count buckets inside the range COUNT: 45-bucket grid (hours
+    # 0..44), 12 hot buckets of 20 -> mean 16/3, var 400*12/45 - mean^2
+    assert out["clumped"]["n_buckets"] == 45
+    assert out["clumped"]["fano"] > 10.0

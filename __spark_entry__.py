@@ -2072,6 +2072,30 @@ def _ts_fano(spark, sf_dir):
     )
 
 
+def _ts_staleness(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.staleness(
+        _events(spark, sf_dir), stale_factor=3.0, time_col="ts",
+        by=["event_type"], order_tiebreak=["event_id"],
+    )
+
+
+def _ann_index_agreement(spark, sf_dir):
+    from fossil_spark.operators import ann
+    from fossil_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 8")
+    return ann.index_agreement(
+        {
+            "lsh": ann.lsh_ann(emb, q, dim=64, k=5),
+            "ivf": ann.ivf_ann(emb, q, k=5, n_lists=16, n_probe=4),
+        },
+        k=5,
+    )
+
+
 def _ts_flatline(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -2151,7 +2175,7 @@ _WINDOW_PRIORITY = [
     "agg_retention_halflife", "ann_recall_curve",
     "pipeline_anomaly_summary", "multimodal_image_entropy",
     "dedup_rate_by_source", "ts_slot_anomaly", "ts_ljung_box",
-    "ts_fano",
+    "ts_fano", "ts_staleness", "ann_index_agreement",
 ]
 
 
@@ -2297,6 +2321,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_slot_anomaly": _ts_slot_anomaly,
         "ts_ljung_box": _ts_ljung_box,
         "ts_fano": _ts_fano,
+        "ts_staleness": _ts_staleness,
+        "ann_index_agreement": _ann_index_agreement,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -6361,6 +6387,47 @@ def oracle_sql() -> dict[str, str]:
         "  * (CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE)))"
         "  / (CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE)) END, 6) AS fano"
         " FROM a"
+    )
+    # feed-liveness: age vs the cadence median gap; data-anchored now
+    out["ts_staleness"] = (
+        f"WITH cad AS ({out['ts_cadence']}),"
+        " last AS (SELECT event_type, max(epoch_us(ts)) AS lastus"
+        f"  FROM {_EV} e GROUP BY 1),"
+        f" anchor AS (SELECT max(epoch_us(ts)) AS nowus FROM {_EV} e2)"
+        " SELECT l.event_type AS event_type,"
+        " make_timestamp(lastus) AS last_ts,"
+        " CAST(nowus - lastus AS BIGINT) AS age_us,"
+        " cad.median_gap_us AS median_gap_us,"
+        " round(CASE WHEN cad.median_gap_us != 0 THEN"
+        "  CAST(nowus - lastus AS DOUBLE) / cad.median_gap_us END, 6)"
+        "  AS age_over_median,"
+        " round(CASE WHEN cad.median_gap_us != 0 THEN"
+        "  CAST(nowus - lastus AS DOUBLE) / cad.median_gap_us END, 6)"
+        "  > 3.0 AS is_stale"
+        " FROM last l JOIN cad ON cad.event_type = l.event_type,"
+        " anchor"
+    )
+    # pairwise index agreement: Jaccard@5 of the proven LSH/IVF CTEs
+    out["ann_index_agreement"] = (
+        f"WITH lc AS ({out['ann_lsh']}), vc AS ({out['ann_ivf']}),"
+        " a AS (SELECT query_id, vec_id FROM vc WHERE rank <= 5),"
+        " b AS (SELECT query_id, vec_id FROM lc WHERE rank <= 5),"
+        " ca AS (SELECT query_id, count(*) AS na FROM a GROUP BY 1),"
+        " cb AS (SELECT query_id, count(*) AS nb FROM b GROUP BY 1),"
+        " i AS (SELECT a.query_id, count(*) AS ni FROM a"
+        "  JOIN b ON b.query_id = a.query_id AND b.vec_id = a.vec_id"
+        "  GROUP BY 1),"
+        " pq AS (SELECT ca.query_id, coalesce(ni, 0) AS ni,"
+        "  na + nb AS nu0 FROM ca JOIN cb USING (query_id)"
+        "  LEFT JOIN i USING (query_id)),"
+        " s AS (SELECT count(*) AS nq, sum(CAST(round(CAST(ni AS DOUBLE)"
+        "  / CAST(nu0 - ni AS DOUBLE), 8) AS DECIMAL(30,8))) AS sj"
+        "  FROM pq)"
+        " SELECT 'ivf' AS index_a, 'lsh' AS index_b,"
+        " CAST(nq AS BIGINT) AS n_queries,"
+        " floor(CAST(sj AS DOUBLE) / CAST(nq AS DOUBLE) * 1000000.0"
+        "  + 0.5) / 1000000.0 AS mean_jaccard"
+        " FROM s"
     )
     # flatline runs over the decade-bucketed value (islands on value
     # equality; the sessionize running-sum trick)

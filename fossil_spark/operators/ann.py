@@ -1388,3 +1388,79 @@ def recall_curve(
         ).alias("recall_at_k"),
     )
     return out
+
+
+def index_agreement(
+    results: dict[str, DataFrame],
+    k: int = 5,
+) -> DataFrame:
+    """Pairwise agreement between ANN indexes: mean Jaccard overlap
+    of their top-k result sets per query — the audit that says
+    whether two cheap indexes are interchangeable or complementary
+    ([[ann_recall_eval]] scores each against the exact truth; this
+    scores them against EACH OTHER, which needs no brute-force pass).
+    Inputs are ranked (query_id, vec_id, rank) tables. One equi-join
+    per index pair on (query_id, vec_id); |A u B| = 2k - |A n B| when
+    both sides return full k (guarded by per-query counts otherwise).
+    All-integer overlap counts; floor-half-up means. Returns
+    (index_a, index_b, n_queries, mean_jaccard)."""
+    names = sorted(results)
+    # each cut feeds two branches (per-query counts + the pair
+    # intersection) — checkpoint the |queries| x k rows once so the
+    # index pipelines don't re-execute per branch (the recall rule)
+    cut = {
+        m: results[m]
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id")
+        .localCheckpoint()
+        for m in names
+    }
+    outs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            ca = cut[a].groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("__na")
+            )
+            cb = cut[b].groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("__nb")
+            )
+            inter = (
+                cut[a].join(cut[b], ["query_id", "vec_id"])
+                .groupBy("query_id")
+                .agg(F.count(F.lit(1)).alias("__ni"))
+            )
+            per_q = (
+                ca.join(cb, "query_id")
+                .join(inter, "query_id", "left")
+                .select(
+                    F.coalesce(F.col("__ni"), F.lit(0)).alias("__ni"),
+                    (F.col("__na") + F.col("__nb")).alias("__nu0"),
+                )
+            )
+            jac = F.col("__ni").cast("double") / (
+                F.col("__nu0") - F.col("__ni")
+            ).cast("double")
+            agg = per_q.agg(
+                F.count(F.lit(1)).alias("n_queries"),
+                F.sum(F.round(jac, 8).cast("decimal(30,8)")).alias("__s"),
+            )
+            outs.append(
+                agg.select(
+                    F.lit(a).alias("index_a"),
+                    F.lit(b).alias("index_b"),
+                    "n_queries",
+                    (
+                        F.floor(
+                            F.col("__s").cast("double")
+                            / F.col("n_queries").cast("double")
+                            * F.lit(1000000.0)
+                            + F.lit(0.5)
+                        )
+                        / F.lit(1000000.0)
+                    ).alias("mean_jaccard"),
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

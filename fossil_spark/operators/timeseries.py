@@ -4094,3 +4094,46 @@ def fano_factor(
         F.round(var, 6).alias("var_count"),
         F.round(F.try_divide(var, m), 6).alias("fano"),
     )
+
+
+def staleness(
+    df: DataFrame,
+    stale_factor: float = 3.0,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Feed-liveness check per key: the age of the newest sample
+    (against the corpus' own latest timestamp — data-anchored, so the
+    result is reproducible) compared to the key's OWN median
+    inter-arrival gap from [[ts_cadence]] — a key whose silence
+    exceeds `stale_factor` x its normal cadence is stale ("this topic
+    stopped arriving"), the check a TSDB runs before trusting any
+    just-in-time dashboard. Composes the cadence rank quantiles + a
+    1-row anchor broadcast; all-integer ages, one double ratio.
+    Returns (*by, last_ts, age_us, median_gap_us, age_over_median,
+    is_stale)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    cad = cadence(df, time_col, by, order_tiebreak)
+    last = df.groupBy(*by).agg(
+        F.max(F.unix_micros(F.col(time_col))).alias("__last")
+    )
+    anchor = df.agg(
+        F.max(F.unix_micros(F.col(time_col))).alias("__now")
+    )
+    j = last.join(cad.select(*by, "median_gap_us"), by).crossJoin(
+        F.broadcast(anchor)
+    )
+    age = F.col("__now") - F.col("__last")
+    ratio = F.round(
+        F.try_divide(age.cast("double"), F.col("median_gap_us")), 6
+    )
+    return j.select(
+        *by,
+        F.timestamp_micros(F.col("__last")).alias("last_ts"),
+        age.alias("age_us"),
+        "median_gap_us",
+        ratio.alias("age_over_median"),
+        (ratio > F.lit(stale_factor)).alias("is_stale"),
+    )

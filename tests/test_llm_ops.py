@@ -2075,3 +2075,14 @@ def test_dedup_rate_by_source_consistency(spark, docs):
     for r in out:
         assert 0 <= r["n_removable"] <= r["n_in_dup"] <= r["n_docs"]
         assert 0.0 <= r["dup_rate"] <= 1.0
+
+
+def test_index_agreement_bounds_and_self(spark, emb):
+    from fossil_spark.operators import ann as ann_mod
+
+    q = emb.filter("vec_id < 4")
+    truth = ann_mod.cosine_topk(emb, q, k=5)
+    r = ann_mod.index_agreement({"a": truth, "b": truth}, k=5).collect()[0]
+    # identical result sets agree perfectly
+    assert (r["index_a"], r["index_b"]) == ("a", "b")
+    assert r["mean_jaccard"] == 1.0

@@ -299,6 +299,8 @@ _SCAN_BUDGET = {
     "ts_slot_anomaly": 1,         # slot windows on one key partitioning
     "ts_ljung_box": 2,            # decompose+acf side + the count side
     "ts_fano": 1,                 # bucket agg + one groupBy
+    "ts_staleness": 3,            # cadence side + last side + 1-row anchor
+    "ann_index_agreement": 0,     # both cuts checkpointed once
 }
 
 

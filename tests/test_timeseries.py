@@ -1877,3 +1877,19 @@ def test_fano_poisson_vs_clumped(spark):
     # 0..44), 12 hot buckets of 20 -> mean 16/3, var 400*12/45 - mean^2
     assert out["clumped"]["n_buckets"] == 45
     assert out["clumped"]["fano"] > 10.0
+
+
+def test_staleness_flags_dead_feed(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # live: ticks every minute up to the corpus end
+    rows += [(i, t0 + timedelta(minutes=i), "live") for i in range(60)]
+    # dead: same cadence but stopped 40 minutes before the end
+    rows += [(100 + i, t0 + timedelta(minutes=i), "dead") for i in range(20)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {r["event_type"]: r for r in ts.staleness(
+        df, 3.0, "ts", ["event_type"], ["event_id"]
+    ).collect()}
+    assert not out["live"]["is_stale"] and out["live"]["age_us"] == 0
+    assert out["dead"]["is_stale"]
+    assert out["dead"]["age_over_median"] == 40.0

@@ -2096,6 +2096,14 @@ def _ann_index_agreement(spark, sf_dir):
     )
 
 
+def _ts_peak_hour(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.peak_hour_consistency(
+        _events(spark, sf_dir), time_col="ts", by=["event_type"]
+    )
+
+
 def _ts_flatline(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -2175,7 +2183,7 @@ _WINDOW_PRIORITY = [
     "agg_retention_halflife", "ann_recall_curve",
     "pipeline_anomaly_summary", "multimodal_image_entropy",
     "dedup_rate_by_source", "ts_slot_anomaly", "ts_ljung_box",
-    "ts_fano", "ts_staleness", "ann_index_agreement",
+    "ts_fano", "ts_staleness", "ann_index_agreement", "ts_peak_hour",
 ]
 
 
@@ -2323,6 +2331,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_fano": _ts_fano,
         "ts_staleness": _ts_staleness,
         "ann_index_agreement": _ann_index_agreement,
+        "ts_peak_hour": _ts_peak_hour,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -6428,6 +6437,31 @@ def oracle_sql() -> dict[str, str]:
         " floor(CAST(sj AS DOUBLE) / CAST(nq AS DOUBLE) * 1000000.0"
         "  + 0.5) / 1000000.0 AS mean_jaccard"
         " FROM s"
+    )
+    # daily-peak stability: per-day argmax hour (earliest on ties),
+    # then the modal peak hour + its share of days
+    out["ts_peak_hour"] = (
+        "WITH dh AS (SELECT event_type, date_trunc('day', ts) AS day,"
+        " CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n"
+        f" FROM {_EV} e GROUP BY 1, 2, 3),"
+        " dp AS (SELECT event_type, day, hr,"
+        "  row_number() OVER (PARTITION BY event_type, day"
+        "   ORDER BY n DESC, hr) AS rk FROM dh),"
+        " pk AS (SELECT event_type, day, hr FROM dp WHERE rk = 1),"
+        " md AS (SELECT event_type, hr, count(*) AS c FROM pk"
+        "  GROUP BY 1, 2),"
+        " mm AS (SELECT event_type, hr, c,"
+        "  row_number() OVER (PARTITION BY event_type"
+        "   ORDER BY c DESC, hr) AS rk FROM md),"
+        " tot AS (SELECT event_type, sum(c) AS n_days FROM md GROUP BY 1)"
+        " SELECT t.event_type AS event_type,"
+        " CAST(t.n_days AS BIGINT) AS n_days,"
+        " CAST(m.hr AS BIGINT) AS modal_peak_hour,"
+        " CAST(m.c AS BIGINT) AS n_days_at_mode,"
+        " floor(CAST(m.c AS DOUBLE) / CAST(t.n_days AS DOUBLE)"
+        "  * 1000000.0 + 0.5) / 1000000.0 AS consistency"
+        " FROM tot t JOIN mm m ON m.event_type = t.event_type"
+        " AND m.rk = 1"
     )
     # flatline runs over the decade-bucketed value (islands on value
     # equality; the sessionize running-sum trick)

@@ -140,7 +140,7 @@ def main() -> None:
         "agg_retention_halflife", "ann_recall_curve",
         "pipeline_anomaly_summary", "multimodal_image_entropy",
         "dedup_rate_by_source", "ts_slot_anomaly", "ts_ljung_box",
-        "ts_fano", "ts_staleness", "ann_index_agreement",
+        "ts_fano", "ts_staleness", "ann_index_agreement", "ts_peak_hour",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

@@ -4137,3 +4137,62 @@ def staleness(
         ratio.alias("age_over_median"),
         (ratio > F.lit(stale_factor)).alias("is_stale"),
     )
+
+
+def peak_hour_consistency(
+    df: DataFrame,
+    time_col: str = "time",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Daily-peak stability per key: each day's busiest hour (struct
+    argmax, earliest hour on count ties), then how consistently the
+    SAME hour wins across days — the "can we schedule around the
+    peak" readout ([[ts_peak_to_mean]] sizes the peak; this says
+    whether it's predictable; [[ts_heatmap]] shows the full surface).
+    Two map-side groupBys over the calendar-bounded (day, hour) grid
+    + one argmax per key; floor-half-up share. Returns (*by, n_days,
+    modal_peak_hour, n_days_at_mode, consistency)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    dh = df.groupBy(
+        *by,
+        F.date_trunc("day", F.col(time_col)).alias("__day"),
+        F.hour(F.col(time_col)).alias("__hr"),
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    day_peak = dh.groupBy(*by, "__day").agg(
+        F.max(
+            F.struct(
+                F.col("__n").alias("n"),
+                (-F.col("__hr")).alias("nh"),
+                F.col("__hr").alias("hr"),
+            )
+        ).alias("__pk")
+    ).select(*by, "__day", F.col("__pk.hr").alias("__peak_hr"))
+    mode = day_peak.groupBy(*by, "__peak_hr").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    pick = F.max(
+        F.struct(
+            F.col("__c").alias("c"),
+            (-F.col("__peak_hr")).alias("nh"),
+            F.col("__peak_hr").alias("hr"),
+        )
+    )
+    agg = mode.groupBy(*by).agg(
+        F.sum("__c").cast("long").alias("n_days"), pick.alias("__m")
+    )
+    return agg.select(
+        *by,
+        "n_days",
+        F.col("__m.hr").cast("long").alias("modal_peak_hour"),
+        F.col("__m.c").cast("long").alias("n_days_at_mode"),
+        (
+            F.floor(
+                F.col("__m.c").cast("double")
+                / F.col("n_days").cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("consistency"),
+    )

@@ -301,6 +301,7 @@ _SCAN_BUDGET = {
     "ts_fano": 1,                 # bucket agg + one groupBy
     "ts_staleness": 3,            # cadence side + last side + 1-row anchor
     "ann_index_agreement": 0,     # both cuts checkpointed once
+    "ts_peak_hour": 1,            # two tiny groupBys + one argmax
 }
 
 

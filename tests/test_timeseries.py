@@ -1893,3 +1893,22 @@ def test_staleness_flags_dead_feed(spark):
     assert not out["live"]["is_stale"] and out["live"]["age_us"] == 0
     assert out["dead"]["is_stale"]
     assert out["dead"]["age_over_median"] == 40.0
+
+
+def test_peak_hour_consistency_planted(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 4 days: peak at hour 9 on three days, hour 15 once
+    for day, peak in enumerate([9, 9, 15, 9]):
+        for h in (8, peak):
+            n = 5 if h == peak else 2
+            for i in range(n):
+                rows.append(
+                    (eid, t0 + timedelta(days=day, hours=h, minutes=i), "k")
+                )
+                eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    r = ts.peak_hour_consistency(df, "ts", ["event_type"]).collect()[0]
+    assert (r["n_days"], r["modal_peak_hour"], r["n_days_at_mode"]) == (4, 9, 3)
+    assert r["consistency"] == 0.75

@@ -2127,60 +2127,40 @@ def _text_encoding_audit(spark, sf_dir):
 
 
 # The driver's correctness gate checks the FIRST ~50 keys of
-# queries(). VERDICT r5 ask #1: rotate the 26 keys the driver has
-# never seen (all judge-verified green locally) to the head, keep one
-# canary per §2 group in-window, and leave slots for round-6 additions.
+# queries(). Round-7 rotation: 85 oracle keys (sessions 4-6 additions)
+# have never been in the driver window — all were green in the
+# session-6 full-registry sweep at sf0.1. Put the first 48 of them at
+# the head this round (chronological order), keep 2 canaries, and
+# queue the remaining 37 right below the fold for round 8.
 _WINDOW_PRIORITY = [
-    # VERDICT r5 ask #1: the 26 never-driver-checked keys
-    "tpch_q11", "tpch_q16", "tpch_q20", "tpch_q21",
-    "embedding_pca", "graph_pagerank", "ts_decompose", "ts_xcorr",
-    "text_bigram_nll", "sample_group_topk", "ts_counter_rate",
-    "dedup_minhash_estimate", "ts_sax", "agg_cohort_ltv", "agg_markov",
-    "embedding_coherence", "dedup_cluster_sizes", "ts_heatmap",
-    "text_code_detector", "ts_anomaly_decomposed", "embedding_outliers",
-    "ts_bursts", "text_lexical_diversity", "sample_temperature",
-    "text_compression", "text_quality_classifier",
-    # canaries: one per §2 group (A=NTZ/FQL, B=store, C=ts, D=tpch,
-    # E=dedup/ann/text/multimodal/sample/agg/graph)
-    "fql_sample",            # A + NTZ tripwire
-    "store_stats",           # B
-    "ts_resample", "ts_asof_join", "ts_holt_winters",  # C (+CTE oracle)
-    "tpch_q1",               # D
-    "dedup_minhash", "ann_ivf", "text_gopher", "multimodal_frames",
-    "sample_stratified", "agg_order_cube", "graph_degree",  # E
-    # round-6 additions (oracle promotions + new keys) fill the rest
-    "ts_lttb", "cluster_kmeans_fixed", "embedding_pca_moments",
-    "dedup_containment", "embedding_sq8", "pipeline_semdedup",
-    "ts_trend_robust", "ts_ks_drift", "ts_psi_drift", "ann_pq",
-    # round-6 session-4 additions (below the ~50-key fold this round;
-    # next rotation's head)
-    "ts_benford", "embedding_dim_stats", "graph_triangles",
-    "text_entropy", "pipeline_quality_report",
-    # round-6 session-5 additions
-    "bpe_train", "bpe_encode", "ann_recall_eval", "text_kn_bigram",
-    "ts_drawdown", "ts_cadence", "graph_label_prop", "agg_rfm",
-    "multimodal_phash", "multimodal_phash_pairs", "text_readability",
-    "agg_basket", "agg_gini", "text_zipf", "agg_session_paths",
-    "pipeline_dedup_savings", "dedup_threshold_sweep",
-    "ts_forecast_eval", "ts_slo_burn", "sample_mixture_plan",
-    "agg_ab_test", "ts_dtw", "embedding_knn_classify",
-    # round-6 session-6 additions
+    # canaries: one relational + one FQL/NTZ tripwire
+    "tpch_q1", "fql_sample",
+    # never-driver-checked batch 1/2 (48 keys, round-7 window)
+    "multimodal_phash", "multimodal_phash_pairs", "graph_triangles",
+    "graph_label_prop", "embedding_dim_stats", "pipeline_drift_report",
+    "pipeline_quality_report", "pipeline_dedup_savings", "agg_rfm",
+    "agg_basket", "agg_gini", "agg_session_paths", "agg_ab_test",
+    "text_zipf", "dedup_threshold_sweep", "text_entropy", "bpe_train",
+    "bpe_encode", "ann_recall_eval", "embedding_knn_classify",
+    "text_kn_bigram", "ts_drawdown", "ts_cadence", "text_readability",
+    "sample_mixture_plan", "ts_forecast_eval", "ts_slo_burn", "ts_dtw",
     "ts_twa", "ts_threshold_episodes", "ts_rolling_median",
     "ts_period_detect", "agg_new_returning", "ann_range_search",
-    "embedding_centroid_drift", "pipeline_mixture_apply",
-    "ts_pacf", "ts_session_stats", "ts_top_movers", "agg_stickiness",
+    "embedding_centroid_drift", "pipeline_mixture_apply", "ts_pacf",
+    "ts_session_stats", "ts_top_movers", "agg_stickiness",
     "ts_seasonal_strength", "ts_corr_matrix", "ts_winsorized",
     "bpe_vocab_coverage", "ts_apdex", "ts_profile_drift",
-    "ts_completeness", "agg_user_outliers", "agg_attribution",
-    "dedup_quality_rep", "embedding_dup_audit", "ts_hampel",
-    "ts_flatline", "text_encoding_audit", "agg_purchase_cadence",
-    "ts_percentile_bands", "ts_error_episodes", "agg_conversion_lag",
-    "ts_mttr", "agg_nrr", "dedup_prefix", "agg_growth_accounting",
-    "ts_exp_histogram", "ts_capacity_eta", "ts_burstiness",
-    "text_heaps_law", "dedup_suffix", "text_jsd_sources",
-    "embedding_intrinsic_dim", "ts_value_entropy", "ts_peak_to_mean",
-    "text_structure_stats", "ts_wow_compare", "dedup_method_compare",
-    "agg_retention_halflife", "ann_recall_curve",
+    "ts_completeness", "agg_user_outliers",
+    # never-driver-checked batch 2/2 (37 keys, round-8 head)
+    "agg_attribution", "dedup_quality_rep", "embedding_dup_audit",
+    "ts_hampel", "ts_flatline", "text_encoding_audit",
+    "agg_purchase_cadence", "ts_percentile_bands", "ts_error_episodes",
+    "agg_conversion_lag", "ts_mttr", "agg_nrr", "dedup_prefix",
+    "agg_growth_accounting", "ts_exp_histogram", "ts_capacity_eta",
+    "ts_burstiness", "text_heaps_law", "dedup_suffix",
+    "text_jsd_sources", "embedding_intrinsic_dim", "ts_value_entropy",
+    "ts_peak_to_mean", "text_structure_stats", "ts_wow_compare",
+    "dedup_method_compare", "agg_retention_halflife", "ann_recall_curve",
     "pipeline_anomaly_summary", "multimodal_image_entropy",
     "dedup_rate_by_source", "ts_slot_anomaly", "ts_ljung_box",
     "ts_fano", "ts_staleness", "ann_index_agreement", "ts_peak_hour",
@@ -5551,7 +5531,7 @@ def oracle_sql() -> dict[str, str]:
         " sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) AS ns,"
         " sum(CASE WHEN value > 100.0 AND value <= 400.0 THEN 1 ELSE 0 END)"
         "  AS nt"
-        f" FROM {_EV} e GROUP BY 1, 2)"
+        f" FROM {_EV} e WHERE value IS NOT NULL GROUP BY 1, 2)"
         " SELECT event_type, bucket, CAST(n AS BIGINT) AS n,"
         " CAST(ns AS BIGINT) AS n_satisfied,"
         " CAST(nt AS BIGINT) AS n_tolerating,"
@@ -5575,10 +5555,13 @@ def oracle_sql() -> dict[str, str]:
         " s AS (SELECT *, sum(na) OVER wk AS ta, sum(nb) OVER wk AS tb"
         "  FROM g WINDOW wk AS (PARTITION BY event_type)),"
         " u AS (SELECT event_type, ta, tb, CAST(round(abs("
+        "  CASE WHEN ta > 0 THEN"
         "  floor(CAST(na AS DOUBLE) / CAST(ta AS DOUBLE) * 1000000.0 + 0.5)"
-        "   / 1000000.0"
-        "  - floor(CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE) * 1000000.0"
-        "   + 0.5) / 1000000.0), 6) AS DECIMAL(30,6)) AS term FROM s)"
+        "   / 1000000.0 ELSE 0.0 END"
+        "  - CASE WHEN tb > 0 THEN"
+        "  floor(CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE) * 1000000.0"
+        "   + 0.5) / 1000000.0 ELSE 0.0 END), 6) AS DECIMAL(30,6))"
+        "  AS term FROM s)"
         " SELECT event_type, CAST(max(ta) AS BIGINT) AS n_first,"
         " CAST(max(tb) AS BIGINT) AS n_second,"
         " CAST(sum(term) AS DOUBLE) AS profile_l1"

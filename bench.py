@@ -175,7 +175,20 @@ def main() -> None:
             print(f"# query {key} failed: {errors[key]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    out = {
+
+    # The driver records only the LAST ~2000 bytes of stdout; round 6's
+    # full 155-query dict blew past that and the driver recorded
+    # parsed=null. Keep the stdout line compact: the stable 18-query
+    # comparable set (tracked since round 1 for round-over-round trend)
+    # plus the 5 slowest queries; the full per-query map goes to a file.
+    comparable = headline[:18]
+    comparable_sec = round(sum(timings.get(k, 0.0) for k in comparable), 3)
+    slowest = sorted(timings, key=timings.get, reverse=True)[:5]
+    line_queries = {k: timings[k] for k in comparable if k in timings}
+    for k in slowest:
+        line_queries.setdefault(k, timings[k])
+
+    full = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
@@ -186,8 +199,33 @@ def main() -> None:
         "data_layout": "multi-row-group rechunk of the driver parquet (bench.prep_multirg)",
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        full["errors"] = errors
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "build", "bench_full.json"
+    )
+    try:
+        os.makedirs(os.path.dirname(full_path), exist_ok=True)
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1)
+    except Exception as ex:
+        print(f"# could not write {full_path}: {ex}", file=sys.stderr)
+
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": line_queries,
+        "sf": sf,
+        "n_queries": len(timings),
+        "comparable_18q_sec": comparable_sec,
+        "n_errors": len(errors),
+        "full": "build/bench_full.json",
+    }
+    line = json.dumps(out)
+    if len(line) > 1800:  # hard guard: never exceed the driver tail again
+        out.pop("queries", None)
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

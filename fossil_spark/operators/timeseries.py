@@ -3049,6 +3049,10 @@ def winsorized_stats(
     SAME sort the rank uses: one key exchange, zero joins. The
     winsorized mean accumulates in decimal. Returns (*by, n, lo_cut,
     hi_cut, n_clipped, mean_raw, mean_winsorized)."""
+    if not 0.0 <= p < 0.5:
+        # p >= 0.5 makes lo_rank cross hi_rank and every cut lookup
+        # NULL — fail loudly like rolling_median/hampel validate theirs
+        raise ValueError(f"winsorized_stats: p must be in [0, 0.5), got {p}")
     by = by or []
     df = _time_norm(df, time_col)
     wrank = Window.partitionBy(*by).orderBy(value_col)
@@ -3118,10 +3122,12 @@ def apdex(
 
     One map-side-combined groupBy; all-integer counts; the score is
     an explicit floor-half-up @6 of the (integer + half-integer)/n
-    rational (the session_stats tie rule). Returns (*by, bucket, n,
-    n_satisfied, n_tolerating, n_frustrated, apdex)."""
+    rational (the session_stats tie rule). NULL latencies are dropped
+    before counting (they are "no measurement", not frustration —
+    counting them would silently depress the score). Returns (*by,
+    bucket, n, n_satisfied, n_tolerating, n_frustrated, apdex)."""
     by = by or []
-    df = _time_norm(df, time_col)
+    df = _time_norm(df, time_col).filter(F.col(value_col).isNotNull())
     v = F.col(value_col)
     agg = df.groupBy(
         *by, F.window(F.col(time_col), every).start.alias("bucket")
@@ -3168,7 +3174,9 @@ def profile_drift(
     Shape: one (key, hour) groupBy with conditional per-half counts
     (no join between halves), per-key share normalizers as windows
     over the <= 24-row-per-key grid, L1 distance with per-term
-    decimal quantization. Shares are floor-half-up integer rationals.
+    decimal quantization. Shares are floor-half-up integer rationals;
+    a key with zero events in one half gets share 0 for that half's
+    hours, so its L1 reads 1.0 (all mass on one side), never NULL.
     Returns (*by, n_first, n_second, profile_l1) — L1 in [0, 2],
     0 = identical shape."""
     by = by or []
@@ -3200,10 +3208,16 @@ def profile_drift(
     tb = F.sum("__nb").over(wk)
 
     def _share(n, t):
-        return F.floor(
-            n.cast("double") / t.cast("double") * F.lit(1000000.0)
-            + F.lit(0.5)
-        ) / F.lit(1000000.0)
+        # a key with zero events in one half has share 0 for every hour
+        # of that half (0/0 would be NaN -> NULL L1); the key's L1 then
+        # reads 1.0 — "all mass moved", the maximal one-sided drift
+        return F.when(
+            t > F.lit(0),
+            F.floor(
+                n.cast("double") / t.cast("double") * F.lit(1000000.0)
+                + F.lit(0.5)
+            ) / F.lit(1000000.0),
+        ).otherwise(F.lit(0.0))
 
     s = g.select(
         *by, "__na", "__nb",
@@ -4122,7 +4136,11 @@ def staleness(
     anchor = df.agg(
         F.max(F.unix_micros(F.col(time_col))).alias("__now")
     )
-    j = last.join(cad.select(*by, "median_gap_us"), by).crossJoin(
+    med = cad.select(*by, "median_gap_us")
+    # empty `by` must be an explicit 1-row crossJoin, not a join on []
+    # (which degenerates to a cross join only by accident) — the same
+    # guard ljung_box uses for its global case
+    j = (last.join(med, by) if by else last.crossJoin(med)).crossJoin(
         F.broadcast(anchor)
     )
     age = F.col("__now") - F.col("__last")

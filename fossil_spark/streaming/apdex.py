@@ -28,10 +28,13 @@ def streaming_apdex(
     arithmetic to the batch operator so a lambda deployment's live
     and backfill numbers agree bit-for-bit. Append mode emits
     finalized windows only (group by the window() struct; project
-    .start after the aggregation — the windowed_rollup rule)."""
+    .start after the aggregation — the windowed_rollup rule). NULL
+    latencies are dropped before counting, mirroring the batch
+    operator (they are "no measurement", not frustration)."""
     v = F.col(value_col)
     agg = (
-        stream.withWatermark(time_col, watermark)
+        stream.filter(v.isNotNull())
+        .withWatermark(time_col, watermark)
         .groupBy(F.window(F.col(time_col), every), key_col)
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -1483,6 +1483,58 @@ def test_profile_drift_shifted_hours(spark):
     assert r["profile_l1"] == 2.0
 
 
+def test_winsorized_rejects_bad_p(spark):
+    import pytest as _pytest
+
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(0, t0, "k", 1.0)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    for bad in (0.5, 0.7, -0.1, 1.0):
+        with _pytest.raises(ValueError):
+            ts.winsorized_stats(df, bad, "ts", ["event_type"], "value")
+
+
+def test_apdex_ignores_null_latencies(spark):
+    t0 = datetime(2024, 1, 1)
+    vals = [0.5, 1.0, 2.0, 4.0, 5.0, None, None]
+    rows = [
+        (i, t0 + timedelta(minutes=i), "k", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    r = ts.apdex(df, 1.0, "1 hour", "ts", ["event_type"], "value").collect()[0]
+    # NULLs are "no measurement": excluded from n, not counted frustrated
+    assert r["n"] == 5
+    assert (r["n_satisfied"], r["n_tolerating"], r["n_frustrated"]) == (2, 2, 1)
+    assert r["apdex"] == (2 + 2 / 2) / 5
+
+
+def test_profile_drift_key_empty_in_one_half(spark):
+    t0 = datetime(2024, 1, 1, 0, 0)
+    # key "a" spans both halves of the global range; key "late" exists
+    # only in the second half -> its first-half total is 0
+    rows = [(i, t0 + timedelta(hours=48 * i), "a") for i in range(2)]
+    t1 = datetime(2024, 1, 2, 12, 0)
+    rows += [(10 + i, t1 + timedelta(minutes=i), "late") for i in range(3)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {r["event_type"]: r for r in ts.profile_drift(df, "ts", ["event_type"]).collect()}
+    # one-sided key: shares of the empty half are 0, L1 = 1.0 (not NULL)
+    assert out["late"]["n_first"] == 0
+    assert out["late"]["profile_l1"] == 1.0
+
+
+def test_staleness_global_no_keys(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = [(i, t0 + timedelta(minutes=i), "k") for i in range(30)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = ts.staleness(df, 3.0, "ts", None, ["event_id"]).collect()
+    assert len(out) == 1
+    assert out[0]["age_us"] == 0 and not out[0]["is_stale"]
+
+
 def test_completeness_counts_missing_buckets(spark):
     t0 = datetime(2024, 1, 1)
     hours = [0, 1, 2, 5]

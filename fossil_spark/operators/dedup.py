@@ -587,6 +587,42 @@ def connected_components(
     return labels.select(F.col("node").alias("doc_id"), "component")
 
 
+# --- shared component catalog -------------------------------------------
+#
+# Every post-dedup readout (representative selection, per-source rates,
+# method comparison, savings pricing) consumes the SAME near-dup
+# component table. A production curation run materializes that table
+# once and joins everything against it; recomputing the LSH + iterative
+# label-propagation pipeline per readout multiplies the most expensive
+# shuffle in the whole corpus pass. This memo is that materialization:
+# session-scoped, keyed by the input plan's semantic hash, persisted
+# MEMORY_AND_DISK (the table is tiny — only docs that appear in a
+# near-dup pair). Callers that need non-default LSH parameters bypass
+# the cache by composing the primitives directly.
+_COMPONENT_CACHE: dict[tuple[int, int], DataFrame] = {}
+
+
+def neardup_components(docs: DataFrame) -> DataFrame:
+    """Near-dup component table for `docs` under the default MinHash
+    LSH parameters: connected_components(minhash_lsh_pairs(docs)),
+    computed once per session per input plan and persisted. Returns
+    (doc_id, component) for every doc in at least one near-dup pair."""
+    from pyspark import StorageLevel
+
+    try:
+        key = (id(docs.sparkSession), docs.semanticHash())
+    except Exception:  # exotic plan that can't hash: just recompute
+        return connected_components(minhash_lsh_pairs(docs))
+    hit = _COMPONENT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    comp = connected_components(minhash_lsh_pairs(docs)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _COMPONENT_CACHE[key] = comp
+    return comp
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:
@@ -705,7 +741,7 @@ def quality_representative(docs: DataFrame) -> DataFrame:
 
     from fossil_spark.operators.text import quality_score
 
-    comp = connected_components(minhash_lsh_pairs(docs))
+    comp = neardup_components(docs)
     q = quality_score(docs).select(
         "doc_id", F.round("quality", 6).alias("quality")
     )
@@ -820,7 +856,7 @@ def method_compare(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     comp = (
-        connected_components(minhash_lsh_pairs(docs))
+        neardup_components(docs)
         .groupBy("component")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
@@ -852,7 +888,7 @@ def rate_by_source(docs: DataFrame) -> DataFrame:
     broadcast onto one doc scan + one source groupBy; floor-half-up
     rates. Returns (source, n_docs, n_in_dup, dup_rate,
     n_removable)."""
-    comp = connected_components(minhash_lsh_pairs(docs))
+    comp = neardup_components(docs)
     j = docs.select("doc_id", "source").join(
         F.broadcast(comp), "doc_id", "left"
     )

@@ -306,7 +306,7 @@ def dedup_savings(docs: DataFrame) -> DataFrame:
     counts, then ONE aggregate. Returns one row (n_docs, n_tokens,
     n_dup_docs, n_removable_docs, n_removable_tokens,
     token_savings_frac)."""
-    comp = dedup.connected_components(dedup.minhash_lsh_pairs(docs))
+    comp = dedup.neardup_components(docs)
     toks = text.token_count(docs).select(
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
     )

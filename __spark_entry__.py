@@ -2104,6 +2104,27 @@ def _ts_peak_hour(spark, sf_dir):
     )
 
 
+def _ts_cusum(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.cusum_chart(
+        _events(spark, sf_dir), 0.5, 5.0, "1 hour", "ts",
+        ["event_type"], "value",
+    )
+
+
+def _text_pii(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.pii_screen(_docs(spark, sf_dir))
+
+
+def _sample_dedup_aware(spark, sf_dir):
+    from fossil_spark.pipelines import dedup_aware_sample
+
+    return dedup_aware_sample(_docs(spark, sf_dir), 0.5)
+
+
 def _ts_flatline(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -2312,6 +2333,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_staleness": _ts_staleness,
         "ann_index_agreement": _ann_index_agreement,
         "ts_peak_hour": _ts_peak_hour,
+        # --- round-7 additions -----------------------------------------------
+        "ts_cusum": _ts_cusum,
+        "text_pii": _text_pii,
+        "sample_dedup_aware": _sample_dedup_aware,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -6513,5 +6538,100 @@ def oracle_sql() -> dict[str, str]:
         " floor(CAST(mx AS DOUBLE) / 3600000000.0 * 1000000.0 + 0.5)"
         "  / 1000000.0 AS max_gap_hours"
         " FROM a"
+    )
+    # --- round-7 additions ------------------------------------------------
+    # Tabular CUSUM (timeseries.cusum_chart): hourly decimal means,
+    # per-key mu/sigma with the seasonal_strength quantization, then
+    # the S+/S- fold replayed per key by a recursive CTE (the ts_ewma
+    # technique) — plain IEEE doubles in the same op order, bit-exact
+    out["ts_cusum"] = (
+        "WITH RECURSIVE bk AS (SELECT event_type,"
+        " time_bucket(INTERVAL 1 HOUR, ts) AS bucket,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "  / count(value) AS v"
+        f" FROM {_EV} e GROUP BY 1, 2),"
+        " st AS (SELECT *,"
+        "  CAST(round(sum(CAST(v AS DECIMAL(30,8))) OVER wk, 4)"
+        "   AS DOUBLE) / count(v) OVER wk AS mu"
+        "  FROM bk WINDOW wk AS (PARTITION BY event_type)),"
+        " tm AS (SELECT *, CAST(round((v - mu) * (v - mu), 6)"
+        "   AS DECIMAL(30,6)) AS t FROM st),"
+        " sg AS (SELECT *, sqrt(CAST(sum(t) OVER wk2 AS DOUBLE)"
+        "   / count(v) OVER wk2) AS sigma"
+        "  FROM tm WINDOW wk2 AS (PARTITION BY event_type)),"
+        " z AS (SELECT event_type, bucket, v, (v - mu) / sigma AS z,"
+        "  row_number() OVER (PARTITION BY event_type ORDER BY bucket)"
+        "   AS rn FROM sg WHERE sigma > 0),"
+        " rec(event_type, rn, bucket, v, z, sp, sn) AS ("
+        "  SELECT event_type, rn, bucket, v, z,"
+        "   greatest(0.0, 0.0 + (z - 0.5)),"
+        "   greatest(0.0, 0.0 - (z + 0.5)) FROM z WHERE rn = 1"
+        "  UNION ALL"
+        "  SELECT s.event_type, s.rn, s.bucket, s.v, s.z,"
+        "   greatest(0.0, r.sp + (s.z - 0.5)),"
+        "   greatest(0.0, r.sn - (s.z + 0.5))"
+        "  FROM rec r JOIN z s ON s.event_type = r.event_type"
+        "   AND s.rn = r.rn + 1)"
+        " SELECT event_type, bucket, v AS value, z,"
+        " sp AS cusum_pos, sn AS cusum_neg,"
+        " (sp > 5.0 OR sn > 5.0) AS alarm FROM rec"
+    )
+    # PII screen (text.pii_screen): regex subset where Java and RE2
+    # agree on non-overlapping match counts
+    out["text_pii"] = (
+        "WITH p AS (SELECT source AS \"group\","
+        " len(regexp_extract_all(text,"
+        "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS e,"
+        " len(regexp_extract_all(text,"
+        "  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS i,"
+        " len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS s,"
+        " len(regexp_extract_all(text, '\\b\\d{9,}\\b')) AS d"
+        " FROM documents)"
+        " SELECT \"group\", CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(sum(CASE WHEN e > 0 OR i > 0 OR s > 0 OR d > 0"
+        "  THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,"
+        " CAST(sum(e) AS BIGINT) AS n_emails,"
+        " CAST(sum(i) AS BIGINT) AS n_ipv4,"
+        " CAST(sum(s) AS BIGINT) AS n_ssn_like,"
+        " CAST(sum(d) AS BIGINT) AS n_long_digit_runs,"
+        " floor(CAST(sum(e) + sum(i) + sum(s) + sum(d) AS DOUBLE)"
+        "  / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0"
+        "  AS pii_per_doc"
+        " FROM p GROUP BY 1"
+    )
+    # Dedup-aware curation sample (pipelines.dedup_aware_sample):
+    # the CC CTE + the stratified md5 rule at rate 0.5, salt 'cur'
+    out["sample_dedup_aware"] = (
+        f"WITH RECURSIVE {_MINHASH_CTES},"
+        " edges AS (SELECT doc_a a, doc_b b FROM pairs"
+        "  UNION SELECT doc_b, doc_a FROM pairs),"
+        " nodes AS (SELECT DISTINCT a AS node FROM edges),"
+        " reach(node, r) AS ("
+        "  SELECT node, node FROM nodes"
+        "  UNION"
+        "  SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r),"
+        " comp AS (SELECT node AS doc_id, min(r) AS component"
+        "  FROM reach GROUP BY 1),"
+        f" d AS (SELECT doc_id, source, len({_TOKS}) AS tn,"
+        "  ('0x' || substr(md5('cur:' || doc_id::VARCHAR), 1, 8))::BIGINT"
+        "   % 1000000 AS h FROM documents),"
+        " j AS (SELECT d.*, comp.component FROM d"
+        "  LEFT JOIN comp USING (doc_id)),"
+        " f AS (SELECT *,"
+        "  (component IS NULL OR component = doc_id) AS canon,"
+        "  ((component IS NULL OR component = doc_id) AND h < 500000)"
+        "   AS samp FROM j)"
+        " SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(sum(CASE WHEN canon THEN 1 ELSE 0 END) AS BIGINT)"
+        "  AS n_canonical,"
+        " CAST(sum(CASE WHEN samp THEN 1 ELSE 0 END) AS BIGINT)"
+        "  AS n_sampled,"
+        " CAST(sum(tn) AS BIGINT) AS n_tokens,"
+        " CAST(sum(CASE WHEN samp THEN tn ELSE 0 END) AS BIGINT)"
+        "  AS sampled_tokens,"
+        " floor(CAST(sum(CASE WHEN samp THEN 1 ELSE 0 END) AS DOUBLE)"
+        "  / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0"
+        "  AS realized_rate"
+        " FROM f GROUP BY source"
     )
     return out

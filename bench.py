@@ -141,6 +141,8 @@ def main() -> None:
         "pipeline_anomaly_summary", "multimodal_image_entropy",
         "dedup_rate_by_source", "ts_slot_anomaly", "ts_ljung_box",
         "ts_fano", "ts_staleness", "ann_index_agreement", "ts_peak_hour",
+        # round-7 operators
+        "ts_cusum", "text_pii", "sample_dedup_aware",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

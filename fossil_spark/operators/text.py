@@ -1801,6 +1801,76 @@ def encoding_audit(
     )
 
 
+def pii_screen(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """PII exposure screen per source: counts of email addresses,
+    IPv4 literals, SSN-shaped ids and long digit runs — the redaction
+    audit every training-data pipeline runs before release (C4/Dolma
+    both regex-scrub these classes; this is the "how much is there,
+    and which feed leaks it" readout that decides whether the
+    [[text_scrub_pii]] redaction pass is needed at all — that
+    operator rewrites documents; this one prices the problem per
+    source).
+
+    Pure JVM regexp_count expressions folded into the scan (the
+    [[text_encoding_audit]] shape: zero shuffles before the
+    |sources|-row groupBy, zero Python). Patterns stay inside the
+    regex subset where Java (Spark) and RE2 (DuckDB) agree on
+    non-overlapping match counts: character classes, bounded
+    repetition, word boundaries — no lookaround, no alternation with
+    differing-length arms. Returns (group, n_docs, n_docs_with_pii,
+    n_emails, n_ipv4, n_ssn_like, n_long_digit_runs, pii_per_doc)."""
+    t = F.col(text_col)
+    emails = F.regexp_count(
+        t, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    ).cast("long")
+    # \d{1,3} with \b fences: RE2 and Java both count the same
+    # non-overlapping dotted quads
+    ipv4 = F.regexp_count(
+        t, F.lit(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b")
+    ).cast("long")
+    ssn = F.regexp_count(t, F.lit(r"\b\d{3}-\d{2}-\d{4}\b")).cast("long")
+    digits = F.regexp_count(t, F.lit(r"\b\d{9,}\b")).cast("long")
+    per_doc = df.select(
+        F.col(group_col).alias("group"),
+        emails.alias("__e"),
+        ipv4.alias("__i"),
+        ssn.alias("__s"),
+        digits.alias("__d"),
+    )
+    any_pii = (
+        (F.col("__e") > 0) | (F.col("__i") > 0)
+        | (F.col("__s") > 0) | (F.col("__d") > 0)
+    )
+    agg = per_doc.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(any_pii, 1).otherwise(0)).cast("long").alias(
+            "n_docs_with_pii"
+        ),
+        F.sum("__e").alias("n_emails"),
+        F.sum("__i").alias("n_ipv4"),
+        F.sum("__s").alias("n_ssn_like"),
+        F.sum("__d").alias("n_long_digit_runs"),
+    )
+    total = (
+        F.col("n_emails") + F.col("n_ipv4")
+        + F.col("n_ssn_like") + F.col("n_long_digit_runs")
+    )
+    return agg.select(
+        "group", "n_docs", "n_docs_with_pii",
+        "n_emails", "n_ipv4", "n_ssn_like", "n_long_digit_runs",
+        (
+            F.floor(
+                total.cast("double") / F.col("n_docs").cast("double")
+                * F.lit(1000000.0) + F.lit(0.5)
+            ) / F.lit(1000000.0)
+        ).alias("pii_per_doc"),
+    )
+
+
 def heaps_law(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

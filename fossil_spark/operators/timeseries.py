@@ -4214,3 +4214,104 @@ def peak_hour_consistency(
             / F.lit(1000000.0)
         ).alias("consistency"),
     )
+
+
+def cusum_chart(
+    df: DataFrame,
+    k_slack: float = 0.5,
+    h_limit: float = 5.0,
+    every: str = "1 hour",
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Tabular CUSUM control chart per key (Page 1954): standardized
+    bucket means folded into one-sided upper/lower cumulative sums
+    S+ = max(0, S+ + (z - k)), S- = max(0, S- - (z + k)), alarm when
+    either exceeds h — the drift detector that catches slow mean
+    shifts [[ts_sliding]]'s z-score misses (a 0.5-sigma creep never
+    trips a pointwise threshold but accumulates here; complements
+    [[ts_changepoint]], which locates a single break offline).
+
+    Shape: one bucket groupBy, per-key mean/sigma as windows on the
+    same key partitioning (decimal sums, per-term quantized variance
+    — the seasonal_strength rule), then the inherently-sequential
+    fold as one Arrow batch per key (the [[ts_ewma]] shape: parallel
+    ACROSS keys, sequential within — at 100 TB the fold input is
+    |keys| x |buckets|, not raw rows). z and the fold are plain IEEE
+    doubles in a fixed op order, so the recursive-CTE oracle replays
+    them bit-exactly. Flatline keys (sigma = 0) carry no drift signal
+    and are excluded (documented). Returns (*by, bucket, value, z,
+    cusum_pos, cusum_neg, alarm)."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, StructField, StructType, TimestampType,
+    )
+
+    by = by or []
+    df = _time_norm(df, time_col)
+    b = df.groupBy(
+        *by, F.window(F.col(time_col), every).start.alias("bucket")
+    ).agg(
+        (
+            F.round(F.sum(F.col(value_col).cast("decimal(30,8)")), 4)
+            .cast("double")
+            / F.count(value_col)
+        ).alias("value")
+    )
+    wk = Window.partitionBy(*by)
+    mu = (
+        F.round(F.sum(F.col("value").cast("decimal(30,8)")).over(wk), 4)
+        .cast("double")
+        / F.count("value").over(wk)
+    )
+    m = b.select(*by, "bucket", "value", mu.alias("__mu"))
+    term = F.round(
+        (F.col("value") - F.col("__mu")) * (F.col("value") - F.col("__mu")),
+        6,
+    ).cast("decimal(30,6)")
+    sigma = F.sqrt(
+        F.sum(term).over(wk).cast("double") / F.count("value").over(wk)
+    )
+    z = m.select(
+        *by, "bucket", "value",
+        ((F.col("value") - F.col("__mu")) / sigma).alias("z"),
+        sigma.alias("__sg"),
+    ).filter(F.col("__sg") > 0).drop("__sg")
+
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name in by]
+        + [
+            StructField("bucket", TimestampType()),
+            StructField("value", DoubleType()),
+            StructField("z", DoubleType()),
+            StructField("cusum_pos", DoubleType()),
+            StructField("cusum_neg", DoubleType()),
+            StructField("alarm", BooleanType()),
+        ]
+    )
+    kk, hh = float(k_slack), float(h_limit)
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket", kind="mergesort").reset_index(
+            drop=True
+        )
+        zs = pdf["z"].to_numpy(dtype=float)
+        sp = sn = 0.0
+        pos, neg = [], []
+        for zv in zs:
+            sp = max(0.0, sp + (zv - kk))
+            sn = max(0.0, sn - (zv + kk))
+            pos.append(sp)
+            neg.append(sn)
+        pdf["cusum_pos"] = pos
+        pdf["cusum_neg"] = neg
+        pdf["alarm"] = [(p > hh) or (q > hh) for p, q in zip(pos, neg)]
+        return pdf[[f.name for f in out_schema.fields]]
+
+    if not by:
+        return z.withColumn("__g", F.lit(0)).groupBy("__g").applyInPandas(
+            lambda pdf: per_key(pdf.drop(columns="__g")), out_schema
+        )
+    return z.groupBy(*by).applyInPandas(per_key, out_schema)

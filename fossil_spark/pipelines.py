@@ -441,3 +441,74 @@ def anomaly_summary(events: DataFrame) -> DataFrame:
         .unionByName(one(te, "threshold_episode"))
         .unionByName(one(ee, "error_incident"))
     )
+
+
+def dedup_aware_sample(
+    docs: DataFrame,
+    rate: float = 0.5,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "cur",
+) -> DataFrame:
+    """Dedup-aware curation sample: drop near-dup non-representatives
+    FIRST (the [[dedup_minhash]] component table — keeping them would
+    let a 40-copy boilerplate cluster buy 40 lottery tickets), then
+    the deterministic md5 downsample at `rate` — the order every
+    curation recipe prescribes (dedup before sampling, or the sample
+    re-inflates duplicates). Reports, per source, how the two stages
+    compound: raw -> canonical -> sampled docs and token volume.
+
+    Shape: the session-shared component catalog
+    ([[dedup_rate_by_source]]'s table, computed once) broadcasts onto
+    one doc scan; one |sources|-row groupBy. The md5 rule is the
+    stratified_sample rule — identical selection across runs, engines
+    and cluster sizes. Returns (source, n_docs, n_canonical,
+    n_sampled, n_tokens, sampled_tokens, realized_rate)."""
+    comp = dedup.neardup_components(docs)
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}:"), F.col(id_col).cast("string")
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 1_000_000
+    )
+    tok_n = F.size(text.tokens(F.col(text_col)))
+    d = docs.select(
+        group_col, F.col(id_col), tok_n.alias("__tn"), h.alias("__h")
+    ).join(F.broadcast(comp), id_col, "left")
+    canonical = F.col("component").isNull() | (
+        F.col("component") == F.col(id_col)
+    )
+    sampled = canonical & (F.col("__h") < F.lit(int(rate * 1_000_000)))
+    agg = d.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(canonical, 1).otherwise(0)).cast("long").alias(
+            "n_canonical"
+        ),
+        F.sum(F.when(sampled, 1).otherwise(0)).cast("long").alias(
+            "n_sampled"
+        ),
+        F.sum("__tn").cast("long").alias("n_tokens"),
+        F.sum(F.when(sampled, F.col("__tn")).otherwise(0))
+        .cast("long")
+        .alias("sampled_tokens"),
+    )
+    return agg.select(
+        group_col, "n_docs", "n_canonical", "n_sampled", "n_tokens",
+        "sampled_tokens",
+        (
+            F.floor(
+                F.col("n_sampled").cast("double")
+                / F.col("n_docs").cast("double")
+                * F.lit(1000000.0) + F.lit(0.5)
+            ) / F.lit(1000000.0)
+        ).alias("realized_rate"),
+    )

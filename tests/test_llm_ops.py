@@ -2086,3 +2086,37 @@ def test_index_agreement_bounds_and_self(spark, emb):
     # identical result sets agree perfectly
     assert (r["index_a"], r["index_b"]) == ("a", "b")
     assert r["mean_jaccard"] == 1.0
+
+
+def test_pii_screen_planted(spark):
+    rows = [
+        (0, "contact me at alice@example.com or bob@test.org", "a"),
+        (1, "server at 192.168.1.1 and 10.0.0.255 responded", "a"),
+        (2, "ssn 123-45-6789 and account 9876543210 leaked", "b"),
+        (3, "perfectly clean text with no identifiers", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["group"]: r for r in text.pii_screen(df).collect()}
+    assert out["a"]["n_emails"] == 2 and out["a"]["n_ipv4"] == 2
+    assert out["a"]["n_docs_with_pii"] == 2
+    assert out["b"]["n_ssn_like"] == 1 and out["b"]["n_long_digit_runs"] == 1
+    assert out["b"]["n_docs_with_pii"] == 1
+    assert out["b"]["pii_per_doc"] == 1.0
+
+
+def test_dedup_aware_sample_drops_dupes_first(spark):
+    from fossil_spark.pipelines import dedup_aware_sample
+
+    # 10 distinct docs + 9 copies of doc 0: the copies must never be
+    # sample candidates regardless of their md5 draw
+    base = "unique words number %d " + "shared tail of tokens " * 8
+    rows = [(i, base % i, "src") for i in range(10)]
+    rows += [(100 + i, base % 0, "src") for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    r = dedup_aware_sample(df, 1.0).collect()[0]
+    assert r["n_docs"] == 19
+    # every near-dup component keeps exactly one representative
+    assert r["n_canonical"] <= 10
+    # rate 1.0: every canonical doc is sampled
+    assert r["n_sampled"] == r["n_canonical"]
+    assert r["sampled_tokens"] < r["n_tokens"]

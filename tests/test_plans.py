@@ -46,6 +46,9 @@ PYTHON_OK = {
     "multimodal_phash_pairs",
     # PNG synth + decode + histogram entropy (codec work, Arrow-batched)
     "multimodal_image_entropy",
+    # CUSUM fold is sequential per key over bucket means (the ts_ewma
+    # boundary: parallel across keys, one Arrow batch within)
+    "ts_cusum",
 }
 
 
@@ -302,6 +305,9 @@ _SCAN_BUDGET = {
     "ts_staleness": 3,            # cadence side + last side + 1-row anchor
     "ann_index_agreement": 0,     # both cuts checkpointed once
     "ts_peak_hour": 1,            # two tiny groupBys + one argmax
+    "ts_cusum": 1,                # bucket agg + key windows + Arrow fold
+    "text_pii": 1,                # regexp counts fold into the scan
+    "sample_dedup_aware": 3,      # component pipeline (2, or cached) + doc side
 }
 
 

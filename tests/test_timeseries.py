@@ -1964,3 +1964,41 @@ def test_peak_hour_consistency_planted(spark):
     r = ts.peak_hour_consistency(df, "ts", ["event_type"]).collect()[0]
     assert (r["n_days"], r["modal_peak_hour"], r["n_days_at_mode"]) == (4, 9, 3)
     assert r["consistency"] == 0.75
+
+
+def test_cusum_catches_slow_drift(spark):
+    t0 = datetime(2024, 1, 1)
+    # 60 stable buckets alternating +-1 around 0, then 20 at +4
+    # (alternating 3/5): the sustained shift accumulates ~1 z per
+    # bucket while the stable stretch oscillates near 0 (note the
+    # baseline is the full-series mean, so the shift must dominate
+    # the slack k — a data-anchored CUSUM, not a target-mean one)
+    rows = []
+    for i in range(60):
+        rows.append((i, t0 + timedelta(hours=i), "k", 1.0 if i % 2 else -1.0))
+    for i in range(60, 80):
+        rows.append((i, t0 + timedelta(hours=i), "k", 5.0 if i % 2 else 3.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = sorted(
+        ts.cusum_chart(df, 0.5, 5.0, "1 hour", "ts", ["event_type"]).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert len(out) == 80
+    # no alarm during the stable stretch
+    assert not any(r["alarm"] for r in out[:60])
+    # the upper CUSUM accumulates through the shifted tail and alarms
+    assert any(r["alarm"] for r in out[60:])
+    assert all(r["cusum_pos"] >= 0.0 and r["cusum_neg"] >= 0.0 for r in out)
+
+
+def test_cusum_excludes_flatline_keys(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = [(i, t0 + timedelta(hours=i), "flat", 5.0) for i in range(10)]
+    rows += [(100 + i, t0 + timedelta(hours=i), "live", float(i % 3)) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    keys = {r["event_type"] for r in ts.cusum_chart(df, 0.5, 5.0, "1 hour", "ts", ["event_type"]).collect()}
+    assert keys == {"live"}

@@ -2125,6 +2125,31 @@ def _sample_dedup_aware(spark, sf_dir):
     return dedup_aware_sample(_docs(spark, sf_dir), 0.5)
 
 
+def _ts_gapfill_eval(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.gapfill_eval(
+        _events(spark, sf_dir), "1 hour", 5, "ts", ["event_type"], "value"
+    )
+
+
+def _sample_class_balanced(spark, sf_dir):
+    from fossil_spark.operators import text
+    from fossil_spark.session import read_table
+
+    return text.class_balanced_sample(
+        read_table(spark, sf_dir, "embeddings"), "label", "vec_id"
+    )
+
+
+def _ann_filtered(spark, sf_dir):
+    from fossil_spark.operators import ann
+    from fossil_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ann.filtered_topk(emb, emb.filter("vec_id < 8"), k=5)
+
+
 def _ts_flatline(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -2337,6 +2362,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_cusum": _ts_cusum,
         "text_pii": _text_pii,
         "sample_dedup_aware": _sample_dedup_aware,
+        "ts_gapfill_eval": _ts_gapfill_eval,
+        "sample_class_balanced": _sample_class_balanced,
+        "ann_filtered": _ann_filtered,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -6633,5 +6661,82 @@ def oracle_sql() -> dict[str, str]:
         "  / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0"
         "  AS realized_rate"
         " FROM f GROUP BY source"
+    )
+    # Gapfill backtest (timeseries.gapfill_eval): hold every 5th
+    # observed bucket out, impute with the gapfill_locf/linear window
+    # arithmetic, per-term-quantized MAE; both methods from ONE agg
+    out["ts_gapfill_eval"] = (
+        "WITH bucketed AS (SELECT time_bucket(INTERVAL 1 HOUR, ts)"
+        "  AS bucket, event_type,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "  / count(value) AS value"
+        f" FROM {_EV} e GROUP BY 1, 2),"
+        " t AS (SELECT event_type, bucket, value,"
+        "  (epoch_us(bucket) // 3600000000) % 5 = 0 AS hold"
+        "  FROM bucketed),"
+        " wnd AS (SELECT *,"
+        "  last_value(CASE WHEN NOT hold THEN value END IGNORE NULLS)"
+        "   OVER wa AS pv,"
+        "  first_value(CASE WHEN NOT hold THEN value END IGNORE NULLS)"
+        "   OVER wb AS nv,"
+        "  last_value(CASE WHEN NOT hold THEN epoch_us(bucket) END"
+        "   IGNORE NULLS) OVER wa AS pp,"
+        "  first_value(CASE WHEN NOT hold THEN epoch_us(bucket) END"
+        "   IGNORE NULLS) OVER wb AS np"
+        "  FROM t WINDOW wa AS (PARTITION BY event_type ORDER BY bucket"
+        "   ROWS UNBOUNDED PRECEDING),"
+        "  wb AS (PARTITION BY event_type ORDER BY bucket"
+        "   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),"
+        " h AS (SELECT *,"
+        "  CASE WHEN pv IS NOT NULL THEN"
+        "   CAST(round(abs(pv - value), 6) AS DECIMAL(30,6)) END AS el,"
+        "  CASE WHEN pv IS NOT NULL AND nv IS NOT NULL THEN"
+        "   CAST(round(abs(round(pv + (nv - pv)"
+        "    * ((epoch_us(bucket) - pp)::DOUBLE / (np - pp)::DOUBLE),"
+        "    6) - value), 6) AS DECIMAL(30,6)) END AS en"
+        "  FROM wnd WHERE hold),"
+        " a AS (SELECT event_type, count(el) AS nl, sum(el) AS sl,"
+        "  count(en) AS nn, sum(en) AS sn FROM h GROUP BY 1)"
+        " SELECT event_type, 'locf' AS method,"
+        " CAST(nl AS BIGINT) AS n_eval,"
+        " round(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE), 6) AS mae"
+        " FROM a"
+        " UNION ALL"
+        " SELECT event_type, 'linear', CAST(nn AS BIGINT),"
+        " round(CAST(sn AS DOUBLE) / CAST(nn AS DOUBLE), 6) FROM a"
+    )
+    # Class-balanced downsample (text.class_balanced_sample): all-
+    # integer ppm rates from the minority-class target, md5 rule
+    out["sample_class_balanced"] = (
+        "WITH c AS (SELECT label, count(*) AS n FROM embeddings"
+        "  GROUP BY 1),"
+        " t AS (SELECT min(n) AS target FROM c),"
+        " r AS (SELECT label, n, target, (target * 1000000) // n AS ppm"
+        "  FROM c, t),"
+        " d AS (SELECT label, ('0x' || substr(md5('bal:'"
+        "  || vec_id::VARCHAR), 1, 8))::BIGINT % 1000000 AS h"
+        "  FROM embeddings)"
+        " SELECT r.label, CAST(r.n AS BIGINT) AS n,"
+        " CAST(r.target AS BIGINT) AS target,"
+        " CAST(sum(CASE WHEN d.h < r.ppm THEN 1 ELSE 0 END) AS BIGINT)"
+        "  AS n_kept,"
+        " floor(CAST(sum(CASE WHEN d.h < r.ppm THEN 1 ELSE 0 END)"
+        "  AS DOUBLE) / CAST(r.n AS DOUBLE) * 1000000.0 + 0.5)"
+        "  / 1000000.0 AS realized_frac"
+        " FROM d JOIN r USING (label) GROUP BY r.label, r.n, r.target"
+    )
+    # Filtered vector search (ann.filtered_topk): the bruteforce
+    # oracle with the label predicate as the join key
+    out["ann_filtered"] = (
+        "SELECT q.vec_id AS query_id, c.vec_id, c.label,"
+        " round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+        " CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim,"
+        " row_number() OVER (PARTITION BY q.vec_id ORDER BY"
+        " round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+        " CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank"
+        " FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id"
+        "  AND c.label = q.label"
+        " WHERE q.vec_id < 8"
+        " QUALIFY rank <= 5"
     )
     return out

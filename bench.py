@@ -143,6 +143,7 @@ def main() -> None:
         "ts_fano", "ts_staleness", "ann_index_agreement", "ts_peak_hour",
         # round-7 operators
         "ts_cusum", "text_pii", "sample_dedup_aware",
+        "ts_gapfill_eval", "sample_class_balanced", "ann_filtered",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

@@ -78,6 +78,62 @@ def cosine_topk(
     )
 
 
+def filtered_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    filter_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Filtered vector search: exact top-k cosine neighbors AMONG the
+    corpus rows sharing the query's `filter_col` value (the
+    tenant/category/language predicate every production vector store
+    bolts onto similarity search — post-filtering top-k from an
+    unfiltered index under-fills results; this filters first).
+
+    Shape: the predicate is the JOIN KEY, not a post-filter — the
+    broadcast-hash join prunes non-matching candidates at the scan,
+    and a corpus bucketed/partitioned by `filter_col` turns it into a
+    partition-pruned local scan at 100 TB. Scores round @`round_to`
+    so ranking ties break on id identically to [[ann_bruteforce]].
+    Returns (query_id, vec_id, label, cos_sim, rank)."""
+    q = broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(filter_col).alias("__ql"),
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(filter_col),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    scored = (
+        c.join(q, c[filter_col] == q["__ql"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            filter_col,
+            F.round(cosine(F.col("__qv"), F.col("__cv")), round_to).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _hyperplane(plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane weights from
     md5 — reproducible on any engine/cluster without shipping state."""

@@ -872,6 +872,68 @@ def stratified_sample(
     return df.filter(h < frac * 1_000_000)
 
 
+def class_balanced_sample(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    salt: str = "bal",
+) -> DataFrame:
+    """Data-driven class rebalancing: downsample every class to the
+    MINORITY class's size with the deterministic md5 rule — the
+    imbalanced-classification prep step ([[sample_stratified]] takes
+    user-chosen fractions; this computes them FROM the data, so the
+    recipe needs no per-dataset tuning).
+
+    All-integer rates: keep a row when md5(salt:id) mod 1e6 <
+    (target * 1e6) // class_n — identical selection across engines
+    and cluster sizes. Shape: one |classes|-row count, its 1-row min
+    crossJoined back (broadcast), the rule folded into one scan.
+    Expected kept size per class is within 1/1e6 of the target; the
+    realized count is reported. Returns (label, n, target, n_kept,
+    realized_frac)."""
+    counts = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    target = counts.agg(F.min("n").alias("target"))
+    rates = counts.crossJoin(F.broadcast(target)).select(
+        "label", "n", "target",
+        # exact integer division (Spark `div` == DuckDB `//`), never
+        # a double truncation
+        F.expr("(target * 1000000) div n").alias("__ppm"),
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 1_000_000
+    )
+    d = df.select(F.col(label_col).alias("label"), h.alias("__h")).join(
+        F.broadcast(rates), "label"
+    )
+    agg = d.groupBy("label").agg(
+        F.max("n").alias("n"),
+        F.max("target").alias("target"),
+        F.sum(F.when(F.col("__h") < F.col("__ppm"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+    )
+    return agg.select(
+        "label", "n", "target", "n_kept",
+        (
+            F.floor(
+                F.col("n_kept").cast("double") / F.col("n").cast("double")
+                * F.lit(1000000.0) + F.lit(0.5)
+            ) / F.lit(1000000.0)
+        ).alias("realized_frac"),
+    )
+
+
 def group_split(
     df: DataFrame,
     group_col: str,

@@ -4315,3 +4315,108 @@ def cusum_chart(
             lambda pdf: per_key(pdf.drop(columns="__g")), out_schema
         )
     return z.groupBy(*by).applyInPandas(per_key, out_schema)
+
+
+def gapfill_eval(
+    df: DataFrame,
+    every: str = "1 hour",
+    holdout_mod: int = 5,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Imputation-quality backtest for the gapfill family: mask every
+    `holdout_mod`-th OBSERVED bucket (deterministic — bucket index mod,
+    no RNG), impute the masked points from the remaining buckets with
+    both [[ts_gapfill]] (LOCF) and [[ts_gapfill_linear]] arithmetic,
+    and score each method's MAE against the held-out truth — the "can
+    I trust gapfill on THIS feed" readout that turns an imputation
+    choice into a measured decision ([[ts_completeness]] says how much
+    filling is needed; this says how wrong it will be).
+
+    Shape: one bucket groupBy, then both predictions from TWO ignore-
+    nulls windows over the same key partitioning (train values seen
+    through a hold-masked CASE — no self-join, no second scan), both
+    methods folded into ONE aggregate and unpivoted. Linear term
+    rounds @6 (the gapfill_linear rule); MAE is a per-term-quantized
+    decimal mean. Masked points before the first / after the last
+    train bucket have no prediction and are excluded (documented).
+    Returns (*by, method, n_eval, mae)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    us = _interval_us(every)
+    b = _bucketed(df, every, time_col, by, value_col).filter(
+        F.col("value").isNotNull()
+    )
+    idx = F.floor(F.unix_micros(F.col("bucket")) / F.lit(us)).cast("long")
+    t = b.select(
+        *by, "bucket", "value", (idx % holdout_mod == 0).alias("__hold")
+    )
+    train_val = F.when(~F.col("__hold"), F.col("value"))
+    train_pos = F.when(~F.col("__hold"), F.unix_micros(F.col("bucket")))
+    wa = (
+        Window.partitionBy(*by)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wb = (
+        Window.partitionBy(*by)
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    wnd = t.select(
+        *by, "bucket", "value", "__hold",
+        F.last(train_val, ignorenulls=True).over(wa).alias("__pv"),
+        F.first(train_val, ignorenulls=True).over(wb).alias("__nv"),
+        F.last(train_pos, ignorenulls=True).over(wa).alias("__pp"),
+        F.first(train_pos, ignorenulls=True).over(wb).alias("__np"),
+    ).filter(F.col("__hold"))
+    lin = F.round(
+        F.col("__pv")
+        + (F.col("__nv") - F.col("__pv"))
+        * (
+            (F.unix_micros(F.col("bucket")) - F.col("__pp")).cast("double")
+            / (F.col("__np") - F.col("__pp")).cast("double")
+        ),
+        6,
+    )
+    e_locf = F.when(
+        F.col("__pv").isNotNull(),
+        F.round(F.abs(F.col("__pv") - F.col("value")), 6).cast(
+            "decimal(30,6)"
+        ),
+    )
+    e_lin = F.when(
+        F.col("__pv").isNotNull() & F.col("__nv").isNotNull(),
+        F.round(F.abs(lin - F.col("value")), 6).cast("decimal(30,6)"),
+    )
+    agg = wnd.select(
+        *by, e_locf.alias("__el"), e_lin.alias("__en")
+    ).groupBy(*by).agg(
+        F.count("__el").alias("__nl"),
+        F.sum("__el").alias("__sl"),
+        F.count("__en").alias("__nn"),
+        F.sum("__en").alias("__sn"),
+    )
+
+    def mae(s, n):
+        return F.round(s.cast("double") / n.cast("double"), 6)
+
+    rows = F.array(
+        F.struct(
+            F.lit("locf").alias("method"),
+            F.col("__nl").alias("n_eval"),
+            mae(F.col("__sl"), F.col("__nl")).alias("mae"),
+        ),
+        F.struct(
+            F.lit("linear").alias("method"),
+            F.col("__nn").alias("n_eval"),
+            mae(F.col("__sn"), F.col("__nn")).alias("mae"),
+        ),
+    )
+    return agg.select(*by, F.explode(rows).alias("__m")).select(
+        *by,
+        F.col("__m.method").alias("method"),
+        F.col("__m.n_eval").alias("n_eval"),
+        F.col("__m.mae").alias("mae"),
+    )

@@ -2120,3 +2120,34 @@ def test_dedup_aware_sample_drops_dupes_first(spark):
     # rate 1.0: every canonical doc is sampled
     assert r["n_sampled"] == r["n_canonical"]
     assert r["sampled_tokens"] < r["n_tokens"]
+
+
+def test_class_balanced_sample_targets_minority(spark):
+    rows = [(i, 0) for i in range(200)] + [(1000 + i, 1) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, label int")
+    out = {r["label"]: r for r in text.class_balanced_sample(df).collect()}
+    assert out[1]["target"] == 20 and out[1]["n_kept"] == 20
+    # majority class downsampled toward the minority size (md5 rule:
+    # expected 20, generous tolerance for hash luck on 200 draws)
+    assert out[0]["target"] == 20
+    assert 8 <= out[0]["n_kept"] <= 36
+
+
+def test_filtered_topk_respects_predicate(spark):
+    from fossil_spark.operators import ann
+
+    # two labels; vectors within a label are near-identical, across
+    # labels orthogonal-ish — unfiltered top-k would still pick same
+    # label, so plant a CLOSER cross-label vector to prove filtering
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),
+        (2, [1.0, 0.01, 0.0], 1),  # closest to 0 but wrong label
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [0.5, 0.5, 0.0], 0),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = ann.filtered_topk(df, df.filter("vec_id = 0"), k=2).collect()
+    ids = {r["vec_id"] for r in out}
+    assert ids == {1, 4}
+    assert all(r["label"] == 0 for r in out)

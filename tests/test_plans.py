@@ -308,6 +308,9 @@ _SCAN_BUDGET = {
     "ts_cusum": 1,                # bucket agg + key windows + Arrow fold
     "text_pii": 1,                # regexp counts fold into the scan
     "sample_dedup_aware": 3,      # component pipeline (2, or cached) + doc side
+    "ts_gapfill_eval": 1,         # one bucket agg + two key windows
+    "sample_class_balanced": 3,   # counts + 1-row min + rule-fold scan
+    "ann_filtered": 2,            # corpus scan + broadcast query side
 }
 
 

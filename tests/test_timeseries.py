@@ -2002,3 +2002,21 @@ def test_cusum_excludes_flatline_keys(spark):
     )
     keys = {r["event_type"] for r in ts.cusum_chart(df, 0.5, 5.0, "1 hour", "ts", ["event_type"]).collect()}
     assert keys == {"live"}
+
+
+def test_gapfill_eval_linear_wins_on_ramp(spark):
+    t0 = datetime(2024, 1, 1)
+    # perfect linear ramp: linear interpolation is exact at the
+    # held-out buckets, LOCF is off by exactly one hourly step
+    rows = [(i, t0 + timedelta(hours=i), "k", float(i)) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r["method"]: r for r in ts.gapfill_eval(
+        df, "1 hour", 5, "ts", ["event_type"]
+    ).collect()}
+    assert out["linear"]["mae"] == 0.0
+    assert out["locf"]["mae"] == 1.0
+    # holdout before the first train bucket is excluded from locf too
+    assert out["locf"]["n_eval"] == out["linear"]["n_eval"]
+    assert out["linear"]["n_eval"] >= 8

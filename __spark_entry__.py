@@ -2150,6 +2150,25 @@ def _ann_filtered(spark, sf_dir):
     return ann.filtered_topk(emb, emb.filter("vec_id < 8"), k=5)
 
 
+def _ts_concurrency(spark, sf_dir):
+    from datetime import timedelta
+
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.concurrency(
+        _events(spark, sf_dir), timedelta(minutes=30), "1 hour", "ts",
+        "user_id", ["event_id"],
+    )
+
+
+def _ts_late_arrivals(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.late_arrivals(
+        _events(spark, sf_dir), "ts", ["event_type"], "event_id"
+    )
+
+
 def _ts_flatline(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -2365,6 +2384,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_gapfill_eval": _ts_gapfill_eval,
         "sample_class_balanced": _sample_class_balanced,
         "ann_filtered": _ann_filtered,
+        "ts_concurrency": _ts_concurrency,
+        "ts_late_arrivals": _ts_late_arrivals,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -6738,5 +6759,62 @@ def oracle_sql() -> dict[str, str]:
         "  AND c.label = q.label"
         " WHERE q.vec_id < 8"
         " QUALIFY rank <= 5"
+    )
+    # Concurrent-session sweep (timeseries.concurrency): the session
+    # CTE + the two-level +1/-1 sweep; starts-before-ends tie rule
+    out["ts_concurrency"] = (
+        "WITH flagged AS (SELECT user_id, ts, event_id,"
+        " CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER"
+        "  (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000"
+        f"  THEN 1 ELSE 0 END AS new_s FROM {_EV} e),"
+        " ids AS (SELECT user_id, ts, CAST(sum(new_s) OVER"
+        "  (PARTITION BY user_id ORDER BY ts, event_id"
+        "   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq"
+        "  FROM flagged),"
+        " sess AS (SELECT user_id, session_seq, min(ts) AS s,"
+        "  max(ts) AS e FROM ids GROUP BY 1, 2),"
+        " ch AS (SELECT user_id AS u, session_seq, s AS t, 1 AS d"
+        "  FROM sess UNION ALL"
+        "  SELECT user_id, session_seq, e, -1 FROM sess),"
+        " bk AS (SELECT *, time_bucket(INTERVAL 1 HOUR, t) AS bucket"
+        "  FROM ch),"
+        " rs AS (SELECT *, sum(d) OVER (PARTITION BY bucket"
+        "  ORDER BY t, d DESC, u, session_seq ROWS UNBOUNDED PRECEDING)"
+        "  AS r FROM bk),"
+        " pb AS (SELECT bucket,"
+        "  sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS n_starts,"
+        "  sum(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS n_ends,"
+        "  sum(d) AS net, max(r) AS peak FROM rs GROUP BY 1)"
+        " SELECT bucket, CAST(n_starts AS BIGINT) AS n_starts,"
+        " CAST(n_ends AS BIGINT) AS n_ends,"
+        " CAST(coalesce(sum(net) OVER (ORDER BY bucket"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        "  AS BIGINT) AS carry_in,"
+        " CAST(coalesce(sum(net) OVER (ORDER BY bucket"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        "  + peak AS BIGINT) AS max_concurrent"
+        " FROM pb"
+    )
+    # Late-arrival audit (timeseries.late_arrivals): running event-
+    # time max along the append order; all-integer microseconds
+    out["ts_late_arrivals"] = (
+        "WITH x AS (SELECT event_type, epoch_us(ts) AS t,"
+        " max(epoch_us(ts)) OVER (PARTITION BY event_type"
+        "  ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING"
+        "  AND 1 PRECEDING) AS pm"
+        f" FROM {_EV} e),"
+        " m AS (SELECT event_type,"
+        "  CASE WHEN pm > t THEN pm - t ELSE 0 END AS late_us FROM x),"
+        " a AS (SELECT event_type, count(*) AS n,"
+        "  sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS n_late,"
+        "  max(late_us) AS mx, sum(late_us) AS sl FROM m GROUP BY 1)"
+        " SELECT event_type, CAST(n AS BIGINT) AS n,"
+        " CAST(n_late AS BIGINT) AS n_late,"
+        " floor(CAST(n_late AS DOUBLE) / CAST(n AS DOUBLE)"
+        "  * 1000000.0 + 0.5) / 1000000.0 AS late_frac,"
+        " CAST(mx AS BIGINT) AS max_late_us,"
+        " CAST(CASE WHEN n_late > 0 THEN sl // n_late ELSE 0 END"
+        "  AS BIGINT) AS avg_late_us"
+        " FROM a"
     )
     return out

@@ -144,6 +144,7 @@ def main() -> None:
         # round-7 operators
         "ts_cusum", "text_pii", "sample_dedup_aware",
         "ts_gapfill_eval", "sample_class_balanced", "ann_filtered",
+        "ts_concurrency", "ts_late_arrivals",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

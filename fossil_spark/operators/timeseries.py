@@ -4420,3 +4420,138 @@ def gapfill_eval(
         F.col("__m.n_eval").alias("n_eval"),
         F.col("__m.mae").alias("mae"),
     )
+
+
+def concurrency(
+    df: DataFrame,
+    gap: timedelta = timedelta(minutes=30),
+    every: str = "1 hour",
+    time_col: str = "time",
+    user_col: str = "user_id",
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Concurrent-session profile: how many sessions are open at once,
+    per time bucket — the capacity-planning readout ([[ts_capacity_eta]]
+    projects volume; this measures PARALLELISM, which is what
+    connection pools, license seats, and autoscalers are actually
+    sized against). Sessions come from [[ts_session]]'s gap rule.
+
+    Scale shape: the classic +1/-1 sweep, two-level so no global sort
+    of events is needed — each session explodes to two change rows,
+    the running sum runs WITHIN each bucket (keyed shuffle), and the
+    cross-bucket carry is a window over the tiny |buckets| table
+    (hours-in-range rows, not event rows). All-integer. Tie rule:
+    starts count before ends at the same microsecond, so a session
+    ending exactly when another starts overlaps at that instant.
+    Emits only buckets containing a session boundary (a flat stretch
+    between boundaries has no row — its level is the previous row's
+    carry + net). Returns (bucket, n_starts, n_ends, carry_in,
+    max_concurrent)."""
+    s = sessionize(df, gap, time_col, [user_col], order_tiebreak)
+    changes = s.select(
+        F.col(user_col).alias("__u"),
+        "session_seq",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("session_start").alias("t"),
+                    F.lit(1).cast("long").alias("d"),
+                ),
+                F.struct(
+                    F.col("session_end").alias("t"),
+                    F.lit(-1).cast("long").alias("d"),
+                ),
+            )
+        ).alias("__c"),
+    ).select("__u", "session_seq", F.col("__c.t").alias("t"),
+             F.col("__c.d").alias("d"))
+    b = changes.withColumn(
+        "bucket", F.window(F.col("t"), every).start
+    )
+    win = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("t"), F.col("d").desc(), F.col("__u"),
+                 F.col("session_seq"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rs = b.select("bucket", "d", F.sum("d").over(win).alias("__rs"))
+    per_bucket = rs.groupBy("bucket").agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("long").alias(
+            "n_starts"
+        ),
+        F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).cast("long").alias(
+            "n_ends"
+        ),
+        F.sum("d").cast("long").alias("__net"),
+        F.max("__rs").cast("long").alias("__peak"),
+    )
+    wcarry = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return per_bucket.select(
+        "bucket", "n_starts", "n_ends",
+        F.coalesce(F.sum("__net").over(wcarry), F.lit(0)).cast("long").alias(
+            "carry_in"
+        ),
+        (
+            F.coalesce(F.sum("__net").over(wcarry), F.lit(0))
+            + F.col("__peak")
+        ).cast("long").alias("max_concurrent"),
+    )
+
+
+def late_arrivals(
+    df: DataFrame,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    arrival_col: str = "event_id",
+) -> DataFrame:
+    """Out-of-order-arrival audit per key: how often event time runs
+    BACKWARD along the arrival order (`arrival_col` — the append
+    sequence), and by how much — the measurement that sizes a
+    streaming watermark ([[streaming ingest]] guesses "2 hours"; this
+    says what the feed actually does, so the guess becomes a
+    percentile choice). An event is late when some earlier-arrived
+    event of the same key carries a STRICTLY newer timestamp.
+
+    One running-max window over the arrival order per key (same
+    partitioning as the final groupBy — one shuffle end to end);
+    all-integer microsecond arithmetic, avg as exact integer
+    division. Returns (*by, n, n_late, late_frac, max_late_us,
+    avg_late_us)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(arrival_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = F.unix_micros(F.col(time_col))
+    prev_max = F.max(t).over(w)
+    lateness = F.when(prev_max > t, prev_max - t).otherwise(F.lit(0))
+    marked = df.select(
+        *by,
+        lateness.alias("__late_us"),
+    )
+    agg = marked.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("__late_us") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        F.max("__late_us").cast("long").alias("max_late_us"),
+        F.sum("__late_us").cast("long").alias("__sum_late"),
+    )
+    return agg.select(
+        *by, "n", "n_late",
+        (
+            F.floor(
+                F.col("n_late").cast("double") / F.col("n").cast("double")
+                * F.lit(1000000.0) + F.lit(0.5)
+            ) / F.lit(1000000.0)
+        ).alias("late_frac"),
+        "max_late_us",
+        F.when(
+            F.col("n_late") > 0,
+            F.expr("__sum_late div n_late"),
+        ).otherwise(F.lit(0)).cast("long").alias("avg_late_us"),
+    )

@@ -1,0 +1,109 @@
+"""Streaming CUSUM drift monitor against a batch-computed baseline.
+
+The streaming dual of operators.timeseries.cusum_chart, in the same
+lambda shape as streaming/anomaly.py: history fixes a per-key
+(mean, std) baseline batch-side (exact, auditable); the live stream
+folds each arriving value into the one-sided S+/S- sums and alerts
+when either crosses the decision limit. CUSUM is the right live drift
+detector precisely because it is O(1) state per key — two doubles —
+which is also what makes it stream-friendly: the state store holds
+(S+, S-, n) per key, nothing grows with volume.
+
+Ordering caveat (documented): values fold in event-time order WITHIN
+each micro-batch; cross-batch reordering beyond the source's delivery
+order is not corrected (CUSUM's running sums are associative enough
+in practice — a swapped adjacent pair perturbs the path, not the
+level it converges to; feeds needing exactness replay through the
+batch operator, whose oracle is bit-exact).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType, DoubleType, LongType, StringType, StructField, StructType,
+)
+
+CUSUM_SCHEMA = StructType([
+    StructField("topic", StringType()),
+    StructField("n_seen", LongType()),
+    StructField("cusum_pos", DoubleType()),
+    StructField("cusum_neg", DoubleType()),
+    StructField("alarm", BooleanType()),
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("sp", DoubleType()),
+    StructField("sn", DoubleType()),
+    StructField("n", LongType()),
+])
+
+
+def streaming_cusum(
+    stream: DataFrame,
+    baseline: DataFrame,
+    k_slack: float = 0.5,
+    h_limit: float = 5.0,
+    time_col: str = "time",
+    key_col: str = "topic",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per key, one row per micro-batch: (key, n_seen, cusum_pos,
+    cusum_neg, alarm). `baseline` is a static (key, base_mean,
+    base_std) DataFrame (streaming/anomaly.baseline_stats) — the
+    stream-static join broadcasts it, so the only stream shuffle is
+    the keyBy for the state store. Keys missing a baseline or with
+    base_std = 0 are dropped (no 'normal' to drift FROM). Use output
+    mode `update` (state rows re-emit as they evolve)."""
+    j = (
+        stream.join(
+            F.broadcast(
+                baseline.select(key_col, "base_mean", "base_std")
+            ),
+            key_col,
+        )
+        .filter(F.col("base_std") > 0)
+        .select(
+            key_col,
+            time_col,
+            (
+                (F.col(value_col) - F.col("base_mean"))
+                / F.col("base_std")
+            ).alias("__z"),
+        )
+    )
+    kk, hh = float(k_slack), float(h_limit)
+
+    def update(key, pdfs, state: GroupState):
+        (topic,) = key
+        sp, sn, n = state.get if state.exists else (0.0, 0.0, 0)
+        rows = []
+        for pdf in pdfs:
+            rows.append(pdf[[time_col, "__z"]])
+        batch = pd.concat(rows).sort_values(time_col, kind="mergesort")
+        for zv in batch["__z"].to_numpy(dtype=float):
+            sp = max(0.0, sp + (zv - kk))
+            sn = max(0.0, sn - (zv + kk))
+            n += 1
+        state.update((sp, sn, n))
+        yield pd.DataFrame({
+            "topic": [topic],
+            "n_seen": [n],
+            "cusum_pos": [sp],
+            "cusum_neg": [sn],
+            "alarm": [(sp > hh) or (sn > hh)],
+        })
+
+    return (
+        j.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            CUSUM_SCHEMA,
+            _STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

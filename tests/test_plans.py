@@ -311,6 +311,8 @@ _SCAN_BUDGET = {
     "ts_gapfill_eval": 1,         # one bucket agg + two key windows
     "sample_class_balanced": 3,   # counts + 1-row min + rule-fold scan
     "ann_filtered": 2,            # corpus scan + broadcast query side
+    "ts_concurrency": 1,          # session windows + tiny bucket-table window
+    "ts_late_arrivals": 1,        # one running-max window, same key shuffle
 }
 
 

@@ -54,3 +54,60 @@ def test_streaming_sessionize(spark, workdir):
     # within one availableNow run, only sessions CLOSED by a later event
     # are emitted; /a's first session closed when event 3 arrived
     assert ("/a", "2024-01-01 00:00:00", "2024-01-01 00:10:00", 2) in got
+
+
+def test_streaming_cusum_carries_state_across_batches(spark, workdir):
+    from pyspark.sql import functions as F
+
+    from fossil_spark.streaming.cusum import streaming_cusum
+
+    src = os.path.join(workdir, "incoming")
+    os.makedirs(src)
+    ck = os.path.join(workdir, "ck")
+    baseline = spark.createDataFrame(
+        [("/m", 10.0, 1.0)], "topic string, base_mean double, base_std double"
+    )
+
+    def run_once():
+        stream = read_json_dropbox(spark, src).withColumn(
+            "value", F.col("value").cast("double")
+        )
+        out = streaming_cusum(stream, baseline, 0.5, 5.0)
+        got = []
+
+        def sink(batch_df, _bid):
+            got.extend(batch_df.collect())
+
+        # foreachBatch (not memory sink): supports checkpoint RECOVERY,
+        # which is the property under test
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["topic"]: r for r in got}
+
+    # batch 1: on-baseline values — no drift, no alarm
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for i in range(5):
+            f.write(json.dumps({
+                "time": f"2024-01-01T00:0{i}:00", "topic": "/m",
+                "value": str(10.0 + (1.0 if i % 2 else -1.0)),
+            }) + "\n")
+    r1 = run_once()["/m"]
+    assert r1["n_seen"] == 5 and not r1["alarm"]
+
+    # batch 2 (same checkpoint): sustained +2-sigma shift — the fold
+    # must CONTINUE from batch-1 state (n_seen = 12) and alarm
+    with open(os.path.join(src, "b2.json"), "w") as f:
+        for i in range(7):
+            f.write(json.dumps({
+                "time": f"2024-01-01T01:0{i}:00", "topic": "/m",
+                "value": "15.0",
+            }) + "\n")
+    r2 = run_once()["/m"]
+    assert r2["n_seen"] == 12
+    assert r2["cusum_pos"] > 5.0 and r2["alarm"]

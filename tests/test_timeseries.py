@@ -2020,3 +2020,55 @@ def test_gapfill_eval_linear_wins_on_ramp(spark):
     # holdout before the first train bucket is excluded from locf too
     assert out["locf"]["n_eval"] == out["linear"]["n_eval"]
     assert out["linear"]["n_eval"] >= 8
+
+
+def test_concurrency_planted_overlap(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # three users with overlapping sessions inside hour 0:
+    # u1 00:00-00:20, u2 00:10-00:30, u3 00:15-00:25 -> peak 3
+    for eid, (u, offs) in enumerate([
+        (1, [0, 20]), (2, [10, 30]), (3, [15, 25]),
+    ]):
+        for m in offs:
+            rows.append((eid * 10 + m, t0 + timedelta(minutes=m), u))
+    # u1 again: a lone session in hour 2 (carry must be 0 by then)
+    rows.append((900, t0 + timedelta(hours=2, minutes=5), 1))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = {r["bucket"]: r for r in ts.concurrency(
+        df, timedelta(minutes=30), "1 hour", "ts", "user_id", ["event_id"]
+    ).collect()}
+    h0 = out[datetime(2024, 1, 1, 0)]
+    assert (h0["n_starts"], h0["n_ends"], h0["max_concurrent"]) == (3, 3, 3)
+    h2 = out[datetime(2024, 1, 1, 2)]
+    assert h2["carry_in"] == 0 and h2["max_concurrent"] == 1
+
+
+def test_concurrency_carries_across_buckets(spark):
+    t0 = datetime(2024, 1, 1)
+    # one session spanning hours 0-3 (events every 20 min), plus a
+    # second user active only in hour 2: its bucket sees carry_in 1
+    rows = [(i, t0 + timedelta(minutes=20 * i), 1) for i in range(10)]
+    rows += [(100, t0 + timedelta(hours=2, minutes=5), 2),
+             (101, t0 + timedelta(hours=2, minutes=10), 2)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = {r["bucket"]: r for r in ts.concurrency(
+        df, timedelta(minutes=30), "1 hour", "ts", "user_id", ["event_id"]
+    ).collect()}
+    h2 = out[datetime(2024, 1, 1, 2)]
+    assert h2["carry_in"] == 1
+    assert h2["max_concurrent"] == 2
+
+
+def test_late_arrivals_planted_disorder(spark):
+    t0 = datetime(2024, 1, 1)
+    # arrival order (event_id) 0..4; event times: the third arrival is
+    # 10 minutes OLDER than the second -> one late event
+    offsets = [0, 20, 10, 30, 40]
+    rows = [(i, t0 + timedelta(minutes=m), "k") for i, m in enumerate(offsets)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    r = ts.late_arrivals(df, "ts", ["event_type"], "event_id").collect()[0]
+    assert (r["n"], r["n_late"]) == (5, 1)
+    assert r["late_frac"] == 0.2
+    assert r["max_late_us"] == 10 * 60 * 1_000_000
+    assert r["avg_late_us"] == 10 * 60 * 1_000_000

@@ -2169,6 +2169,25 @@ def _ts_late_arrivals(spark, sf_dir):
     )
 
 
+def _ts_histogram_quantile(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.histogram_quantile(
+        _events(spark, sf_dir), (0.5, 0.9, 0.99), 20, "ts",
+        ["event_type"], "value",
+    )
+
+
+def _embedding_trunc_recall(spark, sf_dir):
+    from fossil_spark.operators import ann
+    from fossil_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ann.truncation_recall(
+        emb, emb.filter("vec_id < 8"), (8, 16, 32), k=5
+    )
+
+
 def _ts_flatline(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -2386,6 +2405,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_filtered": _ann_filtered,
         "ts_concurrency": _ts_concurrency,
         "ts_late_arrivals": _ts_late_arrivals,
+        "ts_histogram_quantile": _ts_histogram_quantile,
+        "embedding_trunc_recall": _embedding_trunc_recall,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -6816,5 +6837,76 @@ def oracle_sql() -> dict[str, str]:
         " CAST(CASE WHEN n_late > 0 THEN sl // n_late ELSE 0 END"
         "  AS BIGINT) AS avg_late_us"
         " FROM a"
+    )
+    # PromQL histogram_quantile over the exp-histogram oracle: rank =
+    # q*total, first bucket reaching it, linear interpolation inside;
+    # +Inf bucket returns its lower edge (the Prometheus rule)
+    out["ts_histogram_quantile"] = (
+        f"WITH hist AS ({out['ts_exp_histogram']}),"
+        " e AS (SELECT *,"
+        "  max(cum_n) OVER (PARTITION BY event_type) AS total,"
+        "  coalesce(lag(le) OVER (PARTITION BY event_type ORDER BY le),"
+        "   0.0) AS lo,"
+        "  coalesce(lag(cum_n) OVER (PARTITION BY event_type"
+        "   ORDER BY le), 0) AS pc FROM hist),"
+        " x AS (SELECT e.*, q FROM e,"
+        "  (SELECT unnest([0.5, 0.9, 0.99]) AS q)"
+        "  WHERE CAST(cum_n AS DOUBLE) >= q * CAST(total AS DOUBLE)),"
+        " p AS (SELECT event_type, q, min(le) AS mle FROM x"
+        "  GROUP BY 1, 2),"
+        " b AS (SELECT x.* FROM x JOIN p ON x.event_type = p.event_type"
+        "  AND x.q = p.q AND x.le = p.mle)"
+        " SELECT event_type, q, CAST(total AS BIGINT) AS total,"
+        " le AS le_bucket,"
+        " CASE WHEN le = CAST('infinity' AS DOUBLE) THEN 1048576.0"
+        " ELSE round(lo + (le - lo)"
+        "  * ((q * CAST(total AS DOUBLE) - CAST(pc AS DOUBLE))"
+        "   / CAST(n AS DOUBLE)), 6) END AS quantile"
+        " FROM b"
+    )
+    # Matryoshka truncation audit: the bruteforce oracle at full width
+    # vs sliced widths, scored with the recall_eval aggregation
+    def _sliced_bf(d: int) -> str:
+        return (
+            "SELECT q.vec_id AS query_id, c.vec_id,"
+            f" round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[])[1:{d}],"
+            f" CAST(c.embedding AS DOUBLE[])[1:{d}]), 6) AS cos_sim,"
+            " row_number() OVER (PARTITION BY q.vec_id ORDER BY"
+            f" round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[])[1:{d}],"
+            f" CAST(c.embedding AS DOUBLE[])[1:{d}]), 6) DESC, c.vec_id)"
+            "  AS rank"
+            " FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id"
+            " WHERE q.vec_id < 8"
+            " QUALIFY rank <= 5"
+        )
+
+    out["embedding_trunc_recall"] = (
+        f"WITH gt AS ({out['ann_bruteforce']}),"
+        f" c8 AS ({_sliced_bf(8)}),"
+        f" c16 AS ({_sliced_bf(16)}),"
+        f" c32 AS ({_sliced_bf(32)}),"
+        " t AS (SELECT query_id, vec_id FROM gt WHERE rank <= 5),"
+        " nt AS (SELECT query_id, count(*) AS n_true FROM t GROUP BY 1),"
+        " m AS (SELECT 'dim8' AS method, query_id, vec_id FROM c8"
+        "   WHERE rank <= 5"
+        "  UNION ALL SELECT 'dim16', query_id, vec_id FROM c16"
+        "   WHERE rank <= 5"
+        "  UNION ALL SELECT 'dim32', query_id, vec_id FROM c32"
+        "   WHERE rank <= 5),"
+        " h AS (SELECT m.method, m.query_id, count(*) AS n_hit FROM m"
+        "  JOIN t USING (query_id, vec_id) GROUP BY 1, 2),"
+        " meth AS (SELECT unnest(['dim16', 'dim32', 'dim8']) AS method),"
+        " pq AS (SELECT meth.method, nt.n_true,"
+        "  coalesce(h.n_hit, 0) AS n_hit"
+        "  FROM meth CROSS JOIN nt LEFT JOIN h"
+        "  ON h.method = meth.method AND h.query_id = nt.query_id)"
+        " SELECT method, CAST(count(*) AS BIGINT) AS n_queries,"
+        " CAST(sum(n_true) AS BIGINT) AS n_true,"
+        " CAST(sum(n_hit) AS BIGINT) AS n_hits,"
+        " round(CAST(sum(n_hit) AS DOUBLE) / sum(n_true), 6)"
+        "  AS recall_at_k,"
+        " round(min(CAST(n_hit AS DOUBLE) / n_true), 6)"
+        "  AS min_query_recall"
+        " FROM pq GROUP BY method ORDER BY method"
     )
     return out

@@ -145,6 +145,7 @@ def main() -> None:
         "ts_cusum", "text_pii", "sample_dedup_aware",
         "ts_gapfill_eval", "sample_class_balanced", "ann_filtered",
         "ts_concurrency", "ts_late_arrivals",
+        "ts_histogram_quantile", "embedding_trunc_recall",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

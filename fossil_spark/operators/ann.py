@@ -1399,6 +1399,40 @@ def intrinsic_dim(
     )
 
 
+def truncation_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: tuple[int, ...] = (8, 16, 32),
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style truncation audit: recall@k of cosine search
+    over only the FIRST d dimensions, per d, against the full-width
+    ground truth — the measurement behind the "store 32 dims, not
+    768" storage/latency decision (MRL-trained embeddings
+    front-load information; this verifies whether YOUR vectors do
+    before a 100 TB index is built at the wrong width).
+
+    Pure composition: [[ann_bruteforce]]'s exact top-k at full width
+    and per-d sliced variants, scored by [[ann_recall_eval]]'s exact
+    integer hit counting (truth checkpointed once). Cosine needs no
+    re-normalization after slicing — it normalizes inside. Returns
+    (method='dim<d>', n_queries, n_true, n_hits, recall_at_k,
+    min_query_recall)."""
+    truth = cosine_topk(corpus, queries, k, id_col, vec_col)
+    cands = {}
+    for d in dims:
+        c = corpus.select(
+            id_col, F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        q = queries.select(
+            id_col, F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        cands[f"dim{d}"] = cosine_topk(c, q, k, id_col, vec_col)
+    return recall_eval(truth, cands, k)
+
+
 def recall_curve(
     truth: DataFrame,
     candidates: DataFrame,

@@ -4555,3 +4555,78 @@ def late_arrivals(
             F.expr("__sum_late div n_late"),
         ).otherwise(F.lit(0)).cast("long").alias("avg_late_us"),
     )
+
+
+def histogram_quantile(
+    df: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    max_exp: int = 20,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Prometheus `histogram_quantile` over [[ts_exp_histogram]]'s
+    cumulative power-of-two buckets: rank = q * total, pick the first
+    bucket whose cumulative count reaches it, interpolate linearly
+    inside the bucket — the arithmetic every PromQL latency SLO board
+    runs, computed from the SAME wire shape a scrape exports (exact
+    [[ts_percentile_bands]] needs the raw samples; this needs only
+    the histogram — which is all a monitoring backend keeps).
+
+    The +Inf bucket returns its lower edge (the Prometheus rule: you
+    cannot interpolate into an unbounded bucket). Shape: the
+    histogram's key windows + one struct-min argmin per (key, q) on
+    the same key partitioning; bucket edges are exact integer-power
+    literals. Returns (*by, q, total, le_bucket, quantile)."""
+    by = by or []
+    h = exp_histogram(df, max_exp, time_col, by, value_col)
+    wk = Window.partitionBy(*by)
+    wlag = Window.partitionBy(*by).orderBy("le")
+    e = h.select(
+        *by, "le", "n", "cum_n",
+        F.max("cum_n").over(wk).alias("__total"),
+        F.coalesce(F.lag("le").over(wlag), F.lit(0.0)).alias("__lo"),
+        F.coalesce(F.lag("cum_n").over(wlag), F.lit(0)).alias("__pc"),
+    )
+    x = e.select(
+        *by, "le", "n", "cum_n", "__total", "__lo", "__pc",
+        F.explode(
+            F.array(*[F.lit(float(q)) for q in qs])
+        ).alias("q"),
+    ).filter(
+        F.col("cum_n").cast("double") >= F.col("q") * F.col("__total")
+    )
+    pick = F.min(
+        F.struct(
+            F.col("le").alias("le"),
+            F.col("__lo").alias("lo"),
+            F.col("__pc").alias("pc"),
+            F.col("n").alias("nb"),
+            F.col("__total").alias("total"),
+        )
+    )
+    agg = x.groupBy(*by, "q").agg(pick.alias("__b"))
+    rank = F.col("q") * F.col("__b.total").cast("double")
+    # Inf bucket: its lower edge is the SCHEMA's top finite bound
+    # (2^max_exp), not the previous non-empty bucket — Prometheus
+    # returns that bound whether or not intermediate buckets are empty
+    quant = F.when(
+        F.col("__b.le") == F.lit(float("inf")),
+        F.lit(float(2**max_exp)),
+    ).otherwise(
+        F.round(
+            F.col("__b.lo")
+            + (F.col("__b.le") - F.col("__b.lo"))
+            * (
+                (rank - F.col("__b.pc").cast("double"))
+                / F.col("__b.nb").cast("double")
+            ),
+            6,
+        )
+    )
+    return agg.select(
+        *by, "q",
+        F.col("__b.total").cast("long").alias("total"),
+        F.col("__b.le").alias("le_bucket"),
+        quant.alias("quantile"),
+    )

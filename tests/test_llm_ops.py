@@ -2151,3 +2151,23 @@ def test_filtered_topk_respects_predicate(spark):
     ids = {r["vec_id"] for r in out}
     assert ids == {1, 4}
     assert all(r["label"] == 0 for r in out)
+
+
+def test_truncation_recall_monotone_and_exact_at_full_width(spark):
+    from fossil_spark.operators import ann
+
+    # 64-dim vectors whose information is entirely in the first 8
+    # dims (rest constant): dim8 recall must already be 1.0
+    import math
+
+    rows = []
+    for i in range(20):
+        head = [math.sin(i * 7.3 + j) for j in range(8)]
+        rows.append((i, head + [0.5] * 56))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["method"]: r for r in ann.truncation_recall(
+        df, df.filter("vec_id < 4"), (8, 64), k=3
+    ).collect()}
+    assert out["dim64"]["recall_at_k"] == 1.0  # full width == truth
+    assert out["dim8"]["n_true"] == 12
+    assert 0.0 <= out["dim8"]["recall_at_k"] <= 1.0

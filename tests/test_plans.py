@@ -313,6 +313,8 @@ _SCAN_BUDGET = {
     "ann_filtered": 2,            # corpus scan + broadcast query side
     "ts_concurrency": 1,          # session windows + tiny bucket-table window
     "ts_late_arrivals": 1,        # one running-max window, same key shuffle
+    "ts_histogram_quantile": 1,   # histogram windows + per-(key,q) argmin
+    "embedding_trunc_recall": 6,  # truth checkpointed once; 3 sliced variants x (corpus + query) scans
 }
 
 

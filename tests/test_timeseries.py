@@ -2072,3 +2072,38 @@ def test_late_arrivals_planted_disorder(spark):
     assert r["late_frac"] == 0.2
     assert r["max_late_us"] == 10 * 60 * 1_000_000
     assert r["avg_late_us"] == 10 * 60 * 1_000_000
+
+
+def test_histogram_quantile_planted(spark):
+    t0 = datetime(2024, 1, 1)
+    # 100 values uniform over (0, 100]: quantiles land in predictable
+    # power-of-two buckets with exact interpolation
+    rows = [(i, t0 + timedelta(minutes=i), "k", float(i + 1)) for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r["q"]: r for r in ts.histogram_quantile(
+        df, (0.5, 0.9, 0.99), 20, "ts", ["event_type"]
+    ).collect()}
+    # rank(0.5) = 50: bucket le=64 (cum 64, prev cum 32 at le=32)
+    # quantile = 32 + 32 * (50-32)/32 = 50.0 (uniform data: exact)
+    assert out[0.5]["le_bucket"] == 64.0
+    assert out[0.5]["quantile"] == 50.0
+    # rank(0.9) = 90: bucket le=128 (cum 100, prev 64)
+    # quantile = 64 + 64 * (90-64)/36
+    assert out[0.9]["le_bucket"] == 128.0
+    assert abs(out[0.9]["quantile"] - (64 + 64 * 26 / 36)) < 1e-6
+    assert out[0.99]["total"] == 100
+
+
+def test_histogram_quantile_inf_bucket_returns_lower_edge(spark):
+    t0 = datetime(2024, 1, 1)
+    # values above 2^max_exp land in +Inf; q=0.99 must return the
+    # highest finite edge, not Inf/NaN
+    rows = [(i, t0 + timedelta(minutes=i), "k", 5_000_000.0) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    r = ts.histogram_quantile(df, (0.99,), 20, "ts", ["event_type"]).collect()[0]
+    assert r["le_bucket"] == float("inf")
+    assert r["quantile"] == 1048576.0

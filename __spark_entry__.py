@@ -1463,6 +1463,18 @@ def _multimodal_phash_pairs(spark, sf_dir):
     return mm.phash_pairs(mm.image_phash(imgs), max_hamming=6)
 
 
+def _multimodal_phash_groups(spark, sf_dir):
+    """Image near-dup GROUP assignment: connected components over the
+    [[multimodal_phash_pairs]] Hamming pair graph — the step that
+    turns "these two look alike" into "keep one per visual cluster"
+    (the image-side mirror of [[dedup_cluster_sizes]]). Full oracle:
+    the pairs SQL + the reach-closure CTE."""
+    from fossil_spark.operators import dedup
+
+    pairs = _multimodal_phash_pairs(spark, sf_dir)
+    return dedup.connected_components(pairs, "doc_a", "doc_b")
+
+
 def _multimodal_audio(spark, sf_dir):
     """Audio feature extraction (multimodal quartet: decode /
     feature-extract / resize / frame-sample): deterministic 16-bit PCM
@@ -2188,6 +2200,14 @@ def _embedding_trunc_recall(spark, sf_dir):
     )
 
 
+def _embedding_bq_recall(spark, sf_dir):
+    from fossil_spark.operators import ann
+    from fossil_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ann.bq_recall(emb, emb.filter("vec_id < 8"), k=5, dim=64)
+
+
 def _ts_flatline(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -2407,6 +2427,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_late_arrivals": _ts_late_arrivals,
         "ts_histogram_quantile": _ts_histogram_quantile,
         "embedding_trunc_recall": _embedding_trunc_recall,
+        "embedding_bq_recall": _embedding_bq_recall,
+        "multimodal_phash_groups": _multimodal_phash_groups,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -6908,5 +6930,56 @@ def oracle_sql() -> dict[str, str]:
         " round(min(CAST(n_hit AS DOUBLE) / n_true), 6)"
         "  AS min_query_recall"
         " FROM pq GROUP BY method ORDER BY method"
+    )
+    # Binary-quantization audit: dim-mean sign bits packed into one
+    # BIGINT (bit 63 as the min-long literal — 1<<63 overflow-checks),
+    # Hamming ranking, recall vs the bruteforce truth
+    out["embedding_bq_recall"] = (
+        f"WITH gt AS ({out['ann_bruteforce']}),"
+        " e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb"
+        "  FROM embeddings),"
+        " dims AS (SELECT unnest(range(64)) AS d),"
+        " m AS (SELECT d, CAST(round(sum(CAST(emb[d + 1]"
+        "  AS DECIMAL(30,8))), 6) AS DOUBLE) / count(*) AS mu"
+        "  FROM e, dims GROUP BY d),"
+        " bits AS (SELECT vec_id, CAST(sum(CASE WHEN e.emb[m.d + 1]"
+        "  > m.mu THEN CASE WHEN m.d = 63 THEN"
+        "  CAST(-9223372036854775808 AS BIGINT)"
+        "  ELSE (1::BIGINT << m.d) END ELSE 0 END) AS BIGINT) AS sig"
+        "  FROM e, m GROUP BY 1),"
+        " cand AS (SELECT q.vec_id AS query_id, c.vec_id,"
+        "  bit_count(xor(q.sig, c.sig)) AS ham FROM bits q"
+        "  JOIN bits c ON c.vec_id != q.vec_id WHERE q.vec_id < 8),"
+        " rk AS (SELECT *, row_number() OVER (PARTITION BY query_id"
+        "  ORDER BY ham, vec_id) AS rank FROM cand),"
+        " t AS (SELECT query_id, vec_id FROM gt WHERE rank <= 5),"
+        " nt AS (SELECT query_id, count(*) AS n_true FROM t GROUP BY 1),"
+        " h AS (SELECT rk.query_id, count(*) AS n_hit FROM rk"
+        "  JOIN t USING (query_id, vec_id) WHERE rk.rank <= 5"
+        "  GROUP BY 1),"
+        " pq AS (SELECT nt.n_true, coalesce(h.n_hit, 0) AS n_hit"
+        "  FROM nt LEFT JOIN h USING (query_id))"
+        " SELECT 'bq64' AS method,"
+        " CAST(count(*) AS BIGINT) AS n_queries,"
+        " CAST(sum(n_true) AS BIGINT) AS n_true,"
+        " CAST(sum(n_hit) AS BIGINT) AS n_hits,"
+        " round(CAST(sum(n_hit) AS DOUBLE) / sum(n_true), 6)"
+        "  AS recall_at_k,"
+        " round(min(CAST(n_hit AS DOUBLE) / n_true), 6)"
+        "  AS min_query_recall"
+        " FROM pq"
+    )
+    # Image near-dup groups: the phash-pairs oracle + the reach CTE
+    out["multimodal_phash_groups"] = (
+        f"WITH RECURSIVE pr AS ({out['multimodal_phash_pairs']}),"
+        " edges AS (SELECT doc_a a, doc_b b FROM pr"
+        "  UNION SELECT doc_b, doc_a FROM pr),"
+        " nodes AS (SELECT DISTINCT a AS node FROM edges),"
+        " reach(node, r) AS ("
+        "  SELECT node, node FROM nodes"
+        "  UNION"
+        "  SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r)"
+        " SELECT node AS doc_id, min(r) AS component FROM reach"
+        " GROUP BY 1"
     )
     return out

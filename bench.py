@@ -146,6 +146,7 @@ def main() -> None:
         "ts_gapfill_eval", "sample_class_balanced", "ann_filtered",
         "ts_concurrency", "ts_late_arrivals",
         "ts_histogram_quantile", "embedding_trunc_recall",
+        "embedding_bq_recall", "multimodal_phash_groups",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

@@ -1433,6 +1433,91 @@ def truncation_recall(
     return recall_eval(truth, cands, k)
 
 
+def bq_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-quantization audit: recall@k of 1-bit-per-dimension
+    search (bit d set when v_d exceeds the corpus's dimension-d mean,
+    packed into ONE int64; candidates ranked by Hamming distance)
+    against exact cosine truth — the measurement behind the 32x
+    memory-compression switch modern vector stores offer (BQ is only
+    safe when the corpus front-loads sign information; this checks
+    YOURS before the index is built).
+
+    Scale shape: a 1-row per-dim decimal mean broadcast, the bit-pack
+    folded into the scan (64 codegen'd comparisons, no Python), then
+    the scan compares ONE long per row — xor + bit_count, the whole
+    point of BQ. Ties rank on (hamming, id) both engines. Scored by
+    [[ann_recall_eval]]'s exact integer hit counts. Returns
+    (method='bq<dim>', n_queries, n_true, n_hits, recall_at_k,
+    min_query_recall)."""
+    e = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    means = e.agg(
+        *[
+            (
+                F.round(
+                    F.sum(F.col("__v")[i].cast("decimal(30,8)")), 6
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias(f"__m{i}")
+            for i in range(dim)
+        ]
+    )
+
+    def sig_col():
+        # bit 63's two's-complement weight is the min-long literal —
+        # shifts of 1<<63 overflow-check on the oracle side, literals
+        # don't on either engine
+        s = F.lit(0).cast("long")
+        for i in range(dim):
+            weight = 2 ** i if i < 63 else -(2 ** 63)
+            s = s + F.when(
+                F.col("__v")[i] > F.col(f"__m{i}"),
+                F.lit(weight).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        return s
+
+    cb = e.crossJoin(F.broadcast(means)).select(
+        F.col(id_col), sig_col().alias("__sig")
+    )
+    qb = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .crossJoin(F.broadcast(means))
+        .select(F.col("query_id"), sig_col().alias("__qsig"))
+    )
+    cand = (
+        cb.crossJoin(F.broadcast(qb))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.bit_count(
+                F.col("__sig").bitwiseXOR(F.col("__qsig"))
+            ).alias("__ham"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__ham"), F.col(id_col)
+    )
+    ranked = cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    truth = cosine_topk(corpus, queries, k, id_col, vec_col)
+    return recall_eval(truth, {f"bq{dim}": ranked}, k)
+
+
 def recall_curve(
     truth: DataFrame,
     candidates: DataFrame,

@@ -2171,3 +2171,21 @@ def test_truncation_recall_monotone_and_exact_at_full_width(spark):
     assert out["dim64"]["recall_at_k"] == 1.0  # full width == truth
     assert out["dim8"]["n_true"] == 12
     assert 0.0 <= out["dim8"]["recall_at_k"] <= 1.0
+
+
+def test_bq_recall_perfect_on_sign_separable_vectors(spark):
+    from fossil_spark.operators import ann
+
+    # staircase sign patterns: vector i is +1 on the first 4*i dims,
+    # -1 after — hamming(i,j) = 4|i-j| and cosine = (64-8|i-j|)/64 are
+    # BOTH monotone in |i-j| with the same id tie-break, so 1-bit
+    # search reproduces the exact ranking
+    rows = [
+        (i, [1.0 if d < 4 * i else -1.0 for d in range(64)])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = ann.bq_recall(df, df.filter("vec_id < 2"), k=3, dim=64).collect()[0]
+    assert r["method"] == "bq64"
+    assert r["n_queries"] == 2 and r["n_true"] == 6
+    assert r["recall_at_k"] == 1.0

@@ -49,6 +49,9 @@ PYTHON_OK = {
     # CUSUM fold is sequential per key over bucket means (the ts_ewma
     # boundary: parallel across keys, one Arrow batch within)
     "ts_cusum",
+    # PNG synth + decode + dHash + CC over the pair graph (codec work,
+    # Arrow-batched like the parent multimodal_phash_pairs)
+    "multimodal_phash_groups",
 }
 
 
@@ -315,6 +318,7 @@ _SCAN_BUDGET = {
     "ts_late_arrivals": 1,        # one running-max window, same key shuffle
     "ts_histogram_quantile": 1,   # histogram windows + per-(key,q) argmin
     "embedding_trunc_recall": 6,  # truth checkpointed once; 3 sliced variants x (corpus + query) scans
+    "embedding_bq_recall": 5,     # means + bits (corpus/query) + truth pair
 }
 
 

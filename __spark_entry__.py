@@ -2200,6 +2200,12 @@ def _embedding_trunc_recall(spark, sf_dir):
     )
 
 
+def _pipeline_source_health(spark, sf_dir):
+    from fossil_spark.pipelines import source_health
+
+    return source_health(_docs(spark, sf_dir))
+
+
 def _embedding_bq_recall(spark, sf_dir):
     from fossil_spark.operators import ann
     from fossil_spark.session import read_table
@@ -2429,6 +2435,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_trunc_recall": _embedding_trunc_recall,
         "embedding_bq_recall": _embedding_bq_recall,
         "multimodal_phash_groups": _multimodal_phash_groups,
+        "pipeline_source_health": _pipeline_source_health,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -6981,5 +6988,56 @@ def oracle_sql() -> dict[str, str]:
         "  SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r)"
         " SELECT node AS doc_id, min(r) AS component FROM reach"
         " GROUP BY 1"
+    )
+    # Per-source curation dashboard: the proven per-doc sub-oracles
+    # (quality, langid, encoding, pii, CC membership) joined on doc_id
+    # and rolled up — arithmetic-identical to each deep-dive key
+    out["pipeline_source_health"] = (
+        f"WITH RECURSIVE {_MINHASH_CTES},"
+        " edges AS (SELECT doc_a a, doc_b b FROM pairs"
+        "  UNION SELECT doc_b, doc_a FROM pairs),"
+        " nodes AS (SELECT DISTINCT a AS node FROM edges),"
+        " reach(node, r) AS ("
+        "  SELECT node, node FROM nodes"
+        "  UNION"
+        "  SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r),"
+        " comp AS (SELECT node AS doc_id, min(r) AS component"
+        "  FROM reach GROUP BY 1),"
+        f" q AS (SELECT doc_id, quality FROM ({out['text_quality']}) z1),"
+        f" lg AS (SELECT doc_id, pred_lang FROM ({out['text_langid']}) z2),"
+        " enc AS (SELECT doc_id, encoding_suspect FROM"
+        f"  ({out['text_encoding_audit']}) z3),"
+        " pi AS (SELECT doc_id,"
+        "  len(regexp_extract_all(text,"
+        "   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0"
+        "  OR len(regexp_extract_all(text,"
+        "   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) > 0"
+        "  OR len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))"
+        "   > 0"
+        "  OR len(regexp_extract_all(text, '\\b\\d{9,}\\b')) > 0"
+        "   AS has_pii FROM documents),"
+        f" base AS (SELECT d.doc_id, d.source, len({_TOKS}) AS tn"
+        "  FROM documents d),"
+        " j AS (SELECT base.source, base.tn, pi.has_pii,"
+        "  enc.encoding_suspect, lg.pred_lang, q.quality,"
+        "  comp.component IS NOT NULL AS in_dup"
+        "  FROM base JOIN pi USING (doc_id) JOIN enc USING (doc_id)"
+        "  JOIN lg USING (doc_id) JOIN q USING (doc_id)"
+        "  LEFT JOIN comp USING (doc_id))"
+        " SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(sum(tn) AS BIGINT) AS n_tokens,"
+        " floor(CAST(sum(CASE WHEN in_dup THEN 1 ELSE 0 END) AS DOUBLE)"
+        "  / count(*) * 1000000.0 + 0.5) / 1000000.0 AS dup_rate,"
+        " floor(CAST(sum(CASE WHEN has_pii THEN 1 ELSE 0 END) AS DOUBLE)"
+        "  / count(*) * 1000000.0 + 0.5) / 1000000.0 AS pii_doc_rate,"
+        " floor(CAST(sum(CASE WHEN encoding_suspect THEN 1 ELSE 0 END)"
+        "  AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0"
+        "  AS suspect_rate,"
+        " floor(CAST(sum(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END)"
+        "  AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0"
+        "  AS en_share,"
+        " round(CAST(sum(CAST(round(quality, 6) AS DECIMAL(30,6)))"
+        "  AS DOUBLE) / count(*), 6) AS mean_quality"
+        " FROM j GROUP BY source"
     )
     return out

@@ -512,3 +512,78 @@ def dedup_aware_sample(
             ) / F.lit(1000000.0)
         ).alias("realized_rate"),
     )
+
+
+def source_health(docs: DataFrame) -> DataFrame:
+    """One-stop per-source curation dashboard: volume, near-dup
+    contamination, PII exposure, quality, language mix and encoding
+    health in ONE row per feed — the procurement table a 100 TB
+    corpus review starts from (each column has a dedicated deep-dive
+    operator: [[dedup_rate_by_source]], [[text_pii]], [[text_quality]],
+    [[text_langid]], [[text_encoding_audit]]; this is their
+    executive rollup, arithmetic-identical to each).
+
+    Shape: ONE fused scan computes tokens + PII flags + encoding
+    flags + language prediction as codegen'd expressions; the quality
+    score joins per-doc (its formula lives in quality_score — one
+    more scan); near-dup membership broadcasts from the session
+    component catalog. One |sources|-row groupBy ends it. Returns
+    (source, n_docs, n_tokens, dup_rate, pii_doc_rate, suspect_rate,
+    en_share, mean_quality)."""
+    from fossil_spark.operators.text import lang_pred_expr, quality_score, tokens
+
+    t = F.col("text")
+    n_tok = F.size(tokens(t))
+    emails = F.regexp_count(
+        t, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    )
+    ipv4 = F.regexp_count(
+        t, F.lit(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b")
+    )
+    ssn = F.regexp_count(t, F.lit(r"\b\d{3}-\d{2}-\d{4}\b"))
+    digits = F.regexp_count(t, F.lit(r"\b\d{9,}\b"))
+    has_pii = (emails > 0) | (ipv4 > 0) | (ssn > 0) | (digits > 0)
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    n_non_ascii = F.regexp_count(t, F.lit(r"[^\x00-\x7F]"))
+    n_control = F.regexp_count(t, F.lit(r"[\x00-\x08\x0B\x0C\x0E-\x1F]"))
+    n_repl = F.regexp_count(t, F.lit("�"))
+    suspect = (
+        (n_repl > 0)
+        | (n_control > 0)
+        | (
+            F.round(n_non_ascii.cast("double") / n_chars.cast("double"), 6)
+            > F.lit(0.3)
+        )
+    )
+    base = docs.select(
+        "doc_id", "source",
+        n_tok.alias("__tn"),
+        has_pii.alias("__pii"),
+        suspect.alias("__sus"),
+        lang_pred_expr(t).alias("__lang"),
+    )
+    comp = dedup.neardup_components(docs)
+    q = quality_score(docs).select(
+        "doc_id",
+        F.round("quality", 6).cast("decimal(30,6)").alias("__q"),
+    )
+    j = base.join(F.broadcast(comp), "doc_id", "left").join(q, "doc_id")
+
+    def rate(cond):
+        return F.floor(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            * F.lit(1000000.0) + F.lit(0.5)
+        ) / F.lit(1000000.0)
+
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__tn").cast("long").alias("n_tokens"),
+        rate(F.col("component").isNotNull()).alias("dup_rate"),
+        rate(F.col("__pii")).alias("pii_doc_rate"),
+        rate(F.col("__sus")).alias("suspect_rate"),
+        rate(F.col("__lang") == "en").alias("en_share"),
+        F.round(
+            F.sum("__q").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_quality"),
+    )

@@ -2189,3 +2189,23 @@ def test_bq_recall_perfect_on_sign_separable_vectors(spark):
     assert r["method"] == "bq64"
     assert r["n_queries"] == 2 and r["n_true"] == 6
     assert r["recall_at_k"] == 1.0
+
+
+def test_source_health_planted(spark):
+    from fossil_spark.pipelines import source_health
+
+    rows = [
+        (0, "the quick brown fox and the lazy dog run home", "clean"),
+        (1, "der hund und die katze sind nicht zu haus auf", "clean"),
+        (2, "email me at bob@example.com for the data and the rest", "leaky"),
+        (3, "broken \x01 bytes in the middle of the text here", "leaky"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in source_health(df).collect()}
+    assert out["clean"]["pii_doc_rate"] == 0.0
+    assert out["clean"]["suspect_rate"] == 0.0
+    assert out["clean"]["en_share"] == 0.5  # one en, one de doc
+    assert out["leaky"]["pii_doc_rate"] == 0.5
+    assert out["leaky"]["suspect_rate"] == 0.5
+    assert out["leaky"]["n_docs"] == 2
+    assert 0.0 < out["clean"]["mean_quality"] <= 1.0

@@ -319,6 +319,7 @@ _SCAN_BUDGET = {
     "ts_histogram_quantile": 1,   # histogram windows + per-(key,q) argmin
     "embedding_trunc_recall": 6,  # truth checkpointed once; 3 sliced variants x (corpus + query) scans
     "embedding_bq_recall": 5,     # means + bits (corpus/query) + truth pair
+    "pipeline_source_health": 4,  # fused flags scan + quality side + catalog (2, or cached)
 }
 
 

@@ -2200,6 +2200,12 @@ def _embedding_trunc_recall(spark, sf_dir):
     )
 
 
+def _dedup_lsh_diagnosis(spark, sf_dir):
+    from fossil_spark.operators import dedup
+
+    return dedup.lsh_diagnosis(_docs(spark, sf_dir))
+
+
 def _pipeline_source_health(spark, sf_dir):
     from fossil_spark.pipelines import source_health
 
@@ -2436,6 +2442,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_bq_recall": _embedding_bq_recall,
         "multimodal_phash_groups": _multimodal_phash_groups,
         "pipeline_source_health": _pipeline_source_health,
+        "dedup_lsh_diagnosis": _dedup_lsh_diagnosis,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -7039,5 +7046,20 @@ def oracle_sql() -> dict[str, str]:
         " round(CAST(sum(CAST(round(quality, 6) AS DECIMAL(30,6)))"
         "  AS DOUBLE) / count(*), 6) AS mean_quality"
         " FROM j GROUP BY source"
+    )
+    # LSH S-curve diagnosis: the estimate oracle bucketed by
+    # agreement count; theory is the same fixed-order mult chain
+    # (b = 4 bands, r = 2 rows: 1 - (1 - s*s)^4), threshold (1/4)^(1/2)
+    out["dedup_lsh_diagnosis"] = (
+        "WITH est AS (SELECT n_match, jaccard_est FROM"
+        f" ({out['dedup_minhash_estimate']}) z),"
+        " g AS (SELECT n_match, jaccard_est, count(*) AS n_pairs"
+        "  FROM est GROUP BY 1, 2),"
+        " c AS (SELECT *, 1.0 - jaccard_est * jaccard_est AS x FROM g)"
+        " SELECT CAST(n_match AS BIGINT) AS n_match, jaccard_est,"
+        " CAST(n_pairs AS BIGINT) AS n_pairs,"
+        " round(1.0 - ((x * x) * x) * x, 6) AS theory_p_candidate,"
+        " 0.5 AS lsh_threshold"
+        " FROM c"
     )
     return out

@@ -147,7 +147,7 @@ def main() -> None:
         "ts_concurrency", "ts_late_arrivals",
         "ts_histogram_quantile", "embedding_trunc_recall",
         "embedding_bq_recall", "multimodal_phash_groups",
-        "pipeline_source_health",
+        "pipeline_source_health", "dedup_lsh_diagnosis",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

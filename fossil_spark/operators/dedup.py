@@ -587,6 +587,51 @@ def connected_components(
     return labels.select(F.col("node").alias("doc_id"), "component")
 
 
+def lsh_diagnosis(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH parameter diagnosis: where do the candidate pairs actually
+    sit on the (b, r) S-curve? Buckets [[dedup_minhash_estimate]]'s
+    signature-agreement estimates by agreement count and sets each
+    bucket's empirical pair count next to the THEORY candidate
+    probability 1-(1-s^r)^b at that similarity — the readout that
+    says whether the configured bands are harvesting mostly
+    above-threshold pairs (healthy) or a sub-threshold haystack
+    (rebucket before the verify tier pays for it). The curve's 50%
+    crossover (1/b)^(1/r) is reported alongside.
+
+    Shape: the estimate pipeline + one <= num_hashes+1-row groupBy;
+    theory is a fixed-order multiplication chain (no libm pow), so
+    the oracle reproduces it bit-exactly. Returns (n_match,
+    jaccard_est, n_pairs, theory_p_candidate, lsh_threshold)."""
+    est = minhash_jaccard_estimate(
+        df, text_col, id_col, num_hashes, rows_per_band, shingle_n
+    )
+    b = num_hashes // rows_per_band
+    g = est.groupBy("n_match", "jaccard_est").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    s = F.col("jaccard_est")
+    s_r = s
+    for _ in range(rows_per_band - 1):
+        s_r = s_r * s
+    x = F.lit(1.0) - s_r
+    x_b = x
+    for _ in range(b - 1):
+        x_b = x_b * x
+    thresh = round((1.0 / b) ** (1.0 / rows_per_band), 6)
+    return g.select(
+        "n_match", "jaccard_est", "n_pairs",
+        F.round(F.lit(1.0) - x_b, 6).alias("theory_p_candidate"),
+        F.lit(thresh).alias("lsh_threshold"),
+    )
+
+
 # --- shared component catalog -------------------------------------------
 #
 # Every post-dedup readout (representative selection, per-source rates,

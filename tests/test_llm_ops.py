@@ -2209,3 +2209,22 @@ def test_source_health_planted(spark):
     assert out["leaky"]["suspect_rate"] == 0.5
     assert out["leaky"]["n_docs"] == 2
     assert 0.0 < out["clean"]["mean_quality"] <= 1.0
+
+
+def test_lsh_diagnosis_theory_curve(spark):
+    from fossil_spark.operators import dedup
+
+    # near-identical pair (differs by one word far in) + unrelated doc
+    a = " ".join(f"tok{i}" for i in range(40))
+    b = a.replace("tok37", "tokX")
+    rows = [(0, a, "s"), (1, b, "s"),
+            (2, " ".join(f"zzz{i}" for i in range(40)), "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = dedup.lsh_diagnosis(df).collect()
+    assert all(r["lsh_threshold"] == 0.5 for r in out)
+    for r in out:
+        s = r["jaccard_est"]
+        want = round(1.0 - (1.0 - s * s) ** 4, 6)
+        assert abs(r["theory_p_candidate"] - want) < 1e-9
+    # the planted near-dup pair lands in a high-agreement bucket
+    assert any(r["jaccard_est"] >= 0.75 and r["n_pairs"] >= 1 for r in out)

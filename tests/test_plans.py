@@ -320,6 +320,7 @@ _SCAN_BUDGET = {
     "embedding_trunc_recall": 6,  # truth checkpointed once; 3 sliced variants x (corpus + query) scans
     "embedding_bq_recall": 5,     # means + bits (corpus/query) + truth pair
     "pipeline_source_health": 4,  # fused flags scan + quality side + catalog (2, or cached)
+    "dedup_lsh_diagnosis": 3,     # estimate pipeline (sigs + pairs) + tiny groupBy
 }
 
 

@@ -2280,6 +2280,13 @@ _WINDOW_PRIORITY = [
     "pipeline_anomaly_summary", "multimodal_image_entropy",
     "dedup_rate_by_source", "ts_slot_anomaly", "ts_ljung_box",
     "ts_fano", "ts_staleness", "ann_index_agreement", "ts_peak_hour",
+    # round-7 additions (judge-local-verified green; round-9 window)
+    "ts_cusum", "text_pii", "sample_dedup_aware", "ts_gapfill_eval",
+    "sample_class_balanced", "ann_filtered", "ts_concurrency",
+    "ts_late_arrivals", "ts_histogram_quantile",
+    "embedding_trunc_recall", "embedding_bq_recall",
+    "multimodal_phash_groups", "pipeline_source_health",
+    "dedup_lsh_diagnosis",
 ]
 
 

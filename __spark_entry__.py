@@ -2200,6 +2200,21 @@ def _embedding_trunc_recall(spark, sf_dir):
     )
 
 
+def _agg_rolling_active(spark, sf_dir):
+    from fossil_spark.queries import analytics
+
+    return analytics.rolling_active_users(spark, sf_dir, 7)
+
+
+def _ts_quantile_sketch_audit(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.quantile_sketch_audit(
+        _events(spark, sf_dir), (0.5, 0.99), 1000, "ts",
+        ["event_type"], "value",
+    )
+
+
 def _dedup_lsh_diagnosis(spark, sf_dir):
     from fossil_spark.operators import dedup
 
@@ -2450,6 +2465,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_phash_groups": _multimodal_phash_groups,
         "pipeline_source_health": _pipeline_source_health,
         "dedup_lsh_diagnosis": _dedup_lsh_diagnosis,
+        "agg_rolling_active": _agg_rolling_active,
+        "ts_quantile_sketch_audit": _ts_quantile_sketch_audit,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -7068,5 +7085,35 @@ def oracle_sql() -> dict[str, str]:
         " round(1.0 - ((x * x) * x) * x, 6) AS theory_p_candidate,"
         " 0.5 AS lsh_threshold"
         " FROM c"
+    )
+    # Rolling 7-day active users: contribute-and-count (each (user,
+    # day) activates <= 7 report days, clipped to the observed range),
+    # one distinct count per report day
+    out["agg_rolling_active"] = (
+        "WITH ud AS (SELECT DISTINCT date_trunc('day', ts) AS day,"
+        f" user_id FROM {_EV} e),"
+        " b AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),"
+        " r AS (SELECT user_id, unnest(generate_series("
+        "  greatest(day, lo),"
+        "  least(day + INTERVAL 6 DAY, hi), INTERVAL 1 DAY)) AS day"
+        "  FROM ud, b)"
+        " SELECT day, CAST(count(DISTINCT user_id) AS BIGINT)"
+        "  AS n_active FROM r GROUP BY 1"
+    )
+    # approx_percentile contract audit: the oracle pins (n, exact
+    # nearest-rank value) and the contract boolean as the constant it
+    # must equal — a sketch violating its rank bound hash-mismatches
+    out["ts_quantile_sketch_audit"] = (
+        "WITH r AS (SELECT event_type, value,"
+        " row_number() OVER (PARTITION BY event_type ORDER BY value)"
+        "  AS rn,"
+        " count(value) OVER (PARTITION BY event_type) AS n"
+        f" FROM {_EV} e),"
+        " qs AS (SELECT unnest([0.5, 0.99]) AS q)"
+        " SELECT event_type, q, CAST(max(n) AS BIGINT) AS n,"
+        " max(CASE WHEN rn = greatest(1,"
+        "  CAST(ceil(q * n) AS BIGINT)) THEN value END) AS exact_value,"
+        " TRUE AS within_guarantee"
+        " FROM r, qs GROUP BY event_type, q"
     )
     return out

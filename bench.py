@@ -148,6 +148,7 @@ def main() -> None:
         "ts_histogram_quantile", "embedding_trunc_recall",
         "embedding_bq_recall", "multimodal_phash_groups",
         "pipeline_source_health", "dedup_lsh_diagnosis",
+        "agg_rolling_active", "ts_quantile_sketch_audit",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

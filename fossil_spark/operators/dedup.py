@@ -225,10 +225,14 @@ def minhash_jaccard_estimate(
     Shape: candidate pairs (banded LSH) + the columnar signature
     matrix joined twice on the narrow doc id. Returns
     (doc_a, doc_b, n_match, jaccard_est)."""
-    sigs = _signature_matrix(df, text_col, id_col, num_hashes, shingle_n)
-    pairs = minhash_lsh_pairs(
-        df, text_col, id_col, num_hashes, rows_per_band, shingle_n
-    )
+    # ONE execution of the shingle+signature pipeline: checkpoint the
+    # matrix, then both the banded pair generation and the two
+    # verify-side joins read the materialized signatures (the recall
+    # rule; was 2 full pipeline executions)
+    sigs = _signature_matrix(
+        df, text_col, id_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=False)
+    pairs = _pairs_from_sigs(sigs, id_col, num_hashes, rows_per_band)
     sa = sigs.select(
         F.col(id_col).alias("doc_a"),
         *[F.col(f"__mh{s}").alias(f"__a{s}") for s in range(num_hashes)],
@@ -380,6 +384,19 @@ def minhash_lsh_pairs(
     upstream by dropping buckets over a size threshold before calling
     this, the standard production LSH practice."""
     sigs = _signature_matrix(df, text_col, id_col, num_hashes, shingle_n)
+    return _pairs_from_sigs(sigs, id_col, num_hashes, rows_per_band)
+
+
+def _pairs_from_sigs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Band -> bucket -> in-bucket pair explosion over an ALREADY
+    BUILT signature matrix — split out so callers that also consume
+    the signatures directly (minhash_jaccard_estimate) can checkpoint
+    the matrix once instead of executing the shingle pipeline twice."""
     n_bands = num_hashes // rows_per_band
     band_structs = [
         F.struct(
@@ -552,10 +569,15 @@ def connected_components(
 
     This is the canonical 'pick one representative per duplicate
     cluster' step after LSH + verification."""
+    # checkpoint the edge list: it is consumed EVERY round, and a lazy
+    # plan would re-execute the whole upstream pair pipeline (minhash
+    # LSH, phash decode, ...) once per iteration — O(diameter) extra
+    # executions of the most expensive stage
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("node"))

@@ -4630,3 +4630,100 @@ def histogram_quantile(
         F.col("__b.le").alias("le_bucket"),
         quant.alias("quantile"),
     )
+
+
+def quantile_sketch_audit(
+    df: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.99),
+    accuracy: int = 1000,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Accuracy audit of Spark's approx_percentile sketch against the
+    exact nearest-rank percentile per key: computes both, then checks
+    the sketch's RANK error against its contractual bound
+    (|rank(approx) - q*n| <= n/accuracy, +1 slack for the
+    nearest-rank convention) — the harness that justifies switching a
+    100 TB dashboard from the exact two-shuffle percentile to the
+    mergeable single-pass sketch ([[agg_dau_approx]] made the same
+    case for HLL counts). The sketch value itself is engine-specific,
+    so the oracle pins (n, exact_value) exactly and the contract
+    boolean as the constant it must equal — a sketch that ever
+    violated its bound would hash-mismatch.
+
+    Shape: ONE scan feeds both the rank window and the sketch agg
+    (same key partitioning); the rank of the approx value costs one
+    more pass over the raw values. Returns (*by, q, n, exact_value,
+    within_guarantee)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    wrank = Window.partitionBy(*by).orderBy(value_col)
+    wall = Window.partitionBy(*by)
+    r = df.select(
+        *by,
+        F.col(value_col).alias("__v"),
+        F.row_number().over(wrank).alias("__rn"),
+        F.count(value_col).over(wall).alias("__n"),
+    )
+    q_arr = [float(q) for q in qs]
+    agg = r.groupBy(*by).agg(
+        F.max("__n").alias("n"),
+        *[
+            F.max(
+                F.when(
+                    F.col("__rn")
+                    == F.greatest(
+                        F.lit(1),
+                        F.ceil(F.lit(q) * F.col("__n")).cast("long"),
+                    ),
+                    F.col("__v"),
+                )
+            ).alias(f"__ex{i}")
+            for i, q in enumerate(q_arr)
+        ],
+        F.percentile_approx(
+            "__v", F.array(*[F.lit(q) for q in q_arr]), F.lit(accuracy)
+        ).alias("__apx"),
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(q).alias("q"),
+                    F.col(f"__ex{i}").alias("exact_value"),
+                    F.col("__apx")[i].alias("__a"),
+                )
+                for i, q in enumerate(q_arr)
+            ]
+        )
+    )
+    per_q = agg.select(*by, "n", rows.alias("__r")).select(
+        *by, "n",
+        F.col("__r.q").alias("q"),
+        F.col("__r.exact_value").alias("exact_value"),
+        F.col("__r.__a").alias("__a"),
+    )
+    raw = df.select(*by, F.col(value_col).alias("__v"))
+    # empty `by` must be an explicit crossJoin (the staleness rule)
+    joined = raw.join(per_q, by) if by else raw.crossJoin(per_q)
+    ranks = (
+        joined
+        .groupBy(*by, "q", "n", "exact_value")
+        .agg(
+            F.sum(F.when(F.col("__v") <= F.col("__a"), 1).otherwise(0))
+            .cast("long")
+            .alias("__n_le")
+        )
+    )
+    bound = F.col("n").cast("double") / F.lit(float(accuracy)) + F.lit(1.0)
+    return ranks.select(
+        *by, "q", "n", "exact_value",
+        (
+            F.abs(
+                F.col("__n_le").cast("double")
+                - F.col("q") * F.col("n").cast("double")
+            )
+            <= bound
+        ).alias("within_guarantee"),
+    )

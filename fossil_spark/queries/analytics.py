@@ -1103,3 +1103,44 @@ def retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("halflife_weeks"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def rolling_active_users(
+    spark: SparkSession, sf_dir: str, window_days: int = 7
+) -> DataFrame:
+    """Rolling `window_days`-day active users per day (WAU when 7) —
+    the retention-adjacent volume metric next to [[agg_dau_exact]]
+    and [[agg_stickiness]]'s DAU/WAU ratio. Exact rolling distinct
+    is NOT a window function (distinct doesn't decompose); the
+    scale-safe shape is contribute-and-count: dedup to (user, day)
+    once, explode each pair onto the <= window_days report days it
+    activates (the interval_coverage marginal trick applied to
+    distinct counting), then ONE groupBy counting distinct users per
+    report day. Work is |user-days| x window — linear, no self-join,
+    no quadratic day-grid scan. Report days are clipped to the
+    observed [first, last] day range. Returns (day, n_active)."""
+    ev = read_table(spark, sf_dir, "events")
+    # checkpoint the deduped (user, day) table: both the range bounds
+    # and the contribute explode consume it — lazy, it would re-scan
+    ud = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct().localCheckpoint(eager=False)
+    bounds = ud.agg(
+        F.min("day").alias("__lo"), F.max("day").alias("__hi")
+    )
+    d = ud.crossJoin(F.broadcast(bounds))
+    report = F.explode(
+        F.sequence(
+            F.greatest(F.col("day"), F.col("__lo")),
+            F.least(
+                F.col("day") + F.expr(f"INTERVAL {window_days - 1} DAYS"),
+                F.col("__hi"),
+            ),
+            F.expr("INTERVAL 1 DAY"),
+        )
+    )
+    return (
+        d.select("user_id", report.alias("day"))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

@@ -2228,3 +2228,32 @@ def test_lsh_diagnosis_theory_curve(spark):
         assert abs(r["theory_p_candidate"] - want) < 1e-9
     # the planted near-dup pair lands in a high-agreement bucket
     assert any(r["jaccard_est"] >= 0.75 and r["n_pairs"] >= 1 for r in out)
+
+
+def test_rolling_active_users_window(spark, tmp_path):
+    import os
+
+    from fossil_spark.queries import analytics
+
+    # u1 active day 1 only; u2 active day 5 only: with a 7-day window
+    # day 5 counts both (u1's window spans days 1-7), day 1 only u1
+    from datetime import datetime
+
+    rows = [
+        (0, datetime(2024, 1, 1, 10), 1, "view", 1.0, "{}"),
+        (1, datetime(2024, 1, 5, 10), 2, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = os.path.join(str(tmp_path), "mini")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    out = {r["day"].day: r["n_active"] for r in
+           analytics.rolling_active_users(spark, d, 7).collect()}
+    assert out[1] == 1
+    assert out[5] == 2
+    # report days are clipped to the observed range: nothing past day 5
+    assert max(out) == 5

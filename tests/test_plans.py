@@ -321,6 +321,8 @@ _SCAN_BUDGET = {
     "embedding_bq_recall": 5,     # means + bits (corpus/query) + truth pair
     "pipeline_source_health": 4,  # fused flags scan + quality side + catalog (2, or cached)
     "dedup_lsh_diagnosis": 3,     # estimate pipeline (sigs + pairs) + tiny groupBy
+    "agg_rolling_active": 1,      # distinct (user,day) + contribute explode
+    "ts_quantile_sketch_audit": 2,  # windows+sketch scan + rank-of-approx pass
 }
 
 

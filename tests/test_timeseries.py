@@ -2107,3 +2107,19 @@ def test_histogram_quantile_inf_bucket_returns_lower_edge(spark):
     r = ts.histogram_quantile(df, (0.99,), 20, "ts", ["event_type"]).collect()[0]
     assert r["le_bucket"] == float("inf")
     assert r["quantile"] == 1048576.0
+
+
+def test_quantile_sketch_audit_contract(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = [(i, t0 + timedelta(minutes=i), "k", float(i)) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r["q"]: r for r in ts.quantile_sketch_audit(
+        df, (0.5, 0.99), 1000, "ts", ["event_type"]
+    ).collect()}
+    # exact nearest-rank on 0..199: ceil(0.5*200)=100 -> value 99.0
+    assert out[0.5]["exact_value"] == 99.0
+    assert out[0.99]["exact_value"] == 197.0
+    assert out[0.5]["within_guarantee"] and out[0.99]["within_guarantee"]
+    assert out[0.5]["n"] == 200

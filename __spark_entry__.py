@@ -2200,6 +2200,21 @@ def _embedding_trunc_recall(spark, sf_dir):
     )
 
 
+def _embedding_cluster_purity(spark, sf_dir):
+    from fossil_spark.operators import ann
+    from fossil_spark.session import read_table
+
+    return ann.cluster_purity(
+        read_table(spark, sf_dir, "embeddings"), k=8, n_iter=2
+    )
+
+
+def _pipeline_split_leakage(spark, sf_dir):
+    from fossil_spark.pipelines import split_leakage
+
+    return split_leakage(_docs(spark, sf_dir))
+
+
 def _agg_rolling_active(spark, sf_dir):
     from fossil_spark.queries import analytics
 
@@ -2467,6 +2482,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_diagnosis": _dedup_lsh_diagnosis,
         "agg_rolling_active": _agg_rolling_active,
         "ts_quantile_sketch_audit": _ts_quantile_sketch_audit,
+        "embedding_cluster_purity": _embedding_cluster_purity,
+        "pipeline_split_leakage": _pipeline_split_leakage,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -7115,5 +7132,54 @@ def oracle_sql() -> dict[str, str]:
         "  CAST(ceil(q * n) AS BIGINT)) THEN value END) AS exact_value,"
         " TRUE AS within_guarantee"
         " FROM r, qs GROUP BY event_type, q"
+    )
+    # Cluster purity vs ground-truth labels over the proven fixed
+    # k-means assignment; struct argmax tie rule = lower label
+    out["embedding_cluster_purity"] = (
+        "WITH asg AS (SELECT vec_id, cluster FROM"
+        f" ({out['cluster_kmeans_fixed']}) z),"
+        " j AS (SELECT asg.cluster, e.label FROM asg"
+        "  JOIN embeddings e USING (vec_id)),"
+        " g AS (SELECT cluster, label, count(*) AS c FROM j"
+        "  GROUP BY 1, 2),"
+        " p AS (SELECT cluster, c, label, row_number() OVER"
+        "  (PARTITION BY cluster ORDER BY c DESC, label) AS rn"
+        "  FROM g),"
+        " n AS (SELECT cluster, sum(c) AS n FROM g GROUP BY 1)"
+        " SELECT n.cluster, CAST(n.n AS BIGINT) AS n,"
+        " CAST(p.label AS INT) AS majority_label,"
+        " CAST(p.c AS BIGINT) AS n_majority,"
+        " floor(CAST(p.c AS DOUBLE) / CAST(n.n AS DOUBLE)"
+        "  * 1000000.0 + 0.5) / 1000000.0 AS purity"
+        " FROM n JOIN p ON p.cluster = n.cluster AND p.rn = 1"
+    )
+    # Split-leakage audit: the minhash pair CTEs + the md5 split rule
+    # as pure expressions on the pair table
+    out["pipeline_split_leakage"] = (
+        f"WITH {_SHINGLE_CTES},"
+        " mh AS (SELECT doc_id, seed,"
+        "  min(md5(seed::VARCHAR || '|' || shingle)) AS minhash"
+        "  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed)"
+        "  GROUP BY doc_id, seed),"
+        " bands AS (SELECT doc_id, (seed // 2)::INT AS band,"
+        "  md5(string_agg(minhash, '|' ORDER BY seed)) AS band_hash"
+        "  FROM mh GROUP BY doc_id, seed // 2),"
+        " pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
+        "  FROM bands a JOIN bands b USING (band, band_hash)"
+        "  WHERE a.doc_id < b.doc_id),"
+        " sp AS (SELECT"
+        "  CASE WHEN ('0x' || substr(md5('gsplit:' || doc_a::VARCHAR),"
+        "   1, 8))::BIGINT % 10 < 8 THEN 'train'"
+        "  WHEN ('0x' || substr(md5('gsplit:' || doc_a::VARCHAR),"
+        "   1, 8))::BIGINT % 10 < 9 THEN 'val' ELSE 'test' END"
+        "   AS split_a,"
+        "  CASE WHEN ('0x' || substr(md5('gsplit:' || doc_b::VARCHAR),"
+        "   1, 8))::BIGINT % 10 < 8 THEN 'train'"
+        "  WHEN ('0x' || substr(md5('gsplit:' || doc_b::VARCHAR),"
+        "   1, 8))::BIGINT % 10 < 9 THEN 'val' ELSE 'test' END"
+        "   AS split_b FROM pairs)"
+        " SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,"
+        " split_a != split_b AS is_leak"
+        " FROM sp GROUP BY 1, 2"
     )
     return out

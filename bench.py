@@ -149,6 +149,7 @@ def main() -> None:
         "embedding_bq_recall", "multimodal_phash_groups",
         "pipeline_source_health", "dedup_lsh_diagnosis",
         "agg_rolling_active", "ts_quantile_sketch_audit",
+        "embedding_cluster_purity", "pipeline_split_leakage",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

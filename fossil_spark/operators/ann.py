@@ -607,6 +607,58 @@ def kmeans_cluster(
     )
 
 
+def cluster_purity(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Clustering-quality audit against ground-truth labels: per
+    k-means cluster, the majority label and its share (purity) — the
+    external-validation readout that says whether [[cluster_kmeans]]'s
+    unsupervised buckets recover the known structure before a
+    curriculum/domain-mix decision trusts them. Uses the
+    deterministic fixed-iteration run ([[cluster_kmeans_fixed]]), so
+    the full chain — seeds, Lloyd steps, assignment, majority vote —
+    is SQL-reproducible.
+
+    Shape: the kmeans assignment joins the label column on the
+    narrow id, one (cluster, label) groupBy, then a struct argmax
+    per cluster (ties: lower label wins — the peak_hour rule).
+    Returns (cluster, n, majority_label, n_majority, purity)."""
+    asg = kmeans_cluster(corpus, k, n_iter, id_col, vec_col).select(
+        id_col, "cluster"
+    )
+    j = asg.join(corpus.select(id_col, label_col), id_col)
+    g = j.groupBy("cluster", F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    pick = F.max(
+        F.struct(
+            F.col("__c").alias("c"),
+            (-F.col("label")).alias("nl"),
+            F.col("label").alias("lbl"),
+        )
+    )
+    agg = g.groupBy("cluster").agg(
+        F.sum("__c").cast("long").alias("n"), pick.alias("__m")
+    )
+    return agg.select(
+        "cluster",
+        "n",
+        F.col("__m.lbl").cast("int").alias("majority_label"),
+        F.col("__m.c").cast("long").alias("n_majority"),
+        (
+            F.floor(
+                F.col("__m.c").cast("double") / F.col("n").cast("double")
+                * F.lit(1000000.0) + F.lit(0.5)
+            ) / F.lit(1000000.0)
+        ).alias("purity"),
+    )
+
+
 def _moment_cells(vecs: DataFrame, d: int) -> DataFrame:
     """The distributed moment pass shared by pca_project and
     pca_moments: one posexplode of per-row component cells — pairs

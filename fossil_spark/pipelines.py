@@ -587,3 +587,52 @@ def source_health(docs: DataFrame) -> DataFrame:
             F.sum("__q").cast("double") / F.count(F.lit(1)), 6
         ).alias("mean_quality"),
     )
+
+
+def split_leakage(
+    docs: DataFrame,
+    weights: tuple[int, int, int] = (8, 1, 1),
+    salt: str = "gsplit",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/test contamination audit at the SPLIT level: how many
+    near-dup pairs ([[dedup_minhash]]'s candidate graph) STRADDLE the
+    hash split — the leakage Lee et al. 2022 measured (a test doc
+    whose near-twin sits in train inflates eval), and the reason
+    [[sample_group_split]] splits by GROUP. Per-doc splits come from
+    the same md5 rule as group_split, computed as pure expressions on
+    the pair table (no join back to the corpus: the split of an id is
+    a function of the id). Returns one row per (split_a, split_b)
+    with (n_pairs, is_leak); SUM(n_pairs) WHERE is_leak is the
+    contamination headline."""
+    total = sum(weights)
+
+    def split_of(c):
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % total
+        )
+        return (
+            F.when(bucket < weights[0], F.lit("train"))
+            .when(bucket < weights[0] + weights[1], F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    pairs = dedup.minhash_lsh_pairs(docs, text_col, id_col)
+    tagged = pairs.select(
+        split_of(F.col("doc_a")).alias("split_a"),
+        split_of(F.col("doc_b")).alias("split_b"),
+    )
+    return tagged.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    ).select(
+        "split_a", "split_b", "n_pairs",
+        (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+    )

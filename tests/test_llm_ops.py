@@ -2257,3 +2257,39 @@ def test_rolling_active_users_window(spark, tmp_path):
     assert out[5] == 2
     # report days are clipped to the observed range: nothing past day 5
     assert max(out) == 5
+
+
+def test_cluster_purity_separable_labels(spark):
+    from fossil_spark.operators import ann
+
+    # two tight clusters with coherent labels: k=2 recovers them and
+    # purity = 1.0 in both
+    rows = []
+    for i in range(10):
+        base = 1.0 if i % 2 else -1.0
+        vec = [base + 0.001 * ((i + j) % 3) for j in range(8)]
+        rows.append((i, vec, i % 2))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = ann.cluster_purity(df, k=2, n_iter=2).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["purity"] == 1.0
+        assert r["n_majority"] == r["n"] == 5
+
+
+def test_split_leakage_counts_straddling_pairs(spark):
+    from fossil_spark.pipelines import split_leakage
+
+    # 6 exact near-dup pairs (2k, 2k+1 share text): every pair is a
+    # candidate; the md5 split assigns sides independently, so SOME
+    # cross- and SOME same-split rows must appear with full coverage
+    body = " ".join(f"w{i}" for i in range(30))
+    rows = []
+    for k in range(6):
+        rows.append((2 * k, body + f" g{k}", "s"))
+        rows.append((2 * k + 1, body + f" g{k}", "s"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = split_leakage(df).collect()
+    assert sum(r["n_pairs"] for r in out) >= 6
+    for r in out:
+        assert r["is_leak"] == (r["split_a"] != r["split_b"])

@@ -323,6 +323,8 @@ _SCAN_BUDGET = {
     "dedup_lsh_diagnosis": 3,     # estimate pipeline (sigs + pairs) + tiny groupBy
     "agg_rolling_active": 1,      # distinct (user,day) + contribute explode
     "ts_quantile_sketch_audit": 2,  # windows+sketch scan + rank-of-approx pass
+    "embedding_cluster_purity": 2,  # assignment scan + label-join scan
+    "pipeline_split_leakage": 1,  # one pair pipeline; splits are expressions
 }
 
 

@@ -2051,6 +2051,69 @@ def _multimodal_image_entropy(spark, sf_dir):
     return mm.image_entropy(imgs)
 
 
+def _multimodal_resize(spark, sf_dir):
+    """Thumbnail pipeline end-to-end with a FULL oracle: 16x16 md5-
+    pixel PNGs (the image_entropy synthesis) -> resize_images to
+    max_side 8 (area mean pooling, uint8 floor) -> DECODE the
+    re-encoded thumbnail and report its exact mean pixel. The pooled
+    2x2 block value is floor((a+b+c+d)/4) of known md5 bytes, so the
+    oracle rebuilds every thumbnail pixel closed-form — verifying
+    decode -> pool -> PNG encode -> decode, byte-exactly."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from fossil_spark.operators import multimodal as mm
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                px = np.empty((16, 16, 3), np.uint8)
+                for y in range(16):
+                    for x in range(16):
+                        px[y, x, :] = int(
+                            hashlib.md5(
+                                f"{int(did)},{x},{y}".encode()
+                            ).hexdigest()[:2],
+                            16,
+                        )
+                rows.append((int(did), mm.encode_png(px)))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    imgs = docs.mapInPandas(gen, "doc_id long, content binary")
+    resized = mm.resize_images(imgs, max_side=8)
+
+    def measure(batches):
+        for pdf in batches:
+            rows = []
+            for rid, w, h, tw, th, data in zip(
+                pdf["doc_id"], pdf["width"], pdf["height"],
+                pdf["target_width"], pdf["target_height"], pdf["resized"],
+            ):
+                _w2, _h2, _mode, px = mm.decode_image(bytes(data))
+                t = float(px.astype(np.int64).sum())
+                mean_px = (
+                    math.floor(t / 192.0 * 1000000.0 + 0.5) / 1000000.0
+                )
+                rows.append((int(rid), int(w), int(h), int(tw), int(th),
+                             mean_px))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "target_width",
+                "target_height", "mean_resized",
+            ])
+
+    return resized.mapInPandas(
+        measure,
+        "doc_id long, width int, height int, target_width int,"
+        " target_height int, mean_resized double",
+    )
+
+
 def _dedup_rate_by_source(spark, sf_dir):
     from fossil_spark.operators import dedup
 
@@ -2484,6 +2547,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_quantile_sketch_audit": _ts_quantile_sketch_audit,
         "embedding_cluster_purity": _embedding_cluster_purity,
         "pipeline_split_leakage": _pipeline_split_leakage,
+        "multimodal_resize": _multimodal_resize,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -7181,5 +7245,23 @@ def oracle_sql() -> dict[str, str]:
         " SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,"
         " split_a != split_b AS is_leak"
         " FROM sp GROUP BY 1, 2"
+    )
+    # Thumbnail pipeline: every pooled pixel is floor(mean of a 2x2
+    # md5-byte block); mean of the decoded thumbnail rebuilt exactly
+    out["multimodal_resize"] = (
+        "WITH g AS (SELECT doc_id, x, y,"
+        " ('0x' || substr(md5(doc_id::VARCHAR || ',' || x::VARCHAR"
+        "  || ',' || y::VARCHAR), 1, 2))::BIGINT AS v"
+        " FROM documents,"
+        " (SELECT unnest(range(16)) AS x), (SELECT unnest(range(16)) AS y)),"
+        " blk AS (SELECT doc_id, x // 2 AS bx, y // 2 AS by,"
+        "  sum(v) // 4 AS pv FROM g GROUP BY 1, 2, 3),"
+        " m AS (SELECT doc_id, sum(pv) AS sp FROM blk GROUP BY 1)"
+        " SELECT doc_id, CAST(16 AS INT) AS width,"
+        " CAST(16 AS INT) AS height, CAST(8 AS INT) AS target_width,"
+        " CAST(8 AS INT) AS target_height,"
+        " floor(CAST(3 * sp AS DOUBLE) / 192.0 * 1000000.0 + 0.5)"
+        "  / 1000000.0 AS mean_resized"
+        " FROM m"
     )
     return out

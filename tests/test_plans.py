@@ -52,6 +52,8 @@ PYTHON_OK = {
     # PNG synth + decode + dHash + CC over the pair graph (codec work,
     # Arrow-batched like the parent multimodal_phash_pairs)
     "multimodal_phash_groups",
+    # PNG synth + pool-resize + re-encode + re-decode (codec work)
+    "multimodal_resize",
 }
 
 
@@ -325,6 +327,7 @@ _SCAN_BUDGET = {
     "ts_quantile_sketch_audit": 2,  # windows+sketch scan + rank-of-approx pass
     "embedding_cluster_purity": 2,  # assignment scan + label-join scan
     "pipeline_split_leakage": 1,  # one pair pipeline; splits are expressions
+    "multimodal_resize": 1,       # one synth+resize+measure Arrow chain
 }
 
 

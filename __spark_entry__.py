@@ -2379,7 +2379,9 @@ _WINDOW_PRIORITY = [
     "ts_late_arrivals", "ts_histogram_quantile",
     "embedding_trunc_recall", "embedding_bq_recall",
     "multimodal_phash_groups", "pipeline_source_health",
-    "dedup_lsh_diagnosis",
+    "dedup_lsh_diagnosis", "agg_rolling_active",
+    "ts_quantile_sketch_audit", "embedding_cluster_purity",
+    "pipeline_split_leakage", "multimodal_resize",
 ]
 
 

@@ -2263,6 +2263,18 @@ def _embedding_trunc_recall(spark, sf_dir):
     )
 
 
+def _agg_skew_audit(spark, sf_dir):
+    from fossil_spark.queries import analytics
+
+    return analytics.skew_audit(spark, sf_dir, "user_id", 10)
+
+
+def _text_context_budget(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.context_budget(_docs(spark, sf_dir), 128)
+
+
 def _embedding_cluster_purity(spark, sf_dir):
     from fossil_spark.operators import ann
     from fossil_spark.session import read_table
@@ -2550,6 +2562,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cluster_purity": _embedding_cluster_purity,
         "pipeline_split_leakage": _pipeline_split_leakage,
         "multimodal_resize": _multimodal_resize,
+        "agg_skew_audit": _agg_skew_audit,
+        "text_context_budget": _text_context_budget,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -7265,5 +7279,48 @@ def oracle_sql() -> dict[str, str]:
         " floor(CAST(3 * sp AS DOUBLE) / 192.0 * 1000000.0 + 0.5)"
         "  / 1000000.0 AS mean_resized"
         " FROM m"
+    )
+    # Shuffle-skew audit: top-k heavy keys, share of rows, x-mean
+    out["agg_skew_audit"] = (
+        "WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key_value,"
+        f" count(*) AS n_rows FROM {_EV} e GROUP BY 1),"
+        " t AS (SELECT sum(n_rows) AS total, count(*) AS nkeys FROM c),"
+        " r AS (SELECT key_value, n_rows, row_number() OVER"
+        "  (ORDER BY n_rows DESC, key_value) AS rank FROM c)"
+        " SELECT CAST(rank AS BIGINT) AS rank, key_value,"
+        " CAST(n_rows AS BIGINT) AS n_rows,"
+        " floor(CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE)"
+        "  * 1000000.0 + 0.5) / 1000000.0 AS share,"
+        " floor(CAST(n_rows AS DOUBLE)"
+        "  / (CAST(total AS DOUBLE) / CAST(nkeys AS DOUBLE))"
+        "  * 1000000.0 + 0.5) / 1000000.0 AS x_mean"
+        " FROM r, t WHERE rank <= 10"
+    )
+    # Context-length budget: exact p50/p95 rank selections + integer
+    # truncation losses at limit 128
+    out["text_context_budget"] = (
+        "WITH d AS (SELECT source AS \"group\","
+        f" len({_TOKS}) AS n FROM documents),"
+        " r AS (SELECT *, row_number() OVER (PARTITION BY \"group\""
+        "  ORDER BY n) AS rn,"
+        "  count(*) OVER (PARTITION BY \"group\") AS cnt FROM d)"
+        " SELECT \"group\", CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(max(CASE WHEN rn = greatest(1,"
+        "  CAST(ceil(cnt * 0.5) AS BIGINT)) THEN n END) AS BIGINT)"
+        "  AS p50_tokens,"
+        " CAST(max(CASE WHEN rn = greatest(1,"
+        "  CAST(ceil(cnt * 0.95) AS BIGINT)) THEN n END) AS BIGINT)"
+        "  AS p95_tokens,"
+        " CAST(sum(CASE WHEN n > 128 THEN 1 ELSE 0 END) AS BIGINT)"
+        "  AS n_docs_over,"
+        " floor(CAST(sum(CASE WHEN n > 128 THEN 1 ELSE 0 END)"
+        "  AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0"
+        "  AS frac_docs_over,"
+        " CAST(sum(n) AS BIGINT) AS n_tokens,"
+        " CAST(sum(greatest(n - 128, 0)) AS BIGINT) AS tokens_lost,"
+        " floor(CAST(sum(greatest(n - 128, 0)) AS DOUBLE)"
+        "  / CAST(sum(n) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0"
+        "  AS frac_tokens_lost"
+        " FROM r GROUP BY \"group\""
     )
     return out

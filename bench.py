@@ -150,7 +150,7 @@ def main() -> None:
         "pipeline_source_health", "dedup_lsh_diagnosis",
         "agg_rolling_active", "ts_quantile_sketch_audit",
         "embedding_cluster_purity", "pipeline_split_leakage",
-        "multimodal_resize",
+        "multimodal_resize", "agg_skew_audit", "text_context_budget",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

@@ -2143,3 +2143,70 @@ def structure_stats(
             "blank_line_ratio"
         ),
     )
+
+
+def context_budget(
+    df: DataFrame,
+    limit_tokens: int = 128,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-length budget audit: what training at a fixed sequence
+    length costs THIS corpus — per source, the share of documents
+    exceeding `limit_tokens` and the share of TOKENS lost to
+    truncation (the number that arbitrates "train at 2k or 8k" next
+    to the quadratic attention bill; [[text_tokens]] counts, this
+    prices the cutoff). Exact p50/p95 document lengths ride along as
+    rank selections on the same key partitioning.
+
+    One scan -> (key) window rank + one groupBy on the same
+    partitioning; all-integer token counts; floor-half-up shares.
+    Returns (group, n_docs, p50_tokens, p95_tokens, n_docs_over,
+    frac_docs_over, n_tokens, tokens_lost, frac_tokens_lost)."""
+    n_tok = F.size(tokens(F.col(text_col)))
+    d = df.select(F.col(group_col).alias("group"), n_tok.alias("__n"))
+    wrank = Window.partitionBy("group").orderBy("__n")
+    wall = Window.partitionBy("group")
+    r = d.select(
+        "group", "__n",
+        F.row_number().over(wrank).alias("__rn"),
+        F.count(F.lit(1)).over(wall).alias("__cnt"),
+    )
+    p50_rank = F.greatest(
+        F.lit(1), F.ceil(F.col("__cnt") * F.lit(0.5)).cast("long")
+    )
+    p95_rank = F.greatest(
+        F.lit(1), F.ceil(F.col("__cnt") * F.lit(0.95)).cast("long")
+    )
+    over = F.col("__n") > limit_tokens
+    lost = F.greatest(F.col("__n") - F.lit(limit_tokens), F.lit(0))
+    agg = r.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max(F.when(F.col("__rn") == p50_rank, F.col("__n"))).alias(
+            "p50_tokens"
+        ),
+        F.max(F.when(F.col("__rn") == p95_rank, F.col("__n"))).alias(
+            "p95_tokens"
+        ),
+        F.sum(F.when(over, 1).otherwise(0)).cast("long").alias(
+            "n_docs_over"
+        ),
+        F.sum("__n").cast("long").alias("n_tokens"),
+        F.sum(lost).cast("long").alias("tokens_lost"),
+    )
+
+    def fhu(x):
+        return F.floor(x * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+    return agg.select(
+        "group", "n_docs", "p50_tokens", "p95_tokens", "n_docs_over",
+        fhu(
+            F.col("n_docs_over").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("frac_docs_over"),
+        "n_tokens", "tokens_lost",
+        fhu(
+            F.col("tokens_lost").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("frac_tokens_lost"),
+    )

@@ -1144,3 +1144,45 @@ def rolling_active_users(
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+def skew_audit(
+    spark: SparkSession, sf_dir: str, key_col: str = "user_id", k: int = 10
+) -> DataFrame:
+    """Join/shuffle skew audit for a key column: the top-k heaviest
+    keys, their share of all rows, and their multiple of the mean
+    key weight — the number that decides whether a join on this key
+    needs salting or AQE skew-split BEFORE the 100 TB run discovers
+    it (the planning dual of tests/test_skew.py's runtime assertion).
+    One map-side-combined count per key, then rank/aggregate windows
+    over the |keys| table. All-integer counts; floor-half-up shares.
+    Returns (rank, key_value, n_rows, share, x_mean)."""
+    ev = read_table(spark, sf_dir, "events")
+    counts = ev.groupBy(F.col(key_col).cast("string").alias("key_value")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    ).localCheckpoint(eager=False)
+    # top-k via orderBy().limit() — TakeOrdered, per-partition heaps,
+    # NOT a single-partition rank window (|keys| can be 1e9 at 100 TB);
+    # totals are a 1-row broadcast. The counts table is checkpointed:
+    # both branches consume it.
+    top = counts.orderBy(F.col("n_rows").desc(), "key_value").limit(k)
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__nkeys"),
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key_value"))
+    r = top.crossJoin(F.broadcast(totals)).withColumn(
+        "rank", F.row_number().over(w)
+    )
+
+    def fhu(x):
+        return F.floor(x * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+    return r.select(
+        "rank", "key_value", "n_rows",
+        fhu(F.col("n_rows").cast("double") / F.col("__total").cast("double")).alias("share"),
+        fhu(
+            F.col("n_rows").cast("double")
+            / (F.col("__total").cast("double") / F.col("__nkeys").cast("double"))
+        ).alias("x_mean"),
+    )

@@ -2293,3 +2293,43 @@ def test_split_leakage_counts_straddling_pairs(spark):
     assert sum(r["n_pairs"] for r in out) >= 6
     for r in out:
         assert r["is_leak"] == (r["split_a"] != r["split_b"])
+
+
+def test_skew_audit_flags_whale(spark, tmp_path):
+    import os
+    from datetime import datetime, timedelta
+
+    from fossil_spark.queries import analytics
+
+    t0 = datetime(2024, 1, 1)
+    # user 7 is a whale: 90 of 100 rows; 10 singleton users
+    rows = [(i, t0 + timedelta(minutes=i), 7, "view", 1.0, "{}") for i in range(90)]
+    rows += [(100 + u, t0 + timedelta(hours=u), 100 + u, "view", 1.0, "{}") for u in range(10)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = os.path.join(str(tmp_path), "mini")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    out = analytics.skew_audit(spark, d, "user_id", 3).collect()
+    top = [r for r in out if r["rank"] == 1][0]
+    assert top["key_value"] == "7" and top["n_rows"] == 90
+    assert top["share"] == 0.9
+    # mean key weight = 100/11; whale is ~9.9x the mean
+    assert abs(top["x_mean"] - 90 / (100 / 11)) < 1e-3
+
+
+def test_context_budget_truncation_math(spark):
+    rows = [
+        (0, " ".join(["w"] * 10), "s"),   # under
+        (1, " ".join(["w"] * 20), "s"),   # over by 4
+        (2, " ".join(["w"] * 30), "s"),   # over by 14
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    r = text.context_budget(df, 16).collect()[0]
+    assert r["n_docs"] == 3 and r["n_docs_over"] == 2
+    assert r["p50_tokens"] == 20 and r["p95_tokens"] == 30
+    assert r["n_tokens"] == 60 and r["tokens_lost"] == 18
+    assert r["frac_tokens_lost"] == 0.3

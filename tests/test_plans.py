@@ -328,6 +328,8 @@ _SCAN_BUDGET = {
     "embedding_cluster_purity": 2,  # assignment scan + label-join scan
     "pipeline_split_leakage": 1,  # one pair pipeline; splits are expressions
     "multimodal_resize": 1,       # one synth+resize+measure Arrow chain
+    "agg_skew_audit": 1,          # one count groupBy (checkpointed) + TakeOrdered
+    "text_context_budget": 1,     # rank window + groupBy on one key shuffle
 }
 
 

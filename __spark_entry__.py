@@ -2263,6 +2263,20 @@ def _embedding_trunc_recall(spark, sf_dir):
     )
 
 
+def _text_lang_confidence(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.lang_confidence(_docs(spark, sf_dir))
+
+
+def _ts_range_audit(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.range_audit(
+        _events(spark, sf_dir), 5.0, 150.0, "ts", ["event_type"], "value"
+    )
+
+
 def _agg_skew_audit(spark, sf_dir):
     from fossil_spark.queries import analytics
 
@@ -2393,7 +2407,8 @@ _WINDOW_PRIORITY = [
     "multimodal_phash_groups", "pipeline_source_health",
     "dedup_lsh_diagnosis", "agg_rolling_active",
     "ts_quantile_sketch_audit", "embedding_cluster_purity",
-    "pipeline_split_leakage", "multimodal_resize",
+    "pipeline_split_leakage", "multimodal_resize", "agg_skew_audit",
+    "text_context_budget", "text_lang_confidence", "ts_range_audit",
 ]
 
 
@@ -2564,6 +2579,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": _multimodal_resize,
         "agg_skew_audit": _agg_skew_audit,
         "text_context_budget": _text_context_budget,
+        "text_lang_confidence": _text_lang_confidence,
+        "ts_range_audit": _ts_range_audit,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -7322,5 +7339,44 @@ def oracle_sql() -> dict[str, str]:
         "  / CAST(sum(n) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0"
         "  AS frac_tokens_lost"
         " FROM r GROUP BY \"group\""
+    )
+    # Language-ID confidence: fhu-rounded family ratios sorted, top-2
+    # margin; pred_lang reuses the proven langid argmax
+    _fhu_ratio = {
+        lang: (
+            f"floor(({_sw_ratio(lang)}) * 1000000.0 + 0.5) / 1000000.0"
+        )
+        for lang in ("en", "de", "fr", "es")
+    }
+    out["text_lang_confidence"] = (
+        f"WITH lg AS (SELECT doc_id, pred_lang FROM"
+        f" ({out['text_langid']}) z),"
+        " t AS (SELECT doc_id,"
+        " regexp_split_to_array(trim(text), '\\s+') w FROM documents),"
+        " r AS (SELECT doc_id, list_sort(["
+        f"  {_fhu_ratio['en']}, {_fhu_ratio['de']},"
+        f"  {_fhu_ratio['fr']}, {_fhu_ratio['es']}]) AS arr FROM t)"
+        " SELECT r.doc_id, lg.pred_lang,"
+        " arr[-1] AS top_ratio, arr[-2] AS second_ratio,"
+        " round(arr[-1] - arr[-2], 6) AS margin,"
+        " (arr[-1] > 0.0 AND round(arr[-1] - arr[-2], 6) < 0.05)"
+        "  AS is_mixed"
+        " FROM r JOIN lg ON lg.doc_id = r.doc_id"
+    )
+    # Physical-bounds audit: all-integer counts + first/last violation
+    out["ts_range_audit"] = (
+        "SELECT event_type, CAST(count(value) AS BIGINT) AS n,"
+        " CAST(sum(CASE WHEN value < 5.0 THEN 1 ELSE 0 END) AS BIGINT)"
+        "  AS n_below,"
+        " CAST(sum(CASE WHEN value > 150.0 THEN 1 ELSE 0 END)"
+        "  AS BIGINT) AS n_above,"
+        " floor(CAST(sum(CASE WHEN value < 5.0 OR value > 150.0"
+        "  THEN 1 ELSE 0 END) AS DOUBLE) / count(value) * 1000000.0"
+        "  + 0.5) / 1000000.0 AS violation_frac,"
+        " min(CASE WHEN value < 5.0 OR value > 150.0 THEN ts END)"
+        "  AS first_violation_ts,"
+        " max(CASE WHEN value < 5.0 OR value > 150.0 THEN ts END)"
+        "  AS last_violation_ts"
+        f" FROM {_EV} e GROUP BY event_type"
     )
     return out

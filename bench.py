@@ -151,6 +151,7 @@ def main() -> None:
         "agg_rolling_active", "ts_quantile_sketch_audit",
         "embedding_cluster_purity", "pipeline_split_leakage",
         "multimodal_resize", "agg_skew_audit", "text_context_budget",
+        "text_lang_confidence", "ts_range_audit",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

@@ -2210,3 +2210,39 @@ def context_budget(
             / F.col("n_tokens").cast("double")
         ).alias("frac_tokens_lost"),
     )
+
+
+def lang_confidence(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID confidence audit: the margin between the top two
+    stopword-family ratios per document, flagging code-switched /
+    mixed-language docs where [[text_langid]]'s argmax is a coin flip
+    — routing those to byte-level handling instead of a wrong
+    monolingual bucket is standard corpus hygiene. Same ratio
+    expressions as lang_id (one scan, codegen); margin and flag are
+    exact arithmetic on the floor-half-up-rounded ratios. Returns
+    (doc_id, pred_lang, top_ratio, second_ratio, margin, is_mixed)."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    ratios = []
+    for lang, words in STOPWORDS.items():
+        sw = F.array([F.lit(w) for w in words])
+        raw = (
+            F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+            .cast("double") / n
+        )
+        ratios.append(
+            F.floor(raw * F.lit(1000000.0) + F.lit(0.5))
+            / F.lit(1000000.0)
+        )
+    arr = F.array_sort(F.array(*ratios))
+    top = F.element_at(arr, -1)
+    second = F.element_at(arr, -2)
+    margin = F.round(top - second, 6)
+    return df.select(
+        "doc_id",
+        lang_pred_expr(F.col(text_col)).alias("pred_lang"),
+        top.alias("top_ratio"),
+        second.alias("second_ratio"),
+        margin.alias("margin"),
+        ((top > F.lit(0.0)) & (margin < F.lit(0.05))).alias("is_mixed"),
+    )

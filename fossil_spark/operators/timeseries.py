@@ -4727,3 +4727,43 @@ def quantile_sketch_audit(
             <= bound
         ).alias("within_guarantee"),
     )
+
+
+def range_audit(
+    df: DataFrame,
+    lo: float,
+    hi: float,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Physical-bounds violation audit per key: samples outside the
+    declared [lo, hi] envelope, split below/above, with the first and
+    last violation timestamps — the sensor-sanity check that runs
+    BEFORE statistical screens ([[ts_hampel]] flags outliers relative
+    to neighbors; this flags values that are IMPOSSIBLE, where the
+    fix is the ingest pipeline, not the model). One map-side-combined
+    groupBy, all-integer counts. Returns (*by, n, n_below, n_above,
+    violation_frac, first_violation_ts, last_violation_ts)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    v = F.col(value_col)
+    viol = (v < lo) | (v > hi)
+    agg = df.groupBy(*by).agg(
+        F.count(value_col).alias("n"),
+        F.sum(F.when(v < lo, 1).otherwise(0)).cast("long").alias("n_below"),
+        F.sum(F.when(v > hi, 1).otherwise(0)).cast("long").alias("n_above"),
+        F.min(F.when(viol, F.col(time_col))).alias("first_violation_ts"),
+        F.max(F.when(viol, F.col(time_col))).alias("last_violation_ts"),
+    )
+    return agg.select(
+        *by, "n", "n_below", "n_above",
+        (
+            F.floor(
+                (F.col("n_below") + F.col("n_above")).cast("double")
+                / F.col("n").cast("double")
+                * F.lit(1000000.0) + F.lit(0.5)
+            ) / F.lit(1000000.0)
+        ).alias("violation_frac"),
+        "first_violation_ts", "last_violation_ts",
+    )

@@ -2333,3 +2333,17 @@ def test_context_budget_truncation_math(spark):
     assert r["p50_tokens"] == 20 and r["p95_tokens"] == 30
     assert r["n_tokens"] == 60 and r["tokens_lost"] == 18
     assert r["frac_tokens_lost"] == 0.3
+
+
+def test_lang_confidence_flags_code_switching(spark):
+    rows = [
+        (0, "the cat and the dog is in the house for it", "s"),   # clean en
+        (1, "the der cat und the dog ist in to zu house", "s"),   # mixed en/de
+        (2, "xyzzy qwerty asdf zxcv", "s"),                        # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in text.lang_confidence(df).collect()}
+    assert out[0]["pred_lang"] == "en" and not out[0]["is_mixed"]
+    assert out[1]["is_mixed"] and out[1]["margin"] < 0.05
+    # zero stopword signal: not "mixed", just unknown (top == 0)
+    assert not out[2]["is_mixed"] and out[2]["top_ratio"] == 0.0

@@ -330,6 +330,8 @@ _SCAN_BUDGET = {
     "multimodal_resize": 1,       # one synth+resize+measure Arrow chain
     "agg_skew_audit": 1,          # one count groupBy (checkpointed) + TakeOrdered
     "text_context_budget": 1,     # rank window + groupBy on one key shuffle
+    "text_lang_confidence": 1,    # ratio expressions fold into the scan
+    "ts_range_audit": 1,          # one map-side-combined groupBy
 }
 
 

@@ -2123,3 +2123,17 @@ def test_quantile_sketch_audit_contract(spark):
     assert out[0.99]["exact_value"] == 197.0
     assert out[0.5]["within_guarantee"] and out[0.99]["within_guarantee"]
     assert out[0.5]["n"] == 200
+
+
+def test_range_audit_planted_violations(spark):
+    t0 = datetime(2024, 1, 1)
+    vals = [10.0, -3.0, 50.0, 200.0, 300.0]
+    rows = [(i, t0 + timedelta(minutes=i), "k", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    r = ts.range_audit(df, 0.0, 100.0, "ts", ["event_type"]).collect()[0]
+    assert (r["n"], r["n_below"], r["n_above"]) == (5, 1, 2)
+    assert r["violation_frac"] == 0.6
+    assert r["first_violation_ts"] == t0 + timedelta(minutes=1)
+    assert r["last_violation_ts"] == t0 + timedelta(minutes=4)

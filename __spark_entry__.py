@@ -2263,6 +2263,18 @@ def _embedding_trunc_recall(spark, sf_dir):
     )
 
 
+def _pipeline_curation_waterfall(spark, sf_dir):
+    from fossil_spark.pipelines import curation_waterfall
+
+    return curation_waterfall(_docs(spark, sf_dir))
+
+
+def _text_top_phrases(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.top_phrases(_docs(spark, sf_dir), k=5)
+
+
 def _text_lang_confidence(spark, sf_dir):
     from fossil_spark.operators import text
 
@@ -2409,6 +2421,7 @@ _WINDOW_PRIORITY = [
     "ts_quantile_sketch_audit", "embedding_cluster_purity",
     "pipeline_split_leakage", "multimodal_resize", "agg_skew_audit",
     "text_context_budget", "text_lang_confidence", "ts_range_audit",
+    "pipeline_curation_waterfall", "text_top_phrases",
 ]
 
 
@@ -2581,6 +2594,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_context_budget": _text_context_budget,
         "text_lang_confidence": _text_lang_confidence,
         "ts_range_audit": _ts_range_audit,
+        "pipeline_curation_waterfall": _pipeline_curation_waterfall,
+        "text_top_phrases": _text_top_phrases,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -7362,6 +7377,61 @@ def oracle_sql() -> dict[str, str]:
         " (arr[-1] > 0.0 AND round(arr[-1] - arr[-2], 6) < 0.05)"
         "  AS is_mixed"
         " FROM r JOIN lg ON lg.doc_id = r.doc_id"
+    )
+    # Curation waterfall: first-failing-stage attribution over the
+    # proven quality / langid / pii / exact-dedup sub-oracles
+    out["pipeline_curation_waterfall"] = (
+        f"WITH q AS (SELECT doc_id, quality FROM ({out['text_quality']})"
+        "  z1),"
+        f" lg AS (SELECT doc_id, pred_lang FROM ({out['text_langid']})"
+        "  z2),"
+        " pi AS (SELECT doc_id,"
+        "  len(regexp_extract_all(text,"
+        "   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0"
+        "  OR len(regexp_extract_all(text,"
+        "   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) > 0"
+        "  OR len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))"
+        "   > 0"
+        "  OR len(regexp_extract_all(text, '\\b\\d{9,}\\b')) > 0"
+        "   AS has_pii FROM documents),"
+        f" d AS (SELECT doc_id, len({_TOKS}) AS tn,"
+        "  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h"
+        "  FROM documents),"
+        " kp AS (SELECT h, min(doc_id) AS keep FROM d GROUP BY 1),"
+        " s AS (SELECT d.doc_id, d.tn,"
+        "  CASE WHEN d.doc_id != kp.keep THEN 'dedup'"
+        "  WHEN q.quality < 0.45 THEN 'quality'"
+        "  WHEN lg.pred_lang != 'en' THEN 'language'"
+        "  WHEN pi.has_pii THEN 'pii' ELSE 'kept' END AS stage"
+        "  FROM d JOIN kp USING (h) JOIN q USING (doc_id)"
+        "  JOIN lg USING (doc_id) JOIN pi USING (doc_id)),"
+        " a AS (SELECT stage, count(*) AS n_docs, sum(tn) AS n_tokens"
+        "  FROM s GROUP BY 1),"
+        " t AS (SELECT sum(n_docs) AS total FROM a)"
+        " SELECT stage,"
+        " CAST(CASE stage WHEN 'dedup' THEN 1 WHEN 'quality' THEN 2"
+        "  WHEN 'language' THEN 3 WHEN 'pii' THEN 4 ELSE 5 END"
+        "  AS BIGINT) AS stage_order,"
+        " CAST(n_docs AS BIGINT) AS n_docs,"
+        " CAST(n_tokens AS BIGINT) AS n_tokens,"
+        " floor(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)"
+        "  * 1000000.0 + 0.5) / 1000000.0 AS frac_docs"
+        " FROM a, t"
+    )
+    # Top bigram phrases per source (the 2-gram shingle CASE)
+    out["text_top_phrases"] = (
+        "WITH t AS (SELECT source,"
+        " regexp_split_to_array(trim(text), '\\s+') w FROM documents),"
+        " ph AS (SELECT source, unnest(CASE WHEN len(w) >= 2 THEN"
+        "  list_transform(generate_series(1, len(w) - 1),"
+        "   i -> array_to_string(w[i:i+1], ' '))"
+        "  ELSE [array_to_string(w, ' ')] END) AS phrase FROM t),"
+        " g AS (SELECT source AS \"group\", phrase, count(*) AS n"
+        "  FROM ph GROUP BY 1, 2),"
+        " r AS (SELECT *, row_number() OVER (PARTITION BY \"group\""
+        "  ORDER BY n DESC, phrase) AS rank FROM g)"
+        " SELECT \"group\", CAST(rank AS BIGINT) AS rank, phrase,"
+        " CAST(n AS BIGINT) AS n FROM r WHERE rank <= 5"
     )
     # Physical-bounds audit: all-integer counts + first/last violation
     out["ts_range_audit"] = (

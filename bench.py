@@ -152,6 +152,7 @@ def main() -> None:
         "embedding_cluster_purity", "pipeline_split_leakage",
         "multimodal_resize", "agg_skew_audit", "text_context_budget",
         "text_lang_confidence", "ts_range_audit",
+        "pipeline_curation_waterfall", "text_top_phrases",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

@@ -2246,3 +2246,32 @@ def lang_confidence(df: DataFrame, text_col: str = "text") -> DataFrame:
         margin.alias("margin"),
         ((top > F.lit(0.0)) & (margin < F.lit(0.05))).alias("is_mixed"),
     )
+
+
+def top_phrases(
+    df: DataFrame,
+    k: int = 5,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k bigram phrases per source by occurrence count — the
+    corpus-browsing staple that surfaces boilerplate and topical
+    signatures per feed before anyone reads a sample ([[text_zipf]]
+    fingerprints the whole distribution; this names the heads).
+    Counts are occurrences, not documents; ties rank alphabetically.
+    One explode + one (group, phrase) map-side-combined groupBy +
+    one rank window per group. Returns (group, rank, phrase, n)."""
+    ph = df.select(
+        F.col(group_col).alias("group"),
+        F.explode(shingles(F.col(text_col), 2)).alias("phrase"),
+    )
+    g = ph.groupBy("group", "phrase").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("group").orderBy(
+        F.col("n").desc(), F.col("phrase")
+    )
+    return (
+        g.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("group", F.col("rank").cast("long").alias("rank"),
+                "phrase", "n")
+    )

@@ -636,3 +636,80 @@ def split_leakage(
         "split_a", "split_b", "n_pairs",
         (F.col("split_a") != F.col("split_b")).alias("is_leak"),
     )
+
+
+def curation_waterfall(
+    docs: DataFrame,
+    min_quality: float = 0.45,
+    lang: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stage-attributed removal accounting for the [[pipeline_curate]]
+    recipe: every document is charged to the FIRST stage that drops
+    it — exact-dedup, quality, language, PII — or to 'kept', with doc
+    and token volume per stage. This is the waterfall chart a corpus
+    review opens with ("dedup costs 8%, the language filter 31%..."),
+    and the tuning loop for filter thresholds: [[pipeline_dedup_savings]]
+    prices ONE stage; this prices the interaction-ordered stack.
+
+    Shape: ONE fused scan computes quality, language, PII and token
+    count as codegen'd expressions; the dedup keeper flag is the
+    exact-dedup groupBy joined back on the narrow text hash. One
+    5-row groupBy ends it. Returns (stage, stage_order, n_docs,
+    n_tokens, frac_docs)."""
+    from fossil_spark.operators.text import lang_pred_expr, quality_expr, tokens
+
+    t = F.col(text_col)
+    h = F.md5(dedup.normalize_text(t))
+    base = docs.select(
+        F.col(id_col),
+        h.alias("__h"),
+        F.size(tokens(t)).alias("__tn"),
+        quality_expr(t).alias("__q"),
+        lang_pred_expr(t).alias("__lang"),
+        (
+            (F.regexp_count(t, F.lit(
+                r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")) > 0)
+            | (F.regexp_count(t, F.lit(
+                r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b")) > 0)
+            | (F.regexp_count(t, F.lit(r"\b\d{3}-\d{2}-\d{4}\b")) > 0)
+            | (F.regexp_count(t, F.lit(r"\b\d{9,}\b")) > 0)
+        ).alias("__pii"),
+    )
+    keep = base.groupBy("__h").agg(F.min(id_col).alias("__keep"))
+    j = base.join(keep, "__h")
+    stage = (
+        F.when(F.col(id_col) != F.col("__keep"), F.lit("dedup"))
+        .when(F.col("__q") < F.lit(min_quality), F.lit("quality"))
+        .when(F.col("__lang") != F.lit(lang), F.lit("language"))
+        .when(F.col("__pii"), F.lit("pii"))
+        .otherwise(F.lit("kept"))
+    )
+    order = (
+        F.when(F.col("stage") == "dedup", 1)
+        .when(F.col("stage") == "quality", 2)
+        .when(F.col("stage") == "language", 3)
+        .when(F.col("stage") == "pii", 4)
+        .otherwise(5)
+    )
+    # checkpoint the 5-row stage table: the total is a second consumer
+    # and a lazy plan would re-execute the scan+dedup pipeline for it
+    agg = j.select(stage.alias("stage"), "__tn").groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__tn").cast("long").alias("n_tokens"),
+    ).localCheckpoint(eager=False)
+    total = agg.agg(F.sum("n_docs").alias("__total"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "stage",
+        order.cast("long").alias("stage_order"),
+        "n_docs",
+        "n_tokens",
+        (
+            F.floor(
+                F.col("n_docs").cast("double")
+                / F.col("__total").cast("double")
+                * F.lit(1000000.0) + F.lit(0.5)
+            ) / F.lit(1000000.0)
+        ).alias("frac_docs"),
+    )

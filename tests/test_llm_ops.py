@@ -2347,3 +2347,41 @@ def test_lang_confidence_flags_code_switching(spark):
     assert out[1]["is_mixed"] and out[1]["margin"] < 0.05
     # zero stopword signal: not "mixed", just unknown (top == 0)
     assert not out[2]["is_mixed"] and out[2]["top_ratio"] == 0.0
+
+
+def test_curation_waterfall_stage_attribution(spark):
+    from fossil_spark.pipelines import curation_waterfall
+
+    good = ("the cat and the dog is that it for the house and the tree "
+            "for a fine day in the sun and it is a good day for all")
+    rows = [
+        (0, good, "s"),                       # kept
+        (1, good, "s"),                       # dedup (copy of 0)
+        (2, "x", "s"),                        # low quality
+        (3, ("der hund und die katze ist nicht ein zu mit auf haus "
+             "der und die das ist nicht ein zu mit auf"), "s"),  # german
+        (4, good + " email bob@example.com", "s"),  # pii (quality ok)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["stage"]: r for r in curation_waterfall(df).collect()}
+    assert out["dedup"]["n_docs"] == 1
+    assert out["quality"]["n_docs"] == 1
+    assert out["language"]["n_docs"] == 1
+    assert out["pii"]["n_docs"] == 1
+    assert out["kept"]["n_docs"] == 1
+    assert sum(r["n_docs"] for r in out.values()) == 5
+    assert abs(sum(r["frac_docs"] for r in out.values()) - 1.0) < 1e-5
+
+
+def test_top_phrases_counts_occurrences(spark):
+    rows = [
+        (0, "red fox red fox blue sky", "a"),
+        (1, "red fox jumps", "a"),
+        (2, "blue sky blue sky blue sky", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = text.top_phrases(df, k=2).collect()
+    a = {r["rank"]: r for r in out if r["group"] == "a"}
+    assert a[1]["phrase"] == "red fox" and a[1]["n"] == 3
+    b = {r["rank"]: r for r in out if r["group"] == "b"}
+    assert b[1]["phrase"] == "blue sky" and b[1]["n"] == 3

@@ -332,6 +332,8 @@ _SCAN_BUDGET = {
     "text_context_budget": 1,     # rank window + groupBy on one key shuffle
     "text_lang_confidence": 1,    # ratio expressions fold into the scan
     "ts_range_audit": 1,          # one map-side-combined groupBy
+    "pipeline_curation_waterfall": 2,  # fused flags scan x2 branches (hash groupBy + join-back)
+    "text_top_phrases": 1,        # one explode + groupBy + group rank
 }
 
 

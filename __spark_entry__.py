@@ -2263,6 +2263,21 @@ def _embedding_trunc_recall(spark, sf_dir):
     )
 
 
+def _dedup_winnowing(spark, sf_dir):
+    from fossil_spark.operators import dedup
+
+    return dedup.winnowing_pairs(_docs(spark, sf_dir))
+
+
+def _ts_ewma_control(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.ewma_control(
+        _events(spark, sf_dir), 0.3, 3.0, "1 hour", "ts",
+        ["event_type"], "value",
+    )
+
+
 def _pipeline_curation_waterfall(spark, sf_dir):
     from fossil_spark.pipelines import curation_waterfall
 
@@ -2422,6 +2437,7 @@ _WINDOW_PRIORITY = [
     "pipeline_split_leakage", "multimodal_resize", "agg_skew_audit",
     "text_context_budget", "text_lang_confidence", "ts_range_audit",
     "pipeline_curation_waterfall", "text_top_phrases",
+    "ts_ewma_control", "dedup_winnowing",
 ]
 
 
@@ -2596,6 +2612,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_range_audit": _ts_range_audit,
         "pipeline_curation_waterfall": _pipeline_curation_waterfall,
         "text_top_phrases": _text_top_phrases,
+        "ts_ewma_control": _ts_ewma_control,
+        "dedup_winnowing": _dedup_winnowing,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -7377,6 +7395,65 @@ def oracle_sql() -> dict[str, str]:
         " (arr[-1] > 0.0 AND round(arr[-1] - arr[-2], 6) < 0.05)"
         "  AS is_mixed"
         " FROM r JOIN lg ON lg.doc_id = r.doc_id"
+    )
+    # Winnowing (MOSS): ordered shingle-hash sequence (NOT the
+    # distinct set minhash uses), per-window mins, distinct
+    # fingerprints, pair counts via fingerprint equality
+    out["dedup_winnowing"] = (
+        "WITH t AS (SELECT doc_id,"
+        " regexp_split_to_array(trim(text), '\\s+') w FROM documents),"
+        " s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN"
+        "  list_transform(generate_series(1, len(w) - 2),"
+        "   i -> array_to_string(w[i:i+2], ' '))"
+        "  ELSE [array_to_string(w, ' ')] END AS sh FROM t),"
+        " hh AS (SELECT doc_id, list_transform(sh,"
+        "  x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS h FROM s),"
+        " fp AS (SELECT doc_id, unnest(list_distinct("
+        "  CASE WHEN len(h) >= 4 THEN"
+        "   list_transform(generate_series(1, len(h) - 3),"
+        "    i -> list_min(h[i:i+3]))"
+        "  ELSE [list_min(h)] END)) AS f FROM hh),"
+        " p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM fp x"
+        "  JOIN fp y ON x.f = y.f AND x.doc_id < y.doc_id)"
+        " SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared"
+        " FROM p GROUP BY 1, 2 HAVING count(*) >= 2"
+    )
+    # EWMA control chart: the recursive ewma fold over bucket means +
+    # steady-state limits (width literal computed once, shared with
+    # the Spark side via the same interpreter)
+    import math as _math
+
+    _ewma_w = repr(3.0 * _math.sqrt(0.3 / (2.0 - 0.3)))
+    out["ts_ewma_control"] = (
+        "WITH RECURSIVE bk AS (SELECT event_type,"
+        " time_bucket(INTERVAL 1 HOUR, ts) AS bucket,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "  / count(value) AS v"
+        f" FROM {_EV} e GROUP BY 1, 2),"
+        " seq AS (SELECT *, row_number() OVER (PARTITION BY event_type"
+        "  ORDER BY bucket) AS rn FROM bk),"
+        " rec(event_type, rn, bucket, v, y) AS ("
+        "  SELECT event_type, rn, bucket, v, v FROM seq WHERE rn = 1"
+        "  UNION ALL"
+        "  SELECT s.event_type, s.rn, s.bucket, s.v,"
+        "   (1.0 - 0.3) * r.y + 0.3 * s.v"
+        "  FROM rec r JOIN seq s ON s.event_type = r.event_type"
+        "   AND s.rn = r.rn + 1),"
+        " w1 AS (SELECT *, CAST(round(sum(CAST(v AS DECIMAL(30,8)))"
+        "   OVER wk, 4) AS DOUBLE) / count(v) OVER wk AS mu"
+        "  FROM rec WINDOW wk AS (PARTITION BY event_type)),"
+        " w2 AS (SELECT *, CAST(round((v - mu) * (v - mu), 6)"
+        "   AS DECIMAL(30,6)) AS t FROM w1),"
+        " w3 AS (SELECT *, sqrt(CAST(sum(t) OVER wk2 AS DOUBLE)"
+        "   / count(v) OVER wk2) AS sigma"
+        "  FROM w2 WINDOW wk2 AS (PARTITION BY event_type))"
+        " SELECT event_type, bucket, v AS value, y AS ewma,"
+        " mu AS center,"
+        f" mu - {_ewma_w} * sigma AS lcl,"
+        f" mu + {_ewma_w} * sigma AS ucl,"
+        f" (y < mu - {_ewma_w} * sigma OR y > mu + {_ewma_w} * sigma)"
+        "  AS alarm"
+        " FROM w3"
     )
     # Curation waterfall: first-failing-stage attribution over the
     # proven quality / langid / pii / exact-dedup sub-oracles

@@ -153,6 +153,7 @@ def main() -> None:
         "multimodal_resize", "agg_skew_audit", "text_context_budget",
         "text_lang_confidence", "ts_range_audit",
         "pipeline_curation_waterfall", "text_top_phrases",
+        "ts_ewma_control", "dedup_winnowing",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

@@ -609,6 +609,70 @@ def connected_components(
     return labels.select(F.col("node").alias("doc_id"), "component")
 
 
+def winnowing_pairs(
+    df: DataFrame,
+    window: int = 4,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Winnowing near-dup detection (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): select the MINIMUM shingle hash in
+    every sliding window of `window` hashes as a document
+    fingerprint; any sufficiently long shared substring is GUARANTEED
+    to contribute a shared fingerprint, a locality guarantee MinHash
+    doesn't give ([[dedup_minhash]] bounds whole-document similarity;
+    winnowing catches a long shared PASSAGE inside otherwise
+    different documents — the plagiarism/citation shape).
+
+    Shape: fingerprints are array expressions folded into the scan
+    (per-window mins over the shingle hash sequence, then distinct);
+    pairs come from ONE groupBy per fingerprint with the same
+    in-bucket explode as LSH (no self-join), then a (pair) count.
+    Emits pairs sharing >= min_shared fingerprints:
+    (doc_a, doc_b, n_shared)."""
+    w = window
+    sh = shingles(F.col(text_col), shingle_n)
+    h = F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+    m = F.size(h)
+    fps = F.array_distinct(
+        F.when(
+            m >= w,
+            F.transform(
+                F.sequence(F.lit(1), m - (w - 1)),
+                lambda i: F.array_min(F.slice(h, i, w)),
+            ),
+        ).otherwise(F.array(F.array_min(h)))
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(fps).alias("__fp")
+    )
+    buckets = (
+        exploded.groupBy("__fp")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = (
+        buckets.select(F.posexplode("ids").alias("i", "doc_a"), "ids")
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + F.lit(2),
+                        F.size("ids") - F.col("i") - 1)
+            ).alias("doc_b"),
+        )
+    )
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def lsh_diagnosis(
     df: DataFrame,
     text_col: str = "text",

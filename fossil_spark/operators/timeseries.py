@@ -4767,3 +4767,61 @@ def range_audit(
         ).alias("violation_frac"),
         "first_violation_ts", "last_violation_ts",
     )
+
+
+def ewma_control(
+    df: DataFrame,
+    alpha: float = 0.3,
+    l_limit: float = 3.0,
+    every: str = "1 hour",
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """EWMA control chart per key (Roberts 1959): the smoothed bucket
+    series against steady-state control limits mu +/- L * sigma *
+    sqrt(alpha / (2 - alpha)) — the SPC chart tuned for SMALL
+    sustained shifts ([[ts_cusum]] accumulates them; this smooths
+    them; pointwise z-scores miss them). Steady-state limits (the
+    large-t asymptote) keep the arithmetic a closed-form literal —
+    no per-row pow(), so the recursive-CTE oracle replays everything
+    bit-exactly.
+
+    Shape: one bucket groupBy, the [[ts_ewma]] per-key Arrow fold
+    over the bucket series (parallel across keys), mu/sigma as key
+    windows with the established decimal quantization. Returns
+    (*by, bucket, value, ewma, center, lcl, ucl, alarm)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    b = _bucketed(df, every, time_col, by, value_col).filter(
+        F.col("value").isNotNull()
+    )
+    eb = ewma(b, alpha, "bucket", by, "value")
+    wk = Window.partitionBy(*by)
+    mu = (
+        F.round(F.sum(F.col("value").cast("decimal(30,8)")).over(wk), 4)
+        .cast("double")
+        / F.count("value").over(wk)
+    )
+    m = eb.select(*by, "bucket", "value", "ewma", mu.alias("__mu"))
+    term = F.round(
+        (F.col("value") - F.col("__mu")) * (F.col("value") - F.col("__mu")),
+        6,
+    ).cast("decimal(30,6)")
+    sigma = F.sqrt(
+        F.sum(term).over(wk).cast("double") / F.count("value").over(wk)
+    )
+    import math
+
+    width = float(l_limit) * math.sqrt(alpha / (2.0 - alpha))
+    lim = F.lit(width) * sigma
+    return m.select(
+        *by, "bucket", "value", "ewma",
+        F.col("__mu").alias("center"),
+        (F.col("__mu") - lim).alias("lcl"),
+        (F.col("__mu") + lim).alias("ucl"),
+        (
+            (F.col("ewma") < F.col("__mu") - lim)
+            | (F.col("ewma") > F.col("__mu") + lim)
+        ).alias("alarm"),
+    )

@@ -2385,3 +2385,20 @@ def test_top_phrases_counts_occurrences(spark):
     assert a[1]["phrase"] == "red fox" and a[1]["n"] == 3
     b = {r["rank"]: r for r in out if r["group"] == "b"}
     assert b[1]["phrase"] == "blue sky" and b[1]["n"] == 3
+
+
+def test_winnowing_catches_shared_passage(spark):
+    from fossil_spark.operators import dedup
+
+    passage = " ".join(f"shared{i}" for i in range(12))
+    rows = [
+        (0, "alpha beta gamma " + passage + " delta epsilon", "s"),
+        (1, "one two three four five " + passage + " six seven", "s"),
+        (2, " ".join(f"noise{i}" for i in range(20)), "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = dedup.winnowing_pairs(df).collect()
+    # the long shared passage GUARANTEES shared fingerprints for (0,1)
+    got = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (0, 1) in got
+    assert all(p in {(0, 1)} for p in got)  # noise doc pairs with no one

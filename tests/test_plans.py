@@ -54,6 +54,8 @@ PYTHON_OK = {
     "multimodal_phash_groups",
     # PNG synth + pool-resize + re-encode + re-decode (codec work)
     "multimodal_resize",
+    # the ewma fold is sequential per key (ts_ewma boundary)
+    "ts_ewma_control",
 }
 
 
@@ -334,6 +336,8 @@ _SCAN_BUDGET = {
     "ts_range_audit": 1,          # one map-side-combined groupBy
     "pipeline_curation_waterfall": 2,  # fused flags scan x2 branches (hash groupBy + join-back)
     "text_top_phrases": 1,        # one explode + groupBy + group rank
+    "ts_ewma_control": 1,         # bucket agg + Arrow fold + key windows
+    "dedup_winnowing": 1,         # fingerprints fold into the scan; bucket pairs
 }
 
 

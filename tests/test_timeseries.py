@@ -2137,3 +2137,21 @@ def test_range_audit_planted_violations(spark):
     assert r["violation_frac"] == 0.6
     assert r["first_violation_ts"] == t0 + timedelta(minutes=1)
     assert r["last_violation_ts"] == t0 + timedelta(minutes=4)
+
+
+def test_ewma_control_alarms_on_shift(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = [(i, t0 + timedelta(hours=i), "k", 1.0 if i % 2 else -1.0)
+            for i in range(60)]
+    rows += [(60 + i, t0 + timedelta(hours=60 + i), "k", 8.0)
+             for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = sorted(ts.ewma_control(df, 0.3, 3.0, "1 hour", "ts", ["event_type"]).collect(),
+                 key=lambda r: r["bucket"])
+    assert len(out) == 80
+    assert not any(r["alarm"] for r in out[:60])
+    assert any(r["alarm"] for r in out[60:])
+    for r in out:
+        assert r["lcl"] < r["center"] < r["ucl"]

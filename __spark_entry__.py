@@ -2263,6 +2263,18 @@ def _embedding_trunc_recall(spark, sf_dir):
     )
 
 
+def _ts_availability(spark, sf_dir):
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.availability(_events(spark, sf_dir), 0.25, "1 hour", "ts")
+
+
+def _sample_soft_dedup(spark, sf_dir):
+    from fossil_spark.pipelines import soft_dedup_weights
+
+    return soft_dedup_weights(_docs(spark, sf_dir))
+
+
 def _dedup_winnowing(spark, sf_dir):
     from fossil_spark.operators import dedup
 
@@ -2437,7 +2449,8 @@ _WINDOW_PRIORITY = [
     "pipeline_split_leakage", "multimodal_resize", "agg_skew_audit",
     "text_context_budget", "text_lang_confidence", "ts_range_audit",
     "pipeline_curation_waterfall", "text_top_phrases",
-    "ts_ewma_control", "dedup_winnowing",
+    "ts_ewma_control", "dedup_winnowing", "ts_availability",
+    "sample_soft_dedup",
 ]
 
 
@@ -2614,6 +2627,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_phrases": _text_top_phrases,
         "ts_ewma_control": _ts_ewma_control,
         "dedup_winnowing": _dedup_winnowing,
+        "ts_availability": _ts_availability,
+        "sample_soft_dedup": _sample_soft_dedup,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -7395,6 +7410,52 @@ def oracle_sql() -> dict[str, str]:
         " (arr[-1] > 0.0 AND round(arr[-1] - arr[-2], 6) < 0.05)"
         "  AS is_mixed"
         " FROM r JOIN lg ON lg.doc_id = r.doc_id"
+    )
+    # Availability headline: bucket error rates, down flags, longest
+    # run via the not-down prefix-count group trick
+    out["ts_availability"] = (
+        "WITH b AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,"
+        " count(*) AS n, sum(CASE WHEN event_type = 'error' THEN 1"
+        f" ELSE 0 END) AS ne FROM {_EV} e GROUP BY 1),"
+        " d AS (SELECT bucket, CAST(ne AS DOUBLE) / CAST(n AS DOUBLE)"
+        "  > 0.25 AS down FROM b),"
+        " s AS (SELECT down, sum(CASE WHEN NOT down THEN 1 ELSE 0 END)"
+        "  OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS grp"
+        "  FROM d),"
+        " runs AS (SELECT grp, count(*) AS run FROM s WHERE down"
+        "  GROUP BY 1),"
+        " t AS (SELECT count(*) AS nb, sum(CASE WHEN down THEN 1"
+        "  ELSE 0 END) AS nd FROM d),"
+        " l AS (SELECT coalesce(max(run), 0) AS lr FROM runs)"
+        " SELECT CAST(nb AS BIGINT) AS n_buckets,"
+        " CAST(nd AS BIGINT) AS n_down,"
+        " floor(CAST(nb - nd AS DOUBLE) / CAST(nb AS DOUBLE)"
+        "  * 1000000.0 + 0.5) / 1000000.0 AS availability,"
+        " CAST(lr AS BIGINT) AS longest_down_run FROM t, l"
+    )
+    # Soft dedup: 1/component-size weights over the CC closure
+    out["sample_soft_dedup"] = (
+        f"WITH RECURSIVE {_MINHASH_CTES},"
+        " edges AS (SELECT doc_a a, doc_b b FROM pairs"
+        "  UNION SELECT doc_b, doc_a FROM pairs),"
+        " nodes AS (SELECT DISTINCT a AS node FROM edges),"
+        " reach(node, r) AS ("
+        "  SELECT node, node FROM nodes"
+        "  UNION"
+        "  SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r),"
+        " comp AS (SELECT node AS doc_id, min(r) AS component"
+        "  FROM reach GROUP BY 1),"
+        " cs AS (SELECT component, count(*) AS csize FROM comp"
+        "  GROUP BY 1),"
+        " j AS (SELECT d.source, CAST(round(1.0 / coalesce(cs.csize, 1),"
+        "  8) AS DECIMAL(30,8)) AS w FROM documents d"
+        "  LEFT JOIN comp ON comp.doc_id = d.doc_id"
+        "  LEFT JOIN cs USING (component))"
+        " SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(round(sum(w), 6) AS DOUBLE) AS effective_docs,"
+        " floor(CAST(sum(w) AS DOUBLE) / count(*) * 1000000.0 + 0.5)"
+        "  / 1000000.0 AS effective_frac"
+        " FROM j GROUP BY 1"
     )
     # Winnowing (MOSS): ordered shingle-hash sequence (NOT the
     # distinct set minhash uses), per-window mins, distinct

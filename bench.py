@@ -154,6 +154,7 @@ def main() -> None:
         "text_lang_confidence", "ts_range_audit",
         "pipeline_curation_waterfall", "text_top_phrases",
         "ts_ewma_control", "dedup_winnowing",
+        "ts_availability", "sample_soft_dedup",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

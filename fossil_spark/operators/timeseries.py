@@ -4825,3 +4825,66 @@ def ewma_control(
             | (F.col("ewma") > F.col("__mu") + lim)
         ).alias("alarm"),
     )
+
+
+def availability(
+    df: DataFrame,
+    max_error_rate: float = 0.5,
+    every: str = "1 hour",
+    time_col: str = "time",
+    error_col: str = "event_type",
+    error_value: str = "error",
+) -> DataFrame:
+    """Availability headline: the fraction of buckets whose error
+    rate stays under `max_error_rate` ("three nines", measured), plus
+    the longest consecutive DOWN run — the SLA number next to
+    [[ts_slo_burn]]'s pager math and [[ts_mttr]]'s incident stats
+    (burn says how fast budget dies; this is the quarterly report
+    line). One bucket groupBy + one lag window over the bucket table
+    + one aggregate; all-integer counts. Returns one row: (n_buckets,
+    n_down, availability, longest_down_run)."""
+    df = _time_norm(df, time_col)
+    b = df.groupBy(
+        F.window(F.col(time_col), every).start.alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col(error_col) == error_value, 1).otherwise(0))
+        .cast("long")
+        .alias("n_err"),
+    )
+    down = (
+        F.col("n_err").cast("double") / F.col("n").cast("double")
+        > F.lit(max_error_rate)
+    )
+    w = Window.orderBy("bucket")
+    s = b.select("bucket", down.alias("__down")).select(
+        "__down",
+        F.sum(F.when(~F.col("__down"), 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__grp"),
+    )
+    runs = (
+        s.filter(F.col("__down"))
+        .groupBy("__grp")
+        .agg(F.count(F.lit(1)).alias("__run"))
+    )
+    tot = b.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(down, 1).otherwise(0)).cast("long").alias("n_down"),
+    )
+    longest = runs.agg(
+        F.coalesce(F.max("__run"), F.lit(0)).cast("long").alias(
+            "longest_down_run"
+        )
+    )
+    return tot.crossJoin(F.broadcast(longest)).select(
+        "n_buckets", "n_down",
+        (
+            F.floor(
+                (F.col("n_buckets") - F.col("n_down")).cast("double")
+                / F.col("n_buckets").cast("double")
+                * F.lit(1000000.0) + F.lit(0.5)
+            ) / F.lit(1000000.0)
+        ).alias("availability"),
+        "longest_down_run",
+    )

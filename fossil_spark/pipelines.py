@@ -713,3 +713,48 @@ def curation_waterfall(
             ) / F.lit(1000000.0)
         ).alias("frac_docs"),
     )
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Soft dedup: instead of dropping near-dup non-representatives,
+    weight every member of an n-doc component by 1/n — the
+    duplication-aware TRAINING WEIGHT scheme (repeat-exposure scales
+    down smoothly; rare docs keep weight 1), reported per source as
+    the effective corpus size vs the raw count. The dedup literature's
+    middle path between keep-all and [[sample_dedup_aware]]'s hard
+    drop. Weights are exact 1/n rationals accumulated in decimal.
+    Composes the session component catalog + a |components| count
+    broadcast. Returns (source, n_docs, effective_docs,
+    effective_frac)."""
+    comp = dedup.neardup_components(docs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("__csize")
+    )
+    j = (
+        docs.select(group_col, id_col)
+        .join(F.broadcast(comp), id_col, "left")
+        .join(F.broadcast(sizes), "component", "left")
+    )
+    weight = F.round(
+        F.lit(1.0) / F.coalesce(F.col("__csize"), F.lit(1)).cast("double"),
+        8,
+    ).cast("decimal(30,8)")
+    agg = j.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(weight).alias("__eff"),
+    )
+    return agg.select(
+        group_col, "n_docs",
+        F.round(F.col("__eff"), 6).cast("double").alias("effective_docs"),
+        (
+            F.floor(
+                F.col("__eff").cast("double")
+                / F.col("n_docs").cast("double")
+                * F.lit(1000000.0) + F.lit(0.5)
+            ) / F.lit(1000000.0)
+        ).alias("effective_frac"),
+    )

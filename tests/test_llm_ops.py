@@ -2402,3 +2402,19 @@ def test_winnowing_catches_shared_passage(spark):
     got = {(r["doc_a"], r["doc_b"]) for r in out}
     assert (0, 1) in got
     assert all(p in {(0, 1)} for p in got)  # noise doc pairs with no one
+
+
+def test_soft_dedup_weights_effective_size(spark):
+    from fossil_spark.pipelines import soft_dedup_weights
+
+    base = "words that repeat exactly " * 6
+    rows = [(i, base, "dup") for i in range(4)]          # one 4-clique
+    rows += [(10 + i, f"unique text number {i} " + " ".join(
+        f"t{i}{j}" for j in range(12)), "uniq") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in soft_dedup_weights(df).collect()}
+    # 4 copies at weight 1/4 -> effective 1.0
+    assert out["dup"]["n_docs"] == 4
+    assert abs(out["dup"]["effective_docs"] - 1.0) < 1e-6
+    assert out["dup"]["effective_frac"] == 0.25
+    assert out["uniq"]["effective_docs"] == 3.0

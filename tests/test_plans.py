@@ -338,6 +338,8 @@ _SCAN_BUDGET = {
     "text_top_phrases": 1,        # one explode + groupBy + group rank
     "ts_ewma_control": 1,         # bucket agg + Arrow fold + key windows
     "dedup_winnowing": 1,         # fingerprints fold into the scan; bucket pairs
+    "ts_availability": 2,         # bucket agg feeds totals + runs branches
+    "sample_soft_dedup": 3,       # component pipeline (2, or cached) + doc side
 }
 
 

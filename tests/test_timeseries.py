@@ -2155,3 +2155,21 @@ def test_ewma_control_alarms_on_shift(spark):
     assert any(r["alarm"] for r in out[60:])
     for r in out:
         assert r["lcl"] < r["center"] < r["ucl"]
+
+
+def test_availability_longest_run(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 10 hourly buckets; hours 3,4,5 are outages (all errors), rest ok
+    for h in range(10):
+        kind = "error" if h in (3, 4, 5) else "view"
+        for i in range(4):
+            rows.append((eid, t0 + timedelta(hours=h, minutes=i), 1, kind, 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    r = ts.availability(df, 0.5, "1 hour", "ts").collect()[0]
+    assert (r["n_buckets"], r["n_down"], r["longest_down_run"]) == (10, 3, 3)
+    assert r["availability"] == 0.7

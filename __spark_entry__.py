@@ -2263,6 +2263,18 @@ def _embedding_trunc_recall(spark, sf_dir):
     )
 
 
+def _text_common_word_ratio(spark, sf_dir):
+    from fossil_spark.operators import text
+
+    return text.common_word_ratio(_docs(spark, sf_dir), 100, 0.8)
+
+
+def _agg_lorenz(spark, sf_dir):
+    from fossil_spark.queries import analytics
+
+    return analytics.lorenz_deciles(spark, sf_dir)
+
+
 def _ts_availability(spark, sf_dir):
     from fossil_spark.operators import timeseries as ts
 
@@ -2450,7 +2462,7 @@ _WINDOW_PRIORITY = [
     "text_context_budget", "text_lang_confidence", "ts_range_audit",
     "pipeline_curation_waterfall", "text_top_phrases",
     "ts_ewma_control", "dedup_winnowing", "ts_availability",
-    "sample_soft_dedup",
+    "sample_soft_dedup", "text_common_word_ratio", "agg_lorenz",
 ]
 
 
@@ -2629,6 +2641,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnowing": _dedup_winnowing,
         "ts_availability": _ts_availability,
         "sample_soft_dedup": _sample_soft_dedup,
+        "text_common_word_ratio": _text_common_word_ratio,
+        "agg_lorenz": _agg_lorenz,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -7410,6 +7424,42 @@ def oracle_sql() -> dict[str, str]:
         " (arr[-1] > 0.0 AND round(arr[-1] - arr[-2], 6) < 0.05)"
         "  AS is_mixed"
         " FROM r JOIN lg ON lg.doc_id = r.doc_id"
+    )
+    # Corpus-derived common-word ratio: top-100 words (count desc,
+    # word asc at the cutoff), broadcast membership, per-doc ratio
+    out["text_common_word_ratio"] = (
+        f"WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS w"
+        "  FROM documents),"
+        " wc AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),"
+        " top AS (SELECT w FROM wc ORDER BY c DESC, w LIMIT 100),"
+        " j AS (SELECT t.doc_id,"
+        "  CASE WHEN top.w IS NOT NULL THEN 1 ELSE 0 END AS hit"
+        "  FROM toks t LEFT JOIN top ON top.w = t.w)"
+        " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,"
+        " CAST(sum(hit) AS BIGINT) AS n_common,"
+        " floor(CAST(sum(hit) AS DOUBLE) / count(*) * 1000000.0 + 0.5)"
+        "  / 1000000.0 AS common_ratio,"
+        " floor(CAST(sum(hit) AS DOUBLE) / count(*) * 1000000.0 + 0.5)"
+        "  / 1000000.0 > 0.8 AS is_low_content"
+        " FROM j GROUP BY doc_id"
+    )
+    # Lorenz deciles: ascending-revenue user ranks, exact integer
+    # decile assignment, decimal revenue sums, 10-row cumulative
+    out["agg_lorenz"] = (
+        "WITH u AS (SELECT user_id,"
+        " round(sum(CAST(value AS DECIMAL(30,8))), 4) AS rev"
+        f" FROM {_EV} e WHERE event_type = 'purchase' GROUP BY 1),"
+        " r AS (SELECT rev, row_number() OVER (ORDER BY rev, user_id)"
+        "  AS rn, count(*) OVER () AS n FROM u),"
+        " g AS (SELECT CAST(ceil(rn * 10 / n) AS BIGINT) AS decile,"
+        "  count(*) AS n_users, sum(rev) AS drev FROM r GROUP BY 1)"
+        " SELECT decile, CAST(n_users AS BIGINT) AS n_users,"
+        " CAST(round(drev, 4) AS DOUBLE) AS decile_revenue,"
+        " floor(CAST(sum(drev) OVER (ORDER BY decile"
+        "  ROWS UNBOUNDED PRECEDING) AS DOUBLE)"
+        "  / CAST(sum(drev) OVER () AS DOUBLE) * 1000000.0 + 0.5)"
+        "  / 1000000.0 AS cum_revenue_share"
+        " FROM g"
     )
     # Availability headline: bucket error rates, down flags, longest
     # run via the not-down prefix-count group trick

@@ -2275,3 +2275,53 @@ def top_phrases(
         .select("group", F.col("rank").cast("long").alias("rank"),
                 "phrase", "n")
     )
+
+
+def common_word_ratio(
+    df: DataFrame,
+    top_n: int = 100,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Low-content screen with a CORPUS-DERIVED common-word list: the
+    fraction of each document's tokens that fall in the corpus's own
+    top-`top_n` words — docs dominated by them carry little content
+    regardless of language ([[text_quality]]'s stopword ratio uses a
+    FIXED English list; this adapts to whatever the corpus actually
+    is, the C4-style frequency heuristic).
+
+    Shape: one word-count groupBy, top-n via orderBy().limit()
+    (TakeOrdered — never a global rank window over the vocabulary),
+    broadcast onto the exploded tokens, one doc groupBy. Ties at the
+    cutoff break alphabetically. Returns (id, n_tokens, n_common,
+    common_ratio, is_low_content)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w")
+    )
+    top = (
+        toks.groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), "__w")
+        .limit(top_n)
+        .select("__w", F.lit(1).alias("__hit"))
+    )
+    j = toks.join(F.broadcast(top), "__w", "left")
+    agg = j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias(
+            "n_common"
+        ),
+    )
+    ratio = (
+        F.floor(
+            F.col("n_common").cast("double")
+            / F.col("n_tokens").cast("double")
+            * F.lit(1000000.0) + F.lit(0.5)
+        ) / F.lit(1000000.0)
+    )
+    return agg.select(
+        id_col, "n_tokens", "n_common",
+        ratio.alias("common_ratio"),
+        (ratio > F.lit(threshold)).alias("is_low_content"),
+    )

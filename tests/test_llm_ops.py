@@ -2418,3 +2418,42 @@ def test_soft_dedup_weights_effective_size(spark):
     assert abs(out["dup"]["effective_docs"] - 1.0) < 1e-6
     assert out["dup"]["effective_frac"] == 0.25
     assert out["uniq"]["effective_docs"] == 3.0
+
+
+def test_common_word_ratio_flags_boilerplate(spark):
+    filler = "the same words again " * 8
+    rows = [(i, filler, "s") for i in range(5)]
+    rows.append((9, " ".join(f"rare{i}" for i in range(32)), "s"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in
+           text.common_word_ratio(df, top_n=4, threshold=0.8).collect()}
+    # filler docs are made ENTIRELY of the corpus top-4 words
+    assert out[0]["common_ratio"] == 1.0 and out[0]["is_low_content"]
+    assert not out[9]["is_low_content"]
+
+
+def test_lorenz_deciles_monotone(spark, tmp_path):
+    import os
+    from datetime import datetime, timedelta
+
+    from fossil_spark.queries import analytics
+
+    t0 = datetime(2024, 1, 1)
+    # 10 users, user u purchases value u+1 once: clean deciles
+    rows = [(u, t0 + timedelta(hours=u), u, "purchase", float(u + 1), "{}")
+            for u in range(10)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = os.path.join(str(tmp_path), "mini")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    out = sorted(analytics.lorenz_deciles(spark, d).collect(),
+                 key=lambda r: r["decile"])
+    assert len(out) == 10 and all(r["n_users"] == 1 for r in out)
+    shares = [r["cum_revenue_share"] for r in out]
+    assert shares == sorted(shares) and shares[-1] == 1.0
+    # bottom decile = value 1 of total 55
+    assert abs(shares[0] - 1 / 55) < 1e-5

@@ -340,6 +340,8 @@ _SCAN_BUDGET = {
     "dedup_winnowing": 1,         # fingerprints fold into the scan; bucket pairs
     "ts_availability": 2,         # bucket agg feeds totals + runs branches
     "sample_soft_dedup": 3,       # component pipeline (2, or cached) + doc side
+    "text_common_word_ratio": 2,  # token explode feeds top-n + membership branches
+    "agg_lorenz": 1,              # |users| agg + rank + 10-row windows
 }
 
 

@@ -2263,6 +2263,12 @@ def _embedding_trunc_recall(spark, sf_dir):
     )
 
 
+def _agg_chi2(spark, sf_dir):
+    from fossil_spark.queries import analytics
+
+    return analytics.chi2_type_weekday(spark, sf_dir)
+
+
 def _text_common_word_ratio(spark, sf_dir):
     from fossil_spark.operators import text
 
@@ -2463,6 +2469,7 @@ _WINDOW_PRIORITY = [
     "pipeline_curation_waterfall", "text_top_phrases",
     "ts_ewma_control", "dedup_winnowing", "ts_availability",
     "sample_soft_dedup", "text_common_word_ratio", "agg_lorenz",
+    "agg_chi2",
 ]
 
 
@@ -2643,6 +2650,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_soft_dedup": _sample_soft_dedup,
         "text_common_word_ratio": _text_common_word_ratio,
         "agg_lorenz": _agg_lorenz,
+        "agg_chi2": _agg_chi2,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -7424,6 +7432,37 @@ def oracle_sql() -> dict[str, str]:
         " (arr[-1] > 0.0 AND round(arr[-1] - arr[-2], 6) < 0.05)"
         "  AS is_mixed"
         " FROM r JOIN lg ON lg.doc_id = r.doc_id"
+    )
+    # Chi-square type x weekday independence + Cramér's V: exact
+    # integer contingency table, quantized per-cell terms. Note
+    # dayofweek: Spark 1=Sunday; DuckDB dayofweek 0=Sunday — the
+    # weekday LABEL never leaves the query, only totals keyed by it,
+    # so +1 alignment suffices
+    out["agg_chi2"] = (
+        "WITH g AS (SELECT event_type, dayofweek(ts) AS wd,"
+        f" count(*) AS o FROM {_EV} e GROUP BY 1, 2),"
+        " t AS (SELECT o,"
+        "  sum(o) OVER (PARTITION BY event_type) AS rt,"
+        "  sum(o) OVER (PARTITION BY wd) AS ct,"
+        "  sum(o) OVER () AS n,"
+        "  count(DISTINCT event_type) OVER () AS r,"
+        "  count(DISTINCT wd) OVER () AS c FROM g),"
+        " u AS (SELECT n, r, c, CAST(round("
+        "  (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)"
+        "   / CAST(n AS DOUBLE))"
+        "  * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)"
+        "   / CAST(n AS DOUBLE))"
+        "  / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)"
+        "   / CAST(n AS DOUBLE)), 6) AS DECIMAL(30,6)) AS tm FROM t),"
+        " a AS (SELECT max(n) AS n, max(r) AS r, max(c) AS c,"
+        "  sum(tm) AS chi2 FROM u)"
+        " SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS n_rows,"
+        " CAST(c AS BIGINT) AS n_cols,"
+        " CAST((r - 1) * (c - 1) AS BIGINT) AS dof,"
+        " round(CAST(chi2 AS DOUBLE), 6) AS chi2,"
+        " round(sqrt(CAST(chi2 AS DOUBLE) / (CAST(n AS DOUBLE)"
+        "  * CAST(least(r - 1, c - 1) AS DOUBLE))), 6) AS cramers_v"
+        " FROM a"
     )
     # Corpus-derived common-word ratio: top-100 words (count desc,
     # word asc at the cutoff), broadcast membership, per-doc ratio

@@ -155,7 +155,7 @@ def main() -> None:
         "pipeline_curation_waterfall", "text_top_phrases",
         "ts_ewma_control", "dedup_winnowing",
         "ts_availability", "sample_soft_dedup",
-        "text_common_word_ratio", "agg_lorenz",
+        "text_common_word_ratio", "agg_lorenz", "agg_chi2",
     ]
     qs = entrymod.queries()
     available = [k for k in headline if k in qs]

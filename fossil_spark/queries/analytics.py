@@ -1235,3 +1235,69 @@ def lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) / F.lit(1000000.0)
         ).alias("cum_revenue_share"),
     )
+
+
+def chi2_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between event type and weekday,
+    with Cramér's V effect size — "is the traffic MIX calendar-
+    dependent" ([[ts_profile_drift]] asks it of hour-of-day shape
+    over time; this asks it of the type composition, the readout that
+    justifies per-weekday capacity plans or debunks them). Observed
+    counts are exact integers; expected = row*col/total in doubles;
+    per-cell terms quantize to decimal before the sum (the text_zipf
+    rule); V = sqrt(chi2 / (n * min(r-1, c-1))). The contingency
+    table is |types| x 7 rows — windows over it are free at any
+    corpus size. Returns one row: (n, n_rows, n_cols, dof, chi2,
+    cramers_v)."""
+    ev = read_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("__wd")
+    ).agg(F.count(F.lit(1)).alias("__o"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("__wd")
+    wall = Window.partitionBy()
+    t = g.select(
+        "__o",
+        F.sum("__o").over(wr).alias("__rt"),
+        F.sum("__o").over(wc).alias("__ct"),
+        F.sum("__o").over(wall).alias("__n"),
+        F.size(F.collect_set("event_type").over(wall)).alias("__r"),
+        F.size(F.collect_set("__wd").over(wall)).alias("__c"),
+    )
+    e = (
+        F.col("__rt").cast("double") * F.col("__ct").cast("double")
+        / F.col("__n").cast("double")
+    )
+    term = F.round(
+        (F.col("__o").cast("double") - e) * (F.col("__o").cast("double") - e)
+        / e,
+        6,
+    ).cast("decimal(30,6)")
+    agg = t.select(
+        term.alias("__t"), "__n", "__r", "__c"
+    ).groupBy().agg(
+        F.max("__n").cast("long").alias("n"),
+        F.max("__r").cast("long").alias("n_rows"),
+        F.max("__c").cast("long").alias("n_cols"),
+        F.sum("__t").alias("__chi2"),
+    )
+    chi2 = F.col("__chi2").cast("double")
+    return agg.select(
+        "n", "n_rows", "n_cols",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).cast("long").alias(
+            "dof"
+        ),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    F.col("n").cast("double")
+                    * F.least(
+                        F.col("n_rows") - 1, F.col("n_cols") - 1
+                    ).cast("double")
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

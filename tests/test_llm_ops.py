@@ -2457,3 +2457,32 @@ def test_lorenz_deciles_monotone(spark, tmp_path):
     assert shares == sorted(shares) and shares[-1] == 1.0
     # bottom decile = value 1 of total 55
     assert abs(shares[0] - 1 / 55) < 1e-5
+
+
+def test_chi2_independent_table_near_zero(spark, tmp_path):
+    import os
+    from datetime import datetime, timedelta
+
+    from fossil_spark.queries import analytics
+
+    t0 = datetime(2024, 1, 1)
+    # perfectly independent table: every (type, weekday) cell = 3
+    rows = []
+    eid = 0
+    for d in range(7):
+        for kind in ("view", "click"):
+            for i in range(3):
+                rows.append((eid, t0 + timedelta(days=d, minutes=i), 1,
+                             kind, 1.0, "{}"))
+                eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    p = os.path.join(str(tmp_path), "mini")
+    os.makedirs(p)
+    df.write.parquet(os.path.join(p, "events.parquet"))
+    r = analytics.chi2_type_weekday(spark, p).collect()[0]
+    assert (r["n"], r["n_rows"], r["n_cols"], r["dof"]) == (42, 2, 7, 6)
+    assert r["chi2"] == 0.0 and r["cramers_v"] == 0.0

@@ -342,6 +342,7 @@ _SCAN_BUDGET = {
     "sample_soft_dedup": 3,       # component pipeline (2, or cached) + doc side
     "text_common_word_ratio": 2,  # token explode feeds top-n + membership branches
     "agg_lorenz": 1,              # |users| agg + rank + 10-row windows
+    "agg_chi2": 1,                # 35-row contingency table + windows
 }
 
 

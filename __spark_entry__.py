@@ -7563,8 +7563,10 @@ def oracle_sql() -> dict[str, str]:
         "   list_transform(generate_series(1, len(h) - 3),"
         "    i -> list_min(h[i:i+3]))"
         "  ELSE [list_min(h)] END)) AS f FROM hh),"
+        " b AS (SELECT f, count(*) AS c FROM fp GROUP BY 1),"
         " p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM fp x"
-        "  JOIN fp y ON x.f = y.f AND x.doc_id < y.doc_id)"
+        "  JOIN fp y ON x.f = y.f AND x.doc_id < y.doc_id"
+        "  JOIN b ON b.f = x.f AND b.c <= 32)"
         " SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared"
         " FROM p GROUP BY 1, 2 HAVING count(*) >= 2"
     )

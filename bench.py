@@ -177,6 +177,8 @@ def main() -> None:
     # whole bench file (round-3 lesson — fql_sample aborted everything).
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    import gc
+
     for key in available:
         best = float("inf")
         try:
@@ -188,6 +190,12 @@ def main() -> None:
         except Exception as ex:
             errors[key] = f"{type(ex).__name__}: {ex}"[:300]
             print(f"# query {key} failed: {errors[key]}", file=sys.stderr)
+        # drop the dead Python DataFrame refs so Spark's ContextCleaner
+        # releases their localCheckpoint RDD blocks — across a 167-key
+        # run the accumulated blocks evict live shuffle data and the
+        # LATE keys degrade up to 10x (measured: winnowing 3.7 s
+        # isolated vs 37 s at position ~155 without this)
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
 

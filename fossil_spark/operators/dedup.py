@@ -644,17 +644,25 @@ def winnowing_pairs(
         sh,
         lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
     )
-    m = F.size(h)
+    # materialize the hash array in its own projection and build the
+    # window mins from the COLUMN in the same select as the explode —
+    # referencing the raw `h` expression inside the per-window lambda
+    # re-inlines the whole shingle+md5 pipeline once per window
+    # (the substring_dedup_stats plan lesson; measured 24 s -> 1.3 s
+    # at sf0.1 for this operator)
+    d1 = df.select(F.col(id_col), h.alias("__h"))
+    hc = F.col("__h")
+    m = F.size(hc)
     fps = F.array_distinct(
         F.when(
             m >= w,
             F.transform(
                 F.sequence(F.lit(1), m - (w - 1)),
-                lambda i: F.array_min(F.slice(h, i, w)),
+                lambda i: F.array_min(F.slice(hc, i, w)),
             ),
-        ).otherwise(F.array(F.array_min(h)))
+        ).otherwise(F.array(F.array_min(hc)))
     )
-    exploded = df.select(
+    exploded = d1.select(
         F.col(id_col), F.explode(fps).alias("__fp")
     )
     buckets = (

@@ -7090,8 +7090,7 @@ def oracle_sql() -> dict[str, str]:
         f"WITH hist AS ({out['ts_exp_histogram']}),"
         " e AS (SELECT *,"
         "  max(cum_n) OVER (PARTITION BY event_type) AS total,"
-        "  coalesce(lag(le) OVER (PARTITION BY event_type ORDER BY le),"
-        "   0.0) AS lo,"
+        "  CASE WHEN le = 1.0 THEN 0.0 ELSE le / 2.0 END AS lo,"
         "  coalesce(lag(cum_n) OVER (PARTITION BY event_type"
         "   ORDER BY le), 0) AS pc FROM hist),"
         " x AS (SELECT e.*, q FROM e,"
@@ -7293,7 +7292,7 @@ def oracle_sql() -> dict[str, str]:
         " row_number() OVER (PARTITION BY event_type ORDER BY value)"
         "  AS rn,"
         " count(value) OVER (PARTITION BY event_type) AS n"
-        f" FROM {_EV} e),"
+        f" FROM {_EV} e WHERE value IS NOT NULL),"
         " qs AS (SELECT unnest([0.5, 0.99]) AS q)"
         " SELECT event_type, q, CAST(max(n) AS BIGINT) AS n,"
         " max(CASE WHEN rn = greatest(1,"
@@ -7507,8 +7506,12 @@ def oracle_sql() -> dict[str, str]:
         "WITH b AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,"
         " count(*) AS n, sum(CASE WHEN event_type = 'error' THEN 1"
         f" ELSE 0 END) AS ne FROM {_EV} e GROUP BY 1),"
-        " d AS (SELECT bucket, CAST(ne AS DOUBLE) / CAST(n AS DOUBLE)"
-        "  > 0.25 AS down FROM b),"
+        " g AS (SELECT unnest(generate_series("
+        "  (SELECT min(bucket) FROM b), (SELECT max(bucket) FROM b),"
+        "  INTERVAL 1 HOUR)) AS bucket),"
+        " d AS (SELECT g.bucket,"
+        "  coalesce(CAST(ne AS DOUBLE) / CAST(n AS DOUBLE)"
+        "  > 0.25, TRUE) AS down FROM g LEFT JOIN b USING (bucket)),"
         " s AS (SELECT down, sum(CASE WHEN NOT down THEN 1 ELSE 0 END)"
         "  OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS grp"
         "  FROM d),"

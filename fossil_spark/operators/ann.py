@@ -1508,6 +1508,13 @@ def bq_recall(
     [[ann_recall_eval]]'s exact integer hit counts. Returns
     (method='bq<dim>', n_queries, n_true, n_hits, recall_at_k,
     min_query_recall)."""
+    if not 1 <= dim <= 64:
+        raise ValueError(
+            f"bq_recall packs one sign bit per dimension into a single "
+            f"int64, so dim must be in [1, 64]; got {dim}. For wider "
+            f"vectors, slice (Matryoshka-style, like embedding_trunc_"
+            f"recall) or pack multiple words."
+        )
     e = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )

@@ -16,6 +16,9 @@ deterministic across engines, partitionings, and runs.
 
 from __future__ import annotations
 
+import collections
+import weakref
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -746,7 +749,32 @@ def lsh_diagnosis(
 # MEMORY_AND_DISK (the table is tiny — only docs that appear in a
 # near-dup pair). Callers that need non-default LSH parameters bypass
 # the cache by composing the primitives directly.
-_COMPONENT_CACHE: dict[tuple[int, int], DataFrame] = {}
+#
+# The cache is capped (LRU) and each entry carries a weakref to its
+# session: id() of a garbage-collected session can be reused by a new
+# one, so a hit is only honored when the weakref still resolves to THE
+# live session that built it. Evicted/invalidated entries are
+# unpersisted. Staleness caveat: the key is the plan, not the files —
+# after rewriting the parquet behind a previously-seen plan, call
+# neardup_components_invalidate() first.
+_COMPONENT_CACHE: collections.OrderedDict = collections.OrderedDict()
+_COMPONENT_CACHE_MAX = 8
+
+
+def _cache_drop(key) -> None:
+    entry = _COMPONENT_CACHE.pop(key, None)
+    if entry is not None:
+        try:
+            entry[1].unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to free
+
+
+def neardup_components_invalidate() -> None:
+    """Unpersist and drop every cached component table (use after
+    rewriting the files behind a previously-seen plan)."""
+    for key in list(_COMPONENT_CACHE):
+        _cache_drop(key)
 
 
 def neardup_components(docs: DataFrame) -> DataFrame:
@@ -756,17 +784,24 @@ def neardup_components(docs: DataFrame) -> DataFrame:
     (doc_id, component) for every doc in at least one near-dup pair."""
     from pyspark import StorageLevel
 
+    sess = docs.sparkSession
     try:
-        key = (id(docs.sparkSession), docs.semanticHash())
+        key = (id(sess), docs.semanticHash())
     except Exception:  # exotic plan that can't hash: just recompute
         return connected_components(minhash_lsh_pairs(docs))
     hit = _COMPONENT_CACHE.get(key)
     if hit is not None:
-        return hit
+        ref, comp = hit
+        if ref() is sess:
+            _COMPONENT_CACHE.move_to_end(key)
+            return comp
+        _cache_drop(key)  # id() reuse after the old session was GC'd
     comp = connected_components(minhash_lsh_pairs(docs)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    _COMPONENT_CACHE[key] = comp
+    while len(_COMPONENT_CACHE) >= _COMPONENT_CACHE_MAX:
+        _cache_drop(next(iter(_COMPONENT_CACHE)))
+    _COMPONENT_CACHE[key] = (weakref.ref(sess), comp)
     return comp
 
 

@@ -4582,10 +4582,18 @@ def histogram_quantile(
     h = exp_histogram(df, max_exp, time_col, by, value_col)
     wk = Window.partitionBy(*by)
     wlag = Window.partitionBy(*by).orderBy("le")
+    # Lower edge comes from the bucket SCHEMA (le/2 — every power-of-
+    # two bucket is exported), not lag() over non-empty buckets:
+    # Prometheus interpolates from the adjacent bound even when the
+    # intermediate buckets are empty (counts at le=2 and le=16 with
+    # nothing between interpolate from 8, not 2). lag(cum_n) stays a
+    # window: empty buckets don't change the cumulative count, so the
+    # previous non-empty bucket's cum_n IS the count below le/2.
     e = h.select(
         *by, "le", "n", "cum_n",
         F.max("cum_n").over(wk).alias("__total"),
-        F.coalesce(F.lag("le").over(wlag), F.lit(0.0)).alias("__lo"),
+        F.when(F.col("le") == F.lit(1.0), F.lit(0.0))
+        .otherwise(F.col("le") / F.lit(2.0)).alias("__lo"),
         F.coalesce(F.lag("cum_n").over(wlag), F.lit(0)).alias("__pc"),
     )
     x = e.select(
@@ -4658,6 +4666,10 @@ def quantile_sketch_audit(
     within_guarantee)."""
     by = by or []
     df = _time_norm(df, time_col)
+    # NULL values break the rank arithmetic (row_number orders NULLS
+    # FIRST but count(value) excludes them — ceil(q*n) would land on a
+    # shifted or NULL row); drop them before ranking, like apdex
+    df = df.filter(F.col(value_col).isNotNull())
     wrank = Window.partitionBy(*by).orderBy(value_col)
     wall = Window.partitionBy(*by)
     r = df.select(
@@ -4840,9 +4852,13 @@ def availability(
     the longest consecutive DOWN run — the SLA number next to
     [[ts_slo_burn]]'s pager math and [[ts_mttr]]'s incident stats
     (burn says how fast budget dies; this is the quarterly report
-    line). One bucket groupBy + one lag window over the bucket table
-    + one aggregate; all-integer counts. Returns one row: (n_buckets,
-    n_down, availability, longest_down_run)."""
+    line). The bucket grid is DENSIFIED over [min, max] bucket: an
+    empty bucket (zero events — a total outage produces exactly this)
+    counts as DOWN and extends the down-run, so a full blackout can't
+    read as 100% availability. One bucket groupBy + a 1-row bounds
+    grid join + one lag window + one aggregate; all-integer counts.
+    Returns one row: (n_buckets, n_down, availability,
+    longest_down_run)."""
     df = _time_norm(df, time_col)
     b = df.groupBy(
         F.window(F.col(time_col), every).start.alias("bucket")
@@ -4851,10 +4867,24 @@ def availability(
         F.sum(F.when(F.col(error_col) == error_value, 1).otherwise(0))
         .cast("long")
         .alias("n_err"),
+    ).localCheckpoint(eager=False)  # bucket table is tiny; 3 branches
+    # (grid bounds, totals, runs) must not re-scan the raw events
+    # densify: the calendar grid between the first and last observed
+    # bucket (1-row agg exploded — tiny), left-joined onto the counts
+    grid = b.agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+    ).select(
+        F.explode(
+            F.sequence(
+                F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {every}")
+            )
+        ).alias("bucket")
     )
-    down = (
+    b = grid.join(b, "bucket", "left")
+    down = F.coalesce(
         F.col("n_err").cast("double") / F.col("n").cast("double")
-        > F.lit(max_error_rate)
+        > F.lit(max_error_rate),
+        F.lit(True),  # empty bucket: no traffic at all = down
     )
     w = Window.orderBy("bucket")
     s = b.select("bucket", down.alias("__down")).select(

@@ -2191,6 +2191,39 @@ def test_bq_recall_perfect_on_sign_separable_vectors(spark):
     assert r["recall_at_k"] == 1.0
 
 
+def test_bq_recall_rejects_dim_past_one_word(spark):
+    from fossil_spark.operators import ann
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 80)], "vec_id long, embedding array<float>"
+    )
+    # one int64 signature holds 64 sign bits; dim=80 would silently
+    # emit 2**64+ literals (corrupt packing) without the guard
+    with pytest.raises(ValueError, match=r"\[1, 64\]"):
+        ann.bq_recall(df, df, k=1, dim=80)
+    with pytest.raises(ValueError, match=r"\[1, 64\]"):
+        ann.bq_recall(df, df, k=1, dim=0)
+
+
+def test_neardup_component_cache_lru_and_invalidate(spark):
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    dedup.neardup_components_invalidate()
+    c1 = dedup.neardup_components(docs)
+    assert len(dedup._COMPONENT_CACHE) == 1
+    # same plan -> same cached DataFrame object, no duplicate entry
+    assert dedup.neardup_components(docs) is c1
+    assert len(dedup._COMPONENT_CACHE) == 1
+    # distinct plans evict LRU-first at the cap
+    for i in range(dedup._COMPONENT_CACHE_MAX):
+        dedup.neardup_components(docs.filter(F.col("doc_id") > i))
+    assert len(dedup._COMPONENT_CACHE) == dedup._COMPONENT_CACHE_MAX
+    assert all(
+        ref() is spark for ref, _ in dedup._COMPONENT_CACHE.values()
+    )
+    dedup.neardup_components_invalidate()
+    assert len(dedup._COMPONENT_CACHE) == 0
+
+
 def test_source_health_planted(spark):
     from fossil_spark.pipelines import source_health
 

@@ -338,7 +338,7 @@ _SCAN_BUDGET = {
     "text_top_phrases": 1,        # one explode + groupBy + group rank
     "ts_ewma_control": 1,         # bucket agg + Arrow fold + key windows
     "dedup_winnowing": 1,         # fingerprints fold into the scan; bucket pairs
-    "ts_availability": 2,         # bucket agg feeds totals + runs branches
+    "ts_availability": 1,         # bucket agg checkpointed; grid/totals/runs reuse it
     "sample_soft_dedup": 3,       # component pipeline (2, or cached) + doc side
     "text_common_word_ratio": 2,  # token explode feeds top-n + membership branches
     "agg_lorenz": 1,              # |users| agg + rank + 10-row windows

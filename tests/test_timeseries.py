@@ -2109,6 +2109,22 @@ def test_histogram_quantile_inf_bucket_returns_lower_edge(spark):
     assert r["quantile"] == 1048576.0
 
 
+def test_histogram_quantile_sparse_buckets_use_schema_edge(spark):
+    t0 = datetime(2024, 1, 1)
+    # counts at le=2 and le=16 ONLY (buckets 4 and 8 empty): the
+    # Prometheus rule interpolates from the schema-adjacent bound 8
+    # (= 16/2), not from the previous non-empty bucket's edge 2
+    vals = [1.5, 2.0, 12.0]
+    rows = [(i, t0 + timedelta(minutes=i), "k", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    r = ts.histogram_quantile(df, (0.9,), 20, "ts", ["event_type"]).collect()[0]
+    assert r["le_bucket"] == 16.0
+    # rank = 0.9*3 = 2.7; prev cum = 2 -> 8 + (16-8)*(2.7-2)/1 = 13.6
+    assert abs(r["quantile"] - 13.6) < 1e-6
+
+
 def test_quantile_sketch_audit_contract(spark):
     t0 = datetime(2024, 1, 1)
     rows = [(i, t0 + timedelta(minutes=i), "k", float(i)) for i in range(200)]
@@ -2123,6 +2139,24 @@ def test_quantile_sketch_audit_contract(spark):
     assert out[0.99]["exact_value"] == 197.0
     assert out[0.5]["within_guarantee"] and out[0.99]["within_guarantee"]
     assert out[0.5]["n"] == 200
+
+
+def test_quantile_sketch_audit_ignores_nulls(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = [(i, t0 + timedelta(minutes=i), "k", float(i)) for i in range(200)]
+    # NULLs sort FIRST in Spark windows but are excluded from
+    # count(value): without the filter the rank lands on shifted rows
+    rows += [(200 + i, t0 + timedelta(minutes=200 + i), "k", None)
+             for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r["q"]: r for r in ts.quantile_sketch_audit(
+        df, (0.5, 0.99), 1000, "ts", ["event_type"]
+    ).collect()}
+    assert out[0.5]["n"] == 200
+    assert out[0.5]["exact_value"] == 99.0
+    assert out[0.99]["exact_value"] == 197.0
 
 
 def test_range_audit_planted_violations(spark):
@@ -2166,6 +2200,27 @@ def test_availability_longest_run(spark):
         kind = "error" if h in (3, 4, 5) else "view"
         for i in range(4):
             rows.append((eid, t0 + timedelta(hours=h, minutes=i), 1, kind, 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    r = ts.availability(df, 0.5, "1 hour", "ts").collect()[0]
+    assert (r["n_buckets"], r["n_down"], r["longest_down_run"]) == (10, 3, 3)
+    assert r["availability"] == 0.7
+
+
+def test_availability_counts_empty_buckets_as_down(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # a TOTAL outage emits zero rows: hours 3,4,5 have no events at
+    # all. The densified grid must count them down and keep the
+    # 3-bucket run intact (observed-only would report 100% uptime)
+    for h in range(10):
+        if h in (3, 4, 5):
+            continue
+        for i in range(4):
+            rows.append((eid, t0 + timedelta(hours=h, minutes=i), 1, "view", 1.0))
             eid += 1
     df = spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, event_type string, value double"

@@ -437,6 +437,26 @@ class Encoder:
         self._message(bytes(body))
         return tid
 
+    def define_slice(self, name: str, elem: int) -> int:
+        tid = self.next_id
+        self.next_id += 1
+        self.defined[name] = tid
+        body = bytearray()
+        _w_int(body, -tid)
+        _w_uint(body, 2)              # wireType field 1: SliceT
+        _w_uint(body, 1)              # sliceType field 0: CommonType
+        _w_uint(body, 1)
+        _w_bytes(body, name.encode())
+        _w_uint(body, 1)
+        _w_int(body, tid)
+        body.append(0)
+        _w_uint(body, 1)              # Elem
+        _w_int(body, elem)
+        body.append(0)
+        body.append(0)
+        self._message(bytes(body))
+        return tid
+
     def define_gobencoder(self, name: str) -> int:
         tid = self.next_id
         self.next_id += 1

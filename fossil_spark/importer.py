@@ -19,6 +19,17 @@ This module reads that layout with the spec-derived gob decoder
 the migration path for a reference user switching engines: topics,
 declared schemas, flushed segments AND unflushed WAL entries all come
 across in one call.
+
+All three on-disk generations the reference accepts are handled,
+mirroring pkg/database/migration.go detectVersion:
+
+  v2           metadata + segments/ + topics/schemas sidecars (above)
+  v1           ONE gob `database` file (databaseV1: Segments inline,
+               TopicLookup, no schemas — they default to "string" on
+               migration, migration.go:95)
+  version-less no metadata at all — the database never spilled to
+               disk; topics, segments and events replay from wal.log
+               alone (db.go NewDatabase second branch)
 """
 
 from __future__ import annotations
@@ -33,14 +44,59 @@ from datetime import datetime, timedelta
 from fossil_spark.gob import Decoder, go_time
 
 
+def detect_version(path: str) -> int:
+    """On-disk version sniff, mirroring the reference's detection
+    rules (pkg/database/migration.go:115 detectVersion): no
+    `metadata` + a `database` file = v1 (the legacy one-file gob
+    format); no `metadata` at all = 0, a "version-less" database that
+    has never spilled to disk and holds data ONLY in wal.log; else
+    the version is the metadata file's first little-endian uint32."""
+    if not os.path.exists(os.path.join(path, "metadata")):
+        if os.path.exists(os.path.join(path, "database")):
+            return 1
+        return 0
+    with open(os.path.join(path, "metadata"), "rb") as f:
+        head = f.read(4)
+    if len(head) < 4:
+        return 0
+    return struct.unpack("<I", head)[0]
+
+
+def _segments_from_gob(raw_segments: list) -> list:
+    """Decoded gob Segment dicts -> [(head datetime, live datums)]."""
+    out: list[tuple[datetime, list]] = []
+    for seg in raw_segments:
+        head = go_time(seg["HeadTime"]).replace(tzinfo=None)
+        size = seg.get("Size", 0)
+        out.append((head, seg.get("Series", [])[:size]))
+    return out
+
+
+def _load_v1(path: str) -> tuple[list, list, list]:
+    """The v1 layout (migration.go:48 databaseV1 / :59 deserializeV1):
+    ONE gob-encoded struct in a `database` file — Segments inline,
+    TopicLookup, no schema sidecar. The reference's v1->v2 migration
+    (migration.go:78) assigns every topic the default "string"
+    schema; we do the same."""
+    with open(os.path.join(path, "database"), "rb") as f:
+        db = Decoder(f.read()).decode()
+    topics = list(db.get("TopicLookup", []))
+    schemas = ["string"] * len(topics)
+    return topics, schemas, _segments_from_gob(db.get("Segments", []))
+
+
 def load_reference_db(path: str) -> dict:
     """Parse a reference database directory into plain Python data:
     {"topics": [...], "schemas": [...], "entries": [(utc-naive
     datetime, topic, data bytes), ...]} with WAL entries applied in
-    log order after the serialized segments (db.go NewDatabase)."""
-    with open(os.path.join(path, "metadata"), "rb") as f:
-        raw = f.read()
-    version, seg_count, current = struct.unpack_from("<III", raw, 0)
+    log order after the serialized segments (db.go NewDatabase).
+
+    Handles all three on-disk generations the reference accepts:
+    v2 (metadata + segments/ + sidecars), v1 (single gob `database`
+    file — migrated on the fly, default schemas), and version-less
+    (db.go:685 — only wal.log exists; topics, segments and events all
+    come from the replay)."""
+    version = detect_version(path)
     if version > 2:
         raise ValueError(f"unsupported reference db version {version}")
 
@@ -51,17 +107,24 @@ def load_reference_db(path: str) -> dict:
         with open(p, "rb") as f:
             return json.loads(zlib.decompress(f.read()))
 
-    topics: list[str] = _zjson("topics")
-    schemas: list[str] = _zjson("schemas")
-
-    segments: list[tuple[datetime, list]] = []
-    for i in range(seg_count):
-        with open(os.path.join(path, "segments", str(i)), "rb") as f:
-            seg = Decoder(f.read()).decode()
-        head = go_time(seg["HeadTime"]).replace(tzinfo=None)
-        size = seg.get("Size", 0)
-        series = seg.get("Series", [])[:size]
-        segments.append((head, series))
+    if version == 1:
+        topics, schemas, segments = _load_v1(path)
+    elif version == 0:
+        # never spilled: everything replays out of the WAL
+        topics, schemas, segments = [], [], []
+    else:
+        with open(os.path.join(path, "metadata"), "rb") as f:
+            raw = f.read()
+        _version, seg_count, _current = struct.unpack_from("<III", raw, 0)
+        topics = _zjson("topics")
+        schemas = _zjson("schemas")
+        segments = []
+        for i in range(seg_count):
+            with open(os.path.join(path, "segments", str(i)), "rb") as f:
+                seg = Decoder(f.read()).decode()
+            head = go_time(seg["HeadTime"]).replace(tzinfo=None)
+            size = seg.get("Size", 0)
+            segments.append((head, seg.get("Series", [])[:size]))
 
     _replay_wal(os.path.join(path, "wal.log"), topics, schemas, segments)
 
@@ -153,6 +216,13 @@ def import_reference_db(
     from fossil_spark.store import EventStore
 
     store = EventStore(spark, store_root)
+
+    # v1 is ONE gob file and version-less is ONLY a WAL tail — both
+    # are driver-sized by construction (the reference would have
+    # spilled v2 segments otherwise), so the distributed fan-out
+    # only applies to v2 segment directories
+    if detect_version(src_path) < 2:
+        distributed = False
 
     if not distributed:
         db = load_reference_db(src_path)

@@ -221,6 +221,213 @@ def _write_reference_db(root: str) -> None:
         f.write(b"\n".join(lines) + b"\n")
 
 
+def _datum_schema():
+    return ("struct", [
+        ("Delta", INT, INT), ("TopicID", INT, INT), ("Data", BYTES, BYTES),
+    ])
+
+
+def make_v1_database_bytes(
+    name: str, topics: list[str], segments: list[tuple[datetime, list]]
+) -> bytes:
+    """One gob-encoded databaseV1 struct (migration.go:48): Segments
+    inline as a []Segment slice, TopicLookup []string, no schemas."""
+    e = Encoder()
+    t_time = e.define_gobencoder("time.Time")
+    t_datum = e.define_struct(
+        "Datum", [("Delta", INT), ("TopicID", INT), ("Data", BYTES)]
+    )
+    t_series = e.define_array("[10000]database.Datum", t_datum, 10000)
+    t_seg = e.define_struct(
+        "Segment", [("HeadTime", t_time), ("Series", t_series), ("Size", INT)]
+    )
+    t_segs = e.define_slice("[]database.Segment", t_seg)
+    t_strs = e.define_slice("[]string", STRING)
+    t_db = e.define_struct("databaseV1", [
+        ("Version", INT), ("Name", STRING), ("Path", STRING),
+        ("Segments", t_segs), ("Current", INT),
+        ("TopicLookup", t_strs), ("TopicCount", INT),
+    ])
+    ds = _datum_schema()
+    seg_schema = ("struct", [
+        ("HeadTime", t_time, ("gobenc",)),
+        ("Series", t_series, ("array", t_datum, ds)),
+        ("Size", INT, INT),
+    ])
+    db_schema = ("struct", [
+        ("Version", INT, INT), ("Name", STRING, STRING),
+        ("Path", STRING, STRING),
+        ("Segments", t_segs, ("slice", t_seg, seg_schema)),
+        ("Current", INT, INT),
+        ("TopicLookup", t_strs, ("slice", STRING, STRING)),
+        ("TopicCount", INT, INT),
+    ])
+    seg_values = []
+    for head, datums in segments:
+        series = [
+            {"Delta": d, "TopicID": t, "Data": b} for d, t, b in datums
+        ] + [{"Delta": 0, "TopicID": 0, "Data": b""}] * (10000 - len(datums))
+        seg_values.append({
+            "HeadTime": encode_go_time(head),
+            "Series": series,
+            "Size": len(datums),
+        })
+    e.encode_value(t_db, {
+        "Version": 1, "Name": name, "Path": "/stale/do/not/trust",
+        "Segments": seg_values, "Current": max(len(seg_values) - 1, 0),
+        "TopicLookup": topics, "TopicCount": len(topics),
+    }, db_schema)
+    return bytes(e.out)
+
+
+def _wal_line_add_topic(spec: str) -> bytes:
+    e = Encoder()
+    e.encode_value(STRING, spec, STRING)
+    return b"4;" + base64.b64encode(bytes(e.out))
+
+
+def _wal_line_add_segment(head: datetime) -> bytes:
+    e = Encoder()
+    t_time = e.define_gobencoder("time.Time")
+    e.encode_value(t_time, encode_go_time(head), ("gobenc",))
+    return b"2;" + base64.b64encode(bytes(e.out))
+
+
+def _wal_line_add_event(delta_ns: int, topic_id: int, data: bytes) -> bytes:
+    e = Encoder()
+    t_datum = e.define_struct(
+        "Datum", [("Delta", INT), ("TopicID", INT), ("Data", BYTES)]
+    )
+    e.encode_value(
+        t_datum,
+        {"Delta": delta_ns, "TopicID": topic_id, "Data": data},
+        _datum_schema(),
+    )
+    return b"1;" + base64.b64encode(bytes(e.out))
+
+
+def test_detect_version_all_generations():
+    from fossil_spark.importer import detect_version
+
+    root = os.path.join("build", f"refver_{uuid.uuid4().hex[:8]}")
+    try:
+        # v2: full fixture
+        _write_reference_db(root)
+        assert detect_version(root) == 2
+        # v1: database file, no metadata
+        os.remove(os.path.join(root, "metadata"))
+        with open(os.path.join(root, "database"), "wb") as f:
+            f.write(b"gob")
+        assert detect_version(root) == 1
+        # version-less: only wal.log
+        os.remove(os.path.join(root, "database"))
+        assert detect_version(root) == 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_import_versionless_wal_only_db(spark):
+    """A reference database that never spilled to disk has ONLY
+    wal.log (migration.go:121 detectVersion == 0; db.go NewDatabase
+    replays the WAL alone) — the youngest, most likely switcher."""
+    root = os.path.join("build", f"refv0_{uuid.uuid4().hex[:8]}")
+    dst = os.path.join("build", f"refv0_store_{uuid.uuid4().hex[:8]}")
+    try:
+        os.makedirs(root)
+        h = datetime(2024, 3, 1, tzinfo=timezone.utc)
+        lines = [
+            _wal_line_add_topic("/"),                 # new-DB bootstrap
+            _wal_line_add_segment(h),
+            _wal_line_add_topic("/metrics/cpu:float64"),
+            _wal_line_add_event(0, 1, struct.pack("<d", 0.25)),
+            _wal_line_add_event(60 * 10**9, 1, struct.pack("<d", 0.5)),
+            _wal_line_add_topic("/logs"),
+            _wal_line_add_event(90 * 10**9, 2, b"hello wal"),
+        ]
+        with open(os.path.join(root, "wal.log"), "wb") as f:
+            f.write(b"\n".join(lines) + b"\n")
+
+        from fossil_spark.importer import (
+            import_reference_db, load_reference_db,
+        )
+        from fossil_spark.store import EventStore
+
+        db = load_reference_db(root)
+        assert db["topics"] == ["/", "/metrics/cpu", "/logs"]
+        assert db["schemas"][1] == "float64"
+        assert len(db["entries"]) == 3
+
+        # distributed=True must fall back to the driver path (no
+        # segments directory exists to fan out over)
+        n = import_reference_db(spark, root, dst, distributed=True)
+        assert n == 3
+        store = EventStore(spark, dst)
+        rows = sorted(
+            (str(r["time"]), r["topic"], r["value"])
+            for r in store.read().collect()
+        )
+        assert rows == [
+            ("2024-03-01 00:00:00", "/metrics/cpu", "0.25"),
+            ("2024-03-01 00:01:00", "/metrics/cpu", "0.5"),
+            ("2024-03-01 00:01:30", "/logs", "hello wal"),
+        ]
+        assert store.schema_for_topic("/metrics/cpu").text == "float64"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_import_v1_database(spark):
+    """v1 layout (migration.go:59 deserializeV1): one gob `database`
+    file, topics default to the "string" schema on migration
+    (migration.go:95), WAL applied on top like any other load."""
+    root = os.path.join("build", f"refv1_{uuid.uuid4().hex[:8]}")
+    dst = os.path.join("build", f"refv1_store_{uuid.uuid4().hex[:8]}")
+    try:
+        os.makedirs(root)
+        h1 = datetime(2023, 6, 1, tzinfo=timezone.utc)
+        h2 = datetime(2023, 6, 1, 1, tzinfo=timezone.utc)
+        blob = make_v1_database_bytes(
+            "legacy", ["/", "/metrics/cpu", "/logs"],
+            [
+                (h1, [(0, 1, b"7.5"), (30 * 10**9, 2, b"first boot")]),
+                (h2, [(0, 1, b"8.5")]),
+            ],
+        )
+        with open(os.path.join(root, "database"), "wb") as f:
+            f.write(blob)
+        # unflushed tail on top of the v1 segments
+        with open(os.path.join(root, "wal.log"), "wb") as f:
+            f.write(_wal_line_add_event(45 * 10**9, 2, b"wal tail") + b"\n")
+
+        from fossil_spark.importer import (
+            import_reference_db, load_reference_db,
+        )
+        from fossil_spark.store import EventStore
+
+        db = load_reference_db(root)
+        assert db["topics"] == ["/", "/metrics/cpu", "/logs"]
+        assert db["schemas"] == ["string"] * 3
+        assert [
+            (t.isoformat(), topic, data) for t, topic, data in db["entries"]
+        ] == [
+            ("2023-06-01T00:00:00", "/metrics/cpu", b"7.5"),
+            ("2023-06-01T00:00:30", "/logs", b"first boot"),
+            ("2023-06-01T01:00:00", "/metrics/cpu", b"8.5"),
+            ("2023-06-01T01:00:45", "/logs", b"wal tail"),
+        ]
+
+        n = import_reference_db(spark, root, dst)
+        assert n == 4
+        store = EventStore(spark, dst)
+        assert sorted(
+            r["value"] for r in store.read().collect()
+        ) == ["7.5", "8.5", "first boot", "wal tail"]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+
+
 def test_load_reference_db(tmp_path=None):
     root = os.path.join("build", f"refdb_{uuid.uuid4().hex[:8]}")
     try:

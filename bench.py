@@ -78,9 +78,34 @@ def prep_multirg(spark, sf_dir: str) -> str:
         return sf_dir
 
 
+def _isolated_comparable(headline: list) -> float | None:
+    """Run the 18-key comparable set in a FRESH subprocess (its own
+    Spark session) and return its total. The tracked round-over-round
+    series comes from here: inside a 160+-key session the same keys
+    read up to 2x slower from accumulated cache pressure (measured
+    rounds 6-7), which confounds the trend the series exists to show."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--comparable-only"],
+            capture_output=True, text=True, timeout=900,
+            env={**os.environ, "SPARK_GRAFT_BENCH_CHILD": "1"},
+        )
+        for ln in r.stdout.splitlines():
+            if ln.startswith('{"comparable_18q_isolated"'):
+                return json.loads(ln)["comparable_18q_isolated"]
+        print(f"# isolated 18q child produced no result: "
+              f"{r.stdout[-200:]} {r.stderr[-200:]}", file=sys.stderr)
+    except Exception as ex:
+        print(f"# isolated 18q child failed: {ex}", file=sys.stderr)
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    comparable_only = "--comparable-only" in sys.argv
 
     import __spark_entry__ as entrymod
     from fossil_spark.session import get_spark
@@ -158,9 +183,17 @@ def main() -> None:
         "text_common_word_ratio", "agg_lorenz", "agg_chi2",
     ]
     qs = entrymod.queries()
+    if comparable_only:
+        headline = headline[:18]
     available = [k for k in headline if k in qs]
 
     bench_dir = prep_multirg(spark, sf_dir)
+
+    # the tracked comparable series runs in its own fresh session
+    # BEFORE the full sweep (skip when we ARE that child)
+    isolated = None
+    if not comparable_only and not os.environ.get("SPARK_GRAFT_BENCH_CHILD"):
+        isolated = _isolated_comparable(headline)
 
     # warm the JVM + file listing once so per-query numbers measure the
     # queries, not session startup
@@ -199,6 +232,12 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    if comparable_only:
+        print(json.dumps({
+            "comparable_18q_isolated": total, "queries": timings, "sf": sf,
+        }))
+        return
+
     # The driver records only the LAST ~2000 bytes of stdout; round 6's
     # full 155-query dict blew past that and the driver recorded
     # parsed=null. Keep the stdout line compact: the stable 18-query
@@ -219,6 +258,7 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": 2,
         "aggregation": "min",
+        "comparable_18q_isolated": isolated,
         "data_layout": "multi-row-group rechunk of the driver parquet (bench.prep_multirg)",
     }
     if errors:
@@ -240,7 +280,8 @@ def main() -> None:
         "queries": line_queries,
         "sf": sf,
         "n_queries": len(timings),
-        "comparable_18q_sec": comparable_sec,
+        "comparable_18q_inline": comparable_sec,
+        "comparable_18q_isolated": isolated,
         "n_errors": len(errors),
         "full": "build/bench_full.json",
     }

@@ -1772,6 +1772,33 @@ def benford(
     )
 
 
+def _bucket_count_guard(
+    b: DataFrame, keys: list, op: str, max_buckets: int
+) -> DataFrame:
+    """Execution-time guard for operators whose pair/grid space is
+    buckets² per key: a caller passing a fine `every` over a long
+    range (1 minute over a year ≈ 5.3e5 buckets → 1.4e11 pairs PER
+    KEY) gets a clear error instead of an accidental quadratic job.
+    assert_true rides the existing plan — no extra action; the count
+    window runs over the tiny calendar-bounded bucket table, never
+    the raw events."""
+    wcnt = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    guard = F.assert_true(
+        F.count(F.lit(1)).over(wcnt) <= F.lit(max_buckets),
+        F.lit(
+            f"{op}: more than {max_buckets} buckets for one key — the "
+            f"pair space is buckets^2, so this would be a quadratic "
+            f"job. Coarsen `every`, narrow the time range, or raise "
+            f"max_buckets explicitly."
+        ),
+    )
+    return (
+        b.withColumn("__guard", guard)
+        .filter(F.col("__guard").isNull())
+        .drop("__guard")
+    )
+
+
 def theil_sen_trend(
     df: DataFrame,
     every: str = "1 hour",
@@ -1779,6 +1806,7 @@ def theil_sen_trend(
     by: list[str] | None = None,
     value_col: str = "value",
     round_to: int = 6,
+    max_buckets: int = 20000,
 ) -> DataFrame:
     """Robust trend per key: Theil-Sen slope (median of all pairwise
     bucket slopes — up to 29% outlier breakdown vs 0% for OLS), the
@@ -1792,7 +1820,10 @@ def theil_sen_trend(
     rows². One equi-join on the key + two aggregates; the 1-row
     slope re-joins (broadcast) for the intercept pass. Deterministic:
     exact interpolated percentiles for both medians, decimal bucket
-    means, integer bucket seconds. Returns per key:
+    means, integer bucket seconds. Errors at execution (assert_true,
+    no extra job) if any key exceeds `max_buckets` buckets — the
+    guard against an accidental buckets² blow-up at fine `every`.
+    Returns per key:
     (n_buckets, sen_slope_per_sec, intercept, mk_s, kendall_tau)."""
     by = by or []
     df = _time_norm(df, time_col)
@@ -1812,6 +1843,7 @@ def theil_sen_trend(
             "__v",
         )
     )
+    b = _bucket_count_guard(b, by, "theil_sen_trend", max_buckets)
     a = b.select(
         *by, F.col("__t").alias("__t1"), F.col("__v").alias("__v1")
     )
@@ -2249,6 +2281,7 @@ def dtw_distance(
     time_col: str = "time",
     series_col: str = "event_type",
     value_col: str = "value",
+    max_buckets: int = 20000,
 ) -> DataFrame:
     """Dynamic-time-warping distance between two named signals
     (Sakoe & Chiba 1978, full unbanded DP) — the shape-similarity
@@ -2294,6 +2327,9 @@ def dtw_distance(
         .agg(cond_mean(series_a).alias("__a"), cond_mean(series_b).alias("__b"))
         .filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
     )
+    # the DP grid is n_buckets² cells in ONE sequential Arrow batch —
+    # past ~20k buckets that's a 4e8-cell driver-side spin; fail loudly
+    bucketed = _bucket_count_guard(bucketed, [], "dtw_distance", max_buckets)
     out_schema = StructType(
         [
             StructField("n_buckets", LongType()),
@@ -2992,6 +3028,7 @@ def corr_matrix(
     by: str = "key",
     value_col: str = "value",
     round_to: int = 4,
+    max_buckets: int = 20000,
 ) -> DataFrame:
     """Pairwise Pearson correlation between every two keys' bucketed
     series — the metric-fleet correlation matrix behind "what moves
@@ -3004,8 +3041,10 @@ def corr_matrix(
     never event-scale), keyed a.key < b.key so each pair appears
     once. corr() rounds @`round_to` (the ts_acf rule). Buckets where
     either side is missing drop out via the inner join — correlation
-    over the co-observed buckets. Returns (key_a, key_b, n_buckets,
-    corr)."""
+    over the co-observed buckets. Errors at execution if any key
+    exceeds `max_buckets` buckets (the bucket-table self-join is
+    calendar-bounded; the guard keeps it that way at fine `every`).
+    Returns (key_a, key_b, n_buckets, corr)."""
     df = _time_norm(df, time_col)
     b = df.groupBy(
         F.col(by).alias("k"),
@@ -3017,6 +3056,7 @@ def corr_matrix(
             / F.count(value_col)
         ).alias("v")
     )
+    b = _bucket_count_guard(b, ["k"], "corr_matrix", max_buckets)
     a = b.select(
         F.col("k").alias("key_a"), F.col("bucket"), F.col("v").alias("va")
     )

@@ -2109,6 +2109,34 @@ def test_histogram_quantile_inf_bucket_returns_lower_edge(spark):
     assert r["quantile"] == 1048576.0
 
 
+def test_buckets_squared_guards_fire(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(30):  # both series present in every minute bucket
+        rows.append((2 * i, t0 + timedelta(minutes=i), "a", float(i)))
+        rows.append((2 * i + 1, t0 + timedelta(minutes=i), "b", float(i) / 2))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    # 30 minute-buckets per key vs a 10-bucket cap: the pair space
+    # would be buckets^2 — the guard must fail the job loudly
+    with pytest.raises(Exception, match="theil_sen_trend.*buckets"):
+        ts.theil_sen_trend(
+            df, "1 minute", "ts", ["event_type"], max_buckets=10
+        ).collect()
+    with pytest.raises(Exception, match="corr_matrix.*buckets"):
+        ts.corr_matrix(
+            df, "1 minute", "ts", "event_type", max_buckets=10
+        ).collect()
+    with pytest.raises(Exception, match="dtw_distance.*buckets"):
+        ts.dtw_distance(
+            df, "a", "b", "1 minute", "ts", max_buckets=10
+        ).collect()
+    # and at the default cap all three still compute
+    assert ts.theil_sen_trend(df, "1 minute", "ts", ["event_type"]).count() == 2
+    assert ts.dtw_distance(df, "a", "b", "1 minute", "ts").count() == 1
+
+
 def test_histogram_quantile_sparse_buckets_use_schema_edge(spark):
     t0 = datetime(2024, 1, 1)
     # counts at le=2 and le=16 ONLY (buckets 4 and 8 empty): the

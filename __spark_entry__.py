@@ -2418,6 +2418,29 @@ def _text_encoding_audit(spark, sf_dir):
     return text.encoding_audit(_docs(spark, sf_dir))
 
 
+def _streaming_cusum_replay(spark, sf_dir):
+    """Batch replay of the streaming CUSUM drift monitor
+    (streaming/cusum.py streaming_cusum): history = the first half of
+    the event range fixes the per-key baseline, the second half
+    drains through the SAME fold the state store runs — so the
+    streaming operator's arithmetic gets a real SQL oracle (the
+    ts_apdex ↔ streaming-apdex parity pattern, VERDICT r7 #8)."""
+    from pyspark.sql import functions as F
+
+    from fossil_spark.streaming.anomaly import baseline_stats
+    from fossil_spark.streaming.cusum import cusum_replay
+
+    ev = _events(spark, sf_dir)
+    split = "2024-01-16"
+    hist = ev.filter(F.col("ts") < split)
+    live = ev.filter(F.col("ts") >= split)
+    base = baseline_stats(hist, "event_type", "value")
+    return cusum_replay(
+        live, base, 0.5, 5.0, "ts", "event_type", "value",
+        order_tiebreak=["event_id"],
+    )
+
+
 # The driver's correctness gate checks the FIRST ~50 keys of
 # queries(). Round-8 rotation: batch 1/2 (48 keys) went driver-green in
 # CORRECTNESS_r07; this round puts the remaining 37 never-driver-checked
@@ -2455,6 +2478,8 @@ _WINDOW_PRIORITY = [
     "ts_ewma_control", "dedup_winnowing", "ts_availability",
     "sample_soft_dedup", "text_common_word_ratio", "agg_lorenz",
     "agg_chi2",
+    # round-8 additions (round-9 window tail)
+    "streaming_cusum_replay",
     # driver-green in r7 (batch 1/2) — rotated below the fold
     "multimodal_phash", "multimodal_phash_pairs", "graph_triangles",
     "graph_label_prop", "embedding_dim_stats", "pipeline_drift_report",
@@ -2654,6 +2679,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_chi2": _agg_chi2,
         "ts_flatline": _ts_flatline,
         "text_encoding_audit": _text_encoding_audit,
+        "streaming_cusum_replay": _streaming_cusum_replay,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
         "ts_lttb": _ts_lttb,
         "text_keywords": _text_keywords,
@@ -7463,6 +7489,43 @@ def oracle_sql() -> dict[str, str]:
         " round(sqrt(CAST(chi2 AS DOUBLE) / (CAST(n AS DOUBLE)"
         "  * CAST(least(r - 1, c - 1) AS DOUBLE))), 6) AS cramers_v"
         " FROM a"
+    )
+    # Streaming-CUSUM batch replay: baseline_stats' decimal-rounded
+    # moments over the history half, then the exact state fold over
+    # the live half replayed by a recursive CTE in (ts, event_id)
+    # order — bit-identical to _fold_cusum's IEEE op order
+    out["streaming_cusum_replay"] = (
+        "WITH RECURSIVE hist AS (SELECT event_type,"
+        " count(value) AS n,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "  AS s1,"
+        " CAST(round(sum(CAST(value * value AS DECIMAL(38,8))), 4)"
+        "  AS DOUBLE) AS s2"
+        f" FROM {_EV} e WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),"
+        " base AS (SELECT event_type, s1 / n AS bm,"
+        "  sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS bs"
+        "  FROM hist),"
+        " lv AS (SELECT e.event_type, (value - bm) / bs AS z,"
+        "  row_number() OVER (PARTITION BY e.event_type"
+        "   ORDER BY ts, event_id) AS rn"
+        f"  FROM {_EV} e JOIN base USING (event_type)"
+        "  WHERE ts >= TIMESTAMP '2024-01-16' AND bs > 0),"
+        " rec(event_type, rn, sp, sn) AS ("
+        "  SELECT event_type, rn,"
+        "   greatest(0.0, 0.0 + (z - 0.5)),"
+        "   greatest(0.0, 0.0 - (z + 0.5)) FROM lv WHERE rn = 1"
+        "  UNION ALL"
+        "  SELECT s.event_type, s.rn,"
+        "   greatest(0.0, r.sp + (s.z - 0.5)),"
+        "   greatest(0.0, r.sn - (s.z + 0.5))"
+        "  FROM rec r JOIN lv s ON s.event_type = r.event_type"
+        "   AND s.rn = r.rn + 1),"
+        " fin AS (SELECT event_type, max(rn) AS mx FROM rec GROUP BY 1)"
+        " SELECT r.event_type AS topic, CAST(r.rn AS BIGINT) AS n_seen,"
+        " r.sp AS cusum_pos, r.sn AS cusum_neg,"
+        " (r.sp > 5.0 OR r.sn > 5.0) AS alarm"
+        " FROM rec r JOIN fin f ON f.event_type = r.event_type"
+        "  AND f.mx = r.rn"
     )
     # Corpus-derived common-word ratio: top-100 words (count desc,
     # word asc at the cutoff), broadcast membership, per-doc ratio

@@ -181,6 +181,8 @@ def main() -> None:
         "ts_ewma_control", "dedup_winnowing",
         "ts_availability", "sample_soft_dedup",
         "text_common_word_ratio", "agg_lorenz", "agg_chi2",
+        # round-8 operators
+        "streaming_cusum_replay",
     ]
     qs = entrymod.queries()
     if comparable_only:

@@ -42,6 +42,74 @@ _STATE_SCHEMA = StructType([
 ])
 
 
+def _fold_cusum(zs, sp: float, sn: float, n: int, kk: float):
+    """The CUSUM state fold (Page 1954), shared verbatim by the
+    streaming state update and the batch replay so the two can never
+    drift apart: S+ = max(0, S+ + (z-k)), S- = max(0, S- - (z+k))."""
+    for zv in zs:
+        sp = max(0.0, sp + (zv - kk))
+        sn = max(0.0, sn - (zv + kk))
+        n += 1
+    return sp, sn, n
+
+
+def cusum_replay(
+    live: DataFrame,
+    baseline: DataFrame,
+    k_slack: float = 0.5,
+    h_limit: float = 5.0,
+    time_col: str = "time",
+    key_col: str = "topic",
+    value_col: str = "value",
+    order_tiebreak: list | None = None,
+) -> DataFrame:
+    """Batch replay of [[streaming_cusum]]: the SAME broadcast
+    baseline join, z-standardization, and state fold (literally the
+    same _fold_cusum function), draining `live` as one batch in
+    (time, *order_tiebreak) order and emitting the final state row
+    per key — exactly what the streaming query's state store holds
+    after the last micro-batch. This is the twin that gives the
+    streaming operator's arithmetic a SQL oracle (the ts_apdex ↔
+    streaming-apdex pattern); the recursive-CTE oracle replays the
+    fold bit-for-bit. Returns (topic, n_seen, cusum_pos, cusum_neg,
+    alarm), one row per key."""
+    j = (
+        live.join(
+            F.broadcast(
+                baseline.select(key_col, "base_mean", "base_std")
+            ),
+            key_col,
+        )
+        .filter(F.col("base_std") > 0)
+        .select(
+            F.col(key_col).alias("topic"),
+            time_col,
+            *(order_tiebreak or []),
+            (
+                (F.col(value_col) - F.col("base_mean"))
+                / F.col("base_std")
+            ).alias("__z"),
+        )
+    )
+    kk, hh = float(k_slack), float(h_limit)
+    sort_cols = [time_col] + list(order_tiebreak or [])
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        sp, sn, n = _fold_cusum(
+            pdf["__z"].to_numpy(dtype=float), 0.0, 0.0, 0, kk
+        )
+        return pd.DataFrame({
+            "topic": [pdf["topic"].iloc[0]],
+            "n_seen": [n],
+            "cusum_pos": [sp],
+            "cusum_neg": [sn],
+            "alarm": [(sp > hh) or (sn > hh)],
+        })
+
+    return j.groupBy("topic").applyInPandas(replay, CUSUM_SCHEMA)
+
+
 def streaming_cusum(
     stream: DataFrame,
     baseline: DataFrame,
@@ -84,10 +152,9 @@ def streaming_cusum(
         for pdf in pdfs:
             rows.append(pdf[[time_col, "__z"]])
         batch = pd.concat(rows).sort_values(time_col, kind="mergesort")
-        for zv in batch["__z"].to_numpy(dtype=float):
-            sp = max(0.0, sp + (zv - kk))
-            sn = max(0.0, sn - (zv + kk))
-            n += 1
+        sp, sn, n = _fold_cusum(
+            batch["__z"].to_numpy(dtype=float), sp, sn, n, kk
+        )
         state.update((sp, sn, n))
         yield pd.DataFrame({
             "topic": [topic],

@@ -56,6 +56,9 @@ PYTHON_OK = {
     "multimodal_resize",
     # the ewma fold is sequential per key (ts_ewma boundary)
     "ts_ewma_control",
+    # batch replay of the streaming CUSUM state fold — same
+    # sequential-per-key Arrow boundary as ts_cusum
+    "streaming_cusum_replay",
 }
 
 

@@ -111,3 +111,21 @@ def test_streaming_cusum_carries_state_across_batches(spark, workdir):
     r2 = run_once()["/m"]
     assert r2["n_seen"] == 12
     assert r2["cusum_pos"] > 5.0 and r2["alarm"]
+
+    # parity: the batch replay (cusum_replay — the oracle-bearing
+    # twin, shared _fold_cusum kernel) over the SAME 12 rows and
+    # baseline must land on the streaming query's final state exactly
+    from fossil_spark.streaming.cusum import cusum_replay
+
+    static_rows = [
+        ("2024-01-01T00:0%d:00" % i, "/m", 10.0 + (1.0 if i % 2 else -1.0))
+        for i in range(5)
+    ] + [("2024-01-01T01:0%d:00" % i, "/m", 15.0) for i in range(7)]
+    static = spark.createDataFrame(
+        static_rows, "time string, topic string, value double"
+    ).withColumn("time", F.col("time").cast("timestamp"))
+    rb = cusum_replay(static, baseline, 0.5, 5.0).collect()[0]
+    assert rb["n_seen"] == r2["n_seen"]
+    assert rb["cusum_pos"] == r2["cusum_pos"]
+    assert rb["cusum_neg"] == r2["cusum_neg"]
+    assert rb["alarm"] == r2["alarm"]

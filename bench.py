@@ -183,6 +183,9 @@ def main() -> None:
         "text_common_word_ratio", "agg_lorenz", "agg_chi2",
         # round-8 operators
         "streaming_cusum_replay",
+        # round-9 operators
+        "streaming_anomaly_replay", "streaming_hh_replay",
+        "streaming_psi_replay",
     ]
     qs = entrymod.queries()
     if comparable_only:

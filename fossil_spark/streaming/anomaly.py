@@ -40,6 +40,31 @@ def baseline_stats(
     )
 
 
+def anomaly_replay(
+    live: DataFrame,
+    baseline: DataFrame,
+    threshold: float = 3.5,
+    every: str = "1 hour",
+    time_col: str = "time",
+    key_col: str = "topic",
+    value_col: str = "value",
+) -> DataFrame:
+    """Batch replay of [[streaming_anomaly]] — literally the same
+    function run on a static DataFrame (`withWatermark` is a no-op on
+    batch input, so the windowed aggregation, broadcast baseline join,
+    and sigma scoring execute the identical plan the stream runs).
+    Stronger than a shared kernel: there is no second code path to
+    drift. This is the twin that gives the streaming monitor's
+    arithmetic a full SQL oracle (the streaming_cusum_replay
+    pattern). Returns one alert row per (window, key) whose mean
+    deviates more than `threshold` baseline sigmas."""
+    assert not live.isStreaming, "replay takes the static drain"
+    return streaming_anomaly(
+        live, baseline, threshold, every, "0 seconds",
+        time_col, key_col, value_col,
+    )
+
+
 def streaming_anomaly(
     stream: DataFrame,
     baseline: DataFrame,

@@ -74,6 +74,32 @@ def _bin_idx(x):
     )
 
 
+def psi_replay(
+    live: DataFrame,
+    profile: DataFrame,
+    every: str = "1 hour",
+    time_col: str = "time",
+    key_col: str = "topic",
+    value_col: str = "value",
+    n_bins: int = 10,
+    eps: float = 1e-6,
+    threshold: float = 0.2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Batch replay of [[streaming_psi]] — the same function on a
+    static drain (`withWatermark` is a no-op on batch input), so the
+    broadcast edge join, JVM bin fold, windowed bin counts, and the
+    fixed-order PSI term sum execute the identical plan the stream
+    runs. This gives the live drift monitor's arithmetic a full SQL
+    oracle (the streaming_cusum_replay pattern). Returns (bucket,
+    key, n, psi, drifted) per finalized window."""
+    assert not live.isStreaming, "replay takes the static drain"
+    return streaming_psi(
+        live, profile, every, "0 seconds", time_col, key_col,
+        value_col, n_bins, eps, threshold, round_to,
+    )
+
+
 def streaming_psi(
     stream: DataFrame,
     profile: DataFrame,

@@ -38,6 +38,27 @@ def windowed_key_counts(
     )
 
 
+def heavy_hitters_replay(
+    live: DataFrame,
+    k: int = 5,
+    every: str = "1 minute",
+    time_col: str = "time",
+    key_col: str = "topic",
+) -> DataFrame:
+    """Batch replay of the streaming heavy-hitters pair — the SAME
+    windowed_key_counts aggregation on static input (`withWatermark`
+    is a no-op on batch) followed by the SAME topk_batch cut the
+    foreachBatch sink applies. No twin kernel, no drift: the plan is
+    the one the stream runs, so the full pipeline gets a SQL oracle
+    (the streaming_cusum_replay pattern). Returns (bucket, key, n,
+    rank) for the k largest keys per window."""
+    assert not live.isStreaming, "replay takes the static drain"
+    return topk_batch(
+        windowed_key_counts(live, every, "0 seconds", time_col, key_col),
+        k, key_col,
+    )
+
+
 def topk_batch(counts: DataFrame, k: int, key_col: str = "topic") -> DataFrame:
     """Rank cut for the sink side (foreachBatch) or any static counts
     table: top-k keys per bucket, ties broken on the key for

@@ -129,3 +129,156 @@ def test_streaming_cusum_carries_state_across_batches(spark, workdir):
     assert rb["cusum_pos"] == r2["cusum_pos"]
     assert rb["cusum_neg"] == r2["cusum_neg"]
     assert rb["alarm"] == r2["alarm"]
+
+
+def _drain_append(out, name):
+    """Run an append-mode streaming query to a memory sink and return
+    the collected rows' Row objects."""
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return out.sparkSession.sql(f"SELECT * FROM {name}").collect()
+
+
+def _monitor_fixture(spark, src):
+    """Two topics, minute-windowed: /hot spikes far above baseline in
+    its second minute; /calm stays on baseline. A late straggler for
+    a long-closed window lands beyond the 2-minute watermark. Returns
+    the same rows as a static DataFrame for the replay side."""
+    rows = []
+    for i in range(6):  # minute 0: both on baseline
+        rows.append(("2024-01-01T00:00:%02d" % (i * 9), "/hot", 10.0 + i % 2))
+        rows.append(("2024-01-01T00:00:%02d" % (i * 9 + 4), "/calm", 10.0))
+    for i in range(6):  # minute 1: /hot spikes
+        rows.append(("2024-01-01T00:01:%02d" % (i * 9), "/hot", 30.0 + i))
+        rows.append(("2024-01-01T00:01:%02d" % (i * 9 + 4), "/calm", 10.0))
+    # minutes 2-4: keep the clock moving so the watermark closes 0-1
+    for m in (2, 3, 4):
+        rows.append(("2024-01-01T00:0%d:00" % m, "/hot", 10.0))
+        rows.append(("2024-01-01T00:0%d:30" % m, "/calm", 10.0))
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for t, topic, v in rows:
+            f.write(json.dumps({"time": t, "topic": topic, "value": str(v)}) + "\n")
+    from pyspark.sql import functions as F
+
+    static = spark.createDataFrame(
+        rows, "time string, topic string, value double"
+    ).withColumn("time", F.col("time").cast("timestamp"))
+    return static
+
+
+def test_streaming_anomaly_replay_parity(spark, workdir):
+    """The batch replay IS streaming_anomaly on static input
+    (withWatermark no-ops on batch), so for every window the
+    watermark closed, the streaming drain and the replay must agree
+    bit-for-bit — the property that lets the replay's SQL oracle
+    vouch for the live monitor's arithmetic."""
+    from pyspark.sql import functions as F
+
+    from fossil_spark.streaming.anomaly import anomaly_replay, streaming_anomaly
+
+    src = os.path.join(workdir, "incoming")
+    os.makedirs(src)
+    static = _monitor_fixture(spark, src)
+    baseline = spark.createDataFrame(
+        [("/hot", 10.0, 1.0), ("/calm", 10.0, 1.0)],
+        "topic string, base_mean double, base_std double",
+    )
+    stream = read_json_dropbox(spark, src).withColumn(
+        "value", F.col("value").cast("double")
+    )
+    live = _drain_append(
+        streaming_anomaly(stream, baseline, 3.0, "1 minute", "2 minutes"),
+        f"anom_{uuid.uuid4().hex[:8]}",
+    )
+    assert live, "the /hot spike window must alert"
+    key = lambda r: (str(r["bucket"]), r["topic"])
+    replay = {
+        key(r): r
+        for r in anomaly_replay(static, baseline, 3.0, "1 minute").collect()
+    }
+    for r in live:  # append mode emits only closed windows — a subset
+        rb = replay[key(r)]
+        assert rb["n"] == r["n"]
+        assert rb["window_mean"] == r["window_mean"]
+        assert rb["deviation_sigmas"] == r["deviation_sigmas"]
+
+
+def test_streaming_hh_replay_parity(spark, workdir):
+    """Streaming windowed counts + the foreachBatch top-k cut vs the
+    batch replay of the same pair: identical (bucket, key, n, rank)
+    rows for every closed window."""
+    from pyspark.sql import functions as F
+
+    from fossil_spark.streaming.heavy_hitters import (
+        heavy_hitters_replay, topk_batch, windowed_key_counts,
+    )
+
+    src = os.path.join(workdir, "incoming")
+    os.makedirs(src)
+    static = _monitor_fixture(spark, src)
+    stream = read_json_dropbox(spark, src).withColumn(
+        "value", F.col("value").cast("double")
+    )
+    got = []
+    counts = windowed_key_counts(stream, "1 minute", "2 minutes")
+    q = (
+        counts.writeStream.foreachBatch(
+            lambda b, _i: got.extend(topk_batch(b, 1).collect())
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got, "closed windows must emit counts"
+    replay = {
+        (str(r["bucket"]), r["topic"]): r
+        for r in heavy_hitters_replay(static, 1, "1 minute").collect()
+    }
+    for r in got:
+        rb = replay[(str(r["bucket"]), r["topic"])]
+        assert (rb["n"], rb["rank"]) == (r["n"], r["rank"])
+
+
+def test_streaming_psi_replay_parity(spark, workdir):
+    """Streaming PSI vs its batch replay on the same drain: the bin
+    fold, windowed counts, and term-chain sum are the same plan, so
+    every closed window's psi must match bitwise."""
+    from pyspark.sql import functions as F
+
+    from fossil_spark.streaming.drift import (
+        psi_replay, reference_profile, streaming_psi,
+    )
+
+    src = os.path.join(workdir, "incoming")
+    os.makedirs(src)
+    static = _monitor_fixture(spark, src)
+    history = spark.createDataFrame(
+        [("/hot", 8.0 + 0.5 * i) for i in range(9)]
+        + [("/calm", 9.0 + 0.25 * i) for i in range(9)],
+        "topic string, value double",
+    )
+    profile = reference_profile(history, n_bins=4)
+    stream = read_json_dropbox(spark, src).withColumn(
+        "value", F.col("value").cast("double")
+    )
+    live = _drain_append(
+        streaming_psi(stream, profile, "1 minute", "2 minutes", n_bins=4),
+        f"psi_{uuid.uuid4().hex[:8]}",
+    )
+    assert live, "closed windows must emit PSI rows"
+    replay = {
+        (str(r["bucket"]), r["topic"]): r
+        for r in psi_replay(static, profile, "1 minute", n_bins=4).collect()
+    }
+    for r in live:
+        rb = replay[(str(r["bucket"]), r["topic"])]
+        assert rb["n"] == r["n"]
+        assert rb["psi"] == r["psi"]
+        assert rb["drifted"] == r["drifted"]

@@ -964,16 +964,64 @@ def quality_deciles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Curriculum binning: decile rank of each document's quality
-    score (ntile over a deterministic order). A global sort is
-    unavoidable for exact deciles; at corpus scale prefer
-    approx-quantile cutpoints broadcast as a map-side bin — this exact
-    variant is the oracle-checkable baseline."""
-    scored = quality_score(df, text_col).select(id_col, "quality")
+    score (exact ntile semantics over a deterministic order). Exact
+    deciles need a global ORDER, but not a single-partition WINDOW:
+    this uses the distributed-ranking pattern — range-repartition on
+    the sort key, per-partition row_number (partitioned window), plus
+    a broadcast per-partition offset table (|partitions| rows, from
+    one tiny count aggregate) — so every stage scales out. The decile
+    is then the SQL-standard NTILE rule ((n mod k) first buckets get
+    one extra row) computed from the global rank in closed form.
+    quality_bins_approx remains the sketch-based alternative when an
+    approximate cut is acceptable."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("quality"), F.col(id_col))
-    return scored.select(
-        id_col, "quality", F.ntile(10).over(w).cast("long").alias("decile")
+    scored = quality_score(df, text_col).select(id_col, "quality")
+    part = scored.repartitionByRange(F.col("quality"), F.col(id_col))
+    # narrow (id, quality, pid) table materialized ONCE (lazy local
+    # checkpoint) — the offset branch and the rank branch both read
+    # it, so the text scan + scoring never re-execute
+    part = part.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
+        eager=False
+    )
+    # |partitions|-row offset table: rows strictly before each partition
+    woff = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = (
+        part.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__pn"))
+        .select(
+            "__pid",
+            (F.sum("__pn").over(woff) - F.col("__pn")).alias("__off"),
+            F.sum("__pn").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("__cnt"),
+        )
+    )
+    wloc = Window.partitionBy("__pid").orderBy(F.col("quality"), F.col(id_col))
+    ranked = (
+        part.withColumn("__lrn", F.row_number().over(wloc))
+        .join(F.broadcast(offs), "__pid")
+        .withColumn("__rn", (F.col("__off") + F.col("__lrn")).cast("long"))
+    )
+    # NTILE(k): q = n div k, r = n mod k; the first r buckets hold
+    # q+1 rows. bucket = ceil(rn/(q+1)) while rn is inside the big
+    # buckets, else r + ceil((rn - r*(q+1))/q); rows beyond n < k
+    # degenerate to one row per bucket (q = 0).
+    k = F.lit(10)
+    q = F.floor(F.col("__cnt") / k)
+    r = F.col("__cnt") % k
+    big = r * (q + 1)
+    decile = (
+        F.when(F.col("__cnt") < k, F.col("__rn"))
+        .when(F.col("__rn") <= big, F.ceil(F.col("__rn") / (q + 1)))
+        .otherwise(r + F.ceil((F.col("__rn") - big) / q))
+    )
+    return ranked.select(
+        id_col, "quality", decile.cast("long").alias("decile")
     )
 
 

@@ -778,25 +778,43 @@ def purchase_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.lag("ts").over(w))
         ).alias("gap_us"),
     ).filter(F.col("gap_us").isNotNull())
-    wrank = Window.orderBy("gap_us")
-    wall = Window.partitionBy()
-    r = g.select(
-        "user_id", "gap_us",
-        F.row_number().over(wrank).alias("__rn"),
-        F.count(F.lit(1)).over(wall).alias("__cnt"),
+    # narrow (user_id, gap_us) table materialized ONCE (lazy local
+    # checkpoint): the repeat-user count and the gap-distribution
+    # branches both read it, so the purchase scan + lag window never
+    # re-execute
+    g = g.localCheckpoint(eager=False)
+    # Exact-rank selection WITHOUT ranking individual gap rows: group
+    # to distinct gap values first (ties collapse), then one global
+    # cumulative-count window over the |distinct gaps|-bounded
+    # aggregate — the value at rank k is the smallest distinct gap
+    # whose cumulative count reaches k. Identical selections to a
+    # row_number over the pooled table, but the single-partition
+    # window input shrinks from |purchase events| to |distinct gaps|.
+    d = g.groupBy("gap_us").agg(F.count(F.lit(1)).alias("__c"))
+    wcum = Window.orderBy("gap_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = d.select(
+        "gap_us",
+        F.sum("__c").over(wcum).alias("__cum"),
+        F.sum("__c").over(wall).alias("__cnt"),
     )
     lo = F.floor((F.col("__cnt") + 1) / 2)
     hi = F.ceil((F.col("__cnt") + 1) / 2)
     p90 = F.col("__cnt") - F.floor(F.col("__cnt") / 10)
-    agg = r.agg(
-        F.countDistinct("user_id").alias("n_repeat_users"),
-        F.count(F.lit(1)).alias("n_gaps"),
+    sel = r.agg(
+        F.coalesce(F.max("__cnt"), F.lit(0).cast("long")).alias("n_gaps"),
         F.min("gap_us").alias("__mn"),
         F.max("gap_us").alias("__mx"),
-        F.max(F.when(F.col("__rn") == lo, F.col("gap_us"))).alias("__lo"),
-        F.max(F.when(F.col("__rn") == hi, F.col("gap_us"))).alias("__hi"),
-        F.max(F.when(F.col("__rn") == p90, F.col("gap_us"))).alias("__p90"),
+        F.min(F.when(F.col("__cum") >= lo, F.col("gap_us"))).alias("__lo"),
+        F.min(F.when(F.col("__cum") >= hi, F.col("gap_us"))).alias("__hi"),
+        F.min(F.when(F.col("__cum") >= p90, F.col("gap_us"))).alias("__p90"),
     )
+    users = g.agg(F.countDistinct("user_id").alias("n_repeat_users"))
+    agg = users.crossJoin(F.broadcast(sel))  # 1-row x 1-row
 
     def hours(c):
         # floor-half-up: integer-µs / 3.6e9 rationals can land on exact

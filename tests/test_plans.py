@@ -7,6 +7,7 @@ broadcast joins for dimension tables.
 
 import io
 import contextlib
+import re
 
 import pytest
 
@@ -92,6 +93,106 @@ def test_sanctioned_python_is_arrow_batched(plans):
     assert "FlatMapGroupsInPandas" in plans["fql_sample_greedy"]
     for key in PYTHON_OK:
         assert "BatchEvalPython" not in plans[key]
+
+
+# Operators allowed a Window.orderBy WITHOUT partitionBy (WindowExec on
+# a single partition). Each site sits above an aggregation (or an
+# explicit limit) that bounds the window's input to a calendar-, key-,
+# or |users|-cardinality table — enforced by test_global_windows_are_
+# bounded below, not by convention. Any new global window must be added
+# here AND carry a bounded input, or the suite fails.
+GLOBAL_WINDOW_OK = {
+    "agg_conversion_lag",       # rank over per-user lag aggregate
+    "agg_gini",                 # cum-share over per-user revenue agg
+    "agg_lorenz",               # decile rank over per-user revenue agg
+    "agg_purchase_cadence",     # cum-rank over DISTINCT-gap aggregate
+    "agg_rfm",                  # R/F/M quintile ranks over per-user agg
+    "agg_skew_audit",           # rank over per-key cardinality agg
+    "agg_user_outliers",        # rank over per-user feature agg
+    "pipeline_anomaly_summary", # severity rank over per-(key,day) agg
+    "text_heaps_law",           # cumulative types over per-prefix agg
+    "text_quality_deciles",     # offset cumsum over |partitions|-row agg
+    "text_zipf",                # global rank over vocabulary agg
+    "ts_availability",          # longest-run scan over calendar buckets
+    "ts_concurrency",           # sweep-line over bounded event deltas
+    "ts_error_episodes",        # episode stitch over calendar buckets
+    "ts_mttr",                  # episode stitch over calendar buckets
+    "ts_slo_burn",              # burn-rate scan over calendar buckets
+    "ts_top_movers",            # rank over per-key delta agg
+    "ts_xcorr",                 # lag join over calendar-bucket agg
+}
+
+
+def _window_bracket_groups(line: str) -> list:
+    """Top-level [...] groups following 'Window ' in a plan line: 3
+    groups = partitioned+ordered, 2 with ASC/DESC in the last = a
+    GLOBAL ordered window (the thing we lint)."""
+    i = line.index("Window ") + len("Window ")
+    groups, depth, cur = [], 0, []
+    for ch in line[i:]:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def _tree_depth(line: str) -> int:
+    """Character column where the operator name starts (tree-art
+    prefix is spaces plus +- :- | chars)."""
+    for i, ch in enumerate(line):
+        if ch not in " +-:|":
+            return i
+    return len(line)
+
+
+def test_global_windows_are_bounded(plans):
+    """Every Window.orderBy-without-partitionBy in the registry must
+    (a) be whitelisted in GLOBAL_WINDOW_OK and (b) have an Aggregate /
+    GlobalLimit / Deduplicate in its own subtree — i.e. the single
+    partition the window runs on is bounded by construction, asserted
+    instead of by convention (VERDICT r8 #4)."""
+    bounded = re.compile(
+        r"\b(Aggregate|GlobalLimit|TakeOrdered|Deduplicate|Distinct)\b"
+    )
+    violations = []
+    for key, plan in plans.items():
+        m = re.search(
+            r"== Optimized Logical Plan ==\n(.*?)\n== Physical Plan ==",
+            plan, re.S,
+        )
+        assert m, f"{key}: no optimized plan section"
+        lines = m.group(1).splitlines()
+        for idx, line in enumerate(lines):
+            if "Window [" not in line:
+                continue
+            groups = _window_bracket_groups(line)
+            if len(groups) >= 3:
+                continue  # partitioned window — fine anywhere
+            if not groups or not re.search(r"\b(ASC|DESC)\b", groups[-1]):
+                continue  # partition-only spec, no global sort
+            if key not in GLOBAL_WINDOW_OK:
+                violations.append(f"{key}: unwhitelisted global window")
+                continue
+            depth = _tree_depth(line)
+            subtree = []
+            for nxt in lines[idx + 1:]:
+                if _tree_depth(nxt) <= depth:
+                    break
+                subtree.append(nxt)
+            if not bounded.search("\n".join(subtree)):
+                violations.append(
+                    f"{key}: global window input not visibly bounded"
+                )
+    assert not violations, "\n".join(violations)
 
 
 def test_tpch_filters_reach_scan(plans):

@@ -2501,6 +2501,41 @@ def _streaming_psi_replay(spark, sf_dir):
     )
 
 
+def _streaming_rollup_replay(spark, sf_dir):
+    """Batch replay of the live windowed rollup (streaming/rollup.py
+    windowed_rollup, SURVEY B7): the SAME tumbling-window count +
+    decimal-accumulated mean the stream computes, drained over the
+    live half of the event range as one batch."""
+    from pyspark.sql import functions as F
+
+    from fossil_spark.streaming.rollup import rollup_replay
+
+    ev = _events(spark, sf_dir)
+    live = ev.filter(F.col("ts") >= "2024-01-16")
+    return rollup_replay(
+        live, every="1 hour", time_col="ts",
+        key_col="event_type", value_col="value",
+    )
+
+
+def _streaming_apdex_replay(spark, sf_dir):
+    """Batch replay of the live Apdex monitor (streaming/apdex.py
+    streaming_apdex): the SAME NULL drop, window counts, and
+    floor-half-up score the stream runs, drained over the live half
+    of the event range. Threshold 50 ~ the value median, so all
+    three satisfaction bands populate."""
+    from pyspark.sql import functions as F
+
+    from fossil_spark.streaming.apdex import apdex_replay
+
+    ev = _events(spark, sf_dir)
+    live = ev.filter(F.col("ts") >= "2024-01-16")
+    return apdex_replay(
+        live, 50.0, every="1 hour", time_col="ts",
+        key_col="event_type", value_col="value",
+    )
+
+
 # The driver's correctness gate checks the FIRST ~50 keys of
 # queries(). Round-9 rotation: the final 22 never-driver-checked keys
 # (round-7 remainder + streaming_cusum_replay, all judge-local-verified
@@ -2522,7 +2557,8 @@ _WINDOW_PRIORITY = [
     "agg_chi2", "streaming_cusum_replay",
     # round-9 additions (streaming replay twins — driver-check this round)
     "streaming_anomaly_replay", "streaming_hh_replay",
-    "streaming_psi_replay",
+    "streaming_psi_replay", "streaming_rollup_replay",
+    "streaming_apdex_replay",
     # canary refill: driver-green keys re-verified behind the new batch
     "agg_attribution", "dedup_quality_rep", "embedding_dup_audit",
     "ts_hampel", "ts_flatline", "text_encoding_audit",
@@ -2744,6 +2780,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_anomaly_replay": _streaming_anomaly_replay,
         "streaming_hh_replay": _streaming_hh_replay,
         "streaming_psi_replay": _streaming_psi_replay,
+        "streaming_rollup_replay": _streaming_rollup_replay,
+        "streaming_apdex_replay": _streaming_apdex_replay,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
         "ts_lttb": _ts_lttb,
         "text_keywords": _text_keywords,
@@ -7902,5 +7940,34 @@ def oracle_sql() -> dict[str, str]:
         f" {_psi_terms} AS psi FROM sc)"
         " SELECT bucket, event_type, CAST(n AS BIGINT) AS n,"
         " round(psi, 6) AS psi, psi > 0.2 AS drifted FROM p"
+    )
+    # Live-rollup batch replay: hourly per-key counts + the
+    # decimal-rounded mean over the live half (B7's oracle)
+    out["streaming_rollup_replay"] = (
+        "SELECT date_trunc('hour', ts) AS bucket, event_type,"
+        " CAST(count(*) AS BIGINT) AS n,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "  / count(value) AS avg_value"
+        f" FROM {_EV} e WHERE ts >= TIMESTAMP '2024-01-16'"
+        " GROUP BY 1, 2"
+    )
+    # Live-Apdex batch replay: the ts_apdex arithmetic (NULL drop,
+    # satisfied/tolerating bands, floor-half-up score) per hourly
+    # window over the live half, threshold 50
+    out["streaming_apdex_replay"] = (
+        "WITH a AS (SELECT event_type,"
+        " date_trunc('hour', ts) AS bucket, count(*) AS n,"
+        " sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS ns,"
+        " sum(CASE WHEN value > 50.0 AND value <= 200.0 THEN 1"
+        "  ELSE 0 END) AS nt"
+        f" FROM {_EV} e WHERE value IS NOT NULL"
+        "  AND ts >= TIMESTAMP '2024-01-16' GROUP BY 1, 2)"
+        " SELECT bucket, event_type, CAST(n AS BIGINT) AS n,"
+        " CAST(ns AS BIGINT) AS n_satisfied,"
+        " CAST(nt AS BIGINT) AS n_tolerating,"
+        " CAST(n - ns - nt AS BIGINT) AS n_frustrated,"
+        " floor((CAST(ns AS DOUBLE) + CAST(nt AS DOUBLE) / 2.0)"
+        "  / CAST(n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS apdex"
+        " FROM a"
     )
     return out

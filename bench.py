@@ -185,7 +185,8 @@ def main() -> None:
         "streaming_cusum_replay",
         # round-9 operators
         "streaming_anomaly_replay", "streaming_hh_replay",
-        "streaming_psi_replay",
+        "streaming_psi_replay", "streaming_rollup_replay",
+        "streaming_apdex_replay",
     ]
     qs = entrymod.queries()
     if comparable_only:

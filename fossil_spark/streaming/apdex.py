@@ -14,6 +14,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def apdex_replay(
+    live: DataFrame,
+    threshold: float,
+    every: str = "1 hour",
+    time_col: str = "time",
+    key_col: str = "topic",
+    value_col: str = "value",
+) -> DataFrame:
+    """Batch replay of [[streaming_apdex]] — the same function on a
+    static drain (`withWatermark` is a no-op on batch input): the
+    NULL drop, tumbling-window counts, and floor-half-up score are
+    the identical plan the stream runs, giving the live Apdex monitor
+    a full SQL oracle on top of its existing batch-ts_apdex parity
+    (the streaming_cusum_replay pattern)."""
+    assert not live.isStreaming, "replay takes the static drain"
+    return streaming_apdex(
+        live, threshold, every, "0 seconds", time_col, key_col, value_col
+    )
+
+
 def streaming_apdex(
     stream: DataFrame,
     threshold: float,

@@ -12,6 +12,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def rollup_replay(
+    live: DataFrame,
+    every: str = "1 hour",
+    time_col: str = "time",
+    key_col: str = "topic",
+    value_col: str = "value",
+) -> DataFrame:
+    """Batch replay of [[windowed_rollup]] — the same function on a
+    static drain (`withWatermark` is a no-op on batch input), so the
+    tumbling-window grouping and decimal-accumulated mean execute the
+    identical plan the stream runs. This gives the live rollup (B7)
+    a full SQL oracle (the streaming_cusum_replay pattern)."""
+    assert not live.isStreaming, "replay takes the static drain"
+    return windowed_rollup(
+        live, every, "0 seconds", time_col, key_col, value_col
+    )
+
+
 def windowed_rollup(
     stream: DataFrame,
     every: str = "1 hour",

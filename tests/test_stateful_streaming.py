@@ -246,6 +246,66 @@ def test_streaming_hh_replay_parity(spark, workdir):
         assert (rb["n"], rb["rank"]) == (r["n"], r["rank"])
 
 
+def test_streaming_rollup_replay_parity(spark, workdir):
+    """Live windowed rollup vs its batch replay on the same drain:
+    identical (bucket, key, n, avg_value) for every closed window —
+    the decimal-accumulated mean cannot drift between lambda legs."""
+    from pyspark.sql import functions as F
+
+    from fossil_spark.streaming.rollup import rollup_replay, windowed_rollup
+
+    src = os.path.join(workdir, "incoming")
+    os.makedirs(src)
+    static = _monitor_fixture(spark, src)
+    stream = read_json_dropbox(spark, src).withColumn(
+        "value", F.col("value").cast("double")
+    )
+    live = _drain_append(
+        windowed_rollup(stream, "1 minute", "2 minutes"),
+        f"roll_{uuid.uuid4().hex[:8]}",
+    )
+    assert live, "closed windows must emit rollup rows"
+    replay = {
+        (str(r["bucket"]), r["topic"]): r
+        for r in rollup_replay(static, "1 minute").collect()
+    }
+    for r in live:
+        rb = replay[(str(r["bucket"]), r["topic"])]
+        assert rb["n"] == r["n"]
+        assert rb["avg_value"] == r["avg_value"]
+
+
+def test_streaming_apdex_replay_parity(spark, workdir):
+    """Live Apdex vs its batch replay on the same drain: identical
+    band counts and floor-half-up score per closed window."""
+    from pyspark.sql import functions as F
+
+    from fossil_spark.streaming.apdex import apdex_replay, streaming_apdex
+
+    src = os.path.join(workdir, "incoming")
+    os.makedirs(src)
+    static = _monitor_fixture(spark, src)
+    stream = read_json_dropbox(spark, src).withColumn(
+        "value", F.col("value").cast("double")
+    )
+    live = _drain_append(
+        streaming_apdex(stream, 10.0, "1 minute", "2 minutes"),
+        f"apdex_{uuid.uuid4().hex[:8]}",
+    )
+    assert live, "closed windows must emit apdex rows"
+    replay = {
+        (str(r["bucket"]), r["topic"]): r
+        for r in apdex_replay(static, 10.0, "1 minute").collect()
+    }
+    for r in live:
+        rb = replay[(str(r["bucket"]), r["topic"])]
+        assert (rb["n"], rb["n_satisfied"], rb["n_tolerating"],
+                rb["n_frustrated"]) == (
+            r["n"], r["n_satisfied"], r["n_tolerating"], r["n_frustrated"]
+        )
+        assert rb["apdex"] == r["apdex"]
+
+
 def test_streaming_psi_replay_parity(spark, workdir):
     """Streaming PSI vs its batch replay on the same drain: the bin
     fold, windowed counts, and term-chain sum are the same plan, so

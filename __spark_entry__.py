@@ -2320,6 +2320,21 @@ def _text_top_phrases(spark, sf_dir):
     return text.top_phrases(_docs(spark, sf_dir), k=5)
 
 
+def _text_dsir_weights(spark, sf_dir):
+    """DSIR importance weights with English as the target domain:
+    every document scored by hashed unigram+bigram likelihood ratio
+    vs the raw pool (Xie et al. 2023, arXiv 2302.03169 — the standard
+    pretraining data-selection recipe; feed log_weight into
+    sample_weighted for the resampling half)."""
+    from pyspark.sql import functions as F
+
+    from fossil_spark.operators import text
+
+    return text.dsir_weights(
+        _docs(spark, sf_dir), F.col("lang") == F.lit("en")
+    )
+
+
 def _text_lang_confidence(spark, sf_dir):
     from fossil_spark.operators import text
 
@@ -2558,7 +2573,7 @@ _WINDOW_PRIORITY = [
     # round-9 additions (streaming replay twins — driver-check this round)
     "streaming_anomaly_replay", "streaming_hh_replay",
     "streaming_psi_replay", "streaming_rollup_replay",
-    "streaming_apdex_replay",
+    "streaming_apdex_replay", "text_dsir_weights",
     # canary refill: driver-green keys re-verified behind the new batch
     "agg_attribution", "dedup_quality_rep", "embedding_dup_audit",
     "ts_hampel", "ts_flatline", "text_encoding_audit",
@@ -2767,6 +2782,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_range_audit": _ts_range_audit,
         "pipeline_curation_waterfall": _pipeline_curation_waterfall,
         "text_top_phrases": _text_top_phrases,
+        "text_dsir_weights": _text_dsir_weights,
         "ts_ewma_control": _ts_ewma_control,
         "dedup_winnowing": _dedup_winnowing,
         "ts_availability": _ts_availability,
@@ -7969,5 +7985,34 @@ def oracle_sql() -> dict[str, str]:
         " floor((CAST(ns AS DOUBLE) + CAST(nt AS DOUBLE) / 2.0)"
         "  / CAST(n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS apdex"
         " FROM a"
+    )
+    # DSIR importance weights: md5-hashed unigram+bigram buckets,
+    # add-one-smoothed target/raw log-ratio (a per-bucket constant
+    # rounded @8), doc terms decimal-quantized pre-sum
+    out["text_dsir_weights"] = (
+        f"WITH t AS (SELECT doc_id, lang = 'en' AS in_target, {_TOKS} w"
+        "  FROM documents),"
+        " g AS (SELECT doc_id, in_target, unnest(list_concat(w,"
+        "  list_transform(range(1, len(w)),"
+        "   i -> w[i] || ' ' || w[i + 1]))) AS gr FROM t),"
+        " db AS (SELECT doc_id, in_target,"
+        "  ('0x' || substr(md5('dsir:' || gr), 1, 8))::BIGINT % 1024"
+        "   AS b, count(*) AS cnt FROM g GROUP BY 1, 2, 3),"
+        " raw AS (SELECT b, sum(cnt) AS cr FROM db GROUP BY 1),"
+        " tgt AS (SELECT b, sum(cnt) AS ct FROM db WHERE in_target"
+        "  GROUP BY 1),"
+        " tot AS (SELECT (SELECT sum(cr) FROM raw) AS totr,"
+        "  (SELECT sum(ct) FROM tgt) AS tott),"
+        " lr AS (SELECT raw.b AS b,"
+        "  round(ln(((coalesce(ct, 0) + 1)::DOUBLE"
+        "    / (tott + 1024)::DOUBLE)"
+        "   / ((cr + 1)::DOUBLE / (totr + 1024)::DOUBLE)), 8) AS lrv"
+        "  FROM raw LEFT JOIN tgt USING (b), tot),"
+        " tm AS (SELECT doc_id, in_target, cnt,"
+        "  CAST(round(cnt * lrv, 8) AS DECIMAL(30,8)) AS term"
+        "  FROM db JOIN lr USING (b))"
+        " SELECT doc_id, in_target, CAST(sum(cnt) AS BIGINT) AS n_grams,"
+        " CAST(round(sum(term), 6) AS DOUBLE) AS log_weight"
+        " FROM tm GROUP BY 1, 2"
     )
     return out

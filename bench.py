@@ -186,7 +186,7 @@ def main() -> None:
         # round-9 operators
         "streaming_anomaly_replay", "streaming_hh_replay",
         "streaming_psi_replay", "streaming_rollup_replay",
-        "streaming_apdex_replay",
+        "streaming_apdex_replay", "text_dsir_weights",
     ]
     qs = entrymod.queries()
     if comparable_only:

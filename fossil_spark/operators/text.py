@@ -2373,3 +2373,102 @@ def common_word_ratio(
         ratio.alias("common_ratio"),
         (ratio > F.lit(threshold)).alias("is_low_content"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (Data Selection
+    via Importance Resampling, Xie et al. 2023, arXiv 2302.03169 —
+    public method): score every document by how much more likely its
+    hashed unigram+bigram profile is under the TARGET slice's
+    distribution than under the whole raw pool. log_weight > 0 means
+    "looks like the target domain"; feed the weights to
+    [[sample_weighted]] for the resampling step.
+
+    Spark shape: one token explode -> md5 feature hashing into a
+    FIXED n_buckets-bounded space (the md5 idiom every dedup/split
+    operator uses, engine-portable) -> two bucket-count aggregates
+    (raw and target, each n_buckets rows) -> the add-one-smoothed
+    log-ratio table broadcast back onto per-doc bucket counts -> one
+    per-doc sum. Everything is JVM Columns; the only corpus-scale
+    shuffles are the (doc, bucket) count and the final per-doc
+    groupBy. Determinism: the per-bucket log-ratio is rounded @8 (a
+    per-bucket CONSTANT, same ln both engines), each doc term
+    cnt*lr is rounded @8 and decimal-quantized pre-sum
+    (order-independent), output rounded @6.
+
+    `target` is a boolean Column over df's columns selecting the
+    target-domain slice (e.g. F.col('lang') == 'en')."""
+    t = tokens(F.col(text_col))
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams = df.select(
+        F.col(id_col),
+        target.alias("in_target"),
+        F.explode(F.concat(t, bigrams)).alias("__g"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col("__g"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long")
+        % n_buckets
+    )
+    # (doc, bucket) counts materialized ONCE (lazy local checkpoint,
+    # narrow ints): the bucket-profile aggregate and the per-doc term
+    # join both read it, so the gram explode + md5 never re-execute
+    db = grams.select(
+        id_col, "in_target", bucket.alias("__b")
+    ).groupBy(id_col, "in_target", "__b").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    ).localCheckpoint(eager=False)
+    # raw + target bucket profiles in ONE n_buckets-row aggregate
+    bt = db.groupBy("__b").agg(
+        F.sum("__cnt").alias("__cr"),
+        F.sum(F.when(F.col("in_target"), F.col("__cnt")).otherwise(0)).alias(
+            "__ct"
+        ),
+    )
+    # totals as 1-row broadcast scalars (the sanctioned shape)
+    totals = bt.agg(
+        F.sum("__cr").alias("__totr"), F.sum("__ct").alias("__tott")
+    )
+    lr_tbl = bt.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        F.round(
+            F.log(
+                (
+                    (F.col("__ct") + 1).cast("double")
+                    / (F.col("__tott") + n_buckets).cast("double")
+                )
+                / (
+                    (F.col("__cr") + 1).cast("double")
+                    / (F.col("__totr") + n_buckets).cast("double")
+                )
+            ),
+            8,
+        ).alias("__lr"),
+    )
+    terms = db.join(F.broadcast(lr_tbl), "__b").select(
+        id_col,
+        "in_target",
+        "__cnt",
+        F.round(F.col("__cnt") * F.col("__lr"), 8)
+        .cast("decimal(30,8)")
+        .alias("__term"),
+    )
+    return terms.groupBy(id_col, "in_target").agg(
+        F.sum("__cnt").cast("long").alias("n_grams"),
+        F.round(F.sum("__term"), 6).cast("double").alias("log_weight"),
+    )

@@ -2519,3 +2519,34 @@ def test_chi2_independent_table_near_zero(spark, tmp_path):
     r = analytics.chi2_type_weekday(spark, p).collect()[0]
     assert (r["n"], r["n_rows"], r["n_cols"], r["dof"]) == (42, 2, 7, 6)
     assert r["chi2"] == 0.0 and r["cramers_v"] == 0.0
+
+
+def test_dsir_weights_separate_target_domain(docs):
+    """DSIR importance weights must (a) cover every doc exactly once,
+    (b) score the target slice higher ON AVERAGE than the rest (its
+    n-grams are by construction more likely under the target
+    distribution), and (c) be reproducible run to run (md5 hashing,
+    no RNG)."""
+    out = text.dsir_weights(docs, F.col("lang") == F.lit("en"))
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    tgt = [r["log_weight"] for r in rows if r["in_target"]]
+    rest = [r["log_weight"] for r in rows if not r["in_target"]]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+    again = {r["doc_id"]: r["log_weight"]
+             for r in text.dsir_weights(docs, F.col("lang") == F.lit("en")).collect()}
+    assert all(again[r["doc_id"]] == r["log_weight"] for r in rows)
+
+
+def test_dsir_weights_empty_target_slice_smoothing(spark):
+    """With ZERO target docs every bucket smooths to the same tiny
+    target probability 1/(0+B); weights are finite and the op does
+    not divide by zero."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma", "xx"), (2, "beta gamma delta", "yy")],
+        "doc_id long, text string, lang string",
+    )
+    rows = text.dsir_weights(df, F.col("lang") == F.lit("en")).collect()
+    assert len(rows) == 2
+    assert all(r["log_weight"] is not None for r in rows)

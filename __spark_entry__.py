@@ -2320,6 +2320,21 @@ def _text_top_phrases(spark, sf_dir):
     return text.top_phrases(_docs(spark, sf_dir), k=5)
 
 
+def _pipeline_dsir_select(spark, sf_dir):
+    """End-to-end DSIR data selection (pipelines.dsir_select): score
+    with text_dsir_weights (target = English), keep the exact top 20%
+    of the corpus by weight (distinct-weight cumulative threshold —
+    no corpus-scale single-partition rank), report per-source doc
+    counts, selection rate, and mean weights."""
+    from pyspark.sql import functions as F
+
+    from fossil_spark import pipelines
+
+    return pipelines.dsir_select(
+        _docs(spark, sf_dir), F.col("lang") == F.lit("en"), keep_frac=0.2
+    )
+
+
 def _text_dsir_weights(spark, sf_dir):
     """DSIR importance weights with English as the target domain:
     every document scored by hashed unigram+bigram likelihood ratio
@@ -2574,6 +2589,7 @@ _WINDOW_PRIORITY = [
     "streaming_anomaly_replay", "streaming_hh_replay",
     "streaming_psi_replay", "streaming_rollup_replay",
     "streaming_apdex_replay", "text_dsir_weights",
+    "pipeline_dsir_select",
     # canary refill: driver-green keys re-verified behind the new batch
     "agg_attribution", "dedup_quality_rep", "embedding_dup_audit",
     "ts_hampel", "ts_flatline", "text_encoding_audit",
@@ -2783,6 +2799,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curation_waterfall": _pipeline_curation_waterfall,
         "text_top_phrases": _text_top_phrases,
         "text_dsir_weights": _text_dsir_weights,
+        "pipeline_dsir_select": _pipeline_dsir_select,
         "ts_ewma_control": _ts_ewma_control,
         "dedup_winnowing": _dedup_winnowing,
         "ts_availability": _ts_availability,
@@ -8014,5 +8031,34 @@ def oracle_sql() -> dict[str, str]:
         " SELECT doc_id, in_target, CAST(sum(cnt) AS BIGINT) AS n_grams,"
         " CAST(round(sum(term), 6) AS DOUBLE) AS log_weight"
         " FROM tm GROUP BY 1, 2"
+    )
+    # DSIR selection pipeline: the dsir oracle as a CTE, the exact
+    # top-20% threshold from the distinct-weight descending cumsum
+    # (ties at the threshold all keep), per-source outcome with
+    # decimal-sum means divided once as doubles
+    out["pipeline_dsir_select"] = (
+        f"WITH w AS ({out['text_dsir_weights']}),"
+        " s AS (SELECT w.doc_id AS doc_id, w.log_weight AS log_weight,"
+        "  d.source AS source FROM w JOIN documents d USING (doc_id)),"
+        " dist AS (SELECT log_weight, count(*) AS c FROM s GROUP BY 1),"
+        " cum AS (SELECT log_weight,"
+        "  sum(c) OVER (ORDER BY log_weight DESC"
+        "   ROWS UNBOUNDED PRECEDING) AS cm,"
+        "  sum(c) OVER () AS n FROM dist),"
+        " th AS (SELECT max(CASE WHEN cm >= ceil(n * 0.2)"
+        "  THEN log_weight END) AS t FROM cum),"
+        " sel AS (SELECT s.*, log_weight >= t AS keep FROM s, th)"
+        " SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)"
+        "  AS n_selected,"
+        " floor(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)"
+        "  / count(*) * 1000000.0 + 0.5) / 1000000.0 AS selection_rate,"
+        " CAST(round(sum(CAST(log_weight AS DECIMAL(30,8))), 6)"
+        "  AS DOUBLE) / count(*) AS mean_log_weight,"
+        " CAST(round(sum(CAST(CASE WHEN keep THEN log_weight"
+        "  ELSE 0.0 END AS DECIMAL(30,8))), 6) AS DOUBLE)"
+        "  / CAST(greatest(sum(CASE WHEN keep THEN 1 ELSE 0 END), 1)"
+        "   AS DOUBLE) AS mean_selected_weight"
+        " FROM sel GROUP BY source"
     )
     return out

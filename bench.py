@@ -187,6 +187,7 @@ def main() -> None:
         "streaming_anomaly_replay", "streaming_hh_replay",
         "streaming_psi_replay", "streaming_rollup_replay",
         "streaming_apdex_replay", "text_dsir_weights",
+        "pipeline_dsir_select",
     ]
     qs = entrymod.queries()
     if comparable_only:

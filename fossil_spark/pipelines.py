@@ -758,3 +758,98 @@ def soft_dedup_weights(
             ) / F.lit(1000000.0)
         ).alias("effective_frac"),
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target,
+    keep_frac: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """End-to-end DSIR data selection: score every document with
+    [[text.dsir_weights]] (hashed n-gram target/raw likelihood
+    ratio), keep the top `keep_frac` of the corpus by weight, and
+    report the per-source outcome — the "what would importance
+    resampling actually pull from each source" readout a mixture
+    review opens with.
+
+    The top-k cut is EXACT but never ranks corpus rows through one
+    partition: the threshold is the largest distinct weight whose
+    descending cumulative doc count reaches ceil(keep_frac * n) —
+    one |distinct weights|-bounded aggregate plus a global cumsum
+    window ABOVE it (the agg_purchase_cadence pattern, lint-bounded),
+    then a broadcast scalar join back. Docs tied at the threshold all
+    keep (deterministic; the kept count can exceed keep_frac by the
+    tie width). Returns one row per source: (source, n_docs,
+    n_selected, selection_rate, mean_log_weight, mean_selected_weight).
+    """
+    from pyspark.sql import Window
+
+    w = text.dsir_weights(docs, target, text_col=text_col, id_col=id_col)
+    scored = w.join(
+        docs.select(id_col, source_col), id_col
+    ).localCheckpoint(eager=False)
+    dist = scored.groupBy("log_weight").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wcum = Window.orderBy(F.col("log_weight").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    thresh = (
+        dist.select(
+            "log_weight",
+            F.sum("__c").over(wcum).alias("__cum"),
+            F.sum("__c").over(wall).alias("__n"),
+        )
+        .agg(
+            # rows at or past the quota in DESC order all have
+            # cum >= quota; the threshold is the LARGEST of them (the
+            # weight at the quota position) — max, not min
+            F.max(
+                F.when(
+                    F.col("__cum")
+                    >= F.ceil(F.col("__n") * F.lit(float(keep_frac))),
+                    F.col("log_weight"),
+                )
+            ).alias("__thresh")
+        )
+    )
+    sel = scored.crossJoin(F.broadcast(thresh)).withColumn(
+        "__keep", F.col("log_weight") >= F.col("__thresh")
+    )
+    # means = decimal-exact sums rounded @6 then ONE double division
+    # (the baseline_stats idiom: both engines divide identical doubles)
+    return sel.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("__keep").cast("long")).alias("n_selected"),
+        (
+            F.floor(
+                F.sum(F.col("__keep").cast("long")).cast("double")
+                / F.count(F.lit(1)) * F.lit(1000000.0)
+                + F.lit(0.5)
+            ) / F.lit(1000000.0)
+        ).alias("selection_rate"),
+        (
+            F.round(F.sum(F.col("log_weight").cast("decimal(30,8)")), 6)
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_log_weight"),
+        (
+            F.round(
+                F.sum(
+                    F.when(F.col("__keep"), F.col("log_weight"))
+                    .otherwise(F.lit(0.0))
+                    .cast("decimal(30,8)")
+                ),
+                6,
+            ).cast("double")
+            / F.greatest(
+                F.sum(F.col("__keep").cast("long")), F.lit(1)
+            ).cast("double")
+        ).alias("mean_selected_weight"),
+    )

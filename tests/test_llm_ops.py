@@ -2550,3 +2550,23 @@ def test_dsir_weights_empty_target_slice_smoothing(spark):
     rows = text.dsir_weights(df, F.col("lang") == F.lit("en")).collect()
     assert len(rows) == 2
     assert all(r["log_weight"] is not None for r in rows)
+
+
+def test_dsir_select_keeps_target_heavy_top_slice(docs):
+    """The selection pipeline keeps ~keep_frac of the corpus (ties at
+    the threshold may add a sliver), selected docs average a higher
+    weight than their source overall, and every source reports."""
+    from fossil_spark import pipelines
+
+    out = pipelines.dsir_select(
+        docs, F.col("lang") == F.lit("en"), keep_frac=0.2
+    ).collect()
+    n = docs.count()
+    n_sources = docs.select("source").distinct().count()
+    assert len(out) == n_sources
+    kept = sum(r["n_selected"] for r in out)
+    assert kept >= int(n * 0.2) * 0.99  # at least the quota (ties add)
+    assert kept <= n * 0.5  # but nothing like the whole corpus
+    for r in out:
+        if 0 < r["n_selected"]:
+            assert r["mean_selected_weight"] >= r["mean_log_weight"]

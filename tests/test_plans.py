@@ -110,6 +110,7 @@ GLOBAL_WINDOW_OK = {
     "agg_skew_audit",           # rank over per-key cardinality agg
     "agg_user_outliers",        # rank over per-user feature agg
     "pipeline_anomaly_summary", # severity rank over per-(key,day) agg
+    "pipeline_dsir_select",     # threshold cumsum over DISTINCT-weight agg
     "text_heaps_law",           # cumulative types over per-prefix agg
     "text_quality_deciles",     # offset cumsum over |partitions|-row agg
     "text_zipf",                # global rank over vocabulary agg

@@ -2570,3 +2570,25 @@ def test_dsir_select_keeps_target_heavy_top_slice(docs):
     for r in out:
         if 0 < r["n_selected"]:
             assert r["mean_selected_weight"] >= r["mean_log_weight"]
+
+
+def test_quality_deciles_matches_ntile_exactly(spark):
+    """The distributed closed-form decile (range repartition +
+    per-partition offsets + the SQL-standard NTILE remainder rule)
+    must reproduce F.ntile(10) bit-for-bit at every awkward size:
+    n < k, n = k, remainder sizes, and n >> k."""
+    from pyspark.sql import Window
+
+    for n in (1, 3, 9, 10, 11, 19, 95, 101, 111):
+        df = spark.createDataFrame(
+            [(i, f"w{i % 7} " * (1 + i % 13)) for i in range(n)],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["decile"]
+               for r in text.quality_deciles(df).collect()}
+        scored = text.quality_score(df).select("doc_id", "quality")
+        w = Window.orderBy(F.col("quality"), F.col("doc_id"))
+        want = {r["doc_id"]: r["d"] for r in scored.select(
+            "doc_id", F.ntile(10).over(w).cast("long").alias("d")
+        ).collect()}
+        assert got == want, f"n={n}"

@@ -56,6 +56,55 @@ def test_streaming_sessionize(spark, workdir):
     assert ("/a", "2024-01-01 00:00:00", "2024-01-01 00:10:00", 2) in got
 
 
+def test_streaming_sessionize_batch_parity(spark, workdir):
+    """Lambda parity for session windows: every session the streaming
+    fold CLOSES must be byte-identical to the batch sessionize rollup
+    of the same drain (the two implementations are independent — the
+    state fold in streaming/stateful.py vs the lag-window flag sum in
+    operators/timeseries.py — so this is the assertion that keeps a
+    live deployment's sessions equal to its backfill's)."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from fossil_spark.operators.timeseries import sessionize
+
+    src = os.path.join(workdir, "incoming")
+    os.makedirs(src)
+    rows = [
+        ("2024-01-01T00:00:00", "/a"), ("2024-01-01T00:05:00", "/a"),
+        ("2024-01-01T01:00:00", "/a"),  # closes session 1 (gap 30m)
+        ("2024-01-01T01:10:00", "/a"),
+        ("2024-01-01T03:00:00", "/a"),  # closes session 2
+        ("2024-01-01T00:20:00", "/b"),
+        ("2024-01-01T02:00:00", "/b"),  # closes /b session 1
+    ]
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for t, topic in rows:
+            f.write(json.dumps({"time": t, "topic": topic, "value": "1"}) + "\n")
+    stream = read_json_dropbox(spark, src)
+    got = {
+        (r["topic"], str(r["session_start"]), str(r["session_end"]),
+         r["n_events"])
+        for r in _drain_append(
+            streaming_sessionize(stream, timedelta(minutes=30)),
+            f"sess_{uuid.uuid4().hex[:8]}",
+        )
+    }
+    assert len(got) >= 3  # both /a closures and the /b closure
+    static = spark.createDataFrame(
+        rows, "time string, topic string"
+    ).withColumn("time", F.col("time").cast("timestamp"))
+    batch = {
+        (r["topic"], str(r["session_start"]), str(r["session_end"]),
+         r["n_events"])
+        for r in sessionize(
+            static, timedelta(minutes=30), by=["topic"]
+        ).collect()
+    }
+    assert got <= batch  # closed streaming sessions ⊆ batch sessions
+
+
 def test_streaming_cusum_carries_state_across_batches(spark, workdir):
     from pyspark.sql import functions as F
 

@@ -61,6 +61,84 @@ SECTIONS = {
         "M4 downsampling: struct-ordered min/max in ONE map-side-combined "
         "groupBy — 4 points per bucket with a single shuffle."
     ),
+    "ts_interval_coverage": (
+        "Union-of-intervals coverage: ONE exchange; window sweep and both "
+        "aggregates share the key partitioning (marginal-contribution "
+        "identity removes the islands re-shuffle)."
+    ),
+    "dedup_substring": (
+        "ExactSubstr window stats: window hashes -> groupBy+join-back on "
+        "the narrow hash (whale-window skew-safe), then the per-doc sweep "
+        "reuses one doc partitioning."
+    ),
+    "ts_overlap_join": (
+        "Interval overlap join: both sides explode integer bucket ids; "
+        "sort-merge equi-join on (key, bucket) with the exact overlap "
+        "residual; no theta-join, no broadcast of a big side."
+    ),
+    "sample_weighted": (
+        "Weighted sample: TakeOrderedAndProject directly over the scan — "
+        "no shuffle, no global sort."
+    ),
+    "ts_decompose": (
+        "Classical decomposition: the MA trend window and row numbering "
+        "share one (key) sort; phase means are a second window — two "
+        "exchanges, zero joins, one scan."
+    ),
+    "ts_xcorr": (
+        "Cross-correlation: ONE conditional bucket aggregation resamples "
+        "both signals (no pivot, no join); the lag windows and final corr "
+        "run on the bounded bucket series."
+    ),
+    "ts_sax": (
+        "SAX: z-norm windows + PAA groupBy share ONE key exchange."
+    ),
+    "agg_user_features": (
+        "User features: lag window + groupBy on one user_id exchange; "
+        "distinct-days rides the same aggregation as an Expand."
+    ),
+    "ts_bursts": (
+        "Bursts: map-side-combined bucket counts, one trailing lag frame."
+    ),
+    "sample_temperature": (
+        "Temperature weights: one tally scan; both normalizers are "
+        "windows over the per-group table."
+    ),
+    "embedding_outliers": (
+        "Embedding outliers: JVM norm fold + two single-partition median "
+        "windows over the bounded norm column."
+    ),
+    "agg_markov": (
+        "Markov transitions: lag window + pair counts on one scan; "
+        "normalization window runs over the k^2 transition table."
+    ),
+    "embedding_coherence": (
+        "Coherence: exploded (label,dim) centroid means + broadcast join "
+        "back; cosine is a JVM fold."
+    ),
+    "ts_heatmap": (
+        "Heatmap: one map-side-combined groupBy on (key, weekday, hour)."
+    ),
+    "text_code_detector": (
+        "Code detector: pure column expressions fold into the scan — "
+        "zero exchanges."
+    ),
+    "streaming_anomaly_replay": (
+        "Streaming-anomaly batch replay (round 9): the LITERAL streaming "
+        "function on a static drain — windowed agg + broadcast baseline "
+        "join; the stream side never shuffles beyond its window groupBy."
+    ),
+    "text_dsir_weights": (
+        "DSIR importance weights (round 9): gram explode -> md5 bucket "
+        "hash -> (doc,bucket) counts checkpointed once -> ONE conditional "
+        "1024-row bucket aggregate -> broadcast log-ratio join-back."
+    ),
+    "text_quality_deciles": (
+        "Exact deciles, distributed (round 9 rewrite): range repartition "
+        "+ per-partition row_number + broadcast |partitions|-row offset "
+        "table — no single-partition corpus sort; NTILE rule in closed "
+        "form from the global rank."
+    ),
 }
 
 HEADER = """# Plan audit (captured)

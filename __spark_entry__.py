@@ -7942,7 +7942,8 @@ def oracle_sql() -> dict[str, str]:
     )
     out["streaming_psi_replay"] = (
         "WITH h AS (SELECT event_type, value"
-        f" FROM {_EV} e WHERE ts < TIMESTAMP '2024-01-16'),"
+        f" FROM {_EV} e WHERE ts < TIMESTAMP '2024-01-16'"
+        "  AND value IS NOT NULL),"
         " ed AS (SELECT event_type, list_transform(quantile_cont(value,"
         " [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),"
         " e -> round(e, 6)) AS edges, count(value) AS nref"
@@ -7959,7 +7960,7 @@ def oracle_sql() -> dict[str, str]:
         " lb AS (SELECT date_trunc('hour', e.ts) AS bucket,"
         f"  e.event_type, {_psi_bin} AS bin"
         f"  FROM {_EV} e JOIN ed USING (event_type)"
-        "  WHERE ts >= TIMESTAMP '2024-01-16'),"
+        "  WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL),"
         " lc AS (SELECT bucket, event_type, count(*) AS n, "
         + ", ".join(
             f"sum(CASE WHEN bin = {b} THEN 1 ELSE 0 END) AS c{b}"

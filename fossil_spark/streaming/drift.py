@@ -118,9 +118,13 @@ def streaming_psi(
     `append` (the watermark closes windows); `profile` comes from
     reference_profile() and both its uses broadcast. Keys absent from
     the profile are dropped — no reference, no drift score. Returns
-    (bucket, key, n, psi, drifted)."""
+    (bucket, key, n, psi, drifted). NULL values are dropped before
+    binning (the streaming_apdex rule: "no measurement" is not a
+    distribution sample — otherwise they would count in n but in no
+    bin and silently dilute every fraction)."""
     binned = (
-        stream.withWatermark(time_col, watermark)
+        stream.filter(F.col(value_col).isNotNull())
+        .withWatermark(time_col, watermark)
         .join(F.broadcast(profile.select(key_col, "edges")), key_col)
         .select(
             time_col, key_col, _bin_idx(F.col(value_col)).alias("__bin")

@@ -196,9 +196,13 @@ def _drain_append(out, name):
 
 def _monitor_fixture(spark, src):
     """Two topics, minute-windowed: /hot spikes far above baseline in
-    its second minute; /calm stays on baseline. A late straggler for
-    a long-closed window lands beyond the 2-minute watermark. Returns
-    the same rows as a static DataFrame for the replay side."""
+    its second minute; /calm stays on baseline; minutes 2-4 keep the
+    clock moving so the watermark closes windows 0-1. All rows are
+    on-time — the replay contract covers the ARITHMETIC of closed
+    windows on one drain (late-vs-dropped delivery divergence is the
+    stream's domain; cross-batch state is covered by the cusum
+    checkpoint-recovery test). Returns the same rows as a static
+    DataFrame for the replay side."""
     rows = []
     for i in range(6):  # minute 0: both on baseline
         rows.append(("2024-01-01T00:00:%02d" % (i * 9), "/hot", 10.0 + i % 2))
@@ -353,6 +357,30 @@ def test_streaming_apdex_replay_parity(spark, workdir):
             r["n"], r["n_satisfied"], r["n_tolerating"], r["n_frustrated"]
         )
         assert rb["apdex"] == r["apdex"]
+
+
+def test_psi_drops_null_values(spark):
+    """NULL values must not reach any bin OR the window count n —
+    they would otherwise dilute every bin fraction (counted in
+    count(*) but binned nowhere). Pinned on the replay twin, which
+    runs the identical plan."""
+    from pyspark.sql import functions as F
+
+    from fossil_spark.streaming.drift import psi_replay, reference_profile
+
+    history = spark.createDataFrame(
+        [("/m", float(i)) for i in range(1, 9)],
+        "topic string, value double",
+    )
+    profile = reference_profile(history, n_bins=4)
+    live = spark.createDataFrame(
+        [("2024-01-01T00:00:10", "/m", 2.0),
+         ("2024-01-01T00:00:20", "/m", 6.0),
+         ("2024-01-01T00:00:30", "/m", None)],
+        "time string, topic string, value double",
+    ).withColumn("time", F.col("time").cast("timestamp"))
+    (row,) = psi_replay(live, profile, "1 minute", n_bins=4).collect()
+    assert row["n"] == 2  # the NULL row is dropped, not diluted
 
 
 def test_streaming_psi_replay_parity(spark, workdir):

@@ -2320,6 +2320,21 @@ def _text_top_phrases(spark, sf_dir):
     return text.top_phrases(_docs(spark, sf_dir), k=5)
 
 
+def _ts_matrix_profile(spark, sf_dir):
+    """Matrix profile per event type (operators.timeseries.
+    matrix_profile, UCR MP — Yeh et al. 2016): nearest-non-
+    overlapping-neighbor z-normalized distance for every 12-bucket
+    (24 h at 2 h buckets) subsequence. Minima = recurring daily
+    motifs; maxima = discords, the threshold-free 'weirdest day'
+    detector."""
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.matrix_profile(
+        _events(spark, sf_dir), w=12, every="2 hours",
+        time_col="ts", by=["event_type"], value_col="value",
+    )
+
+
 def _pipeline_dsir_select(spark, sf_dir):
     """End-to-end DSIR data selection (pipelines.dsir_select): score
     with text_dsir_weights (target = English), keep the exact top 20%
@@ -2589,7 +2604,7 @@ _WINDOW_PRIORITY = [
     "streaming_anomaly_replay", "streaming_hh_replay",
     "streaming_psi_replay", "streaming_rollup_replay",
     "streaming_apdex_replay", "text_dsir_weights",
-    "pipeline_dsir_select",
+    "pipeline_dsir_select", "ts_matrix_profile",
     # canary refill: driver-green keys re-verified behind the new batch
     "agg_attribution", "dedup_quality_rep", "embedding_dup_audit",
     "ts_hampel", "ts_flatline", "text_encoding_audit",
@@ -2800,6 +2815,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_phrases": _text_top_phrases,
         "text_dsir_weights": _text_dsir_weights,
         "pipeline_dsir_select": _pipeline_dsir_select,
+        "ts_matrix_profile": _ts_matrix_profile,
         "ts_ewma_control": _ts_ewma_control,
         "dedup_winnowing": _dedup_winnowing,
         "ts_availability": _ts_availability,
@@ -8061,5 +8077,50 @@ def oracle_sql() -> dict[str, str]:
         "  / CAST(greatest(sum(CASE WHEN keep THEN 1 ELSE 0 END), 1)"
         "   AS DOUBLE) AS mean_selected_weight"
         " FROM sel GROUP BY source"
+    )
+    # Matrix profile: the same IEEE arithmetic the JVM expressions
+    # run, but shaped relationally for DuckDB speed — z-profiles
+    # precomputed per subsequence ((x-mu)/sg, division before
+    # subtraction, as in the Spark fold), the exclusion-zone pair
+    # join, the 12-term d2 as the same left fold, and the argmin as
+    # lexicographic min([d2, j]) (== Spark's strict-<-keeps-earliest
+    # sentinel fold; all-excluded rows LEFT-JOIN to NULL, matching
+    # the [1e308,-1] sentinel -> NULL output)
+    _mp_w, _mp_excl = 12, 6
+    out["ts_matrix_profile"] = (
+        "WITH b AS (SELECT event_type,"
+        " time_bucket(INTERVAL 2 HOUR, ts) AS bucket,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "  / count(value) AS v"
+        f" FROM {_EV} e GROUP BY 1, 2),"
+        " a AS (SELECT event_type, list(v ORDER BY bucket) AS vals,"
+        "  list(bucket ORDER BY bucket) AS bks FROM b GROUP BY 1),"
+        f" n AS (SELECT event_type, vals, bks,"
+        f"  len(vals) - {_mp_w} + 1 AS nsub FROM a"
+        f"  WHERE len(vals) >= {_mp_w}),"
+        " e1 AS (SELECT event_type, vals, bks, nsub,"
+        "  unnest(range(nsub)) AS i FROM n),"
+        " st AS (SELECT event_type, i, bks, nsub,"
+        f"  list_reduce(vals[i + 1 : i + {_mp_w}], (a, x) -> a + x)"
+        f"   / {float(_mp_w)} AS mu,"
+        f"  vals[i + 1 : i + {_mp_w}] AS win FROM e1),"
+        " zt AS (SELECT event_type, i, bks, nsub,"
+        "  list_transform(win, x -> (x - mu) / greatest(sqrt(greatest("
+        "   list_reduce(list_transform(win,"
+        "    y -> (y - mu) * (y - mu)), (a, x) -> a + x)"
+        f"   / {float(_mp_w)}, 0.0)), 1e-12)) AS z FROM st),"
+        " p AS (SELECT l.event_type AS event_type, l.i AS i,"
+        "  min([list_reduce(list_transform("
+        f"   range({_mp_w}),"
+        "   k -> (l.z[k + 1] - r.z[k + 1]) * (l.z[k + 1] - r.z[k + 1])),"
+        "   (a, x) -> a + x), r.i::DOUBLE]) AS best"
+        "  FROM zt l JOIN zt r ON l.event_type = r.event_type"
+        f"  AND abs(l.i - r.i) >= {_mp_excl} GROUP BY 1, 2)"
+        " SELECT e.event_type, CAST(e.i AS BIGINT) AS idx,"
+        " e.bks[e.i + 1] AS bucket,"
+        " round(sqrt(p.best[1]), 6) AS mp,"
+        " CAST(p.best[2] AS BIGINT) AS mp_idx"
+        " FROM zt e LEFT JOIN p ON p.event_type = e.event_type"
+        "  AND p.i = e.i"
     )
     return out

@@ -187,7 +187,7 @@ def main() -> None:
         "streaming_anomaly_replay", "streaming_hh_replay",
         "streaming_psi_replay", "streaming_rollup_replay",
         "streaming_apdex_replay", "text_dsir_weights",
-        "pipeline_dsir_select",
+        "pipeline_dsir_select", "ts_matrix_profile",
     ]
     qs = entrymod.queries()
     if comparable_only:

@@ -4958,3 +4958,133 @@ def availability(
         ).alias("availability"),
         "longest_down_run",
     )
+
+
+def matrix_profile(
+    df: DataFrame,
+    w: int = 12,
+    every: str = "2 hours",
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    max_buckets: int = 4096,
+) -> DataFrame:
+    """Matrix profile per key: for every length-`w` subsequence of the
+    bucketed series, the z-normalized Euclidean distance to its
+    NEAREST non-overlapping neighbor (UCR matrix profile, Yeh et al.
+    2016, ICDM — public research). Low values = recurring motifs
+    (the series repeats this shape elsewhere); the maxima are
+    discords — the classic "weirdest window in the metric" detector
+    that needs no threshold, baseline, or training.
+
+    Spark shape: one decimal-mean bucket aggregation (calendar-
+    bounded, guarded at `max_buckets`), one per-key ordered array,
+    then the O(n_sub² · w) distance scan as PURE nested higher-order
+    JVM expressions (sequence/aggregate/slice) — no Python, no
+    joins; keys parallelize across tasks and the per-key grid is
+    bounded by the calendar, not the corpus. Exclusion zone w//2
+    (trivial-match suppression). Flat windows get sigma floored at
+    1e-12 (their z-profile is ~0, distances stay finite and
+    deterministic). All folds are sequential left-to-right IEEE
+    doubles, so the DuckDB oracle replays them bit-for-bit.
+
+    Returns (key..., idx, bucket, mp, mp_idx): subsequence index, its
+    start bucket, round@6 profile value, and the neighbor index
+    (NULL/NULL when every candidate falls in the exclusion zone)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    b = (
+        df.groupBy(F.window(F.col(time_col), every).start.alias("bucket"), *by)
+        .agg(_dec_avg(value_col).alias("__v"))
+    )
+    b = _bucket_count_guard(b, by, "matrix_profile", max_buckets)
+    excl = max(1, w // 2)
+    arr = (
+        b.groupBy(*by)
+        .agg(F.array_sort(F.collect_list(F.struct("bucket", "__v"))).alias("__s"))
+        .select(
+            *by,
+            F.transform("__s", lambda s: s["bucket"]).alias("__bks"),
+            F.transform("__s", lambda s: s["__v"]).alias("__vals"),
+        )
+        .withColumn("__nsub", F.size("__vals") - F.lit(w) + F.lit(1))
+        .filter(F.col("__nsub") >= 1)
+        .withColumn("__idx", F.sequence(F.lit(0), F.col("__nsub") - 1))
+    )
+    win_sum = lambda i: F.aggregate(
+        F.slice("__vals", i + 1, w), F.lit(0.0), lambda a, x: a + x
+    )
+    arr = arr.withColumn(
+        "__mu", F.transform("__idx", lambda i: win_sum(i) / F.lit(float(w)))
+    )
+    dev_sum = lambda i: F.aggregate(
+        F.slice("__vals", i + 1, w),
+        F.lit(0.0),
+        lambda a, x: a
+        + (x - F.element_at("__mu", i + 1)) * (x - F.element_at("__mu", i + 1)),
+    )
+    arr = arr.withColumn(
+        "__sg",
+        F.transform(
+            "__idx",
+            lambda i: F.greatest(
+                F.sqrt(F.greatest(dev_sum(i) / F.lit(float(w)), F.lit(0.0))),
+                F.lit(1e-12),
+            ),
+        ),
+    )
+    rows = arr.select(*by, "__bks", "__vals", "__mu", "__sg", "__nsub",
+                      F.explode("__idx").alias("idx"))
+
+    def znd2(i, j):
+        # z-normalized squared distance, sequential fold over k
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(w - 1)),
+            F.lit(0.0),
+            lambda a, k: a
+            + (
+                (F.element_at("__vals", i + k + 1) - F.element_at("__mu", i + 1))
+                / F.element_at("__sg", i + 1)
+                - (F.element_at("__vals", j + k + 1) - F.element_at("__mu", j + 1))
+                / F.element_at("__sg", j + 1)
+            )
+            * (
+                (F.element_at("__vals", i + k + 1) - F.element_at("__mu", i + 1))
+                / F.element_at("__sg", i + 1)
+                - (F.element_at("__vals", j + k + 1) - F.element_at("__mu", j + 1))
+                / F.element_at("__sg", j + 1)
+            ),
+        )
+
+    i = F.col("idx")
+    # candidates first (one znd2 eval per j; the exclusion zone gets
+    # the [1e308,-1] sentinel), then a strict-< min fold — keeps the
+    # earliest neighbor on ties, sentinel rows can never win
+    cands = F.transform(
+        F.sequence(F.lit(0), F.col("__nsub") - 1),
+        lambda j: F.when(
+            F.abs(j - i) < F.lit(excl),
+            F.array(F.lit(1e308), F.lit(-1.0)),
+        ).otherwise(F.array(znd2(i, j), j.cast("double"))),
+    )
+    best = F.aggregate(
+        cands,
+        F.array(F.lit(1e308), F.lit(-1.0)),
+        lambda acc, c: F.when(
+            F.element_at(c, 1) < F.element_at(acc, 1), c
+        ).otherwise(acc),
+    )
+    out = rows.withColumn("__best", best).select(
+        *by,
+        F.col("idx").cast("long").alias("idx"),
+        F.element_at("__bks", i + 1).alias("bucket"),
+        F.when(
+            F.element_at("__best", 2) >= 0,
+            F.round(F.sqrt(F.element_at("__best", 1)), 6),
+        ).alias("mp"),
+        F.when(
+            F.element_at("__best", 2) >= 0,
+            F.element_at("__best", 2).cast("long"),
+        ).alias("mp_idx"),
+    )
+    return out

@@ -2256,3 +2256,37 @@ def test_availability_counts_empty_buckets_as_down(spark):
     r = ts.availability(df, 0.5, "1 hour", "ts").collect()[0]
     assert (r["n_buckets"], r["n_down"], r["longest_down_run"]) == (10, 3, 3)
     assert r["availability"] == 0.7
+
+
+def test_matrix_profile_finds_motifs_and_discord(spark):
+    """A period-12 series has an exact non-overlapping copy of every
+    window (mp ~ 0 after z-norm); windows overlapping an injected
+    anomaly burst are the profile maxima (the discord); neighbor
+    indices respect the exclusion zone."""
+    from datetime import datetime, timedelta
+
+    from fossil_spark.operators.timeseries import matrix_profile
+
+    base = [10, 12, 15, 19, 24, 30, 24, 19, 15, 12, 10, 9]
+    vals = [float(base[i % 12]) for i in range(96)]
+    for i in range(48, 54):  # anomaly burst breaks the period
+        vals[i] = 95.0 + (i % 3)
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(t0 + timedelta(hours=i), "/m", vals[i]) for i in range(96)],
+        "time timestamp, topic string, value double",
+    )
+    out = matrix_profile(
+        df, w=12, every="1 hour", time_col="time", by=["topic"]
+    ).collect()
+    assert len(out) == 96 - 12 + 1
+    by_idx = {r["idx"]: r for r in out}
+    # motif: a clean periodic window far from the burst has a
+    # near-zero profile (its exact copy one period away)
+    assert by_idx[0]["mp"] < 1e-4
+    assert abs(by_idx[0]["mp_idx"] - 0) >= 6  # exclusion respected
+    # discord: the global max sits on a window overlapping the burst
+    worst = max(out, key=lambda r: r["mp"])
+    assert 48 - 12 < worst["idx"] < 54, worst
+    for r in out:
+        assert abs(r["mp_idx"] - r["idx"]) >= 6

@@ -2290,3 +2290,31 @@ def test_matrix_profile_finds_motifs_and_discord(spark):
     assert 48 - 12 < worst["idx"] < 54, worst
     for r in out:
         assert abs(r["mp_idx"] - r["idx"]) >= 6
+
+
+def test_matrix_profile_affine_invariant(spark):
+    """z-normalization makes the profile invariant to positive affine
+    transforms of the series (value*a + b): same mp values (round@6
+    absorbs float wiggle), same neighbor indices."""
+    from datetime import datetime, timedelta
+
+    from fossil_spark.operators.timeseries import matrix_profile
+
+    t0 = datetime(2024, 1, 1)
+    vals = [float((i * 37 % 23) + (i % 5)) for i in range(60)]
+    rows = [(t0 + timedelta(hours=i), "/m", vals[i]) for i in range(60)]
+    df1 = spark.createDataFrame(
+        rows, "time timestamp, topic string, value double"
+    )
+    df2 = spark.createDataFrame(
+        [(t, k, v * 3.0 + 100.0) for t, k, v in rows],
+        "time timestamp, topic string, value double",
+    )
+    mp1 = {r["idx"]: (r["mp"], r["mp_idx"]) for r in matrix_profile(
+        df1, w=12, every="1 hour", time_col="time", by=["topic"]).collect()}
+    mp2 = {r["idx"]: (r["mp"], r["mp_idx"]) for r in matrix_profile(
+        df2, w=12, every="1 hour", time_col="time", by=["topic"]).collect()}
+    assert mp1.keys() == mp2.keys()
+    for i in mp1:
+        assert mp1[i][1] == mp2[i][1], i  # same neighbor
+        assert abs(mp1[i][0] - mp2[i][0]) < 1e-5, i

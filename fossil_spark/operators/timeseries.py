@@ -5033,27 +5033,40 @@ def matrix_profile(
             ),
         ),
     )
-    rows = arr.select(*by, "__bks", "__vals", "__mu", "__sg", "__nsub",
-                      F.explode("__idx").alias("idx"))
+    # HOF-shape notes (all measured at sf0.1): HOFs evaluate
+    # interpreted — node count per element IS the runtime. Flat
+    # primitive arrays index O(1); precomputing per-subsequence
+    # z-profiles as array<array<double>> is 3-4x SLOWER (nested
+    # element_at copies the inner list per call). The fast shape:
+    # hoist the i-side (mu, sg) as per-row columns, hand the j-side
+    # (mu, sg, j) to the lambda as ONE arrays_zip struct (field reads,
+    # no array lookups), zip_with the two value slices (array args
+    # evaluate once per pair), and bind each difference once in the
+    # fold (acc + t*t — identical IEEE order to summing squared terms
+    # 0.0-init, which is what the oracle replays).
+    rows = (
+        arr.select(*by, "__bks", "__vals", "__mu", "__sg", "__nsub",
+                   F.explode("__idx").alias("idx"))
+        .withColumn("__mu_i", F.element_at("__mu", F.col("idx") + 1))
+        .withColumn("__sg_i", F.element_at("__sg", F.col("idx") + 1))
+        .withColumn(
+            "__jseq", F.sequence(F.lit(0), F.col("__nsub") - 1)
+        )
+        .withColumn("__jzip", F.arrays_zip("__mu", "__sg", "__jseq"))
+    )
 
-    def znd2(i, j):
-        # z-normalized squared distance, sequential fold over k
+    def znd2(i, s):
+        # z-normalized squared distance vs subsequence s (a struct of
+        # the j-side mu/sg/index): sequential fold, term bound once
         return F.aggregate(
-            F.sequence(F.lit(0), F.lit(w - 1)),
-            F.lit(0.0),
-            lambda a, k: a
-            + (
-                (F.element_at("__vals", i + k + 1) - F.element_at("__mu", i + 1))
-                / F.element_at("__sg", i + 1)
-                - (F.element_at("__vals", j + k + 1) - F.element_at("__mu", j + 1))
-                / F.element_at("__sg", j + 1)
-            )
-            * (
-                (F.element_at("__vals", i + k + 1) - F.element_at("__mu", i + 1))
-                / F.element_at("__sg", i + 1)
-                - (F.element_at("__vals", j + k + 1) - F.element_at("__mu", j + 1))
-                / F.element_at("__sg", j + 1)
+            F.zip_with(
+                F.slice("__vals", i + 1, F.lit(w)),
+                F.slice("__vals", s["__jseq"] + 1, F.lit(w)),
+                lambda a, b: (a - F.col("__mu_i")) / F.col("__sg_i")
+                - (b - s["__mu"]) / s["__sg"],
             ),
+            F.lit(0.0),
+            lambda acc, t: acc + t * t,
         )
 
     i = F.col("idx")
@@ -5061,11 +5074,13 @@ def matrix_profile(
     # the [1e308,-1] sentinel), then a strict-< min fold — keeps the
     # earliest neighbor on ties, sentinel rows can never win
     cands = F.transform(
-        F.sequence(F.lit(0), F.col("__nsub") - 1),
-        lambda j: F.when(
-            F.abs(j - i) < F.lit(excl),
+        "__jzip",
+        lambda s: F.when(
+            F.abs(s["__jseq"] - i) < F.lit(excl),
             F.array(F.lit(1e308), F.lit(-1.0)),
-        ).otherwise(F.array(znd2(i, j), j.cast("double"))),
+        ).otherwise(
+            F.array(znd2(i, s), s["__jseq"].cast("double"))
+        ),
     )
     best = F.aggregate(
         cands,

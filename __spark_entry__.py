@@ -2324,9 +2324,11 @@ def _ts_matrix_profile(spark, sf_dir):
     """Matrix profile per event type (operators.timeseries.
     matrix_profile, UCR MP — Yeh et al. 2016): nearest-non-
     overlapping-neighbor z-normalized distance for every 12-bucket
-    (24 h at 2 h buckets) subsequence. Minima = recurring daily
-    motifs; maxima = discords, the threshold-free 'weirdest day'
-    detector."""
+    subsequence of the OBSERVED 2h-bucket sequence (positional, not
+    calendar: on a gapless feed 12 buckets = 24 h; empty buckets are
+    skipped, not zero-filled — gapfill first if calendar alignment
+    matters). Minima = recurring motifs; maxima = discords, the
+    threshold-free 'weirdest window' detector."""
     from fossil_spark.operators import timeseries as ts
 
     return ts.matrix_profile(
@@ -8085,14 +8087,18 @@ def oracle_sql() -> dict[str, str]:
     # join, the 12-term d2 as the same left fold, and the argmin as
     # lexicographic min([d2, j]) (== Spark's strict-<-keeps-earliest
     # sentinel fold; all-excluded rows LEFT-JOIN to NULL, matching
-    # the [1e308,-1] sentinel -> NULL output)
+    # the [1e308,-1] sentinel -> NULL output). The min-vs-sentinel
+    # equivalence needs every d2 non-NULL, which the shared
+    # value-IS-NOT-NULL pre-filter guarantees (an all-NULL bucket
+    # would otherwise make Spark keep the sentinel while min sorts
+    # [NULL, j] by j)
     _mp_w, _mp_excl = 12, 6
     out["ts_matrix_profile"] = (
         "WITH b AS (SELECT event_type,"
         " time_bucket(INTERVAL 2 HOUR, ts) AS bucket,"
         " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
         "  / count(value) AS v"
-        f" FROM {_EV} e GROUP BY 1, 2),"
+        f" FROM {_EV} e WHERE value IS NOT NULL GROUP BY 1, 2),"
         " a AS (SELECT event_type, list(v ORDER BY bucket) AS vals,"
         "  list(bucket ORDER BY bucket) AS bks FROM b GROUP BY 1),"
         f" n AS (SELECT event_type, vals, bks,"

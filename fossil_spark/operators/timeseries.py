@@ -4977,6 +4977,11 @@ def matrix_profile(
     discords — the classic "weirdest window in the metric" detector
     that needs no threshold, baseline, or training.
 
+    Subsequences are POSITIONAL over the observed bucket sequence:
+    empty buckets are skipped, not zero-filled, so on a gapped feed a
+    w-window spans more wall-clock than w*every. Run gapfill_locf /
+    gapfill_interp first when calendar alignment matters.
+
     Spark shape: one decimal-mean bucket aggregation (calendar-
     bounded, guarded at `max_buckets`), one per-key ordered array,
     then the O(n_sub² · w) distance scan as PURE nested higher-order
@@ -4993,8 +4998,14 @@ def matrix_profile(
     (NULL/NULL when every candidate falls in the exclusion zone)."""
     by = by or []
     df = _time_norm(df, time_col)
+    # NULL values drop before bucketing (the streaming_psi rule): an
+    # all-NULL bucket would otherwise put a NULL mean into the series
+    # array and NULL-poison every distance fold that touches it —
+    # blanking mp for w windows and diverging from the oracle's
+    # NULL-ordering min
     b = (
-        df.groupBy(F.window(F.col(time_col), every).start.alias("bucket"), *by)
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.window(F.col(time_col), every).start.alias("bucket"), *by)
         .agg(_dec_avg(value_col).alias("__v"))
     )
     b = _bucket_count_guard(b, by, "matrix_profile", max_buckets)
@@ -5049,6 +5060,7 @@ def matrix_profile(
                    F.explode("__idx").alias("idx"))
         .withColumn("__mu_i", F.element_at("__mu", F.col("idx") + 1))
         .withColumn("__sg_i", F.element_at("__sg", F.col("idx") + 1))
+        .withColumn("__win_i", F.slice("__vals", F.col("idx") + 1, w))
         .withColumn(
             "__jseq", F.sequence(F.lit(0), F.col("__nsub") - 1)
         )
@@ -5057,10 +5069,12 @@ def matrix_profile(
 
     def znd2(i, s):
         # z-normalized squared distance vs subsequence s (a struct of
-        # the j-side mu/sg/index): sequential fold, term bound once
+        # the j-side mu/sg/index): sequential fold, term bound once;
+        # the i-side window is the hoisted per-row __win_i (re-slicing
+        # it here would copy the same 12 doubles once per candidate j)
         return F.aggregate(
             F.zip_with(
-                F.slice("__vals", i + 1, F.lit(w)),
+                F.col("__win_i"),
                 F.slice("__vals", s["__jseq"] + 1, F.lit(w)),
                 lambda a, b: (a - F.col("__mu_i")) / F.col("__sg_i")
                 - (b - s["__mu"]) / s["__sg"],

@@ -2284,11 +2284,11 @@ def test_matrix_profile_finds_motifs_and_discord(spark):
     # motif: a clean periodic window far from the burst has a
     # near-zero profile (its exact copy one period away)
     assert by_idx[0]["mp"] < 1e-4
-    assert abs(by_idx[0]["mp_idx"] - 0) >= 6  # exclusion respected
     # discord: the global max sits on a window overlapping the burst
     worst = max(out, key=lambda r: r["mp"])
     assert 48 - 12 < worst["idx"] < 54, worst
     for r in out:
+        assert r["mp_idx"] is not None, r  # clean failure over TypeError
         assert abs(r["mp_idx"] - r["idx"]) >= 6
 
 
@@ -2318,3 +2318,29 @@ def test_matrix_profile_affine_invariant(spark):
     for i in mp1:
         assert mp1[i][1] == mp2[i][1], i  # same neighbor
         assert abs(mp1[i][0] - mp2[i][0]) < 1e-5, i
+
+
+def test_matrix_profile_drops_null_values(spark):
+    """An all-NULL bucket must vanish from the series, not inject a
+    NULL mean that poisons every distance fold touching it (the
+    review-confirmed divergence: Spark's fold kept the sentinel while
+    the oracle's min sorted [NULL, j] by j)."""
+    from datetime import datetime, timedelta
+
+    from fossil_spark.operators.timeseries import matrix_profile
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        v = None if i == 15 else float((i * 7) % 11 + 1)
+        rows.append((t0 + timedelta(hours=2 * i), "/m", v))
+    df = spark.createDataFrame(
+        rows, "time timestamp, topic string, value double"
+    )
+    out = matrix_profile(
+        df, w=12, every="2 hours", time_col="time", by=["topic"]
+    ).collect()
+    # 29 non-NULL buckets -> 29 - 12 + 1 subsequences, all scored
+    assert len(out) == 18
+    for r in out:
+        assert r["mp"] is not None and r["mp_idx"] is not None, r

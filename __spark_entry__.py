@@ -2320,6 +2320,19 @@ def _text_top_phrases(spark, sf_dir):
     return text.top_phrases(_docs(spark, sf_dir), k=5)
 
 
+def _embedding_kcenter(spark, sf_dir):
+    """Greedy k-center coreset over the embedding corpus
+    (operators.ann.kcenter_select, Gonzalez farthest-point): the 8
+    vectors that 2-approximate the minimal covering radius — the
+    diversity-first data-selection counterpart to text_dsir_weights'
+    domain-likelihood ranking. Deterministic seed + tie-breaks; the
+    oracle replays the full greedy trace via a recursive CTE."""
+    from fossil_spark.operators import ann
+    from fossil_spark.session import read_table
+
+    return ann.kcenter_select(read_table(spark, sf_dir, "embeddings"), k=8)
+
+
 def _ts_matrix_profile(spark, sf_dir):
     """Matrix profile per event type (operators.timeseries.
     matrix_profile, UCR MP — Yeh et al. 2016): nearest-non-
@@ -2606,7 +2619,7 @@ _WINDOW_PRIORITY = [
     "streaming_anomaly_replay", "streaming_hh_replay",
     "streaming_psi_replay", "streaming_rollup_replay",
     "streaming_apdex_replay", "text_dsir_weights",
-    "pipeline_dsir_select", "ts_matrix_profile",
+    "pipeline_dsir_select", "ts_matrix_profile", "embedding_kcenter",
     # canary refill: driver-green keys re-verified behind the new batch
     "agg_attribution", "dedup_quality_rep", "embedding_dup_audit",
     "ts_hampel", "ts_flatline", "text_encoding_audit",
@@ -2818,6 +2831,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dsir_weights": _text_dsir_weights,
         "pipeline_dsir_select": _pipeline_dsir_select,
         "ts_matrix_profile": _ts_matrix_profile,
+        "embedding_kcenter": _embedding_kcenter,
         "ts_ewma_control": _ts_ewma_control,
         "dedup_winnowing": _dedup_winnowing,
         "ts_availability": _ts_availability,
@@ -8128,5 +8142,50 @@ def oracle_sql() -> dict[str, str]:
         " CAST(p.best[2] AS BIGINT) AS mp_idx"
         " FROM zt e LEFT JOIN p ON p.event_type = e.event_type"
         "  AND p.i = e.i"
+    )
+    # Greedy k-center coreset: the recursive CTE replays the exact
+    # greedy trace — state = (remaining ids/vecs/min-dists, picked),
+    # one pick per recursion; argmax via a strictly-greater fold over
+    # positions (== Spark's orderBy(mind DESC, id ASC) tie-break,
+    # ids ascend with position), distances as the same
+    # squared-diff-list + 0-init-equivalent left fold
+    _kc_d2 = lambda a, b: (
+        f"list_reduce(list_transform(range(len({a})),"
+        f" t -> ({a}[t + 1] - {b}[t + 1]) * ({a}[t + 1] - {b}[t + 1])),"
+        " (x, y) -> x + y)"
+    )
+    out["embedding_kcenter"] = (
+        "WITH RECURSIVE v AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec"
+        " FROM embeddings),"
+        " agg AS (SELECT list(vec_id ORDER BY vec_id) AS ids0,"
+        "  list(vec ORDER BY vec_id) AS vecs0 FROM v),"
+        " rec(r, ids, vecs, minds, picked) AS ("
+        "  SELECT 1, ids0[2:], vecs0[2:],"
+        "   list_transform(vecs0[2:],"
+        f"    x -> {_kc_d2('x', 'vecs0[1]')}),"
+        "   [struct_pack(o := 0, id := ids0[1], d := NULL::DOUBLE)]"
+        "  FROM agg"
+        "  UNION ALL"
+        "  SELECT r + 1, ids2, vecs2,"
+        "   list_transform(range(len(mr)),"
+        f"    q -> least(mr[q + 1], {_kc_d2('vecs2[q + 1]', 'nv')})),"
+        "   list_append(picked,"
+        "    struct_pack(o := r, id := nid, d := nd))"
+        "  FROM (SELECT r, picked,"
+        "    list_concat(ids[1 : bp - 1], ids[bp + 1 :]) AS ids2,"
+        "    list_concat(vecs[1 : bp - 1], vecs[bp + 1 :]) AS vecs2,"
+        "    list_concat(minds[1 : bp - 1], minds[bp + 1 :]) AS mr,"
+        "    vecs[bp] AS nv, ids[bp] AS nid, minds[bp] AS nd"
+        "   FROM (SELECT rec.*, CAST(list_reduce("
+        "     list_transform(range(len(minds)),"
+        "      p -> [minds[p + 1], CAST(p + 1 AS DOUBLE)]),"
+        "     (a, c) -> CASE WHEN c[1] > a[1] THEN c ELSE a END)[2]"
+        "     AS INT) AS bp"
+        "    FROM rec WHERE r <= 7 AND len(ids) > 0) s1) s2),"
+        " fin AS (SELECT picked FROM rec ORDER BY r DESC LIMIT 1)"
+        " SELECT CAST(t.o AS BIGINT) AS sel_order,"
+        " CAST(t.id AS BIGINT) AS vec_id, round(t.d, 6) AS sel_d2"
+        " FROM (SELECT unnest(picked) AS t FROM fin)"
     )
     return out

@@ -1698,3 +1698,74 @@ def index_agreement(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-
+    point traversal — public classic; the coreset recipe behind
+    diversity-driven training-data selection: pick the k points that
+    2-approximate the minimal covering radius). Deterministic: seed =
+    smallest id, each round adds the point farthest (squared
+    Euclidean) from everything selected so far, ties broken on the
+    smaller id.
+
+    Spark shape: k-1 rounds, each ONE distributed column update
+    (min-so-far distance vs the newest center, a zip_with fold over
+    the vector — JVM, no UDF) plus ONE TakeOrdered argmax; the only
+    driver traffic is k single-vector pulls (the sanctioned ann_ivf
+    centroid-pull shape). Scales as k linear passes over the corpus —
+    the textbook distributed farthest-point sweep. The fold orders
+    are fixed (squared diffs summed left-to-right, 0-init), so the
+    DuckDB oracle replays the full greedy trace bit-for-bit via a
+    recursive CTE over the same state.
+
+    Returns k rows: (sel_order, id, sel_d2) — selection rank, the
+    chosen id, and its distance-to-selected-set at selection time
+    (NULL for the seed; the max sel_d2 is the coverage radius the
+    next center would have shaved)."""
+    spark = df.sparkSession
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("__vec"),
+    )
+    v = v.localCheckpoint(eager=False)  # k passes read it; score once
+
+    def d2_to(center_vals):
+        center = F.array(*[F.lit(float(c)) for c in center_vals])
+        return F.aggregate(
+            F.zip_with("__vec", center, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    seed = v.orderBy("__id").limit(1).collect()[0]
+    picked = [(0, seed["__id"], None)]
+    cur = v.withColumn("__mind", d2_to(seed["__vec"])).filter(
+        F.col("__id") != seed["__id"]
+    )
+    for r in range(1, k):
+        rows = (
+            cur.orderBy(F.col("__mind").desc(), F.col("__id")).limit(1).collect()
+        )
+        if not rows:
+            break
+        nxt = rows[0]
+        picked.append((r, nxt["__id"], float(nxt["__mind"])))
+        if r < k - 1:
+            cur = (
+                cur.filter(F.col("__id") != nxt["__id"])
+                .withColumn(
+                    "__mind",
+                    F.least(F.col("__mind"), d2_to(nxt["__vec"])),
+                )
+                .localCheckpoint(eager=False)  # cap plan growth at k rounds
+            )
+    return spark.createDataFrame(
+        [(o, i, d) for o, i, d in picked],
+        f"sel_order long, {id_col} long, sel_d2 double",
+    ).withColumn("sel_d2", F.round("sel_d2", 6))

@@ -2592,3 +2592,27 @@ def test_quality_deciles_matches_ntile_exactly(spark):
             "doc_id", F.ntile(10).over(w).cast("long").alias("d")
         ).collect()}
         assert got == want, f"n={n}"
+
+
+def test_kcenter_coreset_greedy_invariants(spark, emb):
+    """Gonzalez greedy k-center: selection distances are
+    non-increasing (each pick removes the current farthest point),
+    ids are distinct, a planted far outlier is picked FIRST after the
+    seed, and the trace is deterministic run to run."""
+    out = ann.kcenter_select(emb, k=6).collect()
+    assert [r["sel_order"] for r in out] == list(range(6))
+    ids = [r["vec_id"] for r in out]
+    assert len(set(ids)) == 6
+    d = [r["sel_d2"] for r in out]
+    assert d[0] is None
+    assert all(d[i] >= d[i + 1] for i in range(1, 5)), d
+    # plant an outlier far outside the data ball
+    dim = len(emb.first()["embedding"])
+    far = spark.createDataFrame(
+        [(99999, [100.0] * dim, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out2 = ann.kcenter_select(emb.unionByName(far), k=3).collect()
+    assert out2[1]["vec_id"] == 99999  # first greedy pick
+    again = ann.kcenter_select(emb, k=6).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]

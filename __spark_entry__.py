@@ -2333,6 +2333,18 @@ def _embedding_kcenter(spark, sf_dir):
     return ann.kcenter_select(read_table(spark, sf_dir, "embeddings"), k=8)
 
 
+def _embedding_kcenter_assign(spark, sf_dir):
+    """Coverage report for the k-center coreset
+    (operators.ann.kcenter_assign): every vector assigned to its
+    nearest selected center, per-center constituency counts and
+    mean/max squared distance — max over max_d2 IS the covering
+    radius the k-center objective minimizes."""
+    from fossil_spark.operators import ann
+    from fossil_spark.session import read_table
+
+    return ann.kcenter_assign(read_table(spark, sf_dir, "embeddings"), k=8)
+
+
 def _ts_matrix_profile(spark, sf_dir):
     """Matrix profile per event type (operators.timeseries.
     matrix_profile, UCR MP — Yeh et al. 2016): nearest-non-
@@ -2620,6 +2632,7 @@ _WINDOW_PRIORITY = [
     "streaming_psi_replay", "streaming_rollup_replay",
     "streaming_apdex_replay", "text_dsir_weights",
     "pipeline_dsir_select", "ts_matrix_profile", "embedding_kcenter",
+    "embedding_kcenter_assign",
     # canary refill: driver-green keys re-verified behind the new batch
     "agg_attribution", "dedup_quality_rep", "embedding_dup_audit",
     "ts_hampel", "ts_flatline", "text_encoding_audit",
@@ -2832,6 +2845,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_dsir_select": _pipeline_dsir_select,
         "ts_matrix_profile": _ts_matrix_profile,
         "embedding_kcenter": _embedding_kcenter,
+        "embedding_kcenter_assign": _embedding_kcenter_assign,
         "ts_ewma_control": _ts_ewma_control,
         "dedup_winnowing": _dedup_winnowing,
         "ts_availability": _ts_availability,
@@ -8187,5 +8201,32 @@ def oracle_sql() -> dict[str, str]:
         " SELECT CAST(t.o AS BIGINT) AS sel_order,"
         " CAST(t.id AS BIGINT) AS vec_id, round(t.d, 6) AS sel_d2"
         " FROM (SELECT unnest(picked) AS t FROM fin)"
+    )
+    # k-center coverage report: the greedy-trace CTE above supplies
+    # the centers; per vector, the same earliest-on-ties strict-< fold
+    # over the selection-ordered center list ([d2, order, id] uniform
+    # candidate lists, first-as-init == Spark's 1e308 sentinel);
+    # per-center means decimal-quantized per-term @8
+    out["embedding_kcenter_assign"] = (
+        f"WITH sel AS (SELECT * FROM ({out['embedding_kcenter']})),"
+        " v AS (SELECT vec_id,"
+        "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec"
+        "  FROM embeddings),"
+        " cs AS (SELECT list(struct_pack(o := s.sel_order,"
+        "   cid := s.vec_id, cvec := v.vec) ORDER BY s.sel_order)"
+        "   AS cl FROM sel s JOIN v ON v.vec_id = s.vec_id),"
+        " a AS (SELECT v.vec_id AS vid, list_reduce("
+        "   list_transform(cl, c ->"
+        f"    [{_kc_d2('v.vec', 'c.cvec')},"
+        "     CAST(c.o AS DOUBLE), CAST(c.cid AS DOUBLE)]),"
+        "   (x, y) -> CASE WHEN y[1] < x[1] THEN y ELSE x END) AS b"
+        "  FROM v, cs)"
+        " SELECT CAST(b[2] AS BIGINT) AS sel_order,"
+        " CAST(b[3] AS BIGINT) AS center_id,"
+        " CAST(count(*) AS BIGINT) AS n_assigned,"
+        " CAST(round(sum(CAST(round(b[1], 8) AS DECIMAL(30,8))), 6)"
+        "  AS DOUBLE) / count(*) AS mean_d2,"
+        " round(max(b[1]), 6) AS max_d2"
+        " FROM a GROUP BY 1, 2"
     )
     return out

@@ -188,7 +188,7 @@ def main() -> None:
         "streaming_psi_replay", "streaming_rollup_replay",
         "streaming_apdex_replay", "text_dsir_weights",
         "pipeline_dsir_select", "ts_matrix_profile",
-        "embedding_kcenter",
+        "embedding_kcenter", "embedding_kcenter_assign",
     ]
     qs = entrymod.queries()
     if comparable_only:

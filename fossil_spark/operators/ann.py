@@ -1769,3 +1769,85 @@ def kcenter_select(
         [(o, i, d) for o, i, d in picked],
         f"sel_order long, {id_col} long, sel_d2 double",
     ).withColumn("sel_d2", F.round("sel_d2", 6))
+
+
+def kcenter_assign(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coverage report for the [[kcenter_select]] coreset: every
+    vector assigned to its nearest selected center (ties -> the
+    earlier-selected center), rolled up per center — how much of the
+    corpus each coreset point represents and how far its farthest
+    constituent sits (max_d2 over all centers = the covering radius
+    the k-center objective minimizes).
+
+    Spark shape: the k selected centers join back to their vectors
+    (k-row broadcast), collapse to ONE ordered array-of-structs row,
+    and assignment is a JVM fold over that k-array per vector — no
+    shuffle beyond the final k-row groupBy. mean_d2 decimal-quantizes
+    per-term @8 pre-sum (order-independent), max_d2 is exact.
+
+    Returns one row per center: (sel_order, center_id, n_assigned,
+    mean_d2, max_d2)."""
+    sel = kcenter_select(df, k, id_col, vec_col)
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("__vec"),
+    )
+    centers = (
+        sel.join(v, sel[id_col] == v["__id"])
+        .select("sel_order", F.col("__id").alias("__cid"), "__vec")
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("sel_order", "__cid", "__vec"))
+            ).alias("__cs")
+        )
+    )
+    scored = v.crossJoin(F.broadcast(centers))  # 1-row broadcast
+    d2 = lambda c: F.aggregate(
+        F.zip_with("__vec", c["__vec"], lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    # fold over the k centers in selection order; strict < keeps the
+    # earliest-selected center on ties
+    best = F.aggregate(
+        F.col("__cs"),
+        F.struct(
+            F.lit(1e308).alias("d"),
+            F.lit(-1).cast("long").alias("o"),
+            F.lit(-1).cast("long").alias("cid"),
+        ),
+        lambda acc, c: F.when(
+            d2(c) < acc["d"],
+            F.struct(
+                d2(c).alias("d"),
+                c["sel_order"].alias("o"),
+                c["__cid"].alias("cid"),
+            ),
+        ).otherwise(acc),
+    )
+    a = scored.select("__id", best.alias("__b"))
+    return (
+        a.groupBy(
+            F.col("__b.o").alias("sel_order"),
+            F.col("__b.cid").alias("center_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            (
+                F.round(
+                    F.sum(
+                        F.round(F.col("__b.d"), 8).cast("decimal(30,8)")
+                    ),
+                    6,
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_d2"),
+            F.round(F.max("__b.d"), 6).alias("max_d2"),
+        )
+    )

@@ -2616,3 +2616,21 @@ def test_kcenter_coreset_greedy_invariants(spark, emb):
     assert out2[1]["vec_id"] == 99999  # first greedy pick
     again = ann.kcenter_select(emb, k=6).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+
+def test_kcenter_assign_partitions_corpus(spark, emb):
+    """The coverage report must partition the corpus exactly (counts
+    sum to n), every center is its own nearest center (d2 = 0 ->
+    mean_d2 < max_d2 unless singleton), and the covering radius
+    (max over max_d2) is no smaller than the NEXT pick's selection
+    distance would have been."""
+    out = ann.kcenter_assign(emb, k=5).collect()
+    n = emb.count()
+    assert sum(r["n_assigned"] for r in out) == n
+    assert len(out) == 5
+    assert {r["sel_order"] for r in out} == set(range(5))
+    sel = {r["vec_id"]: r["sel_d2"] for r in ann.kcenter_select(emb, k=6).collect()}
+    radius = max(r["max_d2"] for r in out)
+    # the 6th greedy pick IS the farthest point from the first 5
+    sixth = [d for d in sel.values() if d is not None][-1]
+    assert abs(radius - sixth) < 1e-6

@@ -2609,39 +2609,49 @@ def _streaming_apdex_replay(spark, sf_dir):
 
 
 # The driver's correctness gate checks the FIRST ~50 keys of
-# queries(). Round-9 rotation: the final 22 never-driver-checked keys
-# (round-7 remainder + streaming_cusum_replay, all judge-local-verified
-# green in round 8) move to the head; new round-9 keys follow; the rest
-# of the window refills with driver-green canaries. After this round
-# EVERY oracle-bearing key has the hard driver signal.
+# queries(). Round-10 rotation (VERDICT r9 "Next round" #1): every
+# oracle-bearing key is driver-green, so the window refreshes the 66
+# OLDEST signals — the 22 keys whose only PASS is round 3 and the 44
+# whose only PASS is round 4, both predating five rounds of
+# shared-helper churn. The 50-key window takes all 22 r3-vintage keys
+# plus the 28 most drift-sensitive r4 keys (the full fql_* compiler
+# family, the r4 TPC-H joins, the r4 shared-window ts keys); the
+# remaining 16 r4-vintage keys queue immediately below the fold for
+# the round-11 window.
 _WINDOW_PRIORITY = [
-    # canaries: one relational + one FQL/NTZ tripwire
+    # --- r3-vintage (22 keys, last PASS CORRECTNESS_r03) ---
+    "schema_validate", "store_list_topics", "tpch_q10", "tpch_q12",
+    "ann_bruteforce", "ann_lsh", "dedup_components", "dedup_embedding",
+    "dedup_exact", "dedup_ngram", "dedup_simhash", "sample_hash_split",
+    "text_chunk", "text_fingerprint", "text_langid", "text_pack",
+    "text_quality", "text_repetition", "text_scrub_pii",
+    "text_token_freq", "text_tokens", "multimodal_meta",
+    # --- r4-vintage, drift-sensitive (28 keys, last PASS r04) ---
+    # the whole FQL compiler family (shared compiler + typed-store
+    # helpers)
+    "fql_all", "fql_before", "fql_between", "fql_builtin_minmax",
+    "fql_composite_subscript", "fql_filter", "fql_filter_mapped_tuple",
+    "fql_kitchen_sink", "fql_map", "fql_map_composite",
+    "fql_mapreduce_avg", "fql_pow", "fql_reduce_count",
+    "fql_reduce_sum", "fql_sample_greedy", "fql_since",
+    "fql_string_concat_filter", "fql_string_len", "fql_time_arith",
+    "fql_topic", "fql_topic_prefix",
+    # r4 TPC-H joins + shared-window ts keys
+    "tpch_q3", "tpch_q5", "tpch_q6",
+    "ts_gapfill_linear", "ts_range_join", "ts_rate", "ts_session",
+    # --- r4-vintage remainder (16 keys — round-11 window head) ---
+    "ts_ewma", "ts_first_last", "ts_gapfill", "ts_ohlc",
+    "ts_rollup_cascade", "ts_sliding", "ts_topk", "agg_dau_exact",
+    "agg_order_rollup", "agg_percentiles", "json_props_analysis",
+    "win_running_revenue", "tpch_q14", "tpch_q18", "pipeline_curate",
+    "pipeline_semantic_dedup",
+    # --- canaries + newest keys (driver-green r9) behind the rotation ---
     "tpch_q1", "fql_sample",
-    # final never-driver-checked batch (22 keys, round-9 window)
-    "multimodal_phash_groups", "pipeline_source_health",
-    "dedup_lsh_diagnosis", "agg_rolling_active",
-    "ts_quantile_sketch_audit", "embedding_cluster_purity",
-    "pipeline_split_leakage", "multimodal_resize", "agg_skew_audit",
-    "text_context_budget", "text_lang_confidence", "ts_range_audit",
-    "pipeline_curation_waterfall", "text_top_phrases",
-    "ts_ewma_control", "dedup_winnowing", "ts_availability",
-    "sample_soft_dedup", "text_common_word_ratio", "agg_lorenz",
-    "agg_chi2", "streaming_cusum_replay",
-    # round-9 additions (streaming replay twins — driver-check this round)
     "streaming_anomaly_replay", "streaming_hh_replay",
     "streaming_psi_replay", "streaming_rollup_replay",
     "streaming_apdex_replay", "text_dsir_weights",
     "pipeline_dsir_select", "ts_matrix_profile", "embedding_kcenter",
     "embedding_kcenter_assign",
-    # canary refill: driver-green keys re-verified behind the new batch
-    "agg_attribution", "dedup_quality_rep", "embedding_dup_audit",
-    "ts_hampel", "ts_flatline", "text_encoding_audit",
-    "agg_purchase_cadence", "ts_percentile_bands", "ts_error_episodes",
-    "agg_conversion_lag", "ts_mttr", "agg_nrr", "dedup_prefix",
-    "agg_growth_accounting", "ts_exp_histogram", "ts_capacity_eta",
-    "ts_burstiness", "text_heaps_law", "dedup_suffix",
-    "text_jsd_sources", "embedding_intrinsic_dim", "ts_value_entropy",
-    "ts_peak_to_mean",
     # below the fold (driver-green r7/r8)
     "text_structure_stats", "ts_wow_compare",
     "dedup_method_compare", "agg_retention_halflife", "ann_recall_curve",

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import broadcast
 
 
@@ -1743,6 +1744,7 @@ def kcenter_select(
             lambda acc, t: acc + t,
         )
 
+    id_type = df.schema[id_col].dataType
     seed = v.orderBy("__id").limit(1).collect()[0]
     picked = [(0, seed["__id"], None)]
     cur = v.withColumn("__mind", d2_to(seed["__vec"])).filter(
@@ -1765,9 +1767,18 @@ def kcenter_select(
                 )
                 .localCheckpoint(eager=False)  # cap plan growth at k rounds
             )
+    # schema derives the id field's type from the input (string /
+    # int / long ids all round-trip; a hardcoded `long` broke
+    # non-long id columns)
+    out_schema = T.StructType(
+        [
+            T.StructField("sel_order", T.LongType(), False),
+            T.StructField(id_col, id_type, True),
+            T.StructField("sel_d2", T.DoubleType(), True),
+        ]
+    )
     return spark.createDataFrame(
-        [(o, i, d) for o, i, d in picked],
-        f"sel_order long, {id_col} long, sel_d2 double",
+        [(o, i, d) for o, i, d in picked], out_schema
     ).withColumn("sel_d2", F.round("sel_d2", 6))
 
 
@@ -1813,23 +1824,31 @@ def kcenter_assign(
         F.lit(0.0),
         lambda acc, t: acc + t,
     )
-    # fold over the k centers in selection order; strict < keeps the
-    # earliest-selected center on ties
-    best = F.aggregate(
+    # materialize each center's distance ONCE (HOFs evaluate
+    # interpreted, so a d2 repeated in the when() predicate AND the
+    # replacement struct doubles the dominant per-vector cost — the
+    # matrix_profile candidates-then-fold shape), then min-fold;
+    # strict < keeps the earliest-selected center on ties because
+    # __cs is sorted by sel_order
+    cands = F.transform(
         F.col("__cs"),
+        lambda c: F.struct(
+            d2(c).alias("d"),
+            c["sel_order"].alias("o"),
+            c["__cid"].alias("cid"),
+        ),
+    )
+    # init cid is a typed NULL (matches the id column's type — a
+    # hardcoded long init forced a cast of string center ids); it
+    # never survives the fold since every real d2 < 1e308
+    best = F.aggregate(
+        cands,
         F.struct(
             F.lit(1e308).alias("d"),
             F.lit(-1).cast("long").alias("o"),
-            F.lit(-1).cast("long").alias("cid"),
+            F.lit(None).cast(df.schema[id_col].dataType).alias("cid"),
         ),
-        lambda acc, c: F.when(
-            d2(c) < acc["d"],
-            F.struct(
-                d2(c).alias("d"),
-                c["sel_order"].alias("o"),
-                c["__cid"].alias("cid"),
-            ),
-        ).otherwise(acc),
+        lambda acc, c: F.when(c["d"] < acc["d"], c).otherwise(acc),
     )
     a = scored.select("__id", best.alias("__b"))
     return (

@@ -2634,3 +2634,31 @@ def test_kcenter_assign_partitions_corpus(spark, emb):
     # the 6th greedy pick IS the farthest point from the first 5
     sixth = [d for d in sel.values() if d is not None][-1]
     assert abs(radius - sixth) < 1e-6
+
+
+def test_kcenter_select_non_long_ids(spark):
+    """The result schema derives the id field's type from the input
+    (regression: a hardcoded `long` id field broke string ids at
+    createDataFrame time)."""
+    df = spark.createDataFrame(
+        [(f"doc-{i}", [float(i), float(i % 3)]) for i in range(12)],
+        "doc string, embedding array<float>",
+    )
+    out = ann.kcenter_select(df, k=4, id_col="doc").collect()
+    assert [r["sel_order"] for r in out] == list(range(4))
+    assert all(isinstance(r["doc"], str) for r in out)
+    assert out[0]["doc"] == "doc-0"  # seed = smallest id
+    assigned = ann.kcenter_assign(df, k=3, id_col="doc").collect()
+    assert sum(r["n_assigned"] for r in assigned) == 12
+    assert all(isinstance(r["center_id"], str) for r in assigned)
+
+
+def test_kcenter_assign_fold_evaluates_distance_once(spark, emb):
+    """Regression for the r9 double-eval: the per-vector assignment
+    must materialize each center's d2 ONCE (transform-then-fold), not
+    re-evaluate the zip_with aggregate in both the when() predicate
+    and the replacement struct. With k centers the analyzed plan
+    carries exactly one zip_with (inside the transform lambda); the
+    old shape carried two."""
+    plan = ann.kcenter_assign(emb, k=3)._jdf.queryExecution().analyzed().toString()
+    assert plan.count("zip_with") == 1, plan.count("zip_with")

@@ -8075,8 +8075,12 @@ def oracle_sql() -> dict[str, str]:
         " raw AS (SELECT b, sum(cnt) AS cr FROM db GROUP BY 1),"
         " tgt AS (SELECT b, sum(cnt) AS ct FROM db WHERE in_target"
         "  GROUP BY 1),"
+        # coalesce: with an EMPTY target slice, sum(ct) is NULL and
+        # would NULL every log_weight — Spark's conditional-sum total
+        # yields 0 there (pinned by
+        # test_dsir_weights_empty_target_slice_smoothing)
         " tot AS (SELECT (SELECT sum(cr) FROM raw) AS totr,"
-        "  (SELECT sum(ct) FROM tgt) AS tott),"
+        "  coalesce((SELECT sum(ct) FROM tgt), 0) AS tott),"
         " lr AS (SELECT raw.b AS b,"
         "  round(ln(((coalesce(ct, 0) + 1)::DOUBLE"
         "    / (tott + 1024)::DOUBLE)"

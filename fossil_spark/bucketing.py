@@ -24,7 +24,22 @@ shuffled plan.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
+
+
+def _check_table_ident(table: str) -> str:
+    """Reject identifiers that would break (or inject into) catalog
+    SQL; saveAsTable takes the validated name directly."""
+    if not _IDENT.match(table):
+        raise ValueError(
+            f"invalid table identifier {table!r}: use "
+            "[A-Za-z_][A-Za-z0-9_]* parts separated by dots"
+        )
+    return table
 
 
 def save_bucketed(
@@ -41,6 +56,7 @@ def save_bucketed(
     session catalog. `sort_cols` additionally sorts within each
     bucket file (turns the co-located join's sort into a no-op and
     keeps min/max footer stats tight)."""
+    _check_table_ident(table)
     keys = [key] if isinstance(key, str) else list(key)
     w = (
         df.write.format("parquet")
@@ -50,9 +66,10 @@ def save_bucketed(
     )
     if sort_cols:
         w = w.sortBy(*sort_cols)
-    spark = df.sparkSession
-    if mode == "overwrite":
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # mode("overwrite") replaces the catalog entry atomically enough
+    # for our purposes; an explicit pre-DROP left the table GONE when
+    # the subsequent write failed (and interpolated the name into raw
+    # SQL). Regression: test_save_bucketed_overwrite_and_identifiers.
     w.saveAsTable(table)
 
 

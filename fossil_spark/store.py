@@ -164,6 +164,33 @@ class EventStore:
         q = parse(text)  # parse once: pruning and compilation share the AST
         return compile_query(q, self._read_pruned(q, now), now=now)
 
+    def save_bucketed(
+        self,
+        table: str,
+        path: str,
+        key: str = "topic",
+        n_buckets: int = 32,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Materialize the store as a Hive-bucketed catalog table so
+        entity-keyed joins and aggregations plan WITHOUT an Exchange
+        (fossil_spark.bucketing — pay the shuffle once at write time).
+
+        The date-partitioned layout serves the time axis (partition
+        pruning); this serves the other recurring 100 TB cost: every
+        topic/entity-keyed join re-shuffling the fact table. Read it
+        back with bucketing.read_bucketed (THROUGH the catalog — a
+        path read silently drops the bucket spec). Within each bucket
+        file rows sort by (key, time) by default, keeping the
+        co-located join's sort a no-op and time row-group stats
+        tight."""
+        from fossil_spark.bucketing import save_bucketed as _save
+
+        _save(
+            self.read(), table, path, key, n_buckets,
+            sort_cols=sort_cols if sort_cols is not None else [key, "time"],
+        )
+
     def sql(self, statement: str, view_name: str = "store") -> DataFrame:
         """Full ANSI SQL over the store (the engine is Spark, so SQL
         comes for free alongside FQL): the store is exposed as a temp

@@ -52,20 +52,27 @@ def bucketed(spark):
     shutil.rmtree(root, ignore_errors=True)
 
 
-def test_bucketed_join_has_no_exchange(spark, bucketed):
-    fact_t, dim_t, _, _ = bucketed
+@contextlib.contextmanager
+def _no_broadcast(spark):
+    """Disable broadcast joins, restoring whatever the session had
+    (a hardcoded restore value silently rewrote session config)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed):
+    fact_t, dim_t, _, _ = bucketed
+    with _no_broadcast(spark):
         j = read_bucketed(spark, fact_t).join(
             read_bucketed(spark, dim_t), "user_id"
         )
         plan = _plan(j)
         assert "Exchange" not in plan, (
             "bucketed-bucketed equi-join must not shuffle:\n" + plan
-        )
-    finally:
-        spark.conf.set(
-            "spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024)
         )
 
 
@@ -98,12 +105,70 @@ def test_path_read_loses_bucketing_documented(spark, bucketed):
     path = spark.sql(f"DESCRIBE FORMATTED {fact_t}").filter(
         F.col("col_name") == "Location"
     ).first()["data_type"]
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
+    with _no_broadcast(spark):
         by_path = spark.read.parquet(path.replace("file:", ""))
         j = by_path.join(read_bucketed(spark, dim_t), "user_id")
         assert "Exchange" in _plan(j)
-    finally:
-        spark.conf.set(
-            "spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024)
+
+
+def test_eventstore_save_bucketed_joins_without_exchange(spark):
+    """The r9-verdict integration: EventStore.save_bucketed
+    materializes the store as a topic-bucketed catalog table, and the
+    everyday shape — store fact joined to a per-topic dim, plus a
+    per-topic rollup — plans with ZERO read-time Exchange while
+    matching the shuffled plan's values."""
+    from fossil_spark.store import EventStore, events_store_view
+
+    root = os.path.join("build", f"store_bkt_{uuid.uuid4().hex[:8]}")
+    fact_t = f"store_fact_{uuid.uuid4().hex[:6]}"
+    dim_t = f"topic_dim_{uuid.uuid4().hex[:6]}"
+    store = EventStore(spark, os.path.join(root, "store"))
+    ev = events_store_view(spark, SF).limit(4000)
+    try:
+        store.append(ev)
+        store.save_bucketed(fact_t, os.path.join(root, "fact"),
+                            key="topic", n_buckets=8)
+        dim = store.stats()  # per-topic dim built once
+        save_bucketed(dim, dim_t, os.path.join(root, "dim"), "topic", 8,
+                      sort_cols=["topic"])
+        with _no_broadcast(spark):
+            fact = read_bucketed(spark, fact_t)
+            j = fact.join(read_bucketed(spark, dim_t), "topic")
+            assert "Exchange" not in _plan(j), _plan(j)
+            agg = fact.groupBy("topic").agg(F.count(F.lit(1)).alias("n"))
+            assert "Exchange" not in _plan(agg), _plan(agg)
+            got = sorted(
+                j.select("topic", "time", "value", "n").collect()
+            )
+        want = sorted(
+            store.read().join(store.stats(), "topic")
+            .select("topic", "time", "value", "n").collect()
         )
+        assert got == want
+    finally:
+        for t in (fact_t, dim_t):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_save_bucketed_overwrite_and_identifiers(spark):
+    """mode('overwrite') replaces an existing bucketed table WITHOUT
+    the old pre-DROP (which left the catalog entry gone if the write
+    then failed), and malformed / injection-shaped table names are
+    rejected up front."""
+    root = os.path.join("build", f"bucketed_ow_{uuid.uuid4().hex[:8]}")
+    t = f"ow_tbl_{uuid.uuid4().hex[:6]}"
+    df1 = spark.range(10).withColumnRenamed("id", "user_id")
+    df2 = spark.range(5).withColumnRenamed("id", "user_id")
+    try:
+        save_bucketed(df1, t, os.path.join(root, "a"), "user_id", 4)
+        assert spark.table(t).count() == 10
+        save_bucketed(df2, t, os.path.join(root, "b"), "user_id", 4)
+        assert spark.table(t).count() == 5
+        for bad in ("x; DROP TABLE y", "a-b", "`quoted`", "a..b", ""):
+            with pytest.raises(ValueError):
+                save_bucketed(df1, bad, os.path.join(root, "c"),
+                              "user_id", 4)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(root, ignore_errors=True)

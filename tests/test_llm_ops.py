@@ -2550,6 +2550,32 @@ def test_dsir_weights_empty_target_slice_smoothing(spark):
     rows = text.dsir_weights(df, F.col("lang") == F.lit("en")).collect()
     assert len(rows) == 2
     assert all(r["log_weight"] is not None for r in rows)
+    # the DuckDB oracle must agree HERE too: sum(ct) over an empty
+    # target slice is NULL in SQL, and without the coalesce every
+    # oracle log_weight NULLed out while Spark stayed finite
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {"doc_id": [1, 2],
+             "text": ["alpha beta gamma", "beta gamma delta"],
+             "lang": ["xx", "yy"]}
+        ),
+    )
+    got = (
+        con.execute(entry.oracle_sql()["text_dsir_weights"])
+        .fetchdf()
+        .sort_values("doc_id")
+    )
+    assert not got["log_weight"].isna().any()
+    want = {r["doc_id"]: r["log_weight"] for r in rows}
+    for _, r in got.iterrows():
+        assert abs(r["log_weight"] - want[r["doc_id"]]) < 1e-9
 
 
 def test_dsir_select_keeps_target_heavy_top_slice(docs):

@@ -32,17 +32,11 @@ _STATE_SCHEMA = StructType([
 ])
 
 
-def streaming_sessionize(
-    stream: DataFrame,
-    gap: timedelta,
-    time_col: str = "time",
-    key_col: str = "topic",
-) -> DataFrame:
-    """Emit closed sessions per key: a session closes when no event
-    arrives within `gap` (processing-time timeout). State per key is
-    one (start, end, count) triple — O(keys) state, not O(events)."""
-    gap_us = int(gap.total_seconds() * 1_000_000)
-    gap_ms = int(gap.total_seconds() * 1000)
+def _session_update_fn(gap_us: int, gap_ms: int, time_col: str):
+    """The per-key state fold behind [[streaming_sessionize]],
+    extracted so tests can drive the LITERAL streaming logic over a
+    timestamp-ordered static drain (including the timeout path) and
+    assert exact equality with the batch sessionizer."""
 
     def update(key, pdfs, state: GroupState):
         (topic,) = key
@@ -80,6 +74,22 @@ def streaming_sessionize(
                 "session_end": [pd.Timestamp(c[1], unit="us") for c in closed],
                 "n_events": [c[2] for c in closed],
             })
+
+    return update
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    gap: timedelta,
+    time_col: str = "time",
+    key_col: str = "topic",
+) -> DataFrame:
+    """Emit closed sessions per key: a session closes when no event
+    arrives within `gap` (processing-time timeout). State per key is
+    one (start, end, count) triple — O(keys) state, not O(events)."""
+    gap_us = int(gap.total_seconds() * 1_000_000)
+    gap_ms = int(gap.total_seconds() * 1000)
+    update = _session_update_fn(gap_us, gap_ms, time_col)
 
     return (
         stream.groupBy(key_col)

@@ -78,27 +78,40 @@ def prep_multirg(spark, sf_dir: str) -> str:
         return sf_dir
 
 
-def _isolated_comparable(headline: list) -> float | None:
-    """Run the 18-key comparable set in a FRESH subprocess (its own
-    Spark session) and return its total. The tracked round-over-round
-    series comes from here: inside a 160+-key session the same keys
-    read up to 2x slower from accumulated cache pressure (measured
-    rounds 6-7), which confounds the trend the series exists to show."""
+# The 8 heaviest keys (>3 s each at sf0.1 — each runs multiple proven
+# pipelines by design). Inside the 170+-key session their own weight
+# plus accumulated cache pressure inflates EVERY inline number
+# 1.1-1.4x (measured r8-r9: isolated 18q improved while inline
+# drifted up uniformly), so they run in their own fresh subprocess and
+# their per-query numbers merge back marked isolated (r9 verdict #5).
+HEAVY_ISOLATED = [
+    "ts_capacity_eta", "ann_recall_eval", "ts_matrix_profile",
+    "ann_index_agreement", "embedding_knn_classify", "ts_trend_robust",
+    "embedding_bq_recall", "ann_recall_curve",
+]
+
+
+def _isolated_child(flag: str, result_key: str) -> dict | None:
+    """Run a key subset in a FRESH subprocess (its own Spark session)
+    and return its result dict. The tracked round-over-round series
+    comes from here: inside a 160+-key session the same keys read up
+    to 2x slower from accumulated cache pressure (measured rounds
+    6-7), which confounds the trend the series exists to show."""
     import subprocess
 
     try:
         r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--comparable-only"],
-            capture_output=True, text=True, timeout=900,
+            [sys.executable, os.path.abspath(__file__), flag],
+            capture_output=True, text=True, timeout=1200,
             env={**os.environ, "SPARK_GRAFT_BENCH_CHILD": "1"},
         )
         for ln in r.stdout.splitlines():
-            if ln.startswith('{"comparable_18q_isolated"'):
-                return json.loads(ln)["comparable_18q_isolated"]
-        print(f"# isolated 18q child produced no result: "
+            if ln.startswith('{"' + result_key + '"'):
+                return json.loads(ln)
+        print(f"# isolated child {flag} produced no result: "
               f"{r.stdout[-200:]} {r.stderr[-200:]}", file=sys.stderr)
     except Exception as ex:
-        print(f"# isolated 18q child failed: {ex}", file=sys.stderr)
+        print(f"# isolated child {flag} failed: {ex}", file=sys.stderr)
     return None
 
 
@@ -106,6 +119,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     comparable_only = "--comparable-only" in sys.argv
+    heavy_only = "--heavy-only" in sys.argv
 
     import __spark_entry__ as entrymod
     from fossil_spark.session import get_spark
@@ -193,15 +207,27 @@ def main() -> None:
     qs = entrymod.queries()
     if comparable_only:
         headline = headline[:18]
+    elif heavy_only:
+        headline = list(HEAVY_ISOLATED)
     available = [k for k in headline if k in qs]
 
     bench_dir = prep_multirg(spark, sf_dir)
 
-    # the tracked comparable series runs in its own fresh session
-    # BEFORE the full sweep (skip when we ARE that child)
+    # the tracked comparable series and the heavy-8 each run in their
+    # own fresh session BEFORE the full sweep (skip when we ARE a child)
     isolated = None
-    if not comparable_only and not os.environ.get("SPARK_GRAFT_BENCH_CHILD"):
-        isolated = _isolated_comparable(headline)
+    heavy_result = None
+    if not (comparable_only or heavy_only) and not os.environ.get(
+        "SPARK_GRAFT_BENCH_CHILD"
+    ):
+        r18 = _isolated_child("--comparable-only", "comparable_18q_isolated")
+        isolated = r18.get("comparable_18q_isolated") if r18 else None
+        heavy_result = _isolated_child("--heavy-only", "heavy8_isolated")
+        if heavy_result:
+            # the heavy keys' numbers come from the child; keep them
+            # OUT of the inline session so they neither inflate it nor
+            # read inflated themselves
+            available = [k for k in available if k not in HEAVY_ISOLATED]
 
     # warm the JVM + file listing once so per-query numbers measure the
     # queries, not session startup
@@ -238,13 +264,27 @@ def main() -> None:
         # isolated vs 37 s at position ~155 without this)
         gc.collect()
 
-    total = round(sum(timings.values()), 3)
-
     if comparable_only:
         print(json.dumps({
-            "comparable_18q_isolated": total, "queries": timings, "sf": sf,
+            "comparable_18q_isolated": round(sum(timings.values()), 3),
+            "queries": timings, "sf": sf,
         }))
         return
+    if heavy_only:
+        print(json.dumps({
+            "heavy8_isolated": round(sum(timings.values()), 3),
+            "queries": timings, "sf": sf,
+        }))
+        return
+
+    # merge the heavy child's per-query numbers (isolated, so they
+    # track code rather than session state); if the child failed they
+    # already ran inline above via the un-filtered `available`
+    heavy8 = None
+    if heavy_result:
+        timings.update(heavy_result.get("queries", {}))
+        heavy8 = heavy_result.get("heavy8_isolated")
+    total = round(sum(timings.values()), 3)
 
     # The driver records only the LAST ~2000 bytes of stdout; round 6's
     # full 155-query dict blew past that and the driver recorded
@@ -267,6 +307,8 @@ def main() -> None:
         "runs_per_query": 2,
         "aggregation": "min",
         "comparable_18q_isolated": isolated,
+        "heavy8_isolated": heavy8,
+        "heavy_isolated_keys": HEAVY_ISOLATED if heavy_result else [],
         "data_layout": "multi-row-group rechunk of the driver parquet (bench.prep_multirg)",
     }
     if errors:
@@ -290,6 +332,7 @@ def main() -> None:
         "n_queries": len(timings),
         "comparable_18q_inline": comparable_sec,
         "comparable_18q_isolated": isolated,
+        "heavy8_isolated": heavy8,
         "n_errors": len(errors),
         "full": "build/bench_full.json",
     }

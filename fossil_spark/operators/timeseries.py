@@ -4960,6 +4960,100 @@ def availability(
     )
 
 
+def _matrix_profile_arrow(b: DataFrame, w: int, excl: int,
+                          by: list[str]) -> DataFrame:
+    """Dense-grid matrix-profile engine: the O(nsub²·w) scan per key
+    as ONE Arrow batch (numpy), bit-identical to the HOF path.
+
+    IEEE parity is the whole design: the w dimension runs as an
+    explicit k-loop (`acc += t*t`, 0.0-init) so every per-pair fold
+    accumulates in the HOF fold's exact left-to-right order — numpy's
+    own axis-sum uses pairwise blocking and would drift in the last
+    ulp. Window means/sigmas accumulate the same way. np.argmin
+    returns the FIRST minimum, matching the strict-< fold's
+    earliest-neighbor tie rule; excluded pairs carry the same 1e308
+    sentinel. sqrt + round@6 happen Spark-side so both engines share
+    one rounding semantic (and one oracle).
+
+    The i-axis runs in blocks (~4M pairs) to bound peak memory at
+    ~100 MB per task regardless of nsub; keys parallelize across
+    tasks exactly like the HOF path."""
+    import numpy as np
+    import pandas as pd
+
+    spark = b.sparkSession
+    dummy = not by
+    if dummy:
+        b = b.withColumn("__g", F.lit(1))
+    gcols = by or ["__g"]
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in b.schema if f.name in gcols
+    )
+    out_schema = (
+        f"{fields}, idx long, bucket timestamp, __d2 double, __j long"
+    )
+
+    def profile(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket")
+        vals = pdf["__v"].to_numpy(dtype=np.float64)
+        n = len(vals)
+        nsub = n - w + 1
+        empty = pdf.iloc[0:0]
+        if nsub < 1:
+            return empty[gcols].assign(
+                idx=pd.Series(dtype="int64"),
+                bucket=pd.Series(dtype=pdf["bucket"].dtype),
+                __d2=pd.Series(dtype="float64"),
+                __j=pd.Series(dtype="int64"),
+            )
+        # window mean/sigma, accumulated k = 0..w-1 left-to-right
+        # (identical order to the HOF win_sum / dev_sum folds)
+        acc = np.zeros(nsub)
+        for k in range(w):
+            acc = acc + vals[k:k + nsub]
+        mu = acc / float(w)
+        dev = np.zeros(nsub)
+        for k in range(w):
+            t = vals[k:k + nsub] - mu
+            dev = dev + t * t
+        sg = np.maximum(np.sqrt(np.maximum(dev / float(w), 0.0)), 1e-12)
+        z = [(vals[k:k + nsub] - mu) / sg for k in range(w)]
+        best = np.full(nsub, 1e308)
+        bestj = np.full(nsub, -1, dtype=np.int64)
+        jj = np.arange(nsub)
+        bi = max(1, 4_000_000 // nsub)
+        for i0 in range(0, nsub, bi):
+            i1 = min(i0 + bi, nsub)
+            d2 = np.zeros((i1 - i0, nsub))
+            for k in range(w):
+                t = z[k][i0:i1, None] - z[k][None, :]
+                d2 += t * t
+            d2[np.abs(jj[None, :] - np.arange(i0, i1)[:, None]) < excl] = 1e308
+            j = np.argmin(d2, axis=1)
+            v = d2[np.arange(i1 - i0), j]
+            sel = v < 1e308
+            best[i0:i1] = np.where(sel, v, 1e308)
+            bestj[i0:i1] = np.where(sel, j, -1)
+        out = pd.DataFrame({c: [pdf.iloc[0][c]] * nsub for c in gcols})
+        out["idx"] = np.arange(nsub, dtype=np.int64)
+        out["bucket"] = pdf["bucket"].to_numpy()[:nsub]
+        out["__d2"] = best
+        out["__j"] = bestj
+        return out
+
+    prof = b.groupBy(*gcols).applyInPandas(profile, out_schema)
+    return prof.select(
+        *by,
+        F.col("idx"),
+        F.col("bucket"),
+        F.when(
+            F.col("__j") >= 0, F.round(F.sqrt(F.col("__d2")), 6)
+        ).alias("mp"),
+        F.when(F.col("__j") >= 0, F.col("__j")).alias("mp_idx"),
+    )
+
+
 def matrix_profile(
     df: DataFrame,
     w: int = 12,
@@ -4967,7 +5061,8 @@ def matrix_profile(
     time_col: str = "time",
     by: list[str] | None = None,
     value_col: str = "value",
-    max_buckets: int = 4096,
+    max_buckets: int | None = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """Matrix profile per key: for every length-`w` subsequence of the
     bucketed series, the z-normalized Euclidean distance to its
@@ -4995,8 +5090,29 @@ def matrix_profile(
 
     Returns (key..., idx, bucket, mp, mp_idx): subsequence index, its
     start bucket, round@6 profile value, and the neighbor index
-    (NULL/NULL when every candidate falls in the exclusion zone)."""
+    (NULL/NULL when every candidate falls in the exclusion zone).
+
+    Engines (r9 verdict #3 — the interpreted HOF grid is quadratic
+    and single-task per key, measured 8.1 s at nsub=1024 but 123 s at
+    the old 4096 guard):
+    - `hof` — the pure-JVM nested-HOF scan above; guard defaults to
+      1024 buckets/key (the largest interactive grid).
+    - `arrow` — per-key numpy grid behind ONE applyInPandas boundary
+      (the sanctioned ts_ewma shape); the w-dimension runs as an
+      explicit left-to-right k-loop so every fold is BIT-IDENTICAL to
+      the HOF path (same IEEE order, same strict-< earliest-neighbor
+      argmin; asserted in tests), and sqrt/round@6 stay Spark-side so
+      rounding semantics are shared. Guard defaults to 65536
+      buckets/key; 4096 measured at 2.9 s vs the HOF path's 123 s.
+    - `auto` (default) — `hof` unless the caller asks for a guard
+      past 1024, then `arrow`."""
     by = by or []
+    if engine == "auto":
+        engine = "hof" if (max_buckets or 1024) <= 1024 else "arrow"
+    if engine not in ("hof", "arrow"):
+        raise ValueError(f"engine must be auto|hof|arrow, got {engine!r}")
+    if max_buckets is None:
+        max_buckets = 1024 if engine == "hof" else 65536
     df = _time_norm(df, time_col)
     # NULL values drop before bucketing (the streaming_psi rule): an
     # all-NULL bucket would otherwise put a NULL mean into the series
@@ -5010,6 +5126,8 @@ def matrix_profile(
     )
     b = _bucket_count_guard(b, by, "matrix_profile", max_buckets)
     excl = max(1, w // 2)
+    if engine == "arrow":
+        return _matrix_profile_arrow(b, w, excl, by)
     arr = (
         b.groupBy(*by)
         .agg(F.array_sort(F.collect_list(F.struct("bucket", "__v"))).alias("__s"))

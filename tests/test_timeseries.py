@@ -2344,3 +2344,58 @@ def test_matrix_profile_drops_null_values(spark):
     assert len(out) == 18
     for r in out:
         assert r["mp"] is not None and r["mp_idx"] is not None, r
+
+
+def test_matrix_profile_arrow_engine_bit_identical(spark):
+    """The dense-grid Arrow engine must reproduce the HOF path
+    BIT-FOR-BIT (r9 verdict #3): same IEEE fold order via explicit
+    k-loops, same strict-< earliest-neighbor tie rule, same round@6 —
+    on both a real multi-key feed and a synthetic dense series."""
+    from fossil_spark.operators.timeseries import matrix_profile
+    from fossil_spark.session import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    kw = dict(w=12, every="2 hours", time_col="ts",
+              by=["event_type"], value_col="value")
+    hof = sorted(map(tuple, matrix_profile(ev, engine="hof", **kw).collect()))
+    arw = sorted(map(tuple, matrix_profile(ev, engine="arrow", **kw).collect()))
+    assert len(hof) > 100
+    assert hof == arw
+    # dense synthetic grid right at the HOF interactive guard
+    n = 512
+    df = spark.range(n).select(
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(mins=F.col("id"))).alias("time"),
+        (F.sin(F.col("id").cast("double") / 7.0) * 10
+         + F.col("id").cast("double") % 5).alias("value"))
+    h2 = sorted(map(tuple, matrix_profile(
+        df, w=12, every="1 minute", engine="hof").collect()))
+    a2 = sorted(map(tuple, matrix_profile(
+        df, w=12, every="1 minute", engine="arrow").collect()))
+    assert h2 == a2 and len(h2) == n - 11
+
+
+def test_matrix_profile_engine_resolution_and_guards(spark):
+    """auto = hof at the interactive default (plan stays pure JVM, no
+    Python boundary), flips to the Arrow engine when the caller asks
+    for a guard past 1024; the hof guard now fails loudly at 1024."""
+    import pytest
+
+    from fossil_spark.operators.timeseries import matrix_profile
+
+    n = 1100  # past the interactive hof guard
+    df = spark.range(n).select(
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(mins=F.col("id"))).alias("time"),
+        F.col("id").cast("double").alias("value"))
+    auto_small = matrix_profile(df.limit(100), w=12, every="1 minute")
+    plan = auto_small._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan  # auto default = pure JVM
+    with pytest.raises(Exception, match="more than 1024 buckets"):
+        matrix_profile(df, w=12, every="1 minute").count()
+    dense = matrix_profile(df, w=12, every="1 minute", max_buckets=4096)
+    plan = dense._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan  # auto past 1024 = arrow
+    assert dense.count() == n - 11
+    with pytest.raises(ValueError, match="engine"):
+        matrix_profile(df, engine="stomp")

@@ -2608,6 +2608,43 @@ def _streaming_apdex_replay(spark, sf_dir):
     )
 
 
+def _ts_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test per event type (timeseries.runs_test):
+    up/down pattern of successive values vs the random null — too few
+    runs = trending, too many = oscillating. Non-parametric companion
+    to ts_ljung_box."""
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.runs_test(
+        _events(spark, sf_dir), time_col="ts", by=["event_type"],
+        order_tiebreak=["event_id"],
+    )
+
+
+def _ts_variance_ratio(spark, sf_dir):
+    """Lo-MacKinlay variance-ratio table per event type
+    (timeseries.variance_ratio): VR(q) for q in {2,4,8} over 2h
+    bucket means — random walk = 1, mean reversion < 1, momentum
+    > 1."""
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.variance_ratio(
+        _events(spark, sf_dir), time_col="ts", by=["event_type"],
+    )
+
+
+def _ts_hurst(spark, sf_dir):
+    """Rescaled-range Hurst exponent per event type
+    (timeseries.hurst_exponent): ln(R/S)-on-ln(n) slope over scales
+    {8,16,32,64} of the 2h bucket sequence — the long-memory dial
+    (0.5 = random walk)."""
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.hurst_exponent(
+        _events(spark, sf_dir), time_col="ts", by=["event_type"],
+    )
+
+
 # The driver's correctness gate checks the FIRST ~50 keys of
 # queries(). Round-10 rotation (VERDICT r9 "Next round" #1): every
 # oracle-bearing key is driver-green, so the window refreshes the 66
@@ -2871,6 +2908,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_psi_replay": _streaming_psi_replay,
         "streaming_rollup_replay": _streaming_rollup_replay,
         "streaming_apdex_replay": _streaming_apdex_replay,
+        "ts_runs_test": _ts_runs_test,
+        "ts_variance_ratio": _ts_variance_ratio,
+        "ts_hurst": _ts_hurst,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
         "ts_lttb": _ts_lttb,
         "text_keywords": _text_keywords,
@@ -8170,6 +8210,143 @@ def oracle_sql() -> dict[str, str]:
         " CAST(p.best[2] AS BIGINT) AS mp_idx"
         " FROM zt e LEFT JOIN p ON p.event_type = e.event_type"
         "  AND p.i = e.i"
+    )
+    # Wald-Wolfowitz runs test: integer run/sign counts from two lag
+    # windows on the same (ts, event_id) sort, closed-form mu/var/z as
+    # pure double arithmetic over integers
+    out["ts_runs_test"] = (
+        "WITH d0 AS (SELECT event_type, ts, event_id,"
+        " value - lag(value) OVER (PARTITION BY event_type"
+        f"  ORDER BY ts, event_id) AS d FROM {_EV} e"
+        " WHERE value IS NOT NULL),"
+        " d AS (SELECT event_type, ts, event_id,"
+        "  CASE WHEN d > 0 THEN 1 ELSE -1 END AS s FROM d0"
+        "  WHERE d IS NOT NULL AND d <> 0),"
+        " r AS (SELECT event_type, s,"
+        "  CASE WHEN lag(s) OVER w IS NULL OR s <> lag(s) OVER w"
+        "   THEN 1 ELSE 0 END AS nr FROM d"
+        "  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),"
+        " a AS (SELECT event_type, count(*) AS n,"
+        "  sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS np,"
+        "  sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS nm,"
+        "  sum(nr) AS runs FROM r GROUP BY 1"
+        "  HAVING sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) >= 2"
+        "   AND sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) >= 2),"
+        " m AS (SELECT event_type, n, np, nm, runs,"
+        "  2.0 * CAST(np AS DOUBLE) * CAST(nm AS DOUBLE)"
+        "   / CAST(n AS DOUBLE) + 1.0 AS mu FROM a)"
+        " SELECT event_type, CAST(n AS BIGINT) AS n_signs,"
+        " CAST(np AS BIGINT) AS n_plus, CAST(nm AS BIGINT) AS n_minus,"
+        " CAST(runs AS BIGINT) AS n_runs,"
+        " round(mu, 6) AS expected_runs,"
+        " round((CAST(runs AS DOUBLE) - mu) / sqrt(greatest("
+        "  (mu - 1.0) * (mu - 2.0) / (CAST(n AS DOUBLE) - 1.0), 0.0)), 6)"
+        "  AS z_stat FROM m"
+    )
+    # Lo-MacKinlay variance ratio: decimal-mean buckets, one window
+    # carrying lag(1/2/4/8), population variances with @8-quantized
+    # diff terms (the ts_burstiness accumulation rule)
+    out["ts_variance_ratio"] = (
+        "WITH b AS (SELECT event_type,"
+        " time_bucket(INTERVAL 2 HOUR, ts) AS bucket,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "  / count(value) AS v"
+        f" FROM {_EV} e WHERE value IS NOT NULL GROUP BY 1, 2),"
+        " l AS (SELECT event_type, v - lag(v, 1) OVER w AS d1,"
+        "  v - lag(v, 2) OVER w AS d2, v - lag(v, 4) OVER w AS d4,"
+        "  v - lag(v, 8) OVER w AS d8 FROM b"
+        "  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),"
+        " base AS (SELECT event_type, count(*) AS n1,"
+        "  CAST(round(sum(CAST(round(d1, 8) AS DECIMAL(30,8))), 6)"
+        "   AS DOUBLE) AS s1,"
+        "  CAST(round(sum(CAST(round(d1 * d1, 8) AS DECIMAL(30,8))), 6)"
+        "   AS DOUBLE) AS q1"
+        "  FROM l WHERE d1 IS NOT NULL GROUP BY 1"
+        "  HAVING count(*) >= 2),"
+        " st AS (SELECT event_type, s.q AS q, s.dq AS dq FROM ("
+        "  SELECT event_type, unnest([{'q': 2, 'dq': d2},"
+        "   {'q': 4, 'dq': d4}, {'q': 8, 'dq': d8}]) AS s FROM l)"
+        "  WHERE s.dq IS NOT NULL),"
+        " pq AS (SELECT event_type, q, count(*) AS nd,"
+        "  CAST(round(sum(CAST(round(dq, 8) AS DECIMAL(30,8))), 6)"
+        "   AS DOUBLE) AS sq,"
+        "  CAST(round(sum(CAST(round(dq * dq, 8) AS DECIMAL(30,8))), 6)"
+        "   AS DOUBLE) AS qq"
+        "  FROM st GROUP BY 1, 2)"
+        " SELECT p.event_type, CAST(q AS BIGINT) AS q,"
+        " CAST(nd AS BIGINT) AS n_diffs,"
+        " round(greatest(q1 / n1 - (s1 / n1) * (s1 / n1), 0.0), 6)"
+        "  AS var_1,"
+        " round(greatest(qq / nd - (sq / nd) * (sq / nd), 0.0), 6)"
+        "  AS var_q,"
+        " CASE WHEN CAST(q AS DOUBLE) * greatest(q1 / n1"
+        "   - (s1 / n1) * (s1 / n1), 0.0) <> 0 THEN"
+        "  round(greatest(qq / nd - (sq / nd) * (sq / nd), 0.0)"
+        "   / (CAST(q AS DOUBLE) * greatest(q1 / n1"
+        "    - (s1 / n1) * (s1 / n1), 0.0)), 6) END AS vr"
+        " FROM pq p JOIN base USING (event_type)"
+    )
+    # Rescaled-range Hurst: per scale, full positional chunks ->
+    # decimal-exact cumulative deviations (R) + @8-quantized sigma
+    # (S); ln(mean R/S) rounds @8 (the DSIR ln convention); the OLS
+    # slope accumulates @8-decimal terms over ln-scale literals
+    # injected identically on both sides
+    _h_scales = []
+    for _n in (8, 16, 32, 64):
+        _x = repr(round(__import__("math").log(_n), 8))
+        _h_scales.append(
+            f" c{_n} AS (SELECT event_type, v, i, i // {_n} AS c FROM i),"
+            f" s{_n} AS (SELECT event_type, c, count(*) AS cn,"
+            "  CAST(round(sum(CAST(round(v, 8) AS DECIMAL(30,8))), 8)"
+            "   AS DOUBLE) / count(*) AS mu"
+            f"  FROM c{_n} GROUP BY 1, 2 HAVING count(*) = {_n}),"
+            f" d{_n} AS (SELECT x.event_type AS event_type, x.c AS c,"
+            "  x.v AS v, s.mu AS mu,"
+            "  sum(CAST(round(x.v - s.mu, 8) AS DECIMAL(30,8))) OVER ("
+            "   PARTITION BY x.event_type, x.c ORDER BY x.i"
+            "   ROWS UNBOUNDED PRECEDING) AS cum"
+            f"  FROM c{_n} x JOIN s{_n} s USING (event_type, c)),"
+            f" r{_n} AS (SELECT event_type, c,"
+            "  CAST(max(cum) - min(cum) AS DOUBLE) AS r,"
+            "  sqrt(CAST(round(sum(CAST(round((v - mu) * (v - mu), 8)"
+            "   AS DECIMAL(30,8))), 8) AS DOUBLE)"
+            f"   / {float(_n)!r}) AS s FROM d{_n} GROUP BY 1, 2),"
+            f" p{_n} AS (SELECT event_type,"
+            f"  CAST({_x} AS DOUBLE) AS x, round(ln(rs_mean), 8) AS y"
+            "  FROM (SELECT event_type, count(*) AS nchunks,"
+            "   CAST(round(sum(CAST(round(r / greatest(s, 1e-12), 8)"
+            "    AS DECIMAL(30,8))), 8) AS DOUBLE) / count(*) AS rs_mean"
+            f"   FROM r{_n} GROUP BY 1)"
+            "  WHERE nchunks >= 2 AND rs_mean > 0),"
+        )
+    out["ts_hurst"] = (
+        "WITH b AS (SELECT event_type,"
+        " time_bucket(INTERVAL 2 HOUR, ts) AS bucket,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "  / count(value) AS v"
+        f" FROM {_EV} e WHERE value IS NOT NULL GROUP BY 1, 2),"
+        " i AS (SELECT event_type, v, row_number() OVER ("
+        "  PARTITION BY event_type ORDER BY bucket) - 1 AS i FROM b),"
+        " nb AS (SELECT event_type, count(*) AS n_buckets FROM i"
+        "  GROUP BY 1),"
+        + "".join(_h_scales)
+        + " pts AS (SELECT * FROM p8 UNION ALL SELECT * FROM p16"
+        "  UNION ALL SELECT * FROM p32 UNION ALL SELECT * FROM p64),"
+        " reg AS (SELECT event_type, count(*) AS n_scales,"
+        "  CAST(round(sum(CAST(round(x, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS sx,"
+        "  CAST(round(sum(CAST(round(y, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS sy,"
+        "  CAST(round(sum(CAST(round(x * y, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS sxy,"
+        "  CAST(round(sum(CAST(round(x * x, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS sxx"
+        "  FROM pts GROUP BY 1 HAVING count(*) >= 2)"
+        " SELECT r.event_type, CAST(nb.n_buckets AS BIGINT)"
+        "  AS n_buckets, CAST(n_scales AS BIGINT) AS n_scales,"
+        " round((CAST(n_scales AS DOUBLE) * sxy - sx * sy)"
+        "  / (CAST(n_scales AS DOUBLE) * sxx - sx * sx), 6) AS hurst"
+        " FROM reg r JOIN nb USING (event_type)"
     )
     # Greedy k-center coreset: the recursive CTE replays the exact
     # greedy trace — state = (remaining ids/vecs/min-dists, picked),

@@ -203,6 +203,8 @@ def main() -> None:
         "streaming_apdex_replay", "text_dsir_weights",
         "pipeline_dsir_select", "ts_matrix_profile",
         "embedding_kcenter", "embedding_kcenter_assign",
+        # round-10 operators
+        "ts_runs_test", "ts_variance_ratio", "ts_hurst",
     ]
     qs = entrymod.queries()
     if comparable_only:

@@ -5235,3 +5235,309 @@ def matrix_profile(
         ).alias("mp_idx"),
     )
     return out
+
+
+def runs_test(
+    df: DataFrame,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test per key on the SIGNS of successive
+    differences (public classic): is the series' up/down pattern
+    random, or does it trend (too few runs, z << 0) / oscillate (too
+    many runs, z >> 0)? The non-parametric sibling of [[ts_ljung_box]]
+    — no autocorrelation estimate, just the run count against its
+    null distribution.
+
+    Two lag windows on one key sort (diff signs, then sign changes);
+    zero diffs drop (the standard treatment). All counts are integers
+    until the closed-form mu/sigma/z doubles, so both engines agree
+    bit-for-bit. Keys with fewer than 2 ups or 2 downs are omitted
+    (the null variance degenerates). Returns (*by, n_signs, n_plus,
+    n_minus, n_runs, expected_runs, z_stat)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    order = [F.col(time_col)] + [F.col(c) for c in (order_tiebreak or [])]
+    w = Window.partitionBy(*by).orderBy(*order)
+    tiebreak = list(order_tiebreak or [])
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *by,
+            F.col(time_col).alias("__t"),
+            *[F.col(c).alias(f"__o{i}") for i, c in enumerate(tiebreak)],
+            (F.col(value_col).cast("double")
+             - F.lag(F.col(value_col).cast("double")).over(w)).alias("__d"),
+        )
+        .filter(F.col("__d").isNotNull() & (F.col("__d") != 0))
+        .select(
+            *by, "__t",
+            *[f"__o{i}" for i in range(len(tiebreak))],
+            F.when(F.col("__d") > 0, 1).otherwise(-1).alias("__s"),
+        )
+    )
+    # the run-boundary sort carries the SAME tiebreak as the diff sort
+    # (equal timestamps within a key must order identically in both)
+    w2 = Window.partitionBy(*by).orderBy(
+        F.col("__t"), *[F.col(f"__o{i}") for i in range(len(tiebreak))]
+    )
+    flagged = d.select(
+        *by,
+        "__s",
+        F.when(
+            F.lag("__s").over(w2).isNull()
+            | (F.col("__s") != F.lag("__s").over(w2)),
+            1,
+        ).otherwise(0).alias("__new_run"),
+    )
+    agg = flagged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_signs"),
+        F.sum(F.when(F.col("__s") > 0, 1).otherwise(0)).alias("n_plus"),
+        F.sum(F.when(F.col("__s") < 0, 1).otherwise(0)).alias("n_minus"),
+        F.sum("__new_run").alias("n_runs"),
+    ).filter((F.col("n_plus") >= 2) & (F.col("n_minus") >= 2))
+    n = F.col("n_signs").cast("double")
+    np_ = F.col("n_plus").cast("double")
+    nm = F.col("n_minus").cast("double")
+    mu = F.lit(2.0) * np_ * nm / n + F.lit(1.0)
+    var = (mu - F.lit(1.0)) * (mu - F.lit(2.0)) / (n - F.lit(1.0))
+    return agg.select(
+        *by,
+        F.col("n_signs").cast("long").alias("n_signs"),
+        F.col("n_plus").cast("long").alias("n_plus"),
+        F.col("n_minus").cast("long").alias("n_minus"),
+        F.col("n_runs").cast("long").alias("n_runs"),
+        F.round(mu, 6).alias("expected_runs"),
+        F.round(
+            F.try_divide(
+                F.col("n_runs").cast("double") - mu,
+                F.sqrt(F.greatest(var, F.lit(0.0))),
+            ),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+def variance_ratio(
+    df: DataFrame,
+    qs: tuple = (2, 4, 8),
+    every: str = "2 hours",
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    max_buckets: int = 20000,
+) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test per key (1988, Rev. Fin.
+    Studies — public classic): VR(q) = Var(q-step changes) /
+    (q * Var(1-step changes)) over the bucketed series. A random walk
+    gives VR = 1; mean reversion VR < 1; trending/momentum VR > 1.
+    The scale-dependence companion to [[ts_hurst]].
+
+    One bucket aggregation (decimal means — both engines see the same
+    doubles), ONE window sort carrying a lag per q, an unpivot, and
+    two aggregations. Variances are population, with each diff and
+    squared diff decimal-quantized @8 pre-sum (order-independent).
+    Returns one row per (key, q): (*by, q, n_diffs, var_1, var_q, vr)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    b = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.window(F.col(time_col), every).start.alias("bucket"), *by)
+        .agg(_dec_avg(value_col).alias("__v"))
+    )
+    b = _bucket_count_guard(b, by, "variance_ratio", max_buckets)
+    w = Window.partitionBy(*by).orderBy("bucket")
+    lags = b.select(
+        *by,
+        "__v",
+        (F.col("__v") - F.lag("__v", 1).over(w)).alias("__d1"),
+        *[
+            (F.col("__v") - F.lag("__v", q).over(w)).alias(f"__d{q}")
+            for q in qs
+        ],
+    )
+
+    def dec8(e):
+        return F.round(e, 8).cast("decimal(30,8)")
+
+    base = lags.filter(F.col("__d1").isNotNull()).groupBy(*by).agg(
+        F.count(F.lit(1)).alias("__n1"),
+        F.round(F.sum(dec8(F.col("__d1"))), 6).cast("double").alias("__s1"),
+        F.round(F.sum(dec8(F.col("__d1") * F.col("__d1"))), 6)
+        .cast("double")
+        .alias("__q1"),
+    )
+    stacked = lags.select(
+        *by,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(q).alias("q"), F.col(f"__d{q}").alias("__dq"))
+                for q in qs
+            ])
+        ).alias("__e"),
+    ).select(*by, "__e.q", "__e.__dq").filter(F.col("__dq").isNotNull())
+    per_q = stacked.groupBy(*by, "q").agg(
+        F.count(F.lit(1)).alias("n_diffs"),
+        F.round(F.sum(dec8(F.col("__dq"))), 6).cast("double").alias("__sq"),
+        F.round(F.sum(dec8(F.col("__dq") * F.col("__dq"))), 6)
+        .cast("double")
+        .alias("__qq"),
+    )
+    j = per_q.join(broadcast(base), by) if by else per_q.crossJoin(
+        broadcast(base)
+    )
+    m1 = F.col("__s1") / F.col("__n1")
+    v1 = F.col("__q1") / F.col("__n1") - m1 * m1
+    mq = F.col("__sq") / F.col("n_diffs")
+    vq = F.col("__qq") / F.col("n_diffs") - mq * mq
+    return (
+        j.filter(F.col("__n1") >= 2)
+        .select(
+            *by,
+            F.col("q").cast("long").alias("q"),
+            F.col("n_diffs").cast("long").alias("n_diffs"),
+            F.round(F.greatest(v1, F.lit(0.0)), 6).alias("var_1"),
+            F.round(F.greatest(vq, F.lit(0.0)), 6).alias("var_q"),
+            F.round(
+                F.try_divide(
+                    F.greatest(vq, F.lit(0.0)),
+                    F.col("q").cast("double") * F.greatest(v1, F.lit(0.0)),
+                ),
+                6,
+            ).alias("vr"),
+        )
+    )
+
+
+# ln(scale) regression abscissas for hurst_exponent, precomputed ONCE
+# in Python and inlined as literals on BOTH engine sides — no
+# cross-engine libm-ln drift on the x axis.
+_HURST_SCALES = (8, 16, 32, 64)
+_HURST_LNX = {n: round(__import__("math").log(n), 8) for n in _HURST_SCALES}
+
+
+def hurst_exponent(
+    df: DataFrame,
+    every: str = "2 hours",
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    max_buckets: int = 20000,
+) -> DataFrame:
+    """Rescaled-range Hurst exponent per key (Hurst 1951; Mandelbrot &
+    Wallis 1969 — public classics): slope of ln(R/S) on ln(n) over
+    window scales n in {8,16,32,64}. H ~ 0.5 = random walk, H > 0.5 =
+    long-range persistence (trends compound), H < 0.5 = mean
+    reversion. The long-memory dial next to [[ts_variance_ratio]]'s
+    per-horizon table.
+
+    Shape: one bucket aggregation; each scale chunks the bucket
+    sequence positionally (floor(idx/n), full chunks only — one
+    projection per scale off ONE sorted window pass), R = range of
+    the chunk's decimal-exact cumulative deviations, S = population
+    sigma with @8-quantized squared deviations. rs quantizes @8 into
+    the per-(key,scale) decimal mean; ln(mean_rs) rounds @8 (the DSIR
+    ln convention) and the 4-point OLS slope accumulates @8-decimal
+    terms, so both engines replay every fold exactly. Keys need >= 2
+    scales with >= 2 full chunks each. Returns (*by, n_buckets,
+    n_scales, hurst)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    b = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.window(F.col(time_col), every).start.alias("bucket"), *by)
+        .agg(_dec_avg(value_col).alias("__v"))
+    )
+    b = _bucket_count_guard(b, by, "hurst_exponent", max_buckets)
+    w = Window.partitionBy(*by).orderBy("bucket")
+    idx = b.select(
+        *by, "__v", (F.row_number().over(w) - F.lit(1)).alias("__i")
+    )
+    nb = idx.groupBy(*by).agg(F.count(F.lit(1)).alias("n_buckets"))
+
+    def dec8(e):
+        return F.round(e, 8).cast("decimal(30,8)")
+
+    per_scale = []
+    for n in _HURST_SCALES:
+        chunk = idx.select(
+            *by, "__v", "__i", F.floor(F.col("__i") / F.lit(n)).alias("__c")
+        )
+        sizes = chunk.groupBy(*by, "__c").agg(
+            F.count(F.lit(1)).alias("__cn"),
+            (F.round(F.sum(dec8(F.col("__v"))), 8).cast("double")
+             / F.count(F.lit(1))).alias("__mu"),
+        ).filter(F.col("__cn") == n)
+        wc = Window.partitionBy(*by, "__c").orderBy("__i")
+        dev = (
+            chunk.join(sizes, [*by, "__c"])
+            .withColumn(
+                "__cum",
+                F.sum(dec8(F.col("__v") - F.col("__mu"))).over(
+                    wc.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+        )
+        rs = dev.groupBy(*by, "__c").agg(
+            (F.max("__cum") - F.min("__cum")).cast("double").alias("__r"),
+            F.sqrt(
+                F.round(
+                    F.sum(
+                        dec8(
+                            (F.col("__v") - F.col("__mu"))
+                            * (F.col("__v") - F.col("__mu"))
+                        )
+                    ),
+                    8,
+                ).cast("double")
+                / F.lit(float(n))
+            ).alias("__s"),
+        )
+        per_scale.append(
+            rs.groupBy(*by).agg(
+                F.count(F.lit(1)).alias("__nchunks"),
+                (F.round(
+                    F.sum(
+                        dec8(
+                            F.col("__r")
+                            / F.greatest(F.col("__s"), F.lit(1e-12))
+                        )
+                    ),
+                    8,
+                ).cast("double") / F.count(F.lit(1))).alias("__rs_mean"),
+            )
+            .filter((F.col("__nchunks") >= 2) & (F.col("__rs_mean") > 0))
+            .select(
+                *by,
+                F.lit(float(_HURST_LNX[n])).alias("__x"),
+                F.round(F.log(F.col("__rs_mean")), 8).alias("__y"),
+            )
+        )
+    pts = per_scale[0]
+    for p in per_scale[1:]:
+        pts = pts.unionByName(p)
+    reg = pts.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_scales"),
+        F.round(F.sum(dec8(F.col("__x"))), 8).cast("double").alias("__sx"),
+        F.round(F.sum(dec8(F.col("__y"))), 8).cast("double").alias("__sy"),
+        F.round(F.sum(dec8(F.col("__x") * F.col("__y"))), 8)
+        .cast("double")
+        .alias("__sxy"),
+        F.round(F.sum(dec8(F.col("__x") * F.col("__x"))), 8)
+        .cast("double")
+        .alias("__sxx"),
+    ).filter(F.col("n_scales") >= 2)
+    k = F.col("n_scales").cast("double")
+    slope = F.try_divide(
+        k * F.col("__sxy") - F.col("__sx") * F.col("__sy"),
+        k * F.col("__sxx") - F.col("__sx") * F.col("__sx"),
+    )
+    out = reg.join(broadcast(nb), by) if by else reg.crossJoin(broadcast(nb))
+    return out.select(
+        *by,
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("n_scales").cast("long").alias("n_scales"),
+        F.round(slope, 6).alias("hurst"),
+    )

@@ -2399,3 +2399,85 @@ def test_matrix_profile_engine_resolution_and_guards(spark):
     assert dense.count() == n - 11
     with pytest.raises(ValueError, match="engine"):
         matrix_profile(df, engine="stomp")
+
+
+def test_runs_test_known_answer(spark):
+    """Hand-computed Wald-Wolfowitz: values 1,2,3,2,3,2 give signs
+    + + - + - (n=5, n+=3, n-=2), runs [++][-][+][-] = 4,
+    mu = 2*3*2/5 + 1 = 3.4, var = 2.4*1.4/4 = 0.84,
+    z = 0.6/sqrt(0.84) = 0.654654."""
+    from datetime import datetime, timedelta
+
+    from fossil_spark.operators.timeseries import runs_test
+
+    t0 = datetime(2024, 1, 1)
+    vals = [1.0, 2.0, 3.0, 2.0, 3.0, 2.0]
+    df = spark.createDataFrame(
+        [(t0 + timedelta(hours=i), "/m", v) for i, v in enumerate(vals)],
+        "time timestamp, topic string, value double",
+    )
+    r = runs_test(df, by=["topic"]).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["n_signs"], row["n_plus"], row["n_minus"], row["n_runs"]) \
+        == (5, 3, 2, 4)
+    assert row["expected_runs"] == 3.4
+    assert abs(row["z_stat"] - 0.654654) < 1e-6
+    # zero diffs drop; monotone series (n_minus < 2) is omitted
+    flat = spark.createDataFrame(
+        [(t0 + timedelta(hours=i), "/f", float(i)) for i in range(10)],
+        "time timestamp, topic string, value double",
+    )
+    assert runs_test(flat, by=["topic"]).count() == 0
+
+
+def test_variance_ratio_alternating_series(spark):
+    """An alternating 0/1 series: 1-step diffs are ±1 (population
+    var = 1), every even-step diff is 0 — VR collapses to 0 at all
+    q in {2,4,8}."""
+    from datetime import datetime, timedelta
+
+    from fossil_spark.operators.timeseries import variance_ratio
+
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(t0 + timedelta(hours=i), "/m", float(i % 2)) for i in range(64)],
+        "time timestamp, topic string, value double",
+    )
+    out = {r["q"]: r for r in variance_ratio(
+        df, every="1 hour", by=["topic"]).collect()}
+    assert set(out) == {2, 4, 8}
+    for q, r in out.items():
+        # 63 diffs split 32/31 between +1/-1: mean = 1/63, so the
+        # population var is exactly 1 - (1/63)^2 = 0.999748
+        assert abs(r["var_1"] - 0.999748) < 1e-6
+        assert r["var_q"] == 0.0
+        assert r["vr"] == 0.0
+
+
+def test_hurst_exponent_trend_vs_oscillation(spark):
+    """A pure linear trend is maximally persistent (R/S grows ~n,
+    H near 1); a fast oscillation is anti-persistent (H near 0); and
+    R/S is affine-invariant (scale+shift leaves H unchanged)."""
+    from datetime import datetime, timedelta
+
+    from fossil_spark.operators.timeseries import hurst_exponent
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(256):
+        rows.append((t0 + timedelta(hours=i), "/trend", float(i)))
+        rows.append((t0 + timedelta(hours=i), "/osc", float(i % 2)))
+    df = spark.createDataFrame(
+        rows, "time timestamp, topic string, value double")
+    out = {r["topic"]: r for r in hurst_exponent(
+        df, every="1 hour", by=["topic"]).collect()}
+    assert out["/trend"]["n_scales"] == 4
+    assert out["/trend"]["hurst"] > 0.9
+    # a pure alternation has constant R/S = 1 at every scale: H = 0
+    assert abs(out["/osc"]["hurst"]) < 0.05
+    df2 = df.withColumn("value", F.col("value") * 7.0 + 1000.0)
+    out2 = {r["topic"]: r for r in hurst_exponent(
+        df2, every="1 hour", by=["topic"]).collect()}
+    for k in out:
+        assert abs(out[k]["hurst"] - out2[k]["hurst"]) < 1e-4, k

@@ -2608,6 +2608,17 @@ def _streaming_apdex_replay(spark, sf_dir):
     )
 
 
+def _embedding_silhouette(spark, sf_dir):
+    """Simplified (centroid) silhouette per label class (ann.
+    silhouette, Rousseeuw 1987): a = distance to own centroid, b =
+    nearest other centroid, s = (b-a)/max(a,b) — per-class means
+    audit whether the labeling is geometrically coherent."""
+    from fossil_spark.operators import ann
+    from fossil_spark.session import read_table
+
+    return ann.silhouette(read_table(spark, sf_dir, "embeddings"))
+
+
 def _ts_runs_test(spark, sf_dir):
     """Wald-Wolfowitz runs test per event type (timeseries.runs_test):
     up/down pattern of successive values vs the random null — too few
@@ -2911,6 +2922,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_runs_test": _ts_runs_test,
         "ts_variance_ratio": _ts_variance_ratio,
         "ts_hurst": _ts_hurst,
+        "agg_survival_km": _analytics("survival_km"),
+        "agg_price_elasticity": _analytics("price_elasticity"),
+        "embedding_silhouette": _embedding_silhouette,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
         "ts_lttb": _ts_lttb,
         "text_keywords": _text_keywords,
@@ -8347,6 +8361,98 @@ def oracle_sql() -> dict[str, str]:
         " round((CAST(n_scales AS DOUBLE) * sxy - sx * sy)"
         "  / (CAST(n_scales AS DOUBLE) * sxx - sx * sx), 6) AS hurst"
         " FROM reg r JOIN nb USING (event_type)"
+    )
+    # Kaplan-Meier over customer order lifetimes: reverse-cumulative
+    # risk set, @8 ln terms into a decimal cumsum, exp + round@6;
+    # a d = n final step pins S = 0 without touching ln(0)
+    out["agg_survival_km"] = (
+        "WITH life AS (SELECT o_custkey, min(o_orderdate) AS f,"
+        " max(o_orderdate) AS l FROM orders GROUP BY 1),"
+        " hz AS (SELECT max(o_orderdate) AS mx FROM orders),"
+        " j AS (SELECT date_diff('day', CAST(f AS DATE), CAST(l AS DATE))"
+        "  AS t_days, CASE WHEN date_diff('day', CAST(l AS DATE),"
+        "  CAST(mx AS DATE)) > 90 THEN 1 ELSE 0 END AS ev FROM life, hz),"
+        " pt AS (SELECT t_days, count(*) AS n_at, sum(ev) AS d FROM j"
+        "  GROUP BY 1),"
+        " rk AS (SELECT t_days, d, sum(n_at) OVER (ORDER BY t_days DESC"
+        "  ROWS UNBOUNDED PRECEDING) AS n_risk FROM pt),"
+        " evt AS (SELECT * FROM rk WHERE d >= 1),"
+        " km AS (SELECT t_days, n_risk, d, sum(CASE WHEN d < n_risk THEN"
+        "  CAST(round(ln(1.0 - CAST(d AS DOUBLE)"
+        "   / CAST(n_risk AS DOUBLE)), 8) AS DECIMAL(30,8)) END)"
+        "  OVER (ORDER BY t_days ROWS UNBOUNDED PRECEDING) AS lncum"
+        "  FROM evt)"
+        " SELECT CAST(t_days AS BIGINT) AS t_days,"
+        " CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_events,"
+        " CASE WHEN d = n_risk THEN 0.0 ELSE"
+        "  round(exp(CAST(lncum AS DOUBLE)), 6) END AS survival FROM km"
+    )
+    # centroid silhouette: decimal-mean centroids per (label, dim),
+    # per-vector d2 as the SAME sequential list fold the Spark
+    # zip_with+aggregate runs (0.0-init == first-element init), own /
+    # nearest-other via conditional mins over the k-row cross product
+    out["embedding_silhouette"] = (
+        "WITH v AS (SELECT vec_id, label, list_transform(embedding,"
+        "  x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),"
+        " u AS (SELECT label, unnest(list_transform("
+        "  generate_series(1, len(vec)),"
+        "  j -> {'d': j - 1, 'x': vec[j]})) AS s FROM v),"
+        " pd AS (SELECT label, s.d AS d,"
+        "  CAST(round(sum(CAST(s.x AS DECIMAL(30,8))), 8) AS DOUBLE)"
+        "   / count(*) AS c FROM u GROUP BY 1, 2),"
+        " cv AS (SELECT label, list(c ORDER BY d) AS cvec FROM pd"
+        "  GROUP BY 1),"
+        " ds AS (SELECT v.vec_id AS vec_id, v.label AS vlabel,"
+        "  cv.label AS clabel, list_reduce(list_transform("
+        "   generate_series(1, len(v.vec)),"
+        "   i -> (v.vec[i] - cv.cvec[i]) * (v.vec[i] - cv.cvec[i])),"
+        "   (a, x) -> a + x) AS d2 FROM v, cv),"
+        " ab AS (SELECT vec_id, vlabel,"
+        "  sqrt(min(CASE WHEN clabel = vlabel THEN d2 END)) AS a,"
+        "  sqrt(min(CASE WHEN clabel <> vlabel THEN d2 END)) AS b"
+        "  FROM ds GROUP BY 1, 2),"
+        " sv AS (SELECT vlabel, a, b, CASE WHEN greatest(a, b) > 0 THEN"
+        "  (b - a) / greatest(a, b) ELSE 0.0 END AS s FROM ab)"
+        " SELECT vlabel AS label, CAST(count(*) AS BIGINT) AS n_vectors,"
+        " round(CAST(round(sum(CAST(round(a, 8) AS DECIMAL(30,8))), 8)"
+        "  AS DOUBLE) / count(*), 6) AS mean_a,"
+        " round(CAST(round(sum(CAST(round(b, 8) AS DECIMAL(30,8))), 8)"
+        "  AS DOUBLE) / count(*), 6) AS mean_b,"
+        " round(CAST(round(sum(CAST(round(s, 8) AS DECIMAL(30,8))), 8)"
+        "  AS DOUBLE) / count(*), 6) AS mean_silhouette"
+        " FROM sv GROUP BY 1"
+    )
+    # log-log demand OLS per brand: @8-quantized decimal term sums
+    # (the retention_halflife regression contract)
+    out["agg_price_elasticity"] = (
+        "WITH r AS (SELECT p_brand,"
+        " round(ln(l_extendedprice / l_quantity), 8) AS x,"
+        " round(ln(l_quantity), 8) AS y"
+        " FROM lineitem JOIN part ON p_partkey = l_partkey"
+        " WHERE l_quantity > 0 AND l_extendedprice > 0),"
+        " a AS (SELECT p_brand, count(*) AS n,"
+        "  CAST(round(sum(CAST(round(x, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS sx,"
+        "  CAST(round(sum(CAST(round(y, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS sy,"
+        "  CAST(round(sum(CAST(round(x * y, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS sxy,"
+        "  CAST(round(sum(CAST(round(x * x, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS sxx,"
+        "  CAST(round(sum(CAST(round(y * y, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS syy"
+        "  FROM r GROUP BY 1 HAVING count(*) >= 3)"
+        " SELECT p_brand, CAST(n AS BIGINT) AS n_items,"
+        " CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0 THEN"
+        "  round((CAST(n AS DOUBLE) * sxy - sx * sy)"
+        "   / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) END AS elasticity,"
+        " CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx)"
+        "   * (CAST(n AS DOUBLE) * syy - sy * sy) <> 0 THEN"
+        "  round((CAST(n AS DOUBLE) * sxy - sx * sy)"
+        "   * (CAST(n AS DOUBLE) * sxy - sx * sy)"
+        "   / ((CAST(n AS DOUBLE) * sxx - sx * sx)"
+        "    * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) END AS r2"
+        " FROM a"
     )
     # Greedy k-center coreset: the recursive CTE replays the exact
     # greedy trace — state = (remaining ids/vecs/min-dists, picked),

@@ -205,6 +205,7 @@ def main() -> None:
         "embedding_kcenter", "embedding_kcenter_assign",
         # round-10 operators
         "ts_runs_test", "ts_variance_ratio", "ts_hurst",
+        "agg_survival_km", "agg_price_elasticity", "embedding_silhouette",
     ]
     qs = entrymod.queries()
     if comparable_only:

@@ -1870,3 +1870,109 @@ def kcenter_assign(
             F.round(F.max("__b.d"), 6).alias("max_d2"),
         )
     )
+
+
+def silhouette(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_labels: int = 1024,
+) -> DataFrame:
+    """Simplified (centroid) silhouette per label class (Rousseeuw
+    1987 simplified to centroid distances — the standard large-scale
+    variant, since the exact pairwise form is O(n²)): for each vector,
+    a = distance to its OWN class centroid, b = distance to the
+    NEAREST other centroid, s = (b - a) / max(a, b). Per-class means
+    answer "is this labeling / clustering geometrically coherent, and
+    which class bleeds into its neighbors" — the label-quality audit
+    next to [[embedding_cluster_purity]].
+
+    Spark shape: centroids are one exploded (label, dim) decimal-mean
+    aggregation collapsed to a k-row broadcast array (the
+    kcenter_assign shape); per-vector distances materialize ONCE via
+    transform-then-fold (each centroid's d2 evaluated a single time —
+    the r9 double-eval lesson), bound to a column so own/other reads
+    share the same evaluation. Fails loudly past `max_labels` (the
+    broadcast row is k·dim doubles). Returns one row per label:
+    (label, n_vectors, mean_a, mean_b, mean_silhouette)."""
+    v = df.select(
+        F.col(label_col).alias("__lb"),
+        F.col(id_col).alias("__id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("__vec"),
+    )
+    per_dim = (
+        v.select("__lb", F.posexplode("__vec").alias("__d", "__x"))
+        .groupBy("__lb", "__d")
+        .agg(
+            (
+                F.round(F.sum(F.col("__x").cast("decimal(30,8)")), 8)
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("__c")
+        )
+    )
+    cvecs = (
+        per_dim.groupBy("__lb")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__d", "__c"))).alias("__s")
+        )
+        .select(
+            "__lb", F.transform("__s", lambda s: s["__c"]).alias("__cvec")
+        )
+    )
+    k = cvecs.limit(max_labels + 1).count()
+    if k > max_labels:
+        raise ValueError(
+            f"silhouette: more than {max_labels} labels — the centroid "
+            "broadcast is k*dim doubles; reduce classes or raise "
+            "max_labels explicitly."
+        )
+    centers = cvecs.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("__lb", "__cvec"))).alias("__cs")
+    )
+    scored = v.crossJoin(broadcast(centers))  # 1-row broadcast
+    d2 = lambda c: F.aggregate(
+        F.zip_with("__vec", c["__cvec"], lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    # one d2 per centroid, bound to a column so the own-class pick and
+    # the nearest-other fold read the SAME evaluation
+    scored = scored.withColumn(
+        "__cands",
+        F.transform(
+            "__cs",
+            lambda c: F.struct(d2(c).alias("d"), c["__lb"].alias("lb")),
+        ),
+    )
+    own = F.element_at(
+        F.filter("__cands", lambda c: c["lb"] == F.col("__lb")), 1
+    )["d"]
+    other = F.aggregate(
+        F.filter("__cands", lambda c: c["lb"] != F.col("__lb")),
+        F.lit(1e308),
+        lambda acc, c: F.when(c["d"] < acc, c["d"]).otherwise(acc),
+    )
+    a = F.sqrt(F.col("__own"))
+    b = F.sqrt(F.col("__oth"))
+    s = F.when(
+        F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)
+    ).otherwise(F.lit(0.0))
+    rows = scored.select(
+        "__lb", own.alias("__own"), other.alias("__oth")
+    ).select("__lb", a.alias("__a"), b.alias("__b"), s.alias("__s"))
+
+    def dmean(col):
+        return (
+            F.round(F.sum(F.round(F.col(col), 8).cast("decimal(30,8)")), 8)
+            .cast("double")
+            / F.count(F.lit(1))
+        )
+
+    return rows.groupBy(F.col("__lb").alias(label_col)).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(dmean("__a"), 6).alias("mean_a"),
+        F.round(dmean("__b"), 6).alias("mean_b"),
+        F.round(dmean("__s"), 6).alias("mean_silhouette"),
+    )

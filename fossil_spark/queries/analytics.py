@@ -1319,3 +1319,114 @@ def chi2_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+def survival_km(spark: SparkSession, sf_dir: str,
+                censor_days: int = 90) -> DataFrame:
+    """Kaplan-Meier survival curve (1958, JASA — the public classic)
+    over customer LIFETIMES: lifetime = days between first and last
+    order; a customer whose last order is more than `censor_days`
+    before the dataset's horizon is an observed churn event, the rest
+    are right-censored (still active — they leave the risk set
+    without contributing an event, which is the entire point of KM
+    over a naive churn histogram).
+
+    Plan: one groupBy per customer, a 1-row broadcast horizon, one
+    groupBy per distinct lifetime, then ONE bounded global window
+    (distinct lifetime days — calendar-bounded, whitelisted) for the
+    reverse-cumulative risk set and the cumulative hazard. S(t) =
+    prod(1 - d/n) replayed exactly: per-step ln rounds @8 into a
+    decimal cumsum (order-fixed), exp + round@6 at the end; a final
+    step with d = n pins S = 0 without touching ln(0). Returns one
+    row per event time: (t_days, n_risk, n_events, survival)."""
+    o = read_table(spark, sf_dir, "orders")
+    life = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("__first"),
+        F.max("o_orderdate").alias("__last"),
+    )
+    horizon = o.agg(F.max("o_orderdate").alias("__mx"))
+    j = life.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("__last", "__first").alias("t_days"),
+        F.when(
+            F.datediff("__mx", "__last") > censor_days, 1
+        ).otherwise(0).alias("__ev"),
+    )
+    per_t = j.groupBy("t_days").agg(
+        F.count(F.lit(1)).alias("__n_at"),
+        F.sum("__ev").alias("n_events"),
+    )
+    w_desc = Window.orderBy(F.col("t_days").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = per_t.withColumn("n_risk", F.sum("__n_at").over(w_desc)).filter(
+        F.col("n_events") >= 1
+    )
+    term = F.lit(1.0) - F.col("n_events").cast("double") / F.col(
+        "n_risk"
+    ).cast("double")
+    w_asc = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    km = risk.withColumn(
+        "__lncum",
+        F.sum(
+            F.when(
+                F.col("n_events") < F.col("n_risk"),
+                F.round(F.log(term), 8).cast("decimal(30,8)"),
+            )
+        ).over(w_asc),
+    )
+    return km.select(
+        F.col("t_days").cast("long").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.when(F.col("n_events") == F.col("n_risk"), F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("__lncum").cast("double")), 6))
+        .alias("survival"),
+    ).orderBy("t_days")
+
+
+def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log demand regression per brand: elasticity = OLS slope of
+    ln(quantity) on ln(unit price) across a brand's lineitems — the
+    classic constant-elasticity estimate (unit price = extended
+    price / quantity, so the x axis is the realized per-unit price).
+
+    Plan: one broadcast join to part (small dim), per-row ln terms
+    folded into the scan, ONE groupBy per brand with @8-quantized
+    decimal term sums (the retention_halflife regression contract) —
+    no window, no second shuffle. Returns (p_brand, n_items,
+    elasticity, r2)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rows = li.filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    ).join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    x = F.round(
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")), 8
+    )
+    y = F.round(F.log(F.col("l_quantity")), 8)
+
+    def dsum8(e):
+        return F.round(F.sum(F.round(e, 8).cast("decimal(30,8)")), 8).cast(
+            "double"
+        )
+
+    agg = rows.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum8(x).alias("__sx"),
+        dsum8(y).alias("__sy"),
+        dsum8(x * y).alias("__sxy"),
+        dsum8(x * x).alias("__sxx"),
+        dsum8(y * y).alias("__syy"),
+    ).filter(F.col("n_items") >= 3)
+    m = F.col("n_items").cast("double")
+    num = m * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    denx = m * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    deny = m * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    return agg.select(
+        "p_brand",
+        F.col("n_items").cast("long").alias("n_items"),
+        F.round(F.try_divide(num, denx), 6).alias("elasticity"),
+        F.round(F.try_divide(num * num, denx * deny), 6).alias("r2"),
+    )

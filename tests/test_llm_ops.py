@@ -1892,6 +1892,77 @@ def test_purchase_cadence_planted(spark, monkeypatch):
     assert (r["min_gap_hours"], r["max_gap_hours"]) == (2.0, 4.0)
 
 
+def test_survival_km_hand_computed(spark, monkeypatch):
+    """KM on four planted customers: lifetimes 0/10/20 churn, 200
+    censored (the horizon holder). S steps 3/4 -> 1/2 -> 1/4 with the
+    censored customer leaving the risk set WITHOUT an event."""
+    from datetime import datetime, timedelta
+
+    import fossil_spark.queries.analytics as mod
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    ok = 0
+    for cust, days in ((1, (0, 10)), (2, (0, 20)), (3, (0,)),
+                       (4, (0, 200))):
+        for d in days:
+            ok += 1
+            rows.append((ok, cust, t0 + timedelta(days=d), 1.0))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp,"
+        " o_totalprice double")
+    monkeypatch.setattr(mod, "read_table", lambda s, d, t: orders)
+    out = [(r["t_days"], r["n_risk"], r["n_events"], r["survival"])
+           for r in mod.survival_km(spark, "x").collect()]
+    assert out == [(0, 4, 1, 0.75), (10, 3, 1, 0.5), (20, 2, 1, 0.25)]
+
+
+def test_survival_km_final_event_pins_zero(spark, monkeypatch):
+    """A churn event at the maximum lifetime has d = n_risk; survival
+    must pin to exactly 0.0 (no ln(0) anywhere), and event-free times
+    don't emit rows."""
+    from datetime import datetime, timedelta
+
+    import fossil_spark.queries.analytics as mod
+
+    t0 = datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(1, 1, t0, 1.0), (2, 1, t0 + timedelta(days=209), 1.0),
+         (3, 2, t0 + timedelta(days=300), 1.0)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp,"
+        " o_totalprice double")
+    monkeypatch.setattr(mod, "read_table", lambda s, d, t: orders)
+    out = [(r["t_days"], r["n_risk"], r["n_events"], r["survival"])
+           for r in mod.survival_km(spark, "x").collect()]
+    assert out == [(209, 1, 1, 0.0)]
+
+
+def test_price_elasticity_planted_powerlaw(spark, monkeypatch):
+    """qty = price^-2 exactly: the log-log OLS must recover
+    elasticity -2 with r2 = 1 (terms only wiggle at the @8 quantizer)."""
+    import fossil_spark.queries.analytics as mod
+
+    li_rows, pk = [], 0
+    for p in (1.0, 2.0, 4.0, 8.0):
+        q = p ** -2
+        pk += 1
+        li_rows.append((pk, pk, q, p * q))
+    li = spark.createDataFrame(
+        li_rows, "l_orderkey long, l_partkey long, l_quantity double,"
+        " l_extendedprice double")
+    part = spark.createDataFrame(
+        [(i, "Brand#T") for i in range(1, 5)],
+        "p_partkey long, p_brand string")
+    monkeypatch.setattr(
+        mod, "read_table",
+        lambda s, d, t: {"lineitem": li, "part": part}[t])
+    r = mod.price_elasticity(spark, "x").collect()
+    assert len(r) == 1
+    assert r[0]["n_items"] == 4
+    assert abs(r[0]["elasticity"] + 2.0) < 1e-6
+    assert r[0]["r2"] >= 0.999999
+
+
 def test_prefix_dedup_planted(spark):
     prefix = " ".join(f"w{i}" for i in range(32))
     rows = [
@@ -2660,6 +2731,40 @@ def test_kcenter_assign_partitions_corpus(spark, emb):
     # the 6th greedy pick IS the farthest point from the first 5
     sixth = [d for d in sel.values() if d is not None][-1]
     assert abs(radius - sixth) < 1e-6
+
+
+def test_silhouette_planted_clusters(spark):
+    """Two tight, well-separated clusters labeled correctly give
+    per-class silhouette near 1; relabeling half of cluster B as A
+    drags A's mean silhouette negative (its centroid sits between
+    the clumps)."""
+    import itertools
+
+    def blob(center, n, label, start_id):
+        rows = []
+        for i in range(n):
+            rows.append((start_id + i,
+                         [c + 0.01 * ((i * 7) % 5) for c in center], label))
+        return rows
+
+    good = blob([0.0, 0.0, 0.0], 10, 0, 0) + blob([10.0, 10.0, 10.0], 10, 1, 100)
+    df = spark.createDataFrame(
+        good, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in ann.silhouette(df).collect()}
+    assert out[0]["mean_silhouette"] > 0.99
+    assert out[1]["mean_silhouette"] > 0.99
+    assert out[0]["n_vectors"] == 10
+    # mislabel: half of cluster B called label 0
+    bad = (blob([0.0, 0.0, 0.0], 10, 0, 0)
+           + blob([10.0, 10.0, 10.0], 5, 0, 100)
+           + blob([10.0, 10.0, 10.0], 5, 1, 200))
+    df2 = spark.createDataFrame(
+        bad, "vec_id long, embedding array<float>, label int")
+    out2 = {r["label"]: r for r in ann.silhouette(df2).collect()}
+    assert out2[0]["mean_silhouette"] < out[0]["mean_silhouette"]
+    # the 5 mislabeled vectors sit ON label 1's centroid: their a is
+    # large, b tiny -> strongly negative contributions
+    assert out2[0]["mean_silhouette"] < 0.2
 
 
 def test_kcenter_select_non_long_ids(spark):

@@ -108,6 +108,7 @@ GLOBAL_WINDOW_OK = {
     "agg_purchase_cadence",     # cum-rank over DISTINCT-gap aggregate
     "agg_rfm",                  # R/F/M quintile ranks over per-user agg
     "agg_skew_audit",           # rank over per-key cardinality agg
+    "agg_survival_km",          # risk set over DISTINCT-lifetime agg
     "agg_user_outliers",        # rank over per-user feature agg
     "pipeline_anomaly_summary", # severity rank over per-(key,day) agg
     "pipeline_dsir_select",     # threshold cumsum over DISTINCT-weight agg

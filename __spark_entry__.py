@@ -2608,6 +2608,27 @@ def _streaming_apdex_replay(spark, sf_dir):
     )
 
 
+def _graph_kcore(spark, sf_dir):
+    """2-core of the minhash near-dup graph (graph.kcore, Seidman
+    1983): peel degree-<2 nodes for 8 fixed synchronous rounds —
+    members of structurally dense template families, vs nodes that
+    merely touch one."""
+    from fossil_spark.operators import dedup, graph
+
+    return graph.kcore(dedup.minhash_lsh_pairs(_docs(spark, sf_dir)), k=2)
+
+
+def _graph_jaccard(spark, sf_dir):
+    """Neighbor-set Jaccard for node pairs of the minhash graph
+    sharing a neighbor (graph.jaccard_similarity) — high-J
+    non-adjacent pairs are the transitive near-dup misses."""
+    from fossil_spark.operators import dedup, graph
+
+    return graph.jaccard_similarity(
+        dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+    )
+
+
 def _embedding_silhouette(spark, sf_dir):
     """Simplified (centroid) silhouette per label class (ann.
     silhouette, Rousseeuw 1987): a = distance to own centroid, b =
@@ -2925,6 +2946,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_survival_km": _analytics("survival_km"),
         "agg_price_elasticity": _analytics("price_elasticity"),
         "embedding_silhouette": _embedding_silhouette,
+        "graph_kcore": _graph_kcore,
+        "graph_jaccard": _graph_jaccard,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
         "ts_lttb": _ts_lttb,
         "text_keywords": _text_keywords,
@@ -8386,6 +8409,52 @@ def oracle_sql() -> dict[str, str]:
         " CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_events,"
         " CASE WHEN d = n_risk THEN 0.0 ELSE"
         "  round(exp(CAST(lncum AS DOUBLE)), 6) END AS survival FROM km"
+    )
+    # k-core: 8 chained peel rounds (peeling is monotone, so extra
+    # rounds after the fixpoint are no-ops on both engines)
+    # MATERIALIZED per round: each ed{r} is referenced three times by
+    # round r+1, so an inlined chain re-expands the upstream LSH scan
+    # 3^8 times (found live: "Too many open files" on the parquet)
+    _kc_rounds = []
+    for _r in range(8):
+        _kc_rounds.append(
+            f" g{_r} AS MATERIALIZED (SELECT src FROM ed{_r} GROUP BY src"
+            "  HAVING count(*) >= 2),"
+            f" ed{_r + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM ed{_r} e"
+            f"  JOIN g{_r} a ON a.src = e.src"
+            f"  JOIN g{_r} b ON b.src = e.dst),"
+        )
+    out["graph_kcore"] = (
+        f"WITH {_MINHASH_CTES},"
+        " ed0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "  SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        "  UNION ALL SELECT doc_b, doc_a FROM pairs)),"
+        + "".join(_kc_rounds).rstrip(",")
+        + " SELECT src AS doc_id, CAST(count(*) AS BIGINT)"
+        " AS core_degree FROM ed8 GROUP BY src"
+    )
+    # neighbor-set Jaccard: one wedge self-join at the shared
+    # neighbor, integer counts, J rounds @6
+    out["graph_jaccard"] = (
+        f"WITH {_MINHASH_CTES},"
+        " ed AS (SELECT DISTINCT src, dst FROM ("
+        "  SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        "  UNION ALL SELECT doc_b, doc_a FROM pairs)),"
+        " deg AS (SELECT src AS id, count(*) AS dg FROM ed GROUP BY 1),"
+        " cm AS (SELECT e1.dst AS a, e2.dst AS b, count(*) AS nc"
+        "  FROM ed e1 JOIN ed e2 ON e1.src = e2.src AND e1.dst < e2.dst"
+        "  GROUP BY 1, 2),"
+        " adj AS (SELECT src AS a, dst AS b, TRUE AS adjf FROM ed"
+        "  WHERE src < dst)"
+        " SELECT cm.a AS node_a, cm.b AS node_b,"
+        " CAST(nc AS BIGINT) AS n_common,"
+        " CAST(da.dg + db.dg - nc AS BIGINT) AS n_union,"
+        " round(CAST(nc AS DOUBLE)"
+        "  / CAST(da.dg + db.dg - nc AS DOUBLE), 6) AS jaccard,"
+        " coalesce(adjf, FALSE) AS is_edge"
+        " FROM cm JOIN deg da ON da.id = cm.a"
+        " JOIN deg db ON db.id = cm.b"
+        " LEFT JOIN adj ON adj.a = cm.a AND adj.b = cm.b"
     )
     # centroid silhouette: decimal-mean centroids per (label, dim),
     # per-vector d2 as the SAME sequential list fold the Spark

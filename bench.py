@@ -206,6 +206,7 @@ def main() -> None:
         # round-10 operators
         "ts_runs_test", "ts_variance_ratio", "ts_hurst",
         "agg_survival_km", "agg_price_elasticity", "embedding_silhouette",
+        "graph_kcore", "graph_jaccard",
     ]
     qs = entrymod.queries()
     if comparable_only:

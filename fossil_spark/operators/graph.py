@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 
 def _symmetric_edges(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
@@ -266,3 +267,97 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels.select(F.col("id").alias("doc_id"), "label", "is_seed")
+
+
+def kcore(
+    pairs: DataFrame,
+    k: int = 2,
+    n_rounds: int = 8,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """k-core of the undirected pair graph (Seidman 1983, Social
+    Networks — public classic): iteratively peel nodes with degree
+    < k until every survivor has >= k neighbors INSIDE the surviving
+    set. The k-core separates structurally dense template/boilerplate
+    families from nodes that merely touch one (a high raw [[graph_degree]]
+    can be one hub; membership in the 3-core cannot).
+
+    A FIXED `n_rounds` synchronous peels keep the whole run replayable
+    by chained CTEs (the pagerank/label_prop discipline); peeling is
+    monotone, so extra rounds after convergence are no-ops and both
+    engines agree whether or not the fixpoint was reached. Shape per
+    round: one degree groupBy + two semi-joins keyed by node id;
+    edges localCheckpoint once (the upstream LSH pipeline runs once).
+    Returns surviving nodes: (doc_id, core_degree)."""
+    edges = _symmetric_edges(pairs, a_col, b_col).localCheckpoint(eager=False)
+    for _ in range(n_rounds):
+        good = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") >= k)
+            .select("src")
+        )
+        edges = (
+            edges.join(good, "src")
+            .join(good.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        edges.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+
+
+def jaccard_similarity(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    min_common: int = 1,
+) -> DataFrame:
+    """Neighbor-set Jaccard for every node pair sharing >= `min_common`
+    neighbors in the undirected pair graph (the SimRank-lite link
+    predictor): J(a,b) = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|. On a near-dup
+    graph, high-J non-adjacent pairs are documents duplicating the
+    same family through different edges — the transitive-miss audit
+    for [[dedup_components]].
+
+    Shape: candidate pairs come from ONE wedge self-join at the
+    shared neighbor (bounded by sum of neighbor-degree², the
+    graph_triangles budget — LSH graphs are sparse), degrees broadcast
+    back; all counts integer, J rounds @6. Returns (node_a, node_b,
+    n_common, n_union, jaccard, is_edge) for node_a < node_b."""
+    edges = _symmetric_edges(pairs, a_col, b_col).localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    e1 = edges.select(F.col("src").alias("__n"), F.col("dst").alias("__a"))
+    e2 = edges.select(F.col("src").alias("__n"), F.col("dst").alias("__b"))
+    common = (
+        e1.join(e2, "__n")
+        .filter(F.col("__a") < F.col("__b"))
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    da = deg.select(F.col("src").alias("__a"), F.col("__deg").alias("__da"))
+    db = deg.select(F.col("src").alias("__b"), F.col("__deg").alias("__db"))
+    adj = edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("__a"), F.col("dst").alias("__b"),
+        F.lit(True).alias("__adj"),
+    )
+    j = (
+        common.join(broadcast(da), "__a")
+        .join(broadcast(db), "__b")
+        .join(adj, ["__a", "__b"], "left")
+    )
+    union = F.col("__da") + F.col("__db") - F.col("n_common")
+    return j.select(
+        F.col("__a").alias("node_a"),
+        F.col("__b").alias("node_b"),
+        F.col("n_common").cast("long").alias("n_common"),
+        union.cast("long").alias("n_union"),
+        F.round(
+            F.col("n_common").cast("double") / union.cast("double"), 6
+        ).alias("jaccard"),
+        F.coalesce(F.col("__adj"), F.lit(False)).alias("is_edge"),
+    )

@@ -1224,6 +1224,49 @@ def test_embedding_dim_stats_flags_dead_and_blown_dims(spark):
     assert out[2]["mean"] > 5.0               # the blowup moves the mean
 
 
+def test_graph_kcore_peels_tail_keeps_triangle(spark):
+    """A triangle with a pendant chain: the 2-core peels the chain
+    (5 first, then 4 once its degree drops) and keeps exactly the
+    triangle at core degree 2; a pure chain peels to nothing within
+    the fixed rounds."""
+    from fossil_spark.operators import graph
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)],
+        "doc_a long, doc_b long",
+    )
+    out = {r["doc_id"]: r["core_degree"]
+           for r in graph.kcore(pairs, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long")
+    assert graph.kcore(chain, k=2).count() == 0
+    # k=3: the triangle itself dies (degree 2 < 3)
+    assert graph.kcore(pairs, k=3).count() == 0
+
+
+def test_graph_jaccard_transitive_miss(spark):
+    """Triangle nodes share exactly one neighbor (J = 1/3, adjacent);
+    two leaves hanging off the same hub have identical neighbor sets
+    (J = 1) while NOT being adjacent — the transitive-miss signal the
+    operator exists to surface."""
+    from fossil_spark.operators import graph
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 6), (5, 6)],
+        "doc_a long, doc_b long",
+    )
+    out = {(r["node_a"], r["node_b"]): r
+           for r in graph.jaccard_similarity(pairs).collect()}
+    for a, b in ((1, 2), (1, 3), (2, 3)):
+        assert out[(a, b)]["jaccard"] == 0.333333
+        assert out[(a, b)]["is_edge"]
+        assert out[(a, b)]["n_common"] == 1 and out[(a, b)]["n_union"] == 3
+    assert out[(4, 5)]["jaccard"] == 1.0
+    assert not out[(4, 5)]["is_edge"]
+    assert set(out) == {(1, 2), (1, 3), (2, 3), (4, 5)}
+
+
 def test_graph_triangles_planted(spark):
     """Triangle {1,2,3} with a pendant 4-1, a triangle-free square
     {5,6,7,8}, and a K4 {20..23} (4 triangles, clustering 1.0

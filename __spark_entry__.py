@@ -2608,6 +2608,26 @@ def _streaming_apdex_replay(spark, sf_dir):
     )
 
 
+def _text_char_trigram_nll(spark, sf_dir):
+    """Character-trigram corpus LM NLL per document
+    (text.char_trigram_nll) — the sub-word outlier detector: alien
+    scripts and obfuscated glue text score high even when their words
+    are individually common."""
+    from fossil_spark.operators import text
+
+    return text.char_trigram_nll(_docs(spark, sf_dir))
+
+
+def _sample_ess(spark, sf_dir):
+    """Kish effective sample size per source (text.sampling_ess) over
+    quality weights: ESS/n near 0 means a few documents dominate the
+    weighted mixture — the pre-training sanity dial for any weighted
+    sampling plan."""
+    from fossil_spark.operators import text
+
+    return text.sampling_ess(_docs(spark, sf_dir))
+
+
 def _graph_kcore(spark, sf_dir):
     """2-core of the minhash near-dup graph (graph.kcore, Seidman
     1983): peel degree-<2 nodes for 8 fixed synchronous rounds —
@@ -2948,6 +2968,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_silhouette": _embedding_silhouette,
         "graph_kcore": _graph_kcore,
         "graph_jaccard": _graph_jaccard,
+        "text_char_trigram_nll": _text_char_trigram_nll,
+        "sample_ess": _sample_ess,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
         "ts_lttb": _ts_lttb,
         "text_keywords": _text_keywords,
@@ -8409,6 +8431,49 @@ def oracle_sql() -> dict[str, str]:
         " CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_events,"
         " CASE WHEN d = n_risk THEN 0.0 ELSE"
         "  round(exp(CAST(lncum AS DOUBLE)), 6) END AS survival FROM km"
+    )
+    # char-trigram corpus LM NLL: the unigram_nll accumulation rule
+    # (-ln MLE cast straight to decimal(30,8)) over split('') char
+    # trigrams (the char_entropy UTF-16-unit convention)
+    out["text_char_trigram_nll"] = (
+        "WITH c AS (SELECT doc_id, list_filter(string_split(text, ''),"
+        "  x -> x <> '') AS a FROM documents),"
+        " g AS (SELECT doc_id, unnest(list_transform("
+        "  generate_series(1, len(a) - 2),"
+        "  i -> a[i] || a[i + 1] || a[i + 2])) AS gr FROM c"
+        "  WHERE len(a) >= 3),"
+        " tf AS (SELECT gr, count(*) AS tf FROM g GROUP BY 1),"
+        " tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM g),"
+        " sc AS (SELECT doc_id, -ln(CAST(tf AS DOUBLE) / n) AS t"
+        "  FROM g JOIN tf USING (gr), tot)"
+        " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,"
+        " CAST(round(sum(CAST(t AS DECIMAL(30,8))), 4) AS DOUBLE) AS nll,"
+        " round(CAST(round(sum(CAST(t AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "  / count(*), 6) AS avg_nll"
+        " FROM sc GROUP BY 1"
+    )
+    # Kish ESS per source over the text_quality combined score
+    # (clamped at 0), @8-quantized decimal term sums
+    out["sample_ess"] = (
+        f"WITH t AS (SELECT source, text, {_TOKS} w FROM documents),"
+        " q AS (SELECT source, greatest("
+        f"  0.4 * (len(list_filter(w, x -> list_contains({_EN_SW}, x)))"
+        "   ::DOUBLE / len(w))"
+        "  + 0.4 * (1.0 - abs(list_sum(list_transform(w, x -> len(x)))"
+        "   ::DOUBLE / len(w) - 5.0) / 5.0)"
+        r"  + 0.2 * (1.0 - len(regexp_extract_all(text, '[^\w\s]'))"
+        "   ::DOUBLE / len(text)), 0.0) AS wq FROM t),"
+        " a AS (SELECT source, count(*) AS n,"
+        "  CAST(round(sum(CAST(round(wq, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS s1,"
+        "  CAST(round(sum(CAST(round(wq * wq, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS s2 FROM q GROUP BY 1)"
+        " SELECT source, CAST(n AS BIGINT) AS n_docs,"
+        " round(s1, 6) AS sum_w,"
+        " CASE WHEN s2 > 0 THEN round(s1 * s1 / s2, 6) ELSE 0.0 END"
+        "  AS ess,"
+        " CASE WHEN s2 > 0 THEN round(s1 * s1 / s2 / CAST(n AS DOUBLE),"
+        "  6) ELSE 0.0 END AS ess_ratio FROM a"
     )
     # k-core: 8 chained peel rounds (peeling is monotone, so extra
     # rounds after the fixpoint are no-ops on both engines)

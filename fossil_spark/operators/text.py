@@ -2472,3 +2472,105 @@ def dsir_weights(
         F.sum("__cnt").cast("long").alias("n_grams"),
         F.round(F.sum("__term"), 6).cast("double").alias("log_weight"),
     )
+
+
+def char_trigram_nll(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-trigram language-model NLL per document — the
+    sub-word sibling of [[text_unigram_nll]]: fit p(tri) = tf/N on
+    the corpus's own character trigrams and score each document by
+    sum(-ln p). Catches what word-level NLL can't: alien scripts,
+    ROT/leet obfuscation, tokenizer-hostile glue text — any document
+    whose CHARACTER transitions are unusual for the corpus, even when
+    its words are individually common.
+
+    Shape mirrors unigram_nll: one trigram explode (chars via the
+    char_entropy split('') convention — UTF-16 code units, a fixed
+    documented choice), one groupBy(trigram) tf table, a 1-row
+    broadcast total, the Zipfian re-join AQE skew-splits, one
+    groupBy(doc) with decimal(30,8) accumulation. Docs shorter than
+    3 chars are omitted. Returns (id, n_trigrams, nll, avg_nll)."""
+    arr = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.col(text_col), ""), lambda x: x != F.lit("")
+        ).alias("__a"),
+    ).filter(F.size("__a") >= 3)
+    g = arr.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__a") - 2),
+                lambda i: F.concat(
+                    F.element_at("__a", i),
+                    F.element_at("__a", i + 1),
+                    F.element_at("__a", i + 2),
+                ),
+            )
+        ).alias("__gr"),
+    )
+    tf = g.groupBy("__gr").agg(F.count(F.lit(1)).alias("__tf"))
+    total = g.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    nll = -F.log(F.col("__tf").cast("double") / F.col("__n"))
+    per_doc = (
+        g.join(tf, "__gr")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(F.sum(nll.cast("decimal(30,8)")), 4)
+            .cast("double")
+            .alias("nll"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_trigrams",
+        "nll",
+        F.round(F.col("nll") / F.col("n_trigrams"), 6).alias("avg_nll"),
+    )
+
+
+def sampling_ess(
+    df: DataFrame,
+    weight: Column | None = None,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Effective sample size of a weighted corpus slice per group
+    (Kish 1965 design effect — public classic): ESS = (Σw)² / Σw².
+    The one-dial audit for any importance/quality-weighted sampling
+    plan: ESS/n near 1 means weights are flat (sampling is honest);
+    near 0 means a few documents dominate and the 'weighted corpus'
+    is really a handful of examples — run BEFORE committing a
+    mixture to training.
+
+    `weight` defaults to the [[text_quality]] combined score clamped
+    at 0. One groupBy per group with @8-quantized decimal term sums.
+    Returns (by, n_docs, sum_w, ess, ess_ratio)."""
+    w = F.greatest(
+        weight if weight is not None else quality_expr(F.col(text_col)),
+        F.lit(0.0),
+    )
+
+    def dsum8(e):
+        return F.round(F.sum(F.round(e, 8).cast("decimal(30,8)")), 8).cast(
+            "double"
+        )
+
+    agg = df.select(F.col(by), w.alias("__w")).groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dsum8(F.col("__w")).alias("__s1"),
+        dsum8(F.col("__w") * F.col("__w")).alias("__s2"),
+    )
+    ess = F.when(
+        F.col("__s2") > 0, F.col("__s1") * F.col("__s1") / F.col("__s2")
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        by,
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("__s1", 6).alias("sum_w"),
+        F.round(ess, 6).alias("ess"),
+        F.round(ess / F.col("n_docs").cast("double"), 6).alias("ess_ratio"),
+    )

@@ -2698,16 +2698,23 @@ def _ts_hurst(spark, sf_dir):
 
 
 # The driver's correctness gate checks the FIRST ~50 keys of
-# queries(). Round-10 rotation (VERDICT r9 "Next round" #1): every
-# oracle-bearing key is driver-green, so the window refreshes the 66
-# OLDEST signals — the 22 keys whose only PASS is round 3 and the 44
-# whose only PASS is round 4, both predating five rounds of
-# shared-helper churn. The 50-key window takes all 22 r3-vintage keys
-# plus the 28 most drift-sensitive r4 keys (the full fql_* compiler
-# family, the r4 TPC-H joins, the r4 shared-window ts keys); the
-# remaining 16 r4-vintage keys queue immediately below the fold for
-# the round-11 window.
+# queries(). Round-10 rotation (VERDICT r9 "Next round" #1, amended
+# mid-round): the round-10 build added 10 brand-new keys that have
+# NEVER been driver-checked — never-checked debt outranks
+# stale-but-green, so those 10 take the head. The rest of the window
+# refreshes the OLDEST signals per the verdict: all 22 keys whose
+# only PASS is round 3, then 18 of the 21-key fql_* compiler family
+# (only PASS r4; one shared compiler, so family coverage is what
+# matters — the 3 simplest scalar-builtin keys yield their slots).
+# Displaced r4-vintage keys (3 fql scalar builtins, the r4 TPC-H
+# joins, shared-window ts keys, and the 16-key remainder) queue
+# immediately below the fold as the round-11 window head.
 _WINDOW_PRIORITY = [
+    # --- round-10 additions (10 keys, never driver-checked) ---
+    "ts_runs_test", "ts_variance_ratio", "ts_hurst",
+    "agg_survival_km", "agg_price_elasticity", "embedding_silhouette",
+    "graph_kcore", "graph_jaccard", "text_char_trigram_nll",
+    "sample_ess",
     # --- r3-vintage (22 keys, last PASS CORRECTNESS_r03) ---
     "schema_validate", "store_list_topics", "tpch_q10", "tpch_q12",
     "ann_bruteforce", "ann_lsh", "dedup_components", "dedup_embedding",
@@ -2715,20 +2722,18 @@ _WINDOW_PRIORITY = [
     "text_chunk", "text_fingerprint", "text_langid", "text_pack",
     "text_quality", "text_repetition", "text_scrub_pii",
     "text_token_freq", "text_tokens", "multimodal_meta",
-    # --- r4-vintage, drift-sensitive (28 keys, last PASS r04) ---
-    # the whole FQL compiler family (shared compiler + typed-store
-    # helpers)
+    # --- r4-vintage fql compiler family (18 keys, last PASS r04) ---
     "fql_all", "fql_before", "fql_between", "fql_builtin_minmax",
     "fql_composite_subscript", "fql_filter", "fql_filter_mapped_tuple",
     "fql_kitchen_sink", "fql_map", "fql_map_composite",
-    "fql_mapreduce_avg", "fql_pow", "fql_reduce_count",
+    "fql_mapreduce_avg", "fql_reduce_count",
     "fql_reduce_sum", "fql_sample_greedy", "fql_since",
-    "fql_string_concat_filter", "fql_string_len", "fql_time_arith",
-    "fql_topic", "fql_topic_prefix",
-    # r4 TPC-H joins + shared-window ts keys
+    "fql_time_arith", "fql_topic", "fql_topic_prefix",
+    # --- round-11 window head: displaced r4-vintage keys ---
+    "fql_pow", "fql_string_concat_filter", "fql_string_len",
     "tpch_q3", "tpch_q5", "tpch_q6",
     "ts_gapfill_linear", "ts_range_join", "ts_rate", "ts_session",
-    # --- r4-vintage remainder (16 keys — round-11 window head) ---
+    # --- r4-vintage remainder (16 keys) ---
     "ts_ewma", "ts_first_last", "ts_gapfill", "ts_ohlc",
     "ts_rollup_cascade", "ts_sliding", "ts_topk", "agg_dau_exact",
     "agg_order_rollup", "agg_percentiles", "json_props_analysis",

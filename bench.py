@@ -207,6 +207,7 @@ def main() -> None:
         "ts_runs_test", "ts_variance_ratio", "ts_hurst",
         "agg_survival_km", "agg_price_elasticity", "embedding_silhouette",
         "graph_kcore", "graph_jaccard",
+        "text_char_trigram_nll", "sample_ess",
     ]
     qs = entrymod.queries()
     if comparable_only:

@@ -2836,3 +2836,60 @@ def test_kcenter_assign_fold_evaluates_distance_once(spark, emb):
     old shape carried two."""
     plan = ann.kcenter_assign(emb, k=3)._jdf.queryExecution().analyzed().toString()
     assert plan.count("zip_with") == 1, plan.count("zip_with")
+
+
+# --- character-trigram LM NLL (round-10 snapshot keys) -----------------------
+
+def test_char_trigram_nll_hand_computed(spark):
+    import math
+
+    # corpus trigrams: doc1 "aaaa" -> {aaa, aaa}; doc2 "aab" -> {aab};
+    # N = 3, p(aaa) = 2/3, p(aab) = 1/3
+    d = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aab"), (3, "xy")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in text.char_trigram_nll(d).collect()}
+    assert 3 not in out  # docs shorter than 3 chars are omitted
+    assert out[1]["n_trigrams"] == 2 and out[2]["n_trigrams"] == 1
+    assert out[1]["nll"] == pytest.approx(-2 * math.log(2 / 3), abs=2e-4)
+    assert out[2]["nll"] == pytest.approx(math.log(3.0), abs=2e-4)
+    # rarer character transitions score higher per trigram
+    assert out[2]["avg_nll"] > out[1]["avg_nll"]
+
+
+def test_char_trigram_nll_partitioning_invariant(docs):
+    a = {r["doc_id"]: r["nll"] for r in text.char_trigram_nll(docs).collect()}
+    b = {
+        r["doc_id"]: r["nll"]
+        for r in text.char_trigram_nll(docs.repartition(13)).collect()
+    }
+    assert a == b
+
+
+# --- Kish effective sample size ----------------------------------------------
+
+def test_sampling_ess_hand_computed(spark):
+    # x: flat weights -> ESS = n; y: one zero -> ESS = 1 of 2;
+    # z: all-zero weights -> ESS = 0 (guarded division)
+    d = spark.createDataFrame(
+        [("x", 1.0), ("x", 1.0), ("y", 1.0), ("y", 0.0),
+         ("z", 0.0), ("z", 0.0)],
+        "source string, w double",
+    )
+    out = {
+        r["source"]: r
+        for r in text.sampling_ess(d, weight=F.col("w")).collect()
+    }
+    assert out["x"]["ess"] == pytest.approx(2.0) and out["x"]["ess_ratio"] == 1.0
+    assert out["y"]["ess"] == pytest.approx(1.0) and out["y"]["ess_ratio"] == 0.5
+    assert out["z"]["ess"] == 0.0 and out["z"]["ess_ratio"] == 0.0
+
+
+def test_sampling_ess_default_weight_is_clamped_quality(docs):
+    # default weight = text_quality combined score clamped at 0:
+    # every group ESS must then satisfy 0 <= ESS <= n
+    out = text.sampling_ess(docs).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0.0 <= r["ess"] <= r["n_docs"] + 1e-9
+        assert 0.0 <= r["ess_ratio"] <= 1.0 + 1e-9

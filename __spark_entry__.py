@@ -2970,6 +2970,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_hurst": _ts_hurst,
         "agg_survival_km": _analytics("survival_km"),
         "agg_price_elasticity": _analytics("price_elasticity"),
+        "agg_mann_whitney": _analytics("mann_whitney"),
+        "agg_welch_t": _analytics("welch_t"),
+        "agg_anova": _analytics("anova_priority"),
         "embedding_silhouette": _embedding_silhouette,
         "graph_kcore": _graph_kcore,
         "graph_jaccard": _graph_jaccard,
@@ -8592,6 +8595,108 @@ def oracle_sql() -> dict[str, str]:
         "   / ((CAST(n AS DOUBLE) * sxx - sx * sx)"
         "    * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) END AS r2"
         " FROM a"
+    )
+    # Mann-Whitney U (analytics.mann_whitney): exact half-integer U
+    # from the distinct-value grid, tie-corrected normal z; decimal
+    # halves keep U bit-exact, every other input an integer count
+    out["agg_mann_whitney"] = (
+        "WITH u AS (SELECT user_id, count(*) AS m"
+        f" FROM {_EV} e GROUP BY 1),"
+        " t AS (SELECT ('0x' || substr(md5('ab:' || user_id::VARCHAR),"
+        "  1, 8))::BIGINT % 2 AS v, m FROM u),"
+        " g AS (SELECT m,"
+        "  sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS ca,"
+        "  sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS cb"
+        "  FROM t GROUP BY 1),"
+        " c AS (SELECT ca, cb,"
+        "  coalesce(sum(cb) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED"
+        "   PRECEDING AND 1 PRECEDING), 0) AS cumb,"
+        "  ca + cb AS tt FROM g),"
+        " a AS (SELECT"
+        "  CAST(sum(ca) AS BIGINT) AS n_a,"
+        "  CAST(sum(cb) AS BIGINT) AS n_b,"
+        "  CAST(sum(CAST(ca AS DECIMAL(20,1)) *"
+        "   (CAST(cumb AS DECIMAL(20,1)) + CAST(cb AS DECIMAL(20,1)) / 2))"
+        "   AS DOUBLE) AS ua,"
+        "  CAST(sum(CAST(tt AS DECIMAL(38,0)) * tt * tt - tt) AS DOUBLE)"
+        "   AS ties FROM c),"
+        " s AS (SELECT n_a, n_b, ua, ties,"
+        "  CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb FROM a)"
+        " SELECT n_a, n_b, round(ua, 1) AS u_a,"
+        " round(na * nb - ua, 1) AS u_b,"
+        " round(na * nb / 2.0, 1) AS mean_u,"
+        " round((ua - na * nb / 2.0)"
+        "  / sqrt(na * nb / 12.0 * ((na + nb + 1.0)"
+        "   - ties / ((na + nb) * (na + nb - 1.0)))), 6) AS z_score,"
+        " abs((ua - na * nb / 2.0)"
+        "  / sqrt(na * nb / 12.0 * ((na + nb + 1.0)"
+        "   - ties / ((na + nb) * (na + nb - 1.0))))) >= 1.959964"
+        "  AS significant_95"
+        " FROM s"
+    )
+    # Welch unequal-variance t (analytics.welch_t): moments from
+    # @8-quantized decimal sums, Welch-Satterthwaite df
+    out["agg_welch_t"] = (
+        "WITH u AS (SELECT user_id,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 8) AS DOUBLE) AS m"
+        f" FROM {_EV} e GROUP BY 1),"
+        " t AS (SELECT ('0x' || substr(md5('ab:' || user_id::VARCHAR),"
+        "  1, 8))::BIGINT % 2 AS v, m FROM u),"
+        " a AS (SELECT"
+        "  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,"
+        "  CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,"
+        "  CAST(round(sum(CASE WHEN v = 0 THEN"
+        "   CAST(round(m, 8) AS DECIMAL(30,8)) END), 8) AS DOUBLE) AS sa,"
+        "  CAST(round(sum(CASE WHEN v = 1 THEN"
+        "   CAST(round(m, 8) AS DECIMAL(30,8)) END), 8) AS DOUBLE) AS sb,"
+        "  CAST(round(sum(CASE WHEN v = 0 THEN"
+        "   CAST(round(m * m, 8) AS DECIMAL(30,8)) END), 8) AS DOUBLE)"
+        "   AS qa,"
+        "  CAST(round(sum(CASE WHEN v = 1 THEN"
+        "   CAST(round(m * m, 8) AS DECIMAL(30,8)) END), 8) AS DOUBLE)"
+        "   AS qb FROM t),"
+        " s AS (SELECT n_a, n_b, sa, sb, qa, qb,"
+        "  CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb FROM a),"
+        " e AS (SELECT n_a, n_b, na, nb, sa / na AS ma, sb / nb AS mb,"
+        "  (qa - sa * sa / na) / (na - 1) / na AS sea,"
+        "  (qb - sb * sb / nb) / (nb - 1) / nb AS seb FROM s)"
+        " SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,"
+        " round((mb - ma) / sqrt(sea + seb), 6) AS t_stat,"
+        " round((sea + seb) * (sea + seb)"
+        "  / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 2) AS df,"
+        " abs((mb - ma) / sqrt(sea + seb)) >= 1.959964 AS significant_95"
+        " FROM e"
+    )
+    # One-way ANOVA across order priorities (analytics.anova_priority):
+    # centered two-pass — exact decimal group sums -> @6 group means,
+    # SSW from @4-quantized squared deviations vs the k-row mean table,
+    # SSB from n_g * @6-quantized squared mean gaps (single-pass sum(x^2)
+    # would need 1e16-scale doubles whose ulp exceeds any quantizer)
+    out["agg_anova"] = (
+        "WITH g AS (SELECT o_orderpriority, count(*) AS n,"
+        " sum(CAST(round(o_totalprice, 2) AS DECIMAL(30,2))) AS s1"
+        " FROM orders GROUP BY 1),"
+        " g2 AS (SELECT o_orderpriority, n,"
+        "  round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mg, s1"
+        "  FROM g),"
+        " t AS (SELECT sum(n) AS nn,"
+        "  round(CAST(sum(s1) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS m"
+        "  FROM g2),"
+        " b AS (SELECT nn, CAST(count(*) AS BIGINT) AS k,"
+        "  CAST(sum(CAST(n AS DECIMAL(20,0))"
+        "   * CAST(round((mg - m) * (mg - m), 6) AS DECIMAL(30,6)))"
+        "   AS DOUBLE) AS ssb"
+        "  FROM g2, t GROUP BY nn),"
+        " w AS (SELECT CAST(sum(CAST(round((o_totalprice - mg)"
+        "   * (o_totalprice - mg), 4) AS DECIMAL(30,4))) AS DOUBLE) AS ssw"
+        "  FROM orders JOIN g2 USING (o_orderpriority)),"
+        " s AS (SELECT k, nn, CAST(nn AS DOUBLE) AS nnd,"
+        "  CAST(k AS DOUBLE) AS kk, ssb, ssw FROM b, w)"
+        " SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n,"
+        " round(ssb / (kk - 1) / (ssw / (nnd - kk)), 6) AS f_stat,"
+        " round(ssb / (ssb + ssw), 6) AS eta_squared,"
+        " round(ssb, 2) AS ss_between, round(ssw, 2) AS ss_within"
+        " FROM s"
     )
     # Greedy k-center coreset: the recursive CTE replays the exact
     # greedy trace — state = (remaining ids/vecs/min-dists, picked),

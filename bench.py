@@ -208,6 +208,7 @@ def main() -> None:
         "agg_survival_km", "agg_price_elasticity", "embedding_silhouette",
         "graph_kcore", "graph_jaccard",
         "text_char_trigram_nll", "sample_ess",
+        "agg_mann_whitney", "agg_welch_t", "agg_anova",
     ]
     qs = entrymod.queries()
     if comparable_only:

@@ -1430,3 +1430,234 @@ def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.try_divide(num, denx), 6).alias("elasticity"),
         F.round(F.try_divide(num * num, denx * deny), 6).alias("r2"),
     )
+
+
+def mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (Mann & Whitney 1947) over the
+    deterministic md5 A/B user split: does variant B's per-user
+    activity (total event count — integer, heavily tied, the worst
+    case for naive rank math) stochastically dominate variant A's?
+    The nonparametric companion to [[agg_ab_test]]'s two-proportion z:
+    no normality assumption, robust to the heavy right tail user
+    activity always has.
+
+    EXACT rank arithmetic with the classic tie correction, computed
+    WITHOUT ranking individual users: U_A = sum over distinct metric
+    values v of cntA(v) * (cumB(<v) + cntB(v)/2), a cumulative window
+    over the DISTINCT-value aggregate (bounded by |users|, in practice
+    by the distinct activity counts — the agg_gini lint shape). Halves
+    are exact in decimal(38,1); every input is an integer count, so
+    U, its mean, and the tie term are bit-identical across engines.
+    z uses the normal approximation with tie-corrected variance
+    sigma^2 = nA*nB/12 * ((N+1) - sum(t^3-t)/(N(N-1))); no continuity
+    correction (documented fixed choice). Returns one row
+    (n_a, n_b, u_a, u_b, mean_u, z_score, significant_95)."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("__m")
+    )
+    variant = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ab:"),
+                                          F.col("user_id").cast("string"))),
+                           1, 8), 16, 10)
+        .cast("long") % 2
+    )
+    tagged = per_user.select(variant.alias("__v"), "__m")
+    # distinct-value grid: per metric value, counts in each variant
+    grid = tagged.groupBy("__m").agg(
+        F.sum(F.when(F.col("__v") == 0, 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(F.col("__v") == 1, 1).otherwise(0)).alias("__cb"),
+    )
+    w = Window.orderBy("__m").rowsBetween(Window.unboundedPreceding, -1)
+    # exact U contribution per distinct value: halves live in dec(38,1)
+    contrib = grid.select(
+        "__ca", "__cb",
+        F.coalesce(F.sum("__cb").over(w), F.lit(0)).alias("__cumb"),
+        (F.col("__ca") + F.col("__cb")).alias("__t"),
+    ).select(
+        "__ca", "__cb",
+        (
+            F.col("__ca").cast("decimal(38,1)")
+            * (
+                F.col("__cumb").cast("decimal(38,1)")
+                + F.col("__cb").cast("decimal(38,1)") / 2
+            )
+        ).alias("__u_term"),
+        (
+            F.col("__t").cast("decimal(38,0)") * F.col("__t")
+            * F.col("__t") - F.col("__t")
+        ).alias("__tie_term"),
+    )
+    agg = contrib.agg(
+        F.sum("__ca").cast("long").alias("n_a"),
+        F.sum("__cb").cast("long").alias("n_b"),
+        F.sum("__u_term").alias("__ua"),
+        F.sum("__tie_term").cast("decimal(38,0)").alias("__ties"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    u_a = F.col("__ua").cast("double")
+    mean_u = na * nb / F.lit(2.0)
+    sigma2 = (
+        na * nb / F.lit(12.0)
+        * ((n + F.lit(1.0))
+           - F.col("__ties").cast("double") / (n * (n - F.lit(1.0))))
+    )
+    z = F.try_divide(u_a - mean_u, F.sqrt(sigma2))
+    return agg.select(
+        "n_a", "n_b",
+        F.round(u_a, 1).alias("u_a"),
+        F.round(na * nb - u_a, 1).alias("u_b"),
+        F.round(mean_u, 1).alias("mean_u"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) >= F.lit(1.959964)).alias("significant_95"),
+    )
+
+
+def welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (Welch 1947) over the md5 A/B
+    user split on per-user total event value — the parametric
+    mean-shift readout to [[agg_mann_whitney]]'s rank test. Reports
+    the Welch-Satterthwaite degrees of freedom alongside t; the 95%
+    verdict uses the z critical value (df is in the thousands at any
+    real scale — documented approximation).
+
+    One user groupBy (decimal-quantized value sums), one 2-row
+    aggregate; moments via @8-quantized decimal term sums, the
+    variance from sum/sum-of-squares with the n-1 denominator.
+    Returns one row (n_a, n_b, mean_a, mean_b, t_stat, df,
+    significant_95)."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value").cast("decimal(30,8)")), 8)
+        .cast("double").alias("__m")
+    )
+    variant = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ab:"),
+                                          F.col("user_id").cast("string"))),
+                           1, 8), 16, 10)
+        .cast("long") % 2
+    )
+    tagged = per_user.select(variant.alias("__v"), "__m")
+
+    def dsum8(e):
+        return F.round(F.sum(F.round(e, 8).cast("decimal(30,8)")), 8).cast(
+            "double"
+        )
+
+    agg = tagged.agg(
+        F.sum(F.when(F.col("__v") == 0, 1).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("__v") == 1, 1).otherwise(0))
+        .cast("long").alias("n_b"),
+        dsum8(F.when(F.col("__v") == 0, F.col("__m"))).alias("__sa"),
+        dsum8(F.when(F.col("__v") == 1, F.col("__m"))).alias("__sb"),
+        dsum8(F.when(F.col("__v") == 0, F.col("__m") * F.col("__m")))
+        .alias("__qa"),
+        dsum8(F.when(F.col("__v") == 1, F.col("__m") * F.col("__m")))
+        .alias("__qb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.col("__sa") / na
+    mb = F.col("__sb") / nb
+    va = (F.col("__qa") - F.col("__sa") * F.col("__sa") / na) / (na - 1)
+    vb = (F.col("__qb") - F.col("__sb") * F.col("__sb") / nb) / (nb - 1)
+    sea = va / na
+    seb = vb / nb
+    t = F.try_divide(mb - ma, F.sqrt(sea + seb))
+    df = F.try_divide(
+        (sea + seb) * (sea + seb),
+        sea * sea / (na - 1) + seb * seb / (nb - 1),
+    )
+    return agg.select(
+        "n_a", "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 2).alias("df"),
+        (F.abs(t) >= F.lit(1.959964)).alias("significant_95"),
+    )
+
+
+def anova_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA (Fisher): does mean order value differ across the
+    five order priorities? The k-group generalization of the A/B mean
+    test — the screening question before any per-priority pricing or
+    SLA decision.
+
+    Two-pass CENTERED computation — the single-pass sum-of-squares
+    identity needs sum(x^2) ~ 1e16-scale doubles whose ulp exceeds the
+    @-quantizers (a live cross-engine mismatch at sf0.001), so instead:
+    exact decimal group sums give @6 group means; SSW = sum of
+    @4-quantized squared deviations from the (broadcast, k-row) group
+    mean; SSB = sum of n_g * @6-quantized squared mean gaps. Every
+    accumulated term is a moderate-magnitude exact decimal, so both
+    engines agree bitwise. One groupBy + one k-row broadcast join-back
+    over the fact table. Returns one row (k_groups, n, f_stat,
+    eta_squared, ss_between, ss_within)."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(30,2)"))
+        .alias("__s1"),
+    )
+    g = g.select(
+        "o_orderpriority", "__n",
+        F.round(
+            F.col("__s1").cast("double") / F.col("__n").cast("double"), 6
+        ).alias("__mg"),
+        "__s1",
+    )
+    tot = g.agg(
+        F.sum("__n").alias("__nn"), F.sum("__s1").alias("__ss")
+    ).select(
+        "__nn",
+        F.round(
+            F.col("__ss").cast("double") / F.col("__nn").cast("double"), 6
+        ).alias("__m"),
+    )
+    # SSB over the k-row group table (1-row broadcast grand mean)
+    ssb_tbl = g.crossJoin(F.broadcast(tot)).select(
+        "__nn",
+        (
+            F.col("__n").cast("decimal(20,0)")
+            * F.round(
+                (F.col("__mg") - F.col("__m"))
+                * (F.col("__mg") - F.col("__m")),
+                6,
+            ).cast("decimal(30,6)")
+        ).alias("__bterm"),
+    )
+    ssb_agg = ssb_tbl.groupBy("__nn").agg(
+        F.count(F.lit(1)).alias("__k"), F.sum("__bterm").alias("__ssb")
+    )
+    # SSW: deviations from the k-row broadcast group means
+    ssw_agg = o.join(
+        F.broadcast(g.select("o_orderpriority", "__mg")), "o_orderpriority"
+    ).agg(
+        F.sum(
+            F.round(
+                (F.col("o_totalprice") - F.col("__mg"))
+                * (F.col("o_totalprice") - F.col("__mg")),
+                4,
+            ).cast("decimal(30,4)")
+        ).alias("__ssw")
+    )
+    both = ssb_agg.crossJoin(F.broadcast(ssw_agg))
+    kk = F.col("__k").cast("double")
+    nn = F.col("__nn").cast("double")
+    ssb = F.col("__ssb").cast("double")
+    ssw = F.col("__ssw").cast("double")
+    f_stat = F.try_divide(ssb / (kk - 1), ssw / (nn - kk))
+    return both.select(
+        F.col("__k").cast("long").alias("k_groups"),
+        F.col("__nn").cast("long").alias("n"),
+        F.round(f_stat, 6).alias("f_stat"),
+        F.round(F.try_divide(ssb, ssb + ssw), 6).alias("eta_squared"),
+        F.round(ssb, 2).alias("ss_between"),
+        F.round(ssw, 2).alias("ss_within"),
+    )

@@ -2893,3 +2893,110 @@ def test_sampling_ess_default_weight_is_clamped_quality(docs):
     for r in out:
         assert 0.0 <= r["ess"] <= r["n_docs"] + 1e-9
         assert 0.0 <= r["ess_ratio"] <= 1.0 + 1e-9
+
+
+# --- Mann-Whitney / Welch / ANOVA (round-10 statistical tests) ---------------
+
+def _md5_variant(u):
+    import hashlib
+
+    return int(hashlib.md5(f"ab:{u}".encode()).hexdigest()[:8], 16) % 2
+
+
+def test_mann_whitney_hand_computed(spark, tmp_path):
+    import datetime as dt
+    import math
+
+    from fossil_spark.queries.analytics import mann_whitney
+
+    # pick users so variant A gets per-user counts {1,2,3}, B {2,4}
+    a_users = [u for u in range(100) if _md5_variant(u) == 0][:3]
+    b_users = [u for u in range(100) if _md5_variant(u) == 1][:2]
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u, n in list(zip(a_users, (1, 2, 3))) + list(zip(b_users, (2, 4))):
+        for i in range(n):
+            rows.append((eid, t0 + dt.timedelta(minutes=i), u, "click", 1.0))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = mann_whitney(spark, str(tmp_path)).collect()[0]
+    # U_A over pairs: (1 vs 2,4)=0, (2 vs 2,4)=0.5, (3 vs 2,4)=1 -> 1.5
+    assert (r["n_a"], r["n_b"]) == (3, 2)
+    assert r["u_a"] == 1.5 and r["u_b"] == 4.5 and r["mean_u"] == 3.0
+    # tie group at value 2 (t=2): sigma^2 = (6/12)*((5+1) - 6/(5*4))
+    sigma = math.sqrt(3.0 / 12.0 * 2.0 * (6.0 - 6.0 / 20.0))
+    assert r["z_score"] == pytest.approx((1.5 - 3.0) / sigma, abs=1e-6)
+    assert not r["significant_95"]
+
+
+def test_mann_whitney_detects_planted_shift(spark, tmp_path):
+    import datetime as dt
+
+    from fossil_spark.queries.analytics import mann_whitney
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u in range(300):
+        n = 10 if _md5_variant(u) else 2  # B users 5x more active
+        for i in range(n):
+            rows.append((eid, t0 + dt.timedelta(minutes=i), u, "c", 1.0))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = mann_whitney(spark, str(tmp_path)).collect()[0]
+    assert r["significant_95"] and r["z_score"] < -10  # u_a near 0
+
+
+def test_welch_t_hand_computed(spark, tmp_path):
+    import datetime as dt
+    import math
+
+    from fossil_spark.queries.analytics import welch_t
+
+    a_users = [u for u in range(100) if _md5_variant(u) == 0][:3]
+    b_users = [u for u in range(100) if _md5_variant(u) == 1][:2]
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # per-user value sums: A = {1,2,3}, B = {2,4}
+    for u, s in list(zip(a_users, (1.0, 2.0, 3.0))) + list(
+        zip(b_users, (2.0, 4.0))
+    ):
+        rows.append((eid, t0, u, "c", s))
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = welch_t(spark, str(tmp_path)).collect()[0]
+    # mA=2 vA=1, mB=3 vB=2: t = 1/sqrt(1/3 + 1) ; df = (4/3)^2 / (1/18 + 1)
+    assert (r["mean_a"], r["mean_b"]) == (2.0, 3.0)
+    assert r["t_stat"] == pytest.approx(1.0 / math.sqrt(4.0 / 3.0), abs=1e-6)
+    df = (4.0 / 3.0) ** 2 / ((1.0 / 3.0) ** 2 / 2 + 1.0)
+    assert r["df"] == pytest.approx(df, abs=0.01)
+    assert not r["significant_95"]
+
+
+def test_anova_hand_computed(spark, monkeypatch):
+    import fossil_spark.queries.analytics as mod
+
+    o = spark.createDataFrame(
+        [("P1", 1.0), ("P1", 2.0), ("P1", 3.0),
+         ("P2", 2.0), ("P2", 4.0), ("P2", 6.0)],
+        "o_orderpriority string, o_totalprice double",
+    )
+    monkeypatch.setattr(mod, "read_table", lambda s, d, t: o)
+    r = mod.anova_priority(spark, "x").collect()[0]
+    # S1 = (6, 12), S2 = (14, 56): SSB = 60 - 54 = 6, SSW = 70 - 60 = 10
+    assert (r["k_groups"], r["n"]) == (2, 6)
+    assert r["ss_between"] == pytest.approx(6.0)
+    assert r["ss_within"] == pytest.approx(10.0)
+    assert r["f_stat"] == pytest.approx((6.0 / 1.0) / (10.0 / 4.0), abs=1e-6)
+    assert r["eta_squared"] == pytest.approx(6.0 / 16.0, abs=1e-6)

@@ -105,6 +105,7 @@ GLOBAL_WINDOW_OK = {
     "agg_conversion_lag",       # rank over per-user lag aggregate
     "agg_gini",                 # cum-share over per-user revenue agg
     "agg_lorenz",               # decile rank over per-user revenue agg
+    "agg_mann_whitney",         # cum-count over DISTINCT-metric agg
     "agg_purchase_cadence",     # cum-rank over DISTINCT-gap aggregate
     "agg_rfm",                  # R/F/M quintile ranks over per-user agg
     "agg_skew_audit",           # rank over per-key cardinality agg

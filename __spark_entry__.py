@@ -2697,6 +2697,47 @@ def _ts_hurst(spark, sf_dir):
     )
 
 
+def _ts_page_hinkley(spark, sf_dir):
+    """Page-Hinkley drift detector (timeseries.page_hinkley): PH_t =
+    U_t - min U over standardized hourly bucket means — pure prefix
+    algebra, three window frames on one key sort, no Arrow boundary."""
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.page_hinkley(
+        _events(spark, sf_dir), 0.05, 5.0, "1 hour", "ts", ["event_type"],
+    )
+
+
+def _ts_permutation_entropy(spark, sf_dir):
+    """Bandt-Pompe order-3 permutation entropy per key
+    (timeseries.permutation_entropy) — the no-trig complexity dial."""
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.permutation_entropy(
+        _events(spark, sf_dir), "1 hour", "ts", ["event_type"],
+    )
+
+
+def _ts_adf(spark, sf_dir):
+    """Dickey-Fuller unit-root t-stat per key (timeseries.adf_test):
+    closed-form lag-0 constant-only DF regression on bucket means."""
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.adf_test(
+        _events(spark, sf_dir), "1 hour", "ts", ["event_type"],
+    )
+
+
+def _ts_granger(spark, sf_dir):
+    """Lag-1 Granger causality both ways between view and purchase
+    hourly volumes (timeseries.granger_lag1)."""
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.granger_lag1(
+        _events(spark, sf_dir), "view", "purchase", "1 hour", "ts",
+    )
+
+
 # The driver's correctness gate checks the FIRST ~50 keys of
 # queries(). Round-10 rotation (VERDICT r9 "Next round" #1, amended
 # mid-round): the round-10 build added 10 brand-new keys that have
@@ -2973,6 +3014,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_mann_whitney": _analytics("mann_whitney"),
         "agg_welch_t": _analytics("welch_t"),
         "agg_anova": _analytics("anova_priority"),
+        "ts_page_hinkley": _ts_page_hinkley,
+        "ts_permutation_entropy": _ts_permutation_entropy,
+        "ts_adf": _ts_adf,
+        "ts_granger": _ts_granger,
         "embedding_silhouette": _embedding_silhouette,
         "graph_kcore": _graph_kcore,
         "graph_jaccard": _graph_jaccard,
@@ -8697,6 +8742,186 @@ def oracle_sql() -> dict[str, str]:
         " round(ssb / (ssb + ssw), 6) AS eta_squared,"
         " round(ssb, 2) AS ss_between, round(ssw, 2) AS ss_within"
         " FROM s"
+    )
+    # Page-Hinkley (timeseries.page_hinkley): standardized bucket
+    # means -> three prefix windows (running z-mean, cumulative U,
+    # running min) replayed verbatim; terms decimal(30,8) pre-cumsum
+    out["ts_page_hinkley"] = (
+        "WITH b AS (SELECT event_type,"
+        " time_bucket(INTERVAL 1 HOUR, ts) AS bucket,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "  / count(value) AS v"
+        f" FROM {_EV} e WHERE value IS NOT NULL GROUP BY 1, 2),"
+        " k AS (SELECT event_type, bucket, v,"
+        "  CAST(round(sum(CAST(v AS DECIMAL(30,8))) OVER wk, 4) AS DOUBLE)"
+        "   / count(v) OVER wk AS mu FROM b"
+        "  WINDOW wk AS (PARTITION BY event_type)),"
+        " s AS (SELECT event_type, bucket, v, mu,"
+        "  sqrt(CAST(sum(CAST(round((v - mu) * (v - mu), 6)"
+        "   AS DECIMAL(30,6))) OVER wk AS DOUBLE)"
+        "   / count(v) OVER wk) AS sg FROM k"
+        "  WINDOW wk AS (PARTITION BY event_type)),"
+        " z AS (SELECT event_type, bucket, round((v - mu) / sg, 8) AS z"
+        "  FROM s WHERE sg > 0),"
+        " zm AS (SELECT event_type, bucket, z,"
+        "  CAST(round(sum(CAST(z AS DECIMAL(30,8))) OVER wp, 8) AS DOUBLE)"
+        "   / count(z) OVER wp AS zmean FROM z"
+        "  WINDOW wp AS (PARTITION BY event_type ORDER BY bucket"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),"
+        " t AS (SELECT event_type, bucket,"
+        "  z - zmean - 0.05 AS term FROM zm),"
+        " u AS (SELECT event_type, bucket, sum(term) OVER wp AS uu FROM t"
+        "  WINDOW wp AS (PARTITION BY event_type ORDER BY bucket"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),"
+        " p AS (SELECT event_type, bucket,"
+        "  uu - min(uu) OVER wp AS ph FROM u"
+        "  WINDOW wp AS (PARTITION BY event_type ORDER BY bucket"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
+        " SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,"
+        " max(round(ph, 6)) AS max_ph,"
+        " CAST(sum(CASE WHEN ph > 5.0 THEN 1 ELSE 0 END) AS BIGINT)"
+        "  AS n_alarms,"
+        " min(CASE WHEN ph > 5.0 THEN bucket END) AS first_alarm"
+        " FROM p GROUP BY 1"
+    )
+    # Bandt-Pompe order-3 permutation entropy
+    # (timeseries.permutation_entropy): pure comparisons, integer
+    # pattern counts, @8-quantized -p*ln(p) terms; ln(3!) inlined as
+    # the identical Python literal on both sides
+    out["ts_permutation_entropy"] = (
+        "WITH b AS (SELECT event_type,"
+        " time_bucket(INTERVAL 1 HOUR, ts) AS bucket,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "  / count(value) AS v"
+        f" FROM {_EV} e WHERE value IS NOT NULL GROUP BY 1, 2),"
+        " tri AS (SELECT event_type, v AS a,"
+        "  lead(v, 1) OVER w AS bb, lead(v, 2) OVER w AS c FROM b"
+        "  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),"
+        " pat AS (SELECT event_type,"
+        "  concat(CASE WHEN a <= bb THEN 1 ELSE 0 END,"
+        "   CASE WHEN bb <= c THEN 1 ELSE 0 END,"
+        "   CASE WHEN a <= c THEN 1 ELSE 0 END) AS pattern"
+        "  FROM tri WHERE bb IS NOT NULL AND c IS NOT NULL),"
+        " c AS (SELECT event_type, pattern, count(*) AS n FROM pat"
+        "  GROUP BY 1, 2),"
+        " e AS (SELECT event_type, n,"
+        "  sum(n) OVER (PARTITION BY event_type) AS tot FROM c),"
+        " t AS (SELECT event_type, tot,"
+        "  CAST(round(-(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))"
+        "   * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)), 8)"
+        "   AS DECIMAL(30,8)) AS hterm FROM e),"
+        " a AS (SELECT event_type, CAST(max(tot) AS BIGINT) AS n_windows,"
+        "  CAST(count(*) AS BIGINT) AS n_patterns,"
+        "  CAST(round(sum(hterm), 6) AS DOUBLE) AS h FROM t GROUP BY 1)"
+        " SELECT event_type, n_windows, n_patterns, h,"
+        " round(h / 1.791759469228055, 6) AS h_norm FROM a"
+    )
+    # Dickey-Fuller lag-0 constant-only unit-root t
+    # (timeseries.adf_test): closed-form OLS from @8-quantized decimal
+    # moment sums of (x_{t-1}, delta) pairs
+    out["ts_adf"] = (
+        "WITH b AS (SELECT event_type,"
+        " time_bucket(INTERVAL 1 HOUR, ts) AS bucket,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "  / count(value) AS v"
+        f" FROM {_EV} e WHERE value IS NOT NULL GROUP BY 1, 2),"
+        " pr AS (SELECT event_type, lag(v) OVER w AS x,"
+        "  v - lag(v) OVER w AS y FROM b"
+        "  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),"
+        " p AS (SELECT * FROM pr WHERE x IS NOT NULL),"
+        " a AS (SELECT event_type, count(*) AS n,"
+        "  CAST(round(sum(CAST(round(x, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS sx,"
+        "  CAST(round(sum(CAST(round(y, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS sy,"
+        "  CAST(round(sum(CAST(round(x * y, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS sxy,"
+        "  CAST(round(sum(CAST(round(x * x, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS sxx,"
+        "  CAST(round(sum(CAST(round(y * y, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS syy"
+        "  FROM p GROUP BY 1 HAVING count(*) >= 8),"
+        " m AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nd,"
+        "  CAST(n AS DOUBLE) * sxx - sx * sx AS cxx,"
+        "  CAST(n AS DOUBLE) * sxy - sx * sy AS cxy,"
+        "  CAST(n AS DOUBLE) * syy - sy * sy AS cyy FROM a),"
+        " f AS (SELECT event_type, n, cxx, cxy, cyy, nd,"
+        "  CASE WHEN cxx <> 0 THEN cxy / cxx END AS beta FROM m),"
+        " g AS (SELECT event_type, n, beta,"
+        "  CASE WHEN cyy - beta * cxy <> 0 THEN"
+        "   beta * sqrt(cxx * (nd - 2) / (cyy - beta * cxy)) END AS t"
+        "  FROM f)"
+        " SELECT event_type, CAST(n AS BIGINT) AS n,"
+        " round(beta, 6) AS beta, round(t, 6) AS t_stat,"
+        " t < -2.86 AS stationary_95 FROM g"
+    )
+    # Lag-1 Granger causality both directions
+    # (timeseries.granger_lag1): xcorr conditional bucket means, then
+    # closed-form restricted/unrestricted OLS from centered moments
+    _gr_b = (
+        "b AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,"
+        " CAST(round(sum(CASE WHEN event_type = 'view'"
+        "  THEN CAST(value AS DECIMAL(30,8)) END), 4) AS DOUBLE)"
+        "  / count(CASE WHEN event_type = 'view' THEN value END) AS a,"
+        " CAST(round(sum(CASE WHEN event_type = 'purchase'"
+        "  THEN CAST(value AS DECIMAL(30,8)) END), 4) AS DOUBLE)"
+        "  / count(CASE WHEN event_type = 'purchase' THEN value END) AS bb"
+        f" FROM {_EV} e0 WHERE value IS NOT NULL"
+        " AND event_type IN ('view', 'purchase') GROUP BY 1),"
+        " l AS (SELECT a AS a0, bb AS b0, lag(a) OVER w AS al,"
+        "  lag(bb) OVER w AS bl FROM b WINDOW w AS (ORDER BY bucket)),"
+        " r AS (SELECT * FROM l WHERE a0 IS NOT NULL AND b0 IS NOT NULL"
+        "  AND al IS NOT NULL AND bl IS NOT NULL)"
+    )
+
+    def _gr_dir(cause, effect, y, u, v):
+        return (
+            f" SELECT '{cause}' AS cause, '{effect}' AS effect,"
+            " CAST(n AS BIGINT) AS n, round(f, 6) AS f_stat,"
+            " f >= 3.841 AS significant_95 FROM"
+            " (SELECT n, CASE WHEN ru <> 0 AND nd > 3 THEN"
+            "   (rr - ru) / (ru / (nd - 3)) END AS f FROM"
+            " (SELECT n, nd, cyy - b1 * cuy - b2 * cvy AS ru,"
+            "  CASE WHEN cuu <> 0 THEN cyy - cuy * cuy / cuu END AS rr"
+            " FROM (SELECT n, nd, cuu, cvv, cuv, cuy, cvy, cyy,"
+            "  CASE WHEN cuu * cvv - cuv * cuv <> 0 THEN"
+            "   (cvv * cuy - cuv * cvy) / (cuu * cvv - cuv * cuv) END AS b1,"
+            "  CASE WHEN cuu * cvv - cuv * cuv <> 0 THEN"
+            "   (cuu * cvy - cuv * cuy) / (cuu * cvv - cuv * cuv) END AS b2"
+            " FROM (SELECT n, CAST(n AS DOUBLE) AS nd,"
+            "  CAST(n AS DOUBLE) * suu - su * su AS cuu,"
+            "  CAST(n AS DOUBLE) * svv - sv * sv AS cvv,"
+            "  CAST(n AS DOUBLE) * suv - su * sv AS cuv,"
+            "  CAST(n AS DOUBLE) * syu - su * sy AS cuy,"
+            "  CAST(n AS DOUBLE) * syv - sv * sy AS cvy,"
+            "  CAST(n AS DOUBLE) * syy - sy * sy AS cyy"
+            " FROM (SELECT count(*) AS n,"
+            f"  CAST(round(sum(CAST(round({y}, 8) AS DECIMAL(30,8))), 8)"
+            "   AS DOUBLE) AS sy,"
+            f"  CAST(round(sum(CAST(round({u}, 8) AS DECIMAL(30,8))), 8)"
+            "   AS DOUBLE) AS su,"
+            f"  CAST(round(sum(CAST(round({v}, 8) AS DECIMAL(30,8))), 8)"
+            "   AS DOUBLE) AS sv,"
+            f"  CAST(round(sum(CAST(round({y} * {u}, 8)"
+            "   AS DECIMAL(30,8))), 8) AS DOUBLE) AS syu,"
+            f"  CAST(round(sum(CAST(round({y} * {v}, 8)"
+            "   AS DECIMAL(30,8))), 8) AS DOUBLE) AS syv,"
+            f"  CAST(round(sum(CAST(round({u} * {u}, 8)"
+            "   AS DECIMAL(30,8))), 8) AS DOUBLE) AS suu,"
+            f"  CAST(round(sum(CAST(round({v} * {v}, 8)"
+            "   AS DECIMAL(30,8))), 8) AS DOUBLE) AS svv,"
+            f"  CAST(round(sum(CAST(round({u} * {v}, 8)"
+            "   AS DECIMAL(30,8))), 8) AS DOUBLE) AS suv,"
+            f"  CAST(round(sum(CAST(round({y} * {y}, 8)"
+            "   AS DECIMAL(30,8))), 8) AS DOUBLE) AS syy FROM r) q1) q2)"
+            " q3) q4) q5"
+        )
+
+    out["ts_granger"] = (
+        "WITH " + _gr_b
+        + _gr_dir("view", "purchase", "b0", "bl", "al")
+        + " UNION ALL"
+        + _gr_dir("purchase", "view", "a0", "al", "bl")
     )
     # Greedy k-center coreset: the recursive CTE replays the exact
     # greedy trace — state = (remaining ids/vecs/min-dists, picked),

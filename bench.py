@@ -209,6 +209,8 @@ def main() -> None:
         "graph_kcore", "graph_jaccard",
         "text_char_trigram_nll", "sample_ess",
         "agg_mann_whitney", "agg_welch_t", "agg_anova",
+        "ts_page_hinkley", "ts_permutation_entropy", "ts_adf",
+        "ts_granger",
     ]
     qs = entrymod.queries()
     if comparable_only:

@@ -5541,3 +5541,344 @@ def hurst_exponent(
         F.col("n_scales").cast("long").alias("n_scales"),
         F.round(slope, 6).alias("hurst"),
     )
+
+
+def page_hinkley(
+    df: DataFrame,
+    delta: float = 0.05,
+    lambda_: float = 5.0,
+    every: str = "1 hour",
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Page-Hinkley drift detector per key (Page 1954; the streaming
+    drift test river/MOA ship): standardized bucket means accumulate
+    U_t = sum(z_i - mean(z_1..i) - delta); the statistic is
+    PH_t = U_t - min(U_1..t), alarming past `lambda_` — catches a
+    sustained upward mean shift with the self-normalizing running
+    mean [[ts_cusum]] replaces with a fixed slack. Works on
+    standardized values (the cusum convention) so delta/lambda are in
+    sigma units.
+
+    UNLIKE cusum's inherently-sequential max(0, .) fold, PH is pure
+    prefix algebra — running mean, cumulative sum, running min — so
+    the whole detector is three window frames on ONE key sort: no
+    Arrow boundary, no Python, whole-stage codegen end to end, and
+    the same three windows in the DuckDB oracle. Terms quantize to
+    decimal(30,8) pre-cumsum so both engines agree bitwise. Flatline
+    keys (sigma = 0) are excluded (the cusum convention). Returns
+    one row per key: (*by, n_buckets, max_ph, n_alarms, first_alarm).
+    """
+    by = by or []
+    df = _time_norm(df, time_col)
+    b = df.filter(F.col(value_col).isNotNull()).groupBy(
+        *by, F.window(F.col(time_col), every).start.alias("bucket")
+    ).agg(
+        (
+            F.round(F.sum(F.col(value_col).cast("decimal(30,8)")), 4)
+            .cast("double")
+            / F.count(value_col)
+        ).alias("value")
+    )
+    wk = Window.partitionBy(*by)
+    mu = (
+        F.round(F.sum(F.col("value").cast("decimal(30,8)")).over(wk), 4)
+        .cast("double")
+        / F.count("value").over(wk)
+    )
+    m = b.select(*by, "bucket", "value", mu.alias("__mu"))
+    term = F.round(
+        (F.col("value") - F.col("__mu")) * (F.col("value") - F.col("__mu")),
+        6,
+    ).cast("decimal(30,6)")
+    sigma = F.sqrt(
+        F.sum(term).over(wk).cast("double") / F.count("value").over(wk)
+    )
+    z = m.select(
+        *by, "bucket",
+        F.round((F.col("value") - F.col("__mu")) / sigma, 8).alias("__z"),
+        sigma.alias("__sg"),
+    ).filter(F.col("__sg") > 0).drop("__sg")
+    wo = Window.partitionBy(*by).orderBy("bucket")
+    pre = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    zmean = (
+        F.round(F.sum(F.col("__z").cast("decimal(30,8)")).over(pre), 8)
+        .cast("double")
+        / F.count("__z").over(pre)
+    )
+    # the U cumsum runs over a SORTED window frame, so both engines add
+    # the same doubles left-to-right (the cusum precedent) — no decimal
+    # quantization here: @8-rounding the quotient-based term is itself
+    # a cross-engine hazard (Spark rounds the exact binary value,
+    # DuckDB rounds in scaled double space; diverged live at a
+    # ...5-at-the-9th-digit term)
+    stepped = z.select(
+        *by, "bucket", "__z", zmean.alias("__zm")
+    ).select(
+        *by, "bucket",
+        (F.col("__z") - F.col("__zm") - F.lit(float(delta))).alias("__term"),
+    )
+    u = F.sum("__term").over(pre)
+    cum = stepped.select(*by, "bucket", u.alias("__u"))
+    ph = F.col("__u") - F.min("__u").over(pre)
+    scored = cum.select(
+        *by, "bucket",
+        F.round(ph, 6).alias("__ph"),
+        (ph > F.lit(float(lambda_))).alias("__alarm"),
+    )
+    return scored.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("__ph").alias("max_ph"),
+        F.sum(F.when(F.col("__alarm"), 1).otherwise(0))
+        .cast("long").alias("n_alarms"),
+        F.min(F.when(F.col("__alarm"), F.col("bucket")))
+        .alias("first_alarm"),
+    )
+
+
+def permutation_entropy(
+    df: DataFrame,
+    every: str = "1 hour",
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Permutation entropy per key (Bandt & Pompe 2002, PRL — the
+    standard model-free complexity measure): Shannon entropy of the
+    order-3 ordinal patterns of consecutive bucket-mean triples,
+    normalized by ln(3!) — 0 = perfectly monotone/periodic-2, 1 =
+    pattern-uniform noise. The complexity dial that needs NO trig, no
+    spectral estimate, no model fit: pure comparisons, so every op is
+    exact on both engines (the period_detect no-libm rule).
+
+    Ties use the Bandt-Pompe convention (earlier index ranks first,
+    i.e. <= toward later elements). Shape: one bucket groupBy, two
+    lead windows on one key sort, a (key, pattern) groupBy, then the
+    per-key entropy from integer counts with @8-quantized -p*ln(p)
+    terms. Returns (*by, n_windows, n_patterns, h, h_norm)."""
+    import math
+
+    by = by or []
+    df = _time_norm(df, time_col)
+    b = df.filter(F.col(value_col).isNotNull()).groupBy(
+        *by, F.window(F.col(time_col), every).start.alias("bucket")
+    ).agg(
+        (
+            F.round(F.sum(F.col(value_col).cast("decimal(30,8)")), 4)
+            .cast("double")
+            / F.count(value_col)
+        ).alias("__v")
+    )
+    wo = Window.partitionBy(*by).orderBy("bucket")
+    tri = b.select(
+        *by,
+        F.col("__v").alias("__a"),
+        F.lead("__v", 1).over(wo).alias("__b"),
+        F.lead("__v", 2).over(wo).alias("__c"),
+    ).filter(F.col("__b").isNotNull() & F.col("__c").isNotNull())
+    # Bandt-Pompe rank pattern of (a, b, c); earlier index wins ties:
+    # b "beats" a only if strictly greater fails -> use a <= b
+    ab = (F.col("__a") <= F.col("__b")).cast("int")
+    bc = (F.col("__b") <= F.col("__c")).cast("int")
+    ac = (F.col("__a") <= F.col("__c")).cast("int")
+    pattern = F.concat_ws("", ab, bc, ac)
+    counts = tri.select(*by, pattern.alias("pattern")).groupBy(
+        *by, "pattern"
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    wk = Window.partitionBy(*by)
+    tot = F.sum("__n").over(wk)
+    p = F.col("__n").cast("double") / tot.cast("double")
+    hterm = F.round(-p * F.log(p), 8).cast("decimal(30,8)")
+    per_key = counts.select(
+        *by, F.col("__n"), tot.alias("__tot"), hterm.alias("__h")
+    ).groupBy(*by).agg(
+        F.max("__tot").cast("long").alias("n_windows"),
+        F.count(F.lit(1)).cast("long").alias("n_patterns"),
+        F.round(F.sum("__h"), 6).cast("double").alias("h"),
+    )
+    return per_key.select(
+        *by, "n_windows", "n_patterns", "h",
+        F.round(F.col("h") / F.lit(math.log(6.0)), 6).alias("h_norm"),
+    )
+
+
+def adf_test(
+    df: DataFrame,
+    every: str = "1 hour",
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Dickey-Fuller unit-root test per key (Dickey & Fuller 1979,
+    constant-only, lag-0): regress delta(x_t) on x_{t-1} with an
+    intercept and report the slope's t-statistic — past the -2.86
+    critical value (5%, large n, the published constant) the series
+    rejects a unit root, i.e. it mean-reverts rather than wanders.
+    The stationarity gate before trusting [[ts_forecast]] /
+    [[ts_holt_winters]] on a key; complements [[ts_hurst]] (H and a
+    unit root measure the same wandering from two angles).
+
+    Closed-form OLS from @8-quantized decimal sums of the (x_{t-1},
+    delta) pairs on ONE key sort + one groupBy — no iteration, no
+    matrix solve. t = beta/se with Sxx/Sxy/Syy moment algebra in one
+    fixed IEEE op order. Returns (*by, n, beta, t_stat,
+    stationary_95)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    b = df.filter(F.col(value_col).isNotNull()).groupBy(
+        *by, F.window(F.col(time_col), every).start.alias("bucket")
+    ).agg(
+        (
+            F.round(F.sum(F.col(value_col).cast("decimal(30,8)")), 4)
+            .cast("double")
+            / F.count(value_col)
+        ).alias("__v")
+    )
+    wo = Window.partitionBy(*by).orderBy("bucket")
+    pairs = b.select(
+        *by,
+        F.lag("__v", 1).over(wo).alias("__x"),
+        (F.col("__v") - F.lag("__v", 1).over(wo)).alias("__y"),
+    ).filter(F.col("__x").isNotNull())
+
+    def dsum8(e):
+        return F.round(F.sum(F.round(e, 8).cast("decimal(30,8)")), 8).cast(
+            "double"
+        )
+
+    agg = pairs.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("__n"),
+        dsum8(F.col("__x")).alias("__sx"),
+        dsum8(F.col("__y")).alias("__sy"),
+        dsum8(F.col("__x") * F.col("__y")).alias("__sxy"),
+        dsum8(F.col("__x") * F.col("__x")).alias("__sxx"),
+        dsum8(F.col("__y") * F.col("__y")).alias("__syy"),
+    ).filter(F.col("__n") >= 8)
+    n = F.col("__n").cast("double")
+    sxx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    sxy = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    syy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    beta = F.try_divide(sxy, sxx)
+    # RSS*n^2 = n*(Syy - beta*Sxy); se(beta)^2 = n*s2/Sxx,
+    # s2 = RSS/(n-2) -> t = beta * sqrt(Sxx * (n - 2) / (Syy - beta*Sxy))
+    t_stat = beta * F.sqrt(
+        F.try_divide(sxx * (n - 2), syy - beta * sxy)
+    )
+    return agg.select(
+        *by,
+        F.col("__n").cast("long").alias("n"),
+        F.round(beta, 6).alias("beta"),
+        F.round(t_stat, 6).alias("t_stat"),
+        (t_stat < F.lit(-2.86)).alias("stationary_95"),
+    )
+
+
+def granger_lag1(
+    df: DataFrame,
+    series_a: str,
+    series_b: str,
+    every: str = "1 hour",
+    time_col: str = "time",
+    series_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Lag-1 Granger causality (Granger 1969): does knowing A's last
+    bucket improve the 1-step forecast of B beyond B's own history?
+    F-tests the unrestricted regression b_t ~ (b_{t-1}, a_{t-1})
+    against the restricted b_t ~ b_{t-1} — the directional companion
+    to [[ts_xcorr]]'s symmetric lead/lag correlation. Tests BOTH
+    directions and returns two rows.
+
+    Shape: the xcorr conditional bucket aggregation (both signals in
+    ONE groupBy, no pivot join), lag windows on one bucket sort, then
+    closed-form 1- and 2-regressor OLS from @8-quantized decimal
+    moment sums — centered-moment algebra, no matrix solve, one fixed
+    IEEE chain. Buckets missing either signal drop (both engines
+    agree). significant_95 uses the F(1, inf) = chi-square 3.841
+    critical value (documented large-n approximation). Returns
+    (cause, effect, n, f_stat, significant_95)."""
+    df = _time_norm(df, time_col)
+    bucketed = (
+        df.filter(F.col(value_col).isNotNull())
+        .filter(F.col(series_col).isin(series_a, series_b))
+        .groupBy(F.window(time_col, every).start.alias("bucket"))
+        .agg(
+            (
+                F.round(
+                    F.sum(
+                        F.when(
+                            F.col(series_col) == series_a, F.col(value_col)
+                        ).cast("decimal(30,8)")
+                    ),
+                    4,
+                ).cast("double")
+                / F.count(F.when(F.col(series_col) == series_a, value_col))
+            ).alias("__a"),
+            (
+                F.round(
+                    F.sum(
+                        F.when(
+                            F.col(series_col) == series_b, F.col(value_col)
+                        ).cast("decimal(30,8)")
+                    ),
+                    4,
+                ).cast("double")
+                / F.count(F.when(F.col(series_col) == series_b, value_col))
+            ).alias("__b"),
+        )
+    )
+    w = Window.orderBy("bucket")
+    lagged = bucketed.select(
+        F.col("__a").alias("__a0"), F.col("__b").alias("__b0"),
+        F.lag("__a", 1).over(w).alias("__al"),
+        F.lag("__b", 1).over(w).alias("__bl"),
+    ).filter(
+        F.col("__a0").isNotNull() & F.col("__b0").isNotNull()
+        & F.col("__al").isNotNull() & F.col("__bl").isNotNull()
+    )
+
+    def dsum8(e):
+        return F.round(F.sum(F.round(e, 8).cast("decimal(30,8)")), 8).cast(
+            "double"
+        )
+
+    def direction(tag: str, y: str, u: str, v: str):
+        # y = effect_t, u = effect_{t-1}, v = cause_{t-1}
+        a = lagged.agg(
+            F.count(F.lit(1)).alias("__n"),
+            dsum8(F.col(y)).alias("__sy"),
+            dsum8(F.col(u)).alias("__su"),
+            dsum8(F.col(v)).alias("__sv"),
+            dsum8(F.col(y) * F.col(u)).alias("__syu"),
+            dsum8(F.col(y) * F.col(v)).alias("__syv"),
+            dsum8(F.col(u) * F.col(u)).alias("__suu"),
+            dsum8(F.col(v) * F.col(v)).alias("__svv"),
+            dsum8(F.col(u) * F.col(v)).alias("__suv"),
+            dsum8(F.col(y) * F.col(y)).alias("__syy"),
+        )
+        n = F.col("__n").cast("double")
+        suu = n * F.col("__suu") - F.col("__su") * F.col("__su")
+        svv = n * F.col("__svv") - F.col("__sv") * F.col("__sv")
+        suv = n * F.col("__suv") - F.col("__su") * F.col("__sv")
+        suy = n * F.col("__syu") - F.col("__su") * F.col("__sy")
+        svy = n * F.col("__syv") - F.col("__sv") * F.col("__sy")
+        syy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+        den = suu * svv - suv * suv
+        b1 = F.try_divide(svv * suy - suv * svy, den)
+        b2 = F.try_divide(suu * svy - suv * suy, den)
+        rss_u = syy - b1 * suy - b2 * svy
+        rss_r = syy - F.try_divide(suy * suy, suu)
+        f_stat = F.try_divide(rss_r - rss_u, rss_u / (n - 3))
+        parts = tag.split(">")
+        return a.select(
+            F.lit(parts[0]).alias("cause"),
+            F.lit(parts[1]).alias("effect"),
+            F.col("__n").cast("long").alias("n"),
+            F.round(f_stat, 6).alias("f_stat"),
+            (f_stat >= F.lit(3.841)).alias("significant_95"),
+        )
+
+    return direction(f"{series_a}>{series_b}", "__b0", "__bl", "__al").unionAll(
+        direction(f"{series_b}>{series_a}", "__a0", "__al", "__bl")
+    )

@@ -122,6 +122,7 @@ GLOBAL_WINDOW_OK = {
     "ts_mttr",                  # episode stitch over calendar buckets
     "ts_slo_burn",              # burn-rate scan over calendar buckets
     "ts_top_movers",            # rank over per-key delta agg
+    "ts_granger",               # lag windows over calendar-bucket agg
     "ts_xcorr",                 # lag join over calendar-bucket agg
 }
 

@@ -2481,3 +2481,139 @@ def test_hurst_exponent_trend_vs_oscillation(spark):
         df2, every="1 hour", by=["topic"]).collect()}
     for k in out:
         assert abs(out[k]["hurst"] - out2[k]["hurst"]) < 1e-4, k
+
+
+# --- Page-Hinkley drift detector ---------------------------------------------
+
+def test_page_hinkley_planted_shift(spark):
+    """A clean level shift halfway through must alarm (PH grows once
+    the running mean lags the new level); a flatline key carries no
+    signal and is excluded (sigma = 0, the cusum convention)."""
+    from datetime import datetime, timedelta
+
+    from fossil_spark.operators.timeseries import page_hinkley
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(60):
+        rows.append((t0 + timedelta(hours=i), "/shift",
+                     0.0 if i < 30 else 10.0))
+        rows.append((t0 + timedelta(hours=i), "/flat", 5.0))
+    df = spark.createDataFrame(
+        rows, "time timestamp, topic string, value double")
+    out = {r["topic"]: r for r in page_hinkley(
+        df, delta=0.05, lambda_=5.0, every="1 hour",
+        by=["topic"]).collect()}
+    assert "/flat" not in out
+    r = out["/shift"]
+    assert r["n_buckets"] == 60
+    assert r["max_ph"] > 5.0 and r["n_alarms"] > 0
+    # the alarm must fire after the shift point, never before
+    assert r["first_alarm"] >= t0 + timedelta(hours=30)
+
+
+def test_page_hinkley_no_drift_quiet(spark):
+    """A stationary alternation never accumulates: PH stays near 0 and
+    no alarm fires."""
+    from datetime import datetime, timedelta
+
+    from fossil_spark.operators.timeseries import page_hinkley
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(t0 + timedelta(hours=i), "/osc", float(i % 2))
+            for i in range(80)]
+    df = spark.createDataFrame(
+        rows, "time timestamp, topic string, value double")
+    r = page_hinkley(df, every="1 hour", by=["topic"]).collect()[0]
+    assert r["n_alarms"] == 0 and r["max_ph"] < 2.0
+
+
+# --- permutation entropy ------------------------------------------------------
+
+def test_permutation_entropy_extremes(spark):
+    """Monotone -> a single ordinal pattern, H = 0; a period-2
+    alternation -> exactly two patterns in equal measure, H = ln 2."""
+    import math
+    from datetime import datetime, timedelta
+
+    from fossil_spark.operators.timeseries import permutation_entropy
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(62):
+        rows.append((t0 + timedelta(hours=i), "/mono", float(i)))
+        rows.append((t0 + timedelta(hours=i), "/alt", float(i % 2)))
+    df = spark.createDataFrame(
+        rows, "time timestamp, topic string, value double")
+    out = {r["topic"]: r for r in permutation_entropy(
+        df, every="1 hour", by=["topic"]).collect()}
+    assert out["/mono"]["n_patterns"] == 1
+    assert out["/mono"]["h"] == 0.0 and out["/mono"]["h_norm"] == 0.0
+    assert out["/alt"]["n_patterns"] == 2
+    assert out["/alt"]["h"] == pytest.approx(math.log(2.0), abs=1e-5)
+    assert out["/alt"]["h_norm"] == pytest.approx(
+        math.log(2.0) / math.log(6.0), abs=1e-5)
+
+
+# --- Dickey-Fuller test --------------------------------------------------------
+
+def test_adf_closed_form_matches_python(spark):
+    """The t-stat must equal the closed-form OLS replayed in Python on
+    the same bucket means; a mean-reverting alternation rejects the
+    unit root."""
+    import math
+    from datetime import datetime, timedelta
+
+    from fossil_spark.operators.timeseries import adf_test
+
+    vals = [5.0, 6.0, 5.0, 7.0, 5.0, 6.0, 5.0, 8.0, 5.0, 6.0, 5.0, 7.0]
+    t0 = datetime(2024, 1, 1)
+    rows = [(t0 + timedelta(hours=i), "/k", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "time timestamp, topic string, value double")
+    r = adf_test(df, every="1 hour", by=["topic"]).collect()[0]
+    x = vals[:-1]
+    y = [b - a for a, b in zip(vals[:-1], vals[1:])]
+    n = len(x)
+    sx, sy = sum(x), sum(y)
+    sxy = sum(a * b for a, b in zip(x, y))
+    sxx = sum(a * a for a in x)
+    syy = sum(b * b for b in y)
+    cxx = n * sxx - sx * sx
+    cxy = n * sxy - sx * sy
+    cyy = n * syy - sy * sy
+    beta = cxy / cxx
+    t = beta * math.sqrt(cxx * (n - 2) / (cyy - beta * cxy))
+    assert r["n"] == n
+    assert r["beta"] == pytest.approx(beta, abs=1e-5)
+    assert r["t_stat"] == pytest.approx(t, abs=1e-4)
+    assert r["stationary_95"] == (t < -2.86)
+
+
+# --- Granger causality ---------------------------------------------------------
+
+def test_granger_planted_direction(spark):
+    """b follows a with one bucket of lag (plus a small fixed wiggle):
+    a->b must dominate b->a and clear the 5% bar."""
+    from datetime import datetime, timedelta
+
+    from fossil_spark.operators.timeseries import granger_lag1
+
+    t0 = datetime(2024, 1, 1)
+    a_vals = [float(v) for v in (1, 5, 2, 7, 3, 8, 1, 6, 2, 9, 4, 7,
+                                 1, 5, 3, 8, 2, 6, 1, 7, 3, 9, 2, 5)]
+    rows = []
+    for i, av in enumerate(a_vals):
+        rows.append((t0 + timedelta(hours=i), "A", av))
+        prev = a_vals[i - 1] if i else 3.0
+        rows.append((t0 + timedelta(hours=i), "B",
+                     0.9 * prev + 0.01 * (i % 3)))
+    df = spark.createDataFrame(
+        rows, "time timestamp, event_type string, value double")
+    out = {(r["cause"], r["effect"]): r for r in granger_lag1(
+        df, "A", "B", every="1 hour").collect()}
+    fwd = out[("A", "B")]
+    rev = out[("B", "A")]
+    assert fwd["n"] == rev["n"] == len(a_vals) - 1
+    assert fwd["f_stat"] > 100 and fwd["significant_95"]
+    assert fwd["f_stat"] > 10 * max(rev["f_stat"], 1.0)

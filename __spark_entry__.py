@@ -2738,6 +2738,15 @@ def _ts_granger(spark, sf_dir):
     )
 
 
+def _text_idf_outliers(spark, sf_dir):
+    """Per-doc mean IDF + corpus z (text.idf_outliers): low = built
+    from corpus-common tokens (boilerplate), high = document-private
+    vocabulary (gibberish/IDs)."""
+    from fossil_spark.operators import text
+
+    return text.idf_outliers(_docs(spark, sf_dir))
+
+
 # The driver's correctness gate checks the FIRST ~50 keys of
 # queries(). Round-10 rotation (VERDICT r9 "Next round" #1, amended
 # mid-round): the round-10 build added 10 brand-new keys that have
@@ -3018,6 +3027,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_permutation_entropy": _ts_permutation_entropy,
         "ts_adf": _ts_adf,
         "ts_granger": _ts_granger,
+        "text_idf_outliers": _text_idf_outliers,
         "embedding_silhouette": _embedding_silhouette,
         "graph_kcore": _graph_kcore,
         "graph_jaccard": _graph_jaccard,
@@ -8742,6 +8752,32 @@ def oracle_sql() -> dict[str, str]:
         " round(ssb / (ssb + ssw), 6) AS eta_squared,"
         " round(ssb, 2) AS ss_between, round(ssw, 2) AS ss_within"
         " FROM s"
+    )
+    # Per-doc mean IDF + corpus z (text.idf_outliers): distinct
+    # per-doc tokens, @8-rounded ln(N/df) decimal sums, 1-row
+    # broadcast corpus moments
+    out["text_idf_outliers"] = (
+        f"WITH d AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok"
+        "  FROM documents),"
+        " f AS (SELECT tok, count(*) AS dfq FROM d GROUP BY 1),"
+        " nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),"
+        " j AS (SELECT doc_id,"
+        "  round(ln(nd / CAST(dfq AS DOUBLE)), 8) AS idf"
+        "  FROM d JOIN f USING (tok), nn),"
+        " pd AS (SELECT doc_id, count(*) AS n_terms,"
+        "  CAST(round(sum(CAST(idf AS DECIMAL(30,8))), 8) AS DOUBLE)"
+        "   / CAST(count(*) AS DOUBLE) AS mi FROM j GROUP BY 1),"
+        " m AS (SELECT CAST(count(*) AS DOUBLE) AS n,"
+        "  CAST(round(sum(CAST(round(mi, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS s,"
+        "  CAST(round(sum(CAST(round(mi * mi, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS q FROM pd),"
+        " mm AS (SELECT s / n AS mu,"
+        "  sqrt(q / n - (s / n) * (s / n)) AS sd FROM m)"
+        " SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,"
+        " round(mi, 6) AS mean_idf,"
+        " CASE WHEN sd <> 0 THEN round((mi - mu) / sd, 4) END AS idf_z"
+        " FROM pd, mm"
     )
     # Page-Hinkley (timeseries.page_hinkley): standardized bucket
     # means -> three prefix windows (running z-mean, cumulative U,

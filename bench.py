@@ -210,7 +210,7 @@ def main() -> None:
         "text_char_trigram_nll", "sample_ess",
         "agg_mann_whitney", "agg_welch_t", "agg_anova",
         "ts_page_hinkley", "ts_permutation_entropy", "ts_adf",
-        "ts_granger",
+        "ts_granger", "text_idf_outliers",
     ]
     qs = entrymod.queries()
     if comparable_only:

@@ -2574,3 +2574,70 @@ def sampling_ess(
         F.round(ess, 6).alias("ess"),
         F.round(ess / F.col("n_docs").cast("double"), 6).alias("ess_ratio"),
     )
+
+
+def idf_outliers(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean inverse document frequency + its corpus
+    z-score — the vocabulary-rarity dial that separates the two
+    failure modes [[text_unigram_nll]] merges: a LOW mean IDF means
+    the document is built from tokens every other document also has
+    (boilerplate, templates), a HIGH mean IDF means nearly every
+    token is document-private (gibberish, IDs, rare-token soup).
+    Uses DISTINCT per-doc tokens (the classic IDF denominator), so
+    repetition inside one document doesn't move the score — that's
+    [[text_repetition]]'s job.
+
+    Shape mirrors unigram_nll: one distinct-token explode, ONE
+    groupBy(token) document-frequency table, a 1-row broadcast doc
+    count, the Zipfian re-join (AQE skew-split), one groupBy(doc)
+    with @8-quantized decimal idf sums; corpus moments are a second
+    1-row broadcast over the per-doc table. Returns (id, n_terms,
+    mean_idf, idf_z)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    ndocs = df.agg(F.count(F.lit(1)).cast("double").alias("__nd"))
+    idf = F.round(
+        F.log(F.col("__nd") / F.col("__df").cast("double")), 8
+    )
+    per_doc = (
+        toks.join(dfreq, "tok")
+        .crossJoin(F.broadcast(ndocs))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            (
+                F.round(F.sum(idf.cast("decimal(30,8)")), 8).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("__mi"),
+        )
+    )
+
+    def dsum8(e):
+        return F.round(F.sum(F.round(e, 8).cast("decimal(30,8)")), 8).cast(
+            "double"
+        )
+
+    mom = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        dsum8(F.col("__mi")).alias("__s"),
+        dsum8(F.col("__mi") * F.col("__mi")).alias("__q"),
+    ).select(
+        (F.col("__s") / F.col("__n")).alias("__mu"),
+        F.sqrt(
+            F.col("__q") / F.col("__n")
+            - (F.col("__s") / F.col("__n")) * (F.col("__s") / F.col("__n"))
+        ).alias("__sd"),
+    )
+    return per_doc.crossJoin(F.broadcast(mom)).select(
+        id_col,
+        "n_terms",
+        F.round("__mi", 6).alias("mean_idf"),
+        F.round(
+            F.try_divide(F.col("__mi") - F.col("__mu"), F.col("__sd")), 4
+        ).alias("idf_z"),
+    )

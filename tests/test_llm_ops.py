@@ -3000,3 +3000,38 @@ def test_anova_hand_computed(spark, monkeypatch):
     assert r["ss_within"] == pytest.approx(10.0)
     assert r["f_stat"] == pytest.approx((6.0 / 1.0) / (10.0 / 4.0), abs=1e-6)
     assert r["eta_squared"] == pytest.approx(6.0 / 16.0, abs=1e-6)
+
+
+# --- IDF outlier detector -----------------------------------------------------
+
+def test_idf_outliers_hand_computed(spark):
+    import math
+
+    # 4 docs; "common" in all 4 (idf=0), "rare" in doc 4 only (idf=ln4)
+    d = spark.createDataFrame(
+        [(1, "common a"), (2, "common a"), (3, "common a"),
+         (4, "common rare")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in __import__(
+        "fossil_spark.operators.text", fromlist=["text"]
+    ).idf_outliers(d).collect()}
+    # doc1-3: tokens {common, a}; idf(common)=ln(1)=0, idf(a)=ln(4/3)
+    mi_123 = (0.0 + math.log(4.0 / 3.0)) / 2
+    mi_4 = (0.0 + math.log(4.0)) / 2
+    for i in (1, 2, 3):
+        assert out[i]["mean_idf"] == pytest.approx(mi_123, abs=1e-5)
+        assert out[i]["n_terms"] == 2
+    assert out[4]["mean_idf"] == pytest.approx(mi_4, abs=1e-5)
+    # doc4 is the high-rarity outlier: max positive z
+    assert out[4]["idf_z"] > 0 > out[1]["idf_z"]
+
+
+def test_idf_outliers_repetition_invariant(spark):
+    # distinct-token IDF: repeating a token must not move the score
+    d = spark.createDataFrame(
+        [(1, "x y z"), (2, "x x x x y z")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in text.idf_outliers(d).collect()}
+    assert out[1]["mean_idf"] == out[2]["mean_idf"]
+    assert out[1]["n_terms"] == out[2]["n_terms"] == 3

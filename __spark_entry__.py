@@ -2749,22 +2749,25 @@ def _text_idf_outliers(spark, sf_dir):
 
 # The driver's correctness gate checks the FIRST ~50 keys of
 # queries(). Round-10 rotation (VERDICT r9 "Next round" #1, amended
-# mid-round): the round-10 build added 10 brand-new keys that have
+# mid-round): the round-10 build added 18 brand-new keys that have
 # NEVER been driver-checked — never-checked debt outranks
-# stale-but-green, so those 10 take the head. The rest of the window
+# stale-but-green, so those 18 take the head. The rest of the window
 # refreshes the OLDEST signals per the verdict: all 22 keys whose
-# only PASS is round 3, then 18 of the 21-key fql_* compiler family
-# (only PASS r4; one shared compiler, so family coverage is what
-# matters — the 3 simplest scalar-builtin keys yield their slots).
-# Displaced r4-vintage keys (3 fql scalar builtins, the r4 TPC-H
-# joins, shared-window ts keys, and the 16-key remainder) queue
-# immediately below the fold as the round-11 window head.
+# only PASS is round 3, then 10 of the 21-key fql_* compiler family
+# (only PASS r4; one shared compiler, so family coverage exercises
+# the shared-helper drift the rotation exists to catch). Displaced
+# r4-vintage keys (11 fql, the r4 TPC-H joins, shared-window ts
+# keys, and the 16-key remainder) queue immediately below the fold
+# as the round-11 window head.
 _WINDOW_PRIORITY = [
-    # --- round-10 additions (10 keys, never driver-checked) ---
+    # --- round-10 additions (18 keys, never driver-checked) ---
     "ts_runs_test", "ts_variance_ratio", "ts_hurst",
     "agg_survival_km", "agg_price_elasticity", "embedding_silhouette",
     "graph_kcore", "graph_jaccard", "text_char_trigram_nll",
     "sample_ess",
+    "agg_mann_whitney", "agg_welch_t", "agg_anova",
+    "ts_page_hinkley", "ts_permutation_entropy", "ts_adf",
+    "ts_granger", "text_idf_outliers",
     # --- r3-vintage (22 keys, last PASS CORRECTNESS_r03) ---
     "schema_validate", "store_list_topics", "tpch_q10", "tpch_q12",
     "ann_bruteforce", "ann_lsh", "dedup_components", "dedup_embedding",
@@ -2772,15 +2775,18 @@ _WINDOW_PRIORITY = [
     "text_chunk", "text_fingerprint", "text_langid", "text_pack",
     "text_quality", "text_repetition", "text_scrub_pii",
     "text_token_freq", "text_tokens", "multimodal_meta",
-    # --- r4-vintage fql compiler family (18 keys, last PASS r04) ---
-    "fql_all", "fql_before", "fql_between", "fql_builtin_minmax",
-    "fql_composite_subscript", "fql_filter", "fql_filter_mapped_tuple",
-    "fql_kitchen_sink", "fql_map", "fql_map_composite",
-    "fql_mapreduce_avg", "fql_reduce_count",
-    "fql_reduce_sum", "fql_sample_greedy", "fql_since",
-    "fql_time_arith", "fql_topic", "fql_topic_prefix",
+    # --- r4-vintage fql compiler family head (10 of 21; the family
+    # shares one compiler, so coverage of these 10 exercises the
+    # shared-helper drift the rotation exists to catch) ---
+    "fql_all", "fql_kitchen_sink", "fql_map_composite",
+    "fql_mapreduce_avg", "fql_sample_greedy", "fql_since",
+    "fql_time_arith", "fql_topic_prefix", "fql_between",
+    "fql_filter_mapped_tuple",
     # --- round-11 window head: displaced r4-vintage keys ---
-    "fql_pow", "fql_string_concat_filter", "fql_string_len",
+    "fql_before", "fql_builtin_minmax", "fql_composite_subscript",
+    "fql_filter", "fql_map", "fql_reduce_count", "fql_reduce_sum",
+    "fql_topic", "fql_pow", "fql_string_concat_filter",
+    "fql_string_len",
     "tpch_q3", "tpch_q5", "tpch_q6",
     "ts_gapfill_linear", "ts_range_join", "ts_rate", "ts_session",
     # --- r4-vintage remainder (16 keys) ---

@@ -2751,12 +2751,12 @@ def _text_idf_outliers(spark, sf_dir):
 # queries(). Round-10 rotation (VERDICT r9 "Next round" #1, amended
 # mid-round): the round-10 build added 18 brand-new keys that have
 # NEVER been driver-checked — never-checked debt outranks
-# stale-but-green, so those 18 take the head. The rest of the window
+# stale-but-green, so those 21 take the head. The rest of the window
 # refreshes the OLDEST signals per the verdict: all 22 keys whose
-# only PASS is round 3, then 10 of the 21-key fql_* compiler family
+# only PASS is round 3, then 7 of the 21-key fql_* compiler family
 # (only PASS r4; one shared compiler, so family coverage exercises
 # the shared-helper drift the rotation exists to catch). Displaced
-# r4-vintage keys (11 fql, the r4 TPC-H joins, shared-window ts
+# r4-vintage keys (14 fql, the r4 TPC-H joins, shared-window ts
 # keys, and the 16-key remainder) queue immediately below the fold
 # as the round-11 window head.
 _WINDOW_PRIORITY = [
@@ -2768,6 +2768,7 @@ _WINDOW_PRIORITY = [
     "agg_mann_whitney", "agg_welch_t", "agg_anova",
     "ts_page_hinkley", "ts_permutation_entropy", "ts_adf",
     "ts_granger", "text_idf_outliers",
+    "agg_srm", "agg_cuped", "agg_power",
     # --- r3-vintage (22 keys, last PASS CORRECTNESS_r03) ---
     "schema_validate", "store_list_topics", "tpch_q10", "tpch_q12",
     "ann_bruteforce", "ann_lsh", "dedup_components", "dedup_embedding",
@@ -2775,14 +2776,14 @@ _WINDOW_PRIORITY = [
     "text_chunk", "text_fingerprint", "text_langid", "text_pack",
     "text_quality", "text_repetition", "text_scrub_pii",
     "text_token_freq", "text_tokens", "multimodal_meta",
-    # --- r4-vintage fql compiler family head (10 of 21; the family
-    # shares one compiler, so coverage of these 10 exercises the
+    # --- r4-vintage fql compiler family head (7 of 21; the family
+    # shares one compiler, so coverage of these 7 exercises the
     # shared-helper drift the rotation exists to catch) ---
     "fql_all", "fql_kitchen_sink", "fql_map_composite",
     "fql_mapreduce_avg", "fql_sample_greedy", "fql_since",
-    "fql_time_arith", "fql_topic_prefix", "fql_between",
-    "fql_filter_mapped_tuple",
+    "fql_time_arith",
     # --- round-11 window head: displaced r4-vintage keys ---
+    "fql_topic_prefix", "fql_between", "fql_filter_mapped_tuple",
     "fql_before", "fql_builtin_minmax", "fql_composite_subscript",
     "fql_filter", "fql_map", "fql_reduce_count", "fql_reduce_sum",
     "fql_topic", "fql_pow", "fql_string_concat_filter",
@@ -3034,6 +3035,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_adf": _ts_adf,
         "ts_granger": _ts_granger,
         "text_idf_outliers": _text_idf_outliers,
+        "agg_srm": _analytics("srm_check"),
+        "agg_cuped": _analytics("cuped"),
+        "agg_power": _analytics("power_analysis"),
         "embedding_silhouette": _embedding_silhouette,
         "graph_kcore": _graph_kcore,
         "graph_jaccard": _graph_jaccard,
@@ -8758,6 +8762,105 @@ def oracle_sql() -> dict[str, str]:
         " round(ssb / (ssb + ssw), 6) AS eta_squared,"
         " round(ssb, 2) AS ss_between, round(ssw, 2) AS ss_within"
         " FROM s"
+    )
+    # Sample-ratio-mismatch guardrail (analytics.srm_check): 2-cell
+    # chi-square collapses to (nA-nB)^2/N, all integer counts
+    out["agg_srm"] = (
+        "WITH u AS (SELECT DISTINCT user_id"
+        f" FROM {_EV} e),"
+        " t AS (SELECT ('0x' || substr(md5('ab:' || user_id::VARCHAR),"
+        "  1, 8))::BIGINT % 2 AS v FROM u),"
+        " a AS (SELECT"
+        "  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,"
+        "  CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b"
+        "  FROM t)"
+        " SELECT n_a, n_b,"
+        " round((CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))"
+        "  * (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))"
+        "  / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)), 6) AS chi2,"
+        " (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))"
+        "  * (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))"
+        "  / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) >= 3.841"
+        "  AS srm_detected FROM a"
+    )
+    # CUPED variance reduction (analytics.cuped): pre/post split at
+    # the exact microsecond midpoint, per-variant moment sums, fixed
+    # IEEE moment algebra; 2-row double sums are single adds
+    # (commutative), so no quantizer needed at the combine
+    out["agg_cuped"] = (
+        "WITH m AS (SELECT CAST(floor((min(epoch_us(ts))"
+        f"  + max(epoch_us(ts))) / 2.0) AS BIGINT) AS mid FROM {_EV} e),"
+        " pu AS (SELECT user_id,"
+        "  coalesce(CAST(round(sum(CASE WHEN epoch_us(ts) <"
+        "   (SELECT mid FROM m) THEN CAST(value AS DECIMAL(30,8)) END),"
+        "   8) AS DOUBLE), 0.0) AS x,"
+        "  coalesce(CAST(round(sum(CASE WHEN epoch_us(ts) >="
+        "   (SELECT mid FROM m) THEN CAST(value AS DECIMAL(30,8)) END),"
+        "   8) AS DOUBLE), 0.0) AS y"
+        f"  FROM {_EV} e GROUP BY user_id),"
+        " t AS (SELECT ('0x' || substr(md5('ab:' || user_id::VARCHAR),"
+        "  1, 8))::BIGINT % 2 AS v, x, y FROM pu),"
+        " g AS (SELECT v, count(*) AS n,"
+        "  CAST(round(sum(CAST(round(x, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS sx,"
+        "  CAST(round(sum(CAST(round(y, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS sy,"
+        "  CAST(round(sum(CAST(round(x * y, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS sxy,"
+        "  CAST(round(sum(CAST(round(x * x, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS sxx,"
+        "  CAST(round(sum(CAST(round(y * y, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS syy FROM t GROUP BY 1),"
+        " b AS (SELECT"
+        "  CAST(sum(CASE WHEN v = 0 THEN n ELSE 0 END) AS BIGINT) AS n_a,"
+        "  CAST(sum(CASE WHEN v = 1 THEN n ELSE 0 END) AS BIGINT) AS n_b,"
+        "  sum(CASE WHEN v = 0 THEN sx ELSE 0.0 END) AS sxa,"
+        "  sum(CASE WHEN v = 1 THEN sx ELSE 0.0 END) AS sxb,"
+        "  sum(CASE WHEN v = 0 THEN sy ELSE 0.0 END) AS sya,"
+        "  sum(CASE WHEN v = 1 THEN sy ELSE 0.0 END) AS syb,"
+        "  sum(sxy) AS sxy, sum(sxx) AS sxx, sum(syy) AS syy FROM g),"
+        " s AS (SELECT n_a, n_b, sxa, sxb, sya, syb, sxy, sxx, syy,"
+        "  CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,"
+        "  CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nn,"
+        "  sxa + sxb AS sx, sya + syb AS sy FROM b),"
+        " e2 AS (SELECT n_a, n_b, na, nb, sxa, sxb, sya, syb,"
+        "  nn * sxx - sx * sx AS cxx, nn * sxy - sx * sy AS cxy,"
+        "  nn * syy - sy * sy AS cyy FROM s),"
+        " e3 AS (SELECT n_a, n_b, na, nb, sxa, sxb, sya, syb, cxx,"
+        "  cxy, cyy,"
+        "  CASE WHEN cxx <> 0 THEN cxy / cxx END AS theta,"
+        "  syb / nb - sya / na AS effect_raw FROM e2)"
+        " SELECT n_a, n_b, round(theta, 6) AS theta,"
+        " round(effect_raw, 6) AS effect_raw,"
+        " round(effect_raw - theta * (sxb / nb - sxa / na), 6)"
+        "  AS effect_cuped,"
+        " CASE WHEN cxx * cyy <> 0 THEN round(cxy * cxy / (cxx * cyy), 6)"
+        "  END AS var_reduction FROM e3"
+    )
+    # A/B power pre-flight (analytics.power_analysis): MDE + per-arm
+    # n for a 2% lift at alpha 5% / power 80%; z-sum inlined as the
+    # Python-computed literal 2.801585
+    out["agg_power"] = (
+        "WITH pu AS (SELECT user_id,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 8) AS DOUBLE) AS m"
+        f" FROM {_EV} e GROUP BY 1),"
+        " a AS (SELECT CAST(count(*) AS BIGINT) AS n_users,"
+        "  CAST(round(sum(CAST(round(m, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS s,"
+        "  CAST(round(sum(CAST(round(m * m, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS q FROM pu),"
+        " e2 AS (SELECT n_users, CAST(n_users AS DOUBLE) AS n, s, q"
+        "  FROM a),"
+        " e3 AS (SELECT n_users, n, s / n AS mu,"
+        "  (q - s * s / n) / (n - 1) AS s2 FROM e2),"
+        " e4 AS (SELECT n_users, n, mu, s2,"
+        "  2.801585 * sqrt(s2 * 2.0 / (n / 2.0)) AS mde FROM e3)"
+        " SELECT n_users, round(mu, 6) AS mean_metric,"
+        " round(sqrt(s2), 6) AS sd_metric, round(mde, 6) AS mde_abs,"
+        " CASE WHEN mu <> 0 THEN round(mde / mu, 6) END AS mde_rel,"
+        " CAST(ceil(s2 * 2.0 * 2.801585 * 2.801585"
+        "  / ((mu * 0.02) * (mu * 0.02))) AS BIGINT) AS n_per_arm_2pct"
+        " FROM e4"
     )
     # Per-doc mean IDF + corpus z (text.idf_outliers): distinct
     # per-doc tokens, @8-rounded ln(N/df) decimal sums, 1-row

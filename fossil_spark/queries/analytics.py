@@ -1661,3 +1661,187 @@ def anova_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ssb, 2).alias("ss_between"),
         F.round(ssw, 2).alias("ss_within"),
     )
+
+
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (the first thing any
+    experimentation platform checks): are the md5 A/B assignment
+    counts consistent with the designed 50/50 split? A significant
+    chi-square here invalidates every downstream readout
+    ([[agg_ab_test]], [[agg_welch_t]], [[agg_cuped]]) before anyone
+    looks at them. For two cells with expected N/2 each, chi2
+    collapses to (nA - nB)^2 / N — all integer counts, one user
+    groupBy + one 2-cell aggregate. Returns one row
+    (n_a, n_b, chi2, srm_detected)."""
+    ev = read_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    variant = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ab:"),
+                                          F.col("user_id").cast("string"))),
+                           1, 8), 16, 10)
+        .cast("long") % 2
+    )
+    agg = users.select(variant.alias("__v")).agg(
+        F.sum(F.when(F.col("__v") == 0, 1).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("__v") == 1, 1).otherwise(0))
+        .cast("long").alias("n_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    chi2 = (na - nb) * (na - nb) / (na + nb)
+    return agg.select(
+        "n_a", "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 >= F.lit(3.841)).alias("srm_detected"),
+    )
+
+
+def cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM
+    2013 — the industry-standard A/B sensitivity boost): adjust each
+    user's experiment-period metric by their PRE-period activity,
+    y' = y - theta (x - mean x), theta = cov(x, y)/var(x), and
+    report the adjusted treatment effect next to the raw one plus the
+    variance reduction (= corr^2). Pre/post split at the dataset's
+    time midpoint ((min+max)/2 on microseconds, a 1-row broadcast —
+    exact integer arithmetic, robust to any scale factor's calendar).
+
+    Everything reduces to per-variant moment sums: one user groupBy
+    (conditional pre/post decimal value sums), one 2-row variant
+    aggregate, then fixed-order IEEE moment algebra — effect_cuped =
+    (meanB - meanA) - theta (xmeanB - xmeanA). Users missing a
+    pre-period read as x = 0 (a constant shift, harmless to cov).
+    Returns one row (n_a, n_b, theta, effect_raw, effect_cuped,
+    var_reduction)."""
+    ev = read_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")))
+         / F.lit(2)).cast("long").alias("__mid")
+    )
+    per_user = ev.crossJoin(F.broadcast(mid)).groupBy("user_id").agg(
+        F.round(
+            F.sum(
+                F.when(F.unix_micros("ts") < F.col("__mid"),
+                       F.col("value")).cast("decimal(30,8)")
+            ), 8,
+        ).cast("double").alias("__x0"),
+        F.round(
+            F.sum(
+                F.when(F.unix_micros("ts") >= F.col("__mid"),
+                       F.col("value")).cast("decimal(30,8)")
+            ), 8,
+        ).cast("double").alias("__y0"),
+    ).select(
+        "user_id",
+        F.coalesce(F.col("__x0"), F.lit(0.0)).alias("__x"),
+        F.coalesce(F.col("__y0"), F.lit(0.0)).alias("__y"),
+    )
+    variant = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ab:"),
+                                          F.col("user_id").cast("string"))),
+                           1, 8), 16, 10)
+        .cast("long") % 2
+    )
+
+    def dsum8(e):
+        return F.round(F.sum(F.round(e, 8).cast("decimal(30,8)")), 8).cast(
+            "double"
+        )
+
+    g = per_user.select(variant.alias("__v"), "__x", "__y").groupBy(
+        "__v"
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        dsum8(F.col("__x")).alias("__sx"),
+        dsum8(F.col("__y")).alias("__sy"),
+        dsum8(F.col("__x") * F.col("__y")).alias("__sxy"),
+        dsum8(F.col("__x") * F.col("__x")).alias("__sxx"),
+        dsum8(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    both = g.agg(
+        F.sum(F.when(F.col("__v") == 0, F.col("__n")).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("__v") == 1, F.col("__n")).otherwise(0))
+        .cast("long").alias("n_b"),
+        F.sum(F.when(F.col("__v") == 0, F.col("__sx")).otherwise(0.0))
+        .alias("__sxa"),
+        F.sum(F.when(F.col("__v") == 1, F.col("__sx")).otherwise(0.0))
+        .alias("__sxb"),
+        F.sum(F.when(F.col("__v") == 0, F.col("__sy")).otherwise(0.0))
+        .alias("__sya"),
+        F.sum(F.when(F.col("__v") == 1, F.col("__sy")).otherwise(0.0))
+        .alias("__syb"),
+        F.sum("__sxy").alias("__sxy"),
+        F.sum("__sxx").alias("__sxx"),
+        F.sum("__syy").alias("__syy"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    sx = F.col("__sxa") + F.col("__sxb")
+    sy = F.col("__sya") + F.col("__syb")
+    cxx = n * F.col("__sxx") - sx * sx
+    cxy = n * F.col("__sxy") - sx * sy
+    cyy = n * F.col("__syy") - sy * sy
+    theta = F.try_divide(cxy, cxx)
+    effect_raw = F.col("__syb") / nb - F.col("__sya") / na
+    effect_cuped = effect_raw - theta * (
+        F.col("__sxb") / nb - F.col("__sxa") / na
+    )
+    var_red = F.try_divide(cxy * cxy, cxx * cyy)
+    return both.select(
+        "n_a", "n_b",
+        F.round(theta, 6).alias("theta"),
+        F.round(effect_raw, 6).alias("effect_raw"),
+        F.round(effect_cuped, 6).alias("effect_cuped"),
+        F.round(var_red, 6).alias("var_reduction"),
+    )
+
+
+def power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B pre-flight power readout from the observed per-user metric
+    distribution: the minimum detectable effect (MDE) the CURRENT
+    population size supports, and the per-arm n required to detect a
+    2% relative lift — both at the standard alpha = 5% two-sided /
+    80% power operating point (z constants inlined as literals:
+    1.959964, 0.841621). MDE = (z_a + z_b) * sqrt(2 s^2 / n_arm);
+    n_2pct = 2 s^2 (z_a + z_b)^2 / (0.02 mu)^2 — the classic
+    two-sample normal-approximation formulas every experimentation
+    platform ships.
+
+    One user groupBy (decimal value sums) + one 1-row moment
+    aggregate; s^2 is the n-1 sample variance from @8-quantized sums.
+    Returns one row (n_users, mean_metric, sd_metric, mde_abs,
+    mde_rel, n_per_arm_2pct)."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value").cast("decimal(30,8)")), 8)
+        .cast("double").alias("__m")
+    )
+
+    def dsum8(e):
+        return F.round(F.sum(F.round(e, 8).cast("decimal(30,8)")), 8).cast(
+            "double"
+        )
+
+    agg = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        dsum8(F.col("__m")).alias("__s"),
+        dsum8(F.col("__m") * F.col("__m")).alias("__q"),
+    )
+    n = F.col("n_users").cast("double")
+    mu = F.col("__s") / n
+    s2 = (F.col("__q") - F.col("__s") * F.col("__s") / n) / (n - 1)
+    sd = F.sqrt(s2)
+    zsum = F.lit(1.959964 + 0.841621)
+    mde = zsum * F.sqrt(s2 * 2.0 / (n / 2.0))
+    n_req = s2 * 2.0 * zsum * zsum / ((mu * 0.02) * (mu * 0.02))
+    return agg.select(
+        "n_users",
+        F.round(mu, 6).alias("mean_metric"),
+        F.round(sd, 6).alias("sd_metric"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(F.try_divide(mde, mu), 6).alias("mde_rel"),
+        F.ceil(n_req).cast("long").alias("n_per_arm_2pct"),
+    )

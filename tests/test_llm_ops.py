@@ -3035,3 +3035,89 @@ def test_idf_outliers_repetition_invariant(spark):
     out = {r["doc_id"]: r for r in text.idf_outliers(d).collect()}
     assert out[1]["mean_idf"] == out[2]["mean_idf"]
     assert out[1]["n_terms"] == out[2]["n_terms"] == 3
+
+
+# --- experimentation suite: SRM / CUPED / power -------------------------------
+
+def test_srm_balanced_vs_broken(spark, tmp_path):
+    import datetime as dt
+
+    from fossil_spark.queries.analytics import srm_check
+
+    t0 = dt.datetime(2024, 1, 1)
+    # balanced by construction: exactly 200 users from each variant
+    a_users = [u for u in range(2000) if _md5_variant(u) == 0][:200]
+    b_users = [u for u in range(2000) if _md5_variant(u) == 1][:200]
+    rows = [(i, t0, u, "c", 1.0)
+            for i, u in enumerate(a_users + b_users)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = srm_check(spark, str(tmp_path)).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (200, 200)
+    assert r["chi2"] == 0.0 and not r["srm_detected"]
+    # broken: 90% of variant B lost -> chi2 blows past 3.841
+    rows = [(i, t0, u, "c", 1.0)
+            for i, u in enumerate(a_users + b_users[:20])]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = srm_check(spark, str(tmp_path)).collect()[0]
+    assert r["srm_detected"] and r["chi2"] > 3.841
+
+
+def test_cuped_planted_covariate(spark, tmp_path):
+    """Post metric = pre metric exactly (perfect covariate): theta = 1,
+    var_reduction = 1, and the CUPED effect collapses to ~0 noise
+    around the raw effect minus the pre-period imbalance."""
+    import datetime as dt
+
+    from fossil_spark.queries.analytics import cuped
+
+    pre_t = dt.datetime(2024, 1, 1)
+    post_t = dt.datetime(2024, 1, 21)
+    rows, eid = [], 0
+    for u in range(200):
+        v = float(10 + (u % 7))
+        rows.append((eid, pre_t, u, "c", v)); eid += 1
+        rows.append((eid, post_t, u, "c", v)); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = cuped(spark, str(tmp_path)).collect()[0]
+    assert r["theta"] == pytest.approx(1.0, abs=1e-6)
+    assert r["var_reduction"] == pytest.approx(1.0, abs=1e-6)
+    # y - x is constant 0 per user: adjusted effect must be exactly 0
+    assert r["effect_cuped"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_power_analysis_hand_computed(spark, tmp_path):
+    import datetime as dt
+    import math
+
+    from fossil_spark.queries.analytics import power_analysis
+
+    t0 = dt.datetime(2024, 1, 1)
+    # per-user sums: {1, 2, 3, 4} -> mu 2.5, s2 = 5/3
+    rows = [(u, t0, u, "c", float(u + 1)) for u in range(4)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = power_analysis(spark, str(tmp_path)).collect()[0]
+    s2 = 5.0 / 3.0
+    zsum = 1.959964 + 0.841621
+    mde = zsum * math.sqrt(s2 * 2.0 / 2.0)
+    assert r["n_users"] == 4
+    assert r["mean_metric"] == 2.5
+    assert r["sd_metric"] == pytest.approx(math.sqrt(s2), abs=1e-5)
+    assert r["mde_abs"] == pytest.approx(mde, abs=1e-5)
+    n_req = s2 * 2.0 * zsum * zsum / ((2.5 * 0.02) ** 2)
+    assert r["n_per_arm_2pct"] == math.ceil(n_req)

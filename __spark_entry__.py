@@ -8726,10 +8726,11 @@ def oracle_sql() -> dict[str, str]:
         "  (qa - sa * sa / na) / (na - 1) / na AS sea,"
         "  (qb - sb * sb / nb) / (nb - 1) / nb AS seb FROM s)"
         " SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,"
-        " round((mb - ma) / sqrt(sea + seb), 6) AS t_stat,"
+        " round((mb - ma) / sqrt(greatest(sea + seb, 0.0)), 6) AS t_stat,"
         " round((sea + seb) * (sea + seb)"
         "  / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 2) AS df,"
-        " abs((mb - ma) / sqrt(sea + seb)) >= 1.959964 AS significant_95"
+        " abs((mb - ma) / sqrt(greatest(sea + seb, 0.0))) >= 1.959964"
+        "  AS significant_95"
         " FROM e"
     )
     # One-way ANOVA across order priorities (analytics.anova_priority):
@@ -8854,9 +8855,11 @@ def oracle_sql() -> dict[str, str]:
         " e3 AS (SELECT n_users, n, s / n AS mu,"
         "  (q - s * s / n) / (n - 1) AS s2 FROM e2),"
         " e4 AS (SELECT n_users, n, mu, s2,"
-        "  2.801585 * sqrt(s2 * 2.0 / (n / 2.0)) AS mde FROM e3)"
+        "  2.801585 * sqrt(greatest(s2 * 2.0 / (n / 2.0), 0.0)) AS mde"
+        "  FROM e3)"
         " SELECT n_users, round(mu, 6) AS mean_metric,"
-        " round(sqrt(s2), 6) AS sd_metric, round(mde, 6) AS mde_abs,"
+        " round(sqrt(greatest(s2, 0.0)), 6) AS sd_metric,"
+        " round(mde, 6) AS mde_abs,"
         " CASE WHEN mu <> 0 THEN round(mde / mu, 6) END AS mde_rel,"
         " CAST(ceil(s2 * 2.0 * 2.801585 * 2.801585"
         "  / ((mu * 0.02) * (mu * 0.02))) AS BIGINT) AS n_per_arm_2pct"
@@ -8882,7 +8885,7 @@ def oracle_sql() -> dict[str, str]:
         "  CAST(round(sum(CAST(round(mi * mi, 8) AS DECIMAL(30,8))), 8)"
         "   AS DOUBLE) AS q FROM pd),"
         " mm AS (SELECT s / n AS mu,"
-        "  sqrt(q / n - (s / n) * (s / n)) AS sd FROM m)"
+        "  sqrt(greatest(q / n - (s / n) * (s / n), 0.0)) AS sd FROM m)"
         " SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,"
         " round(mi, 6) AS mean_idf,"
         " CASE WHEN sd <> 0 THEN round((mi - mu) / sd, 4) END AS idf_z"
@@ -8993,8 +8996,9 @@ def oracle_sql() -> dict[str, str]:
         " f AS (SELECT event_type, n, cxx, cxy, cyy, nd,"
         "  CASE WHEN cxx <> 0 THEN cxy / cxx END AS beta FROM m),"
         " g AS (SELECT event_type, n, beta,"
-        "  CASE WHEN cyy - beta * cxy <> 0 THEN"
-        "   beta * sqrt(cxx * (nd - 2) / (cyy - beta * cxy)) END AS t"
+        "  CASE WHEN greatest(cyy - beta * cxy, 0.0) <> 0 THEN"
+        "   beta * sqrt(cxx * (nd - 2)"
+        "    / greatest(cyy - beta * cxy, 0.0)) END AS t"
         "  FROM f)"
         " SELECT event_type, CAST(n AS BIGINT) AS n,"
         " round(beta, 6) AS beta, round(t, 6) AS t_stat,"

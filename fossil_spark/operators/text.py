@@ -2622,15 +2622,20 @@ def idf_outliers(
             "double"
         )
 
+    mu = F.try_divide(F.col("__s"), F.col("__n"))
     mom = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
         dsum8(F.col("__mi")).alias("__s"),
         dsum8(F.col("__mi") * F.col("__mi")).alias("__q"),
     ).select(
-        (F.col("__s") / F.col("__n")).alias("__mu"),
+        mu.alias("__mu"),
+        # clamp: an all-identical corpus puts the @8-quantized
+        # variance a hair negative, where DuckDB's sqrt raises
         F.sqrt(
-            F.col("__q") / F.col("__n")
-            - (F.col("__s") / F.col("__n")) * (F.col("__s") / F.col("__n"))
+            F.greatest(
+                F.try_divide(F.col("__q"), F.col("__n")) - mu * mu,
+                F.lit(0.0),
+            )
         ).alias("__sd"),
     )
     return per_doc.crossJoin(F.broadcast(mom)).select(

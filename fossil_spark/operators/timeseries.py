@@ -5597,7 +5597,9 @@ def page_hinkley(
     )
     z = m.select(
         *by, "bucket",
-        F.round((F.col("value") - F.col("__mu")) / sigma, 8).alias("__z"),
+        F.round(
+            F.try_divide(F.col("value") - F.col("__mu"), sigma), 8
+        ).alias("__z"),
         sigma.alias("__sg"),
     ).filter(F.col("__sg") > 0).drop("__sg")
     wo = Window.partitionBy(*by).orderBy("bucket")
@@ -5762,8 +5764,14 @@ def adf_test(
     beta = F.try_divide(sxy, sxx)
     # RSS*n^2 = n*(Syy - beta*Sxy); se(beta)^2 = n*s2/Sxx,
     # s2 = RSS/(n-2) -> t = beta * sqrt(Sxx * (n - 2) / (Syy - beta*Sxy))
+    # clamp the residual term: quantization noise can push an
+    # (exactly zero) RSS a hair negative, where DuckDB's sqrt raises
+    # and Spark yields NaN -- greatest() skips NULLs identically on
+    # both engines, so a NULL beta still propagates to a NULL t
     t_stat = beta * F.sqrt(
-        F.try_divide(sxx * (n - 2), syy - beta * sxy)
+        F.try_divide(
+            sxx * (n - 2), F.greatest(syy - beta * sxy, F.lit(0.0))
+        )
     )
     return agg.select(
         *by,
@@ -5843,42 +5851,55 @@ def granger_lag1(
             "double"
         )
 
-    def direction(tag: str, y: str, u: str, v: str):
+    # ONE aggregate computes every moment both directions need (they
+    # share suu/svv/suv and permute the rest), then each direction is
+    # a cheap select over the localCheckpointed 1-row stats table --
+    # two separate aggregates re-ran the whole bucket/window lineage
+    # twice (a review finding; halves the end-to-end scan cost)
+    cols = {"a0": "__a0", "b0": "__b0", "al": "__al", "bl": "__bl"}
+    sums = [F.count(F.lit(1)).alias("__n")]
+    for nm, c in cols.items():
+        sums.append(dsum8(F.col(c)).alias(f"__s_{nm}"))
+    for i, (nm1, c1) in enumerate(cols.items()):
+        for nm2, c2 in list(cols.items())[i:]:
+            sums.append(
+                dsum8(F.col(c1) * F.col(c2)).alias(f"__s_{nm1}{nm2}")
+            )
+    stats = lagged.agg(*sums).localCheckpoint(eager=False)
+
+    def direction(cause: str, effect: str, y: str, u: str, v: str):
         # y = effect_t, u = effect_{t-1}, v = cause_{t-1}
-        a = lagged.agg(
-            F.count(F.lit(1)).alias("__n"),
-            dsum8(F.col(y)).alias("__sy"),
-            dsum8(F.col(u)).alias("__su"),
-            dsum8(F.col(v)).alias("__sv"),
-            dsum8(F.col(y) * F.col(u)).alias("__syu"),
-            dsum8(F.col(y) * F.col(v)).alias("__syv"),
-            dsum8(F.col(u) * F.col(u)).alias("__suu"),
-            dsum8(F.col(v) * F.col(v)).alias("__svv"),
-            dsum8(F.col(u) * F.col(v)).alias("__suv"),
-            dsum8(F.col(y) * F.col(y)).alias("__syy"),
-        )
+        def s(a, b=None):
+            if b is None:
+                return F.col(f"__s_{a}")
+            return F.col(f"__s_{a}{b}" if f"__s_{a}{b}" in stats.columns
+                         else f"__s_{b}{a}")
+
         n = F.col("__n").cast("double")
-        suu = n * F.col("__suu") - F.col("__su") * F.col("__su")
-        svv = n * F.col("__svv") - F.col("__sv") * F.col("__sv")
-        suv = n * F.col("__suv") - F.col("__su") * F.col("__sv")
-        suy = n * F.col("__syu") - F.col("__su") * F.col("__sy")
-        svy = n * F.col("__syv") - F.col("__sv") * F.col("__sy")
-        syy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+        suu = n * s(u, u) - s(u) * s(u)
+        svv = n * s(v, v) - s(v) * s(v)
+        suv = n * s(u, v) - s(u) * s(v)
+        suy = n * s(y, u) - s(u) * s(y)
+        svy = n * s(y, v) - s(v) * s(y)
+        syy = n * s(y, y) - s(y) * s(y)
         den = suu * svv - suv * suv
         b1 = F.try_divide(svv * suy - suv * svy, den)
         b2 = F.try_divide(suu * svy - suv * suy, den)
         rss_u = syy - b1 * suy - b2 * svy
         rss_r = syy - F.try_divide(suy * suy, suu)
-        f_stat = F.try_divide(rss_r - rss_u, rss_u / (n - 3))
-        parts = tag.split(">")
-        return a.select(
-            F.lit(parts[0]).alias("cause"),
-            F.lit(parts[1]).alias("effect"),
+        # n <= 3 leaves no residual df: NULL f (the oracle's nd > 3)
+        f_stat = F.when(
+            F.col("__n") > 3,
+            F.try_divide(rss_r - rss_u, F.try_divide(rss_u, n - 3)),
+        )
+        return stats.select(
+            F.lit(cause).alias("cause"),
+            F.lit(effect).alias("effect"),
             F.col("__n").cast("long").alias("n"),
             F.round(f_stat, 6).alias("f_stat"),
             (f_stat >= F.lit(3.841)).alias("significant_95"),
         )
 
-    return direction(f"{series_a}>{series_b}", "__b0", "__bl", "__al").unionAll(
-        direction(f"{series_b}>{series_a}", "__a0", "__al", "__bl")
+    return direction(series_a, series_b, "b0", "bl", "al").unionAll(
+        direction(series_b, series_a, "a0", "al", "bl")
     )

@@ -494,6 +494,19 @@ def session_paths(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     return counts.orderBy(F.col("n_sessions").desc(), "path").limit(k)
 
 
+def _ab_variant(user_col: str = "user_id"):
+    """The deterministic md5 A/B assignment every experimentation
+    operator shares: variant = first-8-hex of md5('ab:' || user) mod 2.
+    One definition so the split can never drift between the SRM
+    guardrail and the readouts it protects."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ab:"),
+                                          F.col(user_col).cast("string"))),
+                           1, 8), 16, 10)
+        .cast("long") % 2
+    )
+
+
 def ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion z-test harness over a deterministic md5 user
     split — the experimentation readout (did variant B convert
@@ -1456,12 +1469,7 @@ def mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("__m")
     )
-    variant = (
-        F.conv(F.substring(F.md5(F.concat(F.lit("ab:"),
-                                          F.col("user_id").cast("string"))),
-                           1, 8), 16, 10)
-        .cast("long") % 2
-    )
+    variant = _ab_variant()
     tagged = per_user.select(variant.alias("__v"), "__m")
     # distinct-value grid: per metric value, counts in each variant
     grid = tagged.groupBy("__m").agg(
@@ -1502,7 +1510,8 @@ def mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigma2 = (
         na * nb / F.lit(12.0)
         * ((n + F.lit(1.0))
-           - F.col("__ties").cast("double") / (n * (n - F.lit(1.0))))
+           - F.try_divide(F.col("__ties").cast("double"),
+                          n * (n - F.lit(1.0))))
     )
     z = F.try_divide(u_a - mean_u, F.sqrt(sigma2))
     return agg.select(
@@ -1533,12 +1542,7 @@ def welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("value").cast("decimal(30,8)")), 8)
         .cast("double").alias("__m")
     )
-    variant = (
-        F.conv(F.substring(F.md5(F.concat(F.lit("ab:"),
-                                          F.col("user_id").cast("string"))),
-                           1, 8), 16, 10)
-        .cast("long") % 2
-    )
+    variant = _ab_variant()
     tagged = per_user.select(variant.alias("__v"), "__m")
 
     def dsum8(e):
@@ -1560,16 +1564,26 @@ def welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
-    ma = F.col("__sa") / na
-    mb = F.col("__sb") / nb
-    va = (F.col("__qa") - F.col("__sa") * F.col("__sa") / na) / (na - 1)
-    vb = (F.col("__qb") - F.col("__sb") * F.col("__sb") / nb) / (nb - 1)
-    sea = va / na
-    seb = vb / nb
-    t = F.try_divide(mb - ma, F.sqrt(sea + seb))
+    # try_divide everywhere a variant can be empty or a singleton
+    # (ANSI double / raises on 0; DuckDB returns NULL -- match it),
+    # and clamp the sqrt arg: @8-quantized moment sums can put a
+    # zero variance a hair NEGATIVE, where DuckDB's sqrt raises
+    ma = F.try_divide(F.col("__sa"), na)
+    mb = F.try_divide(F.col("__sb"), nb)
+    va = F.try_divide(
+        F.col("__qa") - F.try_divide(F.col("__sa") * F.col("__sa"), na),
+        na - 1,
+    )
+    vb = F.try_divide(
+        F.col("__qb") - F.try_divide(F.col("__sb") * F.col("__sb"), nb),
+        nb - 1,
+    )
+    sea = F.try_divide(va, na)
+    seb = F.try_divide(vb, nb)
+    t = F.try_divide(mb - ma, F.sqrt(F.greatest(sea + seb, F.lit(0.0))))
     df = F.try_divide(
         (sea + seb) * (sea + seb),
-        sea * sea / (na - 1) + seb * seb / (nb - 1),
+        F.try_divide(sea * sea, na - 1) + F.try_divide(seb * seb, nb - 1),
     )
     return agg.select(
         "n_a", "n_b",
@@ -1652,7 +1666,9 @@ def anova_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = F.col("__nn").cast("double")
     ssb = F.col("__ssb").cast("double")
     ssw = F.col("__ssw").cast("double")
-    f_stat = F.try_divide(ssb / (kk - 1), ssw / (nn - kk))
+    f_stat = F.try_divide(
+        F.try_divide(ssb, kk - 1), F.try_divide(ssw, nn - kk)
+    )
     return both.select(
         F.col("__k").cast("long").alias("k_groups"),
         F.col("__nn").cast("long").alias("n"),
@@ -1675,12 +1691,7 @@ def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_a, n_b, chi2, srm_detected)."""
     ev = read_table(spark, sf_dir, "events")
     users = ev.select("user_id").distinct()
-    variant = (
-        F.conv(F.substring(F.md5(F.concat(F.lit("ab:"),
-                                          F.col("user_id").cast("string"))),
-                           1, 8), 16, 10)
-        .cast("long") % 2
-    )
+    variant = _ab_variant()
     agg = users.select(variant.alias("__v")).agg(
         F.sum(F.when(F.col("__v") == 0, 1).otherwise(0))
         .cast("long").alias("n_a"),
@@ -1737,12 +1748,7 @@ def cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("__x0"), F.lit(0.0)).alias("__x"),
         F.coalesce(F.col("__y0"), F.lit(0.0)).alias("__y"),
     )
-    variant = (
-        F.conv(F.substring(F.md5(F.concat(F.lit("ab:"),
-                                          F.col("user_id").cast("string"))),
-                           1, 8), 16, 10)
-        .cast("long") % 2
-    )
+    variant = _ab_variant()
 
     def dsum8(e):
         return F.round(F.sum(F.round(e, 8).cast("decimal(30,8)")), 8).cast(
@@ -1785,9 +1791,11 @@ def cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     cxy = n * F.col("__sxy") - sx * sy
     cyy = n * F.col("__syy") - sy * sy
     theta = F.try_divide(cxy, cxx)
-    effect_raw = F.col("__syb") / nb - F.col("__sya") / na
+    effect_raw = (
+        F.try_divide(F.col("__syb"), nb) - F.try_divide(F.col("__sya"), na)
+    )
     effect_cuped = effect_raw - theta * (
-        F.col("__sxb") / nb - F.col("__sxa") / na
+        F.try_divide(F.col("__sxb"), nb) - F.try_divide(F.col("__sxa"), na)
     )
     var_red = F.try_divide(cxy * cxy, cxx * cyy)
     return both.select(
@@ -1831,12 +1839,19 @@ def power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum8(F.col("__m") * F.col("__m")).alias("__q"),
     )
     n = F.col("n_users").cast("double")
-    mu = F.col("__s") / n
-    s2 = (F.col("__q") - F.col("__s") * F.col("__s") / n) / (n - 1)
-    sd = F.sqrt(s2)
+    mu = F.try_divide(F.col("__s"), n)
+    s2 = F.try_divide(
+        F.col("__q") - F.try_divide(F.col("__s") * F.col("__s"), n),
+        n - 1,
+    )
+    sd = F.sqrt(F.greatest(s2, F.lit(0.0)))
     zsum = F.lit(1.959964 + 0.841621)
-    mde = zsum * F.sqrt(s2 * 2.0 / (n / 2.0))
-    n_req = s2 * 2.0 * zsum * zsum / ((mu * 0.02) * (mu * 0.02))
+    mde = zsum * F.sqrt(
+        F.greatest(F.try_divide(s2 * 2.0, n / 2.0), F.lit(0.0))
+    )
+    n_req = F.try_divide(
+        s2 * 2.0 * zsum * zsum, (mu * 0.02) * (mu * 0.02)
+    )
     return agg.select(
         "n_users",
         F.round(mu, 6).alias("mean_metric"),

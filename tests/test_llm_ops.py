@@ -3121,3 +3121,38 @@ def test_power_analysis_hand_computed(spark, tmp_path):
     assert r["mde_abs"] == pytest.approx(mde, abs=1e-5)
     n_req = s2 * 2.0 * zsum * zsum / ((2.5 * 0.02) ** 2)
     assert r["n_per_arm_2pct"] == math.ceil(n_req)
+
+
+def test_welch_t_singleton_variant_yields_null(spark, tmp_path):
+    """One user in a variant: the n-1 variance denominator is 0 —
+    must yield a NULL t (the oracle's NULL-on-zero semantics), not an
+    ANSI DIVIDE_BY_ZERO crash (review regression)."""
+    import datetime as dt
+
+    from fossil_spark.queries.analytics import welch_t
+
+    a_users = [u for u in range(100) if _md5_variant(u) == 0][:1]
+    b_users = [u for u in range(100) if _md5_variant(u) == 1][:3]
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, u, "c", float(i + 1))
+            for i, u in enumerate(a_users + b_users)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = welch_t(spark, str(tmp_path)).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (1, 3)
+    assert r["t_stat"] is None and r["df"] is None
+
+
+def test_anova_single_group_yields_null_f(spark, monkeypatch):
+    import fossil_spark.queries.analytics as mod
+
+    o = spark.createDataFrame(
+        [("P1", 1.0), ("P1", 2.0), ("P1", 3.0)],
+        "o_orderpriority string, o_totalprice double",
+    )
+    monkeypatch.setattr(mod, "read_table", lambda s, d, t: o)
+    r = mod.anova_priority(spark, "x").collect()[0]
+    assert r["k_groups"] == 1 and r["f_stat"] is None

@@ -2617,3 +2617,44 @@ def test_granger_planted_direction(spark):
     assert fwd["n"] == rev["n"] == len(a_vals) - 1
     assert fwd["f_stat"] > 100 and fwd["significant_95"]
     assert fwd["f_stat"] > 10 * max(rev["f_stat"], 1.0)
+
+
+def test_granger_short_series_null_f(spark):
+    """n = 3 lagged rows leaves no residual df: f_stat must be NULL
+    (matching the oracle's nd > 3 guard), not a crash (review
+    regression)."""
+    from datetime import datetime, timedelta
+
+    from fossil_spark.operators.timeseries import granger_lag1
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i, v in enumerate((1.0, 5.0, 2.0, 7.0)):
+        rows.append((t0 + timedelta(hours=i), "A", v))
+        rows.append((t0 + timedelta(hours=i), "B", v + 1.0))
+    df = spark.createDataFrame(
+        rows, "time timestamp, event_type string, value double")
+    out = granger_lag1(df, "A", "B", every="1 hour").collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["n"] == 3 and r["f_stat"] is None
+
+
+def test_granger_series_name_with_separator(spark):
+    """cause/effect labels must carry the literal series names even
+    when a name contains '>' (review regression for the old
+    string-round-trip)."""
+    from datetime import datetime, timedelta
+
+    from fossil_spark.operators.timeseries import granger_lag1
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(12):
+        rows.append((t0 + timedelta(hours=i), "a>b", float(i % 5)))
+        rows.append((t0 + timedelta(hours=i), "x", float((i + 1) % 4)))
+    df = spark.createDataFrame(
+        rows, "time timestamp, event_type string, value double")
+    out = {(r["cause"], r["effect"]) for r in
+           granger_lag1(df, "a>b", "x", every="1 hour").collect()}
+    assert out == {("a>b", "x"), ("x", "a>b")}

@@ -2738,6 +2738,17 @@ def _ts_granger(spark, sf_dir):
     )
 
 
+def _ts_theta_forecast(spark, sf_dir):
+    """Theta-method forecast (timeseries.theta_forecast, M3 winner):
+    0.5 * SES(theta=2 line) + 0.5 * OLS drift, 5 steps per key."""
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.theta_forecast(
+        _events(spark, sf_dir), horizon=5, alpha=0.5, time_col="ts",
+        by=["event_type"], order_tiebreak=["event_id"],
+    )
+
+
 def _text_idf_outliers(spark, sf_dir):
     """Per-doc mean IDF + corpus z (text.idf_outliers): low = built
     from corpus-common tokens (boilerplate), high = document-private
@@ -2751,12 +2762,12 @@ def _text_idf_outliers(spark, sf_dir):
 # queries(). Round-10 rotation (VERDICT r9 "Next round" #1, amended
 # mid-round): the round-10 build added 18 brand-new keys that have
 # NEVER been driver-checked — never-checked debt outranks
-# stale-but-green, so those 21 take the head. The rest of the window
+# stale-but-green, so those 22 take the head. The rest of the window
 # refreshes the OLDEST signals per the verdict: all 22 keys whose
-# only PASS is round 3, then 7 of the 21-key fql_* compiler family
+# only PASS is round 3, then 6 of the 21-key fql_* compiler family
 # (only PASS r4; one shared compiler, so family coverage exercises
 # the shared-helper drift the rotation exists to catch). Displaced
-# r4-vintage keys (14 fql, the r4 TPC-H joins, shared-window ts
+# r4-vintage keys (15 fql, the r4 TPC-H joins, shared-window ts
 # keys, and the 16-key remainder) queue immediately below the fold
 # as the round-11 window head.
 _WINDOW_PRIORITY = [
@@ -2768,7 +2779,7 @@ _WINDOW_PRIORITY = [
     "agg_mann_whitney", "agg_welch_t", "agg_anova",
     "ts_page_hinkley", "ts_permutation_entropy", "ts_adf",
     "ts_granger", "text_idf_outliers",
-    "agg_srm", "agg_cuped", "agg_power",
+    "agg_srm", "agg_cuped", "agg_power", "ts_theta_forecast",
     # --- r3-vintage (22 keys, last PASS CORRECTNESS_r03) ---
     "schema_validate", "store_list_topics", "tpch_q10", "tpch_q12",
     "ann_bruteforce", "ann_lsh", "dedup_components", "dedup_embedding",
@@ -2776,14 +2787,14 @@ _WINDOW_PRIORITY = [
     "text_chunk", "text_fingerprint", "text_langid", "text_pack",
     "text_quality", "text_repetition", "text_scrub_pii",
     "text_token_freq", "text_tokens", "multimodal_meta",
-    # --- r4-vintage fql compiler family head (7 of 21; the family
-    # shares one compiler, so coverage of these 7 exercises the
+    # --- r4-vintage fql compiler family head (6 of 21; the family
+    # shares one compiler, so coverage of these 6 exercises the
     # shared-helper drift the rotation exists to catch) ---
     "fql_all", "fql_kitchen_sink", "fql_map_composite",
     "fql_mapreduce_avg", "fql_sample_greedy", "fql_since",
-    "fql_time_arith",
     # --- round-11 window head: displaced r4-vintage keys ---
-    "fql_topic_prefix", "fql_between", "fql_filter_mapped_tuple",
+    "fql_time_arith", "fql_topic_prefix", "fql_between",
+    "fql_filter_mapped_tuple",
     "fql_before", "fql_builtin_minmax", "fql_composite_subscript",
     "fql_filter", "fql_map", "fql_reduce_count", "fql_reduce_sum",
     "fql_topic", "fql_pow", "fql_string_concat_filter",
@@ -3038,6 +3049,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_srm": _analytics("srm_check"),
         "agg_cuped": _analytics("cuped"),
         "agg_power": _analytics("power_analysis"),
+        "ts_theta_forecast": _ts_theta_forecast,
         "embedding_silhouette": _embedding_silhouette,
         "graph_kcore": _graph_kcore,
         "graph_jaccard": _graph_jaccard,
@@ -8763,6 +8775,47 @@ def oracle_sql() -> dict[str, str]:
         " round(ssb / (ssb + ssw), 6) AS eta_squared,"
         " round(ssb, 2) AS ss_between, round(ssw, 2) AS ss_within"
         " FROM s"
+    )
+    # Theta-method forecast (timeseries.theta_forecast): closed-form
+    # OLS theta lines + the SES fold replayed via a recursive CTE
+    # (the ts_forecast pattern)
+    out["ts_theta_forecast"] = (
+        "WITH RECURSIVE seq AS (SELECT event_type, value,"
+        " row_number() OVER (PARTITION BY event_type ORDER BY ts,"
+        "  event_id) rn,"
+        " count(*) OVER (PARTITION BY event_type) n"
+        f" FROM {_EV} e0),"
+        " ols AS (SELECT event_type, count(*) AS n,"
+        "  CAST(sum(rn) AS DOUBLE) AS sr,"
+        "  CAST(sum(rn * rn) AS DOUBLE) AS srr,"
+        "  CAST(round(sum(CAST(round(value, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS sx,"
+        "  CAST(round(sum(CAST(round(rn * value, 8) AS DECIMAL(30,8))),"
+        "   8) AS DOUBLE) AS srx"
+        "  FROM seq GROUP BY 1 HAVING count(*) >= 3),"
+        " k AS (SELECT event_type, n,"
+        "  CASE WHEN CAST(n AS DOUBLE) * srr - sr * sr <> 0 THEN"
+        "   (CAST(n AS DOUBLE) * srx - sr * sx)"
+        "   / (CAST(n AS DOUBLE) * srr - sr * sr) END AS b,"
+        "  (sx - (CASE WHEN CAST(n AS DOUBLE) * srr - sr * sr <> 0 THEN"
+        "   (CAST(n AS DOUBLE) * srx - sr * sx)"
+        "   / (CAST(n AS DOUBLE) * srr - sr * sr) END) * sr)"
+        "   / CAST(n AS DOUBLE) AS a FROM ols),"
+        " t AS (SELECT s.event_type, s.rn, q.n, q.a, q.b,"
+        "  2.0 * s.value - (q.a + q.b * s.rn) AS t2"
+        "  FROM seq s JOIN k q USING (event_type)),"
+        " rec(event_type, rn, n, a, b, l) AS ("
+        "  SELECT event_type, rn, n, a, b, t2 FROM t WHERE rn = 1"
+        "  UNION ALL"
+        "  SELECT t.event_type, t.rn, r.n, r.a, r.b,"
+        "   0.5 * t.t2 + (1.0 - 0.5) * r.l"
+        "  FROM rec r JOIN t ON t.event_type = r.event_type"
+        "   AND t.rn = r.rn + 1)"
+        " SELECT event_type, CAST(g.h AS BIGINT) AS step,"
+        " 0.5 * l + 0.5 * (a + b * (CAST(n AS DOUBLE)"
+        "  + CAST(g.h AS DOUBLE))) AS forecast,"
+        " l AS ses_level, b AS slope"
+        " FROM rec, range(1, 6) g(h) WHERE rn = n"
     )
     # Sample-ratio-mismatch guardrail (analytics.srm_check): 2-cell
     # chi-square collapses to (nA-nB)^2/N, all integer counts

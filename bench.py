@@ -211,7 +211,7 @@ def main() -> None:
         "agg_mann_whitney", "agg_welch_t", "agg_anova",
         "ts_page_hinkley", "ts_permutation_entropy", "ts_adf",
         "ts_granger", "text_idf_outliers",
-        "agg_srm", "agg_cuped", "agg_power",
+        "agg_srm", "agg_cuped", "agg_power", "ts_theta_forecast",
     ]
     qs = entrymod.queries()
     if comparable_only:

@@ -5903,3 +5903,116 @@ def granger_lag1(
     return direction(series_a, series_b, "b0", "bl", "al").unionAll(
         direction(series_b, series_a, "a0", "al", "bl")
     )
+
+def theta_forecast(
+    df: DataFrame,
+    horizon: int = 5,
+    alpha: float = 0.5,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Theta-method forecast per key (Assimakopoulos & Nikolopoulos
+    2000 — the M3-competition winner, still the benchmark simple
+    forecaster): decompose into two theta lines, theta=0 (the OLS
+    linear trend, pure long-run drift) and theta=2 (2x - trend,
+    double-amplified local curvature), SES the theta=2 line, and
+    average the two extrapolations: y(n+h) = 0.5 SES_n + 0.5 (a +
+    b (n+h)). Complements [[ts_forecast]] (Holt): theta's drift
+    comes from a GLOBAL fit, so one recent kink can't hijack the
+    long-run slope the way Holt's local trend can.
+
+    Shape: one row_number window on the key sort, ONE groupBy for the
+    closed-form OLS (@8-quantized decimal x-sums; integer rn sums are
+    exact), a |keys|-row broadcast join-back, then the inherently
+    sequential SES fold as one Arrow batch per key (the ts_ewma
+    boundary). The oracle replays the OLS algebra and the fold via a
+    recursive CTE (the ts_forecast pattern). Returns
+    (*by, step, forecast, ses_level, slope)."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    by = by or []
+    df = _time_norm(df, time_col)
+    w = Window.partitionBy(*by).orderBy(time_col, *(order_tiebreak or []))
+    rows = df.select(
+        *by,
+        F.row_number().over(w).alias("__rn"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+
+    def dsum8(e):
+        return F.round(F.sum(F.round(e, 8).cast("decimal(30,8)")), 8).cast(
+            "double"
+        )
+
+    ols = rows.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__rn").cast("double").alias("__sr"),
+        F.sum(F.col("__rn") * F.col("__rn")).cast("double").alias("__srr"),
+        dsum8(F.col("__x")).alias("__sx"),
+        dsum8(F.col("__rn") * F.col("__x")).alias("__srx"),
+    ).filter(F.col("__n") >= 3)
+    n = F.col("__n").cast("double")
+    slope = F.try_divide(
+        n * F.col("__srx") - F.col("__sr") * F.col("__sx"),
+        n * F.col("__srr") - F.col("__sr") * F.col("__sr"),
+    )
+    keyed = ols.select(
+        *by, "__n", slope.alias("__b"),
+        ((F.col("__sx") - slope * F.col("__sr")) / n).alias("__a"),
+    )
+    joined = (
+        rows.join(F.broadcast(keyed), by)
+        if by
+        else rows.crossJoin(F.broadcast(keyed))
+    )
+    staged = joined.select(
+        *by, "__rn", "__n", "__a", "__b",
+        (
+            F.lit(2.0) * F.col("__x")
+            - (F.col("__a") + F.col("__b") * F.col("__rn"))
+        ).alias("__t2"),
+    )
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name in by]
+        + [
+            StructField("step", LongType()),
+            StructField("forecast", DoubleType()),
+            StructField("ses_level", DoubleType()),
+            StructField("slope", DoubleType()),
+        ]
+    )
+    aa = float(alpha)
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__rn", kind="mergesort")
+        t2 = pdf["__t2"].to_numpy(dtype=float)
+        s = t2[0]
+        for v in t2[1:]:
+            s = aa * v + (1.0 - aa) * s
+        a = float(pdf["__a"].iloc[0])
+        b = float(pdf["__b"].iloc[0])
+        nn = float(pdf["__n"].iloc[0])
+        rows_out = {
+            "step": list(range(1, horizon + 1)),
+            "forecast": [
+                0.5 * s + 0.5 * (a + b * (nn + h))
+                for h in range(1, horizon + 1)
+            ],
+            "ses_level": [s] * horizon,
+            "slope": [b] * horizon,
+        }
+        for c in by:
+            rows_out[c] = [pdf[c].iloc[0]] * horizon
+        return pd.DataFrame(rows_out)[[f.name for f in out_schema.fields]]
+
+    if not by:
+        return staged.withColumn("__g", F.lit(0)).groupBy("__g").applyInPandas(
+            lambda pdf: per_key(pdf.drop(columns="__g")), out_schema
+        )
+    return staged.groupBy(*by).applyInPandas(per_key, out_schema)

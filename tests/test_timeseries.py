@@ -2658,3 +2658,44 @@ def test_granger_series_name_with_separator(spark):
     out = {(r["cause"], r["effect"]) for r in
            granger_lag1(df, "a>b", "x", every="1 hour").collect()}
     assert out == {("a>b", "x"), ("x", "a>b")}
+
+
+def test_theta_forecast_matches_python_replica(spark):
+    """Exact replay: OLS on an exactly linear series recovers (a, b)
+    precisely (integer-valued sums), the theta=2 line collapses to the
+    series itself, and the SES fold + combination match a pure-Python
+    replica step for step."""
+    from datetime import datetime, timedelta
+
+    from fossil_spark.operators.timeseries import theta_forecast
+
+    t0 = datetime(2024, 1, 1)
+    n = 12
+    vals = [3.0 + 2.0 * t for t in range(1, n + 1)]
+    rows = [(t0 + timedelta(hours=i), "/k", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "time timestamp, topic string, value double")
+    out = {r["step"]: r for r in theta_forecast(
+        df, horizon=3, alpha=0.5, by=["topic"]).collect()}
+    assert out[1]["slope"] == 2.0
+    s = vals[0]
+    for v in vals[1:]:
+        s = 0.5 * v + 0.5 * s
+    assert out[1]["ses_level"] == s
+    for h in (1, 2, 3):
+        assert out[h]["forecast"] == 0.5 * s + 0.5 * (
+            3.0 + 2.0 * (n + h))
+
+
+def test_theta_forecast_short_series_excluded(spark):
+    from datetime import datetime, timedelta
+
+    from fossil_spark.operators.timeseries import theta_forecast
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(t0 + timedelta(hours=i), "/short", float(i)) for i in range(2)]
+    rows += [(t0 + timedelta(hours=i), "/long", float(i)) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "time timestamp, topic string, value double")
+    out = theta_forecast(df, horizon=2, by=["topic"]).collect()
+    assert {r["topic"] for r in out} == {"/long"}

@@ -2749,6 +2749,17 @@ def _ts_theta_forecast(spark, sf_dir):
     )
 
 
+def _ts_kalman(spark, sf_dir):
+    """Local-level Kalman filter per key (timeseries.kalman_level):
+    model-derived EWMA — converged gain, filtered level, innovation
+    RMSE over hourly bucket means."""
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.kalman_level(
+        _events(spark, sf_dir), 0.01, 1.0, "1 hour", "ts", ["event_type"],
+    )
+
+
 def _text_idf_outliers(spark, sf_dir):
     """Per-doc mean IDF + corpus z (text.idf_outliers): low = built
     from corpus-common tokens (boilerplate), high = document-private
@@ -2762,12 +2773,12 @@ def _text_idf_outliers(spark, sf_dir):
 # queries(). Round-10 rotation (VERDICT r9 "Next round" #1, amended
 # mid-round): the round-10 build added 18 brand-new keys that have
 # NEVER been driver-checked — never-checked debt outranks
-# stale-but-green, so those 22 take the head. The rest of the window
+# stale-but-green, so those 23 take the head. The rest of the window
 # refreshes the OLDEST signals per the verdict: all 22 keys whose
-# only PASS is round 3, then 6 of the 21-key fql_* compiler family
+# only PASS is round 3, then 5 of the 21-key fql_* compiler family
 # (only PASS r4; one shared compiler, so family coverage exercises
 # the shared-helper drift the rotation exists to catch). Displaced
-# r4-vintage keys (15 fql, the r4 TPC-H joins, shared-window ts
+# r4-vintage keys (16 fql, the r4 TPC-H joins, shared-window ts
 # keys, and the 16-key remainder) queue immediately below the fold
 # as the round-11 window head.
 _WINDOW_PRIORITY = [
@@ -2780,6 +2791,7 @@ _WINDOW_PRIORITY = [
     "ts_page_hinkley", "ts_permutation_entropy", "ts_adf",
     "ts_granger", "text_idf_outliers",
     "agg_srm", "agg_cuped", "agg_power", "ts_theta_forecast",
+    "ts_kalman",
     # --- r3-vintage (22 keys, last PASS CORRECTNESS_r03) ---
     "schema_validate", "store_list_topics", "tpch_q10", "tpch_q12",
     "ann_bruteforce", "ann_lsh", "dedup_components", "dedup_embedding",
@@ -2787,13 +2799,13 @@ _WINDOW_PRIORITY = [
     "text_chunk", "text_fingerprint", "text_langid", "text_pack",
     "text_quality", "text_repetition", "text_scrub_pii",
     "text_token_freq", "text_tokens", "multimodal_meta",
-    # --- r4-vintage fql compiler family head (6 of 21; the family
-    # shares one compiler, so coverage of these 6 exercises the
+    # --- r4-vintage fql compiler family head (5 of 21; the family
+    # shares one compiler, so coverage of these 5 exercises the
     # shared-helper drift the rotation exists to catch) ---
     "fql_all", "fql_kitchen_sink", "fql_map_composite",
-    "fql_mapreduce_avg", "fql_sample_greedy", "fql_since",
+    "fql_mapreduce_avg", "fql_sample_greedy",
     # --- round-11 window head: displaced r4-vintage keys ---
-    "fql_time_arith", "fql_topic_prefix", "fql_between",
+    "fql_since", "fql_time_arith", "fql_topic_prefix", "fql_between",
     "fql_filter_mapped_tuple",
     "fql_before", "fql_builtin_minmax", "fql_composite_subscript",
     "fql_filter", "fql_map", "fql_reduce_count", "fql_reduce_sum",
@@ -3050,6 +3062,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cuped": _analytics("cuped"),
         "agg_power": _analytics("power_analysis"),
         "ts_theta_forecast": _ts_theta_forecast,
+        "ts_kalman": _ts_kalman,
         "embedding_silhouette": _embedding_silhouette,
         "graph_kcore": _graph_kcore,
         "graph_jaccard": _graph_jaccard,
@@ -8816,6 +8829,37 @@ def oracle_sql() -> dict[str, str]:
         "  + CAST(g.h AS DOUBLE))) AS forecast,"
         " l AS ses_level, b AS slope"
         " FROM rec, range(1, 6) g(h) WHERE rn = n"
+    )
+    # Local-level Kalman filter (timeseries.kalman_level): the
+    # recursive CTE replays the predict/gain/update fold bit-exactly
+    # (raw doubles in a fixed op order; q=0.01, r=1.0 inlined)
+    out["ts_kalman"] = (
+        "WITH RECURSIVE b AS (SELECT event_type,"
+        " time_bucket(INTERVAL 1 HOUR, ts) AS bucket,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "  / count(value) AS v"
+        f" FROM {_EV} e WHERE value IS NOT NULL GROUP BY 1, 2),"
+        " s AS (SELECT event_type, v, row_number() OVER w AS rn,"
+        "  count(*) OVER (PARTITION BY event_type) AS n FROM b"
+        "  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),"
+        " rec(event_type, rn, n, l, p, k, acc) AS ("
+        "  SELECT event_type, rn, n, v, CAST(1.0 AS DOUBLE),"
+        "   CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)"
+        "  FROM s WHERE rn = 1"
+        "  UNION ALL"
+        "  SELECT s.event_type, s.rn, r.n,"
+        "   r.l + ((r.p + 0.01) / ((r.p + 0.01) + 1.0)) * (s.v - r.l),"
+        "   (1.0 - ((r.p + 0.01) / ((r.p + 0.01) + 1.0))) * (r.p + 0.01),"
+        "   (r.p + 0.01) / ((r.p + 0.01) + 1.0),"
+        "   r.acc + (s.v - r.l) * (s.v - r.l)"
+        "  FROM rec r JOIN s ON s.event_type = r.event_type"
+        "   AND s.rn = r.rn + 1)"
+        " SELECT event_type, CAST(n AS BIGINT) AS n_buckets,"
+        " round(l, 6) AS level, round(k, 6) AS gain,"
+        " round(CASE WHEN n > 1 THEN"
+        "  sqrt(acc / (CAST(n AS DOUBLE) - 1)) ELSE 0.0 END, 6)"
+        "  AS innovation_rmse"
+        " FROM rec WHERE rn = n"
     )
     # Sample-ratio-mismatch guardrail (analytics.srm_check): 2-cell
     # chi-square collapses to (nA-nB)^2/N, all integer counts

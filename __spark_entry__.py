@@ -2760,6 +2760,15 @@ def _ts_kalman(spark, sf_dir):
     )
 
 
+def _pipeline_tokenizer_fertility(spark, sf_dir):
+    """BPE fertility per source (text.tokenizer_fertility): pieces
+    per word + OOV rate under the same learned merge table as
+    bpe_encode — the pre-commit tokenizer-efficiency audit."""
+    from fossil_spark.operators import text
+
+    return text.tokenizer_fertility(_docs(spark, sf_dir))
+
+
 def _text_idf_outliers(spark, sf_dir):
     """Per-doc mean IDF + corpus z (text.idf_outliers): low = built
     from corpus-common tokens (boilerplate), high = document-private
@@ -2773,12 +2782,12 @@ def _text_idf_outliers(spark, sf_dir):
 # queries(). Round-10 rotation (VERDICT r9 "Next round" #1, amended
 # mid-round): the round-10 build added 18 brand-new keys that have
 # NEVER been driver-checked — never-checked debt outranks
-# stale-but-green, so those 23 take the head. The rest of the window
+# stale-but-green, so those 24 take the head. The rest of the window
 # refreshes the OLDEST signals per the verdict: all 22 keys whose
-# only PASS is round 3, then 5 of the 21-key fql_* compiler family
+# only PASS is round 3, then 4 of the 21-key fql_* compiler family
 # (only PASS r4; one shared compiler, so family coverage exercises
 # the shared-helper drift the rotation exists to catch). Displaced
-# r4-vintage keys (16 fql, the r4 TPC-H joins, shared-window ts
+# r4-vintage keys (17 fql, the r4 TPC-H joins, shared-window ts
 # keys, and the 16-key remainder) queue immediately below the fold
 # as the round-11 window head.
 _WINDOW_PRIORITY = [
@@ -2791,7 +2800,7 @@ _WINDOW_PRIORITY = [
     "ts_page_hinkley", "ts_permutation_entropy", "ts_adf",
     "ts_granger", "text_idf_outliers",
     "agg_srm", "agg_cuped", "agg_power", "ts_theta_forecast",
-    "ts_kalman",
+    "ts_kalman", "pipeline_tokenizer_fertility",
     # --- r3-vintage (22 keys, last PASS CORRECTNESS_r03) ---
     "schema_validate", "store_list_topics", "tpch_q10", "tpch_q12",
     "ann_bruteforce", "ann_lsh", "dedup_components", "dedup_embedding",
@@ -2799,13 +2808,13 @@ _WINDOW_PRIORITY = [
     "text_chunk", "text_fingerprint", "text_langid", "text_pack",
     "text_quality", "text_repetition", "text_scrub_pii",
     "text_token_freq", "text_tokens", "multimodal_meta",
-    # --- r4-vintage fql compiler family head (5 of 21; the family
-    # shares one compiler, so coverage of these 5 exercises the
+    # --- r4-vintage fql compiler family head (4 of 21; the family
+    # shares one compiler, so coverage of these 4 exercises the
     # shared-helper drift the rotation exists to catch) ---
     "fql_all", "fql_kitchen_sink", "fql_map_composite",
-    "fql_mapreduce_avg", "fql_sample_greedy",
+    "fql_mapreduce_avg",
     # --- round-11 window head: displaced r4-vintage keys ---
-    "fql_since", "fql_time_arith", "fql_topic_prefix", "fql_between",
+    "fql_sample_greedy", "fql_since", "fql_time_arith", "fql_topic_prefix", "fql_between",
     "fql_filter_mapped_tuple",
     "fql_before", "fql_builtin_minmax", "fql_composite_subscript",
     "fql_filter", "fql_map", "fql_reduce_count", "fql_reduce_sum",
@@ -3063,6 +3072,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_power": _analytics("power_analysis"),
         "ts_theta_forecast": _ts_theta_forecast,
         "ts_kalman": _ts_kalman,
+        "pipeline_tokenizer_fertility": _pipeline_tokenizer_fertility,
         "embedding_silhouette": _embedding_silhouette,
         "graph_kcore": _graph_kcore,
         "graph_jaccard": _graph_jaccard,
@@ -5309,6 +5319,25 @@ def oracle_sql() -> dict[str, str]:
         " CAST(sum(coalesce(n_pieces, len(word) + 1)) AS BIGINT)"
         "  AS n_bpe_tokens"
         " FROM w LEFT JOIN pieces USING (word) GROUP BY 1"
+    )
+    # BPE fertility per source (text.tokenizer_fertility): same merge
+    # chain as bpe_encode, one source groupBy of exact integer counts
+    out["pipeline_tokenizer_fertility"] = (
+        "WITH " + _bpe_ctes(5) + ","
+        " pieces AS (SELECT word, CAST(len(sym) AS BIGINT) AS n_pieces"
+        "  FROM s5),"
+        f" w AS (SELECT source, unnest({_TOKS}) AS word FROM documents),"
+        " a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_words,"
+        "  CAST(sum(coalesce(n_pieces, len(word) + 1)) AS BIGINT)"
+        "   AS n_bpe_tokens,"
+        "  CAST(sum(CASE WHEN n_pieces IS NULL THEN 1 ELSE 0 END)"
+        "   AS BIGINT) AS oov"
+        "  FROM w LEFT JOIN pieces USING (word) GROUP BY 1)"
+        " SELECT source, n_words, n_bpe_tokens,"
+        " round(CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6)"
+        "  AS fertility,"
+        " round(CAST(oov AS DOUBLE) / CAST(n_words AS DOUBLE), 6)"
+        "  AS oov_rate FROM a"
     )
     # Leave-one-out kNN label audit (ann.knn_classify): exact cosine
     # neighbors for the fixed probe set, majority vote with smallest-

@@ -2646,3 +2646,56 @@ def idf_outliers(
             F.try_divide(F.col("__mi") - F.col("__mu"), F.col("__sd")), 4
         ).alias("idf_z"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    n_merges: int = 5,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer fertility per source: BPE pieces per word — the
+    tokenizer-efficiency audit multilingual pipelines run before
+    committing a vocab (high-fertility sources pay more compute per
+    word and crowd the context window; the standard readout in the
+    BLOOM/XLM tokenizer analyses). Uses the SAME learned merge table
+    as [[bpe_encode]], so the number is the vocab the corpus would
+    actually ship, not a proxy. Also reports the out-of-vocab word
+    rate (words falling back to char-level encoding).
+
+    Shape: the |vocab|-row word->pieces table joins the exploded
+    corpus words (Zipf-skewed, AQE skew-split — the bpe_encode
+    pattern), then ONE groupBy(source) of exact integer counts.
+    Returns (source, n_words, n_bpe_tokens, fertility, oov_rate)."""
+    _, vocab = _bpe_chain(df, n_merges, text_col)
+    pieces = vocab.select("word", F.size("sym").cast("long").alias("n_pieces"))
+    w = df.select(
+        F.col(group_col), F.explode(tokens(F.col(text_col))).alias("word")
+    )
+    agg = (
+        w.join(pieces, "word", "left")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(
+                F.coalesce(
+                    F.col("n_pieces"),
+                    (F.length("word") + F.lit(1)).cast("long"),
+                )
+            ).cast("long").alias("n_bpe_tokens"),
+            F.sum(F.when(F.col("n_pieces").isNull(), 1).otherwise(0))
+            .cast("long").alias("__oov"),
+        )
+    )
+    return agg.select(
+        group_col, "n_words", "n_bpe_tokens",
+        F.round(
+            F.col("n_bpe_tokens").cast("double")
+            / F.col("n_words").cast("double"), 6,
+        ).alias("fertility"),
+        F.round(
+            F.col("__oov").cast("double") / F.col("n_words").cast("double"),
+            6,
+        ).alias("oov_rate"),
+    )

@@ -3156,3 +3156,32 @@ def test_anova_single_group_yields_null_f(spark, monkeypatch):
     monkeypatch.setattr(mod, "read_table", lambda s, d, t: o)
     r = mod.anova_priority(spark, "x").collect()[0]
     assert r["k_groups"] == 1 and r["f_stat"] is None
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    """With zero merges every in-vocab word costs len(chars)+1 pieces
+    ('</w>'), so fertility is exactly (sum(len)+n)/n per source; an
+    all-ASCII corpus has zero OOV."""
+    d = spark.createDataFrame(
+        [(1, "aa bbb", "s1"), (2, "cccc", "s1"), (3, "dd dd", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in text.tokenizer_fertility(
+        d, n_merges=0).collect()}
+    # s1 words: aa(3), bbb(4), cccc(5) -> 12/3; s2: dd(3), dd(3) -> 6/2
+    assert out["s1"]["n_words"] == 3
+    assert out["s1"]["n_bpe_tokens"] == 12
+    assert out["s1"]["fertility"] == pytest.approx(4.0)
+    assert out["s2"]["fertility"] == pytest.approx(3.0)
+    assert out["s1"]["oov_rate"] == 0.0 and out["s2"]["oov_rate"] == 0.0
+
+
+def test_tokenizer_fertility_merges_reduce(spark, docs):
+    """More merges can only shrink (or hold) total BPE tokens."""
+    f0 = {r["source"]: r["n_bpe_tokens"]
+          for r in text.tokenizer_fertility(docs, n_merges=0).collect()}
+    f5 = {r["source"]: r["n_bpe_tokens"]
+          for r in text.tokenizer_fertility(docs, n_merges=5).collect()}
+    assert set(f0) == set(f5)
+    for s in f0:
+        assert f5[s] <= f0[s]

@@ -5950,10 +5950,15 @@ def theta_forecast(
             "double"
         )
 
+    # rn moments in DECIMAL: int*int overflows past rn ~ 46k (caught
+    # live by the 10x probe under ANSI), and sum(rn^2) ~ n^3/3 blows
+    # past BIGINT near 4M rows/key — decimal(38,0) keeps both exact
+    # at any per-key cardinality, double-cast once at the end
+    rn_dec = F.col("__rn").cast("decimal(38,0)")
     ols = rows.groupBy(*by).agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum("__rn").cast("double").alias("__sr"),
-        F.sum(F.col("__rn") * F.col("__rn")).cast("double").alias("__srr"),
+        F.sum(rn_dec * rn_dec).cast("double").alias("__srr"),
         dsum8(F.col("__x")).alias("__sx"),
         dsum8(F.col("__rn") * F.col("__x")).alias("__srx"),
     ).filter(F.col("__n") >= 3)

@@ -256,10 +256,14 @@ def main() -> None:
     errors: dict[str, str] = {}
     import gc
 
+    # the tracked comparable series takes min-of-3 (it's the
+    # cross-round signal and this box shows ±30% run-to-run noise on
+    # identical plans); the full sweep stays min-of-2 for wall-clock
+    n_runs = 3 if comparable_only else 2
     for key in available:
         best = float("inf")
         try:
-            for _ in range(2):
+            for _ in range(n_runs):
                 t0 = time.perf_counter()
                 force(qs[key](spark, bench_dir))
                 best = min(best, time.perf_counter() - t0)
@@ -314,7 +318,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "runs_per_query": 2,
+        "runs_per_query": n_runs,
         "aggregation": "min",
         "comparable_18q_isolated": isolated,
         "heavy8_isolated": heavy8,

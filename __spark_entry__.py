@@ -2468,6 +2468,20 @@ def _embedding_bq_recall(spark, sf_dir):
     return ann.bq_recall(emb, emb.filter("vec_id < 8"), k=5, dim=64)
 
 
+def _ann_two_stage(spark, sf_dir):
+    """Two-stage retrieval audit (ann.two_stage_recall): BQ Hamming
+    shortlist of 20, exact cosine rerank to k=5, recall of both
+    stages vs brute-force truth — the propose/dispose architecture
+    every production vector store runs."""
+    from fossil_spark.operators import ann
+    from fossil_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ann.two_stage_recall(
+        emb, emb.filter("vec_id < 8"), k=5, shortlist=20, dim=64,
+    )
+
+
 def _ts_flatline(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -2782,12 +2796,12 @@ def _text_idf_outliers(spark, sf_dir):
 # queries(). Round-10 rotation (VERDICT r9 "Next round" #1, amended
 # mid-round): the round-10 build added 18 brand-new keys that have
 # NEVER been driver-checked — never-checked debt outranks
-# stale-but-green, so those 24 take the head. The rest of the window
+# stale-but-green, so those 25 take the head. The rest of the window
 # refreshes the OLDEST signals per the verdict: all 22 keys whose
-# only PASS is round 3, then 4 of the 21-key fql_* compiler family
+# only PASS is round 3, then 3 of the 21-key fql_* compiler family
 # (only PASS r4; one shared compiler, so family coverage exercises
 # the shared-helper drift the rotation exists to catch). Displaced
-# r4-vintage keys (17 fql, the r4 TPC-H joins, shared-window ts
+# r4-vintage keys (18 fql, the r4 TPC-H joins, shared-window ts
 # keys, and the 16-key remainder) queue immediately below the fold
 # as the round-11 window head.
 _WINDOW_PRIORITY = [
@@ -2800,7 +2814,7 @@ _WINDOW_PRIORITY = [
     "ts_page_hinkley", "ts_permutation_entropy", "ts_adf",
     "ts_granger", "text_idf_outliers",
     "agg_srm", "agg_cuped", "agg_power", "ts_theta_forecast",
-    "ts_kalman", "pipeline_tokenizer_fertility",
+    "ts_kalman", "pipeline_tokenizer_fertility", "ann_two_stage",
     # --- r3-vintage (22 keys, last PASS CORRECTNESS_r03) ---
     "schema_validate", "store_list_topics", "tpch_q10", "tpch_q12",
     "ann_bruteforce", "ann_lsh", "dedup_components", "dedup_embedding",
@@ -2808,12 +2822,12 @@ _WINDOW_PRIORITY = [
     "text_chunk", "text_fingerprint", "text_langid", "text_pack",
     "text_quality", "text_repetition", "text_scrub_pii",
     "text_token_freq", "text_tokens", "multimodal_meta",
-    # --- r4-vintage fql compiler family head (4 of 21; the family
-    # shares one compiler, so coverage of these 4 exercises the
+    # --- r4-vintage fql compiler family head (3 of 21; the family
+    # shares one compiler, so coverage of these 3 exercises the
     # shared-helper drift the rotation exists to catch) ---
     "fql_all", "fql_kitchen_sink", "fql_map_composite",
-    "fql_mapreduce_avg",
     # --- round-11 window head: displaced r4-vintage keys ---
+    "fql_mapreduce_avg",
     "fql_sample_greedy", "fql_since", "fql_time_arith", "fql_topic_prefix", "fql_between",
     "fql_filter_mapped_tuple",
     "fql_before", "fql_builtin_minmax", "fql_composite_subscript",
@@ -3073,6 +3087,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_theta_forecast": _ts_theta_forecast,
         "ts_kalman": _ts_kalman,
         "pipeline_tokenizer_fertility": _pipeline_tokenizer_fertility,
+        "ann_two_stage": _ann_two_stage,
         "embedding_silhouette": _embedding_silhouette,
         "graph_kcore": _graph_kcore,
         "graph_jaccard": _graph_jaccard,
@@ -7633,6 +7648,63 @@ def oracle_sql() -> dict[str, str]:
         " round(min(CAST(n_hit AS DOUBLE) / n_true), 6)"
         "  AS min_query_recall"
         " FROM pq"
+    )
+    # Two-stage retrieval audit (ann.two_stage_recall): the bq CTE
+    # chain + a 20-candidate exact-cosine rerank, both stages scored
+    # against the brute-force truth
+    out["ann_two_stage"] = (
+        f"WITH gt AS ({out['ann_bruteforce']}),"
+        " e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb"
+        "  FROM embeddings),"
+        " dims AS (SELECT unnest(range(64)) AS d),"
+        " m AS (SELECT d, CAST(round(sum(CAST(emb[d + 1]"
+        "  AS DECIMAL(30,8))), 6) AS DOUBLE) / count(*) AS mu"
+        "  FROM e, dims GROUP BY d),"
+        " bits AS (SELECT vec_id, CAST(sum(CASE WHEN e.emb[m.d + 1]"
+        "  > m.mu THEN CASE WHEN m.d = 63 THEN"
+        "  CAST(-9223372036854775808 AS BIGINT)"
+        "  ELSE (1::BIGINT << m.d) END ELSE 0 END) AS BIGINT) AS sig"
+        "  FROM e, m GROUP BY 1),"
+        " cand AS (SELECT q.vec_id AS query_id, c.vec_id,"
+        "  bit_count(xor(q.sig, c.sig)) AS ham FROM bits q"
+        "  JOIN bits c ON c.vec_id != q.vec_id WHERE q.vec_id < 8),"
+        " rk AS (SELECT *, row_number() OVER (PARTITION BY query_id"
+        "  ORDER BY ham, vec_id) AS rank FROM cand),"
+        " t AS (SELECT query_id, vec_id FROM gt WHERE rank <= 5),"
+        " nt AS (SELECT query_id, count(*) AS n_true FROM t GROUP BY 1),"
+        " h1 AS (SELECT rk.query_id, count(*) AS n_hit FROM rk"
+        "  JOIN t USING (query_id, vec_id) WHERE rk.rank <= 5"
+        "  GROUP BY 1),"
+        " short AS (SELECT query_id, vec_id FROM rk WHERE rank <= 20),"
+        " rr AS (SELECT s.query_id, s.vec_id,"
+        "  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+        "   CAST(c.embedding AS DOUBLE[])), 6) AS cos FROM short s"
+        "  JOIN embeddings q ON q.vec_id = s.query_id"
+        "  JOIN embeddings c ON c.vec_id = s.vec_id),"
+        " rr2 AS (SELECT *, row_number() OVER (PARTITION BY query_id"
+        "  ORDER BY cos DESC, vec_id) AS rank FROM rr),"
+        " h2 AS (SELECT rr2.query_id, count(*) AS n_hit FROM rr2"
+        "  JOIN t USING (query_id, vec_id) WHERE rr2.rank <= 5"
+        "  GROUP BY 1),"
+        " p1 AS (SELECT nt.n_true, coalesce(h1.n_hit, 0) AS n_hit"
+        "  FROM nt LEFT JOIN h1 USING (query_id)),"
+        " p2 AS (SELECT nt.n_true, coalesce(h2.n_hit, 0) AS n_hit"
+        "  FROM nt LEFT JOIN h2 USING (query_id))"
+        " SELECT 'bq64' AS method,"
+        " CAST(count(*) AS BIGINT) AS n_queries,"
+        " CAST(sum(n_true) AS BIGINT) AS n_true,"
+        " CAST(sum(n_hit) AS BIGINT) AS n_hits,"
+        " round(CAST(sum(n_hit) AS DOUBLE) / sum(n_true), 6)"
+        "  AS recall_at_k,"
+        " round(min(CAST(n_hit AS DOUBLE) / n_true), 6)"
+        "  AS min_query_recall FROM p1"
+        " UNION ALL"
+        " SELECT 'bq64_rerank20',"
+        " CAST(count(*) AS BIGINT),"
+        " CAST(sum(n_true) AS BIGINT),"
+        " CAST(sum(n_hit) AS BIGINT),"
+        " round(CAST(sum(n_hit) AS DOUBLE) / sum(n_true), 6),"
+        " round(min(CAST(n_hit AS DOUBLE) / n_true), 6) FROM p2"
     )
     # Image near-dup groups: the phash-pairs oracle + the reach CTE
     out["multimodal_phash_groups"] = (

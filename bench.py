@@ -212,7 +212,7 @@ def main() -> None:
         "ts_page_hinkley", "ts_permutation_entropy", "ts_adf",
         "ts_granger", "text_idf_outliers",
         "agg_srm", "agg_cuped", "agg_power", "ts_theta_forecast",
-        "ts_kalman", "pipeline_tokenizer_fertility",
+        "ts_kalman", "pipeline_tokenizer_fertility", "ann_two_stage",
     ]
     qs = entrymod.queries()
     if comparable_only:

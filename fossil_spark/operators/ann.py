@@ -1516,6 +1516,30 @@ def bq_recall(
             f"vectors, slice (Matryoshka-style, like embedding_trunc_"
             f"recall) or pack multiple words."
         )
+    cand = _bq_candidates(corpus, queries, dim, id_col, vec_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__ham"), F.col(id_col)
+    )
+    ranked = cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    truth = cosine_topk(corpus, queries, k, id_col, vec_col)
+    return recall_eval(truth, {f"bq{dim}": ranked}, k)
+
+
+def _bq_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The shared BQ candidate pipeline (per-dim mean broadcast ->
+    sign-bit pack into one int64 -> Hamming scan): returns
+    (query_id, id_col, __ham). Factored so [[embedding_bq_recall]]
+    and [[ann_two_stage]] measure the IDENTICAL shortlist."""
     e = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
@@ -1555,7 +1579,7 @@ def bq_recall(
         .crossJoin(F.broadcast(means))
         .select(F.col("query_id"), sig_col().alias("__qsig"))
     )
-    cand = (
+    return (
         cb.crossJoin(F.broadcast(qb))
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
@@ -1566,16 +1590,77 @@ def bq_recall(
             ).alias("__ham"),
         )
     )
+
+
+def two_stage_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval audit — THE production vector-search
+    architecture (a cheap quantized index proposes, exact distances on
+    the shortlist dispose): binary-quantization Hamming shortlist of
+    size `shortlist`, exact cosine rerank to k, recall of BOTH stages
+    against brute-force truth side by side. The gap between the rows
+    is what the rerank buys; the gap to 1.0 is what a bigger
+    shortlist would buy — the two knobs a deployment actually tunes.
+
+    Scale shape: stage 1 is the bq_recall scan (ONE long per row, the
+    |queries|-bounded broadcast); stage 2 re-scores only
+    |queries| x shortlist rows — the corpus re-join is id-keyed and
+    AQE-broadcast, never a second full scan; truth is the documented
+    |probes| x corpus exact baseline. Returns two method rows from
+    [[ann_recall_eval]]'s exact integer hit counts."""
+    if shortlist < k:
+        raise ValueError(
+            f"shortlist ({shortlist}) must be >= k ({k}): the rerank"
+            " can only return what the shortlist proposes"
+        )
+    cand = _bq_candidates(corpus, queries, dim, id_col, vec_col)
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
         F.col("__ham"), F.col(id_col)
     )
-    ranked = cand.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    staged = cand.withColumn("rank", F.row_number().over(w))
+    bq_k = staged.filter(F.col("rank") <= k)
+    short = staged.filter(F.col("rank") <= shortlist).select(
+        "query_id", id_col
     )
+    cv = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    rescored = (
+        short.join(cv, id_col)
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    reranked = rescored.withColumn(
+        "rank", F.row_number().over(w2)
+    ).filter(F.col("rank") <= k)
     truth = cosine_topk(corpus, queries, k, id_col, vec_col)
-    return recall_eval(truth, {f"bq{dim}": ranked}, k)
+    return recall_eval(
+        truth,
+        {f"bq{dim}": bq_k, f"bq{dim}_rerank{shortlist}": reranked},
+        k,
+    )
 
 
 def recall_curve(

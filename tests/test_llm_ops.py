@@ -3185,3 +3185,42 @@ def test_tokenizer_fertility_merges_reduce(spark, docs):
     assert set(f0) == set(f5)
     for s in f0:
         assert f5[s] <= f0[s]
+
+
+# --- two-stage retrieval (BQ shortlist -> exact rerank) -----------------------
+
+def test_two_stage_rerank_dominates_bq(spark, emb):
+    from fossil_spark.operators.ann import bq_recall, two_stage_recall
+
+    probes = emb.filter("vec_id < 6")
+    out = {r["method"]: r for r in two_stage_recall(
+        emb, probes, k=5, shortlist=20).collect()}
+    assert set(out) == {"bq64", "bq64_rerank20"}
+    bq, rr = out["bq64"], out["bq64_rerank20"]
+    assert bq["n_true"] == rr["n_true"]
+    # the rerank can only improve on (or match) the raw BQ cut, and a
+    # shortlist of the whole corpus would be exact: recall <= 1
+    assert rr["recall_at_k"] >= bq["recall_at_k"]
+    assert rr["recall_at_k"] <= 1.0
+    # stage-1 row must equal the standalone bq_recall audit exactly
+    solo = bq_recall(emb, probes, k=5).collect()[0]
+    assert (solo["n_hits"], solo["recall_at_k"]) == (
+        bq["n_hits"], bq["recall_at_k"])
+
+
+def test_two_stage_full_shortlist_is_exact(spark, emb):
+    """shortlist = corpus size makes stage 2 brute force: recall 1."""
+    from fossil_spark.operators.ann import two_stage_recall
+
+    small = emb.filter("vec_id < 40")
+    out = {r["method"]: r for r in two_stage_recall(
+        small, small.filter("vec_id < 4"), k=3, shortlist=39).collect()}
+    assert out["bq64_rerank39"]["recall_at_k"] == 1.0
+    assert out["bq64_rerank39"]["min_query_recall"] == 1.0
+
+
+def test_two_stage_shortlist_smaller_than_k_rejected(spark, emb):
+    from fossil_spark.operators.ann import two_stage_recall
+
+    with pytest.raises(ValueError):
+        two_stage_recall(emb, emb.filter("vec_id < 2"), k=5, shortlist=3)

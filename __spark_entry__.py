@@ -141,6 +141,27 @@ _Q9_PROFIT = (
 _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
 
 
+_BQ_CTES = (
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb"
+    "  FROM embeddings),"
+    " dims AS (SELECT unnest(range(64)) AS d),"
+    " m AS (SELECT d, CAST(round(sum(CAST(emb[d + 1]"
+    "  AS DECIMAL(30,8))), 6) AS DOUBLE) / count(*) AS mu"
+    "  FROM e, dims GROUP BY d),"
+    " bits AS (SELECT vec_id, CAST(sum(CASE WHEN e.emb[m.d + 1]"
+    "  > m.mu THEN CASE WHEN m.d = 63 THEN"
+    "  CAST(-9223372036854775808 AS BIGINT)"
+    "  ELSE (1::BIGINT << m.d) END ELSE 0 END) AS BIGINT) AS sig"
+    "  FROM e, m GROUP BY 1),"
+    " cand AS (SELECT q.vec_id AS query_id, c.vec_id,"
+    "  bit_count(xor(q.sig, c.sig)) AS ham FROM bits q"
+    "  JOIN bits c ON c.vec_id != q.vec_id WHERE q.vec_id < 8),"
+    " rk AS (SELECT *, row_number() OVER (PARTITION BY query_id"
+    "  ORDER BY ham, vec_id) AS rank FROM cand),"
+    " t AS (SELECT query_id, vec_id FROM gt WHERE rank <= 5),"
+    " nt AS (SELECT query_id, count(*) AS n_true FROM t GROUP BY 1)"
+)
+
 def _bpe_ctes(n_merges: int) -> str:
     """Chained CTEs replaying text.bpe_train round-for-round: word
     frequencies (ASCII-guarded so the char split is engine-identical),
@@ -2805,7 +2826,7 @@ def _text_idf_outliers(spark, sf_dir):
 # keys, and the 16-key remainder) queue immediately below the fold
 # as the round-11 window head.
 _WINDOW_PRIORITY = [
-    # --- round-10 additions (18 keys, never driver-checked) ---
+    # --- round-10 additions (25 keys, never driver-checked) ---
     "ts_runs_test", "ts_variance_ratio", "ts_hurst",
     "agg_survival_km", "agg_price_elasticity", "embedding_silhouette",
     "graph_kcore", "graph_jaccard", "text_char_trigram_nll",
@@ -7616,24 +7637,7 @@ def oracle_sql() -> dict[str, str]:
     # Hamming ranking, recall vs the bruteforce truth
     out["embedding_bq_recall"] = (
         f"WITH gt AS ({out['ann_bruteforce']}),"
-        " e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb"
-        "  FROM embeddings),"
-        " dims AS (SELECT unnest(range(64)) AS d),"
-        " m AS (SELECT d, CAST(round(sum(CAST(emb[d + 1]"
-        "  AS DECIMAL(30,8))), 6) AS DOUBLE) / count(*) AS mu"
-        "  FROM e, dims GROUP BY d),"
-        " bits AS (SELECT vec_id, CAST(sum(CASE WHEN e.emb[m.d + 1]"
-        "  > m.mu THEN CASE WHEN m.d = 63 THEN"
-        "  CAST(-9223372036854775808 AS BIGINT)"
-        "  ELSE (1::BIGINT << m.d) END ELSE 0 END) AS BIGINT) AS sig"
-        "  FROM e, m GROUP BY 1),"
-        " cand AS (SELECT q.vec_id AS query_id, c.vec_id,"
-        "  bit_count(xor(q.sig, c.sig)) AS ham FROM bits q"
-        "  JOIN bits c ON c.vec_id != q.vec_id WHERE q.vec_id < 8),"
-        " rk AS (SELECT *, row_number() OVER (PARTITION BY query_id"
-        "  ORDER BY ham, vec_id) AS rank FROM cand),"
-        " t AS (SELECT query_id, vec_id FROM gt WHERE rank <= 5),"
-        " nt AS (SELECT query_id, count(*) AS n_true FROM t GROUP BY 1),"
+        f" {_BQ_CTES},"
         " h AS (SELECT rk.query_id, count(*) AS n_hit FROM rk"
         "  JOIN t USING (query_id, vec_id) WHERE rk.rank <= 5"
         "  GROUP BY 1),"
@@ -7654,24 +7658,7 @@ def oracle_sql() -> dict[str, str]:
     # against the brute-force truth
     out["ann_two_stage"] = (
         f"WITH gt AS ({out['ann_bruteforce']}),"
-        " e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb"
-        "  FROM embeddings),"
-        " dims AS (SELECT unnest(range(64)) AS d),"
-        " m AS (SELECT d, CAST(round(sum(CAST(emb[d + 1]"
-        "  AS DECIMAL(30,8))), 6) AS DOUBLE) / count(*) AS mu"
-        "  FROM e, dims GROUP BY d),"
-        " bits AS (SELECT vec_id, CAST(sum(CASE WHEN e.emb[m.d + 1]"
-        "  > m.mu THEN CASE WHEN m.d = 63 THEN"
-        "  CAST(-9223372036854775808 AS BIGINT)"
-        "  ELSE (1::BIGINT << m.d) END ELSE 0 END) AS BIGINT) AS sig"
-        "  FROM e, m GROUP BY 1),"
-        " cand AS (SELECT q.vec_id AS query_id, c.vec_id,"
-        "  bit_count(xor(q.sig, c.sig)) AS ham FROM bits q"
-        "  JOIN bits c ON c.vec_id != q.vec_id WHERE q.vec_id < 8),"
-        " rk AS (SELECT *, row_number() OVER (PARTITION BY query_id"
-        "  ORDER BY ham, vec_id) AS rank FROM cand),"
-        " t AS (SELECT query_id, vec_id FROM gt WHERE rank <= 5),"
-        " nt AS (SELECT query_id, count(*) AS n_true FROM t GROUP BY 1),"
+        f" {_BQ_CTES},"
         " h1 AS (SELECT rk.query_id, count(*) AS n_hit FROM rk"
         "  JOIN t USING (query_id, vec_id) WHERE rk.rank <= 5"
         "  GROUP BY 1),"
@@ -8898,7 +8885,7 @@ def oracle_sql() -> dict[str, str]:
         " row_number() OVER (PARTITION BY event_type ORDER BY ts,"
         "  event_id) rn,"
         " count(*) OVER (PARTITION BY event_type) n"
-        f" FROM {_EV} e0),"
+        f" FROM {_EV} e0 WHERE value IS NOT NULL),"
         " ols AS (SELECT event_type, count(*) AS n,"
         "  CAST(sum(rn) AS DOUBLE) AS sr,"
         "  CAST(sum(rn * rn) AS DOUBLE) AS srr,"

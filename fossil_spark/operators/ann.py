@@ -1509,13 +1509,6 @@ def bq_recall(
     [[ann_recall_eval]]'s exact integer hit counts. Returns
     (method='bq<dim>', n_queries, n_true, n_hits, recall_at_k,
     min_query_recall)."""
-    if not 1 <= dim <= 64:
-        raise ValueError(
-            f"bq_recall packs one sign bit per dimension into a single "
-            f"int64, so dim must be in [1, 64]; got {dim}. For wider "
-            f"vectors, slice (Matryoshka-style, like embedding_trunc_"
-            f"recall) or pack multiple words."
-        )
     cand = _bq_candidates(corpus, queries, dim, id_col, vec_col)
     from pyspark.sql import Window
 
@@ -1539,7 +1532,15 @@ def _bq_candidates(
     """The shared BQ candidate pipeline (per-dim mean broadcast ->
     sign-bit pack into one int64 -> Hamming scan): returns
     (query_id, id_col, __ham). Factored so [[embedding_bq_recall]]
-    and [[ann_two_stage]] measure the IDENTICAL shortlist."""
+    and [[ann_two_stage]] measure the IDENTICAL shortlist — the dim
+    guard lives here so BOTH callers reject unpackable widths."""
+    if not 1 <= dim <= 64:
+        raise ValueError(
+            f"binary quantization packs one sign bit per dimension into"
+            f" a single int64, so dim must be in [1, 64]; got {dim}. For"
+            f" wider vectors, slice (Matryoshka-style, like embedding_"
+            f"trunc_recall) or pack multiple words."
+        )
     e = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )

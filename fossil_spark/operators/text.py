@@ -2653,7 +2653,6 @@ def tokenizer_fertility(
     n_merges: int = 5,
     group_col: str = "source",
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Tokenizer fertility per source: BPE pieces per word — the
     tokenizer-efficiency audit multilingual pipelines run before

@@ -5937,7 +5937,7 @@ def theta_forecast(
     )
 
     by = by or []
-    df = _time_norm(df, time_col)
+    df = _time_norm(df, time_col).filter(F.col(value_col).isNotNull())
     w = Window.partitionBy(*by).orderBy(time_col, *(order_tiebreak or []))
     rows = df.select(
         *by,

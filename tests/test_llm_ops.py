@@ -3224,3 +3224,13 @@ def test_two_stage_shortlist_smaller_than_k_rejected(spark, emb):
 
     with pytest.raises(ValueError):
         two_stage_recall(emb, emb.filter("vec_id < 2"), k=5, shortlist=3)
+
+
+def test_bq_dim_guard_covers_both_callers(spark, emb):
+    from fossil_spark.operators.ann import bq_recall, two_stage_recall
+
+    probes = emb.filter("vec_id < 2")
+    with pytest.raises(ValueError):
+        bq_recall(emb, probes, dim=80)
+    with pytest.raises(ValueError):
+        two_stage_recall(emb, probes, dim=80)

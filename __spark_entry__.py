@@ -2489,6 +2489,17 @@ def _embedding_bq_recall(spark, sf_dir):
     return ann.bq_recall(emb, emb.filter("vec_id < 8"), k=5, dim=64)
 
 
+def _ts_sigma_clip(spark, sf_dir):
+    """Iterative 3-sigma clipping, 5 fixed rounds
+    (timeseries.sigma_clip): the astronomy-standard robust mean/std
+    per key after outlier convergence."""
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.sigma_clip(
+        _events(spark, sf_dir), 3.0, 5, "1 hour", "ts", ["event_type"],
+    )
+
+
 def _ann_two_stage(spark, sf_dir):
     """Two-stage retrieval audit (ann.two_stage_recall): BQ Hamming
     shortlist of 20, exact cosine rerank to k=5, recall of both
@@ -2817,16 +2828,16 @@ def _text_idf_outliers(spark, sf_dir):
 # queries(). Round-10 rotation (VERDICT r9 "Next round" #1, amended
 # mid-round): the round-10 build added 18 brand-new keys that have
 # NEVER been driver-checked — never-checked debt outranks
-# stale-but-green, so those 25 take the head. The rest of the window
+# stale-but-green, so those 26 take the head. The rest of the window
 # refreshes the OLDEST signals per the verdict: all 22 keys whose
-# only PASS is round 3, then 3 of the 21-key fql_* compiler family
+# only PASS is round 3, then 2 of the 21-key fql_* compiler family
 # (only PASS r4; one shared compiler, so family coverage exercises
 # the shared-helper drift the rotation exists to catch). Displaced
-# r4-vintage keys (18 fql, the r4 TPC-H joins, shared-window ts
+# r4-vintage keys (19 fql, the r4 TPC-H joins, shared-window ts
 # keys, and the 16-key remainder) queue immediately below the fold
 # as the round-11 window head.
 _WINDOW_PRIORITY = [
-    # --- round-10 additions (25 keys, never driver-checked) ---
+    # --- round-10 additions (26 keys, never driver-checked) ---
     "ts_runs_test", "ts_variance_ratio", "ts_hurst",
     "agg_survival_km", "agg_price_elasticity", "embedding_silhouette",
     "graph_kcore", "graph_jaccard", "text_char_trigram_nll",
@@ -2836,6 +2847,7 @@ _WINDOW_PRIORITY = [
     "ts_granger", "text_idf_outliers",
     "agg_srm", "agg_cuped", "agg_power", "ts_theta_forecast",
     "ts_kalman", "pipeline_tokenizer_fertility", "ann_two_stage",
+    "ts_sigma_clip",
     # --- r3-vintage (22 keys, last PASS CORRECTNESS_r03) ---
     "schema_validate", "store_list_topics", "tpch_q10", "tpch_q12",
     "ann_bruteforce", "ann_lsh", "dedup_components", "dedup_embedding",
@@ -2843,11 +2855,12 @@ _WINDOW_PRIORITY = [
     "text_chunk", "text_fingerprint", "text_langid", "text_pack",
     "text_quality", "text_repetition", "text_scrub_pii",
     "text_token_freq", "text_tokens", "multimodal_meta",
-    # --- r4-vintage fql compiler family head (3 of 21; the family
-    # shares one compiler, so coverage of these 3 exercises the
+    # --- r4-vintage fql compiler family head (2 of 21; the family
+    # shares one compiler, so coverage of these 2 exercises the
     # shared-helper drift the rotation exists to catch) ---
-    "fql_all", "fql_kitchen_sink", "fql_map_composite",
+    "fql_all", "fql_kitchen_sink",
     # --- round-11 window head: displaced r4-vintage keys ---
+    "fql_map_composite",
     "fql_mapreduce_avg",
     "fql_sample_greedy", "fql_since", "fql_time_arith", "fql_topic_prefix", "fql_between",
     "fql_filter_mapped_tuple",
@@ -3109,6 +3122,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_kalman": _ts_kalman,
         "pipeline_tokenizer_fertility": _pipeline_tokenizer_fertility,
         "ann_two_stage": _ann_two_stage,
+        "ts_sigma_clip": _ts_sigma_clip,
         "embedding_silhouette": _embedding_silhouette,
         "graph_kcore": _graph_kcore,
         "graph_jaccard": _graph_jaccard,
@@ -8876,6 +8890,60 @@ def oracle_sql() -> dict[str, str]:
         " round(ssb / (ssb + ssw), 6) AS eta_squared,"
         " round(ssb, 2) AS ss_between, round(ssw, 2) AS ss_within"
         " FROM s"
+    )
+    # Iterative sigma clipping (timeseries.sigma_clip): 5 chained
+    # window/filter rounds replaying the Spark plan round-for-round
+    def _clip_rounds(n: int) -> str:
+        ctes = [
+            "c0 AS (SELECT event_type, bucket, v FROM ("
+            "SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,"
+            " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+            "  / count(value) AS v"
+            f" FROM {_EV} e WHERE value IS NOT NULL GROUP BY 1, 2) z)"
+        ]
+        prev = "c0"
+        for i in range(1, n + 1):
+            ctes.append(
+                f"a{i} AS (SELECT event_type, bucket, v,"
+                " CAST(round(sum(CAST(v AS DECIMAL(30,8))) OVER wk, 4)"
+                "  AS DOUBLE) / count(v) OVER wk AS mu"
+                f" FROM {prev}"
+                " WINDOW wk AS (PARTITION BY event_type))"
+            )
+            ctes.append(
+                f"b{i} AS (SELECT event_type, bucket, v, mu,"
+                " sqrt(CAST(sum(CAST(round((v - mu) * (v - mu), 6)"
+                "  AS DECIMAL(30,6))) OVER wk AS DOUBLE)"
+                "  / count(v) OVER wk) AS sg"
+                f" FROM a{i} WINDOW wk AS (PARTITION BY event_type))"
+            )
+            ctes.append(
+                f"c{i} AS (SELECT event_type, bucket, v FROM b{i}"
+                " WHERE abs(v - mu) <= 3.0 * sg)"
+            )
+            prev = f"c{i}"
+        return ", ".join(ctes)
+
+    out["ts_sigma_clip"] = (
+        "WITH " + _clip_rounds(5) + ","
+        " fa AS (SELECT event_type, bucket, v,"
+        "  CAST(round(sum(CAST(v AS DECIMAL(30,8))) OVER wk, 4)"
+        "   AS DOUBLE) / count(v) OVER wk AS mu"
+        "  FROM c5 WINDOW wk AS (PARTITION BY event_type)),"
+        " fb AS (SELECT event_type, v, mu,"
+        "  sqrt(CAST(sum(CAST(round((v - mu) * (v - mu), 6)"
+        "   AS DECIMAL(30,6))) OVER wk AS DOUBLE)"
+        "   / count(v) OVER wk) AS sg"
+        "  FROM fa WINDOW wk AS (PARTITION BY event_type)),"
+        " fin AS (SELECT event_type, count(*) AS n_kept,"
+        "  round(max(mu), 6) AS clean_mean, round(max(sg), 6)"
+        "   AS clean_std FROM fb GROUP BY 1),"
+        " orig AS (SELECT event_type, CAST(count(*) AS BIGINT)"
+        "  AS n_buckets FROM c0 GROUP BY 1)"
+        " SELECT o.event_type, o.n_buckets,"
+        " CAST(o.n_buckets - f.n_kept AS BIGINT) AS n_clipped,"
+        " f.clean_mean, f.clean_std"
+        " FROM orig o JOIN fin f USING (event_type)"
     )
     # Theta-method forecast (timeseries.theta_forecast): closed-form
     # OLS theta lines + the SES fold replayed via a recursive CTE

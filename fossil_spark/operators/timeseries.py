@@ -6120,3 +6120,81 @@ def kalman_level(
         F.round("gain", 6).alias("gain"),
         F.round("innovation_rmse", 6).alias("innovation_rmse"),
     )
+
+def sigma_clip(
+    df: DataFrame,
+    n_sigma: float = 3.0,
+    rounds: int = 5,
+    every: str = "1 hour",
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Iterative sigma clipping per key (the astronomy-standard robust
+    estimator, e.g. astropy's sigma_clip): repeatedly drop buckets
+    more than `n_sigma` standard deviations from the SURVIVORS' mean,
+    for a FIXED `rounds` synchronous passes (monotone — the clipped
+    set only grows, so post-fixpoint rounds are no-ops on both
+    engines, the graph_kcore convention). One round of plain z-scores
+    lets a gross outlier inflate sigma and hide its siblings; the
+    iteration converges to the clean population, giving the robust
+    (mean, std) every threshold-based monitor upstream should use.
+
+    Shape: each round is two windows on the SAME key partitioning
+    (decimal mean, @6-quantized-term sigma — the cusum recipe) + a
+    filter; no joins, no Python, `rounds` is plan depth not data
+    passes over raw rows (bucket table only). A flatline key keeps
+    everything (|v - mu| = 0 <= 0). Returns one row per key:
+    (*by, n_buckets, n_clipped, clean_mean, clean_std)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    b = df.filter(F.col(value_col).isNotNull()).groupBy(
+        *by, F.window(F.col(time_col), every).start.alias("bucket")
+    ).agg(
+        (
+            F.round(F.sum(F.col(value_col).cast("decimal(30,8)")), 4)
+            .cast("double")
+            / F.count(value_col)
+        ).alias("__v")
+    )
+    wk = Window.partitionBy(*by)
+    orig = b.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets")
+    )
+
+    def stats(cur):
+        mu = (
+            F.round(F.sum(F.col("__v").cast("decimal(30,8)")).over(wk), 4)
+            .cast("double")
+            / F.count("__v").over(wk)
+        )
+        stepped = cur.select(*by, "bucket", "__v", mu.alias("__mu"))
+        term = F.round(
+            (F.col("__v") - F.col("__mu"))
+            * (F.col("__v") - F.col("__mu")),
+            6,
+        ).cast("decimal(30,6)")
+        sg = F.sqrt(
+            F.sum(term).over(wk).cast("double")
+            / F.count("__v").over(wk)
+        )
+        return stepped.select(*by, "bucket", "__v", "__mu", sg.alias("__sg"))
+
+    cur = b
+    for _ in range(rounds):
+        cur = stats(cur).filter(
+            F.abs(F.col("__v") - F.col("__mu"))
+            <= F.lit(float(n_sigma)) * F.col("__sg")
+        ).select(*by, "bucket", "__v")
+    final = stats(cur).groupBy(*by).agg(
+        F.count(F.lit(1)).cast("long").alias("__n_kept"),
+        F.round(F.max("__mu"), 6).alias("clean_mean"),
+        F.round(F.max("__sg"), 6).alias("clean_std"),
+    )
+    joined = orig.join(final, by) if by else orig.crossJoin(final)
+    return joined.select(
+        *by, "n_buckets",
+        (F.col("n_buckets") - F.col("__n_kept")).cast("long")
+        .alias("n_clipped"),
+        "clean_mean", "clean_std",
+    )

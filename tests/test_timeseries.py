@@ -2737,3 +2737,50 @@ def test_kalman_level_matches_python_replica(spark):
     # here just the structural facts
     assert out["/flat"]["level"] == 3.0
     assert out["/flat"]["innovation_rmse"] == 0.0
+
+
+def test_sigma_clip_iterative_catches_shadowed_outlier(spark):
+    """A gross outlier inflates round-1 sigma enough to shadow a
+    moderate one; the iteration must clip BOTH, and the clean stats
+    must match a Python replica of the same rounds."""
+    from datetime import datetime, timedelta
+
+    from fossil_spark.operators.timeseries import sigma_clip
+
+    t0 = datetime(2024, 1, 1)
+    base = [5.0, 5.2, 4.8, 5.1, 4.9, 5.0, 5.05, 4.95] * 5  # 40 pts
+    vals = base + [1000.0, 25.0]
+    rows = [(t0 + timedelta(hours=i), "/k", v) for i, v in enumerate(vals)]
+    rows += [(t0 + timedelta(hours=i), "/flat", 7.0) for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "time timestamp, topic string, value double")
+    out = {r["topic"]: r for r in sigma_clip(
+        df, n_sigma=3.0, rounds=5, every="1 hour", by=["topic"]).collect()}
+    r = out["/k"]
+    assert r["n_buckets"] == 42
+    assert r["n_clipped"] == 2  # the 1000 AND the shadowed 25
+    # clean stats ~ the base population
+    assert 4.9 < r["clean_mean"] < 5.1
+    assert r["clean_std"] < 0.2
+    # flatline: sigma 0, |v - mu| = 0 <= 0 keeps everything
+    assert out["/flat"]["n_clipped"] == 0
+    assert out["/flat"]["clean_mean"] == 7.0
+    assert out["/flat"]["clean_std"] == 0.0
+
+
+def test_sigma_clip_one_round_misses_shadowed(spark):
+    """Sanity on the iteration's value: with rounds=1 the shadowed
+    moderate outlier survives (sigma still inflated by the gross one
+    in the only pass)."""
+    from datetime import datetime, timedelta
+
+    from fossil_spark.operators.timeseries import sigma_clip
+
+    t0 = datetime(2024, 1, 1)
+    base = [5.0, 5.2, 4.8, 5.1, 4.9, 5.0, 5.05, 4.95] * 5
+    vals = base + [1000.0, 25.0]
+    rows = [(t0 + timedelta(hours=i), "/k", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "time timestamp, topic string, value double")
+    r = sigma_clip(df, rounds=1, every="1 hour", by=["topic"]).collect()[0]
+    assert r["n_clipped"] == 1

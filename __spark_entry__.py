@@ -4156,7 +4156,8 @@ def oracle_sql() -> dict[str, str]:
             "   AS DECIMAL(30,8))), 4) AS DOUBLE) AS nll"
             "  FROM tok JOIN tf USING (tok), tot GROUP BY 1)"
             " SELECT doc_id, n_tokens, nll,"
-            " round(nll / n_tokens, 6) AS avg_nll FROM d"
+            " floor(nll / n_tokens * 1000000.0 + 0.5) / 1000000.0"
+            "  AS avg_nll FROM d"
         ),
         # CUSUM changepoint per key: peak |standardized cumsum|,
         # earliest-time tie-break; decimal sums keep engines bitwise equal
@@ -4449,8 +4450,8 @@ def oracle_sql() -> dict[str, str]:
             " JOIN uni uc ON uc.tok = g.cur, tot)"
             " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,"
             " CAST(round(sum(CAST(-ln(p) AS DECIMAL(30,8))), 4) AS DOUBLE) AS nll,"
-            " round(CAST(round(sum(CAST(-ln(p) AS DECIMAL(30,8))), 4) AS DOUBLE)"
-            "  / count(*), 6) AS avg_nll"
+            " floor(CAST(round(sum(CAST(-ln(p) AS DECIMAL(30,8))), 4) AS DOUBLE)"
+            "  / count(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_nll"
             " FROM sc GROUP BY doc_id"
         ),
         # per-group fixed-k deterministic sample (WindowGroupLimit
@@ -5899,7 +5900,8 @@ def oracle_sql() -> dict[str, str]:
         " CAST(n_gaps AS BIGINT) AS n_gaps,"
         " CAST(mn AS BIGINT) AS min_gap_us,"
         " CAST(mx AS BIGINT) AS max_gap_us,"
-        " round(CAST(sm AS DOUBLE) / n_gaps, 6) AS mean_gap_us,"
+        " floor(CAST(sm AS DOUBLE) / n_gaps * 1000000.0 + 0.5)"
+        "  / 1000000.0 AS mean_gap_us,"
         " CAST(lo_v + hi_v AS DOUBLE) / 2.0 AS median_gap_us,"
         " CAST(p95 AS BIGINT) AS p95_gap_us,"
         " round(CAST(mx AS DOUBLE)"
@@ -6719,13 +6721,13 @@ def oracle_sql() -> dict[str, str]:
         " g AS (SELECT * FROM g0 WHERE g IS NOT NULL),"
         " a AS (SELECT event_type, count(*) AS n,"
         "  CAST(round(sum(CAST(g AS DECIMAL(38,6))), 6) AS DOUBLE) AS s1,"
-        "  CAST(round(sum(CAST(CAST(g AS DOUBLE) * CAST(g AS DOUBLE)"
-        "   AS DECIMAL(38,6))), 6) AS DOUBLE) AS s2"
+        "  CAST(sum(CAST(g AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0)))"
+        "   AS DOUBLE) AS s2"
         "  FROM g GROUP BY 1 HAVING count(*) >= 2)"
         " SELECT event_type, CAST(n AS BIGINT) AS n_gaps,"
         " floor(s1 / n * 1000000.0 + 0.5) / 1000000.0 AS mean_gap_us,"
-        " round(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)), 6)"
-        "  AS std_gap_us,"
+        " floor(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0))"
+        "  * 1000000.0 + 0.5) / 1000000.0 AS std_gap_us,"
         " round(CASE WHEN sqrt(greatest(s2 / n - (s1 / n) * (s1 / n),"
         "  0.0)) + s1 / n != 0 THEN"
         "  (sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) - s1 / n)"
@@ -8648,8 +8650,8 @@ def oracle_sql() -> dict[str, str]:
         "  FROM g JOIN tf USING (gr), tot)"
         " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,"
         " CAST(round(sum(CAST(t AS DECIMAL(30,8))), 4) AS DOUBLE) AS nll,"
-        " round(CAST(round(sum(CAST(t AS DECIMAL(30,8))), 4) AS DOUBLE)"
-        "  / count(*), 6) AS avg_nll"
+        " floor(CAST(round(sum(CAST(t AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "  / count(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_nll"
         " FROM sc GROUP BY 1"
     )
     # Kish ESS per source over the text_quality combined score

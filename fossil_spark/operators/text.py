@@ -270,7 +270,12 @@ def unigram_nll(
         id_col,
         "n_tokens",
         "nll",
-        F.round(F.col("nll") / F.col("n_tokens"), 6).alias("avg_nll"),
+        (
+            F.floor(
+                F.col("nll") / F.col("n_tokens") * F.lit(1e6) + F.lit(0.5)
+            ).cast("double")
+            / F.lit(1e6)
+        ).alias("avg_nll"),
     )
 
 
@@ -540,7 +545,15 @@ def bigram_nll(
     )
     return out.select(
         id_col, "n_bigrams", "nll",
-        F.round(F.col("nll") / F.col("n_bigrams"), 6).alias("avg_nll"),
+        # explicit half-up at 1e-6 (the kn_bigram convention): floor
+        # is exact on IEEE doubles, so a ratio landing on a rounding
+        # tie cannot diverge across engines (caught live at sf0.001)
+        (
+            F.floor(
+                F.col("nll") / F.col("n_bigrams") * F.lit(1e6) + F.lit(0.5)
+            ).cast("double")
+            / F.lit(1e6)
+        ).alias("avg_nll"),
     )
 
 
@@ -2528,7 +2541,12 @@ def char_trigram_nll(
         id_col,
         "n_trigrams",
         "nll",
-        F.round(F.col("nll") / F.col("n_trigrams"), 6).alias("avg_nll"),
+        (
+            F.floor(
+                F.col("nll") / F.col("n_trigrams") * F.lit(1e6) + F.lit(0.5)
+            ).cast("double")
+            / F.lit(1e6)
+        ).alias("avg_nll"),
     )
 
 

@@ -2134,9 +2134,16 @@ def cadence(
         "n_gaps",
         "min_gap_us",
         "max_gap_us",
-        F.round(F.col("__sum").cast("double") / F.col("n_gaps"), 6).alias(
-            "mean_gap_us"
-        ),
+        # half-up via exact-IEEE floor: at 1e10-microsecond gaps the
+        # @6 target sits BELOW the double's ulp and round(x, 6)
+        # diverges across engines (caught live at sf0.001); the
+        # floor form is deterministic at any magnitude
+        (
+            F.floor(
+                F.col("__sum").cast("double") / F.col("n_gaps")
+                * F.lit(1e6) + F.lit(0.5)
+            ).cast("double") / F.lit(1e6)
+        ).alias("mean_gap_us"),
         median.alias("median_gap_us"),
         "p95_gap_us",
         F.round(
@@ -3809,12 +3816,13 @@ def burstiness(
         F.round(F.sum(F.col("__g").cast("decimal(38,6)")), 6)
         .cast("double")
         .alias("__s1"),
-        F.round(
-            F.sum(
-                (F.col("__g").cast("double") * F.col("__g").cast("double"))
-                .cast("decimal(38,6)")
-            ),
-            6,
+        # the square stays in EXACT integer decimals: routing a
+        # 1e20-magnitude double product through a decimal cast
+        # diverged by engine (DuckDB rounds the cast in scaled-double
+        # space, Spark via exact BigDecimal — caught live at sf0.001)
+        F.sum(
+            F.col("__g").cast("decimal(19,0)")
+            * F.col("__g").cast("decimal(19,0)")
         )
         .cast("double")
         .alias("__s2"),
@@ -3830,7 +3838,7 @@ def burstiness(
         *by,
         "n_gaps",
         _r6(mu).alias("mean_gap_us"),
-        F.round(sd, 6).alias("std_gap_us"),
+        _r6(sd).alias("std_gap_us"),
         F.round(
             F.try_divide(sd - mu, sd + mu), 6
         ).alias("burstiness"),

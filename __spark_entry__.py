@@ -4156,8 +4156,9 @@ def oracle_sql() -> dict[str, str]:
             "   AS DECIMAL(30,8))), 4) AS DOUBLE) AS nll"
             "  FROM tok JOIN tf USING (tok), tot GROUP BY 1)"
             " SELECT doc_id, n_tokens, nll,"
-            " floor(nll / n_tokens * 1000000.0 + 0.5) / 1000000.0"
-            "  AS avg_nll FROM d"
+            " CASE WHEN abs(nll / n_tokens) < 9000000000000.0 THEN"
+            "  floor(nll / n_tokens * 1000000.0 + 0.5) / 1000000.0"
+            "  ELSE nll / n_tokens END AS avg_nll FROM d"
         ),
         # CUSUM changepoint per key: peak |standardized cumsum|,
         # earliest-time tie-break; decimal sums keep engines bitwise equal
@@ -4450,8 +4451,12 @@ def oracle_sql() -> dict[str, str]:
             " JOIN uni uc ON uc.tok = g.cur, tot)"
             " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,"
             " CAST(round(sum(CAST(-ln(p) AS DECIMAL(30,8))), 4) AS DOUBLE) AS nll,"
+            " CASE WHEN abs(CAST(round(sum(CAST(-ln(p) AS DECIMAL(30,8))),"
+            f"   4) AS DOUBLE) / count(*)) < 9000000000000.0 THEN"
             " floor(CAST(round(sum(CAST(-ln(p) AS DECIMAL(30,8))), 4) AS DOUBLE)"
-            "  / count(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_nll"
+            "  / count(*) * 1000000.0 + 0.5) / 1000000.0"
+            " ELSE CAST(round(sum(CAST(-ln(p) AS DECIMAL(30,8))), 4)"
+            "  AS DOUBLE) / count(*) END AS avg_nll"
             " FROM sc GROUP BY doc_id"
         ),
         # per-group fixed-k deterministic sample (WindowGroupLimit
@@ -5900,8 +5905,10 @@ def oracle_sql() -> dict[str, str]:
         " CAST(n_gaps AS BIGINT) AS n_gaps,"
         " CAST(mn AS BIGINT) AS min_gap_us,"
         " CAST(mx AS BIGINT) AS max_gap_us,"
-        " floor(CAST(sm AS DOUBLE) / n_gaps * 1000000.0 + 0.5)"
-        "  / 1000000.0 AS mean_gap_us,"
+        " CASE WHEN abs(CAST(sm AS DOUBLE) / n_gaps) < 9000000000000.0 THEN"
+        "  floor(CAST(sm AS DOUBLE) / n_gaps * 1000000.0 + 0.5)"
+        "  / 1000000.0 ELSE CAST(sm AS DOUBLE) / n_gaps END"
+        "  AS mean_gap_us,"
         " CAST(lo_v + hi_v AS DOUBLE) / 2.0 AS median_gap_us,"
         " CAST(p95 AS BIGINT) AS p95_gap_us,"
         " round(CAST(mx AS DOUBLE)"
@@ -5938,8 +5945,12 @@ def oracle_sql() -> dict[str, str]:
         "  AS nll,"
         # explicit half-up at 1e-6 (floor on IEEE doubles — cannot
         # diverge across engines on a tie the way round(x, 6) does)
+        " CASE WHEN abs(CAST(round(sum(CAST(-ln(p) AS DECIMAL(30,8))), 4)"
+        f"  AS DOUBLE) / count(*)) < 9000000000000.0 THEN"
         " CAST(floor(CAST(round(sum(CAST(-ln(p) AS DECIMAL(30,8))), 4)"
         "  AS DOUBLE) / count(*) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+        " ELSE CAST(round(sum(CAST(-ln(p) AS DECIMAL(30,8))), 4)"
+        "  AS DOUBLE) / count(*) END"
         "  AS avg_nll"
         " FROM sc GROUP BY doc_id"
     )
@@ -6725,9 +6736,15 @@ def oracle_sql() -> dict[str, str]:
         "   AS DOUBLE) AS s2"
         "  FROM g GROUP BY 1 HAVING count(*) >= 2)"
         " SELECT event_type, CAST(n AS BIGINT) AS n_gaps,"
-        " floor(s1 / n * 1000000.0 + 0.5) / 1000000.0 AS mean_gap_us,"
-        " floor(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0))"
-        "  * 1000000.0 + 0.5) / 1000000.0 AS std_gap_us,"
+        " CASE WHEN abs(s1 / n) < 9000000000000.0 THEN"
+        "  floor(s1 / n * 1000000.0 + 0.5) / 1000000.0"
+        "  ELSE s1 / n END AS mean_gap_us,"
+        " CASE WHEN sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0))"
+        "   < 9000000000000.0 THEN"
+        "  floor(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0))"
+        "   * 1000000.0 + 0.5) / 1000000.0"
+        "  ELSE sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) END"
+        "  AS std_gap_us,"
         " round(CASE WHEN sqrt(greatest(s2 / n - (s1 / n) * (s1 / n),"
         "  0.0)) + s1 / n != 0 THEN"
         "  (sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) - s1 / n)"
@@ -8650,8 +8667,12 @@ def oracle_sql() -> dict[str, str]:
         "  FROM g JOIN tf USING (gr), tot)"
         " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,"
         " CAST(round(sum(CAST(t AS DECIMAL(30,8))), 4) AS DOUBLE) AS nll,"
+        " CASE WHEN abs(CAST(round(sum(CAST(t AS DECIMAL(30,8))), 4)"
+        f"   AS DOUBLE) / count(*)) < 9000000000000.0 THEN"
         " floor(CAST(round(sum(CAST(t AS DECIMAL(30,8))), 4) AS DOUBLE)"
-        "  / count(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_nll"
+        "  / count(*) * 1000000.0 + 0.5) / 1000000.0"
+        " ELSE CAST(round(sum(CAST(t AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "  / count(*) END AS avg_nll"
         " FROM sc GROUP BY 1"
     )
     # Kish ESS per source over the text_quality combined score

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from fossil_spark.operators.timeseries import round6_half_up
+
 # Small, fixed stopword families for the language-ID heuristic.
 STOPWORDS = {
     "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
@@ -270,11 +272,8 @@ def unigram_nll(
         id_col,
         "n_tokens",
         "nll",
-        (
-            F.floor(
-                F.col("nll") / F.col("n_tokens") * F.lit(1e6) + F.lit(0.5)
-            ).cast("double")
-            / F.lit(1e6)
+        round6_half_up(
+            F.col("nll") / F.col("n_tokens")
         ).alias("avg_nll"),
     )
 
@@ -464,11 +463,8 @@ def kn_bigram_nll(
     # on a tie — caught by the dual-SF gate at sf0.1)
     return out.select(
         id_col, "n_bigrams", "nll",
-        (
-            F.floor(
-                F.col("nll") / F.col("n_bigrams") * F.lit(1e6) + F.lit(0.5)
-            ).cast("double")
-            / F.lit(1e6)
+        round6_half_up(
+            F.col("nll") / F.col("n_bigrams")
         ).alias("avg_nll"),
     )
 
@@ -548,11 +544,8 @@ def bigram_nll(
         # explicit half-up at 1e-6 (the kn_bigram convention): floor
         # is exact on IEEE doubles, so a ratio landing on a rounding
         # tie cannot diverge across engines (caught live at sf0.001)
-        (
-            F.floor(
-                F.col("nll") / F.col("n_bigrams") * F.lit(1e6) + F.lit(0.5)
-            ).cast("double")
-            / F.lit(1e6)
+        round6_half_up(
+            F.col("nll") / F.col("n_bigrams")
         ).alias("avg_nll"),
     )
 
@@ -2541,11 +2534,8 @@ def char_trigram_nll(
         id_col,
         "n_trigrams",
         "nll",
-        (
-            F.floor(
-                F.col("nll") / F.col("n_trigrams") * F.lit(1e6) + F.lit(0.5)
-            ).cast("double")
-            / F.lit(1e6)
+        round6_half_up(
+            F.col("nll") / F.col("n_trigrams")
         ).alias("avg_nll"),
     )
 

@@ -28,6 +28,23 @@ def _dec_avg(col: str) -> Column:
     )
 
 
+def round6_half_up(e: Column) -> Column:
+    """Half-up rounding at 1e-6 via exact-IEEE floor — deterministic
+    across engines at ANY magnitude, unlike round(x, 6) (Spark rounds
+    the exact binary value via BigDecimal, DuckDB rounds in scaled
+    double space; they diverge on ties and on values whose ulp
+    exceeds 1e-6 — both caught live at sf0.001). Spark's floor()
+    returns LONG and CLAMPS past 2^63, so magnitudes >= 9e12 (where a
+    1e-6 target is sub-ulp noise anyway) pass through unrounded — the
+    oracle side mirrors the same guard. Intended for non-negative
+    statistics (gaps, deviations, NLLs); the floor form rounds
+    half-toward-+inf, which equals half-up only for x >= 0."""
+    return F.when(
+        F.abs(e) < F.lit(9.0e12),
+        F.floor(e * F.lit(1e6) + F.lit(0.5)).cast("double") / F.lit(1e6),
+    ).otherwise(e)
+
+
 def _time_norm(df: DataFrame, *time_cols: str) -> DataFrame:
     """Tolerate TIMESTAMP_NTZ time columns: cast to TIMESTAMP (identity
     on the instant under the engine's UTC session timezone). Driver
@@ -2134,15 +2151,8 @@ def cadence(
         "n_gaps",
         "min_gap_us",
         "max_gap_us",
-        # half-up via exact-IEEE floor: at 1e10-microsecond gaps the
-        # @6 target sits BELOW the double's ulp and round(x, 6)
-        # diverges across engines (caught live at sf0.001); the
-        # floor form is deterministic at any magnitude
-        (
-            F.floor(
-                F.col("__sum").cast("double") / F.col("n_gaps")
-                * F.lit(1e6) + F.lit(0.5)
-            ).cast("double") / F.lit(1e6)
+        round6_half_up(
+            F.col("__sum").cast("double") / F.col("n_gaps")
         ).alias("mean_gap_us"),
         median.alias("median_gap_us"),
         "p95_gap_us",
@@ -3831,14 +3841,11 @@ def burstiness(
     var = F.col("__s2") / F.col("n_gaps") - mu * mu
     sd = F.sqrt(F.greatest(var, F.lit(0.0)))
 
-    def _r6(e):
-        return F.floor(e * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
-
     return agg.select(
         *by,
         "n_gaps",
-        _r6(mu).alias("mean_gap_us"),
-        _r6(sd).alias("std_gap_us"),
+        round6_half_up(mu).alias("mean_gap_us"),
+        round6_half_up(sd).alias("std_gap_us"),
         F.round(
             F.try_divide(sd - mu, sd + mu), 6
         ).alias("burstiness"),
@@ -5912,6 +5919,7 @@ def granger_lag1(
         direction(series_b, series_a, "a0", "al", "bl")
     )
 
+
 def theta_forecast(
     df: DataFrame,
     horizon: int = 5,
@@ -6030,6 +6038,7 @@ def theta_forecast(
         )
     return staged.groupBy(*by).applyInPandas(per_key, out_schema)
 
+
 def kalman_level(
     df: DataFrame,
     q_noise: float = 0.01,
@@ -6129,6 +6138,7 @@ def kalman_level(
         F.round("innovation_rmse", 6).alias("innovation_rmse"),
     )
 
+
 def sigma_clip(
     df: DataFrame,
     n_sigma: float = 3.0,
@@ -6199,10 +6209,19 @@ def sigma_clip(
         F.round(F.max("__mu"), 6).alias("clean_mean"),
         F.round(F.max("__sg"), 6).alias("clean_std"),
     )
-    joined = orig.join(final, by) if by else orig.crossJoin(final)
+    # LEFT join: with n_sigma < 1 a key CAN clip every bucket (the
+    # n_sigma >= 1 Chebyshev floor no longer applies) — report it as
+    # fully clipped with NULL clean stats, don't erase it (review
+    # finding)
+    if by:
+        joined = orig.join(final, by, "left")
+    else:
+        joined = orig.withColumn("__j", F.lit(1)).join(
+            final.withColumn("__j", F.lit(1)), "__j", "left"
+        ).drop("__j")
     return joined.select(
         *by, "n_buckets",
-        (F.col("n_buckets") - F.col("__n_kept")).cast("long")
-        .alias("n_clipped"),
+        (F.col("n_buckets") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+        .cast("long").alias("n_clipped"),
         "clean_mean", "clean_std",
     )

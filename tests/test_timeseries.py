@@ -2784,3 +2784,23 @@ def test_sigma_clip_one_round_misses_shadowed(spark):
         rows, "time timestamp, topic string, value double")
     r = sigma_clip(df, rounds=1, every="1 hour", by=["topic"]).collect()[0]
     assert r["n_clipped"] == 1
+
+
+def test_sigma_clip_fully_clipped_key_reported(spark):
+    """n_sigma < 1 can clip every bucket (no Chebyshev floor): the key
+    must surface as fully clipped with NULL clean stats, not vanish
+    (review regression: the old inner join erased it)."""
+    from datetime import datetime, timedelta
+
+    from fossil_spark.operators.timeseries import sigma_clip
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(t0, "/k", 1.0), (t0 + timedelta(hours=1), "/k", 3.0)]
+    df = spark.createDataFrame(
+        rows, "time timestamp, topic string, value double")
+    out = sigma_clip(df, n_sigma=0.5, rounds=3, every="1 hour",
+                     by=["topic"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_buckets"] == 2 and r["n_clipped"] == 2
+    assert r["clean_mean"] is None and r["clean_std"] is None

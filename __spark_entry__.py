@@ -2500,6 +2500,16 @@ def _ts_sigma_clip(spark, sf_dir):
     )
 
 
+def _ts_records(spark, sf_dir):
+    """Record statistics per key (timeseries.record_stats): running
+    record highs/lows vs the distribution-free iid expectation H_n."""
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.record_stats(
+        _events(spark, sf_dir), "1 hour", "ts", ["event_type"],
+    )
+
+
 def _ann_two_stage(spark, sf_dir):
     """Two-stage retrieval audit (ann.two_stage_recall): BQ Hamming
     shortlist of 20, exact cosine rerank to k=5, recall of both
@@ -2828,16 +2838,16 @@ def _text_idf_outliers(spark, sf_dir):
 # queries(). Round-10 rotation (VERDICT r9 "Next round" #1, amended
 # mid-round): the round-10 build added 18 brand-new keys that have
 # NEVER been driver-checked — never-checked debt outranks
-# stale-but-green, so those 26 take the head. The rest of the window
+# stale-but-green, so those 27 take the head. The rest of the window
 # refreshes the OLDEST signals per the verdict: all 22 keys whose
-# only PASS is round 3, then 2 of the 21-key fql_* compiler family
+# only PASS is round 3, then fql_all of the 21-key fql_* compiler family
 # (only PASS r4; one shared compiler, so family coverage exercises
 # the shared-helper drift the rotation exists to catch). Displaced
-# r4-vintage keys (19 fql, the r4 TPC-H joins, shared-window ts
+# r4-vintage keys (20 fql, the r4 TPC-H joins, shared-window ts
 # keys, and the 16-key remainder) queue immediately below the fold
 # as the round-11 window head.
 _WINDOW_PRIORITY = [
-    # --- round-10 additions (26 keys, never driver-checked) ---
+    # --- round-10 additions (27 keys, never driver-checked) ---
     "ts_runs_test", "ts_variance_ratio", "ts_hurst",
     "agg_survival_km", "agg_price_elasticity", "embedding_silhouette",
     "graph_kcore", "graph_jaccard", "text_char_trigram_nll",
@@ -2847,7 +2857,7 @@ _WINDOW_PRIORITY = [
     "ts_granger", "text_idf_outliers",
     "agg_srm", "agg_cuped", "agg_power", "ts_theta_forecast",
     "ts_kalman", "pipeline_tokenizer_fertility", "ann_two_stage",
-    "ts_sigma_clip",
+    "ts_sigma_clip", "ts_records",
     # --- r3-vintage (22 keys, last PASS CORRECTNESS_r03) ---
     "schema_validate", "store_list_topics", "tpch_q10", "tpch_q12",
     "ann_bruteforce", "ann_lsh", "dedup_components", "dedup_embedding",
@@ -2855,11 +2865,12 @@ _WINDOW_PRIORITY = [
     "text_chunk", "text_fingerprint", "text_langid", "text_pack",
     "text_quality", "text_repetition", "text_scrub_pii",
     "text_token_freq", "text_tokens", "multimodal_meta",
-    # --- r4-vintage fql compiler family head (2 of 21; the family
-    # shares one compiler, so coverage of these 2 exercises the
+    # --- r4-vintage fql compiler family head (1 of 21; the family
+    # shares one compiler, so fql_all exercises the
     # shared-helper drift the rotation exists to catch) ---
-    "fql_all", "fql_kitchen_sink",
+    "fql_all",
     # --- round-11 window head: displaced r4-vintage keys ---
+    "fql_kitchen_sink",
     "fql_map_composite",
     "fql_mapreduce_avg",
     "fql_sample_greedy", "fql_since", "fql_time_arith", "fql_topic_prefix", "fql_between",
@@ -3123,6 +3134,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_tokenizer_fertility": _pipeline_tokenizer_fertility,
         "ann_two_stage": _ann_two_stage,
         "ts_sigma_clip": _ts_sigma_clip,
+        "ts_records": _ts_records,
         "embedding_silhouette": _embedding_silhouette,
         "graph_kcore": _graph_kcore,
         "graph_jaccard": _graph_jaccard,
@@ -8967,6 +8979,33 @@ def oracle_sql() -> dict[str, str]:
         " CAST(o.n_buckets - f.n_kept AS BIGINT) AS n_clipped,"
         " f.clean_mean, f.clean_std"
         " FROM orig o JOIN fin f USING (event_type)"
+    )
+    # Record statistics (timeseries.record_stats): strict prefix-
+    # extreme records + H_n via the same ascending raw-double fold
+    out["ts_records"] = (
+        "WITH b AS (SELECT event_type,"
+        " time_bucket(INTERVAL 1 HOUR, ts) AS bucket,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "  / count(value) AS v"
+        f" FROM {_EV} e WHERE value IS NOT NULL GROUP BY 1, 2),"
+        " f AS (SELECT event_type,"
+        "  (max(v) OVER wp IS NULL OR v > max(v) OVER wp) AS hi,"
+        "  (min(v) OVER wp IS NULL OR v < min(v) OVER wp) AS lo FROM b"
+        "  WINDOW wp AS (PARTITION BY event_type ORDER BY bucket"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),"
+        " a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,"
+        "  CAST(sum(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS nh,"
+        "  CAST(sum(CASE WHEN lo THEN 1 ELSE 0 END) AS BIGINT) AS nl"
+        "  FROM f GROUP BY 1),"
+        " h AS (SELECT event_type, n, nh, nl,"
+        "  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        "   list_transform(generate_series(1, CAST(n AS INTEGER)),"
+        "    i -> 1.0 / CAST(i AS DOUBLE))), (acc, x) -> acc + x) AS hn"
+        "  FROM a)"
+        " SELECT event_type, n AS n_buckets, nh AS n_record_highs,"
+        " nl AS n_record_lows, round(hn, 6) AS expected_records,"
+        " round(CAST(nh AS DOUBLE) - hn, 6) AS high_excess,"
+        " round(CAST(nl AS DOUBLE) - hn, 6) AS low_excess FROM h"
     )
     # Theta-method forecast (timeseries.theta_forecast): closed-form
     # OLS theta lines + the SES fold replayed via a recursive CTE

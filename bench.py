@@ -213,7 +213,7 @@ def main() -> None:
         "ts_granger", "text_idf_outliers",
         "agg_srm", "agg_cuped", "agg_power", "ts_theta_forecast",
         "ts_kalman", "pipeline_tokenizer_fertility", "ann_two_stage",
-        "ts_sigma_clip",
+        "ts_sigma_clip", "ts_records",
     ]
     qs = entrymod.queries()
     if comparable_only:

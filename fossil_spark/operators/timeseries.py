@@ -6225,3 +6225,73 @@ def sigma_clip(
         .cast("long").alias("n_clipped"),
         "clean_mean", "clean_std",
     )
+
+
+def record_stats(
+    df: DataFrame,
+    every: str = "1 hour",
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Record statistics per key (classical record theory, Rényi
+    1962): count running record highs and lows over the bucket-mean
+    series and compare against the i.i.d. expectation — for an
+    exchangeable series the probability bucket i sets a record is
+    exactly 1/i, so E[#records] = H_n (the harmonic number),
+    DISTRIBUTION-FREE. A significant record-high excess is trend
+    evidence that needs no model at all — the zero-assumption
+    companion to [[ts_trend_robust]] (Mann-Kendall) and [[ts_adf]].
+
+    Shape: two prefix-extreme windows on ONE key sort (strict > / <,
+    so ties never count as records — both engines agree), integer
+    record counts, and H_n as a JVM fold over sequence(1, n) in raw
+    doubles (ascending order fixed on both engines — the
+    deterministic-fold rule, no quantizer needed). Returns (*by,
+    n_buckets, n_record_highs, n_record_lows, expected_records,
+    high_excess, low_excess)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    b = df.filter(F.col(value_col).isNotNull()).groupBy(
+        *by, F.window(F.col(time_col), every).start.alias("bucket")
+    ).agg(
+        (
+            F.round(F.sum(F.col(value_col).cast("decimal(30,8)")), 4)
+            .cast("double")
+            / F.count(value_col)
+        ).alias("__v")
+    )
+    pre = Window.partitionBy(*by).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    flagged = b.select(
+        *by,
+        (F.max("__v").over(pre).isNull()
+         | (F.col("__v") > F.max("__v").over(pre))).alias("__hi"),
+        (F.min("__v").over(pre).isNull()
+         | (F.col("__v") < F.min("__v").over(pre))).alias("__lo"),
+    )
+    agg = flagged.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.when(F.col("__hi"), 1).otherwise(0))
+        .cast("long").alias("n_record_highs"),
+        F.sum(F.when(F.col("__lo"), 1).otherwise(0))
+        .cast("long").alias("n_record_lows"),
+    )
+    # H_n as an ascending raw-double fold: the order is pinned by
+    # sequence() on both engines, so the sum is bit-deterministic
+    h_n = F.aggregate(
+        F.sequence(F.lit(1), F.col("n_buckets").cast("int")),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / i.cast("double"),
+    )
+    return agg.select(
+        *by, "n_buckets", "n_record_highs", "n_record_lows",
+        F.round(h_n, 6).alias("expected_records"),
+        F.round(
+            F.col("n_record_highs").cast("double") - h_n, 6
+        ).alias("high_excess"),
+        F.round(
+            F.col("n_record_lows").cast("double") - h_n, 6
+        ).alias("low_excess"),
+    )

@@ -2804,3 +2804,31 @@ def test_sigma_clip_fully_clipped_key_reported(spark):
     r = out[0]
     assert r["n_buckets"] == 2 and r["n_clipped"] == 2
     assert r["clean_mean"] is None and r["clean_std"] is None
+
+
+def test_record_stats_monotone_vs_alternating(spark):
+    """A strictly increasing series: EVERY bucket is a record high,
+    only the first a record low; an alternation of two values: 2
+    highs, 2 lows (strict comparisons — ties never count); H_n
+    matches the exact harmonic sum."""
+    from datetime import datetime, timedelta
+
+    from fossil_spark.operators.timeseries import record_stats
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(20):
+        rows.append((t0 + timedelta(hours=i), "/up", float(i)))
+        rows.append((t0 + timedelta(hours=i), "/alt", float(i % 2)))
+    df = spark.createDataFrame(
+        rows, "time timestamp, topic string, value double")
+    out = {r["topic"]: r for r in record_stats(
+        df, every="1 hour", by=["topic"]).collect()}
+    up = out["/up"]
+    assert up["n_record_highs"] == 20 and up["n_record_lows"] == 1
+    h20 = sum(1.0 / i for i in range(1, 21))
+    assert up["expected_records"] == pytest.approx(h20, abs=1e-6)
+    assert up["high_excess"] == pytest.approx(20 - h20, abs=1e-6)
+    alt = out["/alt"]
+    # 0,1,0,1...: records = first 0 (high+low) and first 1 (high)
+    assert alt["n_record_highs"] == 2 and alt["n_record_lows"] == 1

@@ -2835,19 +2835,41 @@ def _text_idf_outliers(spark, sf_dir):
 
 
 # The driver's correctness gate checks the FIRST ~50 keys of
-# queries(). Round-10 rotation (VERDICT r9 "Next round" #1, amended
-# mid-round): the round-10 build added 18 brand-new keys that have
-# NEVER been driver-checked — never-checked debt outranks
-# stale-but-green, so those 27 take the head. The rest of the window
-# refreshes the OLDEST signals per the verdict: all 22 keys whose
-# only PASS is round 3, then fql_all of the 21-key fql_* compiler family
-# (only PASS r4; one shared compiler, so family coverage exercises
-# the shared-helper drift the rotation exists to catch). Displaced
-# r4-vintage keys (20 fql, the r4 TPC-H joins, shared-window ts
-# keys, and the 16-key remainder) queue immediately below the fold
-# as the round-11 window head.
+# queries(). Round-11 rotation (VERDICT r10 rotation nit — "finish
+# it"): the r10 window's 27 new keys displaced the queued fql block,
+# leaving 43 keys whose latest driver PASS is still r4-vintage (20
+# fql_* compiler keys, tpch_q3/q5/q6/q14/q18, 11 shared-window ts
+# keys, agg_dau_exact/order_rollup/percentiles, json_props_analysis,
+# pipeline_curate, pipeline_semantic_dedup, win_running_revenue).
+# The r10 verdict queued exactly those 43 at the round-11 window
+# head — they lead, closing the rotation: after this round no key's
+# newest driver signal predates r10. Round-11 additions follow at
+# position 44+ (the first ~7 land inside the window; the rest are
+# locally dual-SF-gated and take the r12 head as never-checked
+# debt). Everything r10-fresh (the 27 additions, the 22 r3-refresh,
+# fql_all) drops below the fold as the newest signal in the registry.
 _WINDOW_PRIORITY = [
-    # --- round-10 additions (27 keys, never driver-checked) ---
+    # --- r4-vintage rotation close (43 keys, last PASS r4) ---
+    "fql_kitchen_sink", "fql_map_composite", "fql_mapreduce_avg",
+    "fql_sample_greedy", "fql_since", "fql_time_arith",
+    "fql_topic_prefix", "fql_between", "fql_filter_mapped_tuple",
+    "fql_before", "fql_builtin_minmax", "fql_composite_subscript",
+    "fql_filter", "fql_map", "fql_reduce_count", "fql_reduce_sum",
+    "fql_topic", "fql_pow", "fql_string_concat_filter",
+    "fql_string_len",
+    "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q14", "tpch_q18",
+    "ts_gapfill_linear", "ts_range_join", "ts_rate", "ts_session",
+    "ts_ewma", "ts_first_last", "ts_gapfill", "ts_ohlc",
+    "ts_rollup_cascade", "ts_sliding", "ts_topk",
+    "agg_dau_exact", "agg_order_rollup", "agg_percentiles",
+    "json_props_analysis", "win_running_revenue",
+    "pipeline_curate", "pipeline_semantic_dedup",
+    # --- round-11 additions (never driver-checked) ---
+    "agg_delta_ratio", "agg_bh_fdr", "agg_spearman",
+    "ts_cointegration", "ts_turning_points", "graph_assortativity",
+    "agg_poisson_boot",
+    # ---------------- below the fold ----------------
+    # r10 additions (27 keys, driver-green r10)
     "ts_runs_test", "ts_variance_ratio", "ts_hurst",
     "agg_survival_km", "agg_price_elasticity", "embedding_silhouette",
     "graph_kcore", "graph_jaccard", "text_char_trigram_nll",
@@ -2858,36 +2880,16 @@ _WINDOW_PRIORITY = [
     "agg_srm", "agg_cuped", "agg_power", "ts_theta_forecast",
     "ts_kalman", "pipeline_tokenizer_fertility", "ann_two_stage",
     "ts_sigma_clip", "ts_records",
-    # --- r3-vintage (22 keys, last PASS CORRECTNESS_r03) ---
+    # r3-vintage cohort, refreshed r10
     "schema_validate", "store_list_topics", "tpch_q10", "tpch_q12",
     "ann_bruteforce", "ann_lsh", "dedup_components", "dedup_embedding",
     "dedup_exact", "dedup_ngram", "dedup_simhash", "sample_hash_split",
     "text_chunk", "text_fingerprint", "text_langid", "text_pack",
     "text_quality", "text_repetition", "text_scrub_pii",
     "text_token_freq", "text_tokens", "multimodal_meta",
-    # --- r4-vintage fql compiler family head (1 of 21; the family
-    # shares one compiler, so fql_all exercises the
-    # shared-helper drift the rotation exists to catch) ---
+    # fql compiler-family head, refreshed r10
     "fql_all",
-    # --- round-11 window head: displaced r4-vintage keys ---
-    "fql_kitchen_sink",
-    "fql_map_composite",
-    "fql_mapreduce_avg",
-    "fql_sample_greedy", "fql_since", "fql_time_arith", "fql_topic_prefix", "fql_between",
-    "fql_filter_mapped_tuple",
-    "fql_before", "fql_builtin_minmax", "fql_composite_subscript",
-    "fql_filter", "fql_map", "fql_reduce_count", "fql_reduce_sum",
-    "fql_topic", "fql_pow", "fql_string_concat_filter",
-    "fql_string_len",
-    "tpch_q3", "tpch_q5", "tpch_q6",
-    "ts_gapfill_linear", "ts_range_join", "ts_rate", "ts_session",
-    # --- r4-vintage remainder (16 keys) ---
-    "ts_ewma", "ts_first_last", "ts_gapfill", "ts_ohlc",
-    "ts_rollup_cascade", "ts_sliding", "ts_topk", "agg_dau_exact",
-    "agg_order_rollup", "agg_percentiles", "json_props_analysis",
-    "win_running_revenue", "tpch_q14", "tpch_q18", "pipeline_curate",
-    "pipeline_semantic_dedup",
-    # --- canaries + newest keys (driver-green r9) behind the rotation ---
+    # canaries + r9-green keys
     "tpch_q1", "fql_sample",
     "streaming_anomaly_replay", "streaming_hh_replay",
     "streaming_psi_replay", "streaming_rollup_replay",
@@ -8976,9 +8978,10 @@ def oracle_sql() -> dict[str, str]:
         " orig AS (SELECT event_type, CAST(count(*) AS BIGINT)"
         "  AS n_buckets FROM c0 GROUP BY 1)"
         " SELECT o.event_type, o.n_buckets,"
-        " CAST(o.n_buckets - f.n_kept AS BIGINT) AS n_clipped,"
+        " CAST(o.n_buckets - coalesce(f.n_kept, 0) AS BIGINT)"
+        "  AS n_clipped,"
         " f.clean_mean, f.clean_std"
-        " FROM orig o JOIN fin f USING (event_type)"
+        " FROM orig o LEFT JOIN fin f USING (event_type)"
     )
     # Record statistics (timeseries.record_stats): strict prefix-
     # extreme records + H_n via the same ascending raw-double fold
@@ -9104,8 +9107,8 @@ def oracle_sql() -> dict[str, str]:
     # IEEE moment algebra; 2-row double sums are single adds
     # (commutative), so no quantizer needed at the combine
     out["agg_cuped"] = (
-        "WITH m AS (SELECT CAST(floor((min(epoch_us(ts))"
-        f"  + max(epoch_us(ts))) / 2.0) AS BIGINT) AS mid FROM {_EV} e),"
+        "WITH m AS (SELECT (min(epoch_us(ts))"
+        f"  + max(epoch_us(ts))) // 2 AS mid FROM {_EV} e),"
         " pu AS (SELECT user_id,"
         "  coalesce(CAST(round(sum(CASE WHEN epoch_us(ts) <"
         "   (SELECT mid FROM m) THEN CAST(value AS DECIMAL(30,8)) END),"

@@ -535,14 +535,8 @@ def ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("__conv")
     )
-    variant = (
-        F.conv(F.substring(F.md5(F.concat(F.lit("ab:"),
-                                          F.col("user_id").cast("string"))),
-                           1, 8), 16, 10)
-        .cast("long") % 2
-    )
     tagged = per_user.select(
-        variant.alias("__v"), F.col("__conv")
+        _ab_variant().alias("__v"), F.col("__conv")
     )
     agg = tagged.agg(
         F.sum(F.when(F.col("__v") == 0, 1).otherwise(0))
@@ -1715,8 +1709,10 @@ def cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     y' = y - theta (x - mean x), theta = cov(x, y)/var(x), and
     report the adjusted treatment effect next to the raw one plus the
     variance reduction (= corr^2). Pre/post split at the dataset's
-    time midpoint ((min+max)/2 on microseconds, a 1-row broadcast —
-    exact integer arithmetic, robust to any scale factor's calendar).
+    time midpoint ((min+max) div 2 on microseconds, a 1-row broadcast
+    — true integer division on both engines (epoch sums are
+    non-negative so trunc-div and floor-div agree), robust to any
+    scale factor's calendar).
 
     Everything reduces to per-variant moment sums: one user groupBy
     (conditional pre/post decimal value sums), one 2-row variant
@@ -1727,8 +1723,9 @@ def cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_reduction)."""
     ev = read_table(spark, sf_dir, "events")
     mid = ev.agg(
-        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")))
-         / F.lit(2)).cast("long").alias("__mid")
+        F.expr(
+            "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
+        ).alias("__mid")
     )
     per_user = ev.crossJoin(F.broadcast(mid)).groupBy("user_id").agg(
         F.round(

@@ -2705,6 +2705,40 @@ def _graph_jaccard(spark, sf_dir):
     )
 
 
+def _graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the minhash near-dup graph
+    (graph.assortativity, Newman 2002): do template-family hubs link
+    to hubs (r > 0) or to one-off spokes (r < 0)?"""
+    from fossil_spark.operators import dedup, graph
+
+    return graph.assortativity(
+        dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+    )
+
+
+def _ts_turning_points(spark, sf_dir):
+    """Turning-point randomness test per event type
+    (timeseries.turning_points): local peak/trough count vs the
+    distribution-free 2(n-2)/3 i.i.d. expectation — the curvature
+    leg of the randomness tripod with ts_runs_test and ts_records."""
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.turning_points(
+        _events(spark, sf_dir), time_col="ts", by=["event_type"]
+    )
+
+
+def _ts_cointegration(spark, sf_dir):
+    """Engle-Granger cointegration over every event-type pair
+    (timeseries.cointegration): OLS spread + Dickey-Fuller on the
+    residual — which streams share a common stochastic trend."""
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.cointegration(
+        _events(spark, sf_dir), time_col="ts", key_col="event_type"
+    )
+
+
 def _embedding_silhouette(spark, sf_dir):
     """Simplified (centroid) silhouette per label class (ann.
     silhouette, Rousseeuw 1987): a = distance to own centroid, b =
@@ -3137,6 +3171,14 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_two_stage": _ann_two_stage,
         "ts_sigma_clip": _ts_sigma_clip,
         "ts_records": _ts_records,
+        # --- round-11 additions ---
+        "agg_spearman": _analytics("spearman_activity"),
+        "agg_delta_ratio": _analytics("delta_ratio"),
+        "agg_bh_fdr": _analytics("bh_fdr"),
+        "agg_poisson_boot": _analytics("poisson_bootstrap"),
+        "ts_turning_points": _ts_turning_points,
+        "ts_cointegration": _ts_cointegration,
+        "graph_assortativity": _graph_assortativity,
         "embedding_silhouette": _embedding_silhouette,
         "graph_kcore": _graph_kcore,
         "graph_jaccard": _graph_jaccard,
@@ -9009,6 +9051,291 @@ def oracle_sql() -> dict[str, str]:
         " nl AS n_record_lows, round(hn, 6) AS expected_records,"
         " round(CAST(nh AS DOUBLE) - hn, 6) AS high_excess,"
         " round(CAST(nl AS DOUBLE) - hn, 6) AS low_excess FROM h"
+    )
+    # --- round-11 additions -------------------------------------------
+    # Spearman rank correlation (analytics.spearman_activity):
+    # doubled midranks are exact integers (2 RANK() + ties - 2),
+    # all moments exact int128/decimal(38,0), one fixed-order double
+    # correlation at the end -- no quantizers anywhere
+    out["agg_spearman"] = (
+        "WITH b AS (SELECT event_type,"
+        " time_bucket(INTERVAL 1 HOUR, ts) AS bucket,"
+        " CAST(count(*) AS BIGINT) AS n,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "  / count(value) AS v"
+        f" FROM {_EV} e WHERE value IS NOT NULL GROUP BY 1, 2),"
+        " r AS (SELECT event_type,"
+        "  2 * rank() OVER (PARTITION BY event_type ORDER BY n)"
+        "   + count(*) OVER (PARTITION BY event_type, n) - 2 AS rx,"
+        "  2 * rank() OVER (PARTITION BY event_type ORDER BY v)"
+        "   + count(*) OVER (PARTITION BY event_type, v) - 2 AS ry"
+        "  FROM b),"
+        " m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nb,"
+        "  sum(CAST(rx AS HUGEINT)) AS sx, sum(CAST(ry AS HUGEINT)) AS sy,"
+        "  sum(CAST(rx AS HUGEINT) * ry) AS sxy,"
+        "  sum(CAST(rx AS HUGEINT) * rx) AS sxx,"
+        "  sum(CAST(ry AS HUGEINT) * ry) AS syy"
+        "  FROM r GROUP BY 1),"
+        " c AS (SELECT event_type, nb,"
+        "  CAST(nb * sxy - sx * sy AS DOUBLE) AS num,"
+        "  CAST(nb * sxx - sx * sx AS DOUBLE) AS dx,"
+        "  CAST(nb * syy - sy * sy AS DOUBLE) AS dy FROM m),"
+        " f AS (SELECT event_type, nb, CASE WHEN dx > 0 AND dy > 0"
+        "  THEN num / sqrt(dx * dy) END AS rho FROM c)"
+        " SELECT event_type, nb AS n_buckets,"
+        " round(rho, 6) AS spearman_rho,"
+        " round(CASE WHEN nb >= 4 AND rho IS NOT NULL"
+        "  AND rho * rho < 1.0 THEN rho * sqrt((CAST(nb AS DOUBLE) - 2.0)"
+        "  / (1.0 - rho * rho)) END, 6) AS t_stat FROM f"
+    )
+    # Delta-method ratio z-test (analytics.delta_ratio): 2-row
+    # per-variant ratio joined back, centered user-level residual
+    # moments (@6 quantized), fixed-order linearized variance
+    out["agg_delta_ratio"] = (
+        "WITH u AS (SELECT user_id,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 8) AS DOUBLE)"
+        "  AS s, CAST(count(value) AS BIGINT) AS n"
+        f" FROM {_EV} e GROUP BY 1),"
+        " t AS (SELECT ('0x' || substr(md5('ab:' || user_id::VARCHAR),"
+        "  1, 8))::BIGINT % 2 AS v, s, n FROM u),"
+        " g AS (SELECT v, CAST(count(*) AS BIGINT) AS uc,"
+        "  CAST(round(sum(CAST(round(s, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS ss,"
+        "  CAST(sum(n) AS BIGINT) AS sn FROM t GROUP BY 1),"
+        " gr AS (SELECT v, uc, sn, ss / CAST(sn AS DOUBLE) AS r FROM g),"
+        " d AS (SELECT t.v,"
+        "  round(s - r * CAST(n AS DOUBLE), 6) AS dd"
+        "  FROM t JOIN gr ON gr.v = t.v),"
+        " g2 AS (SELECT v, CAST(round(sum(CAST(round(dd * dd, 6)"
+        "  AS DECIMAL(30,6))), 6) AS DOUBLE) AS sd2 FROM d GROUP BY 1),"
+        " p AS (SELECT"
+        "  max(CASE WHEN v = 0 THEN uc END) AS n_users_a,"
+        "  max(CASE WHEN v = 1 THEN uc END) AS n_users_b,"
+        "  max(CASE WHEN v = 0 THEN r END) AS ra,"
+        "  max(CASE WHEN v = 1 THEN r END) AS rb,"
+        "  max(CASE WHEN v = 0 THEN sd2 END) AS da,"
+        "  max(CASE WHEN v = 1 THEN sd2 END) AS db,"
+        "  max(CASE WHEN v = 0 THEN sn END) AS na,"
+        "  max(CASE WHEN v = 1 THEN sn END) AS nb"
+        "  FROM gr JOIN g2 USING (v)),"
+        " e AS (SELECT n_users_a, n_users_b, ra, rb,"
+        "  CAST(n_users_a AS DOUBLE) / (CAST(n_users_a AS DOUBLE) - 1.0)"
+        "   * (da / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE))) AS va,"
+        "  CAST(n_users_b AS DOUBLE) / (CAST(n_users_b AS DOUBLE) - 1.0)"
+        "   * (db / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE))) AS vb"
+        "  FROM p)"
+        " SELECT n_users_a, n_users_b,"
+        " round(ra, 6) AS ratio_a, round(rb, 6) AS ratio_b,"
+        " round(rb - ra, 6) AS diff,"
+        " round((rb - ra) / sqrt(greatest(va + vb, 0.0)), 6) AS z_score,"
+        " abs((rb - ra) / sqrt(greatest(va + vb, 0.0))) >= 1.959964"
+        "  AS significant_95 FROM e"
+    )
+    # Benjamini-Hochberg step-up (analytics.bh_fdr): the welch
+    # skeleton per event_type, A-S 26.2.17 normal p (one exp(), the
+    # agg_survival_km precedent), rank + suffix-cummin windows
+    out["agg_bh_fdr"] = (
+        "WITH u AS (SELECT event_type, user_id,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 8) AS DOUBLE)"
+        f"  AS m FROM {_EV} e GROUP BY 1, 2),"
+        " t AS (SELECT event_type,"
+        "  ('0x' || substr(md5('ab:' || user_id::VARCHAR), 1, 8))::BIGINT"
+        "   % 2 AS v, m FROM u),"
+        " a AS (SELECT event_type,"
+        "  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,"
+        "  CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,"
+        "  CAST(round(sum(CASE WHEN v = 0 THEN"
+        "   CAST(round(m, 8) AS DECIMAL(30,8)) END), 8) AS DOUBLE) AS sa,"
+        "  CAST(round(sum(CASE WHEN v = 1 THEN"
+        "   CAST(round(m, 8) AS DECIMAL(30,8)) END), 8) AS DOUBLE) AS sb,"
+        "  CAST(round(sum(CASE WHEN v = 0 THEN"
+        "   CAST(round(m * m, 8) AS DECIMAL(30,8)) END), 8) AS DOUBLE)"
+        "   AS qa,"
+        "  CAST(round(sum(CASE WHEN v = 1 THEN"
+        "   CAST(round(m * m, 8) AS DECIMAL(30,8)) END), 8) AS DOUBLE)"
+        "   AS qb FROM t GROUP BY 1),"
+        " s AS (SELECT event_type, n_a, n_b, sa, sb, qa, qb,"
+        "  CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb FROM a),"
+        " e AS (SELECT event_type, n_a, n_b,"
+        "  (sb / nb - sa / na) / sqrt(greatest("
+        "   (qa - sa * sa / na) / (na - 1) / na"
+        "   + (qb - sb * sb / nb) / (nb - 1) / nb, 0.0)) AS t FROM s),"
+        " pp AS (SELECT event_type, n_a, n_b, t,"
+        "  1.0 / (1.0 + 0.2316419 * abs(t)) AS k FROM e),"
+        " pv AS (SELECT event_type, n_a, n_b, t,"
+        "  least(2.0 * (exp(-0.5 * abs(t) * abs(t))"
+        "   * 0.3989422804014327)"
+        "   * (k * (0.319381530 + k * (-0.356563782 + k * (1.781477937"
+        "   + k * (-1.821255978 + k * 1.330274429))))), 1.0) AS p"
+        "  FROM pp WHERE t IS NOT NULL),"
+        " ranked AS (SELECT event_type, n_a, n_b,"
+        "  round(t, 6) AS t_stat, p,"
+        "  CAST(row_number() OVER (ORDER BY p, event_type) AS BIGINT)"
+        "   AS bh_rank,"
+        "  CAST(count(*) OVER () AS DOUBLE) AS mm FROM pv),"
+        " adj AS (SELECT event_type, n_a, n_b, t_stat, p, bh_rank,"
+        "  least(min(p * mm / CAST(bh_rank AS DOUBLE))"
+        "   OVER (ORDER BY p DESC, event_type DESC"
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0)"
+        "   AS pa FROM ranked)"
+        " SELECT event_type, n_a, n_b, t_stat,"
+        " round(p, 6) AS p_value, bh_rank, round(pa, 6) AS p_adj,"
+        " pa <= 0.05 AS rejected_fdr05 FROM adj"
+    )
+    # Poisson bootstrap (analytics.poisson_bootstrap): deterministic
+    # md5 uniforms (13 nibbles / 2^52), exact Poisson(1) CDF literals,
+    # replicate means as @8 decimal sums, CI = order stats 2 and 39
+    out["agg_poisson_boot"] = (
+        "WITH u AS (SELECT user_id,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 8) AS DOUBLE)"
+        f"  AS x FROM {_EV} e GROUP BY 1),"
+        " rep AS (SELECT user_id, x,"
+        "  unnest(generate_series(1, 40)) AS b FROM u),"
+        " uu AS (SELECT b, x,"
+        "  ('0x' || substr(md5('pb:' || user_id::VARCHAR || ':'"
+        "   || b::VARCHAR), 1, 13))::BIGINT::DOUBLE"
+        "   / 4503599627370496.0 AS u01 FROM rep),"
+        " wt AS (SELECT b, x, CASE"
+        "  WHEN u01 < 0.36787944117144233 THEN 0"
+        "  WHEN u01 < 0.7357588823428847 THEN 1"
+        "  WHEN u01 < 0.9196986029286058 THEN 2"
+        "  WHEN u01 < 0.9810118431238463 THEN 3"
+        "  WHEN u01 < 0.9963401531726563 THEN 4"
+        "  WHEN u01 < 0.9994058151824183 THEN 5"
+        "  ELSE 6 END AS w FROM uu),"
+        " pr AS (SELECT b, CAST(sum(w) AS BIGINT) AS nw,"
+        "  CAST(round(sum(CAST(round(x * CAST(w AS DOUBLE), 8)"
+        "   AS DECIMAL(30,8))), 8) AS DOUBLE) AS sx FROM wt GROUP BY 1),"
+        " pm AS (SELECT b, sx / CAST(nw AS DOUBLE) AS mean FROM pr),"
+        " od AS (SELECT mean,"
+        "  row_number() OVER (ORDER BY mean, b) AS rn FROM pm),"
+        " st AS (SELECT CAST(count(*) AS BIGINT) AS n_boot,"
+        "  CAST(round(sum(CAST(round(mean, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS sm,"
+        "  CAST(round(sum(CAST(round(mean * mean, 8)"
+        "   AS DECIMAL(30,8))), 8) AS DOUBLE) AS sq,"
+        "  max(CASE WHEN rn = 2 THEN mean END) AS lo,"
+        "  max(CASE WHEN rn = 39 THEN mean END) AS hi FROM od),"
+        " ba AS (SELECT CAST(count(*) AS BIGINT) AS n_users,"
+        "  round(CAST(round(sum(CAST(round(x, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS point_mean"
+        "  FROM u)"
+        " SELECT n_users, n_boot, point_mean,"
+        " round(sqrt(greatest((sq - sm * sm / CAST(n_boot AS DOUBLE))"
+        "  / (CAST(n_boot AS DOUBLE) - 1.0), 0.0)), 6) AS boot_se,"
+        " round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi FROM ba, st"
+    )
+    # Turning-point test (timeseries.turning_points): strict
+    # peak/trough lag/lead flags on @4 bucket means, integer counts,
+    # closed-form fixed-order mu/sigma/z
+    out["ts_turning_points"] = (
+        "WITH b AS (SELECT event_type,"
+        " time_bucket(INTERVAL 1 HOUR, ts) AS bucket,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "  / count(value) AS v"
+        f" FROM {_EV} e WHERE value IS NOT NULL GROUP BY 1, 2),"
+        " f AS (SELECT event_type, CASE WHEN"
+        "  lag(v) OVER w IS NOT NULL AND lead(v) OVER w IS NOT NULL"
+        "  AND ((v > lag(v) OVER w AND v > lead(v) OVER w)"
+        "   OR (v < lag(v) OVER w AND v < lead(v) OVER w))"
+        "  THEN 1 ELSE 0 END AS turn FROM b"
+        "  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),"
+        " a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,"
+        "  CAST(sum(turn) AS BIGINT) AS t FROM f GROUP BY 1)"
+        " SELECT event_type, n AS n_buckets, t AS n_turning,"
+        " round(2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0, 6)"
+        "  AS expected_turning,"
+        " round((CAST(t AS DOUBLE)"
+        "  - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)"
+        "  / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0), 6)"
+        "  AS z_stat,"
+        " abs((CAST(t AS DOUBLE)"
+        "  - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)"
+        "  / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0)) < 1.959964"
+        "  AS iid_consistent_95"
+        " FROM a WHERE n >= 3"
+    )
+    # Engle-Granger cointegration (timeseries.cointegration):
+    # bucket-aligned pair self-join, centered @6 OLS moments (the
+    # anova recipe), DF regression on the @6 residual + lag
+    out["ts_cointegration"] = (
+        "WITH b AS (SELECT event_type,"
+        " time_bucket(INTERVAL 1 HOUR, ts) AS bucket,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "  / count(value) AS v"
+        f" FROM {_EV} e WHERE value IS NOT NULL GROUP BY 1, 2),"
+        " p AS (SELECT x.event_type AS key_x, y.event_type AS key_y,"
+        "  x.bucket AS bucket, x.v AS xv, y.v AS yv FROM b x JOIN b y"
+        "  ON x.bucket = y.bucket AND x.event_type < y.event_type),"
+        " w1 AS (SELECT key_x, key_y, bucket, xv, yv,"
+        "  round(CAST(sum(CAST(xv AS DECIMAL(30,8))) OVER wk AS DOUBLE)"
+        "   / count(xv) OVER wk, 6) AS mx,"
+        "  round(CAST(sum(CAST(yv AS DECIMAL(30,8))) OVER wk AS DOUBLE)"
+        "   / count(yv) OVER wk, 6) AS my FROM p"
+        "  WINDOW wk AS (PARTITION BY key_x, key_y)),"
+        " o AS (SELECT key_x, key_y, CAST(count(*) AS BIGINT)"
+        "  AS n_buckets, max(mx) AS mx, max(my) AS my,"
+        "  CAST(sum(CAST(round((xv - mx) * (xv - mx), 6)"
+        "   AS DECIMAL(30,6))) AS DOUBLE) AS sxx,"
+        "  CAST(sum(CAST(round((xv - mx) * (yv - my), 6)"
+        "   AS DECIMAL(30,6))) AS DOUBLE) AS sxy"
+        "  FROM w1 GROUP BY 1, 2),"
+        " o2 AS (SELECT key_x, key_y, n_buckets,"
+        "  sxy / sxx AS beta, my - sxy / sxx * mx AS alpha"
+        "  FROM o WHERE n_buckets >= 10 AND sxx > 0),"
+        " r AS (SELECT w1.key_x, w1.key_y, w1.bucket, o2.n_buckets,"
+        "  o2.beta, o2.alpha,"
+        "  round(yv - (alpha + beta * xv), 6) AS e"
+        "  FROM w1 JOIN o2 USING (key_x, key_y)),"
+        " l AS (SELECT key_x, key_y, n_buckets, beta, alpha, e,"
+        "  lag(e) OVER (PARTITION BY key_x, key_y ORDER BY bucket)"
+        "   AS el FROM r),"
+        " d AS (SELECT key_x, key_y, n_buckets, beta, alpha,"
+        "  CAST(count(*) AS BIGINT) AS m,"
+        "  CAST(sum(CAST(round(el * el, 6) AS DECIMAL(30,6)))"
+        "   AS DOUBLE) AS slg,"
+        "  CAST(sum(CAST(round(el * (e - el), 6) AS DECIMAL(30,6)))"
+        "   AS DOUBLE) AS sld,"
+        "  CAST(sum(CAST(round((e - el) * (e - el), 6)"
+        "   AS DECIMAL(30,6))) AS DOUBLE) AS sdd"
+        "  FROM l WHERE el IS NOT NULL GROUP BY 1, 2, 3, 4, 5),"
+        " f AS (SELECT key_x, key_y, n_buckets, beta, alpha,"
+        "  CASE WHEN slg > 0 AND m >= 3 THEN (sld / slg)"
+        "   / sqrt(greatest((sdd - sld / slg * sld)"
+        "    / (CAST(m AS DOUBLE) - 1.0) / slg, 0.0)) END AS stat"
+        "  FROM d)"
+        " SELECT key_x, key_y, n_buckets,"
+        " round(beta, 6) AS beta, round(alpha, 6) AS alpha,"
+        " round(stat, 6) AS df_stat,"
+        " CASE WHEN stat IS NOT NULL THEN stat < -3.34 END"
+        "  AS cointegrated_5pct FROM f"
+    )
+    # Degree assortativity (graph.assortativity): exact int128
+    # moments over the directed minhash edge list, one fixed-order
+    # double correlation
+    out["graph_assortativity"] = (
+        f"WITH {_MINHASH_CTES},"
+        " ed AS (SELECT DISTINCT src, dst FROM ("
+        "  SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        "  UNION ALL SELECT doc_b, doc_a FROM pairs)),"
+        " deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS dg"
+        "  FROM ed GROUP BY 1),"
+        " e2 AS (SELECT a.dg AS dx, b.dg AS dy FROM ed"
+        "  JOIN deg a ON a.id = ed.src JOIN deg b ON b.id = ed.dst),"
+        " m AS (SELECT CAST(count(*) AS BIGINT) AS ne,"
+        "  sum(CAST(dx AS HUGEINT)) AS sx, sum(CAST(dy AS HUGEINT))"
+        "   AS sy,"
+        "  sum(CAST(dx AS HUGEINT) * dy) AS sxy,"
+        "  sum(CAST(dx AS HUGEINT) * dx) AS sxx,"
+        "  sum(CAST(dy AS HUGEINT) * dy) AS syy FROM e2),"
+        " nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),"
+        " c AS (SELECT n_nodes, ne,"
+        "  CAST(ne * sxy - sx * sy AS DOUBLE) AS num,"
+        "  CAST(ne * sxx - sx * sx AS DOUBLE) AS dxv,"
+        "  CAST(ne * syy - sy * sy AS DOUBLE) AS dyv FROM m, nn)"
+        " SELECT n_nodes, ne AS n_edges_directed,"
+        " round(CASE WHEN dxv > 0 AND dyv > 0"
+        "  THEN num / sqrt(dxv * dyv) END, 6) AS assortativity FROM c"
     )
     # Theta-method forecast (timeseries.theta_forecast): closed-form
     # OLS theta lines + the SES fold replayed via a recursive CTE

@@ -361,3 +361,74 @@ def jaccard_similarity(
         ).alias("jaccard"),
         F.coalesce(F.col("__adj"), F.lit(False)).alias("is_edge"),
     )
+
+
+def assortativity(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Degree assortativity of the undirected pair graph (Newman
+    2002): the Pearson correlation of the endpoint degrees over the
+    directed edge list (each undirected edge counted once per
+    direction, the standard convention). r > 0 means hubs attach to
+    hubs — on a near-dup graph that separates a few giant template
+    families (assortative cores) from hub-and-spoke boilerplate
+    (strongly disassortative, one canonical doc linked to many
+    one-off variants), which changes the right dedup action (drop
+    the family vs keep the canonical). Complements [[graph_kcore]]
+    (who is in a dense core) with a one-number summary of how the
+    cores wire.
+
+    Shape: degrees via one exploded-endpoint groupBy, joined back to
+    both endpoints of the edge list (degree table keyed by node —
+    broadcast-sized relative to edges at any scale where this graph
+    is computable), then a single moment aggregate. Every moment is
+    an exact integer accumulated in decimal(38,0) — no doubles until
+    the final fixed-order correlation, so both engines agree
+    bitwise. Returns one row (n_nodes, n_edges_directed,
+    assortativity); assortativity is NULL for a degree-regular graph
+    (zero variance, e.g. a perfect matching)."""
+    ed = _symmetric_edges(pairs, a_col, b_col)
+    deg = ed.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("dg")
+    )
+    e2 = (
+        ed.join(deg.select(F.col("src").alias("src"),
+                           F.col("dg").alias("__dx")), "src")
+        .join(deg.select(F.col("src").alias("dst"),
+                         F.col("dg").alias("__dy")), "dst")
+    )
+
+    def isum(e):
+        return F.sum(e.cast("decimal(38,0)"))
+
+    m = e2.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges_directed"),
+        isum(F.col("__dx")).alias("__sx"),
+        isum(F.col("__dy")).alias("__sy"),
+        isum(F.col("__dx").cast("decimal(19,0)")
+             * F.col("__dy").cast("decimal(19,0)")).alias("__sxy"),
+        isum(F.col("__dx").cast("decimal(19,0)")
+             * F.col("__dx").cast("decimal(19,0)")).alias("__sxx"),
+        isum(F.col("__dy").cast("decimal(19,0)")
+             * F.col("__dy").cast("decimal(19,0)")).alias("__syy"),
+    ).crossJoin(
+        broadcast(deg.agg(F.count(F.lit(1)).cast("long")
+                          .alias("n_nodes")))
+    )
+    n = F.col("n_edges_directed").cast("decimal(38,0)")
+    num = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(
+        "double"
+    )
+    dx = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+        "double"
+    )
+    dy = (n * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast(
+        "double"
+    )
+    r = F.when(
+        (dx > 0) & (dy > 0), num / F.sqrt(dx * dy)
+    )
+    return m.select(
+        "n_nodes", "n_edges_directed",
+        F.round(r, 6).alias("assortativity"),
+    )

@@ -6295,3 +6295,195 @@ def record_stats(
             F.col("n_record_lows").cast("double") - h_n, 6
         ).alias("low_excess"),
     )
+
+
+def turning_points(
+    df: DataFrame,
+    every: str = "1 hour",
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Turning-point test per key (Kendall's classical randomness
+    check, Kendall & Stuart 1966): count strict local peaks and
+    troughs of the bucket-mean series and compare against the i.i.d.
+    null, where any interior point is a turning point with
+    probability 2/3 — E[T] = 2(n-2)/3, Var[T] = (16n-29)/90, both
+    closed-form and distribution-free. z << 0 means too few turns
+    (trending/sticky), z >> 0 too many (oscillating faster than
+    noise). The third leg of the zero-assumption randomness tripod
+    next to [[ts_runs_test]] (sign runs) and [[ts_records]] (record
+    counts): records see monotone drift, runs see sign persistence,
+    turning points see local curvature.
+
+    One bucket groupBy + lag/lead on one key sort; counts stay
+    integers until the closed-form mu/sigma/z doubles (fixed op
+    order, so both engines agree bitwise). Plateau buckets (exact
+    @4-mean ties with a neighbor) are not turning points — strict
+    comparisons, the textbook treatment. Keys with < 3 buckets drop
+    (no interior point). Returns (*by, n_buckets, n_turning,
+    expected_turning, z_stat, iid_consistent_95)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    b = df.filter(F.col(value_col).isNotNull()).groupBy(
+        *by, F.window(F.col(time_col), every).start.alias("bucket")
+    ).agg(
+        (
+            F.round(F.sum(F.col(value_col).cast("decimal(30,8)")), 4)
+            .cast("double")
+            / F.count(value_col)
+        ).alias("__v")
+    )
+    w = Window.partitionBy(*by).orderBy("bucket")
+    prev = F.lag("__v").over(w)
+    nxt = F.lead("__v").over(w)
+    flagged = b.select(
+        *by,
+        F.when(
+            prev.isNotNull() & nxt.isNotNull()
+            & (
+                ((F.col("__v") > prev) & (F.col("__v") > nxt))
+                | ((F.col("__v") < prev) & (F.col("__v") < nxt))
+            ),
+            1,
+        ).otherwise(0).alias("__turn"),
+    )
+    agg = flagged.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("__turn").cast("long").alias("n_turning"),
+    ).filter(F.col("n_buckets") >= 3)
+    nd = F.col("n_buckets").cast("double")
+    expected = F.lit(2.0) * (nd - F.lit(2.0)) / F.lit(3.0)
+    z = (F.col("n_turning").cast("double") - expected) / F.sqrt(
+        (F.lit(16.0) * nd - F.lit(29.0)) / F.lit(90.0)
+    )
+    return agg.select(
+        *by, "n_buckets", "n_turning",
+        F.round(expected, 6).alias("expected_turning"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) < F.lit(1.959964)).alias("iid_consistent_95"),
+    )
+
+
+def cointegration(
+    df: DataFrame,
+    every: str = "1 hour",
+    time_col: str = "time",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    min_buckets: int = 10,
+) -> DataFrame:
+    """Engle-Granger cointegration test for every pair of keys
+    (Engle & Granger 1987): regress key_y's bucket-mean series on
+    key_x's (OLS with intercept), then run a Dickey-Fuller test on
+    the residual — a strongly negative DF statistic means the
+    residual mean-reverts, i.e. the two series share a common
+    stochastic trend and their spread is stationary (the pairs-
+    trading / shared-load signal two unit-root series can't get from
+    plain correlation, which is spurious under trends). Companion to
+    [[ts_adf]] (single-series unit root) and [[ts_granger]]
+    (directional lead-lag); critical value -3.34 is the asymptotic
+    5% Engle-Granger level for the 2-variable case (MacKinnon 1991).
+
+    Shape: one bucket groupBy, one bucket-aligned self-join (keys
+    paired x < y), then two closed-form OLS passes expressed as
+    moment sums — the first CENTERED (exact decimal sums -> @6
+    means, @6-quantized centered cross-moments: the anova recipe,
+    because raw sum(x*y) at 1e16 magnitude out-ulps any quantizer),
+    the second on the @6-rounded residual and its lag (small
+    magnitudes, @6-quantized term sums). No Python, no iteration.
+    Pairs with < min_buckets common buckets drop. Returns one row
+    per pair: (key_x, key_y, n_buckets, beta, alpha, df_stat,
+    cointegrated_5pct)."""
+    df = _time_norm(df, time_col)
+    b = df.filter(F.col(value_col).isNotNull()).groupBy(
+        F.col(key_col).alias("__k"),
+        F.window(F.col(time_col), every).start.alias("bucket"),
+    ).agg(
+        (
+            F.round(F.sum(F.col(value_col).cast("decimal(30,8)")), 4)
+            .cast("double")
+            / F.count(value_col)
+        ).alias("__v")
+    )
+    x = b.select(F.col("__k").alias("key_x"), "bucket",
+                 F.col("__v").alias("__x"))
+    y = b.select(F.col("__k").alias("key_y"), "bucket",
+                 F.col("__v").alias("__y"))
+    pairs = x.join(y, "bucket").filter(F.col("key_x") < F.col("key_y"))
+
+    def dsum6(e):
+        return F.sum(F.round(e, 6).cast("decimal(30,6)")).cast("double")
+
+    keys = ["key_x", "key_y"]
+    wk = Window.partitionBy(*keys)
+    # pass 1: @6 per-pair means (exact decimal sums over the window)
+    mx = F.round(
+        F.sum(F.col("__x").cast("decimal(30,8)")).over(wk).cast("double")
+        / F.count("__x").over(wk), 6,
+    )
+    my = F.round(
+        F.sum(F.col("__y").cast("decimal(30,8)")).over(wk).cast("double")
+        / F.count("__y").over(wk), 6,
+    )
+    centered = pairs.select(
+        *keys, "bucket", "__x", "__y", mx.alias("__mx"), my.alias("__my")
+    )
+    # pass 2: centered OLS moments -> beta/alpha (broadcast k²-row dim)
+    ols = centered.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("__mx").alias("__mx"),
+        F.max("__my").alias("__my"),
+        dsum6((F.col("__x") - F.col("__mx"))
+              * (F.col("__x") - F.col("__mx"))).alias("__sxx"),
+        dsum6((F.col("__x") - F.col("__mx"))
+              * (F.col("__y") - F.col("__my"))).alias("__sxy"),
+    ).filter(
+        (F.col("n_buckets") >= min_buckets) & (F.col("__sxx") > 0)
+    ).select(
+        *keys, "n_buckets",
+        (F.col("__sxy") / F.col("__sxx")).alias("__beta"),
+        (F.col("__my") - (F.col("__sxy") / F.col("__sxx"))
+         * F.col("__mx")).alias("__alpha"),
+    )
+    resid = centered.join(broadcast(ols), keys).select(
+        *keys, "bucket", "n_buckets", "__beta", "__alpha",
+        F.round(
+            F.col("__y") - (F.col("__alpha")
+                            + F.col("__beta") * F.col("__x")), 6,
+        ).alias("__e"),
+    )
+    wo = Window.partitionBy(*keys).orderBy("bucket")
+    lagged = resid.select(
+        *keys, "n_buckets", "__beta", "__alpha", "__e",
+        F.lag("__e").over(wo).alias("__el"),
+    ).filter(F.col("__el").isNotNull())
+    # Dickey-Fuller on the residual: de = rho*e_lag + err, no
+    # intercept (OLS residuals are centered by construction)
+    dfm = lagged.groupBy(
+        *keys, "n_buckets", "__beta", "__alpha"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("__m"),
+        dsum6(F.col("__el") * F.col("__el")).alias("__slg"),
+        dsum6(F.col("__el") * (F.col("__e") - F.col("__el")))
+        .alias("__sld"),
+        dsum6((F.col("__e") - F.col("__el"))
+              * (F.col("__e") - F.col("__el"))).alias("__sdd"),
+    )
+    md = F.col("__m").cast("double")
+    rho = F.col("__sld") / F.col("__slg")
+    s2 = (F.col("__sdd") - rho * F.col("__sld")) / (md - F.lit(1.0))
+    se = F.sqrt(
+        F.greatest(s2 / F.col("__slg"), F.lit(0.0))
+    )
+    stat = F.when(
+        (F.col("__slg") > 0) & (F.col("__m") >= 3), rho / se
+    )
+    return dfm.select(
+        "key_x", "key_y", "n_buckets",
+        F.round("__beta", 6).alias("beta"),
+        F.round("__alpha", 6).alias("alpha"),
+        F.round(stat, 6).alias("df_stat"),
+        F.when(stat.isNotNull(), stat < F.lit(-3.34))
+        .alias("cointegrated_5pct"),
+    )

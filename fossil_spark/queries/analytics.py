@@ -1857,3 +1857,376 @@ def power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.try_divide(mde, mu), 6).alias("mde_rel"),
         F.ceil(n_req).cast("long").alias("n_per_arm_2pct"),
     )
+
+
+def spearman_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per event type between hourly event
+    COUNT and hourly mean VALUE (Spearman 1904): does busier mean
+    hotter? Rank-based, so it sees any monotone relationship and
+    shrugs at outliers — the robust cross-check to a raw Pearson,
+    which one anomalous hour can dominate. The t approximation
+    t = rho sqrt((n-2)/(1-rho^2)) is reported for n >= 4.
+
+    Exactness: midranks doubled into INTEGERS (2r = 2 RANK() + ties
+    - 1, the textbook average-rank treatment with no halves), all
+    five moments accumulated as exact decimal(38,0), rho from one
+    fixed-order double expression at the end — bitwise identical on
+    both engines, no quantizers needed anywhere. Shape: one bucket
+    groupBy, two rank windows + a tie-count window on the same key
+    partitioning, one moment aggregate. Returns (event_type,
+    n_buckets, spearman_rho, t_stat)."""
+    ev = read_table(spark, sf_dir, "events")
+    b = ev.filter(F.col("value").isNotNull()).groupBy(
+        "event_type", F.window("ts", "1 hour").start.alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        (
+            F.round(F.sum(F.col("value").cast("decimal(30,8)")), 4)
+            .cast("double")
+            / F.count("value")
+        ).alias("__v"),
+    )
+    wx = Window.partitionBy("event_type").orderBy("__n")
+    wy = Window.partitionBy("event_type").orderBy("__v")
+    cx = Window.partitionBy("event_type", "__n")
+    cy = Window.partitionBy("event_type", "__v")
+    ranked = b.select(
+        "event_type",
+        (F.lit(2) * F.rank().over(wx) + F.count(F.lit(1)).over(cx)
+         - F.lit(2)).cast("long").alias("__rx"),
+        (F.lit(2) * F.rank().over(wy) + F.count(F.lit(1)).over(cy)
+         - F.lit(2)).cast("long").alias("__ry"),
+    )
+
+    def isum(e):
+        return F.sum(e.cast("decimal(38,0)"))
+
+    m = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        isum(F.col("__rx")).alias("__sx"),
+        isum(F.col("__ry")).alias("__sy"),
+        isum(F.col("__rx").cast("decimal(19,0)")
+             * F.col("__ry").cast("decimal(19,0)")).alias("__sxy"),
+        isum(F.col("__rx").cast("decimal(19,0)")
+             * F.col("__rx").cast("decimal(19,0)")).alias("__sxx"),
+        isum(F.col("__ry").cast("decimal(19,0)")
+             * F.col("__ry").cast("decimal(19,0)")).alias("__syy"),
+    )
+    n = F.col("n_buckets").cast("decimal(38,0)")
+    num = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(
+        "double"
+    )
+    dx = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+        "double"
+    )
+    dy = (n * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast(
+        "double"
+    )
+    rho = F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy))
+    nd = F.col("n_buckets").cast("double")
+    t = F.when(
+        (F.col("n_buckets") >= 4) & rho.isNotNull()
+        & (rho * rho < F.lit(1.0)),
+        rho * F.sqrt((nd - F.lit(2.0)) / (F.lit(1.0) - rho * rho)),
+    )
+    return m.select(
+        "event_type", "n_buckets",
+        F.round(rho, 6).alias("spearman_rho"),
+        F.round(t, 6).alias("t_stat"),
+    )
+
+
+def delta_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method z-test for a RATIO metric (value per event) over
+    the md5 A/B user split — the correct analysis when the metric's
+    denominator varies per user (Deng, Knoblich & Lu, KDD 2018): the
+    naive per-event t-test pretends events are independent, but the
+    randomization unit is the USER, so the variance must come from
+    user-level clusters. Var(S/N) is the linearization
+    U/(U-1) sum_u (s_u - R n_u)^2 / N^2 — one broadcast of the 2-row
+    per-variant ratio back onto the per-user table, then one moment
+    pass over the residuals (two-pass CENTERED on purpose: the
+    expanded sum(s^2) identity needs 1e16-scale doubles that out-ulp
+    any quantizer, the anova lesson).
+
+    Shape: one user groupBy, a 2-row aggregate, a 2-row broadcast
+    join-back, a second 2-row aggregate, one conditional-pivot row.
+    Returns one row (n_users_a, n_users_b, ratio_a, ratio_b, diff,
+    z_score, significant_95)."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value").cast("decimal(30,8)")), 8)
+        .cast("double").alias("__s"),
+        F.count("value").cast("long").alias("__n"),
+    )
+    tagged = per_user.select(_ab_variant().alias("__v"), "__s", "__n")
+
+    def dsum8(e):
+        return F.round(F.sum(F.round(e, 8).cast("decimal(30,8)")), 8).cast(
+            "double"
+        )
+
+    g = tagged.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__u"),
+        dsum8(F.col("__s")).alias("__ss"),
+        F.sum("__n").cast("long").alias("__sn"),
+    ).select(
+        "__v", "__u", "__sn",
+        F.try_divide(F.col("__ss"), F.col("__sn").cast("double"))
+        .alias("__r"),
+    )
+    resid = tagged.join(F.broadcast(g), "__v").select(
+        "__v",
+        F.round(
+            F.col("__s") - F.col("__r") * F.col("__n").cast("double"), 6
+        ).alias("__d"),
+    )
+    g2 = resid.groupBy("__v").agg(
+        F.round(
+            F.sum(F.round(F.col("__d") * F.col("__d"), 6)
+                  .cast("decimal(30,6)")), 6,
+        ).cast("double").alias("__sd2")
+    )
+    both = g.join(g2, "__v")
+
+    def pick(v, c):
+        return F.max(F.when(F.col("__v") == v, F.col(c)))
+
+    row = both.agg(
+        pick(0, "__u").alias("n_users_a"),
+        pick(1, "__u").alias("n_users_b"),
+        pick(0, "__r").alias("__ra"), pick(1, "__r").alias("__rb"),
+        pick(0, "__sd2").alias("__da"), pick(1, "__sd2").alias("__db"),
+        pick(0, "__sn").alias("__na"), pick(1, "__sn").alias("__nb"),
+    )
+    ua = F.col("n_users_a").cast("double")
+    ub = F.col("n_users_b").cast("double")
+    # se^2 = U/(U-1) * sum d^2 / N^2, in this exact op order
+    va = F.try_divide(ua, ua - F.lit(1.0)) * F.try_divide(
+        F.col("__da"),
+        F.col("__na").cast("double") * F.col("__na").cast("double"),
+    )
+    vb = F.try_divide(ub, ub - F.lit(1.0)) * F.try_divide(
+        F.col("__db"),
+        F.col("__nb").cast("double") * F.col("__nb").cast("double"),
+    )
+    z = F.try_divide(
+        F.col("__rb") - F.col("__ra"),
+        F.sqrt(F.greatest(va + vb, F.lit(0.0))),
+    )
+    return row.select(
+        "n_users_a", "n_users_b",
+        F.round("__ra", 6).alias("ratio_a"),
+        F.round("__rb", 6).alias("ratio_b"),
+        F.round(F.col("__rb") - F.col("__ra"), 6).alias("diff"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) >= F.lit(1.959964)).alias("significant_95"),
+    )
+
+
+def bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction (Benjamini & Hochberg 1995)
+    over the per-event-type family of A/B Welch tests: run one Welch
+    t per event type on per-user value sums under the shared md5
+    split, convert to a two-sided normal-approximation p (the
+    [[agg_welch_t]] df-in-the-thousands convention), then adjust the
+    whole family — p_adj(i) = min_{j>=i} p(j) m / j, the step-up
+    procedure every metrics platform applies before anyone reads a
+    dashboard of twenty 'significant' metrics. Reports the full
+    family so the 5%-FDR verdict is auditable per metric.
+
+    Phi via the Abramowitz-Stegun 26.2.17 polynomial (|err| < 7.5e-8,
+    far above the @6 report precision; one exp() — the agg_survival_km
+    cross-engine precedent). Shape: one (user, event_type) groupBy,
+    one k-row aggregate, two k-row windows (rank, suffix running
+    min). Returns (event_type, n_a, n_b, t_stat, p_value, bh_rank,
+    p_adj, rejected_fdr05)."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id", "event_type").agg(
+        F.round(F.sum(F.col("value").cast("decimal(30,8)")), 8)
+        .cast("double").alias("__m")
+    )
+    tagged = per_user.select(
+        "event_type", _ab_variant().alias("__v"), "__m"
+    )
+
+    def dsum8(e):
+        return F.round(F.sum(F.round(e, 8).cast("decimal(30,8)")), 8).cast(
+            "double"
+        )
+
+    agg = tagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("__v") == 0, 1).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("__v") == 1, 1).otherwise(0))
+        .cast("long").alias("n_b"),
+        dsum8(F.when(F.col("__v") == 0, F.col("__m"))).alias("__sa"),
+        dsum8(F.when(F.col("__v") == 1, F.col("__m"))).alias("__sb"),
+        dsum8(F.when(F.col("__v") == 0, F.col("__m") * F.col("__m")))
+        .alias("__qa"),
+        dsum8(F.when(F.col("__v") == 1, F.col("__m") * F.col("__m")))
+        .alias("__qb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.try_divide(F.col("__sa"), na)
+    mb = F.try_divide(F.col("__sb"), nb)
+    va = F.try_divide(
+        F.col("__qa") - F.try_divide(F.col("__sa") * F.col("__sa"), na),
+        na - 1,
+    )
+    vb = F.try_divide(
+        F.col("__qb") - F.try_divide(F.col("__sb") * F.col("__sb"), nb),
+        nb - 1,
+    )
+    t = F.try_divide(
+        mb - ma,
+        F.sqrt(F.greatest(F.try_divide(va, na) + F.try_divide(vb, nb),
+                          F.lit(0.0))),
+    )
+    # two-sided normal p via A-S 26.2.17: p = 2 phi(|t|) poly(k)
+    ax = F.abs(t)
+    k = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * ax)
+    poly = k * (
+        F.lit(0.319381530) + k * (
+            F.lit(-0.356563782) + k * (
+                F.lit(1.781477937) + k * (
+                    F.lit(-1.821255978) + k * F.lit(1.330274429)
+                )
+            )
+        )
+    )
+    phi = F.exp(F.lit(-0.5) * ax * ax) * F.lit(0.3989422804014327)
+    p = F.least(F.lit(2.0) * phi * poly, F.lit(1.0))
+    scored = agg.select(
+        "event_type", "n_a", "n_b",
+        F.round(t, 6).alias("t_stat"),
+        p.alias("__p"),
+    ).filter(F.col("__p").isNotNull())
+    wr = Window.orderBy("__p", "event_type")
+    wm = Window.orderBy(F.col("__p").desc(), F.col("event_type").desc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = scored.select(
+        "event_type", "n_a", "n_b", "t_stat", "__p",
+        F.row_number().over(wr).cast("long").alias("bh_rank"),
+        F.count(F.lit(1)).over(mtot).cast("double").alias("__mm"),
+    )
+    adj = F.least(
+        F.min(
+            F.col("__p") * F.col("__mm")
+            / F.col("bh_rank").cast("double")
+        ).over(wm),
+        F.lit(1.0),
+    )
+    return ranked.select(
+        "event_type", "n_a", "n_b", "t_stat",
+        F.round("__p", 6).alias("p_value"),
+        "bh_rank",
+        F.round(adj, 6).alias("p_adj"),
+        (adj <= F.lit(0.05)).alias("rejected_fdr05"),
+    )
+
+
+def poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap CI for mean per-user total value (Chamandy
+    et al., Google 2012, 'Estimating uncertainty for massive data
+    streams'): classical resampling needs n draws WITH replacement —
+    impossible to coordinate across executors — but Binomial(n, 1/n)
+    -> Poisson(1), so each user independently receives a deterministic
+    Poisson(1) weight per replicate (inverse-CDF over a md5-derived
+    uniform: first 13 hex nibbles / 2^52, thresholds at the exact
+    Poisson(1) CDF literals) and every replicate reduces map-side in
+    one pass. THE scalable bootstrap: no coordination, no second
+    scan, B=40 replicates as one explode + one 40-group aggregate.
+
+    CI endpoints are empirical order statistics of the replicate
+    means (2nd and 39th of 40 ~ the 2.5%/97.5% band without engine-
+    specific quantile interpolation); boot_se from @8-quantized
+    moments over the 40 replicate means. Returns one row (n_users,
+    n_boot, point_mean, boot_se, ci_lo, ci_hi)."""
+    B = 40
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value").cast("decimal(30,8)")), 8)
+        .cast("double").alias("__x")
+    )
+    rep = per_user.select(
+        "user_id", "__x",
+        F.explode(F.sequence(F.lit(1), F.lit(B))).alias("__b"),
+    )
+    u01 = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pb:"),
+                               F.col("user_id").cast("string"),
+                               F.lit(":"),
+                               F.col("__b").cast("string"))),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("long").cast("double")
+        / F.lit(4503599627370496.0)
+    )
+    w = (
+        F.when(u01 < F.lit(0.36787944117144233), 0)
+        .when(u01 < F.lit(0.7357588823428847), 1)
+        .when(u01 < F.lit(0.9196986029286058), 2)
+        .when(u01 < F.lit(0.9810118431238463), 3)
+        .when(u01 < F.lit(0.9963401531726563), 4)
+        .when(u01 < F.lit(0.9994058151824183), 5)
+        .otherwise(6)
+    )
+    weighted = rep.select("__b", "__x", w.cast("long").alias("__w"))
+    per_rep = weighted.groupBy("__b").agg(
+        F.sum("__w").cast("long").alias("__nw"),
+        F.round(
+            F.sum(F.round(F.col("__x") * F.col("__w").cast("double"), 8)
+                  .cast("decimal(30,8)")), 8,
+        ).cast("double").alias("__sx"),
+    ).select(
+        "__b",
+        F.try_divide(F.col("__sx"), F.col("__nw").cast("double"))
+        .alias("__mean"),
+    )
+    wr = Window.orderBy("__mean", "__b")
+    ordered = per_rep.select(
+        "__mean", F.row_number().over(wr).alias("__rn")
+    )
+    base = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(
+            F.try_divide(
+                F.round(F.sum(F.round(F.col("__x"), 8)
+                              .cast("decimal(30,8)")), 8).cast("double"),
+                F.count(F.lit(1)).cast("double"),
+            ), 6,
+        ).alias("point_mean"),
+    )
+    stats = ordered.agg(
+        F.count(F.lit(1)).cast("long").alias("n_boot"),
+        F.round(
+            F.sum(F.round(F.col("__mean"), 8).cast("decimal(30,8)")), 8
+        ).cast("double").alias("__sm"),
+        F.round(
+            F.sum(F.round(F.col("__mean") * F.col("__mean"), 8)
+                  .cast("decimal(30,8)")), 8,
+        ).cast("double").alias("__sq"),
+        F.max(F.when(F.col("__rn") == 2, F.col("__mean")))
+        .alias("__lo"),
+        F.max(F.when(F.col("__rn") == B - 1, F.col("__mean")))
+        .alias("__hi"),
+    )
+    bd = F.col("n_boot").cast("double")
+    var = F.try_divide(
+        F.col("__sq") - F.try_divide(F.col("__sm") * F.col("__sm"), bd),
+        bd - F.lit(1.0),
+    )
+    return base.crossJoin(F.broadcast(stats)).select(
+        "n_users", "n_boot", "point_mean",
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("boot_se"),
+        F.round("__lo", 6).alias("ci_lo"),
+        F.round("__hi", 6).alias("ci_hi"),
+    )

@@ -2739,6 +2739,47 @@ def _ts_cointegration(spark, sf_dir):
     )
 
 
+def _ts_variogram(spark, sf_dir):
+    """Empirical semivariogram per event type (timeseries.variogram):
+    gamma(h) over hourly lags {1,2,4,8,24} — decorrelation range +
+    nugget, robust to missing buckets (unlike the ACF)."""
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.variogram(
+        _events(spark, sf_dir), time_col="ts", by=["event_type"]
+    )
+
+
+def _ts_evt_pot(spark, sf_dir):
+    """Peaks-over-threshold GPD tail fit per event type
+    (timeseries.evt_pot): method-of-moments xi/sigma over p95
+    excesses + the extrapolated 99.9% return level."""
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.evt_pot(
+        _events(spark, sf_dir), time_col="ts", by=["event_type"]
+    )
+
+
+def _sample_neyman(spark, sf_dir):
+    """Neyman-optimal stratified allocation per source
+    (text.neyman_allocation): budget shares proportional to
+    N_h * sd_h of document length, next to the proportional plan."""
+    from fossil_spark.operators import text
+
+    return text.neyman_allocation(_docs(spark, sf_dir))
+
+
+def _embedding_mmd(spark, sf_dir):
+    """Unbiased linear-kernel MMD^2 between every label pair
+    (ann.mmd_linear): the O(n^2) two-sample statistic collapsed onto
+    group sum-vectors — one map-side pass at any corpus size."""
+    from fossil_spark.operators import ann
+    from fossil_spark.session import read_table
+
+    return ann.mmd_linear(read_table(spark, sf_dir, "embeddings"))
+
+
 def _embedding_silhouette(spark, sf_dir):
     """Simplified (centroid) silhouette per label class (ann.
     silhouette, Rousseeuw 1987): a = distance to own centroid, b =
@@ -2898,10 +2939,14 @@ _WINDOW_PRIORITY = [
     "agg_dau_exact", "agg_order_rollup", "agg_percentiles",
     "json_props_analysis", "win_running_revenue",
     "pipeline_curate", "pipeline_semantic_dedup",
-    # --- round-11 additions (never driver-checked) ---
+    # --- round-11 additions (never driver-checked; the first 7 sit
+    # inside the ~50-key window, the batch-2 seven queue just below
+    # the fold for the r12 head) ---
     "agg_delta_ratio", "agg_bh_fdr", "agg_spearman",
     "ts_cointegration", "ts_turning_points", "graph_assortativity",
     "agg_poisson_boot",
+    "agg_hhi", "agg_pareto_abc", "agg_msprt", "ts_variogram",
+    "ts_evt_pot", "sample_neyman", "embedding_mmd",
     # ---------------- below the fold ----------------
     # r10 additions (27 keys, driver-green r10)
     "ts_runs_test", "ts_variance_ratio", "ts_hurst",
@@ -3179,6 +3224,13 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_turning_points": _ts_turning_points,
         "ts_cointegration": _ts_cointegration,
         "graph_assortativity": _graph_assortativity,
+        "agg_hhi": _analytics("hhi_concentration"),
+        "agg_pareto_abc": _analytics("pareto_abc"),
+        "agg_msprt": _analytics("msprt_monitor"),
+        "ts_variogram": _ts_variogram,
+        "ts_evt_pot": _ts_evt_pot,
+        "sample_neyman": _sample_neyman,
+        "embedding_mmd": _embedding_mmd,
         "embedding_silhouette": _embedding_silhouette,
         "graph_kcore": _graph_kcore,
         "graph_jaccard": _graph_jaccard,
@@ -9336,6 +9388,223 @@ def oracle_sql() -> dict[str, str]:
         " SELECT n_nodes, ne AS n_edges_directed,"
         " round(CASE WHEN dxv > 0 AND dyv > 0"
         "  THEN num / sqrt(dxv * dyv) END, 6) AS assortativity FROM c"
+    )
+    # --- round-11 batch 2 ---------------------------------------------
+    # HHI concentration (analytics.hhi_concentration): exact decimal
+    # revenue squares, HHI = sum(rev^2)/total^2 -- no share quantizer
+    out["agg_hhi"] = (
+        "WITH rev AS (SELECT o_custkey,"
+        " sum(CAST(round(o_totalprice, 2) AS DECIMAL(30,2))) AS rv"
+        " FROM orders GROUP BY 1),"
+        " tg AS (SELECT n.n_name, rev.rv FROM rev"
+        "  JOIN customer c ON c.c_custkey = rev.o_custkey"
+        "  JOIN nation n ON n.n_nationkey = c.c_nationkey),"
+        " g AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,"
+        "  sum(CAST(rv AS DECIMAL(19,2)) * CAST(rv AS DECIMAL(19,2)))"
+        "   AS sq,"
+        "  sum(rv) AS tot FROM tg GROUP BY 1),"
+        " h AS (SELECT n_name, n_customers,"
+        "  CAST(sq AS DOUBLE) / CAST(CAST(tot AS DECIMAL(19,2))"
+        "   * CAST(tot AS DECIMAL(19,2)) AS DOUBLE) AS hhi FROM g)"
+        " SELECT n_name, n_customers, round(hhi, 6) AS hhi,"
+        " round(CASE WHEN n_customers > 1 THEN"
+        "  (hhi - 1.0 / CAST(n_customers AS DOUBLE))"
+        "  / (1.0 - 1.0 / CAST(n_customers AS DOUBLE)) END, 6)"
+        "  AS hhi_normalized,"
+        " round(1.0 / hhi, 6) AS effective_n FROM h"
+    )
+    # Pareto/ABC classification (analytics.pareto_abc): exact decimal
+    # revenue, global cum-share over the per-part aggregate
+    out["agg_pareto_abc"] = (
+        "WITH pp AS (SELECT l_partkey,"
+        " round(sum(CAST(l_extendedprice * (1.0 - l_discount)"
+        "  AS DECIMAL(30,8))), 2) AS rev FROM lineitem GROUP BY 1),"
+        " cl AS (SELECT rev, CASE"
+        "  WHEN CAST(sum(rev) OVER w AS DOUBLE)"
+        "   / CAST(sum(rev) OVER () AS DOUBLE) <= 0.80 THEN 'A'"
+        "  WHEN CAST(sum(rev) OVER w AS DOUBLE)"
+        "   / CAST(sum(rev) OVER () AS DOUBLE) <= 0.95 THEN 'B'"
+        "  ELSE 'C' END AS abc_class FROM pp"
+        "  WINDOW w AS (ORDER BY rev DESC, l_partkey"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),"
+        " g AS (SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,"
+        "  sum(CAST(rev AS DECIMAL(30,2))) AS crev FROM cl GROUP BY 1)"
+        " SELECT abc_class, n_parts, CAST(crev AS DOUBLE) AS revenue,"
+        " round(CAST(crev AS DOUBLE)"
+        "  / CAST(sum(crev) OVER () AS DOUBLE), 6) AS revenue_share"
+        " FROM g"
+    )
+    # mSPRT always-valid monitor (analytics.msprt_monitor): RANGE
+    # cumulative windows over the (day, variant) aggregate, log-domain
+    # Lambda, one exp() at the p conversion
+    out["agg_msprt"] = (
+        "WITH daily AS (SELECT date_trunc('day', ts) AS day,"
+        " ('0x' || substr(md5('ab:' || user_id::VARCHAR), 1, 8))::BIGINT"
+        "  % 2 AS v,"
+        " CAST(count(*) AS BIGINT) AS n,"
+        " sum(CAST(round(value, 8) AS DECIMAL(30,8))) AS s,"
+        " sum(CAST(round(value * value, 8) AS DECIMAL(30,8))) AS q"
+        f" FROM {_EV} e WHERE value IS NOT NULL GROUP BY 1, 2),"
+        " c AS (SELECT day,"
+        "  CAST(sum(CASE WHEN v = 0 THEN n END) OVER wc AS BIGINT)"
+        "   AS cna,"
+        "  CAST(sum(CASE WHEN v = 1 THEN n END) OVER wc AS BIGINT)"
+        "   AS cnb,"
+        "  CAST(round(sum(CASE WHEN v = 0 THEN s END) OVER wc, 8)"
+        "   AS DOUBLE) AS csa,"
+        "  CAST(round(sum(CASE WHEN v = 1 THEN s END) OVER wc, 8)"
+        "   AS DOUBLE) AS csb,"
+        "  CAST(round(sum(CASE WHEN v = 0 THEN q END) OVER wc, 8)"
+        "   AS DOUBLE) AS cqa,"
+        "  CAST(round(sum(CASE WHEN v = 1 THEN q END) OVER wc, 8)"
+        "   AS DOUBLE) AS cqb FROM daily"
+        "  WINDOW wc AS (ORDER BY day"
+        "   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),"
+        " p AS (SELECT day, max(cna) AS n_a, max(cnb) AS n_b,"
+        "  max(csa) AS sa, max(csb) AS sb, max(cqa) AS qa,"
+        "  max(cqb) AS qb FROM c GROUP BY 1"
+        "  HAVING max(cna) >= 2 AND max(cnb) >= 2),"
+        " f AS (SELECT day, n_a, n_b, CAST(n_a AS DOUBLE) AS na,"
+        "  CAST(n_b AS DOUBLE) AS nb, sa, sb, qa, qb FROM p),"
+        " g AS (SELECT day, n_a, n_b, sb / nb - sa / na AS theta,"
+        "  ((qa - sa * sa / na) + (qb - sb * sb / nb))"
+        "   / (na + nb - 2.0) AS sig2,"
+        "  na * nb / (na + nb) AS neff FROM f),"
+        " h AS (SELECT day, n_a, n_b, theta,"
+        "  -0.5 * ln(1.0 + neff) + (neff * neff * theta * theta)"
+        "   / (2.0 * sig2 * (1.0 + neff)) AS loglam FROM g),"
+        " i AS (SELECT day, n_a, n_b, round(theta, 6) AS theta_hat,"
+        "  round(loglam, 6) AS log_lambda,"
+        "  least(exp(-(loglam)), 1.0) AS pd FROM h),"
+        " j AS (SELECT day, n_a, n_b, theta_hat, log_lambda,"
+        "  min(pd) OVER (ORDER BY day"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pav"
+        "  FROM i)"
+        " SELECT day, n_a, n_b, theta_hat, log_lambda,"
+        " round(pav, 6) AS p_always_valid,"
+        " pav <= 0.05 AS significant_05 FROM j"
+    )
+    # Semivariogram (timeseries.variogram): lag-exploded bucket table,
+    # bucket-aligned equi-join, @6-quantized squared-diff sums
+    out["ts_variogram"] = (
+        "WITH b AS (SELECT event_type,"
+        " epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS bus,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "  / count(value) AS v"
+        f" FROM {_EV} e WHERE value IS NOT NULL GROUP BY 1, 2),"
+        " l AS (SELECT event_type, bus, v AS v1,"
+        "  unnest([1, 2, 4, 8, 24]) AS lag_buckets FROM b),"
+        " j AS (SELECT l.event_type, l.lag_buckets, l.v1, r.v AS v2"
+        "  FROM l JOIN b r ON r.event_type = l.event_type"
+        "  AND r.bus = l.bus + l.lag_buckets * 3600000000)"
+        " SELECT event_type, CAST(lag_buckets AS INT) AS lag_buckets,"
+        " CAST(count(*) AS BIGINT) AS n_pairs,"
+        " round(CAST(sum(CAST(round((v2 - v1) * (v2 - v1), 6)"
+        "  AS DECIMAL(30,6))) AS DOUBLE)"
+        "  / (2.0 * CAST(count(*) AS DOUBLE)), 6) AS gamma"
+        " FROM j GROUP BY 1, 2"
+    )
+    # POT/GPD tail fit (timeseries.evt_pot): exact interpolated p95
+    # threshold (the agg_percentiles convention), @8 excess moments,
+    # fixed-order MoM xi/sigma and the return-level formula; the
+    # 0.000999... literal is repr(1.0 - 0.999), the same double the
+    # Spark op builds in Python
+    out["ts_evt_pot"] = (
+        "WITH vv AS (SELECT event_type, CAST(value AS DOUBLE) AS v"
+        f" FROM {_EV} e WHERE value IS NOT NULL),"
+        " thr AS (SELECT event_type, quantile_cont(v, 0.95) AS u,"
+        "  CAST(count(*) AS BIGINT) AS n_obs FROM vv GROUP BY 1),"
+        " ex AS (SELECT vv.event_type, u, n_obs, v - u AS y"
+        "  FROM vv JOIN thr USING (event_type) WHERE v > u),"
+        " g AS (SELECT event_type, u, n_obs,"
+        "  CAST(count(*) AS BIGINT) AS n_exceed,"
+        "  CAST(round(sum(CAST(round(y, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS s1,"
+        "  CAST(round(sum(CAST(round(y * y, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS s2g"
+        "  FROM ex GROUP BY 1, 2, 3 HAVING count(*) >= 10),"
+        " f AS (SELECT event_type, u, n_obs, n_exceed,"
+        "  CAST(n_exceed AS DOUBLE) AS nu, s1, s2g FROM g),"
+        " h AS (SELECT event_type, u, n_obs, n_exceed, nu,"
+        "  s1 / nu AS m, (s2g - s1 * s1 / nu) / (nu - 1.0) AS s2"
+        "  FROM f),"
+        " i AS (SELECT event_type, u, n_obs, n_exceed, nu, m,"
+        "  CASE WHEN s2 > 0 THEN 0.5 * (1.0 - m * m / s2) END AS xi"
+        "  FROM h),"
+        " k AS (SELECT event_type, u, n_obs, n_exceed, xi,"
+        "  m * (1.0 - xi) AS sigma,"
+        "  0.0009999999999999998 / (nu / CAST(n_obs AS DOUBLE))"
+        "   AS ratio FROM i)"
+        " SELECT event_type, round(u, 6) AS threshold_u, n_obs,"
+        " n_exceed, round(xi, 6) AS gpd_xi,"
+        " round(sigma, 6) AS gpd_sigma,"
+        " round(CASE WHEN abs(xi) > 1e-9 THEN"
+        "  u + sigma / xi * (pow(ratio, -(xi)) - 1.0)"
+        "  ELSE u - sigma * ln(ratio) END, 6) AS var_p FROM k"
+    )
+    # Neyman allocation (text.neyman_allocation): exact int128 size
+    # moments, @8 N_h*sd_h shares, floor allocation
+    out["sample_neyman"] = (
+        "WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+        " sum(CAST(n_chars AS HUGEINT)) AS s1,"
+        " sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2"
+        " FROM documents GROUP BY 1),"
+        " f AS (SELECT source, n_docs, CAST(n_docs AS DOUBLE) AS nd,"
+        "  CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d"
+        "  FROM g),"
+        " h AS (SELECT source, n_docs, nd, s1d / nd AS mean_raw,"
+        "  sqrt(greatest((s2d - s1d * s1d / nd) / (nd - 1.0), 0.0))"
+        "   AS sd FROM f),"
+        " s AS (SELECT source, n_docs, round(mean_raw, 6) AS mean_size,"
+        "  round(sd, 6) AS sd_size, round(nd * sd, 8) AS ns FROM h),"
+        " t AS (SELECT CAST(round(sum(CAST(round(ns, 8)"
+        "  AS DECIMAL(30,8))), 8) AS DOUBLE) AS tns,"
+        "  CAST(sum(n_docs) AS DOUBLE) AS tn FROM s)"
+        " SELECT source, n_docs, mean_size, sd_size,"
+        " round(ns / tns, 6) AS neyman_share,"
+        " CAST(floor(ns / tns * 1000.0) AS BIGINT) AS n_alloc,"
+        " round(CAST(n_docs AS DOUBLE) / tn, 6) AS prop_share"
+        " FROM s, t"
+    )
+    # Linear-kernel MMD^2 (ann.mmd_linear): per-(label,dim) decimal
+    # sums (the dim_stats convention), group sum-vector algebra
+    out["embedding_mmd"] = (
+        "WITH v AS (SELECT label, list_transform(embedding,"
+        "  x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),"
+        " u AS (SELECT label, unnest(list_transform("
+        "  generate_series(1, len(vv)),"
+        "  j -> {'d': j - 1, 'x': vv[j]})) AS s FROM v),"
+        " e AS (SELECT label, s.d AS d, s.x AS x FROM u),"
+        " pld AS (SELECT label, d,"
+        "  CAST(round(sum(CAST(x AS DECIMAL(38,12))), 6) AS DOUBLE)"
+        "   AS sv,"
+        "  sum(CAST(x * x AS DECIMAL(38,12))) AS qd"
+        "  FROM e GROUP BY 1, 2),"
+        " pl AS (SELECT label,"
+        "  CAST(round(sum(CAST(round(sv * sv, 6) AS DECIMAL(30,6))),"
+        "   6) AS DOUBLE) AS snorm2,"
+        "  CAST(round(sum(qd), 6) AS DOUBLE) AS ssq"
+        "  FROM pld GROUP BY 1),"
+        " cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n"
+        "  FROM embeddings GROUP BY 1),"
+        " lab AS (SELECT pl.label, snorm2, ssq, n"
+        "  FROM pl JOIN cnt USING (label)),"
+        " cr AS (SELECT a.label AS la, b.label AS lb,"
+        "  CAST(round(sum(CAST(round(a.sv * b.sv, 6)"
+        "   AS DECIMAL(30,6))), 6) AS DOUBLE) AS cab"
+        "  FROM pld a JOIN pld b ON a.d = b.d AND a.label < b.label"
+        "  GROUP BY 1, 2),"
+        " j AS (SELECT la, lb, x.n AS n_a, y.n AS n_b,"
+        "  x.snorm2 AS n2a, x.ssq AS qa2, y.snorm2 AS n2b,"
+        "  y.ssq AS qb2, cab FROM cr"
+        "  JOIN lab x ON x.label = cr.la JOIN lab y ON y.label = cr.lb)"
+        " SELECT la AS label_a, lb AS label_b, n_a, n_b,"
+        " round((n2a - qa2) / (CAST(n_a AS DOUBLE)"
+        "   * (CAST(n_a AS DOUBLE) - 1.0))"
+        "  + (n2b - qb2) / (CAST(n_b AS DOUBLE)"
+        "   * (CAST(n_b AS DOUBLE) - 1.0))"
+        "  - 2.0 * (cab / (CAST(n_a AS DOUBLE)"
+        "   * CAST(n_b AS DOUBLE))), 6) AS mmd2 FROM j"
     )
     # Theta-method forecast (timeseries.theta_forecast): closed-form
     # OLS theta lines + the SES fold replayed via a recursive CTE

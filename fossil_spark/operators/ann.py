@@ -2062,3 +2062,90 @@ def silhouette(
         F.round(dmean("__b"), 6).alias("mean_b"),
         F.round(dmean("__s"), 6).alias("mean_silhouette"),
     )
+
+
+def mmd_linear(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Unbiased linear-kernel MMD^2 between every pair of label
+    groups (Gretton et al. 2012, the two-sample test for
+    distributions): MMD^2 = E<x,x'> + E<y,y'> - 2 E<x,y> over
+    within/cross pairs — with the LINEAR kernel every pairwise term
+    collapses onto group sum-vectors (sum_{i!=j}<x_i,x_j> =
+    ||S||^2 - sum||x_i||^2), so the O(n^2) pair sums become ONE
+    map-side pass over cells plus k^2 d dim-aligned products. That
+    algebraic collapse IS the scale story: the test that's quadratic
+    in every textbook runs here as a linear scan at any corpus size.
+    Linear-kernel MMD^2 equals the squared centroid distance (with
+    the unbiased small-sample correction) — the sharpest cheap
+    answer to 'did the embedding distribution move between
+    groups/snapshots', complementing [[embedding_dim_stats]]
+    (per-dim drift) with a single calibrated number per pair.
+
+    Deterministic: per-(label, dim) sums in decimal(38,12) (the
+    dim_stats convention), @6-rounded before the double products,
+    product terms re-quantized @6. Returns one row per unordered
+    label pair: (label_a, label_b, n_a, n_b, mmd2)."""
+    cells = corpus.select(
+        F.col(label_col).alias("__l"),
+        F.posexplode(F.col(vec_col)).alias("__dim", "__x0"),
+    ).select("__l", "__dim", F.col("__x0").cast("double").alias("__x"))
+    per_ld = cells.groupBy("__l", "__dim").agg(
+        F.round(F.sum(F.col("__x").cast("decimal(38,12)")), 6)
+        .cast("double").alias("__s"),
+        F.sum((F.col("__x") * F.col("__x")).cast("decimal(38,12)"))
+        .alias("__qd"),
+    )
+    per_l = per_ld.groupBy("__l").agg(
+        F.round(
+            F.sum(F.round(F.col("__s") * F.col("__s"), 6)
+                  .cast("decimal(30,6)")), 6,
+        ).cast("double").alias("__snorm2"),
+        F.round(F.sum("__qd"), 6).cast("double").alias("__ssq"),
+    )
+    counts = corpus.groupBy(F.col(label_col).alias("__l")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    lab = per_l.join(counts, "__l")
+    a = per_ld.select(F.col("__l").alias("__la"), "__dim",
+                      F.col("__s").alias("__sa"))
+    b = per_ld.select(F.col("__l").alias("__lb"), "__dim",
+                      F.col("__s").alias("__sb"))
+    cross = (
+        a.join(b, "__dim")
+        .filter(F.col("__la") < F.col("__lb"))
+        .groupBy("__la", "__lb")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("__sa") * F.col("__sb"), 6)
+                      .cast("decimal(30,6)")), 6,
+            ).cast("double").alias("__cab")
+        )
+    )
+    la = lab.select(F.col("__l").alias("__la"),
+                    F.col("__snorm2").alias("__n2a"),
+                    F.col("__ssq").alias("__qa"),
+                    F.col("__n").alias("n_a"))
+    lb = lab.select(F.col("__l").alias("__lb"),
+                    F.col("__snorm2").alias("__n2b"),
+                    F.col("__ssq").alias("__qb"),
+                    F.col("__n").alias("n_b"))
+    joined = cross.join(F.broadcast(la), "__la") \
+                  .join(F.broadcast(lb), "__lb")
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    term_a = F.try_divide(
+        F.col("__n2a") - F.col("__qa"), na * (na - F.lit(1.0))
+    )
+    term_b = F.try_divide(
+        F.col("__n2b") - F.col("__qb"), nb * (nb - F.lit(1.0))
+    )
+    term_x = F.lit(2.0) * F.try_divide(F.col("__cab"), na * nb)
+    return joined.select(
+        F.col("__la").alias("label_a"),
+        F.col("__lb").alias("label_b"),
+        "n_a", "n_b",
+        F.round(term_a + term_b - term_x, 6).alias("mmd2"),
+    )

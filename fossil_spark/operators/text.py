@@ -2706,3 +2706,69 @@ def tokenizer_fertility(
             6,
         ).alias("oov_rate"),
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    budget: int = 1000,
+    by: str = "source",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation per stratum
+    (Neyman 1934 — the variance-minimizing classic): for a fixed
+    label/inspection budget, sample stratum h proportionally to
+    N_h S_h (stratum size x stratum std of the target variable), not
+    to N_h alone — high-variance strata get oversampled because
+    that's where the estimator's variance lives. The planning
+    companion to [[sample_ess]] (which audits a weighting after the
+    fact): this TELLS you the draw counts before you spend the
+    budget. Reports the proportional allocation next to Neyman so
+    the delta is visible per stratum.
+
+    Exactness: size_col is integer, so ALL moments are exact decimal
+    sums — sd comes out of one fixed-order double expression, and
+    shares divide two @8-rounded doubles. Allocation counts use
+    floor (never over-spends the budget; the remainder is the
+    documented largest-share-agnostic slack). One groupBy + one
+    1-row broadcast total. Returns (by, n_docs, mean_size, sd_size,
+    neyman_share, n_alloc, prop_share)."""
+    g = df.select(F.col(by), F.col(size_col).cast("long").alias("__y")) \
+        .groupBy(by).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("__y").cast("decimal(38,0)")).alias("__s1"),
+            F.sum(
+                F.col("__y").cast("decimal(19,0)")
+                * F.col("__y").cast("decimal(19,0)")
+            ).alias("__s2"),
+        )
+    nd = F.col("n_docs").cast("double")
+    mean = F.col("__s1").cast("double") / nd
+    var = F.try_divide(
+        F.col("__s2").cast("double")
+        - F.col("__s1").cast("double") * F.col("__s1").cast("double")
+        / nd,
+        nd - F.lit(1.0),
+    )
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    staged = g.select(
+        by, "n_docs",
+        F.round(mean, 6).alias("mean_size"),
+        F.round(sd, 6).alias("sd_size"),
+        F.round(nd * sd, 8).alias("__ns"),
+    )
+    tot = staged.agg(
+        F.round(
+            F.sum(F.round(F.col("__ns"), 8).cast("decimal(30,8)")), 8
+        ).cast("double").alias("__tns"),
+        F.sum("n_docs").cast("double").alias("__tn"),
+    )
+    out = staged.crossJoin(F.broadcast(tot))
+    share = F.try_divide(F.col("__ns"), F.col("__tns"))
+    return out.select(
+        by, "n_docs", "mean_size", "sd_size",
+        F.round(share, 6).alias("neyman_share"),
+        F.floor(share * F.lit(float(budget))).cast("long")
+        .alias("n_alloc"),
+        F.round(F.col("n_docs").cast("double") / F.col("__tn"), 6)
+        .alias("prop_share"),
+    )

@@ -6487,3 +6487,148 @@ def cointegration(
         F.when(stat.isNotNull(), stat < F.lit(-3.34))
         .alias("cointegrated_5pct"),
     )
+
+
+def variogram(
+    df: DataFrame,
+    lags: list[int] | None = None,
+    every: str = "1 hour",
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Empirical semivariogram per key (Matheron 1963, the
+    geostatistics workhorse): gamma(h) = mean((v(t+h) - v(t))^2) / 2
+    over all bucket pairs exactly h apart — how fast does the series
+    decorrelate with temporal distance? Rising-then-flattening gamma
+    gives the practical correlation range; a high nugget (gamma(1)
+    >> 0) is measurement noise. Unlike [[ts_acf]] this needs no
+    contiguous series — missing buckets just mean fewer pairs at a
+    lag, never a biased estimate, which makes it the right
+    decorrelation tool for sparse/gappy telemetry.
+
+    Shape: one bucket groupBy, one lag explode (|lags| map-side
+    copies of the bucket table, NOT of raw rows), one bucket-aligned
+    equi-join, one (key, lag) aggregate. Squared diffs accumulate as
+    @6-quantized decimals. Returns (*by, lag_buckets, n_pairs,
+    gamma)."""
+    by = by or []
+    lags = lags or [1, 2, 4, 8, 24]
+    df = _time_norm(df, time_col)
+    step_us = _interval_us(every)
+    b = df.filter(F.col(value_col).isNotNull()).groupBy(
+        *by, F.window(F.col(time_col), every).start.alias("bucket")
+    ).agg(
+        (
+            F.round(F.sum(F.col(value_col).cast("decimal(30,8)")), 4)
+            .cast("double")
+            / F.count(value_col)
+        ).alias("__v")
+    ).select(
+        *by, F.unix_micros("bucket").alias("__bus"), "__v"
+    )
+    left = b.select(
+        *by, "__bus", F.col("__v").alias("__v1"),
+        F.explode(F.array(*[F.lit(h) for h in lags])).alias("lag_buckets"),
+    ).withColumn(
+        "__target",
+        F.col("__bus") + F.col("lag_buckets").cast("long")
+        * F.lit(step_us),
+    )
+    right = b.select(
+        *by, F.col("__bus").alias("__target"), F.col("__v").alias("__v2")
+    )
+    joined = left.join(right, [*by, "__target"])
+    return joined.groupBy(*by, "lag_buckets").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(
+                F.round(
+                    (F.col("__v2") - F.col("__v1"))
+                    * (F.col("__v2") - F.col("__v1")), 6,
+                ).cast("decimal(30,6)")
+            ).cast("double")
+            / (F.lit(2.0) * F.count(F.lit(1)).cast("double")), 6,
+        ).alias("gamma"),
+    )
+
+
+def evt_pot(
+    df: DataFrame,
+    q: float = 0.95,
+    ret_p: float = 0.999,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    min_exceed: int = 10,
+) -> DataFrame:
+    """Peaks-over-threshold extreme value analysis per key (Pickands
+    1975 / the POT method): excesses over a high quantile threshold
+    follow a Generalized Pareto Distribution, so fitting the GPD to
+    the tail extrapolates BEYOND the observed maximum — the return
+    level var_p answers 'what value is exceeded with probability
+    1-p per observation', which no empirical percentile can say for
+    p beyond 1 - 1/n. Method-of-moments fit (Hosking & Wallis 1987):
+    mean^2/var = 1 - 2 xi gives xi = (1 - m^2/s^2)/2, sigma =
+    m (1 - xi); xi > 0 is a genuinely heavy tail (the capacity-
+    planning red flag [[ts_anomaly_mad]]'s fixed-sigma model misses).
+
+    Threshold is the exact interpolated per-key percentile (the
+    agg_percentiles engine convention). Shape: one percentile
+    aggregate, a broadcast join-back of the k-row threshold table,
+    one moment aggregate over exceedances (@8-quantized decimal
+    sums). Keys with < min_exceed exceedances drop (a GPD fit on a
+    handful of points is noise). Returns (*by, threshold_u,
+    n_obs, n_exceed, gpd_xi, gpd_sigma, var_p)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        *by, F.col(value_col).cast("double").alias("__v")
+    )
+    thr = vals.groupBy(*by).agg(
+        F.expr(f"percentile(__v, {q!r})").alias("__u"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+    )
+    if by:
+        tagged = vals.join(F.broadcast(thr), by)
+    else:
+        tagged = vals.crossJoin(F.broadcast(thr))
+    exc = tagged.filter(F.col("__v") > F.col("__u")).select(
+        *by, "__u", "n_obs", (F.col("__v") - F.col("__u")).alias("__y")
+    )
+
+    def dsum8(e):
+        return F.round(F.sum(F.round(e, 8).cast("decimal(30,8)")), 8).cast(
+            "double"
+        )
+
+    g = exc.groupBy(*by, "__u", "n_obs").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exceed"),
+        dsum8(F.col("__y")).alias("__s1"),
+        dsum8(F.col("__y") * F.col("__y")).alias("__s2"),
+    ).filter(F.col("n_exceed") >= min_exceed)
+    nu = F.col("n_exceed").cast("double")
+    m = F.col("__s1") / nu
+    s2 = F.try_divide(
+        F.col("__s2") - F.col("__s1") * F.col("__s1") / nu,
+        nu - F.lit(1.0),
+    )
+    xi = F.when(s2 > 0, F.lit(0.5) * (F.lit(1.0) - m * m / s2))
+    sigma = m * (F.lit(1.0) - xi)
+    zeta = nu / F.col("n_obs").cast("double")
+    ratio = F.lit(float(1.0 - ret_p)) / zeta
+    var_p = F.when(
+        F.abs(xi) > F.lit(1e-9),
+        F.col("__u")
+        + sigma / xi * (F.pow(ratio, -xi) - F.lit(1.0)),
+    ).otherwise(
+        F.col("__u") - sigma * F.log(ratio)
+    )
+    return g.select(
+        *by,
+        F.round("__u", 6).alias("threshold_u"),
+        "n_obs", "n_exceed",
+        F.round(xi, 6).alias("gpd_xi"),
+        F.round(sigma, 6).alias("gpd_sigma"),
+        F.round(var_p, 6).alias("var_p"),
+    )

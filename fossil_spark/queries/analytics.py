@@ -2230,3 +2230,198 @@ def poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("__lo", 6).alias("ci_lo"),
         F.round("__hi", 6).alias("ci_hi"),
     )
+
+
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman revenue concentration per nation (the
+    DOJ/FTC market-concentration index): HHI = sum over customers of
+    (revenue share)^2 — 1/N for a perfectly even market, 1.0 for a
+    monopoly. Complements [[agg_gini]] (inequality of the
+    distribution) with the antitrust-style concentration readout and
+    its two standard companions: normalized HHI ((H - 1/N)/(1 - 1/N))
+    and effective customer count (1/H, the 'numbers equivalent').
+
+    Exactness: per-customer revenue is an exact decimal(30,2) sum,
+    squared in decimal (still exact), so HHI = sum(rev^2)/total^2
+    needs NO per-share quantizer at all — two exact decimals and one
+    fixed-order double division. Shape: one orders groupBy on
+    custkey, a broadcast of the |customer|-bounded nation dim, one
+    nation aggregate. Returns (n_name, n_customers, hhi,
+    hhi_normalized, effective_n)."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(30,2)"))
+        .alias("__rev")
+    )
+    tagged = rev.join(
+        F.broadcast(
+            c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .select(F.col("c_custkey").alias("o_custkey"), "n_name")
+        ),
+        "o_custkey",
+    )
+    g = tagged.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.col("__rev").cast("decimal(19,2)")
+              * F.col("__rev").cast("decimal(19,2)")).alias("__sq"),
+        F.sum("__rev").alias("__tot"),
+    )
+    hhi = F.col("__sq").cast("double") / (
+        F.col("__tot").cast("decimal(19,2)")
+        * F.col("__tot").cast("decimal(19,2)")
+    ).cast("double")
+    nd = F.col("n_customers").cast("double")
+    norm = F.when(
+        F.col("n_customers") > 1,
+        (hhi - F.lit(1.0) / nd) / (F.lit(1.0) - F.lit(1.0) / nd),
+    )
+    return g.select(
+        "n_name", "n_customers",
+        F.round(hhi, 6).alias("hhi"),
+        F.round(norm, 6).alias("hhi_normalized"),
+        F.round(F.lit(1.0) / hhi, 6).alias("effective_n"),
+    )
+
+
+def pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue — the
+    inventory-control classic: rank parts by revenue descending and
+    split at 80% / 95% cumulative share (A = the vital few, B, C =
+    the trivial many); report each class's size and revenue share.
+    The actionable sibling of [[agg_lorenz]]: same curve, but cut at
+    the operating thresholds every supply-chain policy uses.
+
+    Scale shape: the global cumulative window runs over the
+    PER-PART aggregate (|parts| rows, not |lineitem|), which Spark
+    range-partitions for the sort; the class cut is a single pass.
+    Revenue accumulates in exact decimal (the dsum convention at @2:
+    cents are exact), cumulative share is one double division, and
+    the boundary row (cum share exactly 0.80) classes as A on both
+    engines — decimal in, identical IEEE division out. Returns 3
+    rows (abc_class, n_parts, revenue, revenue_share)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.round(
+            F.sum(
+                (
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                ).cast("decimal(30,8)")
+            ), 2,
+        ).alias("__rev")
+    )
+    w = Window.orderBy(F.col("__rev").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = (
+        F.sum("__rev").over(w).cast("double")
+        / F.sum("__rev").over(tot).cast("double")
+    )
+    classed = per_part.select(
+        "__rev",
+        F.when(cum <= 0.80, "A").when(cum <= 0.95, "B")
+        .otherwise("C").alias("abc_class"),
+    )
+    g = classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.col("__rev").cast("decimal(30,2)")).alias("__crev"),
+    )
+    gt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return g.select(
+        "abc_class", "n_parts",
+        F.col("__crev").cast("double").alias("revenue"),
+        F.round(
+            F.col("__crev").cast("double")
+            / F.sum("__crev").over(gt).cast("double"), 6,
+        ).alias("revenue_share"),
+    ).orderBy("abc_class")
+
+
+def msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B monitor (mSPRT, Johari, Pekelis &
+    Walsh 2017 — the 'peeking problem' fix every experimentation
+    platform ships): for each day of the experiment, the mixture
+    sequential probability ratio for the cumulative mean difference
+    under the md5 user split, with the mixture variance tied to the
+    pooled data variance (tau^2 = sigma^2, the scale-free default).
+    The always-valid p is the running minimum of 1/Lambda clamped to
+    1 — valid at EVERY look, so 'significant today' cannot be
+    un-peeked tomorrow. Membership is by the user's md5 variant;
+    observations are per-event values accumulated by calendar day.
+
+    Log-domain throughout (log Lambda = -ln(1+n)/2 +
+    n^2 theta^2 / (2 sigma^2 (1+n)) with n the harmonic per-arm
+    size), so nothing overflows; one exp() at the p conversion (the
+    agg_survival_km precedent). Shape: one (day, variant) aggregate,
+    cumulative decimal window sums over the |days|-bounded table,
+    closed-form algebra. Returns one row per day (day, n_a, n_b,
+    theta_hat, log_lambda, p_always_valid, significant_05)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.filter(F.col("value").isNotNull()).groupBy(
+        F.date_trunc("day", "ts").alias("day"), _ab_variant().alias("__v")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.round(F.col("value"), 8).cast("decimal(30,8)"))
+        .alias("__s"),
+        F.sum(F.round(F.col("value") * F.col("value"), 8)
+              .cast("decimal(30,8)")).alias("__q"),
+    )
+    # RANGE frame, not ROWS: both variants' rows for the same day are
+    # frame peers, so every row's cumulative covers the full day
+    # regardless of intra-day row order (sign-safe, unlike a max-fix)
+    wc = Window.orderBy("day").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+
+    def cum(v, col):
+        e = F.when(F.col("__v") == v, F.col(col))
+        if col == "__n":
+            return F.sum(e).over(wc).cast("long")
+        return F.round(F.sum(e).over(wc), 8).cast("double")
+
+    pivoted = daily.select(
+        "day",
+        cum(0, "__n").alias("na"), cum(1, "__n").alias("nb"),
+        cum(0, "__s").alias("sa"), cum(1, "__s").alias("sb"),
+        cum(0, "__q").alias("qa"), cum(1, "__q").alias("qb"),
+    ).groupBy("day").agg(
+        F.max("na").alias("n_a"), F.max("nb").alias("n_b"),
+        F.max("sa").alias("__sa"), F.max("sb").alias("__sb"),
+        F.max("qa").alias("__qa"), F.max("qb").alias("__qb"),
+    ).filter((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    theta = F.col("__sb") / nb - F.col("__sa") / na
+    sig2 = F.try_divide(
+        (F.col("__qa") - F.col("__sa") * F.col("__sa") / na)
+        + (F.col("__qb") - F.col("__sb") * F.col("__sb") / nb),
+        na + nb - F.lit(2.0),
+    )
+    neff = na * nb / (na + nb)
+    loglam = F.lit(-0.5) * F.log(F.lit(1.0) + neff) + F.try_divide(
+        neff * neff * theta * theta,
+        F.lit(2.0) * sig2 * (F.lit(1.0) + neff),
+    )
+    p_day = F.least(F.exp(-loglam), F.lit(1.0))
+    wmin = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    staged = pivoted.select(
+        "day", "n_a", "n_b",
+        F.round(theta, 6).alias("theta_hat"),
+        F.round(loglam, 6).alias("log_lambda"),
+        p_day.alias("__p"),
+    )
+    pav = F.min("__p").over(wmin)
+    return staged.select(
+        "day", "n_a", "n_b", "theta_hat", "log_lambda",
+        F.round(pav, 6).alias("p_always_valid"),
+        (pav <= F.lit(0.05)).alias("significant_05"),
+    )

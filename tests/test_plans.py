@@ -126,6 +126,10 @@ GLOBAL_WINDOW_OK = {
     "ts_top_movers",            # rank over per-key delta agg
     "ts_granger",               # lag windows over calendar-bucket agg
     "ts_xcorr",                 # lag join over calendar-bucket agg
+    "agg_bh_fdr",               # BH rank/cummin over per-metric agg
+    "agg_poisson_boot",         # order stats over the 40-replicate agg
+    "agg_pareto_abc",           # global cum-share over per-part agg
+    "agg_msprt",                # day-cumulative over per-(day,arm) agg
 }
 
 

@@ -2761,6 +2761,46 @@ def _ts_evt_pot(spark, sf_dir):
     )
 
 
+def _ts_intermittency(spark, sf_dir):
+    """Syntetos-Boylan ADI/CV^2 demand classification per event type
+    (timeseries.intermittency): routes each series to the right
+    forecaster family before anyone fits one."""
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.intermittency(
+        _events(spark, sf_dir), time_col="ts", by=["event_type"]
+    )
+
+
+def _sample_pps(spark, sf_dir):
+    """Deterministic Poisson-PPS draw audit per source
+    (text.pps_sample_audit): expected vs realized draws + the
+    Horvitz-Thompson count estimate certifying the weights."""
+    from fossil_spark.operators import text
+
+    return text.pps_sample_audit(_docs(spark, sf_dir))
+
+
+def _ann_ndcg(spark, sf_dir):
+    """NDCG@5 of the IVF and LSH indexes vs the exact cosine ranking
+    (ann.ndcg_eval): order-aware index quality next to
+    ann_recall_eval's set-based recall."""
+    from fossil_spark.operators import ann
+    from fossil_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 8")
+    truth = ann.cosine_topk(emb, q, k=5)
+    return ann.ndcg_eval(
+        truth,
+        {
+            "ivf": ann.ivf_ann(emb, q, k=5, n_lists=16, n_probe=4),
+            "lsh": ann.lsh_ann(emb, q, dim=64, k=5),
+        },
+        k=5,
+    )
+
+
 def _sample_neyman(spark, sf_dir):
     """Neyman-optimal stratified allocation per source
     (text.neyman_allocation): budget shares proportional to
@@ -2947,6 +2987,8 @@ _WINDOW_PRIORITY = [
     "agg_poisson_boot",
     "agg_hhi", "agg_pareto_abc", "agg_msprt", "ts_variogram",
     "ts_evt_pot", "sample_neyman", "embedding_mmd",
+    "agg_ks_ab", "agg_qte", "agg_eb_shrinkage", "ts_intermittency",
+    "sample_pps", "ann_ndcg",
     # ---------------- below the fold ----------------
     # r10 additions (27 keys, driver-green r10)
     "ts_runs_test", "ts_variance_ratio", "ts_hurst",
@@ -3231,6 +3273,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_evt_pot": _ts_evt_pot,
         "sample_neyman": _sample_neyman,
         "embedding_mmd": _embedding_mmd,
+        "agg_ks_ab": _analytics("ks_ab"),
+        "agg_qte": _analytics("quantile_treatment_effect"),
+        "agg_eb_shrinkage": _analytics("eb_shrinkage"),
+        "ts_intermittency": _ts_intermittency,
+        "sample_pps": _sample_pps,
+        "ann_ndcg": _ann_ndcg,
         "embedding_silhouette": _embedding_silhouette,
         "graph_kcore": _graph_kcore,
         "graph_jaccard": _graph_jaccard,
@@ -6089,6 +6137,42 @@ def oracle_sql() -> dict[str, str]:
         " round(min(CAST(n_hit AS DOUBLE) / n_true), 6)"
         "  AS min_query_recall"
         " FROM pq GROUP BY method ORDER BY method"
+    )
+    # NDCG@5 evaluation (ann.ndcg_eval): same composed index oracles;
+    # Python-literal discounts/IDCG (never each engine's own log),
+    # @8-quantized per-query DCG terms
+    out["ann_ndcg"] = (
+        f"WITH gt AS ({out['ann_bruteforce']}),"
+        f" lc AS ({out['ann_lsh']}),"
+        f" vc AS ({out['ann_ivf']}),"
+        " t AS (SELECT query_id, vec_id, rank AS tr FROM gt"
+        "  WHERE rank <= 5),"
+        " qs AS (SELECT DISTINCT query_id FROM t),"
+        " m AS (SELECT 'lsh' AS method, query_id, vec_id, rank FROM lc"
+        "   WHERE rank <= 5"
+        "  UNION ALL SELECT 'ivf', query_id, vec_id, rank FROM vc"
+        "   WHERE rank <= 5),"
+        " sc AS (SELECT m.method, m.query_id,"
+        "  CAST(round(CAST(coalesce(6 - t.tr, 0) AS DOUBLE)"
+        "   * (CASE m.rank WHEN 1 THEN 1.0"
+        "      WHEN 2 THEN 0.6309297535714575 WHEN 3 THEN 0.5"
+        "      WHEN 4 THEN 0.43067655807339306"
+        "      WHEN 5 THEN 0.38685280723454163 END), 8)"
+        "   AS DECIMAL(30,8)) AS term"
+        "  FROM m LEFT JOIN t ON t.query_id = m.query_id"
+        "   AND t.vec_id = m.vec_id),"
+        " d AS (SELECT method, query_id,"
+        "  CAST(round(sum(term), 8) AS DOUBLE) AS dcg"
+        "  FROM sc GROUP BY 1, 2),"
+        " meth AS (SELECT unnest(['ivf', 'lsh']) AS method),"
+        " pq AS (SELECT meth.method,"
+        "  coalesce(d.dcg, 0.0) / 10.271924937667158 AS ndcg"
+        "  FROM meth CROSS JOIN qs LEFT JOIN d"
+        "  ON d.method = meth.method AND d.query_id = qs.query_id)"
+        " SELECT method, CAST(count(*) AS BIGINT) AS n_queries,"
+        " round(CAST(round(sum(CAST(round(ndcg, 8) AS DECIMAL(30,8))),"
+        "  8) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_ndcg,"
+        " round(min(ndcg), 6) AS min_ndcg FROM pq GROUP BY method"
     )
     # time-weighted average (trapezoidal): values quantize to integer
     # micro-units and each trapezoid area accumulates as exact
@@ -9605,6 +9689,130 @@ def oracle_sql() -> dict[str, str]:
         "   * (CAST(n_b AS DOUBLE) - 1.0))"
         "  - 2.0 * (cab / (CAST(n_a AS DOUBLE)"
         "   * CAST(n_b AS DOUBLE))), 6) AS mmd2 FROM j"
+    )
+    # --- round-11 batch 3 ---------------------------------------------
+    # Two-sample KS across the A/B arms (analytics.ks_ab): the
+    # ts_ks_drift ECDF machinery on per-user totals, variant split
+    out["agg_ks_ab"] = (
+        "WITH u AS (SELECT user_id,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 8) AS DOUBLE)"
+        f"  AS m FROM {_EV} e GROUP BY 1),"
+        " t AS (SELECT m, 1 - CAST(('0x' || substr(md5('ab:'"
+        "  || user_id::VARCHAR), 1, 8))::BIGINT % 2 AS INT) AS a"
+        "  FROM u),"
+        " s AS (SELECT sum(a) OVER wr AS ca,"
+        "  sum(1 - a) OVER wr AS cb, sum(a) OVER () AS na,"
+        "  sum(1 - a) OVER () AS nb FROM t"
+        "  WINDOW wr AS (ORDER BY m"
+        "   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),"
+        " g AS (SELECT CAST(min(na) AS BIGINT) AS n_a,"
+        "  CAST(min(nb) AS BIGINT) AS n_b,"
+        "  max(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb))"
+        "   AS d FROM s)"
+        " SELECT n_a, n_b, round(d, 6) AS ks_d,"
+        " round(1.358 * sqrt(CAST(n_a + n_b AS DOUBLE)"
+        "  / CAST(n_a * n_b AS DOUBLE)), 6) AS ks_crit,"
+        " d > 1.358 * sqrt(CAST(n_a + n_b AS DOUBLE)"
+        "  / CAST(n_a * n_b AS DOUBLE)) AS significant_95 FROM g"
+    )
+    # Quantile treatment effects (analytics.quantile_treatment_effect):
+    # exact interpolated deciles per arm, the agg_percentiles engine
+    # convention, decile array unnested with ordinality
+    out["agg_qte"] = (
+        "WITH u AS (SELECT user_id,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 8) AS DOUBLE)"
+        f"  AS m FROM {_EV} e GROUP BY 1),"
+        " t AS (SELECT ('0x' || substr(md5('ab:' || user_id::VARCHAR),"
+        "  1, 8))::BIGINT % 2 AS v, m FROM u),"
+        " g AS (SELECT v, quantile_cont(m, [0.1, 0.2, 0.3, 0.4, 0.5,"
+        "  0.6, 0.7, 0.8, 0.9]) AS qs FROM t GROUP BY 1),"
+        " ex AS (SELECT v, unnest(list_transform(generate_series(1, 9),"
+        "  j -> {'i': j - 1, 'q': qs[j]})) AS s FROM g),"
+        " e2 AS (SELECT v, s.i AS i, s.q AS q FROM ex),"
+        " p AS (SELECT i, max(CASE WHEN v = 0 THEN q END) AS qa,"
+        "  max(CASE WHEN v = 1 THEN q END) AS qb FROM e2 GROUP BY 1)"
+        " SELECT CAST(i + 1 AS DOUBLE) / 10.0 AS quantile,"
+        " round(qa, 6) AS q_a, round(qb, 6) AS q_b,"
+        " round(qb - qa, 6) AS qte FROM p"
+    )
+    # Empirical-Bayes beta-binomial shrinkage (analytics.eb_shrinkage):
+    # MoM prior from @8 rate moments, posterior-mean rates
+    out["agg_eb_shrinkage"] = (
+        "WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT)"
+        "  AS n_events,"
+        " CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+        f"  AS BIGINT) AS n_conversions FROM {_EV} e GROUP BY 1),"
+        " r AS (SELECT user_id, n_events, n_conversions,"
+        "  CAST(n_conversions AS DOUBLE) / CAST(n_events AS DOUBLE)"
+        "   AS rr FROM u),"
+        " pr AS (SELECT CAST(count(*) AS DOUBLE) AS kk,"
+        "  CAST(round(sum(CAST(round(rr, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS s1,"
+        "  CAST(round(sum(CAST(round(rr * rr, 8) AS DECIMAL(30,8))),"
+        "   8) AS DOUBLE) AS s2 FROM r),"
+        " pm AS (SELECT s1 / kk AS mm,"
+        "  (s2 - s1 * s1 / kk) / (kk - 1.0) AS vv FROM pr),"
+        " ab AS (SELECT mm, CASE WHEN vv > 0 AND mm * (1.0 - mm) > vv"
+        "  THEN mm * (1.0 - mm) / vv - 1.0 END AS abv FROM pm)"
+        " SELECT user_id, n_events, n_conversions,"
+        " round(rr, 6) AS rate_raw,"
+        " round(CASE WHEN abv IS NOT NULL AND abv > 0 THEN"
+        "  (mm * abv + CAST(n_conversions AS DOUBLE))"
+        "  / (abv + CAST(n_events AS DOUBLE)) ELSE rr END, 6)"
+        "  AS rate_shrunk FROM r, ab"
+    )
+    # Syntetos-Boylan classification (timeseries.intermittency):
+    # exact integer demand moments, span from bucket epochs
+    out["ts_intermittency"] = (
+        "WITH b AS (SELECT event_type,"
+        " time_bucket(INTERVAL 1 HOUR, ts) AS bucket,"
+        f" CAST(count(*) AS BIGINT) AS d FROM {_EV} e GROUP BY 1, 2),"
+        " g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ndb,"
+        "  CAST((max(epoch_us(bucket)) - min(epoch_us(bucket)))"
+        "   / 3600000000 + 1 AS BIGINT) AS span,"
+        "  sum(CAST(d AS HUGEINT)) AS s1,"
+        "  sum(CAST(d AS HUGEINT) * d) AS s2 FROM b GROUP BY 1"
+        "  HAVING count(*) >= 2),"
+        " f AS (SELECT event_type, span AS n_buckets_span,"
+        "  ndb AS n_demand_buckets, CAST(ndb AS DOUBLE) AS nd,"
+        "  CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,"
+        "  CAST(span AS DOUBLE) AS spand FROM g),"
+        " h AS (SELECT event_type, n_buckets_span, n_demand_buckets,"
+        "  spand / nd AS adi,"
+        "  greatest((s2d - s1d * s1d / nd) / (nd - 1.0), 0.0)"
+        "   / ((s1d / nd) * (s1d / nd)) AS cv2 FROM f)"
+        " SELECT event_type, n_buckets_span, n_demand_buckets,"
+        " round(adi, 6) AS adi, round(cv2, 6) AS cv2,"
+        " CASE WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'"
+        " WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent'"
+        " WHEN adi < 1.32 AND cv2 >= 0.49 THEN 'erratic'"
+        " ELSE 'lumpy' END AS pattern FROM h"
+    )
+    # Poisson-PPS draw audit (text.pps_sample_audit): md5 uniforms,
+    # Horvitz-Thompson weights, exact decimal size mass
+    out["sample_pps"] = (
+        "WITH tt AS (SELECT CAST(sum(CAST(n_chars AS HUGEINT))"
+        "  AS DOUBLE) AS tot FROM documents),"
+        " st AS (SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS sz"
+        "  FROM documents),"
+        " tg AS (SELECT source, sz,"
+        "  least(1.0, 200.0 * sz / tot) AS pi,"
+        "  CASE WHEN ('0x' || substr(md5('pps:' || doc_id::VARCHAR),"
+        "   1, 13))::BIGINT::DOUBLE / 4503599627370496.0"
+        "   < least(1.0, 200.0 * sz / tot) THEN 1 ELSE 0 END AS sel"
+        "  FROM st, tt),"
+        " g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+        "  CAST(round(sum(CAST(round(pi, 8) AS DECIMAL(30,8))), 8)"
+        "   AS DOUBLE) AS epi,"
+        "  CAST(sum(sel) AS BIGINT) AS n_selected,"
+        "  CAST(round(sum(CAST(round(CASE WHEN sel = 1 THEN 1.0 / pi"
+        "   ELSE 0.0 END, 8) AS DECIMAL(30,8))), 8) AS DOUBLE) AS ht,"
+        "  CAST(sum(CAST(sz AS DECIMAL(38,0))) AS DOUBLE) AS szall,"
+        "  CAST(sum(CAST(CASE WHEN sel = 1 THEN sz ELSE 0.0 END"
+        "   AS DECIMAL(38,0))) AS DOUBLE) AS szsel FROM tg GROUP BY 1)"
+        " SELECT source, n_docs, round(epi, 6) AS expected_draws,"
+        " n_selected, round(ht, 6) AS ht_n_hat,"
+        " round(szsel / szall, 6) AS size_share FROM g"
     )
     # Theta-method forecast (timeseries.theta_forecast): closed-form
     # OLS theta lines + the SES fold replayed via a recursive CTE

@@ -78,7 +78,7 @@ def prep_multirg(spark, sf_dir: str) -> str:
         return sf_dir
 
 
-# The 8 heaviest keys (>3 s each at sf0.1 — each runs multiple proven
+# The 9 heaviest keys (>3 s each at sf0.1 — each runs multiple proven
 # pipelines by design). Inside the 170+-key session their own weight
 # plus accumulated cache pressure inflates EVERY inline number
 # 1.1-1.4x (measured r8-r9: isolated 18q improved while inline
@@ -87,7 +87,7 @@ def prep_multirg(spark, sf_dir: str) -> str:
 HEAVY_ISOLATED = [
     "ts_capacity_eta", "ann_recall_eval", "ts_matrix_profile",
     "ann_index_agreement", "embedding_knn_classify", "ts_trend_robust",
-    "embedding_bq_recall", "ann_recall_curve",
+    "embedding_bq_recall", "ann_recall_curve", "ann_ndcg",
 ]
 
 

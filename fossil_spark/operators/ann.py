@@ -2149,3 +2149,83 @@ def mmd_linear(
         "n_a", "n_b",
         F.round(term_a + term_b - term_x, 6).alias("mmd2"),
     )
+
+
+def ndcg_eval(
+    truth: DataFrame,
+    candidates: dict[str, DataFrame],
+    k: int = 5,
+) -> DataFrame:
+    """NDCG@k of each approximate index against the exact brute-force
+    ranking (Järvelin & Kekäläinen 2002) — the ORDER-aware companion
+    to [[ann_recall_eval]]: recall@k treats 'true neighbor ranked
+    1st' and 'ranked 5th' identically, NDCG pays position-discounted
+    credit (gain = k+1 - true rank, discount = 1/log2(pos+1)), so an
+    index that finds the right set in the wrong order scores below
+    one that orders it correctly — exactly what matters when only the
+    top result is shown.
+
+    Inputs are (query_id, vec_id, rank) tables, the recall_eval
+    shape. Discounts and the ideal DCG are PYTHON-computed literals
+    injected into the plan (never each engine's own log), per-query
+    DCG terms @8-quantized; queries an index missed entirely score
+    0 via the left join. Returns (method, n_queries, mean_ndcg,
+    min_ndcg)."""
+    import math
+
+    disc = {i: 1.0 / math.log2(i + 1) for i in range(1, k + 1)}
+    idcg = sum((k - i + 1) * disc[i] for i in range(1, k + 1))
+    t = (
+        truth.filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.col("rank").alias("__tr"))
+        .localCheckpoint(eager=False)
+    )
+    queries = t.select("query_id").distinct()
+    disc_col = F.col("rank")
+    expr = None
+    for i in range(1, k + 1):
+        cond = F.when(disc_col == i, F.lit(disc[i]))
+        expr = cond if expr is None else expr.when(
+            disc_col == i, F.lit(disc[i])
+        )
+    outs = []
+    for method in sorted(candidates):
+        c = (
+            candidates[method]
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "rank")
+        )
+        j = c.join(t, ["query_id", "vec_id"], "left")
+        rel = F.coalesce(F.lit(k + 1) - F.col("__tr"), F.lit(0))
+        term = F.round(rel.cast("double") * expr, 8).cast(
+            "decimal(30,8)"
+        )
+        dcg = j.groupBy("query_id").agg(
+            F.round(F.sum(term), 8).cast("double").alias("__dcg")
+        )
+        perq = queries.join(dcg, "query_id", "left").select(
+            (F.coalesce(F.col("__dcg"), F.lit(0.0)) / F.lit(idcg))
+            .alias("__ndcg")
+        )
+        row = perq.agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.round(
+                F.sum(F.round(F.col("__ndcg"), 8).cast("decimal(30,8)")),
+                8,
+            ).cast("double").alias("__s"),
+            F.round(F.min("__ndcg"), 6).alias("min_ndcg"),
+        )
+        outs.append(
+            row.select(
+                F.lit(method).alias("method"),
+                "n_queries",
+                F.round(
+                    F.col("__s") / F.col("n_queries").cast("double"), 6
+                ).alias("mean_ndcg"),
+                "min_ndcg",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("method")

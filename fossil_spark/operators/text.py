@@ -2772,3 +2772,85 @@ def neyman_allocation(
         F.round(F.col("n_docs").cast("double") / F.col("__tn"), 6)
         .alias("prop_share"),
     )
+
+
+def pps_sample_audit(
+    df: DataFrame,
+    k: int = 200,
+    by: str = "source",
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size sampling audit
+    per stratum (Hansen & Hurwitz 1943 / Horvitz & Thompson 1952):
+    every doc gets inclusion probability pi_d = min(1, k * size_d /
+    total_size) (Poisson-PPS, so draws are INDEPENDENT — no global
+    coordination, the only sampling design that runs map-side at any
+    scale) and is selected when its md5 uniform falls below pi_d.
+    Reports, per stratum: expected vs realized draw counts, the
+    Horvitz-Thompson estimate of the stratum's doc count from the
+    sample alone (sum of 1/pi over selected — an estimator audit:
+    ht_n_hat ~ n_docs certifies the weights), and how much of the
+    stratum's byte mass the sample covers. The execution counterpart
+    to [[sample_neyman]]'s planning view.
+
+    One pass + a 1-row broadcast total; md5 uniforms are the
+    agg_poisson_boot 13-nibble/2^52 construction. Returns (by,
+    n_docs, expected_draws, n_selected, ht_n_hat, size_share)."""
+    tot = df.agg(
+        F.sum(F.col(size_col).cast("decimal(38,0)")).cast("double")
+        .alias("__tot")
+    )
+    staged = df.select(
+        F.col(by), F.col(id_col),
+        F.col(size_col).cast("double").alias("__sz"),
+    ).crossJoin(F.broadcast(tot))
+    pi = F.least(
+        F.lit(1.0),
+        F.lit(float(k)) * F.col("__sz") / F.col("__tot"),
+    )
+    u01 = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pps:"),
+                               F.col(id_col).cast("string"))),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("long").cast("double")
+        / F.lit(4503599627370496.0)
+    )
+    tagged = staged.select(
+        by, "__sz",
+        pi.alias("__pi"),
+        (u01 < pi).cast("int").alias("__sel"),
+    )
+
+    def dsum8(e):
+        return F.round(F.sum(F.round(e, 8).cast("decimal(30,8)")), 8).cast(
+            "double"
+        )
+
+    g = tagged.groupBy(by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        dsum8(F.col("__pi")).alias("__epi"),
+        F.sum("__sel").cast("long").alias("n_selected"),
+        dsum8(
+            F.when(F.col("__sel") == 1, F.lit(1.0) / F.col("__pi"))
+            .otherwise(F.lit(0.0))
+        ).alias("__ht"),
+        F.sum(F.col("__sz").cast("decimal(38,0)")).cast("double")
+        .alias("__szall"),
+        F.sum(
+            F.when(F.col("__sel") == 1, F.col("__sz"))
+            .otherwise(F.lit(0.0)).cast("decimal(38,0)")
+        ).cast("double").alias("__szsel"),
+    )
+    return g.select(
+        by, "n_docs",
+        F.round("__epi", 6).alias("expected_draws"),
+        "n_selected",
+        F.round("__ht", 6).alias("ht_n_hat"),
+        F.round(F.col("__szsel") / F.col("__szall"), 6)
+        .alias("size_share"),
+    )

@@ -6632,3 +6632,67 @@ def evt_pot(
         F.round(sigma, 6).alias("gpd_sigma"),
         F.round(var_p, 6).alias("var_p"),
     )
+
+
+def intermittency(
+    df: DataFrame,
+    every: str = "1 hour",
+    time_col: str = "time",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Intermittent-demand classification per key (Syntetos & Boylan
+    2005, the forecasting-method router used across supply chains):
+    ADI (average demand interval = span buckets / demand buckets) on
+    one axis, CV^2 of the nonzero demand sizes on the other, cut at
+    the published 1.32 / 0.49 thresholds into smooth / intermittent /
+    erratic / lumpy. The router matters because the right forecaster
+    differs per quadrant (SES for smooth, Croston-style for
+    intermittent, robust methods for lumpy) — run this BEFORE
+    pointing [[ts_theta_forecast]] or [[ts_ewma]] at a sparse series.
+
+    Demand = events per bucket; a bucket row only exists when demand
+    > 0, so the demand-bucket count is the table size and the span
+    denominator comes from the min/max bucket epochs (exact integer
+    arithmetic). Demand sizes are integers, so ALL moments are exact
+    decimals; cv^2 is one fixed-order double expression. Keys with
+    < 2 demand buckets drop (no variance). Returns (*by,
+    n_buckets_span, n_demand_buckets, adi, cv2, pattern)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    step_us = _interval_us(every)
+    b = df.groupBy(
+        *by, F.window(F.col(time_col), every).start.alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__d"))
+    g = b.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_demand_buckets"),
+        (
+            (F.max(F.unix_micros("bucket"))
+             - F.min(F.unix_micros("bucket"))) / F.lit(step_us) + 1
+        ).cast("long").alias("n_buckets_span"),
+        F.sum(F.col("__d").cast("decimal(38,0)")).alias("__s1"),
+        F.sum(
+            F.col("__d").cast("decimal(19,0)")
+            * F.col("__d").cast("decimal(19,0)")
+        ).alias("__s2"),
+    ).filter(F.col("n_demand_buckets") >= 2)
+    nd = F.col("n_demand_buckets").cast("double")
+    m = F.col("__s1").cast("double") / nd
+    var = (
+        F.col("__s2").cast("double")
+        - F.col("__s1").cast("double") * F.col("__s1").cast("double")
+        / nd
+    ) / (nd - F.lit(1.0))
+    adi = F.col("n_buckets_span").cast("double") / nd
+    cv2 = F.greatest(var, F.lit(0.0)) / (m * m)
+    pattern = (
+        F.when((adi < 1.32) & (cv2 < 0.49), "smooth")
+        .when((adi >= 1.32) & (cv2 < 0.49), "intermittent")
+        .when((adi < 1.32) & (cv2 >= 0.49), "erratic")
+        .otherwise("lumpy")
+    )
+    return g.select(
+        *by, "n_buckets_span", "n_demand_buckets",
+        F.round(adi, 6).alias("adi"),
+        F.round(cv2, 6).alias("cv2"),
+        pattern.alias("pattern"),
+    )

@@ -2425,3 +2425,161 @@ def msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pav, 6).alias("p_always_valid"),
         (pav <= F.lit(0.05)).alias("significant_05"),
     )
+
+
+def ks_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the md5 A/B arms on
+    per-user total value — the DISTRIBUTION-level A/B readout: a
+    treatment that moves the tails but not the mean sails through
+    [[agg_welch_t]] and [[agg_mann_whitney]] yet shows up here,
+    because D = max_x |F_a(x) - F_b(x)| sees every quantile at once.
+    Same exact-ECDF machinery as [[ts_ks_drift]] (RANGE-frame ties,
+    cumulative counts, max gap), same large-sample critical value
+    c(0.05) sqrt((n_a+n_b)/(n_a n_b)) with c = 1.358.
+
+    The global sort runs over the per-USER aggregate (|users| rows,
+    the agg_gini convention), not raw events. Returns one row
+    (n_a, n_b, ks_d, ks_crit, significant_95)."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value").cast("decimal(30,8)")), 8)
+        .cast("double").alias("__m")
+    )
+    tagged = per_user.select(
+        "__m",
+        (F.lit(1) - _ab_variant().cast("int")).alias("__a"),
+    )
+    w = Window.orderBy("__m").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = tagged.select(
+        F.sum("__a").over(w).alias("__ca"),
+        F.sum(1 - F.col("__a")).over(w).alias("__cb"),
+        F.sum("__a").over(wall).alias("__na"),
+        F.sum(1 - F.col("__a")).over(wall).alias("__nb"),
+    )
+    gap = F.abs(
+        F.col("__ca").cast("double") / F.col("__na")
+        - F.col("__cb").cast("double") / F.col("__nb")
+    )
+    out = staged.agg(
+        F.min("__na").cast("long").alias("n_a"),
+        F.min("__nb").cast("long").alias("n_b"),
+        F.max(gap).alias("__d"),
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        / (F.col("n_a") * F.col("n_b")).cast("double")
+    )
+    return out.select(
+        "n_a", "n_b",
+        F.round("__d", 6).alias("ks_d"),
+        F.round(crit, 6).alias("ks_crit"),
+        (F.col("__d") > crit).alias("significant_95"),
+    )
+
+
+def quantile_treatment_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile treatment effects at the nine deciles (Doksum 1974 /
+    the modern heterogeneous-effects readout): QTE(p) = Q_b(p) -
+    Q_a(p) of per-user total value under the md5 split. A flat QTE
+    curve means a uniform shift (the mean told the whole story); an
+    upper-decile-only effect means the treatment moved the whales —
+    a pattern [[agg_ab_test]], [[agg_welch_t]] and even
+    [[agg_ks_ab]]'s single D statistic cannot localize.
+
+    Exact interpolated percentiles per arm (the agg_percentiles
+    convention), one 2-row aggregate + posexplode of the decile
+    array. Returns 9 rows (quantile, q_a, q_b, qte)."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value").cast("decimal(30,8)")), 8)
+        .cast("double").alias("__m")
+    )
+    ps = ", ".join(str((i + 1) / 10.0) for i in range(9))
+    g = per_user.select(_ab_variant().alias("__v"), "__m").groupBy(
+        "__v"
+    ).agg(F.expr(f"percentile(__m, array({ps}))").alias("__qs"))
+    ex = g.select("__v", F.posexplode("__qs").alias("__i", "__q"))
+    piv = ex.groupBy("__i").agg(
+        F.max(F.when(F.col("__v") == 0, F.col("__q"))).alias("__qa"),
+        F.max(F.when(F.col("__v") == 1, F.col("__q"))).alias("__qb"),
+    )
+    return piv.select(
+        ((F.col("__i") + 1).cast("double") / F.lit(10.0))
+        .alias("quantile"),
+        F.round("__qa", 6).alias("q_a"),
+        F.round("__qb", 6).alias("q_b"),
+        F.round(F.col("__qb") - F.col("__qa"), 6).alias("qte"),
+    )
+
+
+def eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-user purchase
+    rates (Robbins 1956; the Efron-Morris 'baseball' recipe): fit a
+    Beta(alpha, beta) prior to the observed per-user rates by method
+    of moments (alpha+beta = m(1-m)/v - 1), then report each user's
+    posterior-mean rate (alpha + x_u)/(alpha + beta + n_u). A user
+    with 3 events no longer gets rate 0.33 from one purchase — they
+    shrink hard toward the population; heavy users barely move. THE
+    fix for every 'top converters' leaderboard that is secretly a
+    low-n lottery. If the rates show no overdispersion (v <= 0 or
+    the MoM prior degenerates) shrinkage is a no-op and the raw rate
+    is reported, documented rather than a NULL surprise.
+
+    One user groupBy + a 1-row broadcast of the MoM prior; every
+    moment @8-quantized decimal. Returns (user_id, n_events,
+    n_conversions, rate_raw, rate_shrunk)."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("n_conversions"),
+    ).select(
+        "user_id", "n_events", "n_conversions",
+        (F.col("n_conversions").cast("double")
+         / F.col("n_events").cast("double")).alias("__r"),
+    )
+
+    def dsum8(e):
+        return F.round(F.sum(F.round(e, 8).cast("decimal(30,8)")), 8).cast(
+            "double"
+        )
+
+    prior = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("__k"),
+        dsum8(F.col("__r")).alias("__s1"),
+        dsum8(F.col("__r") * F.col("__r")).alias("__s2"),
+    ).select(
+        (F.col("__s1") / F.col("__k")).alias("__mm"),
+        F.try_divide(
+            F.col("__s2") - F.col("__s1") * F.col("__s1") / F.col("__k"),
+            F.col("__k") - F.lit(1.0),
+        ).alias("__vv"),
+    ).select(
+        "__mm", "__vv",
+        F.when(
+            (F.col("__vv") > 0)
+            & (F.col("__mm") * (F.lit(1.0) - F.col("__mm"))
+               > F.col("__vv")),
+            F.col("__mm") * (F.lit(1.0) - F.col("__mm")) / F.col("__vv")
+            - F.lit(1.0),
+        ).alias("__ab"),
+    )
+    joined = per_user.crossJoin(F.broadcast(prior))
+    alpha = F.col("__mm") * F.col("__ab")
+    shrunk = F.when(
+        F.col("__ab").isNotNull() & (F.col("__ab") > 0),
+        (alpha + F.col("n_conversions").cast("double"))
+        / (F.col("__ab") + F.col("n_events").cast("double")),
+    ).otherwise(F.col("__r"))
+    return joined.select(
+        "user_id", "n_events", "n_conversions",
+        F.round("__r", 6).alias("rate_raw"),
+        F.round(shrunk, 6).alias("rate_shrunk"),
+    )

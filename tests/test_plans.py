@@ -130,6 +130,7 @@ GLOBAL_WINDOW_OK = {
     "agg_poisson_boot",         # order stats over the 40-replicate agg
     "agg_pareto_abc",           # global cum-share over per-part agg
     "agg_msprt",                # day-cumulative over per-(day,arm) agg
+    "agg_ks_ab",                # ECDF sweep over per-user agg
 }
 
 

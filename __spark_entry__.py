@@ -2772,6 +2772,45 @@ def _ts_intermittency(spark, sf_dir):
     )
 
 
+def _graph_modularity(spark, sf_dir):
+    """Newman modularity of the label-prop partition over the minhash
+    graph (graph.modularity): did the propagated provenance labels
+    actually explain the near-dup structure (Q >> 0) or cut it at
+    random (Q ~ 0)?"""
+    from pyspark.sql import functions as F
+
+    from fossil_spark.operators import dedup, graph
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs)
+    seeds = docs.filter("doc_id % 7 = 0").select(
+        "doc_id", F.col("source").alias("label")
+    )
+    labels = graph.label_propagation(pairs, seeds, n_rounds=3)
+    return graph.modularity(pairs, labels)
+
+
+def _ts_iact(spark, sf_dir):
+    """Integrated autocorrelation time + effective sample size per
+    event type (timeseries.iact): how many independent observations
+    the correlated series is actually worth."""
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.iact(
+        _events(spark, sf_dir), lags=10, time_col="ts",
+        by=["event_type"], order_tiebreak=["event_id"],
+    )
+
+
+def _text_hash_collisions(spark, sf_dir):
+    """Feature-hashing collision audit at 10/14/18 bits
+    (text.feature_hash_audit): measured type- and mass-collision
+    rates per bucket width."""
+    from fossil_spark.operators import text
+
+    return text.feature_hash_audit(_docs(spark, sf_dir))
+
+
 def _sample_pps(spark, sf_dir):
     """Deterministic Poisson-PPS draw audit per source
     (text.pps_sample_audit): expected vs realized draws + the
@@ -2989,6 +3028,7 @@ _WINDOW_PRIORITY = [
     "ts_evt_pot", "sample_neyman", "embedding_mmd",
     "agg_ks_ab", "agg_qte", "agg_eb_shrinkage", "ts_intermittency",
     "sample_pps", "ann_ndcg",
+    "agg_did", "graph_modularity", "ts_iact", "text_hash_collisions",
     # ---------------- below the fold ----------------
     # r10 additions (27 keys, driver-green r10)
     "ts_runs_test", "ts_variance_ratio", "ts_hurst",
@@ -3279,6 +3319,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_intermittency": _ts_intermittency,
         "sample_pps": _sample_pps,
         "ann_ndcg": _ann_ndcg,
+        "agg_did": _analytics("diff_in_diff"),
+        "graph_modularity": _graph_modularity,
+        "ts_iact": _ts_iact,
+        "text_hash_collisions": _text_hash_collisions,
         "embedding_silhouette": _embedding_silhouette,
         "graph_kcore": _graph_kcore,
         "graph_jaccard": _graph_jaccard,
@@ -9813,6 +9857,179 @@ def oracle_sql() -> dict[str, str]:
         " SELECT source, n_docs, round(epi, 6) AS expected_draws,"
         " n_selected, round(ht, 6) AS ht_n_hat,"
         " round(szsel / szall, 6) AS size_share FROM g"
+    )
+    # --- round-11 batch 4 ---------------------------------------------
+    # Difference-in-differences (analytics.diff_in_diff): the cuped
+    # midpoint split, then a welch on per-user (post - pre) deltas
+    out["agg_did"] = (
+        "WITH m AS (SELECT (min(epoch_us(ts))"
+        f"  + max(epoch_us(ts))) // 2 AS mid FROM {_EV} e),"
+        " pu AS (SELECT user_id,"
+        "  coalesce(CAST(round(sum(CASE WHEN epoch_us(ts) <"
+        "   (SELECT mid FROM m) THEN CAST(value AS DECIMAL(30,8)) END),"
+        "   8) AS DOUBLE), 0.0) AS x,"
+        "  coalesce(CAST(round(sum(CASE WHEN epoch_us(ts) >="
+        "   (SELECT mid FROM m) THEN CAST(value AS DECIMAL(30,8)) END),"
+        "   8) AS DOUBLE), 0.0) AS y"
+        f"  FROM {_EV} e GROUP BY user_id),"
+        " t AS (SELECT ('0x' || substr(md5('ab:' || user_id::VARCHAR),"
+        "  1, 8))::BIGINT % 2 AS v, x, y, y - x AS d FROM pu),"
+        " a AS (SELECT"
+        "  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        "   AS n_a,"
+        "  CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        "   AS n_b,"
+        "  CAST(round(sum(CASE WHEN v = 0 THEN"
+        "   CAST(round(x, 8) AS DECIMAL(30,8)) END), 8) AS DOUBLE)"
+        "   AS xa,"
+        "  CAST(round(sum(CASE WHEN v = 1 THEN"
+        "   CAST(round(x, 8) AS DECIMAL(30,8)) END), 8) AS DOUBLE)"
+        "   AS xb,"
+        "  CAST(round(sum(CASE WHEN v = 0 THEN"
+        "   CAST(round(y, 8) AS DECIMAL(30,8)) END), 8) AS DOUBLE)"
+        "   AS ya,"
+        "  CAST(round(sum(CASE WHEN v = 1 THEN"
+        "   CAST(round(y, 8) AS DECIMAL(30,8)) END), 8) AS DOUBLE)"
+        "   AS yb,"
+        "  CAST(round(sum(CASE WHEN v = 0 THEN"
+        "   CAST(round(d, 8) AS DECIMAL(30,8)) END), 8) AS DOUBLE)"
+        "   AS sa,"
+        "  CAST(round(sum(CASE WHEN v = 1 THEN"
+        "   CAST(round(d, 8) AS DECIMAL(30,8)) END), 8) AS DOUBLE)"
+        "   AS sb,"
+        "  CAST(round(sum(CASE WHEN v = 0 THEN"
+        "   CAST(round(d * d, 8) AS DECIMAL(30,8)) END), 8) AS DOUBLE)"
+        "   AS qa,"
+        "  CAST(round(sum(CASE WHEN v = 1 THEN"
+        "   CAST(round(d * d, 8) AS DECIMAL(30,8)) END), 8) AS DOUBLE)"
+        "   AS qb FROM t),"
+        " s AS (SELECT n_a, n_b, CAST(n_a AS DOUBLE) AS na,"
+        "  CAST(n_b AS DOUBLE) AS nb, xa, xb, ya, yb, sa, sb, qa, qb"
+        "  FROM a),"
+        " e AS (SELECT n_a, n_b, na, nb, xa, xb, ya, yb,"
+        "  sb / nb - sa / na AS did,"
+        "  (qa - sa * sa / na) / (na - 1) / na"
+        "   + (qb - sb * sb / nb) / (nb - 1) / nb AS sev FROM s)"
+        " SELECT n_a, n_b,"
+        " round(xa / na, 6) AS pre_a, round(ya / na, 6) AS post_a,"
+        " round(xb / nb, 6) AS pre_b, round(yb / nb, 6) AS post_b,"
+        " round(did, 6) AS did,"
+        " round(did / sqrt(greatest(sev, 0.0)), 6) AS z_score,"
+        " abs(did / sqrt(greatest(sev, 0.0))) >= 1.959964"
+        "  AS significant_95 FROM e"
+    )
+    # Newman modularity of the label-prop partition
+    # (graph.modularity): composes the proven graph_label_prop oracle
+    out["graph_modularity"] = (
+        f"WITH {_MINHASH_CTES},"
+        " ed AS (SELECT DISTINCT src, dst FROM ("
+        "  SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        "  UNION ALL SELECT doc_b, doc_a FROM pairs)),"
+        f" lp AS ({out['graph_label_prop']}),"
+        " le AS (SELECT a.label AS la, b.label AS lb FROM ed"
+        "  JOIN lp a ON a.doc_id = ed.src"
+        "  JOIN lp b ON b.doc_id = ed.dst),"
+        " m2 AS (SELECT CAST(count(*) AS DOUBLE) AS md FROM ed),"
+        " cm AS (SELECT la AS label, CAST(count(*) AS BIGINT)"
+        "   AS degree_sum,"
+        "  CAST(sum(CASE WHEN lb = la THEN 1 ELSE 0 END) AS BIGINT)"
+        "   AS in_edges_directed"
+        "  FROM le WHERE la IS NOT NULL GROUP BY 1),"
+        " nn AS (SELECT label, CAST(count(*) AS BIGINT) AS n_nodes"
+        "  FROM lp WHERE label IS NOT NULL GROUP BY 1),"
+        " qq AS (SELECT cm.label, nn.n_nodes, cm.in_edges_directed,"
+        "  cm.degree_sum,"
+        "  round(CAST(in_edges_directed AS DOUBLE) / md"
+        "   - (CAST(degree_sum AS DOUBLE) / md)"
+        "   * (CAST(degree_sum AS DOUBLE) / md), 8) AS q_contrib"
+        "  FROM cm JOIN nn USING (label), m2),"
+        " tq AS (SELECT CAST(round(sum(CAST(round(q_contrib, 8)"
+        "  AS DECIMAL(30,8))), 8) AS DOUBLE) AS q FROM qq)"
+        " SELECT label, n_nodes, in_edges_directed, degree_sum,"
+        " q_contrib, round(q, 6) AS modularity FROM qq, tq"
+    )
+    # Integrated autocorrelation time (timeseries.iact): acf lag
+    # shape at K=10, but rho_k from @8-quantized moment sums with a
+    # guarded denominator (ANSI corr raises on zero variance where
+    # DuckDB corr returns NULL; the moment form is also bitwise
+    # identical across engines), literal-chain tau
+    _iact_lags = ", ".join(
+        f"lag(v, {k}) OVER w AS l{k}" for k in range(1, 11)
+    )
+    _iact_moms = ", ".join(
+        f"CAST(sum(CASE WHEN l{k} IS NOT NULL AND v IS NOT NULL"
+        f" THEN 1 ELSE 0 END) AS DOUBLE) AS n{k},"
+        f" CAST(round(sum(CAST(round(CASE WHEN l{k} IS NOT NULL"
+        f" AND v IS NOT NULL THEN v END, 8) AS DECIMAL(30,8))), 8)"
+        f" AS DOUBLE) AS sx{k},"
+        f" CAST(round(sum(CAST(round(CASE WHEN l{k} IS NOT NULL"
+        f" AND v IS NOT NULL THEN l{k} END, 8) AS DECIMAL(30,8))), 8)"
+        f" AS DOUBLE) AS sy{k},"
+        f" CAST(round(sum(CAST(round(CASE WHEN l{k} IS NOT NULL"
+        f" AND v IS NOT NULL THEN v * l{k} END, 8) AS DECIMAL(30,8))),"
+        f" 8) AS DOUBLE) AS sxy{k},"
+        f" CAST(round(sum(CAST(round(CASE WHEN l{k} IS NOT NULL"
+        f" AND v IS NOT NULL THEN v * v END, 8) AS DECIMAL(30,8))), 8)"
+        f" AS DOUBLE) AS sxx{k},"
+        f" CAST(round(sum(CAST(round(CASE WHEN l{k} IS NOT NULL"
+        f" AND v IS NOT NULL THEN l{k} * l{k} END, 8)"
+        f" AS DECIMAL(30,8))), 8) AS DOUBLE) AS syy{k}"
+        for k in range(1, 11)
+    )
+    _iact_rhos = ", ".join(
+        f"round(CASE WHEN n{k} * sxx{k} - sx{k} * sx{k} > 0"
+        f" AND n{k} * syy{k} - sy{k} * sy{k} > 0 THEN"
+        f" (n{k} * sxy{k} - sx{k} * sy{k})"
+        f" / sqrt((n{k} * sxx{k} - sx{k} * sx{k})"
+        f" * (n{k} * syy{k} - sy{k} * sy{k})) END, 4) AS r{k}"
+        for k in range(1, 11)
+    )
+    out["ts_iact"] = (
+        "WITH t0 AS (SELECT event_type, CAST(value AS DOUBLE) AS v,"
+        " ts, event_id"
+        f" FROM {_EV} e),"
+        f" t AS (SELECT event_type, v, {_iact_lags} FROM t0"
+        " WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),"
+        " a AS (SELECT event_type, CAST(count(v) AS BIGINT) AS n_obs, "
+        + _iact_moms
+        + " FROM t GROUP BY 1),"
+        f" r AS (SELECT event_type, n_obs, {_iact_rhos} FROM a),"
+        " s AS (SELECT event_type, n_obs, 1.0 + 2.0 * ("
+        + " + ".join(f"r{k}" for k in range(1, 11))
+        + ") AS tau FROM r)"
+        " SELECT event_type, n_obs, round(tau, 6) AS tau,"
+        " round(CASE WHEN tau > 0 THEN CAST(n_obs AS DOUBLE) / tau"
+        "  END, 6) AS ess,"
+        " round(CASE WHEN tau > 0 THEN 1.0 / tau END, 6) AS ess_ratio"
+        " FROM s"
+    )
+    # Feature-hashing collision audit (text.feature_hash_audit):
+    # md5 buckets mod 2^k over the vocabulary TYPE table
+    out["text_hash_collisions"] = (
+        "WITH vocab AS (SELECT word AS token,"
+        " CAST(count(*) AS BIGINT) AS occ FROM"
+        f" (SELECT unnest({_TOKS}) AS word FROM documents)"
+        " GROUP BY 1),"
+        " ex AS (SELECT token, occ, unnest([10, 14, 18]) AS k_bits"
+        "  FROM vocab),"
+        " hb AS (SELECT k_bits, occ,"
+        "  ('0x' || substr(md5('fh:' || token), 1, 13))::BIGINT"
+        "   % CAST(pow(2.0, CAST(k_bits AS DOUBLE)) AS BIGINT) AS b"
+        "  FROM ex),"
+        " pb AS (SELECT k_bits, b, CAST(count(*) AS BIGINT) AS nt,"
+        "  CAST(sum(occ) AS BIGINT) AS mass FROM hb GROUP BY 1, 2),"
+        " g AS (SELECT k_bits, CAST(sum(nt) AS BIGINT) AS n_types,"
+        "  CAST(count(*) AS BIGINT) AS n_buckets_used,"
+        "  CAST(sum(CASE WHEN nt >= 2 THEN nt ELSE 0 END) AS BIGINT)"
+        "   AS collided_types,"
+        "  CAST(sum(mass) AS BIGINT) AS tmass,"
+        "  CAST(sum(CASE WHEN nt >= 2 THEN mass ELSE 0 END) AS BIGINT)"
+        "   AS cmass FROM pb GROUP BY 1)"
+        " SELECT k_bits, n_types, n_buckets_used, collided_types,"
+        " round(CAST(collided_types AS DOUBLE)"
+        "  / CAST(n_types AS DOUBLE), 6) AS type_collision_rate,"
+        " round(CAST(cmass AS DOUBLE) / CAST(tmass AS DOUBLE), 6)"
+        "  AS mass_collision_rate FROM g"
     )
     # Theta-method forecast (timeseries.theta_forecast): closed-form
     # OLS theta lines + the SES fold replayed via a recursive CTE

@@ -88,6 +88,7 @@ HEAVY_ISOLATED = [
     "ts_capacity_eta", "ann_recall_eval", "ts_matrix_profile",
     "ann_index_agreement", "embedding_knn_classify", "ts_trend_robust",
     "embedding_bq_recall", "ann_recall_curve", "ann_ndcg",
+    "ts_iact", "graph_modularity",
 ]
 
 

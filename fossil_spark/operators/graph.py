@@ -432,3 +432,74 @@ def assortativity(
         "n_nodes", "n_edges_directed",
         F.round(r, 6).alias("assortativity"),
     )
+
+
+def modularity(
+    pairs: DataFrame,
+    labels: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity of a node partition over the undirected pair
+    graph (Newman & Girvan 2004): per community c, Q_c = e_c/m -
+    (d_c/m)^2 with e_c the directed within-community edge count, d_c
+    the community degree sum, m the directed edge total; Q = sum Q_c.
+    THE did-the-communities-mean-anything number for
+    [[graph_label_prop]]'s output: Q near 0 means the propagated
+    labels cut the near-dup graph no better than chance; Q > 0.3 is
+    real structure worth acting on. Unlabeled nodes keep their edges
+    in m but earn no community credit — so spreading labels to more
+    of the graph can only raise Q by actually explaining edges.
+
+    Shape: one labels join onto each edge endpoint, one per-label
+    aggregate, a 1-row broadcast of m. All counts exact integers;
+    each Q_c is a fixed-order double, the total an @8-quantized
+    decimal sum. Returns one row per community: (label, n_nodes,
+    in_edges_directed, degree_sum, q_contrib, modularity) with the
+    partition total repeated for convenience."""
+    # localCheckpoint: ed feeds both the per-edge label join and the
+    # 1-row total -- without the cut the upstream pair pipeline
+    # (minhash LSH) re-runs once per branch (the pagerank convention)
+    ed = _symmetric_edges(pairs, a_col, b_col).localCheckpoint(
+        eager=False
+    )
+    la = labels.select(
+        F.col(id_col).alias("src"), F.col(label_col).alias("__la")
+    )
+    lb = labels.select(
+        F.col(id_col).alias("dst"), F.col(label_col).alias("__lb")
+    )
+    le = ed.join(la, "src").join(lb, "dst")
+    tot = ed.agg(F.count(F.lit(1)).cast("long").alias("__m"))
+    cm = le.filter(F.col("__la").isNotNull()).groupBy(
+        F.col("__la").alias("label")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("degree_sum"),
+        F.sum(F.when(F.col("__lb") == F.col("__la"), 1).otherwise(0))
+        .cast("long").alias("in_edges_directed"),
+    )
+    nn = labels.filter(F.col(label_col).isNotNull()).groupBy(
+        F.col(label_col).alias("label")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    md = F.col("__m").cast("double")
+    staged = cm.join(nn, "label").crossJoin(F.broadcast(tot)).select(
+        "label", "n_nodes", "in_edges_directed", "degree_sum",
+        F.round(
+            F.col("in_edges_directed").cast("double") / md
+            - (F.col("degree_sum").cast("double") / md)
+            * (F.col("degree_sum").cast("double") / md), 8,
+        ).alias("q_contrib"),
+    )
+    total = staged.agg(
+        F.round(
+            F.sum(F.round(F.col("q_contrib"), 8).cast("decimal(30,8)")),
+            8,
+        ).cast("double").alias("__q")
+    )
+    return staged.crossJoin(F.broadcast(total)).select(
+        "label", "n_nodes", "in_edges_directed", "degree_sum",
+        "q_contrib",
+        F.round("__q", 6).alias("modularity"),
+    )

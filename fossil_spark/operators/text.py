@@ -2854,3 +2854,71 @@ def pps_sample_audit(
         F.round(F.col("__szsel") / F.col("__szall"), 6)
         .alias("size_share"),
     )
+
+
+def feature_hash_audit(
+    df: DataFrame,
+    bits: list[int] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashing collision audit (Weinberger et al. 2009, the
+    'hashing trick'): before a pipeline hashes its vocabulary into
+    2^k feature buckets, measure what each candidate k actually
+    costs — the share of token TYPES that share a bucket with
+    another type, and (the number that matters for model quality)
+    the share of token MASS sitting in collided buckets. Type rate
+    follows the birthday bound; mass rate is usually far lower
+    because head tokens rarely collide with each other — this audit
+    turns 'pick 18 bits to be safe' into a measured tradeoff.
+
+    Deterministic bucket = md5 uniform (the agg_poisson_boot
+    13-nibble construction) mod 2^k. One vocab groupBy + one
+    |bits|-way explode of the TYPE table (never the corpus), one
+    (k, bucket) aggregate. Returns one row per k: (k_bits, n_types,
+    n_buckets_used, collided_types, type_collision_rate,
+    mass_collision_rate)."""
+    bits = bits or [10, 14, 18]
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("__occ"))
+    )
+    ex = vocab.select(
+        "token", "__occ",
+        F.explode(F.array(*[F.lit(k) for k in bits])).alias("k_bits"),
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fh:"), F.col("token"))), 1, 13
+            ),
+            16, 10,
+        ).cast("long")
+        % F.pow(F.lit(2.0), F.col("k_bits").cast("double")).cast("long")
+    )
+    per_bucket = ex.select(
+        "k_bits", h.alias("__b"), "__occ"
+    ).groupBy("k_bits", "__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__nt"),
+        F.sum("__occ").cast("long").alias("__mass"),
+    )
+    g = per_bucket.groupBy("k_bits").agg(
+        F.sum("__nt").cast("long").alias("n_types"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets_used"),
+        F.sum(F.when(F.col("__nt") >= 2, F.col("__nt")).otherwise(0))
+        .cast("long").alias("collided_types"),
+        F.sum("__mass").cast("long").alias("__tmass"),
+        F.sum(F.when(F.col("__nt") >= 2, F.col("__mass")).otherwise(0))
+        .cast("long").alias("__cmass"),
+    )
+    return g.select(
+        "k_bits", "n_types", "n_buckets_used", "collided_types",
+        F.round(
+            F.col("collided_types").cast("double")
+            / F.col("n_types").cast("double"), 6,
+        ).alias("type_collision_rate"),
+        F.round(
+            F.col("__cmass").cast("double")
+            / F.col("__tmass").cast("double"), 6,
+        ).alias("mass_collision_rate"),
+    )

@@ -6696,3 +6696,91 @@ def intermittency(
         F.round(cv2, 6).alias("cv2"),
         pattern.alias("pattern"),
     )
+
+
+def iact(
+    df: DataFrame,
+    lags: int = 10,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Integrated autocorrelation time per key (Sokal 1997, the MCMC
+    effective-sample-size workhorse): tau = 1 + 2 sum_{k<=K} rho_k
+    over the first K row-lag autocorrelations, and ESS = n / tau —
+    how many INDEPENDENT observations this correlated series is
+    actually worth. The sample-size honesty check for every
+    confidence interval computed on telemetry: n = 100k points at
+    tau = 50 carry the evidence of 2k. Truncates at fixed K (the
+    window estimator; documented rather than adaptive so the whole
+    readout is replayable). Complements [[ts_acf]] (which shows the
+    individual rho_k) and [[sample_ess]] (weight-induced ESS — this
+    is correlation-induced).
+
+    Same one-sort lag shape as acf, but each rho_k comes from
+    @8-quantized decimal moment sums with a guarded denominator
+    (rounded @4, the acf report precision) instead of engine-native
+    corr — ANSI corr RAISES on a zero-variance series where DuckDB
+    returns NULL, and the moment form makes both engines bitwise
+    identical anyway. A key with any undefined rho_k (constant
+    series, too few rows) reports NULL tau/ess. Returns (*by, n_obs,
+    tau, ess, ess_ratio)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    order = [F.col(time_col)] + [F.col(c) for c in (order_tiebreak or [])]
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
+    lagged = df.select(
+        *by,
+        F.col(value_col).cast("double").alias("__v"),
+        *[
+            F.lag(F.col(value_col).cast("double"), k).over(w)
+            .alias(f"__l{k}")
+            for k in range(1, lags + 1)
+        ],
+    )
+
+    def dsum8(e):
+        return F.round(F.sum(F.round(e, 8).cast("decimal(30,8)")), 8).cast(
+            "double"
+        )
+
+    aggs = [F.count("__v").cast("long").alias("n_obs")]
+    for k in range(1, lags + 1):
+        lk = F.col(f"__l{k}")
+        pair = lk.isNotNull() & F.col("__v").isNotNull()
+        v = F.when(pair, F.col("__v"))
+        l = F.when(pair, lk)
+        aggs += [
+            F.sum(F.when(pair, 1).otherwise(0)).cast("double")
+            .alias(f"__n{k}"),
+            dsum8(v).alias(f"__sx{k}"),
+            dsum8(l).alias(f"__sy{k}"),
+            dsum8(v * l).alias(f"__sxy{k}"),
+            dsum8(v * v).alias(f"__sxx{k}"),
+            dsum8(l * l).alias(f"__syy{k}"),
+        ]
+    g = lagged.groupBy(*[F.col(c) for c in by]).agg(*aggs)
+    rhos = []
+    for k in range(1, lags + 1):
+        nk = F.col(f"__n{k}")
+        num = nk * F.col(f"__sxy{k}") - F.col(f"__sx{k}") * F.col(f"__sy{k}")
+        dx = nk * F.col(f"__sxx{k}") - F.col(f"__sx{k}") * F.col(f"__sx{k}")
+        dy = nk * F.col(f"__syy{k}") - F.col(f"__sy{k}") * F.col(f"__sy{k}")
+        rhos.append(
+            F.round(
+                F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy)), 4
+            )
+        )
+    s = rhos[0]
+    for r in rhos[1:]:
+        s = s + r
+    tau = F.lit(1.0) + F.lit(2.0) * s
+    ess = F.when(tau > 0, F.col("n_obs").cast("double") / tau)
+    return g.select(
+        *by, "n_obs",
+        F.round(tau, 6).alias("tau"),
+        F.round(ess, 6).alias("ess"),
+        F.round(F.when(tau > 0, F.lit(1.0) / tau), 6)
+        .alias("ess_ratio"),
+    )

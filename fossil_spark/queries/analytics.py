@@ -2583,3 +2583,98 @@ def eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("__r", 6).alias("rate_raw"),
         F.round(shrunk, 6).alias("rate_shrunk"),
     )
+
+
+def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-period difference-in-differences (Card & Krueger 1994
+    canon): the change in per-user value from the pre-period to the
+    post-period (split at the [[agg_cuped]] integer-microsecond
+    midpoint) in arm B minus the same change in arm A — the parallel-
+    trends causal readout that survives any level difference between
+    the arms AND any common shock between the periods, which a plain
+    post-period comparison ([[agg_welch_t]]) conflates with the
+    treatment. With user fixed effects the estimator reduces to a
+    Welch test on per-user (post - pre) deltas, which is exactly how
+    it's computed: one user groupBy, one 2-row aggregate.
+
+    Returns one row (n_a, n_b, pre_a, post_a, pre_b, post_b, did,
+    z_score, significant_95); the four cell means make the
+    parallel-trends story auditable next to the estimate."""
+    ev = read_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.expr(
+            "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
+        ).alias("__mid")
+    )
+    per_user = ev.crossJoin(F.broadcast(mid)).groupBy("user_id").agg(
+        F.round(
+            F.sum(
+                F.when(F.unix_micros("ts") < F.col("__mid"),
+                       F.col("value")).cast("decimal(30,8)")
+            ), 8,
+        ).cast("double").alias("__x0"),
+        F.round(
+            F.sum(
+                F.when(F.unix_micros("ts") >= F.col("__mid"),
+                       F.col("value")).cast("decimal(30,8)")
+            ), 8,
+        ).cast("double").alias("__y0"),
+    ).select(
+        "user_id",
+        F.coalesce(F.col("__x0"), F.lit(0.0)).alias("__x"),
+        F.coalesce(F.col("__y0"), F.lit(0.0)).alias("__y"),
+    )
+    tagged = per_user.select(
+        _ab_variant().alias("__v"), "__x", "__y",
+        (F.col("__y") - F.col("__x")).alias("__d"),
+    )
+
+    def dsum8(e):
+        return F.round(F.sum(F.round(e, 8).cast("decimal(30,8)")), 8).cast(
+            "double"
+        )
+
+    g = tagged.agg(
+        F.sum(F.when(F.col("__v") == 0, 1).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("__v") == 1, 1).otherwise(0))
+        .cast("long").alias("n_b"),
+        dsum8(F.when(F.col("__v") == 0, F.col("__x"))).alias("__xa"),
+        dsum8(F.when(F.col("__v") == 1, F.col("__x"))).alias("__xb"),
+        dsum8(F.when(F.col("__v") == 0, F.col("__y"))).alias("__ya"),
+        dsum8(F.when(F.col("__v") == 1, F.col("__y"))).alias("__yb"),
+        dsum8(F.when(F.col("__v") == 0, F.col("__d"))).alias("__sa"),
+        dsum8(F.when(F.col("__v") == 1, F.col("__d"))).alias("__sb"),
+        dsum8(F.when(F.col("__v") == 0, F.col("__d") * F.col("__d")))
+        .alias("__qa"),
+        dsum8(F.when(F.col("__v") == 1, F.col("__d") * F.col("__d")))
+        .alias("__qb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    da = F.try_divide(F.col("__sa"), na)
+    db = F.try_divide(F.col("__sb"), nb)
+    va = F.try_divide(
+        F.col("__qa") - F.try_divide(F.col("__sa") * F.col("__sa"), na),
+        na - 1,
+    )
+    vb = F.try_divide(
+        F.col("__qb") - F.try_divide(F.col("__sb") * F.col("__sb"), nb),
+        nb - 1,
+    )
+    did = db - da
+    z = F.try_divide(
+        did,
+        F.sqrt(F.greatest(F.try_divide(va, na) + F.try_divide(vb, nb),
+                          F.lit(0.0))),
+    )
+    return g.select(
+        "n_a", "n_b",
+        F.round(F.try_divide(F.col("__xa"), na), 6).alias("pre_a"),
+        F.round(F.try_divide(F.col("__ya"), na), 6).alias("post_a"),
+        F.round(F.try_divide(F.col("__xb"), nb), 6).alias("pre_b"),
+        F.round(F.try_divide(F.col("__yb"), nb), 6).alias("post_b"),
+        F.round(did, 6).alias("did"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) >= F.lit(1.959964)).alias("significant_95"),
+    )

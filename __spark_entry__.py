@@ -2811,6 +2811,18 @@ def _text_hash_collisions(spark, sf_dir):
     return text.feature_hash_audit(_docs(spark, sf_dir))
 
 
+def _graph_powerlaw(spark, sf_dir):
+    """Clauset-Shalizi-Newman discrete MLE for the degree
+    distribution of the minhash graph (graph.powerlaw_fit): is
+    duplication scale-free hub-dominated (alpha ~ 2) or shallow
+    (alpha > 3)?"""
+    from fossil_spark.operators import dedup, graph
+
+    return graph.powerlaw_fit(
+        dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+    )
+
+
 def _sample_pps(spark, sf_dir):
     """Deterministic Poisson-PPS draw audit per source
     (text.pps_sample_audit): expected vs realized draws + the
@@ -3029,6 +3041,7 @@ _WINDOW_PRIORITY = [
     "agg_ks_ab", "agg_qte", "agg_eb_shrinkage", "ts_intermittency",
     "sample_pps", "ann_ndcg",
     "agg_did", "graph_modularity", "ts_iact", "text_hash_collisions",
+    "agg_price_index", "graph_powerlaw",
     # ---------------- below the fold ----------------
     # r10 additions (27 keys, driver-green r10)
     "ts_runs_test", "ts_variance_ratio", "ts_hurst",
@@ -3323,6 +3336,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": _graph_modularity,
         "ts_iact": _ts_iact,
         "text_hash_collisions": _text_hash_collisions,
+        "agg_price_index": _analytics("price_index"),
+        "graph_powerlaw": _graph_powerlaw,
         "embedding_silhouette": _embedding_silhouette,
         "graph_kcore": _graph_kcore,
         "graph_jaccard": _graph_jaccard,
@@ -10030,6 +10045,62 @@ def oracle_sql() -> dict[str, str]:
         "  / CAST(n_types AS DOUBLE), 6) AS type_collision_rate,"
         " round(CAST(cmass AS DOUBLE) / CAST(tmass AS DOUBLE), 6)"
         "  AS mass_collision_rate FROM g"
+    )
+    # --- round-11 batch 5 ---------------------------------------------
+    # Laspeyres/Paasche/Fisher (analytics.price_index): shipdate
+    # midpoint split, decimal unit prices, @4 p*q term sums
+    out["agg_price_index"] = (
+        "WITH m AS (SELECT (min(epoch_us(l_shipdate))"
+        "  + max(epoch_us(l_shipdate))) // 2 AS mid FROM lineitem),"
+        " per AS (SELECT l_partkey,"
+        "  CASE WHEN epoch_us(l_shipdate) >= (SELECT mid FROM m)"
+        "   THEN 1 ELSE 0 END AS p,"
+        "  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,8))), 4)"
+        "   AS DOUBLE) AS rev,"
+        "  CAST(round(sum(CAST(l_quantity AS DECIMAL(30,8))), 4)"
+        "   AS DOUBLE) AS qty"
+        "  FROM lineitem GROUP BY 1, 2),"
+        " pp AS (SELECT l_partkey, p, qty, rev / qty AS price FROM per),"
+        " b AS (SELECT l_partkey, price AS p0, qty AS q0 FROM pp"
+        "  WHERE p = 0),"
+        " c AS (SELECT l_partkey, price AS p1, qty AS q1 FROM pp"
+        "  WHERE p = 1),"
+        " j AS (SELECT b.l_partkey, p0, q0, p1, q1 FROM b"
+        "  JOIN c USING (l_partkey)),"
+        " g AS (SELECT CAST(count(*) AS BIGINT) AS n_parts_common,"
+        "  CAST(round(sum(CAST(round(p1 * q0, 4) AS DECIMAL(30,4))), 4)"
+        "   AS DOUBLE) AS lnum,"
+        "  CAST(round(sum(CAST(round(p0 * q0, 4) AS DECIMAL(30,4))), 4)"
+        "   AS DOUBLE) AS lden,"
+        "  CAST(round(sum(CAST(round(p1 * q1, 4) AS DECIMAL(30,4))), 4)"
+        "   AS DOUBLE) AS pnum,"
+        "  CAST(round(sum(CAST(round(p0 * q1, 4) AS DECIMAL(30,4))), 4)"
+        "   AS DOUBLE) AS pden FROM j)"
+        " SELECT n_parts_common,"
+        " round(lnum / lden, 6) AS laspeyres,"
+        " round(pnum / pden, 6) AS paasche,"
+        " round(sqrt(lnum / lden * (pnum / pden)), 6) AS fisher FROM g"
+    )
+    # Degree power-law MLE (graph.powerlaw_fit): per-NODE ln term,
+    # @8-quantized, CSN discrete MLE with d_min = 1
+    out["graph_powerlaw"] = (
+        f"WITH {_MINHASH_CTES},"
+        " ed AS (SELECT DISTINCT src, dst FROM ("
+        "  SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        "  UNION ALL SELECT doc_b, doc_a FROM pairs)),"
+        " deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM ed"
+        "  GROUP BY 1 HAVING count(*) >= 1),"
+        " g AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,"
+        "  CAST(max(d) AS BIGINT) AS max_degree,"
+        "  sum(CAST(d AS HUGEINT)) AS sd,"
+        "  CAST(round(sum(CAST(round(ln(CAST(d AS DOUBLE) / 0.5), 8)"
+        "   AS DECIMAL(30,8))), 8) AS DOUBLE) AS sln FROM deg)"
+        " SELECT n_nodes, CAST(1 AS INT) AS d_min, max_degree,"
+        " round(CAST(sd AS DOUBLE) / CAST(n_nodes AS DOUBLE), 6)"
+        "  AS mean_degree,"
+        " round(1.0 + CAST(n_nodes AS DOUBLE) / sln, 6) AS alpha,"
+        " round((1.0 + CAST(n_nodes AS DOUBLE) / sln - 1.0)"
+        "  / sqrt(CAST(n_nodes AS DOUBLE)), 6) AS alpha_se FROM g"
     )
     # Theta-method forecast (timeseries.theta_forecast): closed-form
     # OLS theta lines + the SES fold replayed via a recursive CTE

@@ -503,3 +503,53 @@ def modularity(
         "q_contrib",
         F.round("__q", 6).alias("modularity"),
     )
+
+
+def powerlaw_fit(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    d_min: int = 1,
+) -> DataFrame:
+    """Power-law exponent of the degree distribution (Clauset,
+    Shalizi & Newman 2009 discrete MLE): alpha = 1 + n /
+    sum ln(d / (d_min - 1/2)) over nodes with degree >= d_min, with
+    its asymptotic standard error (alpha - 1)/sqrt(n). On a near-dup
+    graph the exponent is the template-economy summary: alpha near 2
+    means a few giant boilerplate hubs dominate (scale-free,
+    dedup the hubs first), steep alpha > 3 means duplication is
+    shallow and local. Reports max degree and the degree mean next
+    to alpha so a reader can sanity-check the fit range.
+
+    One exploded-endpoint degree groupBy + one aggregate; the only
+    transcendental is ln(d / (d_min - 0.5)) per NODE (not per edge),
+    @8-quantized decimal sum. Returns one row (n_nodes, d_min,
+    max_degree, mean_degree, alpha, alpha_se)."""
+    deg = (
+        _symmetric_edges(pairs, a_col, b_col)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("__d"))
+        .filter(F.col("__d") >= int(d_min))
+    )
+    lnterm = F.log(
+        F.col("__d").cast("double") / F.lit(d_min - 0.5)
+    )
+    g = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.max("__d").cast("long").alias("max_degree"),
+        F.sum(F.col("__d").cast("decimal(38,0)")).alias("__sd"),
+        F.round(F.sum(F.round(lnterm, 8).cast("decimal(30,8)")), 8)
+        .cast("double").alias("__sln"),
+    )
+    nd = F.col("n_nodes").cast("double")
+    alpha = F.lit(1.0) + F.try_divide(nd, F.col("__sln"))
+    return g.select(
+        "n_nodes",
+        F.lit(int(d_min)).alias("d_min"),
+        "max_degree",
+        F.round(F.col("__sd").cast("double") / nd, 6)
+        .alias("mean_degree"),
+        F.round(alpha, 6).alias("alpha"),
+        F.round(F.try_divide(alpha - F.lit(1.0), F.sqrt(nd)), 6)
+        .alias("alpha_se"),
+    )

@@ -2678,3 +2678,73 @@ def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_score"),
         (F.abs(z) >= F.lit(1.959964)).alias("significant_95"),
     )
+
+
+def price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indexes between the two
+    halves of the shipping calendar (the national-statistics-office
+    classics, Fisher 1922): did unit prices rise, holding the basket
+    fixed at base-period quantities (Laspeyres), at current-period
+    quantities (Paasche), or geometrically between (Fisher, the
+    'ideal' index that passes the time-reversal test)? L > P is the
+    substitution signature — buyers shifted toward the items whose
+    relative price fell. Only parts traded in BOTH periods enter
+    (the matched-model convention).
+
+    Per (part, period): unit price = decimal revenue / decimal
+    quantity (extendedprice is quantity-scaled in this schema);
+    index terms p x q rounded @4 into decimal sums; the split is the
+    integer-microsecond shipdate midpoint (the cuped convention).
+    One lineitem groupBy + one self-aligned part join + one 1-row
+    aggregate. Returns one row (n_parts_common, laspeyres, paasche,
+    fisher)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    mid = li.agg(
+        F.expr(
+            "(min(unix_micros(l_shipdate))"
+            " + max(unix_micros(l_shipdate))) div 2"
+        ).alias("__mid")
+    )
+    per = li.crossJoin(F.broadcast(mid)).groupBy(
+        "l_partkey",
+        (F.unix_micros("l_shipdate") >= F.col("__mid"))
+        .cast("int").alias("__p"),
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(30,8)")), 4)
+        .cast("double").alias("__rev"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(30,8)")), 4)
+        .cast("double").alias("__qty"),
+    ).select(
+        "l_partkey", "__p", "__qty",
+        (F.col("__rev") / F.col("__qty")).alias("__price"),
+    )
+    base = per.filter(F.col("__p") == 0).select(
+        "l_partkey", F.col("__price").alias("__p0"),
+        F.col("__qty").alias("__q0"),
+    )
+    curr = per.filter(F.col("__p") == 1).select(
+        "l_partkey", F.col("__price").alias("__p1"),
+        F.col("__qty").alias("__q1"),
+    )
+    j = base.join(curr, "l_partkey")
+
+    def dsum4(e):
+        return F.round(F.sum(F.round(e, 4).cast("decimal(30,4)")), 4).cast(
+            "double"
+        )
+
+    g = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts_common"),
+        dsum4(F.col("__p1") * F.col("__q0")).alias("__l_num"),
+        dsum4(F.col("__p0") * F.col("__q0")).alias("__l_den"),
+        dsum4(F.col("__p1") * F.col("__q1")).alias("__p_num"),
+        dsum4(F.col("__p0") * F.col("__q1")).alias("__p_den"),
+    )
+    lasp = F.col("__l_num") / F.col("__l_den")
+    paas = F.col("__p_num") / F.col("__p_den")
+    return g.select(
+        "n_parts_common",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )

@@ -196,3 +196,57 @@ def test_feature_hash_audit_matches_python(spark):
         assert abs(r["mass_collision_rate"] - cmass / tmass) < 1e-6, k
     assert got[1]["n_buckets_used"] <= 2
     assert got[30]["collided_types"] == 0
+
+
+# --------------------------------------------------------------------------
+# price index (batch 5)
+# --------------------------------------------------------------------------
+
+def test_price_index_matches_pandas(spark):
+    """Matched-model L/P/F recomputed independently in pandas at the
+    same shipdate midpoint."""
+    from fossil_spark.queries.analytics import price_index
+    from fossil_spark.session import read_table
+
+    row = price_index(spark, SF_DIR).collect()[0]
+    li = read_table(spark, SF_DIR, "lineitem").toPandas()
+    us = li["l_shipdate"].astype("int64") // 1000
+    mid = (int(us.min()) + int(us.max())) // 2
+    li = li.assign(p=(us >= mid).astype(int))
+    g = li.groupby(["l_partkey", "p"]).agg(
+        rev=("l_extendedprice", "sum"), qty=("l_quantity", "sum")
+    ).reset_index()
+    g["price"] = g["rev"] / g["qty"]
+    b = g[g["p"] == 0].set_index("l_partkey")
+    c = g[g["p"] == 1].set_index("l_partkey")
+    common = b.index.intersection(c.index)
+    p0, q0 = b.loc[common, "price"], b.loc[common, "qty"]
+    p1, q1 = c.loc[common, "price"], c.loc[common, "qty"]
+    lasp = float((p1 * q0).sum() / (p0 * q0).sum())
+    paas = float((p1 * q1).sum() / (p0 * q1).sum())
+    assert row["n_parts_common"] == len(common)
+    assert abs(row["laspeyres"] - lasp) < 1e-4
+    assert abs(row["paasche"] - paas) < 1e-4
+    assert abs(row["fisher"] - math.sqrt(lasp * paas)) < 1e-4
+
+
+# --------------------------------------------------------------------------
+# power-law fit (batch 5)
+# --------------------------------------------------------------------------
+
+def test_powerlaw_star_known_answer(spark):
+    """A 3-leaf star has degrees (3,1,1,1): CSN MLE gives
+    alpha = 1 + 4/(ln 6 + 3 ln 2)."""
+    from fossil_spark.operators.graph import powerlaw_fit
+
+    pairs = spark.createDataFrame(
+        [("h", "l1"), ("h", "l2"), ("h", "l3")],
+        "doc_a string, doc_b string",
+    )
+    row = powerlaw_fit(pairs).collect()[0]
+    sln = math.log(3 / 0.5) + 3 * math.log(1 / 0.5)
+    alpha = 1.0 + 4.0 / sln
+    assert (row["n_nodes"], row["d_min"], row["max_degree"]) == (4, 1, 3)
+    assert row["mean_degree"] == 1.5
+    assert abs(row["alpha"] - alpha) < 1e-5
+    assert abs(row["alpha_se"] - (alpha - 1.0) / 2.0) < 1e-5

@@ -3009,11 +3009,13 @@ def _text_idf_outliers(spark, sf_dir):
 # pipeline_curate, pipeline_semantic_dedup, win_running_revenue).
 # The r10 verdict queued exactly those 43 at the round-11 window
 # head — they lead, closing the rotation: after this round no key's
-# newest driver signal predates r10. Round-11 additions follow at
-# position 44+ (the first ~7 land inside the window; the rest are
-# locally dual-SF-gated and take the r12 head as never-checked
-# debt). Everything r10-fresh (the 27 additions, the 22 r3-refresh,
-# fql_all) drops below the fold as the newest signal in the registry.
+# newest driver signal predates r10. The 26 round-11 additions
+# follow at position 44+: the first 7 (batch 1) land inside the
+# ~50-key window; the other 19 (batches 2-5) are locally
+# dual-SF-gated and queue in registration order as the r12 head's
+# never-checked debt. Everything r10-fresh (the 27 additions, the
+# 22 r3-refresh, fql_all) drops below the fold as the newest signal
+# in the registry.
 _WINDOW_PRIORITY = [
     # --- r4-vintage rotation close (43 keys, last PASS r4) ---
     "fql_kitchen_sink", "fql_map_composite", "fql_mapreduce_avg",
@@ -3031,7 +3033,7 @@ _WINDOW_PRIORITY = [
     "json_props_analysis", "win_running_revenue",
     "pipeline_curate", "pipeline_semantic_dedup",
     # --- round-11 additions (never driver-checked; the first 7 sit
-    # inside the ~50-key window, the batch-2 seven queue just below
+    # inside the ~50-key window, the remaining 19 queue just below
     # the fold for the r12 head) ---
     "agg_delta_ratio", "agg_bh_fdr", "agg_spearman",
     "ts_cointegration", "ts_turning_points", "graph_assortativity",

@@ -90,6 +90,9 @@ HEAVY_ISOLATED = [
     "embedding_bq_recall", "ann_recall_curve", "ann_ndcg",
     "ts_iact", "graph_modularity",
 ]
+# the ORIGINAL r9 8-key set: heavy8_isolated sums exactly these so the
+# cross-round series stays comparable as new heavy keys join the child
+HEAVY_ORIG8 = HEAVY_ISOLATED[:8]
 
 
 def _isolated_child(flag: str, result_key: str) -> dict | None:
@@ -288,7 +291,12 @@ def main() -> None:
         return
     if heavy_only:
         print(json.dumps({
-            "heavy8_isolated": round(sum(timings.values()), 3),
+            # series metric: the ORIGINAL 8-key sum (r9-comparable);
+            # the full child total goes alongside as heavy_iso_total
+            "heavy8_isolated": round(
+                sum(timings.get(k, 0.0) for k in HEAVY_ORIG8), 3
+            ),
+            "heavy_iso_total": round(sum(timings.values()), 3),
             "queries": timings, "sf": sf,
         }))
         return
@@ -296,10 +304,11 @@ def main() -> None:
     # merge the heavy child's per-query numbers (isolated, so they
     # track code rather than session state); if the child failed they
     # already ran inline above via the un-filtered `available`
-    heavy8 = None
+    heavy8 = heavy_tot = None
     if heavy_result:
         timings.update(heavy_result.get("queries", {}))
         heavy8 = heavy_result.get("heavy8_isolated")
+        heavy_tot = heavy_result.get("heavy_iso_total")
     total = round(sum(timings.values()), 3)
 
     # The driver records only the LAST ~2000 bytes of stdout; round 6's
@@ -324,6 +333,7 @@ def main() -> None:
         "aggregation": "min",
         "comparable_18q_isolated": isolated,
         "heavy8_isolated": heavy8,
+        "heavy_iso_total": heavy_tot,
         "heavy_isolated_keys": HEAVY_ISOLATED if heavy_result else [],
         "data_layout": "multi-row-group rechunk of the driver parquet (bench.prep_multirg)",
     }
@@ -349,6 +359,7 @@ def main() -> None:
         "comparable_18q_inline": comparable_sec,
         "comparable_18q_isolated": isolated,
         "heavy8_isolated": heavy8,
+        "heavy_iso_total": heavy_tot,
         "n_errors": len(errors),
         "full": "build/bench_full.json",
     }

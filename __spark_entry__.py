@@ -2811,6 +2811,35 @@ def _text_hash_collisions(spark, sf_dir):
     return text.feature_hash_audit(_docs(spark, sf_dir))
 
 
+def _ts_kpss(spark, sf_dir):
+    """KPSS level-stationarity test per event type (timeseries.kpss):
+    the null-reversed partner of ts_adf — running both separates
+    stationary / unit-root / inconclusive."""
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.kpss(
+        _events(spark, sf_dir), time_col="ts", by=["event_type"]
+    )
+
+
+def _text_token_coverage(spark, sf_dir):
+    """Token-mass coverage of the top-{100,1k,10k} vocabulary types
+    (text.token_coverage): the vocab-sizing curve at the cut points
+    a budget would actually pick."""
+    from fossil_spark.operators import text
+
+    return text.token_coverage(_docs(spark, sf_dir))
+
+
+def _dedup_bloom_audit(spark, sf_dir):
+    """Bloom-filter sizing audit (dedup.bloom_audit): measured vs
+    textbook false-positive rate at 2^16 / 2^20 bits over the
+    corpus's normalized-text membership set."""
+    from fossil_spark.operators import dedup
+
+    return dedup.bloom_audit(_docs(spark, sf_dir))
+
+
 def _graph_powerlaw(spark, sf_dir):
     """Clauset-Shalizi-Newman discrete MLE for the degree
     distribution of the minhash graph (graph.powerlaw_fit): is
@@ -3044,6 +3073,8 @@ _WINDOW_PRIORITY = [
     "sample_pps", "ann_ndcg",
     "agg_did", "graph_modularity", "ts_iact", "text_hash_collisions",
     "agg_price_index", "graph_powerlaw",
+    "ts_kpss", "agg_markov_entropy", "text_token_coverage",
+    "dedup_bloom_audit",
     # ---------------- below the fold ----------------
     # r10 additions (27 keys, driver-green r10)
     "ts_runs_test", "ts_variance_ratio", "ts_hurst",
@@ -3340,6 +3371,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hash_collisions": _text_hash_collisions,
         "agg_price_index": _analytics("price_index"),
         "graph_powerlaw": _graph_powerlaw,
+        "ts_kpss": _ts_kpss,
+        "agg_markov_entropy": _analytics("markov_entropy"),
+        "text_token_coverage": _text_token_coverage,
+        "dedup_bloom_audit": _dedup_bloom_audit,
         "embedding_silhouette": _embedding_silhouette,
         "graph_kcore": _graph_kcore,
         "graph_jaccard": _graph_jaccard,
@@ -10103,6 +10138,144 @@ def oracle_sql() -> dict[str, str]:
         " round(1.0 + CAST(n_nodes AS DOUBLE) / sln, 6) AS alpha,"
         " round((1.0 + CAST(n_nodes AS DOUBLE) / sln - 1.0)"
         "  / sqrt(CAST(n_nodes AS DOUBLE)), 6) AS alpha_se FROM g"
+    )
+    # --- round-11 batch 6 ---------------------------------------------
+    # KPSS level-stationarity (timeseries.kpss): partial sums of the
+    # demeaned bucket means, Bartlett long-run variance at fixed L=8
+    # with Python-literal weights (both engines see identical doubles)
+    out["ts_kpss"] = (
+        "WITH b AS (SELECT event_type,"
+        " time_bucket(INTERVAL 1 HOUR, ts) AS bucket,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "  / count(value) AS v"
+        f" FROM {_EV} e WHERE value IS NOT NULL GROUP BY 1, 2),"
+        " c AS (SELECT event_type, bucket,"
+        "  v - round(CAST(sum(CAST(v AS DECIMAL(30,8))) OVER wk"
+        "   AS DOUBLE) / count(v) OVER wk, 6) AS e FROM b"
+        "  WINDOW wk AS (PARTITION BY event_type)),"
+        " st AS (SELECT event_type, e,"
+        "  CAST(sum(CAST(round(e, 6) AS DECIMAL(30,6))) OVER wc"
+        "   AS DOUBLE) AS s, lag(e, 1) OVER wo AS el1, lag(e, 2) OVER wo AS el2, lag(e, 3) OVER wo AS el3, lag(e, 4) OVER wo AS el4, lag(e, 5) OVER wo AS el5, lag(e, 6) OVER wo AS el6, lag(e, 7) OVER wo AS el7, lag(e, 8) OVER wo AS el8 FROM c"
+        "  WINDOW wc AS (PARTITION BY event_type ORDER BY bucket"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),"
+        "  wo AS (PARTITION BY event_type ORDER BY bucket)),"
+        " a AS (SELECT event_type, CAST(count(*) AS BIGINT)"
+        "  AS n_buckets,"
+        "  CAST(sum(CAST(round(s * s, 4) AS DECIMAL(38,4))) AS DOUBLE)"
+        "   AS ss2,"
+        "  CAST(sum(CAST(round(e * e, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+        "   AS g0, CAST(sum(CAST(round(e * el1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS g1, CAST(sum(CAST(round(e * el2, 6) AS DECIMAL(38,6))) AS DOUBLE) AS g2, CAST(sum(CAST(round(e * el3, 6) AS DECIMAL(38,6))) AS DOUBLE) AS g3, CAST(sum(CAST(round(e * el4, 6) AS DECIMAL(38,6))) AS DOUBLE) AS g4, CAST(sum(CAST(round(e * el5, 6) AS DECIMAL(38,6))) AS DOUBLE) AS g5, CAST(sum(CAST(round(e * el6, 6) AS DECIMAL(38,6))) AS DOUBLE) AS g6, CAST(sum(CAST(round(e * el7, 6) AS DECIMAL(38,6))) AS DOUBLE) AS g7, CAST(sum(CAST(round(e * el8, 6) AS DECIMAL(38,6))) AS DOUBLE) AS g8"
+        "  FROM st GROUP BY 1 HAVING count(*) > 9),"
+        " f AS (SELECT event_type, n_buckets,"
+        "  CAST(n_buckets AS DOUBLE) AS nn, ss2, g0, g1, g2, g3, g4, g5, g6, g7, g8 FROM a),"
+        " h AS (SELECT event_type, n_buckets, nn, ss2,"
+        "  g0 / nn + 2.0 * 0.8888888888888888 * (g1 / nn) + 2.0 * 0.7777777777777778 * (g2 / nn) + 2.0 * 0.6666666666666667 * (g3 / nn) + 2.0 * 0.5555555555555556 * (g4 / nn) + 2.0 * 0.4444444444444444 * (g5 / nn) + 2.0 * 0.33333333333333337 * (g6 / nn) + 2.0 * 0.2222222222222222 * (g7 / nn) + 2.0 * 0.11111111111111116 * (g8 / nn) AS lrv FROM f)"
+        " SELECT event_type, n_buckets,"
+        " round(CASE WHEN lrv > 0 THEN ss2 / (nn * nn) / lrv END, 6)"
+        "  AS kpss_stat,"
+        " round(lrv, 6) AS lrv,"
+        " CASE WHEN lrv > 0 THEN ss2 / (nn * nn) / lrv < 0.463 END"
+        "  AS level_stationary_5pct FROM h"
+    )
+    # Markov entropy rate (analytics.markov_entropy): transition
+    # counts, per-row Shannon entropy in bits (shared LN2 literal),
+    # occupancy-weighted rate
+    out["agg_markov_entropy"] = (
+        "WITH pr AS (SELECT lag(event_type) OVER (PARTITION BY user_id"
+        "  ORDER BY ts, event_id) AS prev, event_type AS nxt"
+        f"  FROM {_EV} e),"
+        " c AS (SELECT prev, nxt, CAST(count(*) AS BIGINT) AS n"
+        "  FROM pr WHERE prev IS NOT NULL GROUP BY 1, 2),"
+        " t AS (SELECT prev, n,"
+        "  CAST(round((-((CAST(n AS DOUBLE)"
+        "   / CAST(sum(n) OVER wp AS DOUBLE))"
+        "   * ln(CAST(n AS DOUBLE) / CAST(sum(n) OVER wp AS DOUBLE))))"
+        "   / 0.6931471805599453, 8) AS DECIMAL(30,8)) AS term FROM c"
+        "  WINDOW wp AS (PARTITION BY prev)),"
+        " r AS (SELECT prev AS state, CAST(sum(n) AS BIGINT)"
+        "   AS n_transitions,"
+        "  CAST(round(sum(term), 8) AS DOUBLE) AS h FROM t GROUP BY 1),"
+        " o AS (SELECT state, n_transitions, h,"
+        "  CAST(n_transitions AS DOUBLE)"
+        "   / CAST(sum(n_transitions) OVER () AS DOUBLE) AS occr"
+        "  FROM r),"
+        " tot AS (SELECT CAST(round(sum(CAST(round(occr * h, 8)"
+        "  AS DECIMAL(30,8))), 8) AS DOUBLE) AS rate FROM o)"
+        " SELECT state, n_transitions,"
+        " round(h, 6) AS row_entropy_bits,"
+        " round(occr, 6) AS occupancy,"
+        " round(rate, 6) AS entropy_rate_bits FROM o, tot"
+    )
+    # Token-mass coverage (text.token_coverage): global rank over the
+    # vocabulary TYPE aggregate, cut explode, exact integer tallies
+    out["text_token_coverage"] = (
+        "WITH vocab AS (SELECT word AS token,"
+        " CAST(count(*) AS BIGINT) AS occ FROM"
+        f" (SELECT unnest({_TOKS}) AS word FROM documents)"
+        " GROUP BY 1),"
+        " r AS (SELECT occ, CAST(row_number() OVER (ORDER BY occ DESC,"
+        "  token) AS BIGINT) AS rn FROM vocab),"
+        " ex AS (SELECT occ, rn, unnest([100, 1000, 10000])"
+        "  AS vocab_cut FROM r),"
+        " g AS (SELECT vocab_cut, CAST(count(*) AS BIGINT)"
+        "  AS n_types_total,"
+        "  CAST(sum(CASE WHEN rn <= vocab_cut THEN 1 ELSE 0 END)"
+        "   AS BIGINT) AS n_types_used,"
+        "  CAST(sum(CASE WHEN rn <= vocab_cut THEN occ ELSE 0 END)"
+        "   AS BIGINT) AS covered_occurrences,"
+        "  CAST(sum(occ) AS BIGINT) AS total_occurrences"
+        "  FROM ex GROUP BY 1)"
+        " SELECT vocab_cut, n_types_total, n_types_used,"
+        " covered_occurrences, total_occurrences,"
+        " round(CAST(covered_occurrences AS DOUBLE)"
+        "  / CAST(total_occurrences AS DOUBLE), 6) AS mass_share"
+        " FROM g"
+    )
+    # Bloom sizing audit (dedup.bloom_audit): k=3 md5 bit positions
+    # per member, disjoint probe set, measured vs textbook fp
+    out["dedup_bloom_audit"] = (
+        "WITH mem AS (SELECT DISTINCT"
+        r" md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
+        "  AS k FROM documents),"
+        " mb AS (SELECT m_bits_log2,"
+        "  ('0x' || substr(md5('bf' || j::VARCHAR || ':' || k), 1,"
+        "   13))::BIGINT % CAST(pow(2.0,"
+        "   CAST(m_bits_log2 AS DOUBLE)) AS BIGINT) AS bit"
+        "  FROM (SELECT k, unnest([1, 2, 3]) AS j FROM mem) q1,"
+        "   (SELECT unnest([16, 20]) AS m_bits_log2) q2),"
+        " bitset AS (SELECT DISTINCT m_bits_log2, bit FROM mb),"
+        " pid AS (SELECT DISTINCT doc_id FROM documents),"
+        " pb AS (SELECT doc_id, m_bits_log2,"
+        "  ('0x' || substr(md5('bloomprobe' || j::VARCHAR || ':'"
+        "   || doc_id::VARCHAR), 1, 13))::BIGINT"
+        "   % CAST(pow(2.0, CAST(m_bits_log2 AS DOUBLE)) AS BIGINT)"
+        "   AS bit"
+        "  FROM (SELECT doc_id, unnest([1, 2, 3]) AS j FROM pid) q1,"
+        "   (SELECT unnest([16, 20]) AS m_bits_log2) q2),"
+        " hits AS (SELECT pb.m_bits_log2, pb.doc_id,"
+        "  CAST(sum(CASE WHEN bs.bit IS NOT NULL THEN 1 ELSE 0 END)"
+        "   AS BIGINT) AS nhit FROM pb LEFT JOIN bitset bs"
+        "  ON bs.m_bits_log2 = pb.m_bits_log2 AND bs.bit = pb.bit"
+        "  GROUP BY 1, 2),"
+        " fp AS (SELECT m_bits_log2, CAST(count(*) AS BIGINT)"
+        "   AS nprobe,"
+        "  CAST(sum(CASE WHEN nhit >= 3 THEN 1 ELSE 0 END) AS BIGINT)"
+        "   AS nfp FROM hits GROUP BY 1),"
+        " nm AS (SELECT CAST(count(*) AS BIGINT) AS n_members"
+        "  FROM mem),"
+        " bs2 AS (SELECT m_bits_log2, CAST(count(*) AS BIGINT)"
+        "  AS bits_set FROM bitset GROUP BY 1),"
+        " j AS (SELECT fp.m_bits_log2, nprobe, nfp, bits_set,"
+        "  n_members FROM fp JOIN bs2 USING (m_bits_log2), nm)"
+        " SELECT m_bits_log2, CAST(3 AS INT) AS k_hashes, n_members,"
+        " bits_set,"
+        " round(CAST(bits_set AS DOUBLE)"
+        "  / pow(2.0, CAST(m_bits_log2 AS DOUBLE)), 6) AS fill_ratio,"
+        " round(CAST(nfp AS DOUBLE) / CAST(nprobe AS DOUBLE), 6)"
+        "  AS fp_measured,"
+        " round(pow(1.0 - exp(-(3.0 * CAST(n_members AS DOUBLE))"
+        "  / pow(2.0, CAST(m_bits_log2 AS DOUBLE))), 3.0), 6)"
+        "  AS fp_theoretical FROM j"
     )
     # Theta-method forecast (timeseries.theta_forecast): closed-form
     # OLS theta lines + the SES fold replayed via a recursive CTE

@@ -1098,3 +1098,111 @@ def rate_by_source(docs: DataFrame) -> DataFrame:
         ).alias("dup_rate"),
         "n_removable",
     )
+
+
+def bloom_audit(
+    df: DataFrame,
+    m_bits_log2: list[int] | None = None,
+    k_hashes: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter sizing audit for at-scale exact dedup (Bloom
+    1970; Broder & Mitzenmacher 2004 survey): before shipping a
+    membership filter to every executor, MEASURE the false-positive
+    rate each candidate size would give on THIS corpus — build the
+    bit set from the corpus's normalized-text hashes (k deterministic
+    md5-derived bit positions per member), then probe it with an
+    equal-sized disjoint probe set and count probes whose k bits are
+    all set. The measured rate sits next to the textbook
+    (1 - e^(-kn/m))^k so capacity planning uses evidence, not the
+    iid-hash idealization (real fill ratios drift when n/m is
+    guessed). A Bloom filter is THE primitive that makes
+    exact-dedup-against-history O(1) memory-bounded per executor at
+    100 TB — this op prices its one tunable.
+
+    Shape: members explode to n*k (m, bit) rows -> distinct bit set;
+    probes explode the same way and LEFT-join the bit set on
+    (m_log2, bit); a probe is a false positive iff all k bits
+    matched. Integer counts end to end; exp() only in the textbook
+    column. Returns one row per candidate size: (m_bits_log2,
+    k_hashes, n_members, bits_set, fill_ratio, fp_measured,
+    fp_theoretical)."""
+    m_bits_log2 = m_bits_log2 or [16, 20]
+    key = F.md5(normalize_text(F.col(text_col)))
+    members = df.select(key.alias("__key")).distinct()
+
+    def bits(src, prefix, keycol):
+        # two generators can't share one select: chain the explodes
+        ex = src.select(
+            keycol.alias("__k"),
+            F.explode(
+                F.array(*[F.lit(j) for j in range(1, k_hashes + 1)])
+            ).alias("__j"),
+        ).select(
+            "__k", "__j",
+            F.explode(
+                F.array(*[F.lit(m) for m in m_bits_log2])
+            ).alias("m_bits_log2"),
+        )
+        h = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(prefix), F.col("__j").cast("string"),
+                                   F.lit(":"), F.col("__k"))),
+                    1, 13,
+                ),
+                16, 10,
+            ).cast("long")
+            % F.pow(F.lit(2.0), F.col("m_bits_log2").cast("double"))
+            .cast("long")
+        )
+        return ex.select("__k", "__j", "m_bits_log2", h.alias("__bit"))
+
+    bitset = bits(members, "bf", F.col("__key")).select(
+        "m_bits_log2", "__bit"
+    ).distinct()
+    probes = bits(
+        df.select(F.col(id_col)).distinct(),
+        "bloomprobe",
+        F.col(id_col).cast("string"),
+    )
+    matched = probes.join(
+        bitset.withColumn("__hit", F.lit(1)), ["m_bits_log2", "__bit"],
+        "left",
+    ).groupBy("m_bits_log2", "__k").agg(
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__nhit")
+    )
+    fp = matched.groupBy("m_bits_log2").agg(
+        F.count(F.lit(1)).cast("long").alias("__nprobe"),
+        F.sum(F.when(F.col("__nhit") >= k_hashes, 1).otherwise(0))
+        .cast("long").alias("__nfp"),
+    )
+    nm = members.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    bs = bitset.groupBy("m_bits_log2").agg(
+        F.count(F.lit(1)).cast("long").alias("bits_set")
+    )
+    j = fp.join(bs, "m_bits_log2").crossJoin(F.broadcast(nm))
+    md = F.pow(F.lit(2.0), F.col("m_bits_log2").cast("double"))
+    theo = F.pow(
+        F.lit(1.0)
+        - F.exp(
+            -(F.lit(float(k_hashes)) * F.col("n_members").cast("double"))
+            / md
+        ),
+        F.lit(float(k_hashes)),
+    )
+    return j.select(
+        "m_bits_log2",
+        F.lit(int(k_hashes)).alias("k_hashes"),
+        "n_members", "bits_set",
+        F.round(F.col("bits_set").cast("double") / md, 6)
+        .alias("fill_ratio"),
+        F.round(
+            F.col("__nfp").cast("double")
+            / F.col("__nprobe").cast("double"), 6,
+        ).alias("fp_measured"),
+        F.round(theo, 6).alias("fp_theoretical"),
+    )

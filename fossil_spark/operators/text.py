@@ -2922,3 +2922,56 @@ def feature_hash_audit(
             / F.col("__tmass").cast("double"), 6,
         ).alias("mass_collision_rate"),
     )
+
+
+def token_coverage(
+    df: DataFrame,
+    cuts: list[int] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary mass coverage at standard cut points (the
+    vocab-sizing curve every tokenizer design starts from): what
+    share of the corpus's TOKEN MASS do the top-k types cover? The
+    Zipf head carries almost everything — this measures exactly how
+    much, at the k values a vocab budget would actually pick.
+    Word-level complement to [[bpe_vocab_coverage]] (which audits a
+    LEARNED BPE vocab) and the cumulative view of [[text_zipf]]'s
+    rank-frequency slope.
+
+    One vocab groupBy, one global rank window over the TYPE table
+    (|vocab| rows, Aggregate-bounded), one cut explode. Counts are
+    exact integers end to end. Returns one row per cut:
+    (vocab_cut, n_types_total, n_types_used, covered_occurrences,
+    total_occurrences, mass_share)."""
+    cuts = cuts or [100, 1000, 10000]
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("__occ"))
+    )
+    wr = Window.orderBy(F.col("__occ").desc(), "token")
+    ranked = vocab.select(
+        "__occ", F.row_number().over(wr).cast("long").alias("__rn")
+    )
+    ex = ranked.select(
+        "__occ", "__rn",
+        F.explode(F.array(*[F.lit(c) for c in cuts])).alias("vocab_cut"),
+    )
+    g = ex.groupBy("vocab_cut").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types_total"),
+        F.sum(F.when(F.col("__rn") <= F.col("vocab_cut"), 1).otherwise(0))
+        .cast("long").alias("n_types_used"),
+        F.sum(
+            F.when(F.col("__rn") <= F.col("vocab_cut"), F.col("__occ"))
+            .otherwise(0)
+        ).cast("long").alias("covered_occurrences"),
+        F.sum("__occ").cast("long").alias("total_occurrences"),
+    )
+    return g.select(
+        "vocab_cut", "n_types_total", "n_types_used",
+        "covered_occurrences", "total_occurrences",
+        F.round(
+            F.col("covered_occurrences").cast("double")
+            / F.col("total_occurrences").cast("double"), 6,
+        ).alias("mass_share"),
+    )

@@ -6784,3 +6784,93 @@ def iact(
         F.round(F.when(tau > 0, F.lit(1.0) / tau), 6)
         .alias("ess_ratio"),
     )
+
+
+def kpss(
+    df: DataFrame,
+    bandwidth: int = 8,
+    every: str = "1 hour",
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """KPSS level-stationarity test per key (Kwiatkowski, Phillips,
+    Schmidt & Shin 1992): the NULL-REVERSED partner of [[ts_adf]] —
+    ADF's null is a unit root (failing to reject proves nothing),
+    KPSS's null is stationarity, so running both cleanly separates
+    'stationary' / 'unit root' / 'not enough data to say'. The
+    statistic is sum_t S_t^2 / (n^2 s^2_lrv) over partial sums of the
+    demeaned bucket means, with the Bartlett-weighted long-run
+    variance at a FIXED bandwidth L (replayable, the fixed-rounds
+    discipline; the adaptive 4(n/100)^.25 rule picks 6-8 at any real
+    scale). 5% critical value 0.463 (level case).
+
+    Shape: one bucket groupBy, a mean window + a cumulative-sum
+    window + L lag windows all on the SAME key partitioning, one
+    moment aggregate. Partial sums accumulate @6-quantized decimals
+    (exact, order-free); gamma terms @6; Bartlett weights are
+    Python-computed literals injected into both engines' plans.
+    Keys with <= bandwidth + 1 buckets drop. Returns (*by,
+    n_buckets, kpss_stat, lrv, level_stationary_5pct)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    b = df.filter(F.col(value_col).isNotNull()).groupBy(
+        *by, F.window(F.col(time_col), every).start.alias("bucket")
+    ).agg(
+        (
+            F.round(F.sum(F.col(value_col).cast("decimal(30,8)")), 4)
+            .cast("double")
+            / F.count(value_col)
+        ).alias("__v")
+    )
+    wk = Window.partitionBy(*by)
+    mu = F.round(
+        F.sum(F.col("__v").cast("decimal(30,8)")).over(wk).cast("double")
+        / F.count("__v").over(wk), 6,
+    )
+    centered = b.select(
+        *by, "bucket", (F.col("__v") - mu).alias("__e")
+    )
+    wc = Window.partitionBy(*by).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wo = Window.partitionBy(*by).orderBy("bucket")
+    staged = centered.select(
+        *by, "__e",
+        F.sum(F.round(F.col("__e"), 6).cast("decimal(30,6)")).over(wc)
+        .cast("double").alias("__s"),
+        *[
+            F.lag("__e", l).over(wo).alias(f"__el{l}")
+            for l in range(1, bandwidth + 1)
+        ],
+    )
+
+    def dsum(e, nd):
+        return F.sum(F.round(e, nd).cast(f"decimal(38,{nd})")).cast(
+            "double"
+        )
+
+    g = staged.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        dsum(F.col("__s") * F.col("__s"), 4).alias("__ss2"),
+        dsum(F.col("__e") * F.col("__e"), 6).alias("__g0"),
+        *[
+            dsum(F.col("__e") * F.col(f"__el{l}"), 6).alias(f"__g{l}")
+            for l in range(1, bandwidth + 1)
+        ],
+    ).filter(F.col("n_buckets") > bandwidth + 1)
+    nn = F.col("n_buckets").cast("double")
+    lrv = F.col("__g0") / nn
+    for l in range(1, bandwidth + 1):
+        w_l = 1.0 - l / (bandwidth + 1.0)
+        lrv = lrv + F.lit(2.0) * F.lit(w_l) * (F.col(f"__g{l}") / nn)
+    stat = F.when(
+        lrv > 0, F.col("__ss2") / (nn * nn) / lrv
+    )
+    return g.select(
+        *by, "n_buckets",
+        F.round(stat, 6).alias("kpss_stat"),
+        F.round(lrv, 6).alias("lrv"),
+        F.when(stat.isNotNull(), stat < F.lit(0.463))
+        .alias("level_stationary_5pct"),
+    )

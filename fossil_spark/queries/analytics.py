@@ -2748,3 +2748,65 @@ def price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(paas, 6).alias("paasche"),
         F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
     )
+
+
+def markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-journey Markov chain (Shannon 1948,
+    ch. 7): H = sum_i pi_i H_i bits/step, with H_i the entropy of
+    state i's outgoing transition row and pi the empirical state
+    occupancy — how PREDICTABLE is the next action given the current
+    one? The one-number compression bound for the behavior stream:
+    log2(k) means actions are dice rolls, near 0 means journeys are
+    rails. The information-theoretic readout ON TOP of
+    [[agg_markov]]'s raw transition matrix (same lag window, same
+    counts). Reported per state with the chain total repeated, so
+    the high-entropy states (where prediction is hopeless) are
+    visible next to the rate.
+
+    Shape: one lag window + one (prev, next) groupBy; everything
+    after is k- and k^2-row algebra. ln via both engines (the
+    survival_km precedent) scaled by the shared LN2 literal; p*ln(p)
+    terms @8-quantized. Returns (state, n_transitions,
+    row_entropy_bits, occupancy, entropy_rate_bits)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("__prev"),
+        F.col("event_type").alias("__next"),
+    ).filter(F.col("__prev").isNotNull())
+    counts = pairs.groupBy("__prev", "__next").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    row_tot = F.sum("__n").over(Window.partitionBy("__prev"))
+    p = F.col("__n").cast("double") / row_tot.cast("double")
+    _LN2 = 0.6931471805599453
+    term = F.round(
+        -(p * F.log(p)) / F.lit(_LN2), 8
+    ).cast("decimal(30,8)")
+    rows = counts.select(
+        "__prev", "__n", term.alias("__t")
+    ).groupBy("__prev").agg(
+        F.sum("__n").cast("long").alias("n_transitions"),
+        F.round(F.sum("__t"), 8).cast("double").alias("__h"),
+    )
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    occ = (
+        F.col("n_transitions").cast("double")
+        / F.sum("n_transitions").over(total).cast("double")
+    )
+    staged = rows.select(
+        F.col("__prev").alias("state"), "n_transitions",
+        F.round("__h", 6).alias("row_entropy_bits"),
+        F.round(occ, 6).alias("occupancy"),
+        F.round(occ * F.col("__h"), 8).cast("decimal(30,8)")
+        .alias("__c"),
+    )
+    rate = staged.agg(
+        F.round(F.sum("__c"), 8).cast("double").alias("__rate")
+    )
+    return staged.drop("__c").crossJoin(F.broadcast(rate)).select(
+        "state", "n_transitions", "row_entropy_bits", "occupancy",
+        F.round("__rate", 6).alias("entropy_rate_bits"),
+    )

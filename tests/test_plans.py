@@ -131,6 +131,7 @@ GLOBAL_WINDOW_OK = {
     "agg_pareto_abc",           # global cum-share over per-part agg
     "agg_msprt",                # day-cumulative over per-(day,arm) agg
     "agg_ks_ab",                # ECDF sweep over per-user agg
+    "text_token_coverage",      # global rank over the vocabulary agg
 }
 
 

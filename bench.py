@@ -95,6 +95,60 @@ HEAVY_ISOLATED = [
 HEAVY_ORIG8 = HEAVY_ISOLATED[:8]
 
 
+# --- box-speed calibration (r11 verdict #6) ---------------------------
+# A fixed synthetic scan+agg with NO code under test: 8M rows of
+# deterministic (id, k, v) parquet, groupBy(997 keys) + sum/count/avg.
+# Its runtime tracks the BOX (cpu/fs/jvm that day), not the repo, so
+# cross-round BENCH comparisons divide by it to cancel environment
+# drift (r10->r11 the same commit ran 9.07 s vs 15.24 s judge-measured
+# — pure box drift that burned a day to adjudicate).
+_CALIB_ROWS = 8_000_000
+_CALIB_VER = "v1"  # bump if the workload ever changes — never silently
+
+
+def _calib_data(spark) -> str:
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(repo_root, "build", f"bench_calib_{_CALIB_VER}.parquet")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        from pyspark.sql import functions as F
+
+        (
+            spark.range(0, _CALIB_ROWS, 1, 32)
+            .select(
+                "id",
+                (F.col("id") % 997).alias("k"),
+                ((F.col("id") * 2654435761) % 1000003)
+                .cast("double").alias("v"),
+            )
+            .write.mode("overwrite").parquet(out)
+        )
+    return out
+
+
+def run_calibration(spark) -> float | None:
+    """min-of-3 seconds for the fixed workload (1 discarded warmup);
+    None if the build/ dir is unwritable — bench must still run."""
+    from pyspark.sql import functions as F
+
+    try:
+        path = _calib_data(spark)
+        best = float("inf")
+        for i in range(4):
+            t0 = time.perf_counter()
+            force(
+                spark.read.parquet(path)
+                .groupBy("k")
+                .agg(F.sum("v").alias("sv"), F.count("id").alias("c"),
+                     F.avg("id").alias("a"))
+            )
+            if i > 0:  # first run warms file listing + codegen cache
+                best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+    except Exception as ex:
+        print(f"# calibration failed: {ex}", file=sys.stderr)
+        return None
+
+
 def _isolated_child(flag: str, result_key: str) -> dict | None:
     """Run a key subset in a FRESH subprocess (its own Spark session)
     and return its result dict. The tracked round-over-round series
@@ -228,6 +282,13 @@ def main() -> None:
 
     bench_dir = prep_multirg(spark, sf_dir)
 
+    # fixed box-speed probe, fresh session, before any repo code runs
+    calibration = None
+    if not (comparable_only or heavy_only) and not os.environ.get(
+        "SPARK_GRAFT_BENCH_CHILD"
+    ):
+        calibration = run_calibration(spark)
+
     # the tracked comparable series and the heavy-8 each run in their
     # own fresh session BEFORE the full sweep (skip when we ARE a child)
     isolated = None
@@ -290,12 +351,17 @@ def main() -> None:
         }))
         return
     if heavy_only:
+        # series metric: the ORIGINAL 8-key sum (r9-comparable); the
+        # full child total goes alongside as heavy_iso_total. An
+        # errored/missing ORIG8 key must not silently zero-fill the
+        # cross-round series — emit None + the missing list instead.
+        heavy8_missing = [k for k in HEAVY_ORIG8 if k not in timings]
         print(json.dumps({
-            # series metric: the ORIGINAL 8-key sum (r9-comparable);
-            # the full child total goes alongside as heavy_iso_total
-            "heavy8_isolated": round(
-                sum(timings.get(k, 0.0) for k in HEAVY_ORIG8), 3
+            "heavy8_isolated": (
+                None if heavy8_missing
+                else round(sum(timings[k] for k in HEAVY_ORIG8), 3)
             ),
+            "heavy8_missing": heavy8_missing,
             "heavy_iso_total": round(sum(timings.values()), 3),
             "queries": timings, "sf": sf,
         }))
@@ -332,6 +398,7 @@ def main() -> None:
         "runs_per_query": n_runs,
         "aggregation": "min",
         "comparable_18q_isolated": isolated,
+        "calibration_sec": calibration,
         "heavy8_isolated": heavy8,
         "heavy_iso_total": heavy_tot,
         "heavy_isolated_keys": HEAVY_ISOLATED if heavy_result else [],
@@ -358,6 +425,7 @@ def main() -> None:
         "n_queries": len(timings),
         "comparable_18q_inline": comparable_sec,
         "comparable_18q_isolated": isolated,
+        "calibration_sec": calibration,
         "heavy8_isolated": heavy8,
         "heavy_iso_total": heavy_tot,
         "n_errors": len(errors),

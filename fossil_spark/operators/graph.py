@@ -226,6 +226,9 @@ def label_propagation(
     upstream pair pipeline (minhash LSH) runs once, not once per
     round. `seeds` is (doc_id, label). Returns (doc_id, label,
     is_seed) for every node of the graph."""
+    from fossil_spark.operators import fixed_rounds_guard
+
+    fixed_rounds_guard("label_propagation", n_rounds)
     edges = _symmetric_edges(pairs, a_col, b_col).localCheckpoint(eager=False)
     from pyspark.sql import Window
 
@@ -290,6 +293,9 @@ def kcore(
     round: one degree groupBy + two semi-joins keyed by node id;
     edges localCheckpoint once (the upstream LSH pipeline runs once).
     Returns surviving nodes: (doc_id, core_degree)."""
+    from fossil_spark.operators import fixed_rounds_guard
+
+    fixed_rounds_guard("kcore", n_rounds)
     edges = _symmetric_edges(pairs, a_col, b_col).localCheckpoint(eager=False)
     for _ in range(n_rounds):
         good = (

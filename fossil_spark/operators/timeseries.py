@@ -6164,6 +6164,9 @@ def sigma_clip(
     passes over raw rows (bucket table only). A flatline key keeps
     everything (|v - mu| = 0 <= 0). Returns one row per key:
     (*by, n_buckets, n_clipped, clean_mean, clean_std)."""
+    from fossil_spark.operators import fixed_rounds_guard
+
+    fixed_rounds_guard("sigma_clip", rounds)
     by = by or []
     df = _time_norm(df, time_col)
     b = df.filter(F.col(value_col).isNotNull()).groupBy(
@@ -6476,8 +6479,12 @@ def cointegration(
     se = F.sqrt(
         F.greatest(s2 / F.col("__slg"), F.lit(0.0))
     )
+    # try_divide: a residual tail whose RSS rounds to 0 at @6 while
+    # slg > 0 makes se = 0; DuckDB's double /0 yields NULL, so match
+    # it instead of raising DIVIDE_BY_ZERO under ANSI
     stat = F.when(
-        (F.col("__slg") > 0) & (F.col("__m") >= 3), rho / se
+        (F.col("__slg") > 0) & (F.col("__m") >= 3),
+        F.try_divide(rho, se),
     )
     return dfm.select(
         "key_x", "key_y", "n_buckets",

@@ -1867,8 +1867,10 @@ def spearman_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     which one anomalous hour can dominate. The t approximation
     t = rho sqrt((n-2)/(1-rho^2)) is reported for n >= 4.
 
-    Exactness: midranks doubled into INTEGERS (2r = 2 RANK() + ties
-    - 1, the textbook average-rank treatment with no halves), all
+    Exactness: midranks doubled into INTEGERS (2r' = 2 RANK() +
+    ties - 2, i.e. the textbook doubled midrank 2 RANK() + ties - 1
+    shifted uniformly by -1 — a constant shift cancels in the
+    Pearson correlation, and the oracle applies the same shift), all
     five moments accumulated as exact decimal(38,0), rho from one
     fixed-order double expression at the end — bitwise identical on
     both engines, no quantizers needed anywhere. Shape: one bucket
@@ -2461,9 +2463,12 @@ def ks_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__a").over(wall).alias("__na"),
         F.sum(1 - F.col("__a")).over(wall).alias("__nb"),
     )
+    # try_divide: a corpus whose users all hash to one arm leaves the
+    # other total at 0; NULL ECDF (matching DuckDB /0) beats an ANSI
+    # DIVIDE_BY_ZERO abort
     gap = F.abs(
-        F.col("__ca").cast("double") / F.col("__na")
-        - F.col("__cb").cast("double") / F.col("__nb")
+        F.try_divide(F.col("__ca").cast("double"), F.col("__na"))
+        - F.try_divide(F.col("__cb").cast("double"), F.col("__nb"))
     )
     out = staged.agg(
         F.min("__na").cast("long").alias("n_a"),
@@ -2471,8 +2476,10 @@ def ks_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(gap).alias("__d"),
     )
     crit = F.lit(1.358) * F.sqrt(
-        (F.col("n_a") + F.col("n_b")).cast("double")
-        / (F.col("n_a") * F.col("n_b")).cast("double")
+        F.try_divide(
+            (F.col("n_a") + F.col("n_b")).cast("double"),
+            (F.col("n_a") * F.col("n_b")).cast("double"),
+        )
     )
     return out.select(
         "n_a", "n_b",

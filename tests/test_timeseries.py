@@ -2137,6 +2137,33 @@ def test_buckets_squared_guards_fire(spark):
     assert ts.dtw_distance(df, "a", "b", "1 minute", "ts").count() == 1
 
 
+def test_fixed_rounds_guards_fire(spark):
+    """rounds is PLAN DEPTH in the fixed-round iterative ops (r11
+    verdict #4): the guard must reject pathological depths loudly at
+    call time, before a 2000-window plan reaches the analyzer."""
+    from fossil_spark.operators.graph import kcore, label_propagation
+
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, t0 + timedelta(minutes=i), "a", float(i)) for i in range(5)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    with pytest.raises(ValueError, match="sigma_clip.*rounds=13"):
+        ts.sigma_clip(df, rounds=13, time_col="ts")
+    with pytest.raises(ValueError, match="sigma_clip.*rounds=0"):
+        ts.sigma_clip(df, rounds=0, time_col="ts")
+    pairs = spark.createDataFrame(
+        [(1, 2)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(ValueError, match="kcore.*rounds=99"):
+        kcore(pairs, n_rounds=99)
+    seeds = spark.createDataFrame([(1, "x")], "doc_id long, label string")
+    with pytest.raises(ValueError, match="label_propagation.*rounds=99"):
+        label_propagation(pairs, seeds, n_rounds=99)
+    # a sane depth still computes (one row per key)
+    assert ts.sigma_clip(df, rounds=1, time_col="ts", by=["event_type"]).count() == 1
+
+
 def test_histogram_quantile_sparse_buckets_use_schema_edge(spark):
     t0 = datetime(2024, 1, 1)
     # counts at le=2 and le=16 ONLY (buckets 4 and 8 empty): the

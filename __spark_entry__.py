@@ -3171,6 +3171,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_estimate": _dedup_minhash_estimate,
         "ts_sax": _ts_sax,
         "agg_user_features": _analytics("user_features"),
+        "agg_user_features_bucketed": _analytics("user_features_bucketed"),
         "agg_cohort_ltv": _analytics("cohort_ltv"),
         "agg_markov": _analytics("markov_transitions"),
         "agg_rfm": _analytics("rfm_segments"),
@@ -10729,4 +10730,7 @@ def oracle_sql() -> dict[str, str]:
         " round(max(b[1]), 6) AS max_d2"
         " FROM a GROUP BY 1, 2"
     )
+    # the bucketed layout computes the IDENTICAL feature vector — the
+    # layout changes the physical plan (zero Exchange), never the rows
+    out["agg_user_features_bucketed"] = out["agg_user_features"]
     return out

@@ -152,7 +152,10 @@ def user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id and the groupBy reuses that partitioning — ONE exchange
     for the whole feature vector; the distinct-days count rides the
     same aggregation as an Expand, not a second shuffle chain."""
-    ev = read_table(spark, sf_dir, "events")
+    return _user_feature_agg(read_table(spark, sf_dir, "events"))
+
+
+def _user_feature_agg(ev: DataFrame) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     new_session = F.when(
@@ -187,6 +190,62 @@ def user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).cast("double").alias("purchase_value_sum"),
     )
+
+
+def ensure_bucketed_events(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 16
+) -> str:
+    """Materialize the events table as a user_id-bucketed,
+    (user_id, ts, event_id)-sorted catalog table under build/, once
+    per (data files, n_buckets) — the pay-the-shuffle-once-at-write
+    leg of the scale story (fossil_spark.bucketing docstring). The
+    table name embeds a content tag (sf_dir + mtime + buckets), so a
+    session that already registered THIS data's layout reuses it and
+    a regenerated testdata dir gets a fresh table instead of a stale
+    hit. Returns the catalog table name."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{os.path.getmtime(src)}|{n_buckets}"
+        .encode()
+    ).hexdigest()[:10]
+    table = f"fs_events_by_user_{tag}"
+    if spark.catalog.tableExists(table):
+        return table
+    from fossil_spark.bucketing import save_bucketed
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    path = os.path.join(repo_root, "build", f"bucketed_events_{tag}")
+    save_bucketed(
+        read_table(spark, sf_dir, "events"),
+        table,
+        path,
+        key="user_id",
+        n_buckets=n_buckets,
+        sort_cols=["user_id", "ts", "event_id"],
+    )
+    return table
+
+
+def user_features_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[[agg_user_features]] computed over the BUCKETED events layout
+    (r11 verdict #5: the zero-Exchange path earns a driver-hash
+    signal): the table is written bucketBy(16, user_id) +
+    sortBy(user_id, ts, event_id) once, then BOTH the sessionization
+    window and the feature groupBy are satisfied by the on-disk
+    distribution — the physical plan has NO Exchange at all
+    (asserted through this exact registry path in
+    tests/test_bucketing.py). Same result as the shuffled plan, same
+    oracle SQL; at 100 TB this is the difference between re-shuffling
+    the fact table per feature pass and never shuffling it again."""
+    from fossil_spark.bucketing import read_bucketed
+
+    table = ensure_bucketed_events(spark, sf_dir)
+    return _user_feature_agg(read_bucketed(spark, table))
 
 
 def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:

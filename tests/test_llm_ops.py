@@ -1267,6 +1267,38 @@ def test_graph_jaccard_transitive_miss(spark):
     assert set(out) == {(1, 2), (1, 3), (2, 3), (4, 5)}
 
 
+def test_graph_jaccard_center_degree_truncation(spark):
+    """max_center_degree (r11 verdict #3): a degree-4 hub (node 10)
+    is excluded as a wedge CENTER at cap 3, so its leaves' pairs
+    vanish (their only shared neighbor was the hub) while wedges
+    centered at low-degree nodes survive with FULL degrees in
+    n_union."""
+    from fossil_spark.operators import graph
+
+    # hub 10 -- leaves 1..4; separate path 20-21-22 (center 21, deg 2)
+    pairs = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3), (10, 4), (20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    exact = {(r["node_a"], r["node_b"])
+             for r in graph.jaccard_similarity(pairs).collect()}
+    assert (1, 2) in exact and (20, 22) in exact
+    capped = {(r["node_a"], r["node_b"]): r
+              for r in graph.jaccard_similarity(
+                  pairs, max_center_degree=3).collect()}
+    # all C(4,2)=6 hub-centered leaf pairs truncated away
+    assert set(capped) == {(20, 22)}
+    # the surviving wedge still reports full degrees: deg(20)=deg(22)=1
+    assert capped[(20, 22)]["n_common"] == 1
+    assert capped[(20, 22)]["n_union"] == 1
+    assert capped[(20, 22)]["jaccard"] == 1.0
+    # a cap at the hub's degree changes nothing
+    at4 = {(r["node_a"], r["node_b"])
+           for r in graph.jaccard_similarity(
+               pairs, max_center_degree=4).collect()}
+    assert at4 == exact
+
+
 def test_graph_triangles_planted(spark):
     """Triangle {1,2,3} with a pendant 4-1, a triangle-free square
     {5,6,7,8}, and a K4 {20..23} (4 triangles, clustering 1.0

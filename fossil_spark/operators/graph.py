@@ -580,3 +580,65 @@ def powerlaw_fit(
         F.round(F.try_divide(alpha - F.lit(1.0), F.sqrt(nd)), 6)
         .alias("alpha_se"),
     )
+
+
+def two_hop_reach(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """2-hop reach per node of the undirected pair graph: how many
+    DISTINCT other nodes sit within two hops (direct neighbors plus
+    neighbors-of-neighbors). On a near-dup graph the amplification
+    reach/degree separates chain-like duplication (reach ~ 2·degree:
+    each neighbor adds fresh nodes) from closed template families
+    (reach ~ degree: the neighborhood is already a clique) — the
+    neighborhood-shape companion to [[graph_kcore]]'s density and
+    [[graph_jaccard]]'s pairwise overlap.
+
+    Shape: ONE wedge self-join at the shared neighbor (the
+    [[graph_jaccard]] budget, sum of center-degree² — and the same
+    `max_center_degree` top-d truncation applies for hub-heavy
+    graphs, with the same recall note: distance-2 nodes reachable
+    ONLY through a truncated hub are not counted), unioned with the
+    direct edges, one distinct + one count per node. All integer;
+    amplification rounds @6. Returns (doc_id, degree, reach_2hop,
+    amplification)."""
+    edges = _symmetric_edges(pairs, a_col, b_col).localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    wedge_src = edges
+    if max_center_degree is not None:
+        ok = deg.filter(
+            F.col("degree") <= int(max_center_degree)
+        ).select("src")
+        wedge_src = edges.join(ok, "src", "left_semi")
+    e1 = wedge_src.select(F.col("src").alias("__n"), F.col("dst").alias("__a"))
+    e2 = wedge_src.select(F.col("src").alias("__n"), F.col("dst").alias("__b"))
+    hop2 = (
+        e1.join(e2, "__n")
+        .filter(F.col("__a") != F.col("__b"))
+        .select("__a", "__b")
+    )
+    reach = (
+        edges.select(F.col("src").alias("__a"), F.col("dst").alias("__b"))
+        .unionByName(hop2)
+        .distinct()
+        .groupBy(F.col("__a").alias("src"))
+        .agg(F.count(F.lit(1)).cast("long").alias("reach_2hop"))
+    )
+    return (
+        deg.join(reach, "src")
+        .select(
+            F.col("src").alias("doc_id"),
+            "degree",
+            "reach_2hop",
+            F.round(
+                F.col("reach_2hop").cast("double")
+                / F.col("degree").cast("double"),
+                6,
+            ).alias("amplification"),
+        )
+    )

@@ -2975,3 +2975,117 @@ def token_coverage(
             / F.col("total_occurrences").cast("double"), 6,
         ).alias("mass_share"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Marginal n-gram novelty per source in ingestion (id) order —
+    the corpus-audit readout behind "is the next crawl batch adding
+    anything?" (the diminishing-novelty curves of the Gopher /
+    RefinedWeb corpus reports): a doc's distinct word n-gram shingle
+    is NOVEL iff no lower-id document anywhere in the corpus contains
+    it (first-occurrence attribution; repeats inside one doc count
+    once via per-doc distinct shingles). A source whose novelty_rate
+    collapses is re-crawling what the corpus already holds — dedup
+    will throw most of it away downstream, so stop paying for it
+    upstream.
+
+    Shape: one shingle explode (distinct per doc, the [[dedup_minhash]]
+    shingle convention), one corpus-wide groupBy shingle for min(id)
+    (map-side partials carry the reduction; the shuffle key is the
+    shingle — the natural high-cardinality key, no skew), one
+    shingle-keyed join back + a per-source rollup. All counts
+    integer; one @6 division. Returns (source, n_docs, n_shingles,
+    n_novel, novelty_rate) ordered by source."""
+    sh = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.explode(
+            F.array_distinct(shingles(F.col(text_col), n))
+        ).alias("__sh"),
+    )
+    first = sh.groupBy("__sh").agg(F.min(id_col).alias("__first"))
+    occ = sh.join(first, "__sh")
+    out = occ.groupBy(source_col).agg(
+        F.countDistinct(id_col).cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum(
+            F.when(F.col(id_col) == F.col("__first"), 1).otherwise(0)
+        ).cast("long").alias("n_novel"),
+    )
+    return out.select(
+        source_col, "n_docs", "n_shingles", "n_novel",
+        F.round(
+            F.col("n_novel").cast("double")
+            / F.col("n_shingles").cast("double"),
+            6,
+        ).alias("novelty_rate"),
+    ).orderBy(source_col)
+
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise shingle-set overlap between sources — the "is crawl B
+    already inside curated set A?" audit (set-level companion to the
+    distributional [[text_jsd_sources]]): for every ordered source
+    pair, |S_a ∩ S_b| over the DISTINCT word n-gram shingle sets,
+    with containment |∩|/|S_a| (how much of a lives in b) and Jaccard.
+    High containment_a_in_b with low Jaccard = a is a subset worth
+    dropping; low both = genuinely complementary sources.
+
+    Shape: one explode to (shingle, source) DISTINCT pairs, one
+    groupBy shingle collecting its source set (sources are few — the
+    set is bytes per shingle), one explode of the per-shingle source
+    pairs + integer rollup; per-source totals broadcast back. Never
+    materializes a doc×doc or shingle×shingle join. Returns
+    (source_a, source_b, n_a, n_b, n_common, containment_a_in_b,
+    jaccard) for source_a != source_b, ordered."""
+    sh = df.select(
+        F.col(source_col).alias("__src"),
+        F.explode(
+            F.array_distinct(shingles(F.col(text_col), n))
+        ).alias("__sh"),
+    ).distinct()
+    per = sh.groupBy("__src").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    srcs = sh.groupBy("__sh").agg(
+        F.collect_set("__src").alias("__ss")
+    )
+    pairs = srcs.select(
+        F.explode("__ss").alias("source_a"), "__ss"
+    ).select(
+        "source_a", F.explode("__ss").alias("source_b")
+    ).filter(F.col("source_a") != F.col("source_b"))
+    common = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    pa = per.select(F.col("__src").alias("source_a"),
+                    F.col("__n").alias("n_a"))
+    pb = per.select(F.col("__src").alias("source_b"),
+                    F.col("__n").alias("n_b"))
+    out = (
+        common.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return out.select(
+        "source_a", "source_b", "n_a", "n_b", "n_common",
+        F.round(
+            F.col("n_common").cast("double") / F.col("n_a").cast("double"),
+            6,
+        ).alias("containment_a_in_b"),
+        F.round(
+            F.col("n_common").cast("double") / union.cast("double"), 6
+        ).alias("jaccard"),
+    ).orderBy("source_a", "source_b")

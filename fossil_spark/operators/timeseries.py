@@ -6881,3 +6881,76 @@ def kpss(
         F.when(stat.isNotNull(), stat < F.lit(0.463))
         .alias("level_stationary_5pct"),
     )
+
+
+def capability(
+    df: DataFrame,
+    spec_lo: float,
+    spec_hi: float,
+    every: str = "1 hour",
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Process capability indices per key (Montgomery, Statistical
+    Quality Control — the SPC readouts Cp and Cpk) over bucket means
+    against FIXED spec limits [spec_lo, spec_hi]: Cp = (hi - lo) /
+    (6 sigma) says whether the process is narrow enough to fit the
+    band AT ALL; Cpk = min(hi - mu, mu - lo) / (3 sigma) additionally
+    pays for being off-center. Cpk >= 1.33 is the classic "capable"
+    bar. The natural companion to the alarm-generating
+    [[ts_ewma_control]]/[[ts_cusum]]: those say WHEN the process
+    left its behavior, capability says whether the process was ever
+    fit for the spec in the first place.
+
+    Exactness: the cusum bucket recipe — decimal bucket means,
+    decimal grand mean @4, @6-quantized squared terms for sigma; the
+    two indices are fixed-order doubles with try_divide (a flatline
+    key: sigma = 0 -> NULL indices, matching DuckDB /0 — reported,
+    not dropped, with its off_center sign still meaningful). Returns
+    (*by, n_buckets, mean, sigma, cp, cpk, capable_133)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    b = df.filter(F.col(value_col).isNotNull()).groupBy(
+        *by, F.window(F.col(time_col), every).start.alias("bucket")
+    ).agg(
+        (
+            F.round(F.sum(F.col(value_col).cast("decimal(30,8)")), 4)
+            .cast("double")
+            / F.count(value_col)
+        ).alias("__v")
+    )
+    wk = Window.partitionBy(*by)
+    mu = (
+        F.round(F.sum(F.col("__v").cast("decimal(30,8)")).over(wk), 4)
+        .cast("double")
+        / F.count("__v").over(wk)
+    )
+    m = b.select(*by, "__v", mu.alias("__mu"))
+    term = F.round(
+        (F.col("__v") - F.col("__mu")) * (F.col("__v") - F.col("__mu")),
+        6,
+    ).cast("decimal(30,6)")
+    g = m.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("__mu").alias("__m"),
+        F.sqrt(
+            F.sum(term).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__sg"),
+    )
+    lo, hi = float(spec_lo), float(spec_hi)
+    cp = F.try_divide(F.lit(hi - lo), F.lit(6.0) * F.col("__sg"))
+    cpk = F.try_divide(
+        F.least(F.lit(hi) - F.col("__m"), F.col("__m") - F.lit(lo)),
+        F.lit(3.0) * F.col("__sg"),
+    )
+    return g.select(
+        *by, "n_buckets",
+        F.round("__m", 6).alias("mean"),
+        F.round("__sg", 6).alias("sigma"),
+        F.round(cp, 6).alias("cp"),
+        F.round(cpk, 6).alias("cpk"),
+        F.when(cpk.isNotNull(), cpk >= F.lit(4.0 / 3.0))
+        .alias("capable_133"),
+    )

@@ -2876,3 +2876,145 @@ def markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "state", "n_transitions", "row_entropy_bits", "occupancy",
         F.round("__rate", 6).alias("entropy_rate_bits"),
     )
+
+
+def stratified_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified A/B effect over activity deciles (the classic
+    variance-reduction estimator, Cochran 1977 ch.5A; the
+    non-parametric sibling of [[agg_cuped]]'s regression adjustment):
+    users are split into 10 strata by their EVENT COUNT (a
+    pre-treatment covariate under the md5 assignment), the
+    within-stratum mean difference of total value is computed per
+    stratum, and the stratum rows carry the weight n_h/N that a
+    pooled post-stratified estimate would use. A heavy-activity
+    stratum whose diff dwarfs the rest localizes WHERE the effect
+    lives — the readout [[agg_ab_test]]'s single diff and
+    [[agg_qte]]'s marginal quantiles both blur.
+
+    Exactness: per-user outcomes are decimal-rounded @4 (the
+    user_features convention); strata via ntile(10) over
+    (n_events, user_id) — a total order, so both engines cut
+    identical strata; within-stratum means are one decimal sum /
+    count; the global ntile window sits over the per-user AGGREGATE
+    (150 rows at sf0.01, never raw events). Returns (stratum, n_a,
+    n_b, mean_a, mean_b, diff, weight) ordered by stratum."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_ev"),
+        F.round(
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))
+                  .cast("decimal(30,8)")),
+            4,
+        ).cast("double").alias("__y"),
+    ).select(
+        "user_id", "__n_ev", "__y", _ab_variant().alias("__v")
+    )
+    w = Window.orderBy("__n_ev", "user_id")
+    staged = per_user.select(
+        "__v", "__y", F.ntile(10).over(w).alias("stratum")
+    )
+    per_stratum = staged.groupBy("stratum").agg(
+        F.sum(F.when(F.col("__v") == 0, 1).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("__v") == 1, 1).otherwise(0))
+        .cast("long").alias("n_b"),
+        F.round(
+            F.sum(F.when(F.col("__v") == 0, F.col("__y"))
+                  .cast("decimal(30,8)")),
+            4,
+        ).cast("double").alias("__sa"),
+        F.round(
+            F.sum(F.when(F.col("__v") == 1, F.col("__y"))
+                  .cast("decimal(30,8)")),
+            4,
+        ).cast("double").alias("__sb"),
+    )
+    total = per_stratum.agg(
+        F.sum(F.col("n_a") + F.col("n_b")).cast("double").alias("__nt")
+    )
+    mean_a = F.try_divide(F.col("__sa"), F.col("n_a").cast("double"))
+    mean_b = F.try_divide(F.col("__sb"), F.col("n_b").cast("double"))
+    return (
+        per_stratum.crossJoin(F.broadcast(total))
+        .select(
+            F.col("stratum").cast("long").alias("stratum"),
+            "n_a", "n_b",
+            F.round(mean_a, 6).alias("mean_a"),
+            F.round(mean_b, 6).alias("mean_b"),
+            F.round(mean_b - mean_a, 6).alias("diff"),
+            F.round(
+                (F.col("n_a") + F.col("n_b")).cast("double")
+                / F.col("__nt"),
+                6,
+            ).alias("weight"),
+        )
+        .orderBy("stratum")
+    )
+
+
+def iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variable Wald estimator under the encouragement
+    design (Angrist, Imbens & Rubin 1996): the md5 split is the
+    INSTRUMENT Z, "user made >= 1 purchase" is the observed TREATMENT
+    D, total value is the outcome Y. LATE = ITT_Y / ITT_D — the
+    effect of purchasing on the value of users the encouragement
+    actually moved. This is the estimator for the ubiquitous
+    production case where the experiment can only ENCOURAGE a
+    behavior (a prompt, a banner) but compliance is the user's
+    choice, making the naive purchaser-vs-non-purchaser comparison
+    ([[agg_ab_test]] on D) confounded.
+
+    Exactness: per-user (Y, D, Z) built in one aggregate (Y
+    decimal-rounded @4, D an exact 0/1, Z the shared [[agg_srm]]
+    split); arm sums are decimal; the three ratios are fixed-order
+    doubles with try_divide (a zero first stage — nobody complied —
+    yields NULL, matching DuckDB /0). Returns one row (n_users,
+    itt_y, itt_d, late)."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))
+                  .cast("decimal(30,8)")),
+            4,
+        ).cast("double").alias("__y"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("__d"),
+    ).select("__y", "__d", _ab_variant().alias("__z"))
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("__z") == 1, 1).otherwise(0))
+        .cast("long").alias("__n1"),
+        F.sum(F.when(F.col("__z") == 0, 1).otherwise(0))
+        .cast("long").alias("__n0"),
+        F.round(
+            F.sum(F.when(F.col("__z") == 1, F.col("__y"))
+                  .cast("decimal(30,8)")),
+            4,
+        ).cast("double").alias("__sy1"),
+        F.round(
+            F.sum(F.when(F.col("__z") == 0, F.col("__y"))
+                  .cast("decimal(30,8)")),
+            4,
+        ).cast("double").alias("__sy0"),
+        F.sum(F.when(F.col("__z") == 1, F.col("__d")).otherwise(0))
+        .cast("long").alias("__sd1"),
+        F.sum(F.when(F.col("__z") == 0, F.col("__d")).otherwise(0))
+        .cast("long").alias("__sd0"),
+    )
+    itt_y = (
+        F.try_divide(F.col("__sy1"), F.col("__n1").cast("double"))
+        - F.try_divide(F.col("__sy0"), F.col("__n0").cast("double"))
+    )
+    itt_d = (
+        F.try_divide(F.col("__sd1").cast("double"),
+                     F.col("__n1").cast("double"))
+        - F.try_divide(F.col("__sd0").cast("double"),
+                       F.col("__n0").cast("double"))
+    )
+    return m.select(
+        "n_users",
+        F.round(itt_y, 6).alias("itt_y"),
+        F.round(itt_d, 6).alias("itt_d"),
+        F.round(F.try_divide(itt_y, itt_d), 6).alias("late"),
+    )

@@ -272,6 +272,10 @@ def main() -> None:
         "agg_srm", "agg_cuped", "agg_power", "ts_theta_forecast",
         "ts_kalman", "pipeline_tokenizer_fertility", "ann_two_stage",
         "ts_sigma_clip", "ts_records",
+        # round-12 operators
+        "agg_user_features_bucketed", "text_ngram_novelty",
+        "text_source_overlap", "graph_two_hop",
+        "agg_stratified_effect", "agg_iv_wald", "ts_capability",
     ]
     qs = entrymod.queries()
     if comparable_only:

@@ -291,13 +291,24 @@ def kcore(
     monotone, so extra rounds after convergence are no-ops and both
     engines agree whether or not the fixpoint was reached. Shape per
     round: one degree groupBy + two semi-joins keyed by node id;
-    edges localCheckpoint once (the upstream LSH pipeline runs once).
-    Returns surviving nodes: (doc_id, core_degree)."""
+    edges localCheckpoint once (the upstream LSH pipeline runs once),
+    and each round materializes its checkpoint with ONE count action
+    whose value doubles as the fixpoint test: peeling only ever
+    shrinks the edge set, so an unchanged count PROVES every later
+    round is a no-op and the loop exits early — bitwise the same
+    result (the oracle runs all rounds; no-op rounds are identity),
+    but a converged graph pays 1 round, not n_rounds×3 shuffles of
+    the full edge list (the 100x canary graph converges at round 1:
+    every clique member keeps degree ≥ 99 ≥ k). Returns surviving
+    nodes: (doc_id, core_degree)."""
     from fossil_spark.operators import fixed_rounds_guard
 
     fixed_rounds_guard("kcore", n_rounds)
     edges = _symmetric_edges(pairs, a_col, b_col).localCheckpoint(eager=False)
+    prev = edges.count()  # materializes the base checkpoint
     for _ in range(n_rounds):
+        if prev == 0:
+            break
         good = (
             edges.groupBy("src")
             .agg(F.count(F.lit(1)).alias("__deg"))
@@ -310,6 +321,10 @@ def kcore(
             .select("src", "dst")
             .localCheckpoint(eager=False)
         )
+        n = edges.count()  # one action per round (the pagerank budget)
+        if n == prev:
+            break
+        prev = n
     return (
         edges.groupBy(F.col("src").alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("core_degree"))

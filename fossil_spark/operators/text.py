@@ -2995,13 +2995,16 @@ def ngram_novelty(
     will throw most of it away downstream, so stop paying for it
     upstream.
 
-    Shape: one shingle explode (distinct per doc, the [[dedup_minhash]]
-    shingle convention), one corpus-wide groupBy shingle for min(id)
-    (map-side partials carry the reduction; the shuffle key is the
-    shingle — the natural high-cardinality key, no skew), one
-    shingle-keyed join back + a per-source rollup. All counts
-    integer; one @6 division. Returns (source, n_docs, n_shingles,
-    n_novel, novelty_rate) ordered by source."""
+    Shape: ONE shingle explode (distinct per doc, the
+    [[dedup_minhash]] shingle convention) feeding ONE min-id window
+    partitioned by shingle — the natural high-cardinality shuffle
+    key, no skew — then a per-source rollup; the groupBy+join-back
+    formulation re-executed the explode on both join sides (measured
+    9.7 s -> this shape at sf0.1). All counts integer; one @6
+    division. Returns (source, n_docs, n_shingles, n_novel,
+    novelty_rate) ordered by source."""
+    from pyspark.sql import Window
+
     sh = df.select(
         F.col(id_col),
         F.col(source_col),
@@ -3009,8 +3012,12 @@ def ngram_novelty(
             F.array_distinct(shingles(F.col(text_col), n))
         ).alias("__sh"),
     )
-    first = sh.groupBy("__sh").agg(F.min(id_col).alias("__first"))
-    occ = sh.join(first, "__sh")
+    wsh = Window.partitionBy("__sh")
+    occ = sh.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.min(id_col).over(wsh).alias("__first"),
+    )
     out = occ.groupBy(source_col).agg(
         F.countDistinct(id_col).cast("long").alias("n_docs"),
         F.count(F.lit(1)).cast("long").alias("n_shingles"),
@@ -3043,10 +3050,13 @@ def source_overlap(
     High containment_a_in_b with low Jaccard = a is a subset worth
     dropping; low both = genuinely complementary sources.
 
-    Shape: one explode to (shingle, source) DISTINCT pairs, one
-    groupBy shingle collecting its source set (sources are few — the
-    set is bytes per shingle), one explode of the per-shingle source
-    pairs + integer rollup; per-source totals broadcast back. Never
+    Shape: one explode to (shingle, source) DISTINCT pairs —
+    localCheckpoint-ed, because BOTH downstream branches (per-source
+    totals, per-shingle source sets) consume it and the explode +
+    distinct shuffle must run once, not per branch — then one groupBy
+    shingle collecting its source set (sources are few — the set is
+    bytes per shingle), one explode of the per-shingle source pairs +
+    integer rollup; per-source totals broadcast back. Never
     materializes a doc×doc or shingle×shingle join. Returns
     (source_a, source_b, n_a, n_b, n_common, containment_a_in_b,
     jaccard) for source_a != source_b, ordered."""
@@ -3055,7 +3065,7 @@ def source_overlap(
         F.explode(
             F.array_distinct(shingles(F.col(text_col), n))
         ).alias("__sh"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     per = sh.groupBy("__src").agg(
         F.count(F.lit(1)).cast("long").alias("__n")
     )

@@ -89,6 +89,11 @@ HEAVY_ISOLATED = [
     "ann_index_agreement", "embedding_knn_classify", "ts_trend_robust",
     "embedding_bq_recall", "ann_recall_curve", "ann_ndcg",
     "ts_iact", "graph_modularity",
+    # r12 joins (>3 s at sf0.1): the 2NN/probe-scan pair, plus
+    # ann_two_stage — in the child it reads the truth/BQ tables the
+    # other ANN keys already memoized instead of rebuilding them in
+    # the inline session
+    "embedding_intrinsic_dim", "text_jsd_sources", "ann_two_stage",
 ]
 # the ORIGINAL r9 8-key set: heavy8_isolated sums exactly these so the
 # cross-round series stays comparable as new heavy keys join the child

@@ -2929,13 +2929,17 @@ def stratified_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).cast("double").alias("__sb"),
     )
-    total = per_stratum.agg(
-        F.sum(F.col("n_a") + F.col("n_b")).cast("double").alias("__nt")
-    )
+    # total user count via an unordered window over the 10-row
+    # aggregate — a crossJoin against a second aggregate re-executed
+    # the whole per-user pass on both sides (2 scans, caught by the
+    # scan-budget lint)
+    nt = F.sum(
+        (F.col("n_a") + F.col("n_b")).cast("double")
+    ).over(Window.partitionBy(F.lit(1)))
     mean_a = F.try_divide(F.col("__sa"), F.col("n_a").cast("double"))
     mean_b = F.try_divide(F.col("__sb"), F.col("n_b").cast("double"))
     return (
-        per_stratum.crossJoin(F.broadcast(total))
+        per_stratum.withColumn("__nt", nt)
         .select(
             F.col("stratum").cast("long").alias("stratum"),
             "n_a", "n_b",

@@ -460,6 +460,14 @@ _SCAN_BUDGET = {
     "text_common_word_ratio": 2,  # token explode feeds top-n + membership branches
     "agg_lorenz": 1,              # |users| agg + rank + 10-row windows
     "agg_chi2": 1,                # 35-row contingency table + windows
+    # round-12 keys
+    "agg_user_features_bucketed": 1,  # the bucketed catalog scan, zero Exchange
+    "text_ngram_novelty": 1,      # one explode + shingle window + rollup
+    "text_source_overlap": 1,     # one explode+distinct (checkpointed), both branches
+    "graph_two_hop": 2,           # pair pipeline (checkpointed) + docs side
+    "agg_stratified_effect": 1,   # per-user agg + ntile + rollup + 10-row total window
+    "agg_iv_wald": 1,             # one per-user agg + 1-row moments
+    "ts_capability": 1,           # bucket agg + key windows + rollup
 }
 
 

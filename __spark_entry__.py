@@ -2916,6 +2916,55 @@ def _ts_capability(spark, sf_dir):
     )
 
 
+def _ts_seasonal_mk(spark, sf_dir):
+    """Seasonal Mann-Kendall trend test per key (timeseries.
+    seasonal_mk, Hirsch & Slack 1984): MK within each hour-of-day
+    season, tie-corrected variance, continuity-corrected Z."""
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.seasonal_mk(
+        _events(spark, sf_dir), "1 hour", "ts", ["event_type"],
+    )
+
+
+def _ts_spc_rules(spark, sf_dir):
+    """Western Electric run rules per key (timeseries.spc_rules,
+    WE Handbook 1956): beyond-3s, 2-of-3 beyond 2s, 4-of-5 beyond
+    1s, 8 same side — the sustained-shift patterns rule 1 misses."""
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.spc_rules(
+        _events(spark, sf_dir), "1 hour", "ts", ["event_type"],
+    )
+
+
+def _dedup_bbit_minhash(spark, sf_dir):
+    """1-bit minwise hashing audit (dedup.bbit_minhash_estimate,
+    Li & Konig 2010): per candidate pair, the 32x-compressed 1-bit
+    estimate next to the full-signature estimate."""
+    from fossil_spark.operators import dedup
+
+    return dedup.bbit_minhash_estimate(_docs(spark, sf_dir))
+
+
+def _text_word_burstiness(spark, sf_dir):
+    """Church-Gale word burstiness for the top-200 cf types
+    (text.word_burstiness): cf/df vs the global-Poisson expected df
+    — bursty content words vs function-word spray."""
+    from fossil_spark.operators import text
+
+    return text.word_burstiness(_docs(spark, sf_dir))
+
+
+def _agg_theil(spark, sf_dir):
+    """Theil inequality index of customer revenue decomposed by
+    market segment (analytics.theil_index, Theil 1967): within-group
+    indices + weights + between-group terms."""
+    from fossil_spark.queries import analytics
+
+    return analytics.theil_index(spark, sf_dir)
+
+
 def _graph_powerlaw(spark, sf_dir):
     """Clauset-Shalizi-Newman discrete MLE for the degree
     distribution of the minhash graph (graph.powerlaw_fit): is
@@ -3112,14 +3161,17 @@ def _text_idf_outliers(spark, sf_dir):
 # DRIVER signal lands here), then the 7 round-12 additions (never
 # checked), then 20 of the 38 r5-vintage keys — the oldest driver
 # signal left in the registry. Below the fold, the r13 queue starts
-# with graph_jaccard (its oracle gained the center-degree cap this
-# round; locally hash-green at sf0.01+sf0.001, re-certify through the
-# driver next), then the 18 remaining r5-vintage keys, then the
-# r6 (45), r7 (48) and r8 (32) vintage blocks in age order; keys with
-# an r9+ signal are unlisted and follow in registration order. With
-# 349 registry keys and a 50-key window the steady-state revisit
-# period is ~7 rounds; additions were capped at 7 this round so the
-# window turns over faster than keys age (r11 verdict #2).
+# with the 5 batch-2 round-12 keys (locally dual-SF hash-green;
+# never driver-checked — 1 round old at r13, inside the "no
+# never-checked key older than one round" bar), then graph_jaccard
+# (its oracle gained the center-degree cap this round; locally
+# hash-green at sf0.01+sf0.001, re-certify through the driver next),
+# then the 18 remaining r5-vintage keys, then the r6 (45), r7 (48)
+# and r8 (32) vintage blocks in age order; keys with an r9+ signal
+# are unlisted and follow in registration order. With 354 registry
+# keys and a 50-key window the steady-state revisit period is ~7
+# rounds; additions this round total 12 (7 in-window + 5 queued),
+# inside the verdict's 10-15 cap.
 _WINDOW_PRIORITY = [
     # --- window head: 23 round-11 keys (first driver signal) ---
     "agg_hhi", "agg_pareto_abc", "agg_msprt", "ts_variogram", "ts_evt_pot",
@@ -3139,7 +3191,10 @@ _WINDOW_PRIORITY = [
     "ts_funnel", "ts_retention", "dedup_paragraph", "text_contamination",
     "sample_weighted",
     # ---------------- below the fold ----------------
-    # r13 queue head: changed-oracle re-cert + the r5 remainder (18)
+    # r13 queue head: the 5 batch-2 round-12 keys (never checked),
+    # the changed-oracle re-cert, then the r5 remainder (18)
+    "ts_seasonal_mk", "ts_spc_rules", "dedup_bbit_minhash",
+    "text_word_burstiness", "agg_theil",
     "graph_jaccard",
     "dedup_cross", "dedup_substring", "multimodal_audio",
     "sample_group_split", "sample_hash_topk", "text_bm25",
@@ -3443,6 +3498,11 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_stratified_effect": _agg_stratified_effect,
         "agg_iv_wald": _agg_iv_wald,
         "ts_capability": _ts_capability,
+        "ts_seasonal_mk": _ts_seasonal_mk,
+        "ts_spc_rules": _ts_spc_rules,
+        "dedup_bbit_minhash": _dedup_bbit_minhash,
+        "text_word_burstiness": _text_word_burstiness,
+        "agg_theil": _agg_theil,
         "embedding_silhouette": _embedding_silhouette,
         "graph_kcore": _graph_kcore,
         "graph_jaccard": _graph_jaccard,
@@ -10952,5 +11012,175 @@ def oracle_sql() -> dict[str, str]:
         "  (least(95.0 - m, m - 5.0) / (3.0 * sg))"
         "   >= 1.3333333333333333 END AS capable_133"
         " FROM g"
+    )
+    # seasonal Mann-Kendall (Hirsch-Slack 1984): within-season sign
+    # sums + exact integer tie-corrected 18*Var, continuity-corrected
+    # Z; single-bucket seasons contribute 0 to S via the LEFT join
+    out["ts_seasonal_mk"] = (
+        "WITH b AS (SELECT event_type,"
+        " time_bucket(INTERVAL 1 HOUR, ts) AS bucket,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "  / count(value) AS v"
+        f" FROM {_EV} e WHERE value IS NOT NULL GROUP BY 1, 2),"
+        " s0 AS (SELECT event_type,"
+        "  CAST(extract(hour FROM bucket) AS BIGINT) AS season,"
+        "  epoch(bucket) AS t, v FROM b),"
+        " sp AS (SELECT a.event_type AS event_type, a.season AS season,"
+        "  CAST(sum(CASE WHEN b2.v > a.v THEN 1 WHEN b2.v < a.v"
+        "   THEN -1 ELSE 0 END) AS BIGINT) AS s"
+        "  FROM s0 a JOIN s0 b2 ON a.event_type = b2.event_type"
+        "   AND a.season = b2.season AND b2.t > a.t GROUP BY 1, 2),"
+        " tg AS (SELECT event_type, season, v,"
+        "  CAST(count(*) AS BIGINT) AS tn FROM s0 GROUP BY 1, 2, 3),"
+        " vp AS (SELECT event_type, season,"
+        "  CAST(sum(tn) AS BIGINT) AS n,"
+        "  CAST(sum(tn * (tn - 1) * (2 * tn + 5)) AS BIGINT) AS tie18"
+        "  FROM tg GROUP BY 1, 2),"
+        " per AS (SELECT vp.event_type AS event_type, vp.n AS n,"
+        "  vp.n * (vp.n - 1) * (2 * vp.n + 5) - vp.tie18 AS v18,"
+        "  coalesce(sp.s, 0) AS s FROM vp LEFT JOIN sp"
+        "  ON sp.event_type = vp.event_type AND sp.season = vp.season),"
+        " g AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_buckets,"
+        "  CAST(sum(s) AS BIGINT) AS s_total,"
+        "  CAST(sum(v18) AS BIGINT) AS var18 FROM per GROUP BY 1),"
+        " zt AS (SELECT event_type, n_buckets, s_total, var18,"
+        "  CAST(CASE WHEN s_total > 0 THEN s_total - 1"
+        "   WHEN s_total < 0 THEN s_total + 1 ELSE 0 END AS DOUBLE)"
+        "   / sqrt(CAST(var18 AS DOUBLE) / 18.0) AS z FROM g)"
+        " SELECT event_type, n_buckets, s_total, var18,"
+        " round(z, 6) AS z,"
+        " CASE WHEN z IS NOT NULL THEN abs(z) > 1.96 END AS trending_95"
+        " FROM zt"
+    )
+    # Western Electric run rules: the cusum z recipe + four fixed
+    # ROWS-frame window counts; short head frames never fire
+    out["ts_spc_rules"] = (
+        "WITH bk AS (SELECT event_type,"
+        " time_bucket(INTERVAL 1 HOUR, ts) AS bucket,"
+        " CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "  / count(value) AS v"
+        f" FROM {_EV} e WHERE value IS NOT NULL GROUP BY 1, 2),"
+        " st AS (SELECT *,"
+        "  CAST(round(sum(CAST(v AS DECIMAL(30,8))) OVER wk, 4)"
+        "   AS DOUBLE) / count(v) OVER wk AS mu"
+        "  FROM bk WINDOW wk AS (PARTITION BY event_type)),"
+        " tm AS (SELECT *, CAST(round((v - mu) * (v - mu), 6)"
+        "   AS DECIMAL(30,6)) AS t FROM st),"
+        " sg AS (SELECT *, sqrt(CAST(sum(t) OVER wk2 AS DOUBLE)"
+        "   / count(v) OVER wk2) AS sigma"
+        "  FROM tm WINDOW wk2 AS (PARTITION BY event_type)),"
+        " z AS (SELECT event_type, bucket, (v - mu) / sigma AS z"
+        "  FROM sg WHERE sigma > 0),"
+        " f AS (SELECT event_type,"
+        "  CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END AS r1,"
+        "  CASE WHEN count(*) OVER w3 = 3 AND"
+        "   (sum(CASE WHEN z > 2 THEN 1 ELSE 0 END) OVER w3 >= 2 OR"
+        "    sum(CASE WHEN z < -2 THEN 1 ELSE 0 END) OVER w3 >= 2)"
+        "   THEN 1 ELSE 0 END AS r2,"
+        "  CASE WHEN count(*) OVER w5 = 5 AND"
+        "   (sum(CASE WHEN z > 1 THEN 1 ELSE 0 END) OVER w5 >= 4 OR"
+        "    sum(CASE WHEN z < -1 THEN 1 ELSE 0 END) OVER w5 >= 4)"
+        "   THEN 1 ELSE 0 END AS r3,"
+        "  CASE WHEN count(*) OVER w8 = 8 AND"
+        "   (sum(CASE WHEN z > 0 THEN 1 ELSE 0 END) OVER w8 = 8 OR"
+        "    sum(CASE WHEN z < 0 THEN 1 ELSE 0 END) OVER w8 = 8)"
+        "   THEN 1 ELSE 0 END AS r4"
+        "  FROM z WINDOW"
+        "  w3 AS (PARTITION BY event_type ORDER BY bucket"
+        "   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),"
+        "  w5 AS (PARTITION BY event_type ORDER BY bucket"
+        "   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),"
+        "  w8 AS (PARTITION BY event_type ORDER BY bucket"
+        "   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))"
+        " SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,"
+        " CAST(sum(r1) AS BIGINT) AS r1_beyond_3s,"
+        " CAST(sum(r2) AS BIGINT) AS r2_2of3_beyond_2s,"
+        " CAST(sum(r3) AS BIGINT) AS r3_4of5_beyond_1s,"
+        " CAST(sum(r4) AS BIGINT) AS r4_8_same_side,"
+        " CAST(sum(CASE WHEN r1 + r2 + r3 + r4 > 0 THEN 1 ELSE 0 END)"
+        "  AS BIGINT) AS n_flagged"
+        " FROM f GROUP BY 1"
+    )
+    # 1-bit minwise hashing (Li-Konig 2010) next to the full
+    # signature estimate: bit = parity of the minhash's last nibble
+    out["dedup_bbit_minhash"] = (
+        f"WITH {_MINHASH_CTES}"
+        " SELECT p.doc_a, p.doc_b,"
+        " CAST(sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END)"
+        "  AS BIGINT) AS n_match,"
+        " round(CAST(sum(CASE WHEN a.minhash = b.minhash THEN 1"
+        "  ELSE 0 END) AS DOUBLE) / 8.0, 6) AS jaccard_est,"
+        " CAST(sum(CASE WHEN ('0x' || substr(a.minhash, 32, 1))::BIGINT % 2"
+        "  = ('0x' || substr(b.minhash, 32, 1))::BIGINT % 2"
+        "  THEN 1 ELSE 0 END) AS BIGINT) AS n_bit_match,"
+        " round(2.0 * CAST(sum(CASE WHEN"
+        "  ('0x' || substr(a.minhash, 32, 1))::BIGINT % 2"
+        "  = ('0x' || substr(b.minhash, 32, 1))::BIGINT % 2"
+        "  THEN 1 ELSE 0 END) AS DOUBLE) / 8.0 - 1.0, 6) AS jaccard_b1,"
+        " round((2.0 * CAST(sum(CASE WHEN"
+        "  ('0x' || substr(a.minhash, 32, 1))::BIGINT % 2"
+        "  = ('0x' || substr(b.minhash, 32, 1))::BIGINT % 2"
+        "  THEN 1 ELSE 0 END) AS DOUBLE) / 8.0 - 1.0)"
+        "  - CAST(sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END)"
+        "   AS DOUBLE) / 8.0, 6) AS est_gap"
+        " FROM pairs p"
+        " JOIN mh a ON a.doc_id = p.doc_a"
+        " JOIN mh b ON b.doc_id = p.doc_b AND b.seed = a.seed"
+        " GROUP BY p.doc_a, p.doc_b"
+    )
+    # Church-Gale burstiness: vocab aggregate + global cf rank,
+    # Poisson null via pow of the same integer-derived base
+    out["text_word_burstiness"] = (
+        r"WITH toks AS (SELECT doc_id,"
+        r" unnest(regexp_split_to_array(trim(text), '\s+')) AS tok"
+        " FROM documents),"
+        " v AS (SELECT tok, CAST(count(*) AS BIGINT) AS cf,"
+        "  CAST(count(DISTINCT doc_id) AS BIGINT) AS df"
+        "  FROM toks GROUP BY 1),"
+        " r AS (SELECT row_number() OVER (ORDER BY cf DESC, tok)"
+        "   AS rank, tok, cf, df FROM v),"
+        " n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),"
+        " t AS (SELECT rank, tok, cf, df,"
+        "  nd * (1.0 - pow((nd - 1.0) / nd, CAST(cf AS DOUBLE)))"
+        "   AS pdf FROM r, n WHERE rank <= 200)"
+        " SELECT CAST(rank AS BIGINT) AS rank, tok, cf, df,"
+        " round(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6)"
+        "  AS burstiness,"
+        " round(pdf, 6) AS poisson_df,"
+        " round(CAST(df AS DOUBLE) / pdf, 6) AS df_ratio"
+        " FROM t ORDER BY rank"
+    )
+    # Theil index decomposed by market segment: decimal per-customer
+    # revenue, decimal group/grand means, @8-quantized r*ln(r) sums
+    out["agg_theil"] = (
+        "WITH per AS (SELECT o_custkey,"
+        " CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 4)"
+        "  AS DOUBLE) AS y FROM orders GROUP BY 1 HAVING"
+        "  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 4)"
+        "   AS DOUBLE) > 0),"
+        " seg AS (SELECT c.c_mktsegment AS segment, per.y AS y"
+        "  FROM per JOIN customer c ON c.c_custkey = per.o_custkey),"
+        " st AS (SELECT segment, y,"
+        "  CAST(round(sum(CAST(y AS DECIMAL(30,8))) OVER wg, 4)"
+        "   AS DOUBLE) / count(y) OVER wg AS mg,"
+        "  CAST(round(sum(CAST(y AS DECIMAL(30,8))) OVER wa, 4)"
+        "   AS DOUBLE) / count(y) OVER wa AS mu,"
+        "  count(y) OVER wa AS nt"
+        "  FROM seg WINDOW wg AS (PARTITION BY segment),"
+        "  wa AS (PARTITION BY 1)),"
+        " g AS (SELECT segment,"
+        "  CAST(count(*) AS BIGINT) AS n_customers,"
+        "  max(mg) AS mgv, max(mu) AS muv, max(nt) AS ntv,"
+        "  CAST(round(sum(CAST(round((y / mg) * ln(y / mg), 8)"
+        "   AS DECIMAL(30,8))), 8) AS DOUBLE) AS tsum"
+        "  FROM st GROUP BY 1)"
+        " SELECT segment, n_customers,"
+        " round(mgv, 6) AS mean_revenue,"
+        " round(tsum / CAST(n_customers AS DOUBLE), 6) AS theil_within,"
+        " round((CAST(n_customers AS DOUBLE) / CAST(ntv AS DOUBLE))"
+        "  * (mgv / muv), 6) AS weight,"
+        " round((CAST(n_customers AS DOUBLE) / CAST(ntv AS DOUBLE))"
+        "  * (mgv / muv) * ln(mgv / muv), 6) AS between_term"
+        " FROM g ORDER BY segment"
     )
     return out

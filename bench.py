@@ -281,6 +281,8 @@ def main() -> None:
         "agg_user_features_bucketed", "text_ngram_novelty",
         "text_source_overlap", "graph_two_hop",
         "agg_stratified_effect", "agg_iv_wald", "ts_capability",
+        "ts_seasonal_mk", "ts_spc_rules", "dedup_bbit_minhash",
+        "text_word_burstiness", "agg_theil",
     ]
     qs = entrymod.queries()
     if comparable_only:

@@ -1206,3 +1206,71 @@ def bloom_audit(
         ).alias("fp_measured"),
         F.round(theo, 6).alias("fp_theoretical"),
     )
+
+
+def bbit_minhash_estimate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """1-bit minwise hashing audit (Li & König 2010, WWW — "b-Bit
+    Minwise Hashing"): storing only the LOWEST BIT of each minhash
+    shrinks the signature 32x (here: 8 hex strings -> one byte) at
+    the cost of a noisier estimator — for b=1 the collision baseline
+    is 1/2, so J_b1 = 2·(bit match rate) − 1. This op puts the 1-bit
+    estimate NEXT TO the full-signature estimate per candidate pair
+    ([[dedup_minhash_estimate]]), pricing the compression before a
+    100 TB signature store commits to it: est_gap is the information
+    you'd give up.
+
+    Shape: identical to the estimate op — signature matrix
+    checkpointed once, banded pairs, two id-keyed joins; the bit of
+    each hex minhash is its last nibble's parity (both engines
+    compute it from the same md5 strings). All counts integer; the
+    two estimates are single divisions. Returns (doc_a, doc_b,
+    n_match, jaccard_est, n_bit_match, jaccard_b1, est_gap)."""
+    sigs = _signature_matrix(
+        df, text_col, id_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=False)
+    pairs = _pairs_from_sigs(sigs, id_col, num_hashes, rows_per_band)
+    sa = sigs.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"__mh{s}").alias(f"__a{s}") for s in range(num_hashes)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"__mh{s}").alias(f"__b{s}") for s in range(num_hashes)],
+    )
+
+    def bit(col):
+        return F.conv(F.substring(col, 32, 1), 16, 10).cast("long") % 2
+
+    n_match = sum(
+        (F.col(f"__a{s}") == F.col(f"__b{s}")).cast("long")
+        for s in range(num_hashes)
+    )
+    n_bit = sum(
+        (bit(F.col(f"__a{s}")) == bit(F.col(f"__b{s}"))).cast("long")
+        for s in range(num_hashes)
+    )
+    jf = n_match.cast("double") / F.lit(float(num_hashes))
+    jb = (
+        F.lit(2.0) * n_bit.cast("double") / F.lit(float(num_hashes))
+        - F.lit(1.0)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_match.alias("n_match"),
+            F.round(jf, 6).alias("jaccard_est"),
+            n_bit.alias("n_bit_match"),
+            F.round(jb, 6).alias("jaccard_b1"),
+            F.round(jb - jf, 6).alias("est_gap"),
+        )
+    )

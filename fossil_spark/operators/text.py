@@ -3099,3 +3099,66 @@ def source_overlap(
             F.col("n_common").cast("double") / union.cast("double"), 6
         ).alias("jaccard"),
     ).orderBy("source_a", "source_b")
+
+
+def word_burstiness(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 200,
+) -> DataFrame:
+    """Word burstiness for the top-`top_k` collection-frequency types
+    (Church & Gale 1995, "Poisson mixtures": real words repeat within
+    the documents that use them far more than a Poisson spray would):
+    burstiness = cf/df (mean occurrences per CONTAINING doc) next to
+    the document frequency a global Poisson null predicts,
+    E[df] = N·(1 − ((N−1)/N)^cf). df_ratio ≪ 1 = bursty content
+    words (concentrated in few docs); df_ratio ≈ 1 = function-word
+    spray. The vocabulary-level complement to [[text_repetition]]
+    (within-doc) and [[text_idf_outliers]] (per-doc): a candidate
+    keyword/boilerplate dial that needs no language resources.
+
+    Shape: one token explode + vocab groupBy (cf via count, df via
+    countDistinct in the same aggregate), one global rank window over
+    the TYPE table (Aggregate-bounded, allowlisted) + the 1-row doc
+    count broadcast; the Poisson null is one pow() per surviving
+    type, base computed from the same integers on both engines (the
+    fql_pow precedent). Returns (rank, tok, cf, df, burstiness,
+    poisson_df, df_ratio) ordered by rank."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cf"),
+        F.countDistinct(id_col).cast("long").alias("df"),
+    )
+    w = Window.orderBy(F.col("cf").desc(), "tok")
+    top = vocab.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "tok", "cf", "df",
+    ).filter(F.col("rank") <= top_k)
+    n_docs = df.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    nd = F.col("__n").cast("double")
+    poisson_df = nd * (
+        F.lit(1.0)
+        - F.pow((nd - F.lit(1.0)) / nd, F.col("cf").cast("double"))
+    )
+    return (
+        top.crossJoin(F.broadcast(n_docs))
+        .select(
+            "rank", "tok", "cf", "df",
+            F.round(
+                F.col("cf").cast("double") / F.col("df").cast("double"),
+                6,
+            ).alias("burstiness"),
+            F.round(poisson_df, 6).alias("poisson_df"),
+            F.round(F.col("df").cast("double") / poisson_df, 6)
+            .alias("df_ratio"),
+        )
+        .orderBy("rank")
+    )

@@ -6954,3 +6954,197 @@ def capability(
         F.when(cpk.isNotNull(), cpk >= F.lit(4.0 / 3.0))
         .alias("capable_133"),
     )
+
+
+def seasonal_mk(
+    df: DataFrame,
+    every: str = "1 hour",
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    max_buckets: int = 20000,
+) -> DataFrame:
+    """Seasonal Mann-Kendall trend test per key (Hirsch & Slack 1984,
+    Water Resources Research — the standard monotone-trend test for
+    seasonal telemetry): the MK statistic S is computed WITHIN each
+    season (hour-of-day, so daily cycles can't masquerade as trend —
+    the failure mode of the plain MK in [[ts_theil_sen]] on diurnal
+    data) and summed; Var[S] = sum over seasons of
+    (n(n-1)(2n+5) - sum_t t(t-1)(2t+5)) / 18 with the textbook tie
+    correction; Z applies the +-1 continuity correction.
+
+    Shape: bucket means (the cusum recipe), ONE pairwise self-join
+    per (key, season) — the pair space is sum over seasons of n_s²,
+    i.e. n²/24 of the plain MK's, guarded per (key, season) by the
+    buckets² guard — plus a tiny tie groupBy; S and the 18·Var
+    accumulate as exact integers, one fixed-order double Z at the
+    end (try_divide: a key with Var 0 reports NULL z). Returns
+    (*by, n_buckets, s_total, var18, z, trending_95)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    b = df.filter(F.col(value_col).isNotNull()).groupBy(
+        *by, F.window(F.col(time_col), every).start.alias("__bucket")
+    ).agg(
+        (
+            F.round(F.sum(F.col(value_col).cast("decimal(30,8)")), 4)
+            .cast("double")
+            / F.count(value_col)
+        ).alias("__v")
+    ).select(
+        *by,
+        F.hour("__bucket").alias("__season"),
+        F.unix_timestamp("__bucket").alias("__t"),
+        "__v",
+    )
+    keys = by + ["__season"]
+    b = _bucket_count_guard(b, keys, "seasonal_mk", max_buckets)
+    b = b.localCheckpoint(eager=False)
+    a = b.select(*keys, F.col("__t").alias("__t1"),
+                 F.col("__v").alias("__v1"))
+    c = b.select(*keys, F.col("__t").alias("__t2"),
+                 F.col("__v").alias("__v2"))
+    s_per = (
+        a.join(c, on=keys)
+        .filter(F.col("__t2") > F.col("__t1"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(F.signum(F.col("__v2") - F.col("__v1")).cast("long"))
+            .alias("__s"),
+        )
+    )
+    # per-season bucket counts + tie groups (exact integer variance)
+    ties = b.groupBy(*keys, "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__tn")
+    )
+    var_per = ties.groupBy(*keys).agg(
+        F.sum("__tn").cast("long").alias("__n"),
+        F.sum(
+            F.col("__tn") * (F.col("__tn") - 1)
+            * (2 * F.col("__tn") + 5)
+        ).cast("long").alias("__tie18"),
+    ).select(
+        *keys,
+        "__n",
+        (
+            F.col("__n") * (F.col("__n") - 1) * (2 * F.col("__n") + 5)
+            - F.col("__tie18")
+        ).alias("__v18"),
+    )
+    per_season = var_per.join(s_per, on=keys, how="left").select(
+        *by, "__n", "__v18",
+        F.coalesce(F.col("__s"), F.lit(0)).alias("__s"),
+    )
+    g = per_season.groupBy(*by).agg(
+        F.sum("__n").cast("long").alias("n_buckets"),
+        F.sum("__s").cast("long").alias("s_total"),
+        F.sum("__v18").cast("long").alias("var18"),
+    )
+    sd = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    zc = F.when(F.col("s_total") > 0, F.col("s_total") - 1).when(
+        F.col("s_total") < 0, F.col("s_total") + 1
+    ).otherwise(F.lit(0)).cast("double")
+    z = F.try_divide(zc, sd)
+    return g.select(
+        *by, "n_buckets", "s_total", "var18",
+        F.round(z, 6).alias("z"),
+        F.when(z.isNotNull(), F.abs(z) > F.lit(1.96))
+        .alias("trending_95"),
+    )
+
+
+def spc_rules(
+    df: DataFrame,
+    every: str = "1 hour",
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Western Electric run rules per key (Western Electric Company,
+    Statistical Quality Control Handbook 1956 — the four classic zone
+    tests every SPC chart ships): over the hourly z-score series,
+    rule 1 = a point beyond 3 sigma; rule 2 = >= 2 of the last 3
+    beyond 2 sigma on the SAME side; rule 3 = >= 4 of the last 5
+    beyond 1 sigma same side; rule 4 = 8 consecutive points on one
+    side of the center line. Rules 2-4 catch the sustained small
+    shifts rule 1 is blind to — the run-pattern companion to
+    [[ts_capability]] (is the process fit) and [[ts_cusum]]
+    (cumulative drift).
+
+    Shape: the cusum bucket/z recipe (flatline keys excluded,
+    documented there), then four fixed ROWS-frame window sums on ONE
+    key sort — no joins, no Python; every rule decision is an integer
+    count compare, so both engines agree bitwise. Frames shorter than
+    the rule's span (series head) don't fire. Returns (*by,
+    n_buckets, r1_beyond_3s, r2_2of3_beyond_2s, r3_4of5_beyond_1s,
+    r4_8_same_side, n_flagged)."""
+    by = by or []
+    df = _time_norm(df, time_col)
+    b = df.filter(F.col(value_col).isNotNull()).groupBy(
+        *by, F.window(F.col(time_col), every).start.alias("bucket")
+    ).agg(
+        (
+            F.round(F.sum(F.col(value_col).cast("decimal(30,8)")), 4)
+            .cast("double")
+            / F.count(value_col)
+        ).alias("__v")
+    )
+    wk = Window.partitionBy(*by)
+    mu = (
+        F.round(F.sum(F.col("__v").cast("decimal(30,8)")).over(wk), 4)
+        .cast("double")
+        / F.count("__v").over(wk)
+    )
+    m = b.select(*by, "bucket", "__v", mu.alias("__mu"))
+    term = F.round(
+        (F.col("__v") - F.col("__mu")) * (F.col("__v") - F.col("__mu")),
+        6,
+    ).cast("decimal(30,6)")
+    sg = F.sqrt(
+        F.sum(term).over(wk).cast("double") / F.count("__v").over(wk)
+    )
+    z = m.select(
+        *by, "bucket",
+        ((F.col("__v") - F.col("__mu")) / sg).alias("__z"),
+        sg.alias("__sg"),
+    ).filter(F.col("__sg") > 0).drop("__sg")
+
+    def frame(n):
+        return (
+            Window.partitionBy(*by).orderBy("bucket")
+            .rowsBetween(-(n - 1), 0)
+        )
+
+    def cnt(cond, n):
+        return F.sum(cond.cast("int")).over(frame(n))
+
+    have = lambda n: F.count(F.lit(1)).over(frame(n)) == n  # noqa: E731
+    r1 = F.abs(F.col("__z")) > 3
+    r2 = have(3) & (
+        (cnt(F.col("__z") > 2, 3) >= 2) | (cnt(F.col("__z") < -2, 3) >= 2)
+    )
+    r3 = have(5) & (
+        (cnt(F.col("__z") > 1, 5) >= 4) | (cnt(F.col("__z") < -1, 5) >= 4)
+    )
+    r4 = have(8) & (
+        (cnt(F.col("__z") > 0, 8) == 8) | (cnt(F.col("__z") < 0, 8) == 8)
+    )
+    flagged = z.select(
+        *by,
+        r1.cast("int").alias("__r1"),
+        r2.cast("int").alias("__r2"),
+        r3.cast("int").alias("__r3"),
+        r4.cast("int").alias("__r4"),
+    )
+    return flagged.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("__r1").cast("long").alias("r1_beyond_3s"),
+        F.sum("__r2").cast("long").alias("r2_2of3_beyond_2s"),
+        F.sum("__r3").cast("long").alias("r3_4of5_beyond_1s"),
+        F.sum("__r4").cast("long").alias("r4_8_same_side"),
+        F.sum(
+            F.when(
+                (F.col("__r1") + F.col("__r2") + F.col("__r3")
+                 + F.col("__r4")) > 0, 1
+            ).otherwise(0)
+        ).cast("long").alias("n_flagged"),
+    )

@@ -3022,3 +3022,77 @@ def iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(itt_d, 6).alias("itt_d"),
         F.round(F.try_divide(itt_y, itt_d), 6).alias("late"),
     )
+
+
+def theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil inequality index of customer revenue, decomposed by
+    market segment (Theil 1967, Economics and Information Theory —
+    the one inequality measure that decomposes EXACTLY into
+    between-group + within-group parts, which [[agg_gini]] and
+    [[agg_lorenz]] cannot): per segment g, the within-group index
+    T_g = (1/n_g) Σ (y/μ_g)·ln(y/μ_g), the decomposition weight
+    w_g = (n_g/N)(μ_g/μ), and the between-group term
+    (n_g/N)(μ_g/μ)·ln(μ_g/μ). T_total = Σ w_g·T_g + Σ between_g —
+    the identity says HOW MUCH of revenue concentration is segment
+    mix vs whale customers inside a segment, which decides whether
+    rebalancing segments or capping whales changes anything.
+
+    Shape: one orders groupBy (per-customer revenue, decimal @4), a
+    broadcast customer-dim join for the segment, one segment window
+    (decimal mean) + one unordered all-rows window for the grand mean
+    over the |customers| aggregate, ln terms @8-quantized into
+    decimal sums, a 5-row segment rollup. Returns (segment,
+    n_customers, mean_revenue, theil_within, weight, between_term)
+    ordered by segment."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    per = o.groupBy("o_custkey").agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)")), 4
+        ).cast("double").alias("__y")
+    ).filter(F.col("__y") > 0)
+    seg = per.join(
+        F.broadcast(c.select(
+            F.col("c_custkey").alias("o_custkey"),
+            F.col("c_mktsegment").alias("segment"),
+        )),
+        "o_custkey",
+    )
+    wg = Window.partitionBy("segment")
+    wall = Window.partitionBy(F.lit(1))
+    mu_g = (
+        F.round(F.sum(F.col("__y").cast("decimal(30,8)")).over(wg), 4)
+        .cast("double")
+        / F.count("__y").over(wg)
+    )
+    mu = (
+        F.round(F.sum(F.col("__y").cast("decimal(30,8)")).over(wall), 4)
+        .cast("double")
+        / F.count("__y").over(wall)
+    )
+    staged = seg.select(
+        "segment", "__y",
+        mu_g.alias("__mg"),
+        mu.alias("__mu"),
+        F.count("__y").over(wall).alias("__nt"),
+    )
+    r = F.col("__y") / F.col("__mg")
+    term = F.round(r * F.log(r), 8).cast("decimal(30,8)")
+    g = staged.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.max("__mg").alias("__mgv"),
+        F.max("__mu").alias("__muv"),
+        F.max("__nt").alias("__ntv"),
+        F.round(F.sum(term), 8).cast("double").alias("__tsum"),
+    )
+    share = F.col("n_customers").cast("double") / F.col("__ntv").cast("double")
+    ratio = F.col("__mgv") / F.col("__muv")
+    return g.select(
+        "segment", "n_customers",
+        F.round("__mgv", 6).alias("mean_revenue"),
+        F.round(
+            F.col("__tsum") / F.col("n_customers").cast("double"), 6
+        ).alias("theil_within"),
+        F.round(share * ratio, 6).alias("weight"),
+        F.round(share * ratio * F.log(ratio), 6).alias("between_term"),
+    ).orderBy("segment")

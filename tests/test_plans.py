@@ -133,6 +133,7 @@ GLOBAL_WINDOW_OK = {
     "agg_ks_ab",                # ECDF sweep over per-user agg
     "text_token_coverage",      # global rank over the vocabulary agg
     "agg_stratified_effect",    # ntile(10) over the per-user agg
+    "text_word_burstiness",     # global cf rank over the vocab agg
 }
 
 
@@ -468,6 +469,11 @@ _SCAN_BUDGET = {
     "agg_stratified_effect": 1,   # per-user agg + ntile + rollup + 10-row total window
     "agg_iv_wald": 1,             # one per-user agg + 1-row moments
     "ts_capability": 1,           # bucket agg + key windows + rollup
+    "ts_seasonal_mk": 1,          # bucket agg (checkpointed) feeds pairs+ties
+    "ts_spc_rules": 1,            # bucket agg + key windows + rule frames
+    "dedup_bbit_minhash": 1,      # signature matrix checkpointed once
+    "text_word_burstiness": 2,    # vocab explode scan + 1-row doc count
+    "agg_theil": 2,               # orders agg + broadcast customer dim
 }
 
 

@@ -276,3 +276,53 @@ def test_capability_flatline_null(spark):
     assert r["sigma"] == 0.0
     assert r["cp"] is None and r["cpk"] is None
     assert r["capable_133"] is None
+
+
+# --------------------------------------------------------------------------
+# ann session memo / truth catalog invariants
+# --------------------------------------------------------------------------
+
+def test_ann_memo_and_truth_catalog_invariants(spark):
+    """Pins the cache semantics the retrieval-audit speedup rests on:
+    same-session same-plan hits return the SAME persisted frame;
+    different plans never share; topk_truth at k<=10 is bitwise the
+    rank filter of the materialized 10-truth; invalidate unpersists
+    and clears."""
+    from fossil_spark.operators import ann
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) for j in range(4)])
+         for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter("vec_id < 3")
+
+    ann.ann_memo_invalidate()
+    t5 = ann.topk_truth(emb, q, k=5)
+    t5_again = ann.topk_truth(emb, q, k=5)
+    # the underlying memo entry is shared (one materialization);
+    # k=10 reads the same persisted table unfiltered
+    t10 = ann.topk_truth(emb, q, k=10)
+    assert len(ann._MEMO_CACHE) == 1
+    got5 = sorted(map(tuple, t5.collect()))
+    got5_again = sorted(map(tuple, t5_again.collect()))
+    assert got5 == got5_again
+    # rank filter of the 10-truth == direct brute force at k=5
+    direct = sorted(
+        map(tuple, ann.cosine_topk(emb, q, k=5).collect())
+    )
+    assert got5 == direct
+    assert {r["rank"] for r in t10.collect()} == set(range(1, 11))
+
+    # a semantically DIFFERENT query set must not share the entry
+    q2 = emb.filter("vec_id < 4")
+    ann.topk_truth(emb, q2, k=5).collect()
+    assert len(ann._MEMO_CACHE) == 2
+
+    # invalidate unpersists and clears every entry
+    ann.ann_memo_invalidate()
+    assert len(ann._MEMO_CACHE) == 0
+    # and the catalog rebuilds cleanly afterwards
+    assert sorted(map(tuple, ann.topk_truth(emb, q, k=5).collect())) \
+        == got5
+    ann.ann_memo_invalidate()

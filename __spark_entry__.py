@@ -2709,10 +2709,29 @@ def _graph_jaccard(spark, sf_dir):
     instead of one hub's C(h,2) — the oracle applies the identical
     cap, and at every driver SF the graph's max degree is far below
     64, so the capped and exact answers coincide there (the cap exists
-    for the 100x hub case, see PERFORMANCE.md canary)."""
+    for the 100x hub case, see PERFORMANCE.md canary). r13: the cap
+    is self-describing — n_hub_common counts each surviving pair's
+    excluded shared hub centers (all-zero wherever the cap doesn't
+    bind), mirrored in the oracle."""
     from fossil_spark.operators import dedup, graph
 
     return graph.jaccard_similarity(
+        dedup.minhash_lsh_pairs(_docs(spark, sf_dir)),
+        max_center_degree=64,
+    )
+
+
+def _graph_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over the minhash near-dup graph
+    (graph.adamic_adar, Adamic & Adar 2003): shared-neighbor score
+    with each neighbor discounted by 1/ln(degree) — the
+    specificity-ranked transitive-miss audit. Same
+    max_center_degree=64 wedge truncation + n_hub_common
+    self-description as graph_jaccard (and AA is the op MOST robust
+    to it: the dropped hub terms are its smallest)."""
+    from fossil_spark.operators import dedup, graph
+
+    return graph.adamic_adar(
         dedup.minhash_lsh_pairs(_docs(spark, sf_dir)),
         max_center_degree=64,
     )
@@ -2771,6 +2790,20 @@ def _ts_evt_pot(spark, sf_dir):
 
     return ts.evt_pot(
         _events(spark, sf_dir), time_col="ts", by=["event_type"]
+    )
+
+
+def _ts_croston(spark, sf_dir):
+    """Croston / Syntetos-Boylan intermittent-demand forecast per
+    event type (timeseries.croston, alpha=0.1, hourly demand
+    buckets): separate SES recurrences over demand sizes and
+    inter-demand intervals — the forecaster ts_intermittency's
+    router prescribes for sparse series."""
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.croston(
+        _events(spark, sf_dir), alpha=0.1, every="1 hour",
+        time_col="ts", by=["event_type"],
     )
 
 
@@ -2877,7 +2910,8 @@ def _text_source_overlap(spark, sf_dir):
 def _graph_two_hop(spark, sf_dir):
     """2-hop reach + amplification per node of the minhash graph
     (graph.two_hop_reach), with the same max_center_degree=64 wedge
-    truncation (and oracle mirror) as graph_jaccard."""
+    truncation (and oracle mirror) as graph_jaccard; r13: rows whose
+    frontier a capped hub hid carry n_hub_neighbors > 0."""
     from fossil_spark.operators import dedup, graph
 
     return graph.two_hop_reach(
@@ -3155,54 +3189,51 @@ def _text_idf_outliers(spark, sf_dir):
 
 
 # The driver's correctness gate checks the FIRST ~50 keys of
-# queries(). Round-12 rotation (r11 verdict #2): the head is exactly
-# 50 = the 23 round-11 keys the r11 window could not fit (judge-run
-# green through the driver's own harness in VERDICT r11; their first
-# DRIVER signal lands here), then the 7 round-12 additions (never
-# checked), then 20 of the 38 r5-vintage keys — the oldest driver
-# signal left in the registry. Below the fold, the r13 queue starts
-# with the 5 batch-2 round-12 keys (locally dual-SF hash-green;
-# never driver-checked — 1 round old at r13, inside the "no
-# never-checked key older than one round" bar), then graph_jaccard
-# (its oracle gained the center-degree cap this round; locally
-# hash-green at sf0.01+sf0.001, re-certify through the driver next),
-# then the 18 remaining r5-vintage keys, then the r6 (45), r7 (48)
-# and r8 (32) vintage blocks in age order; keys with an r9+ signal
-# are unlisted and follow in registration order. With 354 registry
-# keys and a 50-key window the steady-state revisit period is ~7
-# rounds; additions this round total 12 (7 in-window + 5 queued),
-# inside the verdict's 10-15 cap.
+# queries(). Round-13 rotation (r12 verdict #1, and its standing
+# rule — adopted: any key whose plan or execution path changes
+# materially re-enters the window head THAT round, displacing
+# vintage refreshes). The head is exactly 50 =
+#   5 batch-2 round-12 keys (judge-green on the driver harness in
+#     VERDICT r12; first DRIVER signal lands here),
+# + 6 changed-path round-13 keys: graph_jaccard + graph_two_hop
+#     (new self-describing truncation column, r12 verdict #5),
+#     graph_kcore (max_rounds plumb + r12-changed fixpoint exit),
+#     embedding_kcenter + embedding_kcenter_assign (greedy trace now
+#     session-memoized, r12 verdict #4), agg_user_features_bucketed
+#     (bucketed-events snapshot now content-tagged + superseded
+#     snapshots swept, r12 ADVICE),
+# + 5 ANN keys whose last driver pass predates the r12 truth
+#     catalog (ann_recall_eval r7; ann_index_agreement,
+#     ann_recall_curve, embedding_bq_recall, embedding_trunc_recall
+#     r8 — all judge-re-certified r12, driver signal lands here),
+# + the round-13 additions (never checked),
+# + r5-vintage refreshes (the oldest driver signal left), then the
+#     r6 block fills the remainder.
+# Below the fold: the rest of r6 (45 total), r7 (47), r8 (28) in age
+# order; keys with an r9+ signal are unlisted and follow in
+# registration order. With ~359 registry keys and a 50-key window
+# the steady-state revisit period is ~7 rounds.
 _WINDOW_PRIORITY = [
-    # --- window head: 23 round-11 keys (first driver signal) ---
-    "agg_hhi", "agg_pareto_abc", "agg_msprt", "ts_variogram", "ts_evt_pot",
-    "sample_neyman", "embedding_mmd", "agg_ks_ab", "agg_qte",
-    "agg_eb_shrinkage", "ts_intermittency", "sample_pps", "ann_ndcg",
-    "agg_did", "graph_modularity", "ts_iact", "text_hash_collisions",
-    "agg_price_index", "graph_powerlaw", "ts_kpss", "agg_markov_entropy",
-    "text_token_coverage", "dedup_bloom_audit",
-    # --- 7 round-12 additions (never checked) ---
-    "agg_user_features_bucketed", "text_ngram_novelty",
-    "text_source_overlap", "graph_two_hop", "agg_stratified_effect",
-    "agg_iv_wald", "ts_capability",
-    # --- 20 r5-vintage refreshes (oldest signal in the registry) ---
-    "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q13",
-    "tpch_q15", "tpch_q17", "tpch_q19", "tpch_q22", "agg_user_features",
-    "ts_acf", "ts_anomaly_mad", "ts_changepoint", "ts_forecast",
-    "ts_funnel", "ts_retention", "dedup_paragraph", "text_contamination",
-    "sample_weighted",
-    # ---------------- below the fold ----------------
-    # r13 queue head: the 5 batch-2 round-12 keys (never checked),
-    # the changed-oracle re-cert, then the r5 remainder (18)
+    # --- 5 batch-2 round-12 keys (first driver signal) ---
     "ts_seasonal_mk", "ts_spc_rules", "dedup_bbit_minhash",
     "text_word_burstiness", "agg_theil",
-    "graph_jaccard",
+    # --- 6 changed-path round-13 keys (standing rule) ---
+    "graph_jaccard", "graph_two_hop", "graph_kcore",
+    "embedding_kcenter", "embedding_kcenter_assign",
+    "agg_user_features_bucketed",
+    # --- 5 pre-catalog ANN keys (driver refresh post-rewire) ---
+    "ann_recall_eval", "ann_index_agreement", "ann_recall_curve",
+    "embedding_bq_recall", "embedding_trunc_recall",
+    # --- round-13 additions (never checked) ---
+    "graph_adamic_adar", "ts_croston",
+    # --- 18 r5-vintage refreshes (oldest signal in the registry) ---
     "dedup_cross", "dedup_substring", "multimodal_audio",
     "sample_group_split", "sample_hash_topk", "text_bm25",
     "text_boilerplate", "text_domain_mix", "text_keywords",
     "text_quality_deciles", "text_unigram_nll", "ts_histogram",
     "ts_interval_coverage", "ts_m4", "ts_overlap_join", "ts_seasonal",
     "ts_sliding_time", "ts_zscore",
-    # r6-vintage (45)
+    # --- r6-vintage (45): the first ~11 complete the 50-key head ---
     "agg_cohort_ltv", "agg_markov", "agg_order_cube", "ann_ivf",
     "cluster_kmeans_fixed", "dedup_cluster_sizes", "dedup_containment",
     "dedup_minhash", "dedup_minhash_estimate", "embedding_coherence",
@@ -3216,10 +3247,10 @@ _WINDOW_PRIORITY = [
     "ts_bursts", "ts_counter_rate", "ts_decompose", "ts_heatmap",
     "ts_holt_winters", "ts_ks_drift", "ts_lttb", "ts_psi_drift",
     "ts_resample", "ts_sax", "ts_trend_robust", "ts_xcorr",
-    # r7-vintage (48)
+    # r7-vintage (47; ann_recall_eval pulled into the head)
     "agg_ab_test", "agg_basket", "agg_gini", "agg_new_returning", "agg_rfm",
     "agg_session_paths", "agg_stickiness", "agg_user_outliers",
-    "ann_range_search", "ann_recall_eval", "bpe_encode", "bpe_train",
+    "ann_range_search", "bpe_encode", "bpe_train",
     "bpe_vocab_coverage", "dedup_threshold_sweep",
     "embedding_centroid_drift", "embedding_dim_stats",
     "embedding_knn_classify", "graph_label_prop", "graph_triangles",
@@ -3232,11 +3263,11 @@ _WINDOW_PRIORITY = [
     "ts_profile_drift", "ts_rolling_median", "ts_seasonal_strength",
     "ts_session_stats", "ts_slo_burn", "ts_threshold_episodes",
     "ts_top_movers", "ts_twa", "ts_winsorized",
-    # r8-vintage (32)
-    "agg_retention_halflife", "ann_filtered", "ann_index_agreement",
-    "ann_recall_curve", "dedup_method_compare", "dedup_rate_by_source",
-    "dedup_suffix", "embedding_bq_recall", "embedding_intrinsic_dim",
-    "embedding_trunc_recall", "multimodal_image_entropy",
+    # r8-vintage (28; the 4 pre-catalog ANN keys pulled into the head)
+    "agg_retention_halflife", "ann_filtered",
+    "dedup_method_compare", "dedup_rate_by_source",
+    "dedup_suffix", "embedding_intrinsic_dim",
+    "multimodal_image_entropy",
     "pipeline_anomaly_summary", "sample_class_balanced",
     "sample_dedup_aware", "text_heaps_law", "text_jsd_sources", "text_pii",
     "text_structure_stats", "ts_burstiness", "ts_concurrency", "ts_cusum",
@@ -3479,6 +3510,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_qte": _analytics("quantile_treatment_effect"),
         "agg_eb_shrinkage": _analytics("eb_shrinkage"),
         "ts_intermittency": _ts_intermittency,
+        "ts_croston": _ts_croston,
         "sample_pps": _sample_pps,
         "ann_ndcg": _ann_ndcg,
         "agg_did": _analytics("diff_in_diff"),
@@ -3506,6 +3538,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_silhouette": _embedding_silhouette,
         "graph_kcore": _graph_kcore,
         "graph_jaccard": _graph_jaccard,
+        "graph_adamic_adar": _graph_adamic_adar,
         "text_char_trigram_nll": _text_char_trigram_nll,
         "sample_ess": _sample_ess,
         "agg_purchase_cadence": _analytics("purchase_cadence"),
@@ -9153,16 +9186,56 @@ def oracle_sql() -> dict[str, str]:
         "  JOIN ed e2 ON e1.src = e2.src AND e1.dst < e2.dst"
         "  GROUP BY 1, 2),"
         " adj AS (SELECT src AS a, dst AS b, TRUE AS adjf FROM ed"
-        "  WHERE src < dst)"
+        "  WHERE src < dst),"
+        # n_hub_common mirror (r12 verdict #5): shared neighbors the
+        # cap excluded as wedge centers, counted per surviving pair
+        " hubw AS (SELECT e1.dst AS a, e2.dst AS b,"
+        "  CAST(count(*) AS BIGINT) AS nhc"
+        "  FROM ed e1 JOIN deg hd ON hd.id = e1.src AND hd.dg > 64"
+        "  JOIN ed e2 ON e1.src = e2.src AND e1.dst < e2.dst"
+        "  GROUP BY 1, 2)"
         " SELECT cm.a AS node_a, cm.b AS node_b,"
         " CAST(nc AS BIGINT) AS n_common,"
         " CAST(da.dg + db.dg - nc AS BIGINT) AS n_union,"
         " round(CAST(nc AS DOUBLE)"
         "  / CAST(da.dg + db.dg - nc AS DOUBLE), 6) AS jaccard,"
-        " coalesce(adjf, FALSE) AS is_edge"
+        " coalesce(adjf, FALSE) AS is_edge,"
+        " coalesce(hubw.nhc, 0) AS n_hub_common"
         " FROM cm JOIN deg da ON da.id = cm.a"
         " JOIN deg db ON db.id = cm.b"
         " LEFT JOIN adj ON adj.a = cm.a AND adj.b = cm.b"
+        " LEFT JOIN hubw ON hubw.a = cm.a AND hubw.b = cm.b"
+    )
+    # Adamic-Adar: same wedge CTEs, per-wedge 1/ln(center degree)
+    # decimal-quantized @8 pre-sum; no re-round of the final value
+    # (the decimal scale IS the reported precision)
+    out["graph_adamic_adar"] = (
+        f"WITH {_MINHASH_CTES},"
+        " ed AS (SELECT DISTINCT src, dst FROM ("
+        "  SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        "  UNION ALL SELECT doc_b, doc_a FROM pairs)),"
+        " deg AS (SELECT src AS id, count(*) AS dg FROM ed GROUP BY 1),"
+        " ctr AS (SELECT id, dg FROM deg WHERE dg <= 64),"
+        " cm AS (SELECT e1.dst AS a, e2.dst AS b,"
+        "  CAST(count(*) AS BIGINT) AS nc,"
+        "  sum(CAST(round(1.0 / ln(CAST(ctr.dg AS DOUBLE)), 8)"
+        "   AS DECIMAL(30,8))) AS aa"
+        "  FROM ed e1 JOIN ctr ON ctr.id = e1.src"
+        "  JOIN ed e2 ON e1.src = e2.src AND e1.dst < e2.dst"
+        "  GROUP BY 1, 2),"
+        " adj AS (SELECT src AS a, dst AS b, TRUE AS adjf FROM ed"
+        "  WHERE src < dst),"
+        " hubw AS (SELECT e1.dst AS a, e2.dst AS b,"
+        "  CAST(count(*) AS BIGINT) AS nhc"
+        "  FROM ed e1 JOIN deg hd ON hd.id = e1.src AND hd.dg > 64"
+        "  JOIN ed e2 ON e1.src = e2.src AND e1.dst < e2.dst"
+        "  GROUP BY 1, 2)"
+        " SELECT cm.a AS node_a, cm.b AS node_b, nc AS n_common,"
+        " CAST(aa AS DOUBLE) AS aa_score,"
+        " coalesce(adjf, FALSE) AS is_edge,"
+        " coalesce(hubw.nhc, 0) AS n_hub_common"
+        " FROM cm LEFT JOIN adj ON adj.a = cm.a AND adj.b = cm.b"
+        " LEFT JOIN hubw ON hubw.a = cm.a AND hubw.b = cm.b"
     )
     # centroid silhouette: decimal-mean centroids per (label, dim),
     # per-vector d2 as the SAME sequential list fold the Spark
@@ -10015,6 +10088,36 @@ def oracle_sql() -> dict[str, str]:
         " WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent'"
         " WHEN adi < 1.32 AND cv2 >= 0.49 THEN 'erratic'"
         " ELSE 'lumpy' END AS pattern FROM h"
+    )
+    # Croston/SBA: the recursive CTE replays BOTH smoothing
+    # recurrences with the exact float expression order the Arrow
+    # fold uses ((1.0-0.1)*state + 0.1*x), so doubles match bitwise;
+    # interval init = first observed gap (q NULL until then)
+    out["ts_croston"] = (
+        "WITH RECURSIVE b AS (SELECT event_type,"
+        " epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) // 3600000000"
+        "  AS e, CAST(count(*) AS BIGINT) AS d"
+        f" FROM {_EV} ev GROUP BY 1, 2),"
+        " seq AS (SELECT event_type, e, d, row_number() OVER ("
+        "  PARTITION BY event_type ORDER BY e) AS rn FROM b),"
+        " rec(event_type, rn, e, z, q) AS ("
+        "  SELECT event_type, rn, e, CAST(d AS DOUBLE),"
+        "   CAST(NULL AS DOUBLE) FROM seq WHERE rn = 1"
+        "  UNION ALL"
+        "  SELECT s.event_type, s.rn, s.e,"
+        "   (1.0 - 0.1) * r.z + 0.1 * CAST(s.d AS DOUBLE),"
+        "   CASE WHEN r.q IS NULL THEN CAST(s.e - r.e AS DOUBLE)"
+        "    ELSE (1.0 - 0.1) * r.q + 0.1 * CAST(s.e - r.e AS DOUBLE)"
+        "    END"
+        "  FROM rec r JOIN seq s ON s.event_type = r.event_type"
+        "   AND s.rn = r.rn + 1)"
+        " SELECT r.event_type, CAST(r.rn AS BIGINT) AS n_demands,"
+        " r.z AS z_hat, r.q AS p_hat, r.z / r.q AS forecast,"
+        " (1.0 - 0.1 / 2.0) * (r.z / r.q) AS forecast_sba"
+        " FROM rec r JOIN (SELECT event_type, max(rn) AS mr FROM rec"
+        "  GROUP BY 1) m ON m.event_type = r.event_type"
+        "  AND m.mr = r.rn"
+        " WHERE r.q IS NOT NULL"
     )
     # Poisson-PPS draw audit (text.pps_sample_audit): md5 uniforms,
     # Horvitz-Thompson weights, exact decimal size mass
@@ -10925,12 +11028,19 @@ def oracle_sql() -> dict[str, str]:
         "  JOIN ed e2 ON e1.src = e2.src AND e1.dst <> e2.dst),"
         " r AS (SELECT a, CAST(count(*) AS BIGINT) AS rc FROM ("
         "  SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM ed"
-        "   UNION ALL SELECT a, b FROM h2)) GROUP BY 1)"
+        "   UNION ALL SELECT a, b FROM h2)) GROUP BY 1),"
+        # n_hub_neighbors mirror (r12 verdict #5): direct neighbors
+        # excluded as wedge centers, per node
+        " hn AS (SELECT e.src AS id, CAST(count(*) AS BIGINT) AS nh"
+        "  FROM ed e JOIN deg hd ON hd.id = e.dst AND hd.dg > 64"
+        "  GROUP BY 1)"
         " SELECT deg.id AS doc_id, deg.dg AS degree,"
         " r.rc AS reach_2hop,"
         " round(CAST(r.rc AS DOUBLE) / CAST(deg.dg AS DOUBLE), 6)"
-        "  AS amplification"
+        "  AS amplification,"
+        " coalesce(hn.nh, 0) AS n_hub_neighbors"
         " FROM deg JOIN r ON r.a = deg.id"
+        " LEFT JOIN hn ON hn.id = deg.id"
     )
     # post-stratified A/B effect: ntile(10) over the per-user
     # aggregate under a TOTAL order, decimal arm sums, /0 -> NULL

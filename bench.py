@@ -309,7 +309,37 @@ def main() -> None:
     ):
         r18 = _isolated_child("--comparable-only", "comparable_18q_isolated")
         isolated = r18.get("comparable_18q_isolated") if r18 else None
+        # min-of-2 CHILDREN for the heavy series (r12 verdict #2): a
+        # single child reading can come in 2x high purely from box
+        # state left by whatever ran before (page cache/THP — r12's
+        # 122.9 vs 57-72 standalone needed a PERFORMANCE.md paragraph
+        # to adjudicate). Two fresh subprocesses, per-query min, both
+        # totals recorded — the JSON itself now carries the evidence.
         heavy_result = _isolated_child("--heavy-only", "heavy8_isolated")
+        heavy_rerun = _isolated_child("--heavy-only", "heavy8_isolated")
+        if heavy_result and heavy_rerun:
+            q1 = heavy_result.get("queries", {})
+            q2 = heavy_rerun.get("queries", {})
+            merged = {
+                k: min(v for v in (q1.get(k), q2.get(k)) if v is not None)
+                for k in set(q1) | set(q2)
+            }
+            missing = [k for k in HEAVY_ORIG8 if k not in merged]
+            heavy_result = {
+                "heavy8_isolated": (
+                    None if missing
+                    else round(sum(merged[k] for k in HEAVY_ORIG8), 3)
+                ),
+                "heavy8_missing": missing,
+                "heavy_iso_total": round(sum(merged.values()), 3),
+                "heavy_child_totals": [
+                    heavy_result.get("heavy_iso_total"),
+                    heavy_rerun.get("heavy_iso_total"),
+                ],
+                "queries": merged,
+            }
+        elif heavy_rerun and not heavy_result:
+            heavy_result = heavy_rerun
         if heavy_result:
             # the heavy keys' numbers come from the child; keep them
             # OUT of the inline session so they neither inflate it nor
@@ -382,10 +412,12 @@ def main() -> None:
     # track code rather than session state); if the child failed they
     # already ran inline above via the un-filtered `available`
     heavy8 = heavy_tot = None
+    heavy_children = None
     if heavy_result:
         timings.update(heavy_result.get("queries", {}))
         heavy8 = heavy_result.get("heavy8_isolated")
         heavy_tot = heavy_result.get("heavy_iso_total")
+        heavy_children = heavy_result.get("heavy_child_totals")
     total = round(sum(timings.values()), 3)
 
     # The driver records only the LAST ~2000 bytes of stdout; round 6's
@@ -412,6 +444,7 @@ def main() -> None:
         "calibration_sec": calibration,
         "heavy8_isolated": heavy8,
         "heavy_iso_total": heavy_tot,
+        "heavy_child_totals": heavy_children,
         "heavy_isolated_keys": HEAVY_ISOLATED if heavy_result else [],
         "data_layout": "multi-row-group rechunk of the driver parquet (bench.prep_multirg)",
     }
@@ -439,6 +472,7 @@ def main() -> None:
         "calibration_sec": calibration,
         "heavy8_isolated": heavy8,
         "heavy_iso_total": heavy_tot,
+        "heavy_child_totals": heavy_children,
         "n_errors": len(errors),
         "full": "build/bench_full.json",
     }

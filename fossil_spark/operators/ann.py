@@ -18,7 +18,6 @@
 from __future__ import annotations
 
 import collections
-import weakref
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -93,13 +92,18 @@ def cosine_topk(
 # (r11 verdict #1: 7 keys x ~1 rebuild each = the 100 s heavy child).
 # This is the dedup component-catalog precedent (dedup.py, r7:
 # 30.2 s -> 1.8 s) applied to retrieval: session-scoped, keyed by the
-# input plan's semantic hash, persisted MEMORY_AND_DISK (truth is
-# |queries| x k rows; candidate tables are |queries|-bounded). LRU +
-# session weakref exactly as in dedup (id() of a GC'd session can be
-# reused, so hits are honored only for the live session that built
-# the entry). Staleness caveat: the key is the PLAN, not the files —
-# after rewriting parquet behind a previously-seen plan, call
-# ann_memo_invalidate().
+# input plan's semantic hash PLUS a snapshot of the plan's leaf input
+# files (path, mtime, size — the bench prep_multirg pattern), so
+# rewriting parquet behind a previously-seen plan misses the cache and
+# rebuilds fresh truth instead of serving stale rows. Entries hold the
+# owning session directly (the cached DataFrame already pins it, so a
+# weakref could never die — r12 ADVICE) and a hit is honored only
+# while that session is still live AND the cached schema matches the
+# request: a semanticHash collision between two genuinely different
+# plans falls through to a recompute instead of silently serving the
+# wrong table. Stopped-session entries are swept on the next insert.
+# ann_memo_invalidate() remains for exotic cases (e.g. an in-place
+# rewrite that preserves every file's mtime and size).
 _MEMO_CACHE: collections.OrderedDict = collections.OrderedDict()
 _MEMO_CACHE_MAX = 16
 
@@ -111,6 +115,18 @@ def _memo_drop(key) -> None:
             entry[1].unpersist()
         except Exception:
             pass  # session already stopped — nothing to free
+
+
+def _session_live(sess) -> bool:
+    from fossil_spark.operators import session_live
+
+    return session_live(sess)
+
+
+def _files_tag(df: DataFrame) -> str:
+    from fossil_spark.operators import plan_files_tag
+
+    return plan_files_tag(df)
 
 
 def ann_memo_invalidate() -> None:
@@ -132,21 +148,43 @@ def memo(df: DataFrame, tag: str = "") -> DataFrame:
 
     sess = df.sparkSession
     try:
-        key = (id(sess), tag, df.semanticHash())
+        key = (id(sess), tag, df.semanticHash(), _files_tag(df))
     except Exception:
         return df
-    hit = _MEMO_CACHE.get(key)
-    if hit is not None:
-        ref, cached = hit
-        if ref() is sess:
-            _MEMO_CACHE.move_to_end(key)
-            return cached
-        _memo_drop(key)  # id() reuse after the old session was GC'd
+    cached = _memo_lookup(sess, key, df.schema)
+    if cached is not None:
+        return cached
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _memo_store(sess, key, out)
+    return out
+
+
+def _memo_lookup(sess, key, want_schema) -> DataFrame | None:
+    """Honor a hit only for the live owning session AND when the
+    cached schema matches the request — a 32-bit semanticHash
+    collision between different plans must recompute, not serve
+    wrong rows."""
+    hit = _MEMO_CACHE.get(key)
+    if hit is None:
+        return None
+    owner, cached = hit
+    if owner is sess and _session_live(sess) \
+            and cached.schema == want_schema:
+        _MEMO_CACHE.move_to_end(key)
+        return cached
+    _memo_drop(key)
+    return None
+
+
+def _memo_store(sess, key, out: DataFrame) -> None:
+    # sweep stopped-session entries — they can never hit again and
+    # would crowd live entries out of the 16-slot LRU
+    for stale in [k for k, (s, _) in _MEMO_CACHE.items()
+                  if not _session_live(s)]:
+        _memo_drop(stale)
     while len(_MEMO_CACHE) >= _MEMO_CACHE_MAX:
         _memo_drop(next(iter(_MEMO_CACHE)))
-    _MEMO_CACHE[key] = (weakref.ref(sess), out)
-    return out
+    _MEMO_CACHE[key] = (sess, out)
 
 
 _TRUTH_KMAX = 10  # the largest k any shipped audit asks of the truth
@@ -1932,8 +1970,37 @@ def kcenter_select(
     Returns k rows: (sel_order, id, sel_d2) — selection rank, the
     chosen id, and its distance-to-selected-set at selection time
     (NULL for the seed; the max sel_d2 is the coverage radius the
-    next center would have shaved)."""
+    next center would have shaved).
+
+    The finished trace is session-memoized keyed on the INPUT plan
+    (+files tag, k, columns) — kcenter_assign re-derives exactly this
+    trace (r12 verdict #4: 9.5 s select + 6.2 s assign inline, the
+    assign half repeating the select's k greedy rounds), so the
+    second caller gets the k-row table back and pays only its own
+    broadcast-fold scan. The memoized frame is a LocalRelation (k
+    driver rows) — nothing to persist, the LRU entry just carries
+    it."""
     spark = df.sparkSession
+    id_type_early = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("sel_order", T.LongType(), False),
+            T.StructField(id_col, id_type_early, True),
+            T.StructField("sel_d2", T.DoubleType(), True),
+        ]
+    )
+    memo_key = None
+    try:
+        memo_key = (
+            id(spark), f"kcenter:{k}:{id_col}:{vec_col}",
+            df.semanticHash(), _files_tag(df),
+        )
+    except Exception:
+        pass  # exotic plan that can't hash: compute uncached
+    if memo_key is not None:
+        cached = _memo_lookup(spark, memo_key, out_schema)
+        if cached is not None:
+            return cached
     v = df.select(
         F.col(id_col).alias("__id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("__vec"),
@@ -1948,7 +2015,6 @@ def kcenter_select(
             lambda acc, t: acc + t,
         )
 
-    id_type = df.schema[id_col].dataType
     seed = v.orderBy("__id").limit(1).collect()[0]
     picked = [(0, seed["__id"], None)]
     cur = v.withColumn("__mind", d2_to(seed["__vec"])).filter(
@@ -1971,19 +2037,19 @@ def kcenter_select(
                 )
                 .localCheckpoint(eager=False)  # cap plan growth at k rounds
             )
-    # schema derives the id field's type from the input (string /
+    # out_schema derives the id field's type from the input (string /
     # int / long ids all round-trip; a hardcoded `long` broke
     # non-long id columns)
-    out_schema = T.StructType(
-        [
-            T.StructField("sel_order", T.LongType(), False),
-            T.StructField(id_col, id_type, True),
-            T.StructField("sel_d2", T.DoubleType(), True),
-        ]
-    )
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         [(o, i, d) for o, i, d in picked], out_schema
     ).withColumn("sel_d2", F.round("sel_d2", 6))
+    if memo_key is not None:
+        # collapse to a LocalRelation NOW (k rows) so the memoized
+        # frame is detached from the greedy plan and its checkpoints,
+        # and so the schema matches out_schema exactly on lookup
+        out = spark.createDataFrame(out.collect(), out_schema)
+        _memo_store(spark, memo_key, out)
+    return out
 
 
 def kcenter_assign(

@@ -17,7 +17,6 @@ deterministic across engines, partitionings, and runs.
 from __future__ import annotations
 
 import collections
-import weakref
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -750,13 +749,16 @@ def lsh_diagnosis(
 # near-dup pair). Callers that need non-default LSH parameters bypass
 # the cache by composing the primitives directly.
 #
-# The cache is capped (LRU) and each entry carries a weakref to its
-# session: id() of a garbage-collected session can be reused by a new
-# one, so a hit is only honored when the weakref still resolves to THE
-# live session that built it. Evicted/invalidated entries are
-# unpersisted. Staleness caveat: the key is the plan, not the files —
-# after rewriting the parquet behind a previously-seen plan, call
-# neardup_components_invalidate() first.
+# The cache is capped (LRU); entries hold the owning session directly
+# (the cached DataFrame already pins it, so a weakref could never die
+# — r12 ADVICE on the ann.py twin) and a hit is honored only while
+# that session is live. The key includes a snapshot of the plan's
+# input files (path, mtime, size — plan_files_tag), so rewriting
+# parquet behind a previously-seen plan misses and recomputes instead
+# of serving stale components. Evicted/invalidated entries are
+# unpersisted; stopped-session entries are swept on the next insert.
+# neardup_components_invalidate() remains for exotic cases (in-place
+# rewrites that preserve every file's mtime and size).
 _COMPONENT_CACHE: collections.OrderedDict = collections.OrderedDict()
 _COMPONENT_CACHE_MAX = 8
 
@@ -784,24 +786,29 @@ def neardup_components(docs: DataFrame) -> DataFrame:
     (doc_id, component) for every doc in at least one near-dup pair."""
     from pyspark import StorageLevel
 
+    from fossil_spark.operators import plan_files_tag, session_live
+
     sess = docs.sparkSession
     try:
-        key = (id(sess), docs.semanticHash())
+        key = (id(sess), docs.semanticHash(), plan_files_tag(docs))
     except Exception:  # exotic plan that can't hash: just recompute
         return connected_components(minhash_lsh_pairs(docs))
     hit = _COMPONENT_CACHE.get(key)
     if hit is not None:
-        ref, comp = hit
-        if ref() is sess:
+        owner, comp = hit
+        if owner is sess and session_live(sess):
             _COMPONENT_CACHE.move_to_end(key)
             return comp
-        _cache_drop(key)  # id() reuse after the old session was GC'd
+        _cache_drop(key)
+    for stale in [k for k, (s, _) in _COMPONENT_CACHE.items()
+                  if not session_live(s)]:
+        _cache_drop(stale)
     comp = connected_components(minhash_lsh_pairs(docs)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     while len(_COMPONENT_CACHE) >= _COMPONENT_CACHE_MAX:
         _cache_drop(next(iter(_COMPONENT_CACHE)))
-    _COMPONENT_CACHE[key] = (weakref.ref(sess), comp)
+    _COMPONENT_CACHE[key] = (sess, comp)
     return comp
 
 

@@ -209,6 +209,7 @@ def label_propagation(
     n_rounds: int = 3,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    max_rounds: int = 12,
 ) -> DataFrame:
     """Semi-supervised label propagation over the undirected pair
     graph (Zhu & Ghahramani 2002 shape, synchronous rounds): seed
@@ -228,7 +229,7 @@ def label_propagation(
     is_seed) for every node of the graph."""
     from fossil_spark.operators import fixed_rounds_guard
 
-    fixed_rounds_guard("label_propagation", n_rounds)
+    fixed_rounds_guard("label_propagation", n_rounds, max_rounds)
     edges = _symmetric_edges(pairs, a_col, b_col).localCheckpoint(eager=False)
     from pyspark.sql import Window
 
@@ -278,6 +279,7 @@ def kcore(
     n_rounds: int = 8,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    max_rounds: int = 12,
 ) -> DataFrame:
     """k-core of the undirected pair graph (Seidman 1983, Social
     Networks — public classic): iteratively peel nodes with degree
@@ -303,7 +305,7 @@ def kcore(
     nodes: (doc_id, core_degree)."""
     from fossil_spark.operators import fixed_rounds_guard
 
-    fixed_rounds_guard("kcore", n_rounds)
+    fixed_rounds_guard("kcore", n_rounds, max_rounds)
     edges = _symmetric_edges(pairs, a_col, b_col).localCheckpoint(eager=False)
     prev = edges.count()  # materializes the base checkpoint
     for _ in range(n_rounds):
@@ -363,7 +365,16 @@ def jaccard_similarity(
     still uses FULL degrees). On near-dup graphs hubs are template
     families whose membership [[graph_kcore]]/[[dedup_components]]
     already report — the specific signal J adds (shared *rare*
-    neighbors) survives truncation."""
+    neighbors) survives truncation.
+
+    The truncation is SELF-DESCRIBING in the output (r12 verdict
+    #5): `n_hub_common` counts, per surviving pair, the shared
+    neighbors the cap excluded as wedge centers — 0 everywhere when
+    the cap is off or doesn't bind, and n_common + n_hub_common is
+    the exact common-neighbor count when it does. Computed WITHOUT
+    hub wedges: each node's hub-neighbor set (linear in edges — one
+    entry per node-hub edge) is intersected per pair, so one degree-h
+    hub costs h array entries, never C(h, 2) rows."""
     edges = _symmetric_edges(pairs, a_col, b_col).localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     wedge_src = edges
@@ -392,6 +403,37 @@ def jaccard_similarity(
         .join(broadcast(db), "__b")
         .join(adj, ["__a", "__b"], "left")
     )
+    if max_center_degree is not None:
+        # per-node hub-neighbor sets (one row per node adjacent to a
+        # hub, array bounded by that node's own degree); the pairwise
+        # intersect size is exactly the count of capped wedge centers
+        # the pair shares — order-independent, no hub wedge expansion
+        hubs = deg.filter(F.col("__deg") > int(max_center_degree))
+        hub_adj = (
+            edges.join(
+                hubs.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+            .groupBy("src")
+            .agg(F.collect_set("dst").alias("__hn"))
+        )
+        j = j.join(
+            hub_adj.select(
+                F.col("src").alias("__a"), F.col("__hn").alias("__hna")
+            ),
+            "__a",
+            "left",
+        ).join(
+            hub_adj.select(
+                F.col("src").alias("__b"), F.col("__hn").alias("__hnb")
+            ),
+            "__b",
+            "left",
+        )
+        hub_common = F.when(
+            F.col("__hna").isNull() | F.col("__hnb").isNull(), F.lit(0)
+        ).otherwise(F.size(F.array_intersect("__hna", "__hnb")))
+    else:
+        hub_common = F.lit(0)
     union = F.col("__da") + F.col("__db") - F.col("n_common")
     return j.select(
         F.col("__a").alias("node_a"),
@@ -402,6 +444,118 @@ def jaccard_similarity(
             F.col("n_common").cast("double") / union.cast("double"), 6
         ).alias("jaccard"),
         F.coalesce(F.col("__adj"), F.lit(False)).alias("is_edge"),
+        hub_common.cast("long").alias("n_hub_common"),
+    )
+
+
+def adamic_adar(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    min_common: int = 1,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Adamic-Adar link-prediction index over the undirected pair
+    graph (Adamic & Adar 2003, Social Networks — the classic
+    common-neighbor predictor): AA(a,b) = Σ_{z ∈ N(a)∩N(b)}
+    1 / ln(deg(z)). Where [[jaccard_similarity]] treats every shared
+    neighbor equally, AA discounts each by the log of its degree —
+    a shared RARE neighbor is strong evidence the endpoints belong
+    together, a shared hub is nearly none. On a near-dup graph,
+    high-AA non-adjacent pairs are the transitive-miss candidates
+    ranked by how *specific* their shared duplication is.
+
+    Spark shape: the [[jaccard_similarity]] wedge self-join at the
+    shared neighbor with the center's degree attached pre-wedge, so
+    each wedge row carries its own 1/ln(deg) term; per-pair sum is
+    decimal-quantized @8 pre-sum (order-independent) and reported at
+    the quantizer's own 8-decimal scale (no re-round — a second
+    rounding of the decimal-valued double would reopen the half-up/
+    half-even boundary the quantizer closed).
+    Every wedge center has degree >= 2 (it touches both endpoints),
+    so ln(deg) >= ln 2 and the term is always finite.
+
+    `max_center_degree` is the same hub truncation as
+    [[jaccard_similarity]] — and it suits AA even better: the terms
+    the cap drops (1/ln(h) for hub h) are precisely the SMALLEST
+    contributions, so capped AA scores under-count by at most
+    |hubs_shared| / ln(cap+1) — the discount the estimator itself
+    says barely matters. n_hub_common makes the drop self-describing
+    per pair, exactly as in [[jaccard_similarity]].
+
+    Returns (node_a, node_b, n_common, aa_score, is_edge,
+    n_hub_common) for node_a < node_b, pairs sharing >= `min_common`
+    non-hub neighbors."""
+    edges = _symmetric_edges(pairs, a_col, b_col).localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    # degree-1 nodes form no wedge but their e1 row still evaluates
+    # the term projection — without this filter 1/ln(1) raises under
+    # ANSI (intermittently, depending on where Catalyst places the
+    # projection); try_divide is the second line of defense
+    wedge_src = edges.join(deg, "src").filter(F.col("__deg") >= 2)
+    if max_center_degree is not None:
+        wedge_src = wedge_src.filter(
+            F.col("__deg") <= int(max_center_degree)
+        )
+    term = F.round(
+        F.try_divide(F.lit(1.0), F.log(F.col("__deg").cast("double"))), 8
+    ).cast("decimal(30,8)")
+    e1 = wedge_src.select(
+        F.col("src").alias("__n"), F.col("dst").alias("__a"),
+        term.alias("__t"),
+    )
+    e2 = wedge_src.select(
+        F.col("src").alias("__n"), F.col("dst").alias("__b")
+    )
+    common = (
+        e1.join(e2, "__n")
+        .filter(F.col("__a") < F.col("__b"))
+        .groupBy("__a", "__b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("__t").alias("__aa"),
+        )
+        .filter(F.col("n_common") >= min_common)
+    )
+    adj = edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("__a"), F.col("dst").alias("__b"),
+        F.lit(True).alias("__adj"),
+    )
+    j = common.join(adj, ["__a", "__b"], "left")
+    if max_center_degree is not None:
+        hubs = deg.filter(F.col("__deg") > int(max_center_degree))
+        hub_adj = (
+            edges.join(
+                hubs.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+            .groupBy("src")
+            .agg(F.collect_set("dst").alias("__hn"))
+        )
+        j = j.join(
+            hub_adj.select(
+                F.col("src").alias("__a"), F.col("__hn").alias("__hna")
+            ),
+            "__a",
+            "left",
+        ).join(
+            hub_adj.select(
+                F.col("src").alias("__b"), F.col("__hn").alias("__hnb")
+            ),
+            "__b",
+            "left",
+        )
+        hub_common = F.when(
+            F.col("__hna").isNull() | F.col("__hnb").isNull(), F.lit(0)
+        ).otherwise(F.size(F.array_intersect("__hna", "__hnb")))
+    else:
+        hub_common = F.lit(0)
+    return j.select(
+        F.col("__a").alias("node_a"),
+        F.col("__b").alias("node_b"),
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("__aa").cast("double").alias("aa_score"),
+        F.coalesce(F.col("__adj"), F.lit(False)).alias("is_edge"),
+        hub_common.cast("long").alias("n_hub_common"),
     )
 
 
@@ -618,8 +772,17 @@ def two_hop_reach(
     graphs, with the same recall note: distance-2 nodes reachable
     ONLY through a truncated hub are not counted), unioned with the
     direct edges, one distinct + one count per node. All integer;
-    amplification rounds @6. Returns (doc_id, degree, reach_2hop,
-    amplification)."""
+    amplification rounds @6.
+
+    Truncation is SELF-DESCRIBING in the output (r12 verdict #5):
+    `n_hub_neighbors` counts each node's direct neighbors the cap
+    excluded as wedge centers — 0 everywhere when the cap is off or
+    doesn't bind; > 0 flags rows whose reach_2hop may undercount
+    (their 2-hop frontier behind those hubs was not expanded). One
+    semi-join + count, linear in edges.
+
+    Returns (doc_id, degree, reach_2hop, amplification,
+    n_hub_neighbors)."""
     edges = _symmetric_edges(pairs, a_col, b_col).localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("degree")
@@ -644,16 +807,28 @@ def two_hop_reach(
         .groupBy(F.col("__a").alias("src"))
         .agg(F.count(F.lit(1)).cast("long").alias("reach_2hop"))
     )
-    return (
-        deg.join(reach, "src")
-        .select(
-            F.col("src").alias("doc_id"),
-            "degree",
-            "reach_2hop",
-            F.round(
-                F.col("reach_2hop").cast("double")
-                / F.col("degree").cast("double"),
-                6,
-            ).alias("amplification"),
+    out = deg.join(reach, "src")
+    if max_center_degree is not None:
+        hubs = deg.filter(F.col("degree") > int(max_center_degree))
+        hub_n = (
+            edges.join(
+                hubs.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).cast("long").alias("__nhub"))
         )
+        out = out.join(hub_n, "src", "left")
+        n_hub = F.coalesce(F.col("__nhub"), F.lit(0).cast("long"))
+    else:
+        n_hub = F.lit(0).cast("long")
+    return out.select(
+        F.col("src").alias("doc_id"),
+        "degree",
+        "reach_2hop",
+        F.round(
+            F.col("reach_2hop").cast("double")
+            / F.col("degree").cast("double"),
+            6,
+        ).alias("amplification"),
+        n_hub.alias("n_hub_neighbors"),
     )

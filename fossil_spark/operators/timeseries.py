@@ -6147,6 +6147,7 @@ def sigma_clip(
     time_col: str = "time",
     by: list[str] | None = None,
     value_col: str = "value",
+    max_rounds: int = 12,
 ) -> DataFrame:
     """Iterative sigma clipping per key (the astronomy-standard robust
     estimator, e.g. astropy's sigma_clip): repeatedly drop buckets
@@ -6166,7 +6167,7 @@ def sigma_clip(
     (*by, n_buckets, n_clipped, clean_mean, clean_std)."""
     from fossil_spark.operators import fixed_rounds_guard
 
-    fixed_rounds_guard("sigma_clip", rounds)
+    fixed_rounds_guard("sigma_clip", rounds, max_rounds)
     by = by or []
     df = _time_norm(df, time_col)
     b = df.filter(F.col(value_col).isNotNull()).groupBy(
@@ -6703,6 +6704,97 @@ def intermittency(
         F.round(cv2, 6).alias("cv2"),
         pattern.alias("pattern"),
     )
+
+
+def croston(
+    df: DataFrame,
+    alpha: float = 0.1,
+    every: str = "1 hour",
+    time_col: str = "time",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Croston's intermittent-demand forecast per key (Croston 1972,
+    Operational Research Quarterly), with the Syntetos-Boylan
+    bias-corrected variant (Syntetos & Boylan 2005) — the forecaster
+    [[ts_intermittency]]'s router points at for its 'intermittent'
+    quadrant. Demand sizes and inter-demand intervals get SEPARATE
+    simple-exponential-smoothing recurrences, updated only when
+    demand occurs:
+
+        z' = (1-a)z + a*x      (size, init = first demand size)
+        q' = (1-a)q + a*I      (interval in buckets, init = first
+                                observed interval)
+
+    forecast = z_hat / q_hat (demand per bucket); forecast_sba =
+    (1 - a/2) * forecast. Keys with a single demand bucket drop (no
+    interval to smooth).
+
+    Spark shape: demand = events per `every` bucket (a bucket row
+    exists only when demand > 0 — absent buckets ARE the intervals,
+    so no zero-filled spine is materialized), one distributed
+    groupBy; the recurrence then runs as one Arrow batch per key
+    (the [[ts_ewma]] applyInPandas precedent) over the BUCKETED
+    series, whose length is calendar-bounded, not data-bounded — the
+    batch stays small at any SF. Bucket epochs use integer `div`, so
+    intervals are exact; the smoothing arithmetic is the same
+    fixed-order float expression the DuckDB oracle's recursive CTE
+    replays, so results are bit-exact cross-engine.
+
+    Returns (*by, n_demands, z_hat, p_hat, forecast, forecast_sba)."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    by = by or []
+    df = _time_norm(df, time_col)
+    step_us = _interval_us(every)
+    b = df.groupBy(
+        *by, F.window(F.col(time_col), every).start.alias("__bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__d"))
+    b = b.select(
+        *by,
+        F.expr(f"unix_micros(__bucket) div {step_us}").alias("__e"),
+        "__d",
+    )
+    out_schema = StructType(
+        [f for f in b.schema.fields if f.name in by]
+        + [
+            StructField("n_demands", LongType()),
+            StructField("z_hat", DoubleType()),
+            StructField("p_hat", DoubleType()),
+            StructField("forecast", DoubleType()),
+            StructField("forecast_sba", DoubleType()),
+        ]
+    )
+    a = float(alpha)
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__e", kind="mergesort")
+        es = pdf["__e"].tolist()
+        ds = pdf["__d"].tolist()
+        if len(es) < 2:
+            return pd.DataFrame(
+                columns=[f.name for f in out_schema.fields]
+            ).astype({"n_demands": "int64"})
+        z = float(ds[0])
+        q = None
+        for i in range(1, len(es)):
+            iv = float(es[i] - es[i - 1])
+            z = (1.0 - a) * z + a * float(ds[i])
+            q = iv if q is None else (1.0 - a) * q + a * iv
+        f = z / q
+        row = [pdf.iloc[0][k] for k in by] + [
+            len(es), z, q, f, (1.0 - a / 2.0) * f,
+        ]
+        return pd.DataFrame([row], columns=[f.name for f in out_schema.fields])
+
+    if not by:
+        return b.withColumn("__g", F.lit(0)).groupBy("__g").applyInPandas(
+            lambda pdf: per_key(pdf.drop(columns="__g")), out_schema
+        )
+    return b.groupBy(*by).applyInPandas(per_key, out_schema)
 
 
 def iact(

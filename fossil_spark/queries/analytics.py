@@ -199,19 +199,32 @@ def ensure_bucketed_events(
     (user_id, ts, event_id)-sorted catalog table under build/, once
     per (data files, n_buckets) — the pay-the-shuffle-once-at-write
     leg of the scale story (fossil_spark.bucketing docstring). The
-    table name embeds a content tag (sf_dir + mtime + buckets), so a
-    session that already registered THIS data's layout reuses it and
-    a regenerated testdata dir gets a fresh table instead of a stale
-    hit. Returns the catalog table name."""
+    table name embeds a source tag (sf_dir + buckets) plus a CONTENT
+    tag (per-file name + mtime_ns + size over the events parquet —
+    not just the directory mtime, which a fast rewrite can preserve),
+    so a session that already registered THIS data's layout reuses it
+    and a regenerated testdata dir gets a fresh table instead of a
+    stale hit. Materializing a fresh content tag drops superseded
+    snapshots of the SAME source (catalog table + build/ directory) —
+    other sources' snapshots (e.g. another scale factor in the same
+    session) are untouched. Returns the catalog table name."""
+    import glob
     import hashlib
     import os
+    import shutil
 
     src = os.path.join(sf_dir, "events.parquet")
-    tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{os.path.getmtime(src)}|{n_buckets}"
-        .encode()
-    ).hexdigest()[:10]
-    table = f"fs_events_by_user_{tag}"
+    parts = []
+    for p in sorted(
+        glob.glob(os.path.join(src, "*")) if os.path.isdir(src) else [src]
+    ):
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_mtime_ns}:{st.st_size}")
+    src_tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{n_buckets}".encode()
+    ).hexdigest()[:6]
+    content_tag = hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+    table = f"fs_events_by_user_{src_tag}_{content_tag}"
     if spark.catalog.tableExists(table):
         return table
     from fossil_spark.bucketing import save_bucketed
@@ -219,7 +232,21 @@ def ensure_bucketed_events(
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    path = os.path.join(repo_root, "build", f"bucketed_events_{tag}")
+    # sweep snapshots this one supersedes: same source tag, older
+    # content — they can never be requested again under this naming
+    prefix = f"fs_events_by_user_{src_tag}_"
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix) and t.name != table:
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    for d in glob.glob(
+        os.path.join(repo_root, "build", f"bucketed_events_{src_tag}_*")
+    ):
+        if not d.endswith(content_tag):
+            shutil.rmtree(d, ignore_errors=True)
+
+    path = os.path.join(
+        repo_root, "build", f"bucketed_events_{src_tag}_{content_tag}"
+    )
     save_bucketed(
         read_table(spark, sf_dir, "events"),
         table,

@@ -2364,7 +2364,7 @@ def test_neardup_component_cache_lru_and_invalidate(spark):
         dedup.neardup_components(docs.filter(F.col("doc_id") > i))
     assert len(dedup._COMPONENT_CACHE) == dedup._COMPONENT_CACHE_MAX
     assert all(
-        ref() is spark for ref, _ in dedup._COMPONENT_CACHE.values()
+        owner is spark for owner, _ in dedup._COMPONENT_CACHE.values()
     )
     dedup.neardup_components_invalidate()
     assert len(dedup._COMPONENT_CACHE) == 0

@@ -477,20 +477,58 @@ _SCAN_BUDGET = {
 }
 
 
-def test_scan_budgets(plans):
+def _live_scans(phys: str) -> list[str]:
+    """FileScan signatures that would EXECUTE as file scans: the raw
+    occurrences minus any subtree printed under an InMemoryRelation
+    (extended explain DOES print the cached tree — observed on the
+    ann session-memo keys, where an EXECUTED cache entry even prints
+    its AQE Final AND Initial plans — two echoes of every scan — but
+    at runtime that subtree is served by InMemoryTableScan, not
+    re-scanned). Subtree membership tracked by the tree-printer's
+    indentation: children sit strictly deeper than their parent.
+    Depth = the leading run of tree-drawing characters, so
+    marker-less lines inside the subtree (ResultQueryStage,
+    '== Final Plan ==', …) don't reset the tracking."""
     import re
 
+    out: list[str] = []
+    imr_depth = None
+    for line in phys.splitlines():
+        depth = len(line) - len(line.lstrip(" :+|-*"))
+        if imr_depth is not None and depth > imr_depth:
+            continue  # inside a cached relation
+        imr_depth = None
+        if "InMemoryRelation" in line:
+            imr_depth = depth
+            continue
+        out.extend(re.findall(r"FileScan parquet \[[^\]]*\]", line))
+    return out
+
+
+def test_scan_budgets(plans):
     for key, budget in _SCAN_BUDGET.items():
         phys = plans[key].split("== Physical Plan ==")[-1]
         # count UNIQUE scan signatures (output columns + expr ids): a
-        # persisted subtree (ann session memo) prints its cached plan
-        # inside InMemoryRelation and, once AQE finalizes, echoes the
-        # initial plan again — textual duplicates of the SAME scan
-        # that executes at most once. A genuinely re-executed subtree
-        # re-analyzes with fresh expr ids and still counts separately.
-        n = len(set(re.findall(r"FileScan parquet \[[^\]]*\]", phys)))
+        # genuinely re-executed subtree usually re-analyzes with fresh
+        # expr ids and counts separately.
+        scans = _live_scans(phys)
+        n = len(set(scans))
         assert n <= budget, (
             f"{key}: {n} unique FileScans (budget {budget}) — a shared "
             "subtree is probably re-executing; restructure or "
             "checkpoint it"
+        )
+        # secondary bound on the RAW live count (r12 ADVICE): two
+        # branches reusing the same analyzed un-checkpointed subtree
+        # print IDENTICAL expr ids, collapse to one unique signature,
+        # and a real double-scan would slip past the unique count.
+        # Cache echoes are excluded structurally by _live_scans (the
+        # one legitimate duplicate-print source in unexecuted plans —
+        # no AQE final/initial double print before execution), so
+        # every remaining raw occurrence is a scan that would run.
+        assert len(scans) <= budget, (
+            f"{key}: {len(scans)} live FileScans vs {n} unique (budget "
+            f"{budget}) — same-expr-id subtree duplicated across "
+            "branches: a real double-scan the unique count can't see, "
+            "or a new explain echo mode; checkpoint the shared subtree"
         )

@@ -1,0 +1,307 @@
+"""Round-13 regression tests: memo staleness (files-tag keys), the
+stopped-session sweep, and the new operators of this round."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# memo staleness: rewriting parquet behind a previously-seen plan must
+# MISS the cache and rebuild fresh results (r12 verdict #3)
+# --------------------------------------------------------------------------
+
+def _write_emb(spark, path: str, scale: int) -> None:
+    spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) * scale for j in range(4)])
+         for i in range(30)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_ann_memo_files_tag_staleness(spark, tmp_path):
+    """topk_truth called on the same plan before and after the parquet
+    behind it is rewritten: the files-tag component of the memo key
+    must force a rebuild — the old plan-only key served stale truth
+    until ann_memo_invalidate() was called by hand."""
+    from fossil_spark.operators import ann
+
+    path = str(tmp_path / "emb.parquet")
+    _write_emb(spark, path, scale=1)
+    ann.ann_memo_invalidate()
+
+    def truth_ids():
+        emb = spark.read.parquet(path)
+        q = emb.filter("vec_id = 7")
+        return sorted(
+            r["vec_id"]
+            for r in ann.topk_truth(emb, q, k=5).collect()
+        )
+
+    first = truth_ids()
+    # same files, same plan: the second call must HIT (one entry)
+    assert truth_ids() == first
+    n_before = len(ann._MEMO_CACHE)
+
+    # rewrite the corpus: vec 7's neighborhood flips because every
+    # vector is scaled but vec-id identity stays; cosine is scale
+    # invariant so scale alone wouldn't change ranks — change content
+    spark.createDataFrame(
+        [(i, [float((i * 13 + j * 5) % 17) for j in range(4)])
+         for i in range(30)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    fresh = truth_ids()
+    # a fresh entry was created (no stale serve), and the result is
+    # the true brute-force answer on the NEW files
+    assert len(ann._MEMO_CACHE) > n_before
+    emb2 = spark.read.parquet(path)
+    direct = sorted(
+        r["vec_id"]
+        for r in ann.cosine_topk(emb2, emb2.filter("vec_id = 7"), k=5).collect()
+    )
+    assert fresh == direct
+    ann.ann_memo_invalidate()
+
+
+def test_dedup_component_cache_files_tag_staleness(spark, tmp_path):
+    """Same invariant for the dedup component catalog: a rewritten
+    docs parquet must not serve the previous component table."""
+    from fossil_spark.operators import dedup
+
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta"),
+         (3, "totally different words here nothing shared at all")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    dedup.neardup_components_invalidate()
+
+    comp1 = dedup.neardup_components(spark.read.parquet(path))
+    assert {r["doc_id"] for r in comp1.collect()} == {1, 2}
+    n_before = len(dedup._COMPONENT_CACHE)
+
+    # rewrite: now 2 and 3 are the near-dup pair
+    spark.createDataFrame(
+        [(1, "totally different words here nothing shared at all"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta"),
+         (3, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    comp2 = dedup.neardup_components(spark.read.parquet(path))
+    assert {r["doc_id"] for r in comp2.collect()} == {2, 3}
+    assert len(dedup._COMPONENT_CACHE) > n_before
+    dedup.neardup_components_invalidate()
+
+
+def test_memo_sweeps_stopped_session_entries(spark):
+    """Entries whose owning session has been stopped can never hit
+    again; the next insert must sweep them out of the LRU instead of
+    letting them crowd out live entries (r12 ADVICE)."""
+    from fossil_spark.operators import ann
+
+    class _DeadContext:
+        _jsc = None
+
+    class _DeadSession:
+        sparkContext = _DeadContext()
+
+    class _Unpersistable:
+        unpersisted = False
+
+        def unpersist(self):
+            self.unpersisted = True
+
+    ann.ann_memo_invalidate()
+    dead_df = _Unpersistable()
+    ann._MEMO_CACHE[("dead", "t", 0, "tag")] = (_DeadSession(), dead_df)
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    ann.topk_truth(emb, emb.filter("vec_id = 0"), k=3).collect()
+    assert ("dead", "t", 0, "tag") not in ann._MEMO_CACHE
+    assert dead_df.unpersisted
+    ann.ann_memo_invalidate()
+
+
+def test_bucketed_events_content_tag_and_supersede_sweep(spark, tmp_path):
+    """ensure_bucketed_events (r12 ADVICE): the snapshot tag must key
+    on per-file content (mtime_ns + size), and materializing a fresh
+    tag must drop the superseded snapshot of the SAME source —
+    catalog table and build/ directory both."""
+    import glob
+    import os
+
+    from fossil_spark.queries.analytics import ensure_bucketed_events
+
+    sf_dir = str(tmp_path)
+
+    def write_events(n):
+        spark.createDataFrame(
+            [(i, datetime(2024, 1, 1) + timedelta(minutes=i), i % 3,
+              "view", float(i), "{}")
+             for i in range(n)],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(sf_dir, "events.parquet"))
+
+    write_events(10)
+    t1 = ensure_bucketed_events(spark, sf_dir, n_buckets=2)
+    assert ensure_bucketed_events(spark, sf_dir, n_buckets=2) == t1
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src_tag = t1.split("_")[-2]
+    dirs1 = glob.glob(
+        os.path.join(repo_root, "build", f"bucketed_events_{src_tag}_*"))
+    assert len(dirs1) == 1
+
+    write_events(12)  # rewrite: different content, same source dir
+    t2 = ensure_bucketed_events(spark, sf_dir, n_buckets=2)
+    assert t2 != t1
+    assert spark.read.table(t2).count() == 12
+    # superseded snapshot swept: table gone, build dir gone, ONE left
+    assert not spark.catalog.tableExists(t1)
+    dirs2 = glob.glob(
+        os.path.join(repo_root, "build", f"bucketed_events_{src_tag}_*"))
+    assert len(dirs2) == 1 and dirs2[0].endswith(t2.split("_")[-1])
+    spark.sql(f"DROP TABLE IF EXISTS {t2}")
+    import shutil
+
+    shutil.rmtree(dirs2[0], ignore_errors=True)
+
+
+def test_memo_schema_mismatch_falls_through(spark):
+    """A (hash-collision) hit whose cached schema differs from the
+    requested plan's schema must recompute, not serve the wrong
+    table: forced by planting a wrong-schema entry under the exact
+    key memo() would compute."""
+    from fossil_spark.operators import ann
+
+    ann.ann_memo_invalidate()
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = ann.cosine_topk(emb, emb.filter("vec_id = 0"), k=3)
+    key = (id(spark), "", plan.semanticHash(), ann._files_tag(plan))
+    wrong = spark.createDataFrame([(1,)], "other_col long")
+    ann._MEMO_CACHE[key] = (spark, wrong)
+    served = ann.memo(plan)
+    assert served.schema == plan.schema  # not the planted frame
+    ann.ann_memo_invalidate()
+
+
+def test_jaccard_truncation_self_describing(spark):
+    """r12 verdict #5: when the wedge-center cap binds, every
+    surviving pair reports how many shared neighbors the cap
+    excluded (n_hub_common), so n_common + n_hub_common recovers the
+    exact common-neighbor count; with the cap off the column is all
+    zeros."""
+    from fossil_spark.operators import graph
+
+    # hub 10 (deg 4) over leaves 1..4; leaves 1,2 ALSO share the
+    # low-degree neighbor 30; separate path 20-21-22
+    pairs = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3), (10, 4), (30, 1), (30, 2),
+         (20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    capped = {(r["node_a"], r["node_b"]): r
+              for r in graph.jaccard_similarity(
+                  pairs, max_center_degree=3).collect()}
+    # (1,2) survives via center 30 and declares its capped hub center
+    assert capped[(1, 2)]["n_common"] == 1
+    assert capped[(1, 2)]["n_hub_common"] == 1
+    # pair not touching any hub: 0-flagged
+    assert capped[(20, 22)]["n_hub_common"] == 0
+    exact = {(r["node_a"], r["node_b"]): r
+             for r in graph.jaccard_similarity(pairs).collect()}
+    # capped count + declared hub centers == exact count
+    assert exact[(1, 2)]["n_common"] == \
+        capped[(1, 2)]["n_common"] + capped[(1, 2)]["n_hub_common"]
+    assert all(r["n_hub_common"] == 0 for r in exact.values())
+
+
+def test_two_hop_truncation_self_describing(spark):
+    """r12 verdict #5 (two_hop twin): rows whose 2-hop frontier may
+    undercount (>= 1 direct neighbor excluded as a wedge center)
+    carry n_hub_neighbors > 0; cap off -> all zeros."""
+    from fossil_spark.operators.graph import two_hop_reach
+
+    pairs = spark.createDataFrame(
+        [(100, 1), (100, 2), (100, 3), (100, 4)],
+        "doc_a long, doc_b long",
+    )
+    capped = {r["doc_id"]: r for r in two_hop_reach(
+        pairs, max_center_degree=3).collect()}
+    assert capped[1]["n_hub_neighbors"] == 1   # its hub wasn't expanded
+    assert capped[1]["reach_2hop"] == 1        # and indeed undercounts
+    assert capped[100]["n_hub_neighbors"] == 0  # hub's neighbors are leaves
+    exact = {r["doc_id"]: r for r in two_hop_reach(pairs).collect()}
+    assert all(r["n_hub_neighbors"] == 0 for r in exact.values())
+
+
+def test_adamic_adar_hand_computed(spark):
+    """Triangle {1,2,3} + node 4 linked to 1,2. Degrees: 1,2 -> 3;
+    3,4 -> 2. Hand values: AA(1,2) = 2/ln(2) (shared 3,4),
+    AA(3,4) = 2/ln(3) (shared 1,2), single-center pairs 1/ln(3)."""
+    from fossil_spark.operators import graph
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 1), (4, 2)],
+        "doc_a long, doc_b long",
+    )
+    out = {(r["node_a"], r["node_b"]): r
+           for r in graph.adamic_adar(pairs).collect()}
+    assert set(out) == {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (3, 4)}
+    assert abs(out[(1, 2)]["aa_score"] - 2 * round(1 / 0.6931471805599453, 8)) < 1e-9
+    assert abs(out[(3, 4)]["aa_score"] - 2 * round(1 / 1.0986122886681098, 8)) < 1e-9
+    assert abs(out[(1, 3)]["aa_score"] - round(1 / 1.0986122886681098, 8)) < 1e-9
+    assert out[(1, 2)]["n_common"] == 2 and out[(3, 4)]["n_common"] == 2
+    assert out[(1, 2)]["is_edge"] and not out[(3, 4)]["is_edge"]
+    assert all(r["n_hub_common"] == 0 for r in out.values())
+    # cap 2: only deg-2 centers (3, 4) emit wedges -> (1,2) survives
+    # with the SAME score (its centers are non-hubs), others vanish
+    capped = {(r["node_a"], r["node_b"]): r
+              for r in graph.adamic_adar(
+                  pairs, max_center_degree=2).collect()}
+    assert set(capped) == {(1, 2)}
+    assert capped[(1, 2)]["aa_score"] == out[(1, 2)]["aa_score"]
+    assert capped[(1, 2)]["n_hub_common"] == 0
+
+
+def test_croston_hand_computed(spark):
+    """alpha=0.1, hourly buckets at e=0 (2 events), e=2 (3), e=5 (1):
+    z: 2 -> .9*2+.1*3 = 2.1 -> .9*2.1+.1*1 = 1.99
+    q: init 2 -> .9*2+.1*3 = 2.1
+    forecast = 1.99/2.1; sba = .95 * forecast. A single-demand key
+    drops."""
+    import datetime as dt
+
+    from fossil_spark.operators import timeseries as ts
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(h, m=0):
+        return t0 + dt.timedelta(hours=h, minutes=m)
+
+    rows = [("a", at(0)), ("a", at(0, 30)), ("a", at(2)), ("a", at(2, 1)),
+            ("a", at(2, 2)), ("a", at(5)), ("b", at(1))]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r["event_type"]: r for r in ts.croston(
+        df, alpha=0.1, every="1 hour", time_col="ts",
+        by=["event_type"]).collect()}
+    assert set(out) == {"a"}  # 'b' has one demand bucket: dropped
+    r = out["a"]
+    assert r["n_demands"] == 3
+    z = (1.0 - 0.1) * ((1.0 - 0.1) * 2.0 + 0.1 * 3.0) + 0.1 * 1.0
+    q = (1.0 - 0.1) * 2.0 + 0.1 * 3.0
+    assert r["z_hat"] == z and r["p_hat"] == q
+    assert r["forecast"] == z / q
+    assert r["forecast_sba"] == (1.0 - 0.05) * (z / q)

@@ -2162,6 +2162,12 @@ def test_fixed_rounds_guards_fire(spark):
         label_propagation(pairs, seeds, n_rounds=99)
     # a sane depth still computes (one row per key)
     assert ts.sigma_clip(df, rounds=1, time_col="ts", by=["event_type"]).count() == 1
+    # the escape hatch: a deliberate deeper run raises max_rounds
+    # alongside rounds and the guard lets it through (r12 ADVICE —
+    # rounds>12 must stay reachable, just never by accident)
+    assert kcore(pairs, k=1, n_rounds=13, max_rounds=13).count() == 2
+    with pytest.raises(ValueError, match="kcore.*rounds=14"):
+        kcore(pairs, k=1, n_rounds=14, max_rounds=13)
 
 
 def test_histogram_quantile_sparse_buckets_use_schema_edge(spark):

@@ -898,6 +898,16 @@ def _text_bigram_nll(spark, sf_dir):
     return text.bigram_nll(_docs(spark, sf_dir))
 
 
+def _text_stupid_backoff(spark, sf_dir):
+    """Stupid-backoff trigram NLL per document
+    (text.stupid_backoff_nll, Brants et al. 2007): count-ratio
+    scoring with 0.4 backoff and a seen-threshold of 2 — the
+    web-scale LM smoothing as an in-corpus novelty detector."""
+    from fossil_spark.operators import text
+
+    return text.stupid_backoff_nll(_docs(spark, sf_dir))
+
+
 def _sample_group_topk(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -2793,6 +2803,19 @@ def _ts_evt_pot(spark, sf_dir):
     )
 
 
+def _ts_lomb_scargle(spark, sf_dir):
+    """Phase-binned Lomb-Scargle periodogram per event type
+    (timeseries.lomb_scargle, Lomb 1976 / Scargle 1982): tau-
+    corrected spectral power at 1h/6h/12h/24h candidate periods over
+    the UNEVENLY-sampled raw events — no regular grid, no zero-fill;
+    all trig Python-injected into both engines."""
+    from fossil_spark.operators import timeseries as ts
+
+    return ts.lomb_scargle(
+        _events(spark, sf_dir), time_col="ts", by=["event_type"],
+    )
+
+
 def _ts_croston(spark, sf_dir):
     """Croston / Syntetos-Boylan intermittent-demand forecast per
     event type (timeseries.croston, alpha=0.1, hourly demand
@@ -3225,7 +3248,8 @@ _WINDOW_PRIORITY = [
     "ann_recall_eval", "ann_index_agreement", "ann_recall_curve",
     "embedding_bq_recall", "embedding_trunc_recall",
     # --- round-13 additions (never checked) ---
-    "graph_adamic_adar", "ts_croston",
+    "graph_adamic_adar", "ts_croston", "agg_raking",
+    "text_stupid_backoff", "ts_lomb_scargle",
     # --- 18 r5-vintage refreshes (oldest signal in the registry) ---
     "dedup_cross", "dedup_substring", "multimodal_audio",
     "sample_group_split", "sample_hash_topk", "text_bm25",
@@ -3511,6 +3535,11 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_eb_shrinkage": _analytics("eb_shrinkage"),
         "ts_intermittency": _ts_intermittency,
         "ts_croston": _ts_croston,
+        "ts_lomb_scargle": _ts_lomb_scargle,
+        # IPF raking to uniform dominant-type x activity-quartile
+        # margins (analytics.raking, Deming-Stephan 1940)
+        "agg_raking": _analytics("raking"),
+        "text_stupid_backoff": _text_stupid_backoff,
         "sample_pps": _sample_pps,
         "ann_ndcg": _ann_ndcg,
         "agg_did": _analytics("diff_in_diff"),
@@ -10118,6 +10147,163 @@ def oracle_sql() -> dict[str, str]:
         "  GROUP BY 1) m ON m.event_type = r.event_type"
         "  AND m.mr = r.rn"
         " WHERE r.q IS NOT NULL"
+    )
+    # Lomb-Scargle: the SAME Python-computed trig table both engines
+    # read (Spark broadcast / VALUES list, every literal ::DOUBLE to
+    # stop DuckDB's decimal-literal inference); eight decimal sums,
+    # then the identical closed-form scalar tail
+    import math as _math
+
+    _ls_vals = []
+    for _p in (60, 360, 720, 1440):
+        _nph = _p // 15
+        for _k in range(_nph):
+            _th = 2.0 * _math.pi * _k / _nph
+            _ls_vals.append(
+                f"({_p}, {_k}, {round(_math.sin(_th), 8)!r}::DOUBLE,"
+                f" {round(_math.cos(_th), 8)!r}::DOUBLE,"
+                f" {round(_math.sin(2.0 * _th), 8)!r}::DOUBLE,"
+                f" {round(_math.cos(2.0 * _th), 8)!r}::DOUBLE)"
+            )
+    _ls_ds = (
+        "CAST(sum(CAST(round({e}, 8) AS DECIMAL(30,8))) AS DOUBLE)"
+    ).format
+    out["ts_lomb_scargle"] = (
+        "WITH trig(pm, phase_idx, s1, c1, s2, c2) AS (VALUES "
+        + ", ".join(_ls_vals)
+        + "),"
+        " ev2 AS (SELECT event_type,"
+        "  epoch_us(ts) // 900000000 AS slot,"
+        f"  CAST(value AS DOUBLE) AS v FROM {_EV} e"
+        "  WHERE value IS NOT NULL),"
+        " px AS (SELECT event_type, slot, v,"
+        "  CAST(p.pm AS BIGINT) AS period_minutes FROM ev2,"
+        "  (VALUES (60), (360), (720), (1440)) p(pm)),"
+        " j AS (SELECT x.event_type, x.v, t.s1, t.c1, t.s2, t.c2,"
+        "  x.period_minutes FROM px x JOIN trig t"
+        "  ON t.pm = x.period_minutes"
+        "  AND t.phase_idx = x.slot % (x.period_minutes // 15)),"
+        " g AS (SELECT event_type, period_minutes,"
+        "  CAST(count(*) AS BIGINT) AS n,"
+        f"  {_ls_ds(e='v')} AS sy, {_ls_ds(e='v * v')} AS syy,"
+        f"  {_ls_ds(e='s1')} AS s, {_ls_ds(e='c1')} AS c,"
+        f"  {_ls_ds(e='s2')} AS s2, {_ls_ds(e='c2')} AS c2,"
+        f"  {_ls_ds(e='v * s1')} AS ys, {_ls_ds(e='v * c1')} AS yc"
+        "  FROM j GROUP BY 1, 2),"
+        " f1 AS (SELECT *, CAST(n AS DOUBLE) AS ndv,"
+        "  sy / CAST(n AS DOUBLE) AS ybar,"
+        "  0.5 * atan2(s2, c2) AS wt FROM g),"
+        " f2 AS (SELECT *, cos(wt) AS co, sin(wt) AS si,"
+        "  yc - ybar * c AS cy, ys - ybar * s AS sy2 FROM f1),"
+        " f3 AS (SELECT *, co * cy + si * sy2 AS a,"
+        "  co * sy2 - si * cy AS b,"
+        "  co * co * ((ndv + c2) / 2.0) + 2.0 * co * si * (s2 / 2.0)"
+        "   + si * si * ((ndv - c2) / 2.0) AS cc,"
+        "  si * si * ((ndv + c2) / 2.0) - 2.0 * co * si * (s2 / 2.0)"
+        "   + co * co * ((ndv - c2) / 2.0) AS ss FROM f2),"
+        " f4 AS (SELECT event_type, period_minutes, n,"
+        "  CASE WHEN cc > 0.0 AND ss > 0.0 THEN"
+        "   0.5 * (a * a / cc + b * b / ss) END AS pw,"
+        "  CASE WHEN n > 1 THEN (syy - ndv * ybar * ybar)"
+        "   / (ndv - 1.0) END AS vr FROM f3),"
+        " f5 AS (SELECT event_type, period_minutes, n, pw,"
+        "  CASE WHEN pw IS NOT NULL AND vr IS NOT NULL AND vr > 0.0"
+        "   THEN pw / vr END AS pn FROM f4)"
+        " SELECT event_type, period_minutes, n,"
+        " CASE WHEN abs(pw) < 9000000000000.0 THEN"
+        "  floor(pw * 1000000.0 + 0.5) / 1000000.0 ELSE pw END"
+        "  AS power,"
+        " CASE WHEN abs(pn) < 9000000000000.0 THEN"
+        "  floor(pn * 1000000.0 + 0.5) / 1000000.0 ELSE pn END"
+        "  AS power_norm"
+        " FROM f5"
+    )
+    # Stupid backoff (Brants 2007): three self-fit count tables with
+    # seen-threshold 2, CASE mirrors the Spark when-chain exactly,
+    # decimal NLL accumulation + explicit half-up @6 average
+    out["text_stupid_backoff"] = (
+        f"WITH t AS (SELECT doc_id, {_TOKS} w FROM documents),"
+        " toks AS (SELECT unnest(w) AS tok FROM t),"
+        " uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok),"
+        " tot AS (SELECT CAST(count(*) AS DOUBLE) AS tt FROM toks),"
+        " g0 AS (SELECT doc_id, unnest(list_transform("
+        "  generate_series(3, len(w)),"
+        "  i -> {'w1': w[i-2], 'w2': w[i-1], 'w3': w[i]})) AS s"
+        "  FROM t WHERE len(w) >= 3),"
+        " g AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2, s.w3 AS w3"
+        "  FROM g0),"
+        " b0 AS (SELECT unnest(list_transform("
+        "  generate_series(2, len(w)),"
+        "  i -> {'p': w[i-1], 'c': w[i]})) AS s FROM t"
+        "  WHERE len(w) >= 2),"
+        " big AS (SELECT s.p AS prev, s.c AS cur, count(*) AS c2"
+        "  FROM b0 GROUP BY 1, 2),"
+        " tric AS (SELECT w1, w2, w3, count(*) AS c3 FROM g"
+        "  GROUP BY 1, 2, 3 HAVING count(*) >= 2),"
+        " sc AS (SELECT g.doc_id,"
+        "  CASE WHEN tric.c3 IS NOT NULL THEN"
+        "   CAST(tric.c3 AS DOUBLE) / CAST(bp.c2 AS DOUBLE)"
+        "  WHEN bb.c2 IS NOT NULL THEN"
+        "   0.4 * (CAST(bb.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE))"
+        "  ELSE 0.4 * 0.4 * (CAST(u3.c1 AS DOUBLE) / tt) END AS s"
+        "  FROM g LEFT JOIN tric USING (w1, w2, w3)"
+        "  LEFT JOIN big bp ON bp.prev = g.w1 AND bp.cur = g.w2"
+        "  LEFT JOIN (SELECT prev, cur, c2 FROM big WHERE c2 >= 2) bb"
+        "   ON bb.prev = g.w2 AND bb.cur = g.w3"
+        "  LEFT JOIN uni u2 ON u2.tok = g.w2"
+        "  LEFT JOIN uni u3 ON u3.tok = g.w3, tot)"
+        " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,"
+        " CAST(round(sum(CAST(-ln(s) AS DECIMAL(30,8))), 4) AS DOUBLE)"
+        "  AS nll,"
+        " CASE WHEN abs(CAST(round(sum(CAST(-ln(s) AS DECIMAL(30,8))),"
+        "   4) AS DOUBLE) / count(*)) < 9000000000000.0 THEN"
+        " floor(CAST(round(sum(CAST(-ln(s) AS DECIMAL(30,8))), 4)"
+        "   AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0"
+        " ELSE CAST(round(sum(CAST(-ln(s) AS DECIMAL(30,8))), 4)"
+        "   AS DOUBLE) / count(*) END AS avg_nll"
+        " FROM sc GROUP BY doc_id"
+    )
+    # IPF raking: chained CTEs replay the alternating row/column
+    # scalings with the exact float order of the Spark loop; margin
+    # sums decimal-quantized @8 pre-sum
+    _rake_step = (
+        " r{k}{s} AS (SELECT et, q, n, w * ({t} / CAST(sum(CAST("
+        "round(CAST(n AS DOUBLE) * w, 8) AS DECIMAL(30,8))) OVER ("
+        "PARTITION BY {p}) AS DOUBLE)) AS w, tr, tc FROM {prev}),"
+    )
+    _rake_ctes = ""
+    _prev = "c0"
+    for _k in range(1, 6):
+        _rake_ctes += _rake_step.format(
+            k=_k, s="a", t="tr", p="et", prev=_prev
+        )
+        _rake_ctes += _rake_step.format(
+            k=_k, s="b", t="tc", p="q", prev=f"r{_k}a"
+        )
+        _prev = f"r{_k}b"
+    out["agg_raking"] = (
+        "WITH pu AS (SELECT user_id, event_type, count(*) AS c"
+        f" FROM {_EV} e GROUP BY 1, 2),"
+        " dm AS (SELECT user_id, event_type AS dom FROM ("
+        "  SELECT user_id, event_type, row_number() OVER ("
+        "   PARTITION BY user_id ORDER BY c DESC, event_type ASC)"
+        "   AS rn FROM pu) WHERE rn = 1),"
+        f" pn AS (SELECT user_id, count(*) AS n_ev FROM {_EV} e"
+        "  GROUP BY 1),"
+        " uu AS (SELECT dm.dom, ntile(4) OVER ("
+        "  ORDER BY pn.n_ev, pn.user_id) AS quartile"
+        "  FROM pn JOIN dm ON dm.user_id = pn.user_id),"
+        " cl AS (SELECT dom AS et, quartile AS q,"
+        "  CAST(count(*) AS BIGINT) AS n FROM uu GROUP BY 1, 2),"
+        " tt AS (SELECT CAST(sum(n) AS DOUBLE) AS nt,"
+        "  CAST(count(DISTINCT et) AS DOUBLE) AS nr FROM cl),"
+        " c0 AS (SELECT et, q, n, 1.0 AS w, nt / nr AS tr,"
+        "  nt / 4.0 AS tc FROM cl, tt),"
+        + _rake_ctes.rstrip(",")
+        + " SELECT et AS event_type, q AS quartile, n AS n_users,"
+        " round(w, 6) AS user_weight,"
+        " round(CAST(n AS DOUBLE) * w, 6) AS cell_total"
+        f" FROM {_prev} ORDER BY 1, 2"
     )
     # Poisson-PPS draw audit (text.pps_sample_audit): md5 uniforms,
     # Horvitz-Thompson weights, exact decimal size mass

@@ -550,6 +550,131 @@ def bigram_nll(
     )
 
 
+def stupid_backoff_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backoff: float = 0.4,
+    min_count: int = 2,
+) -> DataFrame:
+    """Stupid-backoff trigram score per document (Brants, Popat, Xu,
+    Och & Dean 2007, "Large Language Models in Machine Translation" —
+    THE web-scale LM smoothing: no discounting, no normalization,
+    just count ratios with a fixed 0.4 backoff factor, chosen
+    precisely because it needs nothing but distributed count tables):
+
+        S(w3|w1 w2) = C(w1w2w3)/C(w1w2)        if C(w1w2w3) "seen"
+                      0.4 * C(w2w3)/C(w2)      elif C(w2w3) "seen"
+                      0.4 * 0.4 * C(w3)/T      otherwise
+
+    Counts are self-fit with a seen-threshold `min_count` (default 2):
+    a SINGLETON trigram is by definition unique to the position being
+    scored, so in-sample it carries no evidence of conventionality —
+    thresholding makes the score a NOVELTY detector (docs full of
+    corpus-unique trigrams back off to the unigram floor and score
+    low), the same reason [[text_ngram_novelty]] counts first
+    occurrences. The score family sits between [[text_bigram_nll]]
+    (interpolated, normalized) and a full Katz/KN model — and is the
+    one that actually shipped at 100B-token scale in the paper.
+
+    Spark shape: one posexplode into trigram rows; THREE count
+    tables (trigram / bigram / unigram) built with ONE groupBy each;
+    score assembly is five gram-keyed left joins + a 1-row broadcast
+    total — all equi-joins on Zipf-skewed keys (AQE skew-join
+    territory, the unigram_nll precedent). NLL sums accumulate in
+    decimal(30,8); avg uses the explicit half-up @6. Docs with < 3
+    tokens are omitted. Returns (id, n_trigrams, nll, avg_nll)."""
+    w = tokens(F.col(text_col))
+    tri_structs = F.transform(
+        F.sequence(F.lit(3), F.size("__w")),
+        lambda i: F.struct(
+            F.element_at(F.col("__w"), i - 2).alias("w1"),
+            F.element_at(F.col("__w"), i - 1).alias("w2"),
+            F.element_at(F.col("__w"), i).alias("w3"),
+        ),
+    )
+    tri = (
+        df.select(F.col(id_col), w.alias("__w"))
+        .filter(F.size("__w") >= 3)
+        .select(id_col, F.explode(tri_structs).alias("__g"))
+        .select(
+            id_col,
+            F.col("__g.w1").alias("w1"),
+            F.col("__g.w2").alias("w2"),
+            F.col("__g.w3").alias("w3"),
+        )
+    )
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    # corpus total rolls up from the unigram table — no second
+    # token-explode scan
+    total = uni.agg(F.sum("c1").cast("double").alias("__t"))
+    big = _bigram_rows(df, text_col, None).groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    tric = (
+        tri.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+        .filter(F.col("c3") >= min_count)
+    )
+    bo = F.lit(float(backoff))
+    scored = (
+        tri.join(tric, ["w1", "w2", "w3"], "left")
+        .join(
+            big.select(
+                F.col("prev").alias("w1"), F.col("cur").alias("w2"),
+                F.col("c2").alias("__cpre"),
+            ),
+            ["w1", "w2"], "left",
+        )
+        .join(
+            big.filter(F.col("c2") >= min_count).select(
+                F.col("prev").alias("w2"), F.col("cur").alias("w3"),
+                F.col("c2").alias("__cbi"),
+            ),
+            ["w2", "w3"], "left",
+        )
+        .join(
+            uni.select(F.col("tok").alias("w2"), F.col("c1").alias("__c2u")),
+            "w2", "left",
+        )
+        .join(
+            uni.select(F.col("tok").alias("w3"), F.col("c1").alias("__c3u")),
+            "w3", "left",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    # a seen trigram implies C(w1w2) >= C3 >= min_count > 0, and
+    # self-fit unigrams are always present, so every branch divides
+    # by a positive count
+    s = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("__cpre").cast("double"),
+        )
+        .when(
+            F.col("__cbi").isNotNull(),
+            bo * (F.col("__cbi").cast("double")
+                  / F.col("__c2u").cast("double")),
+        )
+        .otherwise(
+            bo * bo * (F.col("__c3u").cast("double") / F.col("__t"))
+        )
+    )
+    out = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.round(F.sum((-F.log(s)).cast("decimal(30,8)")), 4)
+        .cast("double")
+        .alias("nll"),
+    )
+    return out.select(
+        id_col, "n_trigrams", "nll",
+        round6_half_up(
+            F.col("nll") / F.col("n_trigrams")
+        ).alias("avg_nll"),
+    )
+
+
 def group_topk_sample(
     df: DataFrame,
     k: int,

@@ -2602,6 +2602,142 @@ def _interval_us(every: str) -> int:
     return int(n) * _INTERVAL_US[unit]
 
 
+def lomb_scargle(
+    df: DataFrame,
+    periods_minutes: tuple[int, ...] = (60, 360, 720, 1440),
+    phase_step_minutes: int = 15,
+    time_col: str = "time",
+    by: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Phase-binned Lomb-Scargle periodogram per key (Lomb 1976,
+    Scargle 1982 — THE spectral estimator for UNEVENLY sampled
+    series, which raw event streams are; [[ts_period_detect]]'s
+    FFT-on-buckets needs a regular grid and zero-fills gaps, LS
+    weighs each observation where it actually lies). For each
+    candidate period P the tau-corrected power
+
+        P(w) = 0.5 * [ (Σ(y-ȳ)cos w(t-τ))² / Σcos² w(t-τ)
+                     + (Σ(y-ȳ)sin w(t-τ))² / Σsin² w(t-τ) ]
+
+    is computed entirely from EIGHT per-(key, period) sums — n, Σy,
+    Σy², Σsin, Σcos, Σsin2, Σcos2, Σy·sin, Σy·cos — via the standard
+    double-angle identities (Σcos²=(n+Σcos2)/2 etc.), so the whole
+    estimator is ONE map-side-combinable aggregation at any scale.
+
+    Cross-engine exactness: timestamps are binned to
+    `phase_step_minutes` phase slots, so each period has a FINITE set
+    of phases whose sin/cos are computed ONCE in Python (rounded @8)
+    and injected into BOTH plans — the Spark side as a broadcast
+    lookup table, the oracle as a VALUES list. No per-row libm trig
+    on either engine, so the sums match bitwise (the
+    Python-literal-injection convention: NDCG discounts, Benford
+    bins). The only engine trig left is sin/cos/atan2 of the
+    AGGREGATED tau angle — a handful of scalar evaluations.
+
+    Spark shape: events explode x |periods| (map-side), broadcast
+    join to the |Σ phases|-row trig table, one groupBy
+    (*by, period) with decimal-quantized sums; the closed-form tail
+    is scalar math on the tiny result. Keys/periods with a
+    degenerate phase spread (zero cc/ss/variance) yield NULL power.
+    Returns (*by, period_minutes, n, power, power_norm) — power_norm
+    is power / sample variance (the classical normalized
+    periodogram, ~chi²/2 under white noise)."""
+    import math
+
+    by = by or []
+    for p in periods_minutes:
+        if p % phase_step_minutes != 0:
+            raise ValueError(
+                f"period {p} not divisible by phase step "
+                f"{phase_step_minutes}"
+            )
+    spark = df.sparkSession
+    trig_rows = []
+    for p in periods_minutes:
+        nph = p // phase_step_minutes
+        for k in range(nph):
+            th = 2.0 * math.pi * k / nph
+            trig_rows.append((
+                int(p), int(k),
+                round(math.sin(th), 8), round(math.cos(th), 8),
+                round(math.sin(2.0 * th), 8), round(math.cos(2.0 * th), 8),
+            ))
+    trig = spark.createDataFrame(
+        trig_rows,
+        "period_minutes long, phase_idx long, s1 double, c1 double,"
+        " s2 double, c2 double",
+    )
+    df = _time_norm(df, time_col).filter(F.col(value_col).isNotNull())
+    step_us = phase_step_minutes * 60_000_000
+    base = df.select(
+        *by,
+        F.expr(f"unix_micros({time_col}) div {step_us}").alias("__slot"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.explode(
+            F.array(
+                *[F.lit(int(p)).cast("long") for p in periods_minutes]
+            )
+        ).alias("period_minutes"),
+    ).withColumn(
+        "phase_idx",
+        F.expr(f"__slot % (period_minutes div {phase_step_minutes})"),
+    )
+    joined = base.join(
+        F.broadcast(trig), ["period_minutes", "phase_idx"]
+    )
+
+    def dsum(e):
+        return F.sum(F.round(e, 8).cast("decimal(30,8)")).cast("double")
+
+    g = joined.groupBy(*by, "period_minutes").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(F.col("__v")).alias("__sy"),
+        dsum(F.col("__v") * F.col("__v")).alias("__syy"),
+        dsum(F.col("s1")).alias("__s"),
+        dsum(F.col("c1")).alias("__c"),
+        dsum(F.col("s2")).alias("__s2"),
+        dsum(F.col("c2")).alias("__c2"),
+        dsum(F.col("__v") * F.col("s1")).alias("__ys"),
+        dsum(F.col("__v") * F.col("c1")).alias("__yc"),
+    )
+    nd = F.col("n").cast("double")
+    ybar = F.col("__sy") / nd
+    wt = F.lit(0.5) * F.atan2(F.col("__s2"), F.col("__c2"))
+    co, si = F.cos(wt), F.sin(wt)
+    cy = F.col("__yc") - ybar * F.col("__c")
+    sy = F.col("__ys") - ybar * F.col("__s")
+    a = co * cy + si * sy
+    b = co * sy - si * cy
+    cc = (
+        co * co * ((nd + F.col("__c2")) / F.lit(2.0))
+        + F.lit(2.0) * co * si * (F.col("__s2") / F.lit(2.0))
+        + si * si * ((nd - F.col("__c2")) / F.lit(2.0))
+    )
+    ss = (
+        si * si * ((nd + F.col("__c2")) / F.lit(2.0))
+        - F.lit(2.0) * co * si * (F.col("__s2") / F.lit(2.0))
+        + co * co * ((nd - F.col("__c2")) / F.lit(2.0))
+    )
+    power = F.when(
+        (cc > F.lit(0.0)) & (ss > F.lit(0.0)),
+        F.lit(0.5) * (a * a / cc + b * b / ss),
+    )
+    var = F.when(
+        F.col("n") > 1,
+        (F.col("__syy") - nd * ybar * ybar) / (nd - F.lit(1.0)),
+    )
+    pnorm = F.when(
+        power.isNotNull() & var.isNotNull() & (var > F.lit(0.0)),
+        power / var,
+    )
+    return g.select(
+        *by, "period_minutes", "n",
+        round6_half_up(power).alias("power"),
+        round6_half_up(pnorm).alias("power_norm"),
+    )
+
+
 def period_detect(
     df: DataFrame,
     periods: list[int] | None = None,

@@ -3123,3 +3123,99 @@ def theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share * ratio, 6).alias("weight"),
         F.round(share * ratio * F.log(ratio), 6).alias("between_term"),
     ).orderBy("segment")
+
+
+def raking(
+    spark: SparkSession, sf_dir: str, rounds: int = 5
+) -> DataFrame:
+    """Iterative proportional fitting (raking) of per-user weights to
+    uniform margins over two cross-classifying dimensions (Deming &
+    Stephan 1940, the survey-reweighting classic — the same IPF loop
+    a training-data pipeline runs to rebalance a corpus toward target
+    source × quality margins without disturbing the joint structure):
+    users are cross-classified by their DOMINANT event type (row) and
+    activity quartile (column), all users start at weight 1, and
+    `rounds` alternating row/column scalings pull both margins to
+    N/|categories|.
+
+    Spark shape: ONE distributed pass builds the per-user profile
+    (groupBy user + a per-user dominant-type window over the
+    per-(user, type) aggregate); the IPF loop then runs entirely on
+    the CELL table (|event types| x 4 rows — bounded by category
+    cardinality, not data size) as `rounds` x 2 chained
+    category-partitioned window scalings, so the iterative part costs
+    the same at any SF. Margin sums are decimal-quantized @8 pre-sum
+    (order-independent); the scaling chain is the same fixed-order
+    float expression the oracle's chained CTEs replay. The two
+    global windows (total N, |row categories|) sit over the tiny
+    cell aggregate. fixed_rounds_guard bounds the chained plan
+    depth.
+
+    Returns (event_type, quartile, n_users, user_weight, cell_total)
+    — user_weight is each user's raked weight, cell_total = n *
+    user_weight the raked cell mass; row sums of cell_total equal
+    N/|types| and column sums N/4 up to IPF convergence."""
+    from fossil_spark.operators import fixed_rounds_guard
+
+    fixed_rounds_guard("raking", rounds)
+    ev = read_table(spark, sf_dir, "events")
+    per_ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    wdom = Window.partitionBy("user_id").orderBy(
+        F.col("__c").desc(), F.col("event_type").asc()
+    )
+    dom = (
+        per_ut.withColumn("__rn", F.row_number().over(wdom))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", F.col("event_type").alias("__dom"))
+    )
+    # per-user totals roll up from the per-(user, type) aggregate —
+    # one events scan feeds both profile dimensions
+    per_user = per_ut.groupBy("user_id").agg(
+        F.sum("__c").cast("long").alias("__n_ev")
+    )
+    wq = Window.orderBy("__n_ev", "user_id")
+    u = per_user.join(dom, "user_id").select(
+        "__dom", F.ntile(4).over(wq).alias("quartile")
+    )
+    cells = u.groupBy(
+        F.col("__dom").alias("event_type"), "quartile"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+    wall = Window.partitionBy()
+    n_total = F.sum("n_users").over(wall).cast("double")
+    n_rowcats = F.size(F.collect_set("event_type").over(wall)).cast(
+        "double"
+    )
+    c = cells.select(
+        "event_type", "quartile", "n_users",
+        F.lit(1.0).alias("__w"),
+        (n_total / n_rowcats).alias("__t_row"),
+        (n_total / F.lit(4.0)).alias("__t_col"),
+    )
+    mass = lambda: F.round(
+        F.col("n_users").cast("double") * F.col("__w"), 8
+    ).cast("decimal(30,8)")
+    for _ in range(rounds):
+        cur_row = (
+            F.sum(mass()).over(Window.partitionBy("event_type"))
+            .cast("double")
+        )
+        c = c.withColumn(
+            "__w", F.col("__w") * (F.col("__t_row") / cur_row)
+        )
+        cur_col = (
+            F.sum(mass()).over(Window.partitionBy("quartile"))
+            .cast("double")
+        )
+        c = c.withColumn(
+            "__w", F.col("__w") * (F.col("__t_col") / cur_col)
+        )
+    return c.select(
+        "event_type", "quartile", "n_users",
+        F.round("__w", 6).alias("user_weight"),
+        F.round(
+            F.col("n_users").cast("double") * F.col("__w"), 6
+        ).alias("cell_total"),
+    ).orderBy("event_type", "quartile")

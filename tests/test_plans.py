@@ -134,6 +134,8 @@ GLOBAL_WINDOW_OK = {
     "text_token_coverage",      # global rank over the vocabulary agg
     "agg_stratified_effect",    # ntile(10) over the per-user agg
     "text_word_burstiness",     # global cf rank over the vocab agg
+    "agg_raking",               # ntile(4) over the per-user agg +
+                                # margin windows over the cell agg
 }
 
 

@@ -305,3 +305,154 @@ def test_croston_hand_computed(spark):
     assert r["z_hat"] == z and r["p_hat"] == q
     assert r["forecast"] == z / q
     assert r["forecast_sba"] == (1.0 - 0.05) * (z / q)
+
+
+def test_raking_margins_and_recurrence(spark, tmp_path):
+    """4 users -> 4 singleton cells over (dominant type, quartile);
+    the raked cell totals must match an independent Python replay of
+    the IPF recurrence, and both margins must converge to
+    N/|categories|."""
+    import datetime as dt
+
+    from fossil_spark.queries.analytics import raking
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    rows += [(1, t0, "view")] * 3 + [(1, t0, "click")]
+    rows += [(2, t0, "click")] * 2
+    rows += [(3, t0, "view")]
+    rows += [(4, t0, "view")] * 5
+    ev = spark.createDataFrame(
+        [(i, uid, ts, et, float(i), "{}")
+         for i, (uid, ts, et) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(d)
+    ev.write.parquet(os.path.join(d, "events.parquet"))
+    out = {(r["event_type"], r["quartile"]): r
+           for r in raking(spark, d, rounds=5).collect()}
+    # quartile order by (n_ev, user_id): u3(1), u2(2), u1(4), u4(5)
+    assert set(out) == {("view", 1), ("click", 2), ("view", 3),
+                        ("view", 4)}
+    # independent replay of the recurrence on the known cell table
+    cells = {("view", 1): 1, ("click", 2): 1, ("view", 3): 1,
+             ("view", 4): 1}
+    w = {k: 1.0 for k in cells}
+    tr, tc = 4.0 / 2.0, 4.0 / 4.0
+    for _ in range(5):
+        for et in ("view", "click"):
+            cur = sum(round(cells[k] * w[k], 8) for k in cells
+                      if k[0] == et)
+            for k in cells:
+                if k[0] == et:
+                    w[k] = w[k] * (tr / cur)
+        for q in (1, 2, 3, 4):
+            cur = sum(round(cells[k] * w[k], 8) for k in cells
+                      if k[1] == q)
+            for k in cells:
+                if k[1] == q:
+                    w[k] = w[k] * (tc / cur)
+    for k in cells:
+        assert abs(out[k]["user_weight"] - round(w[k], 6)) < 1e-9, k
+    # the last IPF step scales columns, and every quartile here is a
+    # singleton cell, so column margins are EXACT (1.0 each); row
+    # margins are infeasible in this degenerate topology (click
+    # exists only in quartile 2) — which is exactly why the
+    # recurrence-equality check above is the real cross-check
+    col = {q: sum(out[k]["cell_total"] for k in out if k[1] == q)
+           for q in (1, 2, 3, 4)}
+    assert all(abs(v - 1.0) < 1e-6 for v in col.values()), col
+
+
+def test_stupid_backoff_hand_computed(spark):
+    """Corpus: d1='a b c a b c', d2='a b c x', d3='z z' (omitted).
+    Seen trigrams (count>=2): only (a,b,c). Seen bigrams: (a,b)=3,
+    (b,c)=3. Unigrams a=3,b=3,c=3,x=1,z=2, T=12. Hand scores:
+    d1: [1.0, .16*3/12, .4*3/3, 1.0]; d2: [1.0, .16*1/12]."""
+    import math
+
+    from fossil_spark.operators.text import stupid_backoff_nll
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c x"), (3, "z z")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in stupid_backoff_nll(docs).collect()}
+    assert set(out) == {1, 2}
+
+    def nll(scores):
+        return round(sum(round(-math.log(s), 8) for s in scores), 4)
+
+    d1 = nll([1.0, 0.4 * 0.4 * (3.0 / 12.0), 0.4 * (3.0 / 3.0), 1.0])
+    d2 = nll([1.0, 0.4 * 0.4 * (1.0 / 12.0)])
+    assert out[1]["n_trigrams"] == 4 and out[2]["n_trigrams"] == 2
+    assert abs(out[1]["nll"] - d1) < 1e-6, (out[1]["nll"], d1)
+    assert abs(out[2]["nll"] - d2) < 1e-6, (out[2]["nll"], d2)
+    assert abs(out[1]["avg_nll"] - round(d1 / 4, 6)) < 1e-6
+
+
+def test_lomb_scargle_finds_planted_period(spark):
+    """A 6-hour sinusoid sampled at IRREGULAR times (the case that
+    breaks grid-FFT detectors): normalized LS power at 360 min must
+    dwarf the other candidate periods, and match an independent
+    Python replay of the binned estimator."""
+    import math
+
+    from fossil_spark.operators import timeseries as ts
+
+    t0 = datetime(2024, 1, 1)
+    # deterministic irregular sampling over 3 days
+    times = []
+    m = 0
+    for i in range(400):
+        m += 5 + (i * 37) % 23  # irregular gaps 5..27 min
+        times.append(m)
+    rows = [("a", t0 + timedelta(minutes=m),
+             math.sin(2.0 * math.pi * m / 360.0)) for m in times]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp,"
+                               " value double")
+    out = {r["period_minutes"]: r for r in ts.lomb_scargle(
+        df, time_col="ts", by=["event_type"]).collect()}
+    assert set(out) == {60, 360, 720, 1440}
+    p360 = out[360]["power_norm"]
+    for p in (60, 720, 1440):
+        assert p360 > 10 * out[p]["power_norm"], (p, out[p], p360)
+
+    # independent replay (python floats; tolerance absorbs the
+    # decimal-quantization difference)
+    def replay(period):
+        nph = period // 15
+        sums = [0.0] * 8  # sy syy s c s2 c2 ys yc
+        epoch0 = int(t0.timestamp() * 1e6)
+        for m in times:
+            v = math.sin(2.0 * math.pi * m / 360.0)
+            slot = (epoch0 + m * 60_000_000) // 900_000_000
+            k = slot % nph
+            th = 2.0 * math.pi * k / nph
+            s1, c1 = round(math.sin(th), 8), round(math.cos(th), 8)
+            s2, c2 = (round(math.sin(2 * th), 8),
+                      round(math.cos(2 * th), 8))
+            for idx, e in enumerate(
+                    (v, v * v, s1, c1, s2, c2, v * s1, v * c1)):
+                sums[idx] += round(e, 8)
+        sy, syy, s, c, s2s, c2s, ys, yc = sums
+        n = float(len(times))
+        ybar = sy / n
+        wt = 0.5 * math.atan2(s2s, c2s)
+        co, si = math.cos(wt), math.sin(wt)
+        cy, sy2 = yc - ybar * c, ys - ybar * s
+        a, b = co * cy + si * sy2, co * sy2 - si * cy
+        cc = (co * co * ((n + c2s) / 2.0) + 2 * co * si * (s2s / 2.0)
+              + si * si * ((n - c2s) / 2.0))
+        ssum = (si * si * ((n + c2s) / 2.0) - 2 * co * si * (s2s / 2.0)
+                + co * co * ((n - c2s) / 2.0))
+        pw = 0.5 * (a * a / cc + b * b / ssum)
+        var = (syy - n * ybar * ybar) / (n - 1.0)
+        return pw / var
+
+    for p in (60, 360, 720, 1440):
+        assert abs(out[p]["power_norm"] - replay(p)) < 1e-4, p

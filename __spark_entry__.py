@@ -10179,16 +10179,22 @@ def oracle_sql() -> dict[str, str]:
         " px AS (SELECT event_type, slot, v,"
         "  CAST(p.pm AS BIGINT) AS period_minutes FROM ev2,"
         "  (VALUES (60), (360), (720), (1440)) p(pm)),"
-        " j AS (SELECT x.event_type, x.v, t.s1, t.c1, t.s2, t.c2,"
-        "  x.period_minutes FROM px x JOIN trig t"
-        "  ON t.pm = x.period_minutes"
-        "  AND t.phase_idx = x.slot % (x.period_minutes // 15)),"
+        " pre AS (SELECT event_type, period_minutes,"
+        "  slot % (period_minutes // 15) AS phase_idx,"
+        "  CAST(count(*) AS BIGINT) AS np,"
+        f"  {_ls_ds(e='v')} AS svp, {_ls_ds(e='v * v')} AS svvp"
+        "  FROM px GROUP BY 1, 2, 3),"
+        " j AS (SELECT p.event_type, p.period_minutes, p.np, p.svp,"
+        "  p.svvp, t.s1, t.c1, t.s2, t.c2 FROM pre p JOIN trig t"
+        "  ON t.pm = p.period_minutes AND t.phase_idx = p.phase_idx),"
         " g AS (SELECT event_type, period_minutes,"
-        "  CAST(count(*) AS BIGINT) AS n,"
-        f"  {_ls_ds(e='v')} AS sy, {_ls_ds(e='v * v')} AS syy,"
-        f"  {_ls_ds(e='s1')} AS s, {_ls_ds(e='c1')} AS c,"
-        f"  {_ls_ds(e='s2')} AS s2, {_ls_ds(e='c2')} AS c2,"
-        f"  {_ls_ds(e='v * s1')} AS ys, {_ls_ds(e='v * c1')} AS yc"
+        "  CAST(sum(np) AS BIGINT) AS n,"
+        f"  {_ls_ds(e='svp')} AS sy, {_ls_ds(e='svvp')} AS syy,"
+        f"  {_ls_ds(e='CAST(np AS DOUBLE) * s1')} AS s,"
+        f"  {_ls_ds(e='CAST(np AS DOUBLE) * c1')} AS c,"
+        f"  {_ls_ds(e='CAST(np AS DOUBLE) * s2')} AS s2,"
+        f"  {_ls_ds(e='CAST(np AS DOUBLE) * c2')} AS c2,"
+        f"  {_ls_ds(e='svp * s1')} AS ys, {_ls_ds(e='svp * c1')} AS yc"
         "  FROM j GROUP BY 1, 2),"
         " f1 AS (SELECT *, CAST(n AS DOUBLE) AS ndv,"
         "  sy / CAST(n AS DOUBLE) AS ybar,"

@@ -94,6 +94,13 @@ HEAVY_ISOLATED = [
     # other ANN keys already memoized instead of rebuilding them in
     # the inline session
     "embedding_intrinsic_dim", "text_jsd_sources", "ann_two_stage",
+    # r13 joins (>~3 s at sf0.1, min-of-2 on the multirg layout):
+    # adamic_adar 4.2 (wedge join + hub-set intersect), lomb_scargle
+    # 3.0 after the phase-bin pre-agg rewrite (was 6.1 with the 8
+    # decimal sums on the x4-exploded rows); the kcenter pair stays
+    # inline — assign reuses select's memoized greedy trace there,
+    # which a fresh child would rebuild
+    "graph_adamic_adar", "ts_lomb_scargle",
 ]
 # the ORIGINAL r9 8-key set: heavy8_isolated sums exactly these so the
 # cross-round series stays comparable as new heavy keys join the child

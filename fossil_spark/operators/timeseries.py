@@ -2635,10 +2635,11 @@ def lomb_scargle(
     bins). The only engine trig left is sin/cos/atan2 of the
     AGGREGATED tau angle — a handful of scalar evaluations.
 
-    Spark shape: events explode x |periods| (map-side), broadcast
-    join to the |Σ phases|-row trig table, one groupBy
-    (*by, period) with decimal-quantized sums; the closed-form tail
-    is scalar math on the tiny result. Keys/periods with a
+    Spark shape: events explode x |periods| (map-side), ONE
+    data-sized groupBy down to (key, period, phase) bins carrying
+    just (n, Σy, Σy²), then the broadcast trig join and the eight
+    weighted sums run over the ≤|Σ phases|-row bin table; the
+    closed-form tail is scalar math on the tiny result. Keys/periods with a
     degenerate phase spread (zero cc/ss/variance) yield NULL power.
     Returns (*by, period_minutes, n, power, power_norm) — power_norm
     is power / sample variance (the classical normalized
@@ -2683,23 +2684,33 @@ def lomb_scargle(
         "phase_idx",
         F.expr(f"__slot % (period_minutes div {phase_step_minutes})"),
     )
-    joined = base.join(
-        F.broadcast(trig), ["period_minutes", "phase_idx"]
-    )
-
     def dsum(e):
         return F.sum(F.round(e, 8).cast("decimal(30,8)")).cast("double")
 
+    # two-level aggregation: the data-sized pass computes only
+    # (n, Σy, Σy²) per PHASE BIN — sin/cos depend on nothing but the
+    # phase, so the trig weighting collapses onto the ≤|Σ phases|-row
+    # per-key bin table (Σ sinθ = Σ_p n_p·s1_p, Σ y·sinθ =
+    # Σ_p (Σy)_p·s1_p). The heavy scan carries 3 decimal sums and no
+    # join; the joined trig math touches ~|keys|·172 rows.
+    pre = base.groupBy(*by, "period_minutes", "phase_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("__np"),
+        dsum(F.col("__v")).alias("__svp"),
+        dsum(F.col("__v") * F.col("__v")).alias("__svvp"),
+    )
+    joined = pre.join(
+        F.broadcast(trig), ["period_minutes", "phase_idx"]
+    )
     g = joined.groupBy(*by, "period_minutes").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        dsum(F.col("__v")).alias("__sy"),
-        dsum(F.col("__v") * F.col("__v")).alias("__syy"),
-        dsum(F.col("s1")).alias("__s"),
-        dsum(F.col("c1")).alias("__c"),
-        dsum(F.col("s2")).alias("__s2"),
-        dsum(F.col("c2")).alias("__c2"),
-        dsum(F.col("__v") * F.col("s1")).alias("__ys"),
-        dsum(F.col("__v") * F.col("c1")).alias("__yc"),
+        F.sum("__np").cast("long").alias("n"),
+        dsum(F.col("__svp")).alias("__sy"),
+        dsum(F.col("__svvp")).alias("__syy"),
+        dsum(F.col("__np").cast("double") * F.col("s1")).alias("__s"),
+        dsum(F.col("__np").cast("double") * F.col("c1")).alias("__c"),
+        dsum(F.col("__np").cast("double") * F.col("s2")).alias("__s2"),
+        dsum(F.col("__np").cast("double") * F.col("c2")).alias("__c2"),
+        dsum(F.col("__svp") * F.col("s1")).alias("__ys"),
+        dsum(F.col("__svp") * F.col("c1")).alias("__yc"),
     )
     nd = F.col("n").cast("double")
     ybar = F.col("__sy") / nd

@@ -52,6 +52,10 @@ PYTHON_OK = {
     # CUSUM fold is sequential per key over bucket means (the ts_ewma
     # boundary: parallel across keys, one Arrow batch within)
     "ts_cusum",
+    # Croston's twin SES recurrences are sequential per key over the
+    # bucketed demand series (the ts_ewma boundary; batch length is
+    # calendar-bounded)
+    "ts_croston",
     # PNG synth + decode + dHash + CC over the pair graph (codec work,
     # Arrow-batched like the parent multimodal_phash_pairs)
     "multimodal_phash_groups",

@@ -10290,15 +10290,13 @@ def oracle_sql() -> dict[str, str]:
     out["agg_raking"] = (
         "WITH pu AS (SELECT user_id, event_type, count(*) AS c"
         f" FROM {_EV} e GROUP BY 1, 2),"
-        " dm AS (SELECT user_id, event_type AS dom FROM ("
+        " dm AS (SELECT user_id, event_type AS dom, n_ev FROM ("
         "  SELECT user_id, event_type, row_number() OVER ("
         "   PARTITION BY user_id ORDER BY c DESC, event_type ASC)"
-        "   AS rn FROM pu) WHERE rn = 1),"
-        f" pn AS (SELECT user_id, count(*) AS n_ev FROM {_EV} e"
-        "  GROUP BY 1),"
-        " uu AS (SELECT dm.dom, ntile(4) OVER ("
-        "  ORDER BY pn.n_ev, pn.user_id) AS quartile"
-        "  FROM pn JOIN dm ON dm.user_id = pn.user_id),"
+        "   AS rn, sum(c) OVER (PARTITION BY user_id) AS n_ev"
+        "  FROM pu) WHERE rn = 1),"
+        " uu AS (SELECT dom, ntile(4) OVER ("
+        "  ORDER BY n_ev, user_id) AS quartile FROM dm),"
         " cl AS (SELECT dom AS et, quartile AS q,"
         "  CAST(count(*) AS BIGINT) AS n FROM uu GROUP BY 1, 2),"
         " tt AS (SELECT CAST(sum(n) AS DOUBLE) AS nt,"

@@ -3162,22 +3162,25 @@ def raking(
     per_ut = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("__c")
     )
+    # dominant type AND per-user total from ONE window pass over the
+    # per-(user, type) aggregate — a join of two derivations of the
+    # same subtree would self-join-dedup into two re-aliased scans
+    # (caught by the live-scan probe); the two windows share the
+    # user_id partitioning, so this is one scan + one shuffle
     wdom = Window.partitionBy("user_id").orderBy(
         F.col("__c").desc(), F.col("event_type").asc()
     )
-    dom = (
-        per_ut.withColumn("__rn", F.row_number().over(wdom))
-        .filter(F.col("__rn") == 1)
-        .select("user_id", F.col("event_type").alias("__dom"))
-    )
-    # per-user totals roll up from the per-(user, type) aggregate —
-    # one events scan feeds both profile dimensions
-    per_user = per_ut.groupBy("user_id").agg(
-        F.sum("__c").cast("long").alias("__n_ev")
-    )
+    wtot = Window.partitionBy("user_id")
+    u0 = per_ut.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wdom).alias("__rn"),
+        F.sum("__c").over(wtot).cast("long").alias("__n_ev"),
+    ).filter(F.col("__rn") == 1)
     wq = Window.orderBy("__n_ev", "user_id")
-    u = per_user.join(dom, "user_id").select(
-        "__dom", F.ntile(4).over(wq).alias("quartile")
+    u = u0.select(
+        F.col("event_type").alias("__dom"),
+        F.ntile(4).over(wq).alias("quartile"),
     )
     cells = u.groupBy(
         F.col("__dom").alias("event_type"), "quartile"

@@ -301,6 +301,14 @@ def test_store_scan_prunes_columns(spark):
 # LSH and both gapfills this round). Budgets are the number of scans
 # the operator's shape genuinely needs.
 _SCAN_BUDGET = {
+    # r13 additions: croston/lomb are one bucketing/binning pass;
+    # raking's profile is one window pass (the join-of-two-derivations
+    # version re-aliased into TWO scans — caught here); stupid_backoff
+    # deliberately re-scans the pruned text column for each count
+    # table + join branch (checkpointing the exploded grams would
+    # cost more than the re-scans at any scale)
+    "ts_croston": 1, "ts_lomb_scargle": 1, "agg_raking": 1,
+    "text_stupid_backoff": 7,
     # single-input operators: one scan, period
     "dedup_minhash": 1, "dedup_exact": 1, "dedup_simhash": 1,
     "ts_gapfill": 1, "ts_gapfill_linear": 1,

@@ -386,7 +386,22 @@ def minhash_lsh_pairs(
     upstream by dropping buckets over a size threshold before calling
     this, the standard production LSH practice."""
     sigs = _signature_matrix(df, text_col, id_col, num_hashes, shingle_n)
-    return _pairs_from_sigs(sigs, id_col, num_hashes, rows_per_band)
+    pairs = _pairs_from_sigs(sigs, id_col, num_hashes, rows_per_band)
+    # Session memo (the ANN truth-catalog pattern, ann.memo): the
+    # near-dup pair graph is the shared substrate of ~15 downstream
+    # operators (graph_*, dedup audits, split_leakage, label prop) —
+    # each used to re-run the whole shingle+signature+bucket pipeline
+    # from the scan. First caller materializes, later callers in the
+    # same session read the persisted table; keyed on the input plan's
+    # semanticHash + leaf-file snapshot, schema-checked on hit, exact
+    # same rows (deterministic pipeline). Falls back to the raw plan
+    # when the plan can't hash.
+    from fossil_spark.operators.ann import memo
+
+    return memo(
+        pairs,
+        tag=f"mh_pairs:{id_col}:{num_hashes}:{rows_per_band}:{shingle_n}",
+    )
 
 
 def _pairs_from_sigs(

@@ -456,3 +456,58 @@ def test_lomb_scargle_finds_planted_period(spark):
 
     for p in (60, 360, 720, 1440):
         assert abs(out[p]["power_norm"] - replay(p)) < 1e-4, p
+
+
+# --------------------------------------------------------------------------
+# r13 optimization: the near-dup pair graph is session-memoized (the
+# ANN truth-catalog pattern) — same session + same files HIT, a
+# rewritten parquet behind the same plan MISSES and rebuilds
+# --------------------------------------------------------------------------
+
+def _write_docs(spark, path: str, texts: list[str]) -> None:
+    spark.createDataFrame(
+        [(i, t, "web") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_minhash_pairs_session_memo(spark, tmp_path):
+    """minhash_lsh_pairs memoizes its pair table per (session, input
+    plan, files): the second call returns identical rows without
+    rebuilding, and rewriting the parquet behind the same plan misses
+    the memo and reflects the new corpus."""
+    from fossil_spark.operators import ann, dedup
+
+    path = str(tmp_path / "docs.parquet")
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    _write_docs(
+        spark, path,
+        [base + "alpha", base + "alpha", base + "beta beta beta beta",
+         "completely different text with nothing shared at all here"],
+    )
+    ann.ann_memo_invalidate()
+
+    def pairs_rows():
+        docs = spark.read.parquet(path)
+        return sorted(
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_lsh_pairs(docs).collect()
+        )
+
+    first = pairs_rows()
+    assert (0, 1) in first  # the near-identical pair is found
+    n_entries = len(ann._MEMO_CACHE)
+    assert any(k[1].startswith("mh_pairs:") for k in ann._MEMO_CACHE)
+    # same session, same files: HIT — no new entry
+    assert pairs_rows() == first
+    assert len(ann._MEMO_CACHE) == n_entries
+
+    # rewrite the corpus behind the same plan: MISS + fresh pairs
+    _write_docs(
+        spark, path,
+        [base + "gamma", base + "delta delta",
+         base + "gamma", "unrelated text entirely on its own here"],
+    )
+    fresh = pairs_rows()
+    assert (0, 2) in fresh  # the NEW near-identical pair
+    ann.ann_memo_invalidate()

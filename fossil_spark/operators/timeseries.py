@@ -6976,35 +6976,49 @@ def iact(
     df = _time_norm(df, time_col)
     order = [F.col(time_col)] + [F.col(c) for c in (order_tiebreak or [])]
     w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
-    lagged = df.select(
+    # r13 optimization (guide §1.2 per-task work): the double->decimal
+    # cast runs through BigDecimal per value, and the old shape paid it
+    # 60x per row (each of the 10 lags re-quantized v, v², lag, lag²
+    # inside its own aggregate). Quantize v and v² ONCE pre-window and
+    # LAG THE DECIMALS: round(lag(v,k),8) == lag(round(v,8),k)
+    # pointwise, so every sum sees the identical decimal stream while
+    # only the 10 cross products still quantize per lag (a product of
+    # raw doubles can't be decomposed). Measured 10.06 -> 4.35 s at
+    # sf0.1, all 61 aggregate fields bitwise identical.
+    vd = F.col(value_col).cast("double")
+    pre = df.select(
         *by,
-        F.col(value_col).cast("double").alias("__v"),
-        *[
-            F.lag(F.col(value_col).cast("double"), k).over(w)
-            .alias(f"__l{k}")
-            for k in range(1, lags + 1)
-        ],
+        vd.alias("__v"),
+        F.round(vd, 8).cast("decimal(30,8)").alias("__r"),
+        F.round(vd * vd, 8).cast("decimal(30,8)").alias("__q"),
+        time_col,
+        *(order_tiebreak or []),
+    )
+    lagged = pre.select(
+        *by, "__v", "__r", "__q",
+        *[F.lag("__v", k).over(w).alias(f"__l{k}") for k in range(1, lags + 1)],
+        *[F.lag("__r", k).over(w).alias(f"__lr{k}") for k in range(1, lags + 1)],
+        *[F.lag("__q", k).over(w).alias(f"__lq{k}") for k in range(1, lags + 1)],
     )
 
-    def dsum8(e):
-        return F.round(F.sum(F.round(e, 8).cast("decimal(30,8)")), 8).cast(
-            "double"
-        )
+    def rsum(e):
+        return F.round(F.sum(e), 8).cast("double")
 
     aggs = [F.count("__v").cast("long").alias("n_obs")]
     for k in range(1, lags + 1):
         lk = F.col(f"__l{k}")
         pair = lk.isNotNull() & F.col("__v").isNotNull()
-        v = F.when(pair, F.col("__v"))
-        l = F.when(pair, lk)
         aggs += [
             F.sum(F.when(pair, 1).otherwise(0)).cast("double")
             .alias(f"__n{k}"),
-            dsum8(v).alias(f"__sx{k}"),
-            dsum8(l).alias(f"__sy{k}"),
-            dsum8(v * l).alias(f"__sxy{k}"),
-            dsum8(v * v).alias(f"__sxx{k}"),
-            dsum8(l * l).alias(f"__syy{k}"),
+            rsum(F.when(pair, F.col("__r"))).alias(f"__sx{k}"),
+            rsum(F.when(pair, F.col(f"__lr{k}"))).alias(f"__sy{k}"),
+            rsum(
+                F.round(F.when(pair, F.col("__v")) * F.when(pair, lk), 8)
+                .cast("decimal(30,8)")
+            ).alias(f"__sxy{k}"),
+            rsum(F.when(pair, F.col("__q"))).alias(f"__sxx{k}"),
+            rsum(F.when(pair, F.col(f"__lq{k}"))).alias(f"__syy{k}"),
         ]
     g = lagged.groupBy(*[F.col(c) for c in by]).agg(*aggs)
     rhos = []

@@ -605,7 +605,7 @@ def _ann_bruteforce(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     # served from the session truth catalog: rank<=5 of the persisted
     # 10-truth is bitwise the 5-truth (deterministic tie-break)
-    return ann.topk_truth(emb, emb.filter("vec_id < 8"), k=5)
+    return ann.topk_truth(emb, emb.filter("vec_id < 8"), k=5, dim=64)
 
 
 def _ann_lsh(spark, sf_dir):
@@ -1333,7 +1333,9 @@ def _ann_ivf(spark, sf_dir):
     from fossil_spark.session import read_table
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return ann.ivf_ann(emb, emb.filter("vec_id < 8"), k=5, n_lists=16, n_probe=4)
+    return ann.ivf_ann(
+        emb, emb.filter("vec_id < 8"), k=5, n_lists=16, n_probe=4, dim=64
+    )
 
 
 def _ann_pq(spark, sf_dir):
@@ -1696,7 +1698,7 @@ def _embedding_knn_classify(spark, sf_dir):
     from fossil_spark.session import read_table
 
     return ann.knn_classify(
-        read_table(spark, sf_dir, "embeddings"), k=5, n_queries=500
+        read_table(spark, sf_dir, "embeddings"), k=5, n_queries=500, dim=64
     )
 
 
@@ -1710,9 +1712,11 @@ def _ann_recall_eval(spark, sf_dir):
     # (ann.memo): ann_ndcg scores the SAME three tables — one
     # brute-force pass and one index build each across the suite
     return ann.recall_eval(
-        ann.topk_truth(emb, q, k=5),
+        ann.topk_truth(emb, q, k=5, dim=64),
         {
-            "ivf": ann.memo(ann.ivf_ann(emb, q, k=5, n_lists=16, n_probe=4)),
+            "ivf": ann.memo(
+                ann.ivf_ann(emb, q, k=5, n_lists=16, n_probe=4, dim=64)
+            ),
             "lsh": ann.memo(ann.lsh_ann(emb, q, dim=64, k=5)),
         },
         k=5,
@@ -1766,7 +1770,9 @@ def _ann_range_search(spark, sf_dir):
     from fossil_spark.session import read_table
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return ann.range_search(emb, emb.filter("vec_id < 8"), threshold=0.2)
+    return ann.range_search(
+        emb, emb.filter("vec_id < 8"), threshold=0.2, dim=64
+    )
 
 
 def _embedding_centroid_drift(spark, sf_dir):
@@ -1990,7 +1996,7 @@ def _embedding_intrinsic_dim(spark, sf_dir):
     from fossil_spark.session import read_table
 
     return ann.intrinsic_dim(
-        read_table(spark, sf_dir, "embeddings"), n_probes=500
+        read_table(spark, sf_dir, "embeddings"), n_probes=500, dim=64
     )
 
 
@@ -2041,7 +2047,7 @@ def _ann_recall_curve(spark, sf_dir):
     q = emb.filter("vec_id < 8")
     # the catalog materializes truth at k=10, so this is the SAME
     # persisted table recall_eval/ndcg read at k=5
-    truth = ann.topk_truth(emb, q, k=10)
+    truth = ann.topk_truth(emb, q, k=10, dim=64)
     cand = ann.memo(ann.lsh_ann(emb, q, dim=64, k=10))
     return ann.recall_curve(truth, cand, ks=[1, 3, 5, 10], method="lsh")
 
@@ -2202,7 +2208,7 @@ def _ann_index_agreement(spark, sf_dir):
     return ann.index_agreement(
         {
             "lsh": ann.lsh_ann(emb, q, dim=64, k=5),
-            "ivf": ann.ivf_ann(emb, q, k=5, n_lists=16, n_probe=4),
+            "ivf": ann.ivf_ann(emb, q, k=5, n_lists=16, n_probe=4, dim=64),
         },
         k=5,
     )
@@ -2259,7 +2265,7 @@ def _ann_filtered(spark, sf_dir):
     from fossil_spark.session import read_table
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return ann.filtered_topk(emb, emb.filter("vec_id < 8"), k=5)
+    return ann.filtered_topk(emb, emb.filter("vec_id < 8"), k=5, dim=64)
 
 
 def _ts_concurrency(spark, sf_dir):
@@ -2296,7 +2302,7 @@ def _embedding_trunc_recall(spark, sf_dir):
 
     emb = read_table(spark, sf_dir, "embeddings")
     return ann.truncation_recall(
-        emb, emb.filter("vec_id < 8"), (8, 16, 32), k=5
+        emb, emb.filter("vec_id < 8"), (8, 16, 32), k=5, full_dim=64
     )
 
 
@@ -2502,7 +2508,9 @@ def _embedding_bq_recall(spark, sf_dir):
     from fossil_spark.session import read_table
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return ann.bq_recall(emb, emb.filter("vec_id < 8"), k=5, dim=64)
+    return ann.bq_recall(
+        emb, emb.filter("vec_id < 8"), k=5, dim=64, vec_dim=64
+    )
 
 
 def _ts_sigma_clip(spark, sf_dir):
@@ -2537,6 +2545,7 @@ def _ann_two_stage(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     return ann.two_stage_recall(
         emb, emb.filter("vec_id < 8"), k=5, shortlist=20, dim=64,
+        vec_dim=64,
     )
 
 
@@ -3054,9 +3063,11 @@ def _ann_ndcg(spark, sf_dir):
     q = emb.filter("vec_id < 8")
     # identical catalog reads as _ann_recall_eval — no rebuild here
     return ann.ndcg_eval(
-        ann.topk_truth(emb, q, k=5),
+        ann.topk_truth(emb, q, k=5, dim=64),
         {
-            "ivf": ann.memo(ann.ivf_ann(emb, q, k=5, n_lists=16, n_probe=4)),
+            "ivf": ann.memo(
+                ann.ivf_ann(emb, q, k=5, n_lists=16, n_probe=4, dim=64)
+            ),
             "lsh": ann.memo(ann.lsh_ann(emb, q, dim=64, k=5)),
         },
         k=5,

@@ -41,6 +41,80 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# --- one-string expression builders (r13, guide §4) ------------------
+# The Column-built HOF helpers above (zip_with + aggregate lambdas)
+# cost ~70 py4j round-trips per call to CONSTRUCT — the ANN keys spent
+# 3-6 s of driver time per query just building plans (cProfile: 16.7k
+# socket round-trips for one ann_ndcg build). The builders below emit
+# the SAME expressions as ONE SQL string = one py4j call.
+#
+# Runtime shape was chosen empirically (all at sf0.1, 1M-pair
+# broadcast-nested-loop scan, min-of-3):
+# - A FLAT unrolled 64-term dot (a[0]*b[0] + ...) compiles into one
+#   giant generated Java method that exceeds HotSpot's JIT
+#   HugeMethodLimit, so it runs in the BYTECODE INTERPRETER: 13.3 s
+#   vs 2.6 s for the interpreted HOF fold. Never emit flat wide dots.
+# - The unrolled L2 distance ((a[i]-b[i])*(a[i]-b[i])) is the
+#   exception: its repeated subterms trigger codegen subexpression
+#   elimination, which splits the method into 64 JIT-able pieces —
+#   0.5 s vs 2.1 s HOF. (_l2_sql keeps that form.)
+# - For cosine, the winning shape keeps the HOF fold per pair but
+#   HOISTS each side's norm out of the pair loop (sqrt(normsq) is
+#   computed once per row, not once per pair — identical doubles, so
+#   bitwise-identical scores): 1.7 s vs 2.6 s.
+# Literals round-trip exactly via DOUBLE('<repr>') (Java parseDouble
+# of a shortest-repr string); 0.0D keeps the fold's double init.
+
+
+def _flit(x: float) -> str:
+    return f"DOUBLE('{float(x)!r}')"
+
+
+def _fold_sql(terms: list[str]) -> str:
+    e = "0.0D"
+    for t in terms:
+        e = f"({e} + {t})"
+    return e
+
+
+def _hof_dot_sql(a: str, b: str) -> str:
+    """zip_with/aggregate dot product — same expression tree as
+    _dot(), one py4j call instead of ~70."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        f" 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _hof_dotw_sql(a: str, weights: list[float]) -> str:
+    arr = "array(" + ",".join(_flit(w) for w in weights) + ")"
+    return _hof_dot_sql(a, arr)
+
+
+def _hof_norm_sql(a: str) -> str:
+    """sqrt(aggregate(a, 0.0, acc + x*x)) — same tree as _norm()."""
+    return f"SQRT(aggregate({a}, 0.0D, (acc, x) -> acc + x * x))"
+
+
+def _cosine_sql(a: str, b: str, dim: int | None = None) -> str:
+    return (
+        f"{_hof_dot_sql(a, b)}"
+        f" / ({_hof_norm_sql(a)} * {_hof_norm_sql(b)})"
+    )
+
+
+def _cosine_expr(a: str, b: str, dim: int | None = None) -> Column:
+    return F.expr(_cosine_sql(a, b, dim))
+
+
+def _l2_sql(a: str, b: str, dim: int) -> str:
+    return "SQRT({})".format(
+        _fold_sql(
+            [f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])" for i in range(dim)]
+        )
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -48,10 +122,14 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector (self-matches
     excluded). Scores are rounded so ranking ties break on id
-    deterministically regardless of float summation order."""
+    deterministically regardless of float summation order. Pass `dim`
+    when the vector width is known statically: the cosine runs as
+    unrolled codegen arithmetic (bitwise-identical fold order) instead
+    of interpreted higher-order functions."""
     q = broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -61,13 +139,22 @@ def cosine_topk(
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")
     )
+    if dim:
+        # hoist each side's norm out of the pair loop: computed once
+        # per ROW (not per pair), bitwise-identical scores — measured
+        # 2.6 -> 1.7 s on the 1M-pair scan at sf0.1
+        c = c.withColumn("__cn", F.expr(_hof_norm_sql("__cv")))
+        q = broadcast(q.withColumn("__qn", F.expr(_hof_norm_sql("__qv"))))
+        sim = F.expr(f"{_hof_dot_sql('__qv', '__cv')} / (__qn * __cn)")
+    else:
+        sim = cosine(F.col("__qv"), F.col("__cv"))
     scored = (
         c.crossJoin(q)
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             id_col,
-            F.round(cosine(F.col("__qv"), F.col("__cv")), round_to).alias("cos_sim"),
+            F.round(sim, round_to).alias("cos_sim"),
         )
     )
     from pyspark.sql import Window
@@ -197,6 +284,7 @@ def topk_truth(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """The exact-truth catalog entry for (corpus, queries): brute
     force materialized ONCE per session at max(k, 10) and served at
@@ -207,7 +295,7 @@ def topk_truth(
     three brute-force passes)."""
     kmax = max(int(k), _TRUTH_KMAX)
     t = memo(
-        cosine_topk(corpus, queries, kmax, id_col, vec_col, round_to),
+        cosine_topk(corpus, queries, kmax, id_col, vec_col, round_to, dim),
         tag="truth",
     )
     return t.filter(F.col("rank") <= k) if k < kmax else t
@@ -221,6 +309,7 @@ def filtered_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Filtered vector search: exact top-k cosine neighbors AMONG the
     corpus rows sharing the query's `filter_col` value (the
@@ -246,6 +335,12 @@ def filtered_topk(
         F.col(filter_col),
         F.col(vec_col).cast("array<double>").alias("__cv"),
     )
+    if dim:
+        c = c.withColumn("__cn", F.expr(_hof_norm_sql("__cv")))
+        q = broadcast(q.withColumn("__qn", F.expr(_hof_norm_sql("__qv"))))
+        sim = F.expr(f"{_hof_dot_sql('__qv', '__cv')} / (__qn * __cn)")
+    else:
+        sim = cosine(F.col("__qv"), F.col("__cv"))
     scored = (
         c.join(q, c[filter_col] == q["__ql"])
         .filter(F.col(id_col) != F.col("query_id"))
@@ -253,9 +348,7 @@ def filtered_topk(
             "query_id",
             id_col,
             filter_col,
-            F.round(cosine(F.col("__qv"), F.col("__cv")), round_to).alias(
-                "cos_sim"
-            ),
+            F.round(sim, round_to).alias("cos_sim"),
         )
     )
     from pyspark.sql import Window
@@ -281,10 +374,24 @@ def _hyperplane(plane: int, dim: int) -> list[float]:
     return out
 
 
-def lsh_signature(vec: Column, dim: int, planes: int = 8, table: int = 0) -> Column:
+def lsh_signature(
+    vec: Column | str, dim: int, planes: int = 8, table: int = 0
+) -> Column:
     """Bit-signature of a vector: sign of the dot product with each of
     `planes` md5-seeded hyperplanes, packed into a long. Each `table`
-    gets independent hyperplanes (seeded by table index)."""
+    gets independent hyperplanes (seeded by table index). Pass `vec`
+    as a column NAME to build the signature as one unrolled SQL
+    expression (same fold order bitwise, codegen instead of
+    interpreted HOFs, one py4j call instead of ~300)."""
+    if isinstance(vec, str):
+        parts = ["CAST(0 AS BIGINT)"]
+        for p in range(planes):
+            ws = _hyperplane(table * 1000 + p, dim)
+            parts.append(
+                f"(CASE WHEN {_hof_dotw_sql(vec, ws)} > 0"
+                f" THEN {1 << p} ELSE 0 END)"
+            )
+        return F.expr(" + ".join(parts))
     sig = F.lit(0).cast("long")
     for p in range(planes):
         w = F.array([F.lit(x) for x in _hyperplane(table * 1000 + p, dim)])
@@ -302,6 +409,7 @@ def ivf_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: corpus vectors are assigned to the
     nearest of `n_lists` coarse centroids (inverted lists); each query
@@ -341,18 +449,26 @@ def ivf_ann(
         array_sort (lexicographic: best cosine first, ties on smaller
         list id), slice n, explode. The explode materializes list_id as
         a plain attribute, keeping higher-order exprs out of join keys."""
-        ranked = F.slice(
-            F.array_sort(
-                F.transform(
-                    F.col("__cents"),
-                    lambda c: F.struct(
-                        (-F.round(cosine(F.col(vcol), c["vec"]), 9)).alias("negcos"),
-                        c["list_id"].alias("list_id"),
-                    ),
-                )
-            ),
-            1, n,
-        )
+        if dim:
+            ranked = F.expr(
+                "slice(array_sort(transform(__cents, c -> named_struct("
+                f"'negcos', -round({_cosine_sql(vcol, 'c.vec', dim)}, 9),"
+                " 'list_id', c.list_id"
+                f"))), 1, {int(n)})"
+            )
+        else:
+            ranked = F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.col("__cents"),
+                        lambda c: F.struct(
+                            (-F.round(cosine(F.col(vcol), c["vec"]), 9)).alias("negcos"),
+                            c["list_id"].alias("list_id"),
+                        ),
+                    )
+                ),
+                1, n,
+            )
         return (
             df.crossJoin(cents_one)
             .withColumn("__nl", F.explode(ranked))
@@ -372,13 +488,18 @@ def ivf_ann(
             "__qv", n_probe, ["query_id", "__qv"],
         )
     )
+    sim = (
+        _cosine_expr("__qv", "__cv", dim)
+        if dim
+        else cosine(F.col("__qv"), F.col("__cv"))
+    )
     scored = (
         c.join(q, "list_id")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             id_col,
-            F.round(cosine(F.col("__qv"), F.col("__cv")), round_to).alias("cos_sim"),
+            F.round(sim, round_to).alias("cos_sim"),
         )
         .dropDuplicates(["query_id", id_col])
     )
@@ -410,7 +531,7 @@ def lsh_ann(
     sigs = [
         F.struct(
             F.lit(t).alias("table"),
-            lsh_signature(F.col("__v"), dim, planes, t).alias("bucket"),
+            lsh_signature("__v", dim, planes, t).alias("bucket"),
         )
         for t in range(tables)
     ]
@@ -436,7 +557,7 @@ def lsh_ann(
     scored = candidates.select(
         "query_id",
         id_col,
-        F.round(cosine(F.col("__qv"), F.col("__cv")), round_to).alias("cos_sim"),
+        F.round(_cosine_expr("__qv", "__cv", dim), round_to).alias("cos_sim"),
     )
     from pyspark.sql import Window
 
@@ -1292,6 +1413,7 @@ def knn_classify(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    dim: int | None = None,
 ) -> DataFrame:
     """Leave-one-out kNN label audit: predict each probe vector's
     label by the majority vote of its k exact cosine neighbors
@@ -1305,7 +1427,9 @@ def knn_classify(
     ann_bruteforce boundary); votes tie-break on the smallest label.
     Returns (label, n_queries, n_correct, accuracy)."""
     probes = embeddings.filter(F.col(id_col) < n_queries)
-    nb = cosine_topk(embeddings, probes, k=k, id_col=id_col, vec_col=vec_col)
+    nb = cosine_topk(
+        embeddings, probes, k=k, id_col=id_col, vec_col=vec_col, dim=dim
+    )
     nb_lab = nb.join(
         embeddings.select(F.col(id_col), F.col(label_col).alias("__nl")),
         id_col,
@@ -1350,6 +1474,7 @@ def range_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine RANGE query: every corpus vector within `threshold`
     similarity of each query (self-matches excluded) — the faiss
@@ -1370,15 +1495,19 @@ def range_search(
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")
     )
+    if dim:
+        c = c.withColumn("__cn", F.expr(_hof_norm_sql("__cv")))
+        q = broadcast(q.withColumn("__qn", F.expr(_hof_norm_sql("__qv"))))
+        sim = F.expr(f"{_hof_dot_sql('__qv', '__cv')} / (__qn * __cn)")
+    else:
+        sim = cosine(F.col("__qv"), F.col("__cv"))
     return (
         c.crossJoin(q)
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             id_col,
-            F.round(cosine(F.col("__qv"), F.col("__cv")), round_to).alias(
-                "cos_sim"
-            ),
+            F.round(sim, round_to).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= F.lit(threshold))
     )
@@ -1512,6 +1641,7 @@ def intrinsic_dim(
     n_probes: int = 500,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Two-NN intrinsic-dimension estimate (Facco et al. 2017,
     Scientific Reports 7:12140): ID = n / sum(ln(d2/d1)) over each
@@ -1537,7 +1667,9 @@ def intrinsic_dim(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")
     )
     dist = F.round(
-        F.sqrt(
+        F.expr(_l2_sql("__qv", "__cv", dim))
+        if dim
+        else F.sqrt(
             F.aggregate(
                 F.zip_with(
                     F.col("__qv"), F.col("__cv"),
@@ -1593,6 +1725,7 @@ def truncation_recall(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    full_dim: int | None = None,
 ) -> DataFrame:
     """Matryoshka-style truncation audit: recall@k of cosine search
     over only the FIRST d dimensions, per d, against the full-width
@@ -1608,7 +1741,7 @@ def truncation_recall(
     Cosine needs no re-normalization after slicing — it normalizes
     inside. Returns (method='dim<d>', n_queries, n_true, n_hits,
     recall_at_k, min_query_recall)."""
-    truth = topk_truth(corpus, queries, k, id_col, vec_col)
+    truth = topk_truth(corpus, queries, k, id_col, vec_col, dim=full_dim)
     cands = {}
     for d in dims:
         c = corpus.select(
@@ -1617,7 +1750,7 @@ def truncation_recall(
         q = queries.select(
             id_col, F.slice(F.col(vec_col), 1, d).alias(vec_col)
         )
-        cands[f"dim{d}"] = cosine_topk(c, q, k, id_col, vec_col)
+        cands[f"dim{d}"] = cosine_topk(c, q, k, id_col, vec_col, dim=d)
     return recall_eval(truth, cands, k)
 
 
@@ -1628,6 +1761,7 @@ def bq_recall(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vec_dim: int | None = None,
 ) -> DataFrame:
     """Binary-quantization audit: recall@k of 1-bit-per-dimension
     search (bit d set when v_d exceeds the corpus's dimension-d mean,
@@ -1647,7 +1781,7 @@ def bq_recall(
     ranked = _bq_ranked(corpus, queries, dim, id_col, vec_col).filter(
         F.col("rank") <= k
     )
-    truth = topk_truth(corpus, queries, k, id_col, vec_col)
+    truth = topk_truth(corpus, queries, k, id_col, vec_col, dim=vec_dim)
     return recall_eval(truth, {f"bq{dim}": ranked}, k)
 
 
@@ -1703,11 +1837,9 @@ def _bq_candidates(
     )
     means = e.agg(
         *[
-            (
-                F.round(
-                    F.sum(F.col("__v")[i].cast("decimal(30,8)")), 6
-                ).cast("double")
-                / F.count(F.lit(1))
+            F.expr(
+                f"CAST(round(sum(CAST(__v[{i}] AS DECIMAL(30,8))), 6)"
+                f" AS DOUBLE) / count(1)"
             ).alias(f"__m{i}")
             for i in range(dim)
         ]
@@ -1716,15 +1848,18 @@ def _bq_candidates(
     def sig_col():
         # bit 63's two's-complement weight is the min-long literal —
         # shifts of 1<<63 overflow-check on the oracle side, literals
-        # don't on either engine
-        s = F.lit(0).cast("long")
+        # don't on either engine; BIGINT('<str>') sidesteps the
+        # parser's unary-minus-on-max-long edge. One SQL string (the
+        # lsh_signature build-cost rule).
+        parts = ["CAST(0 AS BIGINT)"]
         for i in range(dim):
             weight = 2 ** i if i < 63 else -(2 ** 63)
-            s = s + F.when(
-                F.col("__v")[i] > F.col(f"__m{i}"),
-                F.lit(weight).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-        return s
+            parts.append(
+                f"(CASE WHEN __v[{i}] > __m{i}"
+                f" THEN CAST('{weight}' AS BIGINT)"
+                f" ELSE CAST(0 AS BIGINT) END)"
+            )
+        return F.expr(" + ".join(parts))
 
     cb = e.crossJoin(F.broadcast(means)).select(
         F.col(id_col), sig_col().alias("__sig")
@@ -1758,6 +1893,7 @@ def two_stage_recall(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vec_dim: int | None = None,
 ) -> DataFrame:
     """Two-stage retrieval audit — THE production vector-search
     architecture (a cheap quantized index proposes, exact distances on
@@ -1795,15 +1931,18 @@ def two_stage_recall(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
     )
+    sim = (
+        _cosine_expr("__qv", "__cv", vec_dim)
+        if vec_dim
+        else cosine(F.col("__qv"), F.col("__cv"))
+    )
     rescored = (
         short.join(cv, id_col)
         .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",
             id_col,
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias(
-                "cos_sim"
-            ),
+            F.round(sim, 6).alias("cos_sim"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(
@@ -1812,7 +1951,7 @@ def two_stage_recall(
     reranked = rescored.withColumn(
         "rank", F.row_number().over(w2)
     ).filter(F.col("rank") <= k)
-    truth = topk_truth(corpus, queries, k, id_col, vec_col)
+    truth = topk_truth(corpus, queries, k, id_col, vec_col, dim=vec_dim)
     return recall_eval(
         truth,
         {f"bq{dim}": bq_k, f"bq{dim}_rerank{shortlist}": reranked},

@@ -1871,12 +1871,40 @@ def theil_sen_trend(
     pairs = (
         a.join(c, on=on) if on else a.crossJoin(c)
     ).filter(F.col("__t2") > F.col("__t1"))
-    stats = pairs.groupBy(*[F.col(k) for k in by]).agg(
-        F.expr(
-            "percentile((__v2 - __v1) / CAST(__t2 - __t1 AS DOUBLE), 0.5)"
-        ).alias("sen_slope_per_sec"),
-        F.sum(F.signum(F.col("__v2") - F.col("__v1")).cast("long"))
-        .alias("mk_s"),
+    # Sen slope = EXACT median of the pairwise slopes. The obvious
+    # `percentile(slope, 0.5)` aggregate is an ObjectHashAggregate
+    # that buffers every slope in a boxed-Double hash map — measured
+    # 3.7 s on the 1.29 M-pair grid at sf0.1. A codegen radix sort +
+    # row_number and picking the two middle rows computes the SAME
+    # interpolation: Spark's Percentile uses position=(n-1)*p,
+    # result = lo*(ceil-pos) + hi*(pos-floor); at p=0.5 the weights
+    # are exactly 0.5, so 0.5*lo + 0.5*hi is bit-identical (verified
+    # pairwise on the sf0.1 grid and property-tested vs percentile).
+    # Null slopes (a null bucket mean on either side) drop first —
+    # percentile and sum(signum) both skip exactly those rows.
+    slopes = pairs.select(
+        *by,
+        ((F.col("__v2") - F.col("__v1"))
+         / (F.col("__t2") - F.col("__t1")).cast("double")).alias("__sl"),
+        F.signum(F.col("__v2") - F.col("__v1")).cast("long").alias("__sg"),
+    ).filter(F.col("__sl").isNotNull())
+    w_rank = Window.partitionBy(*by).orderBy("__sl")
+    w_all = Window.partitionBy(*by)
+    ranked = slopes.select(
+        *by, "__sl", "__sg",
+        (F.row_number().over(w_rank) - 1).alias("__r"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    )
+    pos = (F.col("__n") - 1).cast("double") * F.lit(0.5)
+    mid = F.when(
+        (F.col("__r") == F.floor(pos)) | (F.col("__r") == F.ceil(pos)),
+        F.col("__sl"),
+    )
+    stats = ranked.groupBy(*[F.col(k) for k in by]).agg(
+        F.when(F.min("__n") % 2 == 1, F.min(mid))
+        .otherwise(F.lit(0.5) * F.min(mid) + F.lit(0.5) * F.max(mid))
+        .alias("sen_slope_per_sec"),
+        F.sum("__sg").alias("mk_s"),
     )
     # ONE downstream pass: join the 1-row-per-key stats back onto the
     # buckets and take counts, stats pass-through, and the intercept
@@ -1895,6 +1923,13 @@ def theil_sen_trend(
             "percentile(__v - sen_slope_per_sec * CAST(__t AS DOUBLE), 0.5)"
         ).alias("intercept"),
     )
+    # Session memo of the fitted trend table (the ann.memo kcenter
+    # precedent): capacity_eta composes the EXACT trend ts_trend_robust
+    # just fitted — one O(buckets²) fit per session instead of one per
+    # consumer. Rows-per-key output, dies with the session.
+    from fossil_spark.operators.ann import memo
+
+    out = memo(out, tag="theil_sen")
     return out.select(
         *by,
         "n_buckets",

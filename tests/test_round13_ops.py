@@ -511,3 +511,91 @@ def test_minhash_pairs_session_memo(spark, tmp_path):
     fresh = pairs_rows()
     assert (0, 2) in fresh  # the NEW near-identical pair
     ann.ann_memo_invalidate()
+
+
+def test_theil_sen_sort_median_matches_percentile(spark):
+    """r13 optimization regression: the sen-slope median is computed
+    by radix-sort + middle-row pick instead of the percentile()
+    ObjectHashAggregate. Both must agree BITWISE with percentile's
+    interpolation — odd and even pair counts, ties, and a null bucket
+    mean (null slopes drop exactly like percentile drops them)."""
+    import struct
+    from datetime import datetime, timedelta
+
+    import pyspark.sql.functions as F
+
+    from fossil_spark.operators import ann, timeseries as ts
+
+    base = datetime(2024, 3, 1)
+    rows = []
+    # key "odd": 4 buckets -> 6 pairs (even count, interpolated);
+    # key "even": 5 buckets -> 10 pairs; values md5-free deterministic
+    # pseudo-noise with exact ties between buckets 1 and 3
+    for i, v in enumerate([3.0, 7.5, 1.25, 7.5]):
+        rows.append((i, "odd", base + timedelta(hours=i), v))
+    for i, v in enumerate([2.0, -1.5, 4.75, 4.75, 0.125]):
+        rows.append((10 + i, "even", base + timedelta(hours=i), v))
+    # key "gap": one bucket whose only value is NULL -> null slopes
+    for i, v in enumerate([1.0, None, 5.0, 2.0]):
+        rows.append((20 + i, "gap", base + timedelta(hours=i), v))
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    ann.ann_memo_invalidate()
+    got = {
+        r["event_type"]: r
+        for r in ts.theil_sen_trend(
+            df, every="1 hour", time_col="ts", by=["event_type"],
+            round_to=12,
+        ).collect()
+    }
+
+    # reference: the literal percentile() aggregate over the same
+    # bucket pairs (the pre-r13 shape)
+    b = (
+        df.groupBy(
+            "event_type", F.window("ts", "1 hour").start.alias("__b")
+        )
+        .agg(
+            (
+                F.round(F.sum(F.col("value").cast("decimal(30,8)")), 4)
+                .cast("double") / F.count("value")
+            ).alias("__v")
+        )
+        .select(
+            "event_type", F.unix_timestamp("__b").alias("__t"), "__v"
+        )
+    )
+    a = b.select(
+        "event_type", F.col("__t").alias("__t1"), F.col("__v").alias("__v1")
+    )
+    c = b.select(
+        "event_type", F.col("__t").alias("__t2"), F.col("__v").alias("__v2")
+    )
+    ref = {
+        r["event_type"]: r
+        for r in a.join(c, on=["event_type"])
+        .filter(F.col("__t2") > F.col("__t1"))
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile((__v2 - __v1) / CAST(__t2 - __t1 AS DOUBLE),"
+                " 0.5)"
+            ).alias("slope"),
+            F.sum(
+                F.signum(F.col("__v2") - F.col("__v1")).cast("long")
+            ).alias("mk_s"),
+        )
+        .collect()
+    }
+    assert set(got) == {"odd", "even", "gap"} == set(ref)
+    for k in ref:
+        want = round(ref[k]["slope"], 15)
+        have = got[k]["sen_slope_per_sec"]
+        # round_to=12 -> round(x, 15) on the slope path; compare the
+        # rounded doubles bitwise
+        assert struct.pack("d", have) == struct.pack(
+            "d", round(ref[k]["slope"], 15)
+        ), (k, have, want)
+        assert got[k]["mk_s"] == ref[k]["mk_s"]
+    ann.ann_memo_invalidate()

@@ -2409,26 +2409,25 @@ def test_matrix_profile_arrow_engine_bit_identical(spark):
 
 
 def test_matrix_profile_engine_resolution_and_guards(spark):
-    """auto = hof at the interactive default (plan stays pure JVM, no
-    Python boundary), flips to the Arrow engine when the caller asks
-    for a guard past 1024; the hof guard now fails loudly at 1024."""
+    """auto = arrow since r13 (the interpreted HOF grid loses at every
+    size that matters — 7.3 s vs 1.9 s at nsub=349, bitwise
+    identical); explicit hof keeps its loud 1024-bucket guard."""
     import pytest
 
     from fossil_spark.operators.timeseries import matrix_profile
 
-    n = 1100  # past the interactive hof guard
+    n = 1100  # past the hof guard
     df = spark.range(n).select(
         (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
          + F.make_interval(mins=F.col("id"))).alias("time"),
         F.col("id").cast("double").alias("value"))
     auto_small = matrix_profile(df.limit(100), w=12, every="1 minute")
     plan = auto_small._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" not in plan  # auto default = pure JVM
+    assert "FlatMapGroupsInPandas" in plan  # auto = arrow engine
     with pytest.raises(Exception, match="more than 1024 buckets"):
-        matrix_profile(df, w=12, every="1 minute").count()
-    dense = matrix_profile(df, w=12, every="1 minute", max_buckets=4096)
-    plan = dense._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" in plan  # auto past 1024 = arrow
+        matrix_profile(df, w=12, every="1 minute", engine="hof").count()
+    # auto's arrow guard (65536) admits the 1100-bucket series
+    dense = matrix_profile(df, w=12, every="1 minute")
     assert dense.count() == n - 11
     with pytest.raises(ValueError, match="engine"):
         matrix_profile(df, engine="stomp")

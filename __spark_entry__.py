@@ -1495,6 +1495,11 @@ def _multimodal_phash_pairs(spark, sf_dir):
             yield pd.DataFrame(rows, columns=["doc_id", "content"])
 
     imgs = docs.mapInPandas(gen, "doc_id long, content binary")
+    # NOT memoized (r13, measured): persisting this pair table turns
+    # the banded-Hamming join's AQE broadcast into a cached-plan
+    # sort-merge build — 27 s vs 2.3 s. groups' connected_components
+    # already localCheckpoints the edge list, so nothing replays the
+    # decode pipeline per round anyway.
     return mm.phash_pairs(mm.image_phash(imgs), max_hamming=6)
 
 

@@ -800,6 +800,35 @@ def kmeans_cluster(
     vecs = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
+    # INPUT-keyed session memo (r13): the Lloyd loop runs collect()
+    # jobs at plan-BUILD time (seeds + one centroid pull per round),
+    # so the output-keyed memo() would still pay them on every call.
+    # Key on the input plan + params BEFORE iterating; the fixed run
+    # is shared by cluster_kmeans_fixed, embedding_cluster_purity and
+    # pipeline_semdedup. Hit-time guard: live owning session + the
+    # exact output column triple (a 32-bit collision must recompute).
+    sess = corpus.sparkSession
+    try:
+        mkey = (
+            id(sess),
+            f"kmeans:{k}:{n_iter}:{round_to}:{id_col}",
+            vecs.semanticHash(),
+            _files_tag(vecs),
+        )
+    except Exception:
+        mkey = None
+    if mkey is not None:
+        hit = _MEMO_CACHE.get(mkey)
+        if hit is not None:
+            owner, cached = hit
+            if (
+                owner is sess
+                and _session_live(sess)
+                and cached.columns == [id_col, "cluster", "cos_sim"]
+            ):
+                _MEMO_CACHE.move_to_end(mkey)
+                return cached
+            _memo_drop(mkey)
     seed_rows = (
         vecs.withColumn("__h", F.md5(F.col(id_col).cast("string")))
         .orderBy("__h")
@@ -858,9 +887,15 @@ def kmeans_cluster(
                 new_cents[cid][pos] = m
         cents = new_cents
 
-    return with_assignment(vecs, cents).select(
+    out = with_assignment(vecs, cents).select(
         id_col, "cluster", F.round(F.col("cos_sim"), round_to).alias("cos_sim")
     )
+    if mkey is not None:
+        from pyspark import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        _memo_store(sess, mkey, out)
+    return out
 
 
 def cluster_purity(

@@ -5654,70 +5654,103 @@ def hurst_exponent(
     idx = b.select(
         *by, "__v", (F.row_number().over(w) - F.lit(1)).alias("__i")
     )
-    nb = idx.groupBy(*by).agg(F.count(F.lit(1)).alias("n_buckets"))
+    # n_buckets rides along as a window count over the SAME partition
+    # (r13): the old separate `nb = idx.groupBy(...)` branch re-ran
+    # the whole scan + bucket aggregation just to count buckets, then
+    # joined it back at the end.
+    idx = idx.withColumn(
+        "__nb", F.count(F.lit(1)).over(Window.partitionBy(*by))
+    )
 
     def dec8(e):
         return F.round(e, 8).cast("decimal(30,8)")
 
-    per_scale = []
-    for n in _HURST_SCALES:
-        chunk = idx.select(
-            *by, "__v", "__i", F.floor(F.col("__i") / F.lit(n)).alias("__c")
+    # ONE pass over all four scales (r13, guide §2.4): the old
+    # per-scale loop built four branches that EACH re-ran the
+    # scan + bucket aggregation + row_number window, plus a
+    # groupBy+join-back per scale for the chunk means (~20 stages of
+    # tiny data — pure stage-count overhead at any SF, and 4 extra
+    # full scans at scale). Explode each bucket row into its four
+    # (scale, chunk) memberships and compute chunk count/mean/cumdev
+    # as window frames over ONE (key, scale, chunk) sort. Every fold
+    # is unchanged: decimal sums are order-independent, the running
+    # cum keeps the same __i order, and the per-chunk/per-scale
+    # arithmetic is identical expression for expression.
+    e = idx.select(
+        *by, "__v", "__i", "__nb",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(n).alias("n"),
+                    F.floor(F.col("__i") / F.lit(n)).alias("c"),
+                )
+                for n in _HURST_SCALES
+            ])
+        ).alias("__sc"),
+    ).select(
+        *by, "__v", "__i", "__nb",
+        F.col("__sc.n").alias("__n"), F.col("__sc.c").alias("__c"),
+    )
+    wp = Window.partitionBy(*by, "__n", "__c")
+    wc = wp.orderBy("__i")
+    g = (
+        e.withColumn("__cn", F.count(F.lit(1)).over(wp))
+        .withColumn(
+            "__mu",
+            F.round(F.sum(dec8(F.col("__v"))).over(wp), 8).cast("double")
+            / F.col("__cn"),
         )
-        sizes = chunk.groupBy(*by, "__c").agg(
-            F.count(F.lit(1)).alias("__cn"),
-            (F.round(F.sum(dec8(F.col("__v"))), 8).cast("double")
-             / F.count(F.lit(1))).alias("__mu"),
-        ).filter(F.col("__cn") == n)
-        wc = Window.partitionBy(*by, "__c").orderBy("__i")
-        dev = (
-            chunk.join(sizes, [*by, "__c"])
-            .withColumn(
-                "__cum",
-                F.sum(dec8(F.col("__v") - F.col("__mu"))).over(
-                    wc.rowsBetween(Window.unboundedPreceding, 0)
+        .filter(F.col("__cn") == F.col("__n"))
+        .withColumn(
+            "__cum",
+            F.sum(dec8(F.col("__v") - F.col("__mu"))).over(
+                wc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    rs = g.groupBy(*by, "__n", "__c").agg(
+        F.min("__nb").alias("__nb"),
+        (F.max("__cum") - F.min("__cum")).cast("double").alias("__r"),
+        F.sqrt(
+            F.round(
+                F.sum(
+                    dec8(
+                        (F.col("__v") - F.col("__mu"))
+                        * (F.col("__v") - F.col("__mu"))
+                    )
                 ),
-            )
+                8,
+            ).cast("double")
+            / F.col("__n").cast("double")
+        ).alias("__s"),
+    )
+    lnx = F.coalesce(*[
+        F.when(F.col("__n") == n, F.lit(float(_HURST_LNX[n])))
+        for n in _HURST_SCALES
+    ])
+    pts = (
+        rs.groupBy(*by, "__n").agg(
+            F.min("__nb").alias("__nb"),
+            F.count(F.lit(1)).alias("__nchunks"),
+            (F.round(
+                F.sum(
+                    dec8(
+                        F.col("__r")
+                        / F.greatest(F.col("__s"), F.lit(1e-12))
+                    )
+                ),
+                8,
+            ).cast("double") / F.count(F.lit(1))).alias("__rs_mean"),
         )
-        rs = dev.groupBy(*by, "__c").agg(
-            (F.max("__cum") - F.min("__cum")).cast("double").alias("__r"),
-            F.sqrt(
-                F.round(
-                    F.sum(
-                        dec8(
-                            (F.col("__v") - F.col("__mu"))
-                            * (F.col("__v") - F.col("__mu"))
-                        )
-                    ),
-                    8,
-                ).cast("double")
-                / F.lit(float(n))
-            ).alias("__s"),
+        .filter((F.col("__nchunks") >= 2) & (F.col("__rs_mean") > 0))
+        .select(
+            *by, "__nb",
+            lnx.alias("__x"),
+            F.round(F.log(F.col("__rs_mean")), 8).alias("__y"),
         )
-        per_scale.append(
-            rs.groupBy(*by).agg(
-                F.count(F.lit(1)).alias("__nchunks"),
-                (F.round(
-                    F.sum(
-                        dec8(
-                            F.col("__r")
-                            / F.greatest(F.col("__s"), F.lit(1e-12))
-                        )
-                    ),
-                    8,
-                ).cast("double") / F.count(F.lit(1))).alias("__rs_mean"),
-            )
-            .filter((F.col("__nchunks") >= 2) & (F.col("__rs_mean") > 0))
-            .select(
-                *by,
-                F.lit(float(_HURST_LNX[n])).alias("__x"),
-                F.round(F.log(F.col("__rs_mean")), 8).alias("__y"),
-            )
-        )
-    pts = per_scale[0]
-    for p in per_scale[1:]:
-        pts = pts.unionByName(p)
+    )
     reg = pts.groupBy(*by).agg(
+        F.min("__nb").alias("n_buckets"),
         F.count(F.lit(1)).alias("n_scales"),
         F.round(F.sum(dec8(F.col("__x"))), 8).cast("double").alias("__sx"),
         F.round(F.sum(dec8(F.col("__y"))), 8).cast("double").alias("__sy"),
@@ -5733,8 +5766,7 @@ def hurst_exponent(
         k * F.col("__sxy") - F.col("__sx") * F.col("__sy"),
         k * F.col("__sxx") - F.col("__sx") * F.col("__sx"),
     )
-    out = reg.join(broadcast(nb), by) if by else reg.crossJoin(broadcast(nb))
-    return out.select(
+    return reg.select(
         *by,
         F.col("n_buckets").cast("long").alias("n_buckets"),
         F.col("n_scales").cast("long").alias("n_scales"),

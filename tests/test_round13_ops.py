@@ -599,3 +599,52 @@ def test_theil_sen_sort_median_matches_percentile(spark):
         ), (k, have, want)
         assert got[k]["mk_s"] == ref[k]["mk_s"]
     ann.ann_memo_invalidate()
+
+
+def test_kmeans_input_keyed_session_memo(spark, tmp_path):
+    """r13: kmeans_cluster memoizes on the INPUT plan + params before
+    the Lloyd loop (the loop runs collect() jobs at build time, so an
+    output-keyed memo would still pay them). Second call returns the
+    identical assignment without re-iterating; rewriting the parquet
+    behind the same plan misses and re-fits."""
+    import pyspark.sql.functions as F
+
+    from fossil_spark.operators import ann
+
+    path = str(tmp_path / "emb.parquet")
+
+    def write(vecs):
+        spark.createDataFrame(
+            [(i, v, i % 2) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>, label int",
+        ).write.mode("overwrite").parquet(path)
+
+    write([[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [0.1, 0.9]])
+    ann.ann_memo_invalidate()
+
+    def assign():
+        emb = spark.read.parquet(path)
+        return sorted(
+            (r["vec_id"], r["cluster"])
+            for r in ann.kmeans_cluster(emb, k=2, n_iter=1).collect()
+        )
+
+    first = assign()
+    n = len(ann._MEMO_CACHE)
+    assert any(k[1].startswith("kmeans:") for k in ann._MEMO_CACHE)
+    assert assign() == first          # same session, same files: HIT
+    assert len(ann._MEMO_CACHE) == n  # no new entry
+
+    # different params -> different key, coexisting entry
+    emb = spark.read.parquet(path)
+    ann.kmeans_cluster(emb, k=2, n_iter=2).collect()
+    assert len(ann._MEMO_CACHE) == n + 1
+
+    # rewrite behind the same plan: MISS + fresh fit on the new data
+    write([[0.0, 1.0], [1.0, 0.0], [0.05, 0.95], [0.95, 0.05]])
+    fresh = assign()
+    assert {v for _, v in fresh} == {0, 1}
+    # vec 0 and 2 now point the same way and must co-cluster
+    d = dict(fresh)
+    assert d[0] == d[2] and d[1] == d[3] and d[0] != d[1]
+    ann.ann_memo_invalidate()

@@ -43,22 +43,28 @@ def reference_profile(
         ).alias("edges"),
         F.count(value_col).alias("n_reference"),
     )
+    # one-string SQL per-bin expressions (the psi_replay build-cost
+    # rule below — same trees, a fraction of the py4j round-trips)
     binned = df.join(F.broadcast(edges), key_col).select(
         key_col,
         "n_reference",
-        _bin_idx(F.col(value_col)).alias("__bin"),
+        F.expr(
+            "aggregate(edges, 0, (acc, e) -> acc"
+            f" + CAST((`{value_col}` > e) AS INT))"
+        ).alias("__bin"),
     )
     counts = binned.groupBy(key_col, "n_reference").agg(
         *[
-            F.sum((F.col("__bin") == b).cast("long")).alias(f"__c{b}")
+            F.expr(f"sum(CAST((__bin = {b}) AS BIGINT))").alias(f"__c{b}")
             for b in range(n_bins)
         ]
     )
-    fracs = F.array(
-        *[
-            F.col(f"__c{b}").cast("double") / F.col("n_reference")
-            for b in range(n_bins)
-        ]
+    fracs = F.expr(
+        "array("
+        + ", ".join(
+            f"CAST(__c{b} AS DOUBLE) / n_reference" for b in range(n_bins)
+        )
+        + ")"
     )
     return counts.join(edges.select(key_col, "edges"), key_col).select(
         key_col, "edges", fracs.alias("ref_fracs"), "n_reference"
@@ -122,12 +128,21 @@ def streaming_psi(
     binning (the streaming_apdex rule: "no measurement" is not a
     distribution sample — otherwise they would count in n but in no
     bin and silently dilute every fraction)."""
+    # one-string SQL expressions throughout (r13, the ANN build-cost
+    # rule): the per-bin Column loops cost ~3.5k py4j round-trips
+    # (~1.5 s of driver time per build); the strings below emit the
+    # SAME expression trees in a handful of calls
     binned = (
         stream.filter(F.col(value_col).isNotNull())
         .withWatermark(time_col, watermark)
         .join(F.broadcast(profile.select(key_col, "edges")), key_col)
         .select(
-            time_col, key_col, _bin_idx(F.col(value_col)).alias("__bin")
+            time_col,
+            key_col,
+            F.expr(
+                "aggregate(edges, 0, (acc, e) -> acc"
+                f" + CAST((`{value_col}` > e) AS INT))"
+            ).alias("__bin"),
         )
     )
     agg = (
@@ -135,7 +150,8 @@ def streaming_psi(
         .agg(
             F.count("*").alias("n"),
             *[
-                F.sum((F.col("__bin") == b).cast("long")).alias(f"__c{b}")
+                F.expr(f"sum(CAST((__bin = {b}) AS BIGINT))")
+                .alias(f"__c{b}")
                 for b in range(n_bins)
             ],
         )
@@ -149,22 +165,21 @@ def streaming_psi(
     scored = agg.join(
         F.broadcast(profile.select(key_col, "ref_fracs")), key_col
     )
-    terms = []
-    for b in range(n_bins):
-        p = F.greatest(
-            F.element_at("ref_fracs", b + 1), F.lit(eps)
-        )
-        q = F.greatest(
-            F.col(f"__c{b}").cast("double") / F.col("n"), F.lit(eps)
-        )
-        terms.append((q - p) * F.log(q / p))
-    psi = terms[0]
-    for t in terms[1:]:
-        psi = psi + t
+    e = f"DOUBLE('{float(eps)!r}')"
+
+    def term(b: int) -> str:
+        p = f"GREATEST(element_at(ref_fracs, {b + 1}), {e})"
+        q = f"GREATEST(CAST(__c{b} AS DOUBLE) / n, {e})"
+        return f"(({q}) - ({p})) * LN(({q}) / ({p}))"
+
+    psi_sql = term(0)
+    for b in range(1, n_bins):
+        psi_sql = f"({psi_sql}) + ({term(b)})"
+    psi = F.expr(psi_sql)
     return scored.select(
         "bucket",
         key_col,
         "n",
         F.round(psi, round_to).alias("psi"),
-        (psi > threshold).alias("drifted"),
+        (psi > F.lit(threshold)).alias("drifted"),
     )

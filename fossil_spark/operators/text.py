@@ -1642,9 +1642,44 @@ def char_entropy(
     )
 
 
+# INPUT-keyed session memo for the BPE learning chain (r13): four
+# registry keys (bpe_train, bpe_encode, bpe_vocab_coverage,
+# tokenizer_fertility) learn the SAME merge table from the same
+# corpus, and the chain's n_merges localCheckpoint rounds plus the
+# per-round lambda trees cost ~2 s of plan-build each. Keyed on the
+# input plan + params (the kmeans_cluster precedent in ann.py):
+# live-owning-session only, files-snapshot staleness tag, and a
+# hit-time shape check so a 32-bit semanticHash collision recomputes
+# instead of serving the wrong table. Session-scoped — dies with the
+# session, nothing persists across bench/oracle runs.
+_BPE_CHAIN_MEMO: dict = {}
+_BPE_CHAIN_MEMO_MAX = 8
+
+
 def _bpe_chain(df: DataFrame, n_merges: int, text_col: str):
     """Shared BPE learning chain: returns (list of 1-row best-pair
     DataFrames, final word->symbols DataFrame). See bpe_train."""
+    from fossil_spark.operators import plan_files_tag, session_live
+
+    sess = df.sparkSession
+    try:
+        mkey = (
+            id(sess), f"bpe:{n_merges}:{text_col}",
+            df.semanticHash(), plan_files_tag(df),
+        )
+    except Exception:
+        mkey = None
+    if mkey is not None:
+        hit = _BPE_CHAIN_MEMO.get(mkey)
+        if hit is not None:
+            owner, hbests, hsyms = hit
+            if (
+                owner is sess and session_live(sess)
+                and len(hbests) == n_merges
+                and hsyms.columns == ["word", "freq", "sym"]
+            ):
+                return list(hbests), hsyms
+            _BPE_CHAIN_MEMO.pop(mkey, None)
     words = (
         df.select(F.explode(tokens(F.col(text_col))).alias("word"))
         # byte == char guard: train on printable-ASCII words only, so
@@ -1658,22 +1693,24 @@ def _bpe_chain(df: DataFrame, n_merges: int, text_col: str):
         # do not re-run the corpus scan (pagerank's edge idiom).
         .localCheckpoint(eager=False)
     )
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("word")),
-        lambda i: F.col("word").substr(i, F.lit(1)),
+    # one-string SQL expressions below (r13, the ANN build-cost rule):
+    # the per-round Column lambdas cost hundreds of py4j round-trips
+    # each x n_merges rounds; the strings emit the SAME trees in one
+    # call apiece
+    chars = F.expr(
+        "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
     )
     syms = words.select(
         "word", "freq", F.concat(chars, F.array(F.lit("</w>"))).alias("sym")
     )
+    pair = F.expr(
+        "zip_with(slice(sym, 1, size(sym) - 1),"
+        " slice(sym, 2, size(sym) - 1),"
+        " (a, b) -> struct(a AS a, b AS b))"
+    )
     bests = []
     for r in range(1, n_merges + 1):
         # adjacent symbol pairs, weighted by word frequency
-        a_arr = F.slice("sym", F.lit(1), F.size("sym") - 1)
-        b_arr = F.slice("sym", F.lit(2), F.size("sym") - 1)
-        pair = F.zip_with(
-            a_arr, b_arr,
-            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-        )
         pc = (
             syms.select("freq", F.explode(pair).alias("p"))
             .groupBy(F.col("p.a").alias("lhs"), F.col("p.b").alias("rhs"))
@@ -1692,23 +1729,28 @@ def _bpe_chain(df: DataFrame, n_merges: int, text_col: str):
         # greedy left-to-right merge application (the BPE fold): a
         # freshly merged token cannot immediately re-merge with the
         # next symbol in the same pass ("aaa" + (a,a) -> [aa, a])
-        merged_sym = F.aggregate(
-            F.col("sym"),
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                F.try_element_at(acc, F.lit(-1)).eqNullSafe(F.col("lhs"))
-                & (x == F.col("rhs")),
-                F.concat(
-                    F.slice(acc, F.lit(1), F.size(acc) - 1),
-                    F.array(F.concat(F.col("lhs"), F.col("rhs"))),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
+        merged_sym = F.expr(
+            "aggregate(sym, CAST(array() AS array<string>),"
+            " (acc, x) -> CASE WHEN (try_element_at(acc, -1) <=> lhs)"
+            " AND (x = rhs)"
+            " THEN concat(slice(acc, 1, size(acc) - 1),"
+            " array(concat(lhs, rhs)))"
+            " ELSE concat(acc, array(x)) END)"
         )
         syms = (
             syms.crossJoin(F.broadcast(best))
             .select("word", "freq", merged_sym.alias("sym"))
             .localCheckpoint(eager=False)  # cut lineage per round
         )
+    if mkey is not None:
+        for stale in [
+            k for k, entry in _BPE_CHAIN_MEMO.items()
+            if not session_live(entry[0])
+        ]:
+            _BPE_CHAIN_MEMO.pop(stale, None)
+        while len(_BPE_CHAIN_MEMO) >= _BPE_CHAIN_MEMO_MAX:
+            _BPE_CHAIN_MEMO.pop(next(iter(_BPE_CHAIN_MEMO)))
+        _BPE_CHAIN_MEMO[mkey] = (sess, tuple(bests), syms)
     return bests, syms
 
 

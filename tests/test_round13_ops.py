@@ -648,3 +648,49 @@ def test_kmeans_input_keyed_session_memo(spark, tmp_path):
     d = dict(fresh)
     assert d[0] == d[2] and d[1] == d[3] and d[0] != d[1]
     ann.ann_memo_invalidate()
+
+
+def test_bpe_chain_input_keyed_session_memo(spark, tmp_path):
+    """r13: _bpe_chain memoizes (bests, syms) on the input plan +
+    params so bpe_encode/vocab_coverage/tokenizer_fertility reuse the
+    merge table bpe_train already learned. Hit returns identical
+    merges; rewriting the parquet behind the same plan misses and
+    relearns on the new corpus."""
+    from fossil_spark.operators import text
+
+    path = str(tmp_path / "docs.parquet")
+
+    def write(rows):
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+        ).write.mode("overwrite").parquet(path)
+
+    write(["low lower lowest", "low low newer", "wider new newer"])
+    text._BPE_CHAIN_MEMO.clear()
+
+    def merges():
+        docs = spark.read.parquet(path)
+        return [
+            (r["merge_round"], r["lhs"], r["rhs"])
+            for r in text.bpe_train(docs, n_merges=3).collect()
+        ]
+
+    first = merges()
+    n = len(text._BPE_CHAIN_MEMO)
+    assert n == 1 and any(
+        k[1].startswith("bpe:") for k in text._BPE_CHAIN_MEMO
+    )
+    assert merges() == first              # same session, same files: HIT
+    assert len(text._BPE_CHAIN_MEMO) == n
+
+    # different n_merges -> different key, coexisting entry
+    docs = spark.read.parquet(path)
+    text.bpe_train(docs, n_merges=2).collect()
+    assert len(text._BPE_CHAIN_MEMO) == n + 1
+
+    # rewrite behind the same plan: MISS + relearn on the new corpus
+    write(["zz zz zzz", "zz zzz zzzz", "zzzz zz"])
+    fresh = merges()
+    assert fresh != first
+    assert fresh[0][1:] == ("z", "z")  # 'zz' is the new top pair
+    text._BPE_CHAIN_MEMO.clear()

@@ -589,10 +589,27 @@ def connected_components(
     # checkpoint the edge list: it is consumed EVERY round, and a lazy
     # plan would re-execute the whole upstream pair pipeline (minhash
     # LSH, phash decode, ...) once per iteration — O(diameter) extra
-    # executions of the most expensive stage
+    # executions of the most expensive stage.
+    # r13: symmetrize by EXPLODE, not union — the union carried the
+    # full upstream pair pipeline TWICE (one copy per branch), and
+    # the checkpoint materializes under AQE at call time, so the
+    # heaviest stage ran double (phash groups: edge build 13.2 s cold
+    # / 3.2-4.0 warm with union -> 6.2 / 2.2 with one exploded
+    # subtree; same rows, same distinct).
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.src", "__e.dst")
         .distinct()
         .localCheckpoint(eager=False)
     )

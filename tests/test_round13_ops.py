@@ -694,3 +694,44 @@ def test_bpe_chain_input_keyed_session_memo(spark, tmp_path):
     assert fresh != first
     assert fresh[0][1:] == ("z", "z")  # 'zz' is the new top pair
     text._BPE_CHAIN_MEMO.clear()
+
+
+def test_label_propagation_input_keyed_session_memo(spark, tmp_path):
+    """r13: label_propagation memoizes its propagated labels on the
+    (pairs, seeds, params) input plans — graph_modularity reuses the
+    table graph_label_prop just built instead of re-running the
+    3-round propagation at plan-build time."""
+    from fossil_spark.operators import ann, graph
+
+    pairs_path = str(tmp_path / "pairs.parquet")
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    ).write.mode("overwrite").parquet(pairs_path)
+    seeds = spark.createDataFrame(
+        [(1, "a"), (10, "b")], "doc_id long, label string"
+    )
+    ann.ann_memo_invalidate()
+
+    def labels():
+        pairs = spark.read.parquet(pairs_path)
+        return sorted(
+            (r["doc_id"], r["label"], r["is_seed"])
+            for r in graph.label_propagation(
+                pairs, seeds, n_rounds=2
+            ).collect()
+        )
+
+    first = labels()
+    assert dict((d, l) for d, l, _ in first) == {
+        1: "a", 2: "a", 3: "a", 10: "b", 11: "b"
+    }
+    n = len(ann._MEMO_CACHE)
+    assert any(k[1].startswith("labelprop:") for k in ann._MEMO_CACHE)
+    assert labels() == first          # same session, same inputs: HIT
+    assert len(ann._MEMO_CACHE) == n  # no new entry
+
+    # different n_rounds -> different key
+    pairs = spark.read.parquet(pairs_path)
+    graph.label_propagation(pairs, seeds, n_rounds=1).collect()
+    assert len(ann._MEMO_CACHE) == n + 1
+    ann.ann_memo_invalidate()

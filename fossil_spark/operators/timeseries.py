@@ -7043,8 +7043,6 @@ def iact(
     tau, ess, ess_ratio)."""
     by = by or []
     df = _time_norm(df, time_col)
-    order = [F.col(time_col)] + [F.col(c) for c in (order_tiebreak or [])]
-    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
     # r13 optimization (guide §1.2 per-task work): the double->decimal
     # cast runs through BigDecimal per value, and the old shape paid it
     # 60x per row (each of the 10 lags re-quantized v, v², lag, lag²
@@ -7063,55 +7061,74 @@ def iact(
         time_col,
         *(order_tiebreak or []),
     )
-    lagged = pre.select(
-        *by, "__v", "__r", "__q",
-        *[F.lag("__v", k).over(w).alias(f"__l{k}") for k in range(1, lags + 1)],
-        *[F.lag("__r", k).over(w).alias(f"__lr{k}") for k in range(1, lags + 1)],
-        *[F.lag("__q", k).over(w).alias(f"__lq{k}") for k in range(1, lags + 1)],
+    # one-string SQL below (r13, the ANN build-cost rule): the 30 lag
+    # windows + 61 aggregate fields + 10 rho terms cost ~1.3 s of
+    # py4j round-trips as Column loops; the strings emit the SAME
+    # expression trees in a handful of calls
+    part = ", ".join(f"`{c}`" for c in by)
+    ordr = ", ".join(
+        [f"`{time_col}`"] + [f"`{c}`" for c in (order_tiebreak or [])]
+    )
+    over = (
+        "OVER ("
+        + (f"PARTITION BY {part} " if by else "")
+        + f"ORDER BY {ordr})"
+    )
+    lagged = pre.selectExpr(
+        *[f"`{c}`" for c in by], "__v", "__r", "__q",
+        *[f"lag(__v, {k}) {over} AS __l{k}" for k in range(1, lags + 1)],
+        *[f"lag(__r, {k}) {over} AS __lr{k}" for k in range(1, lags + 1)],
+        *[f"lag(__q, {k}) {over} AS __lq{k}" for k in range(1, lags + 1)],
     )
 
-    def rsum(e):
-        return F.round(F.sum(e), 8).cast("double")
+    def rsum(e: str) -> str:
+        return f"CAST(round(sum({e}), 8) AS DOUBLE)"
 
-    aggs = [F.count("__v").cast("long").alias("n_obs")]
+    aggs = [F.expr("CAST(count(__v) AS BIGINT)").alias("n_obs")]
     for k in range(1, lags + 1):
-        lk = F.col(f"__l{k}")
-        pair = lk.isNotNull() & F.col("__v").isNotNull()
+        pair = f"(__l{k} IS NOT NULL) AND (__v IS NOT NULL)"
+
+        def pw(col: str) -> str:
+            return f"CASE WHEN {pair} THEN {col} END"
+
         aggs += [
-            F.sum(F.when(pair, 1).otherwise(0)).cast("double")
-            .alias(f"__n{k}"),
-            rsum(F.when(pair, F.col("__r"))).alias(f"__sx{k}"),
-            rsum(F.when(pair, F.col(f"__lr{k}"))).alias(f"__sy{k}"),
-            rsum(
-                F.round(F.when(pair, F.col("__v")) * F.when(pair, lk), 8)
-                .cast("decimal(30,8)")
+            F.expr(
+                f"CAST(sum(CASE WHEN {pair} THEN 1 ELSE 0 END)"
+                " AS DOUBLE)"
+            ).alias(f"__n{k}"),
+            F.expr(rsum(pw("__r"))).alias(f"__sx{k}"),
+            F.expr(rsum(pw(f"__lr{k}"))).alias(f"__sy{k}"),
+            F.expr(
+                rsum(
+                    f"CAST(round(({pw('__v')}) * ({pw(f'__l{k}')}), 8)"
+                    " AS DECIMAL(30,8))"
+                )
             ).alias(f"__sxy{k}"),
-            rsum(F.when(pair, F.col("__q"))).alias(f"__sxx{k}"),
-            rsum(F.when(pair, F.col(f"__lq{k}"))).alias(f"__syy{k}"),
+            F.expr(rsum(pw("__q"))).alias(f"__sxx{k}"),
+            F.expr(rsum(pw(f"__lq{k}"))).alias(f"__syy{k}"),
         ]
     g = lagged.groupBy(*[F.col(c) for c in by]).agg(*aggs)
-    rhos = []
+    rho_terms = []
     for k in range(1, lags + 1):
-        nk = F.col(f"__n{k}")
-        num = nk * F.col(f"__sxy{k}") - F.col(f"__sx{k}") * F.col(f"__sy{k}")
-        dx = nk * F.col(f"__sxx{k}") - F.col(f"__sx{k}") * F.col(f"__sx{k}")
-        dy = nk * F.col(f"__syy{k}") - F.col(f"__sy{k}") * F.col(f"__sy{k}")
-        rhos.append(
-            F.round(
-                F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy)), 4
-            )
+        num = f"(__n{k} * __sxy{k} - __sx{k} * __sy{k})"
+        dx = f"(__n{k} * __sxx{k} - __sx{k} * __sx{k})"
+        dy = f"(__n{k} * __syy{k} - __sy{k} * __sy{k})"
+        rho_terms.append(
+            f"round(CASE WHEN ({dx} > 0) AND ({dy} > 0)"
+            f" THEN {num} / SQRT({dx} * {dy}) END, 4)"
         )
-    s = rhos[0]
-    for r in rhos[1:]:
-        s = s + r
-    tau = F.lit(1.0) + F.lit(2.0) * s
-    ess = F.when(tau > 0, F.col("n_obs").cast("double") / tau)
+    s = rho_terms[0]
+    for r in rho_terms[1:]:
+        s = f"({s} + {r})"
+    tau = f"(1.0D + 2.0D * {s})"
+    ess = f"CASE WHEN {tau} > 0 THEN CAST(n_obs AS DOUBLE) / {tau} END"
     return g.select(
         *by, "n_obs",
-        F.round(tau, 6).alias("tau"),
-        F.round(ess, 6).alias("ess"),
-        F.round(F.when(tau > 0, F.lit(1.0) / tau), 6)
-        .alias("ess_ratio"),
+        F.expr(f"round({tau}, 6)").alias("tau"),
+        F.expr(f"round({ess}, 6)").alias("ess"),
+        F.expr(
+            f"round(CASE WHEN {tau} > 0 THEN 1.0D / {tau} END, 6)"
+        ).alias("ess_ratio"),
     )
 
 

@@ -329,7 +329,19 @@ def _signature_matrix(
         F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"__mh{s}")
         for s in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    # r13: session-memoize the matrix itself (ann.memo — persist-once,
+    # files-tagged, schema-checked). Four operators build the SAME
+    # matrix from the same corpus (lsh pairs, jaccard estimate, b-bit
+    # audit, unpivoted signatures); the pair-level memo shared only
+    # the first one's downstream. Each still pays its own shingle
+    # pipeline on a memo miss; on a hit the corpus-scale shuffle runs
+    # once per session instead of once per key.
+    from fossil_spark.operators.ann import memo
+
+    return memo(
+        sh.groupBy(id_col).agg(*aggs),
+        tag=f"mh_matrix:{id_col}:{num_hashes}:{shingle_n}:{text_col}",
+    )
 
 
 def minhash_signatures(

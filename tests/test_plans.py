@@ -66,6 +66,11 @@ PYTHON_OK = {
     # batch replay of the streaming CUSUM state fold — same
     # sequential-per-key Arrow boundary as ts_cusum
     "streaming_cusum_replay",
+    # r13: engine="auto" resolves to the Arrow grid at every size —
+    # measured 7.27 s hof vs 1.87 s arrow at sf0.1 (nsub=349),
+    # bit-identical rows (engine-identity test); one
+    # FlatMapGroupsInPandas per key, parallel across keys
+    "ts_matrix_profile",
 }
 
 

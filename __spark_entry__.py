@@ -2210,10 +2210,17 @@ def _ann_index_agreement(spark, sf_dir):
 
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.filter("vec_id < 8")
+    # identical catalog reads as _ann_recall_eval / _ann_ndcg — the
+    # memo serves the SAME persisted candidate tables instead of
+    # re-running the IVF kmeans + LSH bucketing per audit (r13: this
+    # wrapper was the one ANN audit missing the wrap; 4.6 s of build
+    # re-paid in the heavy child)
     return ann.index_agreement(
         {
-            "lsh": ann.lsh_ann(emb, q, dim=64, k=5),
-            "ivf": ann.ivf_ann(emb, q, k=5, n_lists=16, n_probe=4, dim=64),
+            "lsh": ann.memo(ann.lsh_ann(emb, q, dim=64, k=5)),
+            "ivf": ann.memo(
+                ann.ivf_ann(emb, q, k=5, n_lists=16, n_probe=4, dim=64)
+            ),
         },
         k=5,
     )

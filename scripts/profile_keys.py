@@ -66,6 +66,12 @@ def main() -> int:
         except Exception as ex:
             print(f"{key:32s} FAILED {type(ex).__name__}: {ex}"[:160])
         sys.stdout.flush()
+        # mirror bench.py: drop dead DataFrame refs so ContextCleaner
+        # frees their localCheckpoint blocks — without this, LATE keys
+        # in a long profile inflate up to 10x (block-manager churn)
+        import gc
+
+        gc.collect()
     return 0
 
 

@@ -641,6 +641,42 @@ def pq_ann(
     vecs = corpus.select(
         F.col(id_col), _unit(F.col(vec_col).cast("array<double>")).alias("__v")
     )
+    qplan = queries.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__qv")
+    )
+    # INPUT-keyed session memo (r13, the kmeans_cluster shape): the
+    # codebook training runs a sample collect + numpy Lloyd and the
+    # query chunking runs toLocalIterator jobs at plan-BUILD time, so
+    # an output-keyed memo() would still pay them per call. Key on
+    # both input plans + every training/scan param BEFORE collecting;
+    # hit requires the live owning session and the exact output
+    # columns (a 32-bit collision must recompute).
+    sess = corpus.sparkSession
+    out_cols = ["query_id", id_col, "cos_sim", "rank"]
+    try:
+        mkey = (
+            id(sess),
+            f"pq:{k}:{m}:{n_cents}:{n_iter}:{rerank_factor}"
+            f":{train_sample}:{q_batch}:{round_to}:{id_col}",
+            vecs.semanticHash(),
+            qplan.semanticHash(),
+            _files_tag(vecs),
+            _files_tag(qplan),
+        )
+    except Exception:
+        mkey = None
+    if mkey is not None:
+        hit = _MEMO_CACHE.get(mkey)
+        if hit is not None:
+            owner, cached = hit
+            if (
+                owner is sess
+                and _session_live(sess)
+                and cached.columns == out_cols
+            ):
+                _MEMO_CACHE.move_to_end(mkey)
+                return cached
+            _memo_drop(mkey)
     sample = (
         vecs.withColumn("__h", F.md5(F.col(id_col).cast("string")))
         .orderBy("__h")
@@ -765,9 +801,15 @@ def pq_ann(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col(id_col)
     )
-    return rer.withColumn("rank", F.row_number().over(w)).filter(
+    out = rer.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+    if mkey is not None:
+        from pyspark import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        _memo_store(sess, mkey, out)
+    return out
 
 
 def kmeans_cluster(

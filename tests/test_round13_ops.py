@@ -735,3 +735,61 @@ def test_label_propagation_input_keyed_session_memo(spark, tmp_path):
     graph.label_propagation(pairs, seeds, n_rounds=1).collect()
     assert len(ann._MEMO_CACHE) == n + 1
     ann.ann_memo_invalidate()
+
+
+def test_pq_ann_input_keyed_session_memo(spark, tmp_path):
+    """r13: pq_ann memoizes on the input plans + params before the
+    codebook training (the sample collect, numpy Lloyd and per-chunk
+    toLocalIterator all run at plan-BUILD time, so an output-keyed
+    memo would still pay them). Second call returns the identical
+    top-k; rewriting the parquet behind the same plan misses and
+    retrains on the new corpus."""
+    from fossil_spark.operators import ann
+
+    path = str(tmp_path / "emb.parquet")
+
+    def write(vecs):
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        ).write.mode("overwrite").parquet(path)
+
+    write([
+        [1.0, 0.0, 0.0, 0.0], [0.9, 0.1, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0], [0.0, 0.9, 0.1, 0.0],
+        [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0],
+    ])
+    ann.ann_memo_invalidate()
+
+    def topk(n_iter=1):
+        emb = spark.read.parquet(path)
+        q = emb.filter("vec_id < 2")
+        return sorted(
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in ann.pq_ann(
+                emb, q, k=1, m=2, n_cents=2, n_iter=n_iter,
+                rerank_factor=2,
+            ).collect()
+        )
+
+    first = topk()
+    # exact rerank: each query's nearest is its co-directional partner
+    assert (0, 1, 1) in first and (1, 0, 1) in first
+    n = len(ann._MEMO_CACHE)
+    assert any(k[1].startswith("pq:") for k in ann._MEMO_CACHE)
+    assert topk() == first            # same session, same files: HIT
+    assert len(ann._MEMO_CACHE) == n  # no new entry
+
+    # different params -> different key, coexisting entry
+    topk(n_iter=2)
+    assert len(ann._MEMO_CACHE) == n + 1
+
+    # rewrite behind the same plan: MISS + fresh train on the new data
+    write([
+        [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.9, 0.1],
+        [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+        [0.9, 0.1, 0.0, 0.0], [0.1, 0.9, 0.0, 0.0],
+    ])
+    fresh = topk()
+    assert (0, 1, 1) in fresh and (1, 0, 1) in fresh
+    ann.ann_memo_invalidate()

@@ -115,6 +115,90 @@ def _l2_sql(a: str, b: str, dim: int) -> str:
     )
 
 
+def _cosine_pairs_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """All-pairs RAW cosine scores as one cogrouped Arrow boundary
+    (guide §4.2, the matrix_profile engine precedent): the corpus
+    hashes into defaultParallelism buckets, the query set replicates
+    into every bucket, and each (corpus-bucket x all-queries) group
+    scores in numpy. Returns (query_id, id, __sim) — UNROUNDED and
+    with self-pairs still present, so the caller applies the exact
+    same filter/round/rank the HOF path does.
+
+    IEEE parity is the whole design (the _matrix_profile_arrow rule):
+    the dim axis runs as an explicit t-loop (`acc = acc + q_t * c_t`,
+    0.0-init) so every per-pair dot and norm accumulates in the HOF
+    fold's exact left-to-right order — numpy's own matmul/axis-sum
+    use blocked summation and would drift in the last ulp. Norms are
+    hoisted per ROW and multiplied before the divide, matching the
+    dim-hoisted HOF shape bit for bit. round@6 stays Spark-side so
+    both engines (and the DuckDB oracle) share one rounding
+    semantic."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    nb = max(int(spark.sparkContext.defaultParallelism), 1)
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")
+    ).withColumn(
+        "__b", F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    qrep = q.crossJoin(
+        spark.range(nb).select(F.col("id").cast("int").alias("__b"))
+    )
+    qid_t = queries.schema[id_col].dataType.simpleString()
+    cid_t = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {qid_t}, `{id_col}` {cid_t}, __sim double"
+
+    def score(cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cpdf) or not len(qpdf):
+            return pd.DataFrame(
+                {
+                    "query_id": qpdf["query_id"].iloc[:0]
+                    if len(qpdf.columns)
+                    else pd.Series(dtype="int64"),
+                    id_col: cpdf[id_col].iloc[:0]
+                    if len(cpdf.columns)
+                    else pd.Series(dtype="int64"),
+                    "__sim": pd.Series(dtype="float64"),
+                }
+            )
+        C = np.array(cpdf["__cv"].tolist(), dtype=np.float64)
+        Q = np.array(qpdf["__qv"].tolist(), dtype=np.float64)
+        dim = C.shape[1]
+        dot = np.zeros((len(Q), len(C)))
+        for t in range(dim):
+            dot = dot + Q[:, t, None] * C[None, :, t]
+        qn = np.zeros(len(Q))
+        cn = np.zeros(len(C))
+        for t in range(dim):
+            qn = qn + Q[:, t] * Q[:, t]
+            cn = cn + C[:, t] * C[:, t]
+        sim = dot / (np.sqrt(qn)[:, None] * np.sqrt(cn)[None, :])
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qpdf["query_id"].to_numpy(), len(C)),
+                id_col: np.tile(cpdf[id_col].to_numpy(), len(Q)),
+                "__sim": sim.ravel(),
+            }
+        )
+
+    return (
+        c.groupBy("__b")
+        .cogroup(qrep.groupBy("__b"))
+        .applyInPandas(score, out_schema)
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -123,13 +207,31 @@ def cosine_topk(
     vec_col: str = "embedding",
     round_to: int = 6,
     dim: int | None = None,
+    engine: str = "hof",
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector (self-matches
     excluded). Scores are rounded so ranking ties break on id
     deterministically regardless of float summation order. Pass `dim`
     when the vector width is known statically: the cosine runs as
     unrolled codegen arithmetic (bitwise-identical fold order) instead
-    of interpreted higher-order functions."""
+    of interpreted higher-order functions. engine="arrow" scores the
+    pair grid in numpy behind one cogrouped Arrow boundary
+    (bit-identical by the explicit-fold rule; see
+    _cosine_pairs_arrow) — the right call for LARGE query sets, where
+    the interpreted HOF fold pays JVM-interpreter cost per pair."""
+    if engine not in ("hof", "arrow"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine == "arrow":
+        scored = (
+            _cosine_pairs_arrow(corpus, queries, id_col, vec_col)
+            .filter(F.col(id_col) != F.col("query_id"))
+            .select(
+                "query_id",
+                id_col,
+                F.round(F.col("__sim"), round_to).alias("cos_sim"),
+            )
+        )
+        return _rank_topk(scored, k, id_col)
     q = broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -157,6 +259,10 @@ def cosine_topk(
             F.round(sim, round_to).alias("cos_sim"),
         )
     )
+    return _rank_topk(scored, k, id_col)
+
+
+def _rank_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -1491,6 +1597,7 @@ def knn_classify(
     vec_col: str = "embedding",
     label_col: str = "label",
     dim: int | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Leave-one-out kNN label audit: predict each probe vector's
     label by the majority vote of its k exact cosine neighbors
@@ -1504,8 +1611,14 @@ def knn_classify(
     ann_bruteforce boundary); votes tie-break on the smallest label.
     Returns (label, n_queries, n_correct, accuracy)."""
     probes = embeddings.filter(F.col(id_col) < n_queries)
+    # the |probes| here is 60x the retrieval audits' (500 vs 8), so
+    # this is the suite's one LARGE brute-force pair grid — the
+    # Arrow engine (bit-identical; _cosine_pairs_arrow) scores it in
+    # numpy instead of paying the interpreted HOF fold per pair:
+    # 8.4 s cold / 3.3 s warm -> ~1.2 s at sf0.1 (guide §4.2)
     nb = cosine_topk(
-        embeddings, probes, k=k, id_col=id_col, vec_col=vec_col, dim=dim
+        embeddings, probes, k=k, id_col=id_col, vec_col=vec_col, dim=dim,
+        engine=engine,
     )
     nb_lab = nb.join(
         embeddings.select(F.col(id_col), F.col(label_col).alias("__nl")),

@@ -71,6 +71,12 @@ PYTHON_OK = {
     # bit-identical rows (engine-identity test); one
     # FlatMapGroupsInPandas per key, parallel across keys
     "ts_matrix_profile",
+    # r13: the 500-probe brute-force pair grid scores in numpy behind
+    # one cogrouped Arrow boundary (ann._cosine_pairs_arrow) — 8.4 s
+    # cold / 3.3 s warm hof -> ~1.3 s, bit-identical rows
+    # (engine-identity test); the 8-query retrieval audits keep the
+    # HOF path
+    "embedding_knn_classify",
 }
 
 
@@ -94,9 +100,11 @@ def test_no_row_python_udfs(plans):
         if key in PYTHON_OK:
             continue
         assert "BatchEvalPython" not in plan, f"{key} uses a row-at-a-time Python UDF"
-        assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan, (
-            f"{key} unexpectedly routes through Python"
-        )
+        assert (
+            "MapInPandas" not in plan
+            and "FlatMapGroupsInPandas" not in plan
+            and "FlatMapCoGroupsInPandas" not in plan
+        ), f"{key} unexpectedly routes through Python"
 
 
 def test_sanctioned_python_is_arrow_batched(plans):

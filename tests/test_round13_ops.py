@@ -793,3 +793,45 @@ def test_pq_ann_input_keyed_session_memo(spark, tmp_path):
     fresh = topk()
     assert (0, 1, 1) in fresh and (1, 0, 1) in fresh
     ann.ann_memo_invalidate()
+
+
+def test_cosine_topk_engines_bit_identical(spark):
+    """r13: engine="arrow" (the cogrouped numpy pair grid behind
+    knn_classify's 500-probe scan) must return the exact rows of the
+    HOF path — same ids, same ranks, and bit-identical cos_sim. The
+    explicit t-loop fold in _cosine_pairs_arrow reproduces the HOF
+    fold order, so this holds bitwise, not just to tolerance."""
+    import math
+    import struct
+
+    from fossil_spark.operators import ann
+
+    # awkward magnitudes + a duplicate direction to exercise rounding
+    # ties and the id tie-break
+    vecs = [
+        [math.sin(i * 0.7 + d) * 10.0 ** ((i + d) % 5 - 2) for d in range(6)]
+        for i in range(40)
+    ]
+    vecs[7] = [2.0 * x for x in vecs[3]]  # exact colinear pair
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter("vec_id < 9")
+
+    def rows(engine, dim=None):
+        return sorted(
+            map(
+                tuple,
+                ann.cosine_topk(
+                    emb, q, k=4, dim=dim, engine=engine
+                ).collect(),
+            )
+        )
+
+    arrow = rows("arrow")
+    for variant in (rows("hof"), rows("hof", dim=6)):
+        assert len(arrow) == len(variant)
+        for x, y in zip(arrow, variant):
+            assert x[:2] == y[:2] and x[3] == y[3]
+            assert struct.pack("d", x[2]) == struct.pack("d", y[2])

@@ -20,6 +20,35 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def clear_session_memos() -> None:
+    """Drop every session-scoped operator result memo (ann truth/
+    candidate catalog, kmeans/pq/bpe/label-prop/theil-sen input-keyed
+    memos, dedup signature/pair tables, the near-dup component
+    catalog). The bench clears these before EVERY timed run so each
+    per-query number measures a COLD query — never a persisted-table
+    read (r13 verdict #1: under min-of-2 a memo hit recorded the
+    cache, not the query). The memos stay on as an engine feature for
+    real sessions; only the measurement path disables them."""
+    try:
+        from fossil_spark.operators.ann import ann_memo_invalidate
+
+        ann_memo_invalidate()
+    except Exception as ex:
+        print(f"# ann memo clear failed: {ex}", file=sys.stderr)
+    try:
+        from fossil_spark.operators.dedup import neardup_components_invalidate
+
+        neardup_components_invalidate()
+    except Exception as ex:
+        print(f"# component cache clear failed: {ex}", file=sys.stderr)
+    try:
+        from fossil_spark.operators.text import bpe_chain_invalidate
+
+        bpe_chain_invalidate()
+    except Exception as ex:
+        print(f"# bpe memo clear failed: {ex}", file=sys.stderr)
+
+
 # The driver's test parquet is single-row-group, capping scan
 # parallelism at 1 task regardless of plan quality. Re-chunk each table
 # once into a range-partitioned multi-file layout (big tables split by
@@ -378,6 +407,9 @@ def main() -> None:
         best = float("inf")
         try:
             for _ in range(n_runs):
+                # r14 (r13 verdict #1): every timed run starts memo-cold
+                # so min-of-N measures the query, not a cached table
+                clear_session_memos()
                 t0 = time.perf_counter()
                 force(qs[key](spark, bench_dir))
                 best = min(best, time.perf_counter() - t0)
@@ -454,6 +486,11 @@ def main() -> None:
         "heavy_child_totals": heavy_children,
         "heavy_isolated_keys": HEAVY_ISOLATED if heavy_result else [],
         "data_layout": "multi-row-group rechunk of the driver parquet (bench.prep_multirg)",
+        # r14 methodology fix (r13 verdict #1): session memos cleared
+        # before every timed run — per-query numbers are COLD costs and
+        # NOT comparable to r13's memo-warm min-of-2 for ~30 keys
+        # (listed in OPTIMIZATION_r14.md)
+        "memo_cleared_per_run": True,
     }
     if errors:
         full["errors"] = errors
@@ -481,6 +518,7 @@ def main() -> None:
         "heavy_iso_total": heavy_tot,
         "heavy_child_totals": heavy_children,
         "n_errors": len(errors),
+        "memo_cleared_per_run": True,
         "full": "build/bench_full.json",
     }
     line = json.dumps(out)

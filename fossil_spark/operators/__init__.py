@@ -66,6 +66,50 @@ def plan_files_tag(df) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()
 
 
+def plan_input_bytes(df) -> int | None:
+    """Total bytes of the plan's leaf input files, or None when the
+    plan has no file-backed leaves (in-memory, RDD-checkpointed).
+    The size-admission signal for the session memos (ann._memo_admit):
+    a memoized table derived from a corpus-scale scan is itself
+    corpus-scale in the worst case, and the leaf bytes are the one
+    size estimate that is stable (Catalyst's optimized-plan stats
+    inflate through joins/Generate to petabytes even at sf0.1, and
+    LogicalRDD leaves report defaultSizeInBytes)."""
+    import os
+
+    files = None
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        files = []
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            try:
+                files.extend(leaf.relation().location().inputFiles())
+            except Exception:
+                pass
+    except Exception:
+        files = None
+    if not files:
+        try:
+            files = df.inputFiles()
+        except Exception:
+            return None
+    if not files:
+        return None
+    total = 0
+    for uri in set(files):
+        path = uri
+        if path.startswith("file://"):
+            path = path[7:]
+        elif path.startswith("file:"):
+            path = path[5:]
+        try:
+            total += os.stat(path).st_size
+        except OSError:
+            pass  # remote path: unknown size contributes 0
+    return total
+
+
 def fixed_rounds_guard(op: str, rounds: int, limit: int = 12) -> None:
     """Loud call-time guard for FIXED-round iterative operators
     (sigma_clip, kcore, label_propagation, …): each round stacks

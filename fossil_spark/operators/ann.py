@@ -18,6 +18,7 @@
 from __future__ import annotations
 
 import collections
+import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -120,6 +121,7 @@ def _cosine_pairs_arrow(
     queries: DataFrame,
     id_col: str,
     vec_col: str,
+    dim: int | None = None,
 ) -> DataFrame:
     """All-pairs RAW cosine scores as one cogrouped Arrow boundary
     (guide §4.2, the matrix_profile engine precedent): the corpus
@@ -137,20 +139,42 @@ def _cosine_pairs_arrow(
     hoisted per ROW and multiplied before the divide, matching the
     dim-hoisted HOF shape bit for bit. round@6 stays Spark-side so
     both engines (and the DuckDB oracle) share one rounding
-    semantic."""
+    semantic.
+
+    Vector hygiene: this engine requires clean fixed-width vectors.
+    Null vectors are filtered in the Spark plan; when `dim` is given,
+    wrong-width vectors are too; without `dim`, rows whose width
+    differs from the group's first corpus row are dropped in the
+    worker. (The HOF path instead yields a null score that the rank
+    filter discards — same surviving rows on clean data, and a
+    deterministic drop instead of a worker crash on malformed rows.)
+
+    Memory bound (r13 verdict #6): the per-group score grid is
+    chunked along the corpus axis so no intermediate exceeds
+    ~SPARK_GRAFT_ARROW_PAIR_CELLS float64 cells (default 4M = 32 MB),
+    whatever |corpus|/defaultParallelism grows to — chunking the
+    corpus axis leaves every per-pair fold untouched, so scores stay
+    bit-identical."""
     import numpy as np
     import pandas as pd
 
+    max_cells = int(
+        os.environ.get("SPARK_GRAFT_ARROW_PAIR_CELLS", "4000000")
+    )
     spark = corpus.sparkSession
     nb = max(int(spark.sparkContext.defaultParallelism), 1)
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")
-    ).withColumn(
-        "__b", F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int")
-    )
+    ).filter(F.col("__cv").isNotNull())
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
+    ).filter(F.col("__qv").isNotNull())
+    if dim:
+        c = c.filter(F.size("__cv") == dim)
+        q = q.filter(F.size("__qv") == dim)
+    c = c.withColumn(
+        "__b", F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int")
     )
     qrep = q.crossJoin(
         spark.range(nb).select(F.col("id").cast("int").alias("__b"))
@@ -160,36 +184,52 @@ def _cosine_pairs_arrow(
     out_schema = f"query_id {qid_t}, `{id_col}` {cid_t}, __sim double"
 
     def score(cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
-        if not len(cpdf) or not len(qpdf):
+        def empty():
             return pd.DataFrame(
                 {
-                    "query_id": qpdf["query_id"].iloc[:0]
-                    if len(qpdf.columns)
-                    else pd.Series(dtype="int64"),
-                    id_col: cpdf[id_col].iloc[:0]
-                    if len(cpdf.columns)
-                    else pd.Series(dtype="int64"),
+                    "query_id": qpdf["query_id"].iloc[:0],
+                    id_col: cpdf[id_col].iloc[:0],
                     "__sim": pd.Series(dtype="float64"),
                 }
             )
-        C = np.array(cpdf["__cv"].tolist(), dtype=np.float64)
+
+        if not len(cpdf) or not len(qpdf):
+            return empty()
+        width = len(cpdf["__cv"].iloc[0])
+        cpdf = cpdf[cpdf["__cv"].str.len() == width]
+        qpdf = qpdf[qpdf["__qv"].str.len() == width]
+        if not len(cpdf) or not len(qpdf):
+            return empty()
         Q = np.array(qpdf["__qv"].tolist(), dtype=np.float64)
-        dim = C.shape[1]
-        dot = np.zeros((len(Q), len(C)))
-        for t in range(dim):
-            dot = dot + Q[:, t, None] * C[None, :, t]
         qn = np.zeros(len(Q))
-        cn = np.zeros(len(C))
-        for t in range(dim):
+        for t in range(width):
             qn = qn + Q[:, t] * Q[:, t]
-            cn = cn + C[:, t] * C[:, t]
-        sim = dot / (np.sqrt(qn)[:, None] * np.sqrt(cn)[None, :])
-        return pd.DataFrame(
-            {
-                "query_id": np.repeat(qpdf["query_id"].to_numpy(), len(C)),
-                id_col: np.tile(cpdf[id_col].to_numpy(), len(Q)),
-                "__sim": sim.ravel(),
-            }
+        qroot = np.sqrt(qn)[:, None]
+        qids = qpdf["query_id"].to_numpy()
+        cids_all = cpdf[id_col].to_numpy()
+        chunk = max(1, max_cells // max(len(Q), 1))
+        frames = []
+        for lo in range(0, len(cpdf), chunk):
+            cvals = cpdf["__cv"].iloc[lo:lo + chunk]
+            C = np.array(cvals.tolist(), dtype=np.float64)
+            dot = np.zeros((len(Q), len(C)))
+            for t in range(width):
+                dot = dot + Q[:, t, None] * C[None, :, t]
+            cn = np.zeros(len(C))
+            for t in range(width):
+                cn = cn + C[:, t] * C[:, t]
+            sim = dot / (qroot * np.sqrt(cn)[None, :])
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids, len(C)),
+                        id_col: np.tile(cids_all[lo:lo + chunk], len(Q)),
+                        "__sim": sim.ravel(),
+                    }
+                )
+            )
+        return frames[0] if len(frames) == 1 else pd.concat(
+            frames, ignore_index=True
         )
 
     return (
@@ -212,18 +252,20 @@ def cosine_topk(
     """Exact top-k cosine neighbors of each query vector (self-matches
     excluded). Scores are rounded so ranking ties break on id
     deterministically regardless of float summation order. Pass `dim`
-    when the vector width is known statically: the cosine runs as
-    unrolled codegen arithmetic (bitwise-identical fold order) instead
-    of interpreted higher-order functions. engine="arrow" scores the
-    pair grid in numpy behind one cogrouped Arrow boundary
-    (bit-identical by the explicit-fold rule; see
-    _cosine_pairs_arrow) — the right call for LARGE query sets, where
-    the interpreted HOF fold pays JVM-interpreter cost per pair."""
+    when the vector width is known statically: under engine="hof" the
+    per-row norms hoist out of the pair loop as codegen arithmetic
+    (bitwise-identical fold order); under engine="arrow" it becomes
+    the clean-width pre-filter (size(vec) = dim) — it does NOT change
+    the arrow compute path, which scores the pair grid in numpy
+    behind one cogrouped Arrow boundary (bit-identical by the
+    explicit-fold rule; see _cosine_pairs_arrow) — the right call for
+    LARGE query sets, where the interpreted HOF fold pays
+    JVM-interpreter cost per pair."""
     if engine not in ("hof", "arrow"):
         raise ValueError(f"unknown engine {engine!r}")
     if engine == "arrow":
         scored = (
-            _cosine_pairs_arrow(corpus, queries, id_col, vec_col)
+            _cosine_pairs_arrow(corpus, queries, id_col, vec_col, dim=dim)
             .filter(F.col(id_col) != F.col("query_id"))
             .select(
                 "query_id",
@@ -369,7 +411,47 @@ def _memo_lookup(sess, key, want_schema) -> DataFrame | None:
     return None
 
 
+def memo_max_bytes() -> int:
+    """Size-admission cap for memo entries, in LEAF INPUT bytes of
+    the candidate plan (no action is run; Catalyst's optimized-plan
+    stats were measured inflating to petabytes through joins even at
+    sf0.1, so leaf bytes are the stable proxy — a memoized table
+    derived from a corpus-scale scan is itself corpus-scale in the
+    worst case). Entries over the cap are not persisted: pinning a
+    corpus-sized signature matrix or pair graph MEMORY_AND_DISK for
+    the whole session is an executor-storage time bomb (r13 verdict
+    #3). Default 8 GiB — far above the sf0.1 inputs (~100 MB), so
+    local behavior is unchanged; set SPARK_GRAFT_MEMO_MAX_BYTES per
+    deployment (e.g. a few % of cluster storage memory)."""
+    return int(
+        os.environ.get("SPARK_GRAFT_MEMO_MAX_BYTES", str(8 * 1024**3))
+    )
+
+
+def _memo_admit(out: DataFrame) -> bool:
+    """True when the plan's leaf input bytes are under the cap.
+    Unknown sizes admit (in-memory/checkpointed plans, estimation
+    failures — preserves pre-cap behavior): the cap exists to stop
+    KNOWN-huge tables, not to disable the memo."""
+    from fossil_spark.operators import plan_input_bytes
+
+    try:
+        est = plan_input_bytes(out)
+    except Exception:
+        return True
+    return est is None or est <= memo_max_bytes()
+
+
 def _memo_store(sess, key, out: DataFrame) -> None:
+    # size-aware admission (r13 verdict #3): never pin a corpus-scale
+    # table for the session; callers persist before storing, so a
+    # rejected entry is unpersisted again (no action ran in between)
+    if not _memo_admit(out):
+        try:
+            out.unpersist()
+        except Exception:
+            pass
+        return
     # sweep stopped-session entries — they can never hit again and
     # would crowd live entries out of the 16-slot LRU
     for stale in [k for k, (s, _) in _MEMO_CACHE.items()
@@ -775,10 +857,24 @@ def pq_ann(
         hit = _MEMO_CACHE.get(mkey)
         if hit is not None:
             owner, cached = hit
+            # full-schema guard, not just column names (r13 ADVICE):
+            # a semanticHash collision between plans with same-named
+            # but differently-TYPED id columns must recompute
+            # query_id carries the CORPUS id type: the candidate
+            # table's schema types both id fields from corpus, and
+            # the rerank join keeps the candidate side's column
+            want_types = (
+                vecs.schema[id_col].dataType,
+                vecs.schema[id_col].dataType,
+                T.DoubleType(),
+                T.IntegerType(),
+            )
             if (
                 owner is sess
                 and _session_live(sess)
                 and cached.columns == out_cols
+                and tuple(f.dataType for f in cached.schema.fields)
+                == want_types
             ):
                 _MEMO_CACHE.move_to_end(mkey)
                 return cached
@@ -1609,7 +1705,10 @@ def knn_classify(
     The probe set is the first `n_queries` ids — FIXED, so the exact
     brute-force pass stays |probes| x corpus at any scale (the
     ann_bruteforce boundary); votes tie-break on the smallest label.
-    Returns (label, n_queries, n_correct, accuracy)."""
+    Under the default engine="arrow", `dim` acts as the clean-width
+    vector pre-filter (size(vec) = dim), NOT as codegen unrolling —
+    see cosine_topk. Returns (label, n_queries, n_correct,
+    accuracy)."""
     probes = embeddings.filter(F.col(id_col) < n_queries)
     # the |probes| here is 60x the retrieval audits' (500 vs 8), so
     # this is the suite's one LARGE brute-force pair grid — the

@@ -224,40 +224,56 @@ def minhash_jaccard_estimate(
     doc regardless of document length, so the verify join moves O(1)
     per pair, never the shingle sets.
 
-    Shape: candidate pairs (banded LSH) + the columnar signature
-    matrix joined twice on the narrow doc id. Returns
-    (doc_a, doc_b, n_match, jaccard_est)."""
-    # ONE execution of the shingle+signature pipeline: checkpoint the
-    # matrix, then both the banded pair generation and the two
-    # verify-side joins read the materialized signatures (the recall
-    # rule; was 2 full pipeline executions)
-    sigs = _signature_matrix(
-        df, text_col, id_col, num_hashes, shingle_n
-    ).localCheckpoint(eager=False)
-    pairs = _pairs_from_sigs(sigs, id_col, num_hashes, rows_per_band)
-    sa = sigs.select(
-        F.col(id_col).alias("doc_a"),
-        *[F.col(f"__mh{s}").alias(f"__a{s}") for s in range(num_hashes)],
+    Shape (r14): the signature vector RIDES THROUGH the band/bucket
+    pipeline as a struct member, so the verify tier needs NO join
+    back to the matrix — the pair emission already holds both sides'
+    signatures. Removes the two verify-side shuffle joins (and the
+    matrix checkpoint that existed to feed them: the matrix now has
+    ONE consumer); the cost is num_bands copies of the num_hashes
+    signature values through the bucket shuffle — O(1) per row, the
+    standard banded-LSH verify layout. Same buckets, same pair set,
+    same per-pair agreement count: rows identical to the joined
+    shape. Returns (doc_a, doc_b, n_match, jaccard_est)."""
+    sigs = _signature_matrix(df, text_col, id_col, num_hashes, shingle_n)
+    mem = F.struct(
+        F.col(id_col).alias("id"),
+        *[F.col(f"__mh{s}").alias(f"s{s}") for s in range(num_hashes)],
     )
-    sb = sigs.select(
-        F.col(id_col).alias("doc_b"),
-        *[F.col(f"__mh{s}").alias(f"__b{s}") for s in range(num_hashes)],
+    bands = sigs.select(
+        mem.alias("m"),
+        F.explode(F.array(*_band_structs(num_hashes, rows_per_band))).alias("bb"),
+    ).select("m", "bb.band", "bb.band_hash")
+    # sort_array on (id, sigs...) structs orders by id first and the
+    # signature is a function of the id, so member order — and thus
+    # pair emission and the doc_a < doc_b invariant — matches the
+    # ids-only bucket shape exactly
+    buckets = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pairs = (
+        buckets.select(F.posexplode("ms").alias("i", "a"), "ms")
+        .select(
+            "a",
+            F.explode(
+                F.slice(F.col("ms"), F.col("i") + F.lit(2),
+                        F.size("ms") - F.col("i") - 1)
+            ).alias("b"),
+        )
+        .distinct()
     )
     n_match = sum(
-        (F.col(f"__a{s}") == F.col(f"__b{s}")).cast("long")
+        (F.col(f"a.s{s}") == F.col(f"b.s{s}")).cast("long")
         for s in range(num_hashes)
     )
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            n_match.alias("n_match"),
-            F.round(
-                n_match.cast("double") / F.lit(float(num_hashes)), 6
-            ).alias("jaccard_est"),
-        )
+    return pairs.select(
+        F.col("a.id").alias("doc_a"),
+        F.col("b.id").alias("doc_b"),
+        n_match.alias("n_match"),
+        F.round(
+            n_match.cast("double") / F.lit(float(num_hashes)), 6
+        ).alias("jaccard_est"),
     )
 
 
@@ -416,18 +432,12 @@ def minhash_lsh_pairs(
     )
 
 
-def _pairs_from_sigs(
-    sigs: DataFrame,
-    id_col: str = "doc_id",
-    num_hashes: int = 8,
-    rows_per_band: int = 2,
-) -> DataFrame:
-    """Band -> bucket -> in-bucket pair explosion over an ALREADY
-    BUILT signature matrix — split out so callers that also consume
-    the signatures directly (minhash_jaccard_estimate) can checkpoint
-    the matrix once instead of executing the shingle pipeline twice."""
+def _band_structs(num_hashes: int, rows_per_band: int) -> list:
+    """The banded LSH bucket keys: per band, md5 over that band's
+    signature columns — shared by every bucket consumer so the bucket
+    assignment is definitionally identical across operators."""
     n_bands = num_hashes // rows_per_band
-    band_structs = [
+    return [
         F.struct(
             F.lit(b).alias("band"),
             F.md5(
@@ -439,14 +449,40 @@ def _pairs_from_sigs(
         )
         for b in range(n_bands)
     ]
+
+
+def _lsh_buckets(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(band, band_hash, ids) for every bucket holding >= 2 docs, ids
+    sorted — the candidate buckets every pair/membership readout
+    derives from. One explode + one groupBy over the signature
+    matrix."""
     bands = sigs.select(
-        id_col, F.explode(F.array(*band_structs)).alias("bb")
+        id_col,
+        F.explode(F.array(*_band_structs(num_hashes, rows_per_band))).alias("bb"),
     ).select(id_col, "bb.band", "bb.band_hash")
-    buckets = (
+    return (
         bands.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+
+
+def _pairs_from_sigs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Band -> bucket -> in-bucket pair explosion over an ALREADY
+    BUILT signature matrix — split out so callers that also consume
+    the signatures directly (minhash_jaccard_estimate) can checkpoint
+    the matrix once instead of executing the shingle pipeline twice."""
+    buckets = _lsh_buckets(sigs, id_col, num_hashes, rows_per_band)
     # all ordered pairs within each bucket: member i pairs with every
     # member after it (ids sorted, so doc_a < doc_b holds)
     return (
@@ -460,6 +496,30 @@ def _pairs_from_sigs(
         )
         .distinct()
     )
+
+
+def lsh_membership(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Distinct ids that appear in at least one banded-LSH candidate
+    pair — EXACTLY the id set minhash_lsh_pairs emits (a doc is in a
+    pair iff it sits in a bucket of size >= 2), without the O(n²)
+    in-bucket pair explosion, the pair distinct, or the iterative
+    component labeling. The right substrate for consumers that only
+    test MEMBERSHIP (near-dup rates), never pair structure or
+    component ids: connected_components runs O(diameter) join+count
+    rounds as driver actions at plan-build time, which membership
+    readouts were paying for a column they reduce to IS NOT NULL
+    (r13: pipeline_source_health spent 13.8 of its 15.3 cold seconds
+    there). Returns one `id_col` row per member doc."""
+    sigs = _signature_matrix(df, text_col, id_col, num_hashes, shingle_n)
+    buckets = _lsh_buckets(sigs, id_col, num_hashes, rows_per_band)
+    return buckets.select(F.explode("ids").alias(id_col)).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -850,6 +910,16 @@ def neardup_components(docs: DataFrame) -> DataFrame:
     comp = connected_components(minhash_lsh_pairs(docs)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # size-aware admission (r13 verdict #3, shared with ann._memo_store):
+    # never pin a corpus-scale table for the whole session
+    from fossil_spark.operators.ann import _memo_admit
+
+    if not _memo_admit(comp):
+        try:
+            comp.unpersist()
+        except Exception:
+            pass
+        return comp
     while len(_COMPONENT_CACHE) >= _COMPONENT_CACHE_MAX:
         _cache_drop(next(iter(_COMPONENT_CACHE)))
     _COMPONENT_CACHE[key] = (sess, comp)

@@ -1656,6 +1656,14 @@ _BPE_CHAIN_MEMO: dict = {}
 _BPE_CHAIN_MEMO_MAX = 8
 
 
+def bpe_chain_invalidate() -> None:
+    """Drop every memoized BPE merge chain (the bench clears all
+    session memos before each timed run — r13 verdict #1; the chain's
+    localCheckpoint RDDs are released by the ContextCleaner once the
+    Python references go)."""
+    _BPE_CHAIN_MEMO.clear()
+
+
 def _bpe_chain(df: DataFrame, n_merges: int, text_col: str):
     """Shared BPE learning chain: returns (list of 1-row best-pair
     DataFrames, final word->symbols DataFrame). See bpe_train."""

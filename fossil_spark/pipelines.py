@@ -523,17 +523,26 @@ def source_health(docs: DataFrame) -> DataFrame:
     [[text_langid]], [[text_encoding_audit]]; this is their
     executive rollup, arithmetic-identical to each).
 
-    Shape: ONE fused scan computes tokens + PII flags + encoding
-    flags + language prediction as codegen'd expressions; the quality
-    score joins per-doc (its formula lives in quality_score — one
-    more scan); near-dup membership broadcasts from the session
-    component catalog. One |sources|-row groupBy ends it. Returns
-    (source, n_docs, n_tokens, dup_rate, pii_doc_rate, suspect_rate,
-    en_share, mean_quality)."""
-    from fossil_spark.operators.text import lang_pred_expr, quality_score, tokens
+    Shape (r14): ONE corpus scan computes EVERY per-doc feature —
+    tokens materialize once behind a Generate barrier (explode of a
+    single-element array; CollapseProject re-inlines a plain
+    projection into every downstream reference, and the language
+    argmax references the token array ~34x), then token count, PII
+    flags, encoding flags, the four language ratios, mean word length
+    and punctuation ratio compute ONCE into a single struct behind a
+    second barrier; language prediction and the quality score read the
+    struct fields (arithmetic-identical to lang_pred_expr /
+    quality_score — same subexpressions, same fold order). Near-dup
+    membership comes from [[dedup_minhash]]'s LSH buckets
+    (lsh_membership) instead of the component catalog: this rollup
+    only tests `IS NOT NULL`, and the component labels cost O(graph
+    diameter) join+count DRIVER actions at plan-build time (13.8 of
+    the 15.3 cold seconds, r14 profile). One broadcast join, one
+    |sources|-row groupBy. Returns (source, n_docs, n_tokens,
+    dup_rate, pii_doc_rate, suspect_rate, en_share, mean_quality)."""
+    from fossil_spark.operators.text import STOPWORDS, tokens
 
     t = F.col("text")
-    n_tok = F.size(tokens(t))
     emails = F.regexp_count(
         t, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
     )
@@ -555,19 +564,78 @@ def source_health(docs: DataFrame) -> DataFrame:
             > F.lit(0.3)
         )
     )
-    base = docs.select(
+    # the inner quality join used to drop null-id docs; keep that
+    # semantic explicitly now that no inner join remains
+    tk = docs.filter(F.col("doc_id").isNotNull()).select(
+        "doc_id", "source", "text",
+        F.explode(F.array(tokens(t))).alias("__tk"),
+    )
+    n = F.size(F.col("__tk"))
+
+    def ratio(lang: str):
+        sw = F.array([F.lit(w) for w in STOPWORDS[lang]])
+        return (
+            F.size(
+                F.filter(F.col("__tk"), lambda x: F.array_contains(sw, x))
+            ).cast("double")
+            / n
+        )
+
+    mean_word_len = (
+        F.aggregate(
+            F.col("__tk"), F.lit(0), lambda acc, w: acc + F.length(w)
+        ).cast("double")
+        / n
+    )
+    punct_ratio = (
+        F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0)).cast("double")
+        / F.length(t)
+    )
+    feat = tk.select(
         "doc_id", "source",
-        n_tok.alias("__tn"),
-        has_pii.alias("__pii"),
-        suspect.alias("__sus"),
-        lang_pred_expr(t).alias("__lang"),
+        F.explode(
+            F.array(
+                F.struct(
+                    n.alias("tn"),
+                    has_pii.alias("pii"),
+                    suspect.alias("sus"),
+                    ratio("en").alias("r_en"),
+                    ratio("de").alias("r_de"),
+                    ratio("fr").alias("r_fr"),
+                    ratio("es").alias("r_es"),
+                    mean_word_len.alias("mwl"),
+                    punct_ratio.alias("pr"),
+                )
+            )
+        ).alias("__f"),
     )
-    comp = dedup.neardup_components(docs)
-    q = quality_score(docs).select(
-        "doc_id",
-        F.round("quality", 6).cast("decimal(30,6)").alias("__q"),
+    fc = F.col
+    best = F.greatest(
+        fc("__f.r_en"), fc("__f.r_de"), fc("__f.r_fr"), fc("__f.r_es")
     )
-    j = base.join(F.broadcast(comp), "doc_id", "left").join(q, "doc_id")
+    lang = (
+        F.when(best == F.lit(0.0), F.lit("other"))
+        .when(fc("__f.r_en") == best, F.lit("en"))
+        .when(fc("__f.r_de") == best, F.lit("de"))
+        .when(fc("__f.r_fr") == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    quality = (
+        F.lit(0.4) * fc("__f.r_en")
+        + F.lit(0.4)
+        * (F.lit(1.0) - F.abs(fc("__f.mwl") - F.lit(5.0)) / F.lit(5.0))
+        + F.lit(0.2) * (F.lit(1.0) - fc("__f.pr"))
+    )
+    base = feat.select(
+        "doc_id", "source",
+        fc("__f.tn").alias("__tn"),
+        fc("__f.pii").alias("__pii"),
+        fc("__f.sus").alias("__sus"),
+        lang.alias("__lang"),
+        F.round(quality, 6).cast("decimal(30,6)").alias("__q"),
+    )
+    member = dedup.lsh_membership(docs).withColumn("__dup", F.lit(True))
+    j = base.join(F.broadcast(member), "doc_id", "left")
 
     def rate(cond):
         return F.floor(
@@ -579,7 +647,7 @@ def source_health(docs: DataFrame) -> DataFrame:
     return j.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__tn").cast("long").alias("n_tokens"),
-        rate(F.col("component").isNotNull()).alias("dup_rate"),
+        rate(F.col("__dup").isNotNull()).alias("dup_rate"),
         rate(F.col("__pii")).alias("pii_doc_rate"),
         rate(F.col("__sus")).alias("suspect_rate"),
         rate(F.col("__lang") == "en").alias("en_share"),

@@ -130,6 +130,12 @@ HEAVY_ISOLATED = [
     # inline — assign reuses select's memoized greedy trace there,
     # which a fresh child would rebuild
     "graph_adamic_adar", "ts_lomb_scargle",
+    # r14 (r13 verdict #7): the two chronic inline-spike keys move to
+    # the child for a STABLE series number — their idle-box floors are
+    # 0.8 s / 1.6 s (cold, memo-cleared) while the inline sweep read
+    # them at 11.4 s / 16.4 s in transient box-degradation episodes;
+    # isolation separates the code signal from the noise
+    "text_lang_confidence", "multimodal_resize",
 ]
 # the ORIGINAL r9 8-key set: heavy8_isolated sums exactly these so the
 # cross-round series stays comparable as new heavy keys join the child

@@ -21,6 +21,9 @@ def clear_memos() -> None:
 
     ann_memo_invalidate()
     neardup_components_invalidate()
+    from fossil_spark.operators.text import bpe_chain_invalidate
+
+    bpe_chain_invalidate()
 
 
 def main() -> int:

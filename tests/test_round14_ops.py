@@ -199,3 +199,82 @@ def test_jaccard_estimate_matches_joined_reference(spark, tmp_path):
     assert got == want
     assert len(got) > 0
     ann.ann_memo_invalidate()
+
+
+# --------------------------------------------------------------------------
+# rolling rank-median Arrow engine (hampel / rolling_median): the numpy
+# path must be bit-identical to the JVM window shape, full frames only
+# --------------------------------------------------------------------------
+
+def _spiky_events(spark):
+    from datetime import datetime, timedelta
+
+    rows = []
+    base = datetime(2030, 1, 1)
+    for key in ("a", "b"):
+        for i in range(60):
+            # deterministic wiggle + planted spikes; exact float ties
+            # included (i%5 repeats values) to bait ordering bugs
+            v = float((i * 7) % 5) + (50.0 if i in (20, 41) else 0.0)
+            rows.append((key, base + timedelta(minutes=i), v, i))
+    return spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double, event_id long"
+    )
+
+
+def test_hampel_engines_bit_identical(spark):
+    from fossil_spark.operators import timeseries as ts
+
+    ev = _spiky_events(spark)
+
+    def rows(df):
+        return sorted(
+            tuple(str(r[c]) for c in (
+                "event_type", "ts", "value", "local_median",
+                "local_mad", "score",
+            ))
+            for r in df.collect()
+        )
+
+    kw = dict(window_rows=11, k=2.0, time_col="ts", by=["event_type"],
+              value_col="value", order_tiebreak=["event_id"])
+    hof = rows(ts.hampel(ev, engine="hof", **kw))
+    arr = rows(ts.hampel(ev, engine="arrow", **kw))
+    auto = rows(ts.hampel(ev, **kw))
+    assert arr == hof
+    assert auto == hof
+    assert len(hof) >= 2  # the planted spikes flag
+
+
+def test_rolling_median_engines_bit_identical(spark):
+    from fossil_spark.operators import timeseries as ts
+
+    ev = _spiky_events(spark)
+
+    def rows(df):
+        return sorted(
+            tuple(str(r[c]) for c in (
+                "event_type", "ts", "value", "rolling_median", "deviation",
+            ))
+            for r in df.collect()
+        )
+
+    kw = dict(window_rows=11, time_col="ts", by=["event_type"],
+              value_col="value", order_tiebreak=["event_id"])
+    hof = rows(ts.rolling_median(ev, engine="hof", **kw))
+    arr = rows(ts.rolling_median(ev, engine="arrow", **kw))
+    assert arr == hof
+    # 60 rows per key, full frames only: 50 rows per key
+    assert len(hof) == 100
+
+
+def test_rank_window_auto_falls_back_without_keys_or_doubles(spark):
+    from fossil_spark.operators import timeseries as ts
+
+    ev = _spiky_events(spark)
+    # no by-keys -> hof (single global group would serialize in arrow)
+    assert ts._rank_window_engine(ev, "auto", [], "value") == "hof"
+    # int values -> hof (the numpy float64 window would change types)
+    ev_int = ev.withColumn("value", ev["value"].cast("long"))
+    assert ts._rank_window_engine(ev_int, "auto", ["event_type"], "value") == "hof"
+    assert ts._rank_window_engine(ev, "auto", ["event_type"], "value") == "arrow"

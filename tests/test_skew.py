@@ -135,9 +135,16 @@ def test_aqe_splits_skewed_join(spark, skewed):
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
             "spark.sql.autoBroadcastJoinThreshold",
+            # the thresholds below are scaled to 8-way shuffles; any
+            # earlier test that touches fossil_spark.cli/server calls
+            # get_spark() whose getOrCreate re-applies the env default
+            # (32) to the SHARED session, and at 32 partitions the
+            # split no longer engages — pin what the assert depends on
+            "spark.sql.shuffle.partitions",
         )
     }
     try:
+        conf.set("spark.sql.shuffle.partitions", "8")
         conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         conf.set(
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
